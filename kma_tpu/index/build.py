@@ -1,0 +1,202 @@
+"""Index builder: fasta templates -> frozen KMA-format database.
+
+Mirrors the observable behaviour of `kma index` (reference index.c,
+makeindex.c:167-291, updateindex.c:33-77, compress.c:83-614) for the
+standard (non-sparse, non-minimizer) path, producing databases that are
+interchangeable with the reference's (validated with `kma cmp`).
+
+The build is host-side NumPy: k-mer extraction is vectorised per template
+and aggregation uses a dict of int keys (the reference uses a chained
+hashmap, hashmap.c:164-256).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..io.seq import kmer_scan, pack_2bit, parse_fasta, ref_trim, valid_kmer_mask
+from .format import (KmaIndex, U16MAX, dump_comp_b, dump_length_b, murmur)
+
+
+def build_index(input_files: List[str], out_prefix: str, kmersize: int = 16,
+                minlen: int = 0, kmerindex: Optional[int] = None,
+                mega: bool = False, quiet: bool = False) -> KmaIndex:
+    """Build and write a standard database.
+
+    Per record (makeDB, makeindex.c:210-247): trim flanking Ns
+    (compDNAref bias), length-check, add all forward-strand k-mers of
+    N-free windows (updateDBs, updateindex.c:58-73), append the 2-bit
+    sequence to .seq.b and the name (with ``B<bias>`` suffix when Ns were
+    trimmed) to .name.
+    """
+    if kmerindex is None:
+        kmerindex = kmersize
+    mlen = kmersize
+    mask = (1 << (2 * mlen)) - 1
+    if mega or mask + 1 <= (1 << 20):
+        mega = True
+
+    # kmer (int) -> list of template ids; each template appended at most once
+    # (updateValue only dedups consecutive adds, hashmap.c:126, which equals
+    # once-per-template since templates are processed one at a time)
+    table: Dict[int, List[int]] = {}
+    lengths: List[int] = [0]
+    names: List[bytes] = []
+    db_size = 1
+
+    # .seq.b writes ((seqlen>>5)+1) u64 words per template (updateAnnots,
+    # updateindex.c:172) even when seqlen%32 == 0, in which case the extra
+    # word holds stale content of the reference's reused pack buffer.
+    # Emulate that buffer (qseq capacity doubling in FileBuffgetFsa and
+    # compressor reallocation in makeDB, makeindex.c:219-222) for byte parity.
+    qseq_cap = 1024
+    comp_words = np.zeros(1024 >> 5, dtype=np.uint64)
+
+    seq_out = open(out_prefix + ".seq.b", "wb")
+    try:
+        for path in input_files:
+            if not quiet:
+                print(f"# Reading inputfile: \t{path}", file=sys.stderr)
+            for header, codes in parse_fasta(path):
+                raw_len = len(codes)
+                while raw_len >= qseq_cap:
+                    qseq_cap <<= 1
+                codes, bias = ref_trim(codes)
+                seqlen = len(codes)
+                if raw_len >= len(comp_words) * 32:
+                    sz = qseq_cap if qseq_cap % 32 == 0 else ((qseq_cap >> 5) + 1) << 5
+                    comp_words = np.zeros(sz >> 5, dtype=np.uint64)
+                name = header[1:]
+                # lenCheck (makeindex.c:46) then updateDBs gate
+                added = 0
+                if minlen < seqlen and seqlen >= kmersize:
+                    kmers = kmer_scan(codes, kmersize)
+                    valid = valid_kmer_mask(codes, kmersize)
+                    kk = np.unique(kmers[valid])
+                    added = int(valid.sum())
+                    for km in kk.tolist():
+                        lst = table.get(km)
+                        if lst is None:
+                            table[km] = [db_size]
+                        else:
+                            lst.append(db_size)
+                if added:
+                    if bias > 0:
+                        names.append(name + b" B%d" % bias)
+                    else:
+                        names.append(name)
+                    packed = pack_2bit(codes)
+                    comp_words[: len(packed)] = packed
+                    nwords = (seqlen >> 5) + 1
+                    comp_words[:nwords].astype("<u8").tofile(seq_out)
+                    lengths.append(seqlen)
+                    db_size += 1
+                    if not quiet:
+                        print(f"# Added:\t{name.decode(errors='replace')}",
+                              file=sys.stderr)
+                elif not quiet:
+                    print(f"# Skipped:\t{name.decode(errors='replace')}",
+                          file=sys.stderr)
+    finally:
+        seq_out.close()
+
+    if not table:
+        raise SystemExit("DB is empty!!!")
+
+    idx = freeze(table, db_size, kmersize, mlen, mega=mega)
+    idx.template_lengths = np.array([kmerindex] + lengths[1:], dtype=np.uint32)
+    idx.names = names
+
+    with open(out_prefix + ".comp.b", "wb") as f:
+        dump_comp_b(idx, f)
+    dump_length_b(idx.template_lengths, out_prefix + ".length.b")
+    with open(out_prefix + ".name", "wb") as f:
+        f.write(b"\n".join(names) + b"\n" if names else b"")
+    idx.seq_path = out_prefix + ".seq.b"
+    return idx
+
+
+def freeze(table: Dict[int, List[int]], db_size: int, kmersize: int,
+           mlen: int, mega: bool = False, prefix_len: int = 0,
+           prefix: int = 0, flag: int = 0) -> KmaIndex:
+    """Freeze the build-time map into the flat query format
+    (compressKMA_DB, compress.c:83-614).
+
+    Identical template lists are deduplicated to one values entry
+    (valueshash.c); records are grouped contiguously per hash bucket so the
+    linear probe of hashMap_getGlobal terminates correctly.
+    """
+    n = len(table)
+    mask = (1 << (2 * mlen)) - 1
+
+    # hash table size: starts at 2^20 buckets and doubles when n reaches
+    # size (hashMap_addKMA growth, hashmap.c:190-238)
+    size = 1 << 20
+    while size < n:
+        size <<= 1
+    if mega or size >= mask + 1:
+        mega = True
+        size = mask + 1
+
+    kmers = np.fromiter(table.keys(), dtype=np.uint64, count=n)
+
+    # deduplicate value lists
+    vdt = np.uint32  # width applied at dump time; keep wide here
+    dedup: Dict[bytes, int] = {}
+    chunks: List[np.ndarray] = []
+    v_off = np.empty(n, dtype=np.int64)
+    v_index = 0
+    order = np.argsort(kmers, kind="stable")
+    for i in order.tolist():
+        lst = table[int(kmers[i])]
+        key = np.asarray(lst, dtype=np.int64).tobytes()
+        off = dedup.get(key)
+        if off is None:
+            arr = np.empty(len(lst) + 1, dtype=vdt)
+            arr[0] = len(lst)
+            arr[1:] = lst
+            dedup[key] = v_index
+            v_off[i] = v_index
+            chunks.append(arr)
+            v_index += len(arr)
+        else:
+            v_off[i] = off
+    values = np.concatenate(chunks) if chunks else np.empty(0, dtype=vdt)
+
+    if mega:
+        exist = np.full(size, 1, dtype=np.uint64)  # null_index == 1 (compress.c:804)
+        exist[kmers & np.uint64(mask)] = v_off.astype(np.uint64)
+        return KmaIndex(db_size=db_size, mlen=mlen, prefix_len=prefix_len,
+                        prefix=prefix, kmersize=kmersize, flag=flag,
+                        size=size, null_index=1, exist=exist, values=values,
+                        key_index=None, value_index=None)
+
+    smask = size - 1
+    buckets = (murmur(kmers) if flag else kmers) & np.uint64(smask)
+    grp = np.argsort(buckets, kind="stable")
+    key_index = np.empty(n + 1, dtype=np.uint64)
+    key_index[:n] = kmers[grp]
+    value_index = v_off[grp].astype(np.uint64)
+    sorted_buckets = buckets[grp]
+    exist = np.full(size, n, dtype=np.uint64)  # null_index == n
+    # first record index of each bucket group
+    first = np.ones(n, dtype=bool)
+    first[1:] = sorted_buckets[1:] != sorted_buckets[:-1]
+    exist[sorted_buckets[first]] = np.flatnonzero(first)
+
+    # sentinel key (n+1'th entry, uninitialised in the reference dump):
+    # pick one that does NOT hash into the last record's bucket so the
+    # probe cannot run off the end.
+    last_bucket = int(sorted_buckets[-1]) if n else 0
+    s = 0
+    while ((murmur(s) if flag else s) & smask) == last_bucket:
+        s += 1
+    key_index[n] = s
+
+    return KmaIndex(db_size=db_size, mlen=mlen, prefix_len=prefix_len,
+                    prefix=prefix, kmersize=kmersize, flag=flag, size=size,
+                    null_index=n, exist=exist, values=values,
+                    key_index=key_index, value_index=value_index)
