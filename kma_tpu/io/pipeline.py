@@ -1,0 +1,143 @@
+"""Step-1 read preparation and the binary stream formats between stages.
+
+The reference splits a run into three processes talking over pipes
+(kma.c:1439/1602, kmapipe.c); here the stages are in-process, but the byte
+formats are kept available for stage-by-stage parity testing against
+`kma ... -s1` / `kma ... -s2` streams:
+
+- step1 record (printFsa, runinput.c:765-787):
+    i32[4]{seqlen, complen, nN, headerLen} (headerLen<0 = first mate),
+    u64[complen] 2-bit seq, i32[nN] N positions, byte[headerLen] header
+    (header excludes the '@'/'>' and carries a trailing NUL).
+- step2 anker record (print_ankers, ankers.c:30-50):
+    i32[7]{seqlen, complen, nN, rc_flag, nTemplates, headerLen, samFlag},
+    seq, N positions, i32[nTemplates] signed ids, header; terminated by a
+    single negative i32 = -readCount (kmers.c:257).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import BinaryIO, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from .seq import (detect_format, fsa_stat, pack_2bit, parse_fasta,
+                  parse_fastq, phred_stat, sniff_phred_scale)
+
+
+class Read:
+    """A trimmed, coded read ready for mapping."""
+
+    __slots__ = ("codes", "n_positions", "header", "mate_first")
+
+    def __init__(self, codes: np.ndarray, header: bytes,
+                 mate_first: bool = False):
+        self.codes = codes
+        self.n_positions = np.flatnonzero(codes == 4).astype(np.int32)
+        self.header = header  # without '@'/'>' prefix, WITH trailing NUL
+        self.mate_first = mate_first
+
+
+def iter_reads(input_files: List[str], min_phred: int = 20,
+               hardmask_q: int = 0, min_q: int = 0, five_clip: int = 0,
+               three_clip: int = 0, min_len: int = 16,
+               max_len: int = 2147483647) -> Iterator[Read]:
+    """Parse, trim and yield reads (run_input, runinput.c:370-461)."""
+    if min_phred < min_q:
+        min_phred = min_q
+    for path in input_files:
+        fmt = detect_format(path)
+        if fmt == "fastq":
+            scale = sniff_phred_scale(path)
+            for header, codes, qual in parse_fastq(path):
+                ln, start, end = phred_stat(codes, qual, scale, min_phred,
+                                            min_q, hardmask_q, min_len,
+                                            max_len)
+                if min_len <= ln:
+                    yield Read(codes[start:end].copy(), header[1:] + b"\x00")
+        else:
+            for header, codes in parse_fasta(path):
+                ln, start, end = fsa_stat(codes, min_len, max_len)
+                if min_len <= ln:
+                    yield Read(codes[start:end].copy(), header[1:] + b"\x00")
+
+
+def write_step1_record(f: BinaryIO, read: Read) -> None:
+    """printFsa wire format (runinput.c:765-787)."""
+    codes = read.codes
+    seqlen = len(codes)
+    words = pack_2bit(codes)
+    hlen = len(read.header)
+    f.write(struct.pack("<iiii", seqlen, len(words), len(read.n_positions),
+                        -hlen if read.mate_first else hlen))
+    f.write(words.astype("<u8").tobytes())
+    f.write(read.n_positions.astype("<i4").tobytes())
+    f.write(read.header)
+
+
+def read_step1_stream(f: BinaryIO) -> Iterator[Read]:
+    """Inverse of write_step1_record (loadFsa, savekmers.c:50-92)."""
+    from .seq import unpack_2bit
+    while True:
+        hdr = f.read(16)
+        if len(hdr) < 16:
+            return
+        seqlen, complen, nN, hlen = struct.unpack("<iiii", hdr)
+        words = np.frombuffer(f.read(8 * complen), dtype="<u8")
+        npos = np.frombuffer(f.read(4 * nN), dtype="<i4")
+        header = f.read(abs(hlen))
+        codes = unpack_2bit(words, seqlen)
+        codes[npos] = 4
+        r = Read(codes, header, mate_first=hlen < 0)
+        yield r
+
+
+def write_anker(f: BinaryIO, codes: np.ndarray, n_positions: np.ndarray,
+                rc_flag: int, templates: np.ndarray, header: bytes,
+                sam_flag: int) -> None:
+    """print_ankers wire format (ankers.c:30-50)."""
+    seqlen = len(codes)
+    words = pack_2bit(codes)
+    f.write(struct.pack("<iiiiiii", seqlen, len(words), len(n_positions),
+                        rc_flag, len(templates), len(header), sam_flag))
+    f.write(words.astype("<u8").tobytes())
+    f.write(np.asarray(n_positions).astype("<i4").tobytes())
+    f.write(np.asarray(templates).astype("<i4").tobytes())
+    f.write(header)
+
+
+class Anker:
+    __slots__ = ("codes", "n_positions", "rc_flag", "templates", "header",
+                 "flag")
+
+    def __init__(self, codes, n_positions, rc_flag, templates, header, flag):
+        self.codes = codes
+        self.n_positions = n_positions
+        self.rc_flag = rc_flag
+        self.templates = templates
+        self.header = header
+        self.flag = flag
+
+
+def read_anker_stream(f: BinaryIO) -> Iterator[Anker]:
+    """get_ankers (ankers.c:163-220); stops at the -readCount sentinel."""
+    from .seq import unpack_2bit
+    while True:
+        hdr = f.read(28)
+        if len(hdr) < 4:
+            return
+        first = struct.unpack("<i", hdr[:4])[0]
+        if first < 0:
+            return
+        if len(hdr) < 28:
+            return
+        seqlen, complen, nN, rc_flag, nt, hlen, flag = struct.unpack(
+            "<iiiiiii", hdr)
+        words = np.frombuffer(f.read(8 * complen), dtype="<u8")
+        npos = np.frombuffer(f.read(4 * nN), dtype="<i4")
+        templates = np.frombuffer(f.read(4 * nt), dtype="<i4")
+        header = f.read(hlen)
+        codes = unpack_2bit(words, seqlen)
+        codes[npos] = 4
+        yield Anker(codes, npos, rc_flag, templates, header, flag)

@@ -1,0 +1,292 @@
+"""Step-2 read scanner: the `-1t1` save_kmers path (savekmers.c:2442-3065).
+
+Host-exact reference implementation.  Per read, both strands are scanned
+against the frozen k-mer index; hits are grouped into runs of equal
+value-list identity and scored with the gap-classification heuristic.  The
+best-scoring template set is emitted as an "anker" record (ankers.c:30-50).
+
+The batched TPU path (kma_tpu.mapping.scan_jax) reformulates the identical
+arithmetic as sort-based segmented reductions and is validated against this
+module.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import Penalties
+from ..index.format import KmaIndex
+from ..io.seq import kmer_scan, rc_codes, valid_kmer_mask
+
+
+@dataclasses.dataclass
+class AnkerHit:
+    """One anker record (step2 -> step3 wire unit, ankers.c:30-50)."""
+
+    codes: np.ndarray          # read codes as emitted (fw, or rc if flag&16)
+    n_positions: np.ndarray    # N positions of emitted orientation
+    rc_flag: int               # +/- best score; negative = merged strands
+    templates: np.ndarray      # int32, signed ids (negative = rc in merge)
+    header: bytes
+    flag: int                  # sam flag bits (16 = reverse)
+
+
+def _hits_for_codes(idx: KmaIndex, codes: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """(positions, v_offsets) of index hits along one strand.
+
+    Position j is the reference's scan index = end index of the k-mer
+    (savekmers.c:2516 increments j per window, j = start + k - 1).
+    """
+    k = idx.kmersize
+    kmers = kmer_scan(codes, k)
+    valid = valid_kmer_mask(codes, k)
+    pos = np.flatnonzero(valid)
+    voff = np.empty(len(pos), dtype=np.int64)
+    n = 0
+    for i, p in enumerate(pos.tolist()):
+        v = lookup_voff(idx, int(kmers[p]))
+        if v >= 0:
+            pos[n] = p + k - 1
+            voff[n] = v
+            n += 1
+    return pos[:n], voff[:n]
+
+
+def lookup_voff(idx: KmaIndex, kmer: int) -> int:
+    """values-offset of a k-mer, or -1 (hashMap_getGlobal, hashmapkma.c:149)."""
+    if idx.mega:
+        pos = int(idx.exist[kmer & idx.mask])
+        return -1 if pos == idx.null_index else pos
+    smask = idx.size - 1
+    from ..index.format import murmur
+    kpos = (murmur(kmer) & smask) if idx.flag else (kmer & smask)
+    pos = int(idx.exist[kpos])
+    if pos == idx.null_index:
+        return -1
+    key_index = idx.key_index
+    while True:
+        km = int(key_index[pos])
+        if km == kmer:
+            return int(idx.value_index[pos])
+        h = murmur(km) if idx.flag else km
+        if kpos != (h & smask):
+            return -1
+        pos += 1
+
+
+def _quick_hit(idx: KmaIndex, codes: np.ndarray) -> bool:
+    """Sparse first-pass probe at every k-th position (savekmers.c:2485-2495)."""
+    k = idx.kmersize
+    kmers = kmer_scan(codes, k)
+    valid = valid_kmer_mask(codes, k)
+    # enumerate N-segments to mirror the stride walk across segments
+    isN = codes == 4
+    n = len(codes)
+    j = 0
+    seg_bounds = np.flatnonzero(isN).tolist() + [n]
+    for end in seg_bounds:
+        stop = end - k + 1
+        while j < stop:
+            if valid[j] and lookup_voff(idx, int(kmers[j])) >= 0:
+                return True
+            j += k
+        j = end + 1
+    return False
+
+
+def _gap_reconnect_mm(gaps: int, k: int, M: int, MM: int, U: int, W1: int
+                      ) -> Tuple[int, int, int, int]:
+    """(Ms_add, MMs_add, Us_add, W1s_add) for the kmersize<gaps case
+    (savekmers.c:2536-2557)."""
+    g = gaps - (k - 1)
+    if g <= 2:
+        mm, m = g, 0
+    else:
+        mm = g // k + (1 if g % k else 0)
+        mm = max(2, mm)
+        m = min(g - mm, k)
+        m = min(m, mm)
+    if (W1 + (g - 1) * U) <= (mm * MM + m * M):
+        return k + m, mm, 0, 0
+    return k, 0, g - 1, 1
+
+
+def _scan_strand(idx: KmaIndex, codes: np.ndarray, rewards: Penalties,
+                 exhaustive: bool, is_rc_branch: bool, Score: np.ndarray,
+                 extendScore: np.ndarray, include: np.ndarray
+                 ) -> Tuple[int, List[int]]:
+    """One strand of save_kmers: returns (bestScore, bestTemplates list).
+
+    Score/extendScore/include are DB_size state arrays; left zeroed on exit
+    like the reference.  `is_rc_branch` selects the fw/rc variant of the
+    reconnect SNP formula (savekmers.c:2597 uses gaps*M+MM forward,
+    :2908 uses kmersize*M+MM on the rc branch).
+    """
+    k = idx.kmersize
+    mlen = idx.mlen
+    M, MM, U, W1 = rewards.M, rewards.MM, rewards.U, rewards.W1
+
+    if not exhaustive and not _quick_hit(idx, codes):
+        return 0, []
+
+    pos, voff = _hits_for_codes(idx, codes)
+    if len(pos) == 0:
+        return 0, []
+
+    bestTemplates: List[int] = []
+    values = idx.values
+    last = -1
+    last_end = 0
+    Ms = MMs = Us = W1s = 0
+    HIT = 0
+
+    for i in range(len(pos)):
+        j, v = int(pos[i]), int(voff[i])
+        gaps = j - (int(pos[i - 1]) if i else j) - 1 if i else 0
+        if i and v == last:
+            # same value list: accumulate gap-classified run score
+            # (savekmers.c:2521-2569)
+            if gaps == 0:
+                Ms += 1
+            elif mlen <= gaps <= k:
+                Ms += k
+                MMs += 1
+            elif k < gaps:
+                ms, mms, us, w1s = _gap_reconnect_mm(gaps, k, M, MM, U, W1)
+                Ms += ms
+                MMs += mms
+                Us += us
+                W1s += w1s
+            elif mlen != k:
+                Ms += gaps
+                MMs += 1
+            else:
+                Ms += gaps
+                W1s += 1
+                Us += (k - gaps)
+            HIT = j
+        elif i:
+            # flush previous run (savekmers.c:2573-2582)
+            score = Ms * M + MMs * MM + Us * U + W1s * W1
+            cnt = int(values[last])
+            for t in values[last + 1: last + 1 + cnt].tolist():
+                Score[t] += score
+                extendScore[t] = HIT
+            HIT = j - 1
+            cnt = int(values[v])
+            for t in values[v + 1: v + 1 + cnt].tolist():
+                if include[t]:
+                    g = HIT - extendScore[t]
+                    if g == 0:
+                        s = M
+                    elif mlen <= g <= k:
+                        s = (k * M + MM) if is_rc_branch else (g * M + MM)
+                    elif k < g:
+                        ms, mms, us, w1s = _gap_reconnect_mm(g, k, M, MM, U, W1)
+                        s = k * M + ms_score(ms - k, mms, us, w1s, M, MM, U, W1)
+                    elif mlen != k:
+                        s = g * M + MM
+                    else:
+                        s = g * M + (k - g) * U + W1
+                    Score[t] += s
+                else:
+                    Score[t] = k * M
+                    include[t] = 1
+                    bestTemplates.append(t)
+            last = v
+            HIT = j
+            Ms = MMs = Us = W1s = 0
+        else:
+            # first hit (savekmers.c:2656-2689)
+            cnt = int(values[v])
+            for t in values[v + 1: v + 1 + cnt].tolist():
+                Score[t] = k * M
+                include[t] = 1
+                bestTemplates.append(t)
+            last = v
+            HIT = j
+
+    # final flush (savekmers.c:2707-2753)
+    score = Ms * M + MMs * MM + Us * U + W1s * W1
+    cnt = int(values[last])
+    for t in values[last + 1: last + 1 + cnt].tolist():
+        Score[t] += score
+        extendScore[t] = HIT
+    for t in bestTemplates:
+        extendScore[t] = 0
+        include[t] = 0
+        if Score[t] < 0:
+            Score[t] = 0
+
+    # getBestMatch (savekmers.c:273-294)
+    bestScore = 0
+    best: List[int] = []
+    for t in bestTemplates:
+        s = int(Score[t])
+        if s > bestScore:
+            bestScore = s
+            best = [t]
+        elif s == bestScore:
+            best.append(t)
+        Score[t] = 0
+    return bestScore, best
+
+
+def ms_score(m_extra: int, mms: int, us: int, w1s: int,
+             M: int, MM: int, U: int, W1: int) -> int:
+    return m_extra * M + mms * MM + us * U + w1s * W1
+
+
+class SaveKmersScanner:
+    """Stateful per-read -1t1 scanner with reusable DB_size score arrays."""
+
+    def __init__(self, idx: KmaIndex, rewards: Penalties,
+                 exhaustive: bool = False):
+        self.idx = idx
+        self.rewards = rewards
+        self.exhaustive = exhaustive
+        n = idx.db_size
+        self.Score = np.zeros(n, dtype=np.int64)
+        self.Score_r = np.zeros(n, dtype=np.int64)
+        self.extendScore = np.zeros(n, dtype=np.int64)
+        self.include = np.zeros(n, dtype=np.uint8)
+
+    def scan(self, codes: np.ndarray, n_positions: np.ndarray,
+             header: bytes) -> Optional[AnkerHit]:
+        """Scan one read; returns the anker record or None if unmapped
+        (save_kmers, savekmers.c:2442-3065)."""
+        idx = self.idx
+        k = idx.kmersize
+        if len(codes) < k:
+            return None
+        codes_r = rc_codes(codes)
+        bestScore, best = _scan_strand(idx, codes, self.rewards,
+                                       self.exhaustive, False, self.Score,
+                                       self.extendScore, self.include)
+        bestScore_r, best_r = _scan_strand(idx, codes_r, self.rewards,
+                                           self.exhaustive, True, self.Score_r,
+                                           self.extendScore, self.include)
+        if bestScore <= 0 and bestScore_r <= 0:
+            return None
+        if k > bestScore and k > bestScore_r:
+            return None
+        q_len = len(codes)
+        if bestScore > bestScore_r:
+            return AnkerHit(codes=codes, n_positions=n_positions,
+                            rc_flag=bestScore,
+                            templates=np.asarray(best, dtype=np.int32),
+                            header=header, flag=0)
+        if bestScore < bestScore_r:
+            n_r = (q_len - 1) - n_positions[::-1] if len(n_positions) else n_positions
+            return AnkerHit(codes=codes_r, n_positions=n_r.astype(np.int32),
+                            rc_flag=bestScore_r,
+                            templates=np.asarray(best_r, dtype=np.int32),
+                            header=header, flag=16)
+        merged = np.asarray(best + [-t for t in best_r], dtype=np.int32)
+        return AnkerHit(codes=codes, n_positions=n_positions,
+                        rc_flag=-bestScore, templates=merged,
+                        header=header, flag=0)
