@@ -1,0 +1,189 @@
+"""`kma`-compatible command line interface (reference main.c / kma.c).
+
+Subcommands: (default = map), index, more to come (shm, seq2fasta, dist,
+db, merge, cmp, update, trim).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List
+
+from ..config import MapConfig, Penalties
+
+
+def main(argv: List[str] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "index":
+        return index_main(argv[1:])
+    if argv and argv[0] in ("seq2fasta", "db", "dist", "merge", "cmp",
+                            "shm", "update", "trim"):
+        from . import tools
+        return tools.dispatch(argv[0], argv[1:])
+    return map_main(argv)
+
+
+def index_main(argv: List[str]) -> int:
+    """kma index (index.c:78-735), standard path."""
+    from ..index.build import build_index
+    inputs: List[str] = []
+    out = None
+    k = 16
+    minlen = 0
+    mega = False
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-i":
+            i += 1
+            while i < len(argv) and not argv[i].startswith("-"):
+                inputs.append(argv[i])
+                i += 1
+            continue
+        if a == "-o":
+            i += 1
+            out = argv[i]
+        elif a == "-k":
+            i += 1
+            k = int(argv[i])
+        elif a == "-ML":
+            i += 1
+            minlen = int(argv[i])
+        elif a == "-ME":
+            mega = True
+        else:
+            print(f"# Invalid option:\t{a}", file=sys.stderr)
+            return 1
+        i += 1
+    if not inputs or not out:
+        print("Too few arguments handed", file=sys.stderr)
+        return 1
+    build_index(inputs, out, kmersize=k, minlen=minlen, mega=mega)
+    return 0
+
+
+def map_main(argv: List[str]) -> int:
+    """kma mapping run (kma.c:217-1636)."""
+    from ..pipeline import run_kma
+    cfg = MapConfig()
+    inputs: List[str] = []
+    out = None
+    db = None
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-i":
+            i += 1
+            while i < len(argv) and (not argv[i].startswith("-")
+                                     or argv[i] == "--"):
+                inputs.append(argv[i])
+                i += 1
+            continue
+        if a == "-o":
+            i += 1
+            out = argv[i]
+        elif a == "-t_db":
+            i += 1
+            db = argv[i]
+        elif a == "-1t1":
+            cfg.one2one = True
+        elif a == "-ex_mode":
+            cfg.exhaustive = True
+        elif a == "-k":
+            i += 1
+            cfg.kmersize = int(argv[i])
+        elif a == "-mp":
+            i += 1
+            cfg.min_phred = int(argv[i])
+        elif a == "-ml":
+            i += 1
+            cfg.min_len = int(argv[i])
+        elif a == "-mrs":
+            i += 1
+            cfg.score_t = float(argv[i])
+        elif a == "-mrc":
+            i += 1
+            cfg.mrc = float(argv[i])
+        elif a == "-mq":
+            i += 1
+            cfg.mq = int(argv[i])
+        elif a == "-bcd":
+            i += 1
+            cfg.bcd = int(argv[i])
+        elif a == "-bc":
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                i += 1
+                cfg.support = float(argv[i])
+                cfg.significant = "support"
+        elif a == "-bc90":
+            cfg.significant = "and90"
+        elif a == "-bcg":
+            cfg.base_caller = "org"
+        elif a == "-bcNano":
+            if cfg.significant == "mcnemar":
+                cfg.significant = "and90"
+            cfg.base_caller = "nano"
+        elif a == "-ID":
+            i += 1
+            cfg.ID_t = float(argv[i])
+        elif a == "-md":
+            i += 1
+            cfg.Depth_t = float(argv[i])
+        elif a == "-dense":
+            cfg.dense = True
+        elif a == "-ref_fsa":
+            cfg.ref_fsa = 1
+        elif a == "-matrix":
+            cfg.print_matrix = True
+        elif a == "-a":
+            cfg.print_all = True
+        elif a == "-and":
+            cfg.cmp_mode = "and"
+        elif a == "-oa":
+            cfg.cmp_mode = "true"
+        elif a == "-ca":
+            cfg.circular = True
+        elif a == "-ts":
+            i += 1
+            cfg.ts = int(argv[i])
+        elif a == "-ssa":
+            cfg.skip_tail_aln = True
+        elif a == "-nc":
+            cfg.nc = 1
+        elif a == "-na":
+            cfg.nc |= 2
+        elif a == "-nf":
+            cfg.nf = True
+        elif a == "-ef":
+            cfg.tsv = cfg.tsv  # extendedFeatures flag handled in pipeline
+            cfg.ef = True  # type: ignore[attr-defined]
+        elif a == "-e" or a == "-p":
+            i += 1
+            cfg.evalue = float(argv[i])
+        elif a == "-t":
+            i += 1
+            cfg.threads = int(argv[i])
+        elif a == "-ConClave":
+            i += 1
+            cfg.conclave = int(argv[i])
+        elif a == "-mf":
+            i += 1
+            cfg.max_frag = int(argv[i])
+        elif a == "-verbose":
+            cfg.verbose = 1
+        elif a == "-mem_mode":
+            cfg.mem_mode = True
+        else:
+            print(f" Invalid option:\t{a}", file=sys.stderr)
+            return 1
+        i += 1
+    if out is None or db is None:
+        print(" Too few arguments handed", file=sys.stderr)
+        return 1
+    if not inputs:
+        inputs = ["--"]
+    return run_kma(db, out, inputs, cfg, exe_cmd=" ".join(["kma"] + argv))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,139 @@
+"""Output file writers, byte-compatible with the reference formats.
+
+- .res rows (runkma.c:621, 816)
+- .fsa / .aln consensus (printconsensus.c:24-61)
+- .frag.gz rows (updateFrags, assembly.c:49-83)
+- .frag_raw.gz rows (updateAllFrag, frags.c:64-184)
+- .mat.gz rows (updateMatrix, assembly.c:85-140)
+- .mapstat (ef.c:30-136)
+"""
+
+from __future__ import annotations
+
+import gzip
+import time
+from typing import IO, List, Optional
+
+import numpy as np
+
+from ..assemble.pileup import Assem, AssemblyMatrix
+
+RES_HEADER = ("#Template\tScore\tExpected\tTemplate_length\t"
+              "Template_Identity\tTemplate_Coverage\tQuery_Identity\t"
+              "Query_Coverage\tDepth\tq_value\tp_value\n")
+
+
+def c_unsigned(x: float) -> int:
+    """C cast (unsigned)(long double): truncation toward zero."""
+    return int(x) & 0xFFFFFFFF
+
+
+def res_row(name: str, read_score: int, expected: float, t_len: int,
+            id_: float, cover: float, q_id: float, q_cover: float,
+            depth: float, q_value: float, p_value: float) -> str:
+    """runkma.c:816 printf format."""
+    return ("%s\t%8d\t%8d\t%8d\t%8.2f\t%8.2f\t%8.2f\t%8.2f\t%8.2f\t"
+            "%8.2f\t%4.1e\n" % (name, read_score, c_unsigned(expected),
+                                t_len, id_, cover, q_id, q_cover, depth,
+                                q_value, p_value))
+
+
+def print_consensus(assem: Assem, name: str, aln_out: Optional[IO],
+                    fsa_out: Optional[IO], ref_fsa: int) -> None:
+    """printConsensus (printconsensus.c:24-61)."""
+    aln_len = assem.len
+    t = assem.t.tobytes().decode("latin1")
+    s = assem.s.tobytes().decode("latin1")
+    q_arr = assem.q.copy()
+    q = q_arr.tobytes().decode("latin1")
+    if aln_out is not None:
+        aln_out.write(f"# {name}\n")
+        for i in range(0, aln_len, 60):
+            aln_out.write("%-10s\t%.60s\n" % ("template:", t[i: i + 60]))
+            aln_out.write("%-10s\t%.60s\n" % ("", s[i: i + 60]))
+            aln_out.write("%-10s\t%.60s\n\n" % ("query:", q[i: i + 60]))
+    if fsa_out is None:
+        return
+    if ref_fsa == 0:
+        q = q.replace("-", "")
+        aln_len = len(q)
+    elif ref_fsa == 1:
+        q = q.replace("-", "n")
+    fsa_out.write(f">{name}\n")
+    for i in range(0, aln_len, 60):
+        fsa_out.write("%.60s\n" % q[i: i + 60])
+
+
+BASES_STR = np.frombuffer(b"ACGTN-", dtype=np.uint8)
+
+
+def frag_row(codes: np.ndarray, stats: List[int], template_name: str,
+             header: bytes) -> bytes:
+    """updateFrags (assembly.c:49-83): seq \t bestHits \t score \t start
+    \t end \t template \t header."""
+    seq = BASES_STR[codes].tobytes()
+    hdr = header.split(b"\x00", 1)[0]
+    return (seq + b"\t%d\t%d\t%d\t%d\t" % tuple(stats[:4])
+            + template_name.encode() + b"\t" + hdr + b"\n")
+
+
+def frag_raw_row(codes: np.ndarray, best_hits: int, score: int,
+                 starts: List[int], ends: List[int], templates: List[int],
+                 header: bytes) -> bytes:
+    """updateAllFrag (frags.c:64-184)."""
+    seq = BASES_STR[codes].tobytes()
+    hdr = header.split(b"\x00", 1)[0]
+    return (seq
+            + b"\t%d\t%d\t" % (best_hits, score)
+            + b",".join(b"%d" % s for s in starts)
+            + b"\t" + b",".join(b"%d" % e for e in ends)
+            + b"\t" + b",".join(b"%d" % t for t in templates)
+            + b"\t" + hdr + b"\n")
+
+
+def matrix_rows(matrix: AssemblyMatrix, template_codes: np.ndarray,
+                template_name: str, t_len: int) -> bytes:
+    """updateMatrix (assembly.c:85-140)."""
+    out = [b"#" + template_name.encode() + b"\n"]
+    order = matrix.walk()
+    i = 0
+    for pos in order.tolist():
+        row = matrix.counts[pos]
+        if pos < t_len:
+            base = bytes([BASES_STR[int(template_codes[i])]])
+            i += 1
+        else:
+            base = b"-"
+        out.append(base + b"\t%d\t%d\t%d\t%d\t%d\t%d\n"
+                   % tuple(int(x) for x in row))
+    out.append(b"\n")
+    return b"".join(out)
+
+
+def mapstat_header(db_name: str, tot_frags: int, cmd: str,
+                   version: str = "1.5.1") -> str:
+    """initExtendedFeatures (ef.c:30-46)."""
+    date = time.strftime("%Y-%m-%d")
+    return (f"## method\tKMA\n## version\t{version}\n"
+            f"## database\t{db_name}\n## fragmentCount\t{tot_frags}\n"
+            f"## date\t{date}\n## command\t{cmd}\n"
+            "# refSequence\treadCount\tfragmentCount\tmapScoreSum\t"
+            "refCoveredPositions\trefConsensusSum\tbpTotal\tdepthVariance\t"
+            "nucHighDepthVariance\tdepthMax\tsnpSum\tinsertSum\t"
+            "deletionSum\treadCountAln\tfragmentCountAln\n")
+
+
+def mapstat_row(name: str, assem: Assem, fragment_count: int,
+                read_count: int) -> str:
+    """printExtendedFeatures (ef.c:129-136)."""
+    return (
+        "%s\t%d\t%d\t%d\t%d\t%d\t%d\t%f\t%d\t%d\t%d\t%d\t%d\t%d\t%d\n"
+        % (name, read_count, fragment_count, assem.score, assem.aln_len,
+           assem.cover, assem.depth, assem.var, assem.nucHighVar,
+           assem.maxDepth, assem.snpSum, assem.insertSum,
+           assem.deletionSum, assem.readCountAln, assem.fragmentCountAln))
+
+
+def open_gz(path: str):
+    """Gzip writer approximating the reference zlib settings."""
+    return gzip.open(path, "wb", compresslevel=6)

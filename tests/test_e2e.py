@@ -1,0 +1,65 @@
+"""End-to-end golden tests: full pipeline vs the reference binary."""
+
+import gzip
+import subprocess
+
+import numpy as np
+import pytest
+
+from kma_tpu.cli.main import main as kma_main
+from kma_tpu.io.seq import parse_fasta
+
+
+@pytest.fixture(scope="module")
+def sim_reads(tmp_path_factory, db50):
+    """Deterministic synthetic reads with errors from db50 templates."""
+    rng = np.random.default_rng(42)
+    recs = list(parse_fasta(str(db50)))
+    comp = np.array([3, 2, 1, 0, 4, 5], dtype=np.uint8)
+    out = tmp_path_factory.mktemp("reads") / "reads.fq"
+    with open(out, "w") as f:
+        for ri in range(500):
+            _h, codes = recs[rng.integers(len(recs))]
+            L = int(rng.integers(80, 150))
+            if len(codes) <= L:
+                continue
+            s = int(rng.integers(0, len(codes) - L))
+            r = codes[s: s + L].copy()
+            nerr = rng.binomial(L, 0.01)
+            ppos = rng.integers(0, L, nerr)
+            r[ppos] = (r[ppos] + rng.integers(1, 4, nerr)) % 4
+            if rng.random() < 0.5:
+                r = comp[r[::-1]]
+            seq = "".join("ACGTN"[c] for c in r)
+            f.write(f"@r{ri}\n{seq}\n+\n{'I' * len(seq)}\n")
+    return out
+
+
+@pytest.fixture(scope="module")
+def db50_index(tmp_path_factory, db50, ref_index_bin):
+    d = tmp_path_factory.mktemp("db_idx")
+    prefix = str(d / "db")
+    subprocess.run([str(ref_index_bin), "-i", str(db50), "-o", prefix],
+                   check=True, capture_output=True)
+    return prefix
+
+
+def test_full_pipeline_1t1_parity(tmp_path, sim_reads, db50_index, ref_bin):
+    """kma -1t1 SE: .res/.fsa/.aln/.frag.gz parity (the reference at -t 1
+    is the deterministic parity target, SURVEY.md hard part #2)."""
+    ref_out = tmp_path / "ref"
+    my_out = tmp_path / "my"
+    r = subprocess.run([str(ref_bin), "-i", str(sim_reads), "-o",
+                        str(ref_out), "-t_db", db50_index, "-1t1"],
+                       capture_output=True)
+    assert r.returncode == 0
+    rc = kma_main(["-i", str(sim_reads), "-o", str(my_out), "-t_db",
+                   db50_index, "-1t1"])
+    assert rc == 0
+    for ext in (".res", ".fsa", ".aln"):
+        a = (ref_out.parent / (ref_out.name + ext)).read_bytes()
+        b = (my_out.parent / (my_out.name + ext)).read_bytes()
+        assert a == b, f"{ext} differs"
+    a = gzip.open(str(ref_out) + ".frag.gz").read()
+    b = gzip.open(str(my_out) + ".frag.gz").read()
+    assert a == b, ".frag.gz content differs"
