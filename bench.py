@@ -1,0 +1,126 @@
+"""Benchmark: step-2 mapping scan throughput on one chip.
+
+Maps synthetic 100bp reads against the ResFinder database (the reference's
+own benchmark recipe, benchmarkCMDs/benchMarkCMDs.txt) with the -1t1
+scanner and measures reads/sec on the device, compared against the
+reference kma binary's single-thread `-s2` stage on this host's CPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+REF_BUILD = REPO / ".ref_build"
+TESTDATA = REPO / "testdata"
+N_READS = 20000
+READ_LEN = 100
+BATCH = 4096
+
+
+def ensure_assets():
+    sys.path.insert(0, str(REPO))
+    from tests.conftest import ensure_reference
+    have_ref = ensure_reference()
+    TESTDATA.mkdir(exist_ok=True)
+    resf = REF_BUILD / "benchmarkCMDs" / "ResFinder.fasta"
+    db_prefix = TESTDATA / "bench_resf"
+    if not (db_prefix.with_suffix(".comp.b")).exists() and resf.exists():
+        from kma_tpu.index.build import build_index
+        build_index([str(resf)], str(db_prefix), quiet=True)
+    reads = TESTDATA / "bench_reads.fq"
+    if not reads.exists() and resf.exists():
+        from kma_tpu.io.seq import parse_fasta
+        rng = np.random.default_rng(7)
+        recs = list(parse_fasta(str(resf)))
+        comp = np.array([3, 2, 1, 0, 4, 5], dtype=np.uint8)
+        with open(reads, "w") as f:
+            n = 0
+            while n < N_READS:
+                _h, codes = recs[rng.integers(len(recs))]
+                if len(codes) <= READ_LEN + 1:
+                    continue
+                s = int(rng.integers(0, len(codes) - READ_LEN))
+                r = codes[s: s + READ_LEN].copy()
+                ne = rng.binomial(READ_LEN, 0.01)
+                pos = rng.integers(0, READ_LEN, ne)
+                r[pos] = (r[pos] + rng.integers(1, 4, ne)) % 4
+                if rng.random() < 0.5:
+                    r = comp[r[::-1]]
+                f.write("@r%d\n%s\n+\n%s\n"
+                        % (n, "".join("ACGTN"[c] for c in r),
+                           "I" * READ_LEN))
+                n += 1
+    return have_ref, str(db_prefix), str(reads)
+
+
+def baseline_reads_per_sec(db_prefix, reads):
+    """Reference kma -s2 single-thread on this host's CPU."""
+    kma = REF_BUILD / "kma"
+    if not kma.exists():
+        return None
+    t0 = time.time()
+    with open(os.devnull, "wb") as devnull:
+        subprocess.run([str(kma), "-i", reads, "-o", "/dev/null", "-t_db",
+                        db_prefix, "-1t1", "-s2"], stdout=devnull,
+                       stderr=devnull, check=True)
+    dt = time.time() - t0
+    return N_READS / dt
+
+
+def main():
+    have_ref, db_prefix, reads = ensure_assets()
+    from kma_tpu.config import Penalties
+    from kma_tpu.index.format import load_index
+    from kma_tpu.io.pipeline import iter_reads
+    from kma_tpu.mapping.device_index import DeviceIndex
+    from kma_tpu.mapping.scan_jax import DeviceScanner
+    import jax
+
+    idx = load_index(db_prefix)
+    pen = Penalties()
+    pen.score_matrix()
+    didx = DeviceIndex.from_host(idx)
+    dev = DeviceScanner(didx, pen, pair_cap=2048)
+
+    rs = list(iter_reads([reads]))
+    L = max(len(r.codes) for r in rs)
+    N = len(rs) // BATCH * BATCH
+    codes = np.full((N, L), 4, dtype=np.uint8)
+    lengths = np.zeros(N, np.int32)
+    for i in range(N):
+        codes[i, : len(rs[i].codes)] = rs[i].codes
+        lengths[i] = len(rs[i].codes)
+
+    # warmup / compile
+    out = dev.scan_device(codes[:BATCH], lengths[:BATCH])
+    jax.block_until_ready(out)
+
+    t0 = time.time()
+    for bi in range(N // BATCH):
+        out = dev.scan_device(codes[bi * BATCH: (bi + 1) * BATCH],
+                              lengths[bi * BATCH: (bi + 1) * BATCH])
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    device_rps = N / dt
+
+    base = baseline_reads_per_sec(db_prefix, reads) if have_ref else None
+    vs = device_rps / base if base else 0.0
+    print(json.dumps({
+        "metric": "mapping_scan_reads_per_sec",
+        "value": round(device_rps, 1),
+        "unit": "reads/s/chip (100bp vs ResFinder, -1t1 step2)",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Multi-chip sharding of the mapping step (jax.sharding + shard_map).
+
+Design (SURVEY.md §2.11: the spltDB map/reduce is the blueprint):
+
+- mesh ('data', 'db'): read batches are sharded over 'data'; the hash
+  table's `exist` array (the big one) is sharded by hash-slot range over
+  'db', record/value arrays replicated (they are comparatively small).
+- every db-shard resolves the k-mer windows whose bucket falls in its slot
+  range and contributes the values-offset, missing lanes stay -1; a
+  `lax.pmax` over 'db' merges shard results (each bucket lives on exactly
+  one shard) — the ICI all-reduce standing in for the reference's
+  shared-memory lookups (shm.c) and spltDB anker merge (spltdb.c:625).
+- the scoring scan then runs data-parallel on merged hits.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..mapping.device_index import DeviceIndex
+from ..mapping.scan_jax import ScanParams, _strand_scan, rc_batch
+
+
+def make_mesh(n_data: int, n_db: int, devices=None) -> Mesh:
+    """Build a ('data','db') mesh; falls back to the virtual-CPU backend
+    when the default platform has too few devices."""
+    need = n_data * n_db
+    if devices is None:
+        devices = jax.devices()
+        if len(devices) < need:
+            try:
+                cpus = jax.devices("cpu")
+                if len(cpus) >= need:
+                    devices = cpus
+            except RuntimeError:
+                pass
+    devs = np.array(devices[:need]).reshape(n_data, n_db)
+    return Mesh(devs, axis_names=("data", "db"))
+
+
+def _local_lookup(exist_l, kv, kmers, size, max_probe: int, n_db: int):
+    """Lookup restricted to this shard's hash-slot range (kv replicated)."""
+    from ..mapping.device_index import murmur32
+    d = jax.lax.axis_index("db")
+    chunk = size // n_db
+    bucket = murmur32(kmers) & jnp.uint32(size - 1)
+    lo = (d * chunk).astype(jnp.uint32)
+    mine = (bucket >= lo) & (bucket < lo + jnp.uint32(chunk))
+    local_bucket = jnp.where(mine, bucket - lo, 0).astype(jnp.int32)
+    pos0 = exist_l[local_bucket]
+    km_i32 = kmers.astype(jnp.int32)
+    done = ~mine | (pos0 < 0)
+    pos0 = jnp.where(pos0 < 0, 0, pos0)
+    found_pos = jnp.full(kmers.shape, -1, dtype=jnp.int32)
+    for step in range(max_probe):
+        pos = pos0 + step
+        key = kv[pos, 0]
+        hit = ~done & (key == km_i32)
+        found_pos = jnp.where(hit, pos, found_pos)
+        if step + 1 < max_probe:
+            same_bucket = (murmur32(key.astype(jnp.uint32))
+                           & jnp.uint32(size - 1)) == bucket
+            done = done | hit | ~same_bucket
+    ok = found_pos >= 0
+    return jnp.where(ok, kv[jnp.where(ok, found_pos, 0), 1], -1)
+
+
+def sharded_scan_step(mesh: Mesh, didx: DeviceIndex, params: Tuple):
+    """Build the pjit-ed multi-chip mapping step.
+
+    Returns (step_fn, place_fn) where place_fn shards host arrays onto the
+    mesh and step_fn runs one mapping step (both strands, best-set
+    extraction) with data+db parallelism.
+    """
+    (k, mlen, M, MM, U, W1, max_list, exhaustive, mega, size, null_index,
+     flag, max_probe, run_cap, pair_cap) = params
+    n_db = mesh.shape["db"]
+    assert size % n_db == 0
+    p = ScanParams(k=k, mlen=mlen, M=M, MM=MM, U=U, W1=W1,
+                   max_list=max_list, exhaustive=exhaustive,
+                   max_probe=max_probe, run_cap=run_cap, pair_cap=pair_cap)
+
+    def scan_local(exist_l, kv, values, codes, lengths):
+        def lookup(kmers):
+            local = _local_lookup(exist_l, kv, kmers, size, max_probe, n_db)
+            return jax.lax.pmax(local, "db")
+
+        codes_r = rc_batch(codes, lengths)
+        bf, of, vf, nf, ovf = _strand_scan(codes, lengths, lookup, values,
+                                           p, False)
+        br, orr, vr, nr, ovr = _strand_scan(codes_r, lengths, lookup,
+                                            values, p, True)
+        return bf, of, vf, nf, br, orr, vr, nr, ovf | ovr
+
+    in_specs = (P("db"), P(None), P(None), P("data", None), P("data"))
+    out_specs = (P("data"), P("data", None), P("data", None), P("data"),
+                 P("data"), P("data", None), P("data", None), P("data"),
+                 P("data"))
+    fn = shard_map(scan_local, mesh=mesh, in_specs=in_specs,
+                   out_specs=out_specs, check_rep=False)
+    step = jax.jit(fn)
+
+    def place(codes: np.ndarray, lengths: np.ndarray):
+        exist = jax.device_put(
+            didx.exist, NamedSharding(mesh, P("db")))
+        rep = NamedSharding(mesh, P(None))
+        args = (exist,
+                jax.device_put(didx.kv, rep),
+                jax.device_put(didx.values, rep),
+                jax.device_put(jnp.asarray(codes),
+                               NamedSharding(mesh, P("data", None))),
+                jax.device_put(jnp.asarray(lengths),
+                               NamedSharding(mesh, P("data"))))
+        return args
+
+    return step, place
