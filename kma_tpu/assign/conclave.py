@@ -32,6 +32,10 @@ class FragRecord:
     starts: List[int]
     ends: List[int]
     templates: List[int]      # signed ids
+    # PE mate payload (update_Scores_pe tail, updatescores.c:480-485)
+    mate_codes: np.ndarray = None
+    mate_header: bytes = b""
+    mate_flag: int = 0
 
 
 @dataclasses.dataclass
@@ -128,6 +132,17 @@ def run_conclave1(records: List[FragRecord], db_size: int,
                     start=start, end=end, header=header, flag=flag,
                     codes=codes)
         frag_lists.setdefault(bestTemplate, []).append(frag)
+
+        if rec.score < 0:
+            # PE mate record follows (conclave.c:169-194): same template,
+            # same start/end/score, its own codes/header/flag
+            if read_counts is not None:
+                read_counts[bestTemplate] += 1
+            mate = Frag(q_len=len(rec.mate_codes), best_hits=best_hits,
+                        score=0 if rec.best_hits < 0 else read_score,
+                        start=start, end=end, header=rec.mate_header,
+                        flag=rec.mate_flag, codes=rec.mate_codes)
+            frag_lists[bestTemplate].append(mate)
 
     # reference drains LIFO per template
     for lst in frag_lists.values():

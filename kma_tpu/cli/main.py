@@ -67,6 +67,8 @@ def map_main(argv: List[str]) -> int:
     from ..pipeline import run_kma
     cfg = MapConfig()
     inputs: List[str] = []
+    pe_inputs: List[str] = []
+    int_inputs: List[str] = []
     out = None
     db = None
     i = 0
@@ -77,6 +79,21 @@ def map_main(argv: List[str]) -> int:
             while i < len(argv) and (not argv[i].startswith("-")
                                      or argv[i] == "--"):
                 inputs.append(argv[i])
+                i += 1
+            continue
+        if a == "-ipe":
+            i += 1
+            while i < len(argv) and not argv[i].startswith("-"):
+                pe_inputs.append(argv[i])
+                i += 1
+            if len(pe_inputs) % 2:
+                print("Uneven number of paired end files.", file=sys.stderr)
+                return 1
+            continue
+        if a == "-int":
+            i += 1
+            while i < len(argv) and not argv[i].startswith("-"):
+                int_inputs.append(argv[i])
                 i += 1
             continue
         if a == "-o":
@@ -180,9 +197,10 @@ def map_main(argv: List[str]) -> int:
     if out is None or db is None:
         print(" Too few arguments handed", file=sys.stderr)
         return 1
-    if not inputs:
+    if not inputs and not pe_inputs and not int_inputs:
         inputs = ["--"]
-    return run_kma(db, out, inputs, cfg, exe_cmd=" ".join(["kma"] + argv))
+    return run_kma(db, out, inputs, cfg, exe_cmd=" ".join(["kma"] + argv),
+                   pe_files=pe_inputs or None, int_files=int_inputs or None)
 
 
 if __name__ == "__main__":

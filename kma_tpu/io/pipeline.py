@@ -63,6 +63,56 @@ def iter_reads(input_files: List[str], min_phred: int = 20,
                     yield Read(codes[start:end].copy(), header[1:] + b"\x00")
 
 
+def iter_read_pairs(pe_files: List[str], min_phred: int = 20,
+                    hardmask_q: int = 0, min_q: int = 0, min_len: int = 16,
+                    max_len: int = 2147483647):
+    """Paired files (run_input_PE, runinput.c:463-606): yields
+    (read1, read2) when both mates survive trimming, (read, None) when
+    only one does."""
+    if min_phred < min_q:
+        min_phred = min_q
+    for fi in range(0, len(pe_files), 2):
+        f1, f2 = pe_files[fi], pe_files[fi + 1]
+        fmt = detect_format(f1)
+        if fmt == "fastq":
+            scale = sniff_phred_scale(f1) or sniff_phred_scale(f2)
+            it1 = parse_fastq(f1)
+            it2 = parse_fastq(f2)
+            for (h1, c1, q1), (h2, c2, q2) in zip(it1, it2):
+                l1, s1, e1 = phred_stat(c1, q1, scale, min_phred, min_q,
+                                        hardmask_q, min_len, max_len)
+                l2, s2, e2 = phred_stat(c2, q2, scale, min_phred, min_q,
+                                        hardmask_q, min_len, max_len)
+                r1 = Read(c1[s1:e1].copy(), h1[1:] + b"\x00", True) \
+                    if min_len <= l1 else None
+                r2 = Read(c2[s2:e2].copy(), h2[1:] + b"\x00") \
+                    if min_len <= l2 else None
+                if r1 is not None and r2 is not None:
+                    yield r1, r2
+                elif r1 is not None:
+                    r1.mate_first = False
+                    yield r1, None
+                elif r2 is not None:
+                    yield r2, None
+        else:
+            it1 = parse_fasta(f1)
+            it2 = parse_fasta(f2)
+            for (h1, c1), (h2, c2) in zip(it1, it2):
+                l1, s1, e1 = fsa_stat(c1, min_len, max_len)
+                l2, s2, e2 = fsa_stat(c2, min_len, max_len)
+                r1 = Read(c1[s1:e1].copy(), h1[1:] + b"\x00", True) \
+                    if min_len <= l1 else None
+                r2 = Read(c2[s2:e2].copy(), h2[1:] + b"\x00") \
+                    if min_len <= l2 else None
+                if r1 is not None and r2 is not None:
+                    yield r1, r2
+                elif r1 is not None:
+                    r1.mate_first = False
+                    yield r1, None
+                elif r2 is not None:
+                    yield r2, None
+
+
 def write_step1_record(f: BinaryIO, read: Read) -> None:
     """printFsa wire format (runinput.c:765-787)."""
     codes = read.codes

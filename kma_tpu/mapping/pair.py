@@ -1,0 +1,350 @@
+"""Paired-end step-2 scanning (savekmers.c:427-688, 1648-1762, 3367-3570).
+
+`get_kmers_for_pair` scores both strands of one mate into Score/Score_r;
+`getF_Best`/`getR_Best` combine strand lists and detect the cross-mate
+union; `save_kmers_unionPair` emits one proper-pair anker record or
+separate single records, with exact sam-flag and orientation handling.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import Penalties
+from ..index.format import KmaIndex
+from ..io.seq import rc_codes
+from .scan import AnkerHit, _gap_reconnect_mm, _hits_for_codes, _quick_hit
+
+
+def get_kmers_for_pair(idx: KmaIndex, codes: np.ndarray, rewards: Penalties,
+                       exhaustive: bool, Score: np.ndarray,
+                       Score_r: np.ndarray, extendScore: np.ndarray,
+                       include: np.ndarray
+                       ) -> Tuple[int, List[int], List[int]]:
+    """Score both strands of one mate (savekmers.c:427-688).
+
+    Unlike save_kmers' strand asymmetry, BOTH strands use the
+    kmersize*M+MM SNP reconnect here (savekmers.c:586-588).
+    Score/Score_r are left filled; returns (bestSeqCount, bests, bests_r).
+    """
+    k = idx.kmersize
+    mlen = idx.mlen
+    M, MM, U, W1 = rewards.M, rewards.MM, rewards.U, rewards.W1
+    if len(codes) < k:
+        return 0, [], []
+
+    bestSeqCount = 0
+    lists: List[List[int]] = []
+    values = idx.values
+    for rc in range(2):
+        cur = codes if rc == 0 else rc_codes(codes)
+        Scores = Score if rc == 0 else Score_r
+        bests: List[int] = []
+        lists.append(bests)
+        if not exhaustive and not _quick_hit(idx, cur):
+            continue
+        pos, voff = _hits_for_codes(idx, cur)
+        hitCounter = len(pos)
+        if hitCounter == 0:
+            continue
+        last = -1
+        Ms = MMs = Us = W1s = 0
+        HIT = 0
+        for i in range(len(pos)):
+            j, v = int(pos[i]), int(voff[i])
+            gaps = j - (int(pos[i - 1]) if i else j) - 1 if i else 0
+            if i and v == last:
+                if gaps == 0:
+                    Ms += 1
+                elif mlen <= gaps <= k:
+                    Ms += k
+                    MMs += 1
+                elif k < gaps:
+                    ms, mms, us, w1s = _gap_reconnect_mm(gaps, k, M, MM, U, W1)
+                    Ms += ms
+                    MMs += mms
+                    Us += us
+                    W1s += w1s
+                elif mlen != k:
+                    Ms += gaps
+                    MMs += 1
+                else:
+                    Ms += gaps
+                    W1s += 1
+                    Us += k - gaps
+                HIT = j
+            elif i:
+                score = Ms * M + MMs * MM + Us * U + W1s * W1
+                cnt = int(values[last])
+                for t in values[last + 1: last + 1 + cnt].tolist():
+                    Scores[t] += score
+                    extendScore[t] = HIT
+                HIT = j - 1
+                cnt = int(values[v])
+                for t in values[v + 1: v + 1 + cnt].tolist():
+                    if include[t]:
+                        g = HIT - extendScore[t]
+                        if g == 0:
+                            s = M
+                        elif mlen <= g <= k:
+                            s = k * M + MM  # same on both strands here
+                        elif k < g:
+                            ms, mms, us, w1s = _gap_reconnect_mm(
+                                g, k, M, MM, U, W1)
+                            s = k * M + (ms - k) * M + mms * MM \
+                                + us * U + w1s * W1
+                        elif mlen != k:
+                            s = g * M + MM
+                        else:
+                            s = g * M + (k - g) * U + W1
+                        Scores[t] += s
+                    else:
+                        Scores[t] = k * M
+                        include[t] = 1
+                        bests.append(t)
+                last = v
+                HIT = j
+                Ms = MMs = Us = W1s = 0
+            else:
+                cnt = int(values[v])
+                for t in values[v + 1: v + 1 + cnt].tolist():
+                    Scores[t] = k * M
+                    include[t] = 1
+                    bests.append(t)
+                last = v
+                HIT = j
+        if last >= 0:
+            score = Ms * M + MMs * MM + Us * U + W1s * W1
+            cnt = int(values[last])
+            for t in values[last + 1: last + 1 + cnt].tolist():
+                Scores[t] += score
+            for t in bests:
+                extendScore[t] = 0
+                include[t] = 0
+                if Scores[t] < 0:
+                    Scores[t] = 0
+        if bestSeqCount < hitCounter:
+            bestSeqCount = hitCounter
+    return bestSeqCount, lists[0], lists[1]
+
+
+def getF_best(bests: List[int], bests_r: List[int], Score, Score_r
+              ) -> Tuple[int, List[int]]:
+    """getF_Best (savekmers.c:1648-1680): best over both strands into a
+    signed region list (negative = rc strand); clears scores."""
+    bestScore = 0
+    region: List[int] = []
+    for t in bests:
+        s = int(Score[t])
+        if bestScore < s:
+            bestScore = s
+            region = [t]
+        elif bestScore == s:
+            region.append(t)
+        Score[t] = 0
+    for t in bests_r:
+        s = int(Score_r[t])
+        if bestScore < s:
+            bestScore = s
+            region = [-t]
+        elif bestScore == s:
+            region.append(-t)
+        Score_r[t] = 0
+    return bestScore, region
+
+
+def getR_best(bests: List[int], bests_r: List[int], Score, Score_r,
+              region: List[int]) -> Tuple[int, List[int], bool]:
+    """getR_Best (savekmers.c:1682-1762): mate2 best + cross-mate union.
+
+    Returns (bestScore_r, mate2 best list (signed), pe_found); `region` is
+    reordered in place with paired entries first when pe_found.
+    """
+    bestScore_r = 0
+    best2: List[int] = []
+    for t in bests:
+        s = int(Score[t])
+        if bestScore_r < s:
+            for x in best2:
+                if 0 < x:
+                    Score[x] = 0
+                else:
+                    Score_r[-x] = 0
+            bestScore_r = s
+            best2 = [t]
+        elif bestScore_r == s:
+            best2.append(t)
+        else:
+            Score[t] = 0
+    for t in bests_r:
+        s = int(Score_r[t])
+        if bestScore_r < s:
+            for x in best2:
+                if 0 < x:
+                    Score[x] = 0
+                else:
+                    Score_r[-x] = 0
+            bestScore_r = s
+            best2 = [-t]
+        elif bestScore_r == s:
+            best2.append(-t)
+        else:
+            Score_r[t] = 0
+    # check union: region entries whose template also scored for mate2
+    pe_hits = 0
+    for i in range(len(region)):
+        t = region[i]
+        paired = Score_r[t] if 0 < t else Score[-t]
+        if paired:
+            region[pe_hits], region[i] = region[i], region[pe_hits]
+            pe_hits += 1
+    # clear mate2 scores
+    for x in best2:
+        if 0 < x:
+            Score[x] = 0
+        else:
+            Score_r[-x] = 0
+    if pe_hits:
+        del region[pe_hits:]
+        return bestScore_r, best2, True
+    return bestScore_r, best2, False
+
+
+class PairAnker:
+    """Result of a pair scan: one proper-pair record or up to two singles.
+
+    records: list of (codes_emitted, n_positions, rc_flag, templates,
+    header, sam_flag); a proper pair is two consecutive records with the
+    first carrying 0 templates (printPair, ankers.c:150-161)."""
+
+    __slots__ = ("records", "unmapped")
+
+    def __init__(self, records, unmapped):
+        self.records = records
+        self.unmapped = unmapped
+
+
+def _npos(codes: np.ndarray) -> np.ndarray:
+    return np.flatnonzero(codes == 4).astype(np.int32)
+
+
+def save_kmers_union_pair(idx: KmaIndex, rewards: Penalties,
+                          codes1: np.ndarray, codes2: np.ndarray,
+                          header1: bytes, header2: bytes, exhaustive: bool,
+                          Score, Score_r, extendScore, include
+                          ) -> Optional[PairAnker]:
+    """save_kmers_unionPair (savekmers.c:3367-3570), standard DBs (rev=1)."""
+    k = idx.kmersize
+    recs = []
+
+    hc1, bests1, bests1_r = get_kmers_for_pair(
+        idx, codes1, rewards, exhaustive, Score, Score_r, extendScore,
+        include)
+    if hc1:
+        bestScore, region = getF_best(bests1, bests1_r, Score, Score_r)
+        if k < bestScore and bestScore * k < (len(codes1) - bestScore):
+            bestScore = 0
+    else:
+        bestScore, region = 0, []
+
+    hc2, bests2, bests2_r = get_kmers_for_pair(
+        idx, codes2, rewards, exhaustive, Score, Score_r, extendScore,
+        include)
+    pe = False
+    if hc2:
+        if bestScore:
+            bestScore_r, best2, pe = getR_best(bests2, bests2_r, Score,
+                                               Score_r, region)
+        else:
+            bestScore_r, best2 = getF_best(bests2, bests2_r, Score, Score_r)
+        if k < bestScore_r and bestScore_r * k < (len(codes2) - bestScore_r):
+            bestScore_r = 0
+            pe = False
+    else:
+        bestScore_r, best2 = 0, []
+
+    rc1 = rc_codes(codes1)
+    rc2 = rc_codes(codes2)
+    flag, flag_r = 65, 129
+
+    if 0 < bestScore and 0 < bestScore_r:
+        if pe:
+            flag |= 2
+            flag_r |= 2
+            if 0 < region[0]:
+                # pair on mate1's fw strand: mate1 fw, mate2 rc
+                flag |= 32
+                flag_r |= 16
+                recs.append((codes1, _npos(codes1), bestScore,
+                             np.zeros(0, np.int32), header1, flag))
+                recs.append((rc2, _npos(rc2), bestScore_r,
+                             np.asarray(region, np.int32), header2, flag_r))
+            else:
+                flag |= 16
+                flag_r |= 32
+                neg = [-t for t in region]
+                recs.append((codes2, _npos(codes2), bestScore_r,
+                             np.zeros(0, np.int32), header2, flag_r))
+                recs.append((rc1, _npos(rc1), bestScore,
+                             np.asarray(neg, np.int32), header1, flag))
+            return PairAnker(recs, 0)
+        # both mapped, no pair: two separate records
+        if 0 < region[0]:
+            seq1, sc1 = codes1, bestScore
+            if region[-1] < 0:
+                sc1 = -bestScore
+            out1 = region
+        else:
+            flag |= 16
+            flag_r |= 32
+            seq1, sc1 = rc1, bestScore
+            out1 = [-t for t in region]
+        if 0 < best2[0]:
+            seq2, sc2 = codes2, bestScore_r
+            if best2[-1] < 0:
+                sc2 = -bestScore_r
+            out2 = best2
+        else:
+            flag |= 32
+            flag_r |= 16
+            seq2, sc2 = rc2, bestScore_r
+            out2 = [-t for t in best2]
+        recs.append((seq1, _npos(seq1), sc1, np.asarray(out1, np.int32),
+                     header1, flag))
+        recs.append((seq2, _npos(seq2), sc2, np.asarray(out2, np.int32),
+                     header2, flag_r))
+        return PairAnker(recs, 0)
+    if bestScore:
+        flag |= 8 | 32
+        if 0 < region[0]:
+            seq1, sc1 = codes1, bestScore
+            if region[-1] < 0:
+                sc1 = -bestScore
+            out1 = region
+        else:
+            flag |= 16
+            seq1, sc1 = rc1, bestScore
+            out1 = [-t for t in region]
+        recs.append((seq1, _npos(seq1), sc1, np.asarray(out1, np.int32),
+                     header1, flag))
+        return PairAnker(recs, 2)
+    if bestScore_r:
+        # when mate1 had no score, getF filled the region storage for
+        # mate2 (savekmers.c:3412); best2 IS that region list
+        lst = best2
+        flag_r |= 8 | 32
+        if 0 < lst[0]:
+            seq2, sc2 = codes2, bestScore_r
+            if lst[-1] < 0:
+                sc2 = -bestScore_r
+            out2 = lst
+        else:
+            flag_r |= 16
+            seq2, sc2 = rc2, bestScore_r
+            out2 = [-t for t in lst]
+        recs.append((seq2, _npos(seq2), sc2, np.asarray(out2, np.int32),
+                     header2, flag_r))
+        return PairAnker(recs, 1)
+    return PairAnker([], 3)

@@ -193,8 +193,271 @@ def update_scores(codes: np.ndarray, q_len: int, min_frac: float,
                       templates=sel_t, ), sel_score
 
 
+def update_scores_se(codes, q_len, min_frac, ids, scores, starts, ends,
+                     best_score, header, flag, alignment_scores,
+                     uniq_alignment_scores):
+    """update_Scores_se (updatescores.c:300-388), minFrac==1.0 path."""
+    sel_t, sel_s, sel_e = [], [], []
+    for i in range(len(ids)):
+        if scores[i] == best_score:
+            sel_t.append(ids[i])
+            sel_s.append(starts[i])
+            sel_e.append(ends[i])
+            alignment_scores[abs(ids[i])] += best_score
+    if len(sel_t) == 1:
+        uniq_alignment_scores[abs(sel_t[0])] += best_score
+    return FragRecord(q_len=q_len, best_hits=len(sel_t), score=best_score,
+                      header=header, flag=flag, codes=codes, starts=sel_s,
+                      ends=sel_e, templates=sel_t)
+
+
+def update_scores_pe(codes, q_len, mate_codes, mate_len, min_frac, ids,
+                     scores, starts, ends, best_score, header, mate_header,
+                     flag, mate_flag, alignment_scores,
+                     uniq_alignment_scores):
+    """update_Scores_pe (updatescores.c:390-488), minFrac==1.0 path."""
+    sel_t, sel_s, sel_e = [], [], []
+    for i in range(len(ids)):
+        if scores[i] == best_score:
+            sel_t.append(ids[i])
+            sel_s.append(starts[i])
+            sel_e.append(ends[i])
+            alignment_scores[abs(ids[i])] += scores[i]
+    if len(sel_t) == 1:
+        uniq_alignment_scores[abs(sel_t[0])] += best_score
+    return FragRecord(q_len=q_len, best_hits=len(sel_t), score=-best_score,
+                      header=header, flag=flag, codes=codes, starts=sel_s,
+                      ends=sel_e, templates=sel_t, mate_codes=mate_codes,
+                      mate_header=mate_header, mate_flag=mate_flag)
+
+
+def aln_frags_union_pe(store: TemplateStore, matched: np.ndarray,
+                       codes_a: np.ndarray, codes_b: np.ndarray,
+                       header_a: bytes, header_b: bytes, flag_a: int,
+                       flag_b: int, kmersize: int, minlen: int, mq: int,
+                       scoreT: float, mrc: float, min_frac: float,
+                       rew: Penalty, points: Points, alignment_scores,
+                       uniq_alignment_scores) -> List[FragRecord]:
+    """alnFragsUnionPE (alnfrags.c:1220-1594), proper-pair records
+    (arc == 0 for union pairing: pair records always carry a positive
+    rc_flag, savekmers.c:3434-3451)."""
+    Wl = -rew.Wl
+    n = len(matched)
+    rc_a = rc_codes(codes_a)
+    rc_b = rc_codes(codes_b)
+    npos = {0: np.flatnonzero(codes_a == 4).astype(np.int64),
+            1: np.flatnonzero(rc_a == 4).astype(np.int64),
+            2: np.flatnonzero(codes_b == 4).astype(np.int64),
+            3: np.flatnonzero(rc_b == 4).astype(np.int64)}
+
+    scores1 = [0] * n
+    scores2 = [0] * n
+    starts = [0] * n
+    ends = [0] * n
+    best1 = best2 = 0
+    flipped = False
+
+    for t_i, template in enumerate(matched.tolist()):
+        if template < 0 and not flipped:
+            flipped = True
+        t = abs(template)
+        tindex = store.get(t)
+        t_len = tindex.len
+        cur_a = rc_a if flipped else codes_a
+        na = npos[1] if flipped else npos[0]
+        points.len = 0
+        st, _, _ = kma_align(tindex, cur_a, len(cur_a), 0, len(cur_a), 0, 0,
+                             mq, rew, points, kmersize, traceback=False,
+                             n_positions=na)
+        read_score = st.score
+        if (minlen <= st.len and 0 < read_score
+                and mrcheck(mrc, st, len(cur_a), t_len)):
+            start = st.pos
+            end = st.pos + st.len - st.tGaps
+            if start == 0:
+                read_score += Wl
+            if end == t_len:
+                read_score += Wl
+            score = 1.0 * read_score / st.len
+        else:
+            read_score = 0
+            score = 0.0
+            start, end = 0, 0
+        if read_score > kmersize and score >= scoreT:
+            scores1[t_i] = read_score
+            starts[t_i] = start
+            ends[t_i] = end
+            if best1 < read_score:
+                best1 = read_score
+        else:
+            scores1[t_i] = 0
+            starts[t_i] = -1
+            ends[t_i] = -1
+
+        cur_b = rc_b if flipped else codes_b
+        nb = npos[3] if flipped else npos[2]
+        points.len = 0
+        st, _, _ = kma_align(tindex, cur_b, len(cur_b), 0, len(cur_b), 0, 0,
+                             mq, rew, points, kmersize, traceback=False,
+                             n_positions=nb)
+        read_score = st.score
+        if (minlen <= st.len and 0 < read_score
+                and mrcheck(mrc, st, len(cur_b), t_len)):
+            start = st.pos
+            end = st.pos + st.len - st.tGaps
+            if start == 0:
+                read_score += Wl
+            if end == t_len:
+                read_score += Wl
+            score = 1.0 * read_score / st.len
+        else:
+            read_score = 0
+            score = 0.0
+            start, end = 0, 0
+        if read_score > kmersize and score >= scoreT:
+            scores2[t_i] = read_score
+            if scores1[t_i]:
+                # negative insert sizes (alnfrags.c:1376-1386)
+                if start < starts[t_i]:
+                    starts[t_i] = start
+                else:
+                    ends[t_i] = end
+            else:
+                starts[t_i] = start
+                ends[t_i] = end
+            if best2 < read_score:
+                best2 = read_score
+        else:
+            scores2[t_i] = 0
+
+    if not best1 and not best2:
+        return []
+    recs = []
+    mf = abs(min_frac)
+    if best1 and best2:
+        # check union (alnfrags.c:1411-1424)
+        thr1 = best1 * mf
+        thr2 = best2 * mf
+        u_ids, u_scores, u_starts, u_ends = [], [], [], []
+        for t_i in range(n):
+            if thr1 <= scores1[t_i] and thr2 <= scores2[t_i]:
+                u_ids.append(int(matched[t_i]))
+                u_scores.append(scores1[t_i] + scores2[t_i])
+                u_starts.append(starts[t_i])
+                u_ends.append(ends[t_i])
+        if u_ids:
+            # proper pair
+            if u_ids[0] < 0:
+                u_ids = [-x for x in u_ids]
+                recs.append(update_scores_pe(
+                    rc_b, len(rc_b), rc_a, len(rc_a), min_frac, u_ids,
+                    u_scores, u_starts, u_ends, best1 + best2, header_b,
+                    header_a, flag_b, flag_a, alignment_scores,
+                    uniq_alignment_scores))
+            else:
+                # restore emitted orientation if candidates flipped us
+                recs.append(update_scores_pe(
+                    codes_a, len(codes_a), codes_b, len(codes_b), min_frac,
+                    u_ids, u_scores, u_starts, u_ends, best1 + best2,
+                    header_a, header_b, flag_a, flag_b, alignment_scores,
+                    uniq_alignment_scores))
+            return recs
+        # unmaided pair (alnfrags.c:1447-1516): separate SE spools
+        f_ids, f_sc, f_st, f_en = [], [], [], []
+        r_ids, r_sc, r_st, r_en = [], [], [], []
+        for t_i in range(n):
+            if thr1 <= scores1[t_i]:
+                f_ids.append(int(matched[t_i]))
+                f_sc.append(scores1[t_i])
+                f_st.append(starts[t_i])
+                f_en.append(ends[t_i])
+            elif thr2 <= scores2[t_i]:
+                r_ids.append(int(matched[t_i]))
+                r_sc.append(scores2[t_i])
+                r_st.append(starts[t_i])
+                r_en.append(ends[t_i])
+        fa, fb = flag_a, flag_b
+        seq_a = codes_a
+        if f_ids and f_ids[0] < 0:
+            f_ids = [-x for x in f_ids]
+            seq_a = rc_a
+            fa ^= 16
+            fb ^= 32
+        seq_b = codes_b
+        if r_ids and r_ids[0] < 0:
+            r_ids = [-x for x in r_ids]
+            seq_b = rc_b
+            fa ^= 32
+            fb ^= 16
+        if fa & 2:
+            fa ^= 2
+            fb ^= 2
+        if f_ids:
+            recs.append(update_scores_se(seq_a, len(seq_a), min_frac, f_ids,
+                                         f_sc, f_st, f_en, best1, header_a,
+                                         fa, alignment_scores,
+                                         uniq_alignment_scores))
+        if r_ids:
+            recs.append(update_scores_se(seq_b, len(seq_b), min_frac, r_ids,
+                                         r_sc, r_st, r_en, best2, header_b,
+                                         fb, alignment_scores,
+                                         uniq_alignment_scores))
+        return recs
+    if best1:
+        thr = best1 * mf if mf != 1.0 else None
+        ids, sc, stl, enl = [], [], [], []
+        for t_i in range(n):
+            if scores1[t_i]:
+                ids.append(int(matched[t_i]))
+                sc.append(scores1[t_i])
+                stl.append(starts[t_i])
+                enl.append(ends[t_i])
+        fa, fb = flag_a, flag_b
+        seq_a = codes_a
+        if ids and ids[0] < 0:
+            ids = [-x for x in ids]
+            seq_a = rc_a
+            fa ^= 16
+            fb ^= 32
+        fa |= 8
+        fb ^= 4
+        if fa & 2:
+            fa ^= 2
+            fb ^= 2
+        recs.append(update_scores_se(seq_a, len(seq_a), min_frac, ids, sc,
+                                     stl, enl, best1, header_a, fa,
+                                     alignment_scores,
+                                     uniq_alignment_scores))
+        return recs
+    ids, sc, stl, enl = [], [], [], []
+    for t_i in range(n):
+        if scores2[t_i]:
+            ids.append(int(matched[t_i]))
+            sc.append(scores2[t_i])
+            stl.append(starts[t_i])
+            enl.append(ends[t_i])
+    fa, fb = flag_a, flag_b
+    seq_b = codes_b
+    if ids and ids[0] < 0:
+        ids = [-x for x in ids]
+        seq_b = rc_b
+        fa ^= 32
+        fb ^= 16
+    fb |= 8
+    fa ^= 4
+    if fb & 2:
+        fa ^= 2
+        fb ^= 2
+    recs.append(update_scores_se(seq_b, len(seq_b), min_frac, ids, sc, stl,
+                                 enl, best2, header_b, fb, alignment_scores,
+                                 uniq_alignment_scores))
+    return recs
+
+
 def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
-            cfg: MapConfig, exe_cmd: str = "kma_tpu") -> int:
+            cfg: MapConfig, exe_cmd: str = "kma_tpu",
+            pe_files: Optional[List[str]] = None,
+            int_files: Optional[List[str]] = None) -> int:
     """The runKMA flow (runkma.c:130-908) for the -1t1 SE path."""
     idx = load_index(db_prefix)
     db_size = idx.db_size
@@ -218,25 +481,21 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
 
     # --- steps 1-3: trim, scan, align, spool -----------------------------
     records: List[FragRecord] = []
-    for read in iter_reads(input_files, min_phred=cfg.min_phred,
-                           hardmask_q=cfg.hardmask_q, min_q=cfg.min_q,
-                           min_len=cfg.min_len, max_len=cfg.max_len):
-        hit = scanner.scan(read.codes, read.n_positions, read.header)
-        if hit is None:
-            continue
-        codes = hit.codes
+
+    def handle_se_anker(codes, n_positions, rc_flag, templates, header,
+                        flag):
         q_len = len(codes)
         if kmersize > q_len:
-            continue
+            return
         codes_r = rc_codes(codes)
-        n_pos = hit.n_positions.astype(np.int64)
+        n_pos = np.asarray(n_positions, dtype=np.int64)
         n_pos_r = np.sort((q_len - 1) - n_pos[::-1]) if len(n_pos) else n_pos
-        res = aln_frags_se(store, hit.templates, hit.rc_flag, codes, codes_r,
-                           n_pos, n_pos_r, hit.header, hit.flag, kmersize,
-                           cfg.min_len, cfg.mq, cfg.score_t, cfg.mrc, rew,
-                           points)
+        res = aln_frags_se(store, np.asarray(templates, np.int64), rc_flag,
+                           codes, codes_r, n_pos, n_pos_r, header, flag,
+                           kmersize, cfg.min_len, cfg.mq, cfg.score_t,
+                           cfg.mrc, rew, points)
         if res is None:
-            continue
+            return
         rec, sel_scores = res
         # global score accumulation (updatescores.c:217-281, minFrac==1.0)
         if rec.best_hits == 1:
@@ -247,6 +506,61 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             for i, t in enumerate(rec.templates):
                 alignment_scores[abs(t)] += sel_scores[i]
         records.append(rec)
+
+    if input_files and input_files != ["--"] or not pe_files:
+        for read in iter_reads(input_files, min_phred=cfg.min_phred,
+                               hardmask_q=cfg.hardmask_q, min_q=cfg.min_q,
+                               min_len=cfg.min_len, max_len=cfg.max_len):
+            hit = scanner.scan(read.codes, read.n_positions, read.header)
+            if hit is None:
+                continue
+            handle_se_anker(hit.codes, hit.n_positions, hit.rc_flag,
+                            hit.templates, hit.header, hit.flag)
+
+    if pe_files:
+        from .io.pipeline import iter_read_pairs
+        from .mapping.pair import save_kmers_union_pair
+        for r1, r2 in iter_read_pairs(pe_files, min_phred=cfg.min_phred,
+                                      hardmask_q=cfg.hardmask_q,
+                                      min_q=cfg.min_q, min_len=cfg.min_len,
+                                      max_len=cfg.max_len):
+            if r2 is None:
+                hit = scanner.scan(r1.codes, r1.n_positions, r1.header)
+                if hit is not None:
+                    handle_se_anker(hit.codes, hit.n_positions, hit.rc_flag,
+                                    hit.templates, hit.header, hit.flag)
+                continue
+            if len(r1.codes) < kmersize or len(r2.codes) < kmersize:
+                # reference maps the longer-enough mate alone via loadFsa
+                # pairing rules; treat short mates as SE of the other
+                for r in (r1, r2):
+                    if len(r.codes) >= kmersize:
+                        hit = scanner.scan(r.codes, r.n_positions, r.header)
+                        if hit is not None:
+                            handle_se_anker(hit.codes, hit.n_positions,
+                                            hit.rc_flag, hit.templates,
+                                            hit.header, hit.flag)
+                continue
+            pa = save_kmers_union_pair(
+                idx, pen, r1.codes, r2.codes, r1.header, r2.header,
+                cfg.exhaustive, scanner.Score, scanner.Score_r,
+                scanner.extendScore, scanner.include)
+            if pa is None or not pa.records:
+                continue
+            if len(pa.records) == 2 and len(pa.records[0][3]) == 0:
+                # proper pair: record1 has 0 templates (printPair)
+                c_a, np_a, sc_a, _t0, h_a, f_a = pa.records[0]
+                c_b, np_b, sc_b, tl, h_b, f_b = pa.records[1]
+                if kmersize <= len(c_a) and kmersize <= len(c_b):
+                    recs = aln_frags_union_pe(
+                        store, np.asarray(tl, np.int64), c_a, c_b, h_a,
+                        h_b, f_a, f_b, kmersize, cfg.min_len, cfg.mq,
+                        cfg.score_t, cfg.mrc, cfg.min_frac, rew, points,
+                        alignment_scores, uniq_alignment_scores)
+                    records.extend(recs)
+                continue
+            for (c, npos_, sc, tl, h, f) in pa.records:
+                handle_se_anker(c, npos_, sc, tl, h, f)
 
     # --- ConClave --------------------------------------------------------
     w_scores = np.zeros(db_size, dtype=np.int64)

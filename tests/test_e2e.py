@@ -63,3 +63,55 @@ def test_full_pipeline_1t1_parity(tmp_path, sim_reads, db50_index, ref_bin):
     a = gzip.open(str(ref_out) + ".frag.gz").read()
     b = gzip.open(str(my_out) + ".frag.gz").read()
     assert a == b, ".frag.gz content differs"
+
+
+@pytest.fixture(scope="module")
+def sim_pairs(tmp_path_factory, db50):
+    """Proper pairs (insert 205) plus orientation flips and errors."""
+    rng = np.random.default_rng(99)
+    recs = list(parse_fasta(str(db50)))
+    comp = np.array([3, 2, 1, 0, 4, 5], dtype=np.uint8)
+    d = tmp_path_factory.mktemp("pe")
+    f1p, f2p = d / "pe_1.fq", d / "pe_2.fq"
+    with open(f1p, "w") as f1, open(f2p, "w") as f2:
+        n = 0
+        while n < 300:
+            _h, codes = recs[rng.integers(len(recs))]
+            ins, L = 205, 100
+            if len(codes) <= ins + 2:
+                continue
+            s = int(rng.integers(0, len(codes) - ins))
+            frag = codes[s: s + ins]
+            r1 = frag[:L].copy()
+            r2 = comp[frag[-L:][::-1]].copy()
+            for r in (r1, r2):
+                ne = rng.binomial(L, 0.01)
+                pos = rng.integers(0, L, ne)
+                r[pos] = (r[pos] + rng.integers(1, 4, ne)) % 4
+            if rng.random() < 0.5:
+                r1, r2 = comp[r2[::-1]].copy(), comp[r1[::-1]].copy()
+            f1.write(f"@p{n}/1\n{''.join('ACGTN'[c] for c in r1)}\n+\n{'I' * L}\n")
+            f2.write(f"@p{n}/2\n{''.join('ACGTN'[c] for c in r2)}\n+\n{'I' * L}\n")
+            n += 1
+    return f1p, f2p
+
+
+def test_full_pipeline_pe_parity(tmp_path, sim_pairs, db50_index, ref_bin):
+    """kma -ipe -1t1 (union pairing): output parity."""
+    f1, f2 = sim_pairs
+    ref_out = tmp_path / "ref"
+    my_out = tmp_path / "my"
+    r = subprocess.run([str(ref_bin), "-ipe", str(f1), str(f2), "-o",
+                        str(ref_out), "-t_db", db50_index, "-1t1"],
+                       capture_output=True)
+    assert r.returncode == 0
+    rc = kma_main(["-ipe", str(f1), str(f2), "-o", str(my_out), "-t_db",
+                   db50_index, "-1t1"])
+    assert rc == 0
+    for ext in (".res", ".fsa", ".aln"):
+        a = (ref_out.parent / (ref_out.name + ext)).read_bytes()
+        b = (my_out.parent / (my_out.name + ext)).read_bytes()
+        assert a == b, f"{ext} differs"
+    a = gzip.open(str(ref_out) + ".frag.gz").read()
+    b = gzip.open(str(my_out) + ".frag.gz").read()
+    assert a == b
