@@ -597,6 +597,8 @@ def kma_align(tindex: TemplateIndex, qseq: np.ndarray, q_len: int,
 
     start, mapQ = chain_seeds(points, q_len, t_len, tindex.kmerindex, rew,
                               circular=circular)
+    if aligned is not None:
+        aligned.mapQ = mapQ
     score = points.score[start]
     if mapQ < mq or score < tindex.kmerindex:
         st = AlnScore(score=0, len=1)

@@ -49,6 +49,7 @@ class Aligned:
     start: int = 0
     end: int = 0
     pos: int = 0  # template length hint for circular empty-segment emission
+    mapQ: int = 0
 
 
 def _empty_case(t_len: int, q_len: int, W1: int, U: int, query: np.ndarray,

@@ -143,6 +143,67 @@ class AssemblyMatrix:
         return order
 
 
+def make_significance(significant: str, evalue: float, support: float):
+    """significantNuc / And90 / AndSupport (assembly.c:143-160)."""
+    def significant_base(X: int, Y: int) -> bool:
+        if not (Y < X):
+            return False
+        chi = p_chisqr((X - Y) ** 2 / (X + Y)) if (X + Y) else 1.0
+        if significant == "and90":
+            return (9 * (X + Y) <= 10 * X) and chi <= evalue
+        if significant == "support":
+            return (support * (X + Y) <= X) and chi <= evalue
+        return chi <= evalue
+    return significant_base
+
+
+def make_base_caller(base_caller: str, significant: str, evalue: float,
+                     support: float):
+    """baseCaller family (assembly.c:162-271) as a callable
+    (bestNuc_char, tNuc_char, bestScore, depthUpdate, counts_row) -> char
+    code."""
+    significant_base = make_significance(significant, evalue, support)
+
+    def call(bn: int, tchar: int, bestScore: int, depthUpdate: int, row):
+        if base_caller == "org":
+            if depthUpdate == 0 or bn == ord("-"):
+                return ord("-")
+            if not significant_base(bestScore, depthUpdate - bestScore):
+                return bn | 0x20 if ord("A") <= bn <= ord("Z") else bn
+            return bn
+        if base_caller == "ref":
+            if depthUpdate == 0 or (bn == ord("-") and tchar != ord("-")):
+                return ord("n")
+            if not significant_base(bestScore, depthUpdate - bestScore):
+                return bn | 0x20 if ord("A") <= bn <= ord("Z") else bn
+            return bn
+        if base_caller == "nano":
+            if depthUpdate == 0:
+                return ord("-")
+            if not significant_base(bestScore, depthUpdate - bestScore):
+                if (bn == ord("-") and tchar != ord("-")
+                        and bestScore != depthUpdate):
+                    bestBaseScore = 0
+                    bi = -1
+                    for j in range(5):
+                        if bestBaseScore < row[j]:
+                            bestBaseScore = int(row[j])
+                            bi = j
+                    return ord("-") if bestBaseScore == 0                         else (BASES[bi] | 0x20)
+                return bn | 0x20 if ord("A") <= bn <= ord("Z") else bn
+            return bn
+        # default baseCaller
+        if depthUpdate == 0:
+            return ord("-")
+        if not significant_base(bestScore, depthUpdate - bestScore):
+            if (bn == ord("-") and tchar != ord("-")
+                    and bestScore != depthUpdate):
+                return ord("n")
+            return bn | 0x20 if ord("A") <= bn <= ord("Z") else bn
+        return bn
+    return call
+
+
 def call_consensus(matrix: AssemblyMatrix, assem: Assem,
                    template_codes: np.ndarray, t_len: int, bcd: int,
                    evalue: float, support: float,

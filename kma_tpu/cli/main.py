@@ -172,8 +172,25 @@ def map_main(argv: List[str]) -> int:
         elif a == "-nf":
             cfg.nf = True
         elif a == "-ef":
-            cfg.tsv = cfg.tsv  # extendedFeatures flag handled in pipeline
-            cfg.ef = True  # type: ignore[attr-defined]
+            cfg.ef = True
+        elif a == "-sam":
+            if i + 1 < len(argv) and argv[i + 1].isdigit():
+                i += 1
+                cfg.sam = int(argv[i])
+            else:
+                cfg.sam = 1
+        elif a == "-vcf":
+            if i + 1 < len(argv) and argv[i + 1].isdigit():
+                i += 1
+                cfg.vcf = int(argv[i])
+            else:
+                cfg.vcf = 1
+        elif a == "-tsv":
+            if i + 1 < len(argv) and argv[i + 1].isdigit():
+                i += 1
+                cfg.tsv = int(argv[i])
+            else:
+                cfg.tsv = 0xFFFFFFFFFFFFFFFF
         elif a == "-e" or a == "-p":
             i += 1
             cfg.evalue = float(argv[i])

@@ -104,6 +104,7 @@ class MapConfig:
     nf: bool = False         # no frag file
     print_matrix: bool = False
     print_all: bool = False
+    ef: bool = False
     sam: int = 0
     vcf: int = 0
     xml: int = 0

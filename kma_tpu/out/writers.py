@@ -137,3 +137,61 @@ def mapstat_row(name: str, assem: Assem, fragment_count: int,
 def open_gz(path: str):
     """Gzip writer approximating the reference zlib settings."""
     return gzip.open(path, "wb", compresslevel=6)
+
+
+TSV_FIELDS = ["Template_Name", "Template_Length", "Template_Identity",
+              "Template_Coverage", "Template_Depth", "Query_Identity",
+              "Query_Coverage", "Query_Depth", "Read_Count_Map",
+              "Read_Count_Aln", "Score", "Expected", "q_value", "p_value",
+              "ConClave_Score", "ConClave_Quality"]
+
+
+def tsv_headerline(flag: int) -> str:
+    """initsv (tsv.c:26-47): tab between printed fields, newline with the
+    highest remaining bit."""
+    import math
+    flag &= 65535
+    out = []
+    for i, name in enumerate(TSV_FIELDS):
+        if flag & 1:
+            flag >>= 1
+            out.append(name + ("\t" if flag else "\n"))
+        else:
+            flag >>= 1
+    return "".join(out)
+
+
+def tsv_row(flag: int, name: str, assem, t_len: int, read_count: int,
+            read_score: int, expected: float, q_value: float,
+            p_value: float, conclave_score: int) -> str:
+    """printsv (tsv.c:49-108)."""
+    import math
+    flag &= 65535
+    aln_len = assem.aln_len if assem.aln_len else 1
+    vals = [
+        ("%s", name),
+        ("%d", t_len),
+        ("%f", 100.0 * assem.cover / t_len),
+        ("%f", 100.0 * assem.aln_len / t_len),
+        ("%f", assem.depth / t_len),
+        ("%f", 100.0 * assem.cover / aln_len),
+        ("%f", 100.0 * assem.cover / aln_len),
+        ("%f", assem.depth / aln_len),
+        ("%d", read_count),
+        ("%d", assem.readCountAln),
+        ("%d", read_score),
+        ("%f", expected),
+        ("%f", q_value),
+        ("%e", p_value),
+        ("%d", conclave_score),
+        ("%f", (40.0 * read_score / conclave_score * math.log(read_score))
+         if conclave_score and read_score else 0.0),
+    ]
+    out = []
+    for fmt, v in vals:
+        if flag & 1:
+            flag >>= 1
+            out.append((fmt % v) + ("\t" if flag else "\n"))
+        else:
+            flag >>= 1
+    return "".join(out)

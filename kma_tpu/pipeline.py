@@ -11,6 +11,7 @@ Stages (in-process instead of the reference's pipe-chained processes):
 
 from __future__ import annotations
 
+import os
 import sys
 from typing import Dict, List, Optional
 
@@ -28,6 +29,7 @@ from .io.pipeline import Read, iter_reads
 from .io.seq import rc_codes, unpack_2bit
 from .mapping.scan import SaveKmersScanner
 from .out import writers
+from .out.writers import tsv_headerline, tsv_row
 from .utils.stats import CMP, p_chisqr
 
 
@@ -562,6 +564,8 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             for (c, npos_, sc, tl, h, f) in pa.records:
                 handle_se_anker(c, npos_, sc, tl, h, f)
 
+    tot_frags = len(records)
+
     # --- ConClave --------------------------------------------------------
     w_scores = np.zeros(db_size, dtype=np.int64)
     need_counts = bool(cfg.tsv or cfg.xml) or cfg.sasm or True
@@ -587,7 +591,24 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
     frag_out = None if cfg.nf else writers.open_gz(output_prefix + ".frag.gz")
     matrix_out = (writers.open_gz(output_prefix + ".mat.gz")
                   if cfg.print_matrix else None)
+    vcf_out = None
+    if cfg.vcf:
+        from .out.vcf import vcf_header
+        vcf_out = writers.open_gz(output_prefix + ".vcf.gz")
+        vcf_out.write(vcf_header(db_prefix))
     mapstat_out = None
+    if cfg.ef:
+        mapstat_out = open(output_prefix + ".mapstat", "w")
+        mapstat_out.write(writers.mapstat_header(
+            os.path.basename(db_prefix), tot_frags, exe_cmd))
+    tsv_out = None
+    if cfg.tsv:
+        tsv_out = open(output_prefix + ".tsv", "w")
+        tsv_out.write(tsv_headerline(cfg.tsv))
+    sam_out = sys.stdout if cfg.sam else None
+    if sam_out is not None:
+        from .out.sam import sam_header
+        sam_header(names, template_lengths, exe_cmd, sam_out)
 
     cmp = CMP[cfg.cmp_mode]
     status = 0
@@ -598,13 +619,16 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             continue
         read_score = int(w_scores[template])
         t_len = int(template_lengths[template])
-        expected = t_len / max(1, (template_tot_ulen - t_len)) \
-            * (Nhits - read_score)
+        # long-double arithmetic as the reference (runkma.c:770-783)
+        ld = np.longdouble
+        expected = ld(t_len) / ld(max(1, (template_tot_ulen - t_len))) \
+            * ld(Nhits - read_score)
         if 0 < expected:
-            q_value = ((read_score - expected) / (expected + read_score)
-                       * (read_score - expected))
+            q_value = ((ld(read_score) - expected)
+                       / (expected + ld(read_score))
+                       * (ld(read_score) - expected))
         else:
-            q_value = float(read_score)
+            q_value = ld(read_score)
         p_value = p_chisqr(q_value)
         name = names[template - 1].decode("latin1")
         if not cmp(p_value <= cfg.evalue and read_score > expected,
@@ -614,7 +638,9 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         tindex = store.get(template)
         assem, matrix = assemble_template(
             tindex, t_len, frag_lists.get(template, []), kmersize, cfg, rew,
-            points, name, frag_out)
+            points, name, frag_out, sam_out=sam_out)
+        if cfg.ef and assem.score:
+            get_extended_features(assem, matrix, tindex.codes, t_len)
         if assem.cover > 0:
             cover_score = assem.cover
             depth = assem.depth / t_len
@@ -632,6 +658,12 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             res_out.write(writers.res_row(name, read_score, expected, t_len,
                                           id_, cover, q_id, q_cover, depth,
                                           q_value, p_value))
+            if tsv_out is not None:
+                tsv_out.write(tsv_row(cfg.tsv, name, assem, t_len,
+                                      int(read_counts[template]),
+                                      read_score, expected, q_value,
+                                      p_value,
+                                      int(alignment_scores[template])))
             if fsa_out is not None:
                 trim_dual_gaps(assem)
                 writers.print_consensus(assem, name, aln_out, fsa_out,
@@ -639,9 +671,23 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             if matrix_out is not None:
                 matrix_out.write(writers.matrix_rows(
                     matrix, tindex.codes, name, t_len))
+            if mapstat_out is not None:
+                mapstat_out.write(writers.mapstat_row(
+                    name, assem, int(fragment_counts[template]),
+                    int(read_counts[template])))
+            if vcf_out is not None:
+                from .assemble.pileup import make_base_caller
+                from .out.vcf import vcf_rows
+                bc = make_base_caller(cfg.base_caller, cfg.significant,
+                                      cfg.evalue, cfg.support)
+                vcf_out.write(vcf_rows(
+                    name, assem.t, cfg.evalue, cfg.support, cfg.bcd,
+                    t_len, matrix, cfg.vcf,
+                    lambda bn, tn, bs, du, row: bc(bn, tn, bs, du, row)))
 
     res_out.close()
-    for f in (fsa_out, aln_out, frag_out, matrix_out, mapstat_out):
+    for f in (fsa_out, aln_out, frag_out, matrix_out, mapstat_out, vcf_out,
+              tsv_out):
         if f is not None:
             f.close()
     return status
@@ -649,7 +695,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
 
 def assemble_template(tindex: TemplateIndex, t_len: int, frags: List[Frag],
                       kmersize: int, cfg: MapConfig, rew: Penalty,
-                      points: Points, name: str, frag_out):
+                      points: Points, name: str, frag_out, sam_out=None):
     """assemble_KMA for one template (assembly.c:1689-2127)."""
     from .out.writers import frag_row
 
@@ -703,6 +749,18 @@ def assemble_template(tindex: TemplateIndex, t_len: int, frags: List[Frag],
                                   st.score, st.pos, frag.flag)
                 if frag_out is not None:
                     frag_out.write(frag_row(codes, stats, name, header))
+                if sam_out is not None:
+                    from .out.sam import sam_record
+                    sam_record(codes, header, name, aligned, stats, sam_out)
+            elif sam_out is not None and not (cfg.sam & 2096):
+                from .out.sam import sam_record
+                stats = [frag.best_hits, read_score, start,
+                         end - t_len if t_len < end else end, frag.flag]
+                if read_score:
+                    sam_record(codes, header, name, aligned, stats, sam_out)
+                else:
+                    stats2 = [frag.best_hits, frag.flag | 4]
+                    sam_record(codes, header, name, None, stats2, sam_out)
 
     if assem.score:
         call_consensus(matrix, assem, tindex.codes, t_len, cfg.bcd,

@@ -2,7 +2,26 @@
 
 from __future__ import annotations
 
+import ctypes
+import ctypes.util
 import math
+
+# CPython's math.erf is its own implementation and differs from glibc's in
+# the last ulps; the reference links libm, so route erf through it.
+try:
+    _libm = ctypes.CDLL("libm.so.6")
+    _libm.erf.restype = ctypes.c_double
+    _libm.erf.argtypes = [ctypes.c_double]
+    _libm.tgamma.restype = ctypes.c_double
+    _libm.tgamma.argtypes = [ctypes.c_double]
+
+    def _erf(x: float) -> float:
+        return _libm.erf(x)
+
+    _TGAMMA_HALF = _libm.tgamma(0.5)
+except OSError:  # pragma: no cover
+    _erf = math.erf
+    _TGAMMA_HALF = math.gamma(0.5)
 
 # fastp lookup table (stdstat.c:37-134): p-value from chi-square quantile
 _FASTP_TABLE = [
@@ -30,13 +49,21 @@ def fastp(q: float) -> float:
     return 1.0 - fastp(-q)
 
 
-def p_chisqr(q: float) -> float:
-    """stdstat.c:136-147."""
+def p_chisqr(q) -> float:
+    """stdstat.c:136-147.
+
+    The reference passes a C `long double`; callers that build q with
+    np.longdouble (80-bit on x86) reproduce its rounding.  The 0.5*q
+    product stays extended until the sqrt() call converts to double.
+    """
     if q < 0:
         return 1e-26
     if q > 49:
-        return fastp(q)
-    return 1 - 1.772453850 * math.erf(math.sqrt(0.5 * q)) / math.gamma(0.5)
+        return fastp(float(q))
+    import numpy as _np
+    x = float(_np.longdouble(0.5) * q) if isinstance(q, _np.longdouble) \
+        else 0.5 * q
+    return 1 - 1.772453850 * _erf(math.sqrt(x)) / _TGAMMA_HALF
 
 
 def power(x: float, n: int) -> float:

@@ -115,3 +115,41 @@ def test_full_pipeline_pe_parity(tmp_path, sim_pairs, db50_index, ref_bin):
     a = gzip.open(str(ref_out) + ".frag.gz").read()
     b = gzip.open(str(my_out) + ".frag.gz").read()
     assert a == b
+
+
+def test_all_output_formats_parity(tmp_path, sim_reads, db50_index, ref_bin):
+    """-vcf -ef -tsv -matrix -sam: all secondary outputs match."""
+    ref_out = tmp_path / "ref"
+    my_out = tmp_path / "my"
+    with open(tmp_path / "ref.sam", "w") as sam:
+        subprocess.run([str(ref_bin), "-i", str(sim_reads), "-o",
+                        str(ref_out), "-t_db", db50_index, "-1t1", "-vcf",
+                        "-ef", "-tsv", "-matrix", "-sam"], stdout=sam,
+                       stderr=subprocess.DEVNULL, check=True)
+    import contextlib
+    import io as _io
+    import sys as _sys
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = kma_main(["-i", str(sim_reads), "-o", str(my_out), "-t_db",
+                       db50_index, "-1t1", "-vcf", "-ef", "-tsv", "-matrix",
+                       "-sam"])
+    assert rc == 0
+    for ext in (".res", ".tsv"):
+        assert (ref_out.parent / (ref_out.name + ext)).read_bytes() == \
+            (my_out.parent / (my_out.name + ext)).read_bytes(), ext
+    for ext in (".vcf.gz", ".mat.gz", ".frag.gz"):
+        a = gzip.open(str(ref_out) + ext).read()
+        b = gzip.open(str(my_out) + ext).read()
+        assert a == b, ext
+    # mapstat rows (headers carry date/command)
+    ra = [l for l in (tmp_path / "ref.mapstat").read_text().splitlines()
+          if not l.startswith("##")]
+    rb = [l for l in (tmp_path / "my.mapstat").read_text().splitlines()
+          if not l.startswith("##")]
+    assert ra == rb
+    # sam records order-insensitively (reference thread interleaving)
+    ref_sam = (tmp_path / "ref.sam").read_text().splitlines()
+    my_sam = buf.getvalue().splitlines()
+    assert sorted(l for l in ref_sam if not l.startswith("@")) == \
+        sorted(l for l in my_sam if not l.startswith("@"))
