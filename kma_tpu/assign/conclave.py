@@ -148,3 +148,182 @@ def run_conclave1(records: List[FragRecord], db_size: int,
     for lst in frag_lists.values():
         lst.reverse()
     return frag_lists
+
+
+def _cc1_choice(rec: FragRecord, alignment_scores, uniq_alignment_scores,
+                template_lengths, lc: bool = False, init_bt: int = -1):
+    """The CC1 tie-break cascade over one record's candidates
+    (conclave.c:80-123; pass C of CC2 starts from bestTemplate=0,
+    conclave.c:604)."""
+    best_hits = abs(rec.best_hits)
+    if best_hits <= 1:
+        return rec.templates[0], rec.starts[0], rec.ends[0]
+    bestTemplate = init_bt
+    bestScore = 0.0
+    best_read_score = 0
+    bestNum = 0
+    start = end = 0
+    for i in range(best_hits):
+        tt = rec.templates[i]
+        t = -tt if tt < 0 else tt
+        a = int(alignment_scores[t])
+        u = int(uniq_alignment_scores[t])
+        tmp_score = 1.0 * a / int(template_lengths[t])
+        if lc:
+            better = (tmp_score > bestScore
+                      or (tmp_score == bestScore
+                          and (a > best_read_score
+                               or (a == best_read_score
+                                   and (u > bestNum
+                                        or (u == bestNum
+                                            and t < abs(bestTemplate)))))))
+        else:
+            better = (a > best_read_score
+                      or (a == best_read_score
+                          and (tmp_score > bestScore
+                               or (tmp_score == bestScore
+                                   and (u > bestNum
+                                        or (u == bestNum
+                                            and t < abs(bestTemplate)))))))
+        if better:
+            bestTemplate = tt
+            best_read_score = a
+            bestScore = tmp_score
+            bestNum = u
+            start = rec.starts[i]
+            end = rec.ends[i]
+    return bestTemplate, start, end
+
+
+def run_conclave2(records: List[FragRecord], db_size: int,
+                  alignment_scores: np.ndarray,
+                  uniq_alignment_scores: np.ndarray,
+                  template_lengths: np.ndarray, w_scores: np.ndarray,
+                  template_tot_ulen: int, scoreT: float, evalue: float,
+                  cmp, fragment_counts: Optional[np.ndarray] = None,
+                  read_counts: Optional[np.ndarray] = None,
+                  lc: bool = False) -> Dict[int, List[Frag]]:
+    """ConClave-2 (runConClave2, conclave.c:386-747).
+
+    Pass A: CC1 w_scores; significance filter drops weak templates
+    (conclave.c:477-491).  Pass B: reads now uniquely resolved add their
+    score to uniq_alignment_scores.  Pass C: still-ambiguous reads are
+    assigned by deterministic weighted sampling over uniq scores with a
+    Park-Miller LCG seeded from the read's first/last 7 bases
+    (conclave.c:564-580); reads with no surviving candidate fall back to
+    the CC1 cascade, and zero-pick reads are dropped.
+    """
+    from ..utils.stats import p_chisqr
+
+    # pass A
+    for rec in records:
+        bt, _s, _e = _cc1_choice(rec, alignment_scores,
+                                 uniq_alignment_scores, template_lengths,
+                                 lc)
+        w_scores[abs(bt)] += abs(rec.score)
+
+    Nhits = int(w_scores[1:db_size].sum())
+    ld = np.longdouble
+    for template in range(1, db_size):
+        read_score = int(w_scores[template])
+        if read_score:
+            t_len = int(template_lengths[template])
+            expected = ld(t_len) / ld(max(1, template_tot_ulen - t_len)) \
+                * ld(Nhits - read_score)
+            q_value = ((ld(read_score) - expected)
+                       / (expected + ld(read_score))
+                       * (ld(read_score) - expected))
+            p_value = p_chisqr(q_value)
+            if not cmp(p_value <= evalue and read_score > expected,
+                       read_score >= scoreT * t_len):
+                w_scores[template] = 0
+
+    # pass B
+    for rec in records:
+        best_hits = abs(rec.best_hits)
+        if best_hits != 1:
+            bt = 0
+            ok = True
+            for tt in rec.templates:
+                t = abs(tt)
+                if w_scores[t]:
+                    if bt:
+                        ok = False
+                        break
+                    bt = t
+            if ok and bt:
+                uniq_alignment_scores[bt] += abs(rec.score)
+
+    # pass C
+    w_scores[:] = 0
+    frag_lists: Dict[int, List[Frag]] = {}
+    for rec in records:
+        best_hits = abs(rec.best_hits)
+        read_score = abs(rec.score)
+        if best_hits != 1:
+            bestTemplate = 0
+            start = end = 0
+            tot = sum(int(uniq_alignment_scores[abs(t)])
+                      for t in rec.templates)
+            q_len = rec.q_len
+            if tot and 16 <= q_len:
+                seq = rec.codes
+                rand = int(seq[0])
+                j = q_len
+                for i in range(7):
+                    j -= 1
+                    rand = (((rand << 2) | int(seq[i])) << 2) | int(seq[j])
+                rand = 16807 * (rand % 127773) - 2836 * (rand // 127773)
+                if rand <= 0:
+                    rand += 0x7FFFFFFF
+                rand_score = int(rand / 0x7FFFFFFF * tot)
+                score = 0
+                for i, tt in enumerate(rec.templates):
+                    score += int(uniq_alignment_scores[abs(tt)])
+                    if rand_score < score:
+                        bestTemplate = tt
+                        start = rec.starts[i]
+                        end = rec.ends[i]
+                        break
+                if bestTemplate == 0:
+                    tot = 0
+            else:
+                tot = 0
+            if tot == 0:
+                bestTemplate, start, end = _cc1_choice(
+                    rec, alignment_scores, uniq_alignment_scores,
+                    template_lengths, lc, init_bt=0)
+        else:
+            bestTemplate = rec.templates[0]
+            start = rec.starts[0]
+            end = rec.ends[0]
+
+        codes = rec.codes
+        flag = rec.flag
+        if bestTemplate < 0:
+            bestTemplate = -bestTemplate
+            from ..io.seq import rc_codes
+            codes = rc_codes(codes)
+            flag |= 16
+        if bestTemplate:
+            w_scores[bestTemplate] += read_score
+            if fragment_counts is not None:
+                fragment_counts[bestTemplate] += 1
+                read_counts[bestTemplate] += 1
+            frag = Frag(q_len=rec.q_len, best_hits=best_hits,
+                        score=0 if rec.best_hits < 0 else read_score,
+                        start=start, end=end, header=rec.header, flag=flag,
+                        codes=codes)
+            frag_lists.setdefault(bestTemplate, []).append(frag)
+            if rec.score < 0:
+                if read_counts is not None:
+                    read_counts[bestTemplate] += 1
+                mate = Frag(q_len=len(rec.mate_codes), best_hits=best_hits,
+                            score=0 if rec.best_hits < 0 else read_score,
+                            start=start, end=end, header=rec.mate_header,
+                            flag=rec.mate_flag, codes=rec.mate_codes)
+                frag_lists[bestTemplate].append(mate)
+
+    for lst in frag_lists.values():
+        lst.reverse()
+    return frag_lists

@@ -489,6 +489,9 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         q_len = len(codes)
         if kmersize > q_len:
             return
+        if cfg.mem_mode:
+            handle_mem_anker(codes, rc_flag, templates, header, flag)
+            return
         codes_r = rc_codes(codes)
         n_pos = np.asarray(n_positions, dtype=np.int64)
         n_pos_r = np.sort((q_len - 1) - n_pos[::-1]) if len(n_pos) else n_pos
@@ -507,6 +510,40 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         else:
             for i, t in enumerate(rec.templates):
                 alignment_scores[abs(t)] += sel_scores[i]
+        records.append(rec)
+
+    def handle_mem_anker(codes, rc_flag, templates, header, flag,
+                         mate=None):
+        """update_Scores_MEM / _pe_MEM (runkma.c:1117-1134,
+        updatescores.c:26-107): candidates and score come straight from
+        the step-2 anker."""
+        n = len(templates)
+        best_read_score = abs(int(rc_flag))
+        tl = [int(t) for t in templates]
+        starts = [0] * n
+        ends = [int(template_lengths[abs(t)]) for t in tl]
+        best_hits = n
+        if rc_flag < 0 and n and tl[-1] > 0:
+            best_hits = -n  # Sparse marker (runkma.c:1124-1126)
+        score = best_read_score
+        if mate is not None:
+            m_codes, m_header, m_flag, m_score = mate
+            score = best_read_score + m_score
+        if n == 1:
+            t0 = abs(tl[0])
+            alignment_scores[t0] += score
+            uniq_alignment_scores[t0] += score
+        else:
+            for t in tl:
+                alignment_scores[abs(t)] += score
+        rec = FragRecord(q_len=len(codes), best_hits=best_hits,
+                         score=-score if mate is not None else score,
+                         header=header, flag=flag, codes=codes,
+                         starts=starts, ends=ends, templates=tl)
+        if mate is not None:
+            rec.mate_codes = m_codes
+            rec.mate_header = m_header
+            rec.mate_flag = m_flag
         records.append(rec)
 
     if input_files and input_files != ["--"] or not pe_files:
@@ -553,6 +590,15 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                 # proper pair: record1 has 0 templates (printPair)
                 c_a, np_a, sc_a, _t0, h_a, f_a = pa.records[0]
                 c_b, np_b, sc_b, tl, h_b, f_b = pa.records[1]
+                if cfg.mem_mode:
+                    if kmersize <= len(c_a):
+                        if kmersize <= len(c_b):
+                            handle_mem_anker(c_a, sc_a, tl, h_a, f_a,
+                                             mate=(c_b, h_b, f_b,
+                                                   abs(int(sc_b))))
+                        else:
+                            handle_mem_anker(c_a, sc_a, tl, h_a, f_a)
+                    continue
                 if kmersize <= len(c_a) and kmersize <= len(c_b):
                     recs = aln_frags_union_pe(
                         store, np.asarray(tl, np.int64), c_a, c_b, h_a,
@@ -571,11 +617,18 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
     need_counts = bool(cfg.tsv or cfg.xml) or cfg.sasm or True
     fragment_counts = np.zeros(db_size, dtype=np.int64)
     read_counts = np.zeros(db_size, dtype=np.int64)
-    frag_lists = run_conclave1(records, db_size, alignment_scores,
-                               uniq_alignment_scores, template_lengths,
-                               w_scores, fragment_counts, read_counts)
-
     template_tot_ulen = int(template_lengths[1:db_size].sum())
+    if cfg.conclave == 2:
+        from .assign.conclave import run_conclave2
+        frag_lists = run_conclave2(
+            records, db_size, alignment_scores, uniq_alignment_scores,
+            template_lengths, w_scores, template_tot_ulen, cfg.score_t,
+            cfg.evalue, CMP[cfg.cmp_mode], fragment_counts, read_counts)
+    else:
+        frag_lists = run_conclave1(records, db_size, alignment_scores,
+                                   uniq_alignment_scores, template_lengths,
+                                   w_scores, fragment_counts, read_counts)
+
     Nhits = int(w_scores[1:].sum()) or 1
 
     # --- outputs ---------------------------------------------------------
@@ -649,12 +702,23 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             q_id = 100.0 * cover_score / aln_len
             cover = 100.0 * aln_len / t_len
             q_cover = 100.0 * t_len / aln_len
+        elif cfg.mem_mode:
+            # runkma.c:1515-1523: MEM keeps depth/cover of empty assemblies
+            id_ = 0.0
+            q_id = 0.0
+            depth = assem.depth / t_len
+            aln_len = assem.aln_len
+            cover = 100.0 * aln_len / t_len
+            q_cover = 0.0
         else:
             aln_len = 0
             id_ = 0.0
             depth = q_id = cover = q_cover = 0.0
 
-        if cfg.ID_t <= id_ and 0 < id_ and cfg.Depth_t <= depth:
+        printed_gate = (cfg.ID_t <= id_ and cfg.Depth_t <= depth) \
+            if cfg.mem_mode else \
+            (cfg.ID_t <= id_ and 0 < id_ and cfg.Depth_t <= depth)
+        if printed_gate:
             res_out.write(writers.res_row(name, read_score, expected, t_len,
                                           id_, cover, q_id, q_cover, depth,
                                           q_value, p_value))
