@@ -38,6 +38,16 @@ class FragRecord:
     mate_flag: int = 0
 
 
+def invert_qbounds(header: bytes, q_len: int) -> bytes:
+    """conclave.c:137-145: mirror the header-tail query bounds for a read
+    assigned to the reverse strand."""
+    import struct
+    if len(header) > 9 and header[len(header) - 9] == 0:
+        s, e = struct.unpack_from("<ii", header, len(header) - 8)
+        return header[:-8] + struct.pack("<ii", q_len - e, q_len - s)
+    return header
+
+
 @dataclasses.dataclass
 class Frag:
     """A read assigned to one template (conclave.c Frag, frags.h)."""
@@ -119,8 +129,7 @@ def run_conclave1(records: List[FragRecord], db_size: int,
             from ..io.seq import rc_codes
             codes = rc_codes(codes)
             flag |= 16
-            # q-bound inversion (conclave.c:137-145) applies to chain/HMM
-            # records whose header tail carries bounds; handled by caller.
+            header = invert_qbounds(header, rec.q_len)
 
         w_scores[bestTemplate] += read_score
         if fragment_counts is not None:
@@ -300,11 +309,13 @@ def run_conclave2(records: List[FragRecord], db_size: int,
 
         codes = rec.codes
         flag = rec.flag
+        header = rec.header
         if bestTemplate < 0:
             bestTemplate = -bestTemplate
             from ..io.seq import rc_codes
             codes = rc_codes(codes)
             flag |= 16
+            header = invert_qbounds(header, rec.q_len)
         if bestTemplate:
             w_scores[bestTemplate] += read_score
             if fragment_counts is not None:
@@ -312,7 +323,7 @@ def run_conclave2(records: List[FragRecord], db_size: int,
                 read_counts[bestTemplate] += 1
             frag = Frag(q_len=rec.q_len, best_hits=best_hits,
                         score=0 if rec.best_hits < 0 else read_score,
-                        start=start, end=end, header=rec.header, flag=flag,
+                        start=start, end=end, header=header, flag=flag,
                         codes=codes)
             frag_lists.setdefault(bestTemplate, []).append(frag)
             if rec.score < 0:

@@ -77,6 +77,7 @@ class MapConfig:
     mq: int = 0              # min mapping quality
     score_t: float = 0.5     # -mrs minimum relative alignment score
     mrc: float = 0.0         # -mrc minimum read coverage
+    cover_t: float = 0.1     # -mct chain coverage threshold
     ts: int = 0              # -ts seed trim
     circular: bool = False   # -ca
     mem_mode: bool = False

@@ -1,0 +1,741 @@
+"""Default-mode chain scanner (save_kmers_chain, savekmers.c:5127-5944).
+
+Both strands are segmented into "ankers" (runs of hits sharing a value
+list, closed on gaps other than exact-match/SNP spacing); per-template
+chains over the anker sequence are scored with the gap-classification
+heuristic (kmeranker.c), the best chain's template set is rebuilt by a
+backward walk (getBestChainTemplates), a segment tree masks claimed query
+regions, and the scan iterates so one long/chimeric read can emit several
+anker records ("splicing").  Query bounds ride in the header tail
+(insertKmerBound, qseqs.c:41).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import Penalties
+from ..index.format import KmaIndex
+from ..io.seq import rc_codes
+from .scan import AnkerHit, lookup_voff, _quick_hit
+
+
+class Anker:
+    __slots__ = ("start", "end", "weight", "voff", "score", "score_len",
+                 "len_len", "alive")
+
+    def __init__(self):
+        self.start = 0
+        self.end = 0
+        self.weight = 0
+        self.voff = -1
+        self.score = 0
+        self.score_len = 0.0
+        self.len_len = 1
+        self.alive = True
+
+
+def _collect_ankers(idx: KmaIndex, codes: np.ndarray, rc_strand: bool,
+                    rewards: Penalties, exhaustive: bool) -> List[Anker]:
+    """Anker collection for one strand (savekmers.c:5221-5450).
+
+    For the rc strand the scan runs over the rc sequence from its far end,
+    so anker coordinates land in FORWARD read coordinates.
+    """
+    k = idx.kmersize
+    M, MM, U, W1 = rewards.M, rewards.MM, rewards.U, rewards.W1
+    cur = rc_codes(codes) if rc_strand else codes
+    if not exhaustive and not _quick_hit(idx, cur):
+        return []
+
+    from ..io.seq import kmer_scan, valid_kmer_mask
+    kmers = kmer_scan(cur, k)
+    valid = valid_kmer_mask(cur, k)
+    seqlen = len(codes)
+    W = seqlen - k + 1
+
+    # hit stream in forward coordinates
+    ankers: List[Anker] = []
+    last = -1
+    gaps = 0
+    Ms = MMs = 0
+    cur_anker: Optional[Anker] = None
+
+    # iterate forward positions; rc strand maps j -> rc index seqlen-k-j
+    if rc_strand:
+        # N segmentation follows the FORWARD read's N positions
+        # (savekmers.c:5370); a window in fw coords [j, j+k) is valid iff
+        # the corresponding rc window has no N, identical sets.
+        positions = range(W)
+
+        def km_at(j):
+            p = seqlen - k - j
+            return (int(kmers[p]), bool(valid[p]))
+    else:
+        positions = range(W)
+
+        def km_at(j):
+            return (int(kmers[j]), bool(valid[j]))
+
+    # walk fw windows with N-segment gap accounting: invalid windows are
+    # treated as misses but N-jumps add to gaps exactly like the reference
+    for j in positions:
+        km, ok = km_at(j)
+        v = lookup_voff(idx, km) if ok else -1
+        if v >= 0:
+            if v == last and cur_anker is not None:
+                if gaps == 0:
+                    Ms += 1
+                elif gaps == k:
+                    Ms += k
+                    MMs += 1
+                else:
+                    # close current, open new with same list
+                    cur_anker.weight = Ms * M + MMs * MM
+                    cur_anker.end = j - gaps + k
+                    cur_anker = Anker()
+                    cur_anker.start = j
+                    cur_anker.voff = v
+                    ankers.append(cur_anker)
+                    Ms, MMs = k, 0
+            else:
+                if cur_anker is not None:
+                    cur_anker.weight = Ms * M + MMs * MM
+                    cur_anker.end = j - gaps + k
+                cur_anker = Anker()
+                cur_anker.start = j
+                cur_anker.voff = v
+                ankers.append(cur_anker)
+                last = v
+                Ms, MMs = k, 0
+            gaps = 0
+        else:
+            gaps += 1
+    if cur_anker is not None:
+        cur_anker.weight = Ms * M + MMs * MM
+        # the reference's segment-jump bookkeeping adds exactly k to the
+        # trailing gap count (savekmers.c:5324-5330), so the final anker
+        # ends at the START of its last hit k-mer
+        cur_anker.end = seqlen - (gaps + k)
+    return ankers
+
+
+def _chain_pass(idx: KmaIndex, ankers: List[Anker], q_len: int,
+                template_lengths, rewards: Penalties, Score, extendScore,
+                include, lc: bool, best_state) -> None:
+    """Per-strand chain scoring (savekmers.c:5488-5634).
+
+    best_state = [best_anker, ties, best_anker_len, ties_len] mutated in
+    place; the FIRST anker of the strand is the initial best (aliased, so
+    its self-comparison bumps the tie counter exactly like the reference).
+    """
+    k = idx.kmersize
+    mlen = idx.mlen
+    M, MM, U, W1, Wl = (rewards.M, rewards.MM, rewards.U, rewards.W1,
+                        rewards.Wl)
+    values = idx.values
+    bests: List[int] = []
+    for a in ankers:
+        a.score = 0
+        a.score_len = 0.0
+        a.len_len = 1
+        vo = a.voff
+        cnt = int(values[vo])
+        # reference walks the list tail-first (savekmers.c:5501-5511)
+        for t in values[vo + cnt: vo: -1].tolist():
+            score = int(Score[t])
+            pos = int(extendScore[t])
+            gaps = a.start - pos
+            if not include[t]:
+                include[t] = 1
+                bests.append(t)
+                if a.start:
+                    s = W1 + (a.start - 1) * U
+                    score = a.weight + max(Wl, s)
+                else:
+                    score = a.weight
+            else:
+                if gaps == -k:
+                    score += a.weight - (k - 1) * M
+                elif gaps == 0:
+                    score += a.weight + MM
+                elif 0 < gaps:
+                    if gaps <= 2:
+                        MMs, Ms = gaps, 0
+                    else:
+                        MMs = max(2, gaps // k + (1 if gaps % k else 0))
+                        Ms = min(min(gaps - MMs, k), MMs)
+                    if (W1 + (gaps - 1) * U) <= (MMs * MM + Ms * M):
+                        score += a.weight + Ms * M + MMs * MM
+                    else:
+                        score += a.weight + (W1 + (gaps - 1) * U)
+                elif mlen != k:
+                    score += a.weight + gaps * M + MM
+                else:
+                    score += a.weight + gaps * M - (gaps + 1) * U + W1
+                if score < 0:
+                    test = (W1 + (a.start - 1) * U) if a.start else 0
+                    test = max(test, Wl)
+                    if score < test + a.weight:
+                        score = test + a.weight
+            if a.score < score:
+                a.score = score
+            len_len = int(template_lengths[t])
+            if q_len < len_len:
+                len_len = q_len
+            score_len = float(score)
+            if a.len_len != len_len:
+                score_len = score_len / len_len * a.len_len
+            if (a.score_len < score_len
+                    or (a.score_len == score_len and a.score_len < score)):
+                a.score_len = score
+                a.len_len = len_len
+            Score[t] = score
+            extendScore[t] = a.end
+
+        # best (length-corrected) anker tracking (savekmers.c:5590-5622)
+        bl = best_state[2]
+        score_len = float(a.score)
+        if bl is not None and a.len_len != bl.len_len:
+            score_len = score_len / a.len_len * bl.len_len
+        if bl is None or bl.score_len < score_len:
+            best_state[2] = a
+            best_state[3] = 0
+        elif bl.score_len == score_len:
+            if bl.score_len < a.score_len:
+                best_state[2] = a
+                best_state[3] = 0
+            elif bl.score_len == a.score_len:
+                best_state[2] = a
+                best_state[3] += 1
+        b = best_state[0]
+        if b is None or b.score < a.score:
+            best_state[0] = a
+            best_state[1] = 0
+        elif b.score == a.score:
+            if b.score_len < a.score_len:
+                best_state[0] = a
+                best_state[1] = 0
+            else:
+                best_state[0] = a
+                best_state[1] += 1
+    for t in bests:
+        Score[t] = 0
+        extendScore[t] = 0
+        include[t] = 0
+
+
+def get_chain_templates(idx: KmaIndex, ankers: List[Anker], src_i: int,
+                        q_len: int, template_lengths, rewards: Penalties,
+                        bests: List[int], Score, extendScore, include,
+                        lc: bool) -> Optional[int]:
+    """getBestChainTemplates (kmeranker.c:83-233): rebuild the chain
+    backwards from anker src_i; returns the chain-start anker index or
+    None.  bests is extended with the winning template set."""
+    k = idx.kmersize
+    mlen = idx.mlen
+    M, MM, U, W1, Wl = (rewards.M, rewards.MM, rewards.U, rewards.W1,
+                        rewards.Wl)
+    values = idx.values
+    del bests[:]  # getBestChainTemplates overwrites the list head
+    src = ankers[src_i]
+    vo = src.voff
+    cnt = int(values[vo])
+    # the marking dance leaves bests in FORWARD list order
+    # (kmeranker.c:97-122: both pointers walk backward in lockstep)
+    marked = values[vo + 1: vo + 1 + cnt].tolist()
+    nextAnker = False
+    for t in marked:
+        include[t] += 1
+        if include[t] == 1:
+            nextAnker = True
+    if lc:
+        bestScore = src.score_len
+    else:
+        bestScore = src.score
+    target_len = src.len_len
+    prev = src_i
+
+    ni = src_i
+    while nextAnker:
+        node = ankers[ni]
+        nvo = node.voff
+        ncnt = int(values[nvo])
+        start = node.start
+        end = node.end
+        for t in values[nvo + ncnt: nvo: -1].tolist():
+            if include[t]:
+                score = int(Score[t])
+                pos = int(extendScore[t])
+                gaps = pos - end
+                if pos == 0:
+                    score = node.weight
+                else:
+                    if gaps == -k:
+                        score += node.weight - (k - 1) * M
+                    elif gaps == 0:
+                        score += node.weight + MM
+                    elif 0 < gaps:
+                        if gaps <= 2:
+                            MMs, Ms = gaps, 0
+                        else:
+                            MMs = max(2, gaps // k + (1 if gaps % k else 0))
+                            Ms = min(min(gaps - MMs, k), MMs)
+                        if (W1 + (gaps - 1) * U) <= (MMs * MM + Ms * M):
+                            score += node.weight + Ms * M + MMs * MM
+                        else:
+                            score += node.weight + (W1 + (gaps - 1) * U)
+                    elif mlen != k:
+                        score += node.weight + gaps * M + MM
+                    else:
+                        score += node.weight + gaps * M - (gaps + 1) * U + W1
+                    node.score = 0  # mark as used
+                if bestScore <= score:
+                    if node.start:
+                        tmp = W1 + (node.start - 1) * U
+                        tmp = score + max(Wl, tmp)
+                    else:
+                        tmp = score
+                    if tmp == bestScore and (
+                            not lc or min(q_len, int(template_lengths[t]))
+                            == target_len):
+                        score = bestScore
+                        nextAnker = False
+                        prev = ni
+                extendScore[t] = start
+                Score[t] = score
+        ni -= 1
+        if ni < 0 and nextAnker:
+            prev = 0
+            break
+
+    j_out = []
+    for t in marked:
+        if include[t] == 1:
+            s = int(Score[t])
+            if lc:
+                ok = (bestScore / target_len
+                      * min(q_len, int(template_lengths[t])) <= s) \
+                    or bestScore <= s
+            else:
+                ok = bestScore <= s
+            if ok:
+                j_out.append(t)
+        Score[t] = 0
+        include[t] = 0
+        extendScore[t] = 0
+    if j_out:
+        bests.extend(j_out)
+        return prev
+    return None
+
+
+class SegmentList:
+    """Claimed-region bookkeeping (seqmenttree.c as interval accounting):
+    query returns the covered overlap length within [start, end)."""
+
+    def __init__(self):
+        self.segs: List[Tuple[int, int]] = []
+
+    def clear(self):
+        self.segs.clear()
+
+    def grow(self, start: int, end: int):
+        self.segs.append((start, end))
+        # merge overlaps
+        self.segs.sort()
+        merged = [self.segs[0]]
+        for s, e in self.segs[1:]:
+            if s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        self.segs = merged
+
+    def query(self, start: int, end: int) -> int:
+        cov = 0
+        for s, e in self.segs:
+            lo = max(s, start)
+            hi = min(e, end)
+            if lo < hi:
+                cov += hi - lo
+        return cov
+
+
+def _get_best_anker(ankers: List[Anker], start_i: int, lc: bool
+                    ) -> Tuple[Optional[int], int, int]:
+    """getBestAnkerScore{,Len} (kmeranker.c:398-478) over alive ankers.
+
+    Returns (best index, ties, new start index)."""
+    n = len(ankers)
+    i = start_i
+    while i < n and (not ankers[i].alive or ankers[i].score == 0):
+        i += 1
+    if i >= n:
+        return None, 0, n
+    best = i
+    ties = 0
+    j = i
+    while j + 1 < n:
+        j += 1
+        a = ankers[j]
+        if not a.alive:
+            continue
+        if a.score:
+            if lc:
+                b = ankers[best]
+                score_len = float(a.score_len)
+                if a.len_len != b.len_len:
+                    score_len = score_len / a.len_len * b.len_len
+                if b.score_len < score_len:
+                    best = j
+                    ties = 0
+                elif b.score_len == score_len:
+                    if b.score_len < a.score_len:
+                        best = j
+                        ties = 0
+                    elif b.score_len == a.score_len:
+                        best = j
+                        ties += 1
+            else:
+                if ankers[best].score < a.score:
+                    best = j
+                    ties = 0
+                elif ankers[best].score == a.score:
+                    best = j
+                    ties += 1
+    return best, ties, i
+
+
+def chain_scan_read(idx: KmaIndex, rewards: Penalties, codes: np.ndarray,
+                    header: bytes, exhaustive: bool, Score, extendScore,
+                    include, template_lengths, minlen: int, coverT: float,
+                    mrs: float, mrc: float, lc: bool = False
+                    ) -> List[AnkerHit]:
+    """save_kmers_chain for one read; returns the emitted anker records."""
+    k = idx.kmersize
+    seqlen = len(codes)
+    if seqlen < k:
+        return []
+    VF = _collect_ankers(idx, codes, False, rewards, exhaustive)
+    VR = _collect_ankers(idx, codes, True, rewards, exhaustive)
+    if not VF and not VR:
+        return []
+    codes_r = rc_codes(codes)
+
+    # chain both strands; tie counters carry across strands
+    state = [VF[0] if VF else None, 0, VF[0] if VF else None, 0]
+    if VF:
+        state[0].score = 0
+        state[0].score_len = 0.0
+        state[0].len_len = 1
+        _chain_pass(idx, VF, seqlen, template_lengths, rewards, Score,
+                    extendScore, include, lc, state)
+    best_f = state[0]
+    bl_f = state[2]
+    state[0] = VR[0] if VR else None
+    state[2] = VR[0] if VR else None
+    if VR:
+        state[0].score = 0
+        state[0].score_len = 0.0
+        state[0].len_len = 1
+        _chain_pass(idx, VR, seqlen, template_lengths, rewards, Score,
+                    extendScore, include, lc, state)
+    best_r = state[0]
+    ties = state[1]
+
+    # no good hits (savekmers.c:5637, BEFORE the -lc selector swap)
+    f_score = best_f.score if best_f else 0
+    r_score = best_r.score if best_r else 0
+    if f_score < k and r_score < k:
+        return []
+    if lc:
+        best_f, best_r, ties = bl_f, state[2], state[3]
+
+    VF_start = VF[0].start if VF else 0
+    VR_start = VR[0].start if VR else 0
+    # prune (kmeranker.c:372-396)
+    for a in VF:
+        if a.score < k:
+            a.alive = False
+    for a in VR:
+        if a.score < k:
+            a.alive = False
+    if not any(a.alive for a in VF) and best_f:
+        best_f.score = 0
+    if not any(a.alive for a in VR) and best_r:
+        best_r.score = 0
+
+    out: List[AnkerHit] = []
+    segs = SegmentList()
+    bestT: List[int] = []
+    bestT_r: List[int] = []
+    bf_i = VF.index(best_f) if best_f in VF else None
+    br_i = VR.index(best_r) if best_r in VR else None
+
+    cStart = cStart_r = -1
+    if not (best_f and best_f.score) or not (best_r and best_r.score):
+        if best_f and best_f.score:
+            cs = get_chain_templates(idx, VF, bf_i, seqlen,
+                                     template_lengths, rewards, bestT,
+                                     Score, extendScore, include, lc)
+            cStart = VF[cs].start if cs is not None else best_f.start
+            start = cStart
+            ln = best_f.end - start
+            rc = 1
+        else:
+            cs = get_chain_templates(idx, VR, br_i, seqlen,
+                                     template_lengths, rewards, bestT_r,
+                                     Score, extendScore, include, lc)
+            cStart_r = VR[cs].start if cs is not None else best_r.start
+            start = cStart_r
+            ln = best_r.end - start
+            rc = 2
+    else:
+        cs = get_chain_templates(idx, VF, bf_i, seqlen, template_lengths,
+                                 rewards, bestT, Score, extendScore,
+                                 include, lc)
+        cStart = VF[cs].start if cs is not None else best_f.start
+        cs = get_chain_templates(idx, VR, br_i, seqlen, template_lengths,
+                                 rewards, bestT_r, Score, extendScore,
+                                 include, lc)
+        cStart_r = VR[cs].start if cs is not None else best_r.start
+        rc, start, ln = _choose_chain(best_f, best_r, cStart, cStart_r,
+                                      coverT)
+
+    score = max(f_score, r_score)
+    if ln < minlen or score < k:
+        return []
+
+    fw_i = bf_i
+    rv_i = br_i
+    while best_f is not None or best_r is not None:
+        if ties:
+            if rc & 1:
+                _merge_ties(idx, VF, fw_i, start, VF_start, ln, coverT,
+                            seqlen, template_lengths, rewards, bestT,
+                            Score, extendScore, include, lc)
+            if rc & 2:
+                _merge_ties(idx, VR, rv_i, start, VR_start, ln, coverT,
+                            seqlen, template_lengths, rewards, bestT_r,
+                            Score, extendScore, include, lc)
+
+        # mapping-length filter (mrchain, kmeranker.c:57-81)
+        if rc & 1 and mrc and seqlen < mrc * ln:
+            bestT = [t for t in bestT
+                     if mrc * ln <= int(template_lengths[t])]
+            if not bestT:
+                rc ^= 1
+        if rc & 2 and mrc and seqlen < mrc * ln:
+            bestT_r = [t for t in bestT_r
+                       if mrc * ln <= int(template_lengths[t])]
+            if not bestT_r:
+                rc ^= 2
+
+        if rc:
+            segs.grow(start, start + ln)
+            if rc & 1:
+                bh = header + b"\x00" + struct.pack("<ii", start, start + ln)
+            else:
+                bh = header + b"\x00" + struct.pack(
+                    "<ii", seqlen - best_r.end, seqlen - start)
+            if rc & 1:
+                templates = list(bestT)
+                sc = best_f.score
+                if rc & 2:
+                    templates += [-t for t in bestT_r]
+                    sc = -sc
+                    best_r.score = 0
+                    bestT_r = []
+                npos = np.flatnonzero(codes == 4).astype(np.int32)
+                out.append(AnkerHit(codes=codes, n_positions=npos,
+                                    rc_flag=sc,
+                                    templates=np.asarray(templates,
+                                                         np.int32),
+                                    header=bh, flag=0))
+                best_f.score = 0
+                bestT = []
+            else:
+                npos = np.flatnonzero(codes_r == 4).astype(np.int32)
+                out.append(AnkerHit(codes=codes_r, n_positions=npos,
+                                    rc_flag=best_r.score,
+                                    templates=np.asarray(bestT_r, np.int32),
+                                    header=bh, flag=0))
+                best_r.score = 0
+                bestT_r = []
+
+        # next chains (savekmers.c:5837-5939)
+        ties = 0
+        rc = 0
+        best_f, fw_i, cStart, got_f, ties = _advance(
+            idx, VF, best_f, fw_i, segs, seqlen, template_lengths, rewards,
+            bestT, Score, extendScore, include, minlen, coverT, mrs, lc,
+            ties)
+        if got_f:
+            rc |= 1
+        best_r, rv_i, cStart_r, got_r, ties = _advance(
+            idx, VR, best_r, rv_i, segs, seqlen, template_lengths, rewards,
+            bestT_r, Score, extendScore, include, minlen, coverT, mrs, lc,
+            ties)
+        if got_r:
+            rc |= 2
+
+        if best_f is None and best_r is None:
+            return out
+        if best_f is not None and best_r is not None:
+            rc, start, ln = _choose_chain(best_f, best_r, cStart, cStart_r,
+                                          coverT)
+        elif best_f is not None:
+            rc = 1
+            start = cStart
+            ln = best_f.end - start
+        else:
+            rc = 2
+            start = cStart_r
+            ln = best_r.end - start
+    return out
+
+
+def _advance(idx, V, best, b_i, segs, seqlen, template_lengths, rewards,
+             bests, Score, extendScore, include, minlen, coverT, mrs, lc,
+             ties):
+    """One strand's next-chain selection (savekmers.c:5840-5880)."""
+    if best is None:
+        return None, None, -1, False, ties
+    cStart = -1
+    got = False
+    if best.score:
+        cs = get_chain_templates(idx, V, b_i, seqlen, template_lengths,
+                                 rewards, bests, Score, extendScore,
+                                 include, lc)
+        if cs is not None:
+            cStart = V[cs].start
+            cover = segs.query(cStart, best.end)
+            ln = best.end - cStart
+            if minlen <= ln and cover <= coverT * ln \
+                    and mrs * ln <= best.score:
+                got = True
+            else:
+                best.score = 0
+        else:
+            best.score = 0
+    while best is not None and best.score == 0:
+        nb, nties, _ = _get_best_anker(V, 0, lc)
+        ties = nties
+        if nb is None:
+            best = None
+            b_i = None
+            break
+        best = V[nb]
+        b_i = nb
+        k = idx.kmersize
+        if k < best.score:
+            del bests[:]
+            cs = get_chain_templates(idx, V, b_i, seqlen, template_lengths,
+                                     rewards, bests, Score, extendScore,
+                                     include, lc)
+            if cs is not None:
+                cStart = V[cs].start
+                cover = segs.query(cStart, best.end)
+                ln = best.end - cStart
+                if minlen <= ln and cover <= coverT * ln \
+                        and mrs * ln <= best.score:
+                    got = True
+                    break
+                best.score = 0
+            else:
+                best.score = 0
+        else:
+            best.score = 0
+    return best, b_i, cStart, got, ties
+
+
+def _merge_ties(idx, V, b_i, start, V_start, ln, coverT, seqlen,
+                template_lengths, rewards, bests, Score, extendScore,
+                include, lc):
+    """Equal-anker merging (savekmers.c:5701-5781)."""
+    best = V[b_i]
+    stop = max(start, V_start)
+    i = b_i
+    while True:
+        # getTieAnker: walk raw array downward (kmeranker.c:480-494)
+        found = None
+        while i > 0:
+            i -= 1
+            a = V[i]
+            if a.start <= stop:
+                break
+            if (not lc and a.score == best.score) or \
+                    (lc and a.score_len == best.score_len
+                     and a.len_len == best.len_len):
+                found = i
+                break
+        if found is None:
+            break
+        a = V[found]
+        if (a.end - start) < coverT * ln:
+            break
+        for t in bests:
+            include[t] = 1
+            Score[t] = 0
+            extendScore[t] = 0
+        adds: List[int] = []
+        get_chain_templates(idx, V, found, seqlen, template_lengths,
+                            rewards, adds, Score, extendScore, include, lc)
+        bests.extend(adds)
+    for t in bests:
+        include[t] = 0
+        Score[t] = 0
+        extendScore[t] = 0
+
+
+def _choose_chain(best_f: Anker, best_r: Anker, cStart: int, cStart_r: int,
+                  coverT: float, proxi: float = 1.0) -> Tuple[int, int, int]:
+    """chooseChain (kmeranker.c:512-594)."""
+    if proxi == 1.0:
+        rc = 1 if best_r.score < best_f.score else \
+            2 if best_f.score < best_r.score else 3
+    elif best_r.score <= best_f.score:
+        rc = 3 if proxi * best_f.score <= best_r.score else 1
+    else:
+        rc = 3 if proxi * best_r.score <= best_f.score else 2
+
+    if rc == 1:
+        start, end = cStart, best_f.end
+    elif rc == 2:
+        start, end = cStart_r, best_r.end
+    else:
+        if best_f.end < cStart_r:
+            start, end = cStart, best_f.end
+            rc = 1
+        elif best_r.end < cStart:
+            start, end = cStart_r, best_r.end
+            rc = 2
+        elif cStart <= cStart_r and best_r.end <= best_f.end:
+            start, end = cStart, best_f.end
+        elif cStart_r <= cStart and best_f.end <= best_r.end:
+            start, end = cStart_r, best_r.end
+        elif best_r.end < best_f.end:
+            a = best_f.end - cStart
+            b = best_r.end - cStart_r
+            end = min(a, b)
+            start = cStart_r
+            if coverT * end <= best_r.end - cStart:
+                end = best_f.end
+            else:
+                end = best_r.end
+                rc = 2
+        else:
+            a = best_f.end - cStart
+            b = best_r.end - cStart_r
+            end = min(a, b)
+            start = cStart
+            if coverT * end <= best_f.end - cStart_r:
+                end = best_r.end
+            else:
+                end = best_f.end
+                rc = 1
+    return rc, start, end - start

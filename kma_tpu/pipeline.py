@@ -546,15 +546,27 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             rec.mate_flag = m_flag
         records.append(rec)
 
+    if not cfg.one2one:
+        from .mapping.chain_scan import chain_scan_read
+
+        def scan_one(read):
+            return chain_scan_read(
+                idx, pen, read.codes, read.header, cfg.exhaustive,
+                scanner.Score, scanner.extendScore, scanner.include,
+                template_lengths, cfg.min_len, cfg.cover_t, cfg.score_t,
+                cfg.mrc)
+    else:
+        def scan_one(read):
+            hit = scanner.scan(read.codes, read.n_positions, read.header)
+            return [hit] if hit is not None else []
+
     if input_files and input_files != ["--"] or not pe_files:
         for read in iter_reads(input_files, min_phred=cfg.min_phred,
                                hardmask_q=cfg.hardmask_q, min_q=cfg.min_q,
                                min_len=cfg.min_len, max_len=cfg.max_len):
-            hit = scanner.scan(read.codes, read.n_positions, read.header)
-            if hit is None:
-                continue
-            handle_se_anker(hit.codes, hit.n_positions, hit.rc_flag,
-                            hit.templates, hit.header, hit.flag)
+            for hit in scan_one(read):
+                handle_se_anker(hit.codes, hit.n_positions, hit.rc_flag,
+                                hit.templates, hit.header, hit.flag)
 
     if pe_files:
         from .io.pipeline import iter_read_pairs

@@ -153,3 +153,89 @@ def test_all_output_formats_parity(tmp_path, sim_reads, db50_index, ref_bin):
     my_sam = buf.getvalue().splitlines()
     assert sorted(l for l in ref_sam if not l.startswith("@")) == \
         sorted(l for l in my_sam if not l.startswith("@"))
+
+
+@pytest.fixture(scope="module")
+def nano_reads(tmp_path_factory, db50):
+    """Chimeric error-rich long reads (splicing + nano caller exercise)."""
+    rng = np.random.default_rng(1234)
+    recs = list(parse_fasta(str(db50)))
+    comp = np.array([3, 2, 1, 0, 4, 5], dtype=np.uint8)
+    out = tmp_path_factory.mktemp("nano") / "nano.fq"
+
+    def mutate(r, sub=0.05, indel=0.02):
+        o = []
+        for c in r:
+            x = rng.random()
+            if x < indel / 2:
+                continue
+            if x < indel:
+                o.append(int(rng.integers(0, 4)))
+            if rng.random() < sub:
+                o.append(int((c + rng.integers(1, 4)) % 4))
+            else:
+                o.append(int(c))
+        return np.array(o, dtype=np.uint8)
+
+    with open(out, "w") as f:
+        for i in range(150):
+            nseg = int(rng.integers(1, 4))
+            parts = []
+            for _s in range(nseg):
+                _h, codes = recs[rng.integers(len(recs))]
+                L = int(rng.integers(200, min(900, len(codes))))
+                st = int(rng.integers(0, len(codes) - L + 1))
+                seg = mutate(codes[st: st + L])
+                if rng.random() < 0.5:
+                    seg = comp[seg[::-1]]
+                parts.append(seg)
+            r = np.concatenate(parts)
+            f.write(f"@n{i}\n{''.join('ACGTN'[c] for c in r)}\n+\n"
+                    f"{'I' * len(r)}\n")
+    return out
+
+
+def test_chain_mode_parity(tmp_path, sim_reads, db50_index, ref_bin):
+    """Default mode (chain scanner, no -1t1)."""
+    ref_out = tmp_path / "ref"
+    my_out = tmp_path / "my"
+    subprocess.run([str(ref_bin), "-i", str(sim_reads), "-o", str(ref_out),
+                    "-t_db", db50_index], capture_output=True, check=True)
+    assert kma_main(["-i", str(sim_reads), "-o", str(my_out), "-t_db",
+                     db50_index]) == 0
+    for ext in (".res", ".fsa", ".aln"):
+        assert (ref_out.parent / (ref_out.name + ext)).read_bytes() == \
+            (my_out.parent / (my_out.name + ext)).read_bytes(), ext
+    assert gzip.open(str(ref_out) + ".frag.gz").read() == \
+        gzip.open(str(my_out) + ".frag.gz").read()
+
+
+def test_nanopore_chimeric_parity(tmp_path, nano_reads, db50_index, ref_bin):
+    """Chimeric long reads: chain splicing + -bcNano -bc 0.7."""
+    ref_out = tmp_path / "ref"
+    my_out = tmp_path / "my"
+    subprocess.run([str(ref_bin), "-i", str(nano_reads), "-o", str(ref_out),
+                    "-t_db", db50_index, "-bcNano", "-bc", "0.7"],
+                   capture_output=True, check=True)
+    assert kma_main(["-i", str(nano_reads), "-o", str(my_out), "-t_db",
+                     db50_index, "-bcNano", "-bc", "0.7"]) == 0
+    for ext in (".res", ".fsa", ".aln"):
+        assert (ref_out.parent / (ref_out.name + ext)).read_bytes() == \
+            (my_out.parent / (my_out.name + ext)).read_bytes(), ext
+    assert gzip.open(str(ref_out) + ".frag.gz").read() == \
+        gzip.open(str(my_out) + ".frag.gz").read()
+
+
+def test_conclave2_and_memmode_parity(tmp_path, sim_reads, db50_index,
+                                      ref_bin):
+    for extra in (["-ConClave", "2"], ["-mem_mode"]):
+        ref_out = tmp_path / ("ref" + extra[0])
+        my_out = tmp_path / ("my" + extra[0])
+        subprocess.run([str(ref_bin), "-i", str(sim_reads), "-o",
+                        str(ref_out), "-t_db", db50_index, "-1t1"] + extra,
+                       capture_output=True, check=True)
+        assert kma_main(["-i", str(sim_reads), "-o", str(my_out), "-t_db",
+                         db50_index, "-1t1"] + extra) == 0
+        for ext in (".res", ".fsa", ".aln"):
+            assert (ref_out.parent / (ref_out.name + ext)).read_bytes() == \
+                (my_out.parent / (my_out.name + ext)).read_bytes(), ext
