@@ -1,0 +1,332 @@
+"""Database tool subcommands (reference seq2fasta.c, db.c, cmp.c, merge.c,
+shm.c, update.c).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List
+
+import numpy as np
+
+
+def dispatch(cmd: str, argv: List[str]) -> int:
+    fn = {"seq2fasta": seq2fasta_main, "db": db_main, "cmp": cmp_main,
+          "merge": merge_main, "shm": shm_main, "update": update_main,
+          "dist": dist_main, "trim": trim_main}.get(cmd)
+    if fn is None:
+        print(f"Unknown command: {cmd}", file=sys.stderr)
+        return 1
+    return fn(argv)
+
+
+def _parse_db_flag(argv, flags=("-t_db",)):
+    db = None
+    rest = []
+    i = 0
+    while i < len(argv):
+        if argv[i] in flags and i + 1 < len(argv):
+            db = argv[i + 1]
+            i += 2
+        else:
+            rest.append(argv[i])
+            i += 1
+    return db, rest
+
+
+def seq2fasta_main(argv: List[str]) -> int:
+    """kma seq2fasta (seq2fasta.c): dump templates back to fasta."""
+    from ..index.format import load_length_b, load_names
+    from ..io.seq import unpack_2bit, BASES
+    db, rest = _parse_db_flag(argv)
+    seqs = None
+    i = 0
+    while i < len(rest):
+        if rest[i] == "-seqs" and i + 1 < len(rest):
+            seqs = sorted(int(x) for x in rest[i + 1].split(","))
+            i += 2
+        else:
+            i += 1
+    if db is None:
+        print("Too few arguments handed", file=sys.stderr)
+        return 1
+    lengths = load_length_b(db + ".length.b")
+    names = load_names(db + ".name")
+    out = sys.stdout.buffer
+    with open(db + ".seq.b", "rb") as f:
+        for t in range(1, len(lengths)):
+            t_len = int(lengths[t])
+            nwords = (t_len >> 5) + 1
+            words = np.fromfile(f, dtype="<u8", count=nwords)
+            if seqs is not None and t not in seqs:
+                continue
+            codes = unpack_2bit(words, t_len)
+            out.write(b">" + names[t - 1] + b"\n")
+            out.write(np.frombuffer(BASES, dtype=np.uint8)[codes].tobytes())
+            out.write(b"\n")
+    return 0
+
+
+def db_main(argv: List[str]) -> int:
+    """kma db (db.c:29-172): index statistics."""
+    import os
+    from ..index.format import load_comp_b
+    db, _ = _parse_db_flag(argv)
+    if db is None and argv:
+        db = argv[0]
+    if db is None:
+        print("Too few arguments handed", file=sys.stderr)
+        return 1
+    print(f"DB:\t{db}")
+    ntcount = 4 * os.path.getsize(db + ".seq.b")
+    print(f"# nucleotides:\t{ntcount}")
+    idx = load_comp_b(db + ".comp.b")
+    print(f"# templates:\t{idx.db_size - 1}")
+    print(f"k:\t{idx.kmersize}")
+    print(f"m:\t{idx.mlen}")
+    print(f"hc:\t{idx.flag & 1}")
+    if idx.prefix_len:
+        p = idx.prefix
+        s = ""
+        for _ in range(idx.prefix_len):
+            s = "ACGTN-"[p & 3] + s
+            p >>= 2
+        print(f"prefix:\t{s}")
+    elif idx.prefix != 0:
+        print("prefix:\t-")
+    print(f"# uniq k-mers:\t{idx.n}")
+    print("k-mer fraction covered:\t%f" % (idx.n / 4.0 ** idx.kmersize))
+    print(f"inferred tax size:\t{idx.v_index}")
+    # unique value lists
+    ntax = 0
+    v = 0
+    values = idx.values
+    while v < idx.v_index:
+        ntax += 1
+        v += int(values[v]) + 1
+    print(f"# inferred taxids:\t{ntax}")
+    if idx.mega:
+        vidx = idx.exist[idx.exist != idx.null_index].astype(np.int64)
+    else:
+        vidx = idx.value_index.astype(np.int64)
+    counts = values[vidx].astype(np.float64)
+    n = idx.n
+    mean = counts.sum() / n
+    var = (counts * counts / n).sum() - mean * mean
+    print("k-mer co-occurence var:\t%f" % var)
+    print("k-mer co-occurence mean:\t%f" % mean)
+    print("k-mer co-occurence min:\t%d" % int(counts.min()))
+    print("k-mer co-occurence max:\t%d" % int(counts.max()))
+    return 0
+
+
+def cmp_main(argv: List[str]) -> int:
+    """kma cmp (cmp.c): semantic equality of two indexes."""
+    from ..index.format import load_comp_b
+    t_db = s_db = None
+    i = 0
+    while i < len(argv):
+        if argv[i] == "-t_db" and i + 1 < len(argv):
+            t_db = argv[i + 1]
+            i += 2
+        elif argv[i] == "-s_db" and i + 1 < len(argv):
+            s_db = argv[i + 1]
+            i += 2
+        else:
+            i += 1
+    if not t_db or not s_db:
+        print("Insufficient number of agruments parsed.", file=sys.stderr)
+        return 1
+    print("# Comparing *.comp.b", file=sys.stderr)
+    a = load_comp_b(t_db + ".comp.b")
+    b = load_comp_b(s_db + ".comp.b")
+    ok = a.n == b.n and a.kmersize == b.kmersize and a.mlen == b.mlen
+    if ok:
+        if a.mega:
+            kmers = np.flatnonzero(a.exist != a.null_index).astype(np.uint64)
+        else:
+            kmers = a.key_index[: a.n].astype(np.uint64)
+        for km in kmers.tolist():
+            va = a.lookup(int(km))
+            vb = b.lookup(int(km))
+            if vb is None or not np.array_equal(
+                    np.asarray(va, np.int64), np.asarray(vb, np.int64)):
+                ok = False
+                print(f"# Mismatch at k-mer {km}", file=sys.stderr)
+                break
+    print("# Hashmaps match." if ok else "# Hashmaps does not match.",
+          file=sys.stderr)
+    return 0
+
+
+def merge_main(argv: List[str]) -> int:
+    """kma merge (merge.c:1391-1674): union two indexes; template ids of
+    the second are biased by the first's DB size."""
+    from ..index.build import freeze
+    from ..index.format import (dump_comp_b, dump_length_b, load_comp_b,
+                                load_length_b, load_names)
+    t_db = s_db = out = None
+    i = 0
+    while i < len(argv):
+        if argv[i] == "-t_db" and i + 1 < len(argv):
+            t_db = argv[i + 1]
+            i += 2
+        elif argv[i] == "-s_db" and i + 1 < len(argv):
+            s_db = argv[i + 1]
+            i += 2
+        elif argv[i] == "-o" and i + 1 < len(argv):
+            out = argv[i + 1]
+            i += 2
+        else:
+            i += 1
+    if not t_db or not s_db or not out:
+        print("Too few arguments handed", file=sys.stderr)
+        return 1
+    a = load_comp_b(t_db + ".comp.b")
+    b = load_comp_b(s_db + ".comp.b")
+    if a.kmersize != b.kmersize or a.mlen != b.mlen or a.flag != b.flag:
+        print("Indexes are incompatible", file=sys.stderr)
+        return 1
+    bias = a.db_size - 1
+    table = {}
+    for idx, offset in ((a, 0), (b, bias)):
+        if idx.mega:
+            kmers = np.flatnonzero(idx.exist != idx.null_index)
+        else:
+            kmers = idx.key_index[: idx.n]
+        for km in kmers.tolist():
+            lst = idx.lookup(int(km))
+            cur = table.setdefault(int(km), [])
+            for t in np.asarray(lst[1:], np.int64).tolist():
+                tt = t + offset
+                if tt not in cur:
+                    cur.append(tt)
+    merged = freeze(table, a.db_size + b.db_size - 1, a.kmersize, a.mlen,
+                    mega=a.mega and b.mega, prefix_len=a.prefix_len,
+                    prefix=a.prefix, flag=a.flag)
+    with open(out + ".comp.b", "wb") as f:
+        dump_comp_b(merged, f)
+    la = load_length_b(t_db + ".length.b")
+    lb = load_length_b(s_db + ".length.b")
+    dump_length_b(np.concatenate([la, lb[1:]]), out + ".length.b")
+    names = load_names(t_db + ".name") + load_names(s_db + ".name")
+    with open(out + ".name", "wb") as f:
+        f.write(b"\n".join(names) + b"\n")
+    with open(out + ".seq.b", "wb") as fo:
+        for src in (t_db, s_db):
+            with open(src + ".seq.b", "rb") as fi:
+                fo.write(fi.read())
+    return 0
+
+
+def shm_main(argv: List[str]) -> int:
+    """kma shm (shm.c): the reference pins DB files in SysV shared memory
+    so concurrent samples share one copy.  The TPU-native equivalent is
+    the device-resident index (kma_tpu.mapping.device_index), which lives
+    in HBM across queries; this command validates the DB and reports."""
+    db, rest = _parse_db_flag(argv)
+    if db is None:
+        print("Too few arguments handed", file=sys.stderr)
+        return 1
+    from ..index.format import load_comp_b
+    idx = load_comp_b(db + ".comp.b")
+    if "-destroy" in rest:
+        print(f"# Device-resident caches for {db} released.",
+              file=sys.stderr)
+        return 0
+    print(f"# DB {db} validated ({idx.n} k-mers); device residency is "
+          "managed per-process by DeviceIndex (HBM).", file=sys.stderr)
+    return 0
+
+
+def update_main(argv: List[str]) -> int:
+    """kma update (update.c): migrate old index formats.  Only the current
+    (0.15+) format is produced by this implementation; for old-format
+    inputs re-index from fasta (kma seq2fasta | kma index)."""
+    print("# Only current-format DBs are produced by kma_tpu; "
+          "use seq2fasta + index to rebuild legacy DBs.", file=sys.stderr)
+    return 0
+
+
+def dist_main(argv: List[str]) -> int:
+    """kma dist (dist.c): k-mer based template distance matrix (Phylip)."""
+    from ..index.format import load_comp_b, load_length_b, load_names
+    db, rest = _parse_db_flag(argv)
+    method = 1
+    i = 0
+    while i < len(rest):
+        if rest[i] == "-d" and i + 1 < len(rest):
+            method = int(rest[i + 1])
+            i += 2
+        else:
+            i += 1
+    if db is None:
+        print("Too few arguments handed", file=sys.stderr)
+        return 1
+    idx = load_comp_b(db + ".comp.b")
+    names = load_names(db + ".name")
+    db_size = idx.db_size
+    # shared k-mer counts via the values lists (kmerSimilarity, dist.c:171)
+    shared = np.zeros((db_size, db_size), dtype=np.int64)
+    totals = np.zeros(db_size, dtype=np.int64)
+    v = 0
+    values = idx.values
+    seen = {}
+    if idx.mega:
+        offs = idx.exist[idx.exist != idx.null_index].astype(np.int64)
+    else:
+        offs = idx.value_index.astype(np.int64)
+    for off in offs.tolist():
+        cnt = int(values[off])
+        lst = values[off + 1: off + 1 + cnt].astype(np.int64)
+        totals[lst] += 1
+        for x in range(cnt):
+            for y in range(x + 1, cnt):
+                shared[lst[y], lst[x]] += 1
+    out = sys.stdout
+    out.write("%10d\n" % (db_size - 1))
+    for t in range(1, db_size):
+        row = []
+        for q in range(1, t):
+            s = int(shared[t, q])
+            if method == 1:
+                d = s
+            else:
+                denom = min(totals[t], totals[q]) or 1
+                d = 1.0 - s / denom
+            row.append("%d" % d if method == 1 else "%.4f" % d)
+        nm = names[t - 1].decode("latin1").split()[0]
+        out.write("%-37s %s\n" % (nm, "\t".join(row)))
+    return 0
+
+
+def trim_main(argv: List[str]) -> int:
+    """kma trim (trim.c): standalone read trimming to fastq."""
+    from ..io.pipeline import iter_reads
+    from ..io.seq import BASES
+    inputs = []
+    min_phred = 20
+    min_len = 16
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-i":
+            i += 1
+            while i < len(argv) and not argv[i].startswith("-"):
+                inputs.append(argv[i])
+                i += 1
+            continue
+        if a == "-mp":
+            i += 1
+            min_phred = int(argv[i])
+        elif a == "-ml":
+            i += 1
+            min_len = int(argv[i])
+        i += 1
+    out = sys.stdout.buffer
+    for read in iter_reads(inputs, min_phred=min_phred, min_len=min_len):
+        seq = np.frombuffer(BASES, dtype=np.uint8)[read.codes].tobytes()
+        name = read.header.split(b"\x00", 1)[0]
+        out.write(b"@" + name + b"\n" + seq + b"\n+\n"
+                  + b"I" * len(seq) + b"\n")
+    return 0
