@@ -24,13 +24,14 @@ def main(argv: List[str] = None) -> int:
 
 
 def index_main(argv: List[str]) -> int:
-    """kma index (index.c:78-735), standard path."""
-    from ..index.build import build_index
+    """kma index (index.c:78-735), standard and -Sparse paths."""
+    from ..index.build import build_index, build_index_sparse
     inputs: List[str] = []
     out = None
     k = 16
     minlen = 0
     mega = False
+    sparse_prefix = None
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -46,11 +47,14 @@ def index_main(argv: List[str]) -> int:
         elif a == "-k":
             i += 1
             k = int(argv[i])
-        elif a == "-ML":
+        elif a == "-ml" or a == "-ML":
             i += 1
             minlen = int(argv[i])
         elif a == "-ME":
             mega = True
+        elif a == "-Sparse":
+            i += 1
+            sparse_prefix = argv[i]
         else:
             print(f"# Invalid option:\t{a}", file=sys.stderr)
             return 1
@@ -58,7 +62,11 @@ def index_main(argv: List[str]) -> int:
     if not inputs or not out:
         print("Too few arguments handed", file=sys.stderr)
         return 1
-    build_index(inputs, out, kmersize=k, minlen=minlen, mega=mega)
+    if sparse_prefix is not None:
+        build_index_sparse(inputs, out, sparse_prefix, kmersize=k,
+                           minlen=minlen, mega=mega)
+    else:
+        build_index(inputs, out, kmersize=k, minlen=minlen, mega=mega)
     return 0
 
 
@@ -207,6 +215,15 @@ def map_main(argv: List[str]) -> int:
             cfg.verbose = 1
         elif a == "-mem_mode":
             cfg.mem_mode = True
+        elif a == "-Sparse":
+            cfg.sparse = True
+        elif a == "-ss":
+            i += 1
+            if argv[i] in ("q", "c", "d"):
+                cfg.ss = argv[i]
+            else:
+                print("Invalid argument parsed to option: \"-ss\", "
+                      "using default.", file=sys.stderr)
         else:
             print(f" Invalid option:\t{a}", file=sys.stderr)
             return 1
@@ -216,6 +233,22 @@ def map_main(argv: List[str]) -> int:
         return 1
     if not inputs and not pe_inputs and not int_inputs:
         inputs = ["--"]
+    if cfg.sparse:
+        from ..mapping.sparse import run_sparse
+        if pe_inputs:
+            inputs += pe_inputs
+            print("Paired end information is not considered in Sparse "
+                  "mode.", file=sys.stderr)
+        if int_inputs:
+            inputs += int_inputs
+            print("Interleaved information is not considered in Sparse "
+                  "mode.", file=sys.stderr)
+        return run_sparse(db, inputs, out, id_t=cfg.ID_t,
+                          depth_t=cfg.Depth_t, evalue=cfg.evalue, ss=cfg.ss,
+                          min_phred=cfg.min_phred, hardmask_q=cfg.hardmask_q,
+                          min_q=cfg.min_q, five_clip=cfg.five_clip,
+                          three_clip=cfg.three_clip, min_len=cfg.min_len,
+                          max_len=cfg.max_len)
     return run_kma(db, out, inputs, cfg, exe_cmd=" ".join(["kma"] + argv),
                    pe_files=pe_inputs or None, int_files=int_inputs or None)
 

@@ -71,6 +71,8 @@ class MapConfig:
     pair_mode: str = "u"     # -pm/-apm: u(nion)/p(enalty)/f(orce)
     deCon: bool = False
     min_frac: float = 1.0    # -proxi
+    sparse: bool = False     # -Sparse (sparse.c pipeline)
+    ss: str = "q"            # -ss sparse sort key: q(uery)/c(over)/d(epth)
 
     # alignment (step 3)
     kmersize: int = 0        # 0 -> from DB (.length.b[0], runkma.c:162-164)

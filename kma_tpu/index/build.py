@@ -12,13 +12,31 @@ hashmap, hashmap.c:164-256).
 
 from __future__ import annotations
 
+import struct
 import sys
 from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..io.seq import kmer_scan, pack_2bit, parse_fasta, ref_trim, valid_kmer_mask
+from ..io.seq import (kmer_scan, pack_2bit, parse_fasta, rc_codes, ref_trim,
+                      valid_kmer_mask)
 from .format import (KmaIndex, U16MAX, dump_comp_b, dump_length_b, murmur)
+
+
+def effective_minlen(minlen: int, kmersize: int, kmerindex: int,
+                     prefix_len: int = 0) -> tuple:
+    """MinLen/MinKlen normalisation (index.c:599-606).
+
+    Returns (MinLen, MinKlen): if the user MinLen exceeds k+prefix_len+1
+    it is kept and MinKlen becomes the number of expected prefix k-mers of
+    a MinLen sequence; otherwise MinLen falls back to max(k, kmerindex).
+    """
+    if minlen > (kmersize + prefix_len + 1):
+        minklen = 2 * (minlen - kmersize - prefix_len + 1)
+        for _ in range(prefix_len):
+            minklen //= 4
+        return minlen, minklen
+    return max(kmersize, kmerindex), 1
 
 
 def build_index(input_files: List[str], out_prefix: str, kmersize: int = 16,
@@ -34,6 +52,7 @@ def build_index(input_files: List[str], out_prefix: str, kmersize: int = 16,
     """
     if kmerindex is None:
         kmerindex = kmersize
+    minlen, _ = effective_minlen(minlen, kmersize, kmerindex)
     mlen = kmersize
     mask = (1 << (2 * mlen)) - 1
     if mega or mask + 1 <= (1 << 20):
@@ -113,6 +132,213 @@ def build_index(input_files: List[str], out_prefix: str, kmersize: int = 16,
     with open(out_prefix + ".comp.b", "wb") as f:
         dump_comp_b(idx, f)
     dump_length_b(idx.template_lengths, out_prefix + ".length.b")
+    with open(out_prefix + ".name", "wb") as f:
+        f.write(b"\n".join(names) + b"\n" if names else b"")
+    idx.seq_path = out_prefix + ".seq.b"
+    return idx
+
+
+def parse_prefix(prefix_str: str) -> tuple:
+    """-Sparse prefix parse (index.c:451-473): '-' -> pseudo-sparse
+    (prefix_len 0, prefix 1); otherwise 2-bit packed bases."""
+    if prefix_str == "-":
+        return 0, 1
+    val = 0
+    lut = {"A": 0, "C": 1, "G": 2, "T": 3, "a": 0, "c": 1, "g": 2, "t": 3}
+    for ch in prefix_str:
+        if ch not in lut:
+            raise SystemExit("Invalid prefix.")
+        val = (val << 2) | lut[ch]
+    return len(prefix_str), val
+
+
+def _pack_rc_words(codes: np.ndarray) -> np.ndarray:
+    """comp_rc (compdna.c:258-295) applied to a freshly compressed sequence:
+    the stored 2-bit string (Ns packed as 0) reversed and complemented."""
+    stored = codes.copy()
+    stored[stored == 4] = 0
+    return pack_2bit((3 - stored)[::-1].astype(np.uint8))
+
+
+def _prefix_hit_count(codes: np.ndarray, kmersize: int, prefix_len: int,
+                      prefix: int, cap: int) -> int:
+    """Count prefix occurrences on one strand (lengthCheck inner loop,
+    qualcheck.c:52-72): prefix start positions p in [seg_start,
+    N_i - prefix_len - kmersize + 1) of each N-free segment, capped."""
+    seqlen = len(codes)
+    bounds = np.flatnonzero(codes == 4).tolist() + [seqlen]
+    pvals = kmer_scan(codes, prefix_len) if seqlen >= prefix_len else \
+        np.empty(0, dtype=np.uint64)
+    total = 0
+    j = 0
+    for ni in bounds:
+        end = ni - prefix_len - kmersize + 1
+        if j < end:
+            hits = int((pvals[j:end] == prefix).sum())
+            total += hits
+            if total >= cap:
+                return cap
+        j = ni + 1
+    return total
+
+
+def sparse_template_kmers(codes: np.ndarray, kmersize: int, prefix_len: int,
+                          prefix: int) -> np.ndarray:
+    """k-mer start positions emitted by updateDBs_sparse for ONE strand
+    (updateindex.c:106-156): per N-free segment [seg, N_i), prefixed k-mers
+    start in [seg+prefix_len, N_i-kmersize] (pseudo-sparse: [seg,
+    N_i-kmersize]); segments whose scan head is past seqend are skipped."""
+    seqlen = len(codes)
+    seqend = seqlen - kmersize - prefix_len + 1
+    bounds = np.flatnonzero(codes == 4).tolist() + [seqlen]
+    if prefix_len:
+        pvals = kmer_scan(codes, prefix_len) if seqlen >= prefix_len else \
+            np.empty(0, dtype=np.uint64)
+    out = []
+    j = 0
+    for ni in bounds:
+        if j >= seqend:
+            break
+        lo = j + prefix_len
+        hi = ni - kmersize
+        if lo <= hi:
+            s = np.arange(lo, hi + 1)
+            if prefix_len:
+                s = s[pvals[s - prefix_len] == prefix]
+            out.append(s)
+        j = ni + 1
+    return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+
+
+def build_index_sparse(input_files: List[str], out_prefix: str,
+                       prefix_str: str, kmersize: int = 16, minlen: int = 0,
+                       kmerindex: Optional[int] = None, mega: bool = False,
+                       quiet: bool = False) -> KmaIndex:
+    """Build a Sparse database (`kma index -Sparse`, index.c:576-606,
+    updateindex.c:79-199).
+
+    Both strands' (prefix-matching) k-mers are added; .length.b gets four
+    sections [DB_size, lengths, slengths, ulengths] where slen counts all
+    prefix k-mers and ulen the distinct ones (makeindex.c:263-269)."""
+    if kmerindex is None:
+        kmerindex = kmersize
+    prefix_len, prefix = parse_prefix(prefix_str)
+    minlen, minklen = effective_minlen(minlen, kmersize, kmerindex,
+                                       prefix_len)
+    mlen = kmersize
+    mask = (1 << (2 * mlen)) - 1
+    if mega or mask + 1 <= (1 << 20):
+        mega = True
+
+    table: Dict[int, List[int]] = {}
+    lengths: List[int] = [0]
+    slengths: List[int] = [0]
+    ulengths: List[int] = [0]
+    names: List[bytes] = []
+    db_size = 1
+
+    qseq_cap = 1024
+    comp_words = np.zeros(1024 >> 5, dtype=np.uint64)
+
+    seq_out = open(out_prefix + ".seq.b", "wb")
+    try:
+        for path in input_files:
+            if not quiet:
+                print(f"# Reading inputfile: \t{path}", file=sys.stderr)
+            for header, codes in parse_fasta(path):
+                raw_len = len(codes)
+                while raw_len >= qseq_cap:
+                    qseq_cap <<= 1
+                codes, bias = ref_trim(codes)
+                seqlen = len(codes)
+                if raw_len >= len(comp_words) * 32:
+                    sz = qseq_cap if qseq_cap % 32 == 0 \
+                        else ((qseq_cap >> 5) + 1) << 5
+                    comp_words = np.zeros(sz >> 5, dtype=np.uint64)
+                name = header[1:]
+                complen = (seqlen >> 5) + (1 if seqlen & 31 else 0)
+                # compDNAref fills the reused buffer for EVERY record
+                packed_fw = pack_2bit(codes)
+                comp_words[:complen] = packed_fw
+
+                added = False
+                slen = ulen = 0
+                if minlen < seqlen and seqlen >= kmersize:
+                    # QualCheck == lengthCheck (qualcheck.c:31-79); both
+                    # outcomes leave qseq reverse-complemented except a
+                    # pseudo-sparse length fail
+                    if prefix_len == 0:
+                        passed = (seqlen - kmersize + 1) * 2 >= minklen
+                        flipped = passed
+                    else:
+                        fw_hits = _prefix_hit_count(
+                            codes, kmersize, prefix_len, prefix, minklen)
+                        if fw_hits < minklen:
+                            rc = rc_codes(codes)
+                            fw_hits += _prefix_hit_count(
+                                rc, kmersize, prefix_len, prefix,
+                                minklen - fw_hits)
+                        passed = fw_hits >= minklen
+                        flipped = True
+                    if passed:
+                        # updateDBs_sparse scans [rc, fw] (entry is rc'd)
+                        # and leaves the buffer forward again
+                        seen = set()
+                        for strand in (rc_codes(codes), codes):
+                            pos = sparse_template_kmers(
+                                strand, kmersize, prefix_len, prefix)
+                            if len(pos):
+                                kvals = kmer_scan(strand, kmersize)[pos]
+                                slen += len(kvals)
+                                for km in kvals.tolist():
+                                    if km not in seen:
+                                        seen.add(km)
+                                        lst = table.get(km)
+                                        if lst is None:
+                                            table[km] = [db_size]
+                                        elif lst[-1] != db_size:
+                                            lst.append(db_size)
+                        ulen = len(seen)
+                        added = slen > 0
+                        flipped = False
+                    if flipped:
+                        comp_words[:complen] = _pack_rc_words(codes)
+                if added:
+                    if bias > 0:
+                        names.append(name + b" B%d" % bias)
+                    else:
+                        names.append(name)
+                    nwords = (seqlen >> 5) + 1
+                    comp_words[:nwords].astype("<u8").tofile(seq_out)
+                    lengths.append(seqlen)
+                    slengths.append(slen)
+                    ulengths.append(ulen)
+                    db_size += 1
+                    if not quiet:
+                        print(f"# Added:\t{name.decode(errors='replace')}",
+                              file=sys.stderr)
+                elif not quiet:
+                    print(f"# Skipped:\t{name.decode(errors='replace')}",
+                          file=sys.stderr)
+    finally:
+        seq_out.close()
+
+    if not table:
+        raise SystemExit("DB is empty!!!")
+
+    store_prefix = prefix if prefix_len else 1
+    idx = freeze(table, db_size, kmersize, mlen, mega=mega,
+                 prefix_len=prefix_len, prefix=store_prefix)
+    lengths[0] = kmerindex
+    arr = np.array(lengths + slengths + ulengths, dtype=np.uint32)
+    with open(out_prefix + ".length.b", "wb") as f:
+        f.write(struct.pack("<i", db_size))
+        arr.astype("<u4").tofile(f)
+    idx.template_lengths = np.array(lengths, dtype=np.uint32)
+    idx.names = names
+
+    with open(out_prefix + ".comp.b", "wb") as f:
+        dump_comp_b(idx, f)
     with open(out_prefix + ".name", "wb") as f:
         f.write(b"\n".join(names) + b"\n" if names else b"")
     idx.seq_path = out_prefix + ".seq.b"
