@@ -24,9 +24,10 @@ def main(argv: List[str] = None) -> int:
 
 
 def index_main(argv: List[str]) -> int:
-    """kma index (index.c:78-735), standard and -Sparse paths."""
-    from ..index.build import build_index, build_index_sparse
+    """kma index (index.c:78-735), standard, -Sparse and -deCon paths."""
+    from ..index.build import build_decon, build_index, build_index_sparse
     inputs: List[str] = []
+    decon_files: List[str] = []
     out = None
     k = 16
     minlen = 0
@@ -40,6 +41,15 @@ def index_main(argv: List[str]) -> int:
             while i < len(argv) and not argv[i].startswith("-"):
                 inputs.append(argv[i])
                 i += 1
+            continue
+        if a == "-deCon":
+            i += 1
+            while i < len(argv) and not argv[i].startswith("-"):
+                decon_files.append(argv[i])
+                i += 1
+            if not decon_files:
+                print("No deCon file specified.", file=sys.stderr)
+                return 1
             continue
         if a == "-o":
             i += 1
@@ -67,6 +77,8 @@ def index_main(argv: List[str]) -> int:
                            minlen=minlen, mega=mega)
     else:
         build_index(inputs, out, kmersize=k, minlen=minlen, mega=mega)
+    if decon_files:
+        build_decon(out, decon_files)
     return 0
 
 
@@ -217,6 +229,8 @@ def map_main(argv: List[str]) -> int:
             cfg.mem_mode = True
         elif a == "-Sparse":
             cfg.sparse = True
+        elif a == "-deCon":
+            cfg.deCon = True
         elif a == "-ss":
             i += 1
             if argv[i] in ("q", "c", "d"):
@@ -248,7 +262,7 @@ def map_main(argv: List[str]) -> int:
                           min_phred=cfg.min_phred, hardmask_q=cfg.hardmask_q,
                           min_q=cfg.min_q, five_clip=cfg.five_clip,
                           three_clip=cfg.three_clip, min_len=cfg.min_len,
-                          max_len=cfg.max_len)
+                          max_len=cfg.max_len, decon=cfg.deCon)
     return run_kma(db, out, inputs, cfg, exe_cmd=" ".join(["kma"] + argv),
                    pe_files=pe_inputs or None, int_files=int_inputs or None)
 

@@ -345,6 +345,74 @@ def build_index_sparse(input_files: List[str], out_prefix: str,
     return idx
 
 
+def build_decon(db_prefix: str, decon_files: List[str],
+                quiet: bool = False) -> None:
+    """kma index -deCon (decon.c:161-227, index.c:676-732): mark every DB
+    k-mer that occurs in the contamination fastas (both strands) by
+    appending the pseudo-template id DB_size to its value list, then dump
+    as .decon.comp.b.  DB_size itself is NOT incremented."""
+    from .format import dump_comp_b, load_comp_b
+
+    idx = load_comp_b(db_prefix + ".comp.b")
+    db_size = idx.db_size
+    k = idx.kmersize
+    plen = idx.prefix_len
+    # pseudo-sparse DBs (prefix '-') use the plain deConNode (index.c:587)
+    sparse_prefix = plen != 0
+
+    # hashMapKMA_openValues (loadupdate.c:114): every record gets its own
+    # mutable list, so shared value entries are contaminated independently
+    table: Dict[int, List[int]] = {}
+    if idx.mega:
+        kmers = np.flatnonzero(idx.exist != idx.null_index)
+    else:
+        kmers = idx.key_index[: idx.n]
+    for km in kmers.tolist():
+        table[int(km)] = np.asarray(idx.lookup(int(km))[1:],
+                                    np.int64).tolist()
+
+    mapped = 0
+    for path in decon_files:
+        if not quiet:
+            print(f"# Reading inputfile: \t{path}", file=sys.stderr)
+        for header, codes in parse_fasta(path):
+            if not quiet:
+                print("# Decon:\t%s" %
+                      header[1:].decode(errors="replace"), file=sys.stderr)
+            if len(codes) <= k:  # raw length gate (decon.c:193)
+                continue
+            codes, _bias = ref_trim(codes)
+            if len(codes) < k:
+                continue
+            for strand in (codes, rc_codes(codes)):
+                if sparse_prefix:
+                    # deConNode_sparse (decon.c:122-159): prefixed k-mers
+                    if len(strand) < plen + k:
+                        continue
+                    valid = valid_kmer_mask(strand, plen + k)
+                    pm = kmer_scan(strand, plen)[: len(valid)] == idx.prefix
+                    pos = np.flatnonzero(valid & pm)
+                    kvals = kmer_scan(strand, k)[pos + plen]
+                else:
+                    # deConNode (decon.c:77-120): every N-free k-mer
+                    if len(strand) < k:
+                        continue
+                    valid = valid_kmer_mask(strand, k)
+                    kvals = kmer_scan(strand, k)[valid]
+                for km in kvals.tolist():
+                    lst = table.get(km)
+                    if lst is not None and lst[-1] != db_size:
+                        lst.append(db_size)
+                        mapped += 1
+    if not quiet:
+        print(f"# {mapped} kmers mapped to the DB.", file=sys.stderr)
+
+    out = freeze(table, db_size, k, idx.mlen, mega=idx.mega,
+                 prefix_len=plen, prefix=idx.prefix, flag=idx.flag)
+    with open(db_prefix + ".decon.comp.b", "wb") as f:
+        dump_comp_b(out, f)
+
+
 def freeze(table: Dict[int, List[int]], db_size: int, kmersize: int,
            mlen: int, mega: bool = False, prefix_len: int = 0,
            prefix: int = 0, flag: int = 0) -> KmaIndex:

@@ -188,7 +188,14 @@ def _chain_pass(idx: KmaIndex, ankers: List[Anker], q_len: int,
                 len_len = q_len
             score_len = float(score)
             if a.len_len != len_len:
-                score_len = score_len / len_len * a.len_len
+                if len_len == 0:
+                    # deCon: template_lengths[contamination] is the
+                    # reference's out-of-bounds 0; C double division
+                    # yields inf/nan, comparisons below then fail
+                    score_len = (float("nan") if score == 0 else
+                                 float("inf") * score * a.len_len)
+                else:
+                    score_len = score_len / len_len * a.len_len
             if (a.score_len < score_len
                     or (a.score_len == score_len and a.score_len < score)):
                 a.score_len = score
@@ -200,7 +207,11 @@ def _chain_pass(idx: KmaIndex, ankers: List[Anker], q_len: int,
         bl = best_state[2]
         score_len = float(a.score)
         if bl is not None and a.len_len != bl.len_len:
-            score_len = score_len / a.len_len * bl.len_len
+            if a.len_len == 0:  # deCon OOB length, C gives inf/nan
+                score_len = (float("nan") if a.score == 0 else
+                             float("inf") * a.score * bl.len_len)
+            else:
+                score_len = score_len / a.len_len * bl.len_len
         if bl is None or bl.score_len < score_len:
             best_state[2] = a
             best_state[3] = 0
@@ -389,7 +400,11 @@ def _get_best_anker(ankers: List[Anker], start_i: int, lc: bool
                 b = ankers[best]
                 score_len = float(a.score_len)
                 if a.len_len != b.len_len:
-                    score_len = score_len / a.len_len * b.len_len
+                    if a.len_len == 0:  # deCon OOB length -> inf/nan in C
+                        score_len = (float("nan") if a.score_len == 0 else
+                                     float("inf") * a.score_len * b.len_len)
+                    else:
+                        score_len = score_len / a.len_len * b.len_len
                 if b.score_len < score_len:
                     best = j
                     ties = 0

@@ -249,7 +249,9 @@ class SaveKmersScanner:
         self.idx = idx
         self.rewards = rewards
         self.exhaustive = exhaustive
-        n = idx.db_size
+        # +1: a deCon DB's values contain the contamination id == DB_size
+        # (decon.c:113; the reference relies on calloc slop there)
+        n = idx.db_size + 1
         self.Score = np.zeros(n, dtype=np.int64)
         self.Score_r = np.zeros(n, dtype=np.int64)
         self.extendScore = np.zeros(n, dtype=np.int64)

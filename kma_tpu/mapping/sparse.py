@@ -133,15 +133,19 @@ class FoundKmers:
         return out
 
 
-def _collect_kmers(idx: KmaIndex, found: FoundKmers, db_size: int):
-    """collect_Kmers (hashtable.c:54-120): per found k-mer node build a
-    withdrawal node and accumulate unique (Scores) and total (Scores_tot)
-    hit counts per template.  The list is built by PREPEND."""
-    scores = np.zeros(db_size, dtype=np.int64)
-    scores_tot = np.zeros(db_size, dtype=np.int64)
+def _collect_kmers(idx: KmaIndex, found: FoundKmers, db_size: int,
+                   contamination: Optional[int] = None):
+    """collect_Kmers / collect_Kmers_deCon (hashtable.c:54-222): per found
+    k-mer node build a withdrawal node and accumulate unique (Scores) and
+    total (Scores_tot) hit counts per template.  Lists are built by
+    PREPEND; with deCon, nodes whose LAST template is the contamination id
+    go to a separate table and do not contribute scores."""
+    scores = np.zeros(db_size + 1, dtype=np.int64)
+    scores_tot = np.zeros(db_size + 1, dtype=np.int64)
     hits_n = 0
     hits_tot = 0
     kmer_list: List[tuple] = []
+    decon_list: List[tuple] = []
     for key, cnt in found.traverse():
         value = idx.lookup(key)
         if value is None:
@@ -150,11 +154,15 @@ def _collect_kmers(idx: KmaIndex, found: FoundKmers, db_size: int):
         hits_tot += cnt
         full = np.asarray(value, dtype=np.int64)  # [count, t1..tn]
         tpls = full[1:]
+        if contamination is not None and int(tpls[-1]) == contamination:
+            decon_list.append((cnt, tpls, full))
+            continue
         scores[tpls] += 1
         scores_tot[tpls] += cnt
         kmer_list.append((cnt, tpls, full))
     kmer_list.reverse()
-    return kmer_list, scores, scores_tot, hits_n, hits_tot
+    decon_list.reverse()
+    return kmer_list, decon_list, scores, scores_tot, hits_n, hits_tot
 
 
 def intpos_bin(lst, n: int, x: int) -> bool:
@@ -272,14 +280,16 @@ def run_sparse(db_prefix: str, inputs: List[str], out_prefix: str,
                evalue: float = 0.05, ss: str = "q", min_phred: int = 20,
                hardmask_q: int = 0, min_q: int = 0, five_clip: int = 0,
                three_clip: int = 0, min_len: int = 16,
-               max_len: int = 2147483647) -> int:
+               max_len: int = 2147483647, decon: bool = False) -> int:
     """Full sparse pipeline: translate reads to k-mers, count matches,
     greedily emit the .spa table (save_kmers_sparse_batch, sparse.c:
-    338-797, non-deCon branch)."""
+    338-797; -deCon uses .decon.comp.b and the contamination-withdrawal
+    branch sparse.c:459-644)."""
     from ..index.format import load_comp_b, load_names
     from ..io.pipeline import iter_reads
 
-    idx = load_comp_b(db_prefix + ".comp.b")
+    idx = load_comp_b(db_prefix
+                      + (".decon.comp.b" if decon else ".comp.b"))
     slen, ulen = load_sparse_length_b(db_prefix + ".length.b")
     names = load_names(db_prefix + ".name")
     db_size = idx.db_size
@@ -330,32 +340,68 @@ def run_sparse(db_prefix: str, inputs: List[str], out_prefix: str,
               "tot_query_Coverage\ttot_template_Coverage\ttot_depth\t"
               "q_value\tp_value\n")
 
-    kmer_list, scores, scores_tot, hits_n, hits_tot = _collect_kmers(
-        idx, found, db_size)
+    contamination = db_size if decon else None
+    kmer_list, decon_list, scores, scores_tot, hits_n, hits_tot = \
+        _collect_kmers(idx, found, db_size, contamination)
     print(f"# Total number of matches: {hits_tot} of {ntot} kmers",
           file=sys.stderr)
     w_scores = scores.copy()
     w_scores_tot = scores_tot.copy()
     search = (scores != 0).astype(np.int64)
+    if decon:
+        search[contamination] = 0
 
-    stop = len(kmer_list) == 0
+    stop = len(kmer_list) == 0 and not decon
     while not stop:
         template, score, cover, depth, expected, q_value, p_value = \
             _pick_best(ss, db_size, search, w_scores, w_scores_tot, slen,
                        ulen, hits_tot, idx.n, id_t, depth_t, evalue)
         if cover and id_t <= cover and depth_t <= depth:
-            query_cover = 100.0 * int(w_scores_tot[template]) / ntot
-            tot_cover = (100.0 * int(scores[template])
+            if decon:
+                # withdraw contamination k-mers matching this template
+                # (sparse.c:589-614), NO early stop
+                score_add = 0
+                score_tot_add = 0
+                kept = []
+                for node in decon_list:
+                    cnt, tpls, full = node
+                    if intpos_bin(full, len(tpls), template):
+                        score_add += 1
+                        score_tot_add += cnt
+                    else:
+                        kept.append(node)
+                decon_list = kept
+                w_tot = int(w_scores_tot[template]) + score_tot_add
+                query_cover = 100.0 * w_tot / ntot
+                cover = (100.0 * (int(w_scores[template]) + score_add)
                          / int(ulen[template]))
-            tot_depth = (1.0 * int(scores_tot[template])
-                         / int(slen[template]))
-            tot_query_cover = 100.0 * int(scores_tot[template]) / ntot
-            spa.write("%s\t%d\t%d\t%d\t%d\t%8.2f\t%8.2f\t%8.2f\t%8.2f\t"
-                      "%8.2f\t%8.2f\t%8.2f\t%4.1e\n"
-                      % (names[template - 1].decode("latin1"), template,
-                         score, int(expected), int(ulen[template]),
-                         query_cover, cover, depth, tot_query_cover,
-                         tot_cover, tot_depth, q_value, p_value))
+                depth = 1.0 * w_tot / int(slen[template])
+                tot = int(scores_tot[template]) + score_tot_add
+                tot_cover = (100.0 * (int(scores[template]) + score_add)
+                             / int(ulen[template]))
+                tot_depth = 1.0 * tot / int(slen[template])
+                tot_query_cover = 100.0 * tot / ntot
+                spa.write("%s\t%d\t%d\t%d\t%d\t%8.2f\t%8.2f\t%8.2f\t"
+                          "%8.2f\t%8.2f\t%8.2f\t%f\t%e\n"
+                          % (names[template - 1].decode("latin1"),
+                             template, score, int(expected),
+                             int(slen[template]), query_cover, cover,
+                             depth, tot_query_cover, tot_cover, tot_depth,
+                             q_value, p_value))
+            else:
+                query_cover = 100.0 * int(w_scores_tot[template]) / ntot
+                tot_cover = (100.0 * int(scores[template])
+                             / int(ulen[template]))
+                tot_depth = (1.0 * int(scores_tot[template])
+                             / int(slen[template]))
+                tot_query_cover = 100.0 * int(scores_tot[template]) / ntot
+                spa.write("%s\t%d\t%d\t%d\t%d\t%8.2f\t%8.2f\t%8.2f\t"
+                          "%8.2f\t%8.2f\t%8.2f\t%8.2f\t%4.1e\n"
+                          % (names[template - 1].decode("latin1"),
+                             template, score, int(expected),
+                             int(ulen[template]), query_cover, cover,
+                             depth, tot_query_cover, tot_cover, tot_depth,
+                             q_value, p_value))
             kmer_list = _withdraw_kmers(w_scores, w_scores_tot, kmer_list,
                                         template)
             search[template] = 0

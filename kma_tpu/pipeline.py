@@ -461,8 +461,44 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             pe_files: Optional[List[str]] = None,
             int_files: Optional[List[str]] = None) -> int:
     """The runKMA flow (runkma.c:130-908) for the -1t1 SE path."""
-    idx = load_index(db_prefix)
+    if cfg.deCon:
+        # -deCon swaps in .decon.comp.b whose value lists carry the
+        # contamination pseudo-template DB_size (kma.c:1489-1493)
+        from .index.format import load_comp_b, load_length_b, load_names
+        idx = load_comp_b(db_prefix + ".decon.comp.b")
+        idx.template_lengths = load_length_b(db_prefix + ".length.b")
+        idx.names = load_names(db_prefix + ".name")
+        idx.seq_path = db_prefix + ".seq.b"
+    else:
+        idx = load_index(db_prefix)
     db_size = idx.db_size
+    contamination = db_size if cfg.deCon else None
+    if cfg.deCon:
+        # chain scoring touches template_lengths[contamination]; the
+        # reference reads one int past its malloc there (kmers.c:168) --
+        # a fresh-heap read that is 0 in practice
+        idx.template_lengths = np.concatenate(
+            [idx.template_lengths, [0]]).astype(idx.template_lengths.dtype)
+
+    def decon_filter(tl):
+        """deConPrint (ankers.c:106-124): drop the contamination id via
+        find_contamination (first match from the END, back-filled with the
+        last element) then find_contamination2 (rc-marked -contamination,
+        scanning from the end but stopping at the first positive id)."""
+        lst = [int(t) for t in tl]
+        for i in range(len(lst) - 1, -1, -1):
+            if lst[i] == contamination:
+                lst[i] = lst[-1]
+                lst.pop()
+                break
+        for i in range(len(lst) - 1, -1, -1):
+            if lst[i] == -contamination:
+                lst[i] = lst[-1]
+                lst.pop()
+                break
+            if lst[i] > 0:
+                break
+        return lst
     template_lengths = idx.template_lengths.astype(np.int64)
     kmersize = cfg.kmersize or int(template_lengths[0])
     if kmersize < 4 or 31 < kmersize:
@@ -486,6 +522,10 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
 
     def handle_se_anker(codes, n_positions, rc_flag, templates, header,
                         flag):
+        if contamination is not None:
+            templates = decon_filter(templates)
+            if not templates:
+                return
         q_len = len(codes)
         if kmersize > q_len:
             return
@@ -602,6 +642,12 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                 # proper pair: record1 has 0 templates (printPair)
                 c_a, np_a, sc_a, _t0, h_a, f_a = pa.records[0]
                 c_b, np_b, sc_b, tl, h_b, f_b = pa.records[1]
+                if contamination is not None:
+                    # deConPrintPair (ankers.c:126-148): one filter over
+                    # the shared list; empty drops BOTH mates
+                    tl = decon_filter(tl)
+                    if not tl:
+                        continue
                 if cfg.mem_mode:
                     if kmersize <= len(c_a):
                         if kmersize <= len(c_b):
