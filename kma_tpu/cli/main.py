@@ -91,6 +91,7 @@ def map_main(argv: List[str]) -> int:
     int_inputs: List[str] = []
     out = None
     db = None
+    mt1 = 0
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -231,6 +232,9 @@ def map_main(argv: List[str]) -> int:
             cfg.sparse = True
         elif a == "-deCon":
             cfg.deCon = True
+        elif a == "-Mt1":
+            i += 1
+            mt1 = int(argv[i])
         elif a == "-ss":
             i += 1
             if argv[i] in ("q", "c", "d"):
@@ -247,6 +251,11 @@ def map_main(argv: List[str]) -> int:
         return 1
     if not inputs and not pe_inputs and not int_inputs:
         inputs = ["--"]
+    if mt1:
+        from ..pipeline import run_kma_mt1
+        return run_kma_mt1(db, out, inputs, cfg, mt1,
+                           exe_cmd=" ".join(["kma"] + argv),
+                           pe_files=pe_inputs or None)
     if cfg.sparse:
         from ..mapping.sparse import run_sparse
         if pe_inputs:

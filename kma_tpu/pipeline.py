@@ -815,6 +815,155 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
     return status
 
 
+def run_kma_mt1(db_prefix: str, output_prefix: str, input_files: List[str],
+                cfg: MapConfig, mt1: int, exe_cmd: str = "kma_tpu",
+                pe_files: Optional[List[str]] = None) -> int:
+    """-Mt1 <n>: map every read against template n only (mt1.c:86-500).
+
+    Step 1 spools trimmed reads directly as assembly fragment records
+    (printFsaMt1/printFsa_pairMt1, mt1.c:46-84; template 0, best_hits 1,
+    score 0, flags 0/97/145 with the second mate reverse-complemented);
+    step 3 is one assemble_KMA over the single template."""
+    from .index.format import load_length_b, load_names, load_template_seq
+
+    lengths = load_length_b(db_prefix + ".length.b")
+    kmersize = cfg.kmersize
+    if kmersize < 4:
+        kmersize = int(lengths[0])
+        if 32 < kmersize or kmersize < 4:
+            kmersize = 16
+    t_len = int(lengths[mt1])
+    names = load_names(db_prefix + ".name")
+    name = names[mt1 - 1].decode("latin1")
+
+    pen = cfg.penalties
+    rew = Penalty(M=pen.M, MM=pen.MM, U=pen.U, W1=pen.W1, Wl=pen.Wl,
+                  d=pen.score_matrix())
+    points = Points()
+    words = load_template_seq(db_prefix + ".seq.b", lengths.astype(np.int64),
+                              mt1)
+    tindex = TemplateIndex(unpack_2bit(words, t_len), kmersize)
+
+    # step 1: reads become Frag records directly; printFsaMt1's static
+    # flag buffer leaks the last pair flag into later singles
+    frags: List[Frag] = []
+    flag_state = [0]
+
+    def add(codes, header, flag=None):
+        if flag is not None:
+            flag_state[0] = flag
+        frags.append(Frag(q_len=len(codes), best_hits=1, score=0, start=0,
+                          end=0, header=header, flag=flag_state[0],
+                          codes=codes))
+
+    if input_files and input_files != ["--"] or not pe_files:
+        for read in iter_reads(input_files, min_phred=cfg.min_phred,
+                               hardmask_q=cfg.hardmask_q, min_q=cfg.min_q,
+                               min_len=cfg.min_len, max_len=cfg.max_len):
+            add(read.codes, read.header)
+    if pe_files:
+        from .io.pipeline import iter_read_pairs
+        for r1, r2 in iter_read_pairs(pe_files, min_phred=cfg.min_phred,
+                                      hardmask_q=cfg.hardmask_q,
+                                      min_q=cfg.min_q, min_len=cfg.min_len,
+                                      max_len=cfg.max_len):
+            if r2 is None:
+                add(r1.codes, r1.header)
+            else:
+                add(r1.codes, r1.header, flag=97)
+                add(rc_codes(r2.codes), r2.header, flag=145)
+
+    # outputs (mt1.c:121-186)
+    res_out = open(output_prefix + ".res", "w")
+    res_out.write(writers.RES_HEADER)
+    tsv_out = None
+    if cfg.tsv:
+        tsv_out = open(output_prefix + ".tsv", "w")
+        tsv_out.write(tsv_headerline(cfg.tsv))
+    frag_out = None if cfg.nf else writers.open_gz(output_prefix + ".frag.gz")
+    fsa_out = aln_out = None
+    if (cfg.nc & 1) == 0:
+        fsa_out = open(output_prefix + ".fsa", "w")
+    if (cfg.nc & 2) == 0:
+        aln_out = open(output_prefix + ".aln", "w")
+        if fsa_out is None:
+            fsa_out = open(output_prefix + ".fsa", "w")
+    matrix_out = (writers.open_gz(output_prefix + ".mat.gz")
+                  if cfg.print_matrix else None)
+    vcf_out = None
+    if cfg.vcf:
+        from .out.vcf import vcf_header
+        vcf_out = writers.open_gz(output_prefix + ".vcf.gz")
+        vcf_out.write(vcf_header(db_prefix))
+    sam_out = sys.stdout if cfg.sam else None
+    if sam_out is not None:
+        sam_out.write("@PG\tID:KMA\tPN:kma\tVN:%s\tCL:%s\n"
+                      % ("1.5.1", exe_cmd))
+        sam_out.write("@SQ\tSN:%s\tLN:%d\n" % (name, t_len))
+
+    assem, matrix = assemble_template(tindex, t_len, frags, kmersize, cfg,
+                                      rew, points, name, frag_out,
+                                      sam_out=sam_out)
+    read_score = int(assem.score)
+    p_value = p_chisqr(read_score)
+    cmp = CMP[cfg.cmp_mode]
+    depth = 0.0
+    if cmp(p_value <= cfg.evalue and read_score > 0,
+           read_score >= cfg.score_t * t_len):
+        if assem.cover > 0:
+            cover_score = assem.cover
+            depth = float(assem.depth) / t_len
+            id_ = 100.0 * cover_score / t_len
+            aln_len = assem.aln_len
+            q_id = 100.0 * cover_score / aln_len
+            cover = 100.0 * aln_len / t_len
+            q_cover = 100.0 * t_len / aln_len
+        else:
+            id_ = cover = q_id = q_cover = 0.0
+        if cfg.ID_t <= id_ and 0 < id_ and cfg.Depth_t <= depth:
+            res_out.write(
+                "%s\t%8d\t%8d\t%8d\t%8.2f\t%8.2f\t%8.2f\t%8.2f\t%8.2f\t"
+                "%8.2f\t%4.1e\n" % (name, read_score, 0, t_len, id_, cover,
+                                    q_id, q_cover, depth,
+                                    float(read_score), p_value))
+            if tsv_out is not None:
+                tsv_out.write(tsv_row(cfg.tsv, name, assem, t_len,
+                                      assem.readCountAln, read_score, 0,
+                                      float(read_score), p_value,
+                                      read_score))
+            if fsa_out is not None:
+                trim_dual_gaps(assem)
+                writers.print_consensus(assem, name, aln_out, fsa_out,
+                                        cfg.ref_fsa)
+            if matrix_out is not None:
+                matrix_out.write(writers.matrix_rows(
+                    matrix, tindex.codes, name, t_len))
+            if vcf_out is not None:
+                from .assemble.pileup import make_base_caller
+                from .out.vcf import vcf_rows
+                bc = make_base_caller(cfg.base_caller, cfg.significant,
+                                      cfg.evalue, cfg.support)
+                vcf_out.write(vcf_rows(
+                    name, assem.t, cfg.evalue, cfg.support, cfg.bcd, t_len,
+                    matrix, cfg.vcf,
+                    lambda bn, tn, bs, du, row: bc(bn, tn, bs, du, row)))
+    elif cfg.ID_t == 0.0:
+        res_out.write(
+            "%s\t%8d\t%8d\t%8d\t%8.2f\t%8.2f\t%8.2f\t%8.2f\t%8.2f\t%8.2f\t"
+            "%4.1e\n" % (name, read_score, 0, t_len, 0.0, 0.0, 0.0, 0.0,
+                         depth, float(read_score), p_value))
+        if tsv_out is not None:
+            tsv_out.write(tsv_row(cfg.tsv, name, assem, t_len,
+                                  assem.readCountAln, read_score, 0,
+                                  float(read_score), p_value, read_score))
+
+    res_out.close()
+    for f in (fsa_out, aln_out, frag_out, matrix_out, vcf_out, tsv_out):
+        if f is not None:
+            f.close()
+    return 0
+
+
 def assemble_template(tindex: TemplateIndex, t_len: int, frags: List[Frag],
                       kmersize: int, cfg: MapConfig, rew: Penalty,
                       points: Points, name: str, frag_out, sam_out=None):
@@ -837,11 +986,20 @@ def assemble_template(tindex: TemplateIndex, t_len: int, frags: List[Frag],
                                                 len(header) - 8)
         stats2, stats3 = frag.start, frag.end
         read_score = frag.score
-        if read_score or _anker_rc_bytes(tindex, codes, q_len, q_start,
-                                         q_end, points):
+        if read_score:
+            points.len = 0
+            proceed = True
+        else:
+            # anker_rc (align.c:780-991): seed both strands, keep the
+            # winner's mems in points (reused by KMA) and its orientation
+            rc_score, rc_codes_ = _anker_rc_bytes(tindex, codes, q_len,
+                                                  q_start, q_end, points)
+            proceed = rc_score != 0
+            if rc_codes_ is not None:
+                codes = rc_codes_
+        if proceed:
             if stats3 <= stats2:
                 stats2, stats3 = 0, t_len
-            points.len = 0
             st, aligned, mapq = kma_align(
                 tindex, codes, q_len, q_start, q_end, stats2,
                 min(t_len, stats3), cfg.mq, rew, points, kmersize,
@@ -896,7 +1054,17 @@ def assemble_template(tindex: TemplateIndex, t_len: int, frags: List[Frag],
     return assem, matrix
 
 
-def _anker_rc_bytes(tindex, codes, q_len, q_start, q_end, points) -> int:
-    """anker_rc fallback for score-0 frags (align.c:780); not used by the
-    default SE path where ConClave scores are positive."""
-    return 0
+def _anker_rc_bytes(tindex, codes, q_len, q_start, q_end, points):
+    """anker_rc for score-0 frags (align.c:780-991), e.g. every Mt1
+    record: seed both strands, keep the winner's mems in points.  Returns
+    (score, rc_codes_or_None); the caller swaps orientation when the rc
+    strand won (the reference strrc's qseq in place) but keeps the
+    original q-bounds (anker_rc only swaps its locals)."""
+    n_pos = np.flatnonzero(codes == 4).astype(np.int64)
+    n_pos_r = np.sort((q_len - 1) - n_pos[::-1]) if len(n_pos) else n_pos
+    rc = rc_codes(codes)
+    res = anker_rc_comp(tindex, codes, rc, n_pos, n_pos_r, q_len, q_start,
+                        q_end, points, 0)
+    if res < 0:
+        return -res, rc
+    return res, None
