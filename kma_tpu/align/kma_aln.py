@@ -797,6 +797,135 @@ def anker_rc_comp(tindex: TemplateIndex, qseq: np.ndarray,
     return -bestScore
 
 
+def anker_rc_bytes(tindex: TemplateIndex, qseq: np.ndarray,
+                   qseq_r: np.ndarray, q_len: int, q_start: int, q_end: int,
+                   points: Points, one2one: int) -> int:
+    """anker_rc (align.c:780-991) — the BYTE variant used by assembly and
+    Mt1 for score-0 fragments.  It genuinely differs from anker_rc_comp:
+    seed extension runs to the FULL N-free segment end (align.c:862 vs
+    1070), the scan resumes at the extension end without the comp
+    variant's one-char skip, and a segment is entered only when the scan
+    head is strictly below end-kmersize (align.c:829).
+    Returns +score (fw kept), -score (rc kept) or 0."""
+    from ..io.seq import kmer_scan
+    k = tindex.kmerindex
+    t_len = tindex.len
+    tcodes = tindex.codes
+    points.clear()
+
+    bestScore = 0
+    score = 0
+    score_r = 0
+    mem_count = 0
+    fw_count = 0
+    for rc in range(2):
+        if rc:
+            cur = qseq_r
+            score = score_r
+            fw_count = mem_count
+            i = q_len - q_start
+            q_start_c, q_end_c = q_len - q_end, i
+            i = q_start_c
+        else:
+            cur = qseq
+            q_start_c, q_end_c = q_start, q_end
+            if q_start_c:
+                i = q_start_c
+            else:
+                i = _preseed(tindex, cur, q_end_c - q_start_c)
+        score_r = 0
+        mem_count = 0
+        kmers = kmer_scan(cur, k) if q_len >= k else \
+            np.empty(0, dtype=np.uint64)
+        npos = np.flatnonzero(cur == 4)
+        while i < q_end_c:
+            # charpos(qseq, 4, i, q_len): the bound is q_len, so an N
+            # beyond q_end still terminates the segment there
+            ni = np.searchsorted(npos, i)
+            end = int(npos[ni]) if ni < len(npos) else q_end_c
+            if i < end - k:
+                pos = i + k - 1
+                while pos < end:
+                    s = pos - k + 1
+                    value = tindex.get(int(kmers[s]))
+                    if value == 0:
+                        pos += 1
+                    elif 0 < value:
+                        prev = value - 2
+                        j = s - 1
+                        while 0 <= j and 0 <= prev and cur[j] == tcodes[prev]:
+                            j -= 1
+                            prev -= 1
+                            score_r += 1
+                        points.add(j + 1, 0, prev + 2, 0, 0)
+                        value += k - 1
+                        p2 = s + k
+                        score_r += k
+                        while p2 < end and value < t_len \
+                                and cur[p2] == tcodes[value]:
+                            p2 += 1
+                            value += 1
+                            score_r += 1
+                        idx = len(points.qStart) - 1
+                        points.qEnd[idx] = p2
+                        points.tEnd[idx] = value + 1
+                        points.weight[idx] = (points.tEnd[idx]
+                                              - points.tStart[idx])
+                        mem_count += 1
+                        if p2 < end - k:
+                            pos = p2 + k - 1
+                        else:
+                            pos = end
+                    else:
+                        score_r += k
+                        bias = s
+                        for value in tindex.dub_positions(
+                                int(kmers[s])).tolist():
+                            kk = s
+                            prev = value - 2
+                            j = kk - 1
+                            while 0 <= j and 0 <= prev \
+                                    and cur[j] == tcodes[prev]:
+                                j -= 1
+                                prev -= 1
+                            points.add(j + 1, 0, prev + 2, 0, 0)
+                            value += k - 1
+                            kk += k
+                            while kk < end and value < t_len \
+                                    and cur[kk] == tcodes[value]:
+                                kk += 1
+                                value += 1
+                            idx = len(points.qStart) - 1
+                            points.qEnd[idx] = kk
+                            points.tEnd[idx] = value + 1
+                            points.weight[idx] = kk - points.qStart[idx]
+                            mem_count += 1
+                            if bias < kk:
+                                bias = kk
+                        score_r += bias - s
+                        nx = bias + 1
+                        if nx < end - k:
+                            pos = nx + k - 1
+                        else:
+                            pos = end
+            i = end + 1
+        if bestScore < score_r:
+            bestScore = score_r
+
+    if (one2one and bestScore < k
+            and bestScore * k < (q_len - k - bestScore)):
+        points.clear()
+        points.len = 0
+        return 0
+    if bestScore == score:
+        points.trim_to(fw_count)
+        points.len = fw_count
+        return bestScore
+    points.shift_down(fw_count, mem_count)
+    points.len = mem_count
+    return -bestScore
+
+
 _preseed_exhaustive = [0]
 
 

@@ -206,6 +206,12 @@ def map_main(argv: List[str]) -> int:
                 cfg.vcf = int(argv[i])
             else:
                 cfg.vcf = 1
+        elif a == "-xml":
+            if i + 1 < len(argv) and argv[i + 1].isdigit():
+                i += 1
+                cfg.xml = int(argv[i])
+            else:
+                cfg.xml = 1
         elif a == "-tsv":
             if i + 1 < len(argv) and argv[i + 1].isdigit():
                 i += 1

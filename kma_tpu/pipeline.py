@@ -720,6 +720,17 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
     if sam_out is not None:
         from .out.sam import sam_header
         sam_header(names, template_lengths, exe_cmd, sam_out)
+    xml_out = None
+    xml_writer = None
+    seqin_size = 0
+    if cfg.xml:
+        import time
+        from .out.xmlout import XmlHitWriter, xml_init
+        xml_out = sys.stdout if cfg.xml == 2 \
+            else open(output_prefix + ".xml", "w")
+        xml_init(xml_out, db_prefix, tot_frags, exe_cmd, int(time.time()))
+        xml_writer = XmlHitWriter(xml_out, rew)
+        seqin_size = 4 * os.path.getsize(db_prefix + ".seq.b")
 
     cmp = CMP[cfg.cmp_mode]
     status = 0
@@ -746,10 +757,14 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                    read_score >= cfg.score_t * t_len):
             continue
 
+        if xml_out is not None:
+            from .out.xmlout import xml_new_iter
+            xml_new_iter(xml_out, template, t_len, name)
         tindex = store.get(template)
         assem, matrix = assemble_template(
             tindex, t_len, frag_lists.get(template, []), kmersize, cfg, rew,
-            points, name, frag_out, sam_out=sam_out)
+            points, name, frag_out, sam_out=sam_out, xml_writer=xml_writer,
+            xml_template=template)
         if cfg.ef and assem.score:
             get_extended_features(assem, matrix, tindex.codes, t_len)
         if assem.cover > 0:
@@ -773,6 +788,11 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             id_ = 0.0
             depth = q_id = cover = q_cover = 0.0
 
+        if xml_out is not None:
+            from .out.xmlout import xml_cap_iter
+            xml_cap_iter(xml_out, db_size, seqin_size, t_len,
+                         int(read_counts[template]), p_value, read_score,
+                         assem.q, aln_len)
         printed_gate = (cfg.ID_t <= id_ and cfg.Depth_t <= depth) \
             if cfg.mem_mode else \
             (cfg.ID_t <= id_ and 0 < id_ and cfg.Depth_t <= depth)
@@ -787,7 +807,6 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                                       p_value,
                                       int(alignment_scores[template])))
             if fsa_out is not None:
-                trim_dual_gaps(assem)
                 writers.print_consensus(assem, name, aln_out, fsa_out,
                                         cfg.ref_fsa)
             if matrix_out is not None:
@@ -808,6 +827,11 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                     lambda bn, tn, bs, du, row: bc(bn, tn, bs, du, row)))
 
     res_out.close()
+    if xml_out is not None:
+        from .out.xmlout import xml_cap
+        xml_cap(xml_out)
+        if xml_out is not sys.stdout:
+            xml_out.close()
     for f in (fsa_out, aln_out, frag_out, matrix_out, mapstat_out, vcf_out,
               tsv_out):
         if f is not None:
@@ -900,14 +924,29 @@ def run_kma_mt1(db_prefix: str, output_prefix: str, input_files: List[str],
         sam_out.write("@PG\tID:KMA\tPN:kma\tVN:%s\tCL:%s\n"
                       % ("1.5.1", exe_cmd))
         sam_out.write("@SQ\tSN:%s\tLN:%d\n" % (name, t_len))
+    xml_out = None
+    xml_writer = None
+    if cfg.xml:
+        import time
+        from .out.xmlout import (XmlHitWriter, xml_init, xml_new_iter)
+        xml_out = sys.stdout if cfg.xml == 2 \
+            else open(output_prefix + ".xml", "w")
+        # mt1.c:174-177: totFrags 1, argv = the previous-step command
+        xml_init(xml_out, db_prefix, 1, exe_cmd, int(time.time()))
+        xml_writer = XmlHitWriter(xml_out, rew)
+        xml_new_iter(xml_out, mt1, t_len, name)
 
+    # hitXML receives thread->template which Mt1 sets to 0 (mt1.c:381)
     assem, matrix = assemble_template(tindex, t_len, frags, kmersize, cfg,
                                       rew, points, name, frag_out,
-                                      sam_out=sam_out)
+                                      sam_out=sam_out, xml_writer=xml_writer,
+                                      xml_template=0)
     read_score = int(assem.score)
     p_value = p_chisqr(read_score)
     cmp = CMP[cfg.cmp_mode]
     depth = 0.0
+    aln_len_xml = 0
+    consensus_printed = False
     if cmp(p_value <= cfg.evalue and read_score > 0,
            read_score >= cfg.score_t * t_len):
         if assem.cover > 0:
@@ -915,6 +954,7 @@ def run_kma_mt1(db_prefix: str, output_prefix: str, input_files: List[str],
             depth = float(assem.depth) / t_len
             id_ = 100.0 * cover_score / t_len
             aln_len = assem.aln_len
+            aln_len_xml = aln_len
             q_id = 100.0 * cover_score / aln_len
             cover = 100.0 * aln_len / t_len
             q_cover = 100.0 * t_len / aln_len
@@ -926,13 +966,13 @@ def run_kma_mt1(db_prefix: str, output_prefix: str, input_files: List[str],
                 "%8.2f\t%4.1e\n" % (name, read_score, 0, t_len, id_, cover,
                                     q_id, q_cover, depth,
                                     float(read_score), p_value))
+            consensus_printed = fsa_out is not None
             if tsv_out is not None:
                 tsv_out.write(tsv_row(cfg.tsv, name, assem, t_len,
                                       assem.readCountAln, read_score, 0,
                                       float(read_score), p_value,
                                       read_score))
             if fsa_out is not None:
-                trim_dual_gaps(assem)
                 writers.print_consensus(assem, name, aln_out, fsa_out,
                                         cfg.ref_fsa)
             if matrix_out is not None:
@@ -957,6 +997,30 @@ def run_kma_mt1(db_prefix: str, output_prefix: str, input_files: List[str],
                                   assem.readCountAln, read_score, 0,
                                   float(read_score), p_value, read_score))
 
+    if xml_out is not None:
+        from .out.xmlout import xml_cap, xml_cap_iter
+        # mt1.c:462 runs AFTER printConsensus, which compacts q in place
+        # (gap removal + NUL, printconsensus.c:39-54); the entropy window
+        # sees the compacted prefix, the NUL, then stale tail bytes
+        q_xml = np.array(assem.q, copy=True) if assem.q is not None \
+            else np.empty(0, np.uint8)
+        if consensus_printed and len(q_xml):
+            if cfg.ref_fsa == 0:
+                kept = q_xml[q_xml != ord("-")]
+                mut = q_xml.copy()
+                mut[: len(kept)] = kept
+                if len(kept) < len(mut):
+                    mut[len(kept)] = 0
+                q_xml = mut
+            elif cfg.ref_fsa == 1:
+                q_xml = np.where(q_xml == ord("-"),
+                                 np.uint8(ord("n")), q_xml)
+        # mt1.c:462-465: db-num 1, db-len t_len, hsp-len = read_score
+        xml_cap_iter(xml_out, 1, t_len, t_len, read_score, p_value,
+                     read_score, q_xml, aln_len_xml)
+        xml_cap(xml_out)
+        if xml_out is not sys.stdout:
+            xml_out.close()
     res_out.close()
     for f in (fsa_out, aln_out, frag_out, matrix_out, vcf_out, tsv_out):
         if f is not None:
@@ -966,7 +1030,8 @@ def run_kma_mt1(db_prefix: str, output_prefix: str, input_files: List[str],
 
 def assemble_template(tindex: TemplateIndex, t_len: int, frags: List[Frag],
                       kmersize: int, cfg: MapConfig, rew: Penalty,
-                      points: Points, name: str, frag_out, sam_out=None):
+                      points: Points, name: str, frag_out, sam_out=None,
+                      xml_writer=None, xml_template: int = 0):
     """assemble_KMA for one template (assembly.c:1689-2127)."""
     from .out.writers import frag_row
 
@@ -986,6 +1051,8 @@ def assemble_template(tindex: TemplateIndex, t_len: int, frags: List[Frag],
                                                 len(header) - 8)
         stats2, stats3 = frag.start, frag.end
         read_score = frag.score
+        if xml_writer is not None:
+            xml_writer.maybe_realloc(q_len)
         if read_score:
             points.len = 0
             proceed = True
@@ -1005,6 +1072,8 @@ def assemble_template(tindex: TemplateIndex, t_len: int, frags: List[Frag],
                 min(t_len, stats3), cfg.mq, rew, points, kmersize,
                 traceback=True, circular=cfg.circular, ts=cfg.ts,
                 skip_tails=cfg.skip_tail_aln)
+            if xml_writer is not None:
+                xml_writer.overlay(aligned)
             aln_len = st.len
             start = st.pos
             end = start + aln_len - st.tGaps
@@ -1032,6 +1101,9 @@ def assemble_template(tindex: TemplateIndex, t_len: int, frags: List[Frag],
                 if sam_out is not None:
                     from .out.sam import sam_record
                     sam_record(codes, header, name, aligned, stats, sam_out)
+                if xml_writer is not None:
+                    xml_writer.hit(xml_template, header, aligned, st,
+                                   stats[4])
             elif sam_out is not None and not (cfg.sam & 2096):
                 from .out.sam import sam_record
                 stats = [frag.best_hits, read_score, start,
@@ -1046,6 +1118,10 @@ def assemble_template(tindex: TemplateIndex, t_len: int, frags: List[Frag],
         call_consensus(matrix, assem, tindex.codes, t_len, cfg.bcd,
                        cfg.evalue, cfg.support, cfg.base_caller,
                        cfg.significant)
+        # dual-gap trim is part of assemble_KMA itself (assembly.c:
+        # 2094-2119, skipped for -dense) so xml entropy sees trimmed q
+        if not cfg.dense:
+            trim_dual_gaps(assem)
     else:
         assem.t = np.empty(0, np.uint8)
         assem.s = np.empty(0, np.uint8)
@@ -1060,11 +1136,10 @@ def _anker_rc_bytes(tindex, codes, q_len, q_start, q_end, points):
     (score, rc_codes_or_None); the caller swaps orientation when the rc
     strand won (the reference strrc's qseq in place) but keeps the
     original q-bounds (anker_rc only swaps its locals)."""
-    n_pos = np.flatnonzero(codes == 4).astype(np.int64)
-    n_pos_r = np.sort((q_len - 1) - n_pos[::-1]) if len(n_pos) else n_pos
+    from .align.kma_aln import anker_rc_bytes
     rc = rc_codes(codes)
-    res = anker_rc_comp(tindex, codes, rc, n_pos, n_pos_r, q_len, q_start,
-                        q_end, points, 0)
+    res = anker_rc_bytes(tindex, codes, rc, q_len, q_start, q_end, points,
+                         0)
     if res < 0:
         return -res, rc
     return res, None
