@@ -133,6 +133,21 @@ def map_main(argv: List[str]) -> int:
         elif a == "-mp":
             i += 1
             cfg.min_phred = int(argv[i])
+        elif a == "-mi":
+            i += 1
+            cfg.hardmask_q = int(argv[i])
+        elif a == "-eq":
+            i += 1
+            cfg.min_q = int(argv[i])
+        elif a == "-5p":
+            i += 1
+            cfg.five_clip = int(argv[i])
+        elif a == "-3p":
+            i += 1
+            cfg.three_clip = int(argv[i])
+        elif a == "-xl":
+            i += 1
+            cfg.max_len = int(argv[i])
         elif a == "-ml":
             i += 1
             cfg.min_len = int(argv[i])
@@ -234,6 +249,8 @@ def map_main(argv: List[str]) -> int:
             cfg.verbose = 1
         elif a == "-mem_mode":
             cfg.mem_mode = True
+        elif a == "-qc":
+            cfg.qc_report += 1
         elif a == "-Sparse":
             cfg.sparse = True
         elif a == "-deCon":
@@ -277,7 +294,8 @@ def map_main(argv: List[str]) -> int:
                           min_phred=cfg.min_phred, hardmask_q=cfg.hardmask_q,
                           min_q=cfg.min_q, five_clip=cfg.five_clip,
                           three_clip=cfg.three_clip, min_len=cfg.min_len,
-                          max_len=cfg.max_len, decon=cfg.deCon)
+                          max_len=cfg.max_len, decon=cfg.deCon,
+                          qc_report=cfg.qc_report)
     return run_kma(db, out, inputs, cfg, exe_cmd=" ".join(["kma"] + argv),
                    pe_files=pe_inputs or None, int_files=int_inputs or None)
 

@@ -112,7 +112,7 @@ class MapConfig:
     vcf: int = 0
     xml: int = 0
     tsv: int = 0
-    qc_report: bool = False
+    qc_report: int = 0       # -qc count (2nd raises verbosity, kma.c:653)
 
     # resources
     threads: int = 1

@@ -42,35 +42,78 @@ class Read:
 def iter_reads(input_files: List[str], min_phred: int = 20,
                hardmask_q: int = 0, min_q: int = 0, five_clip: int = 0,
                three_clip: int = 0, min_len: int = 16,
-               max_len: int = 2147483647) -> Iterator[Read]:
-    """Parse, trim and yield reads (run_input, runinput.c:370-461)."""
+               max_len: int = 2147483647, qc=None) -> Iterator[Read]:
+    """Parse, trim and yield reads (run_input, runinput.c:370-461).
+
+    With a QCStat, per-read statistics are recorded as phredStat/fsastat
+    do (runinput.c:133-135, 304-306, 359-361) and the fragment counters
+    at the end (runinput.c:448-452)."""
+    if min_phred < hardmask_q:  # kma.c:1554-1556
+        min_phred = hardmask_q
     if min_phred < min_q:
         min_phred = min_q
+    count = 0
+    org = 0
+    scale = 33
     for path in input_files:
         fmt = detect_format(path)
         if fmt == "fastq":
             scale = sniff_phred_scale(path)
             for header, codes, qual in parse_fastq(path):
+                org += 1
+                if qc is not None:
+                    qc.org_read(len(codes))
+                st = {} if qc is not None else None
                 ln, start, end = phred_stat(codes, qual, scale, min_phred,
                                             min_q, hardmask_q, min_len,
-                                            max_len)
+                                            max_len, stats_out=st)
+                if qc is not None and min_len <= ln and "skip" not in st:
+                    qc.update(st["len"], st["gc"], st["ns"], st["sp"])
                 if min_len <= ln:
+                    count += 1
                     yield Read(codes[start:end].copy(), header[1:] + b"\x00")
         else:
             for header, codes in parse_fasta(path):
+                org += 1
+                if qc is not None:
+                    qc.org_read(len(codes))
                 ln, start, end = fsa_stat(codes, min_len, max_len)
+                # fsastat's QC gate uses the N-inclusive length
+                if qc is not None and min_len <= end - start:
+                    gc, ns, _sp = qc.read_stats(codes[start:end], None, 33)
+                    qc.update(end - start, gc, ns, 0.0)
                 if min_len <= ln:
+                    count += 1
                     yield Read(codes[start:end].copy(), header[1:] + b"\x00")
+    if qc is not None:
+        qc.finish_input(count, org, scale)
 
 
 def iter_read_pairs(pe_files: List[str], min_phred: int = 20,
                     hardmask_q: int = 0, min_q: int = 0, min_len: int = 16,
-                    max_len: int = 2147483647):
+                    max_len: int = 2147483647, qc=None):
     """Paired files (run_input_PE, runinput.c:463-606): yields
     (read1, read2) when both mates survive trimming, (read, None) when
     only one does."""
+    if min_phred < hardmask_q:  # kma.c:1554-1556
+        min_phred = hardmask_q
     if min_phred < min_q:
         min_phred = min_q
+    count = 0
+    org = 0
+    last_scale = 33
+
+    def _qc_mate(codes, st, start, end, ln):
+        if qc is None:
+            return
+        qc.org_read(len(codes))
+        if st is not None:
+            if min_len <= ln and "skip" not in st:
+                qc.update(st["len"], st["gc"], st["ns"], st["sp"])
+        elif min_len <= end - start:
+            gc, ns, _sp = qc.read_stats(codes[start:end], None, 33)
+            qc.update(end - start, gc, ns, 0.0)
+
     for fi in range(0, len(pe_files), 2):
         f1, f2 = pe_files[fi], pe_files[fi + 1]
         fmt = detect_format(f1)
@@ -78,39 +121,58 @@ def iter_read_pairs(pe_files: List[str], min_phred: int = 20,
             scale = sniff_phred_scale(f1) or sniff_phred_scale(f2)
             it1 = parse_fastq(f1)
             it2 = parse_fastq(f2)
+            last_scale = scale
             for (h1, c1, q1), (h2, c2, q2) in zip(it1, it2):
+                org += 1
+                st1 = {} if qc is not None else None
                 l1, s1, e1 = phred_stat(c1, q1, scale, min_phred, min_q,
-                                        hardmask_q, min_len, max_len)
+                                        hardmask_q, min_len, max_len,
+                                        stats_out=st1)
+                _qc_mate(c1, st1, s1, e1, l1)
+                st2 = {} if qc is not None else None
                 l2, s2, e2 = phred_stat(c2, q2, scale, min_phred, min_q,
-                                        hardmask_q, min_len, max_len)
+                                        hardmask_q, min_len, max_len,
+                                        stats_out=st2)
+                _qc_mate(c2, st2, s2, e2, l2)
                 r1 = Read(c1[s1:e1].copy(), h1[1:] + b"\x00", True) \
                     if min_len <= l1 else None
                 r2 = Read(c2[s2:e2].copy(), h2[1:] + b"\x00") \
                     if min_len <= l2 else None
                 if r1 is not None and r2 is not None:
+                    count += 1
                     yield r1, r2
                 elif r1 is not None:
+                    count += 1
                     r1.mate_first = False
                     yield r1, None
                 elif r2 is not None:
+                    count += 1
                     yield r2, None
         else:
             it1 = parse_fasta(f1)
             it2 = parse_fasta(f2)
             for (h1, c1), (h2, c2) in zip(it1, it2):
+                org += 1
                 l1, s1, e1 = fsa_stat(c1, min_len, max_len)
+                _qc_mate(c1, None, s1, e1, l1)
                 l2, s2, e2 = fsa_stat(c2, min_len, max_len)
+                _qc_mate(c2, None, s2, e2, l2)
                 r1 = Read(c1[s1:e1].copy(), h1[1:] + b"\x00", True) \
                     if min_len <= l1 else None
                 r2 = Read(c2[s2:e2].copy(), h2[1:] + b"\x00") \
                     if min_len <= l2 else None
                 if r1 is not None and r2 is not None:
+                    count += 1
                     yield r1, r2
                 elif r1 is not None:
+                    count += 1
                     r1.mate_first = False
                     yield r1, None
                 elif r2 is not None:
+                    count += 1
                     yield r2, None
+    if qc is not None:
+        qc.finish_input(count, org, last_scale)
 
 
 def write_step1_record(f: BinaryIO, read: Read) -> None:

@@ -33,7 +33,22 @@ COMP = np.array([3, 2, 1, 0, 4, 5], dtype=np.uint8)
 
 # phred error-probability table prob[q] = 10^(-q/10) for raw byte q, offset
 # by phredScale at use (kma.c:219-250 inlines prob[0..255])
-PROB = np.power(10.0, -0.1 * np.arange(256, dtype=np.float64))
+def _phred_prob_table() -> np.ndarray:
+    """The reference's inlined phred->error-probability table (kma.c:
+    219-250) holds %.32f-rounded glibc pow(10, -q/10) values; reconstruct
+    the exact doubles instead of copying the literals."""
+    import ctypes
+    try:
+        libm = ctypes.CDLL("libm.so.6")
+        libm.pow.restype = ctypes.c_double
+        libm.pow.argtypes = [ctypes.c_double, ctypes.c_double]
+        raw = [libm.pow(10.0, -0.1 * i) for i in range(256)]
+    except OSError:  # pragma: no cover
+        raw = [10.0 ** (-0.1 * i) for i in range(256)]
+    return np.array([float("%.32f" % v) for v in raw], dtype=np.float64)
+
+
+PROB = _phred_prob_table()
 
 
 def open_maybe_gz(path: str) -> io.BufferedReader:
@@ -223,14 +238,21 @@ def rc_codes(codes: np.ndarray) -> np.ndarray:
 
 def phred_stat(codes: np.ndarray, qual: np.ndarray, phred_scale: int,
                min_phred: int, min_q: int, hardmask_q: int,
-               min_len: int, max_len: int) -> Tuple[int, int, int]:
+               min_len: int, max_len: int,
+               stats_out: Optional[dict] = None) -> Tuple[int, int, int]:
     """Bidirectional phred trimming (phredStat, runinput.c:127-313).
 
     Mutates `codes` (hardmasking to N) like the reference mutates seq.
+    QUIRK kept: the hardmask compare is RAW qual byte vs the raw -mi value
+    (runinput.c:179) -- no phred-scale adjustment.
     Returns (effective_len, start, end); effective_len = (end-start) - #N.
+    stats_out (for -qc) receives the C-tracked {len, gc, ns, sp} whose
+    accumulate-then-subtract float order decides the Q histogram bin.
     """
     length = len(codes)
     if max_len < length:
+        if stats_out is not None:
+            stats_out["skip"] = True
         return 0, 0, 0
 
     minPhred = phred_scale + min_phred  # caller passes phredScale+minPhred
@@ -241,81 +263,80 @@ def phred_stat(codes: np.ndarray, qual: np.ndarray, phred_scale: int,
         end -= 1
     ln = end - start
 
-    if not min_q and not hardmask_q:
+    if not min_q and not hardmask_q and stats_out is None:
         return ln, start, end
 
-    prob = PROB  # prob[q - phredScale]; reference passes prob - phredScale
-    q = qual[start:end].astype(np.int32) - phred_scale
+    # gc/ns/sp accumulation with in-place hardmasking (runinput.c:171-185);
+    # sp MUST be a plain sequential sum: its rounding picks the Q bin
     seg = codes[start:end]
-    hm = hardmask_q + phred_scale
-    mask = (seg == 4) | (qual[start:end] < hm)
+    mask = (seg == 4) | (qual[start:end] < hardmask_q)
     seg[mask] = 4
     ns = int(mask.sum())
-    sp = float(PROB[np.clip(q, 0, 255)].sum())
-    del prob
+    gc = int((((seg == 1) | (seg == 2)) & ~mask).sum())
+    sp = 0.0
+    for v in PROB[np.clip(qual[start:end].astype(np.int32)
+                          - phred_scale, 0, 255)].tolist():
+        sp += v
 
     minP = math.pow(10.0, -0.1 * min_q)
     if min_len <= (ln - ns) and (minP * ln) < sp:
         # iterative worst-end segment removal (runinput.c:192-301)
-        # python loop mirror of the two-pointer algorithm
         quals = qual
         sptr = codes
-        l5 = ns5 = 0
+        l5 = ns5 = gc5 = 0
         sp5 = 0.0
         p3 = end - 1
-        l3 = ns3 = 0
+        l3 = ns3 = gc3 = 0
         sp3 = 0.0
 
-        def take3(p3, l3, ns3, sp3, limit):
-            while l3 < limit and quals[p3] >= minPhred:
-                sp3 += PROB[max(0, quals[p3] - phred_scale)]
-                l3 += 1
-                if sptr[p3] == 4:
-                    ns3 += 1
-                p3 -= 1
-            while l3 < limit and quals[p3] < minPhred:
-                sp3 += PROB[max(0, quals[p3] - phred_scale)]
-                l3 += 1
-                if sptr[p3] == 4:
-                    ns3 += 1
-                p3 -= 1
-            return p3, l3, ns3, sp3
+        def take3(p3, l3, ns3, gc3, sp3, limit):
+            for gate in (True, False):
+                while l3 < limit and (quals[p3] >= minPhred) == gate:
+                    sp3 += PROB[max(0, quals[p3] - phred_scale)]
+                    l3 += 1
+                    if sptr[p3] == 1 or sptr[p3] == 2:
+                        gc3 += 1
+                    elif sptr[p3] == 4:
+                        ns3 += 1
+                    p3 -= 1
+            return p3, l3, ns3, gc3, sp3
 
-        def take5(p5, l5, ns5, sp5, limit):
-            while l5 < limit and quals[p5] >= minPhred:
-                sp5 += PROB[max(0, quals[p5] - phred_scale)]
-                l5 += 1
-                if sptr[p5] == 4:
-                    ns5 += 1
-                p5 += 1
-            while l5 < limit and quals[p5] < minPhred:
-                sp5 += PROB[max(0, quals[p5] - phred_scale)]
-                l5 += 1
-                if sptr[p5] == 4:
-                    ns5 += 1
-                p5 += 1
-            return p5, l5, ns5, sp5
+        def take5(p5, l5, ns5, gc5, sp5, limit):
+            for gate in (True, False):
+                while l5 < limit and (quals[p5] >= minPhred) == gate:
+                    sp5 += PROB[max(0, quals[p5] - phred_scale)]
+                    l5 += 1
+                    if sptr[p5] == 1 or sptr[p5] == 2:
+                        gc5 += 1
+                    elif sptr[p5] == 4:
+                        ns5 += 1
+                    p5 += 1
+            return p5, l5, ns5, gc5, sp5
 
         p5 = start
-        p3, l3, ns3, sp3 = take3(p3, l3, ns3, sp3, ln)
+        p3, l3, ns3, gc3, sp3 = take3(p3, l3, ns3, gc3, sp3, ln)
         while min_len <= (ln - ns) and (minP * ln) < sp:
             if (sp5 * l3) < (sp3 * l5):
                 end -= l3
                 ns -= ns3
+                gc -= gc3
                 ln -= l3
                 sp -= sp3
-                l3 = ns3 = 0
+                l3 = ns3 = gc3 = 0
                 sp3 = 0.0
-                p3, l3, ns3, sp3 = take3(p3, l3, ns3, sp3, ln)
+                p3, l3, ns3, gc3, sp3 = take3(p3, l3, ns3, gc3, sp3, ln)
             else:
                 start += l5
                 ln -= l5
                 ns -= ns5
+                gc -= gc5
                 sp -= sp5
-                l5 = ns5 = 0
+                l5 = ns5 = gc5 = 0
                 sp5 = 0.0
-                p5, l5, ns5, sp5 = take5(p5, l5, ns5, sp5, ln)
+                p5, l5, ns5, gc5, sp5 = take5(p5, l5, ns5, gc5, sp5, ln)
 
+    if stats_out is not None:
+        stats_out.update(len=ln, gc=gc, ns=ns, sp=sp)
     return ln - ns, start, end
 
 

@@ -280,7 +280,8 @@ def run_sparse(db_prefix: str, inputs: List[str], out_prefix: str,
                evalue: float = 0.05, ss: str = "q", min_phred: int = 20,
                hardmask_q: int = 0, min_q: int = 0, five_clip: int = 0,
                three_clip: int = 0, min_len: int = 16,
-               max_len: int = 2147483647, decon: bool = False) -> int:
+               max_len: int = 2147483647, decon: bool = False,
+               qc_report: int = 0) -> int:
     """Full sparse pipeline: translate reads to k-mers, count matches,
     greedily emit the .spa table (save_kmers_sparse_batch, sparse.c:
     338-797; -deCon uses .decon.comp.b and the contamination-withdrawal
@@ -317,11 +318,15 @@ def run_sparse(db_prefix: str, inputs: List[str], out_prefix: str,
             return np.fromiter((int(k) in keyset for k in kmers),
                                dtype=bool, count=len(kmers))
 
+    qc = None
+    if qc_report:
+        from ..utils.qc import QCStat
+        qc = QCStat(qc_report - 1)
     ntot = 0
     for read in iter_reads(inputs, min_phred=max(min_phred, hardmask_q),
                            hardmask_q=hardmask_q, min_q=min_q,
                            five_clip=five_clip, three_clip=three_clip,
-                           min_len=min_len, max_len=max_len):
+                           min_len=min_len, max_len=max_len, qc=qc):
         kmers = translate_read(read.codes, idx.kmersize, idx.prefix_len,
                                idx.prefix if idx.prefix_len else 0)
         ntot += len(kmers)
@@ -330,6 +335,12 @@ def run_sparse(db_prefix: str, inputs: List[str], out_prefix: str,
         arr = np.asarray(kmers, dtype=np.uint64)
         for km in arr[present(arr)].tolist():
             found.count(km)
+
+    if qc is not None:
+        from ..utils.qc import print_qcstat
+        with open(out_prefix + ".json", "w") as jf:
+            print_qcstat(qc, min_q, max(min_phred, hardmask_q), hardmask_q,
+                         min_len, max_len, five_clip, three_clip, jf)
 
     if out_prefix == "--":
         spa = sys.stdout

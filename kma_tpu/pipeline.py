@@ -600,10 +600,16 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             hit = scanner.scan(read.codes, read.n_positions, read.header)
             return [hit] if hit is not None else []
 
+    qc = None
+    if cfg.qc_report:
+        from .utils.qc import QCStat
+        qc = QCStat(cfg.qc_report - 1)
+
     if input_files and input_files != ["--"] or not pe_files:
         for read in iter_reads(input_files, min_phred=cfg.min_phred,
                                hardmask_q=cfg.hardmask_q, min_q=cfg.min_q,
-                               min_len=cfg.min_len, max_len=cfg.max_len):
+                               min_len=cfg.min_len, max_len=cfg.max_len,
+                               qc=qc):
             for hit in scan_one(read):
                 handle_se_anker(hit.codes, hit.n_positions, hit.rc_flag,
                                 hit.templates, hit.header, hit.flag)
@@ -614,7 +620,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         for r1, r2 in iter_read_pairs(pe_files, min_phred=cfg.min_phred,
                                       hardmask_q=cfg.hardmask_q,
                                       min_q=cfg.min_q, min_len=cfg.min_len,
-                                      max_len=cfg.max_len):
+                                      max_len=cfg.max_len, qc=qc):
             if r2 is None:
                 hit = scanner.scan(r1.codes, r1.n_positions, r1.header)
                 if hit is not None:
@@ -667,6 +673,13 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                 continue
             for (c, npos_, sc, tl, h, f) in pa.records:
                 handle_se_anker(c, npos_, sc, tl, h, f)
+
+    if qc is not None:
+        from .utils.qc import print_qcstat
+        with open(output_prefix + ".json", "w") as jf:
+            print_qcstat(qc, cfg.min_q, max(cfg.min_phred, cfg.hardmask_q),
+                         cfg.hardmask_q, cfg.min_len, cfg.max_len,
+                         cfg.five_clip, cfg.three_clip, jf)
 
     tot_frags = len(records)
 
@@ -880,22 +893,34 @@ def run_kma_mt1(db_prefix: str, output_prefix: str, input_files: List[str],
                           end=0, header=header, flag=flag_state[0],
                           codes=codes))
 
+    qc = None
+    if cfg.qc_report:
+        from .utils.qc import QCStat
+        qc = QCStat(cfg.qc_report - 1)
     if input_files and input_files != ["--"] or not pe_files:
         for read in iter_reads(input_files, min_phred=cfg.min_phred,
                                hardmask_q=cfg.hardmask_q, min_q=cfg.min_q,
-                               min_len=cfg.min_len, max_len=cfg.max_len):
+                               min_len=cfg.min_len, max_len=cfg.max_len,
+                               qc=qc):
             add(read.codes, read.header)
     if pe_files:
         from .io.pipeline import iter_read_pairs
         for r1, r2 in iter_read_pairs(pe_files, min_phred=cfg.min_phred,
                                       hardmask_q=cfg.hardmask_q,
                                       min_q=cfg.min_q, min_len=cfg.min_len,
-                                      max_len=cfg.max_len):
+                                      max_len=cfg.max_len, qc=qc):
             if r2 is None:
                 add(r1.codes, r1.header)
             else:
                 add(r1.codes, r1.header, flag=97)
                 add(rc_codes(r2.codes), r2.header, flag=145)
+
+    if qc is not None:
+        from .utils.qc import print_qcstat
+        with open(output_prefix + ".json", "w") as jf:
+            print_qcstat(qc, cfg.min_q, max(cfg.min_phred, cfg.hardmask_q),
+                         cfg.hardmask_q, cfg.min_len, cfg.max_len,
+                         cfg.five_clip, cfg.three_clip, jf)
 
     # outputs (mt1.c:121-186)
     res_out = open(output_prefix + ".res", "w")
