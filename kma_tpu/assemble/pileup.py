@@ -133,6 +133,35 @@ class AssemblyMatrix:
                 i += 1
                 pos = nxt[pos]
 
+    def aln_to_mat_dense(self, assem: Assem, aln_t: np.ndarray,
+                         aln_s: np.ndarray, aln_q: np.ndarray, score: int,
+                         start: int, flag: int):
+        """alnToMatDense (assembly.c:1446-1497): insertions (t gaps) are
+        skipped so the matrix stays one cell per template position."""
+        aln_len = len(aln_t)
+        assem.score += score
+        if not (flag & 2) or (flag & 64):
+            assem.fragmentCountAln += 1
+        assem.readCountAln += 1
+        # trim trailing dual gaps (C guard `i < aln_len` only stops via
+        # the content check in practice)
+        i = aln_len - 1
+        while 0 <= i and (aln_t[i] == 5 or aln_q[i] == 5):
+            i -= 1
+        aln_len = i + 1
+        # the reference's leading trim is dead code (`while(i && ...)`
+        # with i == 0 never runs, assembly.c:1476)
+        i = 0
+        pos = start
+        counts = self.counts
+        nxt = self.next
+        while i < aln_len:
+            if aln_t[i] != 5:
+                c = counts[pos, aln_q[i]] + 1
+                counts[pos, aln_q[i]] = USHRT_MAX if c > USHRT_MAX else c
+                pos = nxt[pos]
+            i += 1
+
     def walk(self):
         """Positions in chain order from 0 (insertions interleaved)."""
         order = np.empty(self.len, dtype=np.int64)

@@ -167,6 +167,7 @@ def map_main(argv: List[str]) -> int:
             if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
                 i += 1
                 cfg.support = float(argv[i])
+                cfg.support_static = cfg.support
                 cfg.significant = "support"
         elif a == "-bc90":
             cfg.significant = "and90"
@@ -194,6 +195,85 @@ def map_main(argv: List[str]) -> int:
             cfg.cmp_mode = "and"
         elif a == "-oa":
             cfg.cmp_mode = "true"
+            cfg.ID_t = 0.0
+            cfg.Depth_t = 0.0
+        elif a == "-reward":
+            i += 1
+            cfg.penalties.M = abs(int(argv[i]))
+        elif a == "-penalty":
+            i += 1
+            v = int(argv[i])
+            cfg.penalties.MM = min(-v, v)
+        elif a == "-gapopen":
+            i += 1
+            v = int(argv[i])
+            cfg.penalties.W1 = min(-v, v)
+        elif a == "-gapextend":
+            i += 1
+            v = int(argv[i])
+            cfg.penalties.U = min(-v, v)
+        elif a == "-localopen":
+            i += 1
+            v = int(argv[i])
+            cfg.penalties.Wl = min(-v, v)
+        elif a == "-Npenalty":
+            i += 1
+            v = int(argv[i])
+            cfg.penalties.Mn = min(-v, v)
+        elif a == "-per":
+            i += 1
+            cfg.penalties.PE = abs(int(argv[i]))
+        elif a == "-transition":
+            i += 1
+            v = int(argv[i])
+            cfg.penalties.Ts = min(-v, v)
+        elif a == "-transversion":
+            i += 1
+            v = int(argv[i])
+            cfg.penalties.Tv = min(-v, v)
+        elif a == "-cge":
+            # kma.c:1024-1030
+            cfg.score_t = 0.5
+            cfg.penalties.M = 1
+            cfg.penalties.MM = -3
+            cfg.penalties.W1 = -5
+            cfg.penalties.U = -1
+            cfg.penalties.PE = 17
+        elif a == "-mint2":
+            # kma.c:1069-1094: -1t1 -mem_mode -ca -cge(mrs .75) -mq 1
+            # -ref_fsa 2 -dense -bcg -bcd 10 -bc 0.9 -vcf -ef
+            cfg.one2one = True
+            cfg.mem_mode = True
+            cfg.circular = True
+            cfg.score_t = 0.75
+            cfg.penalties.M = 1
+            cfg.penalties.MM = -3
+            cfg.penalties.W1 = -5
+            cfg.penalties.U = -1
+            cfg.penalties.PE = 17
+            cfg.mq = 1
+            cfg.ref_fsa = 2
+            cfg.dense = True
+            cfg.base_caller = "org"
+            cfg.bcd = 10
+            cfg.significant = "support"
+            cfg.support_static = 0.9  # mint2 leaves the support VAR at 0
+            cfg.vcf = 1
+            cfg.ef = True
+        elif a == "-mint3":
+            # kma.c:1095-1114
+            cfg.one2one = True
+            cfg.mem_mode = True
+            cfg.circular = True
+            cfg.mq = 1
+            cfg.ref_fsa = 2
+            cfg.dense = True
+            cfg.base_caller = "nano"
+            cfg.bcd = 10
+            cfg.significant = "support"
+            cfg.support_static = 0.7  # mint3 leaves the support VAR at 0
+            cfg.vcf = 1
+            cfg.ef = True
         elif a == "-ca":
             cfg.circular = True
         elif a == "-ts":

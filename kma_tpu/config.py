@@ -88,7 +88,8 @@ class MapConfig:
     # ConClave / significance
     conclave: int = 1
     evalue: float = 0.05
-    support: float = 0.0
+    support: float = 0.0        # the `support` VARIABLE (vcf.c FT gates)
+    support_static: float = 0.0  # significantAndSupport's static threshold
     max_frag: int = 1000000
     cmp_mode: str = "or"     # -and/-oa -> cmp combinator (stdstat.c:25-35)
 

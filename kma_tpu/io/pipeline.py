@@ -91,10 +91,12 @@ def iter_reads(input_files: List[str], min_phred: int = 20,
 
 def iter_read_pairs(pe_files: List[str], min_phred: int = 20,
                     hardmask_q: int = 0, min_q: int = 0, min_len: int = 16,
-                    max_len: int = 2147483647, qc=None):
+                    max_len: int = 2147483647, qc=None,
+                    interleaved: bool = False):
     """Paired files (run_input_PE, runinput.c:463-606): yields
     (read1, read2) when both mates survive trimming, (read, None) when
-    only one does."""
+    only one does.  interleaved=True treats each file as -int input
+    (run_input_INT, runinput.c:608-730)."""
     if min_phred < hardmask_q:  # kma.c:1554-1556
         min_phred = hardmask_q
     if min_phred < min_q:
@@ -114,15 +116,35 @@ def iter_read_pairs(pe_files: List[str], min_phred: int = 20,
             gc, ns, _sp = qc.read_stats(codes[start:end], None, 33)
             qc.update(end - start, gc, ns, 0.0)
 
-    for fi in range(0, len(pe_files), 2):
-        f1, f2 = pe_files[fi], pe_files[fi + 1]
+    if interleaved:
+        # run_input_INT (runinput.c:608-730): consecutive records pair up
+        def _pairwise(it):
+            while True:
+                try:
+                    a = next(it)
+                    b = next(it)
+                except StopIteration:
+                    return
+                yield a, b
+        file_pairs = [(f, f) for f in pe_files]
+    else:
+        file_pairs = [(pe_files[fi], pe_files[fi + 1])
+                      for fi in range(0, len(pe_files), 2)]
+
+    for f1, f2 in file_pairs:
         fmt = detect_format(f1)
         if fmt == "fastq":
             scale = sniff_phred_scale(f1) or sniff_phred_scale(f2)
-            it1 = parse_fastq(f1)
-            it2 = parse_fastq(f2)
+            if interleaved:
+                it1 = it2 = None
+                pair_iter = _pairwise(parse_fastq(f1))
+            else:
+                it1 = parse_fastq(f1)
+                it2 = parse_fastq(f2)
             last_scale = scale
-            for (h1, c1, q1), (h2, c2, q2) in zip(it1, it2):
+            if not interleaved:
+                pair_iter = zip(it1, it2)
+            for (h1, c1, q1), (h2, c2, q2) in pair_iter:
                 org += 1
                 st1 = {} if qc is not None else None
                 l1, s1, e1 = phred_stat(c1, q1, scale, min_phred, min_q,
@@ -149,9 +171,11 @@ def iter_read_pairs(pe_files: List[str], min_phred: int = 20,
                     count += 1
                     yield r2, None
         else:
-            it1 = parse_fasta(f1)
-            it2 = parse_fasta(f2)
-            for (h1, c1), (h2, c2) in zip(it1, it2):
+            if interleaved:
+                pair_iter_f = _pairwise(parse_fasta(f1))
+            else:
+                pair_iter_f = zip(parse_fasta(f1), parse_fasta(f2))
+            for (h1, c1), (h2, c2) in pair_iter_f:
                 org += 1
                 l1, s1, e1 = fsa_stat(c1, min_len, max_len)
                 _qc_mate(c1, None, s1, e1, l1)

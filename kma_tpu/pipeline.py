@@ -605,7 +605,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         from .utils.qc import QCStat
         qc = QCStat(cfg.qc_report - 1)
 
-    if input_files and input_files != ["--"] or not pe_files:
+    if input_files and input_files != ["--"] or not (pe_files or int_files):
         for read in iter_reads(input_files, min_phred=cfg.min_phred,
                                hardmask_q=cfg.hardmask_q, min_q=cfg.min_q,
                                min_len=cfg.min_len, max_len=cfg.max_len,
@@ -614,13 +614,25 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                 handle_se_anker(hit.codes, hit.n_positions, hit.rc_flag,
                                 hit.templates, hit.header, hit.flag)
 
-    if pe_files:
+    def _pair_stream():
         from .io.pipeline import iter_read_pairs
+        if pe_files:
+            yield from iter_read_pairs(pe_files, min_phred=cfg.min_phred,
+                                       hardmask_q=cfg.hardmask_q,
+                                       min_q=cfg.min_q,
+                                       min_len=cfg.min_len,
+                                       max_len=cfg.max_len, qc=qc)
+        if int_files:
+            yield from iter_read_pairs(int_files, min_phred=cfg.min_phred,
+                                       hardmask_q=cfg.hardmask_q,
+                                       min_q=cfg.min_q,
+                                       min_len=cfg.min_len,
+                                       max_len=cfg.max_len, qc=qc,
+                                       interleaved=True)
+
+    if pe_files or int_files:
         from .mapping.pair import save_kmers_union_pair
-        for r1, r2 in iter_read_pairs(pe_files, min_phred=cfg.min_phred,
-                                      hardmask_q=cfg.hardmask_q,
-                                      min_q=cfg.min_q, min_len=cfg.min_len,
-                                      max_len=cfg.max_len, qc=qc):
+        for r1, r2 in _pair_stream():
             if r2 is None:
                 hit = scanner.scan(r1.codes, r1.n_positions, r1.header)
                 if hit is not None:
@@ -833,7 +845,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                 from .assemble.pileup import make_base_caller
                 from .out.vcf import vcf_rows
                 bc = make_base_caller(cfg.base_caller, cfg.significant,
-                                      cfg.evalue, cfg.support)
+                                      cfg.evalue, cfg.support_static)
                 vcf_out.write(vcf_rows(
                     name, assem.t, cfg.evalue, cfg.support, cfg.bcd,
                     t_len, matrix, cfg.vcf,
@@ -1007,7 +1019,7 @@ def run_kma_mt1(db_prefix: str, output_prefix: str, input_files: List[str],
                 from .assemble.pileup import make_base_caller
                 from .out.vcf import vcf_rows
                 bc = make_base_caller(cfg.base_caller, cfg.significant,
-                                      cfg.evalue, cfg.support)
+                                      cfg.evalue, cfg.support_static)
                 vcf_out.write(vcf_rows(
                     name, assem.t, cfg.evalue, cfg.support, cfg.bcd, t_len,
                     matrix, cfg.vcf,
@@ -1119,8 +1131,14 @@ def assemble_template(tindex: TemplateIndex, t_len: int, frags: List[Frag],
             if 0 < read_score and cfg.score_t <= score:
                 stats = [frag.best_hits, read_score, start,
                          end - t_len if t_len < end else end, frag.flag]
-                matrix.aln_to_mat(assem, aligned.t, aligned.s, aligned.q,
-                                  st.score, st.pos, frag.flag)
+                if cfg.dense:
+                    matrix.aln_to_mat_dense(assem, aligned.t, aligned.s,
+                                            aligned.q, st.score, st.pos,
+                                            frag.flag)
+                else:
+                    matrix.aln_to_mat(assem, aligned.t, aligned.s,
+                                      aligned.q, st.score, st.pos,
+                                      frag.flag)
                 if frag_out is not None:
                     frag_out.write(frag_row(codes, stats, name, header))
                 if sam_out is not None:
@@ -1141,7 +1159,7 @@ def assemble_template(tindex: TemplateIndex, t_len: int, frags: List[Frag],
 
     if assem.score:
         call_consensus(matrix, assem, tindex.codes, t_len, cfg.bcd,
-                       cfg.evalue, cfg.support, cfg.base_caller,
+                       cfg.evalue, cfg.support_static, cfg.base_caller,
                        cfg.significant)
         # dual-gap trim is part of assemble_KMA itself (assembly.c:
         # 2094-2119, skipped for -dense) so xml entropy sees trimmed q
