@@ -26,6 +26,7 @@ class Penalty:
     W1: int
     Wl: int
     d: np.ndarray
+    PE: int = 7
 
 
 class Points:

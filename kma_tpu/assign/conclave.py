@@ -78,6 +78,9 @@ def run_conclave1(records: List[FragRecord], db_size: int,
     end to match the file order consumed by assembly.
     """
     frag_lists: Dict[int, List[Frag]] = {}
+    # a 0-hit record (possible from penalty/force PE) reads the previous
+    # record's buffer slots in the reference (conclave.c:125-127)
+    stale = (0, 0, 0)
     for rec in records:
         best_hits = abs(rec.best_hits)
         read_score = abs(rec.score)
@@ -116,10 +119,14 @@ def run_conclave1(records: List[FragRecord], db_size: int,
                     bestNum = u
                     start = rec.starts[i]
                     end = rec.ends[i]
-        else:
+        elif rec.templates:
             bestTemplate = rec.templates[0]
             start = rec.starts[0]
             end = rec.ends[0]
+        else:
+            bestTemplate, start, end = stale
+        if rec.templates:
+            stale = (rec.templates[0], rec.starts[0], rec.ends[0])
 
         codes = rec.codes
         header = rec.header
@@ -166,6 +173,8 @@ def _cc1_choice(rec: FragRecord, alignment_scores, uniq_alignment_scores,
     conclave.c:604)."""
     best_hits = abs(rec.best_hits)
     if best_hits <= 1:
+        if not rec.templates:
+            return None  # caller substitutes its stale buffer
         return rec.templates[0], rec.starts[0], rec.ends[0]
     bestTemplate = init_bt
     bestScore = 0.0
@@ -224,11 +233,14 @@ def run_conclave2(records: List[FragRecord], db_size: int,
     """
     from ..utils.stats import p_chisqr
 
-    # pass A
+    # pass A (stale-buffer fallback for 0-hit records as in CC1)
+    stale_bt = 0
     for rec in records:
-        bt, _s, _e = _cc1_choice(rec, alignment_scores,
-                                 uniq_alignment_scores, template_lengths,
-                                 lc)
+        res = _cc1_choice(rec, alignment_scores, uniq_alignment_scores,
+                          template_lengths, lc)
+        bt = stale_bt if res is None else res[0]
+        if rec.templates:
+            stale_bt = rec.templates[0]
         w_scores[abs(bt)] += abs(rec.score)
 
     Nhits = int(w_scores[1:db_size].sum())
@@ -266,6 +278,9 @@ def run_conclave2(records: List[FragRecord], db_size: int,
     # pass C
     w_scores[:] = 0
     frag_lists: Dict[int, List[Frag]] = {}
+    # a 0-hit record (possible from penalty/force PE) reads the previous
+    # record's buffer slots in the reference (conclave.c:125-127)
+    stale = (0, 0, 0)
     for rec in records:
         best_hits = abs(rec.best_hits)
         read_score = abs(rec.score)
@@ -299,13 +314,20 @@ def run_conclave2(records: List[FragRecord], db_size: int,
             else:
                 tot = 0
             if tot == 0:
-                bestTemplate, start, end = _cc1_choice(
-                    rec, alignment_scores, uniq_alignment_scores,
-                    template_lengths, lc, init_bt=0)
-        else:
+                res = _cc1_choice(rec, alignment_scores,
+                                  uniq_alignment_scores, template_lengths,
+                                  lc, init_bt=0)
+                # pass C runs the cascade even over 0 candidates -> 0
+                bestTemplate, start, end = res if res is not None \
+                    else (0, 0, 0)
+        elif rec.templates:
             bestTemplate = rec.templates[0]
             start = rec.starts[0]
             end = rec.ends[0]
+        else:
+            bestTemplate, start, end = stale
+        if rec.templates:
+            stale = (rec.templates[0], rec.starts[0], rec.ends[0])
 
         codes = rec.codes
         flag = rec.flag

@@ -329,6 +329,16 @@ def map_main(argv: List[str]) -> int:
             cfg.verbose = 1
         elif a == "-mem_mode":
             cfg.mem_mode = True
+        elif a == "-pm":
+            i += 1
+            cfg.pair_mode = argv[i][0]
+        elif a == "-fpm":
+            i += 1
+            cfg.fpm = argv[i][0]
+        elif a == "-apm":
+            i += 1
+            cfg.pair_mode = argv[i][0]
+            cfg.fpm = argv[i][0]
         elif a == "-qc":
             cfg.qc_report += 1
         elif a == "-Sparse":

@@ -68,7 +68,8 @@ class MapConfig:
     # mapping (step 2)
     one2one: bool = False    # -1t1 -> save_kmers scanner (kma.c:686-688)
     exhaustive: bool = False  # -ex_mode
-    pair_mode: str = "u"     # -pm/-apm: u(nion)/p(enalty)/f(orce)
+    pair_mode: str = "u"     # -pm/-apm: u(nion)/p(enalty)/f(orce), step 2
+    fpm: str = "u"           # -fpm/-apm: step-3 PE alignment combiner
     deCon: bool = False
     min_frac: float = 1.0    # -proxi
     sparse: bool = False     # -Sparse (sparse.c pipeline)

@@ -348,3 +348,326 @@ def save_kmers_union_pair(idx: KmaIndex, rewards: Penalties,
                      header2, flag_r))
         return PairAnker(recs, 1)
     return PairAnker([], 3)
+
+
+def get_first_pen(bests: List[int], bests_r: List[int], Score, Score_r
+                  ) -> Tuple[int, List[int], List[int]]:
+    """getFirstPen (savekmers.c:1383-1413): ALL mate1 matches of both
+    strands with their scores (rc negative); clears scores."""
+    bestScore = 0
+    region: List[int] = []
+    rscores: List[int] = []
+    for t in bests:
+        s = int(Score[t])
+        if bestScore < s:
+            bestScore = s
+        region.append(t)
+        rscores.append(s)
+        Score[t] = 0
+    for t in bests_r:
+        s = int(Score_r[t])
+        if bestScore < s:
+            bestScore = s
+        region.append(-t)
+        rscores.append(s)
+        Score_r[t] = 0
+    return bestScore, region, rscores
+
+
+def get_second_best_pen(bests: List[int], bests_r: List[int], Score,
+                        Score_r, region: List[int], rscores: List[int],
+                        bestScore: int, PE: int):
+    """getSecondBestPen (savekmers.c:1415-1512).
+
+    Returns (bestScore_r, region_out, pe_found, best2): with a pair the
+    region shrinks to the pair winners; otherwise region keeps mate1's
+    bestScore entries and best2 holds mate2's bestScore_r entries (signed,
+    with the `<=` quirk on rc entries, savekmers.c:1501)."""
+    bestScore_r = 0
+    for t in bests:
+        s = int(Score[t])
+        if bestScore_r < s:
+            bestScore_r = s
+    merged2 = list(bests)
+    for t in bests_r:
+        s = int(Score_r[t])
+        if bestScore_r < s:
+            bestScore_r = s
+        merged2.append(-t)
+
+    best_hits: List[int] = []
+    if bestScore_r:
+        compScore = max(0, bestScore + bestScore_r - PE)
+        for i, t in enumerate(region):
+            s = int(Score_r[t]) if 0 < t else int(Score[-t])
+            if 0 < s:
+                s += rscores[i]
+                if compScore < s:
+                    compScore = s
+                    best_hits = [t]
+                elif compScore == s:
+                    best_hits.append(t)
+
+    if best_hits:
+        for t in merged2:
+            if 0 < t:
+                Score[t] = 0
+            else:
+                Score_r[-t] = 0
+        return bestScore_r, best_hits, True, []
+
+    region_out = [region[i] for i in range(len(region))
+                  if rscores[i] == bestScore]
+    best2: List[int] = []
+    for t in merged2:
+        if 0 < t:
+            if bestScore_r == int(Score[t]):
+                best2.append(t)
+            Score[t] = 0
+        else:
+            if bestScore_r <= int(Score_r[-t]):
+                best2.append(t)
+            Score_r[-t] = 0
+    return bestScore_r, region_out, False, best2
+
+
+def save_kmers_penalty_pair(idx: KmaIndex, rewards: Penalties,
+                            codes1: np.ndarray, codes2: np.ndarray,
+                            header1: bytes, header2: bytes,
+                            exhaustive: bool, Score, Score_r, extendScore,
+                            include) -> Optional[PairAnker]:
+    """save_kmers_penaltyPair (savekmers.c:3572-3777), standard DBs.
+
+    C's print-time comp_rc() restores the scan-flipped read to forward;
+    its absence leaves RC bytes -- translated to explicit fw/rc arrays."""
+    k = idx.kmersize
+    recs = []
+
+    hc1, bests1, bests1_r = get_kmers_for_pair(
+        idx, codes1, rewards, exhaustive, Score, Score_r, extendScore,
+        include)
+    if hc1:
+        bestScore, region, rscores = get_first_pen(bests1, bests1_r, Score,
+                                                   Score_r)
+    else:
+        bestScore, region, rscores = 0, [], []
+
+    hc2, bests2, bests2_r = get_kmers_for_pair(
+        idx, codes2, rewards, exhaustive, Score, Score_r, extendScore,
+        include)
+    pe = False
+    best2: List[int] = []
+    if hc2:
+        if 0 < bestScore:
+            bestScore_r, region, pe, best2 = get_second_best_pen(
+                bests2, bests2_r, Score, Score_r, region, rscores,
+                bestScore, rewards.PE)
+        else:
+            bestScore_r, region = getF_best(bests2, bests2_r, Score,
+                                            Score_r)
+    else:
+        bestScore_r = 0
+
+    rc1 = rc_codes(codes1)
+    rc2 = rc_codes(codes2)
+    len1, len2 = len(codes1), len(codes2)
+    flag, flag_r = 65, 129
+
+    if 0 < bestScore and 0 < bestScore_r:
+        if pe:
+            flag |= 2
+            flag_r |= 2
+            compScore = min(hc1 + hc2, bestScore + bestScore_r)
+            if (k <= compScore
+                    or (len1 + len2 - compScore - (k << 1))
+                    < compScore * k):
+                if 0 < region[0]:
+                    flag |= 32
+                    flag_r |= 16
+                    recs.append((codes1, _npos(codes1), bestScore,
+                                 np.zeros(0, np.int32), header1, flag))
+                    recs.append((rc2, _npos(rc2), bestScore_r,
+                                 np.asarray(region, np.int32), header2,
+                                 flag_r))
+                else:
+                    flag |= 16
+                    flag_r |= 32
+                    neg = [-t for t in region]
+                    recs.append((codes2, _npos(codes2), bestScore_r,
+                                 np.zeros(0, np.int32), header2, flag_r))
+                    recs.append((rc1, _npos(rc1), bestScore,
+                                 np.asarray(neg, np.int32), header1, flag))
+                return PairAnker(recs, 0)
+            return PairAnker([], 3)
+        # both matched without pairing: per-mate gates (savekmers.c:
+        # 3654-3710)
+        h1 = min(hc1, bestScore)
+        emit1 = k <= h1 or (len1 - h1 - k) < h1 * k
+        h2 = min(hc2, bestScore_r)
+        emit2 = k <= h2 or (len2 - h2 - k) < h2 * k
+        if emit1:
+            if 0 < region[0]:
+                seq1, sc1 = codes1, bestScore
+                if region[-1] < 0:
+                    sc1 = -bestScore
+                out1 = region
+            else:
+                flag |= 16
+                flag_r |= 32
+                seq1, sc1 = rc1, bestScore
+                out1 = [-t for t in region]
+        if emit2:
+            if 0 < best2[0]:
+                seq2, sc2 = codes2, bestScore_r
+                if best2[-1] < 0:
+                    sc2 = -bestScore_r
+                out2 = best2
+            else:
+                flag |= 32
+                flag_r |= 16
+                seq2, sc2 = rc2, bestScore_r
+                out2 = [-t for t in best2]
+        if emit1:
+            recs.append((seq1, _npos(seq1), sc1,
+                         np.asarray(out1, np.int32), header1, flag))
+        if emit2:
+            recs.append((seq2, _npos(seq2), sc2,
+                         np.asarray(out2, np.int32), header2, flag_r))
+        return PairAnker(recs, 0 if (emit1 and emit2) else
+                         (2 if emit1 else (1 if emit2 else 3)))
+    if 0 < bestScore:
+        h1 = min(hc1, bestScore)
+        if k <= h1 or (len1 - h1 - k) < h1 * k:
+            flag |= 8 | 32
+            if 0 < region[0]:
+                seq1, sc1 = codes1, bestScore
+                if region[-1] < 0:
+                    sc1 = -bestScore
+                out1 = region
+            else:
+                flag |= 16
+                seq1, sc1 = rc1, bestScore
+                out1 = [-t for t in region]
+            recs.append((seq1, _npos(seq1), sc1,
+                         np.asarray(out1, np.int32), header1, flag))
+        return PairAnker(recs, 2)
+    if 0 < bestScore_r:
+        h2 = min(hc2, bestScore_r)
+        if k <= h2 or (len2 - h2 - k) < h2 * k:
+            flag_r |= 8 | 32
+            if 0 < region[0]:
+                seq2, sc2 = codes2, bestScore_r
+                if region[-1] < 0:
+                    sc2 = -bestScore_r
+                out2 = region
+            else:
+                flag_r |= 16
+                seq2, sc2 = rc2, bestScore_r
+                out2 = [-t for t in region]
+            recs.append((seq2, _npos(seq2), sc2,
+                         np.asarray(out2, np.int32), header2, flag_r))
+        return PairAnker(recs, 1)
+    return PairAnker([], 3)
+
+
+def get_first_force(bests: List[int], bests_r: List[int], Score, Score_r
+                    ) -> Tuple[List[int], List[int]]:
+    """getFirstForce (savekmers.c:1254-1273)."""
+    region: List[int] = []
+    rscores: List[int] = []
+    for t in bests:
+        region.append(t)
+        rscores.append(int(Score[t]))
+        Score[t] = 0
+    for t in bests_r:
+        region.append(-t)
+        rscores.append(int(Score_r[t]))
+        Score_r[t] = 0
+    return region, rscores
+
+
+def get_second_best_force(bests: List[int], bests_r: List[int], Score,
+                          Score_r, region: List[int], rscores: List[int]
+                          ) -> Tuple[int, List[int]]:
+    """getSecondBestForce (savekmers.c:1275-1318); note the caller scanned
+    mate2 with SWAPPED score arrays, so `Score` here holds mate2's RC
+    matches pairing with mate1's forward entries."""
+    best_hits: List[int] = []
+    bestScore = 0
+    for i, t in enumerate(region):
+        s = int(Score[t]) if 0 < t else int(Score_r[-t])
+        if s:
+            s += rscores[i]
+            if bestScore < s:
+                bestScore = s
+                best_hits = [t]
+            elif bestScore == s:
+                best_hits.append(t)
+    for t in bests:
+        Score[t] = 0
+    for t in bests_r:
+        Score_r[t] = 0
+    return bestScore, best_hits
+
+
+def save_kmers_force_pair(idx: KmaIndex, rewards: Penalties,
+                          codes1: np.ndarray, codes2: np.ndarray,
+                          header1: bytes, header2: bytes, exhaustive: bool,
+                          Score, Score_r, extendScore, include
+                          ) -> Optional[PairAnker]:
+    """save_kmers_forcePair (savekmers.c:3779-3864): only proper pairs
+    survive; mate2 is scanned with swapped strand arrays so opposite
+    orientations pair up."""
+    k = idx.kmersize
+
+    hc1, bests1, bests1_r = get_kmers_for_pair(
+        idx, codes1, rewards, exhaustive, Score, Score_r, extendScore,
+        include)
+    if not hc1:
+        return PairAnker([], 1)
+    region, rscores = get_first_force(bests1, bests1_r, Score, Score_r)
+
+    # swapped arrays: mate2 fw -> Score_r, mate2 rc -> Score
+    hc2, bests2, bests2_r = get_kmers_for_pair(
+        idx, codes2, rewards, exhaustive, Score_r, Score, extendScore,
+        include)
+    bestScore = 0
+    best_hits: List[int] = []
+    if hc2:
+        # returned lists: bests2 live in Score_r, bests2_r in Score
+        bestScore, best_hits = get_second_best_force(
+            bests2_r, bests2, Score, Score_r, region, rscores)
+    if hc2 and bestScore:
+        len1, len2 = len(codes1), len(codes2)
+        if k <= bestScore or (len1 + len2 - bestScore) < bestScore * k:
+            flag, flag_r = 67, 131
+            sc = bestScore
+            if best_hits[-1] < 0:
+                sc = -bestScore
+            rc1 = rc_codes(codes1)
+            rc2 = rc_codes(codes2)
+            recs = []
+            if 0 < best_hits[0]:
+                flag |= 32
+                flag_r |= 16
+                recs.append((codes1, _npos(codes1), sc,
+                             np.zeros(0, np.int32), header1, flag))
+                recs.append((rc2, _npos(rc2), sc,
+                             np.asarray(best_hits, np.int32), header2,
+                             flag_r))
+            else:
+                flag |= 16
+                flag_r |= 32
+                neg = [-t for t in best_hits]
+                recs.append((codes2, _npos(codes2), sc,
+                             np.zeros(0, np.int32), header2, flag_r))
+                recs.append((rc1, _npos(rc1), sc,
+                             np.asarray(neg, np.int32), header1, flag))
+            return PairAnker(recs, 0)
+    else:
+        # clear leftover mate2 scores (savekmers.c:3851-3862)
+        for t in bests2:
+            Score_r[t] = 0
+        for t in bests2_r:
+            Score[t] = 0
+    return PairAnker([], 3)

@@ -456,6 +456,387 @@ def aln_frags_union_pe(store: TemplateStore, matched: np.ndarray,
     return recs
 
 
+def aln_frags_penalty_pe(store: TemplateStore, matched: np.ndarray,
+                         codes_a: np.ndarray, codes_b: np.ndarray,
+                         header_a: bytes, header_b: bytes, flag_a: int,
+                         flag_b: int, arc: bool, kmersize: int, minlen: int,
+                         mq: int, scoreT: float, mrc: float,
+                         min_frac: float, rew: Penalty, points: Points,
+                         alignment_scores, uniq_alignment_scores
+                         ) -> List[FragRecord]:
+    """alnFragsPenaltyPE (alnfrags.c:1596-1972): both mates scored per
+    candidate; a pair is accepted when the best combined score + PE beats
+    minFrac * (best1 + best2)."""
+    Wl = -rew.Wl
+    PE = rew.PE
+    n = len(matched)
+    rc_a = rc_codes(codes_a)
+    rc_b = rc_codes(codes_b)
+    np_a = np.flatnonzero(codes_a == 4).astype(np.int64)
+    np_ar = np.flatnonzero(rc_a == 4).astype(np.int64)
+    np_b = np.flatnonzero(codes_b == 4).astype(np.int64)
+    np_br = np.flatnonzero(rc_b == 4).astype(np.int64)
+
+    scores1 = [0] * n
+    scores2 = [0] * n
+    starts = [0] * n
+    ends = [0] * n
+    best1 = best2 = 0
+    compScore = 0
+    flipped = False
+    tids = matched.tolist()
+
+    def _score_mate(tindex, cur, npos_cur, pre_points):
+        st, _, _ = kma_align(tindex, cur, len(cur), 0, len(cur), 0, 0, mq,
+                             rew, points, kmersize, traceback=False,
+                             n_positions=npos_cur)
+        return st
+
+    for t_i in range(n):
+        template = tids[t_i]
+        if template < 0 and not flipped and not arc:
+            flipped = True
+        t = abs(template)
+        tindex = store.get(t)
+        t_len = tindex.len
+        if arc:
+            # per-template orientation pick on mate1 (alnfrags.c:1657)
+            points.len = 0
+            rcres = anker_rc_comp(tindex, codes_a, rc_a, np_a, np_ar,
+                                  len(codes_a), 0, len(codes_a), points, 1)
+            if rcres < 0:
+                cur_a, na = rc_a, np_ar
+            elif rcres:
+                tids[t_i] = -tids[t_i]
+                cur_a, na = codes_a, np_a
+            else:
+                cur_a = None
+        else:
+            cur_a = rc_a if flipped else codes_a
+            na = np_ar if flipped else np_a
+            points.len = 0
+        if cur_a is not None:
+            st = _score_mate(tindex, cur_a, na, points)
+        else:
+            from .align.nw import AlnScore
+            st = AlnScore()
+        read_score = st.score
+        score = 0.0
+        start = end = 0
+        if (minlen <= st.len and 0 < read_score
+                and mrcheck(mrc, st, len(codes_a), t_len)):
+            start = st.pos
+            end = st.pos + st.len - st.tGaps
+            if start == 0:
+                read_score += Wl
+            if end == t_len:
+                read_score += Wl
+            score = 1.0 * read_score / st.len
+        else:
+            read_score = 0
+        if read_score > kmersize and score >= scoreT:
+            scores1[t_i] = read_score
+            starts[t_i] = start
+            ends[t_i] = end
+            if best1 < read_score:
+                best1 = read_score
+        else:
+            scores1[t_i] = 0
+            starts[t_i] = -1
+            ends[t_i] = -1
+
+        if arc:
+            if cur_a is rc_a:
+                cur_b, nb = rc_b, np_br
+            elif cur_a is codes_a:
+                cur_b, nb = codes_b, np_b
+            else:
+                cur_b = None
+        else:
+            cur_b = rc_b if flipped else codes_b
+            nb = np_br if flipped else np_b
+        points.len = 0
+        if cur_b is not None:
+            st = _score_mate(tindex, cur_b, nb, points)
+        else:
+            from .align.nw import AlnScore
+            st = AlnScore()
+        read_score = st.score
+        score = 0.0
+        if (minlen <= st.len and 0 < read_score
+                and mrcheck(mrc, st, len(codes_b), t_len)):
+            start = st.pos
+            end = st.pos + st.len - st.tGaps
+            if start == 0:
+                read_score += Wl
+            if end == t_len:
+                read_score += Wl
+            score = 1.0 * read_score / st.len
+        else:
+            read_score = 0
+        if read_score > kmersize and score >= scoreT:
+            scores2[t_i] = read_score
+            if scores1[t_i]:
+                if start < starts[t_i]:
+                    starts[t_i] = start
+                else:
+                    ends[t_i] = end
+            else:
+                starts[t_i] = start
+                ends[t_i] = end
+            if best2 < read_score:
+                best2 = read_score
+        else:
+            scores2[t_i] = 0
+        if compScore < read_score + scores1[t_i]:
+            compScore = read_score + scores1[t_i]
+
+    if not best1 and not best2:
+        return []
+    # rc orientation marker (alnfrags.c:1778-1783): non-arc rc==0 means
+    # the reads were scan-flipped in place; arc rc from the tid signs
+    if arc:
+        rc_state = any(t < 0 for t in tids)
+    else:
+        rc_state = not flipped
+    # "current" = the bytes the C qseq holds at emission time;
+    # "restored" = after the emission-time strrc of the !rc branches
+    cur_a = (rc_a if flipped else codes_a) if not arc else codes_a
+    cur_b = (rc_b if flipped else codes_b) if not arc else codes_b
+    res_a = codes_a if not arc else rc_a
+    res_b = codes_b if not arc else rc_b
+    recs: List[FragRecord] = []
+    mf = abs(min_frac)
+    pair_gate = mf * (best1 + best2)
+    if compScore and pair_gate <= compScore + PE:
+        # proper pair (alnfrags.c:1789-1824)
+        p_ids, p_sc, p_st, p_en = [], [], [], []
+        for t_i in range(n):
+            if scores1[t_i] and scores2[t_i]:
+                p_ids.append(tids[t_i])
+                p_sc.append(scores1[t_i] + scores2[t_i] + PE)
+                p_st.append(starts[t_i])
+                p_en.append(ends[t_i])
+        best = compScore + PE
+        fa, fb = flag_a, flag_b
+        if p_ids and p_ids[0] < 0:
+            p_ids = [-x for x in p_ids]
+            recs.append(update_scores_pe(
+                cur_b, len(cur_b), cur_a, len(cur_a), min_frac, p_ids,
+                p_sc, p_st, p_en, best, header_b, header_a, fb, fa,
+                alignment_scores, uniq_alignment_scores))
+        else:
+            seq_a, seq_b = cur_a, cur_b
+            if not rc_state:
+                seq_a, seq_b = res_a, res_b
+                fa ^= 48
+                fb ^= 48
+            recs.append(update_scores_pe(
+                seq_a, len(seq_a), seq_b, len(seq_b), min_frac, p_ids,
+                p_sc, p_st, p_en, best, header_a, header_b, fa, fb,
+                alignment_scores, uniq_alignment_scores))
+        return recs
+    if best1 and best2:
+        # unmaided pair (alnfrags.c:1825-1895)
+        thr1 = mf * best1
+        thr2 = mf * best2
+        f_ids, f_sc, f_st, f_en = [], [], [], []
+        r_ids, r_sc, r_st, r_en = [], [], [], []
+        for t_i in range(n):
+            if thr1 <= scores1[t_i]:
+                f_ids.append(tids[t_i])
+                f_sc.append(scores1[t_i])
+                f_st.append(starts[t_i])
+                f_en.append(ends[t_i])
+            elif thr2 <= scores2[t_i]:
+                r_ids.append(tids[t_i])
+                r_sc.append(scores2[t_i])
+                r_st.append(starts[t_i])
+                r_en.append(ends[t_i])
+        fa, fb = flag_a, flag_b
+        seq_a, seq_b = cur_a, cur_b
+        if f_ids and f_ids[0] < 0:
+            f_ids = [-x for x in f_ids]
+        elif not rc_state:
+            seq_a = res_a
+            fa ^= 16
+            fb ^= 32
+        if r_ids and r_ids[0] < 0:
+            r_ids = [-x for x in r_ids]
+        elif not rc_state:
+            seq_b = res_b
+            fa ^= 32
+            fb ^= 16
+        if fa & 2:
+            fa ^= 2
+            fb ^= 2
+        if f_ids:
+            recs.append(update_scores_se(seq_a, len(seq_a), min_frac,
+                                         f_ids, f_sc, f_st, f_en, best1,
+                                         header_a, fa, alignment_scores,
+                                         uniq_alignment_scores))
+        if r_ids:
+            recs.append(update_scores_se(seq_b, len(seq_b), min_frac,
+                                         r_ids, r_sc, r_st, r_en, best2,
+                                         header_b, fb, alignment_scores,
+                                         uniq_alignment_scores))
+        return recs
+    if best1:
+        ids, sc, stl, enl = [], [], [], []
+        for t_i in range(n):
+            if scores1[t_i]:
+                ids.append(tids[t_i])
+                sc.append(scores1[t_i])
+                stl.append(starts[t_i])
+                enl.append(ends[t_i])
+        fa, fb = flag_a, flag_b
+        seq_a = cur_a
+        if ids and ids[0] < 0:
+            ids = [-x for x in ids]
+        elif not rc_state:
+            seq_a = res_a
+            fa ^= 16
+            fb ^= 32
+        fa |= 8
+        fb ^= 4
+        if fa & 2:
+            fa ^= 2
+            fb ^= 2
+        recs.append(update_scores_se(seq_a, len(seq_a), min_frac, ids, sc,
+                                     stl, enl, best1, header_a, fa,
+                                     alignment_scores,
+                                     uniq_alignment_scores))
+        return recs
+    ids, sc, stl, enl = [], [], [], []
+    for t_i in range(n):
+        if scores2[t_i]:
+            ids.append(tids[t_i])
+            sc.append(scores2[t_i])
+            stl.append(starts[t_i])
+            enl.append(ends[t_i])
+    fa, fb = flag_a, flag_b
+    seq_b = cur_b
+    if ids and ids[0] < 0:
+        ids = [-x for x in ids]
+    elif not rc_state:
+        seq_b = res_b
+        fa ^= 32
+        fb ^= 16
+    fb |= 8
+    fa ^= 4
+    if fb & 2:
+        fa ^= 2
+        fb ^= 2
+    recs.append(update_scores_se(seq_b, len(seq_b), min_frac, ids, sc, stl,
+                                 enl, best2, header_b, fb, alignment_scores,
+                                 uniq_alignment_scores))
+    return recs
+
+
+def aln_frags_force_pe(store: TemplateStore, matched: np.ndarray,
+                       codes_a: np.ndarray, codes_b: np.ndarray,
+                       header_a: bytes, header_b: bytes, flag_a: int,
+                       flag_b: int, arc: bool, kmersize: int, minlen: int,
+                       mq: int, scoreT: float, mrc: float, min_frac: float,
+                       rew: Penalty, points: Points, alignment_scores,
+                       uniq_alignment_scores) -> List[FragRecord]:
+    """alnFragsForcePE (alnfrags.c:1974-2148): a template survives only
+    when BOTH mates align to it; combined scores spool as one pair."""
+    Wl = -rew.Wl
+    n = len(matched)
+    rc_a = rc_codes(codes_a)
+    rc_b = rc_codes(codes_b)
+    np_a = np.flatnonzero(codes_a == 4).astype(np.int64)
+    np_ar = np.flatnonzero(rc_a == 4).astype(np.int64)
+    np_b = np.flatnonzero(codes_b == 4).astype(np.int64)
+    np_br = np.flatnonzero(rc_b == 4).astype(np.int64)
+
+    ids, sc_l, st_l, en_l = [], [], [], []
+    best = 0
+    flipped = False
+    tids = matched.tolist()
+    for t_i in range(n):
+        template = tids[t_i]
+        if template < 0 and not flipped and not arc:
+            flipped = True
+        t = abs(template)
+        tindex = store.get(t)
+        t_len = tindex.len
+        if arc:
+            points.len = 0
+            rcres = anker_rc_comp(tindex, codes_a, rc_a, np_a, np_ar,
+                                  len(codes_a), 0, len(codes_a), points, 1)
+            if rcres < 0:
+                cur_a, na = rc_a, np_ar
+                cur_b, nb = rc_b, np_br
+            elif rcres:
+                tids[t_i] = -tids[t_i]
+                cur_a, na = codes_a, np_a
+                cur_b, nb = codes_b, np_b
+            else:
+                cur_a = None
+        else:
+            cur_a = rc_a if flipped else codes_a
+            na = np_ar if flipped else np_a
+            cur_b = rc_b if flipped else codes_b
+            nb = np_br if flipped else np_b
+            points.len = 0
+        if cur_a is None:
+            continue
+        st, _, _ = kma_align(tindex, cur_a, len(cur_a), 0, len(cur_a), 0,
+                             0, mq, rew, points, kmersize, traceback=False,
+                             n_positions=na)
+        if not (0 < st.score and minlen <= st.len
+                and mrcheck(mrc, st, len(codes_a), t_len)):
+            continue
+        points.len = 0
+        st_r, _, _ = kma_align(tindex, cur_b, len(cur_b), 0, len(cur_b),
+                               0, 0, mq, rew, points, kmersize,
+                               traceback=False, n_positions=nb)
+        if not (0 < st_r.score and minlen <= st_r.len
+                and mrcheck(mrc, st_r, len(codes_b), t_len)):
+            continue
+        aln_len = st.len + st_r.len
+        if st.pos < st_r.pos:
+            start = st.pos
+            end = st_r.pos + st_r.len - st_r.tGaps
+        else:
+            start = st_r.pos
+            end = st.pos + st.len - st.tGaps
+        read_score = st.score + st_r.score
+        if start == 0:
+            read_score += Wl
+        if end == t_len:
+            read_score += Wl
+        score = 1.0 * read_score / aln_len
+        if read_score > kmersize and score >= scoreT:
+            ids.append(t)  # abs stored (alnfrags.c:2105)
+            sc_l.append(read_score)
+            st_l.append(start)
+            en_l.append(end)
+            if best < read_score:
+                best = read_score
+    if not best:
+        return []
+    # alnfrags.c:2126-2143: the stored ids are positive, so the reads are
+    # strrc'd back (non-arc) or flipped (arc) with a 48-flag toggle
+    if arc:
+        rc_state = any(x < 0 for x in ids)
+    else:
+        rc_state = not flipped
+    fa, fb = flag_a, flag_b
+    seq_a, seq_b = codes_a, codes_b
+    if not rc_state:
+        if arc:
+            seq_a, seq_b = rc_a, rc_b
+        fa ^= 48
+        fb ^= 48
+    return [update_scores_pe(seq_a, len(seq_a), seq_b, len(seq_b),
+                             min_frac, ids, sc_l, st_l, en_l, best,
+                             header_a, header_b, fa, fb, alignment_scores,
+                             uniq_alignment_scores)]
+
+
 def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             cfg: MapConfig, exe_cmd: str = "kma_tpu",
             pe_files: Optional[List[str]] = None,
@@ -507,7 +888,8 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
 
     pen = cfg.penalties
     dmat = pen.score_matrix()
-    rew = Penalty(M=pen.M, MM=pen.MM, U=pen.U, W1=pen.W1, Wl=pen.Wl, d=dmat)
+    rew = Penalty(M=pen.M, MM=pen.MM, U=pen.U, W1=pen.W1, Wl=pen.Wl,
+                  d=dmat, PE=pen.PE)
     set_preseed_exhaustive(1 if cfg.exhaustive else 0)
 
     alignment_scores = np.zeros(db_size, dtype=np.int64)
@@ -631,7 +1013,12 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                                        interleaved=True)
 
     if pe_files or int_files:
-        from .mapping.pair import save_kmers_union_pair
+        from .mapping.pair import (save_kmers_force_pair,
+                                   save_kmers_penalty_pair,
+                                   save_kmers_union_pair)
+        scan_pair = {"u": save_kmers_union_pair,
+                     "p": save_kmers_penalty_pair,
+                     "f": save_kmers_force_pair}[cfg.pair_mode]
         for r1, r2 in _pair_stream():
             if r2 is None:
                 hit = scanner.scan(r1.codes, r1.n_positions, r1.header)
@@ -650,7 +1037,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                                             hit.rc_flag, hit.templates,
                                             hit.header, hit.flag)
                 continue
-            pa = save_kmers_union_pair(
+            pa = scan_pair(
                 idx, pen, r1.codes, r2.codes, r1.header, r2.header,
                 cfg.exhaustive, scanner.Score, scanner.Score_r,
                 scanner.extendScore, scanner.include)
@@ -676,11 +1063,27 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                             handle_mem_anker(c_a, sc_a, tl, h_a, f_a)
                     continue
                 if kmersize <= len(c_a) and kmersize <= len(c_b):
-                    recs = aln_frags_union_pe(
-                        store, np.asarray(tl, np.int64), c_a, c_b, h_a,
-                        h_b, f_a, f_b, kmersize, cfg.min_len, cfg.mq,
-                        cfg.score_t, cfg.mrc, cfg.min_frac, rew, points,
-                        alignment_scores, uniq_alignment_scores)
+                    if cfg.fpm == "p":
+                        recs = aln_frags_penalty_pe(
+                            store, np.asarray(tl, np.int64), c_a, c_b,
+                            h_a, h_b, f_a, f_b, int(sc_a) < 0, kmersize,
+                            cfg.min_len, cfg.mq, cfg.score_t, cfg.mrc,
+                            cfg.min_frac, rew, points, alignment_scores,
+                            uniq_alignment_scores)
+                    elif cfg.fpm == "f":
+                        recs = aln_frags_force_pe(
+                            store, np.asarray(tl, np.int64), c_a, c_b,
+                            h_a, h_b, f_a, f_b, int(sc_a) < 0, kmersize,
+                            cfg.min_len, cfg.mq, cfg.score_t, cfg.mrc,
+                            cfg.min_frac, rew, points, alignment_scores,
+                            uniq_alignment_scores)
+                    else:
+                        recs = aln_frags_union_pe(
+                            store, np.asarray(tl, np.int64), c_a, c_b,
+                            h_a, h_b, f_a, f_b, kmersize, cfg.min_len,
+                            cfg.mq, cfg.score_t, cfg.mrc, cfg.min_frac,
+                            rew, points, alignment_scores,
+                            uniq_alignment_scores)
                     records.extend(recs)
                 continue
             for (c, npos_, sc, tl, h, f) in pa.records:

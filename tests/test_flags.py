@@ -62,3 +62,76 @@ def test_penalty_preset_parity(tmp_path, sim_reads_mod, db50_index_mod,
                                ref_bin, extra):
     _cmp(tmp_path, ref_bin, db50_index_mod,
          ["-i", str(sim_reads_mod)], extra)
+
+
+@pytest.fixture(scope="module")
+def messy_pairs(tmp_path_factory, db50):
+    """Discordant/junk/flipped/high-error pairs exercising every branch of
+    the penalty/force pairing combiners."""
+    import numpy as np
+    from kma_tpu.io.seq import parse_fasta
+    rng = np.random.default_rng(1234)
+    recs = list(parse_fasta(str(db50)))
+    comp = np.array([3, 2, 1, 0, 4, 5], dtype=np.uint8)
+    d = tmp_path_factory.mktemp("messy")
+    f1p, f2p = d / "m_1.fq", d / "m_2.fq"
+
+    def mut(r, rate):
+        r = r.copy()
+        nerr = rng.binomial(len(r), rate)
+        ppos = rng.integers(0, len(r), nerr)
+        r[ppos] = (r[ppos] + rng.integers(1, 4, nerr)) % 4
+        return r
+
+    with open(f1p, "w") as f1, open(f2p, "w") as f2:
+        n = 0
+        for ri in range(350):
+            kind = rng.random()
+            _h, c1 = recs[rng.integers(len(recs))]
+            if len(c1) < 230:
+                continue
+            if kind < 0.4:
+                s = int(rng.integers(0, len(c1) - 205))
+                frag = c1[s: s + 205]
+                r1 = mut(frag[:100], 0.01)
+                r2 = comp[mut(frag[-100:], 0.01)[::-1]]
+            elif kind < 0.6:
+                _h2, c2 = recs[rng.integers(len(recs))]
+                if len(c2) < 120:
+                    continue
+                s1 = int(rng.integers(0, len(c1) - 100))
+                s2 = int(rng.integers(0, len(c2) - 100))
+                r1 = mut(c1[s1: s1 + 100], 0.02)
+                r2 = comp[mut(c2[s2: s2 + 100], 0.02)[::-1]]
+            elif kind < 0.75:
+                s1 = int(rng.integers(0, len(c1) - 100))
+                r1 = mut(c1[s1: s1 + 100], 0.01)
+                r2 = rng.integers(0, 4, 100).astype(np.uint8)
+            elif kind < 0.9:
+                s = int(rng.integers(0, len(c1) - 205))
+                frag = c1[s: s + 205]
+                r1 = mut(frag[:100], 0.01)
+                r2 = mut(frag[-100:], 0.01)
+            else:
+                s = int(rng.integers(0, len(c1) - 205))
+                frag = c1[s: s + 205]
+                r1 = mut(frag[:100], 0.08)
+                r2 = comp[mut(frag[-100:], 0.08)[::-1]]
+            if rng.random() < 0.3:
+                r1, r2 = comp[r1[::-1]], comp[r2[::-1]]
+            f1.write("@m%d/1\n%s\n+\n%s\n"
+                     % (n, "".join("ACGTN"[c] for c in r1), "I" * len(r1)))
+            f2.write("@m%d/2\n%s\n+\n%s\n"
+                     % (n, "".join("ACGTN"[c] for c in r2), "I" * len(r2)))
+            n += 1
+    return f1p, f2p
+
+
+@pytest.mark.parametrize("pm", ["p", "f", "u"])
+@pytest.mark.parametrize("mode", [[], ["-1t1"], ["-mem_mode"],
+                                  ["-ConClave", "2"]])
+def test_pairing_mode_parity(tmp_path, messy_pairs, db50_index_mod, ref_bin,
+                             pm, mode):
+    f1, f2 = messy_pairs
+    _cmp(tmp_path, ref_bin, db50_index_mod,
+         ["-ipe", str(f1), str(f2)], ["-apm", pm] + mode)
