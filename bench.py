@@ -89,7 +89,7 @@ def main():
     pen = Penalties()
     pen.score_matrix()
     didx = DeviceIndex.from_host(idx)
-    dev = DeviceScanner(didx, pen, pair_cap=2048)
+    dev = DeviceScanner(didx, pen)
 
     rs = list(iter_reads([reads]))
     L = max(len(r.codes) for r in rs)
@@ -100,17 +100,17 @@ def main():
         codes[i, : len(rs[i].codes)] = rs[i].codes
         lengths[i] = len(rs[i].codes)
 
-    # warmup / compile
-    out = dev.scan_device(codes[:BATCH], lengths[:BATCH])
-    jax.block_until_ready(out)
+    # warmup / compile all tier kernels
+    out = dev.scan(codes[:BATCH], lengths[:BATCH])
 
     t0 = time.time()
-    for bi in range(N // BATCH):
-        out = dev.scan_device(codes[bi * BATCH: (bi + 1) * BATCH],
-                              lengths[bi * BATCH: (bi + 1) * BATCH])
-    jax.block_until_ready(out)
+    out = dev.scan_many(codes, lengths, batch=BATCH)
+    residual = int(out[-1].sum())
     dt = time.time() - t0
     device_rps = N / dt
+    if residual:
+        print(f"# residual host-fallback reads: {residual}/{N}",
+              file=sys.stderr)
 
     base = baseline_reads_per_sec(db_prefix, reads) if have_ref else None
     vs = device_rps / base if base else 0.0

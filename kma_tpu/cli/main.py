@@ -125,6 +125,8 @@ def map_main(argv: List[str]) -> int:
             db = argv[i]
         elif a == "-1t1":
             cfg.one2one = True
+        elif a == "-ck":
+            cfg.ck = True
         elif a == "-ex_mode":
             cfg.exhaustive = True
         elif a == "-k":

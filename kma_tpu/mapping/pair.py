@@ -130,6 +130,79 @@ def get_kmers_for_pair(idx: KmaIndex, codes: np.ndarray, rewards: Penalties,
     return bestSeqCount, lists[0], lists[1]
 
 
+def get_kmers_for_pair_count(idx: KmaIndex, codes: np.ndarray,
+                             rewards: Penalties, exhaustive: bool, Score,
+                             Score_r, extendScore, include):
+    """get_kmers_for_pair_count (savekmers.c:711-824): -ck inner scorer --
+    pure repetition counting of identical value-list runs per strand."""
+    from ..io.seq import kmer_scan, rc_codes
+    k = idx.kmersize
+    seqlen = len(codes)
+    if seqlen < k:
+        return 0, [], []
+    seqend = seqlen - k + 1
+    best_seq_count = 0
+    out_lists = []
+    for rc in range(2):
+        cur = codes if rc == 0 else rc_codes(codes)
+        Scores = Score if rc == 0 else Score_r
+        bests = []
+        npos = np.flatnonzero(cur == 4).tolist()
+        HIT = bool(exhaustive)
+        j = 0
+        for ni in npos + [seqlen]:
+            if HIT:
+                break
+            end = ni - k + 1
+            while j < end:
+                v = 0
+                ok = True
+                for c in cur[j: j + k].tolist():
+                    v = (v << 2) | (c & 3)
+                if idx.lookup(v) is not None:
+                    HIT = True
+                    break
+                j += k
+            j = ni + 1
+        hit_counter = 0
+        if HIT:
+            kmers = kmer_scan(cur, k)
+            last = None
+            last_list = None
+            reps = 0
+            j = 0
+            for ni in npos + [seqlen]:
+                if j >= seqend:
+                    break
+                for j2 in range(j, ni - k + 1):
+                    v = idx.lookup(int(kmers[j2]))
+                    if v is not None:
+                        key = v.__array_interface__["data"][0]
+                        if key == last:
+                            reps += 1
+                        else:
+                            if last is not None:
+                                for t in last_list:
+                                    Scores[t] += reps
+                                    if Scores[t] == reps:
+                                        bests.append(int(t))
+                                hit_counter += reps
+                            reps = 1
+                            last = key
+                            last_list = np.asarray(v[1:], np.int64)
+                j = ni + 1
+            if last is not None:
+                for t in last_list:
+                    Scores[t] += reps
+                    if Scores[t] == reps:
+                        bests.append(int(t))
+                hit_counter += reps
+        out_lists.append(bests)
+        if best_seq_count < hit_counter:
+            best_seq_count = hit_counter
+    return best_seq_count, out_lists[0], out_lists[1]
+
+
 def getF_best(bests: List[int], bests_r: List[int], Score, Score_r
               ) -> Tuple[int, List[int]]:
     """getF_Best (savekmers.c:1648-1680): best over both strands into a
@@ -233,13 +306,15 @@ def _npos(codes: np.ndarray) -> np.ndarray:
 def save_kmers_union_pair(idx: KmaIndex, rewards: Penalties,
                           codes1: np.ndarray, codes2: np.ndarray,
                           header1: bytes, header2: bytes, exhaustive: bool,
-                          Score, Score_r, extendScore, include
-                          ) -> Optional[PairAnker]:
+                          Score, Score_r, extendScore, include,
+                          pair_fn=None) -> Optional[PairAnker]:
     """save_kmers_unionPair (savekmers.c:3367-3570), standard DBs (rev=1)."""
+    if pair_fn is None:
+        pair_fn = get_kmers_for_pair
     k = idx.kmersize
     recs = []
 
-    hc1, bests1, bests1_r = get_kmers_for_pair(
+    hc1, bests1, bests1_r = pair_fn(
         idx, codes1, rewards, exhaustive, Score, Score_r, extendScore,
         include)
     if hc1:
@@ -249,7 +324,7 @@ def save_kmers_union_pair(idx: KmaIndex, rewards: Penalties,
     else:
         bestScore, region = 0, []
 
-    hc2, bests2, bests2_r = get_kmers_for_pair(
+    hc2, bests2, bests2_r = pair_fn(
         idx, codes2, rewards, exhaustive, Score, Score_r, extendScore,
         include)
     pe = False
@@ -435,15 +510,17 @@ def save_kmers_penalty_pair(idx: KmaIndex, rewards: Penalties,
                             codes1: np.ndarray, codes2: np.ndarray,
                             header1: bytes, header2: bytes,
                             exhaustive: bool, Score, Score_r, extendScore,
-                            include) -> Optional[PairAnker]:
+                            include, pair_fn=None) -> Optional[PairAnker]:
     """save_kmers_penaltyPair (savekmers.c:3572-3777), standard DBs.
 
     C's print-time comp_rc() restores the scan-flipped read to forward;
     its absence leaves RC bytes -- translated to explicit fw/rc arrays."""
+    if pair_fn is None:
+        pair_fn = get_kmers_for_pair
     k = idx.kmersize
     recs = []
 
-    hc1, bests1, bests1_r = get_kmers_for_pair(
+    hc1, bests1, bests1_r = pair_fn(
         idx, codes1, rewards, exhaustive, Score, Score_r, extendScore,
         include)
     if hc1:
@@ -452,7 +529,7 @@ def save_kmers_penalty_pair(idx: KmaIndex, rewards: Penalties,
     else:
         bestScore, region, rscores = 0, [], []
 
-    hc2, bests2, bests2_r = get_kmers_for_pair(
+    hc2, bests2, bests2_r = pair_fn(
         idx, codes2, rewards, exhaustive, Score, Score_r, extendScore,
         include)
     pe = False
@@ -613,14 +690,16 @@ def get_second_best_force(bests: List[int], bests_r: List[int], Score,
 def save_kmers_force_pair(idx: KmaIndex, rewards: Penalties,
                           codes1: np.ndarray, codes2: np.ndarray,
                           header1: bytes, header2: bytes, exhaustive: bool,
-                          Score, Score_r, extendScore, include
-                          ) -> Optional[PairAnker]:
+                          Score, Score_r, extendScore, include,
+                          pair_fn=None) -> Optional[PairAnker]:
     """save_kmers_forcePair (savekmers.c:3779-3864): only proper pairs
     survive; mate2 is scanned with swapped strand arrays so opposite
     orientations pair up."""
+    if pair_fn is None:
+        pair_fn = get_kmers_for_pair
     k = idx.kmersize
 
-    hc1, bests1, bests1_r = get_kmers_for_pair(
+    hc1, bests1, bests1_r = pair_fn(
         idx, codes1, rewards, exhaustive, Score, Score_r, extendScore,
         include)
     if not hc1:
@@ -628,7 +707,7 @@ def save_kmers_force_pair(idx: KmaIndex, rewards: Penalties,
     region, rscores = get_first_force(bests1, bests1_r, Score, Score_r)
 
     # swapped arrays: mate2 fw -> Score_r, mate2 rc -> Score
-    hc2, bests2, bests2_r = get_kmers_for_pair(
+    hc2, bests2, bests2_r = pair_fn(
         idx, codes2, rewards, exhaustive, Score_r, Score, extendScore,
         include)
     bestScore = 0

@@ -292,3 +292,127 @@ class SaveKmersScanner:
         return AnkerHit(codes=codes, n_positions=n_positions,
                         rc_flag=-bestScore, templates=merged,
                         header=header, flag=0)
+
+
+def _count_strand(idx: KmaIndex, codes: np.ndarray, seg_ends, seqend: int,
+                  exhaustive: bool, Score) -> Tuple[int, list]:
+    """One strand of save_kmers_count (savekmers.c:3096-3214): runs of
+    identical value lists accumulate their repetition count; misses do
+    not break a run."""
+    k = idx.kmersize
+    seqlen = len(codes)
+    # quick stride-k probe per segment
+    hit = bool(exhaustive)
+    j = 0
+    for ni in seg_ends + [seqlen]:
+        if hit:
+            break
+        end = ni - k + 1
+        while j < end:
+            if idx.lookup(int(_kmer_at(codes, j, k))) is not None:
+                hit = True
+                break
+            j += k
+        j = ni + 1
+    if not hit:
+        return 0, []
+
+    hit_counter = 0
+    bests: list = []
+    Score_local = Score
+    last = None
+    last_list = None
+    reps = 0
+    j = 0
+    kmers = kmer_scan(codes, k) if seqlen >= k else None
+    for i, ni in enumerate(seg_ends + [seqlen]):
+        if j >= seqend:
+            break
+        end = ni
+        s = j
+        for j2 in range(s, end - k + 1):
+            v = idx.lookup(int(kmers[j2]))
+            if v is not None:
+                key = v.__array_interface__["data"][0]
+                if key == last:
+                    reps += 1
+                else:
+                    if last is not None:
+                        for t in last_list:
+                            Score_local[t] += reps
+                            if Score_local[t] == reps:
+                                bests.append(int(t))
+                        hit_counter += reps
+                    reps = 1
+                    last = key
+                    last_list = np.asarray(v[1:], np.int64)
+        j = end + 1
+    if last is not None:
+        for t in last_list:
+            Score_local[t] += reps
+            if Score_local[t] == reps:
+                bests.append(int(t))
+        hit_counter += reps
+
+    if hit_counter:
+        # getBestMatch (savekmers.c:273-294)
+        bestScore = 0
+        ties = []
+        for t in bests:
+            s = int(Score_local[t])
+            if s > bestScore:
+                bestScore = s
+                ties = [t]
+            elif s == bestScore:
+                ties.append(t)
+            Score_local[t] = 0
+        return bestScore, ties
+    for t in bests:
+        Score_local[t] = 0
+    return 0, []
+
+
+def _kmer_at(codes: np.ndarray, pos: int, k: int) -> int:
+    v = 0
+    for c in codes[pos: pos + k].tolist():
+        v = (v << 2) | (c & 3)
+    return v
+
+
+def save_kmers_count(idx: KmaIndex, pen: Penalties, codes: np.ndarray,
+                     n_positions: np.ndarray, header: bytes,
+                     exhaustive: bool, Score, Score_r
+                     ) -> Optional[AnkerHit]:
+    """-ck scanner (save_kmers_count, savekmers.c:3067-3365): pure k-mer
+    counting over both strands; the winning strand (or a merged record on
+    a tie) is emitted.  QUIRK kept: the rc pass segments the read with
+    the FORWARD strand's N positions (savekmers.c:3250)."""
+    k = idx.kmersize
+    seqlen = len(codes)
+    if seqlen < k:
+        return None
+    seqend = seqlen - k + 1
+    segs_f = [int(x) for x in n_positions]
+    codes_r = rc_codes(codes)
+
+    bestScore, bests = _count_strand(idx, codes, list(segs_f), seqend,
+                                     exhaustive, Score)
+    # rc strand reuses the fw segment boundaries (reference bug kept)
+    bestScore_r, bests_r = _count_strand(idx, codes_r, list(segs_f),
+                                         seqend, exhaustive, Score_r)
+
+    if bestScore > 0 or bestScore_r > 0:
+        if k <= bestScore or k <= bestScore_r:
+            if bestScore > bestScore_r:
+                return AnkerHit(codes, n_positions, bestScore,
+                                np.asarray(bests, np.int32), header, 0)
+            if bestScore < bestScore_r:
+                npr = np.sort((seqlen - 1)
+                              - np.asarray(n_positions)[::-1]) \
+                    if len(n_positions) else n_positions
+                return AnkerHit(codes_r, npr.astype(np.int32), bestScore_r,
+                                np.asarray(bests_r, np.int32), header, 16)
+            merged = bests + [-t for t in bests_r]
+            return AnkerHit(codes, n_positions, -bestScore,
+                            np.asarray(merged, np.int32), header, 0)
+    return None

@@ -50,6 +50,7 @@ class ScanParams:
     max_probe: int
     run_cap: int = 64     # max value-list runs per read handled on device
     pair_cap: int = 1024  # max (run, template) pairs per read on device
+    best_cap: int = 64    # max tie-list size returned per read
 
 
 def _gap_mm_terms(gap, k, M, MM, U, W1):
@@ -83,15 +84,16 @@ def _run_transition_score(gap, p: ScanParams):
                                jnp.where(big, s_big, s_small)))
 
 
-def _reconnect_score(gap, p: ScanParams, rc_branch: bool):
+def _reconnect_score(gap, p: ScanParams, rc_branch):
     """Flush-time reconnect for an already-included template
-    (savekmers.c:2590-2625 fw, :2901-2936 rc; the SNP case differs)."""
+    (savekmers.c:2590-2625 fw, :2901-2936 rc; the SNP case differs).
+    rc_branch may be a per-row bool array (fused-strand batches)."""
     k, mlen = p.k, p.mlen
     M, MM, U, W1 = p.M, p.MM, p.U, p.W1
     match = gap == 0
     snp = (mlen <= gap) & (gap <= k)
     big = k < gap
-    s_snp = (k * M + MM) if rc_branch else (gap * M + MM)
+    s_snp = jnp.where(rc_branch, k * M + MM, gap * M + MM)
     s_big = k * M + _gap_mm_terms(gap, k, M, MM, U, W1)
     if mlen != k:
         s_small = gap * M + MM
@@ -120,11 +122,12 @@ def _segment_starts(codes: jax.Array) -> jax.Array:
 
 
 def _strand_scan(codes, lengths, lookup_fn, values, p: ScanParams,
-                 rc_branch: bool):
-    """One strand of save_kmers over the batch.
+                 rc_branch):
+    """One strand of save_kmers over the batch; rc_branch is a per-row
+    bool column (fw and rc rows share one fused kernel).
 
     Returns (bestScore [B], best_tids [B, MAX_BEST], best_valid, n_best,
-    overflow [B])."""
+    overflow [B], n_pairs [B])."""
     B, L = codes.shape
     k = p.k
     W = L - k + 1
@@ -181,6 +184,15 @@ def _strand_scan(codes, lengths, lookup_fn, values, p: ScanParams,
                  - jnp.take_along_axis(ct_pad, rs_safe, axis=-1))
 
     # --- expand to (run, template) pairs ---------------------------------
+    # NOTE ON LOWERING: XLA turns take_along_axis with computed indices
+    # into flattened GLOBAL gathers (~85ms per [B,1024] on v5e) -- they,
+    # not FLOPs, dominated this kernel.  All run->pair broadcasts below
+    # therefore use one scatter of packed run attributes at each run's
+    # first pair followed by cummax carry chains (the scatter seeds are
+    # strictly increasing per row, so a running max propagates the
+    # current run's packed attributes to all of its pairs), and the
+    # per-template grouping uses a multi-operand lax.sort that moves the
+    # payloads through the sort network instead of re-gathering them.
     PAIR_CAP = p.pair_cap
     cntR = jnp.where(run_valid, values[jnp.maximum(run_voff, 0)], 0)
     pair_start = jnp.cumsum(cntR, axis=-1) - cntR
@@ -189,35 +201,53 @@ def _strand_scan(codes, lengths, lookup_fn, values, p: ScanParams,
 
     pidx = jnp.arange(PAIR_CAP)[None, :]
     pvalid = pidx < jnp.minimum(n_pairs, PAIR_CAP)[:, None]
-    # r_of via one small scatter + cumsum (avoids a [B, P, R] broadcast)
+
+    # packed run attributes; bit budget checked statically
+    PB = max(8, (W + 2).bit_length())        # run start/end bits
+    SCORE_BITS = 31 - 2 * PB                 # biased run score
+    SCORE_BIAS = 1 << (SCORE_BITS - 1)
+    RB = (R + 1).bit_length()                # run index bits
+    PSB = (PAIR_CAP + 1).bit_length()        # pair_start bits
+    if RB + PSB > 31 or SCORE_BITS < 12:
+        raise NotImplementedError("read length too large for packed scan")
+    run_idx = jnp.arange(R)[None, :]
+    ne = run_valid & (cntR > 0)
+    pb_run = ((jnp.clip(run_score + SCORE_BIAS, 0, (1 << SCORE_BITS) - 1)
+               << (2 * PB))
+              | (run_start << PB) | jnp.maximum(run_end, 0))
+    # each carried word must be monotone over run starts; run_idx and
+    # pair_start increase, the others ride as position-prefixed halves
+    psm = pair_start << 16
+    seed_list = [
+        jnp.where(ne, (run_idx << PSB) | pair_start, -1),
+        jnp.where(ne, psm | (pb_run & 0xFFFF), -1),
+        jnp.where(ne, psm | ((pb_run >> 16) & 0x7FFF), -1),
+        jnp.where(ne, psm | (run_voff & 0xFFFF), -1),
+        jnp.where(ne, psm | ((run_voff >> 16) & 0x7FFF), -1),
+    ]
     binc = jnp.arange(B)[:, None].repeat(R, 1)
     ps_clip = jnp.minimum(pair_start, PAIR_CAP - 1)
-    marks = jnp.zeros((B, PAIR_CAP), jnp.int32).at[binc, ps_clip].add(
-        jnp.where(run_valid & (cntR > 0), 1, 0))
-    r_rank = jnp.cumsum(marks, axis=-1) - 1  # rank among non-empty runs
-    # map rank back to run index: compact non-empty runs
-    ne_order = jnp.argsort(jnp.where(run_valid & (cntR > 0),
-                                     jnp.arange(R)[None, :], BIG), axis=-1)
-    r_of = jnp.take_along_axis(
-        ne_order, jnp.clip(r_rank, 0, R - 1), axis=-1)
-    r_of = jnp.clip(r_of, 0, R - 1)
-    l_of = pidx - jnp.take_along_axis(pair_start, r_of, axis=-1)
-    vo_p = jnp.take_along_axis(run_voff, r_of, axis=-1)
-    tid = values[jnp.where(pvalid, vo_p + 1 + l_of, 0)].astype(jnp.int32)
+    base = jnp.full((B, PAIR_CAP, 5), -1, jnp.int32)
+    seeds = base.at[binc, ps_clip].max(jnp.stack(seed_list, axis=-1))
+    car = jax.lax.cummax(seeds, axis=1)
+    car_rp = car[..., 0]
+    pb_p = ((car[..., 2] & 0x7FFF) << 16) | (car[..., 1] & 0xFFFF)
+    vo_p = ((car[..., 4] & 0x7FFF) << 16) | (car[..., 3] & 0xFFFF)
+    r_of = jnp.clip(car_rp >> PSB, 0, R - 1)
+    ps_of = car_rp & ((1 << PSB) - 1)
+    l_of = pidx - ps_of
+    tid = values[jnp.where(pvalid, jnp.maximum(vo_p, 0) + 1 + l_of, 0)
+                 ].astype(jnp.int32)
     tid = jnp.where(pvalid, tid, BIG)
-    rs_p = jnp.take_along_axis(run_score, r_of, axis=-1)
-    start_p = jnp.take_along_axis(run_start, r_of, axis=-1)
-    end_p = jnp.take_along_axis(run_end, r_of, axis=-1)
+    seen_p = r_of * (p.max_list + 1) + l_of
 
     # --- per-template segmented reduction over the sorted pair stream ----
-    order2 = jnp.argsort(tid, axis=-1, stable=True)
-    tid_s = jnp.take_along_axis(tid, order2, axis=-1)
-    rs_s = jnp.take_along_axis(rs_p, order2, axis=-1)
-    start_s = jnp.take_along_axis(start_p, order2, axis=-1)
-    end_s = jnp.take_along_axis(end_p, order2, axis=-1)
-    r_s = jnp.take_along_axis(r_of, order2, axis=-1)
-    l_s = jnp.take_along_axis(l_of, order2, axis=-1)
+    tid_s, pb_s, seen_s = jax.lax.sort((tid, pb_p, seen_p), dimension=-1,
+                                       is_stable=True, num_keys=1)
     valid_s = tid_s < BIG
+    rs_s = (pb_s >> (2 * PB)) - SCORE_BIAS
+    start_s = (pb_s >> PB) & ((1 << PB) - 1)
+    end_s = pb_s & ((1 << PB) - 1)
 
     first = jnp.concatenate(
         [jnp.ones((B, 1), bool), tid_s[:, 1:] != tid_s[:, :-1]], axis=-1) \
@@ -229,19 +259,30 @@ def _strand_scan(codes, lengths, lookup_fn, values, p: ScanParams,
         [jnp.zeros((B, 1), end_s.dtype), end_s[:, :-1]], axis=-1)
     rec_gap = (start_s - 1) - prev_end
     add_first = jnp.where(first, p.k * p.M,
-                          _reconnect_score(rec_gap, p, rc_branch))
+                          _reconnect_score(rec_gap, p, rc_branch[:, None]))
     contrib = jnp.where(valid_s, rs_s + add_first, 0).astype(jnp.int32)
 
     cum = jnp.cumsum(contrib, axis=-1)
-    cum_pad = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), cum], axis=-1)
-    # index of the first pair of this group, carried forward
-    first_idx = jax.lax.cummax(jnp.where(first, pidx, -1), axis=1)
-    group_sum = cum - jnp.take_along_axis(
-        cum_pad, jnp.maximum(first_idx, 0), axis=-1)
+    # base of each group = cum just before its first pair, carried forward
+    # as two 16-bit cummax halves of the biased value (gather-free)
+    cumb = (cum - contrib) + (1 << 30)
+    pidx_hi = pidx << 16
+    base_lo = jax.lax.cummax(
+        jnp.where(first, pidx_hi | (cumb & 0xFFFF), -1), axis=1) & 0xFFFF
+    base_hi = jax.lax.cummax(
+        jnp.where(first, pidx_hi | ((cumb >> 16) & 0x7FFF), -1),
+        axis=1) & 0x7FFF
+    group_base = ((base_hi << 16) | base_lo) - (1 << 30)
+    group_sum = cum - group_base
     group_score = jnp.maximum(group_sum, 0)  # clamp (savekmers.c:2750-2752)
-    seen_key = jnp.where(first, r_s * (p.max_list + 1) + l_s, 0)
-    group_seen = jnp.take_along_axis(
-        jnp.where(first, seen_key, 0), jnp.maximum(first_idx, 0), axis=-1)
+
+    # first-seen key of each group, same carry trick
+    SB = (R * (p.max_list + 1) + p.max_list + 1).bit_length()
+    if PSB + SB > 31:
+        raise NotImplementedError("value lists too long for packed scan")
+    group_seen = jax.lax.cummax(
+        jnp.where(first, (pidx << SB) | seen_s, -1), axis=1) \
+        & ((1 << SB) - 1)
 
     gscore = jnp.where(last, group_score, -1)
     bestScore = jnp.max(gscore, axis=-1)
@@ -249,60 +290,190 @@ def _strand_scan(codes, lengths, lookup_fn, values, p: ScanParams,
 
     is_best = last & (gscore == bestScore[:, None]) & (bestScore[:, None] > 0)
     bkey = jnp.where(is_best, group_seen, BIG)
-    order3 = jnp.argsort(bkey, axis=-1)[:, :MAX_BEST]
-    best_valid = jnp.take_along_axis(bkey, order3, axis=-1) < BIG
-    best_tids = jnp.take_along_axis(tid_s, order3, axis=-1)
-    best_tids = jnp.where(best_valid, best_tids, 0)
+    bkey_s, btid_s = jax.lax.sort((bkey, tid_s), dimension=-1,
+                                  is_stable=True, num_keys=1)
+    MB = p.best_cap
+    best_valid = bkey_s[:, :MB] < BIG
+    best_tids = jnp.where(best_valid, btid_s[:, :MB], 0)
     n_best = jnp.sum(is_best, axis=-1)
-    overflow = overflow | (n_best > MAX_BEST)
+    overflow = overflow | (n_best > MB)
 
-    return bestScore, best_tids, best_valid, n_best, overflow
+    return bestScore, best_tids, best_valid, n_best, overflow, n_pairs
 
 
-@partial(jax.jit, static_argnames=("params", "rc_branch"))
-def strand_scan_device(codes, lengths, exist, kv, values, params: Tuple,
-                       rc_branch: bool):
-    """jit one strand: returns (bestScore, tids, valid, n_best, overflow)."""
+@partial(jax.jit, static_argnames=("params",))
+def strand_scan_device(codes, lengths, exist, kv, values, params: Tuple):
+    """jit BOTH strands as one fused [2B] batch (rows 0..B-1 forward,
+    B..2B-1 reverse complement).  Returns per-row
+    (bestScore, tids, valid, n_best, overflow, n_pairs)."""
     (k, mlen, M, MM, U, W1, max_list, exhaustive, mega, size, null_index,
-     flag, max_probe, run_cap, pair_cap) = params
+     flag, max_probe, run_cap, pair_cap, best_cap) = params
     p = ScanParams(k=k, mlen=mlen, M=M, MM=MM, U=U, W1=W1,
                    max_list=max_list, exhaustive=exhaustive,
-                   max_probe=max_probe, run_cap=run_cap, pair_cap=pair_cap)
+                   max_probe=max_probe, run_cap=run_cap, pair_cap=pair_cap,
+                   best_cap=best_cap)
 
     def lookup_fn(kmers):
         return lookup_voffsets(exist, kv, kmers, size, max_probe, mega,
                                null_index)
 
-    if rc_branch:
-        codes = rc_batch(codes, lengths)
-    return _strand_scan(codes, lengths, lookup_fn, values, p, rc_branch)
+    B = codes.shape[0]
+    both = jnp.concatenate([codes, rc_batch(codes, lengths)], axis=0)
+    lens2 = jnp.concatenate([lengths, lengths], axis=0)
+    rc_rows = jnp.arange(2 * B) >= B
+    return _strand_scan(both, lens2, lookup_fn, values, p, rc_rows)
 
 
 class DeviceScanner:
-    """Batched -1t1 scanner: device scan + host anker emission."""
+    """Batched -1t1 scanner with tiered pair capacities.
+
+    Most reads fit the small pair budget; the fat-list tail (redundant
+    gene families) reruns through a wide-cap kernel on a compacted
+    sub-batch, and only reads beyond even that spill to the host scanner.
+    """
 
     def __init__(self, didx: DeviceIndex, rewards, exhaustive=False,
-                 run_cap=64, pair_cap=1024):
+                 run_cap=64, pair_cap=512, best_cap=64,
+                 mid_pair_cap=2048, mid_rows=1024, big_pair_cap=8192,
+                 big_rows=512):
         self.didx = didx
-        self.params = (didx.kmersize, didx.mlen, rewards.M, rewards.MM,
-                       rewards.U, rewards.W1, didx.max_list,
-                       exhaustive, didx.mega, didx.size, didx.null_index,
-                       didx.flag, didx.max_probe, run_cap, pair_cap)
+        # wide tiers also widen run_cap and the tie-list budget so only
+        # genuinely pathological reads spill to the host scanner
+        self.tiers = ((mid_pair_cap, mid_rows), (big_pair_cap, big_rows))
+        tier_runs = (max(run_cap, 128), max(run_cap, 192))
+        tier_bests = (max(best_cap, 256), max(best_cap, 1024))
 
-    def scan_device(self, cj, lj):
+        def mk(cap, rc=run_cap, bc=best_cap):
+            return (didx.kmersize, didx.mlen, rewards.M, rewards.MM,
+                    rewards.U, rewards.W1, didx.max_list, exhaustive,
+                    didx.mega, didx.size, didx.null_index, didx.flag,
+                    didx.max_probe, rc, cap, bc)
+        self.params = mk(pair_cap)
+        self.tier_params = [mk(c, rc, bc) for (c, _), rc, bc
+                            in zip(self.tiers, tier_runs, tier_bests)]
+
+
+    @staticmethod
+    def _pad_cols(a, width):
+        if a.ndim == 2 and a.shape[1] < width:
+            out = np.zeros((a.shape[0], width), a.dtype)
+            out[:, : a.shape[1]] = a
+            return out
+        return a
+
+    def _max_best(self):
+        return max(self.params[-1], *(tp[-1] for tp in self.tier_params))
+
+    def scan_device(self, cj, lj, params=None):
         d = self.didx
-        cj = jnp.asarray(cj)
-        lj = jnp.asarray(lj)
-        fw = strand_scan_device(cj, lj, d.exist, d.kv, d.values,
-                                self.params, False)
-        rc = strand_scan_device(cj, lj, d.exist, d.kv, d.values,
-                                self.params, True)
-        return fw, rc
+        return strand_scan_device(jnp.asarray(cj), jnp.asarray(lj),
+                                  d.exist, d.kv, d.values,
+                                  params or self.params)
+
+    def _split(self, out, B):
+        b, t, v, n, ov, npair = [np.asarray(x) for x in out]
+        return ((b[:B], t[:B], v[:B], n[:B]),
+                (b[B:], t[B:], v[B:], n[B:]),
+                ov[:B] | ov[B:], np.maximum(npair[:B], npair[B:]))
+
+    def scan_many(self, codes: np.ndarray, lengths: np.ndarray,
+                  batch: int = 4096):
+        """Tiered scan over an arbitrary number of reads with ONE host
+        sync per tier: all tier-1 batches are dispatched asynchronously,
+        the overflow tail is compacted across the whole set and re-run
+        through the wider kernels, again asynchronously.  Returns the same
+        tuple as scan()."""
+        N = codes.shape[0]
+        outs = []
+        for off in range(0, N, batch):
+            cj = codes[off: off + batch]
+            lj = lengths[off: off + batch]
+            if len(cj) < batch:
+                cj = np.vstack([cj, np.zeros((batch - len(cj),
+                                              codes.shape[1]),
+                                             codes.dtype)])
+                lj = np.concatenate([lj, np.zeros(batch - len(lj),
+                                                  lengths.dtype)])
+            outs.append(self.scan_device(cj, lj))
+        # one sync for tier 1
+        fws, rcs, ovs, npss = [], [], [], []
+        for o, off in zip(outs, range(0, N, batch)):
+            n = min(batch, N - off)
+            fw, rc, ov, nps = self._split(o, batch)
+            fws.append([x[:n] for x in fw])
+            rcs.append([x[:n] for x in rc])
+            ovs.append(ov[:n])
+            npss.append(nps[:n])
+        W = self._max_best()
+        bf, tf, vf, nf = [np.concatenate([f[i] for f in fws])
+                          for i in range(4)]
+        br, tr, vr, nr = [np.concatenate([r[i] for r in rcs])
+                          for i in range(4)]
+        tf, vf, tr, vr = (self._pad_cols(tf, W), self._pad_cols(vf, W),
+                          self._pad_cols(tr, W), self._pad_cols(vr, W))
+        ov = np.concatenate(ovs)
+        npairs = np.concatenate(npss)
+
+        for ti, ((cap, rows), tp) in enumerate(zip(self.tiers,
+                                                   self.tier_params)):
+            if ti == len(self.tiers) - 1:
+                sel_all = np.flatnonzero(ov)
+            else:
+                sel_all = np.flatnonzero(ov & (npairs <= cap))
+            if not len(sel_all):
+                continue
+            touts = []
+            for off in range(0, len(sel_all), rows):
+                sel = sel_all[off: off + rows]
+                sub_c = np.zeros((rows, codes.shape[1]), codes.dtype)
+                sub_l = np.zeros(rows, lengths.dtype)
+                sub_c[: len(sel)] = codes[sel]
+                sub_l[: len(sel)] = lengths[sel]
+                touts.append((sel, self.scan_device(sub_c, sub_l, tp)))
+            for sel, o in touts:
+                sfw, src_, sov, _n2 = self._split(o, rows)
+                ns = len(sel)
+                for dst, src in ((bf, sfw[0]), (tf, sfw[1]), (vf, sfw[2]),
+                                 (nf, sfw[3]), (br, src_[0]),
+                                 (tr, src_[1]), (vr, src_[2]),
+                                 (nr, src_[3])):
+                    dst[sel] = self._pad_cols(src, W)[:ns]
+                ov[sel] = sov[:ns]
+        return bf, tf, vf, nf, br, tr, vr, nr, ov
 
     def scan(self, codes: np.ndarray, lengths: np.ndarray):
-        """Returns (bf, tids_f, valid_f, nf, br, tids_r, valid_r, nr,
-        overflow) as numpy arrays."""
-        fw, rc = self.scan_device(jnp.asarray(codes), jnp.asarray(lengths))
-        bf, tf, vf, nf, ovf = [np.asarray(x) for x in fw]
-        br, tr, vr, nr, ovr = [np.asarray(x) for x in rc]
-        return bf, tf, vf, nf, br, tr, vr, nr, (ovf | ovr)
+        """Tiered scan: a cheap small-cap pass measures each read's exact
+        pair demand (n_pairs), the fat tail reruns through progressively
+        wider kernels on compacted sub-batches.  Returns (bf, tids_f,
+        valid_f, nf, br, tids_r, valid_r, nr, overflow) where overflow
+        marks reads that exceeded even the widest tier (host scanner)."""
+        B = codes.shape[0]
+        fw, rc, ov, npairs = self._split(self.scan_device(codes, lengths),
+                                         B)
+        W = self._max_best()
+        bf, tf, vf, nf = [x.copy() for x in fw]
+        br, tr, vr, nr = [x.copy() for x in rc]
+        tf, vf, tr, vr = (self._pad_cols(tf, W), self._pad_cols(vf, W),
+                          self._pad_cols(tr, W), self._pad_cols(vr, W))
+        for (cap, rows), tp in zip(self.tiers, self.tier_params):
+            sel_all = np.flatnonzero(ov & (npairs <= cap))
+            if cap == self.tiers[-1][0]:
+                sel_all = np.flatnonzero(ov)  # widest tier takes the rest
+            if not len(sel_all):
+                continue
+            for off in range(0, len(sel_all), rows):
+                sel = sel_all[off: off + rows]
+                sub_c = np.zeros((rows, codes.shape[1]), codes.dtype)
+                sub_l = np.zeros(rows, lengths.dtype)
+                sub_c[: len(sel)] = codes[sel]
+                sub_l[: len(sel)] = lengths[sel]
+                sfw, src_, sov, _n2 = self._split(
+                    self.scan_device(sub_c, sub_l, tp), rows)
+                ns = len(sel)
+                for dst, src in ((bf, sfw[0]), (tf, sfw[1]), (vf, sfw[2]),
+                                 (nf, sfw[3]), (br, src_[0]),
+                                 (tr, src_[1]), (vr, src_[2]),
+                                 (nr, src_[3])):
+                    dst[sel] = self._pad_cols(src, W)[:ns]
+                ov[sel] = sov[:ns]
+        return bf, tf, vf, nf, br, tr, vr, nr, ov

@@ -92,12 +92,14 @@ def sharded_scan_step(mesh: Mesh, didx: DeviceIndex, params: Tuple):
             local = _local_lookup(exist_l, kv, kmers, size, max_probe, n_db)
             return jax.lax.pmax(local, "db")
 
-        codes_r = rc_batch(codes, lengths)
-        bf, of, vf, nf, ovf = _strand_scan(codes, lengths, lookup, values,
-                                           p, False)
-        br, orr, vr, nr, ovr = _strand_scan(codes_r, lengths, lookup,
-                                            values, p, True)
-        return bf, of, vf, nf, br, orr, vr, nr, ovf | ovr
+        B = codes.shape[0]
+        both = jnp.concatenate([codes, rc_batch(codes, lengths)], axis=0)
+        lens2 = jnp.concatenate([lengths, lengths], axis=0)
+        rc_rows = jnp.arange(2 * B) >= B
+        b, o, v, n, ov, _np = _strand_scan(both, lens2, lookup, values, p,
+                                           rc_rows)
+        return (b[:B], o[:B], v[:B], n[:B], b[B:], o[B:], v[B:], n[B:],
+                ov[:B] | ov[B:])
 
     in_specs = (P("db"), P(None), P(None), P("data", None), P("data"))
     out_specs = (P("data"), P("data", None), P("data", None), P("data"),

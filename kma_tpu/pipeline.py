@@ -968,7 +968,16 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             rec.mate_flag = m_flag
         records.append(rec)
 
-    if not cfg.one2one:
+    if cfg.ck and cfg.one2one:
+        # -ck only swaps the SE scanner when -1t1 is set (kma.c:1272-1276)
+        from .mapping.scan import save_kmers_count
+
+        def scan_one(read):
+            hit = save_kmers_count(idx, pen, read.codes, read.n_positions,
+                                   read.header, cfg.exhaustive,
+                                   scanner.Score, scanner.Score_r)
+            return [hit] if hit is not None else []
+    elif not cfg.one2one:
         from .mapping.chain_scan import chain_scan_read
 
         def scan_one(read):
@@ -1019,6 +1028,10 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         scan_pair = {"u": save_kmers_union_pair,
                      "p": save_kmers_penalty_pair,
                      "f": save_kmers_force_pair}[cfg.pair_mode]
+        pair_inner = None
+        if cfg.ck:
+            from .mapping.pair import get_kmers_for_pair_count
+            pair_inner = get_kmers_for_pair_count
         for r1, r2 in _pair_stream():
             if r2 is None:
                 hit = scanner.scan(r1.codes, r1.n_positions, r1.header)
@@ -1040,7 +1053,8 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             pa = scan_pair(
                 idx, pen, r1.codes, r2.codes, r1.header, r2.header,
                 cfg.exhaustive, scanner.Score, scanner.Score_r,
-                scanner.extendScore, scanner.include)
+                scanner.extendScore, scanner.include,
+                pair_fn=pair_inner)
             if pa is None or not pa.records:
                 continue
             if len(pa.records) == 2 and len(pa.records[0][3]) == 0:

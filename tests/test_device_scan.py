@@ -96,4 +96,11 @@ def test_sharded_scan_matches_single(tiny_db, read_batch):
     step, place = sharded_scan_step(mesh, didx, dev.params)
     out = step(*place(codes, lengths))
     for a, b in zip(single, out):
-        assert np.array_equal(np.asarray(a), np.asarray(b))
+        a = np.asarray(a)
+        b = np.asarray(b)
+        if a.ndim == 2:  # tiered scan pads tie lists to the widest cap
+            w = min(a.shape[1], b.shape[1])
+            assert np.array_equal(a[:, :w], b[:, :w])
+            assert not a[:, w:].any()
+        else:
+            assert np.array_equal(a, b)

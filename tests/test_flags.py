@@ -135,3 +135,20 @@ def test_pairing_mode_parity(tmp_path, messy_pairs, db50_index_mod, ref_bin,
     f1, f2 = messy_pairs
     _cmp(tmp_path, ref_bin, db50_index_mod,
          ["-ipe", str(f1), str(f2)], ["-apm", pm] + mode)
+
+
+@pytest.mark.parametrize("args", [
+    ["-ck", "-1t1"],
+    ["-ck", "-1t1", "-mem_mode"],
+])
+def test_ck_se_parity(tmp_path, sim_reads_mod, db50_index_mod, ref_bin,
+                      args):
+    _cmp(tmp_path, ref_bin, db50_index_mod,
+         ["-i", str(sim_reads_mod)], args)
+
+
+@pytest.mark.parametrize("pm", ["u", "p"])
+def test_ck_pe_parity(tmp_path, messy_pairs, db50_index_mod, ref_bin, pm):
+    f1, f2 = messy_pairs
+    _cmp(tmp_path, ref_bin, db50_index_mod,
+         ["-ipe", str(f1), str(f2)], ["-ck", "-apm", pm])
