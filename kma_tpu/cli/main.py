@@ -90,8 +90,9 @@ def map_main(argv: List[str]) -> int:
     pe_inputs: List[str] = []
     int_inputs: List[str] = []
     out = None
-    db = None
+    dbs: List[str] = []
     mt1 = 0
+    splt_db = False
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -121,8 +122,15 @@ def map_main(argv: List[str]) -> int:
             i += 1
             out = argv[i]
         elif a == "-t_db":
+            # multiple values select the spltDB map/reduce flow
+            # (kma.c:355-372,1617-1618)
             i += 1
-            db = argv[i]
+            while i < len(argv) and not argv[i].startswith("-"):
+                dbs.append(argv[i])
+                i += 1
+            continue
+        elif a == "-spltDB":
+            splt_db = True
         elif a == "-1t1":
             cfg.one2one = True
         elif a == "-ck":
@@ -361,11 +369,44 @@ def map_main(argv: List[str]) -> int:
             print(f" Invalid option:\t{a}", file=sys.stderr)
             return 1
         i += 1
-    if out is None or db is None:
+    if out is None or not dbs:
         print(" Too few arguments handed", file=sys.stderr)
         return 1
+    db = dbs[0]
     if not inputs and not pe_inputs and not int_inputs:
         inputs = ["--"]
+    if splt_db and len(dbs) > 1:
+        # -spltDB with several DBs prints the shard map commands and the
+        # reduce command instead of running (kma.c:1330-1424)
+        base = []
+        quote = False
+        j = 0
+        while j < len(argv):
+            if argv[j] == "-t_db":
+                j += 1
+                while j < len(argv) and not argv[j].startswith("-"):
+                    j += 1
+                continue
+            if argv[j].startswith("-"):
+                quote = False
+            tok = f'"{argv[j]}"' if quote else argv[j]
+            base.append(tok)
+            if argv[j].startswith("-i"):
+                quote = True
+            j += 1
+        print("# Map", file=sys.stderr)
+        for n, d in enumerate(dbs):
+            print(f"kma_tpu map {' '.join(base)} -t_db {d} > {out}.{n} &")
+        print("# Reduce:", file=sys.stderr)
+        reduce_args = [a for a in argv if a != "-spltDB"]
+        print("kma_tpu map " + " ".join(reduce_args))
+        return 0
+    if len(dbs) > 1:
+        from ..pipeline import run_kma_spltdb
+        return run_kma_spltdb(dbs, out, inputs, cfg,
+                              exe_cmd=" ".join(["kma"] + argv),
+                              pe_files=pe_inputs or None,
+                              int_files=int_inputs or None)
     if mt1:
         from ..pipeline import run_kma_mt1
         return run_kma_mt1(db, out, inputs, cfg, mt1,

@@ -11,6 +11,7 @@
 from __future__ import annotations
 
 import gzip
+import os
 import time
 from typing import IO, List, Optional
 
@@ -121,6 +122,23 @@ def mapstat_header(db_name: str, tot_frags: int, cmd: str,
             "refCoveredPositions\trefConsensusSum\tbpTotal\tdepthVariance\t"
             "nucHighDepthVariance\tdepthMax\tsnpSum\tinsertSum\t"
             "deletionSum\treadCountAln\tfragmentCountAln\n")
+
+
+def mapstat_header_splt(db_prefixes, cmd: str, fragment_count: int,
+                        version: str = "1.5.1") -> str:
+    """spltDB reducer mapstat heading (spltdb.c:576-593,805-807): databases
+    list instead of a single database line, fragmentCount printed from the
+    stream-0 trailing counter (readNum - 1, as %u), and a column header
+    without the two *Aln columns."""
+    date = time.strftime("%Y-%m-%d")
+    dbs = ", ".join(os.path.basename(p) for p in db_prefixes)
+    return (f"## method\tKMA\n## version\t{version}\n"
+            f"## databases\t{dbs}\n## date\t{date}\n## command\t{cmd}\n"
+            f"## fragmentCount\t{fragment_count & 0xFFFFFFFF}\n"
+            "# refSequence\treadCount\tfragmentCount\tmapScoreSum\t"
+            "refCoveredPositions\trefConsensusSum\tbpTotal\tdepthVariance\t"
+            "nucHighDepthVariance\tdepthMax\tsnpSum\tinsertSum\t"
+            "deletionSum\n")
 
 
 def mapstat_row(name: str, assem: Assem, fragment_count: int,

@@ -11,6 +11,7 @@ Stages (in-process instead of the reference's pipe-chained processes):
 
 from __future__ import annotations
 
+import bisect
 import os
 import sys
 from typing import Dict, List, Optional
@@ -62,6 +63,28 @@ class TemplateStore:
             ti = TemplateIndex(unpack_2bit(words, t_len), self.kmersize)
             self.cache[template] = ti
         return ti
+
+
+def _shard_of(biases: List[int], template: int) -> int:
+    """Shard owning a global template id; biases[n] <= id < biases[n+1]."""
+    n = bisect.bisect_right(biases, template) - 1
+    return min(n, len(biases) - 2)
+
+
+class MultiTemplateStore:
+    """Global-template lookup over per-shard .seq.b files (the reducer
+    swaps seq/name streams at each dbBias boundary, spltdb.c:1074-1129)."""
+
+    def __init__(self, db_prefixes: List[str],
+                 lengths_parts: List[np.ndarray], biases: List[int],
+                 kmersize: int):
+        self.stores = [TemplateStore(p + ".seq.b", lp, kmersize)
+                       for p, lp in zip(db_prefixes, lengths_parts)]
+        self.biases = biases
+
+    def get(self, template: int) -> TemplateIndex:
+        n = _shard_of(self.biases, template)
+        return self.stores[n].get(template - self.biases[n])
 
 
 def aln_frags_se(store: TemplateStore, matched_templates: np.ndarray,
@@ -901,6 +924,10 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
 
     # --- steps 1-3: trim, scan, align, spool -----------------------------
     records: List[FragRecord] = []
+    # readNum (savekmers.c:97,182): every post-trim fragment counts, mapped
+    # or not; feeds mapstat fragmentCount and the xml query-len
+    # (runkma.c:466,484)
+    n_frags = 0
 
     def handle_se_anker(codes, n_positions, rc_flag, templates, header,
                         flag):
@@ -1001,6 +1028,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                                hardmask_q=cfg.hardmask_q, min_q=cfg.min_q,
                                min_len=cfg.min_len, max_len=cfg.max_len,
                                qc=qc):
+            n_frags += 1
             for hit in scan_one(read):
                 handle_se_anker(hit.codes, hit.n_positions, hit.rc_flag,
                                 hit.templates, hit.header, hit.flag)
@@ -1033,6 +1061,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             from .mapping.pair import get_kmers_for_pair_count
             pair_inner = get_kmers_for_pair_count
         for r1, r2 in _pair_stream():
+            n_frags += 1
             if r2 is None:
                 hit = scanner.scan(r1.codes, r1.n_positions, r1.header)
                 if hit is not None:
@@ -1110,8 +1139,32 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                          cfg.hardmask_q, cfg.min_len, cfg.max_len,
                          cfg.five_clip, cfg.three_clip, jf)
 
-    tot_frags = len(records)
+    tot_frags = n_frags
+    return _conclave_and_output(
+        records, db_size, template_lengths,
+        lambda t: names[t - 1].decode("latin1"), store, alignment_scores,
+        uniq_alignment_scores, cfg, rew, points, kmersize, db_prefix,
+        output_prefix, exe_cmd, tot_frags,
+        sam_init=lambda out: _sam_init_single(names, template_lengths,
+                                              exe_cmd, out))
 
+
+def _sam_init_single(names, template_lengths, exe_cmd, out):
+    from .out.sam import sam_header
+    sam_header(names, template_lengths, exe_cmd, out)
+
+
+def _conclave_and_output(records, db_size, template_lengths, name_of, store,
+                         alignment_scores, uniq_alignment_scores, cfg, rew,
+                         points, kmersize, db_prefix, output_prefix, exe_cmd,
+                         tot_frags, sam_init=None, splt=None) -> int:
+    """ConClave + per-template assembly + output stage, shared between
+    runKMA (runkma.c:560-908) and the spltDB reducer (spltdb.c:844-1293).
+
+    ``splt`` carries the reducer-only variations: per-shard seq files,
+    boundary dummy templates, the databases header line, and the
+    trailing-count fragmentCount quirk.
+    """
     # --- ConClave --------------------------------------------------------
     w_scores = np.zeros(db_size, dtype=np.int64)
     need_counts = bool(cfg.tsv or cfg.xml) or cfg.sasm or True
@@ -1148,20 +1201,27 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
     if cfg.vcf:
         from .out.vcf import vcf_header
         vcf_out = writers.open_gz(output_prefix + ".vcf.gz")
-        vcf_out.write(vcf_header(db_prefix))
+        # spltdb.c:909-911 initialises the vcf with a NULL template name
+        vcf_out.write(vcf_header(None if splt is not None else db_prefix))
     mapstat_out = None
     if cfg.ef:
         mapstat_out = open(output_prefix + ".mapstat", "w")
-        mapstat_out.write(writers.mapstat_header(
-            os.path.basename(db_prefix), tot_frags, exe_cmd))
+        if splt is not None:
+            # spltdb.c:576-593 then :805-807 -- databases list, and
+            # fragmentCount printed from stream 0's trailing counter
+            # (readNum - 1); the column header drops the two *Aln columns
+            mapstat_out.write(writers.mapstat_header_splt(
+                splt["db_names"], exe_cmd, splt["fragment_count"]))
+        else:
+            mapstat_out.write(writers.mapstat_header(
+                os.path.basename(db_prefix), tot_frags, exe_cmd))
     tsv_out = None
     if cfg.tsv:
         tsv_out = open(output_prefix + ".tsv", "w")
         tsv_out.write(tsv_headerline(cfg.tsv))
     sam_out = sys.stdout if cfg.sam else None
-    if sam_out is not None:
-        from .out.sam import sam_header
-        sam_header(names, template_lengths, exe_cmd, sam_out)
+    if sam_out is not None and sam_init is not None:
+        sam_init(sam_out)
     xml_out = None
     xml_writer = None
     seqin_size = 0
@@ -1170,17 +1230,33 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         from .out.xmlout import XmlHitWriter, xml_init
         xml_out = sys.stdout if cfg.xml == 2 \
             else open(output_prefix + ".xml", "w")
-        xml_init(xml_out, db_prefix, tot_frags, exe_cmd, int(time.time()))
+        if splt is not None:
+            # spltdb.c:598-608: first shard's name; the query-len field is
+            # **targetInfo read before initialisation (reference UB)
+            xml_init(xml_out, os.path.basename(splt["db_names"][0]), 0,
+                     exe_cmd, int(time.time()))
+        else:
+            xml_init(xml_out, db_prefix, tot_frags, exe_cmd,
+                     int(time.time()))
         xml_writer = XmlHitWriter(xml_out, rew)
-        seqin_size = 4 * os.path.getsize(db_prefix + ".seq.b")
+        if splt is None:
+            seqin_size = 4 * os.path.getsize(db_prefix + ".seq.b")
 
     cmp = CMP[cfg.cmp_mode]
     status = 0
 
+    boundary = splt["boundary"] if splt is not None else frozenset()
     # --- assembly per template (runkma.c:763-863) ------------------------
     for template in range(1, db_size):
+        if template in boundary:
+            # spltdb.c:1104-1129: shard-boundary dummy template -- swap of
+            # seq/name streams only, never assembled
+            continue
         if w_scores[template] <= 0:
             continue
+        if splt is not None and cfg.xml:
+            seqin_size = splt["seqin_sizes"][_shard_of(
+                splt["biases"], template)]
         read_score = int(w_scores[template])
         t_len = int(template_lengths[template])
         # long-double arithmetic as the reference (runkma.c:770-783)
@@ -1194,7 +1270,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         else:
             q_value = ld(read_score)
         p_value = p_chisqr(q_value)
-        name = names[template - 1].decode("latin1")
+        name = name_of(template)
         if not cmp(p_value <= cfg.evalue and read_score > expected,
                    read_score >= cfg.score_t * t_len):
             continue
@@ -1279,6 +1355,382 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         if f is not None:
             f.close()
     return status
+
+
+class _SpltRec:
+    """One spltDB anker-stream record (print_ankers_spltDB,
+    spltdb.c:54-194): read number, rc_flag, template list, flag, seq."""
+
+    __slots__ = ("num", "rc_flag", "tl", "flag", "codes", "header")
+
+    def __init__(self, num, rc_flag, tl, flag, codes, header):
+        self.num = num
+        self.rc_flag = int(rc_flag)
+        self.tl = tl
+        self.flag = int(flag)
+        self.codes = codes
+        self.header = header
+
+
+_UINT_MAX = 0xFFFFFFFF
+
+
+def run_kma_spltdb(db_prefixes: List[str], output_prefix: str,
+                   input_files: List[str], cfg: MapConfig,
+                   exe_cmd: str = "kma_tpu",
+                   pe_files: Optional[List[str]] = None,
+                   int_files: Optional[List[str]] = None) -> int:
+    """Multiple -t_db: the spltDB map/reduce flow, in-process.
+
+    The reference runs one ``-s2`` mapper per shard DB (kma.c:1330-1424)
+    whose anker streams are merged by runKMA_spltDB (spltdb.c:401-1293).
+    Here each read is scanned against every shard index in one process and
+    the reducer's exact merge rule is applied to the per-shard record
+    streams: the shard(s) with the highest ``abs(rc_flag)`` win, ties
+    contribute the union of their template lists offset by the shard's
+    dbBias, and inferior records from shards > 0 are consumed silently.
+    Stream 0 is excluded from the inferior-record wipe (spltdb.c:722-731
+    never reaches i == 0), so a read whose shard-0 score is strictly
+    inferior is scored a second time with shard 0's list alone -- observable
+    reference behaviour that is reproduced here.
+    """
+    from .index.format import load_comp_b, load_length_b, load_names
+
+    # the reducer always scores ankers MEM-style and gates output like
+    # runKMA_MEM (spltdb.c:697-699,1182-1196)
+    cfg.mem_mode = True
+
+    # --- load shard DBs (spltdb.c:440-480) -------------------------------
+    idxs = []
+    biases: List[int] = [0]
+    lengths_parts: List[np.ndarray] = []
+    for p in db_prefixes:
+        if cfg.deCon:
+            idx = load_comp_b(p + ".decon.comp.b")
+            idx.template_lengths = load_length_b(p + ".length.b")
+            idx.names = load_names(p + ".name")
+            idx.seq_path = p + ".seq.b"
+        else:
+            idx = load_index(p)
+        idxs.append(idx)
+        lengths_parts.append(idx.template_lengths.astype(np.int64))
+        biases.append(biases[-1] + int(idx.db_size))
+    n_shards = len(idxs)
+    db_size = biases[-1]
+    template_lengths = np.concatenate(lengths_parts)
+    kmersize = cfg.kmersize or int(lengths_parts[0][0])
+    if kmersize < 4 or 32 < kmersize:
+        # spltdb.c:478 allows 32 (runKMA clamps at 31)
+        kmersize = 16
+    name_of_map: Dict[int, bytes] = {}
+    for n, idx in enumerate(idxs):
+        for j, nm in enumerate(idx.names):
+            name_of_map[biases[n] + 1 + j] = nm
+
+    pen = cfg.penalties
+    dmat = pen.score_matrix()
+    rew = Penalty(M=pen.M, MM=pen.MM, U=pen.U, W1=pen.W1, Wl=pen.Wl,
+                  d=dmat, PE=pen.PE)
+    set_preseed_exhaustive(1 if cfg.exhaustive else 0)
+    scanners = [SaveKmersScanner(idx, pen, exhaustive=cfg.exhaustive)
+                for idx in idxs]
+    points = Points()
+
+    alignment_scores = np.zeros(db_size, dtype=np.int64)
+    uniq_alignment_scores = np.zeros(db_size, dtype=np.int64)
+
+    # --- phase A: per-shard anker streams --------------------------------
+    # Each shard mapper is a one2one save_kmers scan (kma.c:1259-1276
+    # forces kmerScan = save_kmers / save_kmers_count and one2one = 1).
+    streams: List[List[_SpltRec]] = [[] for _ in range(n_shards)]
+    readnum = 0
+
+    def decon_filter(n: int, tl: List[int]) -> List[int]:
+        """deConPrint per shard; contamination id is the shard's DB_size
+        (kma.c:1489-1493, ankers.c:106-124)."""
+        cont = int(idxs[n].db_size)
+        lst = [int(t) for t in tl]
+        for i in range(len(lst) - 1, -1, -1):
+            if lst[i] == cont:
+                lst[i] = lst[-1]
+                lst.pop()
+                break
+        for i in range(len(lst) - 1, -1, -1):
+            if lst[i] == -cont:
+                lst[i] = lst[-1]
+                lst.pop()
+                break
+            if lst[i] > 0:
+                break
+        return lst
+
+    def push(n: int, rc_flag, tl, flag, codes, header,
+             filtered: bool = False):
+        tl = [int(t) for t in tl]
+        if cfg.deCon and not filtered:
+            tl = decon_filter(n, tl)
+            if not tl:
+                return
+        streams[n].append(_SpltRec(readnum, rc_flag, tl, flag, codes,
+                                   header))
+
+    use_count = cfg.ck
+    if use_count:
+        from .mapping.scan import save_kmers_count
+
+    def scan_se(n: int, read) -> None:
+        sc = scanners[n]
+        if use_count:
+            hit = save_kmers_count(idxs[n], pen, read.codes,
+                                   read.n_positions, read.header,
+                                   cfg.exhaustive, sc.Score, sc.Score_r)
+        else:
+            hit = sc.scan(read.codes, read.n_positions, read.header)
+        if hit is not None:
+            push(n, hit.rc_flag, hit.templates, hit.flag, hit.codes,
+                 hit.header)
+
+    qc = None
+    if cfg.qc_report:
+        from .utils.qc import QCStat
+        qc = QCStat(cfg.qc_report - 1)
+
+    if input_files and input_files != ["--"] or not (pe_files or int_files):
+        for read in iter_reads(input_files, min_phred=cfg.min_phred,
+                               hardmask_q=cfg.hardmask_q, min_q=cfg.min_q,
+                               min_len=cfg.min_len, max_len=cfg.max_len,
+                               qc=qc):
+            readnum += 1
+            for n in range(n_shards):
+                scan_se(n, read)
+
+    def _pair_stream():
+        from .io.pipeline import iter_read_pairs
+        if pe_files:
+            yield from iter_read_pairs(pe_files, min_phred=cfg.min_phred,
+                                       hardmask_q=cfg.hardmask_q,
+                                       min_q=cfg.min_q,
+                                       min_len=cfg.min_len,
+                                       max_len=cfg.max_len, qc=qc)
+        if int_files:
+            yield from iter_read_pairs(int_files, min_phred=cfg.min_phred,
+                                       hardmask_q=cfg.hardmask_q,
+                                       min_q=cfg.min_q,
+                                       min_len=cfg.min_len,
+                                       max_len=cfg.max_len, qc=qc,
+                                       interleaved=True)
+
+    if pe_files or int_files:
+        from .mapping.pair import (save_kmers_force_pair,
+                                   save_kmers_penalty_pair,
+                                   save_kmers_union_pair)
+        scan_pair = {"u": save_kmers_union_pair,
+                     "p": save_kmers_penalty_pair,
+                     "f": save_kmers_force_pair}[cfg.pair_mode]
+        pair_inner = None
+        if cfg.ck:
+            from .mapping.pair import get_kmers_for_pair_count
+            pair_inner = get_kmers_for_pair_count
+        for r1, r2 in _pair_stream():
+            readnum += 1
+            if r2 is None:
+                for n in range(n_shards):
+                    hit = scanners[n].scan(r1.codes, r1.n_positions,
+                                           r1.header)
+                    if hit is not None:
+                        push(n, hit.rc_flag, hit.templates, hit.flag,
+                             hit.codes, hit.header)
+                continue
+            if len(r1.codes) < kmersize or len(r2.codes) < kmersize:
+                for n in range(n_shards):
+                    for r in (r1, r2):
+                        if len(r.codes) >= kmersize:
+                            hit = scanners[n].scan(r.codes, r.n_positions,
+                                                   r.header)
+                            if hit is not None:
+                                push(n, hit.rc_flag, hit.templates,
+                                     hit.flag, hit.codes, hit.header)
+                continue
+            for n in range(n_shards):
+                sc = scanners[n]
+                pa = scan_pair(idxs[n], pen, r1.codes, r2.codes, r1.header,
+                               r2.header, cfg.exhaustive, sc.Score,
+                               sc.Score_r, sc.extendScore, sc.include,
+                               pair_fn=pair_inner)
+                if pa is None or not pa.records:
+                    continue
+                if len(pa.records) == 2 and len(pa.records[0][3]) == 0:
+                    # proper pair: printPair (ankers.c:150-161) -- first
+                    # record carries qseq with 0 templates, second carries
+                    # qseq_r with the shared list
+                    c_a, _np_a, sc_a, _t0, h_a, f_a = pa.records[0]
+                    c_b, _np_b, sc_b, tl, h_b, f_b = pa.records[1]
+                    tl = [int(t) for t in tl]
+                    if cfg.deCon:
+                        tl = decon_filter(n, tl)
+                        if not tl:
+                            continue
+                    push(n, sc_a, [], f_a, c_a, h_a, filtered=True)
+                    push(n, sc_b, tl, f_b, c_b, h_b, filtered=True)
+                else:
+                    for (c, _npos, s, tl2, h, f) in pa.records:
+                        push(n, s, tl2, f, c, h)
+
+    if qc is not None:
+        from .utils.qc import print_qcstat
+        with open(output_prefix + ".json", "w") as jf:
+            print_qcstat(qc, cfg.min_q, max(cfg.min_phred, cfg.hardmask_q),
+                         cfg.hardmask_q, cfg.min_len, cfg.max_len,
+                         cfg.five_clip, cfg.three_clip, jf)
+
+    # --- phase B: the reducer merge (spltdb.c:638-803) -------------------
+    records: List[FragRecord] = []
+    pos = [0] * n_shards
+
+    def num_at(i: int) -> int:
+        return streams[i][pos[i]].num if pos[i] < len(streams[i]) \
+            else _UINT_MAX
+
+    def cur(i: int) -> _SpltRec:
+        return streams[i][pos[i]]
+
+    def consume(i: int) -> _SpltRec:
+        rec = streams[i][pos[i]]
+        pos[i] += 1
+        return rec
+
+    def emit(qa, best_hits, score, merged, ends, ha, fa, mate=None):
+        """update_Scores_MEM / _pe_MEM (updatescores.c:26-107)."""
+        nt = len(merged)
+        if nt == 1:
+            t0 = abs(merged[0])
+            alignment_scores[t0] += score
+            uniq_alignment_scores[t0] += score
+        else:
+            for t in merged:
+                alignment_scores[abs(t)] += score
+        rec = FragRecord(q_len=len(qa), best_hits=best_hits,
+                         score=-score if mate is not None else score,
+                         header=ha, flag=fa, codes=qa,
+                         starts=[0] * nt, ends=ends, templates=merged)
+        if mate is not None:
+            rec.mate_codes, rec.mate_header, rec.mate_flag = mate
+        records.append(rec)
+
+    target = 0
+    target_score = 0
+    rc_flag = 0
+    best_targets: List[int] = []
+    while target != _UINT_MAX:
+        # join best templates (spltdb.c:645-671)
+        read_score = 0
+        merged: List[int] = []
+        qa = ha = None
+        fa = fr = 0
+        qr = hr = None
+        qa_len = 0
+        qr_len = 0
+        for sh in best_targets:
+            rec = consume(sh)
+            qa, ha, fa = rec.codes, rec.header, rec.flag
+            qa_len = len(rec.codes)
+            if rec.tl:
+                read_score = 0
+                seg = rec.tl
+            else:
+                rec2 = consume(sh)
+                qr, hr, fr = rec2.codes, rec2.header, rec2.flag
+                qr_len = len(rec2.codes)
+                seg = rec2.tl
+                read_score = 1
+            bias = biases[sh]
+            merged.extend(t + bias for t in seg)
+
+        if best_targets and kmersize <= qa_len:
+            best_read_score = target_score
+            ends = [int(template_lengths[abs(t)]) for t in merged]
+            nt = len(merged)
+            best_hits = nt
+            if rc_flag < 0 and merged and merged[-1] > 0:
+                best_hits = -nt
+            if read_score and kmersize <= qr_len:
+                # PE total is targetScore + 1, not the sum of both mates'
+                # scores (spltdb.c:661,695-697)
+                emit(qa, best_hits, best_read_score + read_score, merged,
+                     ends, fa=fa, ha=ha, mate=(qr, hr, fr))
+            else:
+                emit(qa, best_hits, best_read_score, merged, ends, fa=fa,
+                     ha=ha)
+
+        # remove inferior read matches (spltdb.c:718-752); stream 0 is
+        # never wiped -- the `while(i)` walk stops at i == 1
+        if merged:
+            if read_score or (fa & 1) == 0 or (fa & 128):
+                for i in range(n_shards - 1, 0, -1):
+                    while num_at(i) == target:
+                        consume(i)
+            elif fa & 64:
+                for i in range(n_shards - 1, 0, -1):
+                    if num_at(i) == target:
+                        h = cur(i)
+                        if (h.flag & 128) and not h.tl:
+                            pass  # conserve second non-paired
+                        else:
+                            consume(i)
+
+        # get best templates for next read (spltdb.c:754-796)
+        target = _UINT_MAX
+        target_score = _UINT_MAX
+        rc_flag = 0
+        best_targets = []
+        for i in range(n_shards):
+            ni = num_at(i)
+            if ni < target:
+                target = ni
+                rc_flag = cur(i).rc_flag
+                target_score = abs(rc_flag)
+                best_targets = [i]
+            elif ni == target and ni != _UINT_MAX:
+                a3 = abs(cur(i).rc_flag)
+                if target_score < a3:
+                    rc_flag = cur(i).rc_flag
+                    target_score = a3
+                    best_targets = [i]
+                elif target_score == a3:
+                    best_targets.append(i)
+                    if rc_flag >= 0:
+                        rc_flag = cur(i).rc_flag
+                else:
+                    # inferior: consume (twice when it is a PE start)
+                    if not cur(i).tl:
+                        consume(i)
+                    consume(i)
+
+    # --- phase C: ConClave + assembly over the concatenated DB -----------
+    store = MultiTemplateStore(db_prefixes, lengths_parts, biases, kmersize)
+    seqin_sizes = [4 * os.path.getsize(p + ".seq.b") for p in db_prefixes]
+    splt = {
+        "db_names": list(db_prefixes),
+        "fragment_count": readnum - 1,  # trailing out_Tem[2]-1 (kmers.c:254)
+        "boundary": frozenset(biases[1:-1]),
+        "biases": biases,
+        "seqin_sizes": seqin_sizes,
+    }
+
+    def sam_init(out):
+        # saminit per shard, no CL (spltdb.c:466-471)
+        from .out.sam import sam_header
+        for idx in idxs:
+            sam_header(idx.names, idx.template_lengths, None, out)
+
+    def name_of(template: int) -> str:
+        return name_of_map[template].decode("latin1")
+
+    return _conclave_and_output(
+        records, db_size, template_lengths, name_of, store,
+        alignment_scores, uniq_alignment_scores, cfg, rew, points, kmersize,
+        db_prefixes[0], output_prefix, exe_cmd, readnum,
+        sam_init=sam_init, splt=splt)
 
 
 def run_kma_mt1(db_prefix: str, output_prefix: str, input_files: List[str],
