@@ -284,6 +284,70 @@ def map_main(argv: List[str]) -> int:
             cfg.support_static = 0.7  # mint3 leaves the support VAR at 0
             cfg.vcf = 1
             cfg.ef = True
+        elif a == "-proxi":
+            # kma.c:702-724: +/-1.0 keeps the exact selectors but still
+            # lands in the alignment-stage minFrac
+            i += 1
+            try:
+                v = float(argv[i])
+            except ValueError:
+                print('Invalid argument at "-proxi".', file=sys.stderr)
+                return 1
+            if v < -1 or 1 < v:
+                print('Invalid argument at "-proxi".', file=sys.stderr)
+                return 1
+            cfg.min_frac = v
+        elif a == "-mct":
+            i += 1
+            cfg.cover_t = float(argv[i])
+        elif a == "-lc":
+            cfg.lc = True
+        elif a == "-ont":
+            # kma.c:1115-1158: -bcNano -bc 0.7 -mct 0.1 -bcd 10 -mrs 0.25
+            # -mrc 0.7 -eq 10 -proxi -0.9 -lc -ts 2
+            cfg.preset |= 4
+            if cfg.significant == "mcnemar":
+                cfg.significant = "and90"
+            cfg.base_caller = "nano"
+            cfg.significant = "support"
+            cfg.support = 0.7
+            cfg.support_static = 0.7
+            cfg.cover_t = 0.1
+            cfg.bcd = 10
+            cfg.min_frac = -0.9
+            cfg.score_t = 0.25
+            cfg.mrc = 0.7
+            cfg.min_q = 10
+            cfg.lc = True
+            cfg.ts = 2
+        elif a == "-ill":
+            # kma.c:1159-1202: -1t1 -mrc 0.1 -lc -proxi -0.98 -bc 0.9
+            # -bcd 10
+            cfg.preset |= 8
+            cfg.one2one = True
+            cfg.mrc = 0.1
+            cfg.lc = True
+            cfg.min_frac = -0.98
+            cfg.significant = "support"
+            cfg.support = 0.9
+            cfg.support_static = 0.9
+            cfg.bcd = 10
+        elif a == "-asm":
+            # kma.c:1203-1233: -bc 0.5 -p 0.5 -mct 0.1 -bcd 1 -mrs 0.25
+            # -mrc 0.7 -proxi -0.9 -lc -ts 2; the non-mem alignment stage
+            # is forced back to minFrac 1.0 (kma.c:1622)
+            cfg.preset |= 16
+            cfg.significant = "support"
+            cfg.support = 0.5
+            cfg.support_static = 0.5
+            cfg.evalue = 0.5
+            cfg.cover_t = 0.1
+            cfg.bcd = 1
+            cfg.min_frac = -0.9
+            cfg.score_t = 0.25
+            cfg.mrc = 0.7
+            cfg.lc = True
+            cfg.ts = 2
         elif a == "-ca":
             cfg.circular = True
         elif a == "-ts":
@@ -373,6 +437,10 @@ def map_main(argv: List[str]) -> int:
         print(" Too few arguments handed", file=sys.stderr)
         return 1
     db = dbs[0]
+    if (splt_db or len(dbs) > 1) and cfg.min_frac < 0:
+        print("spltDB cannot be used in combination with soft proximity "
+              "matching, minFrac < 0", file=sys.stderr)
+        return 1
     if not inputs and not pe_inputs and not int_inputs:
         inputs = ["--"]
     if splt_db and len(dbs) > 1:

@@ -72,7 +72,9 @@ class MapConfig:
     pair_mode: str = "u"     # -pm/-apm: u(nion)/p(enalty)/f(orce), step 2
     fpm: str = "u"           # -fpm/-apm: step-3 PE alignment combiner
     deCon: bool = False
-    min_frac: float = 1.0    # -proxi
+    min_frac: float = 1.0    # -proxi (negative = soft)
+    lc: bool = False         # -lc score-length anker selection + ConClave
+    preset: int = 0          # preset bits: 4 -ont, 8 -ill, 16 -asm
     sparse: bool = False     # -Sparse (sparse.c pipeline)
     ss: str = "q"            # -ss sparse sort key: q(uery)/c(over)/d(epth)
 

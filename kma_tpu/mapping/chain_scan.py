@@ -242,10 +242,15 @@ def _chain_pass(idx: KmaIndex, ankers: List[Anker], q_len: int,
 def get_chain_templates(idx: KmaIndex, ankers: List[Anker], src_i: int,
                         q_len: int, template_lengths, rewards: Penalties,
                         bests: List[int], Score, extendScore, include,
-                        lc: bool) -> Optional[int]:
+                        lc: bool, proxi=None) -> Optional[int]:
     """getBestChainTemplates (kmeranker.c:83-233): rebuild the chain
     backwards from anker src_i; returns the chain-start anker index or
     None.  bests is extended with the winning template set."""
+    if proxi is not None:
+        return _chain_templates_proxi(idx, ankers, src_i, q_len,
+                                      template_lengths, rewards, bests,
+                                      Score, extendScore, include, lc,
+                                      proxi)
     k = idx.kmersize
     mlen = idx.mlen
     M, MM, U, W1, Wl = (rewards.M, rewards.MM, rewards.U, rewards.W1,
@@ -344,6 +349,103 @@ def get_chain_templates(idx: KmaIndex, ankers: List[Anker], src_i: int,
     return None
 
 
+def _chain_templates_proxi(idx: KmaIndex, ankers: List[Anker], src_i: int,
+                           q_len: int, template_lengths,
+                           rewards: Penalties, bests: List[int], Score,
+                           extendScore, include, lc: bool, proxi
+                           ) -> Optional[int]:
+    """getProxiChainTemplates (kmeranker.c:235-370): no include gating --
+    every template on every chained anker is extended and pos==0 events
+    grow the candidate list; selection keeps scores within
+    minFrac * bestScore (double, via proxiTestBest[ScoreLen]) and feeds
+    softProxi.  Always returns the chain-start anker index."""
+    k = idx.kmersize
+    mlen = idx.mlen
+    M, MM, U, W1, Wl = (rewards.M, rewards.MM, rewards.U, rewards.W1,
+                        rewards.Wl)
+    values = idx.values
+    del bests[:]
+    src = ankers[src_i]
+    bestScore = src.score_len if lc else src.score
+    proxi_score = proxi.min_frac * bestScore  # stays double here
+    target_len = src.len_len
+    prev = src_i
+    cand: List[int] = []
+    nextAnker = True
+    ni = src_i
+    while nextAnker:
+        node = ankers[ni]
+        nvo = node.voff
+        ncnt = int(values[nvo])
+        start = node.start
+        end = node.end
+        for t in values[nvo + ncnt: nvo: -1].tolist():
+            score = int(Score[t])
+            pos = int(extendScore[t])
+            gaps = pos - end
+            if pos == 0:
+                score = node.weight
+                cand.append(t)
+            else:
+                if gaps == -k:
+                    score += node.weight - (k - 1) * M
+                elif gaps == 0:
+                    score += node.weight + MM
+                elif 0 < gaps:
+                    if gaps <= 2:
+                        MMs, Ms = gaps, 0
+                    else:
+                        MMs = max(2, gaps // k + (1 if gaps % k else 0))
+                        Ms = min(min(gaps - MMs, k), MMs)
+                    if (W1 + (gaps - 1) * U) <= (MMs * MM + Ms * M):
+                        score += node.weight + Ms * M + MMs * MM
+                    else:
+                        score += node.weight + (W1 + (gaps - 1) * U)
+                elif mlen != k:
+                    score += node.weight + gaps * M + MM
+                else:
+                    score += node.weight + gaps * M - (gaps + 1) * U + W1
+                node.score = 0  # mark as used
+            if bestScore <= score:
+                if node.start:
+                    tmp = W1 + (node.start - 1) * U
+                    tmp = score + max(Wl, tmp)
+                else:
+                    tmp = score
+                if tmp == bestScore and (
+                        not lc or min(q_len, int(template_lengths[t]))
+                        == target_len):
+                    score = bestScore
+                    nextAnker = False
+                    prev = ni
+            extendScore[t] = start
+            Score[t] = score
+        ni -= 1
+        if ni < 0 and nextAnker:
+            prev = 0
+            break
+
+    j_out = []
+    for t in cand:
+        s = int(Score[t])
+        if not include[t]:
+            if lc:
+                ok = (proxi_score / target_len
+                      * min(q_len, int(template_lengths[t])) <= s) \
+                    or proxi_score <= s
+            else:
+                ok = proxi_score <= s
+            if ok:
+                j_out.append(t)
+                if proxi.soft is not None:
+                    proxi.soft[t] += s
+        Score[t] = 0
+        extendScore[t] = 0
+        include[t] = 0
+    bests.extend(j_out)
+    return prev
+
+
 class SegmentList:
     """Claimed-region bookkeeping (seqmenttree.c as interval accounting):
     query returns the covered overlap length within [start, end)."""
@@ -428,7 +530,7 @@ def _get_best_anker(ankers: List[Anker], start_i: int, lc: bool
 def chain_scan_read(idx: KmaIndex, rewards: Penalties, codes: np.ndarray,
                     header: bytes, exhaustive: bool, Score, extendScore,
                     include, template_lengths, minlen: int, coverT: float,
-                    mrs: float, mrc: float, lc: bool = False
+                    mrs: float, mrc: float, lc: bool = False, proxi=None
                     ) -> List[AnkerHit]:
     """save_kmers_chain for one read; returns the emitted anker records."""
     k = idx.kmersize
@@ -496,7 +598,7 @@ def chain_scan_read(idx: KmaIndex, rewards: Penalties, codes: np.ndarray,
         if best_f and best_f.score:
             cs = get_chain_templates(idx, VF, bf_i, seqlen,
                                      template_lengths, rewards, bestT,
-                                     Score, extendScore, include, lc)
+                                     Score, extendScore, include, lc, proxi)
             cStart = VF[cs].start if cs is not None else best_f.start
             start = cStart
             ln = best_f.end - start
@@ -504,7 +606,7 @@ def chain_scan_read(idx: KmaIndex, rewards: Penalties, codes: np.ndarray,
         else:
             cs = get_chain_templates(idx, VR, br_i, seqlen,
                                      template_lengths, rewards, bestT_r,
-                                     Score, extendScore, include, lc)
+                                     Score, extendScore, include, lc, proxi)
             cStart_r = VR[cs].start if cs is not None else best_r.start
             start = cStart_r
             ln = best_r.end - start
@@ -512,14 +614,15 @@ def chain_scan_read(idx: KmaIndex, rewards: Penalties, codes: np.ndarray,
     else:
         cs = get_chain_templates(idx, VF, bf_i, seqlen, template_lengths,
                                  rewards, bestT, Score, extendScore,
-                                 include, lc)
+                                 include, lc, proxi)
         cStart = VF[cs].start if cs is not None else best_f.start
         cs = get_chain_templates(idx, VR, br_i, seqlen, template_lengths,
                                  rewards, bestT_r, Score, extendScore,
-                                 include, lc)
+                                 include, lc, proxi)
         cStart_r = VR[cs].start if cs is not None else best_r.start
         rc, start, ln = _choose_chain(best_f, best_r, cStart, cStart_r,
-                                      coverT)
+                                      coverT, proxi.min_frac if proxi
+                                      else 1.0)
 
     score = max(f_score, r_score)
     if ln < minlen or score < k:
@@ -532,11 +635,11 @@ def chain_scan_read(idx: KmaIndex, rewards: Penalties, codes: np.ndarray,
             if rc & 1:
                 _merge_ties(idx, VF, fw_i, start, VF_start, ln, coverT,
                             seqlen, template_lengths, rewards, bestT,
-                            Score, extendScore, include, lc)
+                            Score, extendScore, include, lc, proxi)
             if rc & 2:
                 _merge_ties(idx, VR, rv_i, start, VR_start, ln, coverT,
                             seqlen, template_lengths, rewards, bestT_r,
-                            Score, extendScore, include, lc)
+                            Score, extendScore, include, lc, proxi)
 
         # mapping-length filter (mrchain, kmeranker.c:57-81)
         if rc & 1 and mrc and seqlen < mrc * ln:
@@ -588,13 +691,13 @@ def chain_scan_read(idx: KmaIndex, rewards: Penalties, codes: np.ndarray,
         best_f, fw_i, cStart, got_f, ties = _advance(
             idx, VF, best_f, fw_i, segs, seqlen, template_lengths, rewards,
             bestT, Score, extendScore, include, minlen, coverT, mrs, lc,
-            ties)
+            ties, proxi)
         if got_f:
             rc |= 1
         best_r, rv_i, cStart_r, got_r, ties = _advance(
             idx, VR, best_r, rv_i, segs, seqlen, template_lengths, rewards,
             bestT_r, Score, extendScore, include, minlen, coverT, mrs, lc,
-            ties)
+            ties, proxi)
         if got_r:
             rc |= 2
 
@@ -602,7 +705,8 @@ def chain_scan_read(idx: KmaIndex, rewards: Penalties, codes: np.ndarray,
             return out
         if best_f is not None and best_r is not None:
             rc, start, ln = _choose_chain(best_f, best_r, cStart, cStart_r,
-                                          coverT)
+                                          coverT, proxi.min_frac if proxi
+                                          else 1.0)
         elif best_f is not None:
             rc = 1
             start = cStart
@@ -616,7 +720,7 @@ def chain_scan_read(idx: KmaIndex, rewards: Penalties, codes: np.ndarray,
 
 def _advance(idx, V, best, b_i, segs, seqlen, template_lengths, rewards,
              bests, Score, extendScore, include, minlen, coverT, mrs, lc,
-             ties):
+             ties, proxi=None):
     """One strand's next-chain selection (savekmers.c:5840-5880)."""
     if best is None:
         return None, None, -1, False, ties
@@ -625,7 +729,7 @@ def _advance(idx, V, best, b_i, segs, seqlen, template_lengths, rewards,
     if best.score:
         cs = get_chain_templates(idx, V, b_i, seqlen, template_lengths,
                                  rewards, bests, Score, extendScore,
-                                 include, lc)
+                                 include, lc, proxi)
         if cs is not None:
             cStart = V[cs].start
             cover = segs.query(cStart, best.end)
@@ -651,7 +755,7 @@ def _advance(idx, V, best, b_i, segs, seqlen, template_lengths, rewards,
             del bests[:]
             cs = get_chain_templates(idx, V, b_i, seqlen, template_lengths,
                                      rewards, bests, Score, extendScore,
-                                     include, lc)
+                                     include, lc, proxi)
             if cs is not None:
                 cStart = V[cs].start
                 cover = segs.query(cStart, best.end)
@@ -670,7 +774,7 @@ def _advance(idx, V, best, b_i, segs, seqlen, template_lengths, rewards,
 
 def _merge_ties(idx, V, b_i, start, V_start, ln, coverT, seqlen,
                 template_lengths, rewards, bests, Score, extendScore,
-                include, lc):
+                include, lc, proxi=None):
     """Equal-anker merging (savekmers.c:5701-5781)."""
     best = V[b_i]
     stop = max(start, V_start)
@@ -699,7 +803,8 @@ def _merge_ties(idx, V, b_i, start, V_start, ln, coverT, seqlen,
             extendScore[t] = 0
         adds: List[int] = []
         get_chain_templates(idx, V, found, seqlen, template_lengths,
-                            rewards, adds, Score, extendScore, include, lc)
+                            rewards, adds, Score, extendScore, include, lc,
+                            proxi)
         bests.extend(adds)
     for t in bests:
         include[t] = 0

@@ -203,12 +203,36 @@ def get_kmers_for_pair_count(idx: KmaIndex, codes: np.ndarray,
     return best_seq_count, out_lists[0], out_lists[1]
 
 
-def getF_best(bests: List[int], bests_r: List[int], Score, Score_r
-              ) -> Tuple[int, List[int]]:
-    """getF_Best (savekmers.c:1648-1680): best over both strands into a
-    signed region list (negative = rc strand); clears scores."""
+def getF_best(bests: List[int], bests_r: List[int], Score, Score_r,
+              proxi=None) -> Tuple[int, List[int]]:
+    """getF_Best (savekmers.c:1648-1680) / getF_Proxi (:1764-1823): best
+    over both strands into a signed region list (negative = rc strand);
+    clears scores."""
     bestScore = 0
     region: List[int] = []
+    if proxi is not None:
+        for t in bests:
+            if bestScore < Score[t]:
+                bestScore = int(Score[t])
+        for t in bests_r:
+            if bestScore < Score_r[t]:
+                bestScore = int(Score_r[t])
+        ps = int(proxi.min_frac * bestScore)
+        for t in bests:
+            s = int(Score[t])
+            if ps <= s:
+                region.append(t)
+                if proxi.soft is not None:
+                    proxi.soft[t] += s
+            Score[t] = 0
+        for t in bests_r:
+            s = int(Score_r[t])
+            if ps <= s:
+                region.append(-t)
+                if proxi.soft is not None:
+                    proxi.soft[t] += s
+            Score_r[t] = 0
+        return bestScore, region
     for t in bests:
         s = int(Score[t])
         if bestScore < s:
@@ -229,14 +253,55 @@ def getF_best(bests: List[int], bests_r: List[int], Score, Score_r
 
 
 def getR_best(bests: List[int], bests_r: List[int], Score, Score_r,
-              region: List[int]) -> Tuple[int, List[int], bool]:
-    """getR_Best (savekmers.c:1682-1762): mate2 best + cross-mate union.
+              region: List[int], proxi=None) -> Tuple[int, List[int], bool]:
+    """getR_Best (savekmers.c:1682-1762) / getR_Proxi (:1825-1922): mate2
+    best + cross-mate union.
 
     Returns (bestScore_r, mate2 best list (signed), pe_found); `region` is
     reordered in place with paired entries first when pe_found.
     """
     bestScore_r = 0
     best2: List[int] = []
+    if proxi is not None:
+        for t in bests:
+            if bestScore_r < Score[t]:
+                bestScore_r = int(Score[t])
+        for t in bests_r:
+            if bestScore_r < Score_r[t]:
+                bestScore_r = int(Score_r[t])
+        ps = int(proxi.min_frac * bestScore_r)
+        for t in bests:
+            s = int(Score[t])
+            if ps <= s:
+                best2.append(t)
+                if proxi.soft is not None:
+                    proxi.soft[t] += s
+            else:
+                Score[t] = 0
+        for t in bests_r:
+            s = int(Score_r[t])
+            if ps <= s:
+                best2.append(-t)
+                if proxi.soft is not None:
+                    proxi.soft[t] += s
+            else:
+                Score_r[t] = 0
+        pe_hits = 0
+        for i in range(len(region)):
+            t = region[i]
+            paired = Score_r[t] if 0 < t else Score[-t]
+            if paired:
+                region[pe_hits], region[i] = region[i], region[pe_hits]
+                pe_hits += 1
+        for x in best2:
+            if 0 < x:
+                Score[x] = 0
+            else:
+                Score_r[-x] = 0
+        if pe_hits:
+            del region[pe_hits:]
+            return bestScore_r, best2, True
+        return bestScore_r, best2, False
     for t in bests:
         s = int(Score[t])
         if bestScore_r < s:
@@ -306,7 +371,7 @@ def _npos(codes: np.ndarray) -> np.ndarray:
 def save_kmers_union_pair(idx: KmaIndex, rewards: Penalties,
                           codes1: np.ndarray, codes2: np.ndarray,
                           header1: bytes, header2: bytes, exhaustive: bool,
-                          Score, Score_r, extendScore, include,
+                          Score, Score_r, extendScore, include, proxi=None,
                           pair_fn=None) -> Optional[PairAnker]:
     """save_kmers_unionPair (savekmers.c:3367-3570), standard DBs (rev=1)."""
     if pair_fn is None:
@@ -318,7 +383,8 @@ def save_kmers_union_pair(idx: KmaIndex, rewards: Penalties,
         idx, codes1, rewards, exhaustive, Score, Score_r, extendScore,
         include)
     if hc1:
-        bestScore, region = getF_best(bests1, bests1_r, Score, Score_r)
+        bestScore, region = getF_best(bests1, bests1_r, Score, Score_r,
+                                      proxi)
         if k < bestScore and bestScore * k < (len(codes1) - bestScore):
             bestScore = 0
     else:
@@ -331,9 +397,10 @@ def save_kmers_union_pair(idx: KmaIndex, rewards: Penalties,
     if hc2:
         if bestScore:
             bestScore_r, best2, pe = getR_best(bests2, bests2_r, Score,
-                                               Score_r, region)
+                                               Score_r, region, proxi)
         else:
-            bestScore_r, best2 = getF_best(bests2, bests2_r, Score, Score_r)
+            bestScore_r, best2 = getF_best(bests2, bests2_r, Score, Score_r,
+                                           proxi)
         if k < bestScore_r and bestScore_r * k < (len(codes2) - bestScore_r):
             bestScore_r = 0
             pe = False
@@ -451,8 +518,9 @@ def get_first_pen(bests: List[int], bests_r: List[int], Score, Score_r
 
 def get_second_best_pen(bests: List[int], bests_r: List[int], Score,
                         Score_r, region: List[int], rscores: List[int],
-                        bestScore: int, PE: int):
-    """getSecondBestPen (savekmers.c:1415-1512).
+                        bestScore: int, PE: int, proxi=None):
+    """getSecondBestPen (savekmers.c:1415-1512) / getSecondProxiPen
+    (:1514-1646).
 
     Returns (bestScore_r, region_out, pe_found, best2): with a pair the
     region shrinks to the pair winners; otherwise region keeps mate1's
@@ -469,6 +537,56 @@ def get_second_best_pen(bests: List[int], bests_r: List[int], Score,
         if bestScore_r < s:
             bestScore_r = s
         merged2.append(-t)
+
+    if proxi is not None:
+        kept: List[int] = []
+        if bestScore_r:
+            comp_score = 0
+            for i, t in enumerate(region):
+                s = int(Score_r[t]) if 0 < t else int(Score[-t])
+                if 0 < s:
+                    s += rscores[i]
+                    if comp_score < s:
+                        comp_score = s
+            if (bestScore + bestScore_r - PE) <= comp_score:
+                ps = int(proxi.min_frac * comp_score)
+                for i, t in enumerate(region):
+                    s = int(Score_r[t]) if 0 < t else int(Score[-t])
+                    if 0 < s:
+                        s += rscores[i]
+                        if ps <= s:
+                            kept.append(t)
+                            if proxi.soft is not None:
+                                proxi.soft[abs(t)] += s
+        if kept:
+            for t in merged2:
+                if 0 < t:
+                    Score[t] = 0
+                else:
+                    Score_r[-t] = 0
+            return bestScore_r, kept, True, []
+        # SE split (savekmers.c:1609-1642)
+        ps = int(proxi.min_frac * bestScore)
+        region_out = [region[i] for i in range(len(region))
+                      if ps <= rscores[i]]
+        best2: List[int] = []
+        ps = int(proxi.min_frac * bestScore_r)
+        for t in merged2:
+            if 0 < t:
+                s = int(Score[t])
+                if ps <= s:
+                    best2.append(t)
+                    if proxi.soft is not None:
+                        proxi.soft[t] += s
+                Score[t] = 0
+            else:
+                s = int(Score_r[-t])
+                if ps <= s:
+                    best2.append(t)
+                    if proxi.soft is not None:
+                        proxi.soft[-t] += s
+                Score_r[-t] = 0
+        return bestScore_r, region_out, False, best2
 
     best_hits: List[int] = []
     if bestScore_r:
@@ -510,7 +628,8 @@ def save_kmers_penalty_pair(idx: KmaIndex, rewards: Penalties,
                             codes1: np.ndarray, codes2: np.ndarray,
                             header1: bytes, header2: bytes,
                             exhaustive: bool, Score, Score_r, extendScore,
-                            include, pair_fn=None) -> Optional[PairAnker]:
+                            include, proxi=None,
+                            pair_fn=None) -> Optional[PairAnker]:
     """save_kmers_penaltyPair (savekmers.c:3572-3777), standard DBs.
 
     C's print-time comp_rc() restores the scan-flipped read to forward;
@@ -538,10 +657,10 @@ def save_kmers_penalty_pair(idx: KmaIndex, rewards: Penalties,
         if 0 < bestScore:
             bestScore_r, region, pe, best2 = get_second_best_pen(
                 bests2, bests2_r, Score, Score_r, region, rscores,
-                bestScore, rewards.PE)
+                bestScore, rewards.PE, proxi)
         else:
             bestScore_r, region = getF_best(bests2, bests2_r, Score,
-                                            Score_r)
+                                            Score_r, proxi)
     else:
         bestScore_r = 0
 
@@ -664,13 +783,39 @@ def get_first_force(bests: List[int], bests_r: List[int], Score, Score_r
 
 
 def get_second_best_force(bests: List[int], bests_r: List[int], Score,
-                          Score_r, region: List[int], rscores: List[int]
-                          ) -> Tuple[int, List[int]]:
-    """getSecondBestForce (savekmers.c:1275-1318); note the caller scanned
-    mate2 with SWAPPED score arrays, so `Score` here holds mate2's RC
-    matches pairing with mate1's forward entries."""
+                          Score_r, region: List[int], rscores: List[int],
+                          proxi=None) -> Tuple[int, List[int]]:
+    """getSecondBestForce (savekmers.c:1275-1318) / getSecondProxiForce
+    (:1320-1381); note the caller scanned mate2 with SWAPPED score arrays,
+    so `Score` here holds mate2's RC matches pairing with mate1's forward
+    entries.  The proxi variant scores on the mate2 side only (no
+    regionScores addition)."""
     best_hits: List[int] = []
     bestScore = 0
+    if proxi is not None:
+        for t in region:
+            s = int(Score[t]) if 0 < t else int(Score_r[-t])
+            if bestScore < s:
+                bestScore = s
+        ps = int(proxi.min_frac * bestScore)
+        # QUIRK: the reference never writes the region count back
+        # (savekmers.c:1350-1371 lacks `*regionTemplates = bestHits`), so
+        # kept entries overwrite the front while the tail keeps STALE
+        # original entries up to the old count
+        best_hits = list(region)
+        bh = 0
+        for t in region:
+            s = int(Score[t]) if 0 < t else int(Score_r[-t])
+            if ps <= s:
+                best_hits[bh] = t
+                bh += 1
+                if proxi.soft is not None:
+                    proxi.soft[abs(t)] += s
+        for t in bests:
+            Score[t] = 0
+        for t in bests_r:
+            Score_r[t] = 0
+        return bestScore, best_hits
     for i, t in enumerate(region):
         s = int(Score[t]) if 0 < t else int(Score_r[-t])
         if s:
@@ -690,7 +835,7 @@ def get_second_best_force(bests: List[int], bests_r: List[int], Score,
 def save_kmers_force_pair(idx: KmaIndex, rewards: Penalties,
                           codes1: np.ndarray, codes2: np.ndarray,
                           header1: bytes, header2: bytes, exhaustive: bool,
-                          Score, Score_r, extendScore, include,
+                          Score, Score_r, extendScore, include, proxi=None,
                           pair_fn=None) -> Optional[PairAnker]:
     """save_kmers_forcePair (savekmers.c:3779-3864): only proper pairs
     survive; mate2 is scanned with swapped strand arrays so opposite
@@ -715,7 +860,7 @@ def save_kmers_force_pair(idx: KmaIndex, rewards: Penalties,
     if hc2:
         # returned lists: bests2 live in Score_r, bests2_r in Score
         bestScore, best_hits = get_second_best_force(
-            bests2_r, bests2, Score, Score_r, region, rscores)
+            bests2_r, bests2, Score, Score_r, region, rscores, proxi)
     if hc2 and bestScore:
         len1, len2 = len(codes1), len(codes2)
         if k <= bestScore or (len1 + len2 - bestScore) < bestScore * k:

@@ -117,8 +117,8 @@ def _gap_reconnect_mm(gaps: int, k: int, M: int, MM: int, U: int, W1: int
 
 def _scan_strand(idx: KmaIndex, codes: np.ndarray, rewards: Penalties,
                  exhaustive: bool, is_rc_branch: bool, Score: np.ndarray,
-                 extendScore: np.ndarray, include: np.ndarray
-                 ) -> Tuple[int, List[int]]:
+                 extendScore: np.ndarray, include: np.ndarray,
+                 proxi=None) -> Tuple[int, List[int]]:
     """One strand of save_kmers: returns (bestScore, bestTemplates list).
 
     Score/extendScore/include are DB_size state arrays; left zeroed on exit
@@ -222,17 +222,51 @@ def _scan_strand(idx: KmaIndex, codes: np.ndarray, rewards: Penalties,
         if Score[t] < 0:
             Score[t] = 0
 
-    # getBestMatch (savekmers.c:273-294)
+    return get_match(bestTemplates, Score, proxi)
+
+
+class Proxi:
+    """-proxi configuration for the scan-level match selectors.
+
+    min_frac is the |value| handed to the scanners (kmers.c:133-142 negates
+    a soft -proxi before initialising the get* selectors); soft is the
+    softProxi accumulator array, allocated only for mem_mode with a
+    negative -proxi, whose totals later REPLACE alignment_scores
+    (runkma.c:1154-1156)."""
+
+    __slots__ = ("min_frac", "soft")
+
+    def __init__(self, min_frac: float, soft=None):
+        self.min_frac = min_frac
+        self.soft = soft
+
+
+def get_match(cands: List[int], Score, proxi: Optional[Proxi] = None
+              ) -> Tuple[int, List[int]]:
+    """getBestMatch (savekmers.c:273-294) / getProxiMatch (:296-340)."""
     bestScore = 0
     best: List[int] = []
-    for t in bestTemplates:
-        s = int(Score[t])
-        if s > bestScore:
-            bestScore = s
-            best = [t]
-        elif s == bestScore:
-            best.append(t)
-        Score[t] = 0
+    if proxi is None:
+        for t in cands:
+            s = int(Score[t])
+            if s > bestScore:
+                bestScore = s
+                best = [t]
+            elif s == bestScore:
+                best.append(t)
+            Score[t] = 0
+    else:
+        for t in cands:
+            if bestScore < Score[t]:
+                bestScore = int(Score[t])
+        proxi_score = int(proxi.min_frac * bestScore)  # int truncation
+        for t in cands:
+            s = int(Score[t])
+            if proxi_score <= s:
+                best.append(t)
+                if proxi.soft is not None:
+                    proxi.soft[t] += s
+            Score[t] = 0
     return bestScore, best
 
 
@@ -245,10 +279,11 @@ class SaveKmersScanner:
     """Stateful per-read -1t1 scanner with reusable DB_size score arrays."""
 
     def __init__(self, idx: KmaIndex, rewards: Penalties,
-                 exhaustive: bool = False):
+                 exhaustive: bool = False, proxi: Optional[Proxi] = None):
         self.idx = idx
         self.rewards = rewards
         self.exhaustive = exhaustive
+        self.proxi = proxi
         # +1: a deCon DB's values contain the contamination id == DB_size
         # (decon.c:113; the reference relies on calloc slop there)
         n = idx.db_size + 1
@@ -268,10 +303,12 @@ class SaveKmersScanner:
         codes_r = rc_codes(codes)
         bestScore, best = _scan_strand(idx, codes, self.rewards,
                                        self.exhaustive, False, self.Score,
-                                       self.extendScore, self.include)
+                                       self.extendScore, self.include,
+                                       self.proxi)
         bestScore_r, best_r = _scan_strand(idx, codes_r, self.rewards,
                                            self.exhaustive, True, self.Score_r,
-                                           self.extendScore, self.include)
+                                           self.extendScore, self.include,
+                                           self.proxi)
         if bestScore <= 0 and bestScore_r <= 0:
             return None
         if k > bestScore and k > bestScore_r:
@@ -295,7 +332,7 @@ class SaveKmersScanner:
 
 
 def _count_strand(idx: KmaIndex, codes: np.ndarray, seg_ends, seqend: int,
-                  exhaustive: bool, Score) -> Tuple[int, list]:
+                  exhaustive: bool, Score, proxi=None) -> Tuple[int, list]:
     """One strand of save_kmers_count (savekmers.c:3096-3214): runs of
     identical value lists accumulate their repetition count; misses do
     not break a run."""
@@ -355,18 +392,8 @@ def _count_strand(idx: KmaIndex, codes: np.ndarray, seg_ends, seqend: int,
         hit_counter += reps
 
     if hit_counter:
-        # getBestMatch (savekmers.c:273-294)
-        bestScore = 0
-        ties = []
-        for t in bests:
-            s = int(Score_local[t])
-            if s > bestScore:
-                bestScore = s
-                ties = [t]
-            elif s == bestScore:
-                ties.append(t)
-            Score_local[t] = 0
-        return bestScore, ties
+        # getMatch (savekmers.c:3189): counts are the scores
+        return get_match(bests, Score_local, proxi)
     for t in bests:
         Score_local[t] = 0
     return 0, []
@@ -381,8 +408,8 @@ def _kmer_at(codes: np.ndarray, pos: int, k: int) -> int:
 
 def save_kmers_count(idx: KmaIndex, pen: Penalties, codes: np.ndarray,
                      n_positions: np.ndarray, header: bytes,
-                     exhaustive: bool, Score, Score_r
-                     ) -> Optional[AnkerHit]:
+                     exhaustive: bool, Score, Score_r,
+                     proxi: Optional[Proxi] = None) -> Optional[AnkerHit]:
     """-ck scanner (save_kmers_count, savekmers.c:3067-3365): pure k-mer
     counting over both strands; the winning strand (or a merged record on
     a tie) is emitted.  QUIRK kept: the rc pass segments the read with
@@ -396,10 +423,10 @@ def save_kmers_count(idx: KmaIndex, pen: Penalties, codes: np.ndarray,
     codes_r = rc_codes(codes)
 
     bestScore, bests = _count_strand(idx, codes, list(segs_f), seqend,
-                                     exhaustive, Score)
+                                     exhaustive, Score, proxi)
     # rc strand reuses the fw segment boundaries (reference bug kept)
     bestScore_r, bests_r = _count_strand(idx, codes_r, list(segs_f),
-                                         seqend, exhaustive, Score_r)
+                                         seqend, exhaustive, Score_r, proxi)
 
     if bestScore > 0 or bestScore_r > 0:
         if k <= bestScore or k <= bestScore_r:

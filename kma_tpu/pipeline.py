@@ -92,7 +92,8 @@ def aln_frags_se(store: TemplateStore, matched_templates: np.ndarray,
                  n_pos: np.ndarray, n_pos_r: np.ndarray, header: bytes,
                  flag: int, kmersize: int, minlen: int, mq: int,
                  scoreT: float, mrc: float, rew: Penalty,
-                 points: Points) -> Optional[FragRecord]:
+                 points: Points, min_frac: float = 1.0
+                 ) -> Optional[FragRecord]:
     """alnFragsSE (alnfrags.c:1052-1218): score the read against every
     candidate template, keep best hits, emit the spool record."""
     q_len = len(codes)
@@ -179,7 +180,7 @@ def aln_frags_se(store: TemplateStore, matched_templates: np.ndarray,
                 best_read_score = read_score
 
     if best_read_score > kmersize:
-        return update_scores(codes, q_len, 1.0, len(best_templates),
+        return update_scores(codes, q_len, min_frac, len(best_templates),
                              best_read_score, bestScore, best_start,
                              best_end, best_templates, scores, lengths,
                              header, flag)
@@ -191,27 +192,44 @@ def update_scores(codes: np.ndarray, q_len: int, min_frac: float,
                   starts: List[int], ends: List[int], templates: List[int],
                   scores: List[int], lengths: List[int], header: bytes,
                   flag: int) -> FragRecord:
-    """update_Scores (updatescores.c:203-298), minFrac == 1.0 path.
+    """update_Scores (updatescores.c:203-298).
 
-    NOTE: `minScore = score / Lengths[i]` is C INTEGER division assigned to
-    a double (updatescores.c:220) while best_score is a float ratio; the
-    filter is effectively `score == bestReadScore` plus exact int/float
-    coincidences — reproduced verbatim.
+    NOTE (minFrac==1.0): `minScore = score / Lengths[i]` is C INTEGER
+    division assigned to a double (updatescores.c:220) while best_score is
+    a float ratio; the filter is effectively `score == bestReadScore` plus
+    exact int/float coincidences — reproduced verbatim.  The -proxi
+    branches (:235-272) keep scores within minFrac of the best per-length
+    or absolute score; soft (-minFrac) accumulates the aln score itself,
+    hard accumulates bestReadScore.
     """
     sel_t: List[int] = []
     sel_s: List[int] = []
     sel_e: List[int] = []
     sel_score: List[int] = []
-    for i in range(counter):
-        score = scores[i]
-        ln = lengths[i]
-        min_score = float(score // ln if (score >= 0) == (ln > 0)
-                          else -((-score) // ln)) if ln else 0.0
-        if min_score == best_score or score == best_read_score:
-            sel_t.append(templates[i])
-            sel_s.append(starts[i])
-            sel_e.append(ends[i])
-            sel_score.append(score)
+    if min_frac == 1.0:
+        for i in range(counter):
+            score = scores[i]
+            ln = lengths[i]
+            min_score = float(score // ln if (score >= 0) == (ln > 0)
+                              else -((-score) // ln)) if ln else 0.0
+            if min_score == best_score or score == best_read_score:
+                sel_t.append(templates[i])
+                sel_s.append(starts[i])
+                sel_e.append(ends[i])
+                sel_score.append(score)
+    else:
+        mf = abs(min_frac)
+        min_score = mf * best_score
+        min_read = mf * best_read_score
+        acc_is_score = min_frac < 0
+        for i in range(counter):
+            score = scores[i]
+            if lengths[i] * min_score <= score or min_read <= score:
+                sel_t.append(templates[i])
+                sel_s.append(starts[i])
+                sel_e.append(ends[i])
+                sel_score.append(score if acc_is_score
+                                 else best_read_score)
     return FragRecord(q_len=q_len, best_hits=len(sel_t),
                       score=best_read_score, header=header, flag=flag,
                       codes=codes, starts=sel_s, ends=sel_e,
@@ -221,14 +239,24 @@ def update_scores(codes: np.ndarray, q_len: int, min_frac: float,
 def update_scores_se(codes, q_len, min_frac, ids, scores, starts, ends,
                      best_score, header, flag, alignment_scores,
                      uniq_alignment_scores):
-    """update_Scores_se (updatescores.c:300-388), minFrac==1.0 path."""
+    """update_Scores_se (updatescores.c:300-388)."""
     sel_t, sel_s, sel_e = [], [], []
-    for i in range(len(ids)):
-        if scores[i] == best_score:
-            sel_t.append(ids[i])
-            sel_s.append(starts[i])
-            sel_e.append(ends[i])
-            alignment_scores[abs(ids[i])] += best_score
+    if min_frac == 1.0:
+        for i in range(len(ids)):
+            if scores[i] == best_score:
+                sel_t.append(ids[i])
+                sel_s.append(starts[i])
+                sel_e.append(ends[i])
+                alignment_scores[abs(ids[i])] += best_score
+    else:
+        mf = abs(min_frac) * best_score
+        for i in range(len(ids)):
+            if mf <= scores[i]:
+                sel_t.append(ids[i])
+                sel_s.append(starts[i])
+                sel_e.append(ends[i])
+                alignment_scores[abs(ids[i])] += \
+                    scores[i] if min_frac < 0 else best_score
     if len(sel_t) == 1:
         uniq_alignment_scores[abs(sel_t[0])] += best_score
     return FragRecord(q_len=q_len, best_hits=len(sel_t), score=best_score,
@@ -240,14 +268,24 @@ def update_scores_pe(codes, q_len, mate_codes, mate_len, min_frac, ids,
                      scores, starts, ends, best_score, header, mate_header,
                      flag, mate_flag, alignment_scores,
                      uniq_alignment_scores):
-    """update_Scores_pe (updatescores.c:390-488), minFrac==1.0 path."""
+    """update_Scores_pe (updatescores.c:390-488)."""
     sel_t, sel_s, sel_e = [], [], []
-    for i in range(len(ids)):
-        if scores[i] == best_score:
-            sel_t.append(ids[i])
-            sel_s.append(starts[i])
-            sel_e.append(ends[i])
-            alignment_scores[abs(ids[i])] += scores[i]
+    if min_frac == 1.0:
+        for i in range(len(ids)):
+            if scores[i] == best_score:
+                sel_t.append(ids[i])
+                sel_s.append(starts[i])
+                sel_e.append(ends[i])
+                alignment_scores[abs(ids[i])] += scores[i]
+    else:
+        mf = abs(min_frac) * best_score
+        for i in range(len(ids)):
+            if mf <= scores[i]:
+                sel_t.append(ids[i])
+                sel_s.append(starts[i])
+                sel_e.append(ends[i])
+                alignment_scores[abs(ids[i])] += \
+                    scores[i] if min_frac < 0 else best_score
     if len(sel_t) == 1:
         uniq_alignment_scores[abs(sel_t[0])] += best_score
     return FragRecord(q_len=q_len, best_hits=len(sel_t), score=-best_score,
@@ -918,8 +956,27 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
     alignment_scores = np.zeros(db_size, dtype=np.int64)
     uniq_alignment_scores = np.zeros(db_size, dtype=np.int64)
 
+    # -proxi plumbing: the scanners always see |minFrac| (kmers.c:133-142);
+    # softProxi exists only for mem_mode with a soft (negative) -proxi and
+    # later REPLACES alignment_scores (runkma.c:1154-1156).  The alignment
+    # stage keeps the raw sign (kma.c:1605,1620); -asm forces the
+    # non-mem alignment stage back to 1.0 (kma.c:1622).
+    from .mapping.scan import Proxi
+    soft_proxi = None
+    scan_proxi = None
+    scanner_min_frac = -cfg.min_frac \
+        if (not cfg.mem_mode and cfg.min_frac < 0) else cfg.min_frac
+    if scanner_min_frac < 1.0:
+        if scanner_min_frac < 0:
+            soft_proxi = np.zeros(db_size + 3, dtype=np.int64)
+            scanner_min_frac = -scanner_min_frac
+        scan_proxi = Proxi(scanner_min_frac, soft_proxi)
+    aln_min_frac = 1.0 if (cfg.preset & 16) and not cfg.mem_mode \
+        else cfg.min_frac
+
     store = TemplateStore(db_prefix + ".seq.b", template_lengths, kmersize)
-    scanner = SaveKmersScanner(idx, pen, exhaustive=cfg.exhaustive)
+    scanner = SaveKmersScanner(idx, pen, exhaustive=cfg.exhaustive,
+                               proxi=scan_proxi)
     points = Points()
 
     # --- steps 1-3: trim, scan, align, spool -----------------------------
@@ -947,11 +1004,11 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         res = aln_frags_se(store, np.asarray(templates, np.int64), rc_flag,
                            codes, codes_r, n_pos, n_pos_r, header, flag,
                            kmersize, cfg.min_len, cfg.mq, cfg.score_t,
-                           cfg.mrc, rew, points)
+                           cfg.mrc, rew, points, aln_min_frac)
         if res is None:
             return
         rec, sel_scores = res
-        # global score accumulation (updatescores.c:217-281, minFrac==1.0)
+        # global score accumulation (updatescores.c:217-281)
         if rec.best_hits == 1:
             t = abs(rec.templates[0])
             alignment_scores[t] += sel_scores[0]
@@ -1002,7 +1059,8 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         def scan_one(read):
             hit = save_kmers_count(idx, pen, read.codes, read.n_positions,
                                    read.header, cfg.exhaustive,
-                                   scanner.Score, scanner.Score_r)
+                                   scanner.Score, scanner.Score_r,
+                                   scan_proxi)
             return [hit] if hit is not None else []
     elif not cfg.one2one:
         from .mapping.chain_scan import chain_scan_read
@@ -1012,7 +1070,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                 idx, pen, read.codes, read.header, cfg.exhaustive,
                 scanner.Score, scanner.extendScore, scanner.include,
                 template_lengths, cfg.min_len, cfg.cover_t, cfg.score_t,
-                cfg.mrc)
+                cfg.mrc, cfg.lc, scan_proxi)
     else:
         def scan_one(read):
             hit = scanner.scan(read.codes, read.n_positions, read.header)
@@ -1082,7 +1140,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             pa = scan_pair(
                 idx, pen, r1.codes, r2.codes, r1.header, r2.header,
                 cfg.exhaustive, scanner.Score, scanner.Score_r,
-                scanner.extendScore, scanner.include,
+                scanner.extendScore, scanner.include, proxi=scan_proxi,
                 pair_fn=pair_inner)
             if pa is None or not pa.records:
                 continue
@@ -1140,6 +1198,10 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                          cfg.five_clip, cfg.three_clip, jf)
 
     tot_frags = n_frags
+    if soft_proxi is not None:
+        # soft -proxi in mem_mode: the scanner's softProxi totals REPLACE
+        # alignment_scores before ConClave (runkma.c:1154-1156)
+        alignment_scores[:] = soft_proxi[:db_size]
     return _conclave_and_output(
         records, db_size, template_lengths,
         lambda t: names[t - 1].decode("latin1"), store, alignment_scores,
@@ -1176,11 +1238,13 @@ def _conclave_and_output(records, db_size, template_lengths, name_of, store,
         frag_lists = run_conclave2(
             records, db_size, alignment_scores, uniq_alignment_scores,
             template_lengths, w_scores, template_tot_ulen, cfg.score_t,
-            cfg.evalue, CMP[cfg.cmp_mode], fragment_counts, read_counts)
+            cfg.evalue, CMP[cfg.cmp_mode], fragment_counts, read_counts,
+            lc=cfg.lc)
     else:
         frag_lists = run_conclave1(records, db_size, alignment_scores,
                                    uniq_alignment_scores, template_lengths,
-                                   w_scores, fragment_counts, read_counts)
+                                   w_scores, fragment_counts, read_counts,
+                                   lc=cfg.lc)
 
     Nhits = int(w_scores[1:].sum()) or 1
 
@@ -1432,7 +1496,10 @@ def run_kma_spltdb(db_prefixes: List[str], output_prefix: str,
     rew = Penalty(M=pen.M, MM=pen.MM, U=pen.U, W1=pen.W1, Wl=pen.Wl,
                   d=dmat, PE=pen.PE)
     set_preseed_exhaustive(1 if cfg.exhaustive else 0)
-    scanners = [SaveKmersScanner(idx, pen, exhaustive=cfg.exhaustive)
+    from .mapping.scan import Proxi
+    scan_proxi = Proxi(cfg.min_frac) if 0 <= cfg.min_frac < 1.0 else None
+    scanners = [SaveKmersScanner(idx, pen, exhaustive=cfg.exhaustive,
+                                 proxi=scan_proxi)
                 for idx in idxs]
     points = Points()
 

@@ -78,3 +78,74 @@ def db50(tmp_path_factory, resfinder):
 def run_ref(args, **kw):
     """Run the reference kma binary."""
     return subprocess.run([str(REF_KMA)] + args, capture_output=True, **kw)
+
+
+@pytest.fixture(scope="session")
+def db50_index(tmp_path_factory, db50, ref_index_bin):
+    d = tmp_path_factory.mktemp("db_idx_s")
+    prefix = str(d / "db")
+    subprocess.run([str(ref_index_bin), "-i", str(db50), "-o", prefix],
+                   check=True, capture_output=True)
+    return prefix
+
+
+@pytest.fixture(scope="session")
+def sim_reads(tmp_path_factory, db50):
+    """Deterministic synthetic reads with errors from db50 templates."""
+    import numpy as np
+    from kma_tpu.io.seq import parse_fasta
+    rng = np.random.default_rng(42)
+    recs = list(parse_fasta(str(db50)))
+    comp = np.array([3, 2, 1, 0, 4, 5], dtype=np.uint8)
+    out = tmp_path_factory.mktemp("reads_s") / "reads.fq"
+    with open(out, "w") as f:
+        for ri in range(500):
+            _h, codes = recs[rng.integers(len(recs))]
+            L = int(rng.integers(80, 150))
+            if len(codes) <= L:
+                continue
+            s = int(rng.integers(0, len(codes) - L))
+            r = codes[s: s + L].copy()
+            nerr = rng.binomial(L, 0.01)
+            ppos = rng.integers(0, L, nerr)
+            r[ppos] = (r[ppos] + rng.integers(1, 4, nerr)) % 4
+            if rng.random() < 0.5:
+                r = comp[r[::-1]]
+            seq = "".join("ACGTN"[c] for c in r)
+            f.write(f"@r{ri}\n{seq}\n+\n{'I' * len(seq)}\n")
+    return out
+
+
+@pytest.fixture(scope="session")
+def sim_pairs(tmp_path_factory, db50):
+    """Proper pairs (insert 205) plus orientation flips and errors."""
+    import numpy as np
+    from kma_tpu.io.seq import parse_fasta
+    rng = np.random.default_rng(99)
+    recs = list(parse_fasta(str(db50)))
+    comp = np.array([3, 2, 1, 0, 4, 5], dtype=np.uint8)
+    d = tmp_path_factory.mktemp("pe_s")
+    f1p, f2p = d / "pe_1.fq", d / "pe_2.fq"
+    with open(f1p, "w") as f1, open(f2p, "w") as f2:
+        n = 0
+        while n < 300:
+            _h, codes = recs[rng.integers(len(recs))]
+            ins, L = 205, 100
+            if len(codes) <= ins + 2:
+                continue
+            s = int(rng.integers(0, len(codes) - ins))
+            frag = codes[s: s + ins]
+            r1 = frag[:L].copy()
+            r2 = comp[frag[-L:][::-1]].copy()
+            for r in (r1, r2):
+                ne = rng.binomial(L, 0.01)
+                pos = rng.integers(0, L, ne)
+                r[pos] = (r[pos] + rng.integers(1, 4, ne)) % 4
+            if rng.random() < 0.5:
+                r1, r2 = comp[r2[::-1]].copy(), comp[r1[::-1]].copy()
+            f1.write(f"@p{n}/1\n{''.join('ACGTN'[c] for c in r1)}\n"
+                     f"+\n{'I' * L}\n")
+            f2.write(f"@p{n}/2\n{''.join('ACGTN'[c] for c in r2)}\n"
+                     f"+\n{'I' * L}\n")
+            n += 1
+    return f1p, f2p
