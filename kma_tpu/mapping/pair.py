@@ -34,6 +34,7 @@ def get_kmers_for_pair(idx: KmaIndex, codes: np.ndarray, rewards: Penalties,
     M, MM, U, W1 = rewards.M, rewards.MM, rewards.U, rewards.W1
     if len(codes) < k:
         return 0, [], []
+    extendScore[0] = 0  # clear the sparse-pair side flag (savekmers.c:455)
 
     bestSeqCount = 0
     lists: List[List[int]] = []
@@ -140,6 +141,7 @@ def get_kmers_for_pair_count(idx: KmaIndex, codes: np.ndarray,
     seqlen = len(codes)
     if seqlen < k:
         return 0, [], []
+    extendScore[0] = 0
     seqend = seqlen - k + 1
     best_seq_count = 0
     out_lists = []
@@ -372,8 +374,12 @@ def save_kmers_union_pair(idx: KmaIndex, rewards: Penalties,
                           codes1: np.ndarray, codes2: np.ndarray,
                           header1: bytes, header2: bytes, exhaustive: bool,
                           Score, Score_r, extendScore, include, proxi=None,
-                          pair_fn=None) -> Optional[PairAnker]:
-    """save_kmers_unionPair (savekmers.c:3367-3570), standard DBs (rev=1)."""
+                          pair_fn=None, rev=True) -> Optional[PairAnker]:
+    """save_kmers_unionPair (savekmers.c:3367-3570).
+
+    rev=False is the pseudo-sparse ("-" DB) orientation model: the scan
+    leaves reads FORWARD, so the rev-gated flag bits drop/swap and the
+    negative-region emissions stay forward (savekmers.c:3374-3378)."""
     if pair_fn is None:
         pair_fn = get_kmers_for_pair
     k = idx.kmersize
@@ -390,6 +396,7 @@ def save_kmers_union_pair(idx: KmaIndex, rewards: Penalties,
     else:
         bestScore, region = 0, []
 
+    extendScore[0] = 1  # route sparse mate 2 to the _r side (:3404)
     hc2, bests2, bests2_r = pair_fn(
         idx, codes2, rewards, exhaustive, Score, Score_r, extendScore,
         include)
@@ -417,15 +424,23 @@ def save_kmers_union_pair(idx: KmaIndex, rewards: Penalties,
             flag_r |= 2
             if 0 < region[0]:
                 # pair on mate1's fw strand: mate1 fw, mate2 rc
-                flag |= 32
-                flag_r |= 16
+                if rev:
+                    flag |= 32
+                    flag_r |= 16
+                else:
+                    flag |= 16
+                    flag_r |= 32
                 recs.append((codes1, _npos(codes1), bestScore,
                              np.zeros(0, np.int32), header1, flag))
                 recs.append((rc2, _npos(rc2), bestScore_r,
                              np.asarray(region, np.int32), header2, flag_r))
             else:
-                flag |= 16
-                flag_r |= 32
+                if rev:
+                    flag |= 16
+                    flag_r |= 32
+                else:
+                    flag |= 32
+                    flag_r |= 16
                 neg = [-t for t in region]
                 recs.append((codes2, _npos(codes2), bestScore_r,
                              np.zeros(0, np.int32), header2, flag_r))
@@ -439,9 +454,10 @@ def save_kmers_union_pair(idx: KmaIndex, rewards: Penalties,
                 sc1 = -bestScore
             out1 = region
         else:
-            flag |= 16
-            flag_r |= 32
-            seq1, sc1 = rc1, bestScore
+            if rev:
+                flag |= 16
+                flag_r |= 32
+            seq1, sc1 = (rc1 if rev else codes1), bestScore
             out1 = [-t for t in region]
         if 0 < best2[0]:
             seq2, sc2 = codes2, bestScore_r
@@ -449,9 +465,10 @@ def save_kmers_union_pair(idx: KmaIndex, rewards: Penalties,
                 sc2 = -bestScore_r
             out2 = best2
         else:
-            flag |= 32
-            flag_r |= 16
-            seq2, sc2 = rc2, bestScore_r
+            if rev:
+                flag |= 32
+                flag_r |= 16
+            seq2, sc2 = (rc2 if rev else codes2), bestScore_r
             out2 = [-t for t in best2]
         recs.append((seq1, _npos(seq1), sc1, np.asarray(out1, np.int32),
                      header1, flag))
@@ -459,15 +476,17 @@ def save_kmers_union_pair(idx: KmaIndex, rewards: Penalties,
                      header2, flag_r))
         return PairAnker(recs, 0)
     if bestScore:
-        flag |= 8 | 32
+        if rev:
+            flag |= 8 | 32
         if 0 < region[0]:
             seq1, sc1 = codes1, bestScore
             if region[-1] < 0:
                 sc1 = -bestScore
             out1 = region
         else:
-            flag |= 16
-            seq1, sc1 = rc1, bestScore
+            if rev:
+                flag |= 16
+            seq1, sc1 = (rc1 if rev else codes1), bestScore
             out1 = [-t for t in region]
         recs.append((seq1, _npos(seq1), sc1, np.asarray(out1, np.int32),
                      header1, flag))
@@ -476,15 +495,17 @@ def save_kmers_union_pair(idx: KmaIndex, rewards: Penalties,
         # when mate1 had no score, getF filled the region storage for
         # mate2 (savekmers.c:3412); best2 IS that region list
         lst = best2
-        flag_r |= 8 | 32
+        if rev:
+            flag_r |= 8 | 32
         if 0 < lst[0]:
             seq2, sc2 = codes2, bestScore_r
             if lst[-1] < 0:
                 sc2 = -bestScore_r
             out2 = lst
         else:
-            flag_r |= 16
-            seq2, sc2 = rc2, bestScore_r
+            if rev:
+                flag_r |= 16
+            seq2, sc2 = (rc2 if rev else codes2), bestScore_r
             out2 = [-t for t in lst]
         recs.append((seq2, _npos(seq2), sc2, np.asarray(out2, np.int32),
                      header2, flag_r))
@@ -629,8 +650,8 @@ def save_kmers_penalty_pair(idx: KmaIndex, rewards: Penalties,
                             header1: bytes, header2: bytes,
                             exhaustive: bool, Score, Score_r, extendScore,
                             include, proxi=None,
-                            pair_fn=None) -> Optional[PairAnker]:
-    """save_kmers_penaltyPair (savekmers.c:3572-3777), standard DBs.
+                            pair_fn=None, rev=True) -> Optional[PairAnker]:
+    """save_kmers_penaltyPair (savekmers.c:3572-3777).
 
     C's print-time comp_rc() restores the scan-flipped read to forward;
     its absence leaves RC bytes -- translated to explicit fw/rc arrays."""
@@ -648,6 +669,7 @@ def save_kmers_penalty_pair(idx: KmaIndex, rewards: Penalties,
     else:
         bestScore, region, rscores = 0, [], []
 
+    extendScore[0] = 1  # sparse mate-2 side flag
     hc2, bests2, bests2_r = pair_fn(
         idx, codes2, rewards, exhaustive, Score, Score_r, extendScore,
         include)
@@ -678,16 +700,24 @@ def save_kmers_penalty_pair(idx: KmaIndex, rewards: Penalties,
                     or (len1 + len2 - compScore - (k << 1))
                     < compScore * k):
                 if 0 < region[0]:
-                    flag |= 32
-                    flag_r |= 16
+                    if rev:
+                        flag |= 32
+                        flag_r |= 16
+                    else:
+                        flag |= 16
+                        flag_r |= 32
                     recs.append((codes1, _npos(codes1), bestScore,
                                  np.zeros(0, np.int32), header1, flag))
                     recs.append((rc2, _npos(rc2), bestScore_r,
                                  np.asarray(region, np.int32), header2,
                                  flag_r))
                 else:
-                    flag |= 16
-                    flag_r |= 32
+                    if rev:
+                        flag |= 16
+                        flag_r |= 32
+                    else:
+                        flag |= 32
+                        flag_r |= 16
                     neg = [-t for t in region]
                     recs.append((codes2, _npos(codes2), bestScore_r,
                                  np.zeros(0, np.int32), header2, flag_r))
@@ -708,9 +738,10 @@ def save_kmers_penalty_pair(idx: KmaIndex, rewards: Penalties,
                     sc1 = -bestScore
                 out1 = region
             else:
-                flag |= 16
-                flag_r |= 32
-                seq1, sc1 = rc1, bestScore
+                if rev:
+                    flag |= 16
+                    flag_r |= 32
+                seq1, sc1 = (rc1 if rev else codes1), bestScore
                 out1 = [-t for t in region]
         if emit2:
             if 0 < best2[0]:
@@ -719,9 +750,10 @@ def save_kmers_penalty_pair(idx: KmaIndex, rewards: Penalties,
                     sc2 = -bestScore_r
                 out2 = best2
             else:
-                flag |= 32
-                flag_r |= 16
-                seq2, sc2 = rc2, bestScore_r
+                if rev:
+                    flag |= 32
+                    flag_r |= 16
+                seq2, sc2 = (rc2 if rev else codes2), bestScore_r
                 out2 = [-t for t in best2]
         if emit1:
             recs.append((seq1, _npos(seq1), sc1,
@@ -734,15 +766,17 @@ def save_kmers_penalty_pair(idx: KmaIndex, rewards: Penalties,
     if 0 < bestScore:
         h1 = min(hc1, bestScore)
         if k <= h1 or (len1 - h1 - k) < h1 * k:
-            flag |= 8 | 32
+            if rev:
+                flag |= 8 | 32
             if 0 < region[0]:
                 seq1, sc1 = codes1, bestScore
                 if region[-1] < 0:
                     sc1 = -bestScore
                 out1 = region
             else:
-                flag |= 16
-                seq1, sc1 = rc1, bestScore
+                if rev:
+                    flag |= 16
+                seq1, sc1 = (rc1 if rev else codes1), bestScore
                 out1 = [-t for t in region]
             recs.append((seq1, _npos(seq1), sc1,
                          np.asarray(out1, np.int32), header1, flag))
@@ -750,15 +784,17 @@ def save_kmers_penalty_pair(idx: KmaIndex, rewards: Penalties,
     if 0 < bestScore_r:
         h2 = min(hc2, bestScore_r)
         if k <= h2 or (len2 - h2 - k) < h2 * k:
-            flag_r |= 8 | 32
+            if rev:
+                flag_r |= 8 | 32
             if 0 < region[0]:
                 seq2, sc2 = codes2, bestScore_r
                 if region[-1] < 0:
                     sc2 = -bestScore_r
                 out2 = region
             else:
-                flag_r |= 16
-                seq2, sc2 = rc2, bestScore_r
+                if rev:
+                    flag_r |= 16
+                seq2, sc2 = (rc2 if rev else codes2), bestScore_r
                 out2 = [-t for t in region]
             recs.append((seq2, _npos(seq2), sc2,
                          np.asarray(out2, np.int32), header2, flag_r))
@@ -836,7 +872,7 @@ def save_kmers_force_pair(idx: KmaIndex, rewards: Penalties,
                           codes1: np.ndarray, codes2: np.ndarray,
                           header1: bytes, header2: bytes, exhaustive: bool,
                           Score, Score_r, extendScore, include, proxi=None,
-                          pair_fn=None) -> Optional[PairAnker]:
+                          pair_fn=None, rev=True) -> Optional[PairAnker]:
     """save_kmers_forcePair (savekmers.c:3779-3864): only proper pairs
     survive; mate2 is scanned with swapped strand arrays so opposite
     orientations pair up."""
@@ -852,6 +888,7 @@ def save_kmers_force_pair(idx: KmaIndex, rewards: Penalties,
     region, rscores = get_first_force(bests1, bests1_r, Score, Score_r)
 
     # swapped arrays: mate2 fw -> Score_r, mate2 rc -> Score
+    extendScore[0] = 1  # sparse routes mate 2 to its _r side (:3799)
     hc2, bests2, bests2_r = pair_fn(
         idx, codes2, rewards, exhaustive, Score_r, Score, extendScore,
         include)
@@ -872,16 +909,24 @@ def save_kmers_force_pair(idx: KmaIndex, rewards: Penalties,
             rc2 = rc_codes(codes2)
             recs = []
             if 0 < best_hits[0]:
-                flag |= 32
-                flag_r |= 16
+                if rev:
+                    flag |= 32
+                    flag_r |= 16
+                else:
+                    flag |= 16
+                    flag_r |= 32
                 recs.append((codes1, _npos(codes1), sc,
                              np.zeros(0, np.int32), header1, flag))
                 recs.append((rc2, _npos(rc2), sc,
                              np.asarray(best_hits, np.int32), header2,
                              flag_r))
             else:
-                flag |= 16
-                flag_r |= 32
+                if rev:
+                    flag |= 16
+                    flag_r |= 32
+                else:
+                    flag |= 32
+                    flag_r |= 16
                 neg = [-t for t in best_hits]
                 recs.append((codes2, _npos(codes2), sc,
                              np.zeros(0, np.int32), header2, flag_r))

@@ -300,18 +300,22 @@ def aln_frags_union_pe(store: TemplateStore, matched: np.ndarray,
                        flag_b: int, kmersize: int, minlen: int, mq: int,
                        scoreT: float, mrc: float, min_frac: float,
                        rew: Penalty, points: Points, alignment_scores,
-                       uniq_alignment_scores) -> List[FragRecord]:
-    """alnFragsUnionPE (alnfrags.c:1220-1594), proper-pair records
-    (arc == 0 for union pairing: pair records always carry a positive
-    rc_flag, savekmers.c:3434-3451)."""
+                       uniq_alignment_scores,
+                       arc: bool = False) -> List[FragRecord]:
+    """alnFragsUnionPE (alnfrags.c:1220-1594).
+
+    arc (points->len, set when the pair record's rc_flag is negative --
+    always for sparse-DB records) switches to per-template orientation
+    via anker_rc_comp; a forward pick NEGATES the matched id
+    (alnfrags.c:1286)."""
     Wl = -rew.Wl
     n = len(matched)
     rc_a = rc_codes(codes_a)
     rc_b = rc_codes(codes_b)
-    npos = {0: np.flatnonzero(codes_a == 4).astype(np.int64),
-            1: np.flatnonzero(rc_a == 4).astype(np.int64),
-            2: np.flatnonzero(codes_b == 4).astype(np.int64),
-            3: np.flatnonzero(rc_b == 4).astype(np.int64)}
+    np_a = np.flatnonzero(codes_a == 4).astype(np.int64)
+    np_ar = np.flatnonzero(rc_a == 4).astype(np.int64)
+    np_b = np.flatnonzero(codes_b == 4).astype(np.int64)
+    np_br = np.flatnonzero(rc_b == 4).astype(np.int64)
 
     scores1 = [0] * n
     scores2 = [0] * n
@@ -319,22 +323,44 @@ def aln_frags_union_pe(store: TemplateStore, matched: np.ndarray,
     ends = [0] * n
     best1 = best2 = 0
     flipped = False
+    tids = matched.tolist()
 
-    for t_i, template in enumerate(matched.tolist()):
-        if template < 0 and not flipped:
+    for t_i in range(n):
+        template = tids[t_i]
+        if template < 0 and not flipped and not arc:
             flipped = True
         t = abs(template)
         tindex = store.get(t)
         t_len = tindex.len
-        cur_a = rc_a if flipped else codes_a
-        na = npos[1] if flipped else npos[0]
-        points.len = 0
-        st, _, _ = kma_align(tindex, cur_a, len(cur_a), 0, len(cur_a), 0, 0,
-                             mq, rew, points, kmersize, traceback=False,
-                             n_positions=na)
+        if arc:
+            # per-template orientation pick on mate1 (alnfrags.c:1280)
+            points.len = 0
+            rcres = anker_rc_comp(tindex, codes_a, rc_a, np_a, np_ar,
+                                  len(codes_a), 0, len(codes_a), points, 1)
+            if rcres < 0:
+                cur_a, na = rc_a, np_ar
+            elif rcres:
+                tids[t_i] = -tids[t_i]
+                cur_a, na = codes_a, np_a
+            else:
+                cur_a = na = None
+        else:
+            cur_a = rc_a if flipped else codes_a
+            na = np_ar if flipped else np_a
+            points.len = 0
+        if cur_a is not None:
+            st, _, _ = kma_align(tindex, cur_a, len(cur_a), 0, len(cur_a),
+                                 0, 0, mq, rew, points, kmersize,
+                                 traceback=False, n_positions=na)
+        else:
+            from .align.nw import AlnScore
+            st = AlnScore()
+            points.len = 0
         read_score = st.score
+        score = 0.0
+        start = end = 0
         if (minlen <= st.len and 0 < read_score
-                and mrcheck(mrc, st, len(cur_a), t_len)):
+                and mrcheck(mrc, st, len(codes_a), t_len)):
             start = st.pos
             end = st.pos + st.len - st.tGaps
             if start == 0:
@@ -344,8 +370,6 @@ def aln_frags_union_pe(store: TemplateStore, matched: np.ndarray,
             score = 1.0 * read_score / st.len
         else:
             read_score = 0
-            score = 0.0
-            start, end = 0, 0
         if read_score > kmersize and score >= scoreT:
             scores1[t_i] = read_score
             starts[t_i] = start
@@ -357,15 +381,28 @@ def aln_frags_union_pe(store: TemplateStore, matched: np.ndarray,
             starts[t_i] = -1
             ends[t_i] = -1
 
-        cur_b = rc_b if flipped else codes_b
-        nb = npos[3] if flipped else npos[2]
+        if arc:
+            if cur_a is rc_a:
+                cur_b, nb = rc_b, np_br
+            elif cur_a is codes_a:
+                cur_b, nb = codes_b, np_b
+            else:
+                cur_b = nb = None
+        else:
+            cur_b = rc_b if flipped else codes_b
+            nb = np_br if flipped else np_b
         points.len = 0
-        st, _, _ = kma_align(tindex, cur_b, len(cur_b), 0, len(cur_b), 0, 0,
-                             mq, rew, points, kmersize, traceback=False,
-                             n_positions=nb)
+        if cur_b is not None:
+            st, _, _ = kma_align(tindex, cur_b, len(cur_b), 0, len(cur_b),
+                                 0, 0, mq, rew, points, kmersize,
+                                 traceback=False, n_positions=nb)
+        else:
+            from .align.nw import AlnScore
+            st = AlnScore()
         read_score = st.score
+        score = 0.0
         if (minlen <= st.len and 0 < read_score
-                and mrcheck(mrc, st, len(cur_b), t_len)):
+                and mrcheck(mrc, st, len(codes_b), t_len)):
             start = st.pos
             end = st.pos + st.len - st.tGaps
             if start == 0:
@@ -375,8 +412,6 @@ def aln_frags_union_pe(store: TemplateStore, matched: np.ndarray,
             score = 1.0 * read_score / st.len
         else:
             read_score = 0
-            score = 0.0
-            start, end = 0, 0
         if read_score > kmersize and score >= scoreT:
             scores2[t_i] = read_score
             if scores1[t_i]:
@@ -395,7 +430,18 @@ def aln_frags_union_pe(store: TemplateStore, matched: np.ndarray,
 
     if not best1 and not best2:
         return []
-    recs = []
+    # rc marker (alnfrags.c:1402-1407): arc scans the (mutated) tid signs;
+    # non-arc rc==0 iff the reads were scan-flipped in place
+    if arc:
+        rc_state = any(t < 0 for t in tids)
+    else:
+        rc_state = not flipped
+    # qseq bytes at emission time, and after an emission-time strrc
+    cur_a = (rc_a if flipped else codes_a) if not arc else codes_a
+    cur_b = (rc_b if flipped else codes_b) if not arc else codes_b
+    res_a = codes_a if not arc else rc_a
+    res_b = codes_b if not arc else rc_b
+    recs: List[FragRecord] = []
     mf = abs(min_frac)
     if best1 and best2:
         # check union (alnfrags.c:1411-1424)
@@ -404,25 +450,30 @@ def aln_frags_union_pe(store: TemplateStore, matched: np.ndarray,
         u_ids, u_scores, u_starts, u_ends = [], [], [], []
         for t_i in range(n):
             if thr1 <= scores1[t_i] and thr2 <= scores2[t_i]:
-                u_ids.append(int(matched[t_i]))
+                u_ids.append(tids[t_i])
                 u_scores.append(scores1[t_i] + scores2[t_i])
                 u_starts.append(starts[t_i])
                 u_ends.append(ends[t_i])
         if u_ids:
-            # proper pair
+            # proper pair (alnfrags.c:1426-1446)
+            fa, fb = flag_a, flag_b
             if u_ids[0] < 0:
                 u_ids = [-x for x in u_ids]
                 recs.append(update_scores_pe(
-                    rc_b, len(rc_b), rc_a, len(rc_a), min_frac, u_ids,
+                    cur_b, len(cur_b), cur_a, len(cur_a), min_frac, u_ids,
                     u_scores, u_starts, u_ends, best1 + best2, header_b,
-                    header_a, flag_b, flag_a, alignment_scores,
+                    header_a, fb, fa, alignment_scores,
                     uniq_alignment_scores))
             else:
-                # restore emitted orientation if candidates flipped us
+                seq_a, seq_b = cur_a, cur_b
+                if not rc_state:
+                    seq_a, seq_b = res_a, res_b
+                    fa ^= 48
+                    fb ^= 48
                 recs.append(update_scores_pe(
-                    codes_a, len(codes_a), codes_b, len(codes_b), min_frac,
+                    seq_a, len(seq_a), seq_b, len(seq_b), min_frac,
                     u_ids, u_scores, u_starts, u_ends, best1 + best2,
-                    header_a, header_b, flag_a, flag_b, alignment_scores,
+                    header_a, header_b, fa, fb, alignment_scores,
                     uniq_alignment_scores))
             return recs
         # unmaided pair (alnfrags.c:1447-1516): separate SE spools
@@ -430,26 +481,28 @@ def aln_frags_union_pe(store: TemplateStore, matched: np.ndarray,
         r_ids, r_sc, r_st, r_en = [], [], [], []
         for t_i in range(n):
             if thr1 <= scores1[t_i]:
-                f_ids.append(int(matched[t_i]))
+                f_ids.append(tids[t_i])
                 f_sc.append(scores1[t_i])
                 f_st.append(starts[t_i])
                 f_en.append(ends[t_i])
             elif thr2 <= scores2[t_i]:
-                r_ids.append(int(matched[t_i]))
+                r_ids.append(tids[t_i])
                 r_sc.append(scores2[t_i])
                 r_st.append(starts[t_i])
                 r_en.append(ends[t_i])
         fa, fb = flag_a, flag_b
-        seq_a = codes_a
+        seq_a = cur_a
         if f_ids and f_ids[0] < 0:
             f_ids = [-x for x in f_ids]
-            seq_a = rc_a
+        elif not rc_state:
+            seq_a = res_a
             fa ^= 16
             fb ^= 32
-        seq_b = codes_b
+        seq_b = cur_b
         if r_ids and r_ids[0] < 0:
             r_ids = [-x for x in r_ids]
-            seq_b = rc_b
+        elif not rc_state:
+            seq_b = res_b
             fa ^= 32
             fb ^= 16
         if fa & 2:
@@ -467,19 +520,20 @@ def aln_frags_union_pe(store: TemplateStore, matched: np.ndarray,
                                          uniq_alignment_scores))
         return recs
     if best1:
-        thr = best1 * mf if mf != 1.0 else None
+        # forward only (alnfrags.c:1518-1552)
         ids, sc, stl, enl = [], [], [], []
         for t_i in range(n):
             if scores1[t_i]:
-                ids.append(int(matched[t_i]))
+                ids.append(tids[t_i])
                 sc.append(scores1[t_i])
                 stl.append(starts[t_i])
                 enl.append(ends[t_i])
         fa, fb = flag_a, flag_b
-        seq_a = codes_a
+        seq_a = cur_a
         if ids and ids[0] < 0:
             ids = [-x for x in ids]
-            seq_a = rc_a
+        elif not rc_state:
+            seq_a = res_a
             fa ^= 16
             fb ^= 32
         fa |= 8
@@ -492,18 +546,20 @@ def aln_frags_union_pe(store: TemplateStore, matched: np.ndarray,
                                      alignment_scores,
                                      uniq_alignment_scores))
         return recs
+    # reverse only (alnfrags.c:1553-1590)
     ids, sc, stl, enl = [], [], [], []
     for t_i in range(n):
         if scores2[t_i]:
-            ids.append(int(matched[t_i]))
+            ids.append(tids[t_i])
             sc.append(scores2[t_i])
             stl.append(starts[t_i])
             enl.append(ends[t_i])
     fa, fb = flag_a, flag_b
-    seq_b = codes_b
+    seq_b = cur_b
     if ids and ids[0] < 0:
         ids = [-x for x in ids]
-        seq_b = rc_b
+    elif not rc_state:
+        seq_b = res_b
         fa ^= 32
         fb ^= 16
     fb |= 8
@@ -1052,7 +1108,38 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             rec.mate_flag = m_flag
         records.append(rec)
 
-    if cfg.ck and cfg.one2one:
+    # sparse DB detection (kmers.c:97-125): a prefix (or "-") DB swaps the
+    # scanners; print_ankers_Sparse stores a NEGATIVE rc_flag
+    sparse_db = idx.prefix_len != 0 or idx.prefix != 0
+    pseudo_db = sparse_db and idx.prefix_len == 0 and not cfg.ck
+    sparse_rev = not (idx.prefix_len == 0 and idx.prefix != 0)
+
+    def _neg(hit):
+        hit.rc_flag = -abs(int(hit.rc_flag))
+        return hit
+
+    if sparse_db and cfg.one2one and not cfg.ck:
+        from .mapping.sparse_scan import (save_kmers_pseudo_sparse,
+                                          save_kmers_sparse)
+        if pseudo_db:
+            def scan_one(read):
+                hit = save_kmers_pseudo_sparse(
+                    idx, pen, read.codes, read.n_positions, read.header,
+                    cfg.exhaustive, scanner.Score, scanner.extendScore,
+                    scanner.include, scan_proxi)
+                return [_neg(hit)] if hit is not None else []
+        else:
+            def scan_one(read):
+                hit = save_kmers_sparse(idx, pen, read.codes,
+                                        read.n_positions, read.header,
+                                        cfg.exhaustive, scanner.Score,
+                                        scan_proxi)
+                return [_neg(hit)] if hit is not None else []
+    elif sparse_db:
+        # save_kmers_sparse_chain (savekmers.c:5946-) -- not built yet
+        raise NotImplementedError(
+            "sparse-DB mapping currently needs -1t1 (without -ck)")
+    elif cfg.ck and cfg.one2one:
         # -ck only swaps the SE scanner when -1t1 is set (kma.c:1272-1276)
         from .mapping.scan import save_kmers_count
 
@@ -1118,32 +1205,41 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         if cfg.ck:
             from .mapping.pair import get_kmers_for_pair_count
             pair_inner = get_kmers_for_pair_count
+        if sparse_db:
+            # kmers.c:108-124 replaces the pair scorer for sparse DBs
+            from .mapping.sparse_scan import (
+                get_kmers_for_pair_pseudo_sparse, get_kmers_for_pair_sparse)
+            pair_inner = get_kmers_for_pair_pseudo_sparse if pseudo_db \
+                else get_kmers_for_pair_sparse
+
+        def _se_fallback(r):
+            for hit in scan_one(r):
+                handle_se_anker(hit.codes, hit.n_positions, hit.rc_flag,
+                                hit.templates, hit.header, hit.flag)
+
         for r1, r2 in _pair_stream():
             n_frags += 1
             if r2 is None:
-                hit = scanner.scan(r1.codes, r1.n_positions, r1.header)
-                if hit is not None:
-                    handle_se_anker(hit.codes, hit.n_positions, hit.rc_flag,
-                                    hit.templates, hit.header, hit.flag)
+                _se_fallback(r1)
                 continue
             if len(r1.codes) < kmersize or len(r2.codes) < kmersize:
                 # reference maps the longer-enough mate alone via loadFsa
                 # pairing rules; treat short mates as SE of the other
                 for r in (r1, r2):
                     if len(r.codes) >= kmersize:
-                        hit = scanner.scan(r.codes, r.n_positions, r.header)
-                        if hit is not None:
-                            handle_se_anker(hit.codes, hit.n_positions,
-                                            hit.rc_flag, hit.templates,
-                                            hit.header, hit.flag)
+                        _se_fallback(r)
                 continue
             pa = scan_pair(
                 idx, pen, r1.codes, r2.codes, r1.header, r2.header,
                 cfg.exhaustive, scanner.Score, scanner.Score_r,
                 scanner.extendScore, scanner.include, proxi=scan_proxi,
-                pair_fn=pair_inner)
+                pair_fn=pair_inner, rev=sparse_rev)
             if pa is None or not pa.records:
                 continue
+            if sparse_db:
+                # print_ankers_Sparse stores -abs(rc_flag) per record
+                pa.records = [(c, npx, -abs(int(sc)), tl, h, f)
+                              for (c, npx, sc, tl, h, f) in pa.records]
             if len(pa.records) == 2 and len(pa.records[0][3]) == 0:
                 # proper pair: record1 has 0 templates (printPair)
                 c_a, np_a, sc_a, _t0, h_a, f_a = pa.records[0]
@@ -1184,7 +1280,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                             h_a, h_b, f_a, f_b, kmersize, cfg.min_len,
                             cfg.mq, cfg.score_t, cfg.mrc, cfg.min_frac,
                             rew, points, alignment_scores,
-                            uniq_alignment_scores)
+                            uniq_alignment_scores, arc=int(sc_a) < 0)
                     records.extend(recs)
                 continue
             for (c, npos_, sc, tl, h, f) in pa.records:
