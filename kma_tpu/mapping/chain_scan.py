@@ -774,8 +774,9 @@ def _advance(idx, V, best, b_i, segs, seqlen, template_lengths, rewards,
 
 def _merge_ties(idx, V, b_i, start, V_start, ln, coverT, seqlen,
                 template_lengths, rewards, bests, Score, extendScore,
-                include, lc, proxi=None):
-    """Equal-anker merging (savekmers.c:5701-5781)."""
+                include, lc, proxi=None, inclusive=False):
+    """Equal-anker merging (savekmers.c:5701-5781); the sparse chain's
+    overlap stop test is <= (savekmers.c:6497) instead of <."""
     best = V[b_i]
     stop = max(start, V_start)
     i = b_i
@@ -795,7 +796,8 @@ def _merge_ties(idx, V, b_i, start, V_start, ln, coverT, seqlen,
         if found is None:
             break
         a = V[found]
-        if (a.end - start) < coverT * ln:
+        if ((a.end - start) <= coverT * ln if inclusive
+                else (a.end - start) < coverT * ln):
             break
         for t in bests:
             include[t] = 1
@@ -859,3 +861,322 @@ def _choose_chain(best_f: Anker, best_r: Anker, cStart: int, cStart_r: int,
                 end = best_f.end
                 rc = 1
     return rc, start, end - start
+
+
+class _AdjK:
+    """Index view with the chaining kmersize adjusted by prefix_len-1
+    (savekmers.c:6183) for get_chain_templates/_advance/_merge_ties."""
+
+    __slots__ = ("kmersize", "mlen", "values")
+
+    def __init__(self, idx: KmaIndex, k: int):
+        self.kmersize = k
+        self.mlen = idx.mlen
+        self.values = idx.values
+
+
+def _collect_sparse_prefix_ankers(idx: KmaIndex, codes: np.ndarray,
+                                  rewards: Penalties) -> List[Anker]:
+    """Anker collection over a prefix DB (savekmers.c:6044-6183): forward
+    and mirrored reverse-complement prefix positions feed ONE anker
+    stream in forward coordinates; anker boundaries split at midpoints
+    and weight is (end-start)*M."""
+    from ..io.seq import kmer_scan, rc_codes
+    from .scan import lookup_voff
+    k0 = idx.kmersize
+    plen = idx.prefix_len
+    prefix = idx.prefix
+    M = rewards.M
+    seqlen = len(codes)
+    rc = rc_codes(codes)
+    pmers_f = kmer_scan(codes, plen) if seqlen >= plen else None
+    pmers_r = kmer_scan(rc, plen) if seqlen >= plen else None
+    kmers_f = kmer_scan(codes, k0) if seqlen >= k0 else None
+    kmers_r = kmer_scan(rc, k0) if seqlen >= k0 else None
+
+    npos = np.flatnonzero(codes == 4).tolist()
+    out: List[Anker] = []
+    cur = Anker()
+    cur.voff = -1
+    last = None
+    hit_counter = 0
+    i = 0
+    j = seqlen - k0 - plen
+    for ni in npos + [seqlen]:
+        cur.end = i
+        end = ni - k0 - plen + 1
+        while i < end:
+            voff = None
+            if int(pmers_f[i]) == prefix:
+                voff = lookup_voff(idx, int(kmers_f[i + plen]))
+            elif j >= 0 and int(pmers_r[j]) == prefix:
+                voff = lookup_voff(idx, int(kmers_r[j + plen]))
+            else:
+                i += 1
+                j -= 1
+                continue
+            if voff >= 0:
+                if voff == last:
+                    cur.end = i
+                elif last is not None:
+                    # split at the midpoint between ankers
+                    prev = cur
+                    prev.end = (prev.end + i) >> 1
+                    nxt = Anker()
+                    nxt.start = prev.end + 1
+                    nxt.end = i
+                    nxt.voff = voff
+                    prev.end += k0 + plen
+                    prev.weight = (prev.end - prev.start) * M
+                    out.append(prev)
+                    cur = nxt
+                    hit_counter += 1
+                    last = voff
+                else:
+                    cur.start = ((cur.end + i) >> 1) if cur.end else 0
+                    cur.end = i
+                    cur.voff = voff
+                    last = voff
+            elif last is not None:
+                prev = cur
+                prev.end = ((prev.end + i) >> 1) + k0 + plen
+                prev.weight = (prev.end - prev.start) * M
+                out.append(prev)
+                cur = Anker()
+                cur.end = i
+                cur.voff = -1
+                hit_counter += 1
+                last = None
+            else:
+                cur.end = i
+            i += 1
+            j -= 1
+        if last is not None:
+            prev = cur
+            prev.end = i
+            prev.weight = (prev.end - prev.start) * M
+            out.append(prev)
+            cur = Anker()
+            cur.voff = -1
+            hit_counter += 1
+            last = None
+        i = ni + 1
+        j = seqlen - k0 - plen - i
+    return out if hit_counter else []
+
+
+def _sparse_chain_pass(idx_v, ankers: List[Anker], q_len: int,
+                       template_lengths, rewards: Penalties, Score,
+                       extendScore, include, best_state) -> None:
+    """Chain scoring of the sparse anker stream (savekmers.c:6296-6450);
+    differs from the standard pass: no gaps==0 case (it falls through to
+    the snp/indel branches) and a <= negative-score clamp."""
+    k = idx_v.kmersize
+    mlen = idx_v.mlen
+    M, MM, U, W1, Wl = (rewards.M, rewards.MM, rewards.U, rewards.W1,
+                        rewards.Wl)
+    values = idx_v.values
+    bests: List[int] = []
+    for a in ankers:
+        a.score = 0
+        a.score_len = 0.0
+        a.len_len = 1
+        vo = a.voff
+        cnt = int(values[vo])
+        for t in values[vo + cnt: vo: -1].tolist():
+            score = int(Score[t])
+            pos = int(extendScore[t])
+            gaps = a.start - pos
+            if not include[t]:
+                include[t] = 1
+                bests.append(t)
+                if a.start:
+                    s = W1 + (a.start - 1) * U
+                    score = a.weight + max(Wl, s)
+                else:
+                    score = a.weight
+            else:
+                if gaps == -k:
+                    score += a.weight - (k - 1) * M
+                elif 0 < gaps:
+                    if gaps <= 2:
+                        MMs, Ms = gaps, 0
+                    else:
+                        MMs = max(2, gaps // k + (1 if gaps % k else 0))
+                        Ms = min(min(gaps - MMs, k), MMs)
+                    if (W1 + (gaps - 1) * U) <= (MMs * MM + Ms * M):
+                        score += a.weight + Ms * M + MMs * MM
+                    else:
+                        score += a.weight + (W1 + (gaps - 1) * U)
+                elif mlen != k:
+                    score += a.weight + gaps * M + MM
+                else:
+                    score += a.weight + gaps * M - (gaps + 1) * U + W1
+                if score < 0:
+                    test = (W1 + (a.start - 1) * U) if a.start else 0
+                    test = max(test, Wl)
+                    if score <= test + a.weight:
+                        score = test + a.weight
+            if a.score < score:
+                a.score = score
+            len_len = int(template_lengths[t])
+            if q_len < len_len:
+                len_len = q_len
+            score_len = float(score)
+            if a.len_len != len_len:
+                if len_len == 0:
+                    score_len = (float("nan") if score == 0 else
+                                 float("inf") * score * a.len_len)
+                else:
+                    score_len = score_len / len_len * a.len_len
+            if (a.score_len < score_len
+                    or (a.score_len == score_len and a.score_len < score)):
+                a.score_len = score
+                a.len_len = len_len
+            Score[t] = score
+            extendScore[t] = a.end
+
+        bl = best_state[2]
+        score_len = float(a.score)
+        if bl is not None and a.len_len != bl.len_len:
+            if a.len_len == 0:
+                score_len = (float("nan") if a.score == 0 else
+                             float("inf") * a.score * bl.len_len)
+            else:
+                score_len = score_len / a.len_len * bl.len_len
+        if bl is None or bl.score_len < score_len:
+            best_state[2] = a
+            best_state[3] = 0
+        elif bl.score_len == score_len:
+            if bl.score_len < a.score_len:
+                best_state[2] = a
+                best_state[3] = 0
+            elif bl.score_len == a.score_len:
+                best_state[2] = a
+                best_state[3] += 1
+        b = best_state[0]
+        if b is None or b.score < a.score:
+            best_state[0] = a
+            best_state[1] = 0
+        elif b.score == a.score:
+            if b.score_len < a.score_len:
+                best_state[0] = a
+                best_state[1] = 0
+            else:
+                best_state[0] = a
+                best_state[1] += 1
+    for t in bests:
+        Score[t] = 0
+        extendScore[t] = 0
+        include[t] = 0
+
+
+def sparse_chain_scan_read(idx: KmaIndex, rewards: Penalties,
+                           codes: np.ndarray, header: bytes,
+                           exhaustive: bool, Score, extendScore, include,
+                           template_lengths, minlen: int, coverT: float,
+                           mrs: float, mrc: float, lc: bool = False,
+                           proxi=None) -> List[AnkerHit]:
+    """save_kmers_sparse_chain (savekmers.c:5946-6578): chain scanner for
+    sparse DBs.  One anker stream (both strands merged positionally for
+    prefix DBs, forward-only for "-" DBs); the chaining kmersize is
+    k+prefix_len-1 for prefix DBs.  QUIRKS kept: only the TIE counter
+    swaps under -lc (:6479-6482, best_score stays the plain tracker), and
+    the tie-merge overlap test is <= (:6497, standard chain uses <)."""
+    k0 = idx.kmersize
+    seqlen = len(codes)
+    if seqlen < k0:
+        return []
+    if idx.prefix_len:
+        ankers = _collect_sparse_prefix_ankers(idx, codes, rewards)
+        flag = 16
+        k = k0 + idx.prefix_len - 1
+    else:
+        if not exhaustive and not _quick_hit(idx, codes):
+            return []
+        ankers = _collect_ankers(idx, codes, False, rewards, exhaustive)
+        flag = 0
+        k = k0
+    if not ankers:
+        return []
+    idx_v = _AdjK(idx, k)
+
+    state = [ankers[0], 0, ankers[0], 0]
+    state[0].score = 0
+    state[0].score_len = 0.0
+    state[0].len_len = 1
+    _sparse_chain_pass(idx_v, ankers, seqlen, template_lengths, rewards,
+                       Score, extendScore, include, state)
+    best, ties, best_len, ties_len = state
+
+    if best.score < k:
+        return []
+    # prune (kmeranker.c:372-396)
+    V_start = ankers[0].start
+    for a in ankers:
+        if a.score < k:
+            a.alive = False
+    if not any(a.alive for a in ankers):
+        best.score = 0
+
+    out: List[AnkerHit] = []
+    segs = SegmentList()
+    bestT: List[int] = []
+    b_i = ankers.index(best)
+    cs = get_chain_templates(idx_v, ankers, b_i, seqlen, template_lengths,
+                             rewards, bestT, Score, extendScore, include,
+                             lc, proxi)
+    score = best.score
+    start = ankers[cs].start if cs is not None else best.start
+    ln = best.end - start
+    if ln < minlen or score < k:
+        return []
+    if lc:
+        ties = ties_len
+
+    while best is not None:
+        if ties:
+            _merge_ties(idx_v, ankers, b_i, start, V_start, ln, coverT,
+                        seqlen, template_lengths, rewards, bestT, Score,
+                        extendScore, include, lc, proxi, inclusive=True)
+        # mrchain (kmeranker.c:57-81)
+        if mrc and seqlen < mrc * ln:
+            bestT = [t for t in bestT
+                     if mrc * ln <= int(template_lengths[t])]
+        if bestT:
+            segs.grow(start, best.end)
+            bh = header + b"\x00" + struct.pack("<ii", start, best.end)
+            npos = np.flatnonzero(codes == 4).astype(np.int32)
+            out.append(AnkerHit(codes=codes, n_positions=npos,
+                                rc_flag=best.score,
+                                templates=np.asarray(bestT, np.int32),
+                                header=bh, flag=flag))
+        # next chain (savekmers.c:6547-6573)
+        ties = 0
+        best.score = 0
+        bestT = []
+        while best is not None and best.score == 0:
+            nb, nties, _ = _get_best_anker(ankers, 0, lc)
+            ties = nties
+            if nb is None:
+                return out
+            best = ankers[nb]
+            b_i = nb
+            if k < best.score:
+                del bestT[:]
+                cs = get_chain_templates(idx_v, ankers, b_i, seqlen,
+                                         template_lengths, rewards, bestT,
+                                         Score, extendScore, include, lc,
+                                         proxi)
+                if cs is not None:
+                    start = ankers[cs].start
+                    cover = segs.query(start, best.end)
+                    ln = best.end - start
+                    if ln < minlen or coverT * ln < cover \
+                            or best.score < mrs * ln:
+                        best.score = 0
+                else:
+                    best.score = 0
+            else:
+                best.score = 0
+    return out

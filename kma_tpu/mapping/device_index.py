@@ -43,18 +43,69 @@ except Exception:
     pass
 
 MURMUR_SEED = np.uint32(3323198485 & 0xFFFFFFFF)
+MURMUR_SEED2 = np.uint32(0x9747B28C)
 
 
-def murmur32_np(x) -> np.ndarray:
-    v = ((np.asarray(x, dtype=np.uint64) ^ np.uint64(MURMUR_SEED))
+def murmur32_np(x, seed=MURMUR_SEED) -> np.ndarray:
+    v = ((np.asarray(x, dtype=np.uint64) ^ np.uint64(seed))
          * np.uint64(0x5BD1E995)) & np.uint64(0xFFFFFFFF)
     v = v.astype(np.uint32)
     return v ^ (v >> np.uint32(15))
 
 
-def murmur32(x: jax.Array) -> jax.Array:
-    v = (x ^ jnp.uint32(MURMUR_SEED)) * jnp.uint32(0x5BD1E995)
+def murmur32(x: jax.Array, seed=MURMUR_SEED) -> jax.Array:
+    v = (x ^ jnp.uint32(seed)) * jnp.uint32(0x5BD1E995)
     return v ^ (v >> jnp.uint32(15))
+
+
+def _cuckoo_build(keys: np.ndarray, voffs: np.ndarray, n: int,
+                  max_rounds: int = 512):
+    """Two-table cuckoo placement: every key lives at murmur(seed1) in
+    table 0 or murmur(seed2) in table 1, so device lookup is exactly TWO
+    8-byte gathers (vs. the serial max_probe walk of the open table).
+
+    Returns (kv[2*tsize, 2], tsize) or None if the random walk fails
+    (then the caller keeps the open layout).  Empty slots are (0, -1);
+    hits require a non-negative offset.
+    """
+    tsize = 1 << 16
+    while tsize * 10 < n * 13:  # >= 1.3n per side
+        tsize <<= 1
+    mask = np.uint32(tsize - 1)
+    tab_k = np.zeros(2 * tsize, dtype=np.int64)
+    tab_v = np.full(2 * tsize, -1, dtype=np.int64)
+    pk = keys.astype(np.int64)
+    pv = voffs.astype(np.int64)
+    ps = np.zeros(n, dtype=np.int8)
+    for _ in range(max_rounds):
+        if len(pk) == 0:
+            break
+        b = np.where(ps == 0,
+                     murmur32_np(pk.astype(np.uint32)) & mask,
+                     (murmur32_np(pk.astype(np.uint32), MURMUR_SEED2)
+                      & mask) + np.uint32(tsize)).astype(np.int64)
+        claim = np.full(2 * tsize, -1, dtype=np.int64)
+        idxs = np.arange(len(pk))
+        claim[b] = idxs
+        win = claim[b] == idxs
+        wb = b[win]
+        old_k = tab_k[wb].copy()
+        old_v = tab_v[wb].copy()
+        tab_k[wb] = pk[win]
+        tab_v[wb] = pv[win]
+        occ = old_v != -1
+        pk = np.concatenate([pk[~win], old_k[occ]])
+        pv = np.concatenate([pv[~win], old_v[occ]])
+        # losers flip sides (same-side losers would deadlock); evictees
+        # move to their other table
+        ps = np.concatenate([(1 - ps[~win]).astype(np.int8),
+                             (wb[occ] < tsize).astype(np.int8)])
+    if len(pk):
+        return None
+    kv = np.empty((2 * tsize, 2), dtype=np.int32)
+    kv[:, 0] = (tab_k & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    kv[:, 1] = tab_v.astype(np.int32)
+    return kv, tsize
 
 
 @dataclasses.dataclass
@@ -101,7 +152,20 @@ class DeviceIndex:
         voffs = idx.value_index.astype(np.int64)
         max_list = int(values[voffs].max()) if idx.n else 0
 
-        # device-optimised open table: murmur spread, load <= 2^-load_shift
+        # preferred layout: two-table cuckoo -> exactly 2 probe gathers
+        ck = _cuckoo_build(keys, voffs, int(idx.n)) if idx.n else None
+        if ck is not None:
+            kv, tsize = ck
+            return cls(
+                kmersize=idx.kmersize, mlen=idx.mlen, flag=idx.flag,
+                db_size=idx.db_size, mega=False, size=tsize,
+                null_index=-1,
+                exist=jnp.zeros(1, jnp.int32),
+                kv=jnp.asarray(kv),
+                values=jnp.asarray(values),
+                max_list=max_list, max_probe=0)
+
+        # fallback open table: murmur spread, load <= 2^-load_shift
         dsize = 1 << 20
         while dsize < idx.n << load_shift:
             dsize <<= 1
@@ -149,6 +213,20 @@ def lookup_voffsets(exist, kv, kmers, size: int, max_probe: int,
     if mega:
         off = exist[(kmers & jnp.uint32(size - 1)).astype(jnp.int32)]
         return jnp.where(off == jnp.int32(null_index), -1, off)
+    if max_probe == 0:
+        # cuckoo layout: key at murmur(seed1) in half 0 or murmur(seed2)
+        # in half 1; empty slots carry offset -1
+        mask = jnp.uint32(size - 1)
+        km = kmers.astype(jnp.int32)
+        b1 = (murmur32(kmers) & mask).astype(jnp.int32)
+        b2 = (murmur32(kmers, MURMUR_SEED2) & mask).astype(jnp.int32) \
+            + jnp.int32(size)
+        e1 = kv[b1]
+        e2 = kv[b2]
+        return jnp.where((e1[..., 0] == km) & (e1[..., 1] >= 0),
+                         e1[..., 1],
+                         jnp.where((e2[..., 0] == km) & (e2[..., 1] >= 0),
+                                   e2[..., 1], jnp.int32(-1)))
     bucket = murmur32(kmers) & jnp.uint32(size - 1)
     pos0 = exist[bucket.astype(jnp.int32)]
     found_pos = jnp.full(kmers.shape, -1, dtype=jnp.int32)

@@ -51,6 +51,7 @@ class ScanParams:
     run_cap: int = 64     # max value-list runs per read handled on device
     pair_cap: int = 1024  # max (run, template) pairs per read on device
     best_cap: int = 64    # max tie-list size returned per read
+    small_ids: bool = False  # template ids fit int16 (halves D2H traffic)
 
 
 def _gap_mm_terms(gap, k, M, MM, U, W1):
@@ -126,7 +127,7 @@ def _strand_scan(codes, lengths, lookup_fn, values, p: ScanParams,
     """One strand of save_kmers over the batch; rc_branch is a per-row
     bool column (fw and rc rows share one fused kernel).
 
-    Returns (bestScore [B], best_tids [B, MAX_BEST], best_valid, n_best,
+    Returns (bestScore [B], best_tids [B, best_cap] front-packed, n_best,
     overflow [B], n_pairs [B])."""
     B, L = codes.shape
     k = p.k
@@ -295,10 +296,16 @@ def _strand_scan(codes, lengths, lookup_fn, values, p: ScanParams,
     MB = p.best_cap
     best_valid = bkey_s[:, :MB] < BIG
     best_tids = jnp.where(best_valid, btid_s[:, :MB], 0)
+    if p.small_ids:
+        # the tie lists dominate D2H traffic (the axon tunnel makes
+        # device->host copies the scan's wall-clock ceiling)
+        best_tids = best_tids.astype(jnp.int16)
     n_best = jnp.sum(is_best, axis=-1)
     overflow = overflow | (n_best > MB)
 
-    return bestScore, best_tids, best_valid, n_best, overflow, n_pairs
+    # best_valid is NOT returned: the tie lists are front-packed, so the
+    # mask is just arange < n_best (reconstructed host-side)
+    return bestScore, best_tids, n_best, overflow, n_pairs
 
 
 @partial(jax.jit, static_argnames=("params",))
@@ -307,11 +314,11 @@ def strand_scan_device(codes, lengths, exist, kv, values, params: Tuple):
     B..2B-1 reverse complement).  Returns per-row
     (bestScore, tids, valid, n_best, overflow, n_pairs)."""
     (k, mlen, M, MM, U, W1, max_list, exhaustive, mega, size, null_index,
-     flag, max_probe, run_cap, pair_cap, best_cap) = params
+     flag, max_probe, run_cap, pair_cap, best_cap, small_ids) = params
     p = ScanParams(k=k, mlen=mlen, M=M, MM=MM, U=U, W1=W1,
                    max_list=max_list, exhaustive=exhaustive,
                    max_probe=max_probe, run_cap=run_cap, pair_cap=pair_cap,
-                   best_cap=best_cap)
+                   best_cap=best_cap, small_ids=small_ids)
 
     def lookup_fn(kmers):
         return lookup_voffsets(exist, kv, kmers, size, max_probe, mega,
@@ -347,7 +354,8 @@ class DeviceScanner:
             return (didx.kmersize, didx.mlen, rewards.M, rewards.MM,
                     rewards.U, rewards.W1, didx.max_list, exhaustive,
                     didx.mega, didx.size, didx.null_index, didx.flag,
-                    didx.max_probe, rc, cap, bc)
+                    didx.max_probe, rc, cap, bc,
+                    didx.db_size < (1 << 15))
         self.params = mk(pair_cap)
         self.tier_params = [mk(c, rc, bc) for (c, _), rc, bc
                             in zip(self.tiers, tier_runs, tier_bests)]
@@ -362,7 +370,7 @@ class DeviceScanner:
         return a
 
     def _max_best(self):
-        return max(self.params[-1], *(tp[-1] for tp in self.tier_params))
+        return max(self.params[-2], *(tp[-2] for tp in self.tier_params))
 
     def scan_device(self, cj, lj, params=None):
         d = self.didx
@@ -371,7 +379,9 @@ class DeviceScanner:
                                   params or self.params)
 
     def _split(self, out, B):
-        b, t, v, n, ov, npair = [np.asarray(x) for x in out]
+        b, t, n, ov, npair = [np.asarray(x) for x in out]
+        # tie lists are front-packed: valid = arange < n_best
+        v = np.arange(t.shape[1])[None, :] < n[:, None]
         return ((b[:B], t[:B], v[:B], n[:B]),
                 (b[B:], t[B:], v[B:], n[B:]),
                 ov[:B] | ov[B:], np.maximum(npair[:B], npair[B:]))
@@ -404,16 +414,18 @@ class DeviceScanner:
             rcs.append([x[:n] for x in rc])
             ovs.append(ov[:n])
             npss.append(nps[:n])
-        W = self._max_best()
         bf, tf, vf, nf = [np.concatenate([f[i] for f in fws])
                           for i in range(4)]
         br, tr, vr, nr = [np.concatenate([r[i] for r in rcs])
                           for i in range(4)]
-        tf, vf, tr, vr = (self._pad_cols(tf, W), self._pad_cols(vf, W),
-                          self._pad_cols(tr, W), self._pad_cols(vr, W))
         ov = np.concatenate(ovs)
         npairs = np.concatenate(npss)
 
+        # wide tiers run on compacted sub-batches; results are collected
+        # first so the main arrays are padded ONCE to the width actually
+        # needed (padding everything to the widest tier cap dominated the
+        # wall time before)
+        tier_results = []
         for ti, ((cap, rows), tp) in enumerate(zip(self.tiers,
                                                    self.tier_params)):
             if ti == len(self.tiers) - 1:
@@ -433,12 +445,24 @@ class DeviceScanner:
             for sel, o in touts:
                 sfw, src_, sov, _n2 = self._split(o, rows)
                 ns = len(sel)
-                for dst, src in ((bf, sfw[0]), (tf, sfw[1]), (vf, sfw[2]),
-                                 (nf, sfw[3]), (br, src_[0]),
-                                 (tr, src_[1]), (vr, src_[2]),
-                                 (nr, src_[3])):
-                    dst[sel] = self._pad_cols(src, W)[:ns]
+                tier_results.append((sel, [x[:ns] for x in sfw],
+                                     [x[:ns] for x in src_], sov[:ns]))
                 ov[sel] = sov[:ns]
+        W = tf.shape[1]
+        for sel, sfw, src_, sov in tier_results:
+            ok = ~sov
+            need = max(int(sfw[3][ok].max(initial=0)),
+                       int(src_[3][ok].max(initial=0)))
+            W = max(W, min(need, sfw[1].shape[1]))
+        tf, vf, tr, vr = (self._pad_cols(tf, W), self._pad_cols(vf, W),
+                          self._pad_cols(tr, W), self._pad_cols(vr, W))
+        for sel, sfw, src_, sov in tier_results:
+            for dst, src in ((bf, sfw[0]), (tf, sfw[1]), (vf, sfw[2]),
+                             (nf, sfw[3]), (br, src_[0]), (tr, src_[1]),
+                             (vr, src_[2]), (nr, src_[3])):
+                if src.ndim == 2:
+                    src = self._pad_cols(src, W)[:, :W]
+                dst[sel] = src
         return bf, tf, vf, nf, br, tr, vr, nr, ov
 
     def scan(self, codes: np.ndarray, lengths: np.ndarray):
@@ -450,11 +474,9 @@ class DeviceScanner:
         B = codes.shape[0]
         fw, rc, ov, npairs = self._split(self.scan_device(codes, lengths),
                                          B)
-        W = self._max_best()
         bf, tf, vf, nf = [x.copy() for x in fw]
         br, tr, vr, nr = [x.copy() for x in rc]
-        tf, vf, tr, vr = (self._pad_cols(tf, W), self._pad_cols(vf, W),
-                          self._pad_cols(tr, W), self._pad_cols(vr, W))
+        tier_results = []
         for (cap, rows), tp in zip(self.tiers, self.tier_params):
             sel_all = np.flatnonzero(ov & (npairs <= cap))
             if cap == self.tiers[-1][0]:
@@ -470,10 +492,22 @@ class DeviceScanner:
                 sfw, src_, sov, _n2 = self._split(
                     self.scan_device(sub_c, sub_l, tp), rows)
                 ns = len(sel)
-                for dst, src in ((bf, sfw[0]), (tf, sfw[1]), (vf, sfw[2]),
-                                 (nf, sfw[3]), (br, src_[0]),
-                                 (tr, src_[1]), (vr, src_[2]),
-                                 (nr, src_[3])):
-                    dst[sel] = self._pad_cols(src, W)[:ns]
+                tier_results.append((sel, [x[:ns] for x in sfw],
+                                     [x[:ns] for x in src_], sov[:ns]))
                 ov[sel] = sov[:ns]
+        W = tf.shape[1]
+        for sel, sfw, src_, sov in tier_results:
+            ok = ~sov
+            need = max(int(sfw[3][ok].max(initial=0)),
+                       int(src_[3][ok].max(initial=0)))
+            W = max(W, min(need, sfw[1].shape[1]))
+        tf, vf, tr, vr = (self._pad_cols(tf, W), self._pad_cols(vf, W),
+                          self._pad_cols(tr, W), self._pad_cols(vr, W))
+        for sel, sfw, src_, sov in tier_results:
+            for dst, src in ((bf, sfw[0]), (tf, sfw[1]), (vf, sfw[2]),
+                             (nf, sfw[3]), (br, src_[0]), (tr, src_[1]),
+                             (vr, src_[2]), (nr, src_[3])):
+                if src.ndim == 2:
+                    src = self._pad_cols(src, W)[:, :W]
+                dst[sel] = src
         return bf, tf, vf, nf, br, tr, vr, nr, ov

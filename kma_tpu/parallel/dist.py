@@ -45,6 +45,28 @@ def make_mesh(n_data: int, n_db: int, devices=None) -> Mesh:
     return Mesh(devs, axis_names=("data", "db"))
 
 
+def _local_lookup_cuckoo(kv_l, kmers, size, n_db: int):
+    """Cuckoo lookup over the row-sharded [2*size, 2] table: each db
+    shard resolves the probes landing in its row range, a pmax merges."""
+    from ..mapping.device_index import MURMUR_SEED2, murmur32
+    d = jax.lax.axis_index("db")
+    chunk = (2 * size) // n_db
+    lo = (d * chunk).astype(jnp.int32)
+    km = kmers.astype(jnp.int32)
+    mask = jnp.uint32(size - 1)
+    b1 = (murmur32(kmers) & mask).astype(jnp.int32)
+    b2 = (murmur32(kmers, MURMUR_SEED2) & mask).astype(jnp.int32) \
+        + jnp.int32(size)
+
+    def probe(b):
+        mine = (b >= lo) & (b < lo + chunk)
+        e = kv_l[jnp.where(mine, b - lo, 0)]
+        return jnp.where(mine & (e[..., 0] == km) & (e[..., 1] >= 0),
+                         e[..., 1], jnp.int32(-1))
+
+    return jnp.maximum(probe(b1), probe(b2))
+
+
 def _local_lookup(exist_l, kv, kmers, size, max_probe: int, n_db: int):
     """Lookup restricted to this shard's hash-slot range (kv replicated)."""
     from ..mapping.device_index import murmur32
@@ -80,28 +102,37 @@ def sharded_scan_step(mesh: Mesh, didx: DeviceIndex, params: Tuple):
     extraction) with data+db parallelism.
     """
     (k, mlen, M, MM, U, W1, max_list, exhaustive, mega, size, null_index,
-     flag, max_probe, run_cap, pair_cap) = params
+     flag, max_probe, run_cap, pair_cap, best_cap, small_ids) = params
     n_db = mesh.shape["db"]
-    assert size % n_db == 0
+    cuckoo = max_probe == 0
+    assert (2 * size if cuckoo else size) % n_db == 0
     p = ScanParams(k=k, mlen=mlen, M=M, MM=MM, U=U, W1=W1,
                    max_list=max_list, exhaustive=exhaustive,
-                   max_probe=max_probe, run_cap=run_cap, pair_cap=pair_cap)
+                   max_probe=max_probe, run_cap=run_cap, pair_cap=pair_cap,
+                   best_cap=best_cap, small_ids=small_ids)
 
-    def scan_local(exist_l, kv, values, codes, lengths):
+    def scan_local(exist_l, kv_l, values, codes, lengths):
         def lookup(kmers):
-            local = _local_lookup(exist_l, kv, kmers, size, max_probe, n_db)
+            if cuckoo:
+                local = _local_lookup_cuckoo(kv_l, kmers, size, n_db)
+            else:
+                local = _local_lookup(exist_l, kv_l, kmers, size,
+                                      max_probe, n_db)
             return jax.lax.pmax(local, "db")
 
         B = codes.shape[0]
         both = jnp.concatenate([codes, rc_batch(codes, lengths)], axis=0)
         lens2 = jnp.concatenate([lengths, lengths], axis=0)
         rc_rows = jnp.arange(2 * B) >= B
-        b, o, v, n, ov, _np = _strand_scan(both, lens2, lookup, values, p,
-                                           rc_rows)
+        b, o, n, ov, _np = _strand_scan(both, lens2, lookup, values, p,
+                                        rc_rows)
+        v = jnp.arange(o.shape[1])[None, :] < n[:, None]
         return (b[:B], o[:B], v[:B], n[:B], b[B:], o[B:], v[B:], n[B:],
                 ov[:B] | ov[B:])
 
-    in_specs = (P("db"), P(None), P(None), P("data", None), P("data"))
+    kv_spec = P("db", None) if cuckoo else P(None)
+    exist_spec = P(None) if cuckoo else P("db")
+    in_specs = (exist_spec, kv_spec, P(None), P("data", None), P("data"))
     out_specs = (P("data"), P("data", None), P("data", None), P("data"),
                  P("data"), P("data", None), P("data", None), P("data"),
                  P("data"))
@@ -110,11 +141,13 @@ def sharded_scan_step(mesh: Mesh, didx: DeviceIndex, params: Tuple):
     step = jax.jit(fn)
 
     def place(codes: np.ndarray, lengths: np.ndarray):
-        exist = jax.device_put(
-            didx.exist, NamedSharding(mesh, P("db")))
         rep = NamedSharding(mesh, P(None))
-        args = (exist,
-                jax.device_put(didx.kv, rep),
+        exist = jax.device_put(
+            didx.exist, rep if cuckoo else NamedSharding(mesh, P("db")))
+        kv = jax.device_put(
+            didx.kv,
+            NamedSharding(mesh, P("db", None)) if cuckoo else rep)
+        args = (exist, kv,
                 jax.device_put(didx.values, rep),
                 jax.device_put(jnp.asarray(codes),
                                NamedSharding(mesh, P("data", None))),

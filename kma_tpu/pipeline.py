@@ -1136,9 +1136,17 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                                         scan_proxi)
                 return [_neg(hit)] if hit is not None else []
     elif sparse_db:
-        # save_kmers_sparse_chain (savekmers.c:5946-) -- not built yet
-        raise NotImplementedError(
-            "sparse-DB mapping currently needs -1t1 (without -ck)")
+        # default / -hmm / -ck+1t1 on a sparse DB all land on
+        # save_kmers_sparse_chain (kmers.c:110-121)
+        from .mapping.chain_scan import sparse_chain_scan_read
+
+        def scan_one(read):
+            hits = sparse_chain_scan_read(
+                idx, pen, read.codes, read.header, cfg.exhaustive,
+                scanner.Score, scanner.extendScore, scanner.include,
+                template_lengths, cfg.min_len, cfg.cover_t, cfg.score_t,
+                cfg.mrc, cfg.lc, scan_proxi)
+            return [_neg(h) for h in hits]
     elif cfg.ck and cfg.one2one:
         # -ck only swaps the SE scanner when -1t1 is set (kma.c:1272-1276)
         from .mapping.scan import save_kmers_count

@@ -9,6 +9,28 @@ import subprocess
 import sys
 from pathlib import Path
 
+# The axon TPU plugin (sitecustomize) grabs the backend at interpreter
+# start whenever PALLAS_AXON_POOL_IPS is set, ignoring JAX_PLATFORMS; the
+# only way to get the virtual CPU mesh is a clean re-exec (done from
+# pytest_configure below, after global fd capture is released).
+
+
+def pytest_configure(config):
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    capman = config.pluginmanager.get_plugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()
+    os.environ.pop("PALLAS_AXON_POOL_IPS")
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    fl = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in fl:
+        os.environ["XLA_FLAGS"] = (
+            fl + " --xla_force_host_platform_device_count=8").strip()
+    os.execv(sys.executable,
+             [sys.executable, "-m", "pytest"] + sys.argv[1:])
+
+
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -68,3 +68,19 @@ def test_sparse_db_pe_parity(tmp_path, sim_pairs, sparse_map_db, ref_bin,
                    sparse_map_db] + args)
     assert rc == 0
     _cmp_outputs(ref_out, my_out)
+
+
+def test_sparse_db_chain_parity(tmp_path, sim_reads, sparse_map_db,
+                                ref_bin):
+    """Default (chain) mode against a sparse DB -> save_kmers_sparse_chain
+    (savekmers.c:5946-6578)."""
+    ref_out = tmp_path / "ref"
+    my_out = tmp_path / "my"
+    r = subprocess.run([str(ref_bin), "-i", str(sim_reads), "-o",
+                        str(ref_out), "-t_db", sparse_map_db],
+                       capture_output=True, timeout=600)
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    rc = kma_main(["-i", str(sim_reads), "-o", str(my_out), "-t_db",
+                   sparse_map_db])
+    assert rc == 0
+    _cmp_outputs(ref_out, my_out)
