@@ -1,0 +1,493 @@
+"""Dense-template batched save_kmers scanner (TPU path of savekmers.c:2442).
+
+Second-generation device scanner.  The round-1 pair-stream formulation
+(scan_jax.py) was built on the assumption that global gathers are slow on
+TPU; measurement on real v5e hardware shows the opposite (12-18G gathered
+elements/s) and that the actual ceilings are (a) host<->device transfer
+bandwidth and (b) XLA compile time of the sort/scatter graph.  This module
+therefore keeps a DENSE [batch, DB_size] score state, exactly mirroring the
+reference's per-template Score/extendScore/include arrays (savekmers.c:
+2442-3065), vectorised over the batch:
+
+1. k-mer windows -> hash lookup returning a value-LIST id per window
+   (the index's deduplicated template lists; 9990 lists for ResFinder),
+2. run compaction: consecutive windows with the same list id form a run;
+   per-run aggregates (start, end, in-run score) come from prefix sums,
+3. a short static loop over run slots updates the dense per-template
+   state: members of run r get the run score plus either the k*M opening
+   (first sight) or the reconnect score over the gap since their own last
+   hit -- the reference's flush logic (savekmers.c:2573-2625), one run at
+   a time, all templates in parallel.  Membership tests are row gathers
+   into a [n_lists, DB_size] position table (593 GB/s measured),
+4. tie-lists are extracted with top_k over first-seen keys and packed --
+   together with the fw/rc merge decision (savekmers.c:2766-2833) -- into
+   a compact per-batch byte stream on device, because the host link (an
+   axon tunnel at ~30 MB/s) is the wall-clock ceiling, not compute.
+
+No bit-packed attribute words are needed, so arbitrarily long reads
+(Nanopore) run on device -- the round-1 ~500 bp static reject is gone.
+
+Dense state is O(batch * DB_size); the scanner is used when the membership
+table fits the budget (gene panels up to ~100k templates).  Larger DBs
+keep the pair-stream scanner (scan_jax.py) as fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.format import KmaIndex
+from .device_index import (MURMUR_SEED2, _cuckoo_build, batch_kmers,
+                           murmur32, murmur32_np, valid_windows)
+from .scan_jax import (_reconnect_score, _run_transition_score, _segment_starts,
+                       rc_batch, ScanParams)
+
+BIG = jnp.int32(0x3FFFFFFF)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass
+class DenseIndex:
+    """Device image of a frozen DB for the dense scanner.
+
+    The hash payload is the value-LIST id (dense row), not the values
+    offset: `mem[list_id]` is the per-template position-in-list + 1 (0 =
+    not a member), which serves membership, tie ordering (first-seen key =
+    run * (max_list+1) + pos, matching the reference's append order), and
+    the list length all at once.
+    """
+
+    kmersize: int
+    mlen: int
+    flag: int
+    db_size: int
+    t_pad: int                  # padded template axis (multiple of 128)
+    n_lists: int
+    mega: bool
+    size: int                   # cuckoo half size or mega mask+1
+    max_probe: int              # 0 = cuckoo, >0 = open-table probe unroll
+    max_list: int
+    exist: jax.Array            # mega: [size] i32 list id or -1
+    kv: jax.Array               # cuckoo/open: [slots, 2] (key, list id|-1)
+    mem: jax.Array              # [n_lists, t_pad] i16 pos+1
+    cnt: jax.Array              # [n_lists] i32 list length
+    list_voff: np.ndarray       # host: list id -> values offset
+
+    @classmethod
+    def from_host(cls, idx: KmaIndex, mem_budget_bytes: int = 2 << 30
+                  ) -> "DenseIndex":
+        if idx.mlen > 16:
+            raise NotImplementedError("dense index requires mlen <= 16")
+        values = np.asarray(idx.values, dtype=np.int64)
+        t_pad = _round_up(idx.db_size + 1, 128)
+
+        if idx.mega:
+            offs = np.unique(idx.exist[idx.exist != idx.null_index]
+                             ).astype(np.int64)
+        else:
+            offs = np.unique(idx.value_index[: idx.n]).astype(np.int64)
+        V = len(offs)
+        if V * t_pad * 2 > mem_budget_bytes:
+            raise NotImplementedError("DB too large for dense membership")
+        cnts = values[offs].astype(np.int64)
+        max_list = int(cnts.max()) if V else 0
+        if max_list > 0x7FFE:
+            raise NotImplementedError("value list too long for i16 table")
+
+        # membership table: mem[row, tid] = position-in-list + 1
+        total = int(cnts.sum())
+        rows_flat = np.repeat(np.arange(V, dtype=np.int64), cnts)
+        pos_flat = (np.arange(total, dtype=np.int64)
+                    - np.repeat(np.cumsum(cnts) - cnts, cnts))
+        tid_flat = values[np.repeat(offs, cnts) + 1 + pos_flat]
+        mem = np.zeros((V, t_pad), dtype=np.int16)
+        mem[rows_flat, tid_flat] = (pos_flat + 1).astype(np.int16)
+
+        if idx.mega:
+            remap = np.full(idx.size, -1, dtype=np.int32)
+            live = idx.exist != idx.null_index
+            remap[live] = np.searchsorted(offs, idx.exist[live]
+                                          ).astype(np.int32)
+            return cls(kmersize=idx.kmersize, mlen=idx.mlen, flag=idx.flag,
+                       db_size=idx.db_size, t_pad=t_pad, n_lists=V,
+                       mega=True, size=idx.size, max_probe=1,
+                       max_list=max_list,
+                       exist=jnp.asarray(remap),
+                       kv=jnp.zeros((1, 2), jnp.int32),
+                       mem=jnp.asarray(mem), cnt=jnp.asarray(
+                           cnts.astype(np.int32)),
+                       list_voff=offs)
+
+        keys = idx.key_index[: idx.n].astype(np.uint32)
+        rows = np.searchsorted(offs, idx.value_index[: idx.n].astype(np.int64)
+                               ).astype(np.int64)
+        ck = _cuckoo_build(keys, rows, int(idx.n))
+        if ck is None:  # pragma: no cover - cuckoo failure is rare
+            raise NotImplementedError("cuckoo build failed for dense index")
+        kv, tsize = ck
+        return cls(kmersize=idx.kmersize, mlen=idx.mlen, flag=idx.flag,
+                   db_size=idx.db_size, t_pad=t_pad, n_lists=V,
+                   mega=False, size=tsize, max_probe=0, max_list=max_list,
+                   exist=jnp.zeros(1, jnp.int32),
+                   kv=jnp.asarray(kv),
+                   mem=jnp.asarray(mem),
+                   cnt=jnp.asarray(cnts.astype(np.int32)),
+                   list_voff=offs)
+
+
+def _lookup_rows(didx_arrays, kmers, *, mega, size, max_probe):
+    """list id per k-mer window, or -1 (hashMap_getGlobal semantics)."""
+    exist, kv = didx_arrays
+    if mega:
+        row = exist[(kmers & jnp.uint32(size - 1)).astype(jnp.int32)]
+        return row
+    # cuckoo: two gathers
+    mask = jnp.uint32(size - 1)
+    km = kmers.astype(jnp.int32)
+    b1 = (murmur32(kmers) & mask).astype(jnp.int32)
+    b2 = (murmur32(kmers, MURMUR_SEED2) & mask).astype(jnp.int32) \
+        + jnp.int32(size)
+    e1 = kv[b1]
+    e2 = kv[b2]
+    return jnp.where((e1[..., 0] == km) & (e1[..., 1] >= 0), e1[..., 1],
+                     jnp.where((e2[..., 0] == km) & (e2[..., 1] >= 0),
+                               e2[..., 1], jnp.int32(-1)))
+
+
+def _dense_strand_scan(codes, lengths, didx_arrays, mem, cnt, p: ScanParams,
+                       rc_branch, *, mega, size, max_probe, t_pad, n_lists,
+                       proxi_frac=None):
+    """Both-strands-fused dense save_kmers scan.
+
+    codes [G, L] (G = 2B: fw rows then rc rows), rc_branch [G] bool.
+    Returns (bestScore [G] i32, tids [G, best_cap] i32 front-packed in
+    first-seen order, n_best [G], overflow [G]).
+    """
+    G, L = codes.shape
+    k = p.k
+    W = L - k + 1
+    R = p.run_cap
+    kmers = batch_kmers(codes, k)
+    valid = valid_windows(codes, lengths, k)
+
+    rows = _lookup_rows(didx_arrays, kmers, mega=mega, size=size,
+                        max_probe=max_probe)
+    rows = jnp.where(valid, rows, -1)
+    hit = rows >= 0
+
+    if not p.exhaustive:
+        seg_start = _segment_starts(codes)[:, :W]
+        probe = valid & (((jnp.arange(W)[None, :] - seg_start) % k) == 0)
+        quick = jnp.any(probe & hit, axis=-1)
+        hit = hit & quick[:, None]
+        rows = jnp.where(hit, rows, -1)
+
+    posW = jnp.arange(W)[None, :]
+    hit_pos = jnp.where(hit, posW, -1)
+    last_hit_le = jax.lax.cummax(hit_pos, axis=1)
+    prev_hit = jnp.concatenate(
+        [jnp.full((G, 1), -1, last_hit_le.dtype), last_hit_le[:, :-1]],
+        axis=-1)
+    has_prev = prev_hit >= 0
+    rows_prev = jnp.take_along_axis(rows, jnp.where(has_prev, prev_hit, 0),
+                                    axis=-1)
+    same_run = hit & has_prev & (rows_prev == rows)
+    new_run = hit & ~same_run
+    gap = posW - prev_hit - 1
+    trans = jnp.where(same_run, _run_transition_score(gap, p), 0
+                      ).astype(jnp.int32)
+    cum_trans = jnp.cumsum(trans, axis=-1)
+
+    # compact runs: sort run-start positions forward (BIG-padded)
+    n_runs = jnp.sum(new_run, axis=-1)
+    overflow = n_runs > R
+    order = jnp.argsort(jnp.where(new_run, posW, BIG), axis=-1)[:, :R]
+    run_start = jnp.take_along_axis(jnp.where(new_run, posW, BIG), order,
+                                    axis=-1)
+    run_valid = run_start < BIG
+    rs_safe = jnp.where(run_valid, run_start, 0)
+    run_row = jnp.take_along_axis(rows, rs_safe, axis=-1)
+    run_row = jnp.where(run_valid, run_row, 0)
+    nxt = jnp.concatenate(
+        [run_start[:, 1:], jnp.full((G, 1), BIG, run_start.dtype)], axis=-1)
+    nxt = jnp.where(nxt < BIG, nxt, W)
+    run_end = jnp.take_along_axis(last_hit_le, nxt - 1, axis=-1)
+    ct_pad = jnp.concatenate([jnp.zeros((G, 1), jnp.int32), cum_trans],
+                             axis=-1)
+    run_score = (jnp.take_along_axis(ct_pad, nxt, axis=-1)
+                 - jnp.take_along_axis(ct_pad, rs_safe, axis=-1))
+
+    # dense per-template state loop over run slots (savekmers.c flushes)
+    seen_stride = jnp.int32(p.max_list + 1)
+    kM = jnp.int32(k * p.M)
+    rc_col = rc_branch[:, None]
+
+    def body(r, state):
+        score, ext, inc, seen = state
+        act = run_valid[:, r]
+        mem_r = mem[run_row[:, r]]              # [G, t_pad] i16 row gather
+        ism = act[:, None] & (mem_r > 0)
+        g = (run_start[:, r, None] - 1) - ext
+        add = jnp.where(inc, _reconnect_score(g, p, rc_col), kM)
+        contrib = run_score[:, r, None] + add
+        score = jnp.where(ism, score + contrib, score)
+        seen = jnp.where(ism & ~inc,
+                         jnp.int32(r) * seen_stride
+                         + (mem_r.astype(jnp.int32) - 1), seen)
+        ext = jnp.where(ism, run_end[:, r, None], ext)
+        inc = inc | ism
+        return score, ext, inc, seen
+
+    init = (jnp.zeros((G, t_pad), jnp.int32),
+            jnp.zeros((G, t_pad), jnp.int32),
+            jnp.zeros((G, t_pad), jnp.bool_),
+            jnp.full((G, t_pad), BIG, jnp.int32))
+    # loop only to the batch's actual max run count (traced bound)
+    r_max = jnp.minimum(jnp.max(n_runs), R).astype(jnp.int32)
+    score, ext, inc, seen = jax.lax.fori_loop(0, r_max, body, init)
+
+    score = jnp.where(inc, jnp.maximum(score, 0), 0)  # savekmers.c:2750-2752
+    bestScore = jnp.max(score, axis=-1)
+
+    if proxi_frac is None:
+        sel = inc & (score == bestScore[:, None]) & (bestScore[:, None] > 0)
+    else:
+        thresh = (proxi_frac * bestScore.astype(jnp.float32)
+                  ).astype(jnp.int32)  # C double->int truncation
+        sel = inc & (score >= thresh[:, None]) & (bestScore[:, None] > 0)
+    n_best = jnp.sum(sel, axis=-1)
+    MB = p.best_cap
+    overflow = overflow | (n_best > MB)
+    negkey = jnp.where(sel, -seen, -BIG)
+    topv, tids = jax.lax.top_k(negkey, MB)      # seen ascending
+    tids = jnp.where(topv > -BIG, tids, 0).astype(jnp.int32)
+    return bestScore, tids, n_best, overflow, score
+
+
+def _emit_pack(bestScore, tids, n_best, overflow, B, k, flat_cap,
+               small_ids):
+    """fw/rc merge decision + compact packing (savekmers.c:2766-2833;
+    the SaveKmersScanner.scan() merge).
+
+    Returns meta [B, 2] i32 (col0 = signed rc_flag score; col1 =
+    mode | overflow<<2 | n_out<<3) and flat [flat_cap] signed template ids
+    (mode 3 appends rc ids negated)."""
+    bf, br = bestScore[:B], bestScore[B:]
+    tf, tr = tids[:B], tids[B:]
+    nf, nr = n_best[:B], n_best[B:]
+    ov = overflow[:B] | overflow[B:]
+    MB = tf.shape[1]
+
+    some = (bf > 0) | (br > 0)
+    usable = (bf >= k) | (br >= k)
+    mode = jnp.where(some & usable,
+                     jnp.where(bf > br, 1,
+                               jnp.where(bf < br, 2, 3)), 0)
+    score = jnp.where(mode == 2, br, bf)
+    score = jnp.where(mode == 3, -score, score) * (mode != 0)
+
+    first = jnp.where((mode == 2)[:, None], tr, tf)
+    n1 = jnp.where(mode == 2, nr, jnp.where(mode == 0, 0, nf))
+    n2 = jnp.where(mode == 3, nr, 0)
+    n_out = jnp.where(ov, 0, n1 + n2)
+
+    j = jnp.arange(2 * MB)[None, :]
+    from_second = j >= n1[:, None]
+    idx2 = jnp.clip(j - n1[:, None], 0, MB - 1)
+    row = jnp.where(from_second,
+                    -jnp.take_along_axis(tr, idx2, axis=-1),
+                    jnp.take_along_axis(first, jnp.minimum(j, MB - 1),
+                                        axis=-1))
+    rvalid = j < n_out[:, None]
+
+    off = jnp.cumsum(n_out) - n_out
+    flat_idx = jnp.where(rvalid, off[:, None] + j, flat_cap)
+    dt = jnp.int16 if small_ids else jnp.int32
+    flat = jnp.zeros(flat_cap, dt).at[flat_idx.reshape(-1)].set(
+        row.astype(dt).reshape(-1), mode="drop")
+    meta = jnp.stack(
+        [score.astype(jnp.int32),
+         (mode | (ov.astype(jnp.int32) << 2) | (n_out << 3))], axis=-1)
+    return meta, flat
+
+
+@partial(jax.jit,
+         static_argnames=("sparams", "B", "flat_cap", "small_ids", "mega",
+                          "size", "max_probe", "t_pad", "n_lists",
+                          "proxi_frac"))
+def dense_scan_device(codes, lengths, exist, kv, mem, cnt, *, sparams,
+                      B, flat_cap, small_ids, mega, size, max_probe,
+                      t_pad, n_lists, proxi_frac=None):
+    p = ScanParams(*sparams)
+    G = codes.shape[0]
+    both = jnp.concatenate([codes, rc_batch(codes, lengths)], axis=0)
+    lens2 = jnp.concatenate([lengths, lengths], axis=0)
+    rc_rowsg = jnp.arange(2 * G) >= G
+    bestScore, tids, n_best, overflow, _ = _dense_strand_scan(
+        both, lens2, (exist, kv), mem, cnt, p, rc_rowsg,
+        mega=mega, size=size, max_probe=max_probe, t_pad=t_pad,
+        n_lists=n_lists, proxi_frac=proxi_frac)
+    return _emit_pack(bestScore, tids, n_best, overflow, G, p.k,
+                      flat_cap, small_ids)
+
+
+@partial(jax.jit, static_argnames=("n", "L"))
+def unpack_2bit(packed, n_flat, n_cnt, *, n, L):
+    """[B, ceil(L/16)] u32 2-bit words -> [B, L] u8 codes, then restore N
+    (code 4) at the n_flat[i] = read*L + pos flat positions (i < n_cnt)."""
+    B = packed.shape[0]
+    pos = jnp.arange(L)
+    word = packed[:, pos // 16]
+    codes = ((word >> (2 * (pos % 16)).astype(jnp.uint32)) & 3
+             ).astype(jnp.uint8)
+    ok = jnp.arange(n) < n_cnt
+    tgt = jnp.where(ok, n_flat, B * L)
+    return codes.reshape(-1).at[tgt].set(jnp.uint8(4),
+                                         mode="drop").reshape(B, L)
+
+
+def pack_2bit_host(codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side 2-bit packing for the ~30 MB/s H2D link: [B, L] u8 ->
+    ([B, ceil(L/16)] u32, flat N positions i32)."""
+    B, L = codes.shape
+    Lp = _round_up(L, 16)
+    c = np.zeros((B, Lp), np.uint32)
+    c[:, :L] = codes & 3
+    c = c.reshape(B, Lp // 16, 16)
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
+    packed = (c << shifts).sum(axis=-1, dtype=np.uint32)
+    n_flat = np.flatnonzero(codes == 4).astype(np.int32)
+    return packed, n_flat
+
+
+class DenseScanner:
+    """Production -1t1 scanner: dense device kernel with host fallback.
+
+    scan_reads() takes the whole read set, returns per-read
+    (rc_flag_score, mode, templates) with overflow reads marked for the
+    host scanner.  All batches are dispatched before the first device
+    sync so transfers overlap compute.
+    """
+
+    TIERS = ((24, 64), (192, 2048))   # (run_cap, best_cap) per tier
+
+    def __init__(self, idx: KmaIndex, rewards, exhaustive: bool = False,
+                 proxi_frac: Optional[float] = None, batch: int = 4096):
+        self.didx = DenseIndex.from_host(idx)
+        self.rewards = rewards
+        self.exhaustive = exhaustive
+        self.proxi_frac = proxi_frac
+        self.batch = batch
+        self.small_ids = self.didx.db_size < (1 << 15)
+        d = self.didx
+        self.params = [
+            tuple(dataclasses.astuple(ScanParams(
+                k=d.kmersize, mlen=d.mlen, M=rewards.M, MM=rewards.MM,
+                U=rewards.U, W1=rewards.W1, max_list=d.max_list,
+                exhaustive=exhaustive, max_probe=d.max_probe,
+                run_cap=rc_, pair_cap=0, best_cap=bc_,
+                small_ids=self.small_ids)))
+            for rc_, bc_ in self.TIERS]
+
+    def _call(self, codes_j, lens_j, tier: int, flat_cap: int):
+        d = self.didx
+        return dense_scan_device(
+            codes_j, lens_j, d.exist, d.kv, d.mem, d.cnt,
+            sparams=self.params[tier], B=codes_j.shape[0],
+            flat_cap=flat_cap, small_ids=self.small_ids, mega=d.mega,
+            size=d.size, max_probe=d.max_probe, t_pad=d.t_pad,
+            n_lists=d.n_lists, proxi_frac=self.proxi_frac)
+
+    def scan_reads(self, codes: np.ndarray, lengths: np.ndarray):
+        """Returns (scores i32 [N], modes u8 [N], tid_lists: list of
+        int32 arrays, overflow bool [N]).  mode 0=unmapped 1=fw 2=rc
+        3=merged (tids = fw ++ -rc)."""
+        N = codes.shape[0]
+        Bt = self.batch
+        flat_cap = 8 * Bt
+        futs = []
+        for off in range(0, N, Bt):
+            cj = codes[off: off + Bt]
+            lj = lengths[off: off + Bt]
+            if len(cj) < Bt:
+                cj = np.vstack([cj, np.zeros((Bt - len(cj), codes.shape[1]),
+                                             codes.dtype)])
+                lj = np.concatenate([lj, np.zeros(Bt - len(lj),
+                                                  lengths.dtype)])
+            packed, n_flat = pack_2bit_host(cj)
+            n_cap = _round_up(max(len(n_flat), 1), 128)
+            nf = np.full(n_cap, -1, np.int32)
+            nf[: len(n_flat)] = n_flat
+            cj_dev = unpack_2bit(jnp.asarray(packed), jnp.asarray(nf),
+                                 jnp.asarray(np.int32(len(n_flat))),
+                                 n=n_cap, L=codes.shape[1])
+            futs.append(self._call(cj_dev, jnp.asarray(lj), 0, flat_cap))
+        outs = jax.device_get(futs)
+
+        scores = np.zeros(N, np.int32)
+        modes = np.zeros(N, np.uint8)
+        over = np.zeros(N, bool)
+        tid_lists: list = [None] * N
+        retry = []
+        for bi, (meta, flat) in enumerate(outs):
+            off = bi * Bt
+            n = min(Bt, N - off)
+            meta = np.asarray(meta)[:n]
+            flat = np.asarray(flat, dtype=np.int32)
+            score, packedm = meta[:, 0], meta[:, 1]
+            mode = packedm & 3
+            ov = (packedm >> 2) & 1
+            n_out = packedm >> 3
+            offs = np.cumsum(n_out) - n_out
+            if n_out.sum() > flat_cap:
+                retry.extend(range(off, off + n))
+                continue
+            scores[off: off + n] = score
+            modes[off: off + n] = mode
+            over[off: off + n] = ov.astype(bool)
+            for i in range(n):
+                if mode[i] and not ov[i]:
+                    tid_lists[off + i] = flat[offs[i]: offs[i] + n_out[i]]
+        retry.extend(np.flatnonzero(over))
+        if retry:
+            retry = np.unique(np.asarray(retry, dtype=np.int64))
+            self._rescan_wide(codes, lengths, retry, scores, modes,
+                              tid_lists, over)
+        return scores, modes, tid_lists, over
+
+    def _rescan_wide(self, codes, lengths, sel, scores, modes, tid_lists,
+                     over):
+        """Tier-2 pass over the overflow tail on compacted sub-batches."""
+        rows = 512
+        flat_cap = 64 * rows
+        for off in range(0, len(sel), rows):
+            s = sel[off: off + rows]
+            sub_c = np.zeros((rows, codes.shape[1]), codes.dtype)
+            sub_l = np.zeros(rows, lengths.dtype)
+            sub_c[: len(s)] = codes[s]
+            sub_l[: len(s)] = lengths[s]
+            meta, flat = jax.device_get(
+                self._call(jnp.asarray(sub_c), jnp.asarray(sub_l), 1,
+                           flat_cap))
+            meta = np.asarray(meta)[: len(s)]
+            flat = np.asarray(flat, dtype=np.int32)
+            score, packedm = meta[:, 0], meta[:, 1]
+            mode = packedm & 3
+            ov = ((packedm >> 2) & 1).astype(bool)
+            n_out = packedm >> 3
+            offs = np.cumsum(n_out) - n_out
+            scores[s] = score
+            modes[s] = mode
+            over[s] = ov
+            for i, ri in enumerate(s):
+                tid_lists[ri] = (flat[offs[i]: offs[i] + n_out[i]]
+                                 if mode[i] and not ov[i] else None)

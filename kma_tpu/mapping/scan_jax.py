@@ -111,7 +111,10 @@ def rc_batch(codes: jax.Array, lengths: jax.Array) -> jax.Array:
     idx = lengths[:, None] - 1 - jnp.arange(L)[None, :]
     ok = idx >= 0
     gathered = jnp.take_along_axis(codes, jnp.where(ok, idx, 0), axis=-1)
-    return jnp.where(ok, COMP_TABLE[gathered], jnp.uint8(4))
+    # arithmetic complement (0<->3, 1<->2, >=4 unchanged): a gather from a
+    # constant table lowers to a catastrophically slow path on TPU
+    comp = jnp.where(gathered < 4, jnp.uint8(3) - gathered, gathered)
+    return jnp.where(ok, comp, jnp.uint8(4))
 
 
 def _segment_starts(codes: jax.Array) -> jax.Array:
