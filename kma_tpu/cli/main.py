@@ -133,6 +133,13 @@ def map_main(argv: List[str]) -> int:
             splt_db = True
         elif a == "-1t1":
             cfg.one2one = True
+        elif a == "-device":
+            # kma_tpu extension: auto|on|off TPU step-2 scanner
+            i += 1
+            if argv[i] not in ("auto", "on", "off"):
+                print("# -device takes auto, on or off", file=sys.stderr)
+                return 1
+            cfg.device = argv[i]
         elif a == "-ck":
             cfg.ck = True
         elif a == "-ex_mode":

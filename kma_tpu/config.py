@@ -122,5 +122,9 @@ class MapConfig:
     # resources
     threads: int = 1
     verbose: int = 0
+    # TPU device mapping path: "auto" uses the device scanner whenever a
+    # non-CPU jax backend is present and the mode is device-eligible;
+    # "on" forces it (tests use this on the CPU backend), "off" disables.
+    device: str = "auto"
 
     penalties: Penalties = dataclasses.field(default_factory=Penalties)

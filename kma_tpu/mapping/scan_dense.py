@@ -79,6 +79,7 @@ class DenseIndex:
     exist: jax.Array            # mega: [size] i32 list id or -1
     kv: jax.Array               # cuckoo/open: [slots, 2] (key, list id|-1)
     mem: jax.Array              # [n_lists, t_pad] i16 pos+1
+    bits: jax.Array             # [n_lists, t_pad//32] u32 membership bits
     cnt: jax.Array              # [n_lists] i32 list length
     list_voff: np.ndarray       # host: list id -> values offset
 
@@ -111,6 +112,12 @@ class DenseIndex:
         tid_flat = values[np.repeat(offs, cnts) + 1 + pos_flat]
         mem = np.zeros((V, t_pad), dtype=np.int16)
         mem[rows_flat, tid_flat] = (pos_flat + 1).astype(np.int16)
+        # bit-packed membership: the run loop gathers these [t_pad/32]-word
+        # rows (32x less traffic than the i16 table, which is kept for the
+        # tie-order position gather in the epilogue)
+        bits = np.zeros((V, t_pad // 32), dtype=np.uint32)
+        np.bitwise_or.at(bits, (rows_flat, tid_flat // 32),
+                         (np.uint32(1) << (tid_flat % 32).astype(np.uint32)))
 
         if idx.mega:
             remap = np.full(idx.size, -1, dtype=np.int32)
@@ -123,8 +130,8 @@ class DenseIndex:
                        max_list=max_list,
                        exist=jnp.asarray(remap),
                        kv=jnp.zeros((1, 2), jnp.int32),
-                       mem=jnp.asarray(mem), cnt=jnp.asarray(
-                           cnts.astype(np.int32)),
+                       mem=jnp.asarray(mem), bits=jnp.asarray(bits),
+                       cnt=jnp.asarray(cnts.astype(np.int32)),
                        list_voff=offs)
 
         keys = idx.key_index[: idx.n].astype(np.uint32)
@@ -139,7 +146,7 @@ class DenseIndex:
                    mega=False, size=tsize, max_probe=0, max_list=max_list,
                    exist=jnp.zeros(1, jnp.int32),
                    kv=jnp.asarray(kv),
-                   mem=jnp.asarray(mem),
+                   mem=jnp.asarray(mem), bits=jnp.asarray(bits),
                    cnt=jnp.asarray(cnts.astype(np.int32)),
                    list_voff=offs)
 
@@ -163,9 +170,9 @@ def _lookup_rows(didx_arrays, kmers, *, mega, size, max_probe):
                                e2[..., 1], jnp.int32(-1)))
 
 
-def _dense_strand_scan(codes, lengths, didx_arrays, mem, cnt, p: ScanParams,
-                       rc_branch, *, mega, size, max_probe, t_pad, n_lists,
-                       proxi_frac=None):
+def _dense_strand_scan(codes, lengths, didx_arrays, mem, bits, cnt,
+                       p: ScanParams, rc_branch, *, mega, size, max_probe,
+                       t_pad, n_lists, proxi_frac=None):
     """Both-strands-fused dense save_kmers scan.
 
     codes [G, L] (G = 2B: fw rows then rc rows), rc_branch [G] bool.
@@ -226,35 +233,46 @@ def _dense_strand_scan(codes, lengths, didx_arrays, mem, cnt, p: ScanParams,
     run_score = (jnp.take_along_axis(ct_pad, nxt, axis=-1)
                  - jnp.take_along_axis(ct_pad, rs_safe, axis=-1))
 
-    # dense per-template state loop over run slots (savekmers.c flushes)
-    seen_stride = jnp.int32(p.max_list + 1)
+    # dense per-template state loop over run slots (savekmers.c flushes).
+    # CHUNK slots share one state round-trip (the state arrays dominate
+    # HBM traffic); membership comes from bit-packed [t_pad/32]-word rows
+    # (32x less gather volume than the i16 position table).  The append
+    # ORDER within a run (position-in-list) is recovered in the epilogue
+    # with a tiny [G, best_cap] gather from the i16 table.
     kM = jnp.int32(k * p.M)
     rc_col = rc_branch[:, None]
+    w32 = t_pad // 32
+    shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 32), 2)
+    CHUNK = 8
 
-    def body(r, state):
-        score, ext, inc, seen = state
-        act = run_valid[:, r]
-        mem_r = mem[run_row[:, r]]              # [G, t_pad] i16 row gather
-        ism = act[:, None] & (mem_r > 0)
-        g = (run_start[:, r, None] - 1) - ext
-        add = jnp.where(inc, _reconnect_score(g, p, rc_col), kM)
-        contrib = run_score[:, r, None] + add
-        score = jnp.where(ism, score + contrib, score)
-        seen = jnp.where(ism & ~inc,
-                         jnp.int32(r) * seen_stride
-                         + (mem_r.astype(jnp.int32) - 1), seen)
-        ext = jnp.where(ism, run_end[:, r, None], ext)
-        inc = inc | ism
-        return score, ext, inc, seen
+    def chunk_body(c, state):
+        score, ext, first = state
+        for j in range(CHUNK):
+            r = c * CHUNK + j
+            rr = jnp.minimum(r, R - 1)
+            act = run_valid[:, rr] & (r < R)
+            rows = bits[run_row[:, rr]]          # [G, w32] u32 row gather
+            memb = ((rows[:, :, None] >> shifts) & jnp.uint32(1)
+                    ).reshape(G, t_pad)
+            inc = first < BIG
+            ism = act[:, None] & (memb != 0)
+            g = (run_start[:, rr, None] - 1) - ext
+            add = jnp.where(inc, _reconnect_score(g, p, rc_col), kM)
+            contrib = run_score[:, rr, None] + add
+            score = jnp.where(ism, score + contrib, score)
+            first = jnp.where(ism & ~inc, r, first)
+            ext = jnp.where(ism, run_end[:, rr, None], ext)
+        return score, ext, first
 
     init = (jnp.zeros((G, t_pad), jnp.int32),
             jnp.zeros((G, t_pad), jnp.int32),
-            jnp.zeros((G, t_pad), jnp.bool_),
             jnp.full((G, t_pad), BIG, jnp.int32))
     # loop only to the batch's actual max run count (traced bound)
     r_max = jnp.minimum(jnp.max(n_runs), R).astype(jnp.int32)
-    score, ext, inc, seen = jax.lax.fori_loop(0, r_max, body, init)
+    n_chunks = (r_max + CHUNK - 1) // CHUNK
+    score, ext, first = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
 
+    inc = first < BIG
     score = jnp.where(inc, jnp.maximum(score, 0), 0)  # savekmers.c:2750-2752
     bestScore = jnp.max(score, axis=-1)
 
@@ -267,9 +285,24 @@ def _dense_strand_scan(codes, lengths, didx_arrays, mem, cnt, p: ScanParams,
     n_best = jnp.sum(sel, axis=-1)
     MB = p.best_cap
     overflow = overflow | (n_best > MB)
-    negkey = jnp.where(sel, -seen, -BIG)
-    topv, tids = jax.lax.top_k(negkey, MB)      # seen ascending
-    tids = jnp.where(topv > -BIG, tids, 0).astype(jnp.int32)
+    # select candidates by first-including-run; order within a run (the
+    # reference appends in value-list order) is restored by gathering the
+    # position-in-list for just the <= MB candidates
+    negkey = jnp.where(sel, -first, -BIG)
+    topv, tids = jax.lax.top_k(negkey, MB)      # first-run ascending
+    cand_ok = topv > -BIG
+    cand_first = jnp.where(cand_ok, -topv, 0)
+    cand_row = jnp.take_along_axis(run_row, cand_first, axis=-1)
+    pos = jnp.take(mem.reshape(-1),
+                   cand_row * jnp.int32(t_pad) + tids)  # [G, MB] i16
+    seen_stride = jnp.int32(p.max_list + 1)
+    key = jnp.where(cand_ok,
+                    cand_first * seen_stride + pos.astype(jnp.int32) - 1,
+                    BIG)
+    order2 = jnp.argsort(key, axis=-1)
+    tids = jnp.take_along_axis(tids, order2, axis=-1)
+    tids = jnp.where(jnp.take_along_axis(cand_ok, order2, axis=-1),
+                     tids, 0).astype(jnp.int32)
     return bestScore, tids, n_best, overflow, score
 
 
@@ -324,7 +357,7 @@ def _emit_pack(bestScore, tids, n_best, overflow, B, k, flat_cap,
          static_argnames=("sparams", "B", "flat_cap", "small_ids", "mega",
                           "size", "max_probe", "t_pad", "n_lists",
                           "proxi_frac"))
-def dense_scan_device(codes, lengths, exist, kv, mem, cnt, *, sparams,
+def dense_scan_device(codes, lengths, exist, kv, mem, bits, cnt, *, sparams,
                       B, flat_cap, small_ids, mega, size, max_probe,
                       t_pad, n_lists, proxi_frac=None):
     p = ScanParams(*sparams)
@@ -333,40 +366,43 @@ def dense_scan_device(codes, lengths, exist, kv, mem, cnt, *, sparams,
     lens2 = jnp.concatenate([lengths, lengths], axis=0)
     rc_rowsg = jnp.arange(2 * G) >= G
     bestScore, tids, n_best, overflow, _ = _dense_strand_scan(
-        both, lens2, (exist, kv), mem, cnt, p, rc_rowsg,
+        both, lens2, (exist, kv), mem, bits, cnt, p, rc_rowsg,
         mega=mega, size=size, max_probe=max_probe, t_pad=t_pad,
         n_lists=n_lists, proxi_frac=proxi_frac)
     return _emit_pack(bestScore, tids, n_best, overflow, G, p.k,
                       flat_cap, small_ids)
 
 
-@partial(jax.jit, static_argnames=("n", "L"))
-def unpack_2bit(packed, n_flat, n_cnt, *, n, L):
-    """[B, ceil(L/16)] u32 2-bit words -> [B, L] u8 codes, then restore N
-    (code 4) at the n_flat[i] = read*L + pos flat positions (i < n_cnt)."""
-    B = packed.shape[0]
+@partial(jax.jit, static_argnames=("L",))
+def unpack_2bit(packed, n_mask, *, L):
+    """[B, ceil(L/16)] u32 2-bit words + [B, ceil(L/32)] u32 N bitmask ->
+    [B, L] u8 codes (N restored as code 4).  Fixed shapes per (B, L) so
+    the per-batch N count never triggers a recompile."""
     pos = jnp.arange(L)
     word = packed[:, pos // 16]
     codes = ((word >> (2 * (pos % 16)).astype(jnp.uint32)) & 3
              ).astype(jnp.uint8)
-    ok = jnp.arange(n) < n_cnt
-    tgt = jnp.where(ok, n_flat, B * L)
-    return codes.reshape(-1).at[tgt].set(jnp.uint8(4),
-                                         mode="drop").reshape(B, L)
+    nw = n_mask[:, pos // 32]
+    is_n = ((nw >> (pos % 32).astype(jnp.uint32)) & 1) != 0
+    return jnp.where(is_n, jnp.uint8(4), codes)
 
 
 def pack_2bit_host(codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side 2-bit packing for the ~30 MB/s H2D link: [B, L] u8 ->
-    ([B, ceil(L/16)] u32, flat N positions i32)."""
+    ([B, ceil(L/16)] u32 base words, [B, ceil(L/32)] u32 N bitmask)."""
     B, L = codes.shape
-    Lp = _round_up(L, 16)
+    Lp = _round_up(L, 32)
     c = np.zeros((B, Lp), np.uint32)
     c[:, :L] = codes & 3
     c = c.reshape(B, Lp // 16, 16)
     shifts = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
     packed = (c << shifts).sum(axis=-1, dtype=np.uint32)
-    n_flat = np.flatnonzero(codes == 4).astype(np.int32)
-    return packed, n_flat
+    nm = np.zeros((B, Lp), np.uint32)
+    nm[:, :L] = codes >= 4
+    nm = nm.reshape(B, Lp // 32, 32)
+    nshifts = np.arange(32, dtype=np.uint32)[None, None, :]
+    n_mask = (nm << nshifts).sum(axis=-1, dtype=np.uint32)
+    return packed, n_mask
 
 
 class DenseScanner:
@@ -401,7 +437,7 @@ class DenseScanner:
     def _call(self, codes_j, lens_j, tier: int, flat_cap: int):
         d = self.didx
         return dense_scan_device(
-            codes_j, lens_j, d.exist, d.kv, d.mem, d.cnt,
+            codes_j, lens_j, d.exist, d.kv, d.mem, d.bits, d.cnt,
             sparams=self.params[tier], B=codes_j.shape[0],
             flat_cap=flat_cap, small_ids=self.small_ids, mega=d.mega,
             size=d.size, max_probe=d.max_probe, t_pad=d.t_pad,
@@ -423,13 +459,9 @@ class DenseScanner:
                                              codes.dtype)])
                 lj = np.concatenate([lj, np.zeros(Bt - len(lj),
                                                   lengths.dtype)])
-            packed, n_flat = pack_2bit_host(cj)
-            n_cap = _round_up(max(len(n_flat), 1), 128)
-            nf = np.full(n_cap, -1, np.int32)
-            nf[: len(n_flat)] = n_flat
-            cj_dev = unpack_2bit(jnp.asarray(packed), jnp.asarray(nf),
-                                 jnp.asarray(np.int32(len(n_flat))),
-                                 n=n_cap, L=codes.shape[1])
+            packed, n_mask = pack_2bit_host(cj)
+            cj_dev = unpack_2bit(jnp.asarray(packed), jnp.asarray(n_mask),
+                                 L=codes.shape[1])
             futs.append(self._call(cj_dev, jnp.asarray(lj), 0, flat_cap))
         outs = jax.device_get(futs)
 

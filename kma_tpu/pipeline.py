@@ -954,6 +954,22 @@ def aln_frags_force_pe(store: TemplateStore, matched: np.ndarray,
                              uniq_alignment_scores)]
 
 
+def _device_enabled(cfg: MapConfig) -> bool:
+    """Whether the TPU step-2 scanner should be used (MapConfig.device).
+
+    "auto" turns the device path on only when jax has a real accelerator
+    backend; the CPU backend keeps the host scanner (tests force "on")."""
+    if cfg.device == "off":
+        return False
+    if cfg.device == "on":
+        return True
+    try:
+        import jax
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             cfg: MapConfig, exe_cmd: str = "kma_tpu",
             pe_files: Optional[List[str]] = None,
@@ -1176,15 +1192,40 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         from .utils.qc import QCStat
         qc = QCStat(cfg.qc_report - 1)
 
+    # Device (TPU) step-2 path: the plain -1t1 SE scan batches through the
+    # dense device scanner (mapping/scan_dense.py); every other mode keeps
+    # the host scanner.  Parity is enforced by tests/test_dense_scan.py and
+    # the device e2e test.
+    device_stream = None
+    if (cfg.one2one and not sparse_db and not cfg.ck
+            and not (scan_proxi and scan_proxi.soft is not None)
+            and _device_enabled(cfg)):
+        try:
+            from .mapping.scan_stream import DeviceScanStream
+            device_stream = DeviceScanStream(
+                idx, pen, exhaustive=cfg.exhaustive,
+                proxi_frac=scan_proxi.min_frac if scan_proxi else None,
+                host=scanner)
+        except NotImplementedError:
+            device_stream = None
+
     if input_files and input_files != ["--"] or not (pe_files or int_files):
-        for read in iter_reads(input_files, min_phred=cfg.min_phred,
-                               hardmask_q=cfg.hardmask_q, min_q=cfg.min_q,
-                               min_len=cfg.min_len, max_len=cfg.max_len,
-                               qc=qc):
-            n_frags += 1
-            for hit in scan_one(read):
-                handle_se_anker(hit.codes, hit.n_positions, hit.rc_flag,
-                                hit.templates, hit.header, hit.flag)
+        reads_it = iter_reads(input_files, min_phred=cfg.min_phred,
+                              hardmask_q=cfg.hardmask_q, min_q=cfg.min_q,
+                              min_len=cfg.min_len, max_len=cfg.max_len,
+                              qc=qc)
+        if device_stream is not None:
+            for read, hit in device_stream.stream(reads_it):
+                n_frags += 1
+                if hit is not None:
+                    handle_se_anker(hit.codes, hit.n_positions, hit.rc_flag,
+                                    hit.templates, hit.header, hit.flag)
+        else:
+            for read in reads_it:
+                n_frags += 1
+                for hit in scan_one(read):
+                    handle_se_anker(hit.codes, hit.n_positions, hit.rc_flag,
+                                    hit.templates, hit.header, hit.flag)
 
     def _pair_stream():
         from .io.pipeline import iter_read_pairs

@@ -1,0 +1,37 @@
+"""Device (TPU-path) e2e parity: full -1t1 mapping run through the
+batched dense device scanner (`-device on`) must be byte-identical to the
+reference binary -- same bar as the host path (test_e2e.py).
+
+On the CPU test backend `-device on` forces the jax scanner; on real TPU
+hardware the same code path is what bench.py measures.
+"""
+
+import gzip
+import subprocess
+
+import pytest
+
+pytest.importorskip("jax")
+
+from kma_tpu.cli.main import main as kma_main
+
+from test_e2e import db50_index, sim_reads  # noqa: F401 (fixtures)
+
+
+def test_device_1t1_parity(tmp_path, sim_reads, db50_index, ref_bin):  # noqa: F811
+    ref_out = tmp_path / "ref"
+    my_out = tmp_path / "my"
+    r = subprocess.run([str(ref_bin), "-i", str(sim_reads), "-o",
+                        str(ref_out), "-t_db", db50_index, "-1t1"],
+                       capture_output=True)
+    assert r.returncode == 0
+    rc = kma_main(["-i", str(sim_reads), "-o", str(my_out), "-t_db",
+                   db50_index, "-1t1", "-device", "on"])
+    assert rc == 0
+    for ext in (".res", ".fsa", ".aln"):
+        a = (ref_out.parent / (ref_out.name + ext)).read_bytes()
+        b = (my_out.parent / (my_out.name + ext)).read_bytes()
+        assert a == b, f"{ext} differs"
+    a = gzip.open(str(ref_out) + ".frag.gz").read()
+    b = gzip.open(str(my_out) + ".frag.gz").read()
+    assert a == b, ".frag.gz content differs"
