@@ -2,8 +2,10 @@
 
 Maps synthetic 100bp reads against the ResFinder database (the reference's
 own benchmark recipe, benchmarkCMDs/benchMarkCMDs.txt) with the -1t1
-scanner and measures reads/sec on the device, compared against the
-reference kma binary's single-thread `-s2` stage on this host's CPU.
+scanner and measures reads/sec through the PRODUCTION device scanner
+(mapping/scan_dense.DenseScanner -- the same object pipeline.py uses for
+`kma ... -1t1`), compared against the reference kma binary's
+single-thread `-s2` stage on this host's CPU.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -81,42 +83,45 @@ def main():
     from kma_tpu.config import Penalties
     from kma_tpu.index.format import load_index
     from kma_tpu.io.pipeline import iter_reads
-    from kma_tpu.mapping.device_index import DeviceIndex
-    from kma_tpu.mapping.scan_jax import DeviceScanner
-    import jax
+    from kma_tpu.mapping.scan_dense import DenseScanner
 
     idx = load_index(db_prefix)
     pen = Penalties()
     pen.score_matrix()
-    didx = DeviceIndex.from_host(idx)
-    dev = DeviceScanner(didx, pen)
+    dev = DenseScanner(idx, pen, batch=BATCH)
 
     rs = list(iter_reads([reads]))
     L = max(len(r.codes) for r in rs)
-    N = len(rs) // BATCH * BATCH
+    N = len(rs)
     codes = np.full((N, L), 4, dtype=np.uint8)
     lengths = np.zeros(N, np.int32)
     for i in range(N):
         codes[i, : len(rs[i].codes)] = rs[i].codes
         lengths[i] = len(rs[i].codes)
 
-    # warmup / compile all tier kernels
-    out = dev.scan(codes[:BATCH], lengths[:BATCH])
+    # warmup / compile both tier kernels (tier 1 via a tiny forced rescan)
+    dev.scan_reads(codes[:BATCH], lengths[:BATCH])
+    dummy = np.zeros(N, bool)
+    dev._rescan_wide(codes, lengths, np.array([0]), np.zeros(N, np.int32),
+                     np.zeros(N, np.uint8), [None] * N, dummy)
 
-    t0 = time.time()
-    out = dev.scan_many(codes, lengths, batch=BATCH)
-    residual = int(out[-1].sum())
-    dt = time.time() - t0
-    device_rps = N / dt
+    best = 0.0
+    residual = 0
+    for _ in range(3):
+        t0 = time.time()
+        scores, modes, tid_lists, over = dev.scan_reads(codes, lengths)
+        dt = time.time() - t0
+        best = max(best, N / dt)
+        residual = int(over.sum())
     if residual:
         print(f"# residual host-fallback reads: {residual}/{N}",
               file=sys.stderr)
 
     base = baseline_reads_per_sec(db_prefix, reads) if have_ref else None
-    vs = device_rps / base if base else 0.0
+    vs = best / base if base else 0.0
     print(json.dumps({
         "metric": "mapping_scan_reads_per_sec",
-        "value": round(device_rps, 1),
+        "value": round(best, 1),
         "unit": "reads/s/chip (100bp vs ResFinder, -1t1 step2)",
         "vs_baseline": round(vs, 4),
     }))

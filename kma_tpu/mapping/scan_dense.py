@@ -18,7 +18,7 @@ reference's per-template Score/extendScore/include arrays (savekmers.c:
    (first sight) or the reconnect score over the gap since their own last
    hit -- the reference's flush logic (savekmers.c:2573-2625), one run at
    a time, all templates in parallel.  Membership tests are row gathers
-   into a [n_lists, DB_size] position table (593 GB/s measured),
+   into a bit-packed [n_lists, DB_size/32] table,
 4. tie-lists are extracted with top_k over first-seen keys and packed --
    together with the fw/rc merge decision (savekmers.c:2766-2833) -- into
    a compact per-batch byte stream on device, because the host link (an
@@ -45,8 +45,8 @@ import numpy as np
 from ..index.format import KmaIndex
 from .device_index import (MURMUR_SEED2, _cuckoo_build, batch_kmers,
                            murmur32, murmur32_np, valid_windows)
-from .scan_jax import (_reconnect_score, _run_transition_score, _segment_starts,
-                       rc_batch, ScanParams)
+from .scan_jax import (_reconnect_score, _run_transition_score,
+                       _segment_starts, ScanParams)
 
 BIG = jnp.int32(0x3FFFFFFF)
 
@@ -59,11 +59,11 @@ def _round_up(x: int, m: int) -> int:
 class DenseIndex:
     """Device image of a frozen DB for the dense scanner.
 
-    The hash payload is the value-LIST id (dense row), not the values
-    offset: `mem[list_id]` is the per-template position-in-list + 1 (0 =
-    not a member), which serves membership, tie ordering (first-seen key =
-    run * (max_list+1) + pos, matching the reference's append order), and
-    the list length all at once.
+    The hash payload is the value-LIST id (dense row); `bits[list_id]`
+    is the bit-packed template membership of that list.  Tie ordering
+    needs no position table because the reference's value lists are
+    ascending template id (templates are indexed in id order), so the
+    append order is (first-including run, template id).
     """
 
     kmersize: int
@@ -78,9 +78,7 @@ class DenseIndex:
     max_list: int
     exist: jax.Array            # mega: [size] i32 list id or -1
     kv: jax.Array               # cuckoo/open: [slots, 2] (key, list id|-1)
-    mem: jax.Array              # [n_lists, t_pad] i16 pos+1
     bits: jax.Array             # [n_lists, t_pad//32] u32 membership bits
-    cnt: jax.Array              # [n_lists] i32 list length
     list_voff: np.ndarray       # host: list id -> values offset
 
     @classmethod
@@ -104,17 +102,14 @@ class DenseIndex:
         if max_list > 0x7FFE:
             raise NotImplementedError("value list too long for i16 table")
 
-        # membership table: mem[row, tid] = position-in-list + 1
+        # bit-packed membership: the run loop gathers these
+        # [t_pad/32]-word rows; in-list ORDER needs no table because the
+        # reference's value lists are ascending template id
         total = int(cnts.sum())
         rows_flat = np.repeat(np.arange(V, dtype=np.int64), cnts)
         pos_flat = (np.arange(total, dtype=np.int64)
                     - np.repeat(np.cumsum(cnts) - cnts, cnts))
         tid_flat = values[np.repeat(offs, cnts) + 1 + pos_flat]
-        mem = np.zeros((V, t_pad), dtype=np.int16)
-        mem[rows_flat, tid_flat] = (pos_flat + 1).astype(np.int16)
-        # bit-packed membership: the run loop gathers these [t_pad/32]-word
-        # rows (32x less traffic than the i16 table, which is kept for the
-        # tie-order position gather in the epilogue)
         bits = np.zeros((V, t_pad // 32), dtype=np.uint32)
         np.bitwise_or.at(bits, (rows_flat, tid_flat // 32),
                          (np.uint32(1) << (tid_flat % 32).astype(np.uint32)))
@@ -130,8 +125,7 @@ class DenseIndex:
                        max_list=max_list,
                        exist=jnp.asarray(remap),
                        kv=jnp.zeros((1, 2), jnp.int32),
-                       mem=jnp.asarray(mem), bits=jnp.asarray(bits),
-                       cnt=jnp.asarray(cnts.astype(np.int32)),
+                       bits=jnp.asarray(bits),
                        list_voff=offs)
 
         keys = idx.key_index[: idx.n].astype(np.uint32)
@@ -146,8 +140,7 @@ class DenseIndex:
                    mega=False, size=tsize, max_probe=0, max_list=max_list,
                    exist=jnp.zeros(1, jnp.int32),
                    kv=jnp.asarray(kv),
-                   mem=jnp.asarray(mem), bits=jnp.asarray(bits),
-                   cnt=jnp.asarray(cnts.astype(np.int32)),
+                   bits=jnp.asarray(bits),
                    list_voff=offs)
 
 
@@ -170,7 +163,7 @@ def _lookup_rows(didx_arrays, kmers, *, mega, size, max_probe):
                                e2[..., 1], jnp.int32(-1)))
 
 
-def _dense_strand_scan(codes, lengths, didx_arrays, mem, bits, cnt,
+def _dense_strand_scan(codes, lengths, didx_arrays, bits,
                        p: ScanParams, rc_branch, *, mega, size, max_probe,
                        t_pad, n_lists, proxi_frac=None):
     """Both-strands-fused dense save_kmers scan.
@@ -205,45 +198,49 @@ def _dense_strand_scan(codes, lengths, didx_arrays, mem, bits, cnt,
         [jnp.full((G, 1), -1, last_hit_le.dtype), last_hit_le[:, :-1]],
         axis=-1)
     has_prev = prev_hit >= 0
-    rows_prev = jnp.take_along_axis(rows, jnp.where(has_prev, prev_hit, 0),
-                                    axis=-1)
+    # carry-forward of the last hit's list id (associative select scan;
+    # a take_along_axis here lowers to the scalarized gather path)
+    rows_fill = jax.lax.associative_scan(
+        lambda a, b: jnp.where(b < 0, a, b),
+        jnp.where(hit, rows, -1), axis=1)
+    rows_prev = jnp.concatenate(
+        [jnp.full((G, 1), -1, rows_fill.dtype), rows_fill[:, :-1]], axis=-1)
     same_run = hit & has_prev & (rows_prev == rows)
     new_run = hit & ~same_run
     gap = posW - prev_hit - 1
     trans = jnp.where(same_run, _run_transition_score(gap, p), 0
                       ).astype(jnp.int32)
-    cum_trans = jnp.cumsum(trans, axis=-1)
 
-    # compact runs: sort run-start positions forward (BIG-padded)
+    # compact runs: one [G, R, W] one-hot over the run-count prefix gives
+    # every per-run aggregate as a masked VPU reduction (take_along_axis /
+    # argsort here lower to XLA's scalarized ~100M elem/s gather path)
     n_runs = jnp.sum(new_run, axis=-1)
-    overflow = n_runs > R
-    order = jnp.argsort(jnp.where(new_run, posW, BIG), axis=-1)[:, :R]
-    run_start = jnp.take_along_axis(jnp.where(new_run, posW, BIG), order,
-                                    axis=-1)
-    run_valid = run_start < BIG
-    rs_safe = jnp.where(run_valid, run_start, 0)
-    run_row = jnp.take_along_axis(rows, rs_safe, axis=-1)
-    run_row = jnp.where(run_valid, run_row, 0)
-    nxt = jnp.concatenate(
-        [run_start[:, 1:], jnp.full((G, 1), BIG, run_start.dtype)], axis=-1)
-    nxt = jnp.where(nxt < BIG, nxt, W)
-    run_end = jnp.take_along_axis(last_hit_le, nxt - 1, axis=-1)
-    ct_pad = jnp.concatenate([jnp.zeros((G, 1), jnp.int32), cum_trans],
-                             axis=-1)
-    run_score = (jnp.take_along_axis(ct_pad, nxt, axis=-1)
-                 - jnp.take_along_axis(ct_pad, rs_safe, axis=-1))
+    run_ov = n_runs > R
+    run_seg = jnp.cumsum(new_run.astype(jnp.int32), axis=-1)
+    rids = jnp.arange(1, R + 1, dtype=jnp.int32)[None, :, None]
+    seg3 = run_seg[:, None, :]
+    in_run = (seg3 == rids) & hit[:, None, :]
+    is_start = (seg3 == rids) & new_run[:, None, :]
+    posW3 = posW[None, :, :]
+    run_valid = rids[:, :, 0] <= n_runs[:, None]
+    run_start = jnp.sum(jnp.where(is_start, posW3, 0), axis=-1)
+    run_start = jnp.where(run_valid, run_start, BIG)
+    run_row = jnp.sum(jnp.where(is_start, rows[:, None, :], 0), axis=-1)
+    run_end = jnp.max(jnp.where(in_run, posW3, -1), axis=-1)
+    run_score = jnp.sum(jnp.where(in_run, trans[:, None, :], 0), axis=-1)
 
     # dense per-template state loop over run slots (savekmers.c flushes).
     # CHUNK slots share one state round-trip (the state arrays dominate
-    # HBM traffic); membership comes from bit-packed [t_pad/32]-word rows
-    # (32x less gather volume than the i16 position table).  The append
-    # ORDER within a run (position-in-list) is recovered in the epilogue
-    # with a tiny [G, best_cap] gather from the i16 table.
+    # HBM traffic -- int16 when the score range allows, halving it);
+    # membership comes from bit-packed [t_pad/32]-word rows (32x less
+    # gather volume than an id table).
     kM = jnp.int32(k * p.M)
     rc_col = rc_branch[:, None]
-    w32 = t_pad // 32
     shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 32), 2)
     CHUNK = 8
+    pmax = max(abs(p.M), abs(p.MM), abs(p.U), abs(p.W1))
+    sdt = jnp.int16 if (W + k + 2) * pmax * 4 < 32000 else jnp.int32
+    SBIG = jnp.asarray(0x7FFF if sdt == jnp.int16 else BIG, sdt)
 
     def chunk_body(c, state):
         score, ext, first = state
@@ -254,27 +251,28 @@ def _dense_strand_scan(codes, lengths, didx_arrays, mem, bits, cnt,
             rows = bits[run_row[:, rr]]          # [G, w32] u32 row gather
             memb = ((rows[:, :, None] >> shifts) & jnp.uint32(1)
                     ).reshape(G, t_pad)
-            inc = first < BIG
+            inc = first < SBIG
             ism = act[:, None] & (memb != 0)
-            g = (run_start[:, rr, None] - 1) - ext
+            g = (run_start[:, rr, None] - 1) - ext.astype(jnp.int32)
             add = jnp.where(inc, _reconnect_score(g, p, rc_col), kM)
-            contrib = run_score[:, rr, None] + add
+            contrib = (run_score[:, rr, None] + add).astype(sdt)
             score = jnp.where(ism, score + contrib, score)
-            first = jnp.where(ism & ~inc, r, first)
-            ext = jnp.where(ism, run_end[:, rr, None], ext)
+            first = jnp.where(ism & ~inc, r.astype(sdt), first)
+            ext = jnp.where(ism, run_end[:, rr, None].astype(sdt), ext)
         return score, ext, first
 
-    init = (jnp.zeros((G, t_pad), jnp.int32),
-            jnp.zeros((G, t_pad), jnp.int32),
-            jnp.full((G, t_pad), BIG, jnp.int32))
+    init = (jnp.zeros((G, t_pad), sdt),
+            jnp.zeros((G, t_pad), sdt),
+            jnp.full((G, t_pad), SBIG, sdt))
     # loop only to the batch's actual max run count (traced bound)
     r_max = jnp.minimum(jnp.max(n_runs), R).astype(jnp.int32)
     n_chunks = (r_max + CHUNK - 1) // CHUNK
     score, ext, first = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
 
-    inc = first < BIG
-    score = jnp.where(inc, jnp.maximum(score, 0), 0)  # savekmers.c:2750-2752
-    bestScore = jnp.max(score, axis=-1)
+    inc = first < SBIG
+    score = jnp.where(inc, jnp.maximum(score, 0),
+                      jnp.asarray(0, sdt))  # savekmers.c:2750-2752
+    bestScore = jnp.max(score, axis=-1).astype(jnp.int32)
 
     if proxi_frac is None:
         sel = inc & (score == bestScore[:, None]) & (bestScore[:, None] > 0)
@@ -283,30 +281,32 @@ def _dense_strand_scan(codes, lengths, didx_arrays, mem, bits, cnt,
                   ).astype(jnp.int32)  # C double->int truncation
         sel = inc & (score >= thresh[:, None]) & (bestScore[:, None] > 0)
     n_best = jnp.sum(sel, axis=-1)
-    MB = p.best_cap
-    overflow = overflow | (n_best > MB)
+    MB = min(p.best_cap, t_pad)
+    tie_ov = n_best > MB
     # select candidates by first-including-run; order within a run (the
     # reference appends in value-list order) is restored by gathering the
     # position-in-list for just the <= MB candidates
-    negkey = jnp.where(sel, -first, -BIG)
-    topv, tids = jax.lax.top_k(negkey, MB)      # first-run ascending
+    negkey = jnp.where(sel, -first.astype(jnp.int32), -BIG
+                       ).astype(jnp.float32)
+    try:  # exact top-k via PartialReduce (sort of [G, t_pad] costs 9ms)
+        topv, tids = jax.lax.approx_max_k(negkey, MB, recall_target=1.0)
+    except NotImplementedError:  # pragma: no cover - non-TPU backends
+        topv, tids = jax.lax.top_k(negkey, MB)
+    topv = topv.astype(jnp.int32)
     cand_ok = topv > -BIG
     cand_first = jnp.where(cand_ok, -topv, 0)
-    cand_row = jnp.take_along_axis(run_row, cand_first, axis=-1)
-    pos = jnp.take(mem.reshape(-1),
-                   cand_row * jnp.int32(t_pad) + tids)  # [G, MB] i16
-    seen_stride = jnp.int32(p.max_list + 1)
+    # append order = (first-including run, position in that run's value
+    # list); the reference's lists are ascending template id (templates
+    # are indexed in id order, updateindex.c:33-77), so the in-list
+    # position key IS the template id -- no id-table gather needed
     key = jnp.where(cand_ok,
-                    cand_first * seen_stride + pos.astype(jnp.int32) - 1,
-                    BIG)
-    order2 = jnp.argsort(key, axis=-1)
-    tids = jnp.take_along_axis(tids, order2, axis=-1)
-    tids = jnp.where(jnp.take_along_axis(cand_ok, order2, axis=-1),
-                     tids, 0).astype(jnp.int32)
-    return bestScore, tids, n_best, overflow, score
+                    cand_first * jnp.int32(t_pad + 1) + tids, BIG)
+    key2, tids = jax.lax.sort_key_val(key, tids)
+    tids = jnp.where(key2 < BIG, tids, 0).astype(jnp.int32)
+    return bestScore, tids, n_best, run_ov, tie_ov, score
 
 
-def _emit_pack(bestScore, tids, n_best, overflow, B, k, flat_cap,
+def _emit_pack(bestScore, tids, n_best, run_ov, tie_ov, B, k, flat_cap,
                small_ids):
     """fw/rc merge decision + compact packing (savekmers.c:2766-2833;
     the SaveKmersScanner.scan() merge).
@@ -317,7 +317,6 @@ def _emit_pack(bestScore, tids, n_best, overflow, B, k, flat_cap,
     bf, br = bestScore[:B], bestScore[B:]
     tf, tr = tids[:B], tids[B:]
     nf, nr = n_best[:B], n_best[B:]
-    ov = overflow[:B] | overflow[B:]
     MB = tf.shape[1]
 
     some = (bf > 0) | (br > 0)
@@ -328,18 +327,29 @@ def _emit_pack(bestScore, tids, n_best, overflow, B, k, flat_cap,
     score = jnp.where(mode == 2, br, bf)
     score = jnp.where(mode == 3, -score, score) * (mode != 0)
 
+    # run overflow corrupts scores (runs beyond the cap never scored) so
+    # it always propagates; tie overflow only truncates the id list, so
+    # it matters only for the strand(s) the merge decision emits
+    tof, tor = tie_ov[:B], tie_ov[B:]
+    ov = (run_ov[:B] | run_ov[B:]
+          | jnp.where(mode == 1, tof,
+                      jnp.where(mode == 2, tor,
+                                jnp.where(mode == 3, tof | tor, False))))
+
     first = jnp.where((mode == 2)[:, None], tr, tf)
     n1 = jnp.where(mode == 2, nr, jnp.where(mode == 0, 0, nf))
     n2 = jnp.where(mode == 3, nr, 0)
     n_out = jnp.where(ov, 0, n1 + n2)
 
+    # pack [first[:n1], -tr[:n2]] contiguously via one stable key sort
+    # (a positional gather here lowers to the ~100M elem/s scalar path)
     j = jnp.arange(2 * MB)[None, :]
-    from_second = j >= n1[:, None]
-    idx2 = jnp.clip(j - n1[:, None], 0, MB - 1)
-    row = jnp.where(from_second,
-                    -jnp.take_along_axis(tr, idx2, axis=-1),
-                    jnp.take_along_axis(first, jnp.minimum(j, MB - 1),
-                                        axis=-1))
+    posf = jnp.arange(MB)[None, :]
+    keyf = jnp.where(posf < n1[:, None], posf, BIG)
+    keyr = jnp.where(posf < n2[:, None], n1[:, None] + posf, BIG)
+    keys = jnp.concatenate([keyf, keyr], axis=-1)
+    payload = jnp.concatenate([first, -tr], axis=-1)
+    _, row = jax.lax.sort_key_val(keys, payload)
     rvalid = j < n_out[:, None]
 
     off = jnp.cumsum(n_out) - n_out
@@ -357,19 +367,19 @@ def _emit_pack(bestScore, tids, n_best, overflow, B, k, flat_cap,
          static_argnames=("sparams", "B", "flat_cap", "small_ids", "mega",
                           "size", "max_probe", "t_pad", "n_lists",
                           "proxi_frac"))
-def dense_scan_device(codes, lengths, exist, kv, mem, bits, cnt, *, sparams,
+def dense_scan_device(codes, lengths, exist, kv, bits, *, sparams,
                       B, flat_cap, small_ids, mega, size, max_probe,
                       t_pad, n_lists, proxi_frac=None):
+    """codes is the strand-doubled batch [2B, L]: fw rows then host-side
+    reverse-complement rows (the device reversal gather cost 5.5 ms)."""
     p = ScanParams(*sparams)
-    G = codes.shape[0]
-    both = jnp.concatenate([codes, rc_batch(codes, lengths)], axis=0)
-    lens2 = jnp.concatenate([lengths, lengths], axis=0)
+    G = codes.shape[0] // 2
     rc_rowsg = jnp.arange(2 * G) >= G
-    bestScore, tids, n_best, overflow, _ = _dense_strand_scan(
-        both, lens2, (exist, kv), mem, bits, cnt, p, rc_rowsg,
+    bestScore, tids, n_best, run_ov, tie_ov, _ = _dense_strand_scan(
+        codes, lengths, (exist, kv), bits, p, rc_rowsg,
         mega=mega, size=size, max_probe=max_probe, t_pad=t_pad,
         n_lists=n_lists, proxi_frac=proxi_frac)
-    return _emit_pack(bestScore, tids, n_best, overflow, G, p.k,
+    return _emit_pack(bestScore, tids, n_best, run_ov, tie_ov, G, p.k,
                       flat_cap, small_ids)
 
 
@@ -385,6 +395,17 @@ def unpack_2bit(packed, n_mask, *, L):
     nw = n_mask[:, pos // 32]
     is_n = ((nw >> (pos % 32).astype(jnp.uint32)) & 1) != 0
     return jnp.where(is_n, jnp.uint8(4), codes)
+
+
+def rc_host(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Host-side per-read reverse complement within the padded buffer
+    (the device-side reversal gather lowers to the scalarized path)."""
+    L = codes.shape[1]
+    idx = lengths[:, None].astype(np.int64) - 1 - np.arange(L)[None, :]
+    ok = idx >= 0
+    g = np.take_along_axis(codes, np.where(ok, idx, 0), axis=1)
+    g = np.where(g < 4, 3 - g, g)
+    return np.where(ok, g, np.uint8(4)).astype(np.uint8)
 
 
 def pack_2bit_host(codes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -414,7 +435,7 @@ class DenseScanner:
     sync so transfers overlap compute.
     """
 
-    TIERS = ((24, 64), (192, 2048))   # (run_cap, best_cap) per tier
+    TIERS = ((48, 256), (192, 2048))  # (run_cap, best_cap) per tier
 
     def __init__(self, idx: KmaIndex, rewards, exhaustive: bool = False,
                  proxi_frac: Optional[float] = None, batch: int = 4096):
@@ -424,22 +445,33 @@ class DenseScanner:
         self.proxi_frac = proxi_frac
         self.batch = batch
         self.small_ids = self.didx.db_size < (1 << 15)
-        d = self.didx
-        self.params = [
-            tuple(dataclasses.astuple(ScanParams(
-                k=d.kmersize, mlen=d.mlen, M=rewards.M, MM=rewards.MM,
-                U=rewards.U, W1=rewards.W1, max_list=d.max_list,
-                exhaustive=exhaustive, max_probe=d.max_probe,
-                run_cap=rc_, pair_cap=0, best_cap=bc_,
-                small_ids=self.small_ids)))
-            for rc_, bc_ in self.TIERS]
+        self._sp_cache: dict = {}
+
+    def _sparams(self, L: int, tier: int):
+        """ScanParams tuple for a padded read length; run_cap is clamped
+        to the maximum possible run count W (every window can start a
+        run) so short-read tiers never pay for impossible run counts."""
+        ck = (L, tier)
+        if ck not in self._sp_cache:
+            d = self.didx
+            rc_, bc_ = self.TIERS[tier]
+            W = L - d.kmersize + 1
+            rc_ = max(1, min(rc_, W))
+            self._sp_cache[ck] = tuple(dataclasses.astuple(ScanParams(
+                k=d.kmersize, mlen=d.mlen, M=self.rewards.M,
+                MM=self.rewards.MM, U=self.rewards.U, W1=self.rewards.W1,
+                max_list=d.max_list, exhaustive=self.exhaustive,
+                max_probe=d.max_probe, run_cap=rc_, pair_cap=0,
+                best_cap=bc_, small_ids=self.small_ids)))
+        return self._sp_cache[ck]
 
     def _call(self, codes_j, lens_j, tier: int, flat_cap: int):
         d = self.didx
         return dense_scan_device(
-            codes_j, lens_j, d.exist, d.kv, d.mem, d.bits, d.cnt,
-            sparams=self.params[tier], B=codes_j.shape[0],
-            flat_cap=flat_cap, small_ids=self.small_ids, mega=d.mega,
+            codes_j, lens_j, d.exist, d.kv, d.bits,
+            sparams=self._sparams(codes_j.shape[1], tier),
+            B=codes_j.shape[0], flat_cap=flat_cap,
+            small_ids=self.small_ids, mega=d.mega,
             size=d.size, max_probe=d.max_probe, t_pad=d.t_pad,
             n_lists=d.n_lists, proxi_frac=self.proxi_frac)
 
@@ -449,7 +481,7 @@ class DenseScanner:
         3=merged (tids = fw ++ -rc)."""
         N = codes.shape[0]
         Bt = self.batch
-        flat_cap = 8 * Bt
+        flat_cap = 32 * Bt
         futs = []
         for off in range(0, N, Bt):
             cj = codes[off: off + Bt]
@@ -459,10 +491,12 @@ class DenseScanner:
                                              codes.dtype)])
                 lj = np.concatenate([lj, np.zeros(Bt - len(lj),
                                                   lengths.dtype)])
-            packed, n_mask = pack_2bit_host(cj)
+            both = np.concatenate([cj, rc_host(cj, lj)], axis=0)
+            packed, n_mask = pack_2bit_host(both)
             cj_dev = unpack_2bit(jnp.asarray(packed), jnp.asarray(n_mask),
                                  L=codes.shape[1])
-            futs.append(self._call(cj_dev, jnp.asarray(lj), 0, flat_cap))
+            lj2 = np.concatenate([lj, lj])
+            futs.append(self._call(cj_dev, jnp.asarray(lj2), 0, flat_cap))
         outs = jax.device_get(futs)
 
         scores = np.zeros(N, np.int32)
@@ -480,14 +514,16 @@ class DenseScanner:
             ov = (packedm >> 2) & 1
             n_out = packedm >> 3
             offs = np.cumsum(n_out) - n_out
-            if n_out.sum() > flat_cap:
-                retry.extend(range(off, off + n))
-                continue
             scores[off: off + n] = score
             modes[off: off + n] = mode
             over[off: off + n] = ov.astype(bool)
+            # reads whose slice spilled past flat_cap (.at[].set drop
+            # mode) are individually retried through the wide tier
+            spilled = offs + n_out > flat_cap
+            if spilled.any():
+                retry.extend(off + np.flatnonzero(spilled))
             for i in range(n):
-                if mode[i] and not ov[i]:
+                if mode[i] and not ov[i] and not spilled[i]:
                     tid_lists[off + i] = flat[offs[i]: offs[i] + n_out[i]]
         retry.extend(np.flatnonzero(over))
         if retry:
@@ -507,8 +543,10 @@ class DenseScanner:
             sub_l = np.zeros(rows, lengths.dtype)
             sub_c[: len(s)] = codes[s]
             sub_l[: len(s)] = lengths[s]
+            both = np.concatenate([sub_c, rc_host(sub_c, sub_l)], axis=0)
             meta, flat = jax.device_get(
-                self._call(jnp.asarray(sub_c), jnp.asarray(sub_l), 1,
+                self._call(jnp.asarray(both),
+                           jnp.asarray(np.concatenate([sub_l, sub_l])), 1,
                            flat_cap))
             meta = np.asarray(meta)[: len(s)]
             flat = np.asarray(flat, dtype=np.int32)
