@@ -19,9 +19,11 @@ from ..io.seq import kmer_scan
 class TemplateIndex:
     """Seed-position index over one template sequence."""
 
-    __slots__ = ("len", "kmerindex", "codes", "kmer_pos")
+    __slots__ = ("len", "kmerindex", "codes", "kmer_pos",
+                 "native", "__weakref__")
 
     def __init__(self, codes: np.ndarray, kmersize: int):
+        self.native = None  # native engine handle (align/native_aln.py)
         self.len = len(codes)
         self.kmerindex = kmersize
         self.codes = codes  # template codes 0..3 (Ns packed as A upstream)

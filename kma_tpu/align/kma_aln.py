@@ -565,6 +565,11 @@ def kma_align(tindex: TemplateIndex, qseq: np.ndarray, q_len: int,
     alignment emission); traceback=False follows KMA_score (compressed-window
     seeding, score only).  Returns (stat, aligned, mapQ).
     """
+    from . import native_aln
+    if native_aln.get_lib() is not None:
+        return native_aln.kma_align(tindex, qseq, q_len, q_start, q_end,
+                                    lo, hi, mq, rew, points, traceback,
+                                    n_positions, circular, ts, skip_tails)
     t_len = tindex.len
     aligned = Aligned(pos=t_len) if traceback else None
     if traceback:
@@ -699,6 +704,11 @@ def anker_rc_comp(tindex: TemplateIndex, qseq: np.ndarray,
     k = tindex.kmerindex
     t_len = tindex.len
     tcodes = tindex.codes
+    from . import native_aln
+    if native_aln.get_lib() is not None:
+        return native_aln.anker_rc_comp(tindex, qseq, qseq_r, n_pos_f,
+                                        n_pos_r, q_len, q_start, q_end,
+                                        points, one2one)
     points.clear()
 
     bestScore = 0
@@ -812,6 +822,10 @@ def anker_rc_bytes(tindex: TemplateIndex, qseq: np.ndarray,
     k = tindex.kmerindex
     t_len = tindex.len
     tcodes = tindex.codes
+    from . import native_aln
+    if native_aln.get_lib() is not None:
+        return native_aln.anker_rc_bytes(tindex, qseq, qseq_r, q_len,
+                                         q_start, q_end, points, one2one)
     points.clear()
 
     bestScore = 0
@@ -933,6 +947,10 @@ _preseed_exhaustive = [0]
 def set_preseed_exhaustive(val: int):
     """preseed static init (align.c:750-758, called from kma.c:1249)."""
     _preseed_exhaustive[0] = val
+    from . import native_aln
+    lib = native_aln.get_lib()
+    if lib is not None:
+        lib.kaln_set_exhaustive(val)
 
 
 def _preseed(tindex: TemplateIndex, qseq: np.ndarray, q_len: int) -> int:

@@ -1,0 +1,208 @@
+"""ctypes bridge to the native step-3 aligner (native/kma_align.cpp).
+
+The C++ engine is an exact port of this package's kma_aln/nw/cci modules
+(which remain the semantics reference and the fallback when no compiler
+is available).  It removes the per-(read, template) interpreter overhead
+from alnFrags/assembly: ~0.7 ms -> ~2 us per alignment.
+
+The engine keeps one global seed buffer mirroring the reference's
+per-thread AlnPoints (alnfrags.c); the mapping pipeline is
+single-threaded per process, so the Python wrapper only mirrors the
+seed COUNT onto the caller's Points object (whose arrays stay empty --
+nothing outside kma_aln reads them).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import weakref
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "native")
+_SRC = os.path.join(_NATIVE_DIR, "kma_align.cpp")
+_SO = os.path.join(_NATIVE_DIR, "libkma_align.so")
+
+_lib = None
+_tried = False
+
+
+class _Stat(ctypes.Structure):
+    _fields_ = [("score", ctypes.c_longlong),
+                ("pos", ctypes.c_int),
+                ("len", ctypes.c_int),
+                ("match", ctypes.c_int),
+                ("tGaps", ctypes.c_int),
+                ("qGaps", ctypes.c_int),
+                ("mapQ", ctypes.c_int)]
+
+
+def _build() -> bool:
+    if not os.path.exists(_SRC):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-fPIC", "-shared", "-o", _SO + ".tmp", _SRC],
+            check=True, capture_output=True)
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except Exception as e:  # pragma: no cover - toolchain missing
+        print(f"# native aligner build failed: {e}", file=sys.stderr)
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native aligner; None if unavailable.
+
+    Set KMA_TPU_NO_NATIVE=1 to force the Python fallback."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("KMA_TPU_NO_NATIVE"):
+        return None
+    if (not os.path.exists(_SO)
+            or (os.path.exists(_SRC)
+                and os.path.getmtime(_SRC) > os.path.getmtime(_SO))):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError as e:  # pragma: no cover
+        print(f"# native aligner load failed: {e}", file=sys.stderr)
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.kidx_create.restype = ctypes.c_void_p
+    lib.kidx_create.argtypes = [u8p, ctypes.c_int, ctypes.c_int]
+    lib.kidx_free.argtypes = [ctypes.c_void_p]
+    lib.kaln_set_exhaustive.argtypes = [ctypes.c_int]
+    lib.kaln_align.restype = ctypes.c_int
+    lib.kaln_align.argtypes = [
+        ctypes.c_void_p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, i32p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(_Stat)]
+    lib.kaln_aligned_len.restype = ctypes.c_int
+    lib.kaln_aligned_fetch.argtypes = [u8p, u8p, u8p, i32p]
+    lib.kaln_anker_rc_comp.restype = ctypes.c_int
+    lib.kaln_anker_rc_comp.argtypes = [
+        ctypes.c_void_p, u8p, u8p, i32p, ctypes.c_int, i32p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p]
+    lib.kaln_anker_rc_bytes.restype = ctypes.c_int
+    lib.kaln_anker_rc_bytes.argtypes = [
+        ctypes.c_void_p, u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, i32p]
+    _lib = lib
+    return _lib
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _i32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+_EMPTY_I32 = np.empty(0, dtype=np.int32)
+
+
+def native_handle(tindex):
+    """Lazily build (and cache on the TemplateIndex) a native index."""
+    h = getattr(tindex, "native", None)
+    if h is not None:
+        return h
+    lib = get_lib()
+    codes = np.ascontiguousarray(tindex.codes, dtype=np.uint8)
+    h = lib.kidx_create(_u8p(codes), len(codes), tindex.kmerindex)
+    tindex.native = h
+    weakref.finalize(tindex, lib.kidx_free, h)
+    return h
+
+
+def _as_i32(a) -> np.ndarray:
+    if a is None:
+        return _EMPTY_I32
+    return np.ascontiguousarray(a, dtype=np.int32)
+
+
+_d_cache = {}
+
+
+def _dmat(d: np.ndarray) -> np.ndarray:
+    key = id(d)
+    got = _d_cache.get(key)
+    if got is None:
+        got = np.ascontiguousarray(d[:5, :5], dtype=np.int32)
+        _d_cache[key] = got
+    return got
+
+
+def kma_align(tindex, qseq, q_len, q_start, q_end, lo, hi, mq, rew, points,
+              traceback, n_positions=None, circular=False, ts=0,
+              skip_tails=False):
+    """Native KMA()/KMA_score; mirrors kma_aln.kma_align's return."""
+    from .nw import Aligned, AlnScore
+
+    lib = get_lib()
+    h = native_handle(tindex)
+    q = np.ascontiguousarray(qseq, dtype=np.uint8)
+    npos = _as_i32(n_positions)
+    d = _dmat(rew.d)
+    st = _Stat()
+    use_points = 1 if points.len else 0
+    lib.kaln_align(h, _u8p(q), q_len, q_start, q_end, lo, hi, mq,
+                   rew.M, rew.MM, rew.U, rew.W1, _i32p(d), _i32p(npos),
+                   len(npos), 1 if traceback else 0, use_points,
+                   1 if circular else 0, ts, 1 if skip_tails else 0,
+                   ctypes.byref(st))
+    points.len = 0
+    stat = AlnScore(score=int(st.score), pos=st.pos, len=st.len,
+                    match=st.match, tGaps=st.tGaps, qGaps=st.qGaps)
+    aligned = None
+    if traceback:
+        n = lib.kaln_aligned_len()
+        t = np.empty(n, np.uint8)
+        s = np.empty(n, np.uint8)
+        qq = np.empty(n, np.uint8)
+        se = np.zeros(2, np.int32)
+        lib.kaln_aligned_fetch(_u8p(t), _u8p(s), _u8p(qq), _i32p(se))
+        aligned = Aligned(t=t, s=s, q=qq, start=int(se[0]), end=int(se[1]),
+                          pos=tindex.len, mapQ=st.mapQ)
+    return stat, aligned, st.mapQ
+
+
+def anker_rc_comp(tindex, qseq, qseq_r, n_pos_f, n_pos_r, q_len, q_start,
+                  q_end, points, one2one):
+    lib = get_lib()
+    h = native_handle(tindex)
+    q = np.ascontiguousarray(qseq, dtype=np.uint8)
+    qr = np.ascontiguousarray(qseq_r, dtype=np.uint8)
+    nf = _as_i32(n_pos_f)
+    nr = _as_i32(n_pos_r)
+    n_out = np.zeros(1, np.int32)
+    res = lib.kaln_anker_rc_comp(h, _u8p(q), _u8p(qr), _i32p(nf), len(nf),
+                                 _i32p(nr), len(nr), q_len, q_start, q_end,
+                                 one2one, _i32p(n_out))
+    points.len = int(n_out[0])
+    return res
+
+
+def anker_rc_bytes(tindex, qseq, qseq_r, q_len, q_start, q_end, points,
+                   one2one):
+    lib = get_lib()
+    h = native_handle(tindex)
+    q = np.ascontiguousarray(qseq, dtype=np.uint8)
+    qr = np.ascontiguousarray(qseq_r, dtype=np.uint8)
+    n_out = np.zeros(1, np.int32)
+    res = lib.kaln_anker_rc_bytes(h, _u8p(q), _u8p(qr), q_len, q_start,
+                                  q_end, one2one, _i32p(n_out))
+    points.len = int(n_out[0])
+    return res

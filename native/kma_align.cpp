@@ -1,0 +1,1507 @@
+// Native step-3 alignment engine for kma_tpu.
+//
+// Exact C++ port of kma_tpu/align/{cci,nw,kma_aln}.py -- the host-side
+// seed-chain-extend aligner whose semantics are oracle-tested against the
+// reference (align.c / chain.c / nw.c / hashmapcci.c).  The Python module
+// remains the semantics reference and fallback; this engine removes the
+// interpreter overhead from the per-(read, template) hot loop (~0.7 ms ->
+// ~2 us per alignment).
+//
+// API is C (ctypes-friendly): an opaque per-template index handle plus
+// alignment entry points that mirror kma_align / anker_rc_comp /
+// anker_rc_bytes / preseed.  A single global seed buffer ("points")
+// mirrors the reference's per-thread AlnPoints; the pipeline is
+// single-threaded per process.
+//
+// Build: g++ -O2 -fPIC -shared -o libkma_align.so kma_align.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <unordered_map>
+#include <algorithm>
+
+typedef long long ll;
+
+// ---------------------------------------------------------------- structs
+
+struct AlnStat {
+    ll score;
+    int pos;
+    int len;
+    int match;
+    int tGaps;
+    int qGaps;
+    int mapQ;
+};
+
+struct Penal {
+    int M, MM, U, W1;
+    int d[5][5];
+};
+
+struct Points {
+    std::vector<int> qStart, qEnd, tStart, tEnd, weight, next;
+    std::vector<ll> score;
+    int len = 0;
+
+    void clear_all() {
+        qStart.clear(); qEnd.clear(); tStart.clear(); tEnd.clear();
+        weight.clear(); next.clear(); score.clear(); len = 0;
+    }
+    void add(int qs, int qe, int ts, int te, int w) {
+        qStart.push_back(qs); qEnd.push_back(qe);
+        tStart.push_back(ts); tEnd.push_back(te);
+        weight.push_back(w);
+    }
+    size_t n() const { return qStart.size(); }
+    void trim_to(int m) {
+        qStart.resize(m); qEnd.resize(m); tStart.resize(m);
+        tEnd.resize(m); weight.resize(m);
+    }
+    void shift_down(int offset, int count) {
+        auto mv = [&](std::vector<int>& a) {
+            for (int i = 0; i < count; i++) a[i] = a[offset + i];
+            a.resize(count);
+        };
+        mv(tStart); mv(tEnd); mv(qStart); mv(qEnd); mv(weight);
+    }
+};
+
+static Points g_points;   // reference AlnPoints analog (single-threaded)
+
+struct TIndex {
+    int len = 0;
+    int k = 0;
+    std::vector<uint8_t> codes;
+    // kmer -> [begin, end) into pos_flat (positions ascending, 1-based)
+    std::unordered_map<uint64_t, std::pair<uint32_t, uint32_t>> map;
+    std::vector<int32_t> pos_flat;
+
+    // hashMapCCI_get semantics: 0 miss, +pos unique, -first duplicated
+    int get(uint64_t kmer) const {
+        auto it = map.find(kmer);
+        if (it == map.end()) return 0;
+        uint32_t b = it->second.first, e = it->second.second;
+        if (e - b == 1) return pos_flat[b];
+        return -pos_flat[b];
+    }
+    // first position in (lo, hi) exclusive; sign marks duplication
+    int get_bound(uint64_t kmer, int lo, int hi) const {
+        auto it = map.find(kmer);
+        if (it == map.end()) return 0;
+        uint32_t b = it->second.first, e = it->second.second;
+        if (e - b == 1) {
+            int p = pos_flat[b];
+            return (lo < p && p < hi) ? p : 0;
+        }
+        for (uint32_t i = b; i < e; i++) {
+            int p = pos_flat[i];
+            if (lo < p && p < hi) return -p;
+        }
+        return 0;
+    }
+};
+
+// ------------------------------------------------------------ index build
+
+extern "C" void* kidx_create(const uint8_t* codes, int len, int kmersize) {
+    TIndex* t = new TIndex();
+    t->len = len;
+    t->k = kmersize;
+    t->codes.assign(codes, codes + len);
+    int end = len - kmersize + 1;
+    if (end > 0) {
+        // rolling k-mers (N counted as 0, matching io.seq.kmer_scan)
+        std::vector<std::pair<uint64_t, int32_t>> kp(end);
+        uint64_t mask = (kmersize < 32)
+            ? ((uint64_t(1) << (2 * kmersize)) - 1) : ~uint64_t(0);
+        uint64_t key = 0;
+        for (int i = 0; i < kmersize - 1; i++) {
+            uint8_t c = codes[i];
+            key = (key << 2) | (c > 3 ? 0 : c);
+        }
+        for (int i = 0; i < end; i++) {
+            uint8_t c = codes[i + kmersize - 1];
+            key = ((key << 2) | (c > 3 ? 0 : c)) & mask;
+            kp[i] = {key, i + 1};   // 1-based positions
+        }
+        std::sort(kp.begin(), kp.end());
+        t->pos_flat.reserve(end);
+        t->map.reserve(end);
+        uint32_t i = 0;
+        while (i < (uint32_t)end) {
+            uint64_t km = kp[i].first;
+            uint32_t b = (uint32_t)t->pos_flat.size();
+            uint32_t j = i;
+            while (j < (uint32_t)end && kp[j].first == km) {
+                t->pos_flat.push_back(kp[j].second);
+                j++;
+            }
+            if (km != 0)   // "likely undefined region" (hashmapcci.c:414)
+                t->map.emplace(km, std::make_pair(b, (uint32_t)t->pos_flat.size()));
+            else
+                t->pos_flat.resize(b);
+            i = j;
+        }
+    }
+    return t;
+}
+
+extern "C" void kidx_free(void* h) { delete (TIndex*)h; }
+
+// -------------------------------------------------------------------- NW
+
+struct Aligned {
+    std::vector<uint8_t> t, s, q;
+    int start = 0, end = 0, pos = 0;
+};
+
+static void empty_case(AlnStat& st, int t_len, int q_len, int W1, int U,
+                       const uint8_t* query, const uint8_t* tmpl, int t_e,
+                       int template_length, Aligned* aligned) {
+    st.score = 0; st.len = 0; st.match = 0; st.tGaps = 0; st.qGaps = 0;
+    if (t_len == q_len) {
+        if (aligned) { aligned->t.clear(); aligned->s.clear(); aligned->q.clear(); }
+        return;
+    }
+    if (t_len == 0) {
+        st.len = q_len; st.tGaps = q_len;
+        st.score = W1 + (ll)(q_len - 1) * U;
+        if (aligned) {
+            aligned->t.assign(q_len, 5);
+            aligned->s.assign(q_len, '_');
+            aligned->q.assign(query, query + q_len);
+        }
+        return;
+    }
+    st.len = t_len; st.qGaps = t_len;
+    st.score = W1 + (ll)(t_len - 1) * U;
+    if (aligned) {
+        aligned->t.resize(t_len);
+        int nuc_pos = (t_e ? t_e : aligned->pos) - 1;
+        for (int m = t_len - 1; m >= 0; m--) {
+            aligned->t[m] = tmpl[nuc_pos];
+            nuc_pos--;
+            if (nuc_pos < 0) nuc_pos = aligned->pos - 1;
+        }
+        aligned->s.assign(t_len, '_');
+        aligned->q.assign(t_len, 5);
+    }
+}
+
+// NW / NW_score (nw.c:26-308 / 642-890); template wraps at template_length
+static void nw_full(const uint8_t* tmpl, const uint8_t* query, int k,
+                    int t_s, int t_e, int q_s, int q_e, const Penal& pen,
+                    int template_length, AlnStat& st, Aligned* aligned,
+                    std::vector<uint8_t>& Ebuf, std::vector<ll>& Dbuf) {
+    const int W1 = pen.W1, U = pen.U, MM = pen.MM;
+    int q_len = q_e - q_s;
+    int t_len = t_e - t_s;
+    if (t_len < 0) t_len += template_length;
+    const uint8_t* q = query + q_s;
+    if (aligned) { aligned->start = 0; aligned->end = 0; }
+    st.score = 0; st.pos = 0; st.len = 0; st.match = 0;
+    st.tGaps = 0; st.qGaps = 0;
+    if (t_len == 0 || q_len == 0) {
+        empty_case(st, t_len, q_len, W1, U, q, tmpl, t_e, template_length,
+                   aligned);
+        return;
+    }
+    ll neg = (ll)(t_len + q_len) * (MM + U + W1);
+    size_t Erows = (size_t)(t_len + 1) * (q_len + 1);
+    Ebuf.assign(Erows, 0);
+    auto E = [&](int m, int n) -> uint8_t& {
+        return Ebuf[(size_t)m * (q_len + 1) + n];
+    };
+    Dbuf.assign(2 * (q_len + 1), neg);
+    ll* D_prev = Dbuf.data();            // [q_len+1]
+    ll* P_prev = Dbuf.data() + q_len + 1;
+
+    if (0 < k) {
+        if (k == 1) {
+            for (int n = 0; n < q_len; n++)
+                D_prev[n] = W1 + (ll)(q_len - 1 - n) * U;
+            for (int n = 0; n < q_len; n++) E(t_len, n) = 3;
+            E(t_len, q_len - 1) = 18;
+            E(t_len, q_len) = 0;
+            D_prev[q_len] = 0;
+            P_prev[q_len] = 0;
+        } else {
+            for (int n = 0; n <= q_len; n++) D_prev[n] = 0;
+        }
+    } else {
+        for (int m = 0; m < t_len; m++) E(m, q_len) = 5;
+        E(t_len - 1, q_len) = 36;
+        for (int n = 0; n < q_len; n++)
+            D_prev[n] = W1 + (ll)(q_len - 1 - n) * U;
+        for (int n = 0; n < q_len; n++) E(t_len, n) = 3;
+        E(t_len, q_len - 1) = 18;
+        E(t_len, q_len) = 0;
+        D_prev[q_len] = 0;
+        P_prev[q_len] = 0;
+    }
+
+    ll best_score = neg;
+    int best_m = 0;
+    for (int m = t_len - 1; m >= 0; m--) {
+        ll D_boundary = (0 < k) ? 0 : (W1 + (ll)(t_len - 1 - m) * U);
+        int nuc_pos = (t_e - 1 - (t_len - 1 - m)) % template_length;
+        if (nuc_pos < 0) nuc_pos += template_length;
+        const int* drow = pen.d[tmpl[nuc_pos]];
+        ll Qprev = neg;
+        ll Dfin_next = D_boundary;
+        ll diag = D_prev[q_len];          // D_prev[n+1] running from right
+        for (int n = q_len - 1; n >= 0; n--) {
+            ll Popen = D_prev[n] + W1;
+            ll Pext = P_prev[n] + U;
+            ll P = Popen < Pext ? Pext : Popen;
+            ll Msc = diag + drow[q[n]];
+            ll D0 = P < Msc ? Msc : P;
+            ll Qopen = Dfin_next + W1;
+            ll Qext = Qprev + U;
+            ll Q = Qopen < Qext ? Qext : Qopen;
+            int e = (Qopen < Popen) ? 4 : 2;
+            ll Dr = Qopen < Popen ? Popen : Qopen;
+            int bit16 = !(Qopen < Qext);
+            if (Qopen < Qext && Dr <= Qext) { Dr = Qext; e = 3; }
+            int bit32 = !(Popen < Pext);
+            if (Popen < Pext && Dr <= Pext) { Dr = Pext; e = 5; }
+            E(m, n) = (uint8_t)(bit16 * 16 + bit32 * 32
+                                + ((Dr <= Msc) ? 1 : e));
+            ll Dfin = D0 < Q ? Q : D0;
+            diag = D_prev[n];
+            D_prev[n] = Dfin;
+            P_prev[n] = P;
+            Qprev = Q;
+            Dfin_next = Dfin;
+        }
+        D_prev[q_len] = D_boundary;
+        if (k < 0 && best_score < D_prev[0]) {
+            best_score = D_prev[0];
+            best_m = m;
+        }
+    }
+
+    int pos0 = 0, pos1 = 0;
+    if (k < 0) {
+        st.score = best_score;
+        pos0 = best_m;
+        if (k == -2) {
+            for (int n = 0; n < q_len; n++) {
+                if (st.score <= D_prev[n]) {
+                    st.score = D_prev[n];
+                    pos0 = 0;
+                    pos1 = n;
+                }
+            }
+            if (aligned) aligned->start = pos1;
+        }
+    } else {
+        st.score = D_prev[0];
+    }
+
+    // traceback (nw.c:250-307)
+    int m = pos0, n = pos1;
+    int nuc_pos = m + t_s;
+    bool emit = aligned != nullptr;
+    while (E(m, n) != 0) {
+        if (nuc_pos == template_length) nuc_pos = 0;
+        int b = E(m, n);
+        int op = b & 7;
+        if (op == 1) {
+            if (emit) {
+                uint8_t tn = tmpl[nuc_pos];
+                uint8_t qn = q[n];
+                aligned->t.push_back(tn);
+                aligned->q.push_back(qn);
+                aligned->s.push_back(tn == qn ? '|' : '_');
+            }
+            st.match++;
+            nuc_pos++; m++; n++;
+        } else if (op >= 4) {
+            while (!(E(m, n) >> 4)) {
+                if (emit) {
+                    aligned->t.push_back(tmpl[nuc_pos]);
+                    aligned->q.push_back(5);
+                    aligned->s.push_back('_');
+                }
+                nuc_pos++; m++;
+                st.len++; st.qGaps++;
+            }
+            if (emit) {
+                aligned->t.push_back(tmpl[nuc_pos]);
+                aligned->q.push_back(5);
+                aligned->s.push_back('_');
+            }
+            nuc_pos++; m++;
+            st.qGaps++;
+        } else {
+            while (!(E(m, n) >> 3)) {
+                if (emit) {
+                    aligned->t.push_back(5);
+                    aligned->q.push_back(q[n]);
+                    aligned->s.push_back('_');
+                }
+                n++;
+                st.len++; st.tGaps++;
+            }
+            if (emit) {
+                aligned->t.push_back(5);
+                aligned->q.push_back(q[n]);
+                aligned->s.push_back('_');
+            }
+            n++;
+            st.tGaps++;
+        }
+        st.len++;
+    }
+    if (emit) aligned->end = q_len - n;
+}
+
+// NW_band / NW_band_score (nw.c:310-640 / 892-1188)
+static void nw_band(const uint8_t* tmpl, const uint8_t* query, int k,
+                    int t_s, int t_e, int q_s, int q_e, int band,
+                    const Penal& pen, int template_length, AlnStat& st,
+                    Aligned* aligned, std::vector<uint8_t>& Ebuf,
+                    std::vector<ll>& Dbuf) {
+    const int W1 = pen.W1, U = pen.U, MM = pen.MM;
+    int q_len = q_e - q_s;
+    int t_len = t_e - t_s;
+    if (t_len < 0) t_len += template_length;
+    const uint8_t* q = query + q_s;
+    if (aligned) { aligned->start = 0; aligned->end = 0; }
+    st.score = 0; st.pos = 0; st.len = 0; st.match = 0;
+    st.tGaps = 0; st.qGaps = 0;
+    if (t_len == 0 || q_len == 0) {
+        empty_case(st, t_len, q_len, W1, U, q, tmpl, t_e, template_length,
+                   aligned);
+        return;
+    }
+    if (band & 1) band++;
+    int halfBand = band >> 1;
+    int bq_len = band + 1;
+    ll neg = (ll)(t_len + q_len) * (MM + U + W1);
+    Ebuf.assign((size_t)(t_len + 1) * (bq_len + 1), 0);
+    auto E = [&](int m, int n) -> uint8_t& {
+        return Ebuf[(size_t)m * (bq_len + 1) + n];
+    };
+    Dbuf.assign(4 * (bq_len + 1), neg);
+    ll* D_prev = Dbuf.data();
+    ll* P_prev = Dbuf.data() + (bq_len + 1);
+    ll* D_ptr = Dbuf.data() + 2 * (bq_len + 1);
+    ll* P_ptr = Dbuf.data() + 3 * (bq_len + 1);
+
+    int c_pos = (t_len + q_len) >> 1;
+    int sn0 = q_len - 1 - (c_pos - halfBand);
+    if (k != 2) {
+        for (int n = 0; n < sn0; n++)
+            D_prev[n] = W1 + (ll)(sn0 - n - 1) * U;
+        for (int n = 0; n < sn0; n++) E(t_len, n) = 3;
+        if (sn0 >= 1) E(t_len, sn0 - 1) = 18;
+        E(t_len, sn0) = 0;
+        D_prev[sn0] = 0;
+        P_prev[sn0] = 0;
+    } else {
+        for (int n = 0; n <= sn0; n++) D_prev[n] = 0;
+    }
+
+    int pos0 = 0, pos1 = 0;
+    int en = 0;
+    ll best_score = neg;
+    int nuc_pos = t_e - 1;
+    int en_final = 0;
+    for (int m = t_len - 1; m >= 0; m--) {
+        if (nuc_pos < 0) nuc_pos = template_length - 1;
+        int sq = c_pos + halfBand;
+        int eq = c_pos - halfBand;
+        if (eq < 0) { eq = 0; en++; } else en = 0;
+
+        int sn;
+        if (sq < q_len - 1) {
+            sn = bq_len - 1;
+            D_ptr[bq_len] = neg;
+            E(m, bq_len) = 37;
+        } else {
+            sq = q_len - 1;
+            sn = en + (q_len - eq);
+            D_ptr[sn] = (0 < k) ? 0 : (W1 + (ll)(t_len - 1 - m) * U);
+            E(m, sn) = (0 < k) ? 0 : 37;
+            sn--;
+        }
+
+        const int* drow = pen.d[tmpl[nuc_pos]];
+        int width = sn - en;
+        ll q_en = neg;
+        bool have_q_en = false;
+        if (width > 0) {
+            ll Qprev = neg;
+            ll Dfin_next = D_ptr[sn + 1];
+            for (int n = sn; n >= en + 1; n--) {
+                int qpos = sq - (sn - n);
+                ll Popen = D_prev[n - 1] + W1;
+                ll Pext = P_prev[n - 1] + U;
+                ll P = Popen < Pext ? Pext : Popen;
+                ll Msc = D_prev[n] + drow[q[qpos]];
+                ll D0 = P < Msc ? Msc : P;
+                ll Qopen = Dfin_next + W1;
+                ll Qext = Qprev + U;
+                ll Q = Qopen < Qext ? Qext : Qopen;
+                int e = (Qopen < Popen) ? 4 : 2;
+                ll Dr = Qopen < Popen ? Popen : Qopen;
+                int bit16 = !(Qopen < Qext);
+                if (Qopen < Qext && Dr <= Qext) { Dr = Qext; e = 3; }
+                int bit32 = !(Popen < Pext);
+                if (Popen < Pext && Dr <= Pext) { Dr = Pext; e = 5; }
+                E(m, n) = (uint8_t)(bit16 * 16 + bit32 * 32
+                                    + ((Dr <= Msc) ? 1 : e));
+                ll Dfin = D0 < Q ? Q : D0;
+                D_ptr[n] = Dfin;
+                P_ptr[n] = P;
+                Qprev = Q;
+                Dfin_next = Dfin;
+            }
+            q_en = Qprev;   // Q value at n = en+1
+            have_q_en = true;
+        }
+
+        // boundary cell n = en (nw.c:513-539)
+        {
+            int n = en;
+            int q_pos = sq - (sn - n);
+            int Ebits = 0;
+            ll Qb = D_ptr[n + 1] + W1;
+            ll ext = (have_q_en ? q_en : neg) + U;
+            int eb;
+            if (Qb < ext) { Qb = ext; eb = 3; }
+            else { eb = 2; Ebits |= 16; }
+            P_ptr[n] = neg;
+            ll Db = D_prev[n] + drow[q[q_pos]];
+            if (Qb <= Db) Ebits |= 1;
+            else { Db = Qb; Ebits |= eb; }
+            D_ptr[n] = Db;
+            E(m, n) = (uint8_t)Ebits;
+            if (eq == 0 && k < 0 && best_score < Db) {
+                best_score = Db;
+                pos0 = m; pos1 = n;
+            }
+        }
+
+        std::swap(D_prev, D_ptr);
+        std::swap(P_prev, P_ptr);
+        nuc_pos--;
+        c_pos--;
+        en_final = en;
+    }
+
+    int q_pos = 0;
+    if (pos0 == 0) {
+        pos1 = en_final;
+        st.score = D_prev[en_final];
+    } else {
+        st.score = best_score;
+    }
+    if (k == -2) {
+        for (int n = en_final; n < bq_len; n++) {
+            if (st.score <= D_prev[n]) {
+                st.score = D_prev[n];
+                pos0 = 0;
+                pos1 = n;
+                q_pos = aligned ? (n - en_final) : n;
+            }
+        }
+    }
+    if (aligned) aligned->start = q_pos;
+
+    // back tracking (nw.c:578-637)
+    int m = pos0, n = pos1;
+    nuc_pos = m + t_s;
+    bool emit = aligned != nullptr;
+    while (E(m, n) != 0) {
+        if (nuc_pos == template_length) nuc_pos = 0;
+        int op = E(m, n) & 7;
+        if (op == 1) {
+            if (emit) {
+                uint8_t tn = tmpl[nuc_pos];
+                uint8_t qn = q[q_pos];
+                aligned->t.push_back(tn);
+                aligned->q.push_back(qn);
+                aligned->s.push_back(tn == qn ? '|' : '_');
+            }
+            st.match++;
+            nuc_pos++; m++; q_pos++;
+        } else if (op >= 4) {
+            while (!(E(m, n) >> 4)) {
+                if (emit) {
+                    aligned->t.push_back(tmpl[nuc_pos]);
+                    aligned->q.push_back(5);
+                    aligned->s.push_back('_');
+                }
+                nuc_pos++; m++; n--;
+                st.len++; st.qGaps++;
+            }
+            if (emit) {
+                aligned->t.push_back(tmpl[nuc_pos]);
+                aligned->q.push_back(5);
+                aligned->s.push_back('_');
+            }
+            nuc_pos++; m++; n--;
+            st.qGaps++;
+        } else {
+            while (!(E(m, n) >> 3)) {
+                if (emit) {
+                    aligned->t.push_back(5);
+                    aligned->q.push_back(q[q_pos]);
+                    aligned->s.push_back('_');
+                }
+                n++; q_pos++;
+                st.len++; st.tGaps++;
+            }
+            if (emit) {
+                aligned->t.push_back(5);
+                aligned->q.push_back(q[q_pos]);
+                aligned->s.push_back('_');
+            }
+            n++; q_pos++;
+            st.tGaps++;
+        }
+        st.len++;
+    }
+    if (emit) aligned->end = q_len - q_pos;
+}
+
+// ------------------------------------------------------------- chain DP
+
+static void mm_split(int gap, int k, int& Ms, int& MMs) {
+    Ms = gap;
+    if (Ms == 2) { Ms = 0; MMs = 2; return; }
+    MMs = Ms / k + ((Ms % k) ? 1 : 0);
+    if (MMs < 2) MMs = 2;
+    Ms = std::min(Ms - MMs, k);
+    Ms = std::min(Ms, MMs);
+}
+
+// chainSeeds / chainSeeds_circular (chain.c:79-494)
+static void chain_seeds(Points& pts, int q_len, int t_len, int kmersize,
+                        const Penal& pen, bool circular, int& bestPosOut,
+                        int& mapQOut) {
+    const int W1 = pen.W1, U = pen.U, M = pen.M, MM = pen.MM;
+    int nMems = pts.len;
+    pts.score.assign(nMems + 1, 0);
+    pts.next.assign(nMems + 1, 0);
+    int bestPos = nMems - 1;
+    ll bestScore = 0, secondScore = 0;
+
+    for (int i = nMems - 1; i >= 0; i--) {
+        ll weight = (ll)pts.weight[i] * M;
+        pts.next[i] = 0;
+        int tEnd = pts.tEnd[i];
+        int qEnd = pts.qEnd[i];
+
+        // stop score (chain.c:104-129)
+        int gap = std::min(t_len - tEnd, q_len - qEnd);
+        int Msv = gap;
+        gap -= 1;
+        ll gcost = gap ? ((ll)gap * U + W1) : W1;
+        int m_, mm_;
+        mm_split(Msv, kmersize, m_, mm_);
+        ll Msc = (ll)m_ * M + (ll)mm_ * MM;
+        ll score = weight + (Msc < gcost ? gcost : Msc);
+
+        int nMin = std::min(nMems, i + 128);
+        for (int j = i + 1; j < nMin; j++) {
+            if (qEnd < pts.qStart[j]) {
+                int tStart_j = pts.tStart[j];
+                if (tEnd < tStart_j) {                 // full compatibility
+                    int tGap = tStart_j - tEnd;
+                    int qGap = pts.qStart[j] - qEnd;
+                    int gv = std::abs(tGap - qGap);
+                    ll g = gv ? ((ll)(gv - 1) * U + W1) : 0;
+                    mm_split(std::min(tGap, qGap), kmersize, m_, mm_);
+                    g += weight + pts.score[j] + (ll)m_ * M + (ll)mm_ * MM;
+                    if (score <= g) { score = g; pts.next[i] = j; }
+                } else if (kmersize <= pts.tEnd[j] - tEnd) {  // semi compat
+                    int gv = pts.qStart[j] - qEnd;
+                    ll g = gv ? ((ll)(gv - 1) * U + W1) : 0;
+                    int cut = tStart_j - tEnd;
+                    g += weight + pts.score[j] - (ll)cut * M;
+                    if (score < g) { score = g; pts.next[i] = j; }
+                } else if (circular && pts.tEnd[j] < pts.tStart[i]) {
+                    // circular joining (chain.c:366-395)
+                    int tGap = t_len - tEnd + tStart_j;
+                    int qGap = pts.qStart[j] - qEnd;
+                    int gv = std::abs(tGap - qGap);
+                    ll g = gv ? ((ll)(gv - 1) * U + W1) : 0;
+                    mm_split(std::min(tGap, qGap), kmersize, m_, mm_);
+                    g += weight + pts.score[j] + (ll)m_ * M + (ll)mm_ * MM;
+                    if (score < g) { score = g; pts.next[i] = j; }
+                }
+            } else if (kmersize <= pts.qEnd[j] - qEnd) {
+                int tStart = pts.tStart[j] + qEnd - pts.qStart[j];
+                if (tEnd < tStart) {
+                    int gv = tStart - tEnd;
+                    ll g = gv ? ((ll)(gv - 1) * U + W1) : 0;
+                    g += weight + pts.score[j] - (ll)(tStart - tEnd) * M;
+                    if (circular) {
+                        if (score <= g) { score = g; pts.next[i] = j; }
+                    } else {
+                        if (score < g) { score = g; pts.next[i] = j; }
+                    }
+                } else if (circular) {
+                    if (t_len < tStart) tStart -= t_len;
+                    if (tStart != tEnd && pts.tEnd[j] < tStart) {
+                        int tGap = t_len - tEnd + tStart;
+                        ll g = tGap ? ((ll)(tGap - 1) * U + W1) : 0;
+                        g += weight + pts.score[j] - (ll)(tEnd - tStart) * M;
+                        if (score < g) { score = g; pts.next[i] = j; }
+                    }
+                }
+            }
+        }
+
+        // update seed weight (chain.c:206-212)
+        if (pts.next[i])
+            pts.weight[i] += pts.weight[pts.next[i]] - kmersize + 1;
+        else
+            pts.weight[i] -= kmersize - 1;
+        pts.score[i] = score;
+
+        // penalize start (chain.c:214-241)
+        gap = std::min(pts.tStart[i], pts.qStart[i]);
+        Msv = gap;
+        gap -= 1;
+        if (0 < gap) gcost = (ll)gap * U + W1;
+        else if (gap == 0) gcost = W1;
+        else gcost = 0;
+        mm_split(Msv, kmersize, m_, mm_);
+        Msc = (ll)m_ * M + (ll)mm_ * MM;
+        score += (Msc < gcost ? gcost : Msc);
+
+        if (bestScore <= score) {
+            if (pts.next[i] != bestPos) secondScore = bestScore;
+            bestScore = score;
+            bestPos = i;
+        } else if (secondScore <= score && pts.next[i] != bestPos) {
+            secondScore = bestScore;
+        }
+    }
+
+    int mapQ = 0;
+    if (0 < bestScore) {
+        double w = pts.weight[bestPos] / 10.0;
+        if (w > 1.0) w = 1.0;
+        mapQ = (int)std::ceil(40.0 * (1.0 - (double)secondScore / bestScore)
+                              * w * std::log((double)bestScore));
+    }
+    pts.score[bestPos] = bestScore;
+    bestPosOut = bestPos;
+    mapQOut = mapQ;
+}
+
+// trimSeeds / trimSeedsNoLead (chain.c:496-566)
+static void trim_seeds(Points& pts, int start, int ts, bool no_lead) {
+    if (!ts) return;
+    if (no_lead || !pts.qStart[start]) {
+        start = pts.next[start];
+        while (start) {
+            int ln = pts.qEnd[start] - pts.qStart[start];
+            if (ln < ts) {
+                ln -= 1;
+                pts.tStart[start] += ln;
+                pts.qStart[start] += ln;
+            } else {
+                pts.tStart[start] += ts;
+                pts.qStart[start] += ts;
+            }
+            start = pts.next[start];
+        }
+    } else {
+        for (;;) {
+            int ln = pts.qEnd[start] - pts.qStart[start];
+            if (ln < ts) {
+                ln -= 1;
+                pts.tStart[start] += ln;
+                pts.qStart[start] += ln;
+            } else {
+                pts.tStart[start] += ts;
+                pts.qStart[start] += ts;
+            }
+            start = pts.next[start];
+            if (!start) break;
+        }
+    }
+}
+
+// ---------------------------------------------------------- seed collect
+
+// rolling k-mer at position j of a byte array (N counted as 0)
+static inline uint64_t kmer_at(const uint8_t* s, int j, int k,
+                               uint64_t mask) {
+    uint64_t key = 0;
+    for (int i = 0; i < k; i++) {
+        uint8_t c = s[j + i];
+        key = (key << 2) | (c > 3 ? 0 : c);
+    }
+    return key & mask;
+}
+
+// KMA_score seed scan over compressed k-mer windows (align.c:529-639)
+static void collect_seeds_comp(const TIndex& T, const uint8_t* qseq,
+                               const int32_t* n_pos, int n_n, int q_len,
+                               int q_start, int q_end, Points& pts) {
+    int k = T.k;
+    int t_len = T.len;
+    const uint8_t* tc = T.codes.data();
+    uint64_t mask = (k < 32) ? ((uint64_t(1) << (2 * k)) - 1) : ~uint64_t(0);
+    int km_end = q_len - k + 1;   // kmer_scan length
+
+    int j = q_start;
+    for (int si = 0; si <= n_n; si++) {
+        int seg_end = (si < n_n) ? n_pos[si] : q_len;
+        int end = (si != n_n) ? (seg_end - k + 1) : (q_end - k + 1);
+        while (j < end) {
+            uint64_t key = (j >= 0 && j < km_end) ? kmer_at(qseq, j, k, mask)
+                                                  : 0;
+            int value = T.get(key);
+            if (value == 0) {
+                j++;
+            } else if (0 < value) {
+                int prev = value - 2;
+                int kk = j - 1;
+                while (0 <= kk && 0 <= prev && qseq[kk] == tc[prev]) {
+                    kk--; prev--;
+                }
+                pts.add(kk + 1, 0, prev + 2, 0, 0);
+                value += k - 1;
+                j += k;
+                int ext_end = end + (k - 1);
+                while (j < ext_end && value < t_len && qseq[j] == tc[value]) {
+                    j++; value++;
+                }
+                size_t idx = pts.n() - 1;
+                pts.qEnd[idx] = j;
+                pts.tEnd[idx] = value + 1;
+                pts.weight[idx] = j - pts.qStart[idx];
+            } else {
+                int bias = j;
+                auto it = T.map.find(key);
+                for (uint32_t pi = it->second.first; pi < it->second.second;
+                     pi++) {
+                    int value2 = T.pos_flat[pi];
+                    int llp = j;
+                    int prev = value2 - 2;
+                    int kk = llp - 1;
+                    while (0 <= kk && 0 <= prev && qseq[kk] == tc[prev]) {
+                        kk--; prev--;
+                    }
+                    pts.add(kk + 1, 0, prev + 2, 0, 0);
+                    value2 += k - 1;
+                    llp += k;
+                    int ext_end = end + (k - 1);
+                    while (llp < ext_end && value2 < t_len
+                           && qseq[llp] == tc[value2]) {
+                        llp++; value2++;
+                    }
+                    size_t idx = pts.n() - 1;
+                    pts.qEnd[idx] = llp;
+                    pts.tEnd[idx] = value2 + 1;
+                    pts.weight[idx] = llp - pts.qStart[idx];
+                    if (bias < llp) bias = llp;
+                }
+                j = bias + 1;
+            }
+        }
+        j = seg_end + 1;
+    }
+}
+
+// KMA seeding over byte codes (align.c:244-377)
+static void collect_seeds_bytes(const TIndex& T, const uint8_t* qseq,
+                                int q_len, int q_start, int q_end,
+                                Points& pts, int lo, int hi) {
+    int k = T.k;
+    int t_len = T.len;
+    const uint8_t* tc = T.codes.data();
+    uint64_t mask = (k < 32) ? ((uint64_t(1) << (2 * k)) - 1) : ~uint64_t(0);
+
+    int i = q_start;
+    while (i < q_end) {
+        // charpos(qseq, 4, i, q_len); miss -> q_end
+        int end = q_end;
+        for (int x = i; x < q_len; x++) {
+            if (qseq[x] == 4) { end = x; break; }
+        }
+        uint64_t key = 0;
+        if (i < end - k) {
+            for (int b = i; b < i + k - 1; b++)
+                key = (key << 2) | qseq[b];
+            i += k - 1;
+        } else {
+            i = end + 1;
+            continue;
+        }
+        while (i < end) {
+            key = ((key << 2) | qseq[i]) & mask;
+            int value = T.get_bound(key, lo, hi);
+            if (value == 0) {
+                i++;
+            } else if (0 < value) {
+                i -= k - 1;
+                int prev = value - 2;
+                int jj = i - 1;
+                while (0 <= jj && 0 <= prev && qseq[jj] == tc[prev]) {
+                    jj--; prev--;
+                }
+                pts.add(jj + 1, 0, prev + 2, 0, 0);
+                value += k - 1;
+                i += k;
+                while (i < end && value < t_len && qseq[i] == tc[value]) {
+                    i++; value++;
+                }
+                size_t idx = pts.n() - 1;
+                pts.qEnd[idx] = i;
+                pts.tEnd[idx] = value + 1;
+                pts.weight[idx] = i - pts.qStart[idx];
+                if (i < end - k) {
+                    key = 0;
+                    for (int b = i; b < i + k - 1; b++)
+                        key = (key << 2) | qseq[b];
+                    i += k - 1;
+                } else {
+                    i = end + 1;
+                }
+            } else {
+                i -= k - 1;
+                int bias = i;
+                auto it = T.map.find(key & mask);
+                for (uint32_t pi = it->second.first; pi < it->second.second;
+                     pi++) {
+                    int value2 = T.pos_flat[pi];
+                    int kk = i;
+                    int prev = value2 - 2;
+                    int jj = kk - 1;
+                    while (0 <= jj && 0 <= prev && qseq[jj] == tc[prev]) {
+                        jj--; prev--;
+                    }
+                    pts.add(jj + 1, 0, prev + 2, 0, 0);
+                    value2 += k - 1;
+                    kk += k;
+                    while (kk < end && value2 < t_len
+                           && qseq[kk] == tc[value2]) {
+                        kk++; value2++;
+                    }
+                    size_t idx = pts.n() - 1;
+                    pts.qEnd[idx] = kk;
+                    pts.tEnd[idx] = value2 + 1;
+                    pts.weight[idx] = kk - pts.qStart[idx];
+                    if (bias < kk) bias = kk;
+                }
+                i = bias + 1;
+                if (i < end - k) {
+                    key = 0;
+                    for (int b = i; b < i + k - 1; b++)
+                        key = (key << 2) | qseq[b];
+                    i += k - 1;
+                } else {
+                    i = end + 1;
+                }
+            }
+        }
+        i = end + 1;
+    }
+}
+
+// ------------------------------------------------------------ tails + KMA
+
+static const int BANDWIDTH = 64;   // align.c:216
+
+// leadTailAln / skipLeadAln (align.c:34-131)
+static void lead_tail_aln(Aligned* aligned, const TIndex& T,
+                          const uint8_t* qseq, int t_e, int t_len, int q_e,
+                          const Penal& pen, bool skip, AlnStat& st,
+                          std::vector<uint8_t>& Ebuf, std::vector<ll>& Dbuf) {
+    st.score = 0; st.pos = t_e; st.len = 0; st.match = 0;
+    st.tGaps = 0; st.qGaps = 0; st.mapQ = 0;
+    if (skip) {
+        if (aligned) aligned->start = q_e;
+        return;
+    }
+    if (!q_e) return;
+    int t_s = 0, q_s = 0;
+    int bw = BANDWIDTH;
+    if ((q_e << 1) < t_e || (q_e + bw) < t_e)
+        t_s = t_e - (q_e + (q_e < bw ? q_e : bw));
+    else if ((t_e << 1) < q_e || (t_e + bw) < q_e)
+        q_s = q_e - (t_e + (t_e < bw ? t_e : bw));
+
+    if (t_e - t_s > 0 && q_e - q_s > 0) {
+        int band = std::abs(t_e - t_s - q_e + q_s) + bw;
+        Aligned frag_store;
+        Aligned* frag = nullptr;
+        if (aligned) { frag_store.pos = t_len; frag = &frag_store; }
+        int k = -1 - (t_s == 0 ? 1 : 0);
+        AlnStat nw;
+        if (q_e - q_s <= band || t_e - t_s <= band)
+            nw_full(T.codes.data(), qseq, k, t_s, t_e, q_s, q_e, pen,
+                    t_len, nw, frag, Ebuf, Dbuf);
+        else
+            nw_band(T.codes.data(), qseq, k, t_s, t_e, q_s, q_e, band, pen,
+                    t_len, nw, frag, Ebuf, Dbuf);
+        if (frag) {
+            int bias = 0;
+            if (t_s == 0) {
+                while (bias < nw.len && (frag->t[bias] == 5
+                                         || frag->q[bias] == 5)) {
+                    if (frag->t[bias] == 5) { nw.tGaps--; frag->start++; }
+                    else nw.qGaps--;
+                    bias++;
+                }
+                nw.len -= bias;
+            }
+            aligned->t.assign(frag->t.begin() + bias,
+                              frag->t.begin() + bias + nw.len);
+            aligned->s.assign(frag->s.begin() + bias,
+                              frag->s.begin() + bias + nw.len);
+            aligned->q.assign(frag->q.begin() + bias,
+                              frag->q.begin() + bias + nw.len);
+            aligned->start = q_s + frag->start;
+        }
+        st.pos -= (nw.len - nw.tGaps);
+        st.score = nw.score;
+        st.len = nw.len;
+        st.match = nw.match;
+        st.tGaps = nw.tGaps;
+        st.qGaps = nw.qGaps;
+    } else if (aligned) {
+        aligned->start = q_s;
+    }
+}
+
+// trailTailAln / skipTrailAln (align.c:133-212)
+static void trail_tail_aln(Aligned* aligned, AlnStat& st, const TIndex& T,
+                           const uint8_t* qseq, int t_s, int t_len, int q_s,
+                           int q_len, const Penal& pen, bool skip,
+                           std::vector<uint8_t>& Ebuf, std::vector<ll>& Dbuf) {
+    if (skip) {
+        if (aligned) aligned->end = q_len - q_s;
+        return;
+    }
+    int q_e = q_len;
+    int t_e = t_len;
+    int bw = BANDWIDTH;
+    if (((q_len - q_s) << 1) < (t_len - t_s)
+        || (q_len - q_s + bw) < (t_len - t_s)) {
+        int te = q_len - q_s;
+        t_e = t_s + (te + (te < bw ? te : bw));
+    } else if (((t_len - t_s) << 1) < (q_len - q_s)
+               || (t_len - t_s + bw) < (q_len - q_s)) {
+        int qe = t_len - t_s;
+        q_e = q_s + (qe + (qe < bw ? qe : bw));
+    }
+
+    int frag_end = 0;
+    if (t_e - t_s > 0 && q_e - q_s > 0) {
+        int band = std::abs(t_e - t_s - q_e + q_s) + bw;
+        Aligned frag_store;
+        Aligned* frag = nullptr;
+        if (aligned) { frag_store.pos = t_len; frag = &frag_store; }
+        int k = 1 + (t_e == t_len ? 1 : 0);
+        AlnStat nw;
+        if (q_e - q_s <= band || t_e - t_s <= band)
+            nw_full(T.codes.data(), qseq, k, t_s, t_e, q_s, q_e, pen,
+                    t_len, nw, frag, Ebuf, Dbuf);
+        else
+            nw_band(T.codes.data(), qseq, k, t_s, t_e, q_s, q_e, band, pen,
+                    t_len, nw, frag, Ebuf, Dbuf);
+        if (frag) {
+            if (t_e == t_len) {
+                int bias = nw.len - 1;
+                while (bias && (frag->t[bias] == 5 || frag->q[bias] == 5)) {
+                    if (frag->t[bias] == 5) { nw.tGaps--; frag->end++; }
+                    else nw.qGaps--;
+                    bias--;
+                }
+                bias++;
+                if (bias != nw.len) nw.len = bias;
+            }
+            aligned->t.insert(aligned->t.end(), frag->t.begin(),
+                              frag->t.begin() + nw.len);
+            aligned->s.insert(aligned->s.end(), frag->s.begin(),
+                              frag->s.begin() + nw.len);
+            aligned->q.insert(aligned->q.end(), frag->q.begin(),
+                              frag->q.begin() + nw.len);
+            frag_end = frag->end;
+        }
+        st.score += nw.score;
+        st.len += nw.len;
+        st.match += nw.match;
+        st.tGaps += nw.tGaps;
+        st.qGaps += nw.qGaps;
+    }
+    if (aligned) aligned->end = q_len - q_e + frag_end;
+}
+
+// ---------------------------------------------------------------- preseed
+
+static int g_preseed_exhaustive = 0;
+
+extern "C" void kaln_set_exhaustive(int v) { g_preseed_exhaustive = v; }
+
+// preseed (align.c:750-770)
+static int preseed(const TIndex& T, const uint8_t* qseq, int qseq_len,
+                   int q_len) {
+    if (g_preseed_exhaustive) return 0;
+    int k = T.k;
+    int i = 0;
+    while (i < q_len) {
+        uint64_t key = 0;
+        bool ok = true;
+        for (int b = i; b < i + k; b++) {
+            if (b >= qseq_len) break;
+            if (qseq[b] > 3) { ok = false; break; }
+            key = (key << 2) | qseq[b];
+        }
+        if (ok && qseq_len - i >= k && T.get_bound(key, 0, T.len))
+            return 0;
+        i += k;
+    }
+    return i;
+}
+
+// ------------------------------------------------------------- kma_align
+
+static Aligned g_aligned;   // last traceback result (single-threaded)
+
+// KMA() / KMA_score (align.c:214-507 / 509-748).  use_points != 0 reuses
+// the seeds left in g_points by a preceding anker_rc call.
+extern "C" int kaln_align(void* h, const uint8_t* qseq, int q_len,
+                          int q_start, int q_end, int lo, int hi, int mq,
+                          int M, int MM, int U, int W1,
+                          const int32_t* dmat,
+                          const int32_t* n_positions, int n_n,
+                          int traceback, int use_points,
+                          int circular, int ts, int skip_tails,
+                          AlnStat* out) {
+    TIndex& T = *(TIndex*)h;
+    Penal pen;
+    pen.M = M; pen.MM = MM; pen.U = U; pen.W1 = W1;
+    for (int a = 0; a < 5; a++)
+        for (int b = 0; b < 5; b++)
+            pen.d[a][b] = dmat[a * 5 + b];
+
+    static std::vector<uint8_t> Ebuf;
+    static std::vector<ll> Dbuf;
+
+    int t_len = T.len;
+    Aligned* aligned = nullptr;
+    if (traceback) {
+        aligned = &g_aligned;
+        aligned->t.clear(); aligned->s.clear(); aligned->q.clear();
+        aligned->pos = t_len;
+        aligned->start = 0; aligned->end = 0;
+        if (lo < hi) { lo = 0; hi = t_len; }   // align.c:237-240
+    }
+
+    Points& pts = g_points;
+    if (!use_points) {
+        pts.clear_all();
+        if (traceback)
+            collect_seeds_bytes(T, qseq, q_len, q_start, q_end, pts, lo, hi);
+        else
+            collect_seeds_comp(T, qseq, n_positions, n_n, q_len, q_start,
+                               q_end, pts);
+        pts.len = (int)pts.n();
+    }
+
+    out->score = 0; out->pos = 0; out->len = 1; out->match = 0;
+    out->tGaps = 0; out->qGaps = 0; out->mapQ = 0;
+    if (!pts.len) {
+        out->len = 1;
+        pts.len = 0;
+        return 0;
+    }
+
+    int start, mapQ;
+    chain_seeds(pts, q_len, t_len, T.k, pen, circular != 0, start, mapQ);
+    out->mapQ = mapQ;
+    ll score = pts.score[start];
+    if (mapQ < mq || score < T.k) {
+        out->len = 1;
+        pts.len = 0;
+        return 0;
+    }
+
+    trim_seeds(pts, start, ts, false);
+
+    AlnStat st;
+    lead_tail_aln(aligned, T, qseq, pts.tStart[start] - 1, t_len,
+                  pts.qStart[start], pen, skip_tails != 0, st, Ebuf, Dbuf);
+
+    for (;;) {
+        int q_s = pts.qStart[start];
+        int seg = pts.qEnd[start] - q_s;
+        if (traceback) {
+            for (int x = q_s; x < pts.qEnd[start]; x++) {
+                uint8_t c = qseq[x];
+                aligned->t.push_back(c);
+                aligned->s.push_back('|');
+                aligned->q.push_back(c);
+            }
+        }
+        st.len += seg;
+        st.match += seg;
+        for (int x = q_s; x < pts.qEnd[start]; x++) {
+            uint8_t nuc = qseq[x];
+            st.score += pen.d[nuc][nuc];
+        }
+
+        if (pts.next[start]) {
+            q_s = pts.qEnd[start];
+            int t_sv = pts.tEnd[start] - 1;
+            start = pts.next[start];
+            if (pts.qStart[start] < q_s) {
+                pts.tStart[start] += q_s - pts.qStart[start];
+                pts.qStart[start] = q_s;
+            }
+            int t_ev = pts.tStart[start] - 1;
+            int t_l;
+            if (t_ev < t_sv) {
+                if (t_sv <= pts.tEnd[start]) {
+                    pts.qStart[start] += t_sv - t_ev;
+                    t_ev = t_sv;
+                    t_l = 0;
+                } else {
+                    t_l = t_len - t_sv + t_ev;
+                }
+            } else {
+                t_l = t_ev - t_sv;
+            }
+            int q_ev = pts.qStart[start];
+
+            if ((ll)std::abs(t_l - q_ev + q_s) * U > (ll)q_len * M
+                || t_l > q_len || q_ev - q_s > (q_len >> 1)) {
+                out->score = 0; out->pos = 0; out->len = 1; out->match = 0;
+                out->tGaps = 0; out->qGaps = 0; out->mapQ = mapQ;
+                if (traceback) {
+                    aligned->t.clear(); aligned->s.clear();
+                    aligned->q.clear();
+                }
+                pts.len = 0;
+                return 0;
+            }
+            if (t_l > 0 || q_ev - q_s > 0) {
+                int band = std::abs(t_l - q_ev + q_s) + BANDWIDTH;
+                Aligned frag_store;
+                Aligned* frag = nullptr;
+                if (traceback) { frag_store.pos = t_len; frag = &frag_store; }
+                AlnStat nw;
+                if (q_ev - q_s <= band || t_l <= band)
+                    nw_full(T.codes.data(), qseq, 0, t_sv, t_ev, q_s, q_ev,
+                            pen, t_len, nw, frag, Ebuf, Dbuf);
+                else
+                    nw_band(T.codes.data(), qseq, 0, t_sv, t_ev, q_s, q_ev,
+                            band, pen, t_len, nw, frag, Ebuf, Dbuf);
+                if (traceback) {
+                    aligned->t.insert(aligned->t.end(), frag->t.begin(),
+                                      frag->t.begin() + nw.len);
+                    aligned->s.insert(aligned->s.end(), frag->s.begin(),
+                                      frag->s.begin() + nw.len);
+                    aligned->q.insert(aligned->q.end(), frag->q.begin(),
+                                      frag->q.begin() + nw.len);
+                }
+                st.score += nw.score;
+                st.len += nw.len;
+                st.match += nw.match;
+                st.tGaps += nw.tGaps;
+                st.qGaps += nw.qGaps;
+            }
+        } else {
+            break;
+        }
+    }
+
+    trail_tail_aln(aligned, st, T, qseq, pts.tEnd[start] - 1, t_len,
+                   pts.qEnd[start], q_len, pen, skip_tails != 0, Ebuf, Dbuf);
+    pts.len = 0;
+    *out = st;
+    out->mapQ = mapQ;
+    return 1;
+}
+
+// fetch the traceback strings of the last kaln_align(traceback=1)
+extern "C" int kaln_aligned_len(void) { return (int)g_aligned.t.size(); }
+extern "C" void kaln_aligned_fetch(uint8_t* t, uint8_t* s, uint8_t* q,
+                                   int32_t* start_end) {
+    size_t n = g_aligned.t.size();
+    memcpy(t, g_aligned.t.data(), n);
+    memcpy(s, g_aligned.s.data(), n);
+    memcpy(q, g_aligned.q.data(), n);
+    start_end[0] = g_aligned.start;
+    start_end[1] = g_aligned.end;
+}
+
+// ------------------------------------------------------------- anker_rc
+
+// anker_rc_comp (align.c:993-1176); returns +score fw, -score rc, 0 none.
+// Fills g_points with the winner's seeds (consumed by kaln_align with
+// use_points=1); *n_points_out reports the seed count.
+extern "C" int kaln_anker_rc_comp(void* h, const uint8_t* qseq,
+                                  const uint8_t* qseq_r,
+                                  const int32_t* n_pos_f, int n_f,
+                                  const int32_t* n_pos_r, int n_r,
+                                  int q_len, int q_start, int q_end,
+                                  int one2one, int* n_points_out) {
+    TIndex& T = *(TIndex*)h;
+    int k = T.k;
+    int t_len = T.len;
+    const uint8_t* tc = T.codes.data();
+    uint64_t mask = (k < 32) ? ((uint64_t(1) << (2 * k)) - 1) : ~uint64_t(0);
+    Points& pts = g_points;
+    pts.clear_all();
+
+    ll bestScore = 0, score = 0, score_r = 0;
+    int mem_count = 0, fw_count = 0;
+    int km_end = q_len - k + 1;
+
+    for (int rc = 0; rc < 2; rc++) {
+        const uint8_t* cur;
+        const int32_t* npos;
+        int n_np;
+        int q_start_c, q_end_c, i;
+        if (rc) {
+            cur = qseq_r; npos = n_pos_r; n_np = n_r;
+            score = score_r;
+            fw_count = mem_count;
+            q_start_c = q_len - q_end;
+            q_end_c = q_len - q_start;
+            i = q_start_c;
+        } else {
+            cur = qseq; npos = n_pos_f; n_np = n_f;
+            q_start_c = q_start; q_end_c = q_end;
+            if (q_start_c) i = q_start_c;
+            else i = preseed(T, cur, q_len, q_end_c - q_start_c);
+        }
+        score_r = 0;
+        mem_count = 0;
+        int si = 0;
+        while (i < q_end_c && si < n_np + 1) {
+            int seg_end = (si < n_np) ? npos[si] : q_len;
+            si++;
+            int end = seg_end - k + 1;
+            while (i < end) {
+                uint64_t key = (i >= 0 && i < km_end)
+                    ? kmer_at(cur, i, k, mask) : 0;
+                int value = T.get(key);
+                if (value == 0) {
+                    i++;
+                } else if (0 < value) {
+                    int prev = value - 2;
+                    int j = i - 1;
+                    while (0 <= j && 0 <= prev && cur[j] == tc[prev]) {
+                        j--; prev--;
+                        score_r++;
+                    }
+                    pts.add(j + 1, 0, prev + 2, 0, 0);
+                    value += k - 1;
+                    i += k;
+                    score_r += k;
+                    while (i < end && value < t_len && cur[i] == tc[value]) {
+                        i++; value++;
+                        score_r++;
+                    }
+                    size_t idx = pts.n() - 1;
+                    pts.qEnd[idx] = i;
+                    pts.tEnd[idx] = value + 1;
+                    pts.weight[idx] = pts.tEnd[idx] - pts.tStart[idx];
+                    mem_count++;
+                    i++;
+                } else {
+                    score_r += k;
+                    int bias = i;
+                    auto it = T.map.find(key);
+                    for (uint32_t pi = it->second.first;
+                         pi < it->second.second; pi++) {
+                        int value2 = T.pos_flat[pi];
+                        int kk = i;
+                        int prev = value2 - 2;
+                        int j = kk - 1;
+                        while (0 <= j && 0 <= prev && cur[j] == tc[prev]) {
+                            j--; prev--;
+                        }
+                        pts.add(j + 1, 0, prev + 2, 0, 0);
+                        value2 += k - 1;
+                        kk += k;
+                        while (kk < end && value2 < t_len
+                               && cur[kk] == tc[value2]) {
+                            kk++; value2++;
+                        }
+                        size_t idx = pts.n() - 1;
+                        pts.qEnd[idx] = kk;
+                        pts.tEnd[idx] = value2 + 1;
+                        pts.weight[idx] = kk - pts.qStart[idx];
+                        mem_count++;
+                        if (bias < kk) bias = kk;
+                    }
+                    score_r += bias - i;
+                    i = bias + 1;
+                }
+            }
+            i = end + k;
+        }
+        if (bestScore < score_r) bestScore = score_r;
+    }
+
+    int result;
+    if (one2one && bestScore < k
+        && bestScore * k < (ll)(q_len - k) - bestScore) {
+        pts.clear_all();
+        pts.len = 0;
+        *n_points_out = 0;
+        return 0;
+    }
+    if (bestScore == score) {
+        pts.trim_to(fw_count);
+        pts.len = fw_count;
+        result = (int)bestScore;
+    } else {
+        pts.shift_down(fw_count, mem_count);
+        pts.len = mem_count;
+        result = -(int)bestScore;
+    }
+    *n_points_out = pts.len;
+    return result;
+}
+
+// anker_rc (align.c:780-991) -- the BYTE variant used by assembly / Mt1
+extern "C" int kaln_anker_rc_bytes(void* h, const uint8_t* qseq,
+                                   const uint8_t* qseq_r, int q_len,
+                                   int q_start, int q_end, int one2one,
+                                   int* n_points_out) {
+    TIndex& T = *(TIndex*)h;
+    int k = T.k;
+    int t_len = T.len;
+    const uint8_t* tc = T.codes.data();
+    uint64_t mask = (k < 32) ? ((uint64_t(1) << (2 * k)) - 1) : ~uint64_t(0);
+    Points& pts = g_points;
+    pts.clear_all();
+
+    ll bestScore = 0, score = 0, score_r = 0;
+    int mem_count = 0, fw_count = 0;
+    int km_end = q_len - k + 1;
+
+    for (int rc = 0; rc < 2; rc++) {
+        const uint8_t* cur;
+        int q_start_c, q_end_c, i;
+        if (rc) {
+            cur = qseq_r;
+            score = score_r;
+            fw_count = mem_count;
+            q_start_c = q_len - q_end;
+            q_end_c = q_len - q_start;
+            i = q_start_c;
+        } else {
+            cur = qseq;
+            q_start_c = q_start; q_end_c = q_end;
+            if (q_start_c) i = q_start_c;
+            else i = preseed(T, cur, q_len, q_end_c - q_start_c);
+        }
+        score_r = 0;
+        mem_count = 0;
+        while (i < q_end_c) {
+            // charpos(qseq, 4, i, q_len); the bound is q_len, an N past
+            // q_end still terminates the segment there
+            int end = q_end_c;
+            for (int x = i; x < q_len; x++) {
+                if (cur[x] == 4) { end = x; break; }
+            }
+            if (i < end - k) {
+                int pos = i + k - 1;
+                while (pos < end) {
+                    int s = pos - k + 1;
+                    uint64_t key = (s >= 0 && s < km_end)
+                        ? kmer_at(cur, s, k, mask) : 0;
+                    int value = T.get(key);
+                    if (value == 0) {
+                        pos++;
+                    } else if (0 < value) {
+                        int prev = value - 2;
+                        int j = s - 1;
+                        while (0 <= j && 0 <= prev && cur[j] == tc[prev]) {
+                            j--; prev--;
+                            score_r++;
+                        }
+                        pts.add(j + 1, 0, prev + 2, 0, 0);
+                        value += k - 1;
+                        int p2 = s + k;
+                        score_r += k;
+                        while (p2 < end && value < t_len
+                               && cur[p2] == tc[value]) {
+                            p2++; value++;
+                            score_r++;
+                        }
+                        size_t idx = pts.n() - 1;
+                        pts.qEnd[idx] = p2;
+                        pts.tEnd[idx] = value + 1;
+                        pts.weight[idx] = pts.tEnd[idx] - pts.tStart[idx];
+                        mem_count++;
+                        pos = (p2 < end - k) ? (p2 + k - 1) : end;
+                    } else {
+                        score_r += k;
+                        int bias = s;
+                        auto it = T.map.find(key);
+                        for (uint32_t pi = it->second.first;
+                             pi < it->second.second; pi++) {
+                            int value2 = T.pos_flat[pi];
+                            int kk = s;
+                            int prev = value2 - 2;
+                            int j = kk - 1;
+                            while (0 <= j && 0 <= prev
+                                   && cur[j] == tc[prev]) {
+                                j--; prev--;
+                            }
+                            pts.add(j + 1, 0, prev + 2, 0, 0);
+                            value2 += k - 1;
+                            kk += k;
+                            while (kk < end && value2 < t_len
+                                   && cur[kk] == tc[value2]) {
+                                kk++; value2++;
+                            }
+                            size_t idx = pts.n() - 1;
+                            pts.qEnd[idx] = kk;
+                            pts.tEnd[idx] = value2 + 1;
+                            pts.weight[idx] = kk - pts.qStart[idx];
+                            mem_count++;
+                            if (bias < kk) bias = kk;
+                        }
+                        score_r += bias - s;
+                        int nx = bias + 1;
+                        pos = (nx < end - k) ? (nx + k - 1) : end;
+                    }
+                }
+            }
+            i = end + 1;
+        }
+        if (bestScore < score_r) bestScore = score_r;
+    }
+
+    int result;
+    if (one2one && bestScore < k
+        && bestScore * k < (ll)(q_len - k) - bestScore) {
+        pts.clear_all();
+        pts.len = 0;
+        *n_points_out = 0;
+        return 0;
+    }
+    if (bestScore == score) {
+        pts.trim_to(fw_count);
+        pts.len = fw_count;
+        result = (int)bestScore;
+    } else {
+        pts.shift_down(fw_count, mem_count);
+        pts.len = mem_count;
+        result = -(int)bestScore;
+    }
+    *n_points_out = pts.len;
+    return result;
+}
