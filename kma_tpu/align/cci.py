@@ -19,7 +19,7 @@ from ..io.seq import kmer_scan
 class TemplateIndex:
     """Seed-position index over one template sequence."""
 
-    __slots__ = ("len", "kmerindex", "codes", "kmer_pos",
+    __slots__ = ("len", "kmerindex", "codes", "_kmer_pos",
                  "native", "__weakref__")
 
     def __init__(self, codes: np.ndarray, kmersize: int):
@@ -27,20 +27,32 @@ class TemplateIndex:
         self.len = len(codes)
         self.kmerindex = kmersize
         self.codes = codes  # template codes 0..3 (Ns packed as A upstream)
-        self.kmer_pos: Dict[int, np.ndarray] = {}
-        end = self.len - kmersize + 1
-        if end > 0:
-            kmers = kmer_scan(codes, kmersize)
-            order = np.argsort(kmers, kind="stable")
-            sk = kmers[order]
-            boundaries = np.flatnonzero(np.concatenate(([True], sk[1:] != sk[:-1])))
-            starts = boundaries.tolist() + [len(sk)]
-            for bi in range(len(boundaries)):
-                km = int(sk[starts[bi]])
-                if km == 0:
-                    continue  # "likely undefined region" (hashmapcci.c:414)
-                pos = np.sort(order[starts[bi]: starts[bi + 1]]) + 1
-                self.kmer_pos[km] = pos.astype(np.int64)
+        # built lazily: the native engine keeps its own index, so most
+        # templates never need the Python dict (runs with the C++ aligner
+        # only touch it through the pure-Python fallback paths)
+        self._kmer_pos: Optional[Dict[int, np.ndarray]] = None
+
+    @property
+    def kmer_pos(self) -> Dict[int, np.ndarray]:
+        if self._kmer_pos is None:
+            kp: Dict[int, np.ndarray] = {}
+            kmersize = self.kmerindex
+            end = self.len - kmersize + 1
+            if end > 0:
+                kmers = kmer_scan(self.codes, kmersize)
+                order = np.argsort(kmers, kind="stable")
+                sk = kmers[order]
+                boundaries = np.flatnonzero(
+                    np.concatenate(([True], sk[1:] != sk[:-1])))
+                starts = boundaries.tolist() + [len(sk)]
+                for bi in range(len(boundaries)):
+                    km = int(sk[starts[bi]])
+                    if km == 0:
+                        continue  # "undefined region" (hashmapcci.c:414)
+                    pos = np.sort(order[starts[bi]: starts[bi + 1]]) + 1
+                    kp[km] = pos.astype(np.int64)
+            self._kmer_pos = kp
+        return self._kmer_pos
 
     def get(self, kmer: int) -> int:
         """hashMapCCI_get semantics (hashmapcci.c:95-124): 0 = miss,

@@ -99,6 +99,20 @@ def get_lib():
     lib.kaln_anker_rc_bytes.argtypes = [
         ctypes.c_void_p, u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, i32p]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    vpp = ctypes.POINTER(ctypes.c_void_p)
+    lib.kaln_frags_se_batch.restype = None
+    lib.kaln_frags_se_batch.argtypes = [
+        vpp, i32p, i64p,                 # handles, tpl ids, tpl offsets
+        u8p, i64p,                       # codes flat, offsets
+        i32p, i64p,                      # npos flat, offsets
+        i32p, u8p, ctypes.c_int,         # qbounds, arc flags, n_reads
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int,
+        i32p, i64p, f64p,                # nhits, best_score, best_frac
+        i32p, i32p, i32p, i64p, i32p]    # tpl, start, end, score, len
     _lib = lib
     return _lib
 
@@ -177,6 +191,46 @@ def kma_align(tindex, qseq, q_len, q_start, q_end, lo, hi, mq, rew, points,
         aligned = Aligned(t=t, s=s, q=qq, start=int(se[0]), end=int(se[1]),
                           pos=tindex.len, mapQ=st.mapQ)
     return stat, aligned, st.mapQ
+
+
+def _i64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def frags_se_batch(handles: np.ndarray, tpl_ids: np.ndarray,
+                   tpl_off: np.ndarray, codes_flat: np.ndarray,
+                   codes_off: np.ndarray, npos_flat: np.ndarray,
+                   npos_off: np.ndarray, qbounds: np.ndarray,
+                   arc_flags: np.ndarray, rew, kmersize: int, minlen: int,
+                   mq: int, scoreT: float, mrc: float, n_threads: int):
+    """Threaded native alnFragsSE over a read batch (alnfrags.c:1052-1218,
+    2150-2293).  Returns (n_hits [n], best_score i64 [n], best_frac f64 [n],
+    tpl/start/end/score/length flat arrays; read r's hits live at
+    tpl_off[r] .. tpl_off[r]+n_hits[r])."""
+    lib = get_lib()
+    n = len(arc_flags)
+    total = int(tpl_off[-1])
+    d = _dmat(rew.d)
+    out_nhits = np.zeros(n, np.int32)
+    out_best = np.zeros(n, np.int64)
+    out_frac = np.zeros(n, np.float64)
+    out_tpl = np.zeros(total, np.int32)
+    out_start = np.zeros(total, np.int32)
+    out_end = np.zeros(total, np.int32)
+    out_score = np.zeros(total, np.int64)
+    out_len = np.zeros(total, np.int32)
+    lib.kaln_frags_se_batch(
+        handles.ctypes.data_as(ctypes.POINTER(ctypes.c_void_p)),
+        _i32p(tpl_ids), _i64p(tpl_off), _u8p(codes_flat), _i64p(codes_off),
+        _i32p(npos_flat), _i64p(npos_off), _i32p(qbounds), _u8p(arc_flags),
+        n, rew.M, rew.MM, rew.U, rew.W1, _i32p(d), kmersize, minlen, mq,
+        scoreT, mrc, n_threads,
+        _i32p(out_nhits), _i64p(out_best),
+        out_frac.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        _i32p(out_tpl), _i32p(out_start), _i32p(out_end), _i64p(out_score),
+        _i32p(out_len))
+    return (out_nhits, out_best, out_frac, out_tpl, out_start, out_end,
+            out_score, out_len)
 
 
 def anker_rc_comp(tindex, qseq, qseq_r, n_pos_f, n_pos_r, q_len, q_start,

@@ -54,8 +54,8 @@ def murmur32_np(x, seed=MURMUR_SEED) -> np.ndarray:
 
 
 def murmur32(x: jax.Array, seed=MURMUR_SEED) -> jax.Array:
-    v = (x ^ jnp.uint32(seed)) * jnp.uint32(0x5BD1E995)
-    return v ^ (v >> jnp.uint32(15))
+    v = (x ^ np.uint32(seed)) * np.uint32(0x5BD1E995)
+    return v ^ (v >> np.uint32(15))
 
 
 def _cuckoo_build(keys: np.ndarray, voffs: np.ndarray, n: int,
@@ -211,25 +211,25 @@ def lookup_voffsets(exist, kv, kmers, size: int, max_probe: int,
     """values-offset per k-mer or -1 (hashMap_getGlobal semantics over the
     device layout)."""
     if mega:
-        off = exist[(kmers & jnp.uint32(size - 1)).astype(jnp.int32)]
-        return jnp.where(off == jnp.int32(null_index), -1, off)
+        off = exist[(kmers & np.uint32(size - 1)).astype(jnp.int32)]
+        return jnp.where(off == np.int32(null_index), -1, off)
     if max_probe == 0:
         # cuckoo layout: key at murmur(seed1) in half 0 or murmur(seed2)
         # in half 1; empty slots carry offset -1
-        mask = jnp.uint32(size - 1)
+        mask = np.uint32(size - 1)
         km = kmers.astype(jnp.int32)
         b1 = (murmur32(kmers) & mask).astype(jnp.int32)
         b2 = (murmur32(kmers, MURMUR_SEED2) & mask).astype(jnp.int32) \
-            + jnp.int32(size)
+            + np.int32(size)
         e1 = kv[b1]
         e2 = kv[b2]
         return jnp.where((e1[..., 0] == km) & (e1[..., 1] >= 0),
                          e1[..., 1],
                          jnp.where((e2[..., 0] == km) & (e2[..., 1] >= 0),
-                                   e2[..., 1], jnp.int32(-1)))
-    bucket = murmur32(kmers) & jnp.uint32(size - 1)
+                                   e2[..., 1], np.int32(-1)))
+    bucket = murmur32(kmers) & np.uint32(size - 1)
     pos0 = exist[bucket.astype(jnp.int32)]
-    found_pos = jnp.full(kmers.shape, -1, dtype=jnp.int32)
+    found_pos = jax.lax.full_like(kmers, -1, dtype=jnp.int32)
     km_i32 = kmers.astype(jnp.int32)
     done = pos0 < 0
     pos0 = jnp.where(done, 0, pos0)
@@ -240,7 +240,7 @@ def lookup_voffsets(exist, kv, kmers, size: int, max_probe: int,
         found_pos = jnp.where(hit, pos, found_pos)
         if step + 1 < max_probe:
             same_bucket = (murmur32(key.astype(jnp.uint32))
-                           & jnp.uint32(size - 1)) == bucket
+                           & np.uint32(size - 1)) == bucket
             done = done | hit | ~same_bucket
     ok = found_pos >= 0
     return jnp.where(ok, kv[jnp.where(ok, found_pos, 0), 1], -1)
@@ -251,9 +251,10 @@ def batch_kmers(codes: jax.Array, k: int) -> jax.Array:
     masks); returns [B, L-k+1] uint32 (k <= 16)."""
     c = jnp.where(codes == 4, 0, codes).astype(jnp.uint32)
     L = codes.shape[-1]
-    out = jnp.zeros(codes.shape[:-1] + (L - k + 1,), dtype=jnp.uint32)
-    for j in range(k):
-        out = out + (c[..., j: L - k + 1 + j] << jnp.uint32(2 * (k - 1 - j)))
+    W = L - k + 1
+    out = c[..., 0:W] << np.uint32(2 * (k - 1))
+    for j in range(1, k):
+        out = out + (c[..., j: W + j] << np.uint32(2 * (k - 1 - j)))
     return out
 
 
@@ -264,6 +265,6 @@ def valid_windows(codes: jax.Array, lengths: jax.Array, k: int) -> jax.Array:
     L = codes.shape[-1]
     width = L - k + 1
     n_in_window = cs[..., k - 1:] - jnp.pad(cs, ((0, 0), (1, 0)))[..., :width]
-    pos = jnp.arange(width)
+    pos = np.arange(width, dtype=np.int32)
     fits = pos[None, :] + k <= lengths[:, None]
     return (n_in_window == 0) & fits

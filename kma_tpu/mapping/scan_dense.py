@@ -48,7 +48,9 @@ from .device_index import (MURMUR_SEED2, _cuckoo_build, batch_kmers,
 from .scan_jax import (_reconnect_score, _run_transition_score,
                        _segment_starts, ScanParams)
 
-BIG = jnp.int32(0x3FFFFFFF)
+# host scalar: device-array constants force a D2H fetch at jit lowering
+# time (catastrophic over the axon tunnel); np constants embed for free
+BIG = np.int32(0x3FFFFFFF)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -148,19 +150,19 @@ def _lookup_rows(didx_arrays, kmers, *, mega, size, max_probe):
     """list id per k-mer window, or -1 (hashMap_getGlobal semantics)."""
     exist, kv = didx_arrays
     if mega:
-        row = exist[(kmers & jnp.uint32(size - 1)).astype(jnp.int32)]
+        row = exist[(kmers & np.uint32(size - 1)).astype(jnp.int32)]
         return row
     # cuckoo: two gathers
-    mask = jnp.uint32(size - 1)
+    mask = np.uint32(size - 1)
     km = kmers.astype(jnp.int32)
     b1 = (murmur32(kmers) & mask).astype(jnp.int32)
     b2 = (murmur32(kmers, MURMUR_SEED2) & mask).astype(jnp.int32) \
-        + jnp.int32(size)
+        + np.int32(size)
     e1 = kv[b1]
     e2 = kv[b2]
     return jnp.where((e1[..., 0] == km) & (e1[..., 1] >= 0), e1[..., 1],
                      jnp.where((e2[..., 0] == km) & (e2[..., 1] >= 0),
-                               e2[..., 1], jnp.int32(-1)))
+                               e2[..., 1], np.int32(-1)))
 
 
 def _dense_strand_scan(codes, lengths, didx_arrays, bits,
@@ -186,16 +188,17 @@ def _dense_strand_scan(codes, lengths, didx_arrays, bits,
 
     if not p.exhaustive:
         seg_start = _segment_starts(codes)[:, :W]
-        probe = valid & (((jnp.arange(W)[None, :] - seg_start) % k) == 0)
+        probe = valid & (((np.arange(W, dtype=np.int32)[None, :] - seg_start)
+                          % k) == 0)
         quick = jnp.any(probe & hit, axis=-1)
         hit = hit & quick[:, None]
         rows = jnp.where(hit, rows, -1)
 
-    posW = jnp.arange(W)[None, :]
+    posW = np.arange(W, dtype=np.int32)[None, :]
     hit_pos = jnp.where(hit, posW, -1)
     last_hit_le = jax.lax.cummax(hit_pos, axis=1)
     prev_hit = jnp.concatenate(
-        [jnp.full((G, 1), -1, last_hit_le.dtype), last_hit_le[:, :-1]],
+        [np.full((G, 1), -1, np.int32), last_hit_le[:, :-1]],
         axis=-1)
     has_prev = prev_hit >= 0
     # carry-forward of the last hit's list id (associative select scan;
@@ -204,7 +207,7 @@ def _dense_strand_scan(codes, lengths, didx_arrays, bits,
         lambda a, b: jnp.where(b < 0, a, b),
         jnp.where(hit, rows, -1), axis=1)
     rows_prev = jnp.concatenate(
-        [jnp.full((G, 1), -1, rows_fill.dtype), rows_fill[:, :-1]], axis=-1)
+        [np.full((G, 1), -1, np.int32), rows_fill[:, :-1]], axis=-1)
     same_run = hit & has_prev & (rows_prev == rows)
     new_run = hit & ~same_run
     gap = posW - prev_hit - 1
@@ -217,7 +220,7 @@ def _dense_strand_scan(codes, lengths, didx_arrays, bits,
     n_runs = jnp.sum(new_run, axis=-1)
     run_ov = n_runs > R
     run_seg = jnp.cumsum(new_run.astype(jnp.int32), axis=-1)
-    rids = jnp.arange(1, R + 1, dtype=jnp.int32)[None, :, None]
+    rids = np.arange(1, R + 1, dtype=np.int32)[None, :, None]
     seg3 = run_seg[:, None, :]
     in_run = (seg3 == rids) & hit[:, None, :]
     is_start = (seg3 == rids) & new_run[:, None, :]
@@ -234,13 +237,14 @@ def _dense_strand_scan(codes, lengths, didx_arrays, bits,
     # HBM traffic -- int16 when the score range allows, halving it);
     # membership comes from bit-packed [t_pad/32]-word rows (32x less
     # gather volume than an id table).
-    kM = jnp.int32(k * p.M)
+    kM = np.int32(k * p.M)
     rc_col = rc_branch[:, None]
-    shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 32), 2)
+    shifts = np.arange(32, dtype=np.uint32)[None, None, :]
     CHUNK = 8
     pmax = max(abs(p.M), abs(p.MM), abs(p.U), abs(p.W1))
-    sdt = jnp.int16 if (W + k + 2) * pmax * 4 < 32000 else jnp.int32
-    SBIG = jnp.asarray(0x7FFF if sdt == jnp.int16 else BIG, sdt)
+    small_state = (W + k + 2) * pmax * 4 < 32000
+    sdt = jnp.int16 if small_state else jnp.int32
+    SBIG = np.int16(0x7FFF) if small_state else np.int32(BIG)
 
     def chunk_body(c, state):
         score, ext, first = state
@@ -249,7 +253,7 @@ def _dense_strand_scan(codes, lengths, didx_arrays, bits,
             rr = jnp.minimum(r, R - 1)
             act = run_valid[:, rr] & (r < R)
             rows = bits[run_row[:, rr]]          # [G, w32] u32 row gather
-            memb = ((rows[:, :, None] >> shifts) & jnp.uint32(1)
+            memb = ((rows[:, :, None] >> shifts) & np.uint32(1)
                     ).reshape(G, t_pad)
             inc = first < SBIG
             ism = act[:, None] & (memb != 0)
@@ -261,9 +265,12 @@ def _dense_strand_scan(codes, lengths, didx_arrays, bits,
             ext = jnp.where(ism, run_end[:, rr, None].astype(sdt), ext)
         return score, ext, first
 
-    init = (jnp.zeros((G, t_pad), sdt),
-            jnp.zeros((G, t_pad), sdt),
-            jnp.full((G, t_pad), SBIG, sdt))
+    # traced fulls: trace-time jnp.zeros would materialize [G, t_pad]
+    # constants and fetch them back during lowering
+    zstate = jax.lax.full_like(lengths, 0, dtype=sdt, shape=(G, t_pad))
+    init = (zstate, zstate,
+            jax.lax.full_like(lengths, int(SBIG), dtype=sdt,
+                              shape=(G, t_pad)))
     # loop only to the batch's actual max run count (traced bound)
     r_max = jnp.minimum(jnp.max(n_runs), R).astype(jnp.int32)
     n_chunks = (r_max + CHUNK - 1) // CHUNK
@@ -271,7 +278,7 @@ def _dense_strand_scan(codes, lengths, didx_arrays, bits,
 
     inc = first < SBIG
     score = jnp.where(inc, jnp.maximum(score, 0),
-                      jnp.asarray(0, sdt))  # savekmers.c:2750-2752
+                      SBIG * 0)  # savekmers.c:2750-2752
     bestScore = jnp.max(score, axis=-1).astype(jnp.int32)
 
     if proxi_frac is None:
@@ -300,7 +307,7 @@ def _dense_strand_scan(codes, lengths, didx_arrays, bits,
     # are indexed in id order, updateindex.c:33-77), so the in-list
     # position key IS the template id -- no id-table gather needed
     key = jnp.where(cand_ok,
-                    cand_first * jnp.int32(t_pad + 1) + tids, BIG)
+                    cand_first * np.int32(t_pad + 1) + tids, BIG)
     key2, tids = jax.lax.sort_key_val(key, tids)
     tids = jnp.where(key2 < BIG, tids, 0).astype(jnp.int32)
     return bestScore, tids, n_best, run_ov, tie_ov, score
@@ -343,8 +350,8 @@ def _emit_pack(bestScore, tids, n_best, run_ov, tie_ov, B, k, flat_cap,
 
     # pack [first[:n1], -tr[:n2]] contiguously via one stable key sort
     # (a positional gather here lowers to the ~100M elem/s scalar path)
-    j = jnp.arange(2 * MB)[None, :]
-    posf = jnp.arange(MB)[None, :]
+    j = np.arange(2 * MB, dtype=np.int32)[None, :]
+    posf = np.arange(MB, dtype=np.int32)[None, :]
     keyf = jnp.where(posf < n1[:, None], posf, BIG)
     keyr = jnp.where(posf < n2[:, None], n1[:, None] + posf, BIG)
     keys = jnp.concatenate([keyf, keyr], axis=-1)
@@ -355,7 +362,8 @@ def _emit_pack(bestScore, tids, n_best, run_ov, tie_ov, B, k, flat_cap,
     off = jnp.cumsum(n_out) - n_out
     flat_idx = jnp.where(rvalid, off[:, None] + j, flat_cap)
     dt = jnp.int16 if small_ids else jnp.int32
-    flat = jnp.zeros(flat_cap, dt).at[flat_idx.reshape(-1)].set(
+    flat = jax.lax.full_like(bestScore, 0, dtype=dt, shape=(flat_cap,)
+                             ).at[flat_idx.reshape(-1)].set(
         row.astype(dt).reshape(-1), mode="drop")
     meta = jnp.stack(
         [score.astype(jnp.int32),
@@ -374,7 +382,7 @@ def dense_scan_device(codes, lengths, exist, kv, bits, *, sparams,
     reverse-complement rows (the device reversal gather cost 5.5 ms)."""
     p = ScanParams(*sparams)
     G = codes.shape[0] // 2
-    rc_rowsg = jnp.arange(2 * G) >= G
+    rc_rowsg = np.arange(2 * G, dtype=np.int32) >= G
     bestScore, tids, n_best, run_ov, tie_ov, _ = _dense_strand_scan(
         codes, lengths, (exist, kv), bits, p, rc_rowsg,
         mega=mega, size=size, max_probe=max_probe, t_pad=t_pad,
@@ -388,12 +396,12 @@ def unpack_2bit(packed, n_mask, *, L):
     """[B, ceil(L/16)] u32 2-bit words + [B, ceil(L/32)] u32 N bitmask ->
     [B, L] u8 codes (N restored as code 4).  Fixed shapes per (B, L) so
     the per-batch N count never triggers a recompile."""
-    pos = jnp.arange(L)
+    pos = np.arange(L, dtype=np.int32)
     word = packed[:, pos // 16]
-    codes = ((word >> (2 * (pos % 16)).astype(jnp.uint32)) & 3
+    codes = ((word >> (2 * (pos % 16)).astype(np.uint32)) & 3
              ).astype(jnp.uint8)
     nw = n_mask[:, pos // 32]
-    is_n = ((nw >> (pos % 32).astype(jnp.uint32)) & 1) != 0
+    is_n = ((nw >> (pos % 32).astype(np.uint32)) & 1) != 0
     return jnp.where(is_n, jnp.uint8(4), codes)
 
 

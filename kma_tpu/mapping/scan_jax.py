@@ -32,7 +32,7 @@ import numpy as np
 from .device_index import (DeviceIndex, batch_kmers, lookup_voffsets,
                            valid_windows)
 
-BIG = jnp.int32(0x3FFFFFFF)
+BIG = np.int32(0x3FFFFFFF)  # host scalar: no device fetch at lowering
 COMP_TABLE = jnp.array([3, 2, 1, 0, 4, 5, 6, 7], dtype=jnp.uint8)
 MAX_BEST = 64  # static tie-list bound; host fallback beyond
 
@@ -108,7 +108,7 @@ def _reconnect_score(gap, p: ScanParams, rc_branch):
 def rc_batch(codes: jax.Array, lengths: jax.Array) -> jax.Array:
     """Per-read reverse complement within the padded buffer."""
     L = codes.shape[-1]
-    idx = lengths[:, None] - 1 - jnp.arange(L)[None, :]
+    idx = lengths[:, None] - 1 - np.arange(L, dtype=np.int32)[None, :]
     ok = idx >= 0
     gathered = jnp.take_along_axis(codes, jnp.where(ok, idx, 0), axis=-1)
     # arithmetic complement (0<->3, 1<->2, >=4 unchanged): a gather from a
@@ -120,7 +120,7 @@ def rc_batch(codes: jax.Array, lengths: jax.Array) -> jax.Array:
 def _segment_starts(codes: jax.Array) -> jax.Array:
     """For each window position, the start of its N-free segment."""
     L = codes.shape[-1]
-    pos = jnp.arange(L)[None, :]
+    pos = np.arange(L, dtype=np.int32)[None, :]
     lastN = jax.lax.cummax(jnp.where(codes == 4, pos, -1), axis=1)
     return lastN + 1
 
@@ -145,16 +145,17 @@ def _strand_scan(codes, lengths, lookup_fn, values, p: ScanParams,
     # quick stride-k probe (savekmers.c:2485-2495)
     if not p.exhaustive:
         seg_start = _segment_starts(codes)[:, :W]
-        probe = valid & (((jnp.arange(W)[None, :] - seg_start) % k) == 0)
+        probe = valid & (((np.arange(W, dtype=np.int32)[None, :]
+                           - seg_start) % k) == 0)
         quick = jnp.any(probe & hit, axis=-1)
         hit = hit & quick[:, None]
         voff = jnp.where(hit, voff, -1)
 
-    posW = jnp.arange(W)[None, :]
+    posW = np.arange(W, dtype=np.int32)[None, :]
     hit_pos = jnp.where(hit, posW, -1)
     last_hit_le = jax.lax.cummax(hit_pos, axis=1)  # latest hit <= pos
     prev_hit = jnp.concatenate(
-        [jnp.full((B, 1), -1, last_hit_le.dtype), last_hit_le[:, :-1]],
+        [np.full((B, 1), -1, np.int32), last_hit_le[:, :-1]],
         axis=-1)
     has_prev = prev_hit >= 0
     voff_prev = jnp.take_along_axis(voff, jnp.where(has_prev, prev_hit, 0),
@@ -177,12 +178,12 @@ def _strand_scan(codes, lengths, lookup_fn, values, p: ScanParams,
     rs_safe = jnp.where(run_valid, run_start, 0)
     run_voff = jnp.take_along_axis(voff, rs_safe, axis=-1)
     nxt = jnp.concatenate(
-        [run_start[:, 1:], jnp.full((B, 1), BIG, run_start.dtype)], axis=-1)
+        [run_start[:, 1:], np.full((B, 1), BIG, np.int32)], axis=-1)
     nxt = jnp.where(nxt < BIG, nxt, W)
     # run end = latest hit before the next run's start
     run_end = jnp.take_along_axis(last_hit_le, nxt - 1, axis=-1)
     # run score = sum of in-run transitions in [start, next_start)
-    ct_pad = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), cum_trans],
+    ct_pad = jnp.concatenate([np.zeros((B, 1), np.int32), cum_trans],
                              axis=-1)
     run_score = (jnp.take_along_axis(ct_pad, nxt, axis=-1)
                  - jnp.take_along_axis(ct_pad, rs_safe, axis=-1))
@@ -203,7 +204,7 @@ def _strand_scan(codes, lengths, lookup_fn, values, p: ScanParams,
     n_pairs = pair_start[:, -1] + cntR[:, -1]
     overflow = overflow | (n_pairs > PAIR_CAP)
 
-    pidx = jnp.arange(PAIR_CAP)[None, :]
+    pidx = np.arange(PAIR_CAP, dtype=np.int32)[None, :]
     pvalid = pidx < jnp.minimum(n_pairs, PAIR_CAP)[:, None]
 
     # packed run attributes; bit budget checked statically
@@ -214,7 +215,7 @@ def _strand_scan(codes, lengths, lookup_fn, values, p: ScanParams,
     PSB = (PAIR_CAP + 1).bit_length()        # pair_start bits
     if RB + PSB > 31 or SCORE_BITS < 12:
         raise NotImplementedError("read length too large for packed scan")
-    run_idx = jnp.arange(R)[None, :]
+    run_idx = np.arange(R, dtype=np.int32)[None, :]
     ne = run_valid & (cntR > 0)
     pb_run = ((jnp.clip(run_score + SCORE_BIAS, 0, (1 << SCORE_BITS) - 1)
                << (2 * PB))
@@ -229,9 +230,10 @@ def _strand_scan(codes, lengths, lookup_fn, values, p: ScanParams,
         jnp.where(ne, psm | (run_voff & 0xFFFF), -1),
         jnp.where(ne, psm | ((run_voff >> 16) & 0x7FFF), -1),
     ]
-    binc = jnp.arange(B)[:, None].repeat(R, 1)
+    binc = np.repeat(np.arange(B, dtype=np.int32)[:, None], R, 1)
     ps_clip = jnp.minimum(pair_start, PAIR_CAP - 1)
-    base = jnp.full((B, PAIR_CAP, 5), -1, jnp.int32)
+    base = jax.lax.full_like(codes, -1, dtype=jnp.int32,
+                             shape=(B, PAIR_CAP, 5))
     seeds = base.at[binc, ps_clip].max(jnp.stack(seed_list, axis=-1))
     car = jax.lax.cummax(seeds, axis=1)
     car_rp = car[..., 0]
@@ -260,7 +262,7 @@ def _strand_scan(codes, lengths, lookup_fn, values, p: ScanParams,
         [tid_s[:, 1:] != tid_s[:, :-1], jnp.ones((B, 1), bool)], axis=-1) \
         & valid_s
     prev_end = jnp.concatenate(
-        [jnp.zeros((B, 1), end_s.dtype), end_s[:, :-1]], axis=-1)
+        [np.zeros((B, 1), np.int32), end_s[:, :-1]], axis=-1)
     rec_gap = (start_s - 1) - prev_end
     add_first = jnp.where(first, p.k * p.M,
                           _reconnect_score(rec_gap, p, rc_branch[:, None]))
@@ -330,7 +332,7 @@ def strand_scan_device(codes, lengths, exist, kv, values, params: Tuple):
     B = codes.shape[0]
     both = jnp.concatenate([codes, rc_batch(codes, lengths)], axis=0)
     lens2 = jnp.concatenate([lengths, lengths], axis=0)
-    rc_rows = jnp.arange(2 * B) >= B
+    rc_rows = np.arange(2 * B, dtype=np.int32) >= B
     return _strand_scan(both, lens2, lookup_fn, values, p, rc_rows)
 
 

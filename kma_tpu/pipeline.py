@@ -1215,11 +1215,98 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                               min_len=cfg.min_len, max_len=cfg.max_len,
                               qc=qc)
         if device_stream is not None:
+            # Batched step-3: buffer the device scanner's ankers and align
+            # them through the threaded native engine (alnfrags.c worker
+            # pool analog) instead of one ctypes call per (read, template).
+            from .align import native_aln as _nat
+            use_batch = _nat.get_lib() is not None and not cfg.mem_mode
+            pend: List[tuple] = []
+
+            def flush_aln():
+                if not pend:
+                    return
+                import struct as _struct
+                nb = len(pend)
+                tpl_off = np.zeros(nb + 1, np.int64)
+                codes_off = np.zeros(nb + 1, np.int64)
+                npos_off = np.zeros(nb + 1, np.int64)
+                qb = np.zeros(2 * nb, np.int32)
+                arcs = np.zeros(nb, np.uint8)
+                handles_l, ids_l, codes_l, npos_l = [], [], [], []
+                for i, (codes, n_pos, rc_flag, templates, header,
+                        flag) in enumerate(pend):
+                    q_len = len(codes)
+                    q_start, q_end = 0, q_len
+                    if (len(header) > 2 * 4 + 1
+                            and header[len(header) - 2 * 4 - 1] == 0):
+                        q_start, q_end = _struct.unpack_from(
+                            "<ii", header, len(header) - 8)
+                    qb[2 * i] = q_start
+                    qb[2 * i + 1] = q_end
+                    arcs[i] = 1 if rc_flag < 0 else 0
+                    codes_l.append(np.ascontiguousarray(codes, np.uint8))
+                    npos_l.append(np.ascontiguousarray(n_pos, np.int32))
+                    hh = np.empty(len(templates), np.uint64)
+                    for j, t in enumerate(templates):
+                        hh[j] = _nat.native_handle(store.get(abs(int(t))))
+                    handles_l.append(hh)
+                    ids_l.append(np.asarray(templates, np.int32))
+                    tpl_off[i + 1] = tpl_off[i] + len(templates)
+                    codes_off[i + 1] = codes_off[i] + q_len
+                    npos_off[i + 1] = npos_off[i] + len(npos_l[-1])
+                handles = np.ascontiguousarray(np.concatenate(handles_l))
+                tpl_ids = np.ascontiguousarray(np.concatenate(ids_l))
+                codes_flat = np.concatenate(codes_l)
+                npos_flat = (np.concatenate(npos_l) if npos_l
+                             else np.zeros(0, np.int32))
+                nh, best, frac, otpl, ostart, oend, oscore, olen = \
+                    _nat.frags_se_batch(
+                        handles, tpl_ids, tpl_off, codes_flat, codes_off,
+                        np.ascontiguousarray(npos_flat), npos_off, qb, arcs,
+                        rew, kmersize, cfg.min_len, cfg.mq, cfg.score_t,
+                        cfg.mrc, max(1, cfg.threads))
+                for i, (codes, n_pos, rc_flag, templates, header,
+                        flag) in enumerate(pend):
+                    if best[i] <= kmersize:
+                        continue
+                    b = int(tpl_off[i])
+                    e = b + int(nh[i])
+                    rec, sel_scores = update_scores(
+                        codes, len(codes), aln_min_frac, int(nh[i]),
+                        int(best[i]), float(frac[i]), ostart[b:e].tolist(),
+                        oend[b:e].tolist(), otpl[b:e].tolist(),
+                        oscore[b:e].tolist(), olen[b:e].tolist(), header,
+                        flag)
+                    if rec.best_hits == 1:
+                        t = abs(rec.templates[0])
+                        alignment_scores[t] += sel_scores[0]
+                        uniq_alignment_scores[t] += rec.score
+                    else:
+                        for j, t in enumerate(rec.templates):
+                            alignment_scores[abs(t)] += sel_scores[j]
+                    records.append(rec)
+                pend.clear()
+
             for read, hit in device_stream.stream(reads_it):
                 n_frags += 1
-                if hit is not None:
+                if hit is None:
+                    continue
+                if not use_batch:
                     handle_se_anker(hit.codes, hit.n_positions, hit.rc_flag,
                                     hit.templates, hit.header, hit.flag)
+                    continue
+                templates = hit.templates
+                if contamination is not None:
+                    templates = decon_filter(templates)
+                    if not templates:
+                        continue
+                if kmersize > len(hit.codes):
+                    continue
+                pend.append((hit.codes, hit.n_positions, hit.rc_flag,
+                             templates, hit.header, hit.flag))
+                if len(pend) >= 2048:
+                    flush_aln()
+            flush_aln()
         else:
             for read in reads_it:
                 n_frags += 1

@@ -1073,37 +1073,28 @@ static int preseed(const TIndex& T, const uint8_t* qseq, int qseq_len,
 
 static Aligned g_aligned;   // last traceback result (single-threaded)
 
-// KMA() / KMA_score (align.c:214-507 / 509-748).  use_points != 0 reuses
-// the seeds left in g_points by a preceding anker_rc call.
-extern "C" int kaln_align(void* h, const uint8_t* qseq, int q_len,
-                          int q_start, int q_end, int lo, int hi, int mq,
-                          int M, int MM, int U, int W1,
-                          const int32_t* dmat,
-                          const int32_t* n_positions, int n_n,
-                          int traceback, int use_points,
-                          int circular, int ts, int skip_tails,
-                          AlnStat* out) {
-    TIndex& T = *(TIndex*)h;
-    Penal pen;
-    pen.M = M; pen.MM = MM; pen.U = U; pen.W1 = W1;
-    for (int a = 0; a < 5; a++)
-        for (int b = 0; b < 5; b++)
-            pen.d[a][b] = dmat[a * 5 + b];
-
-    static std::vector<uint8_t> Ebuf;
-    static std::vector<ll> Dbuf;
-
+// KMA() / KMA_score core (align.c:214-507 / 509-748).  pts/Ebuf/Dbuf are
+// supplied by the caller so batch workers can run concurrently;
+// use_points != 0 reuses the seeds left in pts by a preceding anker_rc.
+static int kaln_align_impl(TIndex& T, const uint8_t* qseq, int q_len,
+                           int q_start, int q_end, int lo, int hi, int mq,
+                           const Penal& pen,
+                           const int32_t* n_positions, int n_n,
+                           int traceback, int use_points,
+                           int circular, int ts, int skip_tails,
+                           Points& pts, std::vector<uint8_t>& Ebuf,
+                           std::vector<ll>& Dbuf, Aligned* aligned,
+                           AlnStat* out) {
     int t_len = T.len;
-    Aligned* aligned = nullptr;
     if (traceback) {
-        aligned = &g_aligned;
         aligned->t.clear(); aligned->s.clear(); aligned->q.clear();
         aligned->pos = t_len;
         aligned->start = 0; aligned->end = 0;
         if (lo < hi) { lo = 0; hi = t_len; }   // align.c:237-240
+    } else {
+        aligned = nullptr;
     }
 
-    Points& pts = g_points;
     if (!use_points) {
         pts.clear_all();
         if (traceback)
@@ -1179,7 +1170,7 @@ extern "C" int kaln_align(void* h, const uint8_t* qseq, int q_len,
             }
             int q_ev = pts.qStart[start];
 
-            if ((ll)std::abs(t_l - q_ev + q_s) * U > (ll)q_len * M
+            if ((ll)std::abs(t_l - q_ev + q_s) * pen.U > (ll)q_len * pen.M
                 || t_l > q_len || q_ev - q_s > (q_len >> 1)) {
                 out->score = 0; out->pos = 0; out->len = 1; out->match = 0;
                 out->tGaps = 0; out->qGaps = 0; out->mapQ = mapQ;
@@ -1229,6 +1220,27 @@ extern "C" int kaln_align(void* h, const uint8_t* qseq, int q_len,
     return 1;
 }
 
+extern "C" int kaln_align(void* h, const uint8_t* qseq, int q_len,
+                          int q_start, int q_end, int lo, int hi, int mq,
+                          int M, int MM, int U, int W1,
+                          const int32_t* dmat,
+                          const int32_t* n_positions, int n_n,
+                          int traceback, int use_points,
+                          int circular, int ts, int skip_tails,
+                          AlnStat* out) {
+    Penal pen;
+    pen.M = M; pen.MM = MM; pen.U = U; pen.W1 = W1;
+    for (int a = 0; a < 5; a++)
+        for (int b = 0; b < 5; b++)
+            pen.d[a][b] = dmat[a * 5 + b];
+    static std::vector<uint8_t> Ebuf;
+    static std::vector<ll> Dbuf;
+    return kaln_align_impl(*(TIndex*)h, qseq, q_len, q_start, q_end, lo, hi,
+                           mq, pen, n_positions, n_n, traceback, use_points,
+                           circular, ts, skip_tails, g_points, Ebuf, Dbuf,
+                           traceback ? &g_aligned : nullptr, out);
+}
+
 // fetch the traceback strings of the last kaln_align(traceback=1)
 extern "C" int kaln_aligned_len(void) { return (int)g_aligned.t.size(); }
 extern "C" void kaln_aligned_fetch(uint8_t* t, uint8_t* s, uint8_t* q,
@@ -1244,20 +1256,18 @@ extern "C" void kaln_aligned_fetch(uint8_t* t, uint8_t* s, uint8_t* q,
 // ------------------------------------------------------------- anker_rc
 
 // anker_rc_comp (align.c:993-1176); returns +score fw, -score rc, 0 none.
-// Fills g_points with the winner's seeds (consumed by kaln_align with
+// Fills pts with the winner's seeds (consumed by kaln_align_impl with
 // use_points=1); *n_points_out reports the seed count.
-extern "C" int kaln_anker_rc_comp(void* h, const uint8_t* qseq,
-                                  const uint8_t* qseq_r,
-                                  const int32_t* n_pos_f, int n_f,
-                                  const int32_t* n_pos_r, int n_r,
-                                  int q_len, int q_start, int q_end,
-                                  int one2one, int* n_points_out) {
-    TIndex& T = *(TIndex*)h;
+static int anker_rc_comp_impl(TIndex& T, const uint8_t* qseq,
+                              const uint8_t* qseq_r,
+                              const int32_t* n_pos_f, int n_f,
+                              const int32_t* n_pos_r, int n_r,
+                              int q_len, int q_start, int q_end,
+                              int one2one, int* n_points_out, Points& pts) {
     int k = T.k;
     int t_len = T.len;
     const uint8_t* tc = T.codes.data();
     uint64_t mask = (k < 32) ? ((uint64_t(1) << (2 * k)) - 1) : ~uint64_t(0);
-    Points& pts = g_points;
     pts.clear_all();
 
     ll bestScore = 0, score = 0, score_r = 0;
@@ -1371,6 +1381,17 @@ extern "C" int kaln_anker_rc_comp(void* h, const uint8_t* qseq,
     }
     *n_points_out = pts.len;
     return result;
+}
+
+extern "C" int kaln_anker_rc_comp(void* h, const uint8_t* qseq,
+                                  const uint8_t* qseq_r,
+                                  const int32_t* n_pos_f, int n_f,
+                                  const int32_t* n_pos_r, int n_r,
+                                  int q_len, int q_start, int q_end,
+                                  int one2one, int* n_points_out) {
+    return anker_rc_comp_impl(*(TIndex*)h, qseq, qseq_r, n_pos_f, n_f,
+                              n_pos_r, n_r, q_len, q_start, q_end, one2one,
+                              n_points_out, g_points);
 }
 
 // anker_rc (align.c:780-991) -- the BYTE variant used by assembly / Mt1
@@ -1504,4 +1525,159 @@ extern "C" int kaln_anker_rc_bytes(void* h, const uint8_t* qseq,
     }
     *n_points_out = pts.len;
     return result;
+}
+
+// ----------------------------------------------------- batched alnFragsSE
+//
+// alnFragsSE (alnfrags.c:1052-1218) over a whole batch of reads with a
+// std::thread worker pool (the reference's per-thread aligners,
+// alnfrags.c:2150-2293).  Each worker owns its Points / NW buffers; all
+// outputs land in per-read slots so results are deterministic regardless
+// of scheduling.  The caller (kma_tpu/align/native_aln.py) packs the
+// batch flat; hits for read r are written at tpl_off[r] (capacity =
+// candidate count, hits never exceed it).
+
+#include <thread>
+#include <atomic>
+
+extern "C" void kaln_frags_se_batch(
+    void* const* handles,        // [total_tpl] TIndex* per candidate
+    const int32_t* tpl_ids,      // [total_tpl] signed template ids
+    const int64_t* tpl_off,      // [n_reads+1]
+    const uint8_t* codes_flat,   // forward codes, concatenated
+    const int64_t* codes_off,    // [n_reads+1]
+    const int32_t* npos_flat,    // forward N positions, concatenated
+    const int64_t* npos_off,     // [n_reads+1]
+    const int32_t* qbounds,      // [n_reads,2] q_start,q_end
+    const uint8_t* arc_flags,    // [n_reads] rc_flag<0
+    int n_reads,
+    int M, int MM, int U, int W1, const int32_t* dmat,
+    int kmersize, int minlen, int mq, double scoreT, double mrc,
+    int n_threads,
+    int32_t* out_nhits,          // [n_reads]
+    long long* out_best_score,   // [n_reads] bestReadScore
+    double* out_best_frac,       // [n_reads] bestScore ratio
+    int32_t* out_tpl, int32_t* out_start, int32_t* out_end,
+    long long* out_score, int32_t* out_len) {
+    Penal pen;
+    pen.M = M; pen.MM = MM; pen.U = U; pen.W1 = W1;
+    for (int a = 0; a < 5; a++)
+        for (int b = 0; b < 5; b++)
+            pen.d[a][b] = dmat[a * 5 + b];
+
+    std::atomic<int> next(0);
+    auto worker = [&]() {
+        Points pts;
+        std::vector<uint8_t> Ebuf;
+        std::vector<ll> Dbuf;
+        std::vector<uint8_t> rcq;
+        std::vector<int32_t> npr;
+        for (;;) {
+            int r = next.fetch_add(1);
+            if (r >= n_reads) break;
+            const uint8_t* q = codes_flat + codes_off[r];
+            int q_len = (int)(codes_off[r + 1] - codes_off[r]);
+            const int32_t* np = npos_flat + npos_off[r];
+            int n_np = (int)(npos_off[r + 1] - npos_off[r]);
+            rcq.resize(q_len);
+            for (int i = 0; i < q_len; i++) {
+                uint8_t c = q[q_len - 1 - i];
+                rcq[i] = c < 4 ? (uint8_t)(3 - c) : c;
+            }
+            npr.resize(n_np);   // mirrored N positions, ascending
+            for (int i = 0; i < n_np; i++)
+                npr[i] = q_len - 1 - np[n_np - 1 - i];
+            int q_start = qbounds[2 * r], q_end = qbounds[2 * r + 1];
+            bool arc = arc_flags[r] != 0;
+            ll best_read_score = 0;
+            double bestScore = 0.0;
+            int nh = 0;
+            long long base = tpl_off[r];
+            int ncand = (int)(tpl_off[r + 1] - base);
+            for (int ci = 0; ci < ncand; ci++) {
+                TIndex& T = *(TIndex*)handles[base + ci];
+                int tmpl = tpl_ids[base + ci];
+                int t_len = T.len;
+                AlnStat st;
+                st.score = 0; st.pos = 0; st.len = 0; st.match = 0;
+                st.tGaps = 0; st.qGaps = 0; st.mapQ = 0;
+                pts.clear_all();
+                pts.len = 0;
+                if (arc) {
+                    int npout = 0;
+                    int rc = anker_rc_comp_impl(T, q, rcq.data(), np, n_np,
+                                                npr.data(), n_np, q_len,
+                                                q_start, q_end, 1, &npout,
+                                                pts);
+                    pts.len = npout;
+                    if (rc < 0) {
+                        if (0 < tmpl) tmpl = -tmpl;
+                        kaln_align_impl(T, rcq.data(), q_len, q_len - q_end,
+                                        q_len - q_start, 0, 0, mq, pen,
+                                        npr.data(), n_np, 0,
+                                        pts.len ? 1 : 0, 0, 0, 0, pts,
+                                        Ebuf, Dbuf, nullptr, &st);
+                    } else if (rc > 0) {
+                        if (tmpl < 0) tmpl = -tmpl;
+                        kaln_align_impl(T, q, q_len, q_start, q_end, 0, 0,
+                                        mq, pen, np, n_np, 0,
+                                        pts.len ? 1 : 0, 0, 0, 0, pts,
+                                        Ebuf, Dbuf, nullptr, &st);
+                    }
+                    // rc == 0: st stays zeroed (AlnScore() default)
+                } else if (tmpl < 0) {
+                    kaln_align_impl(T, rcq.data(), q_len, q_len - q_end,
+                                    q_len - q_start, 0, 0, mq, pen,
+                                    npr.data(), n_np, 0, 0, 0, 0, 0, pts,
+                                    Ebuf, Dbuf, nullptr, &st);
+                } else {
+                    kaln_align_impl(T, q, q_len, q_start, q_end, 0, 0, mq,
+                                    pen, np, n_np, 0, 0, 0, 0, 0, pts,
+                                    Ebuf, Dbuf, nullptr, &st);
+                }
+                int aln_len = st.len;
+                int start = st.pos;
+                int end = start + aln_len - st.tGaps;
+                if (t_len < end) end -= t_len;
+                double denom;
+                if (q_len <= aln_len || t_len <= aln_len)
+                    denom = (double)aln_len;
+                else
+                    denom = (double)(q_len < t_len ? q_len : t_len);
+                ll read_score = st.score;
+                double score;
+                bool mr = (mrc * q_len <= st.len - st.qGaps)
+                          || (mrc * t_len <= st.len - st.tGaps);
+                if (minlen <= aln_len && mr) {
+                    score = (double)read_score / denom;
+                } else {
+                    read_score = 0;
+                    score = 0.0;
+                }
+                if (kmersize < read_score && scoreT <= score) {
+                    out_tpl[base + nh] = tmpl;
+                    out_start[base + nh] = start;
+                    out_end[base + nh] = end;
+                    out_score[base + nh] = read_score;
+                    out_len[base + nh] = aln_len;
+                    nh++;
+                    if (bestScore < score) bestScore = score;
+                    if (best_read_score < read_score)
+                        best_read_score = read_score;
+                }
+            }
+            out_nhits[r] = nh;
+            out_best_score[r] = best_read_score;
+            out_best_frac[r] = bestScore;
+        }
+    };
+    int nt = n_threads < 1 ? 1 : n_threads;
+    if (nt == 1) {
+        worker();
+        return;
+    }
+    std::vector<std::thread> th;
+    th.reserve(nt);
+    for (int i = 0; i < nt; i++) th.emplace_back(worker);
+    for (auto& t : th) t.join();
 }

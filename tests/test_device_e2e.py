@@ -35,3 +35,22 @@ def test_device_1t1_parity(tmp_path, sim_reads, db50_index, ref_bin):  # noqa: F
     a = gzip.open(str(ref_out) + ".frag.gz").read()
     b = gzip.open(str(my_out) + ".frag.gz").read()
     assert a == b, ".frag.gz content differs"
+
+
+def test_device_1t1_parity_threaded(tmp_path, sim_reads, db50_index,  # noqa: F811
+                                    ref_bin):
+    """-t 4: the threaded native batch aligner must stay byte-identical
+    (per-read output slots make worker scheduling invisible)."""
+    ref_out = tmp_path / "ref"
+    my_out = tmp_path / "my"
+    r = subprocess.run([str(ref_bin), "-i", str(sim_reads), "-o",
+                        str(ref_out), "-t_db", db50_index, "-1t1"],
+                       capture_output=True)
+    assert r.returncode == 0
+    rc = kma_main(["-i", str(sim_reads), "-o", str(my_out), "-t_db",
+                   db50_index, "-1t1", "-device", "on", "-t", "4"])
+    assert rc == 0
+    for ext in (".res", ".fsa", ".aln"):
+        a = (ref_out.parent / (ref_out.name + ext)).read_bytes()
+        b = (my_out.parent / (my_out.name + ext)).read_bytes()
+        assert a == b, f"{ext} differs"
