@@ -81,6 +81,8 @@ class DenseIndex:
     exist: jax.Array            # mega: [size] i32 list id or -1
     kv: jax.Array               # cuckoo/open: [slots, 2] (key, list id|-1)
     bits: jax.Array             # [n_lists, t_pad//32] u32 membership bits
+    bits_t: jax.Array           # transposed packing for the Pallas kernel
+                                # (template t -> word t%W32, bit t//W32)
     list_voff: np.ndarray       # host: list id -> values offset
 
     @classmethod
@@ -115,6 +117,11 @@ class DenseIndex:
         bits = np.zeros((V, t_pad // 32), dtype=np.uint32)
         np.bitwise_or.at(bits, (rows_flat, tid_flat // 32),
                          (np.uint32(1) << (tid_flat % 32).astype(np.uint32)))
+        w32 = t_pad // 32
+        bits_t = np.zeros((V, w32), dtype=np.uint32)
+        np.bitwise_or.at(bits_t, (rows_flat, tid_flat % w32),
+                         (np.uint32(1)
+                          << (tid_flat // w32).astype(np.uint32)))
 
         if idx.mega:
             remap = np.full(idx.size, -1, dtype=np.int32)
@@ -128,6 +135,7 @@ class DenseIndex:
                        exist=jnp.asarray(remap),
                        kv=jnp.zeros((1, 2), jnp.int32),
                        bits=jnp.asarray(bits),
+                       bits_t=jnp.asarray(bits_t),
                        list_voff=offs)
 
         keys = idx.key_index[: idx.n].astype(np.uint32)
@@ -143,6 +151,7 @@ class DenseIndex:
                    exist=jnp.zeros(1, jnp.int32),
                    kv=jnp.asarray(kv),
                    bits=jnp.asarray(bits),
+                   bits_t=jnp.asarray(bits_t),
                    list_voff=offs)
 
 
@@ -165,9 +174,51 @@ def _lookup_rows(didx_arrays, kmers, *, mega, size, max_probe):
                                e2[..., 1], np.int32(-1)))
 
 
-def _dense_strand_scan(codes, lengths, didx_arrays, bits,
+def _strand_epilogue(score, first, SBIG, p: ScanParams, t_pad, run_ov,
+                     proxi_frac=None):
+    """Best-score + tie-list extraction shared by the Pallas and XLA run
+    loops (savekmers.c:2750-2833 select)."""
+    inc = first < SBIG
+    score = jnp.where(inc, jnp.maximum(score, 0),
+                      SBIG * 0)  # savekmers.c:2750-2752
+    bestScore = jnp.max(score, axis=-1).astype(jnp.int32)
+
+    if proxi_frac is None:
+        sel = inc & (score == bestScore[:, None]) & (bestScore[:, None] > 0)
+    else:
+        thresh = (proxi_frac * bestScore.astype(jnp.float32)
+                  ).astype(jnp.int32)  # C double->int truncation
+        sel = inc & (score >= thresh[:, None]) & (bestScore[:, None] > 0)
+    n_best = jnp.sum(sel, axis=-1)
+    MB = min(p.best_cap, t_pad)
+    tie_ov = n_best > MB
+    # select candidates by first-including-run; order within a run (the
+    # reference appends in value-list order) is restored by gathering the
+    # position-in-list for just the <= MB candidates
+    negkey = jnp.where(sel, -first.astype(jnp.int32), -BIG
+                       ).astype(jnp.float32)
+    try:  # exact top-k via PartialReduce (sort of [G, t_pad] costs 9ms)
+        topv, tids = jax.lax.approx_max_k(negkey, MB, recall_target=1.0)
+    except NotImplementedError:  # pragma: no cover - non-TPU backends
+        topv, tids = jax.lax.top_k(negkey, MB)
+    topv = topv.astype(jnp.int32)
+    cand_ok = topv > -BIG
+    cand_first = jnp.where(cand_ok, -topv, 0)
+    # append order = (first-including run, position in that run's value
+    # list); the reference's lists are ascending template id (templates
+    # are indexed in id order, updateindex.c:33-77), so the in-list
+    # position key IS the template id -- no id-table gather needed
+    key = jnp.where(cand_ok,
+                    cand_first * np.int32(t_pad + 1) + tids, BIG)
+    key2, tids = jax.lax.sort_key_val(key, tids)
+    tids = jnp.where(key2 < BIG, tids, 0).astype(jnp.int32)
+    return bestScore, tids, n_best, run_ov, tie_ov, score
+
+
+
+def _dense_strand_scan(codes, lengths, didx_arrays, bits, bits_t,
                        p: ScanParams, rc_branch, *, mega, size, max_probe,
-                       t_pad, n_lists, proxi_frac=None):
+                       t_pad, n_lists, proxi_frac=None, pallas_mode=None):
     """Both-strands-fused dense save_kmers scan.
 
     codes [G, L] (G = 2B: fw rows then rc rows), rc_branch [G] bool.
@@ -233,10 +284,29 @@ def _dense_strand_scan(codes, lengths, didx_arrays, bits,
     run_score = jnp.sum(jnp.where(in_run, trans[:, None, :], 0), axis=-1)
 
     # dense per-template state loop over run slots (savekmers.c flushes).
-    # CHUNK slots share one state round-trip (the state arrays dominate
-    # HBM traffic -- int16 when the score range allows, halving it);
-    # membership comes from bit-packed [t_pad/32]-word rows (32x less
-    # gather volume than an id table).
+    # Pallas path: the whole loop runs in one kernel with the state
+    # resident in VMEM (ops/scan_kernel.py); XLA fallback round-trips the
+    # state through HBM once per CHUNK of run slots.
+    GT = 16
+    if pallas_mode is not None and G % GT == 0 and t_pad % 128 == 0:
+        from ..ops.scan_kernel import run_score_pallas
+        memb_rows = bits_t[run_row]          # [G, R, w32] u32 row gather
+        ract = run_valid.astype(jnp.int32)
+        rmax_tile = jnp.minimum(jnp.max(n_runs.reshape(G // GT, GT), axis=1),
+                                R).astype(jnp.int32)
+        score, first = run_score_pallas(
+            memb_rows, run_start.astype(jnp.int32),
+            run_end.astype(jnp.int32), run_score.astype(jnp.int32), ract,
+            np.asarray(rc_branch, np.int32) if isinstance(rc_branch,
+                                                          np.ndarray)
+            else rc_branch.astype(jnp.int32),
+            rmax_tile,
+            sparams=(p.k, p.mlen, p.M, p.MM, p.U, p.W1, t_pad, GT),
+            interpret=(pallas_mode == "interpret"))
+        SBIG = np.int32(BIG)
+        sdt = jnp.int32
+        return _strand_epilogue(score, first, SBIG, p, t_pad, run_ov,
+                                proxi_frac=proxi_frac)
     kM = np.int32(k * p.M)
     rc_col = rc_branch[:, None]
     shifts = np.arange(32, dtype=np.uint32)[None, None, :]
@@ -275,42 +345,8 @@ def _dense_strand_scan(codes, lengths, didx_arrays, bits,
     r_max = jnp.minimum(jnp.max(n_runs), R).astype(jnp.int32)
     n_chunks = (r_max + CHUNK - 1) // CHUNK
     score, ext, first = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
-
-    inc = first < SBIG
-    score = jnp.where(inc, jnp.maximum(score, 0),
-                      SBIG * 0)  # savekmers.c:2750-2752
-    bestScore = jnp.max(score, axis=-1).astype(jnp.int32)
-
-    if proxi_frac is None:
-        sel = inc & (score == bestScore[:, None]) & (bestScore[:, None] > 0)
-    else:
-        thresh = (proxi_frac * bestScore.astype(jnp.float32)
-                  ).astype(jnp.int32)  # C double->int truncation
-        sel = inc & (score >= thresh[:, None]) & (bestScore[:, None] > 0)
-    n_best = jnp.sum(sel, axis=-1)
-    MB = min(p.best_cap, t_pad)
-    tie_ov = n_best > MB
-    # select candidates by first-including-run; order within a run (the
-    # reference appends in value-list order) is restored by gathering the
-    # position-in-list for just the <= MB candidates
-    negkey = jnp.where(sel, -first.astype(jnp.int32), -BIG
-                       ).astype(jnp.float32)
-    try:  # exact top-k via PartialReduce (sort of [G, t_pad] costs 9ms)
-        topv, tids = jax.lax.approx_max_k(negkey, MB, recall_target=1.0)
-    except NotImplementedError:  # pragma: no cover - non-TPU backends
-        topv, tids = jax.lax.top_k(negkey, MB)
-    topv = topv.astype(jnp.int32)
-    cand_ok = topv > -BIG
-    cand_first = jnp.where(cand_ok, -topv, 0)
-    # append order = (first-including run, position in that run's value
-    # list); the reference's lists are ascending template id (templates
-    # are indexed in id order, updateindex.c:33-77), so the in-list
-    # position key IS the template id -- no id-table gather needed
-    key = jnp.where(cand_ok,
-                    cand_first * np.int32(t_pad + 1) + tids, BIG)
-    key2, tids = jax.lax.sort_key_val(key, tids)
-    tids = jnp.where(key2 < BIG, tids, 0).astype(jnp.int32)
-    return bestScore, tids, n_best, run_ov, tie_ov, score
+    return _strand_epilogue(score, first, SBIG, p, t_pad, run_ov,
+                            proxi_frac=proxi_frac)
 
 
 def _emit_pack(bestScore, tids, n_best, run_ov, tie_ov, B, k, flat_cap,
@@ -374,19 +410,19 @@ def _emit_pack(bestScore, tids, n_best, run_ov, tie_ov, B, k, flat_cap,
 @partial(jax.jit,
          static_argnames=("sparams", "B", "flat_cap", "small_ids", "mega",
                           "size", "max_probe", "t_pad", "n_lists",
-                          "proxi_frac"))
-def dense_scan_device(codes, lengths, exist, kv, bits, *, sparams,
+                          "proxi_frac", "pallas_mode"))
+def dense_scan_device(codes, lengths, exist, kv, bits, bits_t, *, sparams,
                       B, flat_cap, small_ids, mega, size, max_probe,
-                      t_pad, n_lists, proxi_frac=None):
+                      t_pad, n_lists, proxi_frac=None, pallas_mode=None):
     """codes is the strand-doubled batch [2B, L]: fw rows then host-side
     reverse-complement rows (the device reversal gather cost 5.5 ms)."""
     p = ScanParams(*sparams)
     G = codes.shape[0] // 2
     rc_rowsg = np.arange(2 * G, dtype=np.int32) >= G
     bestScore, tids, n_best, run_ov, tie_ov, _ = _dense_strand_scan(
-        codes, lengths, (exist, kv), bits, p, rc_rowsg,
+        codes, lengths, (exist, kv), bits, bits_t, p, rc_rowsg,
         mega=mega, size=size, max_probe=max_probe, t_pad=t_pad,
-        n_lists=n_lists, proxi_frac=proxi_frac)
+        n_lists=n_lists, proxi_frac=proxi_frac, pallas_mode=pallas_mode)
     return _emit_pack(bestScore, tids, n_best, run_ov, tie_ov, G, p.k,
                       flat_cap, small_ids)
 
@@ -453,6 +489,11 @@ class DenseScanner:
         self.proxi_frac = proxi_frac
         self.batch = batch
         self.small_ids = self.didx.db_size < (1 << 15)
+        from ..ops.scan_kernel import pallas_enabled
+        import os as _os
+        self.pallas_mode = (
+            "interpret" if _os.environ.get("KMA_TPU_PALLAS") == "interpret"
+            else ("compiled" if pallas_enabled() else None))
         self._sp_cache: dict = {}
 
     def _sparams(self, L: int, tier: int):
@@ -476,12 +517,13 @@ class DenseScanner:
     def _call(self, codes_j, lens_j, tier: int, flat_cap: int):
         d = self.didx
         return dense_scan_device(
-            codes_j, lens_j, d.exist, d.kv, d.bits,
+            codes_j, lens_j, d.exist, d.kv, d.bits, d.bits_t,
             sparams=self._sparams(codes_j.shape[1], tier),
             B=codes_j.shape[0], flat_cap=flat_cap,
             small_ids=self.small_ids, mega=d.mega,
             size=d.size, max_probe=d.max_probe, t_pad=d.t_pad,
-            n_lists=d.n_lists, proxi_frac=self.proxi_frac)
+            n_lists=d.n_lists, proxi_frac=self.proxi_frac,
+            pallas_mode=self.pallas_mode)
 
     def scan_reads(self, codes: np.ndarray, lengths: np.ndarray):
         """Returns (scores i32 [N], modes u8 [N], tid_lists: list of

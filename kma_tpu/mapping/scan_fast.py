@@ -48,7 +48,7 @@ from .device_index import (DeviceIndex, batch_kmers, lookup_voffsets,
 from .scan_jax import (ScanParams, _reconnect_score, _run_transition_score,
                        _segment_starts, rc_batch)
 
-BIG = jnp.int32(0x3FFFFFFF)
+BIG = np.int32(0x3FFFFFFF)  # host scalar: no device fetch at lowering
 
 
 def _round_up(x: int, m: int) -> int:

@@ -1052,6 +1052,18 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
     points = Points()
 
     # --- steps 1-3: trim, scan, align, spool -----------------------------
+    # -a: every mapped fragment's pre-ConClave candidates go to
+    # .frag_raw.gz as they are produced (updateAllFrag, frags.c:64-184;
+    # opened before mapping like runkma.c:269-272)
+    frag_raw_out = writers.open_gz(output_prefix + ".frag_raw.gz") \
+        if cfg.print_all else None
+
+    def dump_all_frag(codes, best_hits, score, starts, ends, templates,
+                      header):
+        if frag_raw_out is not None:
+            frag_raw_out.write(writers.frag_raw_row(
+                codes, best_hits, score, starts, ends, templates, header))
+
     records: List[FragRecord] = []
     # readNum (savekmers.c:97,182): every post-trim fragment counts, mapped
     # or not; feeds mapstat fragmentCount and the xml query-len
@@ -1089,6 +1101,8 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             for i, t in enumerate(rec.templates):
                 alignment_scores[abs(t)] += sel_scores[i]
         records.append(rec)
+        dump_all_frag(rec.codes, rec.best_hits, rec.score, rec.starts,
+                      rec.ends, rec.templates, rec.header)
 
     def handle_mem_anker(codes, rc_flag, templates, header, flag,
                          mate=None):
@@ -1123,6 +1137,11 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             rec.mate_header = m_header
             rec.mate_flag = m_flag
         records.append(rec)
+        dump_all_frag(codes, abs(best_hits), best_read_score, starts, ends,
+                      tl, header)
+        if mate is not None:
+            dump_all_frag(m_codes, abs(best_hits), m_score, starts, ends,
+                          tl, m_header)
 
     # sparse DB detection (kmers.c:97-125): a prefix (or "-") DB swaps the
     # scanners; print_ankers_Sparse stores a NEGATIVE rc_flag
@@ -1285,6 +1304,9 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                         for j, t in enumerate(rec.templates):
                             alignment_scores[abs(t)] += sel_scores[j]
                     records.append(rec)
+                    dump_all_frag(rec.codes, rec.best_hits, rec.score,
+                                  rec.starts, rec.ends, rec.templates,
+                                  rec.header)
                 pend.clear()
 
             for read, hit in device_stream.stream(reads_it):
@@ -1418,6 +1440,16 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                             rew, points, alignment_scores,
                             uniq_alignment_scores, arc=int(sc_a) < 0)
                     records.extend(recs)
+                    for rec in recs:
+                        dump_all_frag(rec.codes, abs(rec.best_hits),
+                                      abs(rec.score), rec.starts, rec.ends,
+                                      rec.templates, rec.header)
+                        if rec.mate_codes is not None:
+                            dump_all_frag(rec.mate_codes,
+                                          abs(rec.best_hits),
+                                          abs(rec.score), rec.starts,
+                                          rec.ends, rec.templates,
+                                          rec.mate_header)
                 continue
             for (c, npos_, sc, tl, h, f) in pa.records:
                 handle_se_anker(c, npos_, sc, tl, h, f)
@@ -1429,6 +1461,8 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                          cfg.hardmask_q, cfg.min_len, cfg.max_len,
                          cfg.five_clip, cfg.three_clip, jf)
 
+    if frag_raw_out is not None:
+        frag_raw_out.close()
     tot_frags = n_frags
     if soft_proxi is not None:
         # soft -proxi in mem_mode: the scanner's softProxi totals REPLACE
