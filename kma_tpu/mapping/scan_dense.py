@@ -192,22 +192,32 @@ def _strand_epilogue(score, first, SBIG, p: ScanParams, t_pad, run_ov,
     n_best = jnp.sum(sel, axis=-1)
     MB = min(p.best_cap, t_pad)
     tie_ov = n_best > MB
-    # select candidates by first-including-run; order within a run (the
-    # reference appends in value-list order) is restored by gathering the
-    # position-in-list for just the <= MB candidates
-    negkey = jnp.where(sel, -first.astype(jnp.int32), -BIG
-                       ).astype(jnp.float32)
+    # append order = (first-including run, position in that run's value
+    # list); the reference's lists are ascending template id (templates
+    # are indexed in id order, updateindex.c:33-77), so the in-list
+    # position key IS the template id -- no id-table gather needed.
+    # When the combined key fits f32's 24-bit mantissa, fuse it into the
+    # approx_max_k value: aggregate_to_topk's final exact top-k returns
+    # values sorted DESCENDING, i.e. keys ascending -- no second sort.
+    run_span = int(p.run_cap) + 1
+    fused = run_span * (t_pad + 1) < (1 << 24)
+    if fused:
+        key = first.astype(jnp.int32) * np.int32(t_pad + 1) \
+            + jax.lax.broadcasted_iota(jnp.int32, first.shape, 1)
+        negkey = jnp.where(sel, -key, -BIG).astype(jnp.float32)
+    else:
+        negkey = jnp.where(sel, -first.astype(jnp.int32), -BIG
+                           ).astype(jnp.float32)
     try:  # exact top-k via PartialReduce (sort of [G, t_pad] costs 9ms)
         topv, tids = jax.lax.approx_max_k(negkey, MB, recall_target=1.0)
     except NotImplementedError:  # pragma: no cover - non-TPU backends
         topv, tids = jax.lax.top_k(negkey, MB)
     topv = topv.astype(jnp.int32)
     cand_ok = topv > -BIG
+    if fused:
+        tids = jnp.where(cand_ok, tids, 0).astype(jnp.int32)
+        return bestScore, tids, n_best, run_ov, tie_ov, score
     cand_first = jnp.where(cand_ok, -topv, 0)
-    # append order = (first-including run, position in that run's value
-    # list); the reference's lists are ascending template id (templates
-    # are indexed in id order, updateindex.c:33-77), so the in-list
-    # position key IS the template id -- no id-table gather needed
     key = jnp.where(cand_ok,
                     cand_first * np.int32(t_pad + 1) + tids, BIG)
     key2, tids = jax.lax.sort_key_val(key, tids)
@@ -290,23 +300,33 @@ def _dense_strand_scan(codes, lengths, didx_arrays, bits, bits_t,
     GT = 16
     if pallas_mode is not None and G % GT == 0 and t_pad % 128 == 0:
         from ..ops.scan_kernel import run_score_pallas
-        memb_rows = bits_t[run_row]          # [G, R, w32] u32 row gather
-        ract = run_valid.astype(jnp.int32)
-        rmax_tile = jnp.minimum(jnp.max(n_runs.reshape(G // GT, GT), axis=1),
+        # sort strand rows by run count so each GT-tile's fori bound is
+        # its rows' ACTUAL work: n_runs is heavy-tailed (p50=1, ~half the
+        # rows have zero runs) and the per-tile max over random rows pays
+        # ~p90 iterations for every row.  Epilogue outputs are unpermuted
+        # (cheap [G, best_cap] row gathers vs [G, t_pad] state).
+        order = jnp.argsort(n_runs).astype(jnp.int32)
+        inv = jnp.argsort(order).astype(jnp.int32)
+        n_runs_s = n_runs[order]
+        memb_rows = bits_t[run_row[order]]   # [G, R, w32] u32 row gather
+        ract = run_valid[order].astype(jnp.int32)
+        rc_s = (jnp.asarray(rc_branch, jnp.int32)
+                if isinstance(rc_branch, np.ndarray)
+                else rc_branch.astype(jnp.int32))[order]
+        # ascending sort: the tile max is its last row
+        rmax_tile = jnp.minimum(n_runs_s.reshape(G // GT, GT)[:, -1],
                                 R).astype(jnp.int32)
         score, first = run_score_pallas(
-            memb_rows, run_start.astype(jnp.int32),
-            run_end.astype(jnp.int32), run_score.astype(jnp.int32), ract,
-            np.asarray(rc_branch, np.int32) if isinstance(rc_branch,
-                                                          np.ndarray)
-            else rc_branch.astype(jnp.int32),
-            rmax_tile,
+            memb_rows, run_start[order].astype(jnp.int32),
+            run_end[order].astype(jnp.int32),
+            run_score[order].astype(jnp.int32), ract, rc_s, rmax_tile,
             sparams=(p.k, p.mlen, p.M, p.MM, p.U, p.W1, t_pad, GT),
             interpret=(pallas_mode == "interpret"))
         SBIG = np.int32(BIG)
-        sdt = jnp.int32
-        return _strand_epilogue(score, first, SBIG, p, t_pad, run_ov,
-                                proxi_frac=proxi_frac)
+        bestScore, tids, n_best, _, tie_ov, _ = _strand_epilogue(
+            score, first, SBIG, p, t_pad, run_ov, proxi_frac=proxi_frac)
+        return (bestScore[inv], tids[inv], n_best[inv], run_ov,
+                tie_ov[inv], None)
     kM = np.int32(k * p.M)
     rc_col = rc_branch[:, None]
     shifts = np.arange(32, dtype=np.uint32)[None, None, :]
@@ -380,27 +400,31 @@ def _emit_pack(bestScore, tids, n_best, run_ov, tie_ov, B, k, flat_cap,
                                 jnp.where(mode == 3, tof | tor, False))))
 
     first = jnp.where((mode == 2)[:, None], tr, tf)
-    n1 = jnp.where(mode == 2, nr, jnp.where(mode == 0, 0, nf))
-    n2 = jnp.where(mode == 3, nr, 0)
-    n_out = jnp.where(ov, 0, n1 + n2)
+    n1 = jnp.where(ov, 0, jnp.where(mode == 2, nr,
+                                    jnp.where(mode == 0, 0, nf)))
+    n2 = jnp.where(ov, 0, jnp.where(mode == 3, nr, 0))
+    n_out = n1 + n2
 
-    # pack [first[:n1], -tr[:n2]] contiguously via one stable key sort
-    # (a positional gather here lowers to the ~100M elem/s scalar path)
-    j = np.arange(2 * MB, dtype=np.int32)[None, :]
-    posf = np.arange(MB, dtype=np.int32)[None, :]
-    keyf = jnp.where(posf < n1[:, None], posf, BIG)
-    keyr = jnp.where(posf < n2[:, None], n1[:, None] + posf, BIG)
-    keys = jnp.concatenate([keyf, keyr], axis=-1)
-    payload = jnp.concatenate([first, -tr], axis=-1)
-    _, row = jax.lax.sort_key_val(keys, payload)
-    rvalid = j < n_out[:, None]
-
+    # pack [first[:n1], -tr[:n2]] contiguously by GATHERING from the
+    # output side: a 4096-point scatter of ones at each row's start
+    # offset + a cumsum assigns every flat slot its owner row, then four
+    # [flat_cap] point gathers fetch the ids.  (A [B, 2MB] sort costs
+    # ~13 ms and a windowed scatter-add ~19 ms -- TPU scatter serializes
+    # over windows; point gathers run ~100M/s so this is ~5 ms.)
     off = jnp.cumsum(n_out) - n_out
-    flat_idx = jnp.where(rvalid, off[:, None] + j, flat_cap)
+    total = jnp.sum(n_out)
+    x = np.arange(flat_cap, dtype=np.int32)
+    starts = jax.lax.full_like(bestScore, 0, dtype=jnp.int32,
+                               shape=(flat_cap,)
+                               ).at[off].add(1, mode="drop")
+    b = jnp.clip(jnp.cumsum(starts) - 1, 0, B - 1)
+    j = x - off[b]
+    n1b = n1[b]
+    idf = first.reshape(-1)[b * MB + jnp.clip(j, 0, MB - 1)]
+    idr = tr.reshape(-1)[b * MB + jnp.clip(j - n1b, 0, MB - 1)]
     dt = jnp.int16 if small_ids else jnp.int32
-    flat = jax.lax.full_like(bestScore, 0, dtype=dt, shape=(flat_cap,)
-                             ).at[flat_idx.reshape(-1)].set(
-        row.astype(dt).reshape(-1), mode="drop")
+    flat = jnp.where(x < total,
+                     jnp.where(j < n1b, idf, -idr), 0).astype(dt)
     meta = jnp.stack(
         [score.astype(jnp.int32),
          (mode | (ov.astype(jnp.int32) << 2) | (n_out << 3))], axis=-1)
