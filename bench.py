@@ -117,7 +117,12 @@ def main():
         print(f"# residual host-fallback reads: {residual}/{N}",
               file=sys.stderr)
 
-    base = baseline_reads_per_sec(db_prefix, reads) if have_ref else None
+    # best-of-3 for the CPU baseline too: host load jitter otherwise
+    # swings vs_baseline by +-30%
+    base = None
+    if have_ref:
+        base = max(baseline_reads_per_sec(db_prefix, reads)
+                   for _ in range(3))
     vs = best / base if base else 0.0
     print(json.dumps({
         "metric": "mapping_scan_reads_per_sec",

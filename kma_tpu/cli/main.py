@@ -133,6 +133,9 @@ def map_main(argv: List[str]) -> int:
             splt_db = True
         elif a == "-1t1":
             cfg.one2one = True
+        elif a == "-hmm":
+            cfg.hmm = True
+            cfg.one2one = False
         elif a == "-device":
             # kma_tpu extension: auto|on|off TPU step-2 scanner
             i += 1

@@ -67,6 +67,7 @@ class MapConfig:
 
     # mapping (step 2)
     one2one: bool = False    # -1t1 -> save_kmers scanner (kma.c:686-688)
+    hmm: bool = False        # -hmm -> save_kmers_HMM scanner (kma.c:691-693)
     ck: bool = False         # -ck -> save_kmers_count scanner
     exhaustive: bool = False  # -ex_mode
     pair_mode: str = "u"     # -pm/-apm: u(nion)/p(enalty)/f(orce), step 2

@@ -32,6 +32,12 @@ class AnkerHit:
     templates: np.ndarray      # int32, signed ids (negative = rc in merge)
     header: bytes
     flag: int                  # sam flag bits (16 = reverse)
+    # HMM slices with seqlen % 32 == 0 carry one garbage word on the wire
+    # (tmpQseq.complen = (len>>5)+1, savekmers.c:4846) which the
+    # reference's rc_comp rotates to the FRONT of the rc read
+    # (compdna.c:250-270 skips the shift).  The scanner precomputes that
+    # exact shifted rc here; None = plain reverse complement.
+    rc_override: "np.ndarray | None" = None
 
 
 def _hits_for_codes(idx: KmaIndex, codes: np.ndarray

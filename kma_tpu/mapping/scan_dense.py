@@ -118,7 +118,10 @@ class DenseIndex:
         np.bitwise_or.at(bits, (rows_flat, tid_flat // 32),
                          (np.uint32(1) << (tid_flat % 32).astype(np.uint32)))
         w32 = t_pad // 32
-        bits_t = np.zeros((V, w32), dtype=np.uint32)
+        # rows padded to a sublane multiple: the VMEM-resident kernel
+        # variant holds the whole table on-chip as a [V8, w32] block
+        V8 = _round_up(max(V, 1), 8)
+        bits_t = np.zeros((V8, w32), dtype=np.uint32)
         np.bitwise_or.at(bits_t, (rows_flat, tid_flat % w32),
                          (np.uint32(1)
                           << (tid_flat // w32).astype(np.uint32)))
@@ -308,7 +311,6 @@ def _dense_strand_scan(codes, lengths, didx_arrays, bits, bits_t,
         order = jnp.argsort(n_runs).astype(jnp.int32)
         inv = jnp.argsort(order).astype(jnp.int32)
         n_runs_s = n_runs[order]
-        memb_rows = bits_t[run_row[order]]   # [G, R, w32] u32 row gather
         ract = run_valid[order].astype(jnp.int32)
         rc_s = (jnp.asarray(rc_branch, jnp.int32)
                 if isinstance(rc_branch, np.ndarray)
@@ -316,12 +318,25 @@ def _dense_strand_scan(codes, lengths, didx_arrays, bits, bits_t,
         # ascending sort: the tile max is its last row
         rmax_tile = jnp.minimum(n_runs_s.reshape(G // GT, GT)[:, -1],
                                 R).astype(jnp.int32)
-        score, first = run_score_pallas(
-            memb_rows, run_start[order].astype(jnp.int32),
-            run_end[order].astype(jnp.int32),
-            run_score[order].astype(jnp.int32), ract, rc_s, rmax_tile,
-            sparams=(p.k, p.mlen, p.M, p.MM, p.U, p.W1, t_pad, GT),
-            interpret=(pallas_mode == "interpret"))
+        sparams_t = (p.k, p.mlen, p.M, p.MM, p.U, p.W1, t_pad, GT)
+        interp = pallas_mode == "interpret"
+        if bits_t.shape[0] * bits_t.shape[1] * 4 <= (6 << 20):
+            # whole membership table fits VMEM: the kernel fetches each
+            # run's row on-chip, no [G, R, w32] HBM gather at all
+            from ..ops.scan_kernel import run_score_pallas_vmem
+            score, first = run_score_pallas_vmem(
+                bits_t, run_row[order].astype(jnp.int32),
+                run_start[order].astype(jnp.int32),
+                run_end[order].astype(jnp.int32),
+                run_score[order].astype(jnp.int32), ract, rc_s, rmax_tile,
+                sparams=sparams_t, interpret=interp)
+        else:
+            memb_rows = bits_t[run_row[order]]  # [G, R, w32] row gather
+            score, first = run_score_pallas(
+                memb_rows, run_start[order].astype(jnp.int32),
+                run_end[order].astype(jnp.int32),
+                run_score[order].astype(jnp.int32), ract, rc_s, rmax_tile,
+                sparams=sparams_t, interpret=interp)
         SBIG = np.int32(BIG)
         bestScore, tids, n_best, _, tie_ov, _ = _strand_epilogue(
             score, first, SBIG, p, t_pad, run_ov, proxi_frac=proxi_frac)

@@ -113,6 +113,102 @@ def _run_loop_kernel(rmax_ref, memb_ref, rstart_ref, rend_ref, rscore_ref,
     jax.lax.fori_loop(0, rmax_ref[i], body, 0)
 
 
+def _run_loop_kernel_vmem(rmax_ref, memb_smem, tab_ref, rstart_ref,
+                          rend_ref, rscore_ref, ract_ref, rc_ref,
+                          score_ref, first_ref, ext_ref,
+                          *, k, mlen, M, MM, U, W1, T, GT, W32):
+    """Variant of _run_loop_kernel with the WHOLE bit-packed membership
+    table resident in VMEM (tab_ref [V8, W32]); each run's row is fetched
+    by dynamic leading-axis indexing via the SMEM run-row block
+    (memb_smem [GT, R] i32).  Removes the [G, R, W32] HBM gather the
+    pre-gathered variant needs (the dominant input cost for gene-panel
+    DBs whose table fits on-chip)."""
+    i = pl.program_id(0)
+    score_ref[:] = jnp.zeros((GT, T), jnp.int32)
+    first_ref[:] = jnp.full((GT, T), BIG, jnp.int32)
+    ext_ref[:] = jnp.zeros((GT, T), jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (GT, T), 1)
+    bitsel = lane // jnp.uint32(W32)
+    rc = rc_ref[:]
+    kM = np.int32(k * M)
+    run_lane = jax.lax.broadcasted_iota(jnp.int32, (GT, rstart_ref.shape[1]),
+                                        1)
+
+    def col(ref, r):
+        return jnp.sum(jnp.where(run_lane == r, ref[:], 0), axis=1,
+                       keepdims=True)
+
+    def body(r, _):
+        mrow = jnp.concatenate(
+            [tab_ref[memb_smem[g, r]][None, :] for g in range(GT)],
+            axis=0)                         # [GT, W32] u32
+        rep = pltpu.repeat(mrow, 32, axis=1)
+        membv = ((rep >> bitsel) & jnp.uint32(1)) != 0
+        act = col(ract_ref, r) != 0
+        ism = act & membv
+        first = first_ref[:]
+        inc = first < BIG
+        g = (col(rstart_ref, r) - 1) - ext_ref[:]
+        rec = _reconnect(g, rc, k, mlen, M, MM, U, W1)
+        contrib = col(rscore_ref, r) + jnp.where(inc, rec, kM)
+        score_ref[:] = jnp.where(ism, score_ref[:] + contrib, score_ref[:])
+        first_ref[:] = jnp.where(ism & ~inc, r, first)
+        ext_ref[:] = jnp.where(ism, col(rend_ref, r), ext_ref[:])
+        return 0
+
+    jax.lax.fori_loop(0, rmax_ref[i], body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("sparams", "interpret"))
+def run_score_pallas_vmem(tab, run_row, rstart, rend, rscore, ract,
+                          rc_rows, rmax_tile, *, sparams, interpret=False):
+    """VMEM-table dense run scoring: tab [V8, W32] u32 (whole membership
+    table), run_row [G, R] i32 row per run slot; rest as
+    run_score_pallas."""
+    k, mlen, M, MM, U, W1, T, GT = sparams
+    G, R = run_row.shape
+    V8, W32 = tab.shape
+    n_tiles = G // GT
+    kern = functools.partial(_run_loop_kernel_vmem, k=k, mlen=mlen, M=M,
+                             MM=MM, U=U, W1=W1, T=T, GT=GT, W32=W32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((GT, R), lambda i, *_: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((V8, W32), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GT, R), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GT, R), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GT, R), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GT, R), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GT, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((GT, T), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GT, T), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((GT, T), jnp.int32)],
+    )
+    score, first = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((G, T), jnp.int32),
+                   jax.ShapeDtypeStruct((G, T), jnp.int32)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(rmax_tile, run_row, tab, rstart, rend, rscore, ract,
+      rc_rows[:, None])
+    return score, first
+
+
 @functools.partial(jax.jit, static_argnames=("sparams", "interpret"))
 def run_score_pallas(memb, rstart, rend, rscore, ract, rc_rows, rmax_tile,
                      *, sparams, interpret=False):

@@ -1071,7 +1071,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
     n_frags = 0
 
     def handle_se_anker(codes, n_positions, rc_flag, templates, header,
-                        flag):
+                        flag, rc_override=None):
         if contamination is not None:
             templates = decon_filter(templates)
             if not templates:
@@ -1082,7 +1082,9 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         if cfg.mem_mode:
             handle_mem_anker(codes, rc_flag, templates, header, flag)
             return
-        codes_r = rc_codes(codes)
+        # HMM whole-word slices: the reference's step-3 rc is shifted by
+        # one garbage word (see AnkerHit.rc_override)
+        codes_r = rc_override if rc_override is not None else rc_codes(codes)
         n_pos = np.asarray(n_positions, dtype=np.int64)
         n_pos_r = np.sort((q_len - 1) - n_pos[::-1]) if len(n_pos) else n_pos
         res = aln_frags_se(store, np.asarray(templates, np.int64), rc_flag,
@@ -1192,6 +1194,17 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                                    scanner.Score, scanner.Score_r,
                                    scan_proxi)
             return [hit] if hit is not None else []
+    elif cfg.hmm:
+        from .mapping.hmm_scan import HmmCompBuf, hmm_scan_read
+        hmm_buf = HmmCompBuf()
+
+        def scan_one(read):
+            return hmm_scan_read(
+                idx, read.codes, read.header, template_lengths,
+                cfg.min_len, scanner.Score, scanner.Score_r,
+                scanner.include, mem_mode=cfg.mem_mode, proxi=scan_proxi,
+                exhaustive=cfg.exhaustive, decon=cfg.deCon,
+                comp_buf=hmm_buf)
     elif not cfg.one2one:
         from .mapping.chain_scan import chain_scan_read
 
@@ -1334,7 +1347,8 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                 n_frags += 1
                 for hit in scan_one(read):
                     handle_se_anker(hit.codes, hit.n_positions, hit.rc_flag,
-                                    hit.templates, hit.header, hit.flag)
+                                    hit.templates, hit.header, hit.flag,
+                                    hit.rc_override)
 
     def _pair_stream():
         from .io.pipeline import iter_read_pairs
@@ -1373,7 +1387,8 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         def _se_fallback(r):
             for hit in scan_one(r):
                 handle_se_anker(hit.codes, hit.n_positions, hit.rc_flag,
-                                hit.templates, hit.header, hit.flag)
+                                hit.templates, hit.header, hit.flag,
+                                hit.rc_override)
 
         for r1, r2 in _pair_stream():
             n_frags += 1

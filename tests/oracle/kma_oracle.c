@@ -138,7 +138,7 @@ int main(void) {
             fwrite(aligned.q, 1, alen, stdout);
             free(aligned.t); free(aligned.s); free(aligned.q);
             free(frag.t); free(frag.s); free(frag.q);
-        } else {
+        } else if (mode == 2) {
             rc_comp(&qcomp, &qcomp_r);
             unsigned char *q_r = malloc(q_len + 1);
             unCompDNA(&qcomp_r, q_r);
@@ -157,6 +157,36 @@ int main(void) {
                               points->weight[i]};
                 fwrite(row, 4, 5, stdout);
             }
+            free(q_r);
+        } else {
+            /* mode 3: the alnFragsSE arc flow (alnfrags.c:1104-1127):
+             * anker_rc_comp seeds points, KMA_score consumes them on the
+             * winning strand.  Tests the PRELOADED-points score path. */
+            rc_comp(&qcomp, &qcomp_r);
+            unsigned char *q_r = malloc(q_len + 1);
+            unCompDNA(&qcomp_r, q_r);
+            qcomp_r.N[0]++;
+            qcomp_r.N[qcomp_r.N[0]] = q_len;
+            qcomp.N[0]++;
+            qcomp.N[qcomp.N[0]] = q_len;
+            int rc = anker_rc_comp(tindex, q_codes, q_r, &qcomp, &qcomp_r,
+                                   q_start, q_end, points);
+            AlnScore st;
+            if (rc < 0) {
+                st = KMA_score(tindex, q_r, q_len, q_len - q_end,
+                               q_len - q_start, &qcomp_r, mq, 0.5, points,
+                               &mat);
+            } else if (rc) {
+                st = KMA_score(tindex, q_codes, q_len, q_start, q_end,
+                               &qcomp, mq, 0.5, points, &mat);
+            } else {
+                memset(&st, 0, sizeof(st));
+                points->len = 0;
+            }
+            fwrite(&rc, 4, 1, stdout);
+            int out[7] = {st.score, st.pos, st.len, st.match, st.tGaps,
+                          st.qGaps, 0};
+            fwrite(out, 4, 7, stdout);
             free(q_r);
         }
         hashMapCCI_destroy(tindex);
