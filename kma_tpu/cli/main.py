@@ -410,7 +410,16 @@ def map_main(argv: List[str]) -> int:
             i += 1
             cfg.max_frag = int(argv[i])
         elif a == "-verbose":
-            cfg.verbose = 1
+            # optional numeric level (kma.c:1058-1067)
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                i += 1
+                try:
+                    cfg.verbose = int(argv[i])
+                except ValueError:
+                    print('Invalid argument at "-verbose".', file=sys.stderr)
+                    return 1
+            else:
+                cfg.verbose = 1
         elif a == "-mem_mode":
             cfg.mem_mode = True
         elif a == "-pm":

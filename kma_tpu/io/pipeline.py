@@ -18,6 +18,7 @@ formats are kept available for stage-by-stage parity testing against
 from __future__ import annotations
 
 import struct
+import sys
 from typing import BinaryIO, Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -57,8 +58,10 @@ def iter_reads(input_files: List[str], min_phred: int = 20,
     scale = 33
     for path in input_files:
         fmt = detect_format(path)
+        print("%s\t%s" % ("# Reading inputfile: ", path), file=sys.stderr)
         if fmt == "fastq":
             scale = sniff_phred_scale(path)
+            print("# Phred scale:\t%d" % scale, file=sys.stderr)
             for header, codes, qual in parse_fastq(path):
                 org += 1
                 if qc is not None:

@@ -14,6 +14,7 @@ from __future__ import annotations
 import bisect
 import os
 import sys
+import time
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -63,6 +64,12 @@ class TemplateStore:
             ti = TemplateIndex(unpack_2bit(words, t_len), self.kmersize)
             self.cache[template] = ti
         return ti
+
+
+def _stage(msg: str) -> None:
+    """Reference stderr stage lines (runkma.c:290,556-560; kmers.c:182)."""
+    print(msg, file=sys.stderr)
+    sys.stderr.flush()
 
 
 def _shard_of(biases: List[int], template: int) -> int:
@@ -975,6 +982,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             pe_files: Optional[List[str]] = None,
             int_files: Optional[List[str]] = None) -> int:
     """The runKMA flow (runkma.c:130-908) for the -1t1 SE path."""
+    _t_stage = time.process_time()
     if cfg.deCon:
         # -deCon swaps in .decon.comp.b whose value lists carry the
         # contamination pseudo-template DB_size (kma.c:1489-1493)
@@ -985,6 +993,8 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         idx.seq_path = db_prefix + ".seq.b"
     else:
         idx = load_index(db_prefix)
+    _db_dt = time.process_time() - _t_stage
+    _stage("# Running KMA.")
     db_size = idx.db_size
     contamination = db_size if cfg.deCon else None
     if cfg.deCon:
@@ -1483,6 +1493,16 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         # soft -proxi in mem_mode: the scanner's softProxi totals REPLACE
         # alignment_scores before ConClave (runkma.c:1154-1156)
         alignment_scores[:] = soft_proxi[:db_size]
+    # stage lines in the reference's (non-forked kmaPipe) order
+    # (runinput.c:448-452; kmers.c:182-184,269; runkma.c:558-560)
+    _stage("#\n# Total number of query fragment after trimming:\t%d\n#"
+           % n_frags)
+    _stage("# Query converted\n#")
+    _stage("#\n# Total time used for DB loading: %.2f s.\n#" % _db_dt)
+    _stage("# Finding k-mer ankers")
+    _stage("# Query ankered\n#")
+    _stage("# KMA mapping done\n#")
+    _stage("# Sort, output and select KMA alignments.")
     return _conclave_and_output(
         records, db_size, template_lengths,
         lambda t: names[t - 1].decode("latin1"), store, alignment_scores,
@@ -1508,6 +1528,7 @@ def _conclave_and_output(records, db_size, template_lengths, name_of, store,
     boundary dummy templates, the databases header line, and the
     trailing-count fragmentCount quirk.
     """
+    _t_sort = time.process_time()
     # --- ConClave --------------------------------------------------------
     w_scores = np.zeros(db_size, dtype=np.int64)
     need_counts = bool(cfg.tsv or cfg.xml) or cfg.sasm or True
@@ -1528,6 +1549,14 @@ def _conclave_and_output(records, db_size, template_lengths, name_of, store,
                                    lc=cfg.lc)
 
     Nhits = int(w_scores[1:].sum()) or 1
+    _stage("# Total time for sorting and outputting KMA alignment\t%.2f s."
+           % (time.process_time() - _t_sort))
+    _stage("#\n# Doing local assemblies of found templates, and output "
+           "results")
+    _t_asm = time.process_time()
+    if cfg.verbose:
+        _stage("# Template\tScore\tProgress")
+    _v_counter = 0
 
     # --- outputs ---------------------------------------------------------
     res_out = open(output_prefix + ".res", "w")
@@ -1571,7 +1600,6 @@ def _conclave_and_output(records, db_size, template_lengths, name_of, store,
     xml_writer = None
     seqin_size = 0
     if cfg.xml:
-        import time
         from .out.xmlout import XmlHitWriter, xml_init
         xml_out = sys.stdout if cfg.xml == 2 \
             else open(output_prefix + ".xml", "w")
@@ -1599,6 +1627,12 @@ def _conclave_and_output(records, db_size, template_lengths, name_of, store,
             continue
         if w_scores[template] <= 0:
             continue
+        if cfg.verbose:
+            # runkma.c:765-767 progress rows
+            _v_counter += int(w_scores[template])
+            _stage("# %d / %d\t%d\t%3d%%" % (template, db_size,
+                                               int(w_scores[template]),
+                                               100 * _v_counter // Nhits))
         if splt is not None and cfg.xml:
             seqin_size = splt["seqin_sizes"][_shard_of(
                 splt["biases"], template)]
@@ -1699,6 +1733,9 @@ def _conclave_and_output(records, db_size, template_lengths, name_of, store,
               tsv_out):
         if f is not None:
             f.close()
+    _stage("# Total time used for local assembly: %.2f s.\n#"
+           % (time.process_time() - _t_asm))
+    _stage("# Closing files")
     return status
 
 
@@ -2181,7 +2218,6 @@ def run_kma_mt1(db_prefix: str, output_prefix: str, input_files: List[str],
     xml_out = None
     xml_writer = None
     if cfg.xml:
-        import time
         from .out.xmlout import (XmlHitWriter, xml_init, xml_new_iter)
         xml_out = sys.stdout if cfg.xml == 2 \
             else open(output_prefix + ".xml", "w")
