@@ -420,6 +420,8 @@ def map_main(argv: List[str]) -> int:
                     return 1
             else:
                 cfg.verbose = 1
+        elif a == "-boot":
+            cfg.boot = True
         elif a == "-mem_mode":
             cfg.mem_mode = True
         elif a == "-pm":

@@ -301,32 +301,121 @@ def dist_main(argv: List[str]) -> int:
 
 
 def trim_main(argv: List[str]) -> int:
-    """kma trim (trim.c): standalone read trimming to fastq."""
-    from ..io.pipeline import iter_reads
-    from ..io.seq import BASES
-    inputs = []
+    """kma trim (trim.c:149-420): standalone read trimming.
+
+    Emits fastq with the REAL trimmed quality slice (printTrimFsa,
+    trim.c:28-68) -- fasta input falls back to headerless-qual fasta
+    records.  Supports -i/-ipe/-int/-o/-ml/-xl/-mp/-mi/-eq/-5p/-3p."""
+    from ..io.seq import (BASES, detect_format, parse_fasta, parse_fastq,
+                          fsa_stat, phred_stat, sniff_phred_scale)
+    inputs: List[str] = []
+    pe_inputs: List[str] = []
+    int_inputs: List[str] = []
+    outfile = None
     min_phred = 20
+    hardmask_q = 0
+    min_q = 0
+    five_clip = 0
+    three_clip = 0
     min_len = 16
+    max_len = 2147483647
     i = 0
+
+    def _take_files(dest):
+        nonlocal i
+        i += 1
+        n0 = len(dest)
+        while i < len(argv) and (not argv[i].startswith("-")
+                                 or argv[i] == "--"):
+            dest.append(argv[i])
+            i += 1
+        if len(dest) == n0:
+            print("No files were specified.", file=sys.stderr)
+            raise SystemExit(1)
+
     while i < len(argv):
         a = argv[i]
         if a == "-i":
-            i += 1
-            while i < len(argv) and not argv[i].startswith("-"):
-                inputs.append(argv[i])
-                i += 1
+            _take_files(inputs)
             continue
-        if a == "-mp":
+        if a == "-ipe":
+            _take_files(pe_inputs)
+            continue
+        if a == "-int":
+            _take_files(int_inputs)
+            continue
+        if a == "-o":
+            i += 1
+            outfile = argv[i]
+        elif a == "-mp":
             i += 1
             min_phred = int(argv[i])
+        elif a == "-mi":
+            i += 1
+            hardmask_q = int(argv[i])
+        elif a == "-eq":
+            i += 1
+            min_q = int(argv[i])
+        elif a == "-5p":
+            i += 1
+            five_clip = int(argv[i])
+        elif a == "-3p":
+            i += 1
+            three_clip = int(argv[i])
         elif a == "-ml":
             i += 1
             min_len = int(argv[i])
+        elif a == "-xl":
+            i += 1
+            max_len = int(argv[i])
         i += 1
-    out = sys.stdout.buffer
-    for read in iter_reads(inputs, min_phred=min_phred, min_len=min_len):
-        seq = np.frombuffer(BASES, dtype=np.uint8)[read.codes].tobytes()
-        name = read.header.split(b"\x00", 1)[0]
-        out.write(b"@" + name + b"\n" + seq + b"\n+\n"
-                  + b"I" * len(seq) + b"\n")
+    if min_phred < hardmask_q:
+        min_phred = hardmask_q
+    if min_phred < min_q:
+        min_phred = min_q
+
+    out = open(outfile, "wb") if outfile else sys.stdout.buffer
+    basemap = np.frombuffer(BASES, dtype=np.uint8)
+
+    def emit(header, codes, qual, start: int, end: int) -> None:
+        seq = basemap[codes[start:end]].tobytes()
+        h = bytes(header)
+        if qual is not None:
+            out.write(h + b"\n" + seq + b"\n+\n"
+                      + bytes(memoryview(qual)[start:end]) + b"\n")
+        else:
+            out.write(b">" + h[1:] + b"\n" + seq + b"\n")
+
+    def trim_one(path):
+        """yields (header, codes, qual, start, end) for survivors."""
+        if detect_format(path) == "fastq":
+            scale = sniff_phred_scale(path)
+            print("# Phred scale:\t%d" % scale, file=sys.stderr)
+            for header, codes, qual in parse_fastq(path):
+                # fiveClip/threeClip are dead params in the reference's
+                # phredStat (runinput.c:127, never read in the body)
+                ln, start, end = phred_stat(
+                    codes, qual, scale, min_phred, min_q, hardmask_q,
+                    min_len, max_len)
+                if min_len <= ln:
+                    yield header, codes, qual, start, end
+        else:
+            for header, codes in parse_fasta(path):
+                ln, start, end = fsa_stat(codes, min_len, max_len)
+                if min_len <= ln:
+                    yield header, codes, None, start, end
+
+    for path in inputs + int_inputs:
+        print("%s\t%s" % ("# Reading inputfile: ", path), file=sys.stderr)
+        for rec in trim_one(path):
+            emit(*rec)
+    for fi in range(0, len(pe_inputs), 2):
+        # both mates must survive (printTrimFsa_pair, trim.c:70-128)
+        f1, f2 = pe_inputs[fi], pe_inputs[fi + 1]
+        print("# Reading inputfile:\t%s %s" % (f1, f2), file=sys.stderr)
+        for r1, r2 in zip(trim_one(f1), trim_one(f2)):
+            emit(*r1)
+            emit(*r2)
+    if outfile:
+        out.close()
     return 0

@@ -123,6 +123,7 @@ class MapConfig:
     # resources
     threads: int = 1
     verbose: int = 0
+    boot: bool = False   # -boot: 1024/512 sub-sequence bootstrap (runinput.c:732)
     # TPU device mapping path: "auto" uses the device scanner whenever a
     # non-CPU jax backend is present and the mode is device-eligible;
     # "on" forces it (tests use this on the CPU backend), "off" disables.

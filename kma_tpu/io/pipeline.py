@@ -40,10 +40,23 @@ class Read:
         self.mate_first = mate_first
 
 
+def _boot_pieces(codes: np.ndarray, header: bytes) -> Iterator[Read]:
+    """-boot: overlapping 1024-base sub-sequences at stride 512, each an
+    independent fragment with the read's header (bootFsa,
+    runinput.c:732-763)."""
+    end = len(codes) - 1024
+    i = 0
+    while i < end:
+        yield Read(codes[i: i + 1024].copy(), header)
+        i += 512
+    yield Read(codes[i:].copy(), header)
+
+
 def iter_reads(input_files: List[str], min_phred: int = 20,
                hardmask_q: int = 0, min_q: int = 0, five_clip: int = 0,
                three_clip: int = 0, min_len: int = 16,
-               max_len: int = 2147483647, qc=None) -> Iterator[Read]:
+               max_len: int = 2147483647, qc=None,
+               boot: bool = False) -> Iterator[Read]:
     """Parse, trim and yield reads (run_input, runinput.c:370-461).
 
     With a QCStat, per-read statistics are recorded as phredStat/fsastat
@@ -74,7 +87,12 @@ def iter_reads(input_files: List[str], min_phred: int = 20,
                     qc.update(st["len"], st["gc"], st["ns"], st["sp"])
                 if min_len <= ln:
                     count += 1
-                    yield Read(codes[start:end].copy(), header[1:] + b"\x00")
+                    if boot:
+                        yield from _boot_pieces(codes[start:end],
+                                                header[1:] + b"\x00")
+                    else:
+                        yield Read(codes[start:end].copy(),
+                                   header[1:] + b"\x00")
         else:
             for header, codes in parse_fasta(path):
                 org += 1
@@ -87,7 +105,12 @@ def iter_reads(input_files: List[str], min_phred: int = 20,
                     qc.update(end - start, gc, ns, 0.0)
                 if min_len <= ln:
                     count += 1
-                    yield Read(codes[start:end].copy(), header[1:] + b"\x00")
+                    if boot:
+                        yield from _boot_pieces(codes[start:end],
+                                                header[1:] + b"\x00")
+                    else:
+                        yield Read(codes[start:end].copy(),
+                                   header[1:] + b"\x00")
     if qc is not None:
         qc.finish_input(count, org, scale)
 

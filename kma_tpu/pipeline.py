@@ -1255,7 +1255,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         reads_it = iter_reads(input_files, min_phred=cfg.min_phred,
                               hardmask_q=cfg.hardmask_q, min_q=cfg.min_q,
                               min_len=cfg.min_len, max_len=cfg.max_len,
-                              qc=qc)
+                              qc=qc, boot=cfg.boot)
         if device_stream is not None:
             # Batched step-3: buffer the device scanner's ankers and align
             # them through the threaded native engine (alnfrags.c worker

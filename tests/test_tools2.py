@@ -1,0 +1,76 @@
+"""Golden tests: kma trim real quality output and -boot sub-sequencing."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from kma_tpu.cli.main import main as kma_main
+from kma_tpu.io.seq import parse_fasta
+
+
+@pytest.fixture(scope="module")
+def messy_fq(tmp_path_factory, db50):
+    """Reads with low-quality tails, internal low-q bases and Ns."""
+    rng = np.random.default_rng(5)
+    recs = list(parse_fasta(str(db50)))
+    out = tmp_path_factory.mktemp("trim") / "messy.fq"
+    with open(out, "w") as f:
+        for i in range(200):
+            _h, codes = recs[rng.integers(len(recs))]
+            L = int(rng.integers(60, 900))
+            if len(codes) <= L:
+                continue
+            s = int(rng.integers(0, len(codes) - L))
+            r = codes[s: s + L].copy()
+            npos = rng.integers(0, L, rng.integers(0, 4))
+            r[npos] = 4
+            q = rng.integers(2, 41, L)
+            ltail = int(rng.integers(0, 12))
+            rtail = int(rng.integers(0, 12))
+            if ltail:
+                q[:ltail] = rng.integers(0, 15, ltail)
+            if rtail:
+                q[-rtail:] = rng.integers(0, 15, rtail)
+            f.write("@m%d\n%s\n+\n%s\n"
+                    % (i, "".join("ACGTN"[c] for c in r),
+                       "".join(chr(33 + int(x)) for x in q)))
+    return out
+
+
+@pytest.mark.parametrize("flags", [[], ["-mp", "25"],
+                                   ["-mi", "20", "-eq", "15"],
+                                   ["-ml", "50", "-xl", "600"]])
+def test_trim_parity(tmp_path, messy_fq, ref_bin, flags, capfdbinary):
+    """kma trim emits the REAL trimmed quality slice (trim.c:28-68)."""
+    r = subprocess.run([str(ref_bin), "trim", "-i", str(messy_fq)] + flags,
+                       capture_output=True)
+    assert r.returncode == 0
+    capfdbinary.readouterr()
+    rc = kma_main(["trim", "-i", str(messy_fq)] + flags)
+    outp = capfdbinary.readouterr().out
+    assert rc == 0
+    assert outp == r.stdout
+
+
+def test_boot_parity(tmp_path, messy_fq, db50, ref_bin, ref_index_bin):
+    """-boot maps overlapping 1024/512 sub-sequences (runinput.c:732)."""
+    import gzip
+    d = tmp_path
+    prefix = str(d / "db")
+    subprocess.run([str(ref_index_bin), "-i", str(db50), "-o", prefix],
+                   check=True, capture_output=True)
+    ref_out = d / "ref"
+    my_out = d / "my"
+    r = subprocess.run([str(ref_bin), "-i", str(messy_fq), "-o",
+                        str(ref_out), "-t_db", prefix, "-boot"],
+                       capture_output=True)
+    assert r.returncode == 0
+    rc = kma_main(["-i", str(messy_fq), "-o", str(my_out), "-t_db", prefix,
+                   "-boot"])
+    assert rc == 0
+    for ext in (".res", ".fsa", ".aln"):
+        assert (d / ("ref" + ext)).read_bytes() \
+            == (d / ("my" + ext)).read_bytes(), f"{ext} differs"
+    assert gzip.open(str(ref_out) + ".frag.gz").read() \
+        == gzip.open(str(my_out) + ".frag.gz").read()
