@@ -248,15 +248,66 @@ def update_main(argv: List[str]) -> int:
     return 0
 
 
+def _dist_measures():
+    """(flag bit, section name, ltd, int?, fmt, d(Ni, Nj, D)) rows in the
+    reference's section order (dist.c:321-478, threadDist:692-768)."""
+    import math
+
+    def clamp01(d):
+        return 0.0 if d < 0 else (1.0 if 1 < d else d)
+
+    def clamp100(d):
+        return 0.0 if d < 0 else (100.0 if 100 < d else d)
+
+    return [
+        (1, "k-mer distance", True, True, "\t%10d",
+         lambda Ni, Nj, D: max(0, Ni + Nj - 2 * D)),
+        (2, "shared k-mers", True, True, "\t%10d",
+         lambda Ni, Nj, D: D),
+        (4, "Query k-mer coverage [%]", False, False, "\t%10.6f",
+         lambda Ni, Nj, D: clamp100(100.0 * D / Ni)),
+        (8, "Template k-mer coverage [%]", False, False, "\t%10.6f",
+         lambda Ni, Nj, D: clamp100(100.0 * D / Nj)),
+        (16, "Avg. k-mer coverage [%]", True, False, "\t%10.6f",
+         lambda Ni, Nj, D: clamp100(200.0 * D / (Ni + Nj))),
+        (32, "Inverse Avg. k-mer coverage", True, False, "\t%10.6f",
+         lambda Ni, Nj, D: clamp100(100.0 - 200.0 * D / (Ni + Nj))),
+        (64, "Jaccard Distance", True, False, "\t%.8f",
+         lambda Ni, Nj, D: clamp01(1.0 - D / (Ni + Nj - D))),
+        (128, "Jaccard Similarity", True, False, "\t%.8f",
+         lambda Ni, Nj, D: clamp01(D / (Ni + Nj - D))),
+        (256, "Cosine distance", True, False, "\t%.8f",
+         lambda Ni, Nj, D: clamp01(
+             1.0 - D / (math.sqrt(Ni) * math.sqrt(Nj)))),
+        (512, "Cosine similarity", True, False, "\t%.8f",
+         lambda Ni, Nj, D: clamp01(D / (math.sqrt(Ni) * math.sqrt(Nj)))),
+        (1024, "Szymkiewicz–Simpson similarity", True, False, "\t%.8f",
+         lambda Ni, Nj, D: clamp01(D / min(Ni, Nj))),
+        (2048, "Szymkiewicz–Simpson dissimilarity", True, False,
+         "\t%.8f", lambda Ni, Nj, D: clamp01(1.0 - D / min(Ni, Nj))),
+        (4096, "Chi-square distance", True, True, "\t%10d",
+         lambda Ni, Nj, D: max(0, (Ni + Nj - 2 * D) ** 2 // (Ni + Nj))),
+    ]
+
+
 def dist_main(argv: List[str]) -> int:
-    """kma dist (dist.c): k-mer based template distance matrix (Phylip)."""
-    from ..index.format import load_comp_b, load_length_b, load_names
+    """kma dist (dist.c:895-1050): 13 k-mer distance/similarity measures
+    over the DB's value lists, relaxed-Phylip output."""
+    from ..index.format import load_comp_b, load_names
     db, rest = _parse_db_flag(argv)
-    method = 1
+    flag = 1
+    fmt_flag = 1
+    outpath = None
     i = 0
     while i < len(rest):
         if rest[i] == "-d" and i + 1 < len(rest):
-            method = int(rest[i + 1])
+            flag = int(rest[i + 1])
+            i += 2
+        elif rest[i] == "-f" and i + 1 < len(rest):
+            fmt_flag = int(rest[i + 1])
+            i += 2
+        elif rest[i] == "-o" and i + 1 < len(rest):
+            outpath = rest[i + 1]
             i += 2
         else:
             i += 1
@@ -264,39 +315,63 @@ def dist_main(argv: List[str]) -> int:
         print("Too few arguments handed", file=sys.stderr)
         return 1
     idx = load_comp_b(db + ".comp.b")
-    names = load_names(db + ".name")
-    db_size = idx.db_size
-    # shared k-mer counts via the values lists (kmerSimilarity, dist.c:171)
-    shared = np.zeros((db_size, db_size), dtype=np.int64)
-    totals = np.zeros(db_size, dtype=np.int64)
-    v = 0
+    names = [n.decode("latin1") for n in load_names(db + ".name")]
+    n = idx.db_size - 1
+
+    # kmerSimilarity (dist.c:171-232): one contribution per stored k-mer;
+    # identical (deduplicated) lists batched by multiplicity
     values = idx.values
-    seen = {}
     if idx.mega:
         offs = idx.exist[idx.exist != idx.null_index].astype(np.int64)
     else:
-        offs = idx.value_index.astype(np.int64)
-    for off in offs.tolist():
+        offs = idx.value_index[: idx.n].astype(np.int64)
+    uoffs, counts = np.unique(offs, return_counts=True)
+    N = np.zeros(n, dtype=np.int64)
+    S = np.zeros((n, n), dtype=np.int64)
+    for off, c in zip(uoffs.tolist(), counts.tolist()):
         cnt = int(values[off])
-        lst = values[off + 1: off + 1 + cnt].astype(np.int64)
-        totals[lst] += 1
-        for x in range(cnt):
-            for y in range(x + 1, cnt):
-                shared[lst[y], lst[x]] += 1
-    out = sys.stdout
-    out.write("%10d\n" % (db_size - 1))
-    for t in range(1, db_size):
-        row = []
-        for q in range(1, t):
-            s = int(shared[t, q])
-            if method == 1:
-                d = s
-            else:
-                denom = min(totals[t], totals[q]) or 1
-                d = 1.0 - s / denom
-            row.append("%d" % d if method == 1 else "%.4f" % d)
-        nm = names[t - 1].decode("latin1").split()[0]
-        out.write("%-37s %s\n" % (nm, "\t".join(row)))
+        lst = values[off + 1: off + 1 + cnt].astype(np.int64) - 1
+        N[lst] += c
+        S[np.ix_(lst, lst)] += c
+
+    parts: List[str] = []
+    for bit, method, ltd, _isint, efmt, dfun in _dist_measures():
+        if not (flag & bit):
+            continue
+        if fmt_flag & 4:
+            # C's %-35s pads to 35 BYTES (the en-dash is 3 UTF-8 bytes)
+            mb = method.encode("utf-8")
+            parts.append("# " + method
+                         + " " * max(0, 35 - len(mb)) + "\n")
+        parts.append("%10d" % n)
+        for ti in range(n):
+            nm = names[ti]
+            if fmt_flag & 1:
+                parts.append("\n%s" % nm)
+            else:  # %-10.10s truncates/pads in bytes
+                nb = nm.encode("latin1")[:10]
+                parts.append("\n" + nb.decode("latin1")
+                             + " " * (10 - len(nb)))
+            jend = ti if ltd else n
+            Ni = int(N[ti])
+            for j in range(jend):
+                if not ltd and j == ti:
+                    parts.append(efmt % 100.0)
+                else:
+                    D = int(S[ti, j]) if j < ti else int(S[j, ti])
+                    d = dfun(Ni, int(N[j]), D)
+                    parts.append(efmt % (0 if d < 0 else d))
+        parts.append("\n")
+        if not (fmt_flag & 1):
+            # getPhySize budgets DB_size*11 name bytes but only
+            # DB_size-1 are printed; the mmap leaves 11 NULs per section
+            parts.append("\x00" * 11)
+    data = "".join(parts)
+    if outpath:
+        with open(outpath, "w") as f:
+            f.write(data)
+    else:
+        sys.stdout.write(data)
     return 0
 
 

@@ -74,3 +74,29 @@ def test_boot_parity(tmp_path, messy_fq, db50, ref_bin, ref_index_bin):
             == (d / ("my" + ext)).read_bytes(), f"{ext} differs"
     assert gzip.open(str(ref_out) + ".frag.gz").read() \
         == gzip.open(str(my_out) + ".frag.gz").read()
+
+
+@pytest.fixture(scope="module")
+def db50_index2(tmp_path_factory, db50, ref_index_bin):
+    d = tmp_path_factory.mktemp("db_idx_t2")
+    prefix = str(d / "db")
+    subprocess.run([str(ref_index_bin), "-i", str(db50), "-o", prefix],
+                   check=True, capture_output=True)
+    return prefix
+
+
+@pytest.mark.parametrize("flags", [[], ["-d", "8191", "-f", "5"],
+                                   ["-d", "76", "-f", "0"],
+                                   ["-d", "4444", "-f", "4"]])
+def test_dist_parity(tmp_path, db50_index2, ref_bin, flags):
+    """kma dist: all 13 measures, relaxed/fixed phylip, byte parity
+    incl. the reference's mmap NUL padding (dist.c:593-768)."""
+    ref_out = tmp_path / "ref.phy"
+    my_out = tmp_path / "my.phy"
+    r = subprocess.run([str(ref_bin), "dist", "-t_db", db50_index2,
+                        "-o", str(ref_out)] + flags, capture_output=True)
+    assert r.returncode == 0
+    rc = kma_main(["dist", "-t_db", db50_index2, "-o", str(my_out)]
+                  + flags)
+    assert rc == 0
+    assert ref_out.read_bytes() == my_out.read_bytes()
