@@ -422,6 +422,15 @@ def map_main(argv: List[str]) -> int:
                 cfg.verbose = 1
         elif a == "-boot":
             cfg.boot = True
+        elif a == "-shm":
+            # optional numeric level (kma.c:514-525)
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                i += 1
+                cfg.shm = int(argv[i])
+            else:
+                cfg.shm = 1
+        elif a == "-mmap":
+            cfg.mmap = True
         elif a == "-mem_mode":
             cfg.mem_mode = True
         elif a == "-pm":

@@ -220,31 +220,171 @@ def merge_main(argv: List[str]) -> int:
 
 
 def shm_main(argv: List[str]) -> int:
-    """kma shm (shm.c): the reference pins DB files in SysV shared memory
-    so concurrent samples share one copy.  The TPU-native equivalent is
-    the device-resident index (kma_tpu.mapping.device_index), which lives
-    in HBM across queries; this command validates the DB and reports."""
-    db, rest = _parse_db_flag(argv)
+    """kma shm (shm.c:419-700): pin DB files in shared memory for
+    cross-run reuse.  The SysV segments become tmpfs copies under
+    /dev/shm (index/shm.py); mapping runs pick them up via -shm."""
+    from ..index.shm import shm_setup
+    db = None
+    lvl = 1
+    destroy = False
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-t_db" and i + 1 < len(argv):
+            db = argv[i + 1]
+            i += 2
+            continue
+        if a == "-shmLvl" and i + 1 < len(argv):
+            lvl = int(argv[i + 1])
+            if not lvl:
+                print("Invalid shmLvl", file=sys.stderr)
+                return 1
+            i += 2
+            continue
+        if a == "-destroy":
+            destroy = True
+        elif a == "-shm-h":
+            print("# Flags for shared memory, add them to combine them.")
+            print("# %8d\t%s" % (1, "*.comp.b"))
+            print("# %8d\t%s" % (2, "*.decon.comp.b"))
+            print("# %8d\t%s" % (4, "*.length.b"))
+            print("# %8d\t%s" % (8, "*.seq.b"))
+            print("# %8d\t%s" % (16, "*.name"))
+            return 0
+        i += 1
     if db is None:
         print("Too few arguments handed", file=sys.stderr)
         return 1
-    from ..index.format import load_comp_b
-    idx = load_comp_b(db + ".comp.b")
-    if "-destroy" in rest:
-        print(f"# Device-resident caches for {db} released.",
-              file=sys.stderr)
+    return shm_setup(db, lvl, destroy=destroy)
+
+
+def _convert_length_014to015(path: str) -> int:
+    """convertLength_014to015 (update.c:29-64): rotate the 3-block
+    length file (or duplicate the single 0.14 block) in place.  Returns
+    the sparse-prefix marker."""
+    import struct
+    with open(path, "rb") as f:
+        raw = f.read()
+    size = struct.unpack_from("<I", raw)[0]
+    body = np.frombuffer(raw[4:], dtype="<i4")
+    nread = len(body)
+    if nread == size:
         return 0
-    print(f"# DB {db} validated ({idx.n} k-mers); device residency is "
-          "managed per-process by DeviceIndex (HBM).", file=sys.stderr)
+    if nread == 2 * size:
+        print("DB is old.", file=sys.stderr)
+        print('It will only work for "-Sparse" mapping!!!',
+              file=sys.stderr)
+        out = np.concatenate([body[:size], body[: 2 * size]])
+        marker = 0
+    elif nread == 3 * size:
+        out = np.concatenate([body[2 * size: 3 * size], body[: 2 * size]])
+        marker = 1
+    else:
+        print("DB is malformed.", file=sys.stderr)
+        raise SystemExit(1)
+    with open(path, "r+b") as f:
+        f.seek(4)
+        f.write(out.astype("<i4").tobytes())
+    return marker
+
+
+def _hashmapkma_014to015(prefix_path: str, sparse_prefix: int) -> int:
+    """hashMapKMA_014to015 (update.c:66-206): widen the 0.14 header's
+    u32 n/v_index/null_index to u64, narrow values to u16 when DB_size
+    allows, and replace seq-position key_index entries with k-mers for
+    kmersize > 16."""
+    import os as _os
+    import struct
+    bpath = prefix_path + ".b"
+    if _os.path.exists(bpath):
+        _os.remove(bpath)
+    with open(prefix_path + ".comp.b", "rb") as f:
+        DB_size, kmersize, prefix_len = struct.unpack("<III", f.read(12))
+        prefix, size = struct.unpack("<QQ", f.read(16))
+        n, seqsize, v_index, null_index = struct.unpack("<IIII",
+                                                        f.read(16))
+        mask = (1 << (2 * kmersize)) - 1
+        if size < n or n == 0:
+            print("DB is not of version 0.14", file=sys.stderr)
+            raise SystemExit(1)
+        exist = np.fromfile(f, dtype="<u4", count=size)
+        mega = mask == size - 1
+        seq = None
+        if not mega:
+            seq = np.fromfile(f, dtype="<u8", count=seqsize)
+        values = np.fromfile(f, dtype="<u4", count=v_index)
+        key_index = value_index = None
+        if not mega:
+            key_index = np.fromfile(f, dtype="<u4", count=n + 1)
+            value_index = np.fromfile(f, dtype="<u4", count=n)
+    if sparse_prefix and prefix_len == 0:
+        prefix = 1
+    with open(prefix_path + ".comp.b", "wb") as f:
+        f.write(struct.pack("<III", DB_size, kmersize, prefix_len))
+        f.write(struct.pack("<QQQQQ", prefix, size, n, v_index,
+                            null_index))
+        f.write(exist.astype("<u4").tobytes())
+        if DB_size < 0xFFFF:
+            f.write(values.astype("<u2").tobytes())
+        else:
+            f.write(values.astype("<u4").tobytes())
+        if mega:
+            return 0
+        if kmersize <= 16:
+            f.write(key_index.astype("<u4").tobytes())
+        else:
+            # entries were positions into seq; store the k-mers
+            shift = np.uint64(64 - 2 * kmersize)
+            pos = key_index.astype(np.int64)
+            w = pos >> 5
+            off = (pos & 31).astype(np.uint64)
+            lo = seq[np.minimum(w, len(seq) - 1)]
+            hi = seq[np.minimum(w + 1, len(seq) - 1)]
+            km = np.where(
+                off == 0, lo >> shift,
+                ((lo << (np.uint64(2) * off))
+                 | (hi >> (np.uint64(64) - np.uint64(2) * off)))
+                >> shift)
+            f.write(km.astype("<u8").tobytes())
+        f.write(value_index.astype("<u4").tobytes())
     return 0
 
 
 def update_main(argv: List[str]) -> int:
-    """kma update (update.c): migrate old index formats.  Only the current
-    (0.15+) format is produced by this implementation; for old-format
-    inputs re-index from fasta (kma seq2fasta | kma index)."""
-    print("# Only current-format DBs are produced by kma_tpu; "
-          "use seq2fasta + index to rebuild legacy DBs.", file=sys.stderr)
+    """kma update (update.c:250-320): migrate a 0.14 index to the 0.15
+    format in place (-v 1415), incl. a .decon companion."""
+    import os as _os
+    db = None
+    version = 0
+    i = 0
+    while i < len(argv):
+        if argv[i] == "-t_db" and i + 1 < len(argv):
+            db = argv[i + 1]
+            i += 2
+        elif argv[i] == "-v" and i + 1 < len(argv):
+            try:
+                version = int(argv[i + 1])
+            except ValueError:
+                print(" Invalid version specified.", file=sys.stderr)
+                raise SystemExit(1)
+            i += 2
+        else:
+            i += 1
+    if not db or not version:
+        print("Insuffient amount of arguments handed!!!", file=sys.stderr)
+        return 0
+    if version != 1415:
+        print("Invalid version swifting specified.", file=sys.stderr)
+        print("Valid conversions:", file=sys.stderr)
+        print("\t%d\t%.2f -> %.2f" % (1415, 0.14, 0.15), file=sys.stderr)
+        return 2
+    marker = _convert_length_014to015(db + ".length.b")
+    rc = _hashmapkma_014to015(db, marker)
+    if _os.path.exists(db + ".decon.b"):
+        rc += _hashmapkma_014to015(db + ".decon", marker)
+    if rc:
+        print("Conversion error.", file=sys.stderr)
+        raise SystemExit(1)
     return 0
 
 

@@ -124,6 +124,8 @@ class MapConfig:
     threads: int = 1
     verbose: int = 0
     boot: bool = False   # -boot: 1024/512 sub-sequence bootstrap (runinput.c:732)
+    shm: int = 0         # -shm: prefer tmpfs DB copies (shm.c analog)
+    mmap: bool = False   # -mmap: demand-page .comp.b (kmmap.c:33)
     # TPU device mapping path: "auto" uses the device scanner whenever a
     # non-CPU jax backend is present and the mode is device-eligible;
     # "on" forces it (tests use this on the CPU backend), "off" disables.

@@ -126,23 +126,46 @@ def _values_dtype(db_size: int) -> np.dtype:
     return np.dtype("<u2") if db_size < U16MAX else np.dtype("<u4")
 
 
-def load_comp_b(path: str) -> KmaIndex:
-    """Load a .comp.b file (hashMapKMA_load, hashmapkma.c:275-455)."""
+def load_comp_b(path: str, mmap: bool = False, shm: int = 0) -> KmaIndex:
+    """Load a .comp.b file (hashMapKMA_load, hashmapkma.c:275-455).
+
+    mmap=True demand-pages the arrays (hashMapKMAmmap, kmmap.c:33)
+    instead of copying them; shm!=0 prefers the tmpfs copy pinned by
+    `kma shm` (shm.c semantics, see index/shm.py)."""
+    from .shm import resolve
+    path = resolve(path, shm)
+
     with open(path, "rb") as f:
         hdr = f.read(3 * 4 + 5 * 8)
         db_size, mlen, prefix_len = struct.unpack("<III", hdr[:12])
         prefix, size, n, v_index, null_index = struct.unpack("<QQQQQ", hdr[12:])
         mask = (1 << (2 * mlen)) - 1
         mega = (size - 1) == mask
-        exist = np.fromfile(f, dtype=_exist_dtype(mega, n, v_index), count=size)
-        values = np.fromfile(f, dtype=_values_dtype(db_size), count=v_index)
+
+        off = len(hdr)
+
+        def arr(dtype, count):
+            nonlocal off
+            dt = np.dtype(dtype)
+            if mmap:
+                a = np.memmap(path, dtype=dt, mode="r", offset=off,
+                              shape=(count,))
+            else:
+                f.seek(off)
+                a = np.fromfile(f, dtype=dt, count=count)
+            off += dt.itemsize * count
+            return a
+
+        exist = arr(_exist_dtype(mega, n, v_index), size)
+        values = arr(_values_dtype(db_size), v_index)
         if mega:
             key_index = value_index = None
         else:
             kd = np.dtype("<u4") if mlen <= 16 else np.dtype("<u8")
-            key_index = np.fromfile(f, dtype=kd, count=n + 1)
+            key_index = arr(kd, n + 1)
             vd = np.dtype("<u4") if v_index < U32MAX else np.dtype("<u8")
-            value_index = np.fromfile(f, dtype=vd, count=n)
+            value_index = arr(vd, n)
+        f.seek(off)
         trailer = f.read(8)
         if len(trailer) == 8:
             kmersize, flag = struct.unpack("<II", trailer)
@@ -170,9 +193,11 @@ def dump_comp_b(idx: KmaIndex, f: BinaryIO) -> None:
     f.write(struct.pack("<II", idx.kmersize, idx.flag))
 
 
-def load_length_b(path: str) -> np.ndarray:
+def load_length_b(path: str, shm: int = 0) -> np.ndarray:
     """.length.b: i32 DB_size then u32 lengths[DB_size]; lengths[0] is the
     kmerindex (makeindex.c:263-273, runkma.c:162)."""
+    from .shm import resolve
+    path = resolve(path, shm)
     with open(path, "rb") as f:
         (db_size,) = struct.unpack("<i", f.read(4))
         return np.fromfile(f, dtype="<u4", count=db_size)
@@ -184,18 +209,21 @@ def dump_length_b(lengths: np.ndarray, path: str) -> None:
         lengths.astype("<u4").tofile(f)
 
 
-def load_names(path: str) -> List[bytes]:
+def load_names(path: str, shm: int = 0) -> List[bytes]:
     """.name lines; template t (1-based) is names[t-1]."""
+    from .shm import resolve
+    path = resolve(path, shm)
     with open(path, "rb") as f:
         return f.read().splitlines()
 
 
-def load_index(prefix: str) -> KmaIndex:
+def load_index(prefix: str, mmap: bool = False, shm: int = 0) -> KmaIndex:
     """Load all DB files by prefix."""
-    idx = load_comp_b(prefix + ".comp.b")
-    idx.template_lengths = load_length_b(prefix + ".length.b")
-    idx.names = load_names(prefix + ".name")
-    idx.seq_path = prefix + ".seq.b"
+    from .shm import resolve
+    idx = load_comp_b(prefix + ".comp.b", mmap=mmap, shm=shm)
+    idx.template_lengths = load_length_b(prefix + ".length.b", shm=shm)
+    idx.names = load_names(prefix + ".name", shm=shm)
+    idx.seq_path = resolve(prefix + ".seq.b", shm & 8)
     return idx
 
 

@@ -987,12 +987,15 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         # -deCon swaps in .decon.comp.b whose value lists carry the
         # contamination pseudo-template DB_size (kma.c:1489-1493)
         from .index.format import load_comp_b, load_length_b, load_names
-        idx = load_comp_b(db_prefix + ".decon.comp.b")
-        idx.template_lengths = load_length_b(db_prefix + ".length.b")
-        idx.names = load_names(db_prefix + ".name")
-        idx.seq_path = db_prefix + ".seq.b"
+        from .index.shm import resolve as _shm_resolve
+        idx = load_comp_b(db_prefix + ".decon.comp.b", mmap=cfg.mmap,
+                          shm=cfg.shm & 2)
+        idx.template_lengths = load_length_b(db_prefix + ".length.b",
+                                             shm=cfg.shm)
+        idx.names = load_names(db_prefix + ".name", shm=cfg.shm)
+        idx.seq_path = _shm_resolve(db_prefix + ".seq.b", cfg.shm & 8)
     else:
-        idx = load_index(db_prefix)
+        idx = load_index(db_prefix, mmap=cfg.mmap, shm=cfg.shm)
     _db_dt = time.process_time() - _t_stage
     _stage("# Running KMA.")
     db_size = idx.db_size

@@ -100,3 +100,90 @@ def test_dist_parity(tmp_path, db50_index2, ref_bin, flags):
                   + flags)
     assert rc == 0
     assert ref_out.read_bytes() == my_out.read_bytes()
+
+
+def _make_014(prefix15: str, dst_prefix: str) -> None:
+    """Inverse of update.c's 0.14->0.15 conversion: synthesize a 0.14
+    index from a current one (k<=16, standard length file)."""
+    import shutil
+    import struct
+    with open(prefix15 + ".comp.b", "rb") as f:
+        DB_size, kmersize, prefix_len = struct.unpack("<III", f.read(12))
+        prefix, size, n, v_index, null_index = struct.unpack("<QQQQQ",
+                                                             f.read(40))
+        exist = np.fromfile(f, dtype="<u4", count=size)
+        dt = "<u2" if DB_size < 0xFFFF else "<u4"
+        values = np.fromfile(f, dtype=dt, count=v_index)
+        key_index = np.fromfile(f, dtype="<u4", count=n + 1)
+        value_index = np.fromfile(f, dtype="<u4", count=n)
+    with open(dst_prefix + ".comp.b", "wb") as f:
+        f.write(struct.pack("<III", DB_size, kmersize, prefix_len))
+        f.write(struct.pack("<QQ", prefix, size))
+        f.write(struct.pack("<IIII", n, 1, v_index, null_index))
+        f.write(exist.astype("<u4").tobytes())
+        f.write(np.zeros(1, "<u8").tobytes())      # unused seq word
+        f.write(values.astype("<u4").tobytes())    # 0.14 stored u32
+        f.write(key_index.astype("<u4").tobytes())
+        f.write(value_index.astype("<u4").tobytes())
+    # standard 0.14 length file: header + one block
+    with open(prefix15 + ".length.b", "rb") as f:
+        raw = f.read()
+    sz = struct.unpack_from("<I", raw)[0]
+    with open(dst_prefix + ".length.b", "wb") as f:
+        f.write(raw[: 4 + 4 * sz])
+    open(dst_prefix + ".b", "wb").write(b"legacy")
+    for ext in (".name", ".seq.b"):
+        shutil.copy(prefix15 + ext, dst_prefix + ext)
+
+
+def test_update_migration_parity(tmp_path, db50_index2, ref_bin):
+    """kma update -v 1415 migrates a 0.14 index byte-identically to the
+    reference (update.c:66-206)."""
+    import os
+    a = str(tmp_path / "refdb")
+    b = str(tmp_path / "mydb")
+    _make_014(db50_index2, a)
+    _make_014(db50_index2, b)
+    r = subprocess.run([str(ref_bin), "update", "-t_db", a, "-v", "1415"],
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr
+    rc = kma_main(["update", "-t_db", b, "-v", "1415"])
+    assert rc == 0
+    for ext in (".comp.b", ".length.b"):
+        assert open(a + ext, "rb").read() == open(b + ext, "rb").read(), ext
+    assert not os.path.exists(a + ".b") and not os.path.exists(b + ".b")
+    # the migrated DB must be loadable and usable
+    from kma_tpu.index.format import load_index
+    idx = load_index(b)
+    assert idx.db_size > 1
+
+
+def test_shm_and_mmap(tmp_path, db50_index2, messy_fq, ref_bin,
+                      monkeypatch):
+    """kma shm pins tmpfs copies; -shm/-mmap mapping runs stay
+    byte-identical (shm.c analog + kmmap.c:33)."""
+    import os
+    shmdir = tmp_path / "shm"
+    shmdir.mkdir()
+    import kma_tpu.index.shm as shm_mod
+    monkeypatch.setattr(shm_mod, "SHM_DIR", str(shmdir))
+    rc = kma_main(["shm", "-t_db", db50_index2, "-shmLvl", "29"])
+    assert rc == 0
+    pinned = os.listdir(shmdir)
+    assert len(pinned) == 4  # comp.b, length.b, seq.b, name (no decon)
+    ref_out = tmp_path / "ref"
+    my_out = tmp_path / "my"
+    r = subprocess.run([str(ref_bin), "-i", str(messy_fq), "-o",
+                        str(ref_out), "-t_db", db50_index2],
+                       capture_output=True)
+    assert r.returncode == 0
+    rc = kma_main(["-i", str(messy_fq), "-o", str(my_out), "-t_db",
+                   db50_index2, "-shm", "29", "-mmap"])
+    assert rc == 0
+    for ext in (".res", ".fsa", ".aln"):
+        assert (tmp_path / ("ref" + ext)).read_bytes() \
+            == (tmp_path / ("my" + ext)).read_bytes(), ext
+    rc = kma_main(["shm", "-t_db", db50_index2, "-shmLvl", "29",
+                   "-destroy"])
+    assert rc == 0
+    assert os.listdir(shmdir) == []
