@@ -93,6 +93,7 @@ def map_main(argv: List[str]) -> int:
     dbs: List[str] = []
     mt1 = 0
     splt_db = False
+    mh = None
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -431,6 +432,10 @@ def map_main(argv: List[str]) -> int:
                 cfg.shm = 1
         elif a == "-mmap":
             cfg.mmap = True
+        elif a == "-mh":
+            # kma_tpu extension: multi-host run, "coordinator:port,N,pid"
+            i += 1
+            mh = argv[i]
         elif a == "-mem_mode":
             cfg.mem_mode = True
         elif a == "-pm":
@@ -527,6 +532,13 @@ def map_main(argv: List[str]) -> int:
                           three_clip=cfg.three_clip, min_len=cfg.min_len,
                           max_len=cfg.max_len, decon=cfg.deCon,
                           qc_report=cfg.qc_report)
+    if mh is not None:
+        from ..parallel.multihost import run_kma_multihost
+        coord, n, pid = mh.rsplit(",", 2)
+        return run_kma_multihost(db, out, inputs, cfg,
+                                 " ".join(["kma"] + argv), coord, int(n),
+                                 int(pid), pe_files=pe_inputs or None,
+                                 int_files=int_inputs or None)
     return run_kma(db, out, inputs, cfg, exe_cmd=" ".join(["kma"] + argv),
                    pe_files=pe_inputs or None, int_files=int_inputs or None)
 

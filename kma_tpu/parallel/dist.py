@@ -156,3 +156,22 @@ def sharded_scan_step(mesh: Mesh, didx: DeviceIndex, params: Tuple):
         return args
 
     return step, place
+
+
+def sharded_score_reduce(mesh: Mesh, db_size: int):
+    """ConClave input all-reduce: each data shard scatter-adds its reads'
+    best scores onto its local per-template accumulator, a psum over
+    'data' yields the global alignment_scores (the multi-host analog of
+    updatescores.c:217-281 + the spltDB reducer sums, spltdb.c:900)."""
+
+    def local(best, tids, valid):
+        contrib = jnp.where(valid, best[:, None], 0).astype(jnp.int32)
+        idx = jnp.where(valid, jnp.abs(tids), db_size).reshape(-1)
+        scores = jnp.zeros(db_size, jnp.int32).at[idx].add(
+            contrib.reshape(-1), mode="drop")
+        return jax.lax.psum(scores, "data")
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("data"), P("data", None), P("data", None)),
+                   out_specs=P(None), check_rep=False)
+    return jax.jit(fn)

@@ -980,8 +980,14 @@ def _device_enabled(cfg: MapConfig) -> bool:
 def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             cfg: MapConfig, exe_cmd: str = "kma_tpu",
             pe_files: Optional[List[str]] = None,
-            int_files: Optional[List[str]] = None) -> int:
-    """The runKMA flow (runkma.c:130-908) for the -1t1 SE path."""
+            int_files: Optional[List[str]] = None,
+            shard: Optional[tuple] = None, collect: bool = False):
+    """The runKMA flow (runkma.c:130-908) for the -1t1 SE path.
+
+    shard=(pid, nproc) maps only every nproc-th fragment (round-robin by
+    global read ordinal) -- the data-parallel axis of the multi-host
+    runtime (parallel/multihost.py).  collect=True returns the spool
+    records + score arrays instead of running ConClave/output."""
     _t_stage = time.process_time()
     if cfg.deCon:
         # -deCon swaps in .decon.comp.b whose value lists carry the
@@ -1078,6 +1084,17 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                 codes, best_hits, score, starts, ends, templates, header))
 
     records: List[FragRecord] = []
+    # global read ordinal of each record: ConClave consumes records in
+    # input-stream order, so the multi-host reducer merge-sorts by these
+    rec_ords: List[int] = []
+    _pid0, _nproc = (shard[0], shard[1]) if shard else (0, 1)
+    _cur_ord = [0]
+
+    def _shard_reads(it):
+        """Round-robin fragment ownership over the 'data' axis."""
+        for j, r in enumerate(it):
+            if j % _nproc == _pid0:
+                yield r
     # readNum (savekmers.c:97,182): every post-trim fragment counts, mapped
     # or not; feeds mapstat fragmentCount and the xml query-len
     # (runkma.c:466,484)
@@ -1116,6 +1133,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             for i, t in enumerate(rec.templates):
                 alignment_scores[abs(t)] += sel_scores[i]
         records.append(rec)
+        rec_ords.append(_cur_ord[0])
         dump_all_frag(rec.codes, rec.best_hits, rec.score, rec.starts,
                       rec.ends, rec.templates, rec.header)
 
@@ -1152,6 +1170,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             rec.mate_header = m_header
             rec.mate_flag = m_flag
         records.append(rec)
+        rec_ords.append(_cur_ord[0])
         dump_all_frag(codes, abs(best_hits), best_read_score, starts, ends,
                       tl, header)
         if mate is not None:
@@ -1266,6 +1285,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             from .align import native_aln as _nat
             use_batch = _nat.get_lib() is not None and not cfg.mem_mode
             pend: List[tuple] = []
+            pord: List[int] = []
 
             def flush_aln():
                 if not pend:
@@ -1330,13 +1350,16 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                         for j, t in enumerate(rec.templates):
                             alignment_scores[abs(t)] += sel_scores[j]
                     records.append(rec)
+                    rec_ords.append(pord[i])
                     dump_all_frag(rec.codes, rec.best_hits, rec.score,
                                   rec.starts, rec.ends, rec.templates,
                                   rec.header)
                 pend.clear()
+                pord.clear()
 
-            for read, hit in device_stream.stream(reads_it):
+            for read, hit in device_stream.stream(_shard_reads(reads_it)):
                 n_frags += 1
+                _cur_ord[0] = (n_frags - 1) * _nproc + _pid0
                 if hit is None:
                     continue
                 if not use_batch:
@@ -1350,14 +1373,16 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                         continue
                 if kmersize > len(hit.codes):
                     continue
+                pord.append(_cur_ord[0])
                 pend.append((hit.codes, hit.n_positions, hit.rc_flag,
                              templates, hit.header, hit.flag))
                 if len(pend) >= 2048:
                     flush_aln()
             flush_aln()
         else:
-            for read in reads_it:
+            for read in _shard_reads(reads_it):
                 n_frags += 1
+                _cur_ord[0] = (n_frags - 1) * _nproc + _pid0
                 for hit in scan_one(read):
                     handle_se_anker(hit.codes, hit.n_positions, hit.rc_flag,
                                     hit.templates, hit.header, hit.flag,
@@ -1403,8 +1428,9 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                                 hit.templates, hit.header, hit.flag,
                                 hit.rc_override)
 
-        for r1, r2 in _pair_stream():
+        for r1, r2 in _shard_reads(_pair_stream()):
             n_frags += 1
+            _cur_ord[0] = (n_frags - 1) * _nproc + _pid0
             if r2 is None:
                 _se_fallback(r1)
                 continue
@@ -1496,6 +1522,14 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         # soft -proxi in mem_mode: the scanner's softProxi totals REPLACE
         # alignment_scores before ConClave (runkma.c:1154-1156)
         alignment_scores[:] = soft_proxi[:db_size]
+    if collect:
+        return {"records": records, "rec_ords": rec_ords,
+                "alignment_scores": alignment_scores,
+                "uniq_alignment_scores": uniq_alignment_scores,
+                "tot_frags": n_frags, "db_size": db_size,
+                "template_lengths": template_lengths, "names": names,
+                "store": store, "rew": rew, "points": points,
+                "kmersize": kmersize}
     # stage lines in the reference's (non-forked kmaPipe) order
     # (runinput.c:448-452; kmers.c:182-184,269; runkma.c:558-560)
     _stage("#\n# Total number of query fragment after trimming:\t%d\n#"
