@@ -33,6 +33,8 @@ def index_main(argv: List[str]) -> int:
     minlen = 0
     mega = False
     sparse_prefix = None
+    m_len = 0
+    hc = False
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -62,6 +64,11 @@ def index_main(argv: List[str]) -> int:
             minlen = int(argv[i])
         elif a == "-ME":
             mega = True
+        elif a == "-m":
+            i += 1
+            m_len = min(int(argv[i]), 30)
+        elif a == "-hc":
+            hc = True
         elif a == "-Sparse":
             i += 1
             sparse_prefix = argv[i]
@@ -76,7 +83,8 @@ def index_main(argv: List[str]) -> int:
         build_index_sparse(inputs, out, sparse_prefix, kmersize=k,
                            minlen=minlen, mega=mega)
     else:
-        build_index(inputs, out, kmersize=k, minlen=minlen, mega=mega)
+        build_index(inputs, out, kmersize=k, minlen=minlen, mega=mega,
+                    m_len=m_len, hc=hc)
     if decon_files:
         build_decon(out, decon_files)
     return 0

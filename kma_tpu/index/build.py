@@ -41,7 +41,8 @@ def effective_minlen(minlen: int, kmersize: int, kmerindex: int,
 
 def build_index(input_files: List[str], out_prefix: str, kmersize: int = 16,
                 minlen: int = 0, kmerindex: Optional[int] = None,
-                mega: bool = False, quiet: bool = False) -> KmaIndex:
+                mega: bool = False, quiet: bool = False,
+                m_len: int = 0, hc: bool = False) -> KmaIndex:
     """Build and write a standard database.
 
     Per record (makeDB, makeindex.c:210-247): trim flanking Ns
@@ -53,7 +54,13 @@ def build_index(input_files: List[str], out_prefix: str, kmersize: int = 16,
     if kmerindex is None:
         kmerindex = kmersize
     minlen, _ = effective_minlen(minlen, kmersize, kmerindex)
-    mlen = kmersize
+    # cmer modes (index.c:246-262,516-527): -m sets the minimizer
+    # length (flag bit 2), -hc homopolymer compression (bit 1); the
+    # hash-key length mlen is the minimizer length when set
+    flag = (1 if hc else 0) | (2 if m_len else 0)
+    if m_len and kmersize <= m_len:
+        raise SystemExit("Minimizer size cannot be smaller than kmersize.")
+    mlen = m_len or kmersize
     mask = (1 << (2 * mlen)) - 1
     if mega or mask + 1 <= (1 << 20):
         mega = True
@@ -92,9 +99,19 @@ def build_index(input_files: List[str], out_prefix: str, kmersize: int = 16,
                 # lenCheck (makeindex.c:46) then updateDBs gate
                 added = 0
                 if minlen < seqlen and seqlen >= kmersize:
-                    kmers = kmer_scan(codes, kmersize)
+                    if flag & 3:
+                        from ..io.seq import cmer_scan
+                        kmers = cmer_scan(codes, kmersize, mlen, flag)
+                    else:
+                        kmers = kmer_scan(codes, kmersize)
                     valid = valid_kmer_mask(codes, kmersize)
-                    kk = np.unique(kmers[valid])
+                    # POSITION-order first occurrence: the reference
+                    # inserts while walking the template (updateindex.c:
+                    # 58-73), which fixes hash-chain order for colliding
+                    # keys (np.unique would sort)
+                    kv = kmers[valid]
+                    _, fp = np.unique(kv, return_index=True)
+                    kk = kv[np.sort(fp)]
                     added = int(valid.sum())
                     for km in kk.tolist():
                         lst = table.get(km)
@@ -125,7 +142,7 @@ def build_index(input_files: List[str], out_prefix: str, kmersize: int = 16,
     if not table:
         raise SystemExit("DB is empty!!!")
 
-    idx = freeze(table, db_size, kmersize, mlen, mega=mega)
+    idx = freeze(table, db_size, kmersize, mlen, mega=mega, flag=flag)
     idx.template_lengths = np.array([kmerindex] + lengths[1:], dtype=np.uint32)
     idx.names = names
 
@@ -437,13 +454,23 @@ def freeze(table: Dict[int, List[int]], db_size: int, kmersize: int,
 
     kmers = np.fromiter(table.keys(), dtype=np.uint64, count=n)
 
-    # deduplicate value lists
+    # deduplicate value lists in the COMPRESS WALK order
+    # (compress.c:96-240): megaMap walks values[] by ascending key;
+    # the chained table walks buckets ascending with chain order =
+    # insertion order (head-insert + the collect double reversal,
+    # compress.c:96-104), which the table dict preserves
+    if mega or size >= mask + 1:
+        # compressKMA_megaDB walks slots DESCENDING (compress.c:688)
+        order = np.argsort(kmers, kind="stable")[::-1]
+    else:
+        _b = ((murmur(kmers) if flag else kmers)
+              & np.uint64(size - 1)).astype(np.int64)
+        order = np.argsort(_b, kind="stable")
     vdt = np.uint32  # width applied at dump time; keep wide here
     dedup: Dict[bytes, int] = {}
     chunks: List[np.ndarray] = []
     v_off = np.empty(n, dtype=np.int64)
     v_index = 0
-    order = np.argsort(kmers, kind="stable")
     for i in order.tolist():
         lst = table[int(kmers[i])]
         key = np.asarray(lst, dtype=np.int64).tobytes()
@@ -466,7 +493,7 @@ def freeze(table: Dict[int, List[int]], db_size: int, kmersize: int,
         return KmaIndex(db_size=db_size, mlen=mlen, prefix_len=prefix_len,
                         prefix=prefix, kmersize=kmersize, flag=flag,
                         size=size, null_index=1, exist=exist, values=values,
-                        key_index=None, value_index=None)
+                        key_index=None, value_index=None, n_stored=n)
 
     smask = size - 1
     buckets = (murmur(kmers) if flag else kmers) & np.uint64(smask)
@@ -481,14 +508,25 @@ def freeze(table: Dict[int, List[int]], db_size: int, kmersize: int,
     first[1:] = sorted_buckets[1:] != sorted_buckets[:-1]
     exist[sorted_buckets[first]] = np.flatnonzero(first)
 
-    # sentinel key (n+1'th entry, uninitialised in the reference dump):
-    # pick one that does NOT hash into the last record's bucket so the
-    # probe cannot run off the end.
-    last_bucket = int(sorted_buckets[-1]) if n else 0
-    s = 0
-    while ((murmur(s) if flag else s) & smask) == last_bucket:
-        s += 1
-    key_index[n] = s
+    # terminating key (compress.c:549-585): the first key from the top
+    # whose bucket differs from the LAST record's bucket -- except the
+    # flag path's do-while overshoots by one entry (kept verbatim)
+    if n:
+        if flag:
+            j = int(murmur(int(key_index[n - 1]))) & smask
+            i = 0
+            while True:
+                idx = int(murmur(int(key_index[i]))) & smask
+                i += 1
+                if j != idx:
+                    break
+            key_index[n] = key_index[i] if i < n else key_index[0]
+        else:
+            j = int(key_index[n - 1]) & smask
+            i = 0
+            while j == (int(key_index[i]) & smask):
+                i += 1
+            key_index[n] = key_index[i]
 
     return KmaIndex(db_size=db_size, mlen=mlen, prefix_len=prefix_len,
                     prefix=prefix, kmersize=kmersize, flag=flag, size=size,

@@ -69,6 +69,7 @@ class KmaIndex:
     template_lengths: Optional[np.ndarray] = None  # .length.b ([0] = kmerindex)
     names: Optional[List[bytes]] = None            # .name lines
     seq_path: Optional[str] = None                 # .seq.b path
+    n_stored: Optional[int] = None   # header n (live k-mers; megaMap only)
 
     @property
     def mask(self) -> int:
@@ -80,7 +81,9 @@ class KmaIndex:
 
     @property
     def n(self) -> int:
-        return 0 if self.key_index is None else len(self.key_index) - 1
+        if self.key_index is not None:
+            return len(self.key_index) - 1
+        return self.n_stored or 0
 
     @property
     def v_index(self) -> int:
@@ -174,7 +177,8 @@ def load_comp_b(path: str, mmap: bool = False, shm: int = 0) -> KmaIndex:
     return KmaIndex(db_size=db_size, mlen=mlen, prefix_len=prefix_len,
                     prefix=prefix, kmersize=kmersize, flag=flag, size=size,
                     null_index=null_index, exist=exist, values=values,
-                    key_index=key_index, value_index=value_index)
+                    key_index=key_index, value_index=value_index,
+                    n_stored=int(n))
 
 
 def dump_comp_b(idx: KmaIndex, f: BinaryIO) -> None:

@@ -352,3 +352,61 @@ def fsa_stat(codes: np.ndarray, min_len: int, max_len: int) -> Tuple[int, int, i
         start += 1
     ns = int((codes[start:end] == 4).sum())
     return (end - start) - ns, start, end
+
+
+def _hmer_int(kmer: int, k: int):
+    """getHmer core (stdnuc.c:287-310): duplicate the first base, then
+    append each base that differs from its predecessor.  Returns
+    (hmer, compressed length)."""
+    i = 2 * k - 2
+    h = (kmer >> i) & 3
+    h = (h << 2) | h
+    hlen = 1
+    i -= 2
+    while i >= 0:
+        nuc = (kmer >> i) & 3
+        if nuc != (h & 3):
+            h = (h << 2) | nuc
+            hlen += 1
+        i -= 2
+    return h, hlen
+
+
+def cmer_scan(codes: np.ndarray, kmersize: int, mlen: int,
+              flag: int) -> np.ndarray:
+    """Per-window hash keys under the DB's cmer mode (setCmerPointers,
+    stdnuc.c:396-421): flag&3 = 1 homopolymer-compressed (getHmer),
+    2 minimizer (getMmer), 3 both (getHMmer).  Values match the
+    reference's streaming update functions (ties in the minimizer
+    scan differ only in position, never value)."""
+    kmers = kmer_scan(codes, kmersize)
+    mode = flag & 3
+    if not mode or len(kmers) == 0:
+        return kmers
+    if mode == 2:
+        mmask = np.uint64((1 << (2 * mlen)) - 1)
+        out = kmers & mmask
+        cur = kmers.copy()
+        for _ in range(kmersize - mlen):
+            cur >>= np.uint64(2)
+            np.minimum(out, cur & mmask, out=out)
+        return out
+    out = np.empty_like(kmers)
+    if mode == 1:
+        trunc = kmersize == 16   # stdnuc.c:67 32-bit fold
+        for j, km in enumerate(kmers.tolist()):
+            h, _ = _hmer_int(km, kmersize)
+            out[j] = (h & 0xFFFFFFFF) if trunc else (h & ((1 << 64) - 1))
+    else:
+        mm = (1 << (2 * mlen)) - 1
+        for j, km in enumerate(kmers.tolist()):
+            h, hlen = _hmer_int(km, kmersize)
+            m = h & mm
+            if mlen < hlen:
+                hh = h >> 2
+                for _ in range(hlen - mlen):
+                    if (hh & mm) < m:
+                        m = hh & mm
+                    hh >>= 2
+            out[j] = m
+    return out

@@ -51,8 +51,9 @@ def _collect_ankers(idx: KmaIndex, codes: np.ndarray, rc_strand: bool,
     if not exhaustive and not _quick_hit(idx, cur):
         return []
 
-    from ..io.seq import kmer_scan, valid_kmer_mask
-    kmers = kmer_scan(cur, k)
+    from ..io.seq import valid_kmer_mask
+    from .scan import scan_keys
+    kmers = scan_keys(idx, cur)
     valid = valid_kmer_mask(cur, k)
     seqlen = len(codes)
     W = seqlen - k + 1

@@ -135,6 +135,9 @@ class DeviceIndex:
         if idx.mlen > 16 or idx.v_index >= 1 << 31 or idx.n >= 1 << 31:
             raise NotImplementedError(
                 "device index requires mlen<=16 and 31-bit offsets")
+        if idx.flag & 3:
+            raise NotImplementedError(
+                "cmer (-m/-hc) DBs use the host scanner")
         values = np.asarray(idx.values, dtype=np.int32)
         if idx.mega:
             offs = idx.exist[idx.exist != idx.null_index].astype(np.int64)

@@ -108,9 +108,14 @@ def hmm_scan_read(idx: KmaIndex, codes: np.ndarray, header: bytes,
     # rc_comp maps it to 3, so windows spanning Ns still produce
     # (bogus but deterministic) lookups during HMM extension
     fold = (codes & 3).astype(np.uint8)
-    fw_kmers = kmer_scan(fold, k)
     rc_fold = (3 - fold)[::-1].astype(np.uint8)
-    rc_kmers = kmer_scan(rc_fold, k)
+    if idx.flag & 3:
+        from ..io.seq import cmer_scan
+        fw_kmers = cmer_scan(fold, k, idx.mlen, idx.flag)
+        rc_kmers = cmer_scan(rc_fold, k, idx.mlen, idx.flag)
+    else:
+        fw_kmers = kmer_scan(fold, k)
+        rc_kmers = kmer_scan(rc_fold, k)
     VFL = _VCache(idx, fw_kmers)
     VRL = _VCache(idx, rc_kmers)
 

@@ -15,7 +15,7 @@ import numpy as np
 from ..config import Penalties
 from ..index.format import KmaIndex
 from ..io.seq import rc_codes
-from .scan import AnkerHit, _gap_reconnect_mm, _hits_for_codes, _quick_hit
+from .scan import AnkerHit, _gap_reconnect_mm, _hits_for_codes, _quick_hit, scan_keys
 
 
 def get_kmers_for_pair(idx: KmaIndex, codes: np.ndarray, rewards: Penalties,
@@ -168,7 +168,7 @@ def get_kmers_for_pair_count(idx: KmaIndex, codes: np.ndarray,
             j = ni + 1
         hit_counter = 0
         if HIT:
-            kmers = kmer_scan(cur, k)
+            kmers = scan_keys(idx, cur)
             last = None
             last_list = None
             reps = 0

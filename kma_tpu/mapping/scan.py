@@ -48,7 +48,7 @@ def _hits_for_codes(idx: KmaIndex, codes: np.ndarray
     (savekmers.c:2516 increments j per window, j = start + k - 1).
     """
     k = idx.kmersize
-    kmers = kmer_scan(codes, k)
+    kmers = scan_keys(idx, codes)
     valid = valid_kmer_mask(codes, k)
     pos = np.flatnonzero(valid)
     voff = np.empty(len(pos), dtype=np.int64)
@@ -60,6 +60,15 @@ def _hits_for_codes(idx: KmaIndex, codes: np.ndarray
             voff[n] = v
             n += 1
     return pos[:n], voff[:n]
+
+
+def scan_keys(idx: KmaIndex, codes: np.ndarray) -> np.ndarray:
+    """Per-window hash keys: plain k-mers, or cmers for -m/-hc DBs
+    (getCmer dispatch, stdnuc.c:396-421)."""
+    if idx.flag & 3:
+        from ..io.seq import cmer_scan
+        return cmer_scan(codes, idx.kmersize, idx.mlen, idx.flag)
+    return kmer_scan(codes, idx.kmersize)
 
 
 def lookup_voff(idx: KmaIndex, kmer: int) -> int:
@@ -87,7 +96,7 @@ def lookup_voff(idx: KmaIndex, kmer: int) -> int:
 def _quick_hit(idx: KmaIndex, codes: np.ndarray) -> bool:
     """Sparse first-pass probe at every k-th position (savekmers.c:2485-2495)."""
     k = idx.kmersize
-    kmers = kmer_scan(codes, k)
+    kmers = scan_keys(idx, codes)
     valid = valid_kmer_mask(codes, k)
     # enumerate N-segments to mirror the stride walk across segments
     isN = codes == 4
@@ -367,7 +376,7 @@ def _count_strand(idx: KmaIndex, codes: np.ndarray, seg_ends, seqend: int,
     last_list = None
     reps = 0
     j = 0
-    kmers = kmer_scan(codes, k) if seqlen >= k else None
+    kmers = scan_keys(idx, codes) if seqlen >= k else None
     for i, ni in enumerate(seg_ends + [seqlen]):
         if j >= seqend:
             break

@@ -90,6 +90,9 @@ class DenseIndex:
                   ) -> "DenseIndex":
         if idx.mlen > 16:
             raise NotImplementedError("dense index requires mlen <= 16")
+        if idx.flag & 3:
+            raise NotImplementedError(
+                "cmer (-m/-hc) DBs use the host scanner")
         values = np.asarray(idx.values, dtype=np.int64)
         t_pad = _round_up(idx.db_size + 1, 128)
 

@@ -187,3 +187,50 @@ def test_shm_and_mmap(tmp_path, db50_index2, messy_fq, ref_bin,
                    "-destroy"])
     assert rc == 0
     assert os.listdir(shmdir) == []
+
+
+@pytest.mark.parametrize("iflags", [["-m", "14"], ["-hc"],
+                                    ["-m", "8", "-hc"], ["-m", "10"]])
+def test_cmer_index_parity(tmp_path, db50, ref_index_bin, iflags):
+    """kma index -m/-hc: byte-identical .comp.b (stdnuc.c cmer modes +
+    compress.c walk order incl. the terminating-key off-by-one)."""
+    a = str(tmp_path / "ref")
+    b = str(tmp_path / "my")
+    subprocess.run([str(ref_index_bin), "-i", str(db50), "-o", a] + iflags,
+                   check=True, capture_output=True)
+    rc = kma_main(["index", "-i", str(db50), "-o", b] + iflags)
+    assert rc == 0
+    assert open(a + ".comp.b", "rb").read() == open(b + ".comp.b",
+                                                    "rb").read()
+    assert open(a + ".length.b", "rb").read() == open(b + ".length.b",
+                                                      "rb").read()
+
+
+@pytest.mark.parametrize("iflags,mflags", [
+    (["-m", "14"], []), (["-hc"], []), (["-m", "14"], ["-hmm"]),
+    (["-m", "8", "-hc"], []), (["-m", "10"], ["-1t1", "-device", "off"])])
+def test_cmer_mapping_parity(tmp_path, db50, messy_fq, ref_bin,
+                             ref_index_bin, iflags, mflags):
+    """Mapping against -m/-hc DBs: full output parity (cmer lookups in
+    the chain/1t1/HMM scanners)."""
+    import gzip
+    prefix = str(tmp_path / "db")
+    subprocess.run([str(ref_index_bin), "-i", str(db50), "-o", prefix]
+                   + iflags, check=True, capture_output=True)
+    ref_out = tmp_path / "ref"
+    my_out = tmp_path / "my"
+    ref_flags = [f for i, f in enumerate(mflags)
+                 if f != "-device" and (i == 0 or mflags[i - 1]
+                                        != "-device")]
+    r = subprocess.run([str(ref_bin), "-i", str(messy_fq), "-o",
+                        str(ref_out), "-t_db", prefix] + ref_flags,
+                       capture_output=True)
+    assert r.returncode == 0
+    rc = kma_main(["-i", str(messy_fq), "-o", str(my_out), "-t_db",
+                   prefix] + mflags)
+    assert rc == 0
+    for ext in (".res", ".fsa", ".aln"):
+        assert (tmp_path / ("ref" + ext)).read_bytes() \
+            == (tmp_path / ("my" + ext)).read_bytes(), f"{ext} differs"
+    assert gzip.open(str(ref_out) + ".frag.gz").read() \
+        == gzip.open(str(my_out) + ".frag.gz").read()
