@@ -24,17 +24,25 @@ def main(argv: List[str] = None) -> int:
 
 
 def index_main(argv: List[str]) -> int:
-    """kma index (index.c:78-735), standard, -Sparse and -deCon paths."""
-    from ..index.build import build_decon, build_index, build_index_sparse
+    """kma index (index.c:78-735), standard, -Sparse, -deCon, -batch and
+    -t_db (incremental append) paths."""
+    from ..index.build import (build_decon, build_index, build_index_sparse,
+                               load_for_append)
     inputs: List[str] = []
     decon_files: List[str] = []
     out = None
+    t_db = None
     k = 16
     minlen = 0
     mega = False
     sparse_prefix = None
     m_len = 0
     hc = False
+    hq = 1.0
+    ht = 1.0
+    and_comb = False
+    orf = 0
+    k_i = None
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -43,6 +51,21 @@ def index_main(argv: List[str]) -> int:
             while i < len(argv) and not argv[i].startswith("-"):
                 inputs.append(argv[i])
                 i += 1
+            continue
+        if a == "-batch":
+            # file-of-files input (index.c:351-400): one path per line
+            i += 1
+            with open(argv[i]) as bf:
+                for line in bf:
+                    line = line.strip()
+                    if line:
+                        inputs.append(line)
+            i += 1
+            continue
+        if a == "-t_db":
+            i += 1
+            t_db = argv[i]
+            i += 1
             continue
         if a == "-deCon":
             i += 1
@@ -69,6 +92,30 @@ def index_main(argv: List[str]) -> int:
             m_len = min(int(argv[i]), 30)
         elif a == "-hc":
             hc = True
+        elif a == "-hq":
+            i += 1
+            hq = float(argv[i])
+            if hq < 0:
+                print("Invalid -hq", file=sys.stderr)
+                hq = 1.0
+        elif a == "-ht":
+            i += 1
+            ht = float(argv[i])
+            if ht < 0:
+                print("Invalid -ht", file=sys.stderr)
+                ht = 1.0
+        elif a == "-and":
+            and_comb = True
+        elif a == "-c":
+            orf = 1
+        elif a == "-C":
+            orf = 2
+        elif a == "-k_t":
+            i += 1
+            k = max(1, min(int(argv[i]), 31))
+        elif a == "-k_i":
+            i += 1
+            k_i = max(1, min(int(argv[i]), 31))
         elif a == "-Sparse":
             i += 1
             sparse_prefix = argv[i]
@@ -79,12 +126,24 @@ def index_main(argv: List[str]) -> int:
     if not inputs or not out:
         print("Too few arguments handed", file=sys.stderr)
         return 1
+    if t_db is not None:
+        app = load_for_append(t_db)
+        if app["sparse"]:
+            build_index_sparse(inputs, out, sparse_prefix or "-",
+                               minlen=minlen, hq=hq, ht=ht,
+                               and_comb=and_comb, append=app)
+        else:
+            build_index(inputs, out, minlen=minlen, append=app)
+        if decon_files:
+            build_decon(out, decon_files)
+        return 0
     if sparse_prefix is not None:
         build_index_sparse(inputs, out, sparse_prefix, kmersize=k,
-                           minlen=minlen, mega=mega)
+                           minlen=minlen, mega=mega, hq=hq, ht=ht,
+                           and_comb=and_comb)
     else:
         build_index(inputs, out, kmersize=k, minlen=minlen, mega=mega,
-                    m_len=m_len, hc=hc)
+                    m_len=m_len, hc=hc, orf=orf, kmerindex=k_i)
     if decon_files:
         build_decon(out, decon_files)
     return 0

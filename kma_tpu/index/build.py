@@ -39,10 +39,69 @@ def effective_minlen(minlen: int, kmersize: int, kmerindex: int,
     return max(kmersize, kmerindex), 1
 
 
+def _codon_at(fold: np.ndarray, pos: int) -> int:
+    return int(fold[pos]) * 16 + int(fold[pos + 1]) * 4 + int(fold[pos + 2])
+
+
+_STOPS = (48, 50, 56)        # TAA TAG TGA
+_STOPS_RC = (60, 28, 52)     # TTA CTA TCA
+
+
+def _internal_stop_check1(fold: np.ndarray) -> bool:
+    """internalStopCheck1 (makeindex.c:50-81): in-frame stops before the
+    terminal codon reject the ORF."""
+    L = len(fold)
+    if L % 3:
+        return False
+    pos = 0
+    while pos < L - 3:
+        if _codon_at(fold, pos) in _STOPS:
+            return False
+        pos += 3
+    return True
+
+
+def orf_check(codes: np.ndarray, minlen: int, mode: int):
+    """-c qualCheck / -C internalStopCheck (makeindex.c:83-165).
+
+    Returns (passed, flip): flip marks a valid REVERSE-strand ORF, which
+    the reference stores reverse-complemented (qualCheck's comp_rc)."""
+    fold = (codes & 3).astype(np.uint8)
+    L = len(fold)
+    if mode == 2:
+        if L < minlen:
+            return False, False
+        frames = frames_r = 0
+        pos = 1                       # position 0 is never checked
+        while pos < L - 4:
+            c = _codon_at(fold, pos)
+            if c in _STOPS:
+                frames |= 1 << (pos % 3)
+            elif c in _STOPS_RC:
+                frames_r |= 1 << (pos % 3)
+            if frames == 7 and frames_r == 7:
+                return False, False
+            pos += 1
+        return True, False
+    # mode 1: qualCheck
+    if L < minlen or L % 3:
+        return False, False
+    start = _codon_at(fold, 0)
+    stop = _codon_at(fold, L - 3)
+    if ((start & 15) == 14 or start == 15) and stop in _STOPS:
+        return _internal_stop_check1(fold), False
+    if ((stop >> 2) == 4 or stop == 3) and start in _STOPS_RC:
+        rc = (3 - fold)[::-1].astype(np.uint8)
+        return _internal_stop_check1(rc), True
+    return False, False
+
+
 def build_index(input_files: List[str], out_prefix: str, kmersize: int = 16,
                 minlen: int = 0, kmerindex: Optional[int] = None,
                 mega: bool = False, quiet: bool = False,
-                m_len: int = 0, hc: bool = False) -> KmaIndex:
+                m_len: int = 0, hc: bool = False,
+                append: Optional[dict] = None,
+                orf: int = 0) -> KmaIndex:
     """Build and write a standard database.
 
     Per record (makeDB, makeindex.c:210-247): trim flanking Ns
@@ -51,6 +110,14 @@ def build_index(input_files: List[str], out_prefix: str, kmersize: int = 16,
     sequence to .seq.b and the name (with ``B<bias>`` suffix when Ns were
     trimmed) to .name.
     """
+    if append is not None:
+        # -t_db incremental append (index.c:528-553): params come from
+        # the loaded DB
+        kmersize = append["kmersize"]
+        kmerindex = append["kmerindex"]
+        m_len = append["mlen"] if append["flag"] & 2 else 0
+        hc = bool(append["flag"] & 1)
+        mega = append["mega"]
     if kmerindex is None:
         kmerindex = kmersize
     minlen, _ = effective_minlen(minlen, kmersize, kmerindex)
@@ -68,10 +135,16 @@ def build_index(input_files: List[str], out_prefix: str, kmersize: int = 16,
     # kmer (int) -> list of template ids; each template appended at most once
     # (updateValue only dedups consecutive adds, hashmap.c:126, which equals
     # once-per-template since templates are processed one at a time)
-    table: Dict[int, List[int]] = {}
-    lengths: List[int] = [0]
-    names: List[bytes] = []
-    db_size = 1
+    if append is not None:
+        table = append["table"]
+        lengths = list(append["lengths"])
+        names = list(append["names"])
+        db_size = append["db_size"]
+    else:
+        table = {}
+        lengths = [0]
+        names = []
+        db_size = 1
 
     # .seq.b writes ((seqlen>>5)+1) u64 words per template (updateAnnots,
     # updateindex.c:172) even when seqlen%32 == 0, in which case the extra
@@ -82,6 +155,8 @@ def build_index(input_files: List[str], out_prefix: str, kmersize: int = 16,
     comp_words = np.zeros(1024 >> 5, dtype=np.uint64)
 
     seq_out = open(out_prefix + ".seq.b", "wb")
+    if append is not None:
+        seq_out.write(append["seq_bytes"])
     try:
         for path in input_files:
             if not quiet:
@@ -96,9 +171,22 @@ def build_index(input_files: List[str], out_prefix: str, kmersize: int = 16,
                     sz = qseq_cap if qseq_cap % 32 == 0 else ((qseq_cap >> 5) + 1) << 5
                     comp_words = np.zeros(sz >> 5, dtype=np.uint64)
                 name = header[1:]
-                # lenCheck (makeindex.c:46) then updateDBs gate
+                # qualcheck gate (lenCheck / -c qualCheck /
+                # -C internalStopCheck, makeindex.c:36-165)
                 added = 0
-                if minlen < seqlen and seqlen >= kmersize:
+                store_codes = None
+                if orf:
+                    gate, flip = orf_check(codes, minlen, orf)
+                    if flip:
+                        # comp_rc on the PACKED seq: Ns (stored 0)
+                        # complement to T in .seq.b, while the N list
+                        # still masks them for k-mer extraction
+                        store_codes = (3 - (codes & 3))[::-1].astype(
+                            np.uint8)
+                        codes = rc_codes(codes)
+                else:
+                    gate, flip = minlen < seqlen, False
+                if gate and seqlen >= kmersize:
                     if flag & 3:
                         from ..io.seq import cmer_scan
                         kmers = cmer_scan(codes, kmersize, mlen, flag)
@@ -124,7 +212,8 @@ def build_index(input_files: List[str], out_prefix: str, kmersize: int = 16,
                         names.append(name + b" B%d" % bias)
                     else:
                         names.append(name)
-                    packed = pack_2bit(codes)
+                    packed = pack_2bit(store_codes if store_codes
+                                       is not None else codes)
                     comp_words[: len(packed)] = packed
                     nwords = (seqlen >> 5) + 1
                     comp_words[:nwords].astype("<u8").tofile(seq_out)
@@ -153,6 +242,53 @@ def build_index(input_files: List[str], out_prefix: str, kmersize: int = 16,
         f.write(b"\n".join(names) + b"\n" if names else b"")
     idx.seq_path = out_prefix + ".seq.b"
     return idx
+
+
+def load_for_append(old_prefix: str) -> dict:
+    """load_DBs + hashMapKMA_openChains (loadupdate.c:64-210): reopen a
+    frozen DB as the build-time table so new templates can be appended.
+    Old keys are rebuilt in REVERSE record order (see the loop below);
+    newly appended keys follow."""
+    from .format import load_comp_b
+    idx = load_comp_b(old_prefix + ".comp.b")
+    table: Dict[int, List[int]] = {}
+    values = idx.values
+    # openChains inserts records in REVERSE flat order (`while(i--)`,
+    # loadupdate.c:86/97); head-insert + the compress collect reversal
+    # make that the final per-bucket order, so the rebuilt dict must
+    # preserve it
+    if idx.mega:
+        keys = np.flatnonzero(idx.exist != idx.null_index)[::-1]
+        offs = idx.exist[keys]
+    else:
+        keys = idx.key_index[: idx.n][::-1]
+        offs = idx.value_index[: idx.n][::-1]
+    for km, off in zip(keys.tolist(),
+                       np.asarray(offs, np.int64).tolist()):
+        cnt = int(values[off])
+        table[int(km)] = values[off + 1: off + 1 + cnt].astype(
+            np.int64).tolist()
+    raw = open(old_prefix + ".length.b", "rb").read()
+    db_size = struct.unpack_from("<i", raw)[0]
+    body = np.frombuffer(raw[4:], "<u4")
+    sparse = bool(idx.prefix or idx.prefix_len)
+    if sparse:
+        lengths = body[:db_size].tolist()
+        slengths = body[db_size: 2 * db_size].tolist()
+        ulengths = body[2 * db_size: 3 * db_size].tolist()
+        kmerindex = int(slengths[0])  # load_DBs reads it there (:84)
+    else:
+        lengths = body[:db_size].tolist()
+        slengths = ulengths = None
+        kmerindex = int(lengths[0])
+    names = open(old_prefix + ".name", "rb").read().splitlines()
+    seq_bytes = open(old_prefix + ".seq.b", "rb").read()
+    return {"table": table, "db_size": db_size, "lengths": lengths,
+            "slengths": slengths, "ulengths": ulengths, "names": names,
+            "seq_bytes": seq_bytes, "kmersize": idx.kmersize,
+            "mlen": idx.mlen, "flag": idx.flag, "mega": idx.mega,
+            "prefix_len": idx.prefix_len, "prefix": idx.prefix,
+            "kmerindex": kmerindex, "sparse": sparse}
 
 
 def parse_prefix(prefix_str: str) -> tuple:
@@ -227,19 +363,94 @@ def sparse_template_kmers(codes: np.ndarray, kmersize: int, prefix_len: int,
     return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
 
 
+def _homology_check(table, codes, kmersize, prefix_len, prefix, minklen,
+                    hq, ht, ulengths, db_size, header_name, and_comb,
+                    mode):
+    """queryCheck / templateCheck (qualcheck.c:81-325): coverage of the
+    candidate against the PARTIAL database; prints the reference's
+    per-record stdout report.  Returns True when the record is ADDED."""
+    from ..io.seq import rc_codes
+    scores_tot: Dict[int, int] = {}
+    scores_u: Dict[int, int] = {}
+    found = set()
+    this_klen = 0
+    for strand in (codes, rc_codes(codes)):
+        pos = sparse_template_kmers(strand, kmersize, prefix_len, prefix)
+        if len(pos) == 0:
+            continue
+        kvals = kmer_scan(strand, kmersize)[pos]
+        this_klen += len(kvals)
+        for km in kvals.tolist():
+            lst = table.get(km)
+            if lst is not None:
+                for t in lst:
+                    scores_tot[t] = scores_tot.get(t, 0) + 1
+                if mode == "template" and km not in found:
+                    found.add(km)
+                    for t in lst:
+                        scores_u[t] = scores_u.get(t, 0) + 1
+            elif mode == "template":
+                found.add(km)
+    if this_klen < minklen:
+        return False
+    bestQ = 0.0
+    templateQ = 0
+    for t, s in scores_tot.items():
+        q = s / this_klen
+        if q > bestQ:
+            bestQ = q
+            templateQ = t
+    if mode == "query":
+        if bestQ < hq:
+            print("%s\t%d\t%f\t%d" % (header_name, db_size, bestQ,
+                                         templateQ))
+            return True
+        print("%s\t%d\t%f\t%d" % (header_name, templateQ, bestQ,
+                                     templateQ))
+        return False
+    bestT = 0.0
+    templateT = 0
+    for t, s in scores_tot.items():
+        tt = scores_u.get(t, 0) / max(1, int(ulengths[t]))
+        if tt > bestT:
+            bestT = tt
+            templateT = t
+    a, b = bestT < ht, bestQ < hq
+    ok = (a and b) if and_comb else (a or b)
+    if ok:
+        print("%s\t%d\t%f\t%d\t%f\t%d" % (header_name, db_size, bestQ,
+                                               templateQ, bestT, templateT))
+        return True
+    print("%s\t%d\t%f\t%d\t%f\t%d"
+          % (header_name, templateQ if a else templateT, bestQ, templateQ,
+             bestT, templateT))
+    return False
+
+
 def build_index_sparse(input_files: List[str], out_prefix: str,
                        prefix_str: str, kmersize: int = 16, minlen: int = 0,
                        kmerindex: Optional[int] = None, mega: bool = False,
-                       quiet: bool = False) -> KmaIndex:
+                       quiet: bool = False, hq: float = 1.0, ht: float = 1.0,
+                       and_comb: bool = False,
+                       append: Optional[dict] = None) -> KmaIndex:
     """Build a Sparse database (`kma index -Sparse`, index.c:576-606,
     updateindex.c:79-199).
 
     Both strands' (prefix-matching) k-mers are added; .length.b gets four
     sections [DB_size, lengths, slengths, ulengths] where slen counts all
     prefix k-mers and ulen the distinct ones (makeindex.c:263-269)."""
+    if append is not None:
+        kmersize = append["kmersize"]
+        kmerindex = append["kmerindex"]
+        mega = append["mega"]
     if kmerindex is None:
         kmerindex = kmersize
-    prefix_len, prefix = parse_prefix(prefix_str)
+    if append is not None:
+        prefix_len, prefix = append["prefix_len"], append["prefix"]
+        if prefix_len == 0 and prefix == 1:
+            prefix_str = "-"
+    else:
+        prefix_len, prefix = parse_prefix(prefix_str)
     minlen, minklen = effective_minlen(minlen, kmersize, kmerindex,
                                        prefix_len)
     mlen = kmersize
@@ -247,17 +458,27 @@ def build_index_sparse(input_files: List[str], out_prefix: str,
     if mega or mask + 1 <= (1 << 20):
         mega = True
 
-    table: Dict[int, List[int]] = {}
-    lengths: List[int] = [0]
-    slengths: List[int] = [0]
-    ulengths: List[int] = [0]
-    names: List[bytes] = []
-    db_size = 1
+    if append is not None:
+        table = append["table"]
+        lengths = list(append["lengths"])
+        slengths = list(append["slengths"])
+        ulengths = list(append["ulengths"])
+        names = list(append["names"])
+        db_size = append["db_size"]
+    else:
+        table = {}
+        lengths = [0]
+        slengths = [0]
+        ulengths = [0]
+        names = []
+        db_size = 1
 
     qseq_cap = 1024
     comp_words = np.zeros(1024 >> 5, dtype=np.uint64)
 
     seq_out = open(out_prefix + ".seq.b", "wb")
+    if append is not None:
+        seq_out.write(append["seq_bytes"])
     try:
         for path in input_files:
             if not quiet:
@@ -280,7 +501,40 @@ def build_index_sparse(input_files: List[str], out_prefix: str,
 
                 added = False
                 slen = ulen = 0
-                if minlen < seqlen and seqlen >= kmersize:
+                if minlen < seqlen and seqlen >= kmersize \
+                        and (ht < 1 or hq < 1):
+                    # queryCheck / templateCheck (index.c:607-612): the
+                    # homology gate replaces lengthCheck; either outcome
+                    # leaves the reused buffer reverse-complemented
+                    mode = "template" if ht < 1 else "query"
+                    passed = False
+                    if seqlen >= kmersize + prefix_len:
+                        passed = _homology_check(
+                            table, codes, kmersize, prefix_len, prefix,
+                            minklen, hq, ht, ulengths, db_size,
+                            name.decode("latin1"), and_comb, mode)
+                    if passed:
+                        seen = set()
+                        for strand in (rc_codes(codes), codes):
+                            pos = sparse_template_kmers(
+                                strand, kmersize, prefix_len, prefix)
+                            if len(pos):
+                                kvals = kmer_scan(strand, kmersize)[pos]
+                                slen += len(kvals)
+                                for km in kvals.tolist():
+                                    if km not in seen:
+                                        seen.add(km)
+                                        lst = table.get(km)
+                                        if lst is None:
+                                            table[km] = [db_size]
+                                        elif lst[-1] != db_size:
+                                            lst.append(db_size)
+                        ulen = len(seen)
+                        added = slen > 0
+                        comp_words[:complen] = packed_fw
+                    else:
+                        comp_words[:complen] = _pack_rc_words(codes)
+                elif minlen < seqlen and seqlen >= kmersize:
                     # QualCheck == lengthCheck (qualcheck.c:31-79); both
                     # outcomes leave qseq reverse-complemented except a
                     # pseudo-sparse length fail
@@ -346,7 +600,10 @@ def build_index_sparse(input_files: List[str], out_prefix: str,
     store_prefix = prefix if prefix_len else 1
     idx = freeze(table, db_size, kmersize, mlen, mega=mega,
                  prefix_len=prefix_len, prefix=store_prefix)
-    lengths[0] = kmerindex
+    # the sparse dump leaves lengths[0] untouched (makeindex.c:264-270);
+    # it carries the creation-time kmerindex through appends
+    if append is None:
+        lengths[0] = kmerindex
     arr = np.array(lengths + slengths + ulengths, dtype=np.uint32)
     with open(out_prefix + ".length.b", "wb") as f:
         f.write(struct.pack("<i", db_size))

@@ -234,3 +234,64 @@ def test_cmer_mapping_parity(tmp_path, db50, messy_fq, ref_bin,
             == (tmp_path / ("my" + ext)).read_bytes(), f"{ext} differs"
     assert gzip.open(str(ref_out) + ".frag.gz").read() \
         == gzip.open(str(my_out) + ".frag.gz").read()
+
+
+def test_index_tier_parity(tmp_path, db50, ref_index_bin):
+    """index tooling depth: -t_db append, -batch, homology filters,
+    ORF checks and -k_t/-k_i all byte-match the reference."""
+    import random
+    recs = open(str(db50)).read().split(">")[1:]
+    p1 = tmp_path / "p1.fsa"
+    p2 = tmp_path / "p2.fsa"
+    p1.write_text("".join(">" + r for r in recs[:30]))
+    p2.write_text("".join(">" + r for r in recs[30:]))
+    batch = tmp_path / "b.txt"
+    batch.write_text("%s\n%s\n" % (p1, p2))
+    # ORFy records
+    random.seed(3)
+    stops = ["TAA", "TAG", "TGA"]
+    inner = [a + b + c for a in "ACGT" for b in "ACGT" for c in "ACGT"
+             if a + b + c not in stops]
+    comp = str.maketrans("ACGT", "TGCA")
+    orf = tmp_path / "orf.fsa"
+    with open(orf, "w") as f:
+        for i in range(40):
+            n = random.randint(30, 200)
+            body = "".join(random.choice(inner) for _ in range(n))
+            if i % 4 == 0:
+                s = "ATG" + body + random.choice(stops)
+            elif i % 4 == 1:
+                s = ("ATG" + body
+                     + random.choice(stops)).translate(comp)[::-1]
+            elif i % 4 == 2:
+                s = "ATG" + body[:30] + "TAA" + body[30:] + "TGA"
+            else:
+                s = "".join(random.choice("ACGT") for _ in range(3 * n + 1))
+            f.write(">orf%d\n%s\n" % (i, s))
+
+    def build_both(tag, ref_args, my_args=None):
+        a = str(tmp_path / ("r" + tag))
+        b = str(tmp_path / ("m" + tag))
+        subprocess.run([str(ref_index_bin)] + [x.format(o=a) for x in
+                                               ref_args],
+                       check=True, capture_output=True)
+        rc = kma_main(["index"] + [x.format(o=b) for x in
+                                   (my_args or ref_args)])
+        assert rc == 0
+        for ext in (".comp.b", ".length.b", ".name", ".seq.b"):
+            assert open(a + ext, "rb").read() == open(b + ext, "rb").read(), \
+                (tag, ext)
+        return a, b
+
+    old_r, old_m = build_both("old", ["-i", str(p1), "-o", "{o}"])
+    build_both("app", ["-t_db", old_r, "-i", str(p2), "-o", "{o}"],
+               ["-t_db", old_m, "-i", str(p2), "-o", "{o}"])
+    build_both("bat", ["-batch", str(batch), "-o", "{o}"])
+    build_both("hq", ["-i", str(db50), "-o", "{o}", "-Sparse", "ATG",
+                      "-hq", "0.5"])
+    build_both("ht", ["-i", str(db50), "-o", "{o}", "-Sparse", "ATG",
+                      "-ht", "0.4", "-hq", "0.6", "-and"])
+    build_both("orfc", ["-i", str(orf), "-o", "{o}", "-c"])
+    build_both("orfC", ["-i", str(orf), "-o", "{o}", "-C"])
+    build_both("kt", ["-i", str(db50), "-o", "{o}", "-k_t", "14",
+                      "-k_i", "17"])
