@@ -62,6 +62,55 @@ class Frag:
     codes: np.ndarray
 
 
+class RecordSpool:
+    """maxFrag-bounded record store (-mf; conclave.c:196-208 + tmp.c).
+
+    Records beyond the cap spill to an unlinked tmp file; iteration
+    replays the spilled prefix then the RAM tail, any number of times
+    (ConClave-2 streams the spool three times)."""
+
+    def __init__(self, max_frag: int = 1000000, tmpdir=None):
+        self.max_frag = max(1, max_frag)
+        self.tmpdir = tmpdir
+        self.mem: List[FragRecord] = []
+        self.file = None
+        self.n_spilled = 0
+
+    def append(self, rec: "FragRecord") -> None:
+        self.mem.append(rec)
+        if len(self.mem) >= self.max_frag:
+            self._spill()
+
+    def extend(self, recs) -> None:
+        for r in recs:
+            self.append(r)
+
+    def _spill(self) -> None:
+        import pickle
+        import tempfile
+        if self.file is None:
+            self.file = tempfile.TemporaryFile(dir=self.tmpdir,
+                                               prefix="kma_frag_spool_")
+        for r in self.mem:
+            pickle.dump(r, self.file, protocol=pickle.HIGHEST_PROTOCOL)
+        self.n_spilled += len(self.mem)
+        self.mem.clear()
+
+    def __len__(self) -> int:
+        return self.n_spilled + len(self.mem)
+
+    def __iter__(self):
+        import pickle
+        if self.file is not None:
+            self.file.seek(0, 2)
+            end = self.file.tell()
+            self.file.seek(0)
+            for _ in range(self.n_spilled):
+                yield pickle.load(self.file)
+            self.file.seek(end)
+        yield from self.mem
+
+
 def run_conclave1(records: List[FragRecord], db_size: int,
                   alignment_scores: np.ndarray,
                   uniq_alignment_scores: np.ndarray,

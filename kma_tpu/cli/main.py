@@ -499,6 +499,16 @@ def map_main(argv: List[str]) -> int:
                 cfg.shm = 1
         elif a == "-mmap":
             cfg.mmap = True
+        elif a == "-tmp":
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                i += 1
+                cfg.tmp_dir = argv[i]
+        elif a == "-status":
+            cfg.status = True
+        elif a == "-s1":
+            cfg.step1 = True
+        elif a == "-s2":
+            cfg.step2 = True
         elif a == "-mh":
             # kma_tpu extension: multi-host run, "coordinator:port,N,pid"
             i += 1
@@ -599,6 +609,18 @@ def map_main(argv: List[str]) -> int:
                           three_clip=cfg.three_clip, min_len=cfg.min_len,
                           max_len=cfg.max_len, decon=cfg.deCon,
                           qc_report=cfg.qc_report)
+    if cfg.step1:
+        from ..pipeline import run_step1
+        return run_step1(inputs, cfg, pe_files=pe_inputs or None,
+                         int_files=int_inputs or None)
+    if cfg.step2:
+        from ..pipeline import run_step2
+        if not dbs:
+            print(" No database specified.", file=sys.stderr)
+            return 1
+        return run_step2(dbs[0], cfg, input_files=inputs,
+                         pe_files=pe_inputs or None,
+                         int_files=int_inputs or None)
     if mh is not None:
         from ..parallel.multihost import run_kma_multihost
         coord, n, pid = mh.rsplit(",", 2)

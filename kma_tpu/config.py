@@ -125,6 +125,10 @@ class MapConfig:
     verbose: int = 0
     boot: bool = False   # -boot: 1024/512 sub-sequence bootstrap (runinput.c:732)
     shm: int = 0         # -shm: prefer tmpfs DB copies (shm.c analog)
+    tmp_dir: str = ""    # -tmp: spool/tmp file directory (tmp.c tmpF)
+    status: bool = False  # -status: forked-pipe timing lines (kma.c:1056)
+    step1: bool = False  # -s1: emit the step-1 wire to stdout (kma.c:1439)
+    step2: bool = False  # -s2: stdin step-1 wire -> anker wire on stdout
     mmap: bool = False   # -mmap: demand-page .comp.b (kmmap.c:33)
     # TPU device mapping path: "auto" uses the device scanner whenever a
     # non-CPU jax backend is present and the mode is device-eligible;

@@ -257,10 +257,10 @@ def read_step1_stream(f: BinaryIO) -> Iterator[Read]:
 
 def write_anker(f: BinaryIO, codes: np.ndarray, n_positions: np.ndarray,
                 rc_flag: int, templates: np.ndarray, header: bytes,
-                sam_flag: int) -> None:
+                sam_flag: int, wire_words=None) -> None:
     """print_ankers wire format (ankers.c:30-50)."""
     seqlen = len(codes)
-    words = pack_2bit(codes)
+    words = pack_2bit(codes) if wire_words is None else wire_words
     f.write(struct.pack("<iiiiiii", seqlen, len(words), len(n_positions),
                         rc_flag, len(templates), len(header), sam_flag))
     f.write(words.astype("<u8").tobytes())

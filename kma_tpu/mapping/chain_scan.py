@@ -61,6 +61,7 @@ def _collect_ankers(idx: KmaIndex, codes: np.ndarray, rc_strand: bool,
     # hit stream in forward coordinates
     ankers: List[Anker] = []
     last = -1
+    last_hit_j = 0
     gaps = 0
     Ms = MMs = 0
     cur_anker: Optional[Anker] = None
@@ -87,6 +88,7 @@ def _collect_ankers(idx: KmaIndex, codes: np.ndarray, rc_strand: bool,
         km, ok = km_at(j)
         v = lookup_voff(idx, km) if ok else -1
         if v >= 0:
+            last_hit_j = j
             if v == last and cur_anker is not None:
                 if gaps == 0:
                     Ms += 1
@@ -117,11 +119,44 @@ def _collect_ankers(idx: KmaIndex, codes: np.ndarray, rc_strand: bool,
             gaps += 1
     if cur_anker is not None:
         cur_anker.weight = Ms * M + MMs * MM
-        # the reference's segment-jump bookkeeping adds exactly k to the
-        # trailing gap count (savekmers.c:5324-5330), so the final anker
-        # ends at the START of its last hit k-mer
-        cur_anker.end = seqlen - (gaps + k)
+        if rc_strand:
+            # the fw-ascending rc formulation's own trailing rule
+            # (equivalent to the reference's rc-scan bookkeeping)
+            cur_anker.end = seqlen - (gaps + k)
+        else:
+            # trailing end = seqlen - gaps where gaps replays the
+            # reference's segmented tail (misses + N-jumps) and STOPS as
+            # soon as the window cursor passes seqend (savekmers.c:5255
+            # outer condition) -- trailing N-jumps past the last full
+            # window never count
+            cur_anker.end = seqlen - _tail_gaps(cur, k, last_hit_j,
+                                                False, seqlen)
     return ankers
+
+
+def _tail_gaps(cur: np.ndarray, k: int, last_hit_j: int, rc_strand: bool,
+               seqlen: int) -> int:
+    """Replay savekmers.c:5252-5330's gap bookkeeping from the last hit
+    to the scan end, in the STRAND's own coordinates."""
+    # strand coordinate of the last hit window
+    w = (seqlen - k - last_hit_j) if rc_strand else last_hit_j
+    strand = cur  # `cur` is already this strand's codes
+    nbounds = [int(x) for x in np.flatnonzero(strand == 4) if int(x) > w] \
+        + [seqlen]
+    seqend = seqlen - k + 1
+    g = 0
+    j = w + 1
+    for endN in nbounds:
+        while j + k - 1 < endN:
+            g += 1
+            j += 1
+        g += endN + 1 - j
+        j = endN + 1
+        # the outer for re-checks j < seqend only when ADVANCING to the
+        # next segment (savekmers.c:5255), after the current jump
+        if j >= seqend:
+            break
+    return g
 
 
 def _chain_pass(idx: KmaIndex, ankers: List[Anker], q_len: int,

@@ -737,8 +737,21 @@ def _anker_and_clean(idx, codes, NN, region, Score, Score_r, include,
             npr = (tmplen - 1) - np.asarray(tmpN, np.int64)
             rc_override[npr] = 4
 
+    wire_words = None
+    if comp_buf is not None:
+        # the -s2 wire view: (tmplen>>5)+1 packed words straight out of
+        # the step-2 buffer (tmpQseq.seq + start_cut>>5, complen + 1)
+        from ..io.seq import pack_2bit
+        nwords = (tmplen >> 5) + 1
+        span = comp_buf.base[start_cut: start_cut + nwords * 32]
+        if len(span) < nwords * 32:
+            span = np.concatenate([span, np.zeros(nwords * 32 - len(span),
+                                                  np.uint8)])
+        wire_words = pack_2bit(span)[:nwords]
+
     return AnkerHit(codes=sub,
                     n_positions=np.asarray(tmpN, np.int32),
                     rc_flag=HIT * bestScore,
                     templates=np.asarray(reg, np.int32),
-                    header=bh, flag=0, rc_override=rc_override)
+                    header=bh, flag=0, rc_override=rc_override,
+                    wire_words=wire_words)

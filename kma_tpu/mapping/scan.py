@@ -38,6 +38,9 @@ class AnkerHit:
     # (compdna.c:250-270 skips the shift).  The scanner precomputes that
     # exact shifted rc here; None = plain reverse complement.
     rc_override: "np.ndarray | None" = None
+    # exact wire words for -s2 anker dumps (the HMM slice view includes
+    # one word of step-2 buffer residue); None = pack codes fresh
+    wire_words: "np.ndarray | None" = None
 
 
 def _hits_for_codes(idx: KmaIndex, codes: np.ndarray

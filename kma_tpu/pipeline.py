@@ -1083,7 +1083,13 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             frag_raw_out.write(writers.frag_raw_row(
                 codes, best_hits, score, starts, ends, templates, header))
 
-    records: List[FragRecord] = []
+    if collect:
+        records: List[FragRecord] = []
+    else:
+        # -mf bounded spool (conclave.c:196-208): past max_frag records
+        # spill to a tmp file instead of growing the heap
+        from .assign.conclave import RecordSpool
+        records = RecordSpool(cfg.max_frag, tmpdir=cfg.tmp_dir or None)
     # global read ordinal of each record: ConClave consumes records in
     # input-stream order, so the multi-host reducer merge-sorts by these
     rec_ords: List[int] = []
@@ -1530,16 +1536,27 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                 "template_lengths": template_lengths, "names": names,
                 "store": store, "rew": rew, "points": points,
                 "kmersize": kmersize}
-    # stage lines in the reference's (non-forked kmaPipe) order
-    # (runinput.c:448-452; kmers.c:182-184,269; runkma.c:558-560)
+    # stage lines in the reference's kmaPipe order; -status switches to
+    # the forked-pipe TIMED variants (kmers.c:267/269, runkma.c:554-560)
+    _map_dt = time.process_time() - _t_stage
     _stage("#\n# Total number of query fragment after trimming:\t%d\n#"
            % n_frags)
-    _stage("# Query converted\n#")
+    if cfg.status:
+        _stage("# Total time used for converting query: %.2f s.\n#"
+               % _map_dt)
+    else:
+        _stage("# Query converted\n#")
     _stage("#\n# Total time used for DB loading: %.2f s.\n#" % _db_dt)
     _stage("# Finding k-mer ankers")
-    _stage("# Query ankered\n#")
-    _stage("# KMA mapping done\n#")
-    _stage("# Sort, output and select KMA alignments.")
+    if cfg.status:
+        _stage("#\n# Total time used ankering query: %.2f s.\n#"
+               % _map_dt)
+        _stage("#\n# KMA mapping time\t%.2f s." % _map_dt)
+        _stage("#\n# Sort, output and select KMA alignments.")
+    else:
+        _stage("# Query ankered\n#")
+        _stage("# KMA mapping done\n#")
+        _stage("# Sort, output and select KMA alignments.")
     return _conclave_and_output(
         records, db_size, template_lengths,
         lambda t: names[t - 1].decode("latin1"), store, alignment_scores,
@@ -2476,3 +2493,100 @@ def _anker_rc_bytes(tindex, codes, q_len, q_start, q_end, points):
     if res < 0:
         return -res, rc
     return res, None
+
+
+def run_step1(input_files: List[str], cfg: MapConfig,
+              pe_files: Optional[List[str]] = None,
+              int_files: Optional[List[str]] = None) -> int:
+    """-s1 (kma.c:1439-1601): parse+trim only, emitting the step-1 wire
+    (printFsa records, runinput.c:765-787) on stdout."""
+    from .io.pipeline import iter_read_pairs, iter_reads, write_step1_record
+    out = sys.stdout.buffer
+    if input_files:
+        for read in iter_reads(input_files, min_phred=cfg.min_phred,
+                               hardmask_q=cfg.hardmask_q, min_q=cfg.min_q,
+                               min_len=cfg.min_len, max_len=cfg.max_len,
+                               boot=cfg.boot):
+            write_step1_record(out, read)
+    for files, inter in ((pe_files, False), (int_files, True)):
+        if files:
+            for r1, r2 in iter_read_pairs(files, min_phred=cfg.min_phred,
+                                          hardmask_q=cfg.hardmask_q,
+                                          min_q=cfg.min_q,
+                                          min_len=cfg.min_len,
+                                          max_len=cfg.max_len,
+                                          interleaved=inter):
+                if r2 is not None:
+                    r1.mate_first = True
+                    write_step1_record(out, r1)
+                    write_step1_record(out, r2)
+                else:
+                    r1.mate_first = False
+                    write_step1_record(out, r1)
+    out.flush()
+    return 0
+
+
+def run_step2(db_prefix: str, cfg: MapConfig,
+              input_files: Optional[List[str]] = None,
+              pe_files: Optional[List[str]] = None,
+              int_files: Optional[List[str]] = None) -> int:
+    """-s2 (kma.c:1602-1605): the reference re-enters itself in a thread
+    (kmapipe.c:38-53), so -s2 runs steps 1+2 from the ORIGINAL argv and
+    emits the anker wire (+ -readNum terminator) on stdout."""
+    import struct as _struct
+    from .config import Penalties
+    from .io.pipeline import iter_reads, write_anker
+    from .mapping.scan import SaveKmersScanner
+
+    idx = load_index(db_prefix, mmap=cfg.mmap, shm=cfg.shm)
+    pen = cfg.penalties
+    pen.d = pen.score_matrix()
+    template_lengths = idx.template_lengths.astype(np.int64)
+    scanner = SaveKmersScanner(idx, pen, exhaustive=cfg.exhaustive)
+    scan_proxi = None
+    if cfg.min_frac != 1.0:
+        from .mapping.scan import Proxi
+        scan_proxi = Proxi(min_frac=abs(cfg.min_frac),
+                           soft=np.zeros(idx.db_size + 1, np.int64)
+                           if cfg.min_frac < 0 else None)
+    if cfg.hmm:
+        from .mapping.hmm_scan import HmmCompBuf, hmm_scan_read
+        hmm_buf = HmmCompBuf()
+
+        def scan_one(read):
+            return hmm_scan_read(idx, read.codes, read.header,
+                                 template_lengths, cfg.min_len,
+                                 scanner.Score, scanner.Score_r,
+                                 scanner.include, mem_mode=cfg.mem_mode,
+                                 proxi=scan_proxi,
+                                 exhaustive=cfg.exhaustive,
+                                 comp_buf=hmm_buf)
+    elif not cfg.one2one:
+        from .mapping.chain_scan import chain_scan_read
+
+        def scan_one(read):
+            return chain_scan_read(
+                idx, pen, read.codes, read.header, cfg.exhaustive,
+                scanner.Score, scanner.extendScore, scanner.include,
+                template_lengths, cfg.min_len, cfg.cover_t, cfg.score_t,
+                cfg.mrc, cfg.lc, scan_proxi)
+    else:
+        def scan_one(read):
+            hit = scanner.scan(read.codes, read.n_positions, read.header)
+            return [hit] if hit is not None else []
+
+    out = sys.stdout.buffer
+    n = 0
+    for read in iter_reads(input_files or [], min_phred=cfg.min_phred,
+                           hardmask_q=cfg.hardmask_q, min_q=cfg.min_q,
+                           min_len=cfg.min_len, max_len=cfg.max_len,
+                           boot=cfg.boot):
+        n += 1
+        for hit in scan_one(read):
+            write_anker(out, hit.codes, hit.n_positions, hit.rc_flag,
+                        hit.templates, hit.header, hit.flag,
+                        wire_words=hit.wire_words)
+    out.write(_struct.pack("<i", -n))
+    out.flush()
+    return 0

@@ -295,3 +295,39 @@ def test_index_tier_parity(tmp_path, db50, ref_index_bin):
     build_both("orfC", ["-i", str(orf), "-o", "{o}", "-C"])
     build_both("kt", ["-i", str(db50), "-o", "{o}", "-k_t", "14",
                       "-k_i", "17"])
+
+
+def test_step_flags_and_spool(tmp_path, messy_fq, db50_index2, ref_bin,
+                              capfdbinary):
+    """-s1/-s2 wire-format parity and -mf spool output invariance."""
+    import gzip
+    o = str(tmp_path / "x")
+    r1 = subprocess.run([str(ref_bin), "-s1", "-i", str(messy_fq), "-o",
+                         o, "-t_db", db50_index2], capture_output=True)
+    assert r1.returncode == 0
+    capfdbinary.readouterr()
+    rc = kma_main(["-s1", "-i", str(messy_fq), "-o", o, "-t_db",
+                   db50_index2])
+    my1 = capfdbinary.readouterr().out
+    assert rc == 0 and my1 == r1.stdout and len(my1) > 16
+    for mode in ([], ["-1t1"], ["-hmm"]):
+        r2 = subprocess.run([str(ref_bin), "-s2", "-i", str(messy_fq),
+                             "-o", o, "-t_db", db50_index2] + mode,
+                            capture_output=True)
+        assert r2.returncode == 0
+        rc = kma_main(["-s2", "-i", str(messy_fq), "-o", o, "-t_db",
+                       db50_index2] + mode)
+        my2 = capfdbinary.readouterr().out
+        assert rc == 0 and my2 == r2.stdout, mode
+
+    a = tmp_path / "plain"
+    b = tmp_path / "spool"
+    assert kma_main(["-i", str(messy_fq), "-t_db", db50_index2, "-o",
+                     str(a)]) == 0
+    assert kma_main(["-i", str(messy_fq), "-t_db", db50_index2, "-o",
+                     str(b), "-mf", "5", "-tmp", str(tmp_path)]) == 0
+    for ext in (".res", ".fsa", ".aln"):
+        assert (tmp_path / ("plain" + ext)).read_bytes() \
+            == (tmp_path / ("spool" + ext)).read_bytes(), ext
+    assert gzip.open(str(a) + ".frag.gz").read() \
+        == gzip.open(str(b) + ".frag.gz").read()
