@@ -1,0 +1,230 @@
+"""Pallas TPU kernel: banded Needleman-Wunsch wavefront (score-only).
+
+The hot loop of step-3 candidate scoring (NW_band_score, nw.c:892-1188;
+SURVEY hard part #1).  The reference's banded DP is sheared along the
+(t_len+q_len)/2 diagonal so each row's cells live at fixed band lanes:
+lane n of row m holds query position ``sq - (sn - n)`` and neighbours
+reduce to same/adjacent-lane reads of the previous row -- a wavefront
+that maps 1:1 onto TPU lanes.  The within-row affine-gap recurrence
+(Q[n] = max(D[n+1]+W1, Q[n+1]+U), nw.c:995-1010) is solved with a
+suffix max-scan over D0[n] + n*max(W1,U): opening from a gap-valued
+cell can never beat extending when W1 <= U, so the D<->Q cycle breaks
+(the same reformulation as the oracle-exact host row step, align/nw.py).
+
+Geometry is staged on the XLA/host side: per row i (= t_len-1-m) the
+kernel reads a [GT, L] slab of match scores d[t_nuc][q[qpos]]
+precomputed for the row's band window, so the kernel sees no sequence
+data at all -- only the DP state, which stays in VMEM for the whole
+alignment.
+
+Scores are exact against nw_band (oracle-tested vs nw.c) for the k
+modes the production aligner issues (0, +-1, 2, -2) on non-circular
+windows; alignment STATS (len/match/gaps) need the E-byte backtrack and
+stay on the host/native path.  This kernel is the batched candidate
+scorer.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_CAP = np.int32(-(1 << 29))
+
+
+def _nw_band_kernel(tlen_ref, qlen_ref, kflag_ref, msc_ref, score_ref,
+                    *, L, GT, half_band, W1, U, MM):
+    band = 2 * half_band
+    bq_len = band + 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, (GT, L), 1)
+
+    t_len = tlen_ref[:]          # [GT, 1] i32
+    q_len = qlen_ref[:]
+    kflag = kflag_ref[:]
+    neg = ((t_len + q_len) * np.int32(MM + U + W1)).astype(jnp.int32)
+    c_pos0 = (t_len + q_len) >> 1
+    sn0 = q_len - 1 - (c_pos0 - half_band)
+
+    # init row m == t_len (nw.c:975-995)
+    below = lane < sn0
+    Dp = jnp.where(below, np.int32(W1) + (sn0 - lane - 1) * np.int32(U),
+                   neg)
+    Dp = jnp.where(lane == sn0, 0, Dp)
+    Dp = jnp.where((kflag == 2) & (lane <= sn0), 0, Dp)
+    Pp = jnp.where((lane == sn0) & (kflag != 2), 0, neg)
+    Dp = jnp.where(lane > bq_len, NEG_CAP, Dp)
+    Pp = jnp.where(lane > bq_len, NEG_CAP, Pp)
+
+    Up = np.int32(max(W1, U))
+    lane_up = lane * Up
+
+    def body(i, carry):
+        Dp, Pp, Dp2, Pp2, best, en_prev = carry
+        c_pos = c_pos0 - i
+        m = t_len - 1 - i
+        active = m >= 0
+        sq_raw = c_pos + half_band
+        eq_raw = c_pos - half_band
+        en = jnp.where(eq_raw < 0, en_prev + 1, 0)
+        eq = jnp.maximum(eq_raw, 0)
+
+        interior = sq_raw < (q_len - 1)
+        sn_cell = en + (q_len - eq)            # edge-cell lane
+        edge_val = jnp.where(kflag > 0, 0,
+                             np.int32(W1) + (t_len - 1 - m) * np.int32(U))
+        # boundary source one lane above the loop's top lane
+        bval = jnp.where(interior, neg, edge_val)
+        blane = jnp.where(interior, np.int32(bq_len), sn_cell)
+        top = blane - 1                        # last looped lane
+
+        msc = msc_ref[i].astype(jnp.int32)     # [GT, L]
+
+        inloop = (lane >= en + 1) & (lane <= top)
+        Dp_m1 = pltpu.roll(Dp, 1, axis=1)      # D_prev[n-1]
+        Pp_m1 = pltpu.roll(Pp, 1, axis=1)
+        Popen = Dp_m1 + np.int32(W1)
+        Pext = Pp_m1 + np.int32(U)
+        P = jnp.maximum(Popen, Pext)
+        Msc = Dp + msc
+        D0 = jnp.maximum(P, Msc)
+        # boundary value participates in the gap scan
+        D0b = jnp.where(lane == blane, bval, D0)
+        D0b = jnp.where(inloop | (lane == blane), D0b, NEG_CAP)
+
+        # exclusive suffix max of D0b[j] + j*Up over j > n
+        s = jnp.where(lane <= bq_len, D0b + lane_up, NEG_CAP)
+        # circular roll: left-shift by n == roll by L-n, wrap masked
+        s = pltpu.roll(s, L - 1, axis=1)
+        s = jnp.where(lane >= L - 1, NEG_CAP, s)
+        step = 1
+        while step < L:
+            t = pltpu.roll(s, L - step, axis=1)
+            t = jnp.where(lane >= L - step, NEG_CAP, t)
+            s = jnp.maximum(s, t)
+            step <<= 1
+        Q = s - (lane + 1) * Up + np.int32(W1)
+
+        Dn = jnp.where(inloop, jnp.maximum(D0, Q), Dp)
+        Pn = jnp.where(inloop, P, Pp)
+
+        # the n == en boundary cell (nw.c:1100-1130): no P available
+        at_en = lane == en
+        Den = jnp.maximum(Dp + msc, Q)
+        Dn = jnp.where(at_en, Den, Dn)
+        Pn = jnp.where(at_en, neg, Pn)
+        # the edge cell when the band hits q_len-1
+        at_edge = (~interior) & (lane == sn_cell)
+        Dn = jnp.where(at_edge, edge_val, Dn)
+        Pn = jnp.where(at_edge, neg, Pn)
+        # the reference DOUBLE-BUFFERS rows (nw.c D_ptr/D_prev swap):
+        # lanes not written this row keep the value from TWO rows ago,
+        # which the k == -2 final scan can observe
+        written = (lane >= en) & (lane <= blane)
+        Dn = jnp.where(written, Dn, Dp2)
+        Pn = jnp.where(written, Pn, Pp2)
+
+        # k < 0 interior best over rows with eq == 0 (nw.c:1134-1139)
+        den = jnp.sum(jnp.where(at_en, Dn, 0), axis=1, keepdims=True)
+        track = active & (eq_raw <= 0) & (kflag < 0)
+        best = jnp.where(track & (best < den), den, best)
+
+        Dn = jnp.where(active, Dn, Dp)
+        Pn = jnp.where(active, Pn, Pp)
+        D2 = jnp.where(active, Dp, Dp2)
+        P2 = jnp.where(active, Pp, Pp2)
+        en_next = jnp.where(active, en, en_prev)
+        return Dn, Pn, D2, P2, best, en_next
+
+    best0 = neg.copy()
+    en0 = jnp.zeros_like(t_len)
+    max_rows = jnp.max(t_len)
+    Dp, Pp, _, _, best, en_fin = jax.lax.fori_loop(
+        0, max_rows, body, (Dp, Pp, Dp, Pp, best0, en0))
+
+    # final score (nw.c:1155-1175)
+    den = jnp.sum(jnp.where(lane == en_fin, Dp, 0), axis=1, keepdims=True)
+    score = jnp.where(kflag < 0, jnp.maximum(best, den), den)
+    row_max = jnp.max(jnp.where((lane >= en_fin) & (lane < bq_len), Dp,
+                                NEG_CAP), axis=1, keepdims=True)
+    score = jnp.where(kflag == -2, jnp.maximum(score, row_max), score)
+    score_ref[:] = score
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("half_band", "W1", "U", "MM", "GT",
+                                    "interpret"))
+def nw_band_score_pallas(t_len, q_len, kflag, msc, *, half_band, W1, U,
+                         MM, GT=8, interpret=False):
+    """Batched banded-NW scores.
+
+    t_len/q_len/kflag [B] i32; msc [R, B, L] i8 staged match scores
+    (stage_band_inputs); returns scores [B] i32."""
+    R, B, L = msc.shape
+    n_tiles = B // GT
+    kern = functools.partial(_nw_band_kernel, L=L, GT=GT,
+                             half_band=half_band, W1=W1, U=U, MM=MM)
+    score = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((GT, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GT, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GT, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, GT, L), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((GT, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(t_len[:, None].astype(jnp.int32), q_len[:, None].astype(jnp.int32),
+      kflag[:, None].astype(jnp.int32), msc)
+    return score[:, 0]
+
+
+def stage_band_inputs(templates, queries, t_lens, q_lens, band, d):
+    """Host staging of the per-row band match scores (nw.c:958-1035
+    geometry): msc[i, b, n] = d[t_nuc(m)][query[qpos(n)]] for row
+    i = t_len-1-m.  Returns (t_len, q_len, msc[R, B, L] i8)."""
+    B = len(templates)
+    if band & 1:
+        band += 1
+    half = band // 2
+    bq_len = band + 1
+    L = -(-(band + 2) // 128) * 128
+    R = int(max(int(t) for t in t_lens))
+    msc = np.zeros((R, B, L), dtype=np.int8)
+    for b in range(B):
+        t = np.asarray(templates[b])
+        q = np.asarray(queries[b])
+        t_len = int(t_lens[b])
+        q_len = int(q_lens[b])
+        c0 = (t_len + q_len) >> 1
+        en = 0
+        for i in range(t_len):
+            m = t_len - 1 - i
+            c_pos = c0 - i
+            sq = c_pos + half
+            # en counts CONSECUTIVE sub-zero band floors (nw.c:1030-1036)
+            en = en + 1 if (c_pos - half) < 0 else 0
+            eq = max(c_pos - half, 0)
+            if sq < q_len - 1:
+                sn_eff = bq_len - 1
+                sq_eff = sq
+            else:
+                sq_eff = q_len - 1
+                sn_eff = en + (q_len - eq) - 1
+            ns = np.arange(en, sn_eff + 1)
+            qpos = sq_eff - (sn_eff - ns)
+            ok = (qpos >= 0) & (qpos < q_len)
+            msc[i, b, ns[ok]] = d[int(t[m]), q[qpos[ok]]]
+    return (np.asarray(t_lens, np.int32), np.asarray(q_lens, np.int32),
+            msc)

@@ -1,0 +1,46 @@
+"""Pallas banded-NW wavefront kernel vs the oracle-exact host nw_band."""
+
+import numpy as np
+import pytest
+
+from kma_tpu.align.nw import nw_band
+from kma_tpu.config import Penalties
+from kma_tpu.ops.nw_kernel import nw_band_score_pallas, stage_band_inputs
+
+
+@pytest.mark.parametrize("seed,err", [(5, 0.08), (99, 0.2)])
+def test_nw_band_score_pallas_exact(seed, err):
+    """Scores bit-match nw_band (itself nw_oracle-exact) across k modes,
+    length ratios, and band geometries -- incl. the reference's stale
+    double-buffer reads that the k == -2 final scan observes."""
+    pen = Penalties()
+    d = pen.score_matrix().astype(np.int64)
+    W1, U, MM = pen.W1, pen.U, pen.MM
+    rng = np.random.default_rng(seed)
+    B = 32
+    band = 64
+
+    templates, queries, tl, ql, ks = [], [], [], [], []
+    for _ in range(B):
+        tlen = int(rng.integers(10, 300))
+        qlen = max(10, tlen + int(rng.integers(-60, 60)))
+        t = rng.integers(0, 4, tlen).astype(np.uint8)
+        q = t[:qlen].copy() if qlen <= tlen else np.concatenate(
+            [t, rng.integers(0, 4, qlen - tlen)]).astype(np.uint8)
+        ne = rng.binomial(qlen, err)
+        pos = rng.integers(0, qlen, ne)
+        q[pos] = (q[pos] + rng.integers(1, 4, ne)) % 4
+        templates.append(t)
+        queries.append(q)
+        tl.append(tlen)
+        ql.append(qlen)
+        ks.append(int(rng.choice([0, 1, -1, 2, -2])))
+
+    exp = [nw_band(templates[b], queries[b], ks[b], 0, tl[b], 0, ql[b],
+                   band, d, W1, U, MM, tl[b]).score for b in range(B)]
+    t_len, q_len, msc = stage_band_inputs(templates, queries, tl, ql,
+                                          band, d)
+    got = np.asarray(nw_band_score_pallas(
+        t_len, q_len, np.asarray(ks, np.int32), msc,
+        half_band=band // 2, W1=W1, U=U, MM=MM, interpret=True))
+    assert got.tolist() == exp
