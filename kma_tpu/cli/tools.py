@@ -189,18 +189,32 @@ def merge_main(argv: List[str]) -> int:
         return 1
     bias = a.db_size - 1
     table = {}
+    # template sets of the two DBs are disjoint after biasing, so the
+    # merge is per-key list concatenation -- one vectorized pass per DB
+    # (merge.c:1391-1674 walks hashmaps; the old per-element `in` dedup
+    # was quadratic in list length)
     for idx, offset in ((a, 0), (b, bias)):
         if idx.mega:
             kmers = np.flatnonzero(idx.exist != idx.null_index)
+            offs = idx.exist[kmers].astype(np.int64)
         else:
             kmers = idx.key_index[: idx.n]
-        for km in kmers.tolist():
-            lst = idx.lookup(int(km))
-            cur = table.setdefault(int(km), [])
-            for t in np.asarray(lst[1:], np.int64).tolist():
-                tt = t + offset
-                if tt not in cur:
-                    cur.append(tt)
+            offs = idx.value_index[: idx.n].astype(np.int64)
+        values = np.asarray(idx.values, np.int64)
+        cnts = values[offs]
+        total = int(cnts.sum())
+        starts = np.cumsum(cnts) - cnts
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, cnts)
+        tpls = values[np.repeat(offs, cnts) + 1 + pos] + offset
+        bounds = np.concatenate([[0], np.cumsum(cnts)]).astype(np.int64)
+        tpls_l = tpls.tolist()
+        for i, km in enumerate(kmers.tolist()):
+            seg = tpls_l[bounds[i]: bounds[i + 1]]
+            cur = table.get(km)
+            if cur is None:
+                table[km] = seg
+            else:
+                cur.extend(seg)
     merged = freeze(table, a.db_size + b.db_size - 1, a.kmersize, a.mlen,
                     mega=a.mega and b.mega, prefix_len=a.prefix_len,
                     prefix=a.prefix, flag=a.flag)

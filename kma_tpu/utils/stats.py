@@ -8,8 +8,21 @@ import math
 
 # CPython's math.erf is its own implementation and differs from glibc's in
 # the last ulps; the reference links libm, so route erf through it.
-try:
-    _libm = ctypes.CDLL("libm.so.6")
+def _load_libm():
+    try:
+        return ctypes.CDLL("libm.so.6")
+    except OSError:  # pragma: no cover - non-glibc platforms
+        name = ctypes.util.find_library("m")
+        if name:
+            try:
+                return ctypes.CDLL(name)
+            except OSError:
+                pass
+    return None
+
+
+_libm = _load_libm()
+if _libm is not None:
     _libm.erf.restype = ctypes.c_double
     _libm.erf.argtypes = [ctypes.c_double]
     _libm.tgamma.restype = ctypes.c_double
@@ -19,7 +32,11 @@ try:
         return _libm.erf(x)
 
     _TGAMMA_HALF = _libm.tgamma(0.5)
-except OSError:  # pragma: no cover
+else:  # pragma: no cover - last-ulp p-value parity is not guaranteed
+    import sys
+    print("# kma_tpu: libm not found; falling back to math.erf "
+          "(last-ulp p-value parity with the reference may be lost)",
+          file=sys.stderr)
     _erf = math.erf
     _TGAMMA_HALF = math.gamma(0.5)
 
