@@ -33,9 +33,10 @@ class Read:
     __slots__ = ("codes", "n_positions", "header", "mate_first")
 
     def __init__(self, codes: np.ndarray, header: bytes,
-                 mate_first: bool = False):
+                 mate_first: bool = False, n_positions=None):
         self.codes = codes
-        self.n_positions = np.flatnonzero(codes == 4).astype(np.int32)
+        self.n_positions = n_positions if n_positions is not None \
+            else np.flatnonzero(codes == 4).astype(np.int32)
         self.header = header  # without '@'/'>' prefix, WITH trailing NUL
         self.mate_first = mate_first
 
@@ -75,6 +76,20 @@ def iter_reads(input_files: List[str], min_phred: int = 20,
         if fmt == "fastq":
             scale = sniff_phred_scale(path)
             print("# Phred scale:\t%d" % scale, file=sys.stderr)
+            if qc is None:
+                from .native_io import get_lib, iter_fastq_native
+                if get_lib() is not None:
+                    # native batch parse+trim+pack (runinput.c:370-461
+                    # fast path; exact port of the loop below)
+                    for codes, header, npos in iter_fastq_native(
+                            path, scale, min_phred, min_q, hardmask_q,
+                            min_len, max_len):
+                        count += 1
+                        if boot:
+                            yield from _boot_pieces(codes, header)
+                        else:
+                            yield Read(codes, header, n_positions=npos)
+                    continue
             for header, codes, qual in parse_fastq(path):
                 org += 1
                 if qc is not None:
