@@ -678,6 +678,7 @@ def chain_scan_read(idx: KmaIndex, rewards: Penalties, codes: np.ndarray,
                             Score, extendScore, include, lc, proxi)
 
         # mapping-length filter (mrchain, kmeranker.c:57-81)
+        rc_pre = rc
         if rc & 1 and mrc and seqlen < mrc * ln:
             bestT = [t for t in bestT
                      if mrc * ln <= int(template_lengths[t])]
@@ -688,6 +689,17 @@ def chain_scan_read(idx: KmaIndex, rewards: Penalties, codes: np.ndarray,
                        if mrc * ln <= int(template_lengths[t])]
             if not bestT_r:
                 rc ^= 2
+        if not rc:
+            # livelock escape: when mrchain empties EVERY chosen strand,
+            # the reference (savekmers.c:5786-5794) rebuilds the exact
+            # same chain forever -- verified to hang upstream (-mrc 2 on
+            # a chimeric read).  Nothing was emitted and no state can
+            # change, so silencing the chains only diverges on inputs
+            # where the reference never returns.
+            if rc_pre & 1 and best_f is not None:
+                best_f.score = 0
+            if rc_pre & 2 and best_r is not None:
+                best_r.score = 0
 
         if rc:
             segs.grow(start, start + ln)

@@ -1,0 +1,225 @@
+"""ctypes bridge to the native default-mode chain scanner
+(native/kma_chain.cpp).
+
+The C++ engine is an exact port of mapping/chain_scan.py (the semantics
+reference, itself golden-tested against save_kmers_chain,
+savekmers.c:5127-5944); it removes the per-window/per-template Python
+interpreter overhead from default-mode mapping.  Plain-kmer DBs only
+(flag&3 == 0) and no proxi -- other shapes keep the Python path."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import Penalties
+from ..index.format import KmaIndex
+from ..io.seq import rc_codes
+from .scan import AnkerHit
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(_HERE)),
+                           "native")
+_SRC = os.path.join(_NATIVE_DIR, "kma_chain.cpp")
+_SO = os.path.join(_NATIVE_DIR, "libkma_chain.so")
+
+_lib = None
+_tried = False
+
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_i64p = ctypes.POINTER(ctypes.c_longlong)
+_vp = ctypes.c_void_p
+
+
+def _build() -> bool:
+    if not os.path.exists(_SRC):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-fPIC", "-shared", "-o", _SO + ".tmp", _SRC],
+            check=True, capture_output=True)
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except Exception as e:  # pragma: no cover - toolchain missing
+        print(f"# native chain build failed: {e}", file=sys.stderr)
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native chainer; None if unavailable.
+
+    Set KMA_TPU_NO_NATIVE=1 to force the Python fallback."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("KMA_TPU_NO_NATIVE"):
+        return None
+    if (not os.path.exists(_SO)
+            or (os.path.exists(_SRC)
+                and os.path.getmtime(_SRC) > os.path.getmtime(_SO))):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError as e:  # pragma: no cover
+        print(f"# native chain load failed: {e}", file=sys.stderr)
+        return None
+    lib.kchain_create.restype = _vp
+    lib.kchain_create.argtypes = [
+        _vp, ctypes.c_int, _vp, ctypes.c_int, _vp, ctypes.c_int,
+        _vp, ctypes.c_int,
+        ctypes.c_ulonglong, ctypes.c_ulonglong, ctypes.c_ulonglong,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        _i64p,
+        ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_longlong, ctypes.c_longlong,
+    ]
+    lib.kchain_free.argtypes = [_vp]
+    lib.kchain_scan_read.restype = ctypes.c_int
+    lib.kchain_scan_read.argtypes = [
+        _vp, _u8p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_longlong, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int,
+        _i64p, _i64p, _u8p,
+        _u8p, _i64p, _i32p, _i32p, _i64p, _i32p,
+        ctypes.c_int, ctypes.c_longlong,
+    ]
+    _lib = lib
+    return _lib
+
+
+def _es(a: np.ndarray) -> int:
+    return a.dtype.itemsize
+
+
+class NativeChain:
+    """One DB's native chain engine; holds references to the index arrays
+    so ctypes pointers stay valid."""
+
+    def __init__(self, lib, idx: KmaIndex, pen: Penalties,
+                 template_lengths: np.ndarray):
+        self._lib = lib
+        # contiguous views (mmap/shm-backed arrays already are)
+        self._exist = np.ascontiguousarray(idx.exist)
+        self._values = np.ascontiguousarray(idx.values)
+        if idx.mega:
+            self._keyi = np.zeros(1, np.uint32)
+            self._vali = np.zeros(1, np.uint32)
+        else:
+            self._keyi = np.ascontiguousarray(idx.key_index)
+            self._vali = np.ascontiguousarray(idx.value_index)
+        self._tl = np.ascontiguousarray(template_lengths, np.int64)
+        self._h = lib.kchain_create(
+            self._exist.ctypes.data_as(_vp), _es(self._exist),
+            self._keyi.ctypes.data_as(_vp), _es(self._keyi),
+            self._vali.ctypes.data_as(_vp), _es(self._vali),
+            self._values.ctypes.data_as(_vp), _es(self._values),
+            int(idx.null_index), int(idx.size - 1), int(idx.mask),
+            1 if idx.mega else 0, 1 if idx.flag else 0,
+            int(idx.kmersize), int(idx.mlen),
+            self._tl.ctypes.data_as(_i64p),
+            pen.M, pen.MM, pen.U, pen.W1, pen.Wl)
+        self._cap_hits = 64
+        self._cap_tpl = 1 << 16
+        self._alloc()
+
+    def _alloc(self):
+        self._hit_rc = np.zeros(self._cap_hits, np.uint8)
+        self._hit_sc = np.zeros(self._cap_hits, np.int64)
+        self._hit_b0 = np.zeros(self._cap_hits, np.int32)
+        self._hit_b1 = np.zeros(self._cap_hits, np.int32)
+        self._tpl_off = np.zeros(self._cap_hits + 1, np.int64)
+        self._tpl = np.zeros(self._cap_tpl, np.int32)
+
+    def __del__(self):  # pragma: no cover - interpreter teardown
+        try:
+            if self._h:
+                self._lib.kchain_free(self._h)
+                self._h = None
+        except Exception:
+            pass
+
+    def scan(self, codes: np.ndarray, header: bytes, exhaustive: bool,
+             Score: np.ndarray, extendScore: np.ndarray,
+             include: np.ndarray, minlen: int, coverT: float, mrs: float,
+             mrc: float, lc: bool) -> List[AnkerHit]:
+        codes = np.ascontiguousarray(codes, np.uint8)
+        while True:
+            n = self._lib.kchain_scan_read(
+                self._h, codes.ctypes.data_as(_u8p), len(codes),
+                1 if exhaustive else 0, minlen, coverT, mrs, mrc,
+                1 if lc else 0,
+                Score.ctypes.data_as(_i64p),
+                extendScore.ctypes.data_as(_i64p),
+                include.ctypes.data_as(_u8p),
+                self._hit_rc.ctypes.data_as(_u8p),
+                self._hit_sc.ctypes.data_as(_i64p),
+                self._hit_b0.ctypes.data_as(_i32p),
+                self._hit_b1.ctypes.data_as(_i32p),
+                self._tpl_off.ctypes.data_as(_i64p),
+                self._tpl.ctypes.data_as(_i32p),
+                self._cap_hits, self._cap_tpl)
+            if n >= 0:
+                break
+            # caps exceeded: Score/extendScore/include are already back
+            # to zero at every -1 return point, so the read can simply be
+            # re-run from scratch with bigger buffers
+            self._cap_hits *= 4
+            self._cap_tpl *= 4
+            self._alloc()
+        if n == 0:
+            return []
+        out: List[AnkerHit] = []
+        codes_r = None
+        npos_f = npos_r = None
+        seqlen = len(codes)
+        for i in range(n):
+            rc = int(self._hit_rc[i])
+            bh = header + b"\x00" + struct.pack(
+                "<ii", int(self._hit_b0[i]), int(self._hit_b1[i]))
+            tpl = self._tpl[self._tpl_off[i]:self._tpl_off[i + 1]].copy()
+            if rc == 1:
+                if npos_f is None:
+                    npos_f = np.flatnonzero(codes == 4).astype(np.int32)
+                out.append(AnkerHit(codes=codes, n_positions=npos_f,
+                                    rc_flag=int(self._hit_sc[i]),
+                                    templates=tpl, header=bh, flag=0))
+            else:
+                if codes_r is None:
+                    codes_r = rc_codes(codes)
+                    npos_r = np.flatnonzero(codes_r == 4).astype(np.int32)
+                out.append(AnkerHit(codes=codes_r, n_positions=npos_r,
+                                    rc_flag=int(self._hit_sc[i]),
+                                    templates=tpl, header=bh, flag=0))
+        return out
+
+
+def make_native_chain(idx: KmaIndex, pen: Penalties,
+                      template_lengths: np.ndarray
+                      ) -> Optional[NativeChain]:
+    """NativeChain for this DB, or None when the native path does not
+    apply (cmer DBs, missing toolchain, KMA_TPU_NO_NATIVE)."""
+    if idx.flag & 3:
+        return None  # cmer key modes stay on the Python scanner
+    if idx.values is None or idx.values.dtype.itemsize not in (2, 4):
+        return None
+    if idx.exist is None or idx.exist.dtype.itemsize not in (4, 8):
+        return None
+    if not idx.mega:
+        if idx.key_index is None or idx.value_index is None:
+            return None
+        if idx.key_index.dtype.itemsize not in (4, 8) \
+                or idx.value_index.dtype.itemsize not in (4, 8):
+            return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    return NativeChain(lib, idx, pen, template_lengths)

@@ -1245,13 +1245,26 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                 comp_buf=hmm_buf)
     elif not cfg.one2one:
         from .mapping.chain_scan import chain_scan_read
+        from .mapping.native_chain import make_native_chain
 
-        def scan_one(read):
-            return chain_scan_read(
-                idx, pen, read.codes, read.header, cfg.exhaustive,
-                scanner.Score, scanner.extendScore, scanner.include,
-                template_lengths, cfg.min_len, cfg.cover_t, cfg.score_t,
-                cfg.mrc, cfg.lc, scan_proxi)
+        # native default-mode chainer (native/kma_chain.cpp, an exact
+        # port of chain_scan.py); proxi/cmer shapes keep the Python path
+        nchain = make_native_chain(idx, pen, template_lengths) \
+            if scan_proxi is None else None
+        if nchain is not None:
+            def scan_one(read):
+                return nchain.scan(
+                    read.codes, read.header, cfg.exhaustive,
+                    scanner.Score, scanner.extendScore, scanner.include,
+                    cfg.min_len, cfg.cover_t, cfg.score_t, cfg.mrc,
+                    cfg.lc)
+        else:
+            def scan_one(read):
+                return chain_scan_read(
+                    idx, pen, read.codes, read.header, cfg.exhaustive,
+                    scanner.Score, scanner.extendScore, scanner.include,
+                    template_lengths, cfg.min_len, cfg.cover_t,
+                    cfg.score_t, cfg.mrc, cfg.lc, scan_proxi)
     else:
         def scan_one(read):
             hit = scanner.scan(read.codes, read.n_positions, read.header)
@@ -1284,85 +1297,85 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                               hardmask_q=cfg.hardmask_q, min_q=cfg.min_q,
                               min_len=cfg.min_len, max_len=cfg.max_len,
                               qc=qc, boot=cfg.boot)
+        # Batched step-3: buffer step-2 ankers and align them through the
+        # threaded native engine (alnfrags.c worker pool analog) instead
+        # of one ctypes call per (read, template).
+        from .align import native_aln as _nat
+        use_batch = _nat.get_lib() is not None and not cfg.mem_mode
+        pend: List[tuple] = []
+        pord: List[int] = []
+
+        def flush_aln():
+            if not pend:
+                return
+            import struct as _struct
+            nb = len(pend)
+            tpl_off = np.zeros(nb + 1, np.int64)
+            codes_off = np.zeros(nb + 1, np.int64)
+            npos_off = np.zeros(nb + 1, np.int64)
+            qb = np.zeros(2 * nb, np.int32)
+            arcs = np.zeros(nb, np.uint8)
+            handles_l, ids_l, codes_l, npos_l = [], [], [], []
+            for i, (codes, n_pos, rc_flag, templates, header,
+                    flag) in enumerate(pend):
+                q_len = len(codes)
+                q_start, q_end = 0, q_len
+                if (len(header) > 2 * 4 + 1
+                        and header[len(header) - 2 * 4 - 1] == 0):
+                    q_start, q_end = _struct.unpack_from(
+                        "<ii", header, len(header) - 8)
+                qb[2 * i] = q_start
+                qb[2 * i + 1] = q_end
+                arcs[i] = 1 if rc_flag < 0 else 0
+                codes_l.append(np.ascontiguousarray(codes, np.uint8))
+                npos_l.append(np.ascontiguousarray(n_pos, np.int32))
+                hh = np.empty(len(templates), np.uint64)
+                for j, t in enumerate(templates):
+                    hh[j] = _nat.native_handle(store.get(abs(int(t))))
+                handles_l.append(hh)
+                ids_l.append(np.asarray(templates, np.int32))
+                tpl_off[i + 1] = tpl_off[i] + len(templates)
+                codes_off[i + 1] = codes_off[i] + q_len
+                npos_off[i + 1] = npos_off[i] + len(npos_l[-1])
+            handles = np.ascontiguousarray(np.concatenate(handles_l))
+            tpl_ids = np.ascontiguousarray(np.concatenate(ids_l))
+            codes_flat = np.concatenate(codes_l)
+            npos_flat = (np.concatenate(npos_l) if npos_l
+                         else np.zeros(0, np.int32))
+            nh, best, frac, otpl, ostart, oend, oscore, olen = \
+                _nat.frags_se_batch(
+                    handles, tpl_ids, tpl_off, codes_flat, codes_off,
+                    np.ascontiguousarray(npos_flat), npos_off, qb, arcs,
+                    rew, kmersize, cfg.min_len, cfg.mq, cfg.score_t,
+                    cfg.mrc, max(1, cfg.threads))
+            for i, (codes, n_pos, rc_flag, templates, header,
+                    flag) in enumerate(pend):
+                if best[i] <= kmersize:
+                    continue
+                b = int(tpl_off[i])
+                e = b + int(nh[i])
+                rec, sel_scores = update_scores(
+                    codes, len(codes), aln_min_frac, int(nh[i]),
+                    int(best[i]), float(frac[i]), ostart[b:e].tolist(),
+                    oend[b:e].tolist(), otpl[b:e].tolist(),
+                    oscore[b:e].tolist(), olen[b:e].tolist(), header,
+                    flag)
+                if rec.best_hits == 1:
+                    t = abs(rec.templates[0])
+                    alignment_scores[t] += sel_scores[0]
+                    uniq_alignment_scores[t] += rec.score
+                else:
+                    for j, t in enumerate(rec.templates):
+                        alignment_scores[abs(t)] += sel_scores[j]
+                records.append(rec)
+                rec_ords.append(pord[i])
+                dump_all_frag(rec.codes, rec.best_hits, rec.score,
+                              rec.starts, rec.ends, rec.templates,
+                              rec.header)
+            pend.clear()
+            pord.clear()
+
         if device_stream is not None:
-            # Batched step-3: buffer the device scanner's ankers and align
-            # them through the threaded native engine (alnfrags.c worker
-            # pool analog) instead of one ctypes call per (read, template).
-            from .align import native_aln as _nat
-            use_batch = _nat.get_lib() is not None and not cfg.mem_mode
-            pend: List[tuple] = []
-            pord: List[int] = []
-
-            def flush_aln():
-                if not pend:
-                    return
-                import struct as _struct
-                nb = len(pend)
-                tpl_off = np.zeros(nb + 1, np.int64)
-                codes_off = np.zeros(nb + 1, np.int64)
-                npos_off = np.zeros(nb + 1, np.int64)
-                qb = np.zeros(2 * nb, np.int32)
-                arcs = np.zeros(nb, np.uint8)
-                handles_l, ids_l, codes_l, npos_l = [], [], [], []
-                for i, (codes, n_pos, rc_flag, templates, header,
-                        flag) in enumerate(pend):
-                    q_len = len(codes)
-                    q_start, q_end = 0, q_len
-                    if (len(header) > 2 * 4 + 1
-                            and header[len(header) - 2 * 4 - 1] == 0):
-                        q_start, q_end = _struct.unpack_from(
-                            "<ii", header, len(header) - 8)
-                    qb[2 * i] = q_start
-                    qb[2 * i + 1] = q_end
-                    arcs[i] = 1 if rc_flag < 0 else 0
-                    codes_l.append(np.ascontiguousarray(codes, np.uint8))
-                    npos_l.append(np.ascontiguousarray(n_pos, np.int32))
-                    hh = np.empty(len(templates), np.uint64)
-                    for j, t in enumerate(templates):
-                        hh[j] = _nat.native_handle(store.get(abs(int(t))))
-                    handles_l.append(hh)
-                    ids_l.append(np.asarray(templates, np.int32))
-                    tpl_off[i + 1] = tpl_off[i] + len(templates)
-                    codes_off[i + 1] = codes_off[i] + q_len
-                    npos_off[i + 1] = npos_off[i] + len(npos_l[-1])
-                handles = np.ascontiguousarray(np.concatenate(handles_l))
-                tpl_ids = np.ascontiguousarray(np.concatenate(ids_l))
-                codes_flat = np.concatenate(codes_l)
-                npos_flat = (np.concatenate(npos_l) if npos_l
-                             else np.zeros(0, np.int32))
-                nh, best, frac, otpl, ostart, oend, oscore, olen = \
-                    _nat.frags_se_batch(
-                        handles, tpl_ids, tpl_off, codes_flat, codes_off,
-                        np.ascontiguousarray(npos_flat), npos_off, qb, arcs,
-                        rew, kmersize, cfg.min_len, cfg.mq, cfg.score_t,
-                        cfg.mrc, max(1, cfg.threads))
-                for i, (codes, n_pos, rc_flag, templates, header,
-                        flag) in enumerate(pend):
-                    if best[i] <= kmersize:
-                        continue
-                    b = int(tpl_off[i])
-                    e = b + int(nh[i])
-                    rec, sel_scores = update_scores(
-                        codes, len(codes), aln_min_frac, int(nh[i]),
-                        int(best[i]), float(frac[i]), ostart[b:e].tolist(),
-                        oend[b:e].tolist(), otpl[b:e].tolist(),
-                        oscore[b:e].tolist(), olen[b:e].tolist(), header,
-                        flag)
-                    if rec.best_hits == 1:
-                        t = abs(rec.templates[0])
-                        alignment_scores[t] += sel_scores[0]
-                        uniq_alignment_scores[t] += rec.score
-                    else:
-                        for j, t in enumerate(rec.templates):
-                            alignment_scores[abs(t)] += sel_scores[j]
-                    records.append(rec)
-                    rec_ords.append(pord[i])
-                    dump_all_frag(rec.codes, rec.best_hits, rec.score,
-                                  rec.starts, rec.ends, rec.templates,
-                                  rec.header)
-                pend.clear()
-                pord.clear()
-
             for read, hit in device_stream.stream(_shard_reads(reads_it)):
                 n_frags += 1
                 _cur_ord[0] = (n_frags - 1) * _nproc + _pid0
@@ -1386,13 +1399,34 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                     flush_aln()
             flush_aln()
         else:
+            # default/chain-mode hits batch through the same native
+            # aligner; HMM (rc_override), sparse and -ck shapes keep the
+            # per-hit path
+            batchable = (use_batch and not sparse_db and not cfg.hmm
+                         and not cfg.ck)
             for read in _shard_reads(reads_it):
                 n_frags += 1
                 _cur_ord[0] = (n_frags - 1) * _nproc + _pid0
                 for hit in scan_one(read):
-                    handle_se_anker(hit.codes, hit.n_positions, hit.rc_flag,
-                                    hit.templates, hit.header, hit.flag,
-                                    hit.rc_override)
+                    if not batchable or hit.rc_override is not None:
+                        handle_se_anker(hit.codes, hit.n_positions,
+                                        hit.rc_flag, hit.templates,
+                                        hit.header, hit.flag,
+                                        hit.rc_override)
+                        continue
+                    templates = hit.templates
+                    if contamination is not None:
+                        templates = decon_filter(templates)
+                        if not templates:
+                            continue
+                    if kmersize > len(hit.codes):
+                        continue
+                    pord.append(_cur_ord[0])
+                    pend.append((hit.codes, hit.n_positions, hit.rc_flag,
+                                 templates, hit.header, hit.flag))
+                    if len(pend) >= 2048:
+                        flush_aln()
+            flush_aln()
 
     def _pair_stream():
         from .io.pipeline import iter_read_pairs
@@ -2564,13 +2598,26 @@ def run_step2(db_prefix: str, cfg: MapConfig,
                                  comp_buf=hmm_buf)
     elif not cfg.one2one:
         from .mapping.chain_scan import chain_scan_read
+        from .mapping.native_chain import make_native_chain
 
-        def scan_one(read):
-            return chain_scan_read(
-                idx, pen, read.codes, read.header, cfg.exhaustive,
-                scanner.Score, scanner.extendScore, scanner.include,
-                template_lengths, cfg.min_len, cfg.cover_t, cfg.score_t,
-                cfg.mrc, cfg.lc, scan_proxi)
+        # native default-mode chainer (native/kma_chain.cpp, an exact
+        # port of chain_scan.py); proxi/cmer shapes keep the Python path
+        nchain = make_native_chain(idx, pen, template_lengths) \
+            if scan_proxi is None else None
+        if nchain is not None:
+            def scan_one(read):
+                return nchain.scan(
+                    read.codes, read.header, cfg.exhaustive,
+                    scanner.Score, scanner.extendScore, scanner.include,
+                    cfg.min_len, cfg.cover_t, cfg.score_t, cfg.mrc,
+                    cfg.lc)
+        else:
+            def scan_one(read):
+                return chain_scan_read(
+                    idx, pen, read.codes, read.header, cfg.exhaustive,
+                    scanner.Score, scanner.extendScore, scanner.include,
+                    template_lengths, cfg.min_len, cfg.cover_t,
+                    cfg.score_t, cfg.mrc, cfg.lc, scan_proxi)
     else:
         def scan_one(read):
             hit = scanner.scan(read.codes, read.n_positions, read.header)

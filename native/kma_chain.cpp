@@ -1,0 +1,1026 @@
+// Native default-mode chain scanner for kma_tpu.
+//
+// Exact port of kma_tpu/mapping/chain_scan.py (itself golden-tested
+// against the reference's save_kmers_chain, savekmers.c:5127-5944 and
+// kmeranker.c), which remains the semantics reference and the fallback.
+// Handles plain-kmer DBs (flag&3 == 0) without proxi; the Python path
+// keeps cmer modes, proxi and the sparse chain.
+//
+// All score arithmetic is int64 (the Python ints) and the
+// length-corrected comparisons are IEEE doubles, so nan/inf behavior on
+// deCon's out-of-bounds zero lengths matches both Python and C.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct KIdx {
+    const void *exist;
+    const void *key_index;
+    const void *value_index;
+    const void *values;
+    int exist_es, key_es, vidx_es, val_es; // element sizes (bytes)
+    uint64_t null_index;
+    uint64_t smask; // size - 1
+    uint64_t mmask; // idx.mask = (1 << 2*mlen) - 1
+    uint64_t kroll; // (1 << 2*k) - 1 rolling-kmer mask
+    int mega;
+    int use_murmur; // idx.flag != 0
+    int k;
+    int mlen;
+    const int64_t *template_lengths;
+    // penalties
+    int64_t M, MM, U, W1, Wl;
+};
+
+inline uint64_t get_u(const void *a, int es, uint64_t i) {
+    return es == 4 ? (uint64_t)((const uint32_t *)a)[i]
+                   : ((const uint64_t *)a)[i];
+}
+
+inline int64_t val_at(const KIdx *x, int64_t i) {
+    return x->val_es == 2 ? (int64_t)((const uint16_t *)x->values)[i]
+                          : (int64_t)((const uint32_t *)x->values)[i];
+}
+
+inline uint64_t murmur64(uint64_t v) {
+    v = (v ^ 3323198485ull) * 0x5bd1e995ull;
+    return v ^ (v >> 15);
+}
+
+// hashMap_getGlobal (hashmapkma.c:149 / scan.py lookup_voff)
+int64_t lookup_voff(const KIdx *x, uint64_t kmer) {
+    if (x->mega) {
+        uint64_t pos = get_u(x->exist, x->exist_es, kmer & x->mmask);
+        return pos == x->null_index ? -1 : (int64_t)pos;
+    }
+    uint64_t kpos = (x->use_murmur ? murmur64(kmer) : kmer) & x->smask;
+    uint64_t pos = get_u(x->exist, x->exist_es, kpos);
+    if (pos == x->null_index)
+        return -1;
+    for (;;) {
+        uint64_t km = get_u(x->key_index, x->key_es, pos);
+        if (km == kmer)
+            return (int64_t)get_u(x->value_index, x->vidx_es, pos);
+        uint64_t h = x->use_murmur ? murmur64(km) : km;
+        if (kpos != (h & x->smask))
+            return -1;
+        ++pos;
+    }
+}
+
+struct Anker {
+    int start = 0;
+    int end = 0;
+    int64_t weight = 0;
+    int64_t voff = -1;
+    int64_t score = 0;
+    double score_len = 0.0;
+    int64_t len_len = 1;
+    bool alive = true;
+};
+
+// per-window kmers + validity for one strand (kmer_scan/valid_kmer_mask)
+void window_kmers(const uint8_t *s, int seqlen, int k, uint64_t kroll,
+                  std::vector<uint64_t> &kmers, std::vector<uint8_t> &ok) {
+    int W = seqlen - k + 1;
+    kmers.assign(W > 0 ? W : 0, 0);
+    ok.assign(W > 0 ? W : 0, 0);
+    uint64_t km = 0;
+    int lastN = -1;
+    for (int i = 0; i < seqlen; ++i) {
+        uint8_t c = s[i];
+        km = ((km << 2) | (c == 4 ? 0 : c)) & kroll;
+        if (c == 4)
+            lastN = i;
+        int j = i - k + 1;
+        if (j >= 0) {
+            kmers[j] = km;
+            ok[j] = lastN < j;
+        }
+    }
+}
+
+// _quick_hit (savekmers.c:2485-2495): stride-k probe across N segments
+bool quick_hit(const KIdx *x, const uint8_t *s, int seqlen,
+               const std::vector<uint64_t> &kmers,
+               const std::vector<uint8_t> &ok) {
+    int k = x->k;
+    int j = 0;
+    int e = 0;
+    while (e <= seqlen) {
+        int endN = seqlen;
+        for (int t = e; t < seqlen; ++t)
+            if (s[t] == 4) {
+                endN = t;
+                break;
+            }
+        int stop = endN - k + 1;
+        while (j < stop) {
+            if (ok[j] && lookup_voff(x, kmers[j]) >= 0)
+                return true;
+            j += k;
+        }
+        j = endN + 1;
+        if (endN == seqlen)
+            break;
+        e = endN + 1;
+    }
+    return false;
+}
+
+// _tail_gaps (savekmers.c:5252-5330 replay from the last hit)
+int tail_gaps(const uint8_t *s, int seqlen, int k, int w) {
+    int seqend = seqlen - k + 1;
+    int g = 0, j = w + 1, e = w + 1;
+    for (;;) {
+        int endN = seqlen;
+        for (int t = e; t < seqlen; ++t)
+            if (s[t] == 4) {
+                endN = t;
+                break;
+            }
+        while (j + k - 1 < endN) {
+            ++g;
+            ++j;
+        }
+        g += endN + 1 - j;
+        j = endN + 1;
+        if (j >= seqend)
+            break;
+        if (endN == seqlen)
+            break;
+        e = endN + 1;
+    }
+    return g;
+}
+
+// _collect_ankers (savekmers.c:5221-5450): one strand, fw coordinates
+void collect_ankers(const KIdx *x, const uint8_t *strand, int seqlen,
+                    bool rc_strand, bool exhaustive,
+                    std::vector<uint64_t> &kmers, std::vector<uint8_t> &ok,
+                    std::vector<Anker> &out) {
+    out.clear();
+    int k = x->k;
+    int W = seqlen - k + 1;
+    if (W <= 0)
+        return;
+    window_kmers(strand, seqlen, k, x->kroll, kmers, ok);
+    if (!exhaustive && !quick_hit(x, strand, seqlen, kmers, ok))
+        return;
+    int64_t last = -1;
+    int last_hit_j = 0;
+    int gaps = 0;
+    int64_t Ms = 0, MMs = 0;
+    int cur = -1; // index into out
+    for (int j = 0; j < W; ++j) {
+        int p = rc_strand ? (seqlen - k - j) : j;
+        int64_t v = ok[p] ? lookup_voff(x, kmers[p]) : -1;
+        if (v >= 0) {
+            last_hit_j = j;
+            if (v == last && cur >= 0) {
+                if (gaps == 0) {
+                    Ms += 1;
+                } else if (gaps == k) {
+                    Ms += k;
+                    MMs += 1;
+                } else {
+                    out[cur].weight = Ms * x->M + MMs * x->MM;
+                    out[cur].end = j - gaps + k;
+                    out.push_back(Anker());
+                    cur = (int)out.size() - 1;
+                    out[cur].start = j;
+                    out[cur].voff = v;
+                    Ms = k;
+                    MMs = 0;
+                }
+            } else {
+                if (cur >= 0) {
+                    out[cur].weight = Ms * x->M + MMs * x->MM;
+                    out[cur].end = j - gaps + k;
+                }
+                out.push_back(Anker());
+                cur = (int)out.size() - 1;
+                out[cur].start = j;
+                out[cur].voff = v;
+                last = v;
+                Ms = k;
+                MMs = 0;
+            }
+            gaps = 0;
+        } else {
+            ++gaps;
+        }
+    }
+    if (cur >= 0) {
+        out[cur].weight = Ms * x->M + MMs * x->MM;
+        if (rc_strand)
+            out[cur].end = seqlen - (gaps + k);
+        else
+            out[cur].end =
+                seqlen - tail_gaps(strand, seqlen, k, last_hit_j);
+    }
+}
+
+// gap-classification increment (kmeranker.c / chain_scan.py:196-214)
+inline int64_t gap_score(const KIdx *x, int64_t gaps, int64_t weight,
+                         int64_t score) {
+    int64_t k = x->k;
+    if (gaps == -k)
+        return score + weight - (k - 1) * x->M;
+    if (gaps == 0)
+        return score + weight + x->MM;
+    if (gaps > 0) {
+        int64_t MMs, Ms;
+        if (gaps <= 2) {
+            MMs = gaps;
+            Ms = 0;
+        } else {
+            MMs = gaps / k + (gaps % k ? 1 : 0);
+            if (MMs < 2)
+                MMs = 2;
+            Ms = gaps - MMs;
+            if (Ms > k)
+                Ms = k;
+            if (Ms > MMs)
+                Ms = MMs;
+        }
+        if ((x->W1 + (gaps - 1) * x->U) <= (MMs * x->MM + Ms * x->M))
+            return score + weight + Ms * x->M + MMs * x->MM;
+        return score + weight + (x->W1 + (gaps - 1) * x->U);
+    }
+    if (x->mlen != k)
+        return score + weight + gaps * x->M + x->MM;
+    return score + weight + gaps * x->M - (gaps + 1) * x->U + x->W1;
+}
+
+struct BestState {
+    Anker *best = nullptr;   // plain best
+    int64_t ties = 0;
+    Anker *best_l = nullptr; // length-corrected best
+    int64_t ties_l = 0;
+};
+
+// _chain_pass (savekmers.c:5488-5634)
+void chain_pass(const KIdx *x, std::vector<Anker> &ankers, int q_len,
+                int64_t *Score, int64_t *extendScore, uint8_t *include,
+                BestState &st, std::vector<int64_t> &bests) {
+    bests.clear();
+    int64_t k = x->k;
+    for (auto &a : ankers) {
+        a.score = 0;
+        a.score_len = 0.0;
+        a.len_len = 1;
+        int64_t vo = a.voff;
+        int64_t cnt = val_at(x, vo);
+        for (int64_t i = vo + cnt; i > vo; --i) {
+            int64_t t = val_at(x, i);
+            int64_t score = Score[t];
+            int64_t pos = extendScore[t];
+            int64_t gaps = (int64_t)a.start - pos;
+            if (!include[t]) {
+                include[t] = 1;
+                bests.push_back(t);
+                if (a.start) {
+                    int64_t s = x->W1 + ((int64_t)a.start - 1) * x->U;
+                    score = a.weight + (s > x->Wl ? s : x->Wl);
+                } else {
+                    score = a.weight;
+                }
+            } else {
+                score = gap_score(x, gaps, a.weight, score);
+                if (score < 0) {
+                    int64_t test =
+                        a.start ? x->W1 + ((int64_t)a.start - 1) * x->U : 0;
+                    if (test < x->Wl)
+                        test = x->Wl;
+                    if (score < test + a.weight)
+                        score = test + a.weight;
+                }
+            }
+            if (a.score < score)
+                a.score = score;
+            int64_t len_len = x->template_lengths[t];
+            if (q_len < len_len)
+                len_len = q_len;
+            double score_len = (double)score;
+            if (a.len_len != len_len)
+                score_len =
+                    score_len / (double)len_len * (double)a.len_len;
+            if (a.score_len < score_len ||
+                (a.score_len == score_len && a.score_len < (double)score)) {
+                a.score_len = (double)score;
+                a.len_len = len_len;
+            }
+            Score[t] = score;
+            extendScore[t] = a.end;
+        }
+        // best-length tracking (savekmers.c:5590-5622)
+        Anker *bl = st.best_l;
+        double score_len = (double)a.score;
+        if (bl && a.len_len != bl->len_len)
+            score_len =
+                score_len / (double)a.len_len * (double)bl->len_len;
+        if (!bl || bl->score_len < score_len) {
+            st.best_l = &a;
+            st.ties_l = 0;
+        } else if (bl->score_len == score_len) {
+            if (bl->score_len < a.score_len) {
+                st.best_l = &a;
+                st.ties_l = 0;
+            } else if (bl->score_len == a.score_len) {
+                st.best_l = &a;
+                st.ties_l += 1;
+            }
+        }
+        Anker *b = st.best;
+        if (!b || b->score < a.score) {
+            st.best = &a;
+            st.ties = 0;
+        } else if (b->score == a.score) {
+            if (b->score_len < a.score_len) {
+                st.best = &a;
+                st.ties = 0;
+            } else {
+                st.best = &a;
+                st.ties += 1;
+            }
+        }
+        (void)k;
+    }
+    for (int64_t t : bests) {
+        Score[t] = 0;
+        extendScore[t] = 0;
+        include[t] = 0;
+    }
+}
+
+// getBestChainTemplates (kmeranker.c:83-233); returns chain-start anker
+// index or -1 (None)
+int get_chain_templates(const KIdx *x, std::vector<Anker> &ankers,
+                        int src_i, int q_len, std::vector<int64_t> &bests,
+                        int64_t *Score, int64_t *extendScore,
+                        uint8_t *include, int lc) {
+    int64_t k = x->k;
+    bests.clear();
+    Anker &src = ankers[src_i];
+    int64_t vo = src.voff;
+    int64_t cnt = val_at(x, vo);
+    std::vector<int64_t> marked;
+    marked.reserve(cnt);
+    bool nextAnker = false;
+    for (int64_t i = vo + 1; i <= vo + cnt; ++i) {
+        int64_t t = val_at(x, i);
+        marked.push_back(t);
+        include[t] += 1;
+        if (include[t] == 1)
+            nextAnker = true;
+    }
+    double bestScore = lc ? src.score_len : (double)src.score;
+    int64_t target_len = src.len_len;
+    int prev = src_i;
+
+    int ni = src_i;
+    while (nextAnker) {
+        Anker &node = ankers[ni];
+        int64_t nvo = node.voff;
+        int64_t ncnt = val_at(x, nvo);
+        int start = node.start;
+        int end = node.end;
+        for (int64_t i = nvo + ncnt; i > nvo; --i) {
+            int64_t t = val_at(x, i);
+            if (!include[t])
+                continue;
+            int64_t score = Score[t];
+            int64_t pos = extendScore[t];
+            int64_t gaps = pos - end;
+            if (pos == 0) {
+                score = node.weight;
+            } else {
+                score = gap_score(x, gaps, node.weight, score);
+                node.score = 0; // mark as used
+            }
+            if (bestScore <= (double)score) {
+                int64_t tmp;
+                if (node.start) {
+                    int64_t w = x->W1 + ((int64_t)node.start - 1) * x->U;
+                    tmp = score + (w > x->Wl ? w : x->Wl);
+                } else {
+                    tmp = score;
+                }
+                int64_t tl = x->template_lengths[t];
+                if ((double)tmp == bestScore &&
+                    (!lc ||
+                     (q_len < tl ? (int64_t)q_len : tl) == target_len)) {
+                    score = (int64_t)bestScore;
+                    nextAnker = false;
+                    prev = ni;
+                }
+            }
+            extendScore[t] = start;
+            Score[t] = score;
+        }
+        --ni;
+        if (ni < 0 && nextAnker) {
+            prev = 0;
+            break;
+        }
+    }
+    (void)k;
+
+    std::vector<int64_t> j_out;
+    for (int64_t t : marked) {
+        if (include[t] == 1) {
+            int64_t s = Score[t];
+            bool okv;
+            if (lc) {
+                int64_t tl = x->template_lengths[t];
+                int64_t mn = q_len < tl ? (int64_t)q_len : tl;
+                okv = (bestScore / (double)target_len * (double)mn
+                       <= (double)s) ||
+                      bestScore <= (double)s;
+            } else {
+                okv = bestScore <= (double)s;
+            }
+            if (okv)
+                j_out.push_back(t);
+        }
+        Score[t] = 0;
+        include[t] = 0;
+        extendScore[t] = 0;
+    }
+    if (!j_out.empty()) {
+        bests = j_out;
+        return prev;
+    }
+    return -1;
+}
+
+// seqmenttree.c interval accounting
+struct SegmentList {
+    std::vector<std::pair<int, int>> segs;
+    void clear() { segs.clear(); }
+    void grow(int s, int e) {
+        segs.push_back({s, e});
+        std::sort(segs.begin(), segs.end());
+        std::vector<std::pair<int, int>> merged{segs[0]};
+        for (size_t i = 1; i < segs.size(); ++i) {
+            if (segs[i].first <= merged.back().second) {
+                if (segs[i].second > merged.back().second)
+                    merged.back().second = segs[i].second;
+            } else {
+                merged.push_back(segs[i]);
+            }
+        }
+        segs.swap(merged);
+    }
+    int query(int s, int e) const {
+        int cov = 0;
+        for (auto &p : segs) {
+            int lo = p.first > s ? p.first : s;
+            int hi = p.second < e ? p.second : e;
+            if (lo < hi)
+                cov += hi - lo;
+        }
+        return cov;
+    }
+};
+
+// getBestAnkerScore{,Len} (kmeranker.c:398-478)
+int get_best_anker(std::vector<Anker> &V, int start_i, int lc,
+                   int64_t *ties_out) {
+    int n = (int)V.size();
+    int i = start_i;
+    while (i < n && (!V[i].alive || V[i].score == 0))
+        ++i;
+    if (i >= n) {
+        *ties_out = 0;
+        return -1;
+    }
+    int best = i;
+    int64_t ties = 0;
+    int j = i;
+    while (j + 1 < n) {
+        ++j;
+        Anker &a = V[j];
+        if (!a.alive || !a.score)
+            continue;
+        if (lc) {
+            Anker &b = V[best];
+            double score_len = a.score_len;
+            if (a.len_len != b.len_len)
+                score_len =
+                    score_len / (double)a.len_len * (double)b.len_len;
+            if (b.score_len < score_len) {
+                best = j;
+                ties = 0;
+            } else if (b.score_len == score_len) {
+                if (b.score_len < a.score_len) {
+                    best = j;
+                    ties = 0;
+                } else if (b.score_len == a.score_len) {
+                    best = j;
+                    ties += 1;
+                }
+            }
+        } else {
+            if (V[best].score < a.score) {
+                best = j;
+                ties = 0;
+            } else if (V[best].score == a.score) {
+                best = j;
+                ties += 1;
+            }
+        }
+    }
+    *ties_out = ties;
+    return best;
+}
+
+// chooseChain (kmeranker.c:512-594); proxi fixed at 1.0 (no proxi here)
+void choose_chain(const Anker *bf, const Anker *br, int cStart,
+                  int cStart_r, double coverT, int *rc_out, int *start_out,
+                  int *ln_out) {
+    int rc = br->score < bf->score ? 1 : bf->score < br->score ? 2 : 3;
+    int start, end;
+    if (rc == 1) {
+        start = cStart;
+        end = bf->end;
+    } else if (rc == 2) {
+        start = cStart_r;
+        end = br->end;
+    } else {
+        if (bf->end < cStart_r) {
+            start = cStart;
+            end = bf->end;
+            rc = 1;
+        } else if (br->end < cStart) {
+            start = cStart_r;
+            end = br->end;
+            rc = 2;
+        } else if (cStart <= cStart_r && br->end <= bf->end) {
+            start = cStart;
+            end = bf->end;
+        } else if (cStart_r <= cStart && bf->end <= br->end) {
+            start = cStart_r;
+            end = br->end;
+        } else if (br->end < bf->end) {
+            int a = bf->end - cStart;
+            int b = br->end - cStart_r;
+            end = a < b ? a : b;
+            start = cStart_r;
+            if (coverT * end <= (double)(br->end - cStart)) {
+                end = bf->end;
+            } else {
+                end = br->end;
+                rc = 2;
+            }
+        } else {
+            int a = bf->end - cStart;
+            int b = br->end - cStart_r;
+            end = a < b ? a : b;
+            start = cStart;
+            if (coverT * end <= (double)(bf->end - cStart_r)) {
+                end = br->end;
+            } else {
+                end = bf->end;
+                rc = 1;
+            }
+        }
+    }
+    *rc_out = rc;
+    *start_out = start;
+    *ln_out = end - start;
+}
+
+struct Ctx {
+    KIdx x;
+    std::vector<uint64_t> kmers;
+    std::vector<uint8_t> ok;
+    std::vector<Anker> VF, VR;
+    std::vector<int64_t> bestT, bestT_r, passT, adds;
+    std::vector<uint8_t> rc;
+    SegmentList segs;
+};
+
+// savekmers.c:5840-5880: one strand's next-chain selection
+Anker *advance(Ctx *c, std::vector<Anker> &V, Anker *best, int *b_i,
+               int q_len, std::vector<int64_t> &bests, int64_t *Score,
+               int64_t *extendScore, uint8_t *include, int64_t minlen,
+               double coverT, double mrs, int lc, int64_t *ties,
+               int *cStart_out, bool *got_out) {
+    *cStart_out = -1;
+    *got_out = false;
+    if (!best)
+        return nullptr;
+    if (best->score) {
+        int cs = get_chain_templates(&c->x, V, *b_i, q_len, bests, Score,
+                                     extendScore, include, lc);
+        if (cs >= 0) {
+            int cStart = V[cs].start;
+            *cStart_out = cStart;
+            int cover = c->segs.query(cStart, best->end);
+            int64_t ln = best->end - cStart;
+            if (minlen <= ln && (double)cover <= coverT * (double)ln &&
+                mrs * (double)ln <= (double)best->score) {
+                *got_out = true;
+            } else {
+                best->score = 0;
+            }
+        } else {
+            best->score = 0;
+        }
+    }
+    while (best && best->score == 0) {
+        int64_t nties;
+        int nb = get_best_anker(V, 0, lc, &nties);
+        *ties = nties;
+        if (nb < 0)
+            return nullptr;
+        best = &V[nb];
+        *b_i = nb;
+        if (c->x.k < best->score) {
+            bests.clear();
+            int cs = get_chain_templates(&c->x, V, *b_i, q_len, bests,
+                                         Score, extendScore, include, lc);
+            if (cs >= 0) {
+                int cStart = V[cs].start;
+                *cStart_out = cStart;
+                int cover = c->segs.query(cStart, best->end);
+                int64_t ln = best->end - cStart;
+                if (minlen <= ln && (double)cover <= coverT * (double)ln &&
+                    mrs * (double)ln <= (double)best->score) {
+                    *got_out = true;
+                    break;
+                }
+                best->score = 0;
+            } else {
+                best->score = 0;
+            }
+        } else {
+            best->score = 0;
+        }
+    }
+    return best;
+}
+
+// savekmers.c:5701-5781 equal-anker merging
+void merge_ties(Ctx *c, std::vector<Anker> &V, int b_i, int start,
+                int V_start, int64_t ln, double coverT, int q_len,
+                std::vector<int64_t> &bests, int64_t *Score,
+                int64_t *extendScore, uint8_t *include, int lc) {
+    Anker &best = V[b_i];
+    int stop = start > V_start ? start : V_start;
+    int i = b_i;
+    for (;;) {
+        int found = -1;
+        while (i > 0) {
+            --i;
+            Anker &a = V[i];
+            if (a.start <= stop)
+                break;
+            if ((!lc && a.score == best.score) ||
+                (lc && a.score_len == best.score_len &&
+                 a.len_len == best.len_len)) {
+                found = i;
+                break;
+            }
+        }
+        if (found < 0)
+            break;
+        Anker &a = V[found];
+        if ((double)(a.end - start) < coverT * (double)ln)
+            break;
+        for (int64_t t : bests) {
+            include[t] = 1;
+            Score[t] = 0;
+            extendScore[t] = 0;
+        }
+        c->adds.clear();
+        get_chain_templates(&c->x, V, found, q_len, c->adds, Score,
+                            extendScore, include, lc);
+        for (int64_t t : c->adds)
+            bests.push_back(t);
+    }
+    for (int64_t t : bests) {
+        include[t] = 0;
+        Score[t] = 0;
+        extendScore[t] = 0;
+    }
+}
+
+} // namespace
+
+extern "C" {
+
+void *kchain_create(const void *exist, int exist_es, const void *key_index,
+                    int key_es, const void *value_index, int vidx_es,
+                    const void *values, int val_es,
+                    unsigned long long null_index,
+                    unsigned long long smask, unsigned long long mmask,
+                    int mega, int use_murmur, int k, int mlen,
+                    const long long *template_lengths, long long M,
+                    long long MM, long long U, long long W1, long long Wl) {
+    Ctx *c = new Ctx();
+    c->x.exist = exist;
+    c->x.exist_es = exist_es;
+    c->x.key_index = key_index;
+    c->x.key_es = key_es;
+    c->x.value_index = value_index;
+    c->x.vidx_es = vidx_es;
+    c->x.values = values;
+    c->x.val_es = val_es;
+    c->x.null_index = null_index;
+    c->x.smask = smask;
+    c->x.mmask = mmask;
+    c->x.kroll = (k < 32) ? ((1ull << (2 * k)) - 1) : ~0ull;
+    c->x.mega = mega;
+    c->x.use_murmur = use_murmur;
+    c->x.k = k;
+    c->x.mlen = mlen;
+    c->x.template_lengths = (const int64_t *)template_lengths;
+    c->x.M = M;
+    c->x.MM = MM;
+    c->x.U = U;
+    c->x.W1 = W1;
+    c->x.Wl = Wl;
+    return c;
+}
+
+void kchain_free(void *h) { delete (Ctx *)h; }
+
+// chain_scan_read (save_kmers_chain, savekmers.c:5127-5944) for one read.
+// Outputs per hit: rc emit kind (1 fw codes, 2 rc codes), sc (rc_flag),
+// b0/b1 (kmer-bound ints appended to the header), template ids
+// (signed; negatives = rc side of a merged emit) packed into tpl_flat at
+// tpl_off.  Returns the hit count, or -1 if output caps were exceeded
+// (caller retries with bigger buffers).
+int kchain_scan_read(void *h, const uint8_t *codes, int seqlen,
+                     int exhaustive, long long minlen, double coverT,
+                     double mrs, double mrc, int lc, long long *Score_,
+                     long long *extendScore_, uint8_t *include,
+                     uint8_t *hit_rc, long long *hit_sc_, int *hit_b0,
+                     int *hit_b1, long long *tpl_off_, int *tpl_flat,
+                     int cap_hits, long long cap_tpl) {
+    int64_t *Score = (int64_t *)Score_;
+    int64_t *extendScore = (int64_t *)extendScore_;
+    int64_t *hit_sc = (int64_t *)hit_sc_;
+    int64_t *tpl_off = (int64_t *)tpl_off_;
+    Ctx *c = (Ctx *)h;
+    const KIdx *x = &c->x;
+    int64_t k = x->k;
+    if (seqlen < k)
+        return 0;
+
+    collect_ankers(x, codes, seqlen, false, exhaustive != 0, c->kmers,
+                   c->ok, c->VF);
+    c->rc.assign(codes, codes + seqlen);
+    std::reverse(c->rc.begin(), c->rc.end());
+    static const uint8_t CMP[6] = {3, 2, 1, 0, 4, 5};
+    for (auto &b : c->rc)
+        b = CMP[b];
+    collect_ankers(x, c->rc.data(), seqlen, true, exhaustive != 0,
+                   c->kmers, c->ok, c->VR);
+    std::vector<Anker> &VF = c->VF, &VR = c->VR;
+    if (VF.empty() && VR.empty())
+        return 0;
+
+    BestState st;
+    if (!VF.empty()) {
+        st.best = &VF[0];
+        st.best_l = &VF[0];
+        VF[0].score = 0;
+        VF[0].score_len = 0.0;
+        VF[0].len_len = 1;
+        chain_pass(x, VF, seqlen, Score, extendScore, include, st,
+                   c->passT);
+    }
+    Anker *best_f = st.best;
+    Anker *bl_f = st.best_l;
+    st.best = VR.empty() ? nullptr : &VR[0];
+    st.best_l = st.best;
+    if (!VR.empty()) {
+        VR[0].score = 0;
+        VR[0].score_len = 0.0;
+        VR[0].len_len = 1;
+        chain_pass(x, VR, seqlen, Score, extendScore, include, st,
+                   c->passT);
+    }
+    Anker *best_r = st.best;
+    int64_t ties = st.ties;
+
+    int64_t f_score = best_f ? best_f->score : 0;
+    int64_t r_score = best_r ? best_r->score : 0;
+    if (f_score < k && r_score < k)
+        return 0;
+    if (lc) {
+        best_f = bl_f;
+        best_r = st.best_l;
+        ties = st.ties_l;
+    }
+
+    int VF_start = VF.empty() ? 0 : VF[0].start;
+    int VR_start = VR.empty() ? 0 : VR[0].start;
+    // prune (kmeranker.c:372-396)
+    bool any_f = false, any_r = false;
+    for (auto &a : VF) {
+        if (a.score < k)
+            a.alive = false;
+        else
+            any_f = true;
+    }
+    for (auto &a : VR) {
+        if (a.score < k)
+            a.alive = false;
+        else
+            any_r = true;
+    }
+    if (!any_f && best_f)
+        best_f->score = 0;
+    if (!any_r && best_r)
+        best_r->score = 0;
+
+    c->segs.clear();
+    std::vector<int64_t> &bestT = c->bestT, &bestT_r = c->bestT_r;
+    bestT.clear();
+    bestT_r.clear();
+    int bf_i = -1, br_i = -1;
+    if (best_f && !VF.empty() && best_f >= &VF[0] &&
+        best_f <= &VF[VF.size() - 1])
+        bf_i = (int)(best_f - &VF[0]);
+    if (best_r && !VR.empty() && best_r >= &VR[0] &&
+        best_r <= &VR[VR.size() - 1])
+        br_i = (int)(best_r - &VR[0]);
+
+    int cStart = -1, cStart_r = -1;
+    int rc, start;
+    int64_t ln;
+    if (!(best_f && best_f->score) || !(best_r && best_r->score)) {
+        if (best_f && best_f->score) {
+            int cs = get_chain_templates(x, VF, bf_i, seqlen, bestT, Score,
+                                         extendScore, include, lc);
+            cStart = cs >= 0 ? VF[cs].start : best_f->start;
+            start = cStart;
+            ln = best_f->end - start;
+            rc = 1;
+        } else {
+            if (!best_r)
+                return 0; // unreachable (f/r score gate above)
+            int cs = get_chain_templates(x, VR, br_i, seqlen, bestT_r,
+                                         Score, extendScore, include, lc);
+            cStart_r = cs >= 0 ? VR[cs].start : best_r->start;
+            start = cStart_r;
+            ln = best_r->end - start;
+            rc = 2;
+        }
+    } else {
+        int cs = get_chain_templates(x, VF, bf_i, seqlen, bestT, Score,
+                                     extendScore, include, lc);
+        cStart = cs >= 0 ? VF[cs].start : best_f->start;
+        cs = get_chain_templates(x, VR, br_i, seqlen, bestT_r, Score,
+                                 extendScore, include, lc);
+        cStart_r = cs >= 0 ? VR[cs].start : best_r->start;
+        int lni;
+        choose_chain(best_f, best_r, cStart, cStart_r, coverT, &rc, &start,
+                     &lni);
+        ln = lni;
+    }
+
+    int64_t score = f_score > r_score ? f_score : r_score;
+    if (ln < minlen || score < k)
+        return 0;
+
+    int n_hits = 0;
+    int64_t tlen = 0;
+    tpl_off[0] = 0;
+    int fw_i = bf_i, rv_i = br_i;
+    while (best_f || best_r) {
+        if (ties) {
+            if (rc & 1)
+                merge_ties(c, VF, fw_i, start, VF_start, ln, coverT,
+                           seqlen, bestT, Score, extendScore, include, lc);
+            if (rc & 2)
+                merge_ties(c, VR, rv_i, start, VR_start, ln, coverT,
+                           seqlen, bestT_r, Score, extendScore, include,
+                           lc);
+        }
+
+        // mapping-length filter (mrchain, kmeranker.c:57-81)
+        int rc_pre = rc;
+        if ((rc & 1) && mrc != 0.0 && (double)seqlen < mrc * (double)ln) {
+            size_t w = 0;
+            for (int64_t t : bestT)
+                if (mrc * (double)ln <= (double)x->template_lengths[t])
+                    bestT[w++] = t;
+            bestT.resize(w);
+            if (bestT.empty())
+                rc ^= 1;
+        }
+        if ((rc & 2) && mrc != 0.0 && (double)seqlen < mrc * (double)ln) {
+            size_t w = 0;
+            for (int64_t t : bestT_r)
+                if (mrc * (double)ln <= (double)x->template_lengths[t])
+                    bestT_r[w++] = t;
+            bestT_r.resize(w);
+            if (bestT_r.empty())
+                rc ^= 2;
+        }
+        if (!rc) {
+            // livelock escape, mirrored from chain_scan.py: the
+            // reference rebuilds the same mrchain-emptied chain forever
+            // (savekmers.c:5786-5794); silence it so the scan advances
+            if ((rc_pre & 1) && best_f)
+                best_f->score = 0;
+            if ((rc_pre & 2) && best_r)
+                best_r->score = 0;
+        }
+
+        if (rc) {
+            c->segs.grow(start, start + (int)ln);
+            if (n_hits >= cap_hits)
+                return -1;
+            int b0, b1;
+            if (rc & 1) {
+                b0 = start;
+                b1 = start + (int)ln;
+            } else {
+                b0 = seqlen - best_r->end;
+                b1 = seqlen - start;
+            }
+            if (rc & 1) {
+                int64_t need = (int64_t)bestT.size() +
+                               ((rc & 2) ? (int64_t)bestT_r.size() : 0);
+                if (tlen + need > cap_tpl)
+                    return -1;
+                int64_t sc = best_f->score;
+                for (int64_t t : bestT)
+                    tpl_flat[tlen++] = (int)t;
+                if (rc & 2) {
+                    for (int64_t t : bestT_r)
+                        tpl_flat[tlen++] = -(int)t;
+                    sc = -sc;
+                    best_r->score = 0;
+                    bestT_r.clear();
+                }
+                hit_rc[n_hits] = 1;
+                hit_sc[n_hits] = sc;
+                hit_b0[n_hits] = b0;
+                hit_b1[n_hits] = b1;
+                best_f->score = 0;
+                bestT.clear();
+            } else {
+                if (tlen + (int64_t)bestT_r.size() > cap_tpl)
+                    return -1;
+                for (int64_t t : bestT_r)
+                    tpl_flat[tlen++] = (int)t;
+                hit_rc[n_hits] = 2;
+                hit_sc[n_hits] = best_r->score;
+                hit_b0[n_hits] = b0;
+                hit_b1[n_hits] = b1;
+                best_r->score = 0;
+                bestT_r.clear();
+            }
+            ++n_hits;
+            tpl_off[n_hits] = tlen;
+        }
+
+        // next chains (savekmers.c:5837-5939)
+        ties = 0;
+        rc = 0;
+        bool got_f = false, got_r = false;
+        best_f = advance(c, VF, best_f, &fw_i, seqlen, bestT, Score,
+                         extendScore, include, minlen, coverT, mrs, lc,
+                         &ties, &cStart, &got_f);
+        if (got_f)
+            rc |= 1;
+        best_r = advance(c, VR, best_r, &rv_i, seqlen, bestT_r, Score,
+                         extendScore, include, minlen, coverT, mrs, lc,
+                         &ties, &cStart_r, &got_r);
+        if (got_r)
+            rc |= 2;
+
+        if (!best_f && !best_r)
+            return n_hits;
+        if (best_f && best_r) {
+            int lni;
+            choose_chain(best_f, best_r, cStart, cStart_r, coverT, &rc,
+                         &start, &lni);
+            ln = lni;
+        } else if (best_f) {
+            rc = 1;
+            start = cStart;
+            ln = best_f->end - start;
+        } else {
+            rc = 2;
+            start = cStart_r;
+            ln = best_r->end - start;
+        }
+    }
+    return n_hits;
+}
+
+} // extern "C"
