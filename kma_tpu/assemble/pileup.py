@@ -19,6 +19,17 @@ from typing import Optional
 import numpy as np
 
 from ..utils.stats import p_chisqr
+from . import native_assem
+
+
+def _nat_i64p(a):
+    import ctypes
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong))
+
+
+def _nat_u8p(a):
+    import ctypes
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 USHRT_MAX = 0xFFFF
 BASES = b"ACGTN-"
@@ -75,6 +86,17 @@ class AssemblyMatrix:
         if not (flag & 2) or (flag & 64):
             assem.fragmentCountAln += 1
         assem.readCountAln += 1
+
+        lib = native_assem.get_lib()
+        if lib is not None:
+            while self.len + aln_len > len(self.next):
+                self._grow()
+            self.len = lib.kassem_aln_to_mat(
+                _nat_i64p(self.counts), _nat_i64p(self.next), self.len,
+                t_len, _nat_u8p(np.ascontiguousarray(aln_t, np.uint8)),
+                _nat_u8p(np.ascontiguousarray(aln_q, np.uint8)), aln_len,
+                start)
+            return
 
         # trim trailing dual gaps
         i = aln_len - 1
@@ -143,6 +165,14 @@ class AssemblyMatrix:
         if not (flag & 2) or (flag & 64):
             assem.fragmentCountAln += 1
         assem.readCountAln += 1
+        lib = native_assem.get_lib()
+        if lib is not None:
+            lib.kassem_aln_to_mat_dense(
+                _nat_i64p(self.counts), _nat_i64p(self.next),
+                _nat_u8p(np.ascontiguousarray(aln_t, np.uint8)),
+                _nat_u8p(np.ascontiguousarray(aln_q, np.uint8)),
+                len(aln_t), start)
+            return
         # trim trailing dual gaps (C guard `i < aln_len` only stops via
         # the content check in practice)
         i = aln_len - 1
@@ -165,6 +195,11 @@ class AssemblyMatrix:
     def walk(self):
         """Positions in chain order from 0 (insertions interleaved)."""
         order = np.empty(self.len, dtype=np.int64)
+        lib = native_assem.get_lib()
+        if lib is not None and self.len:
+            lib.kassem_walk(_nat_i64p(self.next), self.len,
+                            _nat_i64p(order))
+            return order
         pos = 0
         for i in range(self.len):
             order[i] = pos
@@ -246,6 +281,27 @@ def call_consensus(matrix: AssemblyMatrix, assem: Assem,
     t_arr = np.empty(asm_len, dtype=np.uint8)
     s_arr = np.empty(asm_len, dtype=np.uint8)
     q_arr = np.empty(asm_len, dtype=np.uint8)
+
+    lib = native_assem.get_lib()
+    if lib is not None:
+        stats = np.zeros(4, np.int64)
+        lib.kassem_consensus(
+            _nat_i64p(np.ascontiguousarray(counts)), _nat_i64p(order),
+            _nat_u8p(np.ascontiguousarray(template_codes, np.uint8)),
+            t_len, asm_len, bcd, evalue, support,
+            native_assem.BASE_CALLERS[base_caller],
+            native_assem.SIGNIFICANTS[significant],
+            _nat_u8p(t_arr), _nat_u8p(s_arr), _nat_u8p(q_arr),
+            _nat_i64p(stats))
+        assem.depth += int(stats[0])
+        assem.depthVar += int(stats[1])
+        assem.len = asm_len
+        assem.aln_len += int(stats[2])
+        assem.cover += int(stats[3])
+        assem.t = t_arr
+        assem.s = s_arr
+        assem.q = q_arr
+        return
 
     depth_total = 0
     depth_var = 0
@@ -386,6 +442,20 @@ def get_extended_features(assem: Assem, matrix: AssemblyMatrix,
         assem.fragmentCountAln = half
 
     order = matrix.walk()
+    lib = native_assem.get_lib()
+    if lib is not None:
+        out5 = np.zeros(5, np.int64)
+        lib.kassem_ef(
+            _nat_i64p(np.ascontiguousarray(matrix.counts)),
+            _nat_i64p(order),
+            _nat_u8p(np.ascontiguousarray(template_codes, np.uint8)),
+            t_len, matrix.len, float(highVar), _nat_i64p(out5))
+        assem.snpSum = int(out5[0])
+        assem.insertSum = int(out5[1])
+        assem.deletionSum = int(out5[2])
+        assem.maxDepth = int(out5[3])
+        assem.nucHighVar = int(out5[4])
+        return
     snpSum = insertSum = deletionSum = 0
     maxDepth = 0
     nucHighVar = 0

@@ -92,6 +92,15 @@ def get_lib():
         _u8p, _i64p, _i32p, _i32p, _i64p, _i32p,
         ctypes.c_int, ctypes.c_longlong,
     ]
+    lib.kchain_scan_batch.restype = ctypes.c_int
+    lib.kchain_scan_batch.argtypes = [
+        _vp, _u8p, _i64p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_longlong, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int,
+        _i64p, _i64p, _u8p,
+        _i32p, _u8p, _i64p, _i32p, _i32p, _i64p, _i32p,
+        ctypes.c_int, ctypes.c_longlong,
+    ]
     _lib = lib
     return _lib
 
@@ -200,6 +209,85 @@ class NativeChain:
                                     rc_flag=int(self._hit_sc[i]),
                                     templates=tpl, header=bh, flag=0))
         return out
+
+
+    def _emit(self, codes, header, h0, h1):
+        """AnkerHits for hits [h0, h1) of one read from the shared
+        buffers (same construction as scan())."""
+        out: List[AnkerHit] = []
+        codes_r = None
+        npos_f = npos_r = None
+        for i in range(h0, h1):
+            rc = int(self._hit_rc[i])
+            bh = header + b"\x00" + struct.pack(
+                "<ii", int(self._hit_b0[i]), int(self._hit_b1[i]))
+            tpl = self._tpl[self._tpl_off[i]:self._tpl_off[i + 1]].copy()
+            if rc == 1:
+                if npos_f is None:
+                    npos_f = np.flatnonzero(codes == 4).astype(np.int32)
+                out.append(AnkerHit(codes=codes, n_positions=npos_f,
+                                    rc_flag=int(self._hit_sc[i]),
+                                    templates=tpl, header=bh, flag=0))
+            else:
+                if codes_r is None:
+                    codes_r = rc_codes(codes)
+                    npos_r = np.flatnonzero(codes_r == 4).astype(np.int32)
+                out.append(AnkerHit(codes=codes_r, n_positions=npos_r,
+                                    rc_flag=int(self._hit_sc[i]),
+                                    templates=tpl, header=bh, flag=0))
+        return out
+
+    def scan_batch(self, codes_list, headers, exhaustive: bool,
+                   Score: np.ndarray, extendScore: np.ndarray,
+                   include: np.ndarray, minlen: int, coverT: float,
+                   mrs: float, mrc: float, lc: bool):
+        """Per-read AnkerHit lists for a batch of reads; one ctypes
+        round-trip per ~batch instead of per read."""
+        B = len(codes_list)
+        if not B:
+            return []
+        coff = np.zeros(B + 1, np.int64)
+        for i, c in enumerate(codes_list):
+            coff[i + 1] = coff[i] + len(c)
+        flat = np.ascontiguousarray(
+            np.concatenate([np.asarray(c, np.uint8) for c in codes_list]))
+        nhits = np.zeros(B, np.int32)
+        results = [None] * B
+        r0 = 0
+        while r0 < B:
+            n_req = B - r0
+            if self._cap_hits < 4 * n_req + 64:
+                self._cap_hits = 4 * n_req + 64
+                self._alloc()
+            coff_v = np.ascontiguousarray(coff[r0:])
+            consumed = self._lib.kchain_scan_batch(
+                self._h, flat.ctypes.data_as(_u8p),
+                coff_v.ctypes.data_as(_i64p), n_req,
+                1 if exhaustive else 0, minlen, coverT, mrs, mrc,
+                1 if lc else 0,
+                Score.ctypes.data_as(_i64p),
+                extendScore.ctypes.data_as(_i64p),
+                include.ctypes.data_as(_u8p),
+                nhits.ctypes.data_as(_i32p),
+                self._hit_rc.ctypes.data_as(_u8p),
+                self._hit_sc.ctypes.data_as(_i64p),
+                self._hit_b0.ctypes.data_as(_i32p),
+                self._hit_b1.ctypes.data_as(_i32p),
+                self._tpl_off.ctypes.data_as(_i64p),
+                self._tpl.ctypes.data_as(_i32p),
+                self._cap_hits, self._cap_tpl)
+            h = 0
+            for i in range(consumed):
+                n = int(nhits[i])
+                results[r0 + i] = self._emit(codes_list[r0 + i],
+                                             headers[r0 + i], h, h + n)
+                h += n
+            if consumed < n_req:
+                self._cap_hits *= 4
+                self._cap_tpl *= 4
+                self._alloc()
+            r0 += consumed
+        return results
 
 
 def make_native_chain(idx: KmaIndex, pen: Penalties,

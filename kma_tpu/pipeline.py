@@ -1252,6 +1252,8 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         nchain = make_native_chain(idx, pen, template_lengths) \
             if scan_proxi is None else None
         if nchain is not None:
+            nchain_batch = nchain
+
             def scan_one(read):
                 return nchain.scan(
                     read.codes, read.header, cfg.exhaustive,
@@ -1305,6 +1307,16 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         pend: List[tuple] = []
         pord: List[int] = []
 
+        # lazily filled template-id -> native CCI handle map, so the
+        # flush staging is one fancy-index instead of a per-pair call
+        _handle_cache = np.zeros(idx.db_size + 1, np.uint64)
+
+        def _handles_for(tpl_ids_abs):
+            miss = np.unique(tpl_ids_abs[_handle_cache[tpl_ids_abs] == 0])
+            for t in miss.tolist():
+                _handle_cache[t] = _nat.native_handle(store.get(t))
+            return _handle_cache[tpl_ids_abs]
+
         def flush_aln():
             if not pend:
                 return
@@ -1315,7 +1327,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             npos_off = np.zeros(nb + 1, np.int64)
             qb = np.zeros(2 * nb, np.int32)
             arcs = np.zeros(nb, np.uint8)
-            handles_l, ids_l, codes_l, npos_l = [], [], [], []
+            ids_l, codes_l, npos_l = [], [], []
             for i, (codes, n_pos, rc_flag, templates, header,
                     flag) in enumerate(pend):
                 q_len = len(codes)
@@ -1329,16 +1341,13 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                 arcs[i] = 1 if rc_flag < 0 else 0
                 codes_l.append(np.ascontiguousarray(codes, np.uint8))
                 npos_l.append(np.ascontiguousarray(n_pos, np.int32))
-                hh = np.empty(len(templates), np.uint64)
-                for j, t in enumerate(templates):
-                    hh[j] = _nat.native_handle(store.get(abs(int(t))))
-                handles_l.append(hh)
                 ids_l.append(np.asarray(templates, np.int32))
                 tpl_off[i + 1] = tpl_off[i] + len(templates)
                 codes_off[i + 1] = codes_off[i] + q_len
                 npos_off[i + 1] = npos_off[i] + len(npos_l[-1])
-            handles = np.ascontiguousarray(np.concatenate(handles_l))
             tpl_ids = np.ascontiguousarray(np.concatenate(ids_l))
+            handles = np.ascontiguousarray(
+                _handles_for(np.abs(tpl_ids.astype(np.int64))))
             codes_flat = np.concatenate(codes_l)
             npos_flat = (np.concatenate(npos_l) if npos_l
                          else np.zeros(0, np.int32))
@@ -1404,10 +1413,9 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             # per-hit path
             batchable = (use_batch and not sparse_db and not cfg.hmm
                          and not cfg.ck)
-            for read in _shard_reads(reads_it):
-                n_frags += 1
-                _cur_ord[0] = (n_frags - 1) * _nproc + _pid0
-                for hit in scan_one(read):
+
+            def _consume(read, hits):
+                for hit in hits:
                     if not batchable or hit.rc_override is not None:
                         handle_se_anker(hit.codes, hit.n_positions,
                                         hit.rc_flag, hit.templates,
@@ -1426,6 +1434,40 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                                  templates, hit.header, hit.flag))
                     if len(pend) >= 2048:
                         flush_aln()
+
+            nchain_b = locals().get("nchain_batch")
+            if nchain_b is not None:
+                # chunked native scan: one ctypes round-trip per 256
+                # reads instead of per read
+                chunk: List = []
+
+                def _scan_chunk():
+                    hits_all = nchain_b.scan_batch(
+                        [r.codes for r in chunk],
+                        [r.header for r in chunk], cfg.exhaustive,
+                        scanner.Score, scanner.extendScore,
+                        scanner.include, cfg.min_len, cfg.cover_t,
+                        cfg.score_t, cfg.mrc, cfg.lc)
+                    for r, hits in zip(chunk, hits_all):
+                        _bump_ord()
+                        _consume(r, hits)
+                    chunk.clear()
+
+                def _bump_ord():
+                    nonlocal n_frags
+                    n_frags += 1
+                    _cur_ord[0] = (n_frags - 1) * _nproc + _pid0
+
+                for read in _shard_reads(reads_it):
+                    chunk.append(read)
+                    if len(chunk) >= 256:
+                        _scan_chunk()
+                _scan_chunk()
+            else:
+                for read in _shard_reads(reads_it):
+                    n_frags += 1
+                    _cur_ord[0] = (n_frags - 1) * _nproc + _pid0
+                    _consume(read, scan_one(read))
             flush_aln()
 
     def _pair_stream():

@@ -1,0 +1,327 @@
+// Native assembly hot loops for kma_tpu (reference assembly.c).
+//
+// Exact ports of assemble/pileup.py's AssemblyMatrix.aln_to_mat /
+// aln_to_mat_dense (alnToMat, assembly.c:1317-1497), call_consensus
+// (callConsensus + baseCaller family, assembly.c:143-271,1499-1631) and
+// the getExtendedFeatures position loop (ef.c:48-127).  The Python
+// module stays the semantics reference and fallback.
+//
+// p-values route through glibc erf/tgamma exactly like the reference
+// (and like utils/stats.py's ctypes libm calls), so consensus quality
+// gating is bit-identical.
+
+#include <cmath>
+#include <cstdint>
+
+namespace {
+
+const int64_t USHRT_MAX_ = 0xFFFF;
+const uint8_t BASES[6] = {'A', 'C', 'G', 'T', 'N', '-'};
+
+// stdstat.c:37-134 fastp lookup
+const double FASTP_THR[44] = {
+    114.5242, 109.9604, 105.3969, 100.8337, 96.27476, 91.71701, 87.16164,
+    82.60901, 78.05917, 73.51245, 68.96954, 64.43048, 59.89615, 55.36699,
+    50.84417, 46.32844, 41.82144, 37.32489, 32.84127, 28.37395, 23.92814,
+    19.51139, 15.13671, 10.82759, 6.634897, 3.841443, 2.705532, 2.072251,
+    1.642374, 1.323304, 1.074194, 0.8734571, 0.7083263, 0.5706519,
+    0.4549364, 0.3573172, 0.2749959, 0.2059001, 0.1484719, 0.1015310,
+    0.06418475, 0.03576578, 0.01579077, 0.00393214};
+const double FASTP_P[44] = {
+    1e-26, 1e-25, 1e-24, 1e-23, 1e-22, 1e-21, 1e-20, 1e-19, 1e-18, 1e-17,
+    1e-16, 1e-15, 1e-14, 1e-13, 1e-12, 1e-11, 1e-10, 1e-9, 1e-8, 1e-7,
+    1e-6, 1e-5, 1e-4, 1e-3, 0.01, 0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.35,
+    0.4, 0.45, 0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85, 0.9, 0.95};
+
+double fastp(double q) {
+    for (int i = 0; i < 44; ++i)
+        if (q > FASTP_THR[i])
+            return FASTP_P[i];
+    if (q >= 0.0)
+        return 1.0;
+    return 1.0 - fastp(-q);
+}
+
+// stdstat.c:136-147 (double-argument path, as the Python caller uses)
+double p_chisqr(double q) {
+    if (q < 0)
+        return 1e-26;
+    if (q > 49)
+        return fastp(q);
+    return 1 - 1.772453850 * erf(sqrt(0.5 * q)) / tgamma(0.5);
+}
+
+// significantNuc / And90 / AndSupport (assembly.c:143-160)
+// significant: 0 mcnemar, 1 and90, 2 support
+bool significant_base(int64_t X, int64_t Y, int significant,
+                      double evalue, double support) {
+    if (!(Y < X))
+        return false;
+    double chi = (X + Y)
+                     ? p_chisqr((double)((X - Y) * (X - Y)) /
+                                (double)(X + Y))
+                     : 1.0;
+    if (significant == 1)
+        return (9 * (X + Y) <= 10 * X) && chi <= evalue;
+    if (significant == 2)
+        return (support * (double)(X + Y) <= (double)X) && chi <= evalue;
+    return chi <= evalue;
+}
+
+} // namespace
+
+extern "C" {
+
+// alnToMat (assembly.c:1317-1444).  counts[cap][6]/next[cap] are the
+// Python AssemblyMatrix arrays (int64); the caller pre-grows capacity to
+// at least mat_len + aln_len.  Returns the new matrix length.
+long long kassem_aln_to_mat(long long *counts, long long *next_,
+                            long long mat_len, int t_len,
+                            const unsigned char *aln_t,
+                            const unsigned char *aln_q, long long aln_len,
+                            int start) {
+    int64_t *cnt = (int64_t *)counts;
+    int64_t *nxt = (int64_t *)next_;
+    long long i = aln_len - 1;
+    while (i && (aln_t[i] == 5 || aln_q[i] == 5))
+        --i;
+    aln_len = i + 1;
+    i = 0;
+    while (i < aln_len && (aln_t[i] == 5 || aln_q[i] == 5)) {
+        if (aln_q[i] == 5)
+            ++start;
+        ++i;
+    }
+    int64_t pos = start;
+    while (i < aln_len) {
+        if (aln_t[i] == 5) { // insertion relative to template
+            if (t_len <= pos) {
+                int64_t c = cnt[pos * 6 + aln_q[i]] + 1;
+                cnt[pos * 6 + aln_q[i]] = c > USHRT_MAX_ ? USHRT_MAX_ : c;
+                if (cnt[pos * 6 + aln_q[i]] == 0)
+                    cnt[pos * 6 + aln_q[i]] = USHRT_MAX_;
+                ++i;
+                pos = nxt[pos];
+            } else {
+                int64_t gaps = pos;
+                pos = pos ? pos - 1 : t_len - 1;
+                while (nxt[pos] != gaps)
+                    pos = nxt[pos];
+                int64_t myBias = 0, tmp = 0;
+                for (int j = 0; j < 6; ++j) {
+                    myBias += cnt[pos * 6 + j];
+                    tmp += cnt[gaps * 6 + j];
+                }
+                myBias = tmp < myBias ? tmp : myBias - 1;
+                if (USHRT_MAX_ < myBias)
+                    myBias = USHRT_MAX_;
+                while (i < aln_len && aln_t[i] == 5) {
+                    nxt[pos] = mat_len;
+                    ++mat_len;
+                    pos = nxt[pos];
+                    nxt[pos] = gaps;
+                    for (int j = 0; j < 6; ++j)
+                        cnt[pos * 6 + j] = 0;
+                    cnt[pos * 6 + 5] = myBias;
+                    cnt[pos * 6 + aln_q[i]] = 1;
+                    ++i;
+                }
+                pos = nxt[pos];
+            }
+        } else if (t_len <= pos) { // old insertion column not in read
+            int64_t c = cnt[pos * 6 + 5] + 1;
+            cnt[pos * 6 + 5] = c > USHRT_MAX_ ? USHRT_MAX_ : c;
+            pos = nxt[pos];
+        } else {
+            int64_t c = cnt[pos * 6 + aln_q[i]] + 1;
+            cnt[pos * 6 + aln_q[i]] = c > USHRT_MAX_ ? USHRT_MAX_ : c;
+            ++i;
+            pos = nxt[pos];
+        }
+    }
+    return mat_len;
+}
+
+// alnToMatDense (assembly.c:1446-1497)
+void kassem_aln_to_mat_dense(long long *counts, long long *next_,
+                             const unsigned char *aln_t,
+                             const unsigned char *aln_q, long long aln_len,
+                             int start) {
+    int64_t *cnt = (int64_t *)counts;
+    int64_t *nxt = (int64_t *)next_;
+    long long i = aln_len - 1;
+    while (0 <= i && (aln_t[i] == 5 || aln_q[i] == 5))
+        --i;
+    aln_len = i + 1;
+    int64_t pos = start;
+    for (i = 0; i < aln_len; ++i) {
+        if (aln_t[i] != 5) {
+            int64_t c = cnt[pos * 6 + aln_q[i]] + 1;
+            cnt[pos * 6 + aln_q[i]] = c > USHRT_MAX_ ? USHRT_MAX_ : c;
+            pos = nxt[pos];
+        }
+    }
+}
+
+// callConsensus (assembly.c:1499-1631) + baseCaller family (:143-271).
+// counts_w = matrix counts ALREADY gathered in walk order [asm_len, 6];
+// order = walk order (to test pos < t_len).
+// base_caller: 0 default, 1 org, 2 ref, 3 nano.
+// out_stats: {depth_total, depth_var, aln_len, cover}.
+void kassem_consensus(const long long *counts_w, const long long *order,
+                      const unsigned char *template_codes, int t_len,
+                      long long asm_len, int bcd, double evalue,
+                      double support, int base_caller, int significant,
+                      unsigned char *t_arr, unsigned char *s_arr,
+                      unsigned char *q_arr, long long *out_stats) {
+    const int64_t *cw = (const int64_t *)counts_w;
+    int64_t depth_total = 0, depth_var = 0, aln_len = 0, cover = 0;
+    for (long long i = 0; i < asm_len; ++i) {
+        int64_t pos = order[i];
+        int tn = pos < t_len ? template_codes[pos] : 5;
+        t_arr[i] = BASES[tn];
+        const int64_t *row = cw + i * 6;
+        int64_t bestScore = row[tn];
+        int bestIdx = tn;
+        int64_t depthUpdate = 0;
+        for (int j = 0; j < 6; ++j) {
+            if (bestScore < row[j]) {
+                bestScore = row[j];
+                bestIdx = j;
+            }
+            depthUpdate += row[j];
+        }
+        int bn = BASES[bestIdx];
+
+        if (!depthUpdate) {
+            bn = '-';
+        } else if ((bestScore << 1) < depthUpdate) {
+            // minor call (assembly.c:1567-1581)
+            if (bn == '-') {
+                int64_t bestBaseScore = row[4];
+                int bi = 4;
+                for (int j = 0; j < 4; ++j)
+                    if (bestBaseScore < row[j]) {
+                        bestBaseScore = row[j];
+                        bi = j;
+                    }
+                bn = BASES[bi] | 0x20;
+            } else {
+                bn |= 0x20;
+            }
+            bestScore = depthUpdate - row[5];
+        } else if (depthUpdate < bcd) {
+            bn |= 0x20;
+        }
+
+        int tchar = t_arr[i];
+        if (base_caller == 1) { // org
+            if (depthUpdate == 0 || bn == '-')
+                bn = '-';
+            else if (!significant_base(bestScore, depthUpdate - bestScore,
+                                       significant, evalue, support))
+                bn = ('A' <= bn && bn <= 'Z') ? (bn | 0x20) : bn;
+        } else if (base_caller == 2) { // ref
+            if (depthUpdate == 0 || (bn == '-' && tchar != '-'))
+                bn = 'n';
+            else if (!significant_base(bestScore, depthUpdate - bestScore,
+                                       significant, evalue, support))
+                bn = ('A' <= bn && bn <= 'Z') ? (bn | 0x20) : bn;
+        } else if (base_caller == 3) { // nano
+            if (depthUpdate == 0) {
+                bn = '-';
+            } else if (!significant_base(bestScore,
+                                         depthUpdate - bestScore,
+                                         significant, evalue, support)) {
+                if (bn == '-' && tchar != '-' &&
+                    bestScore != depthUpdate) {
+                    int64_t bestBaseScore = 0;
+                    int bi = -1;
+                    for (int j = 0; j < 5; ++j)
+                        if (bestBaseScore < row[j]) {
+                            bestBaseScore = row[j];
+                            bi = j;
+                        }
+                    bn = bestBaseScore == 0 ? '-' : (BASES[bi] | 0x20);
+                } else {
+                    bn = ('A' <= bn && bn <= 'Z') ? (bn | 0x20) : bn;
+                }
+            }
+        } else { // default (assembly.c:162-179)
+            if (depthUpdate == 0) {
+                bn = '-';
+            } else if (!significant_base(bestScore,
+                                         depthUpdate - bestScore,
+                                         significant, evalue, support)) {
+                if (bn == '-' && tchar != '-' && bestScore != depthUpdate)
+                    bn = 'n';
+                else
+                    bn = ('A' <= bn && bn <= 'Z') ? (bn | 0x20) : bn;
+            }
+        }
+
+        q_arr[i] = (unsigned char)bn;
+        if (bn != '-') {
+            depth_total += depthUpdate;
+            depth_var += depthUpdate * depthUpdate;
+            ++aln_len;
+            int upper = ('a' <= bn && bn <= 'z') ? (bn & ~0x20) : bn;
+            if (pos < t_len && tchar == upper) {
+                ++cover;
+                s_arr[i] = '|';
+            } else {
+                s_arr[i] = '_';
+            }
+        } else {
+            s_arr[i] = '_';
+        }
+    }
+    out_stats[0] = depth_total;
+    out_stats[1] = depth_var;
+    out_stats[2] = aln_len;
+    out_stats[3] = cover;
+}
+
+// getExtendedFeatures position loop (ef.c:48-127 / pileup.py:388-405).
+// counts = RAW matrix counts [cap, 6]; order = walk order [mat_len].
+// out: {snpSum, insertSum, deletionSum, maxDepth, nucHighVar}.
+void kassem_ef(const long long *counts, const long long *order,
+               const unsigned char *template_codes, int t_len,
+               long long mat_len, double highVar, long long *out) {
+    const int64_t *cnt = (const int64_t *)counts;
+    int64_t snpSum = 0, insertSum = 0, deletionSum = 0, maxDepth = 0,
+            nucHighVar = 0;
+    for (long long i = 0; i < mat_len; ++i) {
+        int64_t pos = order[i];
+        const int64_t *row = cnt + pos * 6;
+        int64_t depthUpdate = row[0] + row[1] + row[2] + row[3] + row[4];
+        if (pos < t_len) {
+            deletionSum += row[5];
+            snpSum += depthUpdate - row[template_codes[pos]];
+        } else {
+            insertSum += depthUpdate;
+        }
+        depthUpdate += row[5];
+        if (maxDepth < depthUpdate)
+            maxDepth = depthUpdate;
+        if (highVar < (double)depthUpdate)
+            ++nucHighVar;
+    }
+    out[0] = snpSum;
+    out[1] = insertSum;
+    out[2] = deletionSum;
+    out[3] = maxDepth;
+    out[4] = nucHighVar;
+}
+
+// walk-order extraction (AssemblyMatrix.walk)
+void kassem_walk(const long long *next_, long long mat_len,
+                 long long *order) {
+    int64_t pos = 0;
+    for (long long i = 0; i < mat_len; ++i) {
+        order[i] = pos;
+        pos = ((const int64_t *)next_)[pos];
+    }
+}
+
+} // extern "C"

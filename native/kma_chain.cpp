@@ -770,6 +770,7 @@ int kchain_scan_read(void *h, const uint8_t *codes, int seqlen,
     int64_t *extendScore = (int64_t *)extendScore_;
     int64_t *hit_sc = (int64_t *)hit_sc_;
     int64_t *tpl_off = (int64_t *)tpl_off_;
+    tpl_off[0] = 0; // every return path leaves a valid 0-hit layout
     Ctx *c = (Ctx *)h;
     const KIdx *x = &c->x;
     int64_t k = x->k;
@@ -896,7 +897,6 @@ int kchain_scan_read(void *h, const uint8_t *codes, int seqlen,
 
     int n_hits = 0;
     int64_t tlen = 0;
-    tpl_off[0] = 0;
     int fw_i = bf_i, rv_i = br_i;
     while (best_f || best_r) {
         if (ties) {
@@ -1021,6 +1021,46 @@ int kchain_scan_read(void *h, const uint8_t *codes, int seqlen,
         }
     }
     return n_hits;
+}
+
+
+// Batched scan: codes_flat/codes_off pack n_reads reads; hit buffers are
+// shared, tpl_off entries are GLOBAL offsets into tpl_flat, and
+// hits_per_read[r] gives each read's hit count.  Returns the number of
+// reads fully processed (< n_reads when the caps filled up -- the caller
+// grows its buffers and resumes from that read).
+int kchain_scan_batch(void *h, const uint8_t *codes_flat,
+                      const long long *codes_off, int n_reads,
+                      int exhaustive, long long minlen, double coverT,
+                      double mrs, double mrc, int lc, long long *Score,
+                      long long *extendScore, uint8_t *include,
+                      int *hits_per_read, uint8_t *hit_rc,
+                      long long *hit_sc, int *hit_b0, int *hit_b1,
+                      long long *tpl_off, int *tpl_flat, int cap_hits,
+                      long long cap_tpl) {
+    int hcur = 0;
+    long long tcur = 0;
+    for (int r = 0; r < n_reads; ++r) {
+        int n = kchain_scan_read(
+            h, codes_flat + codes_off[r],
+            (int)(codes_off[r + 1] - codes_off[r]), exhaustive, minlen,
+            coverT, mrs, mrc, lc, Score, extendScore, include,
+            hit_rc + hcur, hit_sc + hcur, hit_b0 + hcur, hit_b1 + hcur,
+            tpl_off + hcur, tpl_flat + tcur, cap_hits - hcur,
+            cap_tpl - tcur);
+        if (n < 0) {
+            // the failed read scribbled its local tpl_off[0..] over the
+            // previous read's end boundary; restore it before resuming
+            tpl_off[hcur] = tcur;
+            return r;
+        }
+        for (int j = 0; j <= n; ++j)
+            tpl_off[hcur + j] += tcur;
+        hits_per_read[r] = n;
+        hcur += n;
+        tcur = tpl_off[hcur];
+    }
+    return n_reads;
 }
 
 } // extern "C"

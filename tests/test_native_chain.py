@@ -87,6 +87,48 @@ def test_native_chain_matches_python(resf, minlen, coverT, mrs, mrc, lc):
         assert not a.any()
 
 
+def test_native_chain_scan_batch(resf):
+    """scan_batch == per-read scan, through 0-hit reads (whose early
+    return must not disturb the shared tpl_off layout) and cap-overflow
+    retries mid-batch."""
+    idx = resf
+    pen = Penalties()
+    tl = idx.template_lengths.astype(np.int64)
+    nch = make_native_chain(idx, pen, tl)
+    nch._cap_tpl = 64  # force several mid-batch regrow retries
+    nch._alloc()
+    from kma_tpu.pipeline import TemplateStore
+    store = TemplateStore("testdata/bench_resf.seq.b",
+                          idx.template_lengths.astype(np.int64),
+                          idx.kmersize)
+    rng = np.random.default_rng(99)
+    recs = [store.get(int(i)).codes for i in rng.integers(1, idx.db_size,
+                                                          20)]
+    cases = []
+    for i in range(120):
+        if i % 5 == 2:  # no-hit read
+            cases.append(rng.integers(0, 4, 60).astype(np.uint8))
+        elif i % 7 == 3:  # too-short read (early return)
+            cases.append(recs[0][:8].copy())
+        else:
+            t = recs[rng.integers(len(recs))]
+            s = int(rng.integers(0, max(1, len(t) - 120)))
+            cases.append(np.ascontiguousarray(t[s:s + 120], np.uint8))
+    headers = [b"b%d" % i for i in range(len(cases))]
+    db = idx.db_size
+    S1, E1 = np.zeros(db, np.int64), np.zeros(db, np.int64)
+    I1 = np.zeros(db, np.uint8)
+    S2, E2 = np.zeros(db, np.int64), np.zeros(db, np.int64)
+    I2 = np.zeros(db, np.uint8)
+    got = nch.scan_batch(cases, headers, False, S2, E2, I2,
+                         16, 0.1, 0.5, 0.0, False)
+    for c, h, g in zip(cases, headers, got):
+        exp = nch.scan(c, h, False, S1, E1, I1, 16, 0.1, 0.5, 0.0, False)
+        assert [_key(x) for x in g] == [_key(x) for x in exp]
+    for a in (S1, E1, I1, S2, E2, I2):
+        assert not a.any()
+
+
 def test_native_chain_cap_regrow(resf):
     """Tiny initial caps force the -1 retry path."""
     idx = resf
