@@ -116,6 +116,10 @@ class NativeChain:
     def __init__(self, lib, idx: KmaIndex, pen: Penalties,
                  template_lengths: np.ndarray):
         self._lib = lib
+        self._idx = idx
+        self._pen = pen
+        self._clones: list = []
+        self._wss: list = []
         # contiguous views (mmap/shm-backed arrays already are)
         self._exist = np.ascontiguousarray(idx.exist)
         self._values = np.ascontiguousarray(idx.values)
@@ -236,6 +240,51 @@ class NativeChain:
                                     rc_flag=int(self._hit_sc[i]),
                                     templates=tpl, header=bh, flag=0))
         return out
+
+    def scan_batch_mt(self, codes_list, headers, exhaustive: bool,
+                      minlen: int, coverT: float, mrs: float, mrc: float,
+                      lc: bool, threads: int):
+        """Threaded scan_batch: per-read results are independent, so the
+        batch splits into contiguous slices, each scanned by a clone
+        engine with its own workspaces (the ctypes call releases the
+        GIL; savekmers.c's kmerScan worker-pool analog).  Output order
+        and content are identical to the single-thread path."""
+        B = len(codes_list)
+        threads = max(1, min(threads, (B + 63) // 64))
+        if threads == 1 or B < 2:
+            return self.scan_batch(codes_list, headers, exhaustive,
+                                   self._ws(0)[0], self._ws(0)[1],
+                                   self._ws(0)[2], minlen, coverT, mrs,
+                                   mrc, lc)
+        import concurrent.futures as cf
+        bounds = [B * t // threads for t in range(threads + 1)]
+        while len(self._clones) < threads - 1:
+            self._clones.append(NativeChain(self._lib, self._idx,
+                                            self._pen, self._tl))
+        engines = [self] + self._clones[:threads - 1]
+
+        def run(t):
+            S, E, I = engines[t]._ws(t)
+            return engines[t].scan_batch(
+                codes_list[bounds[t]:bounds[t + 1]],
+                headers[bounds[t]:bounds[t + 1]], exhaustive, S, E, I,
+                minlen, coverT, mrs, mrc, lc)
+
+        with cf.ThreadPoolExecutor(threads) as ex:
+            parts = list(ex.map(run, range(threads)))
+        out = []
+        for p in parts:
+            out.extend(p)
+        return out
+
+    def _ws(self, t):
+        """Per-thread Score/extendScore/include workspaces."""
+        while len(self._wss) <= t:
+            n = len(self._tl)
+            self._wss.append((np.zeros(n, np.int64),
+                              np.zeros(n, np.int64),
+                              np.zeros(n, np.uint8)))
+        return self._wss[t]
 
     def scan_batch(self, codes_list, headers, exhaustive: bool,
                    Score: np.ndarray, extendScore: np.ndarray,

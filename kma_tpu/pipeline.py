@@ -1442,12 +1442,11 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                 chunk: List = []
 
                 def _scan_chunk():
-                    hits_all = nchain_b.scan_batch(
+                    hits_all = nchain_b.scan_batch_mt(
                         [r.codes for r in chunk],
                         [r.header for r in chunk], cfg.exhaustive,
-                        scanner.Score, scanner.extendScore,
-                        scanner.include, cfg.min_len, cfg.cover_t,
-                        cfg.score_t, cfg.mrc, cfg.lc)
+                        cfg.min_len, cfg.cover_t, cfg.score_t, cfg.mrc,
+                        cfg.lc, max(1, cfg.threads))
                     for r, hits in zip(chunk, hits_all):
                         _bump_ord()
                         _consume(r, hits)
@@ -1458,9 +1457,10 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                     n_frags += 1
                     _cur_ord[0] = (n_frags - 1) * _nproc + _pid0
 
+                chunk_cap = 256 * max(1, cfg.threads)
                 for read in _shard_reads(reads_it):
                     chunk.append(read)
-                    if len(chunk) >= 256:
+                    if len(chunk) >= chunk_cap:
                         _scan_chunk()
                 _scan_chunk()
             else:
