@@ -1,0 +1,159 @@
+"""Device (TPU) chain scanner: batched hash lookups on the chip feeding
+the native chain splicer.
+
+The default-mode chain scan (save_kmers_chain, savekmers.c:5127-5944)
+has two phases: a data-parallel per-window hash probe (the same
+hashMap_getGlobal the -1t1 scanner uses) and an inherently sequential
+per-read chain/splice walk over the hit stream.  Here the probe phase
+runs on the device against the DenseIndex's cuckoo/mega tables -- both
+strands at once, the rc side via in-register reverse-complement of the
+forward k-mers -- and the resulting per-window values offsets feed the
+native chainer (native/kma_chain.cpp kchain_scan_batch_dev), which
+reproduces the reference chain splicing byte-exactly.
+
+Lookup parity: the device probe returns the same value-list identity as
+lookup_voff for every window (tests/test_chain_device.py), so the chain
+walk sees an identical hit stream.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Penalties
+from ..index.format import KmaIndex
+from .scan_dense import DenseIndex, _lookup_rows
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mega", "size",
+                                             "max_probe"))
+def _chain_lookup(exist, kv, codes, lengths, *, k, mega, size, max_probe):
+    """Per-window value-list rows for both strands.
+
+    codes [B, L] u8 (N = 4, padding = 4); returns (rows_f, rows_rc)
+    [B, W] i32 with -1 for miss/invalid.  rows_rc[q] is the lookup of
+    revcomp(fw_kmer[q]): the rc strand's window at rc-coordinate
+    p = W_r-1-q, i.e. already in the chain walk's iteration order."""
+    B, L = codes.shape
+    W = L - k + 1
+    c = jnp.where(codes == 4, 0, codes).astype(jnp.uint32)
+    acc = jnp.zeros((B, W), jnp.uint32)
+    for i in range(k):
+        acc = (acc << 2) | jax.lax.dynamic_slice_in_dim(c, i, W, axis=1)
+    # window validity: N-free and fully inside the read
+    isn = (codes == 4).astype(jnp.int32)
+    pcs = jnp.pad(jnp.cumsum(isn, axis=1), ((0, 0), (1, 0)))
+    nin = pcs[:, k:k + W] - pcs[:, 0:W]
+    valid = (nin == 0) & (jnp.arange(W)[None, :] + k
+                          <= lengths[:, None])
+
+    args = dict(mega=mega, size=size, max_probe=max_probe)
+    rows_f = jnp.where(valid, _lookup_rows((exist, kv), acc, **args),
+                       np.int32(-1))
+    # reverse complement of each packed k-mer (strrc in-register)
+    x = ~acc
+    x = ((x & np.uint32(0x33333333)) << 2) | \
+        ((x >> 2) & np.uint32(0x33333333))
+    x = ((x & np.uint32(0x0F0F0F0F)) << 4) | \
+        ((x >> 4) & np.uint32(0x0F0F0F0F))
+    x = ((x & np.uint32(0x00FF00FF)) << 8) | \
+        ((x >> 8) & np.uint32(0x00FF00FF))
+    x = (x << 16) | (x >> 16)
+    rc = x >> (32 - 2 * k)
+    rows_rc = jnp.where(valid, _lookup_rows((exist, kv), rc, **args),
+                        np.int32(-1))
+    return rows_f, rows_rc
+
+
+def _pad_len(n: int) -> int:
+    if n <= 128:
+        return 128
+    b = 128
+    while b < n:
+        b = b * 3 // 2
+        b = -(-b // 64) * 64
+    return b
+
+
+class DeviceChainStream:
+    """Batched device hash probe + native chain splice, in input order.
+
+    Yields (read, [AnkerHit, ...]) exactly like per-read
+    NativeChain.scan; reads shorter than k yield [].
+    """
+
+    def __init__(self, idx: KmaIndex, pen: Penalties,
+                 template_lengths: np.ndarray, nchain,
+                 batch: int = 2048):
+        if idx.kmersize > 16:
+            raise NotImplementedError("device chain lookup needs k <= 16")
+        self.didx = DenseIndex.from_host(idx)
+        self.nchain = nchain
+        self.k = idx.kmersize
+        self.batch = batch
+        # list id -> values offset, -1 passthrough
+        self.voff_map = np.concatenate(
+            [self.didx.list_voff.astype(np.int64), [-1]])
+
+    def _rows_to_voff(self, rows: np.ndarray) -> np.ndarray:
+        return self.voff_map[rows]  # rows == -1 hits the sentinel slot
+
+    def stream(self, reads: Iterable, exhaustive: bool, minlen: int,
+               coverT: float, mrs: float, mrc: float,
+               lc: bool) -> Iterator[Tuple[object, List]]:
+        buf: List = []
+        pending = None  # (buf, device futures) for dispatch/compute overlap
+        for read in reads:
+            buf.append(read)
+            if len(buf) >= self.batch:
+                if pending is not None:
+                    yield from self._finish(pending, exhaustive, minlen,
+                                            coverT, mrs, mrc, lc)
+                pending = (buf, self._dispatch(buf))
+                buf = []
+        if pending is not None:
+            yield from self._finish(pending, exhaustive, minlen, coverT,
+                                    mrs, mrc, lc)
+        if buf:
+            yield from self._finish((buf, self._dispatch(buf)), exhaustive,
+                                    minlen, coverT, mrs, mrc, lc)
+
+    def _dispatch(self, buf: List):
+        """Start the device lookup for a batch (async dispatch)."""
+        k = self.k
+        idxs = [i for i, r in enumerate(buf) if len(r.codes) >= k]
+        if not idxs:
+            return None
+        L = _pad_len(max(len(buf[i].codes) for i in idxs))
+        codes = np.full((len(idxs), L), 4, dtype=np.uint8)
+        lengths = np.zeros(len(idxs), np.int32)
+        for j, i in enumerate(idxs):
+            c = buf[i].codes
+            codes[j, : len(c)] = c
+            lengths[j] = len(c)
+        d = self.didx
+        rows_f, rows_rc = _chain_lookup(
+            d.exist, d.kv, jnp.asarray(codes), jnp.asarray(lengths),
+            k=k, mega=d.mega, size=d.size, max_probe=d.max_probe)
+        return idxs, rows_f, rows_rc
+
+    def _finish(self, pending, exhaustive, minlen, coverT, mrs, mrc, lc):
+        buf, disp = pending
+        if disp is None:
+            for r in buf:
+                yield r, []
+            return
+        idxs, rows_f, rows_rc = disp
+        voff_f = self._rows_to_voff(np.asarray(rows_f))
+        voff_r = self._rows_to_voff(np.asarray(rows_rc))
+        hits = self.nchain.scan_batch_dev(
+            [buf[i].codes for i in idxs], [buf[i].header for i in idxs],
+            voff_f, voff_r, exhaustive, minlen, coverT, mrs, mrc, lc)
+        out = {i: h for i, h in zip(idxs, hits)}
+        for i, r in enumerate(buf):
+            yield r, out.get(i, [])

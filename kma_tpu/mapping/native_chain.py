@@ -101,6 +101,16 @@ def get_lib():
         _i32p, _u8p, _i64p, _i32p, _i32p, _i64p, _i32p,
         ctypes.c_int, ctypes.c_longlong,
     ]
+    lib.kchain_scan_batch_dev.restype = ctypes.c_int
+    lib.kchain_scan_batch_dev.argtypes = [
+        _vp, _u8p, _i64p, ctypes.c_int,
+        _i64p, _i64p, ctypes.c_longlong,
+        ctypes.c_int, ctypes.c_longlong, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int,
+        _i64p, _i64p, _u8p,
+        _i32p, _u8p, _i64p, _i32p, _i32p, _i64p, _i32p,
+        ctypes.c_int, ctypes.c_longlong,
+    ]
     _lib = lib
     return _lib
 
@@ -276,6 +286,64 @@ class NativeChain:
         for p in parts:
             out.extend(p)
         return out
+
+    def scan_batch_dev(self, codes_list, headers, voff_f: np.ndarray,
+                       voff_r: np.ndarray, exhaustive: bool, minlen: int,
+                       coverT: float, mrs: float, mrc: float, lc: bool):
+        """scan_batch fed by device-computed per-window values offsets
+        (chain_device.py): voff_f/voff_r are [B, stride] int64 rows, row
+        r valid over [0, len_r - k + 1)."""
+        B = len(codes_list)
+        if not B:
+            return []
+        voff_f = np.ascontiguousarray(voff_f, np.int64)
+        voff_r = np.ascontiguousarray(voff_r, np.int64)
+        stride = voff_f.shape[1]
+        coff = np.zeros(B + 1, np.int64)
+        for i, c in enumerate(codes_list):
+            coff[i + 1] = coff[i] + len(c)
+        flat = np.ascontiguousarray(
+            np.concatenate([np.asarray(c, np.uint8) for c in codes_list]))
+        nhits = np.zeros(B, np.int32)
+        results = [None] * B
+        Score, extendScore, include = self._ws(0)
+        r0 = 0
+        while r0 < B:
+            n_req = B - r0
+            if self._cap_hits < 4 * n_req + 64:
+                self._cap_hits = 4 * n_req + 64
+                self._alloc()
+            coff_v = np.ascontiguousarray(coff[r0:])
+            consumed = self._lib.kchain_scan_batch_dev(
+                self._h, flat.ctypes.data_as(_u8p),
+                coff_v.ctypes.data_as(_i64p), n_req,
+                voff_f[r0:].ctypes.data_as(_i64p),
+                voff_r[r0:].ctypes.data_as(_i64p), stride,
+                1 if exhaustive else 0, minlen, coverT, mrs, mrc,
+                1 if lc else 0,
+                Score.ctypes.data_as(_i64p),
+                extendScore.ctypes.data_as(_i64p),
+                include.ctypes.data_as(_u8p),
+                nhits.ctypes.data_as(_i32p),
+                self._hit_rc.ctypes.data_as(_u8p),
+                self._hit_sc.ctypes.data_as(_i64p),
+                self._hit_b0.ctypes.data_as(_i32p),
+                self._hit_b1.ctypes.data_as(_i32p),
+                self._tpl_off.ctypes.data_as(_i64p),
+                self._tpl.ctypes.data_as(_i32p),
+                self._cap_hits, self._cap_tpl)
+            h = 0
+            for i in range(consumed):
+                n = int(nhits[i])
+                results[r0 + i] = self._emit(codes_list[r0 + i],
+                                             headers[r0 + i], h, h + n)
+                h += n
+            if consumed < n_req:
+                self._cap_hits *= 4
+                self._cap_tpl *= 4
+                self._alloc()
+            r0 += consumed
+        return results
 
     def _ws(self, t):
         """Per-thread Score/extendScore/include workspaces."""

@@ -1436,7 +1436,31 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                         flush_aln()
 
             nchain_b = locals().get("nchain_batch")
-            if nchain_b is not None:
+
+            def _bump_ord():
+                nonlocal n_frags
+                n_frags += 1
+                _cur_ord[0] = (n_frags - 1) * _nproc + _pid0
+
+            chain_dev = None
+            if nchain_b is not None and _device_enabled(cfg):
+                # device chain scanner: TPU hash probes feed the native
+                # chain splicer (mapping/chain_device.py)
+                try:
+                    from .mapping.chain_device import DeviceChainStream
+                    chain_dev = DeviceChainStream(idx, pen,
+                                                  template_lengths,
+                                                  nchain_b)
+                except NotImplementedError:
+                    chain_dev = None
+            if chain_dev is not None:
+                for read, hits in chain_dev.stream(
+                        _shard_reads(reads_it), cfg.exhaustive,
+                        cfg.min_len, cfg.cover_t, cfg.score_t, cfg.mrc,
+                        cfg.lc):
+                    _bump_ord()
+                    _consume(read, hits)
+            elif nchain_b is not None:
                 # chunked native scan: one ctypes round-trip per 256
                 # reads instead of per read
                 chunk: List = []
@@ -1451,11 +1475,6 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                         _bump_ord()
                         _consume(r, hits)
                     chunk.clear()
-
-                def _bump_ord():
-                    nonlocal n_frags
-                    n_frags += 1
-                    _cur_ord[0] = (n_frags - 1) * _nproc + _pid0
 
                 chunk_cap = 256 * max(1, cfg.threads)
                 for read in _shard_reads(reads_it):

@@ -159,19 +159,59 @@ int tail_gaps(const uint8_t *s, int seqlen, int k, int w) {
     return g;
 }
 
-// _collect_ankers (savekmers.c:5221-5450): one strand, fw coordinates
+// _quick_hit replay over precomputed per-window voffs (voff[j] >= 0 iff
+// the window is N-free AND the hash hits -- identical to ok[j] && lookup)
+bool quick_hit_voff(int k, const uint8_t *s, int seqlen,
+                    const int64_t *voff, bool rc_strand) {
+    int W = seqlen - k + 1;
+    int j = 0;
+    int e = 0;
+    while (e <= seqlen) {
+        int endN = seqlen;
+        for (int t = e; t < seqlen; ++t)
+            if (s[t] == 4) {
+                endN = t;
+                break;
+            }
+        int stop = endN - k + 1;
+        while (j < stop) {
+            // voff rows are iteration-indexed (fw window order); the rc
+            // strand's window at rc-coordinate j lives at entry W-1-j
+            if (voff[rc_strand ? (W - 1 - j) : j] >= 0)
+                return true;
+            j += k;
+        }
+        j = endN + 1;
+        if (endN == seqlen)
+            break;
+        e = endN + 1;
+    }
+    return false;
+}
+
+// _collect_ankers (savekmers.c:5221-5450): one strand, fw coordinates.
+// voff != nullptr supplies precomputed per-window values offsets (the
+// device chain scanner's TPU hash-lookup output); nullptr = native
+// lookups.
 void collect_ankers(const KIdx *x, const uint8_t *strand, int seqlen,
                     bool rc_strand, bool exhaustive,
                     std::vector<uint64_t> &kmers, std::vector<uint8_t> &ok,
-                    std::vector<Anker> &out) {
+                    std::vector<Anker> &out,
+                    const int64_t *voff = nullptr) {
     out.clear();
     int k = x->k;
     int W = seqlen - k + 1;
     if (W <= 0)
         return;
-    window_kmers(strand, seqlen, k, x->kroll, kmers, ok);
-    if (!exhaustive && !quick_hit(x, strand, seqlen, kmers, ok))
-        return;
+    if (voff) {
+        if (!exhaustive &&
+            !quick_hit_voff(k, strand, seqlen, voff, rc_strand))
+            return;
+    } else {
+        window_kmers(strand, seqlen, k, x->kroll, kmers, ok);
+        if (!exhaustive && !quick_hit(x, strand, seqlen, kmers, ok))
+            return;
+    }
     int64_t last = -1;
     int last_hit_j = 0;
     int gaps = 0;
@@ -179,7 +219,11 @@ void collect_ankers(const KIdx *x, const uint8_t *strand, int seqlen,
     int cur = -1; // index into out
     for (int j = 0; j < W; ++j) {
         int p = rc_strand ? (seqlen - k - j) : j;
-        int64_t v = ok[p] ? lookup_voff(x, kmers[p]) : -1;
+        // device voff rows are indexed by the ITERATION index j: for the
+        // rc strand entry j holds lookup(revcomp(fw_kmer[j])), which IS
+        // the rc window at rc-coordinate p = W-1-j (chain_device.py)
+        int64_t v = voff ? voff[j]
+                         : (ok[p] ? lookup_voff(x, kmers[p]) : -1);
         if (v >= 0) {
             last_hit_j = j;
             if (v == last && cur >= 0) {
@@ -759,13 +803,14 @@ void kchain_free(void *h) { delete (Ctx *)h; }
 // (signed; negatives = rc side of a merged emit) packed into tpl_flat at
 // tpl_off.  Returns the hit count, or -1 if output caps were exceeded
 // (caller retries with bigger buffers).
-int kchain_scan_read(void *h, const uint8_t *codes, int seqlen,
-                     int exhaustive, long long minlen, double coverT,
-                     double mrs, double mrc, int lc, long long *Score_,
-                     long long *extendScore_, uint8_t *include,
-                     uint8_t *hit_rc, long long *hit_sc_, int *hit_b0,
-                     int *hit_b1, long long *tpl_off_, int *tpl_flat,
-                     int cap_hits, long long cap_tpl) {
+int kchain_scan_read_v(void *h, const uint8_t *codes, int seqlen,
+                       const long long *voff_f, const long long *voff_r,
+                       int exhaustive, long long minlen, double coverT,
+                       double mrs, double mrc, int lc, long long *Score_,
+                       long long *extendScore_, uint8_t *include,
+                       uint8_t *hit_rc, long long *hit_sc_, int *hit_b0,
+                       int *hit_b1, long long *tpl_off_, int *tpl_flat,
+                       int cap_hits, long long cap_tpl) {
     int64_t *Score = (int64_t *)Score_;
     int64_t *extendScore = (int64_t *)extendScore_;
     int64_t *hit_sc = (int64_t *)hit_sc_;
@@ -778,14 +823,14 @@ int kchain_scan_read(void *h, const uint8_t *codes, int seqlen,
         return 0;
 
     collect_ankers(x, codes, seqlen, false, exhaustive != 0, c->kmers,
-                   c->ok, c->VF);
+                   c->ok, c->VF, (const int64_t *)voff_f);
     c->rc.assign(codes, codes + seqlen);
     std::reverse(c->rc.begin(), c->rc.end());
     static const uint8_t CMP[6] = {3, 2, 1, 0, 4, 5};
     for (auto &b : c->rc)
         b = CMP[b];
     collect_ankers(x, c->rc.data(), seqlen, true, exhaustive != 0,
-                   c->kmers, c->ok, c->VR);
+                   c->kmers, c->ok, c->VR, (const int64_t *)voff_r);
     std::vector<Anker> &VF = c->VF, &VR = c->VR;
     if (VF.empty() && VR.empty())
         return 0;
@@ -1024,6 +1069,20 @@ int kchain_scan_read(void *h, const uint8_t *codes, int seqlen,
 }
 
 
+int kchain_scan_read(void *h, const uint8_t *codes, int seqlen,
+                     int exhaustive, long long minlen, double coverT,
+                     double mrs, double mrc, int lc, long long *Score,
+                     long long *extendScore, uint8_t *include,
+                     uint8_t *hit_rc, long long *hit_sc, int *hit_b0,
+                     int *hit_b1, long long *tpl_off, int *tpl_flat,
+                     int cap_hits, long long cap_tpl) {
+    return kchain_scan_read_v(h, codes, seqlen, nullptr, nullptr,
+                              exhaustive, minlen, coverT, mrs, mrc, lc,
+                              Score, extendScore, include, hit_rc, hit_sc,
+                              hit_b0, hit_b1, tpl_off, tpl_flat, cap_hits,
+                              cap_tpl);
+}
+
 // Batched scan: codes_flat/codes_off pack n_reads reads; hit buffers are
 // shared, tpl_off entries are GLOBAL offsets into tpl_flat, and
 // hits_per_read[r] gives each read's hit count.  Returns the number of
@@ -1059,6 +1118,46 @@ int kchain_scan_batch(void *h, const uint8_t *codes_flat,
         hits_per_read[r] = n;
         hcur += n;
         tcur = tpl_off[hcur];
+    }
+    return n_reads;
+}
+
+// Device-fed batch (the TPU chain scanner's host half): voff_f/voff_r
+// are [n_reads, stride] row-major per-window values offsets computed by
+// the device hash lookup (mapping/chain_device.py); row r's valid
+// entries span [0, len_r - k + 1).  Everything else as kchain_scan_batch.
+int kchain_scan_batch_dev(void *h, const uint8_t *codes_flat,
+                          const long long *codes_off, int n_reads,
+                          const long long *voff_f, const long long *voff_r,
+                          long long stride, int exhaustive,
+                          long long minlen, double coverT, double mrs,
+                          double mrc, int lc, long long *Score,
+                          long long *extendScore, uint8_t *include,
+                          int *hits_per_read, uint8_t *hit_rc,
+                          long long *hit_sc, int *hit_b0, int *hit_b1,
+                          long long *tpl_off, int *tpl_flat, int cap_hits,
+                          long long cap_tpl) {
+    int hcur = 0;
+    long long tcur = 0;
+    int64_t *toff = (int64_t *)tpl_off;
+    for (int r = 0; r < n_reads; ++r) {
+        int n = kchain_scan_read_v(
+            h, codes_flat + codes_off[r],
+            (int)(codes_off[r + 1] - codes_off[r]),
+            voff_f + (long long)r * stride, voff_r + (long long)r * stride,
+            exhaustive, minlen, coverT, mrs, mrc, lc, Score, extendScore,
+            include, hit_rc + hcur, hit_sc + hcur, hit_b0 + hcur,
+            hit_b1 + hcur, tpl_off + hcur, tpl_flat + tcur,
+            cap_hits - hcur, cap_tpl - tcur);
+        if (n < 0) {
+            toff[hcur] = tcur;
+            return r;
+        }
+        for (int j = 0; j <= n; ++j)
+            toff[hcur + j] += tcur;
+        hits_per_read[r] = n;
+        hcur += n;
+        tcur = toff[hcur];
     }
     return n_reads;
 }

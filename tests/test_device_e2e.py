@@ -54,3 +54,26 @@ def test_device_1t1_parity_threaded(tmp_path, sim_reads, db50_index,  # noqa: F8
         a = (ref_out.parent / (ref_out.name + ext)).read_bytes()
         b = (my_out.parent / (my_out.name + ext)).read_bytes()
         assert a == b, f"{ext} differs"
+
+
+def test_device_chain_mode_parity(tmp_path, sim_reads, db50_index,  # noqa: F811
+                                  ref_bin):
+    """Default (chain) mode through the device chain scanner
+    (mapping/chain_device.py): TPU hash probes + native splicing must be
+    byte-identical to the reference."""
+    ref_out = tmp_path / "ref"
+    my_out = tmp_path / "my"
+    r = subprocess.run([str(ref_bin), "-i", str(sim_reads), "-o",
+                        str(ref_out), "-t_db", db50_index],
+                       capture_output=True)
+    assert r.returncode == 0
+    rc = kma_main(["-i", str(sim_reads), "-o", str(my_out), "-t_db",
+                   db50_index, "-device", "on"])
+    assert rc == 0
+    for ext in (".res", ".fsa", ".aln"):
+        a = (ref_out.parent / (ref_out.name + ext)).read_bytes()
+        b = (my_out.parent / (my_out.name + ext)).read_bytes()
+        assert a == b, f"{ext} differs"
+    a = gzip.open(str(ref_out) + ".frag.gz").read()
+    b = gzip.open(str(my_out) + ".frag.gz").read()
+    assert a == b, ".frag.gz content differs"
