@@ -96,6 +96,9 @@ class DeviceChainStream:
         self.nchain = nchain
         self.k = idx.kmersize
         self.batch = batch
+        # cap the per-dispatch device footprint so Nanopore-length reads
+        # simply shrink the batch instead of exhausting memory
+        self.cell_budget = 8 << 20  # [B, W] elements per strand
         # list id -> values offset, -1 passthrough
         self.voff_map = np.concatenate(
             [self.didx.list_voff.astype(np.int64), [-1]])
@@ -107,15 +110,19 @@ class DeviceChainStream:
                coverT: float, mrs: float, mrc: float,
                lc: bool) -> Iterator[Tuple[object, List]]:
         buf: List = []
+        mx = 0
         pending = None  # (buf, device futures) for dispatch/compute overlap
         for read in reads:
             buf.append(read)
-            if len(buf) >= self.batch:
+            mx = max(mx, len(read.codes))
+            if (len(buf) >= self.batch
+                    or len(buf) * _pad_len(mx) >= self.cell_budget):
                 if pending is not None:
                     yield from self._finish(pending, exhaustive, minlen,
                                             coverT, mrs, mrc, lc)
                 pending = (buf, self._dispatch(buf))
                 buf = []
+                mx = 0
         if pending is not None:
             yield from self._finish(pending, exhaustive, minlen, coverT,
                                     mrs, mrc, lc)

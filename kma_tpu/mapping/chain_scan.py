@@ -482,36 +482,139 @@ def _chain_templates_proxi(idx: KmaIndex, ankers: List[Anker], src_i: int,
     return prev
 
 
+_U32 = 0xFFFFFFFF
+
+
 class SegmentList:
-    """Claimed-region bookkeeping (seqmenttree.c as interval accounting):
-    query returns the covered overlap length within [start, end)."""
+    """Claimed-region bookkeeping: EXACT port of the reference's
+    seqmenttree (seqmenttree.c:108-233), NOT a clean interval set.  The
+    tree approximates: the split path drops the boundary base and
+    aliases the inserted node between both halves, a node spanning the
+    whole root discards the subtree, and covered counts wrap as u32 --
+    the cover numbers feed chain acceptance (savekmers.c:5847), so
+    deep-splicing long reads observe every quirk
+    (tests/test_segtree.py fuzzes vs the compiled reference)."""
 
     def __init__(self):
-        self.segs: List[Tuple[int, int]] = []
+        # parallel node arrays; branch index -1 == C NULL
+        self.S: List[int] = []
+        self.E: List[int] = []
+        self.C: List[int] = []
+        self.B0: List[int] = []
+        self.B1: List[int] = []
+        self.n = 0
 
     def clear(self):
-        self.segs.clear()
+        self.n = 0
 
-    def grow(self, start: int, end: int):
-        self.segs.append((start, end))
-        # merge overlaps
-        self.segs.sort()
-        merged = [self.segs[0]]
-        for s, e in self.segs[1:]:
-            if s <= merged[-1][1]:
-                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+    def _slot(self, i: int):
+        while len(self.S) <= i:
+            self.S.append(0)
+            self.E.append(0)
+            self.C.append(0)
+            self.B0.append(-1)
+            self.B1.append(-1)
+
+    def _add(self, r: int, nd: int) -> int:
+        """addSeqmentTrees (seqmenttree.c:108-181)."""
+        S, E, C, B0, B1 = self.S, self.E, self.C, self.B0, self.B1
+        if B0[r] != -1:
+            if S[nd] < S[r] and E[r] < E[nd]:
+                S[r] = S[nd]
+                E[r] = E[nd]
+                C[r] = C[nd]
+                C[nd] = 0
+                B0[r] = -1  # only branch[0] is nulled (C: *(branch) = 0)
+                return C[r]
+            elif E[r] < E[nd]:
+                E[r] = E[nd]
+            elif S[nd] < S[r]:
+                S[r] = S[nd]
+            pos = S[B1[r]]
+            if E[nd] < pos:
+                C[r] = (C[B1[r]] + self._add(B0[r], nd)) & _U32
+            elif pos <= S[nd]:
+                C[r] = (C[B0[r]] + self._add(B1[r], nd)) & _U32
             else:
-                merged.append((s, e))
-        self.segs = merged
+                # split: the SAME node is pushed into both halves
+                pos = S[nd]
+                S[nd] = E[B0[r]] + 1
+                C[nd] = (E[nd] - S[nd]) & _U32
+                covered = self._add(B1[r], nd)
+                S[nd] = pos
+                E[nd] = E[B0[r]]
+                C[nd] = (E[nd] - S[nd]) & _U32
+                C[r] = (covered + self._add(B0[r], nd)) & _U32
+        elif E[nd] < S[r] or E[r] < S[nd]:
+            bud = nd + 1  # new leaf keeps the old leaf in the next slot
+            S[bud] = S[r]
+            E[bud] = E[r]
+            C[bud] = C[r]
+            B0[bud] = -1
+            if E[nd] < S[r]:
+                S[r] = S[nd]
+                B0[r] = nd
+                B1[r] = bud
+            else:
+                E[r] = E[nd]
+                B0[r] = bud
+                B1[r] = nd
+            C[r] = (C[r] + C[nd]) & _U32
+        else:
+            if S[nd] < S[r]:
+                S[r] = S[nd]
+            if E[r] < E[nd]:
+                E[r] = E[nd]
+            C[nd] = 0
+            C[r] = (E[r] - S[r]) & _U32
+        return C[r]
+
+    def grow(self, start: int, end: int) -> int:
+        """growSeqmentTree (seqmenttree.c:183-209)."""
+        if self.n == 0:
+            self._slot(1)
+            self.S[0] = start
+            self.E[0] = end
+            self.C[0] = (end - start) & _U32
+            self.B0[0] = -1
+            self.B1[0] = -1
+            self.n = 1
+            return (end - start) & _U32
+        node = self.n
+        self._slot(node + 1)
+        self.S[node] = start
+        self.E[node] = end
+        self.C[node] = (end - start) & _U32
+        self.B0[node] = -1
+        self.C[0] = self._add(0, node)
+        if self.C[node]:
+            self.n += 2
+        v = self.C[0]
+        return v - (1 << 32) if v >= (1 << 31) else v
+
+    def _que(self, r: int, start: int, end: int) -> int:
+        """queSeqmentTree (seqmenttree.c:211-233)."""
+        S, E, C, B0, B1 = self.S, self.E, self.C, self.B0, self.B1
+        if end < S[r] or E[r] < start:
+            return 0
+        if start <= S[r] and E[r] <= end:
+            return C[r]
+        if B0[r] != -1:
+            return (self._que(B0[r], start, end)
+                    + self._que(B1[r], start, end)) & _U32
+        if S[r] <= start and end <= E[r]:
+            return end - start
+        if S[r] <= start and start < E[r]:
+            return E[r] - start
+        if S[r] < end and end <= E[r]:
+            return end - S[r]
+        return 0
 
     def query(self, start: int, end: int) -> int:
-        cov = 0
-        for s, e in self.segs:
-            lo = max(s, start)
-            hi = min(e, end)
-            if lo < hi:
-                cov += hi - lo
-        return cov
+        # the reference reads the u32 result into an `int cover`
+        # (savekmers.c:5135): sign-extend wraps
+        v = 0 if self.n == 0 else self._que(0, start, end)
+        return v - (1 << 32) if v >= (1 << 31) else v
 
 
 def _get_best_anker(ankers: List[Anker], start_i: int, lc: bool

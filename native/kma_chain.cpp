@@ -504,33 +504,123 @@ int get_chain_templates(const KIdx *x, std::vector<Anker> &ankers,
     return -1;
 }
 
-// seqmenttree.c interval accounting
+// EXACT port of the reference seqmenttree (seqmenttree.c:108-233),
+// quirks included (split boundary drop + node aliasing, subtree discard,
+// u32 covered wrap); mirrors chain_scan.py's SegmentList, fuzzed vs the
+// compiled reference in tests/test_segtree.py.
 struct SegmentList {
-    std::vector<std::pair<int, int>> segs;
-    void clear() { segs.clear(); }
-    void grow(int s, int e) {
-        segs.push_back({s, e});
-        std::sort(segs.begin(), segs.end());
-        std::vector<std::pair<int, int>> merged{segs[0]};
-        for (size_t i = 1; i < segs.size(); ++i) {
-            if (segs[i].first <= merged.back().second) {
-                if (segs[i].second > merged.back().second)
-                    merged.back().second = segs[i].second;
-            } else {
-                merged.push_back(segs[i]);
-            }
-        }
-        segs.swap(merged);
+    struct Node {
+        uint32_t start, end, covered;
+        int b0, b1; // -1 == NULL
+    };
+    std::vector<Node> nd;
+    int n = 0;
+    void clear() { n = 0; }
+    void slot(int i) {
+        if ((int)nd.size() <= i)
+            nd.resize(i + 1);
     }
-    int query(int s, int e) const {
-        int cov = 0;
-        for (auto &p : segs) {
-            int lo = p.first > s ? p.first : s;
-            int hi = p.second < e ? p.second : e;
-            if (lo < hi)
-                cov += hi - lo;
+    uint32_t add(int r, int node) { // addSeqmentTrees
+        Node &R = nd[r];
+        Node &N = nd[node];
+        if (R.b0 != -1) {
+            if (N.start < R.start && R.end < N.end) {
+                R.start = N.start;
+                R.end = N.end;
+                R.covered = N.covered;
+                N.covered = 0;
+                R.b0 = -1;
+                return R.covered;
+            } else if (R.end < N.end) {
+                R.end = N.end;
+            } else if (N.start < R.start) {
+                R.start = N.start;
+            }
+            uint32_t pos = nd[R.b1].start;
+            if (N.end < pos) {
+                R.covered = nd[R.b1].covered + add(R.b0, node);
+            } else if (pos <= N.start) {
+                R.covered = nd[R.b0].covered + add(R.b1, node);
+            } else { // split: the SAME node goes into both halves
+                pos = N.start;
+                N.start = nd[R.b0].end + 1;
+                N.covered = N.end - N.start;
+                uint32_t covered = add(R.b1, node);
+                Node &N2 = nd[node]; // add() may move the vector? no --
+                N2.start = pos;      // slot() pre-sized; references stay
+                N2.end = nd[R.b0].end;
+                N2.covered = N2.end - N2.start;
+                R.covered = covered + add(R.b0, node);
+            }
+        } else if (N.end < R.start || R.end < N.start) { // new leaf
+            Node &B = nd[node + 1];
+            B.start = R.start;
+            B.end = R.end;
+            B.covered = R.covered;
+            B.b0 = -1;
+            if (N.end < R.start) {
+                R.start = N.start;
+                R.b0 = node;
+                R.b1 = node + 1;
+            } else {
+                R.end = N.end;
+                R.b0 = node + 1;
+                R.b1 = node;
+            }
+            R.covered += N.covered;
+        } else { // extend leaf
+            if (N.start < R.start)
+                R.start = N.start;
+            if (R.end < N.end)
+                R.end = N.end;
+            N.covered = 0;
+            R.covered = R.end - R.start;
         }
-        return cov;
+        return R.covered;
+    }
+    int grow(uint32_t s, uint32_t e) { // growSeqmentTree
+        if (n == 0) {
+            slot(1);
+            nd[0].start = s;
+            nd[0].end = e;
+            nd[0].covered = e - s;
+            nd[0].b0 = -1;
+            nd[0].b1 = -1;
+            n = 1;
+            return (int)(e - s);
+        }
+        int node = n;
+        slot(node + 1);
+        nd[node].start = s;
+        nd[node].end = e;
+        nd[node].covered = e - s;
+        nd[node].b0 = -1;
+        nd[0].covered = add(0, node);
+        if (nd[node].covered)
+            n += 2;
+        return (int)nd[0].covered;
+    }
+    uint32_t que(int r, uint32_t s, uint32_t e) const { // queSeqmentTree
+        const Node &R = nd[r];
+        if (e < R.start || R.end < s)
+            return 0;
+        if (s <= R.start && R.end <= e)
+            return R.covered;
+        if (R.b0 != -1)
+            return que(R.b0, s, e) + que(R.b1, s, e);
+        if (R.start <= s && e <= R.end)
+            return e - s;
+        if (R.start <= s && s < R.end)
+            return R.end - s;
+        if (R.start < e && e <= R.end)
+            return e - R.start;
+        return 0;
+    }
+    int64_t query(int s, int e) const {
+        // savekmers.c:5135 reads the u32 into an `int cover`
+        return n == 0 ? 0
+                      : (int64_t)(int32_t)que(0, (uint32_t)s,
+                                              (uint32_t)e);
     }
 };
 
@@ -667,7 +757,7 @@ Anker *advance(Ctx *c, std::vector<Anker> &V, Anker *best, int *b_i,
         if (cs >= 0) {
             int cStart = V[cs].start;
             *cStart_out = cStart;
-            int cover = c->segs.query(cStart, best->end);
+            int64_t cover = c->segs.query(cStart, best->end);
             int64_t ln = best->end - cStart;
             if (minlen <= ln && (double)cover <= coverT * (double)ln &&
                 mrs * (double)ln <= (double)best->score) {
@@ -694,7 +784,7 @@ Anker *advance(Ctx *c, std::vector<Anker> &V, Anker *best, int *b_i,
             if (cs >= 0) {
                 int cStart = V[cs].start;
                 *cStart_out = cStart;
-                int cover = c->segs.query(cStart, best->end);
+                int64_t cover = c->segs.query(cStart, best->end);
                 int64_t ln = best->end - cStart;
                 if (minlen <= ln && (double)cover <= coverT * (double)ln &&
                     mrs * (double)ln <= (double)best->score) {

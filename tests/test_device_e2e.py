@@ -77,3 +77,45 @@ def test_device_chain_mode_parity(tmp_path, sim_reads, db50_index,  # noqa: F811
     a = gzip.open(str(ref_out) + ".frag.gz").read()
     b = gzip.open(str(my_out) + ".frag.gz").read()
     assert a == b, ".frag.gz content differs"
+
+
+def test_device_chain_long_reads(tmp_path, db50, db50_index, ref_bin):  # noqa: F811
+    """10kb+ Nanopore-scale reads through the device chain scanner: the
+    length-bucketed dispatch has no read-length ceiling (VERDICT: lift
+    the device scan's long-read limit)."""
+    import numpy as np
+    from kma_tpu.io.seq import parse_fasta
+    rng = np.random.default_rng(77)
+    recs = [c for _h, c in parse_fasta(str(db50))]
+    comp = np.array([3, 2, 1, 0, 4, 5], dtype=np.uint8)
+    fq = tmp_path / "long.fq"
+    with open(fq, "w") as f:
+        for i in range(16):
+            parts = []
+            tot = 0
+            target = int(rng.integers(5000, 14000))
+            while tot < target:
+                c = recs[rng.integers(len(recs))]
+                seg = c.copy()
+                ne = rng.binomial(len(seg), 0.03)
+                pp = rng.integers(0, len(seg), ne)
+                seg[pp] = (seg[pp] + rng.integers(1, 4, ne)) % 4
+                if rng.random() < 0.5:
+                    seg = comp[seg[::-1]]
+                parts.append(seg)
+                tot += len(seg)
+            r = np.concatenate(parts)
+            f.write("@L%d\n%s\n+\n%s\n"
+                    % (i, "".join("ACGTN"[c] for c in r), "I" * len(r)))
+    ref_out = tmp_path / "ref"
+    my_out = tmp_path / "my"
+    subprocess.run([str(ref_bin), "-i", str(fq), "-o", str(ref_out),
+                    "-t_db", db50_index, "-bcNano", "-bc", "0.7"],
+                   capture_output=True, check=True)
+    rc = kma_main(["-i", str(fq), "-o", str(my_out), "-t_db", db50_index,
+                   "-bcNano", "-bc", "0.7", "-device", "on"])
+    assert rc == 0
+    for ext in (".res", ".fsa", ".aln"):
+        a = (ref_out.parent / (ref_out.name + ext)).read_bytes()
+        b = (my_out.parent / (my_out.name + ext)).read_bytes()
+        assert a == b, f"{ext} differs"
