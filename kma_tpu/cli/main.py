@@ -149,6 +149,53 @@ def index_main(argv: List[str]) -> int:
     return 0
 
 
+def _help_message() -> None:
+    """Compact -h listing (helpMessage, kma.c:102-215)."""
+    print("# KMA-1.5.1 maps and/or aligns raw reads to a template "
+          "database (kma_tpu TPU-native build).")
+    print("# Options are:\t\tDesc:\t\t\t\tDefault:")
+    for flag, desc, dflt in (
+        ("-i", "Single end input", "STDIN"),
+        ("-ipe", "Paired end input (two files)", ""),
+        ("-int", "Interleaved input", ""),
+        ("-o", "Output prefix", "REQUIRED"),
+        ("-t_db", "Template DB", "REQUIRED"),
+        ("-k", "k-mer size", "DB"),
+        ("-ml", "Minimum alignment length", "16"),
+        ("-p", "p-value", "0.05"),
+        ("-ConClave", "ConClave version", "1"),
+        ("-mem_mode", "Base ConClave on template mappings", "False"),
+        ("-proxi", "Proximity scoring (negative for soft)", "False/1.0"),
+        ("-ex_mode", "Search k-mers exhaustively", "False"),
+        ("-ef", "Extended features (.mapstat)", "False"),
+        ("-1t1", "One read to one template", "False"),
+        ("-mrs", "Minimum relative alignment score", "0.50"),
+        ("-mrc", "Minimum query coverage", "0.0"),
+        ("-bcNano", "Altered indel calling for ONT data", "False"),
+        ("-bcd", "Minimum depth to call bases", "1"),
+        ("-ID", "Minimum identity to output", "1.0"),
+        ("-md", "Minimum depth to output", "0.0"),
+        ("-dense", "Skip insertions in assembly", "False"),
+        ("-matrix", ".mat.gz output", "False"),
+        ("-a", ".frag_raw.gz output", "False"),
+        ("-mp", "Minimum phred score", "20"),
+        ("-mi", "Minimum internal phred score", "0"),
+        ("-eq", "Minimum avg. quality score", "0"),
+        ("-t", "Threads", "1"),
+        ("-sam", "SAM output to stdout", "False"),
+        ("-vcf", "VCF output", "False"),
+        ("-xml", "XML output", "False"),
+        ("-tsv", "TSV output (see -tsvh)", "False"),
+        ("-sasm", "Skip alignment", "False"),
+        ("-device", "TPU step-2 scanner (on/off/auto)", "auto"),
+        ("-shm", "Use shared DB", "False"),
+        ("-mmap", "Memory-map the DB", "False"),
+        ("-v", "Version", ""),
+        ("-h", "Shows this help message", ""),
+    ):
+        print("# %16s\t%-32s\t%s" % (flag, desc, dflt))
+
+
 def map_main(argv: List[str]) -> int:
     """kma mapping run (kma.c:217-1636)."""
     from ..pipeline import run_kma
@@ -497,8 +544,37 @@ def map_main(argv: List[str]) -> int:
                 cfg.shm = int(argv[i])
             else:
                 cfg.shm = 1
-        elif a == "-mmap":
+        elif a == "-mmap" or a == "-swap":  # -swap is an alias (kma.c:526)
             cfg.mmap = True
+        elif a == "-sasm":
+            # skip assembly (assembly.c:1209 skip_assemble_KMA); the
+            # reference also zeroes the identity gate (kma.c:664-666)
+            cfg.sasm = True
+            cfg.ID_t = 0.0
+        elif a == "-tsvh":  # kma.c:975-995
+            print("# Tsv flags, add to combine:\n#")
+            for b, nm in ((1, "Template_Name"), (2, "Template_Length"),
+                          (4, "Template_Identity"),
+                          (8, "Template_Coverage"), (16, "Template_Depth"),
+                          (32, "Query_Identity"), (64, "Query_Coverage"),
+                          (128, "Query_Depth"), (256, "Read_Count_Map"),
+                          (512, "Read_Count_Aln"), (1024, "Score"),
+                          (2048, "Expected"), (4096, "q_value"),
+                          (8192, "p_value"), (16384, "ConClave_Score"),
+                          (32768, "ConClave_Quality")):
+                print("# %-8s\t%s" % (b, nm))
+            print("#")
+            return 0
+        elif a == "-v":  # kma.c:1234-1239
+            print("KMA-1.5.1")
+            print('Philip T.L.C. Clausen, Frank M. Aarestrup & Ole Lund, '
+                  '"Rapid and precise alignment of raw reads against '
+                  'redundant databases with KMA", BMC Bioinformatics, '
+                  '2018;19:307.')
+            return 0
+        elif a == "-h":
+            _help_message()
+            return 0
         elif a == "-tmp":
             if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
                 i += 1

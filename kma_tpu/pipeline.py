@@ -11,6 +11,7 @@ Stages (in-process instead of the reference's pipe-chained processes):
 
 from __future__ import annotations
 
+import math
 import bisect
 import os
 import sys
@@ -1128,6 +1129,8 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                            kmersize, cfg.min_len, cfg.mq, cfg.score_t,
                            cfg.mrc, rew, points, aln_min_frac)
         if res is None:
+            if sam_un is not None:
+                sam_unmapped(codes, header, flag | 4)
             return
         rec, sel_scores = res
         # global score accumulation (updatescores.c:217-281)
@@ -1187,6 +1190,20 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
     # scanners; print_ankers_Sparse stores a NEGATIVE rc_flag
     sparse_db = idx.prefix_len != 0 or idx.prefix != 0
     pseudo_db = sparse_db and idx.prefix_len == 0 and not cfg.ck
+
+    # -sam: header goes out BEFORE scanning (runkma.c:172,961); unmapped
+    # reads are reported inline from step 2 (savekmers.c:204-251, gated
+    # to plain `-sam` by kmers.c:68-71) and step 3 (alnfrags.c:2261-2273)
+    if cfg.sam and not collect:
+        _sam_init_single(names, template_lengths, exe_cmd, sys.stdout)
+    sam_un = sys.stdout if cfg.sam == 1 and not collect else None
+    # constant SE flag part (savekmers.c:125-132): non-pseudo DBs mark
+    # the unmapped read reverse-complemented
+    _un_flag = 4 if pseudo_db else 20
+
+    def sam_unmapped(codes, header, flag):
+        from .out.sam import sam_record
+        sam_record(codes, header, None, None, [0, flag], sam_un)
     sparse_rev = not (idx.prefix_len == 0 and idx.prefix != 0)
 
     def _neg(hit):
@@ -1360,6 +1377,8 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             for i, (codes, n_pos, rc_flag, templates, header,
                     flag) in enumerate(pend):
                 if best[i] <= kmersize:
+                    if sam_un is not None:
+                        sam_unmapped(codes, header, flag | 4)
                     continue
                 b = int(tpl_off[i])
                 e = b + int(nh[i])
@@ -1389,6 +1408,8 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                 n_frags += 1
                 _cur_ord[0] = (n_frags - 1) * _nproc + _pid0
                 if hit is None:
+                    if sam_un is not None:
+                        sam_unmapped(read.codes, read.header, _un_flag)
                     continue
                 if not use_batch:
                     handle_se_anker(hit.codes, hit.n_positions, hit.rc_flag,
@@ -1415,6 +1436,8 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                          and not cfg.ck)
 
             def _consume(read, hits):
+                if not hits and sam_un is not None:
+                    sam_unmapped(read.codes, read.header, _un_flag)
                 for hit in hits:
                     if not batchable or hit.rc_override is not None:
                         handle_se_anker(hit.codes, hit.n_positions,
@@ -1657,8 +1680,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         lambda t: names[t - 1].decode("latin1"), store, alignment_scores,
         uniq_alignment_scores, cfg, rew, points, kmersize, db_prefix,
         output_prefix, exe_cmd, tot_frags,
-        sam_init=lambda out: _sam_init_single(names, template_lengths,
-                                              exe_cmd, out))
+        sam_init=None)  # header already written before scanning
 
 
 def _sam_init_single(names, template_lengths, exe_cmd, out):
@@ -1801,6 +1823,34 @@ def _conclave_and_output(records, db_size, template_lengths, name_of, store,
         name = name_of(template)
         if not cmp(p_value <= cfg.evalue and read_score > expected,
                    read_score >= cfg.score_t * t_len):
+            # runkma.c:835-857: the failed gate still drains frags
+            # through skip_assemble for -sam, and -ID 0 prints a
+            # zero-identity row from the mapping depth alone
+            if (sam_out is not None and not (cfg.sam & 2096)) \
+                    or cfg.ID_t == 0.0:
+                assem, _mx = assemble_template(
+                    store.get(template), t_len,
+                    frag_lists.get(template, []), kmersize, cfg, rew,
+                    points, name, None, sam_out=sam_out, force_skip=True)
+                if cfg.ID_t == 0.0:
+                    depth = assem.depth / t_len
+                    aln_len = assem.aln_len
+                    cover = 100.0 * aln_len / t_len
+                    q_cover = math.inf if aln_len == 0 \
+                        else 100.0 * t_len / aln_len
+                    res_out.write(writers.res_row(
+                        name, read_score, expected, t_len, 0.0, cover,
+                        0.0, q_cover, depth, q_value, p_value))
+                    if tsv_out is not None:
+                        tsv_out.write(tsv_row(
+                            cfg.tsv, name, assem, t_len,
+                            int(read_counts[template]), read_score,
+                            expected, q_value, p_value,
+                            int(alignment_scores[template])))
+                    if mapstat_out is not None:
+                        mapstat_out.write(writers.mapstat_row(
+                            name, assem, int(fragment_counts[template]),
+                            int(read_counts[template])))
             continue
 
         if xml_out is not None:
@@ -2470,13 +2520,32 @@ def run_kma_mt1(db_prefix: str, output_prefix: str, input_files: List[str],
 def assemble_template(tindex: TemplateIndex, t_len: int, frags: List[Frag],
                       kmersize: int, cfg: MapConfig, rew: Penalty,
                       points: Points, name: str, frag_out, sam_out=None,
-                      xml_writer=None, xml_template: int = 0):
+                      xml_writer=None, xml_template: int = 0,
+                      force_skip: bool = False):
     """assemble_KMA for one template (assembly.c:1689-2127)."""
     from .out.writers import frag_row
 
     assem = Assem()
     matrix = AssemblyMatrix(t_len)
     Wl = rew.Wl
+
+    if cfg.sasm or force_skip:
+        # skip_assemble_KMA (assembly.c:1209-1315): no alignment; depth
+        # sums read lengths, SAM records are emitted unmapped-flagged
+        assem.len = t_len
+        for frag in frags:
+            assem.depth += frag.q_len
+            if sam_out is not None:
+                from .out.sam import sam_record
+                stats2 = [frag.best_hits, frag.flag | 4]
+                sam_record(frag.codes, frag.header, name, None, stats2,
+                           sam_out)
+        assem.cover = 0
+        assem.aln_len = 0
+        assem.t = np.empty(0, np.uint8)
+        assem.s = np.empty(0, np.uint8)
+        assem.q = np.empty(0, np.uint8)
+        return assem, matrix
 
     for frag in frags:
         codes = frag.codes

@@ -152,3 +152,82 @@ def test_ck_pe_parity(tmp_path, messy_pairs, db50_index_mod, ref_bin, pm):
     f1, f2 = messy_pairs
     _cmp(tmp_path, ref_bin, db50_index_mod,
          ["-ipe", str(f1), str(f2)], ["-ck", "-apm", pm])
+
+
+def test_sasm_and_unmapped_sam_parity(tmp_path, db50, db50_index_mod,
+                                      ref_bin):
+    """-sasm (skip assembly) + inline unmapped SAM records: .res rows come
+    from the skip path (runkma.c:835-857) and every unmapped read gets a
+    flag-4/20 record (savekmers.c:204-251, alnfrags.c:2261-2273).  SAM is
+    compared as a multiset: the reference's step-2/step-3 interleaving is
+    pipe-buffer timing, not semantics."""
+    import subprocess
+    import numpy as np
+    from kma_tpu.io.seq import parse_fasta
+    from kma_tpu.cli.main import main as kma_main
+    rng = np.random.default_rng(321)
+    recs = [c for _h, c in parse_fasta(str(db50))]
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as f:
+        for i in range(120):
+            if i % 3 == 0:  # junk read: unmapped
+                c = rng.integers(0, 4, int(rng.integers(60, 140)))
+            else:
+                t = recs[rng.integers(len(recs))]
+                ln = int(rng.integers(60, min(140, len(t))))
+                st = int(rng.integers(0, len(t) - ln))
+                c = t[st:st + ln].copy()
+                ne = rng.binomial(ln, 0.25 if i % 3 == 1 else 0.02)
+                pp = rng.integers(0, ln, ne)
+                c = c.copy()
+                c[pp] = (c[pp] + rng.integers(1, 4, ne)) % 4
+            f.write("@u%d\n%s\n+\n%s\n"
+                    % (i, "".join("ACGTN"[x] for x in c), "I" * len(c)))
+
+    for mode in ([], ["-sasm"]):
+        ref_out = tmp_path / ("ref" + str(len(mode)))
+        my_out = tmp_path / ("my" + str(len(mode)))
+        with open(str(ref_out) + ".sam", "w") as sam:
+            subprocess.run([str(ref_bin), "-i", str(fq), "-o", str(ref_out),
+                            "-t_db", db50_index_mod, "-sam"] + mode,
+                           stdout=sam, stderr=subprocess.DEVNULL,
+                           check=True)
+        import io, contextlib, sys as _sys
+        buf = io.BytesIO()
+        old = _sys.stdout
+
+        class SO:
+            buffer = buf
+
+            def write(self, t):
+                buf.write(t.encode())
+
+            def flush(self):
+                pass
+        with contextlib.redirect_stderr(io.StringIO()):
+            _sys.stdout = SO()
+            try:
+                rc = kma_main(["-i", str(fq), "-o", str(my_out), "-t_db",
+                               db50_index_mod, "-sam"] + mode)
+            finally:
+                _sys.stdout = old
+        assert rc == 0
+        (my_out.parent / (my_out.name + ".sam")).write_bytes(buf.getvalue())
+        for ext in (".res", ".fsa", ".aln"):
+            a = (ref_out.parent / (ref_out.name + ext)).read_bytes()
+            b = (my_out.parent / (my_out.name + ext)).read_bytes()
+            assert a == b, (mode, ext)
+
+        def recs_of(p):
+            lines = p.read_bytes().split(b"\n")
+            hdr = sorted(ln for ln in lines
+                         if ln.startswith(b"@") and not ln.startswith(b"@PG"))
+            rows = sorted(ln for ln in lines
+                          if ln and not ln.startswith(b"@"))
+            return hdr, rows
+        assert recs_of(ref_out.parent / (ref_out.name + ".sam")) \
+            == recs_of(my_out.parent / (my_out.name + ".sam")), mode
+        # the unmapped block must exist: junk reads get flag 20 records
+        _h, rows = recs_of(my_out.parent / (my_out.name + ".sam"))
+        flags = [int(r.split(b"\t")[1]) for r in rows]
+        assert flags.count(20) >= 30, mode
