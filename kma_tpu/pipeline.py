@@ -309,7 +309,7 @@ def aln_frags_union_pe(store: TemplateStore, matched: np.ndarray,
                        scoreT: float, mrc: float, min_frac: float,
                        rew: Penalty, points: Points, alignment_scores,
                        uniq_alignment_scores,
-                       arc: bool = False) -> List[FragRecord]:
+                       arc: bool = False, sam_cb=None) -> List[FragRecord]:
     """alnFragsUnionPE (alnfrags.c:1220-1594).
 
     arc (points->len, set when the pair record's rc_flag is negative --
@@ -436,7 +436,15 @@ def aln_frags_union_pe(store: TemplateStore, matched: np.ndarray,
         else:
             scores2[t_i] = 0
 
+    # qseq bytes at emission time, and after an emission-time strrc
+    cur_a = (rc_a if flipped else codes_a) if not arc else codes_a
+    cur_b = (rc_b if flipped else codes_b) if not arc else codes_b
     if not best1 and not best2:
+        # both mates fail: the worker reports both unmapped with the
+        # UNmutated anker flags (alnfrags.c:1593 return 3 + :2261-2273)
+        if sam_cb is not None:
+            sam_cb(cur_a, header_a, flag_a)
+            sam_cb(cur_b, header_b, flag_b)
         return []
     # rc marker (alnfrags.c:1402-1407): arc scans the (mutated) tid signs;
     # non-arc rc==0 iff the reads were scan-flipped in place
@@ -444,9 +452,6 @@ def aln_frags_union_pe(store: TemplateStore, matched: np.ndarray,
         rc_state = any(t < 0 for t in tids)
     else:
         rc_state = not flipped
-    # qseq bytes at emission time, and after an emission-time strrc
-    cur_a = (rc_a if flipped else codes_a) if not arc else codes_a
-    cur_b = (rc_b if flipped else codes_b) if not arc else codes_b
     res_a = codes_a if not arc else rc_a
     res_b = codes_b if not arc else rc_b
     recs: List[FragRecord] = []
@@ -553,6 +558,8 @@ def aln_frags_union_pe(store: TemplateStore, matched: np.ndarray,
                                      stl, enl, best1, header_a, fa,
                                      alignment_scores,
                                      uniq_alignment_scores))
+        if sam_cb is not None:  # mate b unmapped (return 2)
+            sam_cb(cur_b, header_b, fb)
         return recs
     # reverse only (alnfrags.c:1553-1590)
     ids, sc, stl, enl = [], [], [], []
@@ -578,6 +585,8 @@ def aln_frags_union_pe(store: TemplateStore, matched: np.ndarray,
     recs.append(update_scores_se(seq_b, len(seq_b), min_frac, ids, sc, stl,
                                  enl, best2, header_b, fb, alignment_scores,
                                  uniq_alignment_scores))
+    if sam_cb is not None:  # mate a unmapped (return 1)
+        sam_cb(cur_a, header_a, fa)
     return recs
 
 
@@ -587,8 +596,8 @@ def aln_frags_penalty_pe(store: TemplateStore, matched: np.ndarray,
                          flag_b: int, arc: bool, kmersize: int, minlen: int,
                          mq: int, scoreT: float, mrc: float,
                          min_frac: float, rew: Penalty, points: Points,
-                         alignment_scores, uniq_alignment_scores
-                         ) -> List[FragRecord]:
+                         alignment_scores, uniq_alignment_scores,
+                         sam_cb=None) -> List[FragRecord]:
     """alnFragsPenaltyPE (alnfrags.c:1596-1972): both mates scored per
     candidate; a pair is accepted when the best combined score + PE beats
     minFrac * (best1 + best2)."""
@@ -717,6 +726,11 @@ def aln_frags_penalty_pe(store: TemplateStore, matched: np.ndarray,
             compScore = read_score + scores1[t_i]
 
     if not best1 and not best2:
+        if sam_cb is not None:  # both unmapped (return 3 + worker write)
+            cu_a = (rc_a if flipped else codes_a) if not arc else codes_a
+            cu_b = (rc_b if flipped else codes_b) if not arc else codes_b
+            sam_cb(cu_a, header_a, flag_a)
+            sam_cb(cu_b, header_b, flag_b)
         return []
     # rc orientation marker (alnfrags.c:1778-1783): non-arc rc==0 means
     # the reads were scan-flipped in place; arc rc from the tid signs
@@ -831,6 +845,8 @@ def aln_frags_penalty_pe(store: TemplateStore, matched: np.ndarray,
                                      stl, enl, best1, header_a, fa,
                                      alignment_scores,
                                      uniq_alignment_scores))
+        if sam_cb is not None:  # mate b unmapped (return 2)
+            sam_cb(cur_b, header_b, fb)
         return recs
     ids, sc, stl, enl = [], [], [], []
     for t_i in range(n):
@@ -855,6 +871,8 @@ def aln_frags_penalty_pe(store: TemplateStore, matched: np.ndarray,
     recs.append(update_scores_se(seq_b, len(seq_b), min_frac, ids, sc, stl,
                                  enl, best2, header_b, fb, alignment_scores,
                                  uniq_alignment_scores))
+    if sam_cb is not None:  # mate a unmapped (return 1)
+        sam_cb(cur_a, header_a, fa)
     return recs
 
 
@@ -864,7 +882,8 @@ def aln_frags_force_pe(store: TemplateStore, matched: np.ndarray,
                        flag_b: int, arc: bool, kmersize: int, minlen: int,
                        mq: int, scoreT: float, mrc: float, min_frac: float,
                        rew: Penalty, points: Points, alignment_scores,
-                       uniq_alignment_scores) -> List[FragRecord]:
+                       uniq_alignment_scores,
+                       sam_cb=None) -> List[FragRecord]:
     """alnFragsForcePE (alnfrags.c:1974-2148): a template survives only
     when BOTH mates align to it; combined scores spool as one pair."""
     Wl = -rew.Wl
@@ -942,6 +961,11 @@ def aln_frags_force_pe(store: TemplateStore, matched: np.ndarray,
             if best < read_score:
                 best = read_score
     if not best:
+        if sam_cb is not None:  # both unmapped (alnfrags.c:2147 return 3)
+            cu_a = (rc_a if flipped else codes_a) if not arc else codes_a
+            cu_b = (rc_b if flipped else codes_b) if not arc else codes_b
+            sam_cb(cu_a, header_a, flag_a)
+            sam_cb(cu_b, header_b, flag_b)
         return []
     # alnfrags.c:2126-2143: the stored ids are positive, so the reads are
     # strrc'd back (non-arc) or flipped (arc) with a 48-flag toggle
@@ -1547,7 +1571,10 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                 else get_kmers_for_pair_sparse
 
         def _se_fallback(r):
-            for hit in scan_one(r):
+            hits = scan_one(r)
+            if not hits and sam_un is not None:
+                sam_unmapped(r.codes, r.header, _un_flag)
+            for hit in hits:
                 handle_se_anker(hit.codes, hit.n_positions, hit.rc_flag,
                                 hit.templates, hit.header, hit.flag,
                                 hit.rc_override)
@@ -1570,6 +1597,39 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                 cfg.exhaustive, scanner.Score, scanner.Score_r,
                 scanner.extendScore, scanner.include, proxi=scan_proxi,
                 pair_fn=pair_inner, rev=sparse_rev)
+            if sam_un is not None and pa is not None and pa.unmapped:
+                # PE unmapped flags (savekmers.c:205-247)
+                um = pa.unmapped
+                force = cfg.pair_mode == "f"
+                if um & 1:
+                    fl = 4 | 65
+                    if (um & 2) or force:
+                        fl |= 8
+                    if not pseudo_db:
+                        fl |= 16
+                        if (fl & 8) and (um & 2):
+                            fl |= 32
+                    # the pair scan leaves the unmapped mate RC'd
+                    # (comp_rc, savekmers.c:471); pseudo-sparse stays fw
+                    sam_unmapped(r1.codes if pseudo_db
+                                 else rc_codes(r1.codes), r1.header, fl)
+                if (um & 2) or (force and (um & 1)):
+                    fl = 4 | 129
+                    if um & 1:
+                        fl |= 8
+                    if not pseudo_db:
+                        if um & 2:
+                            fl |= 16
+                        if fl & 8:
+                            fl |= 32
+                    # force-pair partner emission (mate2 actually mapped,
+                    # um&1 only): the scan printed mate2 and left it FW;
+                    # a genuinely unmapped mate2 stays scan-RC'd
+                    if pseudo_db or not (um & 2):
+                        seq2 = r2.codes
+                    else:
+                        seq2 = rc_codes(r2.codes)
+                    sam_unmapped(seq2, r2.header, fl)
             if pa is None or not pa.records:
                 continue
             if sparse_db:
@@ -1602,22 +1662,29 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                             h_a, h_b, f_a, f_b, int(sc_a) < 0, kmersize,
                             cfg.min_len, cfg.mq, cfg.score_t, cfg.mrc,
                             cfg.min_frac, rew, points, alignment_scores,
-                            uniq_alignment_scores)
+                            uniq_alignment_scores,
+                            sam_cb=sam_unmapped if sam_un is not None
+                            else None)
                     elif cfg.fpm == "f":
                         recs = aln_frags_force_pe(
                             store, np.asarray(tl, np.int64), c_a, c_b,
                             h_a, h_b, f_a, f_b, int(sc_a) < 0, kmersize,
                             cfg.min_len, cfg.mq, cfg.score_t, cfg.mrc,
                             cfg.min_frac, rew, points, alignment_scores,
-                            uniq_alignment_scores)
+                            uniq_alignment_scores,
+                            sam_cb=sam_unmapped if sam_un is not None
+                            else None)
                     else:
                         recs = aln_frags_union_pe(
                             store, np.asarray(tl, np.int64), c_a, c_b,
                             h_a, h_b, f_a, f_b, kmersize, cfg.min_len,
                             cfg.mq, cfg.score_t, cfg.mrc, cfg.min_frac,
                             rew, points, alignment_scores,
-                            uniq_alignment_scores, arc=int(sc_a) < 0)
+                            uniq_alignment_scores, arc=int(sc_a) < 0,
+                            sam_cb=sam_unmapped if sam_un is not None
+                            else None)
                     records.extend(recs)
+                    rec_ords.extend([_cur_ord[0]] * len(recs))
                     for rec in recs:
                         dump_all_frag(rec.codes, abs(rec.best_hits),
                                       abs(rec.score), rec.starts, rec.ends,

@@ -231,3 +231,51 @@ def test_sasm_and_unmapped_sam_parity(tmp_path, db50, db50_index_mod,
         _h, rows = recs_of(my_out.parent / (my_out.name + ".sam"))
         flags = [int(r.split(b"\t")[1]) for r in rows]
         assert flags.count(20) >= 30, mode
+
+
+@pytest.mark.parametrize("pm", [[], ["-pm", "p"], ["-pm", "f"]])
+def test_pe_unmapped_sam_parity(tmp_path, messy_pairs, db50_index_mod,
+                                ref_bin, pm):
+    """PE unmapped SAM flag composition (savekmers.c:205-247) incl. the
+    force-pair partner emission; multiset comparison."""
+    import io
+    import contextlib
+    import subprocess
+    import sys as _sys
+    from kma_tpu.cli.main import main as kma_main
+    f1, f2 = messy_pairs
+    ref_out = tmp_path / "ref"
+    my_out = tmp_path / "my"
+    with open(str(ref_out) + ".sam", "w") as sam:
+        subprocess.run([str(ref_bin), "-ipe", str(f1), str(f2), "-o",
+                        str(ref_out), "-t_db", db50_index_mod, "-sam"] + pm,
+                       stdout=sam, stderr=subprocess.DEVNULL, check=True)
+    buf = io.BytesIO()
+    old = _sys.stdout
+
+    class SO:
+        buffer = buf
+
+        def write(self, t):
+            buf.write(t.encode())
+
+        def flush(self):
+            pass
+    with contextlib.redirect_stderr(io.StringIO()):
+        _sys.stdout = SO()
+        try:
+            rc = kma_main(["-ipe", str(f1), str(f2), "-o", str(my_out),
+                           "-t_db", db50_index_mod, "-sam"] + pm)
+        finally:
+            _sys.stdout = old
+    assert rc == 0
+    (my_out.parent / (my_out.name + ".sam")).write_bytes(buf.getvalue())
+
+    def recs_of(p):
+        lines = p.read_bytes().split(b"\n")
+        hdr = sorted(ln for ln in lines
+                     if ln.startswith(b"@") and not ln.startswith(b"@PG"))
+        rows = sorted(ln for ln in lines if ln and not ln.startswith(b"@"))
+        return hdr, rows
+    assert recs_of(ref_out.parent / (ref_out.name + ".sam")) \
+        == recs_of(my_out.parent / (my_out.name + ".sam"))
