@@ -113,6 +113,16 @@ def get_lib():
         ctypes.c_double, ctypes.c_double, ctypes.c_int,
         i32p, i64p, f64p,                # nhits, best_score, best_frac
         i32p, i32p, i32p, i64p, i32p]    # tpl, start, end, score, len
+    lib.kaln_pe_score_batch.restype = None
+    lib.kaln_pe_score_batch.argtypes = [
+        vpp, i32p, i64p,                 # handles, tpl ids, tpl offsets
+        u8p, i64p, u8p, i64p,            # mate1/mate2 codes + offsets
+        u8p, ctypes.c_int,               # arc flags, n_pairs
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
+        ctypes.c_int, ctypes.c_int,      # mq, threads
+        i64p, i32p, i32p, i32p, i32p,    # sc1, pos1, len1, tg1, qg1
+        i64p, i32p, i32p, i32p, i32p,    # sc2, pos2, len2, tg2, qg2
+        u8p]                             # flipped
     _lib = lib
     return _lib
 
@@ -148,6 +158,7 @@ def _as_i32(a) -> np.ndarray:
 
 
 _d_cache = {}
+_pe_scratch: dict = {}
 
 
 def _dmat(d: np.ndarray) -> np.ndarray:
@@ -260,3 +271,47 @@ def anker_rc_bytes(tindex, qseq, qseq_r, q_len, q_start, q_end, points,
                                   q_end, one2one, _i32p(n_out))
     points.len = int(n_out[0])
     return res
+
+
+def pe_score_batch(handles: np.ndarray, tpl_ids: np.ndarray,
+                   tpl_off: np.ndarray, a_flat, a_off, b_flat, b_off,
+                   arcs: np.ndarray, rew, mq: int, threads: int):
+    """Batched PE mate scoring (alnFrags*PE inner loops): raw per-mate
+    AlnStat fields per (pair, template) slot; tpl_ids is sign-mutated in
+    place by the arc orientation picks.  Returns (sc1, pos1, len1, tg1,
+    qg1, sc2, pos2, len2, tg2, qg2, flipped)."""
+    lib = get_lib()
+    n_pairs = len(arcs)
+    total = int(tpl_off[-1])
+    # reusable scratch (the caller consumes the views before the next
+    # call; the pipeline is single-threaded on the Python side)
+    sc = _pe_scratch
+    if sc.get("cap", -1) < total or sc.get("pcap", -1) < n_pairs:
+        cap = max(256, 2 * total)
+        pcap = max(64, 2 * n_pairs)
+        sc["cap"] = cap
+        sc["pcap"] = pcap
+        sc["i64"] = [np.zeros(cap, np.int64) for _ in range(2)]
+        sc["i32"] = [np.zeros(cap, np.int32) for _ in range(8)]
+        sc["u8"] = np.zeros(pcap, np.uint8)
+    sc1, sc2 = (a[:total] for a in sc["i64"])
+    pos1, len1, tg1, qg1, pos2, len2, tg2, qg2 = \
+        (a[:total] for a in sc["i32"])
+    flipped = sc["u8"][:n_pairs]
+    i64pp = ctypes.POINTER(ctypes.c_int64)
+    vpp = ctypes.POINTER(ctypes.c_void_p)
+    d = _dmat(rew.d)
+    lib.kaln_pe_score_batch(
+        handles.ctypes.data_as(vpp), _i32p(tpl_ids),
+        tpl_off.ctypes.data_as(i64pp),
+        _u8p(a_flat), a_off.ctypes.data_as(i64pp),
+        _u8p(b_flat), b_off.ctypes.data_as(i64pp),
+        _u8p(arcs), n_pairs,
+        rew.M, rew.MM, rew.U, rew.W1, _i32p(d),
+        mq, max(1, threads),
+        sc1.ctypes.data_as(i64pp), _i32p(pos1), _i32p(len1), _i32p(tg1),
+        _i32p(qg1),
+        sc2.ctypes.data_as(i64pp), _i32p(pos2), _i32p(len2), _i32p(tg2),
+        _i32p(qg2),
+        _u8p(flipped))
+    return (sc1, pos1, len1, tg1, qg1, sc2, pos2, len2, tg2, qg2, flipped)

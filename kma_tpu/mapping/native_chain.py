@@ -101,6 +101,13 @@ def get_lib():
         _i32p, _u8p, _i64p, _i32p, _i32p, _i64p, _i32p,
         ctypes.c_int, ctypes.c_longlong,
     ]
+    lib.kchain_pair_mate.restype = ctypes.c_int
+    lib.kchain_pair_mate.argtypes = [
+        _vp, _u8p, ctypes.c_int, ctypes.c_int,
+        _i64p, _i64p, _i64p, _u8p,
+        _i32p, ctypes.POINTER(ctypes.c_int),
+        _i32p, ctypes.POINTER(ctypes.c_int),
+    ]
     lib.kchain_scan_batch_dev.restype = ctypes.c_int
     lib.kchain_scan_batch_dev.argtypes = [
         _vp, _u8p, _i64p, ctypes.c_int,
@@ -130,6 +137,8 @@ class NativeChain:
         self._pen = pen
         self._clones: list = []
         self._wss: list = []
+        self._pair_b = None
+        self._pair_br = None
         # contiguous views (mmap/shm-backed arrays already are)
         self._exist = np.ascontiguousarray(idx.exist)
         self._values = np.ascontiguousarray(idx.values)
@@ -345,6 +354,29 @@ class NativeChain:
             r0 += consumed
         return results
 
+    def pair_mate(self, codes: np.ndarray, exhaustive: bool,
+                  Score: np.ndarray, Score_r: np.ndarray,
+                  extendScore: np.ndarray, include: np.ndarray):
+        """get_kmers_for_pair (savekmers.c:427-688) via the native
+        engine; Score/Score_r are left FILLED for the pair combiners."""
+        if self._pair_b is None:
+            n = len(self._tl) + 2
+            self._pair_b = np.zeros(n, np.int32)
+            self._pair_br = np.zeros(n, np.int32)
+        codes = np.ascontiguousarray(codes, np.uint8)
+        nb = ctypes.c_int(0)
+        nbr = ctypes.c_int(0)
+        cnt = self._lib.kchain_pair_mate(
+            self._h, codes.ctypes.data_as(_u8p), len(codes),
+            1 if exhaustive else 0,
+            Score.ctypes.data_as(_i64p), Score_r.ctypes.data_as(_i64p),
+            extendScore.ctypes.data_as(_i64p),
+            include.ctypes.data_as(_u8p),
+            self._pair_b.ctypes.data_as(_i32p), ctypes.byref(nb),
+            self._pair_br.ctypes.data_as(_i32p), ctypes.byref(nbr))
+        return (cnt, self._pair_b[:nb.value].tolist(),
+                self._pair_br[:nbr.value].tolist())
+
     def _ws(self, t):
         """Per-thread Score/extendScore/include workspaces."""
         while len(self._wss) <= t:
@@ -405,6 +437,22 @@ class NativeChain:
                 self._alloc()
             r0 += consumed
         return results
+
+
+_engine_cache: dict = {}
+
+
+def engine_for(idx: KmaIndex, pen: Penalties) -> Optional["NativeChain"]:
+    """Cached per-index engine for ad-hoc native calls (pair scanning);
+    the cache entry pins idx so the id() key stays valid."""
+    key = (id(idx), pen.M, pen.MM, pen.U, pen.W1, pen.Wl)
+    hit = _engine_cache.get(key)
+    if hit is not None:
+        return hit[1]
+    eng = make_native_chain(idx, pen,
+                            np.asarray(idx.template_lengths, np.int64))
+    _engine_cache[key] = (idx, eng)
+    return eng
 
 
 def make_native_chain(idx: KmaIndex, pen: Penalties,

@@ -34,6 +34,11 @@ def get_kmers_for_pair(idx: KmaIndex, codes: np.ndarray, rewards: Penalties,
     M, MM, U, W1 = rewards.M, rewards.MM, rewards.U, rewards.W1
     if len(codes) < k:
         return 0, [], []
+    from .native_chain import engine_for
+    eng = engine_for(idx, rewards)
+    if eng is not None:
+        return eng.pair_mate(codes, exhaustive, Score, Score_r,
+                             extendScore, include)
     extendScore[0] = 0  # clear the sparse-pair side flag (savekmers.c:455)
 
     bestSeqCount = 0

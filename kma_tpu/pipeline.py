@@ -302,6 +302,50 @@ def update_scores_pe(codes, q_len, mate_codes, mate_len, min_frac, ids,
                       mate_header=mate_header, mate_flag=mate_flag)
 
 
+
+def _pe_gate(read_score, aln, pos, tg, qg, q_len, t_len, minlen, mrc, Wl):
+    """Per-mate PE gate + full-gene Wl bonus (alnfrags.c:1320-1344):
+    returns (read_score-or-0, score, start, end)."""
+    score = 0.0
+    start = end = 0
+    if (minlen <= aln and 0 < read_score
+            and (mrc * q_len <= aln - qg or mrc * t_len <= aln - tg)):
+        start = pos
+        end = pos + aln - tg
+        if start == 0:
+            read_score += Wl
+        if end == t_len:
+            read_score += Wl
+        score = 1.0 * read_score / aln
+    else:
+        read_score = 0
+    return read_score, score, start, end
+
+
+def _pe_native_stats(store, tids, codes_a, codes_b, arc, mq, rew):
+    """Raw per-(pair, template) mate AlnStats via the native batch scorer
+    (kaln_pe_score_batch); mutates tids for arc picks.  None = take the
+    Python scoring loop."""
+    from .align import native_aln as _nat
+    if _nat.get_lib() is None or os.environ.get("KMA_TPU_NO_NATIVE"):
+        return None
+    n = len(tids)
+    handles = np.empty(n, np.uint64)
+    for i, t in enumerate(tids):
+        handles[i] = _nat.native_handle(store.get(abs(int(t))))
+    tpl = np.asarray(tids, np.int32)
+    off = np.array([0, n], np.int64)
+    a = np.ascontiguousarray(codes_a, np.uint8)
+    b = np.ascontiguousarray(codes_b, np.uint8)
+    a_off = np.array([0, len(a)], np.int64)
+    b_off = np.array([0, len(b)], np.int64)
+    arcs = np.array([1 if arc else 0], np.uint8)
+    out = _nat.pe_score_batch(handles, tpl, off, a, a_off, b, b_off,
+                              arcs, rew, mq, 1)
+    tids[:] = tpl.tolist()
+    return out
+
+
 def aln_frags_union_pe(store: TemplateStore, matched: np.ndarray,
                        codes_a: np.ndarray, codes_b: np.ndarray,
                        header_a: bytes, header_b: bytes, flag_a: int,
@@ -333,7 +377,46 @@ def aln_frags_union_pe(store: TemplateStore, matched: np.ndarray,
     flipped = False
     tids = matched.tolist()
 
-    for t_i in range(n):
+    nat = _pe_native_stats(store, tids, codes_a, codes_b, arc, mq, rew)
+    if nat is not None:
+        sc1, po1, ln1, tg1, qg1, sc2, po2, ln2, tg2, qg2, flp = nat
+        flipped = bool(flp[0])
+        for t_i in range(n):
+            t_len = store.get(abs(tids[t_i])).len
+            rs, score, start, end = _pe_gate(
+                int(sc1[t_i]), int(ln1[t_i]), int(po1[t_i]),
+                int(tg1[t_i]), int(qg1[t_i]), len(codes_a), t_len,
+                minlen, mrc, Wl)
+            if rs > kmersize and score >= scoreT:
+                scores1[t_i] = rs
+                starts[t_i] = start
+                ends[t_i] = end
+                if best1 < rs:
+                    best1 = rs
+            else:
+                scores1[t_i] = 0
+                starts[t_i] = -1
+                ends[t_i] = -1
+            rs, score, start, end = _pe_gate(
+                int(sc2[t_i]), int(ln2[t_i]), int(po2[t_i]),
+                int(tg2[t_i]), int(qg2[t_i]), len(codes_b), t_len,
+                minlen, mrc, Wl)
+            if rs > kmersize and score >= scoreT:
+                scores2[t_i] = rs
+                if scores1[t_i]:
+                    if start < starts[t_i]:
+                        starts[t_i] = start
+                    else:
+                        ends[t_i] = end
+                else:
+                    starts[t_i] = start
+                    ends[t_i] = end
+                if best2 < rs:
+                    best2 = rs
+            else:
+                scores2[t_i] = 0
+
+    for t_i in (range(n) if nat is None else ()):
         template = tids[t_i]
         if template < 0 and not flipped and not arc:
             flipped = True
@@ -626,7 +709,50 @@ def aln_frags_penalty_pe(store: TemplateStore, matched: np.ndarray,
                              n_positions=npos_cur)
         return st
 
-    for t_i in range(n):
+    nat = _pe_native_stats(store, tids, codes_a, codes_b, arc, mq, rew)
+    if nat is not None:
+        sc1, po1, ln1, tg1, qg1, sc2, po2, ln2, tg2, qg2, flp = nat
+        flipped = bool(flp[0])
+        for t_i in range(n):
+            t_len = store.get(abs(tids[t_i])).len
+            rs, score, start, end = _pe_gate(
+                int(sc1[t_i]), int(ln1[t_i]), int(po1[t_i]),
+                int(tg1[t_i]), int(qg1[t_i]), len(codes_a), t_len,
+                minlen, mrc, Wl)
+            if rs > kmersize and score >= scoreT:
+                scores1[t_i] = rs
+                starts[t_i] = start
+                ends[t_i] = end
+                if best1 < rs:
+                    best1 = rs
+            else:
+                scores1[t_i] = 0
+                starts[t_i] = -1
+                ends[t_i] = -1
+            rs, score, start, end = _pe_gate(
+                int(sc2[t_i]), int(ln2[t_i]), int(po2[t_i]),
+                int(tg2[t_i]), int(qg2[t_i]), len(codes_b), t_len,
+                minlen, mrc, Wl)
+            if rs > kmersize and score >= scoreT:
+                scores2[t_i] = rs
+                if scores1[t_i]:
+                    if start < starts[t_i]:
+                        starts[t_i] = start
+                    else:
+                        ends[t_i] = end
+                else:
+                    starts[t_i] = start
+                    ends[t_i] = end
+                if best2 < rs:
+                    best2 = rs
+            else:
+                scores2[t_i] = 0
+            # compScore uses the PRE-threshold mate2 score
+            # (alnfrags.c:1784 keeps read_score across the gate)
+            if compScore < rs + scores1[t_i]:
+                compScore = rs + scores1[t_i]
+
+    for t_i in (range(n) if nat is None else ()):
         template = tids[t_i]
         if template < 0 and not flipped and not arc:
             flipped = True
@@ -899,7 +1025,46 @@ def aln_frags_force_pe(store: TemplateStore, matched: np.ndarray,
     best = 0
     flipped = False
     tids = matched.tolist()
-    for t_i in range(n):
+
+    nat = _pe_native_stats(store, tids, codes_a, codes_b, arc, mq, rew)
+    if nat is not None:
+        sc1, po1, ln1, tg1, qg1, sc2, po2, ln2, tg2, qg2, flp = nat
+        flipped = bool(flp[0])
+        for t_i in range(n):
+            t = abs(tids[t_i])
+            t_len = store.get(t).len
+            s1, l1 = int(sc1[t_i]), int(ln1[t_i])
+            if not (0 < s1 and minlen <= l1
+                    and (mrc * len(codes_a) <= l1 - int(qg1[t_i])
+                         or mrc * t_len <= l1 - int(tg1[t_i]))):
+                continue
+            s2, l2 = int(sc2[t_i]), int(ln2[t_i])
+            if not (0 < s2 and minlen <= l2
+                    and (mrc * len(codes_b) <= l2 - int(qg2[t_i])
+                         or mrc * t_len <= l2 - int(tg2[t_i]))):
+                continue
+            aln_len = l1 + l2
+            if int(po1[t_i]) < int(po2[t_i]):
+                start = int(po1[t_i])
+                end = int(po2[t_i]) + l2 - int(tg2[t_i])
+            else:
+                start = int(po2[t_i])
+                end = int(po1[t_i]) + l1 - int(tg1[t_i])
+            read_score = s1 + s2
+            if start == 0:
+                read_score += Wl
+            if end == t_len:
+                read_score += Wl
+            score = 1.0 * read_score / aln_len
+            if read_score > kmersize and score >= scoreT:
+                ids.append(t)  # abs stored (alnfrags.c:2105)
+                sc_l.append(read_score)
+                st_l.append(start)
+                en_l.append(end)
+                if best < read_score:
+                    best = read_score
+
+    for t_i in (range(n) if nat is None else ()):
         template = tids[t_i]
         if template < 0 and not flipped and not arc:
             flipped = True

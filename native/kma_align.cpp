@@ -1681,3 +1681,151 @@ extern "C" void kaln_frags_se_batch(
     for (int i = 0; i < nt; i++) th.emplace_back(worker);
     for (auto& t : th) t.join();
 }
+
+// ------------------------------------------------- batched PE mate scoring
+//
+// The shared per-(pair, template) mate scoring of alnFragsUnionPE /
+// PenaltyPE / ForcePE (alnfrags.c:1246-1404, 1660-1786, 2010-2125): both
+// mates KMA_score'd per candidate with the reference orientation rules
+// (prefix-flip on the first negative id, or per-template anker_rc in arc
+// mode, which sign-mutates tpl_ids like alnfrags.c:1286).  RAW AlnStat
+// fields per mate are returned; the Python combiners apply each mode's
+// gates, Wl bonuses and pairing logic.
+extern "C" void kaln_pe_score_batch(
+    void* const* handles,        // [total_tpl] TIndex*
+    int32_t* tpl_ids,            // [total_tpl] signed; MUTATED (arc)
+    const int64_t* tpl_off,      // [n_pairs+1]
+    const uint8_t* a_flat, const int64_t* a_off,
+    const uint8_t* b_flat, const int64_t* b_off,
+    const uint8_t* arc_flags,    // [n_pairs]
+    int n_pairs,
+    int M, int MM, int U, int W1, const int32_t* dmat,
+    int mq, int n_threads,
+    long long* o_sc1, int32_t* o_pos1, int32_t* o_len1,
+    int32_t* o_tg1, int32_t* o_qg1,
+    long long* o_sc2, int32_t* o_pos2, int32_t* o_len2,
+    int32_t* o_tg2, int32_t* o_qg2,
+    uint8_t* out_flipped) {      // [n_pairs] final flip state
+    Penal pen;
+    pen.M = M; pen.MM = MM; pen.U = U; pen.W1 = W1;
+    for (int a = 0; a < 5; a++)
+        for (int b = 0; b < 5; b++)
+            pen.d[a][b] = dmat[a * 5 + b];
+
+    std::atomic<int> next(0);
+    auto worker = [&]() {
+        Points pts;
+        std::vector<uint8_t> Ebuf;
+        std::vector<ll> Dbuf;
+        std::vector<uint8_t> rca, rcb;
+        std::vector<int32_t> npa, npar, npb, npbr;
+        for (;;) {
+            int r = next.fetch_add(1);
+            if (r >= n_pairs) break;
+            const uint8_t* qa = a_flat + a_off[r];
+            int la = (int)(a_off[r + 1] - a_off[r]);
+            const uint8_t* qb = b_flat + b_off[r];
+            int lb = (int)(b_off[r + 1] - b_off[r]);
+            rca.resize(la); rcb.resize(lb);
+            npa.clear(); npb.clear();
+            for (int i = 0; i < la; i++) {
+                uint8_t c = qa[la - 1 - i];
+                rca[i] = c < 4 ? (uint8_t)(3 - c) : c;
+                if (qa[i] == 4) npa.push_back(i);
+            }
+            for (int i = 0; i < lb; i++) {
+                uint8_t c = qb[lb - 1 - i];
+                rcb[i] = c < 4 ? (uint8_t)(3 - c) : c;
+                if (qb[i] == 4) npb.push_back(i);
+            }
+            npar.resize(npa.size());
+            for (size_t i = 0; i < npa.size(); i++)
+                npar[i] = la - 1 - npa[npa.size() - 1 - i];
+            npbr.resize(npb.size());
+            for (size_t i = 0; i < npb.size(); i++)
+                npbr[i] = lb - 1 - npb[npb.size() - 1 - i];
+            bool arc = arc_flags[r] != 0;
+            bool flipped = false;
+            long long base = tpl_off[r];
+            int ncand = (int)(tpl_off[r + 1] - base);
+            for (int ci = 0; ci < ncand; ci++) {
+                long long slot = base + ci;
+                TIndex& T = *(TIndex*)handles[slot];
+                int tmpl = tpl_ids[slot];
+                if (tmpl < 0 && !flipped && !arc) flipped = true;
+                const uint8_t* cur_a; const int32_t* na; int nna;
+                const uint8_t* cur_b; const int32_t* nb; int nnb;
+                pts.clear_all();
+                pts.len = 0;
+                int use_pts = 0;
+                if (arc) {
+                    int npout = 0;
+                    int rc = anker_rc_comp_impl(
+                        T, qa, rca.data(), npa.data(), (int)npa.size(),
+                        npar.data(), (int)npar.size(), la, 0, la, 1,
+                        &npout, pts);
+                    pts.len = npout;
+                    use_pts = pts.len ? 1 : 0;
+                    if (rc < 0) {
+                        cur_a = rca.data(); na = npar.data();
+                        nna = (int)npar.size();
+                        cur_b = rcb.data(); nb = npbr.data();
+                        nnb = (int)npbr.size();
+                    } else if (rc > 0) {
+                        tpl_ids[slot] = -tpl_ids[slot];
+                        cur_a = qa; na = npa.data(); nna = (int)npa.size();
+                        cur_b = qb; nb = npb.data(); nnb = (int)npb.size();
+                    } else {
+                        cur_a = cur_b = nullptr;
+                        na = nb = nullptr; nna = nnb = 0;
+                    }
+                } else {
+                    cur_a = flipped ? rca.data() : qa;
+                    na = flipped ? npar.data() : npa.data();
+                    nna = (int)npa.size();
+                    cur_b = flipped ? rcb.data() : qb;
+                    nb = flipped ? npbr.data() : npb.data();
+                    nnb = (int)npb.size();
+                }
+                AlnStat st;
+                st.score = 0; st.pos = 0; st.len = 0; st.match = 0;
+                st.tGaps = 0; st.qGaps = 0; st.mapQ = 0;
+                if (cur_a) {
+                    kaln_align_impl(T, cur_a, la, 0, la, 0, 0, mq, pen,
+                                    na, nna, 0, use_pts, 0, 0, 0, pts,
+                                    Ebuf, Dbuf, nullptr, &st);
+                }
+                o_sc1[slot] = st.score;
+                o_pos1[slot] = st.pos;
+                o_len1[slot] = st.len;
+                o_tg1[slot] = st.tGaps;
+                o_qg1[slot] = st.qGaps;
+                // mate 2 (fresh seed state; alnfrags points->len = 0)
+                pts.clear_all();
+                pts.len = 0;
+                st.score = 0; st.pos = 0; st.len = 0; st.match = 0;
+                st.tGaps = 0; st.qGaps = 0; st.mapQ = 0;
+                if (cur_b) {
+                    kaln_align_impl(T, cur_b, lb, 0, lb, 0, 0, mq, pen,
+                                    nb, nnb, 0, 0, 0, 0, 0, pts,
+                                    Ebuf, Dbuf, nullptr, &st);
+                }
+                o_sc2[slot] = st.score;
+                o_pos2[slot] = st.pos;
+                o_len2[slot] = st.len;
+                o_tg2[slot] = st.tGaps;
+                o_qg2[slot] = st.qGaps;
+            }
+            out_flipped[r] = flipped ? 1 : 0;
+        }
+    };
+    int nt = n_threads < 1 ? 1 : n_threads;
+    if (nt == 1) {
+        worker();
+        return;
+    }
+    std::vector<std::thread> th;
+    th.reserve(nt);
+    for (int i = 0; i < nt; i++) th.emplace_back(worker);
+    for (auto& t : th) t.join();
+}
