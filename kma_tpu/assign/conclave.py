@@ -111,6 +111,75 @@ class RecordSpool:
         yield from self.mem
 
 
+class FragSpool:
+    """-mf-bounded per-template fragment store (conclave.c:196-208,
+    printFrags frags.c:30-62): when the in-memory fragment count passes
+    max_frag, the current per-template lists are drained template-sorted
+    (each list LIFO, matching the reference's linked-list drain) into a
+    tmpfile "flush chunk".  Assembly consumes templates in ascending id
+    order (runkma.c:736), so each spill file needs only one forward
+    cursor and resident memory stays bounded by max_frag."""
+
+    def __init__(self, max_frag: int = 1000000, tmpdir=None):
+        self.max_frag = max(1, max_frag)
+        self.tmpdir = tmpdir
+        self.mem: Dict[int, List[Frag]] = {}
+        self.n_mem = 0
+        self.files: list = []
+        self._cursors = None
+
+    def append(self, template: int, frag: "Frag") -> None:
+        self.mem.setdefault(template, []).append(frag)
+        self.n_mem += 1
+
+    def maybe_flush(self) -> None:
+        """Flush check AFTER a whole record incl. its PE mate
+        (conclave.c:196 runs after the mate block, so pairs never split
+        across chunks)."""
+        if self.n_mem >= self.max_frag:
+            self._flush()
+
+    def _flush(self) -> None:
+        import pickle
+        import tempfile
+        f = tempfile.TemporaryFile(dir=self.tmpdir,
+                                   prefix="kma_frag_lists_")
+        for t in sorted(self.mem):
+            lst = self.mem[t]
+            lst.reverse()  # LIFO drain (frags.c:40-56)
+            pickle.dump((t, lst), f, protocol=pickle.HIGHEST_PROTOCOL)
+        pickle.dump((None, None), f, protocol=pickle.HIGHEST_PROTOCOL)
+        self.files.append(f)
+        self.mem = {}
+        self.n_mem = 0
+
+    def finalize(self) -> None:
+        import pickle
+        for lst in self.mem.values():
+            lst.reverse()
+        self._cursors = []
+        for f in self.files:
+            f.flush()
+            f.seek(0)
+            t, lst = pickle.load(f)
+            self._cursors.append([t, lst, f])
+
+    def get(self, template: int, default=None):
+        """Frags for `template` (ascending request order)."""
+        import pickle
+        if self._cursors is None:
+            self.finalize()
+        out: List[Frag] = []
+        for cur in self._cursors:
+            while cur[0] is not None and cur[0] < template:
+                cur[0], cur[1] = pickle.load(cur[2])
+            if cur[0] == template:
+                out.extend(cur[1])
+                cur[0], cur[1] = pickle.load(cur[2])
+        out.extend(self.mem.get(template, ()))
+        return out if out else ([] if default is None else default)
+
+
 def run_conclave1(records: List[FragRecord], db_size: int,
                   alignment_scores: np.ndarray,
                   uniq_alignment_scores: np.ndarray,
@@ -118,7 +187,8 @@ def run_conclave1(records: List[FragRecord], db_size: int,
                   w_scores: np.ndarray,
                   fragment_counts: Optional[np.ndarray] = None,
                   read_counts: Optional[np.ndarray] = None,
-                  lc: bool = False) -> Dict[int, List[Frag]]:
+                  lc: bool = False, max_frag: int = 1000000,
+                  tmpdir=None) -> "FragSpool":
     """ConClave-1 (runConClave, conclave.c:43-213; _lc variant :215-384).
 
     Returns per-template fragment lists in printFrags order: the reference
@@ -126,7 +196,7 @@ def run_conclave1(records: List[FragRecord], db_size: int,
     (conclave.c:164-165, frags.c:40-56), so lists here are reversed at the
     end to match the file order consumed by assembly.
     """
-    frag_lists: Dict[int, List[Frag]] = {}
+    frag_lists = FragSpool(max_frag, tmpdir)
     # a 0-hit record (possible from penalty/force PE) reads the previous
     # record's buffer slots in the reference (conclave.c:125-127)
     stale = (0, 0, 0)
@@ -196,7 +266,7 @@ def run_conclave1(records: List[FragRecord], db_size: int,
                     score=0 if rec.best_hits < 0 else read_score,
                     start=start, end=end, header=header, flag=flag,
                     codes=codes)
-        frag_lists.setdefault(bestTemplate, []).append(frag)
+        frag_lists.append(bestTemplate, frag)
 
         if rec.score < 0:
             # PE mate record follows (conclave.c:169-194): same template,
@@ -207,11 +277,11 @@ def run_conclave1(records: List[FragRecord], db_size: int,
                         score=0 if rec.best_hits < 0 else read_score,
                         start=start, end=end, header=rec.mate_header,
                         flag=rec.mate_flag, codes=rec.mate_codes)
-            frag_lists[bestTemplate].append(mate)
+            frag_lists.append(bestTemplate, mate)
+        frag_lists.maybe_flush()
 
     # reference drains LIFO per template
-    for lst in frag_lists.values():
-        lst.reverse()
+    frag_lists.finalize()
     return frag_lists
 
 
@@ -269,7 +339,8 @@ def run_conclave2(records: List[FragRecord], db_size: int,
                   template_tot_ulen: int, scoreT: float, evalue: float,
                   cmp, fragment_counts: Optional[np.ndarray] = None,
                   read_counts: Optional[np.ndarray] = None,
-                  lc: bool = False) -> Dict[int, List[Frag]]:
+                  lc: bool = False, max_frag: int = 1000000,
+                  tmpdir=None) -> "FragSpool":
     """ConClave-2 (runConClave2, conclave.c:386-747).
 
     Pass A: CC1 w_scores; significance filter drops weak templates
@@ -326,7 +397,7 @@ def run_conclave2(records: List[FragRecord], db_size: int,
 
     # pass C
     w_scores[:] = 0
-    frag_lists: Dict[int, List[Frag]] = {}
+    frag_lists = FragSpool(max_frag, tmpdir)
     # a 0-hit record (possible from penalty/force PE) reads the previous
     # record's buffer slots in the reference (conclave.c:125-127)
     stale = (0, 0, 0)
@@ -396,7 +467,7 @@ def run_conclave2(records: List[FragRecord], db_size: int,
                         score=0 if rec.best_hits < 0 else read_score,
                         start=start, end=end, header=header, flag=flag,
                         codes=codes)
-            frag_lists.setdefault(bestTemplate, []).append(frag)
+            frag_lists.append(bestTemplate, frag)
             if rec.score < 0:
                 if read_counts is not None:
                     read_counts[bestTemplate] += 1
@@ -404,8 +475,8 @@ def run_conclave2(records: List[FragRecord], db_size: int,
                             score=0 if rec.best_hits < 0 else read_score,
                             start=start, end=end, header=rec.mate_header,
                             flag=rec.mate_flag, codes=rec.mate_codes)
-                frag_lists[bestTemplate].append(mate)
+                frag_lists.append(bestTemplate, mate)
+            frag_lists.maybe_flush()
 
-    for lst in frag_lists.values():
-        lst.reverse()
+    frag_lists.finalize()
     return frag_lists

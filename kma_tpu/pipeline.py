@@ -1944,12 +1944,13 @@ def _conclave_and_output(records, db_size, template_lengths, name_of, store,
             records, db_size, alignment_scores, uniq_alignment_scores,
             template_lengths, w_scores, template_tot_ulen, cfg.score_t,
             cfg.evalue, CMP[cfg.cmp_mode], fragment_counts, read_counts,
-            lc=cfg.lc)
+            lc=cfg.lc, max_frag=cfg.max_frag, tmpdir=cfg.tmp_dir or None)
     else:
         frag_lists = run_conclave1(records, db_size, alignment_scores,
                                    uniq_alignment_scores, template_lengths,
                                    w_scores, fragment_counts, read_counts,
-                                   lc=cfg.lc)
+                                   lc=cfg.lc, max_frag=cfg.max_frag,
+                                   tmpdir=cfg.tmp_dir or None)
 
     Nhits = int(w_scores[1:].sum()) or 1
     _stage("# Total time for sorting and outputting KMA alignment\t%.2f s."

@@ -331,3 +331,27 @@ def test_step_flags_and_spool(tmp_path, messy_fq, db50_index2, ref_bin,
             == (tmp_path / ("spool" + ext)).read_bytes(), ext
     assert gzip.open(str(a) + ".frag.gz").read() \
         == gzip.open(str(b) + ".frag.gz").read()
+
+
+def test_mf_frag_spooling_parity(tmp_path, sim_reads, db50_index, ref_bin):
+    """-mf 32: per-template fragment lists spill to tmpfiles mid-ConClave
+    (conclave.c:196-208) and assembly replays them in printFrags order --
+    outputs must match an unbounded run and the reference."""
+    import subprocess
+    from kma_tpu.cli.main import main as kma_main
+    for mf, name in (("32", "a"), ("7", "b")):
+        ref_out = tmp_path / ("ref" + name)
+        subprocess.run([str(ref_bin), "-i", str(sim_reads), "-o",
+                        str(ref_out), "-t_db", db50_index, "-mf", mf],
+                       capture_output=True, check=True)
+        my_out = tmp_path / name
+        rc = kma_main(["-i", str(sim_reads), "-o", str(my_out), "-t_db",
+                       db50_index, "-mf", mf])
+        assert rc == 0
+        for ext in (".res", ".fsa", ".aln"):
+            a = (ref_out.parent / (ref_out.name + ext)).read_bytes()
+            b = (my_out.parent / (my_out.name + ext)).read_bytes()
+            assert a == b, (mf, ext)
+        import gzip
+        assert gzip.open(str(ref_out) + ".frag.gz").read() == \
+            gzip.open(str(my_out) + ".frag.gz").read(), mf
