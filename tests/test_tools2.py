@@ -329,8 +329,11 @@ def test_step_flags_and_spool(tmp_path, messy_fq, db50_index2, ref_bin,
     for ext in (".res", ".fsa", ".aln"):
         assert (tmp_path / ("plain" + ext)).read_bytes() \
             == (tmp_path / ("spool" + ext)).read_bytes(), ext
-    assert gzip.open(str(a) + ".frag.gz").read() \
-        == gzip.open(str(b) + ".frag.gz").read()
+    # frag.gz ROW ORDER legitimately depends on -mf (per-flush LIFO
+    # chunks, conclave.c:196-208 -- the reference behaves the same, see
+    # test_mf_frag_spooling_parity); the row multiset is invariant
+    assert sorted(gzip.open(str(a) + ".frag.gz").read().splitlines()) \
+        == sorted(gzip.open(str(b) + ".frag.gz").read().splitlines())
 
 
 def test_mf_frag_spooling_parity(tmp_path, sim_reads, db50_index, ref_bin):
