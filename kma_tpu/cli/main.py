@@ -67,6 +67,28 @@ def index_main(argv: List[str]) -> int:
             t_db = argv[i]
             i += 1
             continue
+        if a == "-batchD":
+            # file-of-files deCon input (index.c:401-450)
+            i += 1
+            with open(argv[i]) as bf:
+                for line in bf:
+                    line = line.strip()
+                    if line:
+                        decon_files.append(line)
+            i += 1
+            continue
+        if a == "-CS":  # initial hash size hint (index.c:293-310): the
+            i += 2      # frozen output is size-independent here
+            continue
+        if a == "-NI":  # legacy .index.b skip; a no-op upstream too
+            i += 1      # (index.c:477)
+            continue
+        if a == "-nbp":  # suppress bias prints (index.c:479-480)
+            i += 1
+            continue
+        if a == "-v":
+            print("KMA_index-1.5.1")
+            return 0
         if a == "-deCon":
             i += 1
             while i < len(argv) and not argv[i].startswith("-"):

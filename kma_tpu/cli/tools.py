@@ -454,6 +454,32 @@ def dist_main(argv: List[str]) -> int:
     outpath = None
     i = 0
     while i < len(rest):
+        if rest[i] == "-fh":  # dist.c:937-942
+            print("# Format flags output, add them to combine them.\n#")
+            print("#%9d\t%s" % (1, "Relaxed Phylip"))
+            print("#%9d\t%s" % (4,
+                                "Include distance method(s) in phylip "
+                                "file"))
+            return 0
+        if rest[i] == "-dh":  # dist.c:952-969
+            print("# Distance / Similarity calculation methods, add them "
+                  "to combine them:\n#")
+            for b, nm in ((1, "k-mer hamming distance"),
+                          (2, "Shared k-mers"),
+                          (4, "k-mer query coverage"),
+                          (8, "k-mer template coverage"),
+                          (16, "k-mer avg. coverage"),
+                          (32, "k-mer inv. avg. coverage"),
+                          (64, "Jaccard distance"),
+                          (128, "Jaccard similarity"),
+                          (256, "Cosine distance"),
+                          (512, "Cosine similarity"),
+                          (1024, "Szymkiewicz–Simpson similarity"),
+                          (2048, "Szymkiewicz–Simpson dissimilarity"),
+                          (4096, "Chi-square distance")):
+                print("#%9d\t%s" % (b, nm))
+            print("#")
+            return 0
         if rest[i] == "-d" and i + 1 < len(rest):
             flag = int(rest[i + 1])
             i += 2
