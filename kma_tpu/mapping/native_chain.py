@@ -78,6 +78,7 @@ def get_lib():
         _vp, ctypes.c_int,
         ctypes.c_ulonglong, ctypes.c_ulonglong, ctypes.c_ulonglong,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
         _i64p,
         ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
         ctypes.c_longlong, ctypes.c_longlong,
@@ -156,7 +157,7 @@ class NativeChain:
             self._values.ctypes.data_as(_vp), _es(self._values),
             int(idx.null_index), int(idx.size - 1), int(idx.mask),
             1 if idx.mega else 0, 1 if idx.flag else 0,
-            int(idx.kmersize), int(idx.mlen),
+            int(idx.flag & 3), int(idx.kmersize), int(idx.mlen),
             self._tl.ctypes.data_as(_i64p),
             pen.M, pen.MM, pen.U, pen.W1, pen.Wl)
         self._cap_hits = 64
@@ -460,8 +461,8 @@ def make_native_chain(idx: KmaIndex, pen: Penalties,
                       ) -> Optional[NativeChain]:
     """NativeChain for this DB, or None when the native path does not
     apply (cmer DBs, missing toolchain, KMA_TPU_NO_NATIVE)."""
-    if idx.flag & 3:
-        return None  # cmer key modes stay on the Python scanner
+    if (idx.flag & 3) and idx.kmersize > 16:
+        return None  # >32-bit cmer folds stay on the Python scanner
     if idx.values is None or idx.values.dtype.itemsize not in (2, 4):
         return None
     if idx.exist is None or idx.exist.dtype.itemsize not in (4, 8):

@@ -30,6 +30,7 @@ struct KIdx {
     uint64_t kroll; // (1 << 2*k) - 1 rolling-kmer mask
     int mega;
     int use_murmur; // idx.flag != 0
+    int cmode;      // flag & 3: 1 = HC, 2 = minimizer, 3 = both
     int k;
     int mlen;
     const int64_t *template_lengths;
@@ -84,9 +85,31 @@ struct Anker {
     bool alive = true;
 };
 
-// per-window kmers + validity for one strand (kmer_scan/valid_kmer_mask)
-void window_kmers(const uint8_t *s, int seqlen, int k, uint64_t kroll,
+// getHmer (stdnuc.c:287-310): duplicate first base, append changes
+inline uint64_t hmer_of(uint64_t kmer, int k, int *hlen) {
+    int i = 2 * k - 2;
+    uint64_t h = (kmer >> i) & 3;
+    h = (h << 2) | h;
+    int len = 1;
+    i -= 2;
+    while (i >= 0) {
+        uint64_t nuc = (kmer >> i) & 3;
+        if (nuc != (h & 3)) {
+            h = (h << 2) | nuc;
+            ++len;
+        }
+        i -= 2;
+    }
+    *hlen = len;
+    return h;
+}
+
+// per-window hash KEYS + validity for one strand: plain k-mers, or the
+// DB's cmer mode (getHmer / getMmer / getHMmer, stdnuc.c:287-421 --
+// values match io/seq.py cmer_scan)
+void window_kmers(const KIdx *x, const uint8_t *s, int seqlen,
                   std::vector<uint64_t> &kmers, std::vector<uint8_t> &ok) {
+    int k = x->k;
     int W = seqlen - k + 1;
     kmers.assign(W > 0 ? W : 0, 0);
     ok.assign(W > 0 ? W : 0, 0);
@@ -94,13 +117,45 @@ void window_kmers(const uint8_t *s, int seqlen, int k, uint64_t kroll,
     int lastN = -1;
     for (int i = 0; i < seqlen; ++i) {
         uint8_t c = s[i];
-        km = ((km << 2) | (c == 4 ? 0 : c)) & kroll;
+        km = ((km << 2) | (c == 4 ? 0 : c)) & x->kroll;
         if (c == 4)
             lastN = i;
         int j = i - k + 1;
         if (j >= 0) {
             kmers[j] = km;
             ok[j] = lastN < j;
+        }
+    }
+    if (!x->cmode)
+        return;
+    uint64_t mm = ((uint64_t)1 << (2 * x->mlen)) - 1;
+    for (int j = 0; j < W; ++j) {
+        uint64_t raw = kmers[j];
+        if (x->cmode == 2) { // minimizer over the window (getMmer)
+            uint64_t out = raw & mm, cur = raw;
+            for (int t = 0; t < k - x->mlen; ++t) {
+                cur >>= 2;
+                if ((cur & mm) < out)
+                    out = cur & mm;
+            }
+            kmers[j] = out;
+        } else if (x->cmode == 1) { // homopolymer compress (getHmer)
+            int hlen;
+            uint64_t h = hmer_of(raw, k, &hlen);
+            kmers[j] = (k == 16) ? (h & 0xFFFFFFFFull) : h;
+        } else { // both (getHMmer)
+            int hlen;
+            uint64_t h = hmer_of(raw, k, &hlen);
+            uint64_t m = h & mm;
+            if (x->mlen < hlen) {
+                uint64_t hh = h >> 2;
+                for (int t = 0; t < hlen - x->mlen; ++t) {
+                    if ((hh & mm) < m)
+                        m = hh & mm;
+                    hh >>= 2;
+                }
+            }
+            kmers[j] = m;
         }
     }
 }
@@ -208,7 +263,7 @@ void collect_ankers(const KIdx *x, const uint8_t *strand, int seqlen,
             !quick_hit_voff(k, strand, seqlen, voff, rc_strand))
             return;
     } else {
-        window_kmers(strand, seqlen, k, x->kroll, kmers, ok);
+        window_kmers(x, strand, seqlen, kmers, ok);
         if (!exhaustive && !quick_hit(x, strand, seqlen, kmers, ok))
             return;
     }
@@ -856,7 +911,7 @@ void *kchain_create(const void *exist, int exist_es, const void *key_index,
                     const void *values, int val_es,
                     unsigned long long null_index,
                     unsigned long long smask, unsigned long long mmask,
-                    int mega, int use_murmur, int k, int mlen,
+                    int mega, int use_murmur, int cmode, int k, int mlen,
                     const long long *template_lengths, long long M,
                     long long MM, long long U, long long W1, long long Wl) {
     Ctx *c = new Ctx();
@@ -874,6 +929,7 @@ void *kchain_create(const void *exist, int exist_es, const void *key_index,
     c->x.kroll = (k < 32) ? ((1ull << (2 * k)) - 1) : ~0ull;
     c->x.mega = mega;
     c->x.use_murmur = use_murmur;
+    c->x.cmode = cmode;
     c->x.k = k;
     c->x.mlen = mlen;
     c->x.template_lengths = (const int64_t *)template_lengths;
@@ -1326,7 +1382,7 @@ int kchain_pair_mate(void *h, const uint8_t *codes, int seqlen,
         int *nb = rc ? nbr_out : nb_out;
 
         int W = seqlen - k + 1;
-        window_kmers(cur, seqlen, k, x->kroll, c->kmers, c->ok);
+        window_kmers(x, cur, seqlen, c->kmers, c->ok);
         if (!exhaustive && !quick_hit(x, cur, seqlen, c->kmers, c->ok))
             continue;
 

@@ -358,3 +358,45 @@ def test_mf_frag_spooling_parity(tmp_path, sim_reads, db50_index, ref_bin):
         import gzip
         assert gzip.open(str(ref_out) + ".frag.gz").read() == \
             gzip.open(str(my_out) + ".frag.gz").read(), mf
+
+
+def test_cmer_pe_mapping_parity(tmp_path, db50, ref_bin, ref_index_bin):
+    """PE mapping against a -hc DB: the native pair scanner computes cmer
+    keys (getHmer) identically to the reference."""
+    import gzip
+    import numpy as np
+    from kma_tpu.io.seq import parse_fasta
+    prefix = str(tmp_path / "db")
+    subprocess.run([str(ref_index_bin), "-i", str(db50), "-o", prefix,
+                    "-hc"], check=True, capture_output=True)
+    rng = np.random.default_rng(88)
+    recs = [c for _h, c in parse_fasta(str(db50)) if len(c) >= 260]
+    f1, f2 = tmp_path / "p_1.fq", tmp_path / "p_2.fq"
+    comp = np.array([3, 2, 1, 0, 4, 5], dtype=np.uint8)
+    with open(f1, "w") as a, open(f2, "w") as b:
+        for i in range(200):
+            t = recs[rng.integers(len(recs))]
+            s = int(rng.integers(0, len(t) - 250))
+            fr = t[s:s + 250]
+            m1 = fr[:100].copy()
+            m2 = comp[fr[150:250]][::-1].copy()
+            for m in (m1, m2):
+                ne = rng.binomial(100, 0.02)
+                pp = rng.integers(0, 100, ne)
+                m[pp] = (m[pp] + rng.integers(1, 4, ne)) % 4
+            a.write("@c%d/1\n%s\n+\n%s\n"
+                    % (i, "".join("ACGTN"[c] for c in m1), "I" * 100))
+            b.write("@c%d/2\n%s\n+\n%s\n"
+                    % (i, "".join("ACGTN"[c] for c in m2), "I" * 100))
+    ref_out = tmp_path / "ref"
+    my_out = tmp_path / "my"
+    subprocess.run([str(ref_bin), "-ipe", str(f1), str(f2), "-o",
+                    str(ref_out), "-t_db", prefix], capture_output=True,
+                   check=True)
+    assert kma_main(["-ipe", str(f1), str(f2), "-o", str(my_out),
+                     "-t_db", prefix]) == 0
+    for ext in (".res", ".fsa", ".aln"):
+        assert (ref_out.parent / (ref_out.name + ext)).read_bytes() == \
+            (my_out.parent / (my_out.name + ext)).read_bytes(), ext
+    assert gzip.open(str(ref_out) + ".frag.gz").read() == \
+        gzip.open(str(my_out) + ".frag.gz").read()
