@@ -77,6 +77,7 @@ def get_lib():
         ctypes.c_int,                                    # cap_reads
         ctypes.POINTER(ctypes.c_int),                    # n_out
         ctypes.POINTER(ctypes.c_int),                    # status
+        ctypes.c_int, _u8p,                              # emit_all, passed
     ]
     _lib = lib
     return _lib
@@ -122,7 +123,8 @@ def iter_fastq_native(path: str, scale: int, min_phred: int, min_q: int,
                     coff.ctypes.data_as(_i64p),
                     hdr_out.ctypes.data_as(_u8p), cap,
                     hoff.ctypes.data_as(_i64p),
-                    _CAP_READS, ctypes.byref(n_out), ctypes.byref(status))
+                    _CAP_READS, ctypes.byref(n_out), ctypes.byref(status),
+                    0, None)
                 n = n_out.value
                 hdr_bytes = hdr_out[:hoff[n]].tobytes()
                 # batch N-position extraction; per-read slices are VIEWS
@@ -141,6 +143,62 @@ def iter_fastq_native(path: str, scale: int, min_phred: int, min_q: int,
                     raise ValueError("Malformed fastq input")
                 if consumed == 0:
                     break  # incomplete record: need more input
+                data = data[consumed:]
+            carry = bytes(data)
+            if not chunk:
+                break
+
+
+def iter_fastq_native_pe(path: str, scale: int, min_phred: int, min_q: int,
+                         hardmask_q: int, min_len: int, max_len: int):
+    """Like iter_fastq_native but yields EVERY record (codes-or-None,
+    header-with-NUL): failed mates appear as None so PE streams stay in
+    lockstep (run_input_PE, runinput.c:463-606)."""
+    lib = get_lib()
+    assert lib is not None
+    coff = np.zeros(_CAP_READS + 1, dtype=np.int64)
+    hoff = np.zeros(_CAP_READS + 1, dtype=np.int64)
+    passed = np.zeros(_CAP_READS, dtype=np.uint8)
+    n_out = ctypes.c_int(0)
+    status = ctypes.c_int(0)
+    with open_maybe_gz(path) as f:
+        carry = b""
+        while True:
+            chunk = f.read(_CHUNK)
+            data = carry + chunk if carry else chunk
+            last = 0 if chunk else 1
+            if not data:
+                break
+            while data:
+                buf = np.frombuffer(data, dtype=np.uint8)
+                cap = len(data)
+                codes_out = np.empty(cap, dtype=np.uint8)
+                hdr_out = np.empty(cap, dtype=np.uint8)
+                consumed = lib.kio_parse_fastq(
+                    buf.ctypes.data_as(_u8p), cap, last,
+                    _TO2BIT_C.ctypes.data_as(_u8p),
+                    _PROB_C.ctypes.data_as(_f64p),
+                    scale, min_phred, min_q, hardmask_q, min_len, max_len,
+                    codes_out.ctypes.data_as(_u8p), cap,
+                    coff.ctypes.data_as(_i64p),
+                    hdr_out.ctypes.data_as(_u8p), cap,
+                    hoff.ctypes.data_as(_i64p),
+                    _CAP_READS, ctypes.byref(n_out), ctypes.byref(status),
+                    1, passed.ctypes.data_as(_u8p))
+                n = n_out.value
+                hdr_bytes = hdr_out[:hoff[n]].tobytes()
+                co, ho = coff.tolist(), hoff.tolist()
+                ok = passed[:n].tolist()
+                for i in range(n):
+                    h = hdr_bytes[ho[i]:ho[i + 1]]
+                    if ok[i]:
+                        yield codes_out[co[i]:co[i + 1]], h
+                    else:
+                        yield None, h
+                if status.value:
+                    raise ValueError("Malformed fastq input")
+                if consumed == 0:
+                    break
                 data = data[consumed:]
             carry = bytes(data)
             if not chunk:

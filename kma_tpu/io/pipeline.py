@@ -176,6 +176,33 @@ def iter_read_pairs(pe_files: List[str], min_phred: int = 20,
         fmt = detect_format(f1)
         if fmt == "fastq":
             scale = sniff_phred_scale(f1) or sniff_phred_scale(f2)
+            if qc is None:
+                from .native_io import get_lib, iter_fastq_native_pe
+                if get_lib() is not None:
+                    # native batch parse+trim; failed mates come back as
+                    # None so the streams stay paired (runinput.c:463-606)
+                    last_scale = scale
+
+                    def _nat(path):
+                        return iter_fastq_native_pe(
+                            path, scale, min_phred, min_q, hardmask_q,
+                            min_len, max_len)
+                    if interleaved:
+                        it = _nat(f1)
+                        pair_n = zip(it, it)
+                    else:
+                        pair_n = zip(_nat(f1), _nat(f2))
+                    for (c1, h1), (c2, h2) in pair_n:
+                        r1 = Read(c1, h1, True) if c1 is not None else None
+                        r2 = Read(c2, h2) if c2 is not None else None
+                        if r1 is not None and r2 is not None:
+                            yield r1, r2
+                        elif r1 is not None:
+                            r1.mate_first = False
+                            yield r1, None
+                        elif r2 is not None:
+                            yield r2, None
+                    continue
             if interleaved:
                 it1 = it2 = None
                 pair_iter = _pairwise(parse_fastq(f1))

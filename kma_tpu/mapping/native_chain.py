@@ -4,8 +4,9 @@
 The C++ engine is an exact port of mapping/chain_scan.py (the semantics
 reference, itself golden-tested against save_kmers_chain,
 savekmers.c:5127-5944); it removes the per-window/per-template Python
-interpreter overhead from default-mode mapping.  Plain-kmer DBs only
-(flag&3 == 0) and no proxi -- other shapes keep the Python path."""
+interpreter overhead from default-mode mapping.  Handles plain-kmer
+and cmer (-m/-hc, k <= 16) DBs; proxi and >32-bit cmer folds keep the
+Python path."""
 
 from __future__ import annotations
 

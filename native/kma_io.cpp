@@ -60,7 +60,8 @@ long long kio_parse_fastq(
     int min_phred, int min_q, int hardmask_q, long long min_len,
     long long max_len, unsigned char *codes_out, long long cap_codes,
     long long *code_off, unsigned char *hdr_out, long long cap_hdr,
-    long long *hdr_off, int cap_reads, int *n_out, int *status) {
+    long long *hdr_off, int cap_reads, int *n_out, int *status,
+    int emit_all, unsigned char *passed) {
     long long pos = 0;
     int n = 0;
     long long clen = 0, hlen = 0;
@@ -223,8 +224,21 @@ long long kio_parse_fastq(
                    (size_t)(hl - 1));
             hdr_out[hlen + hl - 1] = '\0';
             hlen += hl;
+            if (passed)
+                passed[n] = 1;
             ++n;
             code_off[n] = clen;
+            hdr_off[n] = hlen;
+        } else if (emit_all) {
+            // PE streams need a slot for FAILED mates too (the pairing
+            // walks both files in lockstep, run_input_PE)
+            memcpy(hdr_out + hlen, buf + ls[0] + 1, (size_t)(hl - 1));
+            hdr_out[hlen + hl - 1] = '\0';
+            hlen += hl;
+            if (passed)
+                passed[n] = 0;
+            ++n;
+            code_off[n] = clen; // empty codes slice
             hdr_off[n] = hlen;
         }
         pos = p;
