@@ -110,6 +110,15 @@ def get_lib():
         _i32p, ctypes.POINTER(ctypes.c_int),
         _i32p, ctypes.POINTER(ctypes.c_int),
     ]
+    lib.kchain_save_kmers.restype = None
+    lib.kchain_save_kmers.argtypes = [
+        _vp, _u8p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_int,
+        _i64p, _i64p, _i64p, _u8p, _i64p,
+        _i32p, ctypes.POINTER(ctypes.c_int),
+        _i32p, ctypes.POINTER(ctypes.c_int),
+        _i64p,
+    ]
     lib.kchain_scan_batch_dev.restype = ctypes.c_int
     lib.kchain_scan_batch_dev.argtypes = [
         _vp, _u8p, _i64p, ctypes.c_int,
@@ -378,6 +387,40 @@ class NativeChain:
             self._pair_br.ctypes.data_as(_i32p), ctypes.byref(nbr))
         return (cnt, self._pair_b[:nb.value].tolist(),
                 self._pair_br[:nbr.value].tolist())
+
+    def save_kmers(self, codes: np.ndarray, exhaustive: bool,
+                   Score: np.ndarray, Score_r: np.ndarray,
+                   extendScore: np.ndarray, include: np.ndarray, proxi):
+        """save_kmers strand scan + match selection (savekmers.c:
+        2442-3065); returns ((bestScore, bests), (bestScore_r, bests_r));
+        workspaces return to zero."""
+        if self._pair_b is None:
+            n = len(self._tl) + 2
+            self._pair_b = np.zeros(n, np.int32)
+            self._pair_br = np.zeros(n, np.int32)
+        codes = np.ascontiguousarray(codes, np.uint8)
+        nb = ctypes.c_int(0)
+        nbr = ctypes.c_int(0)
+        bs = np.zeros(2, np.int64)
+        soft = None
+        frac = 0.0
+        use = 0
+        if proxi is not None:
+            use = 1
+            frac = float(proxi.min_frac)
+            if proxi.soft is not None:
+                soft = proxi.soft.ctypes.data_as(_i64p)
+        self._lib.kchain_save_kmers(
+            self._h, codes.ctypes.data_as(_u8p), len(codes),
+            1 if exhaustive else 0, frac, use,
+            Score.ctypes.data_as(_i64p), Score_r.ctypes.data_as(_i64p),
+            extendScore.ctypes.data_as(_i64p),
+            include.ctypes.data_as(_u8p), soft,
+            self._pair_b.ctypes.data_as(_i32p), ctypes.byref(nb),
+            self._pair_br.ctypes.data_as(_i32p), ctypes.byref(nbr),
+            bs.ctypes.data_as(_i64p))
+        return ((int(bs[0]), self._pair_b[:nb.value].tolist()),
+                (int(bs[1]), self._pair_br[:nbr.value].tolist()))
 
     def _ws(self, t):
         """Per-thread Score/extendScore/include workspaces."""

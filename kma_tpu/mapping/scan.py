@@ -319,14 +319,22 @@ class SaveKmersScanner:
         if len(codes) < k:
             return None
         codes_r = rc_codes(codes)
-        bestScore, best = _scan_strand(idx, codes, self.rewards,
-                                       self.exhaustive, False, self.Score,
-                                       self.extendScore, self.include,
-                                       self.proxi)
-        bestScore_r, best_r = _scan_strand(idx, codes_r, self.rewards,
-                                           self.exhaustive, True, self.Score_r,
-                                           self.extendScore, self.include,
-                                           self.proxi)
+        from .native_chain import engine_for
+        eng = engine_for(idx, self.rewards)
+        if eng is not None:
+            (bestScore, best), (bestScore_r, best_r) = eng.save_kmers(
+                codes, self.exhaustive, self.Score, self.Score_r,
+                self.extendScore, self.include, self.proxi)
+        else:
+            bestScore, best = _scan_strand(idx, codes, self.rewards,
+                                           self.exhaustive, False,
+                                           self.Score, self.extendScore,
+                                           self.include, self.proxi)
+            bestScore_r, best_r = _scan_strand(idx, codes_r, self.rewards,
+                                               self.exhaustive, True,
+                                               self.Score_r,
+                                               self.extendScore,
+                                               self.include, self.proxi)
         if bestScore <= 0 and bestScore_r <= 0:
             return None
         if k > bestScore and k > bestScore_r:

@@ -1491,4 +1491,223 @@ int kchain_pair_mate(void *h, const uint8_t *codes, int seqlen,
     return bestSeqCount;
 }
 
+
+// save_kmers (-1t1 scanner, savekmers.c:2442-3065 / mapping/scan.py
+// _scan_strand + get_match): both strands scored with the reference's
+// strand-asymmetric SNP reconnect, then getBestMatch / getProxiMatch
+// selection (soft proxi accumulates into `soft`).  Workspaces return to
+// zero.  best lists land in bests/bests_r with scores in bs_out[2].
+void kchain_save_kmers(void *h, const uint8_t *codes, int seqlen,
+                       int exhaustive, double proxi_frac, int use_proxi,
+                       long long *Score_, long long *Score_r_,
+                       long long *extendScore_, uint8_t *include,
+                       long long *soft, int *bests_out, int *nb_out,
+                       int *bests_r_out, int *nbr_out,
+                       long long *bs_out) {
+    Ctx *c = (Ctx *)h;
+    const KIdx *x = &c->x;
+    const int k = x->k;
+    const int mlen = x->mlen;
+    const int64_t M = x->M, MM = x->MM, U = x->U, W1 = x->W1;
+    int64_t *extendScore = (int64_t *)extendScore_;
+    *nb_out = 0;
+    *nbr_out = 0;
+    bs_out[0] = 0;
+    bs_out[1] = 0;
+    if (seqlen < k)
+        return;
+
+    auto reconnect = [&](int64_t gaps, int64_t *ms, int64_t *mms,
+                         int64_t *us, int64_t *w1s) {
+        int64_t g = gaps - (k - 1);
+        int64_t mm, m;
+        if (g <= 2) {
+            mm = g;
+            m = 0;
+        } else {
+            mm = g / k + (g % k ? 1 : 0);
+            if (mm < 2)
+                mm = 2;
+            m = g - mm;
+            if (m > k)
+                m = k;
+            if (m > mm)
+                m = mm;
+        }
+        if ((W1 + (g - 1) * U) <= (mm * MM + m * M)) {
+            *ms = k + m;
+            *mms = mm;
+            *us = 0;
+            *w1s = 0;
+        } else {
+            *ms = k;
+            *mms = 0;
+            *us = g - 1;
+            *w1s = 1;
+        }
+    };
+
+    for (int rc = 0; rc < 2; ++rc) {
+        const uint8_t *cur;
+        if (rc) {
+            c->rc.assign(codes, codes + seqlen);
+            std::reverse(c->rc.begin(), c->rc.end());
+            static const uint8_t CMP[6] = {3, 2, 1, 0, 4, 5};
+            for (auto &b : c->rc)
+                b = CMP[b];
+            cur = c->rc.data();
+        } else {
+            cur = codes;
+        }
+        int64_t *Scores = (int64_t *)(rc ? Score_r_ : Score_);
+        int *bests = rc ? bests_r_out : bests_out;
+        int *nb = rc ? nbr_out : nb_out;
+
+        int W = seqlen - k + 1;
+        window_kmers(x, cur, seqlen, c->kmers, c->ok);
+        if (!exhaustive && !quick_hit(x, cur, seqlen, c->kmers, c->ok))
+            continue;
+
+        int hits = 0;
+        int64_t last = -1, Ms = 0, MMs = 0, Us = 0, W1s = 0, HIT = 0;
+        int64_t prev_j = 0;
+        for (int p = 0; p < W; ++p) {
+            if (!c->ok[p])
+                continue;
+            int64_t v = lookup_voff(x, c->kmers[p]);
+            if (v < 0)
+                continue;
+            int64_t j = p + k - 1;
+            int64_t gaps = hits ? j - prev_j - 1 : 0;
+            if (hits && v == last) {
+                if (gaps == 0) {
+                    Ms += 1;
+                } else if (mlen <= gaps && gaps <= k) {
+                    Ms += k;
+                    MMs += 1;
+                } else if (k < gaps) {
+                    int64_t ms, mms, us, w1s;
+                    reconnect(gaps, &ms, &mms, &us, &w1s);
+                    Ms += ms;
+                    MMs += mms;
+                    Us += us;
+                    W1s += w1s;
+                } else if (mlen != k) {
+                    Ms += gaps;
+                    MMs += 1;
+                } else {
+                    Ms += gaps;
+                    W1s += 1;
+                    Us += k - gaps;
+                }
+                HIT = j;
+            } else if (hits) {
+                int64_t score = Ms * M + MMs * MM + Us * U + W1s * W1;
+                int64_t cnt = val_at(x, last);
+                for (int64_t i2 = last + 1; i2 <= last + cnt; ++i2) {
+                    int64_t t = val_at(x, i2);
+                    Scores[t] += score;
+                    extendScore[t] = HIT;
+                }
+                HIT = j - 1;
+                cnt = val_at(x, v);
+                for (int64_t i2 = v + 1; i2 <= v + cnt; ++i2) {
+                    int64_t t = val_at(x, i2);
+                    if (include[t]) {
+                        int64_t g = HIT - extendScore[t];
+                        int64_t s2;
+                        if (g == 0) {
+                            s2 = M;
+                        } else if (mlen <= g && g <= k) {
+                            // strand-asymmetric SNP reconnect
+                            // (savekmers.c:2597 fw vs :2908 rc)
+                            s2 = rc ? (int64_t)k * M + MM : g * M + MM;
+                        } else if (k < g) {
+                            int64_t ms, mms, us, w1s;
+                            reconnect(g, &ms, &mms, &us, &w1s);
+                            s2 = (int64_t)k * M + (ms - k) * M + mms * MM +
+                                 us * U + w1s * W1;
+                        } else if (mlen != k) {
+                            s2 = g * M + MM;
+                        } else {
+                            s2 = g * M + (k - g) * U + W1;
+                        }
+                        Scores[t] += s2;
+                    } else {
+                        Scores[t] = (int64_t)k * M;
+                        include[t] = 1;
+                        bests[(*nb)++] = (int)t;
+                    }
+                }
+                last = v;
+                HIT = j;
+                Ms = MMs = Us = W1s = 0;
+            } else {
+                int64_t cnt = val_at(x, v);
+                for (int64_t i2 = v + 1; i2 <= v + cnt; ++i2) {
+                    int64_t t = val_at(x, i2);
+                    Scores[t] = (int64_t)k * M;
+                    include[t] = 1;
+                    bests[(*nb)++] = (int)t;
+                }
+                last = v;
+                HIT = j;
+            }
+            prev_j = j;
+            ++hits;
+        }
+        if (!hits)
+            continue;
+        // final flush (savekmers.c:2707-2753)
+        int64_t score = Ms * M + MMs * MM + Us * U + W1s * W1;
+        int64_t cnt = val_at(x, last);
+        for (int64_t i2 = last + 1; i2 <= last + cnt; ++i2) {
+            int64_t t = val_at(x, i2);
+            Scores[t] += score;
+            extendScore[t] = HIT;
+        }
+        for (int i2 = 0; i2 < *nb; ++i2) {
+            int64_t t = bests[i2];
+            extendScore[t] = 0;
+            include[t] = 0;
+            if (Scores[t] < 0)
+                Scores[t] = 0;
+        }
+        // getBestMatch / getProxiMatch (savekmers.c:273-340)
+        int64_t bestScore = 0;
+        int w = 0;
+        if (!use_proxi) {
+            for (int i2 = 0; i2 < *nb; ++i2) {
+                int64_t t = bests[i2];
+                int64_t s2 = Scores[t];
+                if (s2 > bestScore) {
+                    bestScore = s2;
+                    w = 0;
+                    bests[w++] = (int)t;
+                } else if (s2 == bestScore) {
+                    bests[w++] = (int)t;
+                }
+                Scores[t] = 0;
+            }
+        } else {
+            for (int i2 = 0; i2 < *nb; ++i2)
+                if (bestScore < Scores[bests[i2]])
+                    bestScore = Scores[bests[i2]];
+            int64_t proxi_score = (int64_t)(proxi_frac * (double)bestScore);
+            for (int i2 = 0; i2 < *nb; ++i2) {
+                int64_t t = bests[i2];
+                int64_t s2 = Scores[t];
+                if (proxi_score <= s2) {
+                    bests[w++] = (int)t;
+                    if (soft)
+                        soft[t] += s2;
+                }
+                Scores[t] = 0;
+            }
+        }
+        *nb = w;
+        bs_out[rc] = bestScore;
+    }
+}
+
 } // extern "C"
