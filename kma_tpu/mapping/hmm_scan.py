@@ -65,6 +65,33 @@ class HmmCompBuf:
         self.base[L: complen * 32] = 0
 
 
+class _WinMap:
+    """Dict-like window->voff map on a dense array (ranges in the clear
+    loops probe up to seqlen, hence the +1 slack)."""
+
+    __slots__ = ("a",)
+
+    def __init__(self, n: int):
+        self.a = np.full(n, -1, np.int64)
+
+    def __setitem__(self, k, v):
+        self.a[k] = v
+
+    def get(self, k, d=-1):
+        v = int(self.a[k])
+        return v if v >= 0 else d
+
+    def pop(self, k, d=-1):
+        v = int(self.a[k])
+        if v >= 0:
+            self.a[k] = -1
+            return v
+        return d
+
+    def clear(self):
+        self.a.fill(-1)
+
+
 class _VCache:
     """Lazy per-window voff lookups for one strand (hash lookups are
     pure, so precomputation order does not affect semantics)."""
@@ -109,15 +136,28 @@ def hmm_scan_read(idx: KmaIndex, codes: np.ndarray, header: bytes,
     # (bogus but deterministic) lookups during HMM extension
     fold = (codes & 3).astype(np.uint8)
     rc_fold = (3 - fold)[::-1].astype(np.uint8)
-    if idx.flag & 3:
-        from ..io.seq import cmer_scan
-        fw_kmers = cmer_scan(fold, k, idx.mlen, idx.flag)
-        rc_kmers = cmer_scan(rc_fold, k, idx.mlen, idx.flag)
+    from ..config import Penalties
+    from .native_chain import engine_for
+    eng = engine_for(idx, Penalties())
+    if eng is not None:
+        VFL_a = eng.lookup_windows(fold)
+        VRL_a = eng.lookup_windows(rc_fold)
+
+        def VFL(w: int) -> int:
+            return int(VFL_a[w])
+
+        def VRL(w: int) -> int:
+            return int(VRL_a[w])
     else:
-        fw_kmers = kmer_scan(fold, k)
-        rc_kmers = kmer_scan(rc_fold, k)
-    VFL = _VCache(idx, fw_kmers)
-    VRL = _VCache(idx, rc_kmers)
+        if idx.flag & 3:
+            from ..io.seq import cmer_scan
+            fw_kmers = cmer_scan(fold, k, idx.mlen, idx.flag)
+            rc_kmers = cmer_scan(rc_fold, k, idx.mlen, idx.flag)
+        else:
+            fw_kmers = kmer_scan(fold, k)
+            rc_kmers = kmer_scan(rc_fold, k)
+        VFL = _VCache(idx, fw_kmers)
+        VRL = _VCache(idx, rc_kmers)
 
     def VR_at(j: int) -> int:
         """rc lookup stored at fw window j (rc position seqlen-k-j)."""
@@ -137,8 +177,8 @@ def hmm_scan_read(idx: KmaIndex, codes: np.ndarray, header: bytes,
           math.log(1.0 / k * 0.75 * 0.25),
           math.log(0.75), math.log(0.25))
 
-    VF_scores: Dict[int, int] = {}   # window -> voff (unset = no entry)
-    VR_scores: Dict[int, int] = {}
+    VF_scores = _WinMap(seqlen + 1)  # window -> voff (-1 = no entry)
+    VR_scores = _WinMap(seqlen + 1)
     out: List[AnkerHit] = []
 
     i = 0
@@ -341,19 +381,28 @@ def hmm_scan_read(idx: KmaIndex, codes: np.ndarray, header: bytes,
                         hitCounter -= 1
 
             if hitCounter > 0:
-                bestT: List[int] = []
-                bestT_r: List[int] = []
                 last = -1
                 reps = 0
                 rlast = -1
                 rreps = 0
+                bt_buf = np.empty(DB_size + 2, np.int32)
+                btr_buf = np.empty(DB_size + 2, np.int32)
+                nb_f = 0
+                nb_r = 0
 
-                def _flush(voff, reps, score_arr, bt):
-                    for t in _values(idx, voff):
-                        t = int(t)
-                        score_arr[t] += reps
-                        if score_arr[t] == reps:
-                            bt.append(t)
+                if eng is not None:
+                    def _flush(voff, reps, score_arr, buf, n):
+                        return eng.score_reps(int(voff), int(reps),
+                                              score_arr, buf, n)
+                else:
+                    def _flush(voff, reps, score_arr, buf, n):
+                        for t in _values(idx, voff):
+                            t = int(t)
+                            score_arr[t] += reps
+                            if score_arr[t] == reps:
+                                buf[n] = t
+                                n += 1
+                        return n
 
                 for kq in range(start, j):
                     vf = VF_scores.get(kq, -1)
@@ -362,7 +411,8 @@ def hmm_scan_read(idx: KmaIndex, codes: np.ndarray, header: bytes,
                             reps += 1
                         else:
                             if last >= 0:
-                                _flush(last, reps, Score, bestT)
+                                nb_f = _flush(last, reps, Score, bt_buf,
+                                              nb_f)
                             reps = 1
                             last = vf
                     vr = VR_scores.get(kq, -1)
@@ -371,13 +421,16 @@ def hmm_scan_read(idx: KmaIndex, codes: np.ndarray, header: bytes,
                             rreps += 1
                         else:
                             if rlast >= 0:
-                                _flush(rlast, rreps, Score_r, bestT_r)
+                                nb_r = _flush(rlast, rreps, Score_r,
+                                              btr_buf, nb_r)
                             rreps = 1
                             rlast = vr
                 if last >= 0:
-                    _flush(last, reps, Score, bestT)
+                    nb_f = _flush(last, reps, Score, bt_buf, nb_f)
                 if rlast >= 0:
-                    _flush(rlast, rreps, Score_r, bestT_r)
+                    nb_r = _flush(rlast, rreps, Score_r, btr_buf, nb_r)
+                bestT: List[int] = bt_buf[:nb_f].tolist()
+                bestT_r: List[int] = btr_buf[:nb_r].tolist()
 
                 # cut out template hits (savekmers.c:4404-4502)
                 while HIT != 0:
@@ -452,7 +505,8 @@ def hmm_scan_read(idx: KmaIndex, codes: np.ndarray, header: bytes,
                                 include, template_lengths, VF_scores,
                                 VR_scores, HIT, bestScore, start_cut,
                                 end_cut, header, seqlen, DB_size,
-                                min_frac, soft_proxi, mem, comp_buf)
+                                min_frac, soft_proxi, mem, comp_buf,
+                                eng=eng)
                             if hit_rec is not None:
                                 out.append(hit_rec)
                         else:
@@ -509,8 +563,8 @@ def _in_list(idx: KmaIndex, voff: int, template: int) -> bool:
 def _anker_and_clean(idx, codes, NN, region, Score, Score_r, include,
                      template_lengths, VF_scores, VR_scores, HIT,
                      bestScore, start_cut, end_cut, header, seqlen,
-                     DB_size, min_frac, soft_proxi, mem, comp_buf=None
-                     ) -> Optional[AnkerHit]:
+                     DB_size, min_frac, soft_proxi, mem, comp_buf=None,
+                     eng=None) -> Optional[AnkerHit]:
     """ankerAndClean (savekmers.c:4522-4720) / ankerAndClean_MEM
     (:4852-5120): extend the region list, decrement+clear window scores,
     slice the query 32-aligned, annotate the header, emit.
@@ -519,15 +573,25 @@ def _anker_and_clean(idx, codes, NN, region, Score, Score_r, include,
     (including its overwrite quirks, see module doc); the emitted list is
     region[:count] after the extension cursor settles."""
 
-    def dec_clear(kq: int) -> None:
-        vf = VF_scores.pop(kq, -1)
-        if vf >= 0:
-            for t in _values(idx, vf):
-                Score[int(t)] -= 1
-        vr = VR_scores.pop(kq, -1)
-        if vr >= 0:
-            for t in _values(idx, vr):
-                Score_r[int(t)] -= 1
+    def dec_range(lo: int, hi: int) -> None:
+        """dec_clear over [lo, hi): pops are idempotent and the
+        decrements commute, so batching is order-equivalent."""
+        lo = max(lo, 0)
+        hi = min(hi, len(VF_scores.a))
+        if hi <= lo:
+            return
+        for arr, sc in ((VF_scores.a, Score), (VR_scores.a, Score_r)):
+            seg = arr[lo:hi]
+            m = seg >= 0
+            if m.any():
+                vs = seg[m]
+                if eng is not None:
+                    eng.dec_voffs(vs, sc)
+                else:
+                    for vo in vs.tolist():
+                        for t in _values(idx, vo):
+                            sc[int(t)] -= 1
+                seg[m] = -1
 
     # emulate the C regionTemplates array: list + explicit count/cursor
     reg = list(region)
@@ -621,12 +685,10 @@ def _anker_and_clean(idx, codes, NN, region, Score, Score_r, include,
         # clear nearest templates on both sides (savekmers.c:4731-4802)
         end = min(seqlen, start_cut + 92)
         start_cut = max(0, start_cut - 92)
-        for kq in range(start_cut, end):
-            dec_clear(kq)
+        dec_range(start_cut, end)
         end = max(0, end_cut - 92)
         end_cut = min(seqlen, end_cut + 92)
-        for kq in range(end_cut, end, -1):
-            dec_clear(kq)
+        dec_range(end + 1, end_cut + 1)
 
         for t in reg:
             include[abs(t)] = 0
@@ -670,11 +732,9 @@ def _anker_and_clean(idx, codes, NN, region, Score, Score_r, include,
                         Score_r[t] -= 1
             reg = reg[:cursor + 1]
             end = min(seqlen, start_cut + 92)
-            for kq in range(max(0, start_cut - 92), end):
-                dec_clear(kq)
+            dec_range(max(0, start_cut - 92), end)
             end = min(seqlen, end_cut + 92)
-            for kq in range(max(0, end_cut - 92), end):
-                dec_clear(kq)
+            dec_range(max(0, end_cut - 92), end)
             start_cut = max(0, start_cut - 92)
             end_cut = min(seqlen, end_cut + 92)
             for t in reg:
@@ -682,8 +742,7 @@ def _anker_and_clean(idx, codes, NN, region, Score, Score_r, include,
         else:
             start_cut = max(0, start_cut - 92)
             end_cut = min(seqlen, end_cut + 92)
-            for kq in range(start_cut, end_cut):
-                dec_clear(kq)
+            dec_range(start_cut, end_cut)
 
     # modify limits of match seq (savekmers.c:4814-4820 / :5085-5090)
     start_cut = (start_cut >> 5) << 5

@@ -119,6 +119,14 @@ def get_lib():
         _i32p, ctypes.POINTER(ctypes.c_int),
         _i64p,
     ]
+    lib.kchain_lookup_windows.restype = None
+    lib.kchain_lookup_windows.argtypes = [_vp, _u8p, ctypes.c_int, _i64p]
+    lib.kchain_dec_voffs.restype = None
+    lib.kchain_dec_voffs.argtypes = [_vp, _i64p, ctypes.c_longlong, _i64p]
+    lib.kchain_score_reps.restype = ctypes.c_int
+    lib.kchain_score_reps.argtypes = [
+        _vp, ctypes.c_longlong, ctypes.c_longlong, _i64p, _i32p,
+        ctypes.c_int]
     lib.kchain_scan_batch_dev.restype = ctypes.c_int
     lib.kchain_scan_batch_dev.argtypes = [
         _vp, _u8p, _i64p, ctypes.c_int,
@@ -421,6 +429,31 @@ class NativeChain:
             bs.ctypes.data_as(_i64p))
         return ((int(bs[0]), self._pair_b[:nb.value].tolist()),
                 (int(bs[1]), self._pair_br[:nbr.value].tolist()))
+
+    def lookup_windows(self, fold: np.ndarray) -> np.ndarray:
+        """voffs for EVERY window of an already-folded strand (the HMM
+        scanner's unmasked lookups, savekmers.c:3975-3981)."""
+        W = len(fold) - self._idx.kmersize + 1
+        out = np.full(max(W, 0), -1, np.int64)
+        if W > 0:
+            fold = np.ascontiguousarray(fold, np.uint8)
+            self._lib.kchain_lookup_windows(
+                self._h, fold.ctypes.data_as(_u8p), len(fold),
+                out.ctypes.data_as(_i64p))
+        return out
+
+    def dec_voffs(self, voffs: np.ndarray, Score: np.ndarray) -> None:
+        if len(voffs):
+            voffs = np.ascontiguousarray(voffs, np.int64)
+            self._lib.kchain_dec_voffs(
+                self._h, voffs.ctypes.data_as(_i64p), len(voffs),
+                Score.ctypes.data_as(_i64p))
+
+    def score_reps(self, voff: int, reps: int, Score: np.ndarray,
+                   bt: np.ndarray, nb: int) -> int:
+        return self._lib.kchain_score_reps(
+            self._h, voff, reps, Score.ctypes.data_as(_i64p),
+            bt.ctypes.data_as(_i32p), nb)
 
     def _ws(self, t):
         """Per-thread Score/extendScore/include workspaces."""

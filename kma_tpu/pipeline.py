@@ -1618,17 +1618,19 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                     flush_aln()
             flush_aln()
         else:
-            # default/chain-mode hits batch through the same native
-            # aligner; HMM (rc_override), sparse and -ck shapes keep the
-            # per-hit path
-            batchable = (use_batch and not sparse_db and not cfg.hmm
-                         and not cfg.ck)
+            # default/chain/HMM hits batch through the same native
+            # aligner (HMM rc_override slices auto-fallback per hit);
+            # sparse and -ck shapes keep the per-hit path
+            batchable = use_batch and not sparse_db and not cfg.ck
 
             def _consume(read, hits):
                 if not hits and sam_un is not None:
                     sam_unmapped(read.codes, read.header, _un_flag)
                 for hit in hits:
                     if not batchable or hit.rc_override is not None:
+                        # drain the batch first so the spool keeps the
+                        # reference's record order
+                        flush_aln()
                         handle_se_anker(hit.codes, hit.n_positions,
                                         hit.rc_flag, hit.templates,
                                         hit.header, hit.flag,

@@ -1710,4 +1710,98 @@ void kchain_save_kmers(void *h, const uint8_t *codes, int seqlen,
     }
 }
 
+
+// ---- save_kmers_HMM helpers (mapping/hmm_scan.py keeps the carving
+// logic; these remove the per-window/per-template Python loops) ----
+
+// per-window voffs over an ALREADY-FOLDED strand (the HMM scanner packs
+// N as base 0/3 and looks up EVERY window, savekmers.c:3975-3981)
+void kchain_lookup_windows(void *h, const uint8_t *fold, int seqlen,
+                           long long *out) {
+    Ctx *c = (Ctx *)h;
+    const KIdx *x = &c->x;
+    int k = x->k;
+    int W = seqlen - k + 1;
+    if (W <= 0)
+        return;
+    // windows are all "valid": no N-masking on the folded strand
+    std::vector<uint64_t> &kmers = c->kmers;
+    kmers.assign(W, 0);
+    uint64_t km = 0;
+    for (int i = 0; i < seqlen; ++i) {
+        km = ((km << 2) | fold[i]) & x->kroll;
+        int j = i - k + 1;
+        if (j >= 0)
+            kmers[j] = km;
+    }
+    if (x->cmode) {
+        // reuse the cmer transform via the masked path
+        c->ok.assign(W, 1);
+        uint64_t mm = ((uint64_t)1 << (2 * x->mlen)) - 1;
+        for (int j = 0; j < W; ++j) {
+            uint64_t raw = kmers[j];
+            if (x->cmode == 2) {
+                uint64_t o = raw & mm, cur = raw;
+                for (int t = 0; t < k - x->mlen; ++t) {
+                    cur >>= 2;
+                    if ((cur & mm) < o)
+                        o = cur & mm;
+                }
+                kmers[j] = o;
+            } else if (x->cmode == 1) {
+                int hl;
+                uint64_t hh = hmer_of(raw, k, &hl);
+                kmers[j] = (k == 16) ? (hh & 0xFFFFFFFFull) : hh;
+            } else {
+                int hl;
+                uint64_t hh = hmer_of(raw, k, &hl);
+                uint64_t m = hh & mm;
+                if (x->mlen < hl) {
+                    uint64_t h2 = hh >> 2;
+                    for (int t = 0; t < hl - x->mlen; ++t) {
+                        if ((h2 & mm) < m)
+                            m = h2 & mm;
+                        h2 >>= 2;
+                    }
+                }
+                kmers[j] = m;
+            }
+        }
+    }
+    for (int j = 0; j < W; ++j)
+        out[j] = lookup_voff(x, kmers[j]);
+}
+
+// decrement every template of each values list (ankerAndClean's
+// clear loops, savekmers.c:4731-4802)
+void kchain_dec_voffs(void *h, const long long *voffs, long long n,
+                      long long *Score_) {
+    Ctx *c = (Ctx *)h;
+    const KIdx *x = &c->x;
+    int64_t *Score = (int64_t *)Score_;
+    for (long long i = 0; i < n; ++i) {
+        int64_t vo = voffs[i];
+        int64_t cnt = val_at(x, vo);
+        for (int64_t p = vo + 1; p <= vo + cnt; ++p)
+            --Score[val_at(x, p)];
+    }
+}
+
+// reps-compressed Score accumulation (savekmers.c:4313-4340):
+// Score[t] += reps; first touch appends t to bt.  Returns new count.
+int kchain_score_reps(void *h, long long voff, long long reps,
+                      long long *Score_, int *bt, int nb) {
+    Ctx *c = (Ctx *)h;
+    const KIdx *x = &c->x;
+    int64_t *Score = (int64_t *)Score_;
+    int64_t cnt = val_at(x, voff);
+    for (int64_t p = voff + 1; p <= voff + cnt; ++p) {
+        int64_t t = val_at(x, p);
+        Score[t] += reps;
+        if (Score[t] == reps)
+            bt[nb++] = (int)t;
+    }
+    return nb;
+}
+
 } // extern "C"
