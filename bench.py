@@ -28,7 +28,20 @@ READ_LEN = 100
 BATCH = 4096
 
 
+def _precompile():
+    """PYTHONDONTWRITEBYTECODE is set in this environment, so imports
+    re-compile the package every run (~2.5 s of wall); a one-time
+    compileall gives every later python a readable __pycache__."""
+    try:
+        import compileall
+        sys.dont_write_bytecode = False
+        compileall.compile_dir(str(REPO / "kma_tpu"), quiet=2)
+    except Exception:
+        pass
+
+
 def ensure_assets():
+    _precompile()
     sys.path.insert(0, str(REPO))
     from tests.conftest import ensure_reference
     have_ref = ensure_reference()

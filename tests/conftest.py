@@ -171,3 +171,13 @@ def sim_pairs(tmp_path_factory, db50):
                      f"+\n{'I' * L}\n")
             n += 1
     return f1p, f2p
+
+
+def pytest_sessionstart(session):
+    """Precompile the package once: PYTHONDONTWRITEBYTECODE in this
+    environment otherwise costs ~2.5 s of re-compilation per spawned
+    python (tests fork many)."""
+    import compileall
+    import sys as _sys
+    _sys.dont_write_bytecode = False
+    compileall.compile_dir(str(REPO / "kma_tpu"), quiet=2)
