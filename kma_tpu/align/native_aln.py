@@ -47,7 +47,8 @@ def _build() -> bool:
         return False
     try:
         subprocess.run(
-            ["g++", "-O2", "-fPIC", "-shared", "-o", _SO + ".tmp", _SRC],
+            ["g++", "-O2", "-fPIC", "-shared", "-o", _SO + ".tmp", _SRC,
+             os.path.join(_NATIVE_DIR, "kma_assem.cpp")],
             check=True, capture_output=True)
         os.replace(_SO + ".tmp", _SO)
         return True
@@ -123,6 +124,16 @@ def get_lib():
         i64p, i32p, i32p, i32p, i32p,    # sc1, pos1, len1, tg1, qg1
         i64p, i32p, i32p, i32p, i32p,    # sc2, pos2, len2, tg2, qg2
         u8p]                             # flipped
+    lib.kassem_template_frags.restype = ctypes.c_longlong
+    lib.kassem_template_frags.argtypes = [
+        ctypes.c_void_p, u8p, i64p,
+        i32p, i32p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
+        ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        i64p, i64p, ctypes.c_longlong, ctypes.c_int,
+        u8p, u8p, i64p, i64p, i32p, i32p, i32p]
     _lib = lib
     return _lib
 
@@ -315,3 +326,35 @@ def pe_score_batch(handles: np.ndarray, tpl_ids: np.ndarray,
         _i32p(qg2),
         _u8p(flipped))
     return (sc1, pos1, len1, tg1, qg1, sc2, pos2, len2, tg2, qg2, flipped)
+
+
+def assembly_frags_batch(tindex, codes_flat, codes_off, qbounds, fstats,
+                         n, rew, Wl_raw, minlen, mq, scoreT, mrc,
+                         circular, ts, skip_tails, dense, counts, nxt,
+                         mat_len, t_len):
+    """assemble_KMA's frag loop (assembly.c:1689-2127) for one template,
+    applied directly to the assembly matrix; returns (new_mat_len, acc,
+    rc_used, read_score, mat_score, start, end, aln_len)."""
+    lib = get_lib()
+    h = native_handle(tindex)
+    acc = np.zeros(n, np.uint8)
+    rcu = np.zeros(n, np.uint8)
+    rs = np.zeros(n, np.int64)
+    ms = np.zeros(n, np.int64)
+    st = np.zeros(n, np.int32)
+    en = np.zeros(n, np.int32)
+    ln = np.zeros(n, np.int32)
+    i64pp = ctypes.POINTER(ctypes.c_int64)
+    d = _dmat(rew.d)
+    new_len = lib.kassem_template_frags(
+        h, _u8p(codes_flat), codes_off.ctypes.data_as(i64pp),
+        _i32p(qbounds), _i32p(fstats), n,
+        rew.M, rew.MM, rew.U, rew.W1, _i32p(d), Wl_raw,
+        minlen, mq, scoreT, mrc,
+        1 if circular else 0, ts, 1 if skip_tails else 0,
+        1 if dense else 0,
+        counts.ctypes.data_as(i64pp), nxt.ctypes.data_as(i64pp),
+        mat_len, t_len,
+        _u8p(acc), _u8p(rcu), rs.ctypes.data_as(i64pp),
+        ms.ctypes.data_as(i64pp), _i32p(st), _i32p(en), _i32p(ln))
+    return new_len, acc, rcu, rs, ms, st, en, ln

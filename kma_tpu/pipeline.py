@@ -2782,7 +2782,57 @@ def assemble_template(tindex: TemplateIndex, t_len: int, frags: List[Frag],
         assem.q = np.empty(0, np.uint8)
         return assem, matrix
 
-    for frag in frags:
+    # batched frag loop (no sam/xml writers): realignments + alnToMat run
+    # in one native call per template
+    from .align import native_aln as _nat
+    use_batch_asm = (sam_out is None and xml_writer is None and frags
+                     and _nat.get_lib() is not None)
+    if use_batch_asm:
+        import struct as _st
+        n = len(frags)
+        codes_l = [np.ascontiguousarray(f.codes, np.uint8) for f in frags]
+        codes_off = np.zeros(n + 1, np.int64)
+        for i, c in enumerate(codes_l):
+            codes_off[i + 1] = codes_off[i] + len(c)
+        codes_flat = np.concatenate(codes_l)
+        qb = np.zeros(2 * n, np.int32)
+        fs = np.zeros(3 * n, np.int32)
+        total_q = 0
+        for i, f in enumerate(frags):
+            q_len = f.q_len
+            q_start, q_end = 0, q_len
+            h = f.header
+            if len(h) > 2 * 4 + 1 and h[len(h) - 2 * 4 - 1] == 0:
+                q_start, q_end = _st.unpack_from("<ii", h, len(h) - 8)
+            qb[2 * i] = q_start
+            qb[2 * i + 1] = q_end
+            fs[3 * i] = f.score
+            fs[3 * i + 1] = f.start
+            fs[3 * i + 2] = f.end
+            total_q += q_len
+        while matrix.len + total_q + 1 > len(matrix.next):
+            matrix._grow()
+        new_len, acc, rcu, rs, ms, stt, enn, lnn = \
+            _nat.assembly_frags_batch(
+                tindex, codes_flat, codes_off, qb, fs, n, rew, rew.Wl,
+                cfg.min_len, cfg.mq, cfg.score_t, cfg.mrc, cfg.circular,
+                cfg.ts, cfg.skip_tail_aln, cfg.dense, matrix.counts,
+                matrix.next, matrix.len, t_len)
+        matrix.len = int(new_len)
+        for i, frag in enumerate(frags):
+            if acc[i] != 1:
+                continue
+            assem.score += int(ms[i])
+            if not (frag.flag & 2) or (frag.flag & 64):
+                assem.fragmentCountAln += 1
+            assem.readCountAln += 1
+            if frag_out is not None:
+                fc = rc_codes(frag.codes) if rcu[i] else frag.codes
+                stats = [frag.best_hits, int(rs[i]), int(stt[i]),
+                         int(enn[i]), frag.flag]
+                frag_out.write(frag_row(fc, stats, name, frag.header))
+
+    for frag in (() if use_batch_asm else frags):
         codes = frag.codes
         q_len = frag.q_len
         header = frag.header

@@ -1395,16 +1395,15 @@ extern "C" int kaln_anker_rc_comp(void* h, const uint8_t* qseq,
 }
 
 // anker_rc (align.c:780-991) -- the BYTE variant used by assembly / Mt1
-extern "C" int kaln_anker_rc_bytes(void* h, const uint8_t* qseq,
-                                   const uint8_t* qseq_r, int q_len,
-                                   int q_start, int q_end, int one2one,
-                                   int* n_points_out) {
-    TIndex& T = *(TIndex*)h;
+static int anker_rc_bytes_impl(TIndex& T, const uint8_t* qseq,
+                               const uint8_t* qseq_r, int q_len,
+                               int q_start, int q_end, int one2one,
+                               int* n_points_out, Points& pts_arg) {
     int k = T.k;
     int t_len = T.len;
     const uint8_t* tc = T.codes.data();
     uint64_t mask = (k < 32) ? ((uint64_t(1) << (2 * k)) - 1) : ~uint64_t(0);
-    Points& pts = g_points;
+    Points& pts = pts_arg;
     pts.clear_all();
 
     ll bestScore = 0, score = 0, score_r = 0;
@@ -1525,6 +1524,14 @@ extern "C" int kaln_anker_rc_bytes(void* h, const uint8_t* qseq,
     }
     *n_points_out = pts.len;
     return result;
+}
+
+extern "C" int kaln_anker_rc_bytes(void* h, const uint8_t* qseq,
+                                   const uint8_t* qseq_r, int q_len,
+                                   int q_start, int q_end, int one2one,
+                                   int* n_points_out) {
+    return anker_rc_bytes_impl(*(TIndex*)h, qseq, qseq_r, q_len, q_start,
+                               q_end, one2one, n_points_out, g_points);
 }
 
 // ----------------------------------------------------- batched alnFragsSE
@@ -1829,3 +1836,139 @@ extern "C" void kaln_pe_score_batch(
     for (int i = 0; i < nt; i++) th.emplace_back(worker);
     for (auto& t : th) t.join();
 }
+
+// from native/kma_assem.cpp (linked into this .so as well)
+extern "C" long long kassem_aln_to_mat(long long *counts, long long *next_,
+                                       long long mat_len, int t_len,
+                                       const unsigned char *aln_t,
+                                       const unsigned char *aln_q,
+                                       long long aln_len, int start);
+extern "C" void kassem_aln_to_mat_dense(long long *counts,
+                                        long long *next_,
+                                        const unsigned char *aln_t,
+                                        const unsigned char *aln_q,
+                                        long long aln_len, int start);
+
+// ------------------------------------------ per-template assembly batch
+//
+// The frag loop of assemble_KMA (assembly.c:1689-2127 / pipeline.py
+// assemble_template) without sam/xml writers: per fragment, optional
+// anker_rc orientation rescue, KMA() with traceback, the
+// minlen/mrc/scoreT gates with the RAW Wl end penalties, and alnToMat
+// applied DIRECTLY to the caller's assembly matrix (which the caller
+// pre-grows to mat_len + sum(q_len)).  Per-frag stats come back for the
+// frag_row writer.  o_acc: 0 = skipped, 1 = accepted (matrix updated),
+// 2 = gated out.
+extern "C" long long kassem_template_frags(
+    void* h, const uint8_t* codes_flat, const int64_t* codes_off,
+    const int32_t* qbounds,   // [n,2] q_start,q_end (header tails)
+    const int32_t* fstats,    // [n,3] score, start, end (spool record)
+    int n_frags,
+    int M, int MM, int U, int W1, const int32_t* dmat, int Wl_raw,
+    int minlen, int mq, double scoreT, double mrc,
+    int circular, int ts, int skip_tails, int dense,
+    long long* counts, long long* next_, long long mat_len, int t_len_,
+    uint8_t* o_acc, uint8_t* o_rc, long long* o_read_score,
+    long long* o_mat_score,
+    int32_t* o_start, int32_t* o_end, int32_t* o_len) {
+    TIndex& T = *(TIndex*)h;
+    int t_len = T.len;
+    (void)t_len_;
+    Penal pen;
+    pen.M = M; pen.MM = MM; pen.U = U; pen.W1 = W1;
+    for (int a = 0; a < 5; a++)
+        for (int b = 0; b < 5; b++)
+            pen.d[a][b] = dmat[a * 5 + b];
+    Points pts;
+    std::vector<uint8_t> Ebuf;
+    std::vector<ll> Dbuf;
+    std::vector<uint8_t> rcq;
+    Aligned aligned;
+
+    for (int i = 0; i < n_frags; ++i) {
+        const uint8_t* q = codes_flat + codes_off[i];
+        int q_len = (int)(codes_off[i + 1] - codes_off[i]);
+        int q_start = qbounds[2 * i], q_end = qbounds[2 * i + 1];
+        int stats2 = fstats[3 * i + 1], stats3 = fstats[3 * i + 2];
+        ll read_score = fstats[3 * i];
+        o_acc[i] = 0;
+        o_rc[i] = 0;
+        pts.clear_all();
+        pts.len = 0;
+        const uint8_t* cur = q;
+        int use_pts = 0;
+        if (!read_score) {
+            // anker_rc rescue (align.c:780-991)
+            rcq.resize(q_len);
+            for (int x2 = 0; x2 < q_len; x2++) {
+                uint8_t c = q[q_len - 1 - x2];
+                rcq[x2] = c < 4 ? (uint8_t)(3 - c) : c;
+            }
+            int npout = 0;
+            int res = anker_rc_bytes_impl(T, q, rcq.data(), q_len,
+                                          q_start, q_end, 0, &npout, pts);
+            pts.len = npout;
+            if (res == 0)
+                continue;  // proceed = False
+            if (res < 0) {
+                cur = rcq.data();
+                o_rc[i] = 1;
+            }
+            use_pts = pts.len ? 1 : 0;
+        }
+        if (stats3 <= stats2) {
+            stats2 = 0;
+            stats3 = t_len;
+        }
+        AlnStat st;
+        st.score = 0; st.pos = 0; st.len = 0; st.match = 0;
+        st.tGaps = 0; st.qGaps = 0; st.mapQ = 0;
+        kaln_align_impl(T, cur, q_len, q_start, q_end, stats2,
+                        stats3 < t_len ? stats3 : t_len, mq, pen,
+                        nullptr, 0, 1, use_pts, circular, ts, skip_tails,
+                        pts, Ebuf, Dbuf, &aligned, &st);
+        int aln_len = st.len;
+        int start = st.pos;
+        int end = start + aln_len - st.tGaps;
+        if (t_len < end)
+            end -= t_len;
+        read_score = st.score;
+        // assembly.c:1946-1953: RAW (negative) Wl per touched end
+        if (start == 0)
+            read_score += Wl_raw;
+        if (end == t_len)
+            read_score += Wl_raw;
+        double score;
+        bool mr = (mrc * q_len <= st.len - st.qGaps)
+                  || (mrc * t_len <= st.len - st.tGaps);
+        if (minlen <= aln_len && mr) {
+            score = 1.0 * (double)read_score / (double)aln_len;
+        } else {
+            read_score = 0;
+            score = 0.0;
+        }
+        o_read_score[i] = read_score;
+        o_mat_score[i] = st.score;
+        o_start[i] = start;
+        o_end[i] = t_len < end ? end - t_len : end;
+        o_len[i] = aln_len;
+        if (0 < read_score && scoreT <= score) {
+            o_acc[i] = 1;
+            if (dense)
+                kassem_aln_to_mat_dense(counts, next_, aligned.t.data(),
+                                        aligned.q.data(),
+                                        (long long)aligned.t.size(),
+                                        st.pos);
+            else
+                mat_len = kassem_aln_to_mat(counts, next_, mat_len, t_len,
+                                            aligned.t.data(),
+                                            aligned.q.data(),
+                                            (long long)aligned.t.size(),
+                                            st.pos);
+        } else {
+            o_acc[i] = 2;
+        }
+    }
+    return mat_len;
+}
+
