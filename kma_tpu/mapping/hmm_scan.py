@@ -184,189 +184,208 @@ def hmm_scan_read(idx: KmaIndex, codes: np.ndarray, header: bytes,
     i = 0
     i_r = seqlen - k
     N = 1
+    NN_a = np.asarray(NN, np.int64)
+    hp_a = np.asarray(hp, np.float64)
+    st3 = np.zeros(3, np.int64)
+    out4 = np.zeros(4, np.int64)
     while N <= NN[0] and 0 <= i_r:
-        # --- find a seed (savekmers.c:3986-4024) ---
-        HIT = 0
-        if exhaustive:
-            end = NN[N]
-            i += k - 1
-            while i < end and not HIT:
-                w = i - k + 1
-                if VFL(w) >= 0 or VR_at(w) >= 0:
-                    HIT = 1
-                else:
-                    i += 1
-                    i_r -= 1
-            i -= k - 1
-            end -= k - 1
+        if eng is not None:
+            st3[0] = i
+            st3[1] = i_r
+            st3[2] = N
+            HIT = eng.hmm_region(VFL_a, VRL_a, VF_scores.a, VR_scores.a,
+                                 NN_a, seqlen, k, exhaustive, hp_a, st3,
+                                 out4)
+            i, i_r, N = int(st3[0]), int(st3[1]), int(st3[2])
+            if not HIT:
+                continue
+            start = int(out4[0])
+            j = int(out4[1])
+            stop = int(out4[2])
+            hitCounter = int(out4[3])
         else:
-            end = NN[N] - k + 1
-            while i < end and not HIT:
-                if VFL(i) >= 0 or VR_at(i) >= 0:
-                    HIT = 1
-                else:
-                    i += k
-                    i_r -= k
-
-        if not HIT:
-            N += 1
-            continue
-
-        # --- evaluate seed (savekmers.c:4026-4283) ---
-        hitCounter = 1
-        VF_scores[i] = VFL(i)
-        VR_scores[i] = VR_at(i)
-
-        # extend backward
-        Ms_prev = hp[7] + hp[2]
-        Ns_prev = hp[5] + hp[0]
-        Ms = 0.0
-        Ns = 0.0
-        j = i - 1
-        j_r = i_r + 1
-        n = N - 1
-        Ncheck = -1 if n > 0 else NN[n]   # reference quirk (see module doc)
-        while j >= 0:
-            if j == Ncheck:
-                kk = j
-                # dead inner loop preserved for fidelity
-                while kk >= k and kk < (j - k):  # pragma: no cover
-                    if kk == Ncheck:
-                        j = Ncheck
-                        n -= 1
-                        Ncheck = -1 if n > 0 else NN[n]
-                    if (Ns_prev + hp[0] + hp[4]
-                            >= Ms_prev + hp[3] + hp[4]):
-                        Ns = Ns_prev + hp[0] + hp[4]
+            # --- find a seed (savekmers.c:3986-4024) ---
+            HIT = 0
+            if exhaustive:
+                end = NN[N]
+                i += k - 1
+                while i < end and not HIT:
+                    w = i - k + 1
+                    if VFL(w) >= 0 or VR_at(w) >= 0:
+                        HIT = 1
                     else:
-                        Ns = Ms_prev + hp[3] + hp[4]
-                    if (Ms_prev + hp[2] + hp[6]
-                            >= Ns_prev + hp[1] + hp[6]):
-                        Ms = Ms_prev + hp[2] + hp[6]
+                        i += 1
+                        i_r -= 1
+                i -= k - 1
+                end -= k - 1
+            else:
+                end = NN[N] - k + 1
+                while i < end and not HIT:
+                    if VFL(i) >= 0 or VR_at(i) >= 0:
+                        HIT = 1
                     else:
-                        Ms = Ns_prev + hp[1] + hp[6]
+                        i += k
+                        i_r -= k
+
+            if not HIT:
+                N += 1
+                continue
+
+            # --- evaluate seed (savekmers.c:4026-4283) ---
+            hitCounter = 1
+            VF_scores[i] = VFL(i)
+            VR_scores[i] = VR_at(i)
+
+            # extend backward
+            Ms_prev = hp[7] + hp[2]
+            Ns_prev = hp[5] + hp[0]
+            Ms = 0.0
+            Ns = 0.0
+            j = i - 1
+            j_r = i_r + 1
+            n = N - 1
+            Ncheck = -1 if n > 0 else NN[n]   # reference quirk (see module doc)
+            while j >= 0:
+                if j == Ncheck:
+                    kk = j
+                    # dead inner loop preserved for fidelity
+                    while kk >= k and kk < (j - k):  # pragma: no cover
+                        if kk == Ncheck:
+                            j = Ncheck
+                            n -= 1
+                            Ncheck = -1 if n > 0 else NN[n]
+                        if (Ns_prev + hp[0] + hp[4]
+                                >= Ms_prev + hp[3] + hp[4]):
+                            Ns = Ns_prev + hp[0] + hp[4]
+                        else:
+                            Ns = Ms_prev + hp[3] + hp[4]
+                        if (Ms_prev + hp[2] + hp[6]
+                                >= Ns_prev + hp[1] + hp[6]):
+                            Ms = Ms_prev + hp[2] + hp[6]
+                        else:
+                            Ms = Ns_prev + hp[1] + hp[6]
+                            break
+                        kk -= 1
+                        Ns_prev = Ns
+                        Ms_prev = Ms
+                    if kk >= k and kk < (j - k):  # pragma: no cover
+                        j = kk - 1
                         break
-                    kk -= 1
-                    Ns_prev = Ns
-                    Ms_prev = Ms
-                if kk >= k and kk < (j - k):  # pragma: no cover
                     j = kk - 1
-                    break
-                j = kk - 1
-                j_r = seqlen - k - kk + 1
-            else:
-                vf = VFL(j)
-                vr = VR_at(j)
-                if vf >= 0:
-                    VF_scores[j] = vf
-                if vr >= 0:
-                    VR_scores[j] = vr
-                if vf >= 0 or vr >= 0:
-                    hitCounter += 1
-                    if (Ns_prev + hp[0] + hp[5]
-                            >= Ms_prev + hp[3] + hp[5]):
-                        Ns = Ns_prev + hp[0] + hp[5]
-                    else:
-                        Ns = Ms_prev + hp[3] + hp[5]
-                    if (Ms_prev + hp[2] + hp[7]
-                            >= Ns_prev + hp[1] + hp[7]):
-                        Ms = Ms_prev + hp[2] + hp[7]
-                    else:
-                        Ms = Ns_prev + hp[1] + hp[7]
-                        j -= 1
-                        break
+                    j_r = seqlen - k - kk + 1
                 else:
-                    if (Ns_prev + hp[0] + hp[4]
-                            >= Ms_prev + hp[3] + hp[4]):
-                        Ns = Ns_prev + hp[0] + hp[4]
+                    vf = VFL(j)
+                    vr = VR_at(j)
+                    if vf >= 0:
+                        VF_scores[j] = vf
+                    if vr >= 0:
+                        VR_scores[j] = vr
+                    if vf >= 0 or vr >= 0:
+                        hitCounter += 1
+                        if (Ns_prev + hp[0] + hp[5]
+                                >= Ms_prev + hp[3] + hp[5]):
+                            Ns = Ns_prev + hp[0] + hp[5]
+                        else:
+                            Ns = Ms_prev + hp[3] + hp[5]
+                        if (Ms_prev + hp[2] + hp[7]
+                                >= Ns_prev + hp[1] + hp[7]):
+                            Ms = Ms_prev + hp[2] + hp[7]
+                        else:
+                            Ms = Ns_prev + hp[1] + hp[7]
+                            j -= 1
+                            break
                     else:
-                        Ns = Ms_prev + hp[3] + hp[4]
-                    if (Ms_prev + hp[2] + hp[6]
-                            >= Ns_prev + hp[1] + hp[6]):
-                        Ms = Ms_prev + hp[2] + hp[6]
-                    else:
-                        Ms = Ns_prev + hp[1] + hp[6]
-                        j -= 1
-                        break
-                j -= 1
-                j_r += 1
-            Ns_prev = Ns
-            Ms_prev = Ms
-        start = j + 1
+                        if (Ns_prev + hp[0] + hp[4]
+                                >= Ms_prev + hp[3] + hp[4]):
+                            Ns = Ns_prev + hp[0] + hp[4]
+                        else:
+                            Ns = Ms_prev + hp[3] + hp[4]
+                        if (Ms_prev + hp[2] + hp[6]
+                                >= Ns_prev + hp[1] + hp[6]):
+                            Ms = Ms_prev + hp[2] + hp[6]
+                        else:
+                            Ms = Ns_prev + hp[1] + hp[6]
+                            j -= 1
+                            break
+                    j -= 1
+                    j_r += 1
+                Ns_prev = Ns
+                Ms_prev = Ms
+            start = j + 1
 
-        # extend forward
-        Ms_prev = hp[7] + hp[2]
-        Ns_prev = hp[5] + hp[0]
-        j = i + 1
-        j_r = i_r - 1
-        Ncheck = NN[N] - k + 1
-        while j < seqend:
-            if j == Ncheck:
-                kk = j
-                while kk < seqend and kk < (j + k):
-                    if kk == Ncheck:
-                        j = Ncheck
-                        N += 1
-                        Ncheck = (seqlen if N == NN[0]
-                                  else NN[N] - k + 1)
-                    if (Ns_prev + hp[0] + hp[4]
-                            >= Ms_prev + hp[3] + hp[4]):
-                        Ns = Ns_prev + hp[0] + hp[4]
-                    else:
-                        Ns = Ms_prev + hp[3] + hp[4]
-                    if (Ms_prev + hp[2] + hp[6]
-                            >= Ns_prev + hp[1] + hp[6]):
-                        Ms = Ms_prev + hp[2] + hp[6]
-                    else:
-                        Ms = Ns_prev + hp[1] + hp[6]
+            # extend forward
+            Ms_prev = hp[7] + hp[2]
+            Ns_prev = hp[5] + hp[0]
+            j = i + 1
+            j_r = i_r - 1
+            Ncheck = NN[N] - k + 1
+            while j < seqend:
+                if j == Ncheck:
+                    kk = j
+                    while kk < seqend and kk < (j + k):
+                        if kk == Ncheck:
+                            j = Ncheck
+                            N += 1
+                            Ncheck = (seqlen if N == NN[0]
+                                      else NN[N] - k + 1)
+                        if (Ns_prev + hp[0] + hp[4]
+                                >= Ms_prev + hp[3] + hp[4]):
+                            Ns = Ns_prev + hp[0] + hp[4]
+                        else:
+                            Ns = Ms_prev + hp[3] + hp[4]
+                        if (Ms_prev + hp[2] + hp[6]
+                                >= Ns_prev + hp[1] + hp[6]):
+                            Ms = Ms_prev + hp[2] + hp[6]
+                        else:
+                            Ms = Ns_prev + hp[1] + hp[6]
+                            break
+                        kk += 1
+                        Ns_prev = Ns
+                        Ms_prev = Ms
+                    if kk < seqend and kk < (j + k):
+                        j = kk
                         break
-                    kk += 1
-                    Ns_prev = Ns
-                    Ms_prev = Ms
-                if kk < seqend and kk < (j + k):
                     j = kk
-                    break
-                j = kk
-                j_r = seqlen - k - kk
-            else:
-                vf = VFL(j)
-                vr = VRL(j_r)
-                if vf >= 0:
-                    VF_scores[j] = vf
-                if vr >= 0:
-                    VR_scores[j] = vr
-                if vf >= 0 or vr >= 0:
-                    hitCounter += 1
-                    if (Ns_prev + hp[0] + hp[5]
-                            >= Ms_prev + hp[3] + hp[5]):
-                        Ns = Ns_prev + hp[0] + hp[5]
-                    else:
-                        Ns = Ms_prev + hp[3] + hp[5]
-                    if (Ms_prev + hp[2] + hp[7]
-                            >= Ns_prev + hp[1] + hp[7]):
-                        Ms = Ms_prev + hp[2] + hp[7]
-                    else:
-                        Ms = Ns_prev + hp[1] + hp[7]
-                        j += 1
-                        break
+                    j_r = seqlen - k - kk
                 else:
-                    if (Ns_prev + hp[0] + hp[4]
-                            >= Ms_prev + hp[3] + hp[4]):
-                        Ns = Ns_prev + hp[0] + hp[4]
+                    vf = VFL(j)
+                    vr = VRL(j_r)
+                    if vf >= 0:
+                        VF_scores[j] = vf
+                    if vr >= 0:
+                        VR_scores[j] = vr
+                    if vf >= 0 or vr >= 0:
+                        hitCounter += 1
+                        if (Ns_prev + hp[0] + hp[5]
+                                >= Ms_prev + hp[3] + hp[5]):
+                            Ns = Ns_prev + hp[0] + hp[5]
+                        else:
+                            Ns = Ms_prev + hp[3] + hp[5]
+                        if (Ms_prev + hp[2] + hp[7]
+                                >= Ns_prev + hp[1] + hp[7]):
+                            Ms = Ms_prev + hp[2] + hp[7]
+                        else:
+                            Ms = Ns_prev + hp[1] + hp[7]
+                            j += 1
+                            break
                     else:
-                        Ns = Ms_prev + hp[3] + hp[4]
-                    if (Ms_prev + hp[2] + hp[6]
-                            >= Ns_prev + hp[1] + hp[6]):
-                        Ms = Ms_prev + hp[2] + hp[6]
-                    else:
-                        Ms = Ns_prev + hp[1] + hp[6]
-                        j += 1
-                        break
-                j += 1
-                j_r -= 1
-            Ns_prev = Ns
-            Ms_prev = Ms
-        stop = j + k - 1
+                        if (Ns_prev + hp[0] + hp[4]
+                                >= Ms_prev + hp[3] + hp[4]):
+                            Ns = Ns_prev + hp[0] + hp[4]
+                        else:
+                            Ns = Ms_prev + hp[3] + hp[4]
+                        if (Ms_prev + hp[2] + hp[6]
+                                >= Ns_prev + hp[1] + hp[6]):
+                            Ms = Ms_prev + hp[2] + hp[6]
+                        else:
+                            Ms = Ns_prev + hp[1] + hp[6]
+                            j += 1
+                            break
+                    j += 1
+                    j_r -= 1
+                Ns_prev = Ns
+                Ms_prev = Ms
+            stop = j + k - 1
 
         # --- evaluate hit (savekmers.c:4278-4502) ---
         if hitCounter > 0 and ((stop - start) > minlen or start == 0
@@ -404,31 +423,37 @@ def hmm_scan_read(idx: KmaIndex, codes: np.ndarray, header: bytes,
                                 n += 1
                         return n
 
-                for kq in range(start, j):
-                    vf = VF_scores.get(kq, -1)
-                    if vf >= 0:
-                        if vf == last:
-                            reps += 1
-                        else:
-                            if last >= 0:
-                                nb_f = _flush(last, reps, Score, bt_buf,
-                                              nb_f)
-                            reps = 1
-                            last = vf
-                    vr = VR_scores.get(kq, -1)
-                    if vr >= 0:
-                        if vr == rlast:
-                            rreps += 1
-                        else:
-                            if rlast >= 0:
-                                nb_r = _flush(rlast, rreps, Score_r,
-                                              btr_buf, nb_r)
-                            rreps = 1
-                            rlast = vr
-                if last >= 0:
-                    nb_f = _flush(last, reps, Score, bt_buf, nb_f)
-                if rlast >= 0:
-                    nb_r = _flush(rlast, rreps, Score_r, btr_buf, nb_r)
+                if eng is not None:
+                    nb_f = eng.score_window_runs(
+                        VF_scores.a[start:j], Score, bt_buf, nb_f)
+                    nb_r = eng.score_window_runs(
+                        VR_scores.a[start:j], Score_r, btr_buf, nb_r)
+                else:
+                    for kq in range(start, j):
+                        vf = VF_scores.get(kq, -1)
+                        if vf >= 0:
+                            if vf == last:
+                                reps += 1
+                            else:
+                                if last >= 0:
+                                    nb_f = _flush(last, reps, Score,
+                                                  bt_buf, nb_f)
+                                reps = 1
+                                last = vf
+                        vr = VR_scores.get(kq, -1)
+                        if vr >= 0:
+                            if vr == rlast:
+                                rreps += 1
+                            else:
+                                if rlast >= 0:
+                                    nb_r = _flush(rlast, rreps, Score_r,
+                                                  btr_buf, nb_r)
+                                rreps = 1
+                                rlast = vr
+                    if last >= 0:
+                        nb_f = _flush(last, reps, Score, bt_buf, nb_f)
+                    if rlast >= 0:
+                        nb_r = _flush(rlast, rreps, Score_r, btr_buf, nb_r)
                 bestT: List[int] = bt_buf[:nb_f].tolist()
                 bestT_r: List[int] = btr_buf[:nb_r].tolist()
 
@@ -470,30 +495,34 @@ def hmm_scan_read(idx: KmaIndex, codes: np.ndarray, header: bytes,
                     if bestScore > 0:
                         # find limits of match; the bound is re-read
                         # every step (a find at l ends the walk)
-                        start_cut = j
-                        for t in region:
-                            ta = abs(t)
-                            el = start
-                            while el < start_cut:
-                                vr = VR_scores.get(el, -1)
-                                if vr >= 0 and _in_list(idx, vr, ta):
-                                    start_cut = el
-                                vf = VF_scores.get(el, -1)
-                                if vf >= 0 and _in_list(idx, vf, ta):
-                                    start_cut = el
-                                el += 1
-                        end_cut = start_cut
-                        for t in region:
-                            ta = abs(t)
-                            el = j
-                            while el > end_cut:
-                                vr = VR_scores.get(el, -1)
-                                if vr >= 0 and _in_list(idx, vr, ta):
-                                    end_cut = el
-                                vf = VF_scores.get(el, -1)
-                                if vf >= 0 and _in_list(idx, vf, ta):
-                                    end_cut = el
-                                el -= 1
+                        if eng is not None:
+                            start_cut, end_cut = eng.cut_limits(
+                                VF_scores.a, VR_scores.a, start, j, region)
+                        else:
+                            start_cut = j
+                            for t in region:
+                                ta = abs(t)
+                                el = start
+                                while el < start_cut:
+                                    vr = VR_scores.get(el, -1)
+                                    if vr >= 0 and _in_list(idx, vr, ta):
+                                        start_cut = el
+                                    vf = VF_scores.get(el, -1)
+                                    if vf >= 0 and _in_list(idx, vf, ta):
+                                        start_cut = el
+                                    el += 1
+                            end_cut = start_cut
+                            for t in region:
+                                ta = abs(t)
+                                el = j
+                                while el > end_cut:
+                                    vr = VR_scores.get(el, -1)
+                                    if vr >= 0 and _in_list(idx, vr, ta):
+                                        end_cut = el
+                                    vf = VF_scores.get(el, -1)
+                                    if vf >= 0 and _in_list(idx, vf, ta):
+                                        end_cut = el
+                                    el -= 1
 
                         if (bestScore * k
                                 > (end_cut - start_cut - bestScore + k)):

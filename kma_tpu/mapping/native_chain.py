@@ -127,6 +127,18 @@ def get_lib():
     lib.kchain_score_reps.argtypes = [
         _vp, ctypes.c_longlong, ctypes.c_longlong, _i64p, _i32p,
         ctypes.c_int]
+    lib.kchain_score_window_runs.restype = ctypes.c_int
+    lib.kchain_score_window_runs.argtypes = [
+        _vp, _i64p, ctypes.c_longlong, _i64p, _i32p, ctypes.c_int]
+    lib.kchain_cut_limits.restype = None
+    lib.kchain_cut_limits.argtypes = [
+        _vp, _i64p, _i64p, ctypes.c_longlong, ctypes.c_longlong,
+        _i32p, ctypes.c_int, _i64p]
+    lib.kchain_hmm_region.restype = ctypes.c_int
+    lib.kchain_hmm_region.argtypes = [
+        _i64p, _i64p, _i64p, _i64p, _i64p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), _i64p, _i64p]
     lib.kchain_scan_batch_dev.restype = ctypes.c_int
     lib.kchain_scan_batch_dev.argtypes = [
         _vp, _u8p, _i64p, ctypes.c_int,
@@ -454,6 +466,34 @@ class NativeChain:
         return self._lib.kchain_score_reps(
             self._h, voff, reps, Score.ctypes.data_as(_i64p),
             bt.ctypes.data_as(_i32p), nb)
+
+    def score_window_runs(self, win: np.ndarray, Score: np.ndarray,
+                          bt: np.ndarray, nb: int) -> int:
+        win = np.ascontiguousarray(win, np.int64)
+        return self._lib.kchain_score_window_runs(
+            self._h, win.ctypes.data_as(_i64p), len(win),
+            Score.ctypes.data_as(_i64p), bt.ctypes.data_as(_i32p), nb)
+
+    def cut_limits(self, VFs, VRs, start, jj, region) -> tuple:
+        reg = np.asarray(region, np.int32)
+        out2 = np.zeros(2, np.int64)
+        self._lib.kchain_cut_limits(
+            self._h, VFs.ctypes.data_as(_i64p), VRs.ctypes.data_as(_i64p),
+            start, jj, reg.ctypes.data_as(_i32p), len(reg),
+            out2.ctypes.data_as(_i64p))
+        return int(out2[0]), int(out2[1])
+
+    def hmm_region(self, VFL_a, VRL_a, VFs, VRs, NN_a, seqlen, k,
+                   exhaustive, hp_a, st3, out4):
+        """One save_kmers_HMM region iteration (savekmers.c:3986-4283):
+        seed search + both-direction HMM extension."""
+        return self._lib.kchain_hmm_region(
+            VFL_a.ctypes.data_as(_i64p), VRL_a.ctypes.data_as(_i64p),
+            VFs.ctypes.data_as(_i64p), VRs.ctypes.data_as(_i64p),
+            NN_a.ctypes.data_as(_i64p), seqlen, k,
+            1 if exhaustive else 0,
+            hp_a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            st3.ctypes.data_as(_i64p), out4.ctypes.data_as(_i64p))
 
     def _ws(self, t):
         """Per-thread Score/extendScore/include workspaces."""

@@ -1804,4 +1804,317 @@ int kchain_score_reps(void *h, long long voff, long long reps,
     return nb;
 }
 
+
+// One outer iteration of the save_kmers_HMM region finder
+// (savekmers.c:3986-4283 / hmm_scan.py:188-369): stride seed search,
+// then the 8-parameter log-space HMM extension in both directions,
+// filling the window->voff maps.  state = {i, i_r, N} (in/out);
+// out = {start, j, stop, hitCounter}.  Returns HIT.
+int kchain_hmm_region(const long long *VFL_a, const long long *VRL_a,
+                      long long *VFs, long long *VRs, const long long *NN,
+                      int seqlen, int k, int exhaustive, const double *hp,
+                      long long *state, long long *out) {
+    long long i = state[0], i_r = state[1], N = state[2];
+    int seqend = seqlen - k + 1;
+    auto VFL = [&](long long w) { return VFL_a[w]; };
+    auto VR_at = [&](long long j) { return VRL_a[seqlen - k - j]; };
+
+    // --- find a seed ---
+    int HIT = 0;
+    long long end;
+    if (exhaustive) {
+        end = NN[N];
+        i += k - 1;
+        while (i < end && !HIT) {
+            long long w = i - k + 1;
+            if (VFL(w) >= 0 || VR_at(w) >= 0)
+                HIT = 1;
+            else {
+                ++i;
+                --i_r;
+            }
+        }
+        i -= k - 1;
+        end -= k - 1;
+    } else {
+        end = NN[N] - k + 1;
+        while (i < end && !HIT) {
+            if (VFL(i) >= 0 || VR_at(i) >= 0)
+                HIT = 1;
+            else {
+                i += k;
+                i_r -= k;
+            }
+        }
+    }
+    if (!HIT) {
+        ++N;
+        state[0] = i;
+        state[1] = i_r;
+        state[2] = N;
+        return 0;
+    }
+
+    long long hitCounter = 1;
+    VFs[i] = VFL(i);
+    VRs[i] = VR_at(i);
+
+    // --- extend backward ---
+    double Ms_prev = hp[7] + hp[2];
+    double Ns_prev = hp[5] + hp[0];
+    double Ms = 0.0, Ns = 0.0;
+    long long j = i - 1;
+    long long j_r = i_r + 1;
+    long long n = N - 1;
+    long long Ncheck = n > 0 ? -1 : NN[n]; // reference quirk
+    while (j >= 0) {
+        if (j == Ncheck) {
+            long long kk = j;
+            while (kk >= k && kk < (j - k)) { // dead loop kept verbatim
+                if (kk == Ncheck) {
+                    j = Ncheck;
+                    --n;
+                    Ncheck = n > 0 ? -1 : NN[n];
+                }
+                if (Ns_prev + hp[0] + hp[4] >= Ms_prev + hp[3] + hp[4])
+                    Ns = Ns_prev + hp[0] + hp[4];
+                else
+                    Ns = Ms_prev + hp[3] + hp[4];
+                if (Ms_prev + hp[2] + hp[6] >= Ns_prev + hp[1] + hp[6]) {
+                    Ms = Ms_prev + hp[2] + hp[6];
+                } else {
+                    Ms = Ns_prev + hp[1] + hp[6];
+                    break;
+                }
+                --kk;
+                Ns_prev = Ns;
+                Ms_prev = Ms;
+            }
+            if (kk >= k && kk < (j - k)) {
+                j = kk - 1;
+                break;
+            }
+            j = kk - 1;
+            j_r = seqlen - k - kk + 1;
+        } else {
+            long long vf = VFL(j);
+            long long vr = VR_at(j);
+            if (vf >= 0)
+                VFs[j] = vf;
+            if (vr >= 0)
+                VRs[j] = vr;
+            if (vf >= 0 || vr >= 0) {
+                ++hitCounter;
+                if (Ns_prev + hp[0] + hp[5] >= Ms_prev + hp[3] + hp[5])
+                    Ns = Ns_prev + hp[0] + hp[5];
+                else
+                    Ns = Ms_prev + hp[3] + hp[5];
+                if (Ms_prev + hp[2] + hp[7] >= Ns_prev + hp[1] + hp[7]) {
+                    Ms = Ms_prev + hp[2] + hp[7];
+                } else {
+                    Ms = Ns_prev + hp[1] + hp[7];
+                    --j;
+                    break;
+                }
+            } else {
+                if (Ns_prev + hp[0] + hp[4] >= Ms_prev + hp[3] + hp[4])
+                    Ns = Ns_prev + hp[0] + hp[4];
+                else
+                    Ns = Ms_prev + hp[3] + hp[4];
+                if (Ms_prev + hp[2] + hp[6] >= Ns_prev + hp[1] + hp[6]) {
+                    Ms = Ms_prev + hp[2] + hp[6];
+                } else {
+                    Ms = Ns_prev + hp[1] + hp[6];
+                    --j;
+                    break;
+                }
+            }
+            --j;
+            ++j_r;
+        }
+        Ns_prev = Ns;
+        Ms_prev = Ms;
+    }
+    long long start = j + 1;
+
+    // --- extend forward ---
+    Ms_prev = hp[7] + hp[2];
+    Ns_prev = hp[5] + hp[0];
+    j = i + 1;
+    j_r = i_r - 1;
+    Ncheck = NN[N] - k + 1;
+    while (j < seqend) {
+        if (j == Ncheck) {
+            long long kk = j;
+            while (kk < seqend && kk < (j + k)) {
+                if (kk == Ncheck) {
+                    j = Ncheck;
+                    ++N;
+                    Ncheck = (N == NN[0]) ? seqlen : NN[N] - k + 1;
+                }
+                if (Ns_prev + hp[0] + hp[4] >= Ms_prev + hp[3] + hp[4])
+                    Ns = Ns_prev + hp[0] + hp[4];
+                else
+                    Ns = Ms_prev + hp[3] + hp[4];
+                if (Ms_prev + hp[2] + hp[6] >= Ns_prev + hp[1] + hp[6]) {
+                    Ms = Ms_prev + hp[2] + hp[6];
+                } else {
+                    Ms = Ns_prev + hp[1] + hp[6];
+                    break;
+                }
+                ++kk;
+                Ns_prev = Ns;
+                Ms_prev = Ms;
+            }
+            if (kk < seqend && kk < (j + k)) {
+                j = kk;
+                break;
+            }
+            j = kk;
+            j_r = seqlen - k - kk;
+        } else {
+            long long vf = VFL(j);
+            long long vr = VRL_a[j_r];
+            if (vf >= 0)
+                VFs[j] = vf;
+            if (vr >= 0)
+                VRs[j] = vr;
+            if (vf >= 0 || vr >= 0) {
+                ++hitCounter;
+                if (Ns_prev + hp[0] + hp[5] >= Ms_prev + hp[3] + hp[5])
+                    Ns = Ns_prev + hp[0] + hp[5];
+                else
+                    Ns = Ms_prev + hp[3] + hp[5];
+                if (Ms_prev + hp[2] + hp[7] >= Ns_prev + hp[1] + hp[7]) {
+                    Ms = Ms_prev + hp[2] + hp[7];
+                } else {
+                    Ms = Ns_prev + hp[1] + hp[7];
+                    ++j;
+                    break;
+                }
+            } else {
+                if (Ns_prev + hp[0] + hp[4] >= Ms_prev + hp[3] + hp[4])
+                    Ns = Ns_prev + hp[0] + hp[4];
+                else
+                    Ns = Ms_prev + hp[3] + hp[4];
+                if (Ms_prev + hp[2] + hp[6] >= Ns_prev + hp[1] + hp[6]) {
+                    Ms = Ms_prev + hp[2] + hp[6];
+                } else {
+                    Ms = Ns_prev + hp[1] + hp[6];
+                    ++j;
+                    break;
+                }
+            }
+            ++j;
+            --j_r;
+        }
+        Ns_prev = Ns;
+        Ms_prev = Ms;
+    }
+    long long stop = j + k - 1;
+
+    state[0] = i;
+    state[1] = i_r;
+    state[2] = N;
+    out[0] = start;
+    out[1] = j;
+    out[2] = stop;
+    out[3] = hitCounter;
+    return 1;
+}
+
+
+// reps-run flushes over a raw window slice (savekmers.c:4304-4340): runs
+// of identical voffs among the SET windows accumulate, misses don't
+// break a run.  Returns the new bt count.
+int kchain_score_window_runs(void *h, const long long *win, long long n,
+                             long long *Score_, int *bt, int nb) {
+    Ctx *c = (Ctx *)h;
+    const KIdx *x = &c->x;
+    int64_t *Score = (int64_t *)Score_;
+    int64_t last = -1, reps = 0;
+    auto flush = [&](int64_t vo, int64_t rp) {
+        int64_t cnt = val_at(x, vo);
+        for (int64_t p = vo + 1; p <= vo + cnt; ++p) {
+            int64_t t = val_at(x, p);
+            Score[t] += rp;
+            if (Score[t] == rp)
+                bt[nb++] = (int)t;
+        }
+    };
+    for (long long i = 0; i < n; ++i) {
+        int64_t v = win[i];
+        if (v < 0)
+            continue;
+        if (v == last) {
+            ++reps;
+        } else {
+            if (last >= 0)
+                flush(last, reps);
+            reps = 1;
+            last = v;
+        }
+    }
+    if (last >= 0)
+        flush(last, reps);
+    return nb;
+}
+
+// intpos_bin_contamination (hashmapkma.c:90-146) -- INCLUDING its
+// count-slot false positive (pos can collapse to 0)
+static int in_list_quirk(const KIdx *x, int64_t voff, int64_t tmpl) {
+    int64_t up = val_at(x, voff);
+    if (up == 0)
+        return 0;
+    int64_t down = 1;
+    int64_t pos = (up + down) >> 1;
+    while (0 < up - down) {
+        int64_t t = val_at(x, voff + pos);
+        if (t == tmpl)
+            return 1;
+        if (t < tmpl)
+            down = pos + 1;
+        else
+            up = pos - 1;
+        pos = (up + down) >> 1;
+    }
+    return val_at(x, voff + pos) == tmpl;
+}
+
+// cut limits of a region hit (savekmers.c:4411-4460): per region
+// template, walk inward until a window containing it is found; the
+// bound is re-read every step
+void kchain_cut_limits(void *h, const long long *VFs, const long long *VRs,
+                       long long start, long long jj, const int *region,
+                       int nreg, long long *out2) {
+    Ctx *c = (Ctx *)h;
+    const KIdx *x = &c->x;
+    long long start_cut = jj;
+    for (int r = 0; r < nreg; ++r) {
+        int64_t ta = region[r] < 0 ? -region[r] : region[r];
+        long long el = start;
+        while (el < start_cut) {
+            if (VRs[el] >= 0 && in_list_quirk(x, VRs[el], ta))
+                start_cut = el;
+            if (VFs[el] >= 0 && in_list_quirk(x, VFs[el], ta))
+                start_cut = el;
+            ++el;
+        }
+    }
+    long long end_cut = start_cut;
+    for (int r = 0; r < nreg; ++r) {
+        int64_t ta = region[r] < 0 ? -region[r] : region[r];
+        long long el = jj;
+        while (el > end_cut) {
+            if (VRs[el] >= 0 && in_list_quirk(x, VRs[el], ta))
+                end_cut = el;
+            if (VFs[el] >= 0 && in_list_quirk(x, VFs[el], ta))
+                end_cut = el;
+            --el;
+        }
+    }
+    out2[0] = start_cut;
+    out2[1] = end_cut;
+}
+
 } // extern "C"
