@@ -127,6 +127,10 @@ def get_lib():
     lib.kchain_score_reps.argtypes = [
         _vp, ctypes.c_longlong, ctypes.c_longlong, _i64p, _i32p,
         ctypes.c_int]
+    lib.kchain_translate_read.restype = ctypes.c_longlong
+    lib.kchain_translate_read.argtypes = [
+        _u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_ulonglong, ctypes.POINTER(ctypes.c_uint64)]
     lib.kchain_score_window_runs.restype = ctypes.c_int
     lib.kchain_score_window_runs.argtypes = [
         _vp, _i64p, ctypes.c_longlong, _i64p, _i32p, ctypes.c_int]
@@ -594,3 +598,17 @@ def make_native_chain(idx: KmaIndex, pen: Penalties,
     if lib is None:
         return None
     return NativeChain(lib, idx, pen, template_lengths)
+
+
+def translate_read_native(codes, kmersize, prefix_len, prefix):
+    """translateToKmersAndDump (sparse.c:50-131) via the native lib;
+    None when the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    out = np.empty(2 * max(len(codes), 1), np.uint64)
+    n = lib.kchain_translate_read(
+        codes.ctypes.data_as(_u8p), len(codes), kmersize, prefix_len,
+        prefix, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    return out[:n]

@@ -47,6 +47,10 @@ def translate_read(codes: np.ndarray, kmersize: int, prefix_len: int,
     Quirk preserved: after a segment too short to scan, the next scan head
     skips kmersize extra positions (sparse.c:96/124).
     """
+    from .native_chain import translate_read_native
+    nat = translate_read_native(codes, kmersize, prefix_len, prefix)
+    if nat is not None:
+        return nat.tolist()
     out: List[int] = []
     for strand in (codes, rc_codes(codes)):
         seqlen = len(strand)

@@ -2117,4 +2117,76 @@ void kchain_cut_limits(void *h, const long long *VFs, const long long *VRs,
     out2[1] = end_cut;
 }
 
+
+// translateToKmersAndDump (sparse.c:50-131) for one read: emit the
+// prefix-gated k-mers of both strands, with the reference's
+// short-segment skip quirks.  Returns the count written to out
+// (capacity 2 * seqlen is always enough).
+long long kchain_translate_read(const uint8_t *codes, int seqlen,
+                                int kmersize, int prefix_len,
+                                unsigned long long prefix,
+                                unsigned long long *out) {
+    long long n_out = 0;
+    std::vector<uint8_t> rc(seqlen);
+    static const uint8_t CMP[6] = {3, 2, 1, 0, 4, 5};
+    for (int i = 0; i < seqlen; ++i)
+        rc[i] = CMP[codes[seqlen - 1 - i]];
+    uint64_t kmask = (kmersize < 32)
+                         ? (((uint64_t)1 << (2 * kmersize)) - 1)
+                         : ~(uint64_t)0;
+    uint64_t pmask = prefix_len ? (((uint64_t)1 << (2 * prefix_len)) - 1)
+                                : 0;
+    for (int s2 = 0; s2 < 2; ++s2) {
+        const uint8_t *str = s2 ? rc.data() : codes;
+        long long i = 0;
+        while (i < seqlen) {
+            long long end = seqlen;
+            for (long long t = i; t < seqlen; ++t)
+                if (str[t] == 4) {
+                    end = t;
+                    break;
+                }
+            if (prefix_len) {
+                if (i < end - kmersize - prefix_len) {
+                    // prefix at [s-prefix_len, s), kmer at [s, s+kmersize)
+                    uint64_t pk = 0, kk = 0;
+                    // prime the rolling values at s = i + prefix_len
+                    for (long long t = i; t < i + prefix_len; ++t)
+                        pk = ((pk << 2) | str[t]) & pmask;
+                    for (long long t = i + prefix_len;
+                         t < i + prefix_len + kmersize; ++t)
+                        kk = ((kk << 2) | str[t]) & kmask;
+                    for (long long s3 = i + prefix_len;
+                         s3 <= end - kmersize; ++s3) {
+                        if (pk == prefix)
+                            out[n_out++] = kk;
+                        // roll both windows one position
+                        if (s3 + 1 <= end - kmersize) {
+                            pk = ((pk << 2) | str[s3]) & pmask;
+                            kk = ((kk << 2) | str[s3 + kmersize]) & kmask;
+                        }
+                    }
+                    i = end + 1;
+                } else {
+                    i = end + kmersize + 1;
+                }
+            } else {
+                long long lo = i, hi = end - kmersize;
+                if (lo <= hi) {
+                    uint64_t kk = 0;
+                    for (long long t = lo; t < lo + kmersize; ++t)
+                        kk = ((kk << 2) | str[t]) & kmask;
+                    for (long long s3 = lo; s3 <= hi; ++s3) {
+                        out[n_out++] = kk;
+                        if (s3 + 1 <= hi)
+                            kk = ((kk << 2) | str[s3 + kmersize]) & kmask;
+                    }
+                }
+                i = end + kmersize + 1;
+            }
+        }
+    }
+    return n_out;
+}
+
 } // extern "C"
