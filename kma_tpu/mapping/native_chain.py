@@ -127,6 +127,13 @@ def get_lib():
     lib.kchain_score_reps.argtypes = [
         _vp, ctypes.c_longlong, ctypes.c_longlong, _i64p, _i32p,
         ctypes.c_int]
+    lib.kchain_save_kmers_count.restype = None
+    lib.kchain_save_kmers_count.argtypes = [
+        _vp, _u8p, ctypes.c_int, _i64p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_int,
+        _i64p, _i64p, _i64p,
+        _i32p, ctypes.POINTER(ctypes.c_int),
+        _i32p, ctypes.POINTER(ctypes.c_int), _i64p]
     lib.kchain_translate_read.restype = ctypes.c_longlong
     lib.kchain_translate_read.argtypes = [
         _u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -486,6 +493,40 @@ class NativeChain:
             start, jj, reg.ctypes.data_as(_i32p), len(reg),
             out2.ctypes.data_as(_i64p))
         return int(out2[0]), int(out2[1])
+
+    def save_kmers_count(self, codes: np.ndarray, n_positions,
+                         exhaustive: bool, Score: np.ndarray,
+                         Score_r: np.ndarray, proxi):
+        """-ck scanner (savekmers.c:3067-3365); returns
+        ((best, bests), (best_r, bests_r)); workspaces return to zero."""
+        if self._pair_b is None:
+            n = len(self._tl) + 2
+            self._pair_b = np.zeros(n, np.int32)
+            self._pair_br = np.zeros(n, np.int32)
+        codes = np.ascontiguousarray(codes, np.uint8)
+        npos = np.ascontiguousarray(n_positions, np.int64)
+        nb = ctypes.c_int(0)
+        nbr = ctypes.c_int(0)
+        bs = np.zeros(2, np.int64)
+        soft = None
+        frac = 0.0
+        use = 0
+        if proxi is not None:
+            use = 1
+            frac = float(proxi.min_frac)
+            if proxi.soft is not None:
+                soft = proxi.soft.ctypes.data_as(_i64p)
+        self._lib.kchain_save_kmers_count(
+            self._h, codes.ctypes.data_as(_u8p), len(codes),
+            npos.ctypes.data_as(_i64p), len(npos),
+            1 if exhaustive else 0, frac, use,
+            Score.ctypes.data_as(_i64p), Score_r.ctypes.data_as(_i64p),
+            soft,
+            self._pair_b.ctypes.data_as(_i32p), ctypes.byref(nb),
+            self._pair_br.ctypes.data_as(_i32p), ctypes.byref(nbr),
+            bs.ctypes.data_as(_i64p))
+        return ((int(bs[0]), self._pair_b[:nb.value].tolist()),
+                (int(bs[1]), self._pair_br[:nbr.value].tolist()))
 
     def hmm_region(self, VFL_a, VRL_a, VFs, VRs, NN_a, seqlen, k,
                    exhaustive, hp_a, st3, out4):

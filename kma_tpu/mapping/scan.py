@@ -448,11 +448,18 @@ def save_kmers_count(idx: KmaIndex, pen: Penalties, codes: np.ndarray,
     segs_f = [int(x) for x in n_positions]
     codes_r = rc_codes(codes)
 
-    bestScore, bests = _count_strand(idx, codes, list(segs_f), seqend,
-                                     exhaustive, Score, proxi)
-    # rc strand reuses the fw segment boundaries (reference bug kept)
-    bestScore_r, bests_r = _count_strand(idx, codes_r, list(segs_f),
-                                         seqend, exhaustive, Score_r, proxi)
+    from .native_chain import engine_for
+    eng = engine_for(idx, pen)
+    if eng is not None:
+        (bestScore, bests), (bestScore_r, bests_r) = eng.save_kmers_count(
+            codes, n_positions, exhaustive, Score, Score_r, proxi)
+    else:
+        bestScore, bests = _count_strand(idx, codes, list(segs_f), seqend,
+                                         exhaustive, Score, proxi)
+        # rc strand reuses the fw segment boundaries (reference bug kept)
+        bestScore_r, bests_r = _count_strand(idx, codes_r, list(segs_f),
+                                             seqend, exhaustive, Score_r,
+                                             proxi)
 
     if bestScore > 0 or bestScore_r > 0:
         if k <= bestScore or k <= bestScore_r:

@@ -1618,10 +1618,10 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                     flush_aln()
             flush_aln()
         else:
-            # default/chain/HMM hits batch through the same native
+            # default/chain/HMM/-ck hits batch through the same native
             # aligner (HMM rc_override slices auto-fallback per hit);
-            # sparse and -ck shapes keep the per-hit path
-            batchable = use_batch and not sparse_db and not cfg.ck
+            # sparse shapes keep the per-hit path
+            batchable = use_batch and not sparse_db
 
             def _consume(read, hits):
                 if not hits and sam_un is not None:

@@ -2189,4 +2189,150 @@ long long kchain_translate_read(const uint8_t *codes, int seqlen,
     return n_out;
 }
 
+
+// save_kmers_count (-ck scanner, savekmers.c:3067-3365 / scan.py
+// _count_strand): pure repetition counting of identical value-list runs
+// per strand (misses do not break a run); the rc strand reuses the
+// FORWARD N segmentation (reference bug kept).  getMatch selection as
+// in save_kmers.
+void kchain_save_kmers_count(void *h, const uint8_t *codes, int seqlen,
+                             const long long *npos, int n_np,
+                             int exhaustive, double proxi_frac,
+                             int use_proxi, long long *Score_,
+                             long long *Score_r_, long long *soft,
+                             int *bests_out, int *nb_out,
+                             int *bests_r_out, int *nbr_out,
+                             long long *bs_out) {
+    Ctx *c = (Ctx *)h;
+    const KIdx *x = &c->x;
+    const int k = x->k;
+    *nb_out = 0;
+    *nbr_out = 0;
+    bs_out[0] = 0;
+    bs_out[1] = 0;
+    if (seqlen < k)
+        return;
+    int seqend = seqlen - k + 1;
+
+    for (int rc = 0; rc < 2; ++rc) {
+        const uint8_t *cur;
+        if (rc) {
+            c->rc.assign(codes, codes + seqlen);
+            std::reverse(c->rc.begin(), c->rc.end());
+            static const uint8_t CMP[6] = {3, 2, 1, 0, 4, 5};
+            for (auto &b : c->rc)
+                b = CMP[b];
+            cur = c->rc.data();
+        } else {
+            cur = codes;
+        }
+        int64_t *Scores = (int64_t *)(rc ? Score_r_ : Score_);
+        int *bests = rc ? bests_r_out : bests_out;
+        int *nb = rc ? nbr_out : nb_out;
+
+        // quick stride-k probe per (FW) segment with RAW k-mers
+        // (scan.py:368-381 _kmer_at folds N to base 0, no cmer)
+        bool hit = exhaustive != 0;
+        {
+            long long j = 0;
+            for (int si = 0; si <= n_np && !hit; ++si) {
+                long long ni = si < n_np ? npos[si] : seqlen;
+                long long end = ni - k + 1;
+                while (j < end) {
+                    uint64_t kk = 0;
+                    for (int t = 0; t < k; ++t)
+                        kk = (kk << 2) | (cur[j + t] & 3);
+                    if (lookup_voff(x, kk) >= 0) {
+                        hit = true;
+                        break;
+                    }
+                    j += k;
+                }
+                j = ni + 1;
+            }
+        }
+        if (!hit)
+            continue;
+
+        window_kmers(x, cur, seqlen, c->kmers, c->ok);
+        int64_t hit_counter = 0;
+        int64_t last = -1, reps = 0;
+        auto flush = [&]() {
+            int64_t cnt = val_at(x, last);
+            for (int64_t p = last + 1; p <= last + cnt; ++p) {
+                int64_t t = val_at(x, p);
+                Scores[t] += reps;
+                if (Scores[t] == reps)
+                    bests[(*nb)++] = (int)t;
+            }
+            hit_counter += reps;
+        };
+        long long j = 0;
+        for (int si = 0; si <= n_np; ++si) {
+            if (j >= seqend)
+                break;
+            long long end = si < n_np ? npos[si] : seqlen;
+            long long s2 = j;
+            for (long long j2 = s2; j2 <= end - k; ++j2) {
+                int64_t v = lookup_voff(x, c->kmers[j2]);
+                if (v >= 0) {
+                    if (v == last) {
+                        ++reps;
+                    } else {
+                        if (last >= 0)
+                            flush();
+                        reps = 1;
+                        last = v;
+                    }
+                }
+            }
+            j = end + 1;
+        }
+        if (last >= 0)
+            flush();
+
+        if (!hit_counter) {
+            for (int i2 = 0; i2 < *nb; ++i2)
+                Scores[bests[i2]] = 0;
+            *nb = 0;
+            continue;
+        }
+        // getMatch / getProxiMatch
+        int64_t bestScore = 0;
+        int w = 0;
+        if (!use_proxi) {
+            for (int i2 = 0; i2 < *nb; ++i2) {
+                int64_t t = bests[i2];
+                int64_t s3 = Scores[t];
+                if (s3 > bestScore) {
+                    bestScore = s3;
+                    w = 0;
+                    bests[w++] = (int)t;
+                } else if (s3 == bestScore) {
+                    bests[w++] = (int)t;
+                }
+                Scores[t] = 0;
+            }
+        } else {
+            for (int i2 = 0; i2 < *nb; ++i2)
+                if (bestScore < Scores[bests[i2]])
+                    bestScore = Scores[bests[i2]];
+            int64_t proxi_score =
+                (int64_t)(proxi_frac * (double)bestScore);
+            for (int i2 = 0; i2 < *nb; ++i2) {
+                int64_t t = bests[i2];
+                int64_t s3 = Scores[t];
+                if (proxi_score <= s3) {
+                    bests[w++] = (int)t;
+                    if (soft)
+                        ((int64_t *)soft)[t] += s3;
+                }
+                Scores[t] = 0;
+            }
+        }
+        *nb = w;
+        bs_out[rc] = bestScore;
+    }
+}
+
 } // extern "C"
