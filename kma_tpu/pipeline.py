@@ -353,7 +353,8 @@ def aln_frags_union_pe(store: TemplateStore, matched: np.ndarray,
                        scoreT: float, mrc: float, min_frac: float,
                        rew: Penalty, points: Points, alignment_scores,
                        uniq_alignment_scores,
-                       arc: bool = False, sam_cb=None) -> List[FragRecord]:
+                       arc: bool = False, sam_cb=None,
+                       nat=None) -> List[FragRecord]:
     """alnFragsUnionPE (alnfrags.c:1220-1594).
 
     arc (points->len, set when the pair record's rc_flag is negative --
@@ -377,7 +378,9 @@ def aln_frags_union_pe(store: TemplateStore, matched: np.ndarray,
     flipped = False
     tids = matched.tolist()
 
-    nat = _pe_native_stats(store, tids, codes_a, codes_b, arc, mq, rew)
+    if nat is None:
+        nat = _pe_native_stats(store, tids, codes_a, codes_b, arc, mq,
+                               rew)
     if nat is not None:
         sc1, po1, ln1, tg1, qg1, sc2, po2, ln2, tg2, qg2, flp = nat
         flipped = bool(flp[0])
@@ -680,7 +683,7 @@ def aln_frags_penalty_pe(store: TemplateStore, matched: np.ndarray,
                          mq: int, scoreT: float, mrc: float,
                          min_frac: float, rew: Penalty, points: Points,
                          alignment_scores, uniq_alignment_scores,
-                         sam_cb=None) -> List[FragRecord]:
+                         sam_cb=None, nat=None) -> List[FragRecord]:
     """alnFragsPenaltyPE (alnfrags.c:1596-1972): both mates scored per
     candidate; a pair is accepted when the best combined score + PE beats
     minFrac * (best1 + best2)."""
@@ -709,7 +712,9 @@ def aln_frags_penalty_pe(store: TemplateStore, matched: np.ndarray,
                              n_positions=npos_cur)
         return st
 
-    nat = _pe_native_stats(store, tids, codes_a, codes_b, arc, mq, rew)
+    if nat is None:
+        nat = _pe_native_stats(store, tids, codes_a, codes_b, arc, mq,
+                               rew)
     if nat is not None:
         sc1, po1, ln1, tg1, qg1, sc2, po2, ln2, tg2, qg2, flp = nat
         flipped = bool(flp[0])
@@ -1009,7 +1014,7 @@ def aln_frags_force_pe(store: TemplateStore, matched: np.ndarray,
                        mq: int, scoreT: float, mrc: float, min_frac: float,
                        rew: Penalty, points: Points, alignment_scores,
                        uniq_alignment_scores,
-                       sam_cb=None) -> List[FragRecord]:
+                       sam_cb=None, nat=None) -> List[FragRecord]:
     """alnFragsForcePE (alnfrags.c:1974-2148): a template survives only
     when BOTH mates align to it; combined scores spool as one pair."""
     Wl = -rew.Wl
@@ -1026,7 +1031,9 @@ def aln_frags_force_pe(store: TemplateStore, matched: np.ndarray,
     flipped = False
     tids = matched.tolist()
 
-    nat = _pe_native_stats(store, tids, codes_a, codes_b, arc, mq, rew)
+    if nat is None:
+        nat = _pe_native_stats(store, tids, codes_a, codes_b, arc, mq,
+                               rew)
     if nat is not None:
         sc1, po1, ln1, tg1, qg1, sc2, po2, ln2, tg2, qg2, flp = nat
         flipped = bool(flp[0])
@@ -1500,29 +1507,29 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         except NotImplementedError:
             device_stream = None
 
+    # Batched step-3: buffer step-2 ankers and align them through the
+    # threaded native engine (alnfrags.c worker pool analog) instead of
+    # one ctypes call per (read, template).
+    from .align import native_aln as _nat
+    use_batch = _nat.get_lib() is not None and not cfg.mem_mode
+    pend: List[tuple] = []
+    pord: List[int] = []
+
+    # lazily filled template-id -> native CCI handle map, so the flush
+    # staging is one fancy-index instead of a per-pair call
+    _handle_cache = np.zeros(idx.db_size + 1, np.uint64)
+
+    def _handles_for(tpl_ids_abs):
+        miss = np.unique(tpl_ids_abs[_handle_cache[tpl_ids_abs] == 0])
+        for t in miss.tolist():
+            _handle_cache[t] = _nat.native_handle(store.get(t))
+        return _handle_cache[tpl_ids_abs]
+
     if input_files and input_files != ["--"] or not (pe_files or int_files):
         reads_it = iter_reads(input_files, min_phred=cfg.min_phred,
                               hardmask_q=cfg.hardmask_q, min_q=cfg.min_q,
                               min_len=cfg.min_len, max_len=cfg.max_len,
                               qc=qc, boot=cfg.boot)
-        # Batched step-3: buffer step-2 ankers and align them through the
-        # threaded native engine (alnfrags.c worker pool analog) instead
-        # of one ctypes call per (read, template).
-        from .align import native_aln as _nat
-        use_batch = _nat.get_lib() is not None and not cfg.mem_mode
-        pend: List[tuple] = []
-        pord: List[int] = []
-
-        # lazily filled template-id -> native CCI handle map, so the
-        # flush staging is one fancy-index instead of a per-pair call
-        _handle_cache = np.zeros(idx.db_size + 1, np.uint64)
-
-        def _handles_for(tpl_ids_abs):
-            miss = np.unique(tpl_ids_abs[_handle_cache[tpl_ids_abs] == 0])
-            for t in miss.tolist():
-                _handle_cache[t] = _nat.native_handle(store.get(t))
-            return _handle_cache[tpl_ids_abs]
-
         def flush_aln():
             if not pend:
                 return
@@ -1746,15 +1753,102 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                                 hit.templates, hit.header, hit.flag,
                                 hit.rc_override)
 
+        def _aln_pair(tl, c_a, c_b, h_a, h_b, f_a, f_b, arc, nat):
+            if cfg.fpm == "p":
+                recs = aln_frags_penalty_pe(
+                    store, np.asarray(tl, np.int64), c_a, c_b,
+                    h_a, h_b, f_a, f_b, arc, kmersize,
+                    cfg.min_len, cfg.mq, cfg.score_t, cfg.mrc,
+                    cfg.min_frac, rew, points, alignment_scores,
+                    uniq_alignment_scores,
+                    sam_cb=sam_unmapped if sam_un is not None else None,
+                    nat=nat)
+            elif cfg.fpm == "f":
+                recs = aln_frags_force_pe(
+                    store, np.asarray(tl, np.int64), c_a, c_b,
+                    h_a, h_b, f_a, f_b, arc, kmersize,
+                    cfg.min_len, cfg.mq, cfg.score_t, cfg.mrc,
+                    cfg.min_frac, rew, points, alignment_scores,
+                    uniq_alignment_scores,
+                    sam_cb=sam_unmapped if sam_un is not None else None,
+                    nat=nat)
+            else:
+                recs = aln_frags_union_pe(
+                    store, np.asarray(tl, np.int64), c_a, c_b,
+                    h_a, h_b, f_a, f_b, kmersize, cfg.min_len,
+                    cfg.mq, cfg.score_t, cfg.mrc, cfg.min_frac,
+                    rew, points, alignment_scores,
+                    uniq_alignment_scores, arc=arc,
+                    sam_cb=sam_unmapped if sam_un is not None else None,
+                    nat=nat)
+            records.extend(recs)
+            rec_ords.extend([_cur_ord[0]] * len(recs))
+            for rec in recs:
+                dump_all_frag(rec.codes, abs(rec.best_hits),
+                              abs(rec.score), rec.starts, rec.ends,
+                              rec.templates, rec.header)
+                if rec.mate_codes is not None:
+                    dump_all_frag(rec.mate_codes, abs(rec.best_hits),
+                                  abs(rec.score), rec.starts, rec.ends,
+                                  rec.templates, rec.mate_header)
+
+        pe_batchable = (use_batch and not sparse_db
+                        and _nat.get_lib() is not None)
+        pe_pend: List[tuple] = []
+
+        def flush_pe():
+            """Batched PE mate scoring (one threaded native call),
+            then the per-pair combiners in spool order."""
+            if not pe_pend:
+                return
+            m = len(pe_pend)
+            tploff = np.zeros(m + 1, np.int64)
+            a_off = np.zeros(m + 1, np.int64)
+            b_off = np.zeros(m + 1, np.int64)
+            arcs = np.zeros(m, np.uint8)
+            ids_l, a_l, b_l = [], [], []
+            for i2, (tl, c_a, c_b, _h1, _h2, _f1, _f2, arc,
+                     _o) in enumerate(pe_pend):
+                ids_l.append(np.asarray(tl, np.int32))
+                tploff[i2 + 1] = tploff[i2] + len(tl)
+                a_l.append(np.ascontiguousarray(c_a, np.uint8))
+                b_l.append(np.ascontiguousarray(c_b, np.uint8))
+                a_off[i2 + 1] = a_off[i2] + len(c_a)
+                b_off[i2 + 1] = b_off[i2] + len(c_b)
+                arcs[i2] = 1 if arc else 0
+            tpl = np.ascontiguousarray(np.concatenate(ids_l))
+            handles = np.ascontiguousarray(
+                _handles_for(np.abs(tpl.astype(np.int64))))
+            a_flat = np.concatenate(a_l)
+            b_flat = np.concatenate(b_l)
+            outs = _nat.pe_score_batch(handles, tpl, tploff, a_flat,
+                                       a_off, b_flat, b_off, arcs, rew,
+                                       cfg.mq, max(1, cfg.threads))
+            sc1, po1, ln1, tg1, qg1, sc2, po2, ln2, tg2, qg2, flp = outs
+            saved_ord = _cur_ord[0]
+            for i2, (tl, c_a, c_b, h_a, h_b, f_a, f_b, arc,
+                     ordv) in enumerate(pe_pend):
+                a0, a1 = int(tploff[i2]), int(tploff[i2 + 1])
+                nat_i = (sc1[a0:a1], po1[a0:a1], ln1[a0:a1], tg1[a0:a1],
+                         qg1[a0:a1], sc2[a0:a1], po2[a0:a1], ln2[a0:a1],
+                         tg2[a0:a1], qg2[a0:a1], flp[i2:i2 + 1])
+                _cur_ord[0] = ordv
+                _aln_pair(tpl[a0:a1], c_a, c_b, h_a, h_b, f_a, f_b, arc,
+                          nat_i)
+            _cur_ord[0] = saved_ord
+            pe_pend.clear()
+
         for r1, r2 in _shard_reads(_pair_stream()):
             n_frags += 1
             _cur_ord[0] = (n_frags - 1) * _nproc + _pid0
             if r2 is None:
+                flush_pe()
                 _se_fallback(r1)
                 continue
             if len(r1.codes) < kmersize or len(r2.codes) < kmersize:
                 # reference maps the longer-enough mate alone via loadFsa
                 # pairing rules; treat short mates as SE of the other
+                flush_pe()
                 for r in (r1, r2):
                     if len(r.codes) >= kmersize:
                         _se_fallback(r)
@@ -1814,6 +1908,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                     if not tl:
                         continue
                 if cfg.mem_mode:
+                    flush_pe()
                     if kmersize <= len(c_a):
                         if kmersize <= len(c_b):
                             handle_mem_anker(c_a, sc_a, tl, h_a, f_a,
@@ -1823,48 +1918,20 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                             handle_mem_anker(c_a, sc_a, tl, h_a, f_a)
                     continue
                 if kmersize <= len(c_a) and kmersize <= len(c_b):
-                    if cfg.fpm == "p":
-                        recs = aln_frags_penalty_pe(
-                            store, np.asarray(tl, np.int64), c_a, c_b,
-                            h_a, h_b, f_a, f_b, int(sc_a) < 0, kmersize,
-                            cfg.min_len, cfg.mq, cfg.score_t, cfg.mrc,
-                            cfg.min_frac, rew, points, alignment_scores,
-                            uniq_alignment_scores,
-                            sam_cb=sam_unmapped if sam_un is not None
-                            else None)
-                    elif cfg.fpm == "f":
-                        recs = aln_frags_force_pe(
-                            store, np.asarray(tl, np.int64), c_a, c_b,
-                            h_a, h_b, f_a, f_b, int(sc_a) < 0, kmersize,
-                            cfg.min_len, cfg.mq, cfg.score_t, cfg.mrc,
-                            cfg.min_frac, rew, points, alignment_scores,
-                            uniq_alignment_scores,
-                            sam_cb=sam_unmapped if sam_un is not None
-                            else None)
+                    if pe_batchable:
+                        pe_pend.append((list(tl), c_a, c_b, h_a, h_b,
+                                        f_a, f_b, int(sc_a) < 0,
+                                        _cur_ord[0]))
+                        if len(pe_pend) >= 512:
+                            flush_pe()
                     else:
-                        recs = aln_frags_union_pe(
-                            store, np.asarray(tl, np.int64), c_a, c_b,
-                            h_a, h_b, f_a, f_b, kmersize, cfg.min_len,
-                            cfg.mq, cfg.score_t, cfg.mrc, cfg.min_frac,
-                            rew, points, alignment_scores,
-                            uniq_alignment_scores, arc=int(sc_a) < 0,
-                            sam_cb=sam_unmapped if sam_un is not None
-                            else None)
-                    records.extend(recs)
-                    rec_ords.extend([_cur_ord[0]] * len(recs))
-                    for rec in recs:
-                        dump_all_frag(rec.codes, abs(rec.best_hits),
-                                      abs(rec.score), rec.starts, rec.ends,
-                                      rec.templates, rec.header)
-                        if rec.mate_codes is not None:
-                            dump_all_frag(rec.mate_codes,
-                                          abs(rec.best_hits),
-                                          abs(rec.score), rec.starts,
-                                          rec.ends, rec.templates,
-                                          rec.mate_header)
+                        _aln_pair(tl, c_a, c_b, h_a, h_b, f_a, f_b,
+                                  int(sc_a) < 0, None)
                 continue
+            flush_pe()
             for (c, npos_, sc, tl, h, f) in pa.records:
                 handle_se_anker(c, npos_, sc, tl, h, f)
+        flush_pe()
 
     if qc is not None:
         from .utils.qc import print_qcstat
