@@ -115,3 +115,57 @@ def test_multihost_shard_invariance(tmp_path, mh_reads, db50_index3,
     # the honest number comes from bench-scale runs)
     print("\n# multihost wall: 1proc=%.1fs 2proc=%.1fs eff=%.0f%%"
           % (t1, t2, 100 * t1 / (2 * t2)))
+
+
+@pytest.fixture(scope="module")
+def mh_pairs(tmp_path_factory, db50):
+    rng = np.random.default_rng(23)
+    recs = [c for _h, c in parse_fasta(str(db50)) if len(c) >= 260]
+    comp = np.array([3, 2, 1, 0, 4, 5], dtype=np.uint8)
+    d = tmp_path_factory.mktemp("mhpe")
+    f1p, f2p = d / "p_1.fq", d / "p_2.fq"
+    with open(f1p, "w") as a, open(f2p, "w") as b:
+        for i in range(200):
+            t = recs[rng.integers(len(recs))]
+            s = int(rng.integers(0, len(t) - 250))
+            fr = t[s:s + 250]
+            m1 = fr[:100].copy()
+            m2 = comp[fr[150:250]][::-1].copy()
+            for m in (m1, m2):
+                ne = rng.binomial(100, 0.02)
+                pp = rng.integers(0, 100, ne)
+                m[pp] = (m[pp] + rng.integers(1, 4, ne)) % 4
+            a.write("@p%d/1\n%s\n+\n%s\n"
+                    % (i, "".join("ACGTN"[c] for c in m1), "I" * 100))
+            b.write("@p%d/2\n%s\n+\n%s\n"
+                    % (i, "".join("ACGTN"[c] for c in m2), "I" * 100))
+    return f1p, f2p
+
+
+def test_multihost_pe_shard_invariance(tmp_path, mh_pairs, db50_index3,
+                                       mh_env):
+    """Paired-end multihost: the record merge keeps PE spool order
+    (rec_ords cover pair records) so N=2 == N=1 byte-for-byte."""
+    f1, f2 = mh_pairs
+    single = tmp_path / "single"
+    p = _run_cli(["-ipe", str(f1), str(f2), "-t_db", db50_index3, "-o",
+                  str(single)], mh_env)
+    _, err = p.communicate(timeout=280)
+    assert p.returncode == 0, err.decode()[-2000:]
+
+    multi = tmp_path / "multi"
+    port = _free_port()
+    procs = [_run_cli(["-ipe", str(f1), str(f2), "-t_db", db50_index3,
+                       "-o", str(multi), "-mh",
+                       "127.0.0.1:%d,2,%d" % (port, pid)], mh_env)
+             for pid in range(2)]
+    errs = [p.communicate(timeout=280)[1] for p in procs]
+    for p, err in zip(procs, errs):
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    for ext in (".res", ".fsa", ".aln"):
+        assert (tmp_path / ("single" + ext)).read_bytes() \
+            == (tmp_path / ("multi" + ext)).read_bytes(), f"{ext} differs"
+    import gzip
+    assert gzip.open(str(single) + ".frag.gz").read() \
+        == gzip.open(str(multi) + ".frag.gz").read()
