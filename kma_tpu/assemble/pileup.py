@@ -72,10 +72,20 @@ class AssemblyMatrix:
         self.len = t_len
 
     def _grow(self):
-        cap = len(self.next) * 2
-        self.counts = np.vstack([self.counts,
-                                 np.zeros_like(self.counts)])
-        self.next = np.concatenate([self.next, np.zeros_like(self.next)])
+        self.ensure(len(self.next) * 2)
+
+    def ensure(self, cap: int):
+        """One-shot capacity growth (doubling copies are quadratic on
+        Nanopore-sized fragment loads)."""
+        cur = len(self.next)
+        if cap <= cur:
+            return
+        counts = np.zeros((cap, 6), dtype=np.int64)
+        counts[:cur] = self.counts
+        nxt = np.zeros(cap, dtype=np.int64)
+        nxt[:cur] = self.next
+        self.counts = counts
+        self.next = nxt
 
     def aln_to_mat(self, assem: Assem, aln_t: np.ndarray, aln_s: np.ndarray,
                    aln_q: np.ndarray, score: int, start: int, flag: int):

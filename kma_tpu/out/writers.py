@@ -154,7 +154,9 @@ def mapstat_row(name: str, assem: Assem, fragment_count: int,
 
 def open_gz(path: str):
     """Gzip writer approximating the reference zlib settings."""
-    return gzip.open(path, "wb", compresslevel=6)
+    # the reference compresses at level 1 with Z_FILTERED
+    # (filebuff.c:180); level 1 keeps the write path off the profile
+    return gzip.open(path, "wb", compresslevel=1)
 
 
 TSV_FIELDS = ["Template_Name", "Template_Length", "Template_Identity",

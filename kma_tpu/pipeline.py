@@ -2877,8 +2877,7 @@ def assemble_template(tindex: TemplateIndex, t_len: int, frags: List[Frag],
             fs[3 * i + 1] = f.start
             fs[3 * i + 2] = f.end
             total_q += q_len
-        while matrix.len + total_q + 1 > len(matrix.next):
-            matrix._grow()
+        matrix.ensure(matrix.len + total_q + 1)
         new_len, acc, rcu, rs, ms, stt, enn, lnn = \
             _nat.assembly_frags_batch(
                 tindex, codes_flat, codes_off, qb, fs, n, rew, rew.Wl,
