@@ -16,11 +16,19 @@ from kma_tpu.io.seq import rc_codes, valid_kmer_mask
 
 
 @pytest.fixture(scope="module")
-def db50i():
-    return load_index("testdata/my_db50")
+def db50_prefix(tmp_path_factory, db50):
+    from kma_tpu.index.build import build_index
+    prefix = str(tmp_path_factory.mktemp("chain_dev_db") / "my_db50")
+    build_index([str(db50)], prefix, quiet=True)
+    return prefix
 
 
-def test_device_lookup_matches_host(db50i):
+@pytest.fixture(scope="module")
+def db50i(db50_prefix):
+    return load_index(db50_prefix)
+
+
+def test_device_lookup_matches_host(db50i, db50_prefix):
     """Per-window voffs from the device == lookup_voff, both strands."""
     idx = db50i
     pen = Penalties()
@@ -30,7 +38,7 @@ def test_device_lookup_matches_host(db50i):
     k = idx.kmersize
     rng = np.random.default_rng(5)
     from kma_tpu.pipeline import TemplateStore
-    store = TemplateStore("testdata/my_db50.seq.b", tl, k)
+    store = TemplateStore(db50_prefix + ".seq.b", tl, k)
     for tid in (3, 17, 40):
         t = store.get(tid).codes
         c = t[: 150].copy()
@@ -58,7 +66,7 @@ def test_device_lookup_matches_host(db50i):
             assert voff_r[q] == exp_r, ("rc", q)
 
 
-def test_device_chain_stream_matches_native(db50i):
+def test_device_chain_stream_matches_native(db50i, db50_prefix):
     idx = db50i
     pen = Penalties()
     tl = idx.template_lengths.astype(np.int64)
@@ -66,7 +74,7 @@ def test_device_chain_stream_matches_native(db50i):
     assert nch is not None
     dcs = DeviceChainStream(idx, pen, tl, nch, batch=37)
     from kma_tpu.pipeline import TemplateStore
-    store = TemplateStore("testdata/my_db50.seq.b", tl, idx.kmersize)
+    store = TemplateStore(db50_prefix + ".seq.b", tl, idx.kmersize)
     rng = np.random.default_rng(11)
     recs = [store.get(int(i)).codes
             for i in rng.integers(1, idx.db_size, 25)]
