@@ -261,8 +261,13 @@ def batch_kmers(codes: jax.Array, k: int) -> jax.Array:
     return out
 
 
-def valid_windows(codes: jax.Array, lengths: jax.Array, k: int) -> jax.Array:
-    """[B, L-k+1] True where the window has no N and fits the read."""
+def valid_windows(codes: jax.Array, lengths: jax.Array, k: int,
+                  starts=None) -> jax.Array:
+    """[B, L-k+1] True where the window has no N and fits the read.
+
+    `starts` (optional [B]) bounds windows from the left: rows holding a
+    right-aligned read (the device-side reverse complement) pass
+    starts = L - len and lengths = L."""
     isN = (codes == 4).astype(jnp.int32)
     cs = jnp.cumsum(isN, axis=-1)
     L = codes.shape[-1]
@@ -270,4 +275,6 @@ def valid_windows(codes: jax.Array, lengths: jax.Array, k: int) -> jax.Array:
     n_in_window = cs[..., k - 1:] - jnp.pad(cs, ((0, 0), (1, 0)))[..., :width]
     pos = np.arange(width, dtype=np.int32)
     fits = pos[None, :] + k <= lengths[:, None]
+    if starts is not None:
+        fits = fits & (pos[None, :] >= starts[:, None])
     return (n_in_window == 0) & fits

@@ -234,10 +234,15 @@ def _strand_epilogue(score, first, SBIG, p: ScanParams, t_pad, run_ov,
 
 def _dense_strand_scan(codes, lengths, didx_arrays, bits, bits_t,
                        p: ScanParams, rc_branch, *, mega, size, max_probe,
-                       t_pad, n_lists, proxi_frac=None, pallas_mode=None):
+                       t_pad, n_lists, proxi_frac=None, pallas_mode=None,
+                       starts=None):
     """Both-strands-fused dense save_kmers scan.
 
     codes [G, L] (G = 2B: fw rows then rc rows), rc_branch [G] bool.
+    rc rows may be right-aligned in the padded buffer (device-side RC);
+    `starts` bounds their windows from the left.  All scoring is
+    position-relative (gaps, reconnects, run order), so the alignment
+    offset cancels out.
     Returns (bestScore [G] i32, tids [G, best_cap] i32 front-packed in
     first-seen order, n_best [G], overflow [G]).
     """
@@ -246,7 +251,7 @@ def _dense_strand_scan(codes, lengths, didx_arrays, bits, bits_t,
     W = L - k + 1
     R = p.run_cap
     kmers = batch_kmers(codes, k)
-    valid = valid_windows(codes, lengths, k)
+    valid = valid_windows(codes, lengths, k, starts)
 
     rows = _lookup_rows(didx_arrays, kmers, mega=mega, size=size,
                         max_probe=max_probe)
@@ -255,6 +260,11 @@ def _dense_strand_scan(codes, lengths, didx_arrays, bits, bits_t,
 
     if not p.exhaustive:
         seg_start = _segment_starts(codes)[:, :W]
+        if starts is not None:
+            # right-aligned rc rows: the slim H2D format leaves the pad
+            # prefix as code 0, so the read start must clamp the segment
+            # start for the reference's stride-k probe pattern to align
+            seg_start = jnp.maximum(seg_start, starts[:, None])
         probe = valid & (((np.arange(W, dtype=np.int32)[None, :] - seg_start)
                           % k) == 0)
         quick = jnp.any(probe & hit, axis=-1)
@@ -456,15 +466,26 @@ def _emit_pack(bestScore, tids, n_best, run_ov, tie_ov, B, k, flat_cap,
 def dense_scan_device(codes, lengths, exist, kv, bits, bits_t, *, sparams,
                       B, flat_cap, small_ids, mega, size, max_probe,
                       t_pad, n_lists, proxi_frac=None, pallas_mode=None):
-    """codes is the strand-doubled batch [2B, L]: fw rows then host-side
-    reverse-complement rows (the device reversal gather cost 5.5 ms)."""
+    """codes is the FORWARD batch [B, L]; the reverse complement is built
+    on device with lax.rev (right-aligned in the padded buffer -- the
+    per-row re-alignment shift would be a scalarized gather, and the scan
+    only ever uses relative positions) so the host link carries half the
+    bytes."""
     p = ScanParams(*sparams)
-    G = codes.shape[0] // 2
+    G = codes.shape[0]
+    L = codes.shape[1]
+    rc = jnp.flip(jnp.where(codes < 4, 3 - codes, codes), axis=-1)
+    codes2 = jnp.concatenate([codes, rc], axis=0)
+    lens2 = jnp.concatenate(
+        [lengths, jax.lax.full_like(lengths, L)], axis=0)
+    starts2 = jnp.concatenate(
+        [jax.lax.full_like(lengths, 0), np.int32(L) - lengths], axis=0)
     rc_rowsg = np.arange(2 * G, dtype=np.int32) >= G
     bestScore, tids, n_best, run_ov, tie_ov, _ = _dense_strand_scan(
-        codes, lengths, (exist, kv), bits, bits_t, p, rc_rowsg,
+        codes2, lens2, (exist, kv), bits, bits_t, p, rc_rowsg,
         mega=mega, size=size, max_probe=max_probe, t_pad=t_pad,
-        n_lists=n_lists, proxi_frac=proxi_frac, pallas_mode=pallas_mode)
+        n_lists=n_lists, proxi_frac=proxi_frac, pallas_mode=pallas_mode,
+        starts=starts2)
     return _emit_pack(bestScore, tids, n_best, run_ov, tie_ov, G, p.k,
                       flat_cap, small_ids)
 
@@ -481,6 +502,61 @@ def unpack_2bit(packed, n_mask, *, L):
     nw = n_mask[:, pos // 32]
     is_n = ((nw >> (pos % 32).astype(np.uint32)) & 1) != 0
     return jnp.where(is_n, jnp.uint8(4), codes)
+
+
+def fuse_h2d_host(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """One [B, W2+W32+1] u32 buffer per batch: packed 2-bit words ++
+    N-bitmask words ++ length.  A single H2D transfer beats three on the
+    high-latency axon link."""
+    packed, n_mask = pack_2bit_host(codes)
+    return np.concatenate(
+        [packed, n_mask, lengths[:, None].astype(np.uint32)], axis=1)
+
+
+@partial(jax.jit, static_argnames=("L",))
+def unfuse_h2d(buf, *, L):
+    """Split the fused H2D buffer back into (codes [B, L] u8, lengths)."""
+    W2 = _round_up(L, 32) // 16
+    W32 = _round_up(L, 32) // 32
+    codes = unpack_2bit(buf[:, :W2], buf[:, W2: W2 + W32], L=L)
+    return codes, buf[:, W2 + W32].astype(jnp.int32)
+
+
+N_CAP = 2048  # slim-format sparse-N budget per batch
+
+
+def fuse_slim_host(codes: np.ndarray, lengths: np.ndarray):
+    """Slim H2D format: [B, W2+1] u32 (2-bit words ++ length) plus a
+    fixed [N_CAP, 2] (row, pos) list of in-read N positions -- the usual
+    case of few-or-no Ns ships ~40% fewer bytes than the full bitmask.
+    Returns None when the batch exceeds N_CAP (caller falls back to the
+    bitmask format).  Pad tails/prefixes carry no N marking; window
+    validity comes from lengths/starts instead."""
+    B, L = codes.shape
+    packed, _ = pack_2bit_host(codes)
+    buf = np.concatenate([packed, lengths[:, None].astype(np.uint32)],
+                         axis=1)
+    in_read = (codes >= 4) & (np.arange(L)[None, :] < lengths[:, None])
+    rows, poss = np.nonzero(in_read)
+    if len(rows) > N_CAP:
+        return None
+    npos = np.full((N_CAP, 2), B, np.int32)  # row B: dropped by scatter
+    npos[: len(rows), 0] = rows
+    npos[: len(rows), 1] = poss
+    return buf, npos
+
+
+@partial(jax.jit, static_argnames=("L",))
+def unfuse_slim(buf, npos, *, L):
+    """Slim-format device unpack: 2-bit words -> codes, then scatter the
+    sparse N list (pad entries point at row B and drop)."""
+    pos = np.arange(L, dtype=np.int32)
+    word = buf[:, pos // 16]
+    codes = ((word >> (2 * (pos % 16)).astype(np.uint32)) & 3
+             ).astype(jnp.uint8)
+    codes = codes.at[npos[:, 0], npos[:, 1]].set(jnp.uint8(4), mode="drop")
+    W2 = _round_up(L, 32) // 16
+    return codes, buf[:, W2].astype(jnp.int32)
 
 
 def rc_host(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
@@ -579,16 +655,19 @@ class DenseScanner:
             cj = codes[off: off + Bt]
             lj = lengths[off: off + Bt]
             if len(cj) < Bt:
-                cj = np.vstack([cj, np.zeros((Bt - len(cj), codes.shape[1]),
-                                             codes.dtype)])
+                cj = np.vstack([cj, np.full((Bt - len(cj), codes.shape[1]),
+                                            4, codes.dtype)])
                 lj = np.concatenate([lj, np.zeros(Bt - len(lj),
                                                   lengths.dtype)])
-            both = np.concatenate([cj, rc_host(cj, lj)], axis=0)
-            packed, n_mask = pack_2bit_host(both)
-            cj_dev = unpack_2bit(jnp.asarray(packed), jnp.asarray(n_mask),
-                                 L=codes.shape[1])
-            lj2 = np.concatenate([lj, lj])
-            futs.append(self._call(cj_dev, jnp.asarray(lj2), 0, flat_cap))
+            slim = fuse_slim_host(cj, lj)
+            if slim is not None:
+                cj_dev, lj_dev = unfuse_slim(
+                    jnp.asarray(slim[0]), jnp.asarray(slim[1]),
+                    L=codes.shape[1])
+            else:  # N-heavy batch: full-bitmask format
+                cj_dev, lj_dev = unfuse_h2d(
+                    jnp.asarray(fuse_h2d_host(cj, lj)), L=codes.shape[1])
+            futs.append(self._call(cj_dev, lj_dev, 0, flat_cap))
         outs = jax.device_get(futs)
 
         scores = np.zeros(N, np.int32)
@@ -631,15 +710,14 @@ class DenseScanner:
         flat_cap = 64 * rows
         for off in range(0, len(sel), rows):
             s = sel[off: off + rows]
-            sub_c = np.zeros((rows, codes.shape[1]), codes.dtype)
+            sub_c = np.full((rows, codes.shape[1]), 4, codes.dtype)
             sub_l = np.zeros(rows, lengths.dtype)
             sub_c[: len(s)] = codes[s]
             sub_l[: len(s)] = lengths[s]
-            both = np.concatenate([sub_c, rc_host(sub_c, sub_l)], axis=0)
-            meta, flat = jax.device_get(
-                self._call(jnp.asarray(both),
-                           jnp.asarray(np.concatenate([sub_l, sub_l])), 1,
-                           flat_cap))
+            sub_cd, sub_ld = unfuse_h2d(
+                jnp.asarray(fuse_h2d_host(sub_c, sub_l)), L=codes.shape[1])
+            meta, flat = jax.device_get(self._call(sub_cd, sub_ld, 1,
+                                                   flat_cap))
             meta = np.asarray(meta)[: len(s)]
             flat = np.asarray(flat, dtype=np.int32)
             score, packedm = meta[:, 0], meta[:, 1]
