@@ -82,6 +82,19 @@ def resfinder(ref_bin):
 
 
 @pytest.fixture(scope="session")
+def bench_resf_prefix(resfinder):
+    """Full ResFinder index at testdata/bench_resf (shared with bench.py);
+    built on demand so a fresh checkout doesn't depend on leftovers."""
+    import pathlib
+    prefix = pathlib.Path("testdata") / "bench_resf"
+    if not prefix.with_suffix(".comp.b").exists():
+        prefix.parent.mkdir(exist_ok=True)
+        from kma_tpu.index.build import build_index
+        build_index([str(resfinder)], str(prefix), quiet=True)
+    return str(prefix)
+
+
+@pytest.fixture(scope="session")
 def db50(tmp_path_factory, resfinder):
     """First 50 ResFinder templates as a small test fasta."""
     out = tmp_path_factory.mktemp("db") / "db50.fsa"

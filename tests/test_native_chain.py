@@ -12,8 +12,8 @@ from kma_tpu.mapping.native_chain import make_native_chain
 
 
 @pytest.fixture(scope="module")
-def resf():
-    return load_index("testdata/bench_resf")
+def resf(bench_resf_prefix):
+    return load_index(bench_resf_prefix)
 
 
 def _cases(rng, recs, n):
@@ -55,7 +55,7 @@ def _key(h):
     (16, 0.1, 0.5, 0.0, True),    # -lc length-corrected selection
     (40, 0.5, 0.7, 1.2, False),   # tighter chain gates
 ])
-def test_native_chain_matches_python(resf, minlen, coverT, mrs, mrc, lc):
+def test_native_chain_matches_python(resf, bench_resf_prefix, minlen, coverT, mrs, mrc, lc):
     idx = resf
     pen = Penalties()
     tl = idx.template_lengths.astype(np.int64)
@@ -63,7 +63,7 @@ def test_native_chain_matches_python(resf, minlen, coverT, mrs, mrc, lc):
     assert nch is not None
 
     from kma_tpu.pipeline import TemplateStore
-    store = TemplateStore("testdata/bench_resf.seq.b",
+    store = TemplateStore(bench_resf_prefix + ".seq.b",
                           idx.template_lengths.astype(np.int64),
                           idx.kmersize)
     rng = np.random.default_rng(20260818 + minlen)
@@ -87,7 +87,7 @@ def test_native_chain_matches_python(resf, minlen, coverT, mrs, mrc, lc):
         assert not a.any()
 
 
-def test_native_chain_scan_batch(resf):
+def test_native_chain_scan_batch(resf, bench_resf_prefix):
     """scan_batch == per-read scan, through 0-hit reads (whose early
     return must not disturb the shared tpl_off layout) and cap-overflow
     retries mid-batch."""
@@ -98,7 +98,7 @@ def test_native_chain_scan_batch(resf):
     nch._cap_tpl = 64  # force several mid-batch regrow retries
     nch._alloc()
     from kma_tpu.pipeline import TemplateStore
-    store = TemplateStore("testdata/bench_resf.seq.b",
+    store = TemplateStore(bench_resf_prefix + ".seq.b",
                           idx.template_lengths.astype(np.int64),
                           idx.kmersize)
     rng = np.random.default_rng(99)
@@ -129,7 +129,7 @@ def test_native_chain_scan_batch(resf):
         assert not a.any()
 
 
-def test_native_chain_cap_regrow(resf):
+def test_native_chain_cap_regrow(resf, bench_resf_prefix):
     """Tiny initial caps force the -1 retry path."""
     idx = resf
     pen = Penalties()
@@ -138,7 +138,7 @@ def test_native_chain_cap_regrow(resf):
     nch._cap_hits, nch._cap_tpl = 1, 2
     nch._alloc()
     from kma_tpu.pipeline import TemplateStore
-    store = TemplateStore("testdata/bench_resf.seq.b",
+    store = TemplateStore(bench_resf_prefix + ".seq.b",
                           idx.template_lengths.astype(np.int64),
                           idx.kmersize)
     c = np.concatenate([store.get(5).codes[:150], store.get(9).codes[:150]])
