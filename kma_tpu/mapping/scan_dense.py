@@ -704,10 +704,20 @@ class DenseScanner:
         return scores, modes, tid_lists, over
 
     def _rescan_wide(self, codes, lengths, sel, scores, modes, tid_lists,
-                     over):
-        """Tier-2 pass over the overflow tail on compacted sub-batches."""
-        rows = 512
-        flat_cap = 64 * rows
+                     over, rows=512):
+        """Tier-2 pass over the overflow tail on compacted sub-batches.
+
+        A rescan chunk can itself spill its flat buffer when many fat-tie
+        reads land together (each read may emit up to 2*best_cap ids);
+        spilled rows recurse with a row count small enough that the flat
+        buffer provably fits the worst case."""
+        MB = min(self.TIERS[1][1], self.didx.t_pad)
+        worst = rows * 2 * MB
+        if worst <= 1 << 17:  # worst case affordable: provably no spill
+            flat_cap, final = worst, True
+        else:
+            flat_cap, final = 64 * rows, False
+        spilled_sel = []
         for off in range(0, len(sel), rows):
             s = sel[off: off + rows]
             sub_c = np.full((rows, codes.shape[1]), 4, codes.dtype)
@@ -728,6 +738,16 @@ class DenseScanner:
             scores[s] = score
             modes[s] = mode
             over[s] = ov
+            spill = offs + n_out > flat_cap
             for i, ri in enumerate(s):
+                if spill[i] and not final:
+                    spilled_sel.append(ri)
+                    continue
                 tid_lists[ri] = (flat[offs[i]: offs[i] + n_out[i]]
                                  if mode[i] and not ov[i] else None)
+        if spilled_sel:
+            next_rows = max(1, (1 << 17) // (2 * MB))
+            self._rescan_wide(codes, lengths,
+                              np.asarray(spilled_sel, dtype=np.int64),
+                              scores, modes, tid_lists, over,
+                              rows=next_rows)

@@ -145,3 +145,50 @@ def test_dense_scan_exhaustive_and_long(tiny_db, scanner_cls):
             continue
         assert scores[i] == exp.rc_flag
         assert tid_lists[i].tolist() == exp.templates.tolist()
+
+
+def test_rescan_wide_flat_spill(tiny_db):
+    """A rescan chunk whose combined tie lists exceed its flat buffer must
+    recurse instead of silently truncating lists (the spilled rows used to
+    come back with 0- or 1-id lists)."""
+    rng = np.random.default_rng(7)
+    k = 16
+    # 200 templates sharing one 64bp core: every core read ties ~200 ways
+    core = rng.integers(0, 4, 64).astype(np.uint8)
+    table = {}
+    templates = [None]
+    from kma_tpu.io.seq import kmer_scan, valid_kmer_mask
+    for t in range(1, 201):
+        codes = np.concatenate([rng.integers(0, 4, 40).astype(np.uint8),
+                                core,
+                                rng.integers(0, 4, 40).astype(np.uint8)])
+        templates.append(codes)
+        kms = kmer_scan(codes, k)
+        ok = valid_kmer_mask(codes, k)
+        for km in np.unique(kms[ok]).tolist():
+            table.setdefault(km, []).append(t)
+    from kma_tpu.index.build import freeze
+    idx = freeze(table, 201, k, k)
+    idx.template_lengths = np.array([k] + [144] * 200, dtype=np.uint32)
+    pen = Penalties()
+    pen.score_matrix()
+
+    B, L = 512, 64
+    codes = np.tile(core, (B, 1)).astype(np.uint8)
+    lengths = np.full(B, L, np.int32)
+
+    # tiny tier-0 cap so every read overflows into the wide rescan, and a
+    # batch whose total ids (512 * ~200) overwhelm the 64*rows flat budget
+    old_tiers = DenseScanner.TIERS
+    DenseScanner.TIERS = ((8, 16), (192, 2048))
+    try:
+        dev = DenseScanner(idx, pen, batch=B)
+        scores, modes, tid_lists, over = dev.scan_reads(codes, lengths)
+    finally:
+        DenseScanner.TIERS = old_tiers
+    exp = _host_expect(idx, pen, codes[:1], lengths[:1])[0]
+    assert exp is not None and len(exp.templates) >= 150
+    for i in range(B):
+        assert not over[i], f"read {i} left in overflow"
+        assert scores[i] == exp.rc_flag
+        assert tid_lists[i].tolist() == exp.templates.tolist(), f"read {i}"
