@@ -232,10 +232,96 @@ def _strand_epilogue(score, first, SBIG, p: ScanParams, t_pad, run_ov,
 
 
 
+def _merged_epilogue(score, first, SBIG, inv, run_ov, p: ScanParams, t_pad,
+                     B, k, flat_cap, small_ids, proxi_frac=None):
+    """Single-strand-choice epilogue: the fw/rc merge decision
+    (savekmers.c:2766-2833) needs only per-strand best scores, so the
+    expensive tie top-k runs on the CHOSEN strand's [B, t_pad] rows
+    instead of both strands' [2B, t_pad] -- half the extraction cost.
+    Equal-best reads (mode 3, needing both strands' lists) are rare and
+    are flagged overflow for the dual-strand tier-1 rescan.
+
+    score/first may be in run-count-sorted row order (Pallas path);
+    `inv` maps original row -> sorted row (None = identity)."""
+    inc = first < SBIG
+    score_c = jnp.where(inc, jnp.maximum(score, 0), SBIG * 0)
+    best_rows = jnp.max(score_c, axis=-1).astype(jnp.int32)
+    bestScore = best_rows[inv] if inv is not None else best_rows
+    bf, br = bestScore[:B], bestScore[B:]
+    some = (bf > 0) | (br > 0)
+    usable = (bf >= k) | (br >= k)
+    mode = jnp.where(some & usable,
+                     jnp.where(bf > br, 1,
+                               jnp.where(bf < br, 2, 3)), 0)
+    out_score = jnp.where(mode == 2, br, bf)
+    out_score = jnp.where(mode == 3, -out_score, out_score) * (mode != 0)
+
+    iota = np.arange(B, dtype=np.int32)
+    r0 = jnp.where(mode == 2, iota + np.int32(B), iota)
+    rs = inv[r0] if inv is not None else r0
+    sc = score_c[rs]                     # [B, t_pad] chosen-strand rows
+    fi = first[rs]
+    chosen_best = jnp.where(mode == 2, br, bf)
+    inc_r = fi < SBIG
+    if proxi_frac is None:
+        sel = inc_r & (sc == chosen_best[:, None]) \
+            & (chosen_best[:, None] > 0)
+    else:
+        thresh = (proxi_frac * chosen_best.astype(jnp.float32)
+                  ).astype(jnp.int32)
+        sel = inc_r & (sc >= thresh[:, None]) & (chosen_best[:, None] > 0)
+    n_best = jnp.sum(sel, axis=-1)
+    MB = min(p.best_cap, t_pad)
+    run_span = int(p.run_cap) + 1
+    fused = run_span * (t_pad + 1) < (1 << 24)
+    if fused:
+        key = fi.astype(jnp.int32) * np.int32(t_pad + 1) \
+            + jax.lax.broadcasted_iota(jnp.int32, fi.shape, 1)
+        negkey = jnp.where(sel, -key, -BIG).astype(jnp.float32)
+    else:
+        negkey = jnp.where(sel, -fi.astype(jnp.int32), -BIG
+                           ).astype(jnp.float32)
+    try:
+        topv, tids = jax.lax.approx_max_k(negkey, MB, recall_target=1.0)
+    except NotImplementedError:  # pragma: no cover - non-TPU backends
+        topv, tids = jax.lax.top_k(negkey, MB)
+    topv = topv.astype(jnp.int32)
+    cand_ok = topv > -BIG
+    if fused:
+        tids = jnp.where(cand_ok, tids, 0).astype(jnp.int32)
+    else:
+        cand_first = jnp.where(cand_ok, -topv, 0)
+        key2, tids = jax.lax.sort_key_val(
+            jnp.where(cand_ok, cand_first * np.int32(t_pad + 1) + tids,
+                      BIG), tids)
+        tids = jnp.where(key2 < BIG, tids, 0).astype(jnp.int32)
+
+    tie_ov = n_best > MB
+    ov = (run_ov[:B] | run_ov[B:] | (mode == 3)
+          | jnp.where(mode == 0, False, tie_ov))
+    n_out = jnp.where(ov | (mode == 0), 0, n_best)
+
+    off = jnp.cumsum(n_out) - n_out
+    total = jnp.sum(n_out)
+    x = np.arange(flat_cap, dtype=np.int32)
+    starts = jax.lax.full_like(bestScore, 0, dtype=jnp.int32,
+                               shape=(flat_cap,)
+                               ).at[off].add(1, mode="drop")
+    b = jnp.clip(jnp.cumsum(starts) - 1, 0, B - 1)
+    j = x - off[b]
+    ids = tids.reshape(-1)[b * MB + jnp.clip(j, 0, MB - 1)]
+    dt = jnp.int16 if small_ids else jnp.int32
+    flat = jnp.where(x < total, ids, 0).astype(dt)
+    meta = jnp.stack(
+        [out_score.astype(jnp.int32),
+         (mode | (ov.astype(jnp.int32) << 2) | (n_out << 3))], axis=-1)
+    return meta, flat
+
+
 def _dense_strand_scan(codes, lengths, didx_arrays, bits, bits_t,
                        p: ScanParams, rc_branch, *, mega, size, max_probe,
                        t_pad, n_lists, proxi_frac=None, pallas_mode=None,
-                       starts=None):
+                       starts=None, raw_state=False):
     """Both-strands-fused dense save_kmers scan.
 
     codes [G, L] (G = 2B: fw rows then rc rows), rc_branch [G] bool.
@@ -351,6 +437,8 @@ def _dense_strand_scan(codes, lengths, didx_arrays, bits, bits_t,
                 run_score[order].astype(jnp.int32), ract, rc_s, rmax_tile,
                 sparams=sparams_t, interpret=interp)
         SBIG = np.int32(BIG)
+        if raw_state:
+            return score, first, inv, run_ov, SBIG
         bestScore, tids, n_best, _, tie_ov, _ = _strand_epilogue(
             score, first, SBIG, p, t_pad, run_ov, proxi_frac=proxi_frac)
         return (bestScore[inv], tids[inv], n_best[inv], run_ov,
@@ -393,6 +481,8 @@ def _dense_strand_scan(codes, lengths, didx_arrays, bits, bits_t,
     r_max = jnp.minimum(jnp.max(n_runs), R).astype(jnp.int32)
     n_chunks = (r_max + CHUNK - 1) // CHUNK
     score, ext, first = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+    if raw_state:
+        return score, first, None, run_ov, SBIG
     return _strand_epilogue(score, first, SBIG, p, t_pad, run_ov,
                             proxi_frac=proxi_frac)
 
@@ -462,15 +552,20 @@ def _emit_pack(bestScore, tids, n_best, run_ov, tie_ov, B, k, flat_cap,
 @partial(jax.jit,
          static_argnames=("sparams", "B", "flat_cap", "small_ids", "mega",
                           "size", "max_probe", "t_pad", "n_lists",
-                          "proxi_frac", "pallas_mode"))
+                          "proxi_frac", "pallas_mode", "merged"))
 def dense_scan_device(codes, lengths, exist, kv, bits, bits_t, *, sparams,
                       B, flat_cap, small_ids, mega, size, max_probe,
-                      t_pad, n_lists, proxi_frac=None, pallas_mode=None):
+                      t_pad, n_lists, proxi_frac=None, pallas_mode=None,
+                      merged=False):
     """codes is the FORWARD batch [B, L]; the reverse complement is built
     on device with lax.rev (right-aligned in the padded buffer -- the
     per-row re-alignment shift would be a scalarized gather, and the scan
     only ever uses relative positions) so the host link carries half the
-    bytes."""
+    bytes.
+
+    merged=True uses the single-strand-choice epilogue (_merged_epilogue)
+    -- half the tie-extraction cost; equal-best (mode 3) reads come back
+    flagged overflow for the merged=False tier-1 rescan."""
     p = ScanParams(*sparams)
     G = codes.shape[0]
     L = codes.shape[1]
@@ -481,6 +576,15 @@ def dense_scan_device(codes, lengths, exist, kv, bits, bits_t, *, sparams,
     starts2 = jnp.concatenate(
         [jax.lax.full_like(lengths, 0), np.int32(L) - lengths], axis=0)
     rc_rowsg = np.arange(2 * G, dtype=np.int32) >= G
+    if merged:
+        score, first, inv, run_ov, SBIG = _dense_strand_scan(
+            codes2, lens2, (exist, kv), bits, bits_t, p, rc_rowsg,
+            mega=mega, size=size, max_probe=max_probe, t_pad=t_pad,
+            n_lists=n_lists, proxi_frac=proxi_frac,
+            pallas_mode=pallas_mode, starts=starts2, raw_state=True)
+        return _merged_epilogue(score, first, SBIG, inv, run_ov, p, t_pad,
+                                G, p.k, flat_cap, small_ids,
+                                proxi_frac=proxi_frac)
     bestScore, tids, n_best, run_ov, tie_ov, _ = _dense_strand_scan(
         codes2, lens2, (exist, kv), bits, bits_t, p, rc_rowsg,
         mega=mega, size=size, max_probe=max_probe, t_pad=t_pad,
@@ -641,7 +745,7 @@ class DenseScanner:
             small_ids=self.small_ids, mega=d.mega,
             size=d.size, max_probe=d.max_probe, t_pad=d.t_pad,
             n_lists=d.n_lists, proxi_frac=self.proxi_frac,
-            pallas_mode=self.pallas_mode)
+            pallas_mode=self.pallas_mode, merged=(tier == 0))
 
     def scan_reads(self, codes: np.ndarray, lengths: np.ndarray):
         """Returns (scores i32 [N], modes u8 [N], tid_lists: list of
@@ -649,7 +753,10 @@ class DenseScanner:
         3=merged (tids = fw ++ -rc)."""
         N = codes.shape[0]
         Bt = self.batch
-        flat_cap = 32 * Bt
+        # tie ids D2H rides the slow tunnel link: 24 ids/read of headroom
+        # (bench workload averages ~18) -- reads past the cap are spilled
+        # to the wide tier, so this is a bandwidth knob, not a limit
+        flat_cap = 24 * Bt
         futs = []
         for off in range(0, N, Bt):
             cj = codes[off: off + Bt]
@@ -693,9 +800,14 @@ class DenseScanner:
             spilled = offs + n_out > flat_cap
             if spilled.any():
                 retry.extend(off + np.flatnonzero(spilled))
+            # plain-int lists: numpy scalar coercion per read costs ~1us
+            # each, ~20 ms per 20k reads
+            want = ((mode != 0) & (ov == 0) & ~spilled).tolist()
+            o0 = offs.tolist()
+            o1 = (offs + n_out).tolist()
             for i in range(n):
-                if mode[i] and not ov[i] and not spilled[i]:
-                    tid_lists[off + i] = flat[offs[i]: offs[i] + n_out[i]]
+                if want[i]:
+                    tid_lists[off + i] = flat[o0[i]: o1[i]]
         retry.extend(np.flatnonzero(over))
         if retry:
             retry = np.unique(np.asarray(retry, dtype=np.int64))
