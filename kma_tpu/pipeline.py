@@ -1158,15 +1158,26 @@ def aln_frags_force_pe(store: TemplateStore, matched: np.ndarray,
                              uniq_alignment_scores)]
 
 
-def _device_enabled(cfg: MapConfig) -> bool:
+def _device_enabled(cfg: MapConfig, input_bytes: int = 0) -> bool:
     """Whether the TPU step-2 scanner should be used (MapConfig.device).
 
     "auto" turns the device path on only when jax has a real accelerator
-    backend; the CPU backend keeps the host scanner (tests force "on")."""
+    backend AND the input is large enough that steady-state device
+    throughput beats the per-run setup cost (backend init, index upload,
+    per-batch transfers).  Small one-shot CLI runs stay on the fused
+    native host path, which wins below ~10^6 reads; the crossover is
+    tunable via KMA_TPU_DEVICE_AUTO_MB (default 256).  Tests and
+    benchmarks force "on"."""
     if cfg.device == "off":
         return False
     if cfg.device == "on":
         return True
+    try:
+        thresh_mb = int(os.environ.get("KMA_TPU_DEVICE_AUTO_MB", "256"))
+    except ValueError:
+        thresh_mb = 256
+    if input_bytes < thresh_mb * (1 << 20):
+        return False
     try:
         import jax
         return jax.default_backend() not in ("cpu",)
@@ -1495,9 +1506,16 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
     # the host scanner.  Parity is enforced by tests/test_dense_scan.py and
     # the device e2e test.
     device_stream = None
+    _in_bytes = 0
+    for _f in list(input_files or []) + list(pe_files or []) \
+            + list(int_files or []):
+        try:
+            _in_bytes += os.path.getsize(_f)
+        except OSError:
+            pass
     if (cfg.one2one and not sparse_db and not cfg.ck
             and not (scan_proxi and scan_proxi.soft is not None)
-            and _device_enabled(cfg)):
+            and _device_enabled(cfg, _in_bytes)):
         try:
             from .mapping.scan_stream import DeviceScanStream
             device_stream = DeviceScanStream(
@@ -1525,7 +1543,52 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             _handle_cache[t] = _nat.native_handle(store.get(t))
         return _handle_cache[tpl_ids_abs]
 
-    if input_files and input_files != ["--"] or not (pe_files or int_files):
+    # --- fused native run driver (native/kma_run.cpp) -------------------
+    # The entire scan -> score -> spool -> ConClave hot path in one
+    # native call per read batch (reference: the one-process C loop of
+    # runkma.c:130-908).  Applies to SE -1t1 / default-chain runs on
+    # plain-kmer DBs; every other mode keeps the per-component path
+    # below.  KMA_TPU_NO_FUSED=1 forces the unfused pipeline.
+    fused = None
+    if (not collect and shard is None and not (pe_files or int_files)
+            and input_files and input_files != ["--"]
+            and not sparse_db and not cfg.ck and not cfg.hmm
+            and not cfg.mem_mode and scan_proxi is None and not cfg.sam
+            and not cfg.xml and not cfg.boot and qc is None
+            and device_stream is None
+            and not os.environ.get("KMA_TPU_NO_FUSED")):
+        from .io.seq import detect_format as _detect
+        from .io.native_io import get_lib as _io_lib
+        if _io_lib() is not None and all(
+                _detect(p) == "fastq" for p in input_files):
+            from .run_native import make_run_driver
+            fused = make_run_driver(
+                idx, pen, template_lengths, store.seq_path, cfg,
+                0 if cfg.one2one else 1, aln_min_frac, contamination)
+
+    if fused is not None:
+        from .io.native_io import iter_fastq_native_batches
+        from .io.seq import sniff_phred_scale as _sniff
+        _mp = cfg.min_phred
+        if _mp < cfg.hardmask_q:  # kma.c:1554-1556
+            _mp = cfg.hardmask_q
+        if _mp < cfg.min_q:
+            _mp = cfg.min_q
+        for path in input_files:
+            print("%s\t%s" % ("# Reading inputfile: ", path),
+                  file=sys.stderr)
+            scale = _sniff(path)
+            print("# Phred scale:\t%d" % scale, file=sys.stderr)
+            for c_f, c_o, h_f, h_o in iter_fastq_native_batches(
+                    path, scale, _mp, cfg.min_q, cfg.hardmask_q,
+                    cfg.min_len, cfg.max_len):
+                nb = len(c_o) - 1
+                ords = np.arange(n_frags, n_frags + nb, dtype=np.int64)
+                fused.map_batch(c_f, c_o, h_f, h_o, ords)
+                n_frags += nb
+        if frag_raw_out is not None:
+            _fused_frag_raw(fused, dump_all_frag)
+    elif input_files and input_files != ["--"] or not (pe_files or int_files):
         reads_it = iter_reads(input_files, min_phred=cfg.min_phred,
                               hardmask_q=cfg.hardmask_q, min_q=cfg.min_q,
                               min_len=cfg.min_len, max_len=cfg.max_len,
@@ -1664,7 +1727,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                 _cur_ord[0] = (n_frags - 1) * _nproc + _pid0
 
             chain_dev = None
-            if nchain_b is not None and _device_enabled(cfg):
+            if nchain_b is not None and _device_enabled(cfg, _in_bytes):
                 # device chain scanner: TPU hash probes feed the native
                 # chain splicer (mapping/chain_device.py)
                 try:
@@ -1981,7 +2044,8 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         lambda t: names[t - 1].decode("latin1"), store, alignment_scores,
         uniq_alignment_scores, cfg, rew, points, kmersize, db_prefix,
         output_prefix, exe_cmd, tot_frags,
-        sam_init=None)  # header already written before scanning
+        sam_init=None,  # header already written before scanning
+        ndrv=fused)
 
 
 def _sam_init_single(names, template_lengths, exe_cmd, out):
@@ -1989,10 +2053,25 @@ def _sam_init_single(names, template_lengths, exe_cmd, out):
     sam_header(names, template_lengths, exe_cmd, out)
 
 
+def _fused_frag_raw(fused, dump_all_frag) -> None:
+    """-a rows from the native spool (updateAllFrag, frags.c:64-184):
+    record order equals production order, so post-hoc iteration writes
+    identical .frag_raw.gz content."""
+    (q_len, best_hits, score, flag, _ordv, tpl, starts, ends, t_off, cod,
+     cod_off, hdr, hdr_off) = fused.spool_export()
+    for i in range(len(q_len)):
+        b, e = int(t_off[i]), int(t_off[i + 1])
+        dump_all_frag(cod[cod_off[i]:cod_off[i + 1]], int(best_hits[i]),
+                      int(score[i]), starts[b:e].tolist(),
+                      ends[b:e].tolist(), tpl[b:e].tolist(),
+                      hdr[hdr_off[i]:hdr_off[i + 1]].tobytes())
+
+
 def _conclave_and_output(records, db_size, template_lengths, name_of, store,
                          alignment_scores, uniq_alignment_scores, cfg, rew,
                          points, kmersize, db_prefix, output_prefix, exe_cmd,
-                         tot_frags, sam_init=None, splt=None) -> int:
+                         tot_frags, sam_init=None, splt=None,
+                         ndrv=None) -> int:
     """ConClave + per-template assembly + output stage, shared between
     runKMA (runkma.c:560-908) and the spltDB reducer (spltdb.c:844-1293).
 
@@ -2007,7 +2086,17 @@ def _conclave_and_output(records, db_size, template_lengths, name_of, store,
     fragment_counts = np.zeros(db_size, dtype=np.int64)
     read_counts = np.zeros(db_size, dtype=np.int64)
     template_tot_ulen = int(template_lengths[1:db_size].sum())
-    if cfg.conclave == 2:
+    frag_lists = None
+    if ndrv is not None:
+        # fused driver: native ConClave over the native spool; copy the
+        # (post-pass-B) score arrays out for the output columns
+        w_scores, fragment_counts, read_counts = ndrv.conclave(
+            cfg.conclave, cfg.lc, template_tot_ulen, cfg.score_t,
+            cfg.evalue, cfg.cmp_mode, cfg.max_frag)
+        a, u = ndrv.scores()
+        alignment_scores[:] = a
+        uniq_alignment_scores[:] = u
+    elif cfg.conclave == 2:
         from .assign.conclave import run_conclave2
         frag_lists = run_conclave2(
             records, db_size, alignment_scores, uniq_alignment_scores,
@@ -2132,8 +2221,11 @@ def _conclave_and_output(records, db_size, template_lengths, name_of, store,
                     or cfg.ID_t == 0.0:
                 assem, _mx = assemble_template(
                     store.get(template), t_len,
-                    frag_lists.get(template, []), kmersize, cfg, rew,
-                    points, name, None, sam_out=sam_out, force_skip=True)
+                    frag_lists.get(template, []) if ndrv is None else [],
+                    kmersize, cfg, rew,
+                    points, name, None, sam_out=sam_out, force_skip=True,
+                    stage=None if ndrv is None
+                    else ndrv.stage_template(template))
                 if cfg.ID_t == 0.0:
                     depth = assem.depth / t_len
                     aln_len = assem.aln_len
@@ -2159,10 +2251,16 @@ def _conclave_and_output(records, db_size, template_lengths, name_of, store,
             from .out.xmlout import xml_new_iter
             xml_new_iter(xml_out, template, t_len, name)
         tindex = store.get(template)
+        if ndrv is not None and tindex.native is None:
+            # reuse the driver's step-3 template index for assembly
+            tindex.native = ndrv.template_handle(template)
         assem, matrix = assemble_template(
-            tindex, t_len, frag_lists.get(template, []), kmersize, cfg, rew,
+            tindex, t_len,
+            frag_lists.get(template, []) if ndrv is None else [],
+            kmersize, cfg, rew,
             points, name, frag_out, sam_out=sam_out, xml_writer=xml_writer,
-            xml_template=template)
+            xml_template=template,
+            stage=None if ndrv is None else ndrv.stage_template(template))
         if cfg.ef and assem.score:
             get_extended_features(assem, matrix, tindex.codes, t_len)
         if assem.cover > 0:
@@ -2823,8 +2921,11 @@ def assemble_template(tindex: TemplateIndex, t_len: int, frags: List[Frag],
                       kmersize: int, cfg: MapConfig, rew: Penalty,
                       points: Points, name: str, frag_out, sam_out=None,
                       xml_writer=None, xml_template: int = 0,
-                      force_skip: bool = False):
-    """assemble_KMA for one template (assembly.c:1689-2127)."""
+                      force_skip: bool = False, stage=None):
+    """assemble_KMA for one template (assembly.c:1689-2127).
+
+    ``stage`` carries the fused driver's pre-staged frag arrays
+    (run_native.RunDriver.stage_template) instead of Frag objects."""
     from .out.writers import frag_row
 
     assem = Assem()
@@ -2835,6 +2936,8 @@ def assemble_template(tindex: TemplateIndex, t_len: int, frags: List[Frag],
         # skip_assemble_KMA (assembly.c:1209-1315): no alignment; depth
         # sums read lengths, SAM records are emitted unmapped-flagged
         assem.len = t_len
+        if stage is not None:
+            assem.depth += int(stage[0].sum())
         for frag in frags:
             assem.depth += frag.q_len
             if sam_out is not None:
@@ -2847,6 +2950,50 @@ def assemble_template(tindex: TemplateIndex, t_len: int, frags: List[Frag],
         assem.t = np.empty(0, np.uint8)
         assem.s = np.empty(0, np.uint8)
         assem.q = np.empty(0, np.uint8)
+        return assem, matrix
+
+    if stage is not None:
+        # fused-driver staged arrays: one native assembly call, frag_row
+        # writes from the flat buffers (no per-frag Python objects)
+        from .align import native_aln as _nat
+        (s_qlen, s_bh, s_score, s_qb, s_fs, s_flag, s_codes, s_coff,
+         s_hdr, s_hoff) = stage
+        n = len(s_qlen)
+        matrix.ensure(matrix.len + len(s_codes) + 1)
+        new_len, acc, rcu, rs, ms, stt, enn, lnn = \
+            _nat.assembly_frags_batch(
+                tindex, s_codes, s_coff, s_qb, s_fs, n, rew, rew.Wl,
+                cfg.min_len, cfg.mq, cfg.score_t, cfg.mrc, cfg.circular,
+                cfg.ts, cfg.skip_tail_aln, cfg.dense, matrix.counts,
+                matrix.next, matrix.len, t_len)
+        matrix.len = int(new_len)
+        for i in range(n):
+            if acc[i] != 1:
+                continue
+            assem.score += int(ms[i])
+            fl = int(s_flag[i])
+            if not (fl & 2) or (fl & 64):
+                assem.fragmentCountAln += 1
+            assem.readCountAln += 1
+            if frag_out is not None:
+                ci = s_codes[s_coff[i]:s_coff[i + 1]]
+                fc = rc_codes(ci) if rcu[i] else ci
+                stats = [int(s_bh[i]), int(rs[i]), int(stt[i]),
+                         int(enn[i]), fl]
+                frag_out.write(frag_row(
+                    fc, stats, name,
+                    s_hdr[s_hoff[i]:s_hoff[i + 1]].tobytes()))
+        if assem.score:
+            call_consensus(matrix, assem, tindex.codes, t_len, cfg.bcd,
+                           cfg.evalue, cfg.support_static,
+                           cfg.base_caller, cfg.significant)
+            if not cfg.dense:
+                trim_dual_gaps(assem)
+        else:
+            assem.t = np.empty(0, np.uint8)
+            assem.s = np.empty(0, np.uint8)
+            assem.q = np.empty(0, np.uint8)
+            assem.len = 0
         return assem, matrix
 
     # batched frag loop (no sam/xml writers): realignments + alnToMat run

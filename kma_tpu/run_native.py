@@ -1,0 +1,303 @@
+"""ctypes bridge to the fused native SE run driver (native/kma_run.cpp).
+
+One native call per read batch covers the whole hot path of runKMA
+(reference runkma.c:130-908): step-2 scan, step-3 candidate scoring, the
+update_Scores spool and ConClave — the per-read Python glue of
+pipeline.run_kma collapses to a handful of batch calls.  libkma_run.so
+links kma_chain.cpp + kma_align.cpp + kma_run.cpp into one library.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from typing import Optional
+
+import numpy as np
+
+from .config import MapConfig, Penalties
+from .index.format import KmaIndex
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_NATIVE_DIR = os.path.join(os.path.dirname(_HERE), "native")
+_SRCS = [os.path.join(_NATIVE_DIR, f)
+         for f in ("kma_chain.cpp", "kma_align.cpp", "kma_assem.cpp", "kma_run.cpp")]
+_SO = os.path.join(_NATIVE_DIR, "libkma_run.so")
+
+_lib = None
+_tried = False
+
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_i64p = ctypes.POINTER(ctypes.c_longlong)
+_vp = ctypes.c_void_p
+
+
+def _build() -> bool:
+    if not all(os.path.exists(s) for s in _SRCS):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-fPIC", "-shared", "-o", _SO + ".tmp"]
+            + _SRCS + ["-lpthread"],
+            check=True, capture_output=True)
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except Exception as e:  # pragma: no cover - toolchain missing
+        print(f"# native run-driver build failed: {e}", file=sys.stderr)
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the fused run driver; None if
+    unavailable.  KMA_TPU_NO_NATIVE=1 forces the Python pipeline."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("KMA_TPU_NO_NATIVE"):
+        return None
+    newest = max(os.path.getmtime(s) for s in _SRCS
+                 if os.path.exists(s)) if any(map(os.path.exists, _SRCS)) \
+        else 0
+    if not os.path.exists(_SO) or os.path.getmtime(_SO) < newest:
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError as e:  # pragma: no cover
+        print(f"# native run-driver load failed: {e}", file=sys.stderr)
+        return None
+    lib.krun_create.restype = _vp
+    lib.krun_create.argtypes = [
+        _vp, ctypes.c_int, _vp, ctypes.c_int, _vp, ctypes.c_int,
+        _vp, ctypes.c_int,
+        ctypes.c_ulonglong, ctypes.c_ulonglong, ctypes.c_ulonglong,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+        _i64p, ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_longlong, ctypes.c_longlong, _i32p,
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int, ctypes.c_double, ctypes.c_longlong, ctypes.c_int,
+    ]
+    lib.krun_free.argtypes = [_vp]
+    lib.krun_map_se_batch.restype = ctypes.c_longlong
+    lib.krun_map_se_batch.argtypes = [
+        _vp, _u8p, _i64p, _u8p, _i64p, _i64p, ctypes.c_int]
+    lib.krun_scores.argtypes = [_vp, _i64p, _i64p]
+    lib.krun_conclave.argtypes = [
+        _vp, ctypes.c_int, ctypes.c_int, _i64p, _i64p, _i64p,
+        ctypes.c_longlong, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+        ctypes.c_longlong]
+    lib.krun_stage_meta.argtypes = [_vp, ctypes.c_longlong, _i64p, _i64p,
+                                    _i64p]
+    lib.krun_stage_fill.argtypes = [
+        _vp, ctypes.c_longlong, _i32p, _i32p, _i64p, _i32p, _i32p, _i32p,
+        _u8p, _i64p, _u8p, _i64p]
+    lib.krun_template_handle.restype = _vp
+    lib.krun_template_handle.argtypes = [_vp, ctypes.c_longlong]
+    lib.krun_spool_len.restype = ctypes.c_longlong
+    lib.krun_spool_len.argtypes = [_vp]
+    lib.krun_spool_meta.argtypes = [_vp, _i64p, _i64p, _i64p, _i64p]
+    lib.krun_spool_fill.argtypes = [
+        _vp, _i32p, _i32p, _i64p, _i32p, _i64p, _i32p, _i32p, _i32p,
+        _i64p, _u8p, _i64p, _u8p, _i64p]
+    _lib = lib
+    return _lib
+
+
+def _es(a: np.ndarray) -> int:
+    return a.dtype.itemsize
+
+
+class RunDriver:
+    """Fused native run over one DB (SE -1t1 / chain modes)."""
+
+    def __init__(self, lib, idx: KmaIndex, pen: Penalties,
+                 template_lengths: np.ndarray, seq_path: str,
+                 cfg: MapConfig, mode: int, aln_min_frac: float,
+                 contamination: Optional[int]):
+        self._lib = lib
+        self._idx = idx
+        # pin contiguous index views for the driver's lifetime
+        self._exist = np.ascontiguousarray(idx.exist)
+        self._values = np.ascontiguousarray(idx.values)
+        if idx.mega:
+            self._keyi = np.zeros(1, np.uint32)
+            self._vali = np.zeros(1, np.uint32)
+        else:
+            self._keyi = np.ascontiguousarray(idx.key_index)
+            self._vali = np.ascontiguousarray(idx.value_index)
+        self._tl = np.ascontiguousarray(template_lengths, np.int64)
+        self._d = np.ascontiguousarray(
+            pen.score_matrix()[:5, :5], np.int32)
+        self.db_size = int(idx.db_size)
+        self._h = lib.krun_create(
+            self._exist.ctypes.data_as(_vp), _es(self._exist),
+            self._keyi.ctypes.data_as(_vp), _es(self._keyi),
+            self._vali.ctypes.data_as(_vp), _es(self._vali),
+            self._values.ctypes.data_as(_vp), _es(self._values),
+            int(idx.null_index), int(idx.size - 1), int(idx.mask),
+            1 if idx.mega else 0, 1 if idx.flag else 0,
+            int(idx.flag & 3), int(idx.kmersize), int(idx.mlen),
+            self._tl.ctypes.data_as(_i64p), len(self._tl), self.db_size,
+            pen.M, pen.MM, pen.U, pen.W1, pen.Wl,
+            self._d.ctypes.data_as(_i32p),
+            seq_path.encode(), mode,
+            1 if cfg.exhaustive else 0, cfg.min_len, cfg.mq,
+            cfg.score_t, cfg.mrc, cfg.cover_t, 1 if cfg.lc else 0,
+            aln_min_frac,
+            -1 if contamination is None else int(contamination),
+            max(1, cfg.threads))
+        if not self._h:
+            raise OSError("krun_create failed")
+
+    def __del__(self):  # pragma: no cover - interpreter teardown
+        try:
+            if getattr(self, "_h", None):
+                self._lib.krun_free(self._h)
+                self._h = None
+        except Exception:
+            pass
+
+    def map_batch(self, codes_flat: np.ndarray, coff: np.ndarray,
+                  hdr_flat: np.ndarray, hoff: np.ndarray,
+                  ords: np.ndarray) -> int:
+        n = len(coff) - 1
+        if n <= 0:
+            return 0
+        r = self._lib.krun_map_se_batch(
+            self._h,
+            codes_flat.ctypes.data_as(_u8p), coff.ctypes.data_as(_i64p),
+            hdr_flat.ctypes.data_as(_u8p), hoff.ctypes.data_as(_i64p),
+            ords.ctypes.data_as(_i64p), n)
+        if r < 0:
+            raise RuntimeError("krun_map_se_batch failed")
+        return int(r)
+
+    def scores(self):
+        a = np.zeros(self.db_size, np.int64)
+        u = np.zeros(self.db_size, np.int64)
+        self._lib.krun_scores(self._h, a.ctypes.data_as(_i64p),
+                              u.ctypes.data_as(_i64p))
+        return a, u
+
+    def conclave(self, version: int, lc: bool, template_tot_ulen: int,
+                 scoreT: float, evalue: float, cmp_mode: str,
+                 max_frag: int = 1000000):
+        w = np.zeros(self.db_size, np.int64)
+        fc = np.zeros(self.db_size, np.int64)
+        rc = np.zeros(self.db_size, np.int64)
+        cmpm = {"or": 0, "and": 1, "true": 2}[cmp_mode]
+        self._lib.krun_conclave(
+            self._h, version, 1 if lc else 0,
+            w.ctypes.data_as(_i64p), fc.ctypes.data_as(_i64p),
+            rc.ctypes.data_as(_i64p), template_tot_ulen, scoreT, evalue,
+            cmpm, max_frag)
+        return w, fc, rc
+
+    def stage_template(self, t: int):
+        """Per-template fragment stage for assembly: (q_len, best_hits,
+        score, qbounds, fstats, flag, codes_flat, codes_off, hdr_flat,
+        hdr_off) in printFrags (LIFO) order; None when no frags."""
+        meta = np.zeros(3, np.int64)
+        self._lib.krun_stage_meta(self._h, t,
+                                  meta[0:].ctypes.data_as(_i64p),
+                                  meta[1:].ctypes.data_as(_i64p),
+                                  meta[2:].ctypes.data_as(_i64p))
+        n, cb, hb = int(meta[0]), int(meta[1]), int(meta[2])
+        if n == 0:
+            return None
+        q_len = np.zeros(n, np.int32)
+        best_hits = np.zeros(n, np.int32)
+        score = np.zeros(n, np.int64)
+        qb = np.zeros(2 * n, np.int32)
+        fs = np.zeros(3 * n, np.int32)
+        flag = np.zeros(n, np.int32)
+        codes = np.zeros(cb, np.uint8)
+        coff = np.zeros(n + 1, np.int64)
+        hdr = np.zeros(hb, np.uint8)
+        hoff = np.zeros(n + 1, np.int64)
+        self._lib.krun_stage_fill(
+            self._h, t, q_len.ctypes.data_as(_i32p),
+            best_hits.ctypes.data_as(_i32p), score.ctypes.data_as(_i64p),
+            qb.ctypes.data_as(_i32p), fs.ctypes.data_as(_i32p),
+            flag.ctypes.data_as(_i32p), codes.ctypes.data_as(_u8p),
+            coff.ctypes.data_as(_i64p), hdr.ctypes.data_as(_u8p),
+            hoff.ctypes.data_as(_i64p))
+        return (q_len, best_hits, score, qb, fs, flag, codes, coff, hdr,
+                hoff)
+
+    def template_handle(self, t: int) -> int:
+        return self._lib.krun_template_handle(self._h, t)
+
+    def spool_len(self) -> int:
+        return int(self._lib.krun_spool_len(self._h))
+
+    def spool_export(self):
+        """Raw spool arrays (collect mode / .frag_raw.gz): (q_len,
+        best_hits, score, flag, ord, tpl, starts, ends, t_off, cod,
+        cod_off, hdr, hdr_off)."""
+        meta = np.zeros(4, np.int64)
+        self._lib.krun_spool_meta(self._h,
+                                  meta[0:].ctypes.data_as(_i64p),
+                                  meta[1:].ctypes.data_as(_i64p),
+                                  meta[2:].ctypes.data_as(_i64p),
+                                  meta[3:].ctypes.data_as(_i64p))
+        n, tt, cb, hb = (int(x) for x in meta)
+        q_len = np.zeros(n, np.int32)
+        best_hits = np.zeros(n, np.int32)
+        score = np.zeros(n, np.int64)
+        flag = np.zeros(n, np.int32)
+        ordv = np.zeros(n, np.int64)
+        tpl = np.zeros(tt, np.int32)
+        starts = np.zeros(tt, np.int32)
+        ends = np.zeros(tt, np.int32)
+        t_off = np.zeros(n + 1, np.int64)
+        cod = np.zeros(cb, np.uint8)
+        cod_off = np.zeros(n + 1, np.int64)
+        hdr = np.zeros(hb, np.uint8)
+        hdr_off = np.zeros(n + 1, np.int64)
+        self._lib.krun_spool_fill(
+            self._h, q_len.ctypes.data_as(_i32p),
+            best_hits.ctypes.data_as(_i32p), score.ctypes.data_as(_i64p),
+            flag.ctypes.data_as(_i32p), ordv.ctypes.data_as(_i64p),
+            tpl.ctypes.data_as(_i32p), starts.ctypes.data_as(_i32p),
+            ends.ctypes.data_as(_i32p), t_off.ctypes.data_as(_i64p),
+            cod.ctypes.data_as(_u8p), cod_off.ctypes.data_as(_i64p),
+            hdr.ctypes.data_as(_u8p), hdr_off.ctypes.data_as(_i64p))
+        return (q_len, best_hits, score, flag, ordv, tpl, starts, ends,
+                t_off, cod, cod_off, hdr, hdr_off)
+
+
+def make_run_driver(idx: KmaIndex, pen: Penalties,
+                    template_lengths: np.ndarray, seq_path: str,
+                    cfg: MapConfig, mode: int, aln_min_frac: float,
+                    contamination: Optional[int]
+                    ) -> Optional[RunDriver]:
+    """RunDriver when the fused native path applies, else None (same DB
+    eligibility gates as mapping.native_chain.make_native_chain)."""
+    if (idx.flag & 3) and idx.kmersize > 16:
+        return None
+    if idx.values is None or idx.values.dtype.itemsize not in (2, 4):
+        return None
+    if idx.exist is None or idx.exist.dtype.itemsize not in (4, 8):
+        return None
+    if not idx.mega:
+        if idx.key_index is None or idx.value_index is None:
+            return None
+        if idx.key_index.dtype.itemsize not in (4, 8) \
+                or idx.value_index.dtype.itemsize not in (4, 8):
+            return None
+    lib = get_lib()
+    if lib is None:
+        return None
+    try:
+        return RunDriver(lib, idx, pen, template_lengths, seq_path, cfg,
+                         mode, aln_min_frac, contamination)
+    except OSError:
+        return None

@@ -75,23 +75,59 @@ struct TIndex {
     int len = 0;
     int k = 0;
     std::vector<uint8_t> codes;
-    // kmer -> [begin, end) into pos_flat (positions ascending, 1-based)
-    std::unordered_map<uint64_t, std::pair<uint32_t, uint32_t>> map;
     std::vector<int32_t> pos_flat;
+    // kmer -> [begin, end) into pos_flat, as an open-addressed flat
+    // table (the reference CCI shape, hashmapcci.c:95-199).  kidx_create
+    // drops kmer 0 ("likely undefined region", hashmapcci.c:414), so 0
+    // doubles as the empty-slot sentinel.
+    std::vector<uint64_t> tkey;
+    std::vector<uint32_t> tbeg, tend;
+    uint64_t hmask = 0;
+
+    static inline uint64_t mix(uint64_t v) {
+        v ^= v >> 33;
+        v *= 0xff51afd7ed558ccdULL;
+        v ^= v >> 33;
+        v *= 0xc4ceb9fe1a85ec53ULL;
+        v ^= v >> 33;
+        return v;
+    }
+    inline void insert(uint64_t kmer, uint32_t b, uint32_t e) {
+        uint64_t s = mix(kmer) & hmask;
+        while (tkey[s] != 0)
+            s = (s + 1) & hmask;
+        tkey[s] = kmer;
+        tbeg[s] = b;
+        tend[s] = e;
+    }
+    // returns false on miss; on hit fills [b, e) into pos_flat
+    inline bool find(uint64_t kmer, uint32_t *b, uint32_t *e) const {
+        if (tkey.empty())
+            return false;
+        uint64_t s = mix(kmer) & hmask;
+        for (;;) {
+            if (tkey[s] == kmer) {
+                *b = tbeg[s];
+                *e = tend[s];
+                return true;
+            }
+            if (tkey[s] == 0)
+                return false;
+            s = (s + 1) & hmask;
+        }
+    }
 
     // hashMapCCI_get semantics: 0 miss, +pos unique, -first duplicated
     int get(uint64_t kmer) const {
-        auto it = map.find(kmer);
-        if (it == map.end()) return 0;
-        uint32_t b = it->second.first, e = it->second.second;
+        uint32_t b, e;
+        if (!find(kmer, &b, &e)) return 0;
         if (e - b == 1) return pos_flat[b];
         return -pos_flat[b];
     }
     // first position in (lo, hi) exclusive; sign marks duplication
     int get_bound(uint64_t kmer, int lo, int hi) const {
-        auto it = map.find(kmer);
-        if (it == map.end()) return 0;
-        uint32_t b = it->second.first, e = it->second.second;
+        uint32_t b, e;
+        if (!find(kmer, &b, &e)) return 0;
         if (e - b == 1) {
             int p = pos_flat[b];
             return (lo < p && p < hi) ? p : 0;
@@ -129,7 +165,23 @@ extern "C" void* kidx_create(const uint8_t* codes, int len, int kmersize) {
         }
         std::sort(kp.begin(), kp.end());
         t->pos_flat.reserve(end);
-        t->map.reserve(end);
+        // count unique non-zero kmers, then size the open table at 2x
+        uint32_t nuniq = 0;
+        for (uint32_t i = 0; i < (uint32_t)end;) {
+            uint32_t j = i;
+            while (j < (uint32_t)end && kp[j].first == kp[i].first)
+                j++;
+            if (kp[i].first != 0)
+                nuniq++;
+            i = j;
+        }
+        uint64_t cap = 8;
+        while (cap < 2ull * (nuniq ? nuniq : 1))
+            cap <<= 1;
+        t->tkey.assign(cap, 0);
+        t->tbeg.assign(cap, 0);
+        t->tend.assign(cap, 0);
+        t->hmask = cap - 1;
         uint32_t i = 0;
         while (i < (uint32_t)end) {
             uint64_t km = kp[i].first;
@@ -140,7 +192,7 @@ extern "C" void* kidx_create(const uint8_t* codes, int len, int kmersize) {
                 j++;
             }
             if (km != 0)   // "likely undefined region" (hashmapcci.c:414)
-                t->map.emplace(km, std::make_pair(b, (uint32_t)t->pos_flat.size()));
+                t->insert(km, b, (uint32_t)t->pos_flat.size());
             else
                 t->pos_flat.resize(b);
             i = j;
@@ -785,9 +837,9 @@ static void collect_seeds_comp(const TIndex& T, const uint8_t* qseq,
                 pts.weight[idx] = j - pts.qStart[idx];
             } else {
                 int bias = j;
-                auto it = T.map.find(key);
-                for (uint32_t pi = it->second.first; pi < it->second.second;
-                     pi++) {
+                uint32_t pb = 0, pe = 0;
+                T.find(key, &pb, &pe);
+                for (uint32_t pi = pb; pi < pe; pi++) {
                     int value2 = T.pos_flat[pi];
                     int llp = j;
                     int prev = value2 - 2;
@@ -874,9 +926,9 @@ static void collect_seeds_bytes(const TIndex& T, const uint8_t* qseq,
             } else {
                 i -= k - 1;
                 int bias = i;
-                auto it = T.map.find(key & mask);
-                for (uint32_t pi = it->second.first; pi < it->second.second;
-                     pi++) {
+                uint32_t pb = 0, pe = 0;
+                T.find(key & mask, &pb, &pe);
+                for (uint32_t pi = pb; pi < pe; pi++) {
                     int value2 = T.pos_flat[pi];
                     int kk = i;
                     int prev = value2 - 2;
@@ -1329,9 +1381,9 @@ static int anker_rc_comp_impl(TIndex& T, const uint8_t* qseq,
                 } else {
                     score_r += k;
                     int bias = i;
-                    auto it = T.map.find(key);
-                    for (uint32_t pi = it->second.first;
-                         pi < it->second.second; pi++) {
+                    uint32_t pb = 0, pe = 0;
+                    T.find(key, &pb, &pe);
+                    for (uint32_t pi = pb; pi < pe; pi++) {
                         int value2 = T.pos_flat[pi];
                         int kk = i;
                         int prev = value2 - 2;
@@ -1469,9 +1521,9 @@ static int anker_rc_bytes_impl(TIndex& T, const uint8_t* qseq,
                     } else {
                         score_r += k;
                         int bias = s;
-                        auto it = T.map.find(key);
-                        for (uint32_t pi = it->second.first;
-                             pi < it->second.second; pi++) {
+                        uint32_t pb = 0, pe = 0;
+                        T.find(key, &pb, &pe);
+                        for (uint32_t pi = pb; pi < pe; pi++) {
                             int value2 = T.pos_flat[pi];
                             int kk = s;
                             int prev = value2 - 2;
