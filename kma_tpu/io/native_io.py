@@ -200,6 +200,57 @@ def iter_fastq_native(path: str, scale: int, min_phred: int, min_q: int,
                 break
 
 
+def iter_fastq_native_pe_batches(path: str, scale: int, min_phred: int,
+                                 min_q: int, hardmask_q: int, min_len: int,
+                                 max_len: int):
+    """Emit-all batches for the PE fused feed: yields (codes, coff[n+1],
+    hdr, hoff[n+1], passed[n]) with EVERY record present (failed reads
+    flagged 0) so two mate streams stay in lockstep."""
+    lib = get_lib()
+    assert lib is not None
+    coff = np.zeros(_CAP_READS + 1, dtype=np.int64)
+    hoff = np.zeros(_CAP_READS + 1, dtype=np.int64)
+    passed = np.zeros(_CAP_READS, dtype=np.uint8)
+    n_out = ctypes.c_int(0)
+    status = ctypes.c_int(0)
+    with open_maybe_gz(path) as f:
+        carry = b""
+        while True:
+            chunk = f.read(_CHUNK)
+            data = carry + chunk if carry else chunk
+            last = 0 if chunk else 1
+            if not data:
+                break
+            while data:
+                buf = np.frombuffer(data, dtype=np.uint8)
+                cap = len(data)
+                codes_out = np.empty(cap, dtype=np.uint8)
+                hdr_out = np.empty(cap, dtype=np.uint8)
+                consumed = lib.kio_parse_fastq(
+                    buf.ctypes.data_as(_u8p), cap, last,
+                    _TO2BIT_C.ctypes.data_as(_u8p),
+                    _PROB_C.ctypes.data_as(_f64p),
+                    scale, min_phred, min_q, hardmask_q, min_len, max_len,
+                    codes_out.ctypes.data_as(_u8p), cap,
+                    coff.ctypes.data_as(_i64p),
+                    hdr_out.ctypes.data_as(_u8p), cap,
+                    hoff.ctypes.data_as(_i64p),
+                    _CAP_READS, ctypes.byref(n_out), ctypes.byref(status),
+                    1, passed.ctypes.data_as(_u8p))
+                n = n_out.value
+                if n:
+                    yield (codes_out, coff[:n + 1].copy(), hdr_out,
+                           hoff[:n + 1].copy(), passed[:n].copy())
+                if status.value:
+                    raise ValueError("Malformed fastq input")
+                if consumed == 0:
+                    break
+                data = data[consumed:]
+            carry = bytes(data)
+            if not chunk:
+                break
+
+
 def iter_fastq_native_pe(path: str, scale: int, min_phred: int, min_q: int,
                          hardmask_q: int, min_len: int, max_len: int):
     """Like iter_fastq_native but yields EVERY record (codes-or-None,

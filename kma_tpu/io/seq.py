@@ -130,11 +130,49 @@ def parse_fastq(path: str) -> Iterator[Tuple[bytes, np.ndarray, np.ndarray]]:
             yield _chomp(h), codes, q[: len(codes)]
 
 
+def _sniff_phred_np(data: bytes):
+    """Vectorized getPhredFileBuff decision over whole quality lines;
+    None = no quality data found (caller falls back to the scalar loop)."""
+    if not data:
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8)
+    nl = np.flatnonzero(arr == 10)
+    n = len(arr)
+    if len(nl) == 0 or nl[-1] != n - 1:
+        bnds = np.concatenate(([-1], nl, [n]))
+    else:
+        bnds = np.concatenate(([-1], nl))
+    nlines = len(bnds) - 1
+    qidx = np.arange(3, nlines, 4)
+    if len(qidx) == 0:
+        return None
+    s = bnds[qidx] + 1
+    e = bnds[qidx + 1]
+    d = np.zeros(n + 1, np.int32)
+    np.add.at(d, s, 1)
+    np.add.at(d, e, -1)
+    inq = np.cumsum(d[:-1]) > 0
+    q = arr[inq]
+    bad = (q < 33) | ((q > 53) & (q < 59))
+    if bad.any():
+        first = int(np.argmax(bad))
+        return 0 if q[first] < 33 else 33
+    scale = 64 if (q > 94).any() else 33
+    maxlen = int((e - s).max()) if len(s) else 0
+    return scale if maxlen <= 301 else 33
+
+
 def sniff_phred_scale(path: str) -> int:
     """Detect phred scale 33/64 from the first ~1MB (getPhredFileBuff,
     seqparse.c:551-589)."""
     with open_maybe_gz(path) as f:
         data = f.read(1 << 20)
+    # vectorized fast path over whole quality lines (identical decision
+    # rules; the Python loop below remains the semantics reference and
+    # handles the exotic early-exit cases it bails on)
+    res = _sniff_phred_np(data)
+    if res is not None:
+        return res
     scale = 33
     maxlen = 0
     i = 0

@@ -1550,8 +1550,12 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
     # plain-kmer DBs; every other mode keeps the per-component path
     # below.  KMA_TPU_NO_FUSED=1 forces the unfused pipeline.
     fused = None
-    if (not collect and shard is None and not (pe_files or int_files)
-            and input_files and input_files != ["--"]
+    _fused_pe = (not int_files
+                 and (not pe_files
+                      or (cfg.pair_mode in ("u", "p")
+                          and cfg.fpm in ("u", "p"))))
+    if (not collect and shard is None and _fused_pe
+            and (input_files and input_files != ["--"] or pe_files)
             and not sparse_db and not cfg.ck and not cfg.hmm
             and not cfg.mem_mode and scan_proxi is None and not cfg.sam
             and not cfg.xml and not cfg.boot and qc is None
@@ -1559,8 +1563,10 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             and not os.environ.get("KMA_TPU_NO_FUSED")):
         from .io.seq import detect_format as _detect
         from .io.native_io import get_lib as _io_lib
-        if _io_lib() is not None and all(
-                _detect(p) == "fastq" for p in input_files):
+        _all_files = [f for f in list(input_files or []) if f != "--"] \
+            + list(pe_files or [])
+        if _io_lib() is not None and _all_files and all(
+                _detect(p) == "fastq" for p in _all_files):
             from .run_native import make_run_driver
             fused = make_run_driver(
                 idx, pen, template_lengths, store.seq_path, cfg,
@@ -1574,7 +1580,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             _mp = cfg.hardmask_q
         if _mp < cfg.min_q:
             _mp = cfg.min_q
-        for path in input_files:
+        for path in (input_files if input_files != ["--"] else []):
             print("%s\t%s" % ("# Reading inputfile: ", path),
                   file=sys.stderr)
             scale = _sniff(path)
@@ -1586,6 +1592,8 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                 ords = np.arange(n_frags, n_frags + nb, dtype=np.int64)
                 fused.map_batch(c_f, c_o, h_f, h_o, ords)
                 n_frags += nb
+        if pe_files:
+            n_frags = _fused_pe_feed(fused, pe_files, cfg, _mp, n_frags)
         if frag_raw_out is not None:
             _fused_frag_raw(fused, dump_all_frag)
     elif input_files and input_files != ["--"] or not (pe_files or int_files):
@@ -1789,7 +1797,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                                        max_len=cfg.max_len, qc=qc,
                                        interleaved=True)
 
-    if pe_files or int_files:
+    if (pe_files or int_files) and fused is None:
         from .mapping.pair import (save_kmers_force_pair,
                                    save_kmers_penalty_pair,
                                    save_kmers_union_pair)
@@ -2056,15 +2064,124 @@ def _sam_init_single(names, template_lengths, exe_cmd, out):
 def _fused_frag_raw(fused, dump_all_frag) -> None:
     """-a rows from the native spool (updateAllFrag, frags.c:64-184):
     record order equals production order, so post-hoc iteration writes
-    identical .frag_raw.gz content."""
+    identical .frag_raw.gz content (PE mate rows included)."""
     (q_len, best_hits, score, flag, _ordv, tpl, starts, ends, t_off, cod,
-     cod_off, hdr, hdr_off) = fused.spool_export()
+     cod_off, hdr, hdr_off, mcod, mcod_off, mhdr, mhdr_off,
+     _mflag) = fused.spool_export()
     for i in range(len(q_len)):
         b, e = int(t_off[i]), int(t_off[i + 1])
-        dump_all_frag(cod[cod_off[i]:cod_off[i + 1]], int(best_hits[i]),
-                      int(score[i]), starts[b:e].tolist(),
-                      ends[b:e].tolist(), tpl[b:e].tolist(),
+        bh = abs(int(best_hits[i]))
+        sc = abs(int(score[i]))
+        dump_all_frag(cod[cod_off[i]:cod_off[i + 1]], bh, sc,
+                      starts[b:e].tolist(), ends[b:e].tolist(),
+                      tpl[b:e].tolist(),
                       hdr[hdr_off[i]:hdr_off[i + 1]].tobytes())
+        if score[i] < 0:
+            dump_all_frag(mcod[mcod_off[i]:mcod_off[i + 1]], bh, sc,
+                          starts[b:e].tolist(), ends[b:e].tolist(),
+                          tpl[b:e].tolist(),
+                          mhdr[mhdr_off[i]:mhdr_off[i + 1]].tobytes())
+
+
+def _fused_pe_feed(fused, pe_files, cfg, mp, n_frags) -> int:
+    """Aligned PE item batches from two emit-all native streams into
+    krun_map_pe_batch (run_input_PE lockstep, runinput.c:463-606)."""
+    from .io.native_io import iter_fastq_native_pe_batches
+    from .io.seq import sniff_phred_scale as _sniff
+    pm = {"u": 0, "p": 1}[cfg.pair_mode]
+    fpm = {"u": 0, "p": 1}[cfg.fpm]
+
+    class _Buf:
+        def __init__(self, gen):
+            self.gen = gen
+            self.cur = None
+            self.pos = 0
+
+        def pull(self):
+            if self.cur is not None and self.pos < len(self.cur[4]):
+                return True
+            try:
+                self.cur = next(self.gen)
+                self.pos = 0
+                return True
+            except StopIteration:
+                self.cur = None
+                return False
+
+        def avail(self):
+            return len(self.cur[4]) - self.pos if self.cur is not None \
+                else 0
+
+    for fi in range(0, len(pe_files), 2):
+        f1, f2 = pe_files[fi], pe_files[fi + 1]
+        print("%s\t%s %s" % ("# Reading inputfile: ", f1, f2),
+              file=sys.stderr)
+        scale = _sniff(f1) or _sniff(f2)
+        print("# Phred scale:\t%d" % scale, file=sys.stderr)
+        args = (scale, mp, cfg.min_q, cfg.hardmask_q, cfg.min_len,
+                cfg.max_len)
+        b1 = _Buf(iter_fastq_native_pe_batches(f1, *args))
+        b2 = _Buf(iter_fastq_native_pe_batches(f2, *args))
+        while b1.pull() and b2.pull():
+            n = min(b1.avail(), b2.avail())
+            c1, o1, h1, ho1, p1 = b1.cur
+            c2, o2, h2, ho2, p2 = b2.cur
+            i1, i2 = b1.pos, b2.pos
+            s1 = p1[i1:i1 + n].astype(bool)
+            s2 = p2[i2:i2 + n].astype(bool)
+            keep = s1 | s2
+            nk = int(keep.sum())
+            if nk:
+                ords = np.arange(n_frags, n_frags + nk, dtype=np.int64)
+                n_frags += nk
+                if keep.all() and s1.all() and s2.all():
+                    # common case: both streams fully passed; zero-copy
+                    fused.map_pe_batch(
+                        c1, np.ascontiguousarray(o1[i1:i1 + n + 1]),
+                        h1, np.ascontiguousarray(ho1[i1:i1 + n + 1]),
+                        c2, np.ascontiguousarray(o2[i2:i2 + n + 1]),
+                        h2, np.ascontiguousarray(ho2[i2:i2 + n + 1]),
+                        np.ones(n, np.uint8), ords, pm, fpm)
+                else:
+                    # mixed batch: surviving mate becomes "a"
+                    a_c, a_h, b_c, b_h = [], [], [], []
+                    bp = np.zeros(nk, np.uint8)
+                    j = 0
+                    for t in range(n):
+                        if not keep[t]:
+                            continue
+                        if s1[t]:
+                            a_c.append(c1[o1[i1 + t]:o1[i1 + t + 1]])
+                            a_h.append(h1[ho1[i1 + t]:ho1[i1 + t + 1]])
+                            if s2[t]:
+                                b_c.append(c2[o2[i2 + t]:o2[i2 + t + 1]])
+                                b_h.append(h2[ho2[i2 + t]:ho2[i2 + t + 1]])
+                                bp[j] = 1
+                            else:
+                                b_c.append(c2[:0])
+                                b_h.append(h2[:0])
+                        else:
+                            a_c.append(c2[o2[i2 + t]:o2[i2 + t + 1]])
+                            a_h.append(h2[ho2[i2 + t]:ho2[i2 + t + 1]])
+                            b_c.append(c1[:0])
+                            b_h.append(h1[:0])
+                        j += 1
+
+                    def _flat(parts):
+                        off = np.zeros(len(parts) + 1, np.int64)
+                        for q, part in enumerate(parts):
+                            off[q + 1] = off[q] + len(part)
+                        return (np.concatenate(parts) if parts
+                                else np.zeros(0, np.uint8)), off
+                    af, ao = _flat(a_c)
+                    hf, hof = _flat(a_h)
+                    bf, bo = _flat(b_c)
+                    bhf, bho = _flat(b_h)
+                    fused.map_pe_batch(af, ao, hf, hof, bf, bo, bhf, bho,
+                                       bp, ords, pm, fpm)
+            b1.pos += n
+            b2.pos += n
+    return n_frags
 
 
 def _conclave_and_output(records, db_size, template_lengths, name_of, store,

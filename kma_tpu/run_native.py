@@ -102,10 +102,16 @@ def get_lib():
     lib.krun_template_handle.argtypes = [_vp, ctypes.c_longlong]
     lib.krun_spool_len.restype = ctypes.c_longlong
     lib.krun_spool_len.argtypes = [_vp]
-    lib.krun_spool_meta.argtypes = [_vp, _i64p, _i64p, _i64p, _i64p]
+    lib.krun_spool_meta.argtypes = [_vp, _i64p, _i64p, _i64p, _i64p,
+                                    _i64p, _i64p]
     lib.krun_spool_fill.argtypes = [
         _vp, _i32p, _i32p, _i64p, _i32p, _i64p, _i32p, _i32p, _i32p,
-        _i64p, _u8p, _i64p, _u8p, _i64p]
+        _i64p, _u8p, _i64p, _u8p, _i64p, _u8p, _i64p, _u8p, _i64p, _i32p]
+    lib.krun_map_pe_batch.restype = ctypes.c_longlong
+    lib.krun_map_pe_batch.argtypes = [
+        _vp, _u8p, _i64p, _u8p, _i64p, _u8p, _i64p, _u8p, _i64p,
+        _u8p, _i64p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.krun_set_pe.argtypes = [_vp, ctypes.c_longlong]
     _lib = lib
     return _lib
 
@@ -155,6 +161,7 @@ class RunDriver:
             max(1, cfg.threads))
         if not self._h:
             raise OSError("krun_create failed")
+        lib.krun_set_pe(self._h, pen.PE)
 
     def __del__(self):  # pragma: no cover - interpreter teardown
         try:
@@ -177,6 +184,24 @@ class RunDriver:
             ords.ctypes.data_as(_i64p), n)
         if r < 0:
             raise RuntimeError("krun_map_se_batch failed")
+        return int(r)
+
+    def map_pe_batch(self, a_flat, a_off, ha_flat, ha_off, b_flat, b_off,
+                     hb_flat, hb_off, b_present, ords, pm: int,
+                     fpm: int) -> int:
+        n = len(a_off) - 1
+        if n <= 0:
+            return 0
+        r = self._lib.krun_map_pe_batch(
+            self._h,
+            a_flat.ctypes.data_as(_u8p), a_off.ctypes.data_as(_i64p),
+            ha_flat.ctypes.data_as(_u8p), ha_off.ctypes.data_as(_i64p),
+            b_flat.ctypes.data_as(_u8p), b_off.ctypes.data_as(_i64p),
+            hb_flat.ctypes.data_as(_u8p), hb_off.ctypes.data_as(_i64p),
+            b_present.ctypes.data_as(_u8p), ords.ctypes.data_as(_i64p),
+            n, pm, fpm)
+        if r < 0:
+            raise RuntimeError("krun_map_pe_batch failed")
         return int(r)
 
     def scores(self):
@@ -241,14 +266,16 @@ class RunDriver:
     def spool_export(self):
         """Raw spool arrays (collect mode / .frag_raw.gz): (q_len,
         best_hits, score, flag, ord, tpl, starts, ends, t_off, cod,
-        cod_off, hdr, hdr_off)."""
-        meta = np.zeros(4, np.int64)
+        cod_off, hdr, hdr_off, mcod, mcod_off, mhdr, mhdr_off, mflag)."""
+        meta = np.zeros(6, np.int64)
         self._lib.krun_spool_meta(self._h,
                                   meta[0:].ctypes.data_as(_i64p),
                                   meta[1:].ctypes.data_as(_i64p),
                                   meta[2:].ctypes.data_as(_i64p),
-                                  meta[3:].ctypes.data_as(_i64p))
-        n, tt, cb, hb = (int(x) for x in meta)
+                                  meta[3:].ctypes.data_as(_i64p),
+                                  meta[4:].ctypes.data_as(_i64p),
+                                  meta[5:].ctypes.data_as(_i64p))
+        n, tt, cb, hb, mcb, mhb = (int(x) for x in meta)
         q_len = np.zeros(n, np.int32)
         best_hits = np.zeros(n, np.int32)
         score = np.zeros(n, np.int64)
@@ -262,6 +289,11 @@ class RunDriver:
         cod_off = np.zeros(n + 1, np.int64)
         hdr = np.zeros(hb, np.uint8)
         hdr_off = np.zeros(n + 1, np.int64)
+        mcod = np.zeros(mcb, np.uint8)
+        mcod_off = np.zeros(n + 1, np.int64)
+        mhdr = np.zeros(mhb, np.uint8)
+        mhdr_off = np.zeros(n + 1, np.int64)
+        mflag = np.zeros(n, np.int32)
         self._lib.krun_spool_fill(
             self._h, q_len.ctypes.data_as(_i32p),
             best_hits.ctypes.data_as(_i32p), score.ctypes.data_as(_i64p),
@@ -269,9 +301,13 @@ class RunDriver:
             tpl.ctypes.data_as(_i32p), starts.ctypes.data_as(_i32p),
             ends.ctypes.data_as(_i32p), t_off.ctypes.data_as(_i64p),
             cod.ctypes.data_as(_u8p), cod_off.ctypes.data_as(_i64p),
-            hdr.ctypes.data_as(_u8p), hdr_off.ctypes.data_as(_i64p))
+            hdr.ctypes.data_as(_u8p), hdr_off.ctypes.data_as(_i64p),
+            mcod.ctypes.data_as(_u8p), mcod_off.ctypes.data_as(_i64p),
+            mhdr.ctypes.data_as(_u8p), mhdr_off.ctypes.data_as(_i64p),
+            mflag.ctypes.data_as(_i32p))
         return (q_len, best_hits, score, flag, ordv, tpl, starts, ends,
-                t_off, cod, cod_off, hdr, hdr_off)
+                t_off, cod, cod_off, hdr, hdr_off, mcod, mcod_off, mhdr,
+                mhdr_off, mflag)
 
 
 def make_run_driver(idx: KmaIndex, pen: Penalties,

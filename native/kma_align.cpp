@@ -21,6 +21,7 @@
 #include <vector>
 #include <unordered_map>
 #include <algorithm>
+#include <climits>
 
 typedef long long ll;
 
@@ -812,10 +813,25 @@ static void collect_seeds_comp(const TIndex& T, const uint8_t* qseq,
     for (int si = 0; si <= n_n; si++) {
         int seg_end = (si < n_n) ? n_pos[si] : q_len;
         int end = (si != n_n) ? (seg_end - k + 1) : (q_end - k + 1);
+        uint64_t key = 0;
+        int kj = INT_MIN;   // position `key` is valid for
         while (j < end) {
-            uint64_t key = (j >= 0 && j < km_end) ? kmer_at(qseq, j, k, mask)
-                                                  : 0;
-            int value = T.get(key);
+            if (j >= 0 && j < km_end) {
+                if (kj == j - 1) {
+                    uint8_t c = qseq[j + k - 1];
+                    key = ((key << 2) | (c > 3 ? 0 : c)) & mask;
+                } else {
+                    key = kmer_at(qseq, j, k, mask);
+                }
+            } else {
+                key = 0;
+            }
+            kj = j;
+            // single probe serves both the unique and duplicated case
+            uint32_t pb = 0, pe = 0;
+            int value = 0;
+            if (T.find(key, &pb, &pe))
+                value = (pe - pb == 1) ? T.pos_flat[pb] : -T.pos_flat[pb];
             if (value == 0) {
                 j++;
             } else if (0 < value) {
@@ -837,8 +853,6 @@ static void collect_seeds_comp(const TIndex& T, const uint8_t* qseq,
                 pts.weight[idx] = j - pts.qStart[idx];
             } else {
                 int bias = j;
-                uint32_t pb = 0, pe = 0;
-                T.find(key, &pb, &pe);
                 for (uint32_t pi = pb; pi < pe; pi++) {
                     int value2 = T.pos_flat[pi];
                     int llp = j;

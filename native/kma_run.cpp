@@ -60,6 +60,19 @@ void kchain_save_kmers(void *h, const uint8_t *codes, int seqlen,
                        long long *extendScore_, uint8_t *include,
                        long long *soft, int *bests_out, int *nb_out,
                        int *bests_r_out, int *nbr_out, long long *bs_out);
+int kchain_pair_mate(void *h, const uint8_t *codes, int seqlen,
+                     int exhaustive, long long *Score_,
+                     long long *Score_r_, long long *extendScore_,
+                     uint8_t *include, int *bests_out, int *nb_out,
+                     int *bests_r_out, int *nbr_out);
+void kaln_pe_score_batch(
+    void *const *handles, int32_t *tpl_ids, const int64_t *tpl_off,
+    const uint8_t *a_flat, const int64_t *a_off, const uint8_t *b_flat,
+    const int64_t *b_off, const uint8_t *arc_flags, int n_pairs, int M,
+    int MM, int U, int W1, const int32_t *dmat, int mq, int n_threads,
+    long long *o_sc1, int32_t *o_pos1, int32_t *o_len1, int32_t *o_tg1,
+    int32_t *o_qg1, long long *o_sc2, int32_t *o_pos2, int32_t *o_len2,
+    int32_t *o_tg2, int32_t *o_qg2, uint8_t *out_flipped);
 void *kidx_create(const uint8_t *codes, int len, int kmersize);
 void kidx_free(void *h);
 void kaln_frags_se_batch(
@@ -122,13 +135,26 @@ static const uint8_t RC_CODE[6] = {3, 2, 1, 0, 4, 5};
 
 // One step-2 anker emit waiting for step-3 scoring.
 struct PendUnit {
-    int read;            // batch-local read index
+    int read;            // batch-local read/pair index
     ll sc;               // rc_flag (signed best score)
     int b0, b1;          // chain q-bounds; -1 = absent (-1t1)
-    int flag;            // sam-flag part (16 = rc winner, -1t1 only)
+    int flag;            // sam-flag part
+    uint8_t hsrc;        // header source: 0 = read/mate a, 1 = mate b
     ll cod_off;          // emit codes in the unit arena
     int q_len;
     ll tpl_off;          // candidates in the unit tpl arena
+    int n_tpl;
+};
+
+// One proper-pair emit (printPair, ankers.c:150-161) awaiting PE step 3.
+struct PairPend {
+    int item;
+    ll sc_a, sc_b;
+    int flag_a, flag_b;
+    uint8_t hsrc_a, hsrc_b;
+    ll cod_a_off, cod_b_off;
+    int la, lb;
+    ll tpl_off;          // rec1 candidates in the tpl arena
     int n_tpl;
 };
 
@@ -147,6 +173,13 @@ struct Scratch {
     std::vector<PendUnit> units;
     std::vector<uint8_t> cod_arena;
     std::vector<int32_t> tpl_arena;
+    // PE: pair emits + per-item ordered skeleton (kind 0 = SE unit,
+    // kind 1 = pair; idx into units/pairs)
+    std::vector<PairPend> pairs;
+    std::vector<std::pair<uint8_t, int>> order;
+    // pair-combiner scratch (cleared per pair)
+    std::vector<int> region, best2;
+    std::vector<ll> rscores;
 
     void init(int db_size, int cap_hits, ll cap_tpl) {
         Score.assign(db_size + 1, 0);
@@ -176,6 +209,13 @@ struct Spool {
     std::vector<ll> cod_off{0};
     std::vector<int32_t> tpl, starts, ends;
     std::vector<ll> t_off{0};
+    // PE mate payload (update_Scores_pe tail, updatescores.c:480-485);
+    // empty slices / mflag -1 for SE records
+    std::vector<uint8_t> mcod;
+    std::vector<ll> mcod_off{0};
+    std::vector<uint8_t> mhdr;
+    std::vector<ll> mhdr_off{0};
+    std::vector<int32_t> mflag;
     size_t size() const { return q_len.size(); }
 };
 
@@ -183,6 +223,7 @@ struct Spool {
 struct FragOut {
     int32_t rec;        // spool record index
     uint8_t rc;         // assigned to the reverse strand
+    uint8_t mate;       // PE mate frag (conclave.c:169-194)
     int32_t start, end;
     ll score;           // 0 when the record's best_hits was negative (PE)
     int32_t chunk;      // -mf flush chunk (conclave.c:196-208)
@@ -211,6 +252,7 @@ struct Run {
     double aln_min_frac = 1.0;
     ll contamination = -1;         // deCon pseudo-template id, -1 = none
     int n_threads = 1;
+    ll pe_reward = 7;              // PE pair reward (kma.c:337)
 
     // template store (.seq.b mmap)
     int seq_fd = -1;
@@ -286,6 +328,1166 @@ int decon_filter(int32_t *t, int n, ll contamination) {
             break;
     }
     return n;
+}
+
+
+
+// A flattened SE scoring unit: emit codes + header + candidates resolved.
+struct SUnit {
+    int flag, q_len, b0, b1;
+    ll sc, ord;
+    const uint8_t *cod;
+    const uint8_t *hdr;
+    ll hlen;
+};
+
+struct SEOut {
+    std::vector<int32_t> nh, tpl, start, end, len;
+    std::vector<ll> best, score;
+    std::vector<double> frac;
+};
+
+// decon + short-read gates, then append the unit + its candidate slice
+// (pipeline._consume semantics).  hdr_b/hoff_b: mate-b header stream for
+// PE units (hsrc == 1); null for SE batches.
+static void collect_se_unit(Run *R, Scratch &S, PendUnit &u,
+                            const uint8_t *hdr_a, const ll *hoff_a,
+                            const uint8_t *hdr_b, const ll *hoff_b,
+                            const ll *ords, std::vector<SUnit> &units,
+                            std::vector<int32_t> &tpl_ids,
+                            std::vector<int64_t> &tpl_offv) {
+    int n_tpl = u.n_tpl;
+    int32_t *t = S.tpl_arena.data() + u.tpl_off;
+    if (R->contamination >= 0) {
+        n_tpl = decon_filter(t, n_tpl, R->contamination);
+        if (!n_tpl)
+            return;
+    }
+    if (R->ix.k > u.q_len)
+        return;
+    SUnit w;
+    w.flag = u.flag;
+    w.q_len = u.q_len;
+    w.b0 = u.b0;
+    w.b1 = u.b1;
+    w.sc = u.sc;
+    w.ord = ords[u.read];
+    w.cod = S.cod_arena.data() + u.cod_off;
+    if (u.hsrc == 0) {
+        w.hdr = hdr_a + hoff_a[u.read];
+        w.hlen = hoff_a[u.read + 1] - hoff_a[u.read];
+    } else {
+        w.hdr = hdr_b + hoff_b[u.read];
+        w.hlen = hoff_b[u.read + 1] - hoff_b[u.read];
+    }
+    tpl_ids.insert(tpl_ids.end(), t, t + n_tpl);
+    tpl_offv.push_back((ll)tpl_ids.size());
+    units.push_back(w);
+}
+
+// ensure native template handles exist for every candidate id
+static void build_handles_for(Run *R, const std::vector<int32_t> &tpl_ids) {
+    std::vector<int32_t> uniq(tpl_ids);
+    for (auto &t : uniq)
+        t = t < 0 ? -t : t;
+    std::sort(uniq.begin(), uniq.end());
+    uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+    std::vector<int32_t> missing;
+    for (int32_t t : uniq)
+        if (!R->handles[t])
+            missing.push_back(t);
+    if (missing.empty())
+        return;
+    std::atomic<size_t> next(0);
+    auto build = [&]() {
+        for (;;) {
+            size_t i = next.fetch_add(1);
+            if (i >= missing.size())
+                break;
+            R->handle_for(missing[i]);
+        }
+    };
+    int nt = R->n_threads;
+    if (nt == 1 || missing.size() < 8) {
+        build();
+    } else {
+        std::vector<std::thread> th;
+        for (int i = 0; i < nt; ++i)
+            th.emplace_back(build);
+        for (auto &t : th)
+            t.join();
+    }
+}
+
+// threaded alnFragsSE scoring over the collected units
+static void score_se_batch(Run *R, const std::vector<SUnit> &units,
+                           std::vector<int32_t> &tpl_ids,
+                           const std::vector<int64_t> &tpl_offv, SEOut &o) {
+    int m = (int)units.size();
+    build_handles_for(R, tpl_ids);
+    std::vector<void *> handles(tpl_ids.size());
+    for (size_t i = 0; i < tpl_ids.size(); ++i)
+        handles[i] = R->handles[tpl_ids[i] < 0 ? -tpl_ids[i] : tpl_ids[i]];
+    std::vector<int64_t> cod_offv(m + 1, 0), npos_offv(m + 1, 0);
+    for (int i = 0; i < m; ++i)
+        cod_offv[i + 1] = cod_offv[i] + units[i].q_len;
+    std::vector<uint8_t> cod_flat((size_t)cod_offv[m]);
+    std::vector<int32_t> npos_flat;
+    std::vector<int32_t> qb(2 * m);
+    std::vector<uint8_t> arcs(m);
+    for (int i = 0; i < m; ++i) {
+        const SUnit &u = units[i];
+        memcpy(cod_flat.data() + cod_offv[i], u.cod, u.q_len);
+        for (int j = 0; j < u.q_len; ++j)
+            if (u.cod[j] == 4)
+                npos_flat.push_back(j);
+        npos_offv[i + 1] = (ll)npos_flat.size();
+        if (u.b0 >= 0 || u.b1 >= 0) {
+            qb[2 * i] = u.b0;
+            qb[2 * i + 1] = u.b1;
+        } else {
+            qb[2 * i] = 0;
+            qb[2 * i + 1] = u.q_len;
+        }
+        arcs[i] = u.sc < 0 ? 1 : 0;
+    }
+    if (npos_flat.empty())
+        npos_flat.push_back(0);
+    ll total = tpl_offv[m];
+    o.nh.resize(m);
+    o.best.resize(m);
+    o.frac.resize(m);
+    o.tpl.resize(total);
+    o.start.resize(total);
+    o.end.resize(total);
+    o.score.resize(total);
+    o.len.resize(total);
+    kaln_frags_se_batch(handles.data(), tpl_ids.data(), tpl_offv.data(),
+                        cod_flat.data(), cod_offv.data(), npos_flat.data(),
+                        npos_offv.data(), qb.data(), arcs.data(), m,
+                        (int)R->ix.M, (int)R->ix.MM, (int)R->ix.U,
+                        (int)R->ix.W1, R->dmat, R->ix.k, R->minlen, R->mq,
+                        R->scoreT, R->mrc, R->n_threads, o.nh.data(),
+                        o.best.data(), o.frac.data(), o.tpl.data(),
+                        o.start.data(), o.end.data(), o.score.data(),
+                        o.len.data());
+}
+
+// one unit's update_Scores selection + spool append
+// (updatescores.c:203-298; pipeline.flush_aln)
+static void emit_se_spool(Run *R, const SUnit &u,
+                          const std::vector<int32_t> &tpl_ids,
+                          const std::vector<int64_t> &tpl_offv, SEOut &o,
+                          int i) {
+    Spool &sp = R->spool;
+    const double min_frac = R->aln_min_frac;
+    const int k = R->ix.k;
+    ll best = o.best[i];
+    if (best <= k)
+        return;
+    ll b = tpl_offv[i];
+    int nh = o.nh[i];
+    double best_frac = o.frac[i];
+    int first_sel = (int)sp.tpl.size();
+    static thread_local std::vector<ll> sel_sc;
+    sel_sc.clear();
+    if (min_frac == 1.0) {
+        for (int j = 0; j < nh; ++j) {
+            ll sc = o.score[b + j];
+            int ln = o.len[b + j];
+            double min_score = ln ? (double)(sc / ln) : 0.0;
+            if (min_score == best_frac || sc == best) {
+                sp.tpl.push_back(o.tpl[b + j]);
+                sp.starts.push_back(o.start[b + j]);
+                sp.ends.push_back(o.end[b + j]);
+                sel_sc.push_back(sc);
+            }
+        }
+    } else {
+        double mf = min_frac < 0 ? -min_frac : min_frac;
+        double min_score = mf * best_frac;
+        double min_read = mf * (double)best;
+        bool acc_is_score = min_frac < 0;
+        for (int j = 0; j < nh; ++j) {
+            ll sc = o.score[b + j];
+            if ((double)o.len[b + j] * min_score <= (double)sc ||
+                min_read <= (double)sc) {
+                sp.tpl.push_back(o.tpl[b + j]);
+                sp.starts.push_back(o.start[b + j]);
+                sp.ends.push_back(o.end[b + j]);
+                sel_sc.push_back(acc_is_score ? sc : best);
+            }
+        }
+    }
+    int n_sel = (int)((ll)sp.tpl.size() - first_sel);
+    if (n_sel == 1) {
+        int t = sp.tpl[first_sel];
+        if (t < 0)
+            t = -t;
+        R->alignment_scores[t] += sel_sc[0];
+        R->uniq_alignment_scores[t] += best;
+    } else {
+        for (int j = 0; j < n_sel; ++j) {
+            int t = sp.tpl[first_sel + j];
+            if (t < 0)
+                t = -t;
+            R->alignment_scores[t] += sel_sc[j];
+        }
+    }
+    sp.t_off.push_back((ll)sp.tpl.size());
+    sp.q_len.push_back(u.q_len);
+    sp.flag.push_back(u.flag);
+    sp.best_hits.push_back(n_sel);
+    sp.score.push_back(best);
+    sp.ord.push_back(u.ord);
+    sp.hdr.insert(sp.hdr.end(), u.hdr, u.hdr + u.hlen);
+    if (u.b0 >= 0 || u.b1 >= 0) {
+        sp.hdr.push_back(0);
+        int32_t bb[2] = {u.b0, u.b1};
+        const uint8_t *bp = (const uint8_t *)bb;
+        sp.hdr.insert(sp.hdr.end(), bp, bp + 8);
+    }
+    sp.hdr_off.push_back((ll)sp.hdr.size());
+    sp.cod.insert(sp.cod.end(), u.cod, u.cod + u.q_len);
+    sp.cod_off.push_back((ll)sp.cod.size());
+    sp.mcod_off.push_back((ll)sp.mcod.size());
+    sp.mhdr_off.push_back((ll)sp.mhdr.size());
+    sp.mflag.push_back(-1);
+}
+
+// One read's step-2 scan -> PendUnit emits appended to S (save_kmers
+// -1t1, savekmers.c:2442-3065 / save_kmers_chain, savekmers.c:5127-5944;
+// the emit rules mirror mapping/scan.py:315-360 and NativeChain.scan).
+static void scan_read_units(Run *R, Scratch &S, const uint8_t *q,
+                            int q_len, int item, uint8_t hsrc) {
+    const int k = R->ix.k;
+    if (q_len < k)
+        return;
+    if (R->mode == 0) {
+        int nb = 0, nbr = 0;
+        ll bs[2] = {0, 0};
+        kchain_save_kmers(S.ctx, q, q_len, R->exhaustive, 0.0, 0,
+                          S.Score.data(), S.Score_r.data(),
+                          S.extendScore.data(), S.include.data(), nullptr,
+                          S.bests.data(), &nb, S.bests_r.data(), &nbr, bs);
+        ll b0 = bs[0], b1 = bs[1];
+        if ((b0 <= 0 && b1 <= 0) || (k > b0 && k > b1))
+            return;
+        PendUnit u;
+        u.read = item;
+        u.hsrc = hsrc;
+        u.b0 = u.b1 = -1;
+        u.q_len = q_len;
+        u.cod_off = (ll)S.cod_arena.size();
+        u.tpl_off = (ll)S.tpl_arena.size();
+        if (b0 > b1) {
+            u.sc = b0;
+            u.flag = 0;
+            S.cod_arena.insert(S.cod_arena.end(), q, q + q_len);
+            S.tpl_arena.insert(S.tpl_arena.end(), S.bests.data(),
+                               S.bests.data() + nb);
+            u.n_tpl = nb;
+        } else if (b0 < b1) {
+            u.sc = b1;
+            u.flag = 16;
+            size_t base = S.cod_arena.size();
+            S.cod_arena.resize(base + q_len);
+            for (int i = 0; i < q_len; ++i)
+                S.cod_arena[base + i] = RC_CODE[q[q_len - 1 - i]];
+            S.tpl_arena.insert(S.tpl_arena.end(), S.bests_r.data(),
+                               S.bests_r.data() + nbr);
+            u.n_tpl = nbr;
+        } else {
+            u.sc = -b0;
+            u.flag = 0;
+            S.cod_arena.insert(S.cod_arena.end(), q, q + q_len);
+            S.tpl_arena.insert(S.tpl_arena.end(), S.bests.data(),
+                               S.bests.data() + nb);
+            for (int i = 0; i < nbr; ++i)
+                S.tpl_arena.push_back(-S.bests_r[i]);
+            u.n_tpl = nb + nbr;
+        }
+        S.units.push_back(u);
+        S.order.emplace_back(0, (int)S.units.size() - 1);
+        return;
+    }
+    int nh;
+    for (;;) {
+        nh = kchain_scan_read(
+            S.ctx, q, q_len, R->exhaustive, R->minlen, R->coverT,
+            R->scoreT, R->mrc, R->lc, S.Score.data(), S.extendScore.data(),
+            S.include.data(), S.hit_rc.data(), S.hit_sc.data(),
+            S.hit_b0.data(), S.hit_b1.data(), S.tpl_off.data(),
+            S.tpl_flat.data(), (int)S.hit_rc.size(),
+            (ll)S.tpl_flat.size());
+        if (nh >= 0)
+            break;
+        S.hit_rc.resize(S.hit_rc.size() * 4);
+        S.hit_sc.resize(S.hit_sc.size() * 4);
+        S.hit_b0.resize(S.hit_b0.size() * 4);
+        S.hit_b1.resize(S.hit_b1.size() * 4);
+        S.tpl_off.resize(S.hit_rc.size() + 1);
+        S.tpl_flat.resize(S.tpl_flat.size() * 4);
+    }
+    for (int hi = 0; hi < nh; ++hi) {
+        PendUnit u;
+        u.read = item;
+        u.hsrc = hsrc;
+        u.sc = S.hit_sc[hi];
+        u.b0 = S.hit_b0[hi];
+        u.b1 = S.hit_b1[hi];
+        u.flag = 0;
+        u.q_len = q_len;
+        u.cod_off = (ll)S.cod_arena.size();
+        if (S.hit_rc[hi] == 1) {
+            S.cod_arena.insert(S.cod_arena.end(), q, q + q_len);
+        } else {
+            size_t base = S.cod_arena.size();
+            S.cod_arena.resize(base + q_len);
+            for (int i = 0; i < q_len; ++i)
+                S.cod_arena[base + i] = RC_CODE[q[q_len - 1 - i]];
+        }
+        u.tpl_off = (ll)S.tpl_arena.size();
+        u.n_tpl = (int)(S.tpl_off[hi + 1] - S.tpl_off[hi]);
+        S.tpl_arena.insert(S.tpl_arena.end(),
+                           S.tpl_flat.data() + S.tpl_off[hi],
+                           S.tpl_flat.data() + S.tpl_off[hi + 1]);
+        S.units.push_back(u);
+        S.order.emplace_back(0, (int)S.units.size() - 1);
+    }
+}
+
+
+// ===================== paired-end machinery =============================
+//
+// Ports of the pair-scan combiners (savekmers.c:1383-1922, 3367-3777 /
+// mapping/pair.py) and the PE step-3 appliers (alnfrags.c:1220-1972 /
+// pipeline.aln_frags_union_pe, aln_frags_penalty_pe).  Sparse, proxi,
+// force-pairing and SAM stay on the Python path (run_kma gates).
+
+// getF_Best (savekmers.c:1648-1680): best over both strands into a
+// signed region list (negative = rc strand); clears scores.
+static ll getF_best(Scratch &S, int nb, int nbr, std::vector<int> &region) {
+    ll bestScore = 0;
+    region.clear();
+    for (int i = 0; i < nb; ++i) {
+        int t = S.bests[i];
+        ll sc = S.Score[t];
+        if (bestScore < sc) {
+            bestScore = sc;
+            region.clear();
+            region.push_back(t);
+        } else if (bestScore == sc) {
+            region.push_back(t);
+        }
+        S.Score[t] = 0;
+    }
+    for (int i = 0; i < nbr; ++i) {
+        int t = S.bests_r[i];
+        ll sc = S.Score_r[t];
+        if (bestScore < sc) {
+            bestScore = sc;
+            region.clear();
+            region.push_back(-t);
+        } else if (bestScore == sc) {
+            region.push_back(-t);
+        }
+        S.Score_r[t] = 0;
+    }
+    return bestScore;
+}
+
+// getR_Best (savekmers.c:1682-1762): mate2 best + cross-mate union;
+// region is reordered with paired entries first when pe found.
+static ll getR_best(Scratch &S, int nb, int nbr, std::vector<int> &region,
+                    std::vector<int> &best2, bool *pe) {
+    ll bestScore_r = 0;
+    best2.clear();
+    auto clear_best2 = [&]() {
+        for (int x : best2) {
+            if (0 < x)
+                S.Score[x] = 0;
+            else
+                S.Score_r[-x] = 0;
+        }
+    };
+    for (int i = 0; i < nb; ++i) {
+        int t = S.bests[i];
+        ll sc = S.Score[t];
+        if (bestScore_r < sc) {
+            clear_best2();
+            bestScore_r = sc;
+            best2.clear();
+            best2.push_back(t);
+        } else if (bestScore_r == sc) {
+            best2.push_back(t);
+        } else {
+            S.Score[t] = 0;
+        }
+    }
+    for (int i = 0; i < nbr; ++i) {
+        int t = S.bests_r[i];
+        ll sc = S.Score_r[t];
+        if (bestScore_r < sc) {
+            clear_best2();
+            bestScore_r = sc;
+            best2.clear();
+            best2.push_back(-t);
+        } else if (bestScore_r == sc) {
+            best2.push_back(-t);
+        } else {
+            S.Score_r[t] = 0;
+        }
+    }
+    size_t pe_hits = 0;
+    for (size_t i = 0; i < region.size(); ++i) {
+        int t = region[i];
+        ll paired = 0 < t ? S.Score_r[t] : S.Score[-t];
+        if (paired) {
+            std::swap(region[pe_hits], region[i]);
+            ++pe_hits;
+        }
+    }
+    for (int x : best2) {
+        if (0 < x)
+            S.Score[x] = 0;
+        else
+            S.Score_r[-x] = 0;
+    }
+    if (pe_hits) {
+        region.resize(pe_hits);
+        *pe = true;
+    } else {
+        *pe = false;
+    }
+    return bestScore_r;
+}
+
+// getFirstPen (savekmers.c:1383-1413): ALL mate1 matches of both strands
+// with their scores (rc negative); clears scores.
+static ll get_first_pen(Scratch &S, int nb, int nbr,
+                        std::vector<int> &region, std::vector<ll> &rscores) {
+    ll bestScore = 0;
+    region.clear();
+    rscores.clear();
+    for (int i = 0; i < nb; ++i) {
+        int t = S.bests[i];
+        ll sc = S.Score[t];
+        if (bestScore < sc)
+            bestScore = sc;
+        region.push_back(t);
+        rscores.push_back(sc);
+        S.Score[t] = 0;
+    }
+    for (int i = 0; i < nbr; ++i) {
+        int t = S.bests_r[i];
+        ll sc = S.Score_r[t];
+        if (bestScore < sc)
+            bestScore = sc;
+        region.push_back(-t);
+        rscores.push_back(sc);
+        S.Score_r[t] = 0;
+    }
+    return bestScore;
+}
+
+// getSecondBestPen (savekmers.c:1415-1512): pair winners (shrinking
+// region) or the per-mate bests; clears mate2 scores.
+static ll get_second_best_pen(Scratch &S, int nb, int nbr,
+                              std::vector<int> &region,
+                              const std::vector<ll> &rscores, ll bestScore,
+                              ll PE, bool *pe, std::vector<int> &best2) {
+    ll bestScore_r = 0;
+    for (int i = 0; i < nb; ++i) {
+        ll sc = S.Score[S.bests[i]];
+        if (bestScore_r < sc)
+            bestScore_r = sc;
+    }
+    static thread_local std::vector<int> merged2;
+    merged2.clear();
+    merged2.insert(merged2.end(), S.bests.data(), S.bests.data() + nb);
+    for (int i = 0; i < nbr; ++i) {
+        ll sc = S.Score_r[S.bests_r[i]];
+        if (bestScore_r < sc)
+            bestScore_r = sc;
+        merged2.push_back(-S.bests_r[i]);
+    }
+
+    static thread_local std::vector<int> best_hits;
+    best_hits.clear();
+    if (bestScore_r) {
+        ll compScore = bestScore + bestScore_r - PE;
+        if (compScore < 0)
+            compScore = 0;
+        for (size_t i = 0; i < region.size(); ++i) {
+            int t = region[i];
+            ll sc = 0 < t ? S.Score_r[t] : S.Score[-t];
+            if (0 < sc) {
+                sc += rscores[i];
+                if (compScore < sc) {
+                    compScore = sc;
+                    best_hits.clear();
+                    best_hits.push_back(t);
+                } else if (compScore == sc) {
+                    best_hits.push_back(t);
+                }
+            }
+        }
+    }
+    if (!best_hits.empty()) {
+        for (int t : merged2) {
+            if (0 < t)
+                S.Score[t] = 0;
+            else
+                S.Score_r[-t] = 0;
+        }
+        region = best_hits;
+        *pe = true;
+        best2.clear();
+        return bestScore_r;
+    }
+    // SE split (savekmers.c:1479-1511)
+    size_t keep = 0;
+    for (size_t i = 0; i < region.size(); ++i)
+        if (rscores[i] == bestScore)
+            region[keep++] = region[i];
+    region.resize(keep);
+    best2.clear();
+    for (int t : merged2) {
+        if (0 < t) {
+            if (bestScore_r == S.Score[t])
+                best2.push_back(t);
+            S.Score[t] = 0;
+        } else {
+            if (bestScore_r <= S.Score_r[-t])
+                best2.push_back(t);
+            S.Score_r[-t] = 0;
+        }
+    }
+    *pe = false;
+    return bestScore_r;
+}
+
+// One emitted scan record of a pair combiner (pre step-3).
+struct PEmit {
+    int which;   // 0 = codes1, 1 = rc1, 2 = codes2, 3 = rc2
+    ll sc;       // signed rc_flag
+    int flag;
+    uint8_t hsrc;  // 0 = header1, 1 = header2
+    const std::vector<int> *tpl;  // nullptr = empty (pair record 0)
+    bool neg;    // negate the template list on emit
+};
+
+// save_kmers_unionPair / penaltyPair (savekmers.c:3367-3777) minus the
+// sparse/proxi/sam branches; rev (non-sparse) semantics fixed true.
+// Returns emits (0-2 records); *is_pair marks a proper pair.
+static int pair_scan(Run *R, Scratch &S, const uint8_t *q1, int l1,
+                     const uint8_t *q2, int l2, int pm, PEmit *out,
+                     bool *is_pair) {
+    const int k = R->ix.k;
+    *is_pair = false;
+    int nb = 0, nbr = 0;
+    int hc1 = kchain_pair_mate(S.ctx, q1, l1, R->exhaustive,
+                               S.Score.data(), S.Score_r.data(),
+                               S.extendScore.data(), S.include.data(),
+                               S.bests.data(), &nb, S.bests_r.data(), &nbr);
+    std::vector<int> &region = S.region;
+    std::vector<int> &best2 = S.best2;
+    std::vector<ll> &rscores = S.rscores;
+    ll bestScore = 0;
+    if (pm == 0) {
+        if (hc1) {
+            bestScore = getF_best(S, nb, nbr, region);
+            if (k < bestScore && bestScore * k < (l1 - bestScore))
+                bestScore = 0;
+        } else {
+            region.clear();
+        }
+    } else {
+        if (hc1) {
+            bestScore = get_first_pen(S, nb, nbr, region, rscores);
+        } else {
+            region.clear();
+            rscores.clear();
+        }
+    }
+
+    int hc2 = kchain_pair_mate(S.ctx, q2, l2, R->exhaustive,
+                               S.Score.data(), S.Score_r.data(),
+                               S.extendScore.data(), S.include.data(),
+                               S.bests.data(), &nb, S.bests_r.data(), &nbr);
+    bool pe = false;
+    ll bestScore_r = 0;
+    best2.clear();
+    if (hc2) {
+        if (pm == 0) {
+            if (bestScore) {
+                bestScore_r = getR_best(S, nb, nbr, region, best2, &pe);
+            } else {
+                bestScore_r = getF_best(S, nb, nbr, best2);
+            }
+            if (k < bestScore_r && bestScore_r * k < (l2 - bestScore_r)) {
+                bestScore_r = 0;
+                pe = false;
+            }
+        } else {
+            if (0 < bestScore) {
+                bestScore_r = get_second_best_pen(S, nb, nbr, region,
+                                                  rscores, bestScore,
+                                                  R->pe_reward, &pe, best2);
+            } else {
+                bestScore_r = getF_best(S, nb, nbr, region);
+                // penalty path: mate2-only result lands in region; the
+                // emit below reads best2 (mapping/pair.py:503-506)
+                best2 = region;
+            }
+        }
+    }
+
+    int flag = 65, flag_r = 129;
+    int n_out = 0;
+    if (pm == 1 && 0 < bestScore && 0 < bestScore_r && pe) {
+        // penalty proper pair (savekmers.c:3620-3652)
+        flag |= 2;
+        flag_r |= 2;
+        ll compScore = bestScore + bestScore_r;
+        if (hc1 + hc2 < compScore)
+            compScore = hc1 + hc2;
+        if (k <= compScore ||
+            (ll)(l1 + l2) - compScore - ((ll)k << 1) < compScore * k) {
+            if (0 < region[0]) {
+                flag |= 32;
+                flag_r |= 16;
+                out[0] = {0, bestScore, flag, 0, nullptr, false};
+                out[1] = {3, bestScore_r, flag_r, 1, &region, false};
+            } else {
+                flag |= 16;
+                flag_r |= 32;
+                out[0] = {2, bestScore_r, flag_r, 1, nullptr, false};
+                out[1] = {1, bestScore, flag, 0, &region, true};
+            }
+            *is_pair = true;
+            return 2;
+        }
+        return 0;
+    }
+    if (pm == 0 && 0 < bestScore && 0 < bestScore_r && pe) {
+        // union proper pair (savekmers.c:3445-3487)
+        flag |= 2;
+        flag_r |= 2;
+        if (0 < region[0]) {
+            flag |= 32;
+            flag_r |= 16;
+            out[0] = {0, bestScore, flag, 0, nullptr, false};
+            out[1] = {3, bestScore_r, flag_r, 1, &region, false};
+        } else {
+            flag |= 16;
+            flag_r |= 32;
+            out[0] = {2, bestScore_r, flag_r, 1, nullptr, false};
+            out[1] = {1, bestScore, flag, 0, &region, true};
+        }
+        *is_pair = true;
+        return 2;
+    }
+    if (0 < bestScore && 0 < bestScore_r) {
+        // both mapped, no pair: per-mate emit gates (union none;
+        // penalty savekmers.c:3654-3710)
+        bool emit1 = true, emit2 = true;
+        if (pm == 1) {
+            ll h1 = hc1 < bestScore ? hc1 : bestScore;
+            emit1 = (k <= h1) || ((ll)l1 - h1 - k) < h1 * k;
+            ll h2 = hc2 < bestScore_r ? hc2 : bestScore_r;
+            emit2 = (k <= h2) || ((ll)l2 - h2 - k) < h2 * k;
+        }
+        PEmit e1, e2;
+        if (emit1) {
+            if (0 < region[0]) {
+                ll sc1 = region.back() < 0 ? -bestScore : bestScore;
+                e1 = {0, sc1, 0, 0, &region, false};
+            } else {
+                flag |= 16;
+                flag_r |= 32;
+                e1 = {1, bestScore, 0, 0, &region, true};
+            }
+        }
+        if (emit2) {
+            if (0 < best2[0]) {
+                ll sc2 = best2.back() < 0 ? -bestScore_r : bestScore_r;
+                e2 = {2, sc2, 0, 1, &best2, false};
+            } else {
+                flag |= 32;
+                flag_r |= 16;
+                e2 = {3, bestScore_r, 0, 1, &best2, true};
+            }
+        }
+        if (emit1) {
+            e1.flag = flag;
+            out[n_out++] = e1;
+        }
+        if (emit2) {
+            e2.flag = flag_r;
+            out[n_out++] = e2;
+        }
+        return n_out;
+    }
+    if (0 < bestScore) {
+        bool emit1 = true;
+        if (pm == 1) {
+            ll h1 = hc1 < bestScore ? hc1 : bestScore;
+            emit1 = (k <= h1) || ((ll)l1 - h1 - k) < h1 * k;
+        }
+        if (emit1) {
+            flag |= 8 | 32;
+            if (0 < region[0]) {
+                ll sc1 = region.back() < 0 ? -bestScore : bestScore;
+                out[n_out++] = {0, sc1, flag, 0, &region, false};
+            } else {
+                flag |= 16;
+                out[n_out++] = {1, bestScore, flag, 0, &region, true};
+            }
+        }
+        return n_out;
+    }
+    if (0 < bestScore_r) {
+        bool emit2 = true;
+        if (pm == 1) {
+            ll h2 = hc2 < bestScore_r ? hc2 : bestScore_r;
+            emit2 = (k <= h2) || ((ll)l2 - h2 - k) < h2 * k;
+        }
+        std::vector<int> &lst = best2;
+        if (emit2 && !lst.empty()) {
+            flag_r |= 8 | 32;
+            if (0 < lst[0]) {
+                ll sc2 = lst.back() < 0 ? -bestScore_r : bestScore_r;
+                out[n_out++] = {2, sc2, flag_r, 1, &lst, false};
+            } else {
+                flag_r |= 16;
+                out[n_out++] = {3, bestScore_r, flag_r, 1, &lst, true};
+            }
+        }
+        return n_out;
+    }
+    return 0;
+}
+
+
+// ----------------------- PE step-3 appliers ----------------------------
+
+// per-mate PE gate + full-gene Wl bonus (alnfrags.c:1320-1344)
+static ll pe_gate(ll read_score, int aln, int pos, int tg, int qg,
+                  int q_len, ll t_len, int minlen, double mrc, ll Wl,
+                  double *score, int *start, int *end) {
+    *score = 0.0;
+    *start = 0;
+    *end = 0;
+    if (minlen <= aln && 0 < read_score &&
+        (mrc * q_len <= aln - qg || mrc * (double)t_len <= aln - tg)) {
+        *start = pos;
+        *end = pos + aln - tg;
+        if (*start == 0)
+            read_score += Wl;
+        if (*end == t_len)
+            read_score += Wl;
+        *score = 1.0 * (double)read_score / (double)aln;
+    } else {
+        read_score = 0;
+    }
+    return read_score;
+}
+
+// update_Scores_se (updatescores.c:300-388) -> spool append, no mate
+static void spool_se_rec(Run *R, const uint8_t *codes, int q_len,
+                         const std::vector<int> &ids,
+                         const std::vector<ll> &scores,
+                         const std::vector<int> &starts,
+                         const std::vector<int> &ends, ll best_score,
+                         const uint8_t *hdr, ll hlen, int flag, ll ord) {
+    Spool &sp = R->spool;
+    const double min_frac = R->aln_min_frac;
+    int first_sel = (int)sp.tpl.size();
+    if (min_frac == 1.0) {
+        for (size_t i = 0; i < ids.size(); ++i) {
+            if (scores[i] == best_score) {
+                sp.tpl.push_back(ids[i]);
+                sp.starts.push_back(starts[i]);
+                sp.ends.push_back(ends[i]);
+                R->alignment_scores[ids[i] < 0 ? -ids[i] : ids[i]] +=
+                    best_score;
+            }
+        }
+    } else {
+        double mf = (min_frac < 0 ? -min_frac : min_frac) *
+                    (double)best_score;
+        for (size_t i = 0; i < ids.size(); ++i) {
+            if (mf <= (double)scores[i]) {
+                sp.tpl.push_back(ids[i]);
+                sp.starts.push_back(starts[i]);
+                sp.ends.push_back(ends[i]);
+                R->alignment_scores[ids[i] < 0 ? -ids[i] : ids[i]] +=
+                    min_frac < 0 ? scores[i] : best_score;
+            }
+        }
+    }
+    int n_sel = (int)((ll)sp.tpl.size() - first_sel);
+    if (n_sel == 1) {
+        int t = sp.tpl[first_sel];
+        R->uniq_alignment_scores[t < 0 ? -t : t] += best_score;
+    }
+    sp.t_off.push_back((ll)sp.tpl.size());
+    sp.q_len.push_back(q_len);
+    sp.flag.push_back(flag);
+    sp.best_hits.push_back(n_sel);
+    sp.score.push_back(best_score);
+    sp.ord.push_back(ord);
+    sp.hdr.insert(sp.hdr.end(), hdr, hdr + hlen);
+    sp.hdr_off.push_back((ll)sp.hdr.size());
+    sp.cod.insert(sp.cod.end(), codes, codes + q_len);
+    sp.cod_off.push_back((ll)sp.cod.size());
+    sp.mcod_off.push_back((ll)sp.mcod.size());
+    sp.mhdr_off.push_back((ll)sp.mhdr.size());
+    sp.mflag.push_back(-1);
+}
+
+// update_Scores_pe (updatescores.c:390-488) -> spool append with mate
+static void spool_pe_rec(Run *R, const uint8_t *codes, int q_len,
+                         const uint8_t *mate_codes, int mate_len,
+                         const std::vector<int> &ids,
+                         const std::vector<ll> &scores,
+                         const std::vector<int> &starts,
+                         const std::vector<int> &ends, ll best_score,
+                         const uint8_t *hdr, ll hlen,
+                         const uint8_t *mhdr, ll mhlen, int flag,
+                         int mate_flag, ll ord) {
+    Spool &sp = R->spool;
+    const double min_frac = R->aln_min_frac;
+    int first_sel = (int)sp.tpl.size();
+    if (min_frac == 1.0) {
+        for (size_t i = 0; i < ids.size(); ++i) {
+            if (scores[i] == best_score) {
+                sp.tpl.push_back(ids[i]);
+                sp.starts.push_back(starts[i]);
+                sp.ends.push_back(ends[i]);
+                R->alignment_scores[ids[i] < 0 ? -ids[i] : ids[i]] +=
+                    scores[i];
+            }
+        }
+    } else {
+        double mf = (min_frac < 0 ? -min_frac : min_frac) *
+                    (double)best_score;
+        for (size_t i = 0; i < ids.size(); ++i) {
+            if (mf <= (double)scores[i]) {
+                sp.tpl.push_back(ids[i]);
+                sp.starts.push_back(starts[i]);
+                sp.ends.push_back(ends[i]);
+                R->alignment_scores[ids[i] < 0 ? -ids[i] : ids[i]] +=
+                    min_frac < 0 ? scores[i] : best_score;
+            }
+        }
+    }
+    int n_sel = (int)((ll)sp.tpl.size() - first_sel);
+    if (n_sel == 1) {
+        int t = sp.tpl[first_sel];
+        R->uniq_alignment_scores[t < 0 ? -t : t] += best_score;
+    }
+    sp.t_off.push_back((ll)sp.tpl.size());
+    sp.q_len.push_back(q_len);
+    sp.flag.push_back(flag);
+    sp.best_hits.push_back(n_sel);
+    sp.score.push_back(-best_score);
+    sp.ord.push_back(ord);
+    sp.hdr.insert(sp.hdr.end(), hdr, hdr + hlen);
+    sp.hdr_off.push_back((ll)sp.hdr.size());
+    sp.cod.insert(sp.cod.end(), codes, codes + q_len);
+    sp.cod_off.push_back((ll)sp.cod.size());
+    sp.mcod.insert(sp.mcod.end(), mate_codes, mate_codes + mate_len);
+    sp.mcod_off.push_back((ll)sp.mcod.size());
+    sp.mhdr.insert(sp.mhdr.end(), mhdr, mhdr + mhlen);
+    sp.mhdr_off.push_back((ll)sp.mhdr.size());
+    sp.mflag.push_back(mate_flag);
+}
+
+
+// alnFragsUnionPE / PenaltyPE applier (alnfrags.c:1220-1972; the nat
+// branches of pipeline.aln_frags_union_pe / aln_frags_penalty_pe): mate
+// stats -> gates -> pairing decision -> spool emits.  No sparse/sam.
+static void apply_pe_pair(Run *R, int fpm, const uint8_t *c_a, int la,
+                          const uint8_t *c_b, int lb, const uint8_t *h_a,
+                          ll hla, const uint8_t *h_b, ll hlb, int flag_a,
+                          int flag_b, bool arc, int32_t *tids, int n,
+                          const ll *msc1, const int32_t *mpo1,
+                          const int32_t *mln1, const int32_t *mtg1,
+                          const int32_t *mqg1, const ll *msc2,
+                          const int32_t *mpo2, const int32_t *mln2,
+                          const int32_t *mtg2, const int32_t *mqg2,
+                          bool flipped, ll ord) {
+    const int k = R->ix.k;
+    ll Wl = -R->ix.Wl;
+    ll PE = R->pe_reward;
+    static thread_local std::vector<ll> scores1, scores2;
+    static thread_local std::vector<int> starts, ends;
+    static thread_local std::vector<uint8_t> rca, rcb;
+    scores1.assign(n, 0);
+    scores2.assign(n, 0);
+    starts.assign(n, 0);
+    ends.assign(n, 0);
+    rca.resize(la);
+    for (int i = 0; i < la; ++i)
+        rca[i] = RC_CODE[c_a[la - 1 - i]];
+    rcb.resize(lb);
+    for (int i = 0; i < lb; ++i)
+        rcb[i] = RC_CODE[c_b[lb - 1 - i]];
+    ll best1 = 0, best2 = 0, compScore = 0;
+    for (int i = 0; i < n; ++i) {
+        ll t_len = R->tlen[tids[i] < 0 ? -tids[i] : tids[i]];
+        double score;
+        int start, end;
+        ll rs = pe_gate(msc1[i], mln1[i], mpo1[i], mtg1[i], mqg1[i], la,
+                        t_len, R->minlen, R->mrc, Wl, &score, &start,
+                        &end);
+        if (rs > k && score >= R->scoreT) {
+            scores1[i] = rs;
+            starts[i] = start;
+            ends[i] = end;
+            if (best1 < rs)
+                best1 = rs;
+        } else {
+            scores1[i] = 0;
+            starts[i] = -1;
+            ends[i] = -1;
+        }
+        rs = pe_gate(msc2[i], mln2[i], mpo2[i], mtg2[i], mqg2[i], lb,
+                     t_len, R->minlen, R->mrc, Wl, &score, &start, &end);
+        if (rs > k && score >= R->scoreT) {
+            scores2[i] = rs;
+            if (scores1[i]) {
+                if (start < starts[i])
+                    starts[i] = start;
+                else
+                    ends[i] = end;
+            } else {
+                starts[i] = start;
+                ends[i] = end;
+            }
+            if (best2 < rs)
+                best2 = rs;
+        } else {
+            scores2[i] = 0;
+        }
+        // compScore uses the PRE-threshold mate2 score (alnfrags.c:1784)
+        if (compScore < rs + scores1[i])
+            compScore = rs + scores1[i];
+    }
+    if (!best1 && !best2)
+        return;
+    bool rc_state;
+    if (arc) {
+        rc_state = false;
+        for (int i = 0; i < n; ++i)
+            if (tids[i] < 0) {
+                rc_state = true;
+                break;
+            }
+    } else {
+        rc_state = !flipped;
+    }
+    const uint8_t *cur_a = arc ? c_a : (flipped ? rca.data() : c_a);
+    const uint8_t *cur_b = arc ? c_b : (flipped ? rcb.data() : c_b);
+    const uint8_t *res_a = arc ? rca.data() : c_a;
+    const uint8_t *res_b = arc ? rcb.data() : c_b;
+    double mf = R->aln_min_frac < 0 ? -R->aln_min_frac : R->aln_min_frac;
+    static thread_local std::vector<int> u_ids, u_st, u_en;
+    static thread_local std::vector<ll> u_sc;
+
+    auto emit_pair = [&](std::vector<int> &ids, std::vector<ll> &psc,
+                         std::vector<int> &pst, std::vector<int> &pen,
+                         ll best) {
+        int fa = flag_a, fb = flag_b;
+        if (!ids.empty() && ids[0] < 0) {
+            for (auto &x : ids)
+                x = -x;
+            spool_pe_rec(R, cur_b, lb, cur_a, la, ids, psc, pst, pen, best,
+                         h_b, hlb, h_a, hla, fb, fa, ord);
+        } else {
+            const uint8_t *sa = cur_a, *sb = cur_b;
+            if (!rc_state) {
+                sa = res_a;
+                sb = res_b;
+                fa ^= 48;
+                fb ^= 48;
+            }
+            spool_pe_rec(R, sa, la, sb, lb, ids, psc, pst, pen, best, h_a,
+                         hla, h_b, hlb, fa, fb, ord);
+        }
+    };
+
+    if (fpm == 1) {
+        // penalty: proper pair when compScore + PE beats the gate
+        double pair_gate = mf * (double)(best1 + best2);
+        if (compScore && pair_gate <= (double)(compScore + PE)) {
+            u_ids.clear();
+            u_sc.clear();
+            u_st.clear();
+            u_en.clear();
+            for (int i = 0; i < n; ++i) {
+                if (scores1[i] && scores2[i]) {
+                    u_ids.push_back(tids[i]);
+                    u_sc.push_back(scores1[i] + scores2[i] + PE);
+                    u_st.push_back(starts[i]);
+                    u_en.push_back(ends[i]);
+                }
+            }
+            emit_pair(u_ids, u_sc, u_st, u_en, compScore + PE);
+            return;
+        }
+    } else if (best1 && best2) {
+        // union: candidates passing both mates' thresholds
+        double thr1 = (double)best1 * mf;
+        double thr2 = (double)best2 * mf;
+        u_ids.clear();
+        u_sc.clear();
+        u_st.clear();
+        u_en.clear();
+        for (int i = 0; i < n; ++i) {
+            if (thr1 <= (double)scores1[i] && thr2 <= (double)scores2[i]) {
+                u_ids.push_back(tids[i]);
+                u_sc.push_back(scores1[i] + scores2[i]);
+                u_st.push_back(starts[i]);
+                u_en.push_back(ends[i]);
+            }
+        }
+        if (!u_ids.empty()) {
+            emit_pair(u_ids, u_sc, u_st, u_en, best1 + best2);
+            return;
+        }
+    }
+    if (best1 && best2) {
+        // unmaided pair: separate SE spools (alnfrags.c:1447-1516 /
+        // :1825-1895)
+        double thr1 = mf * (double)best1;
+        double thr2 = mf * (double)best2;
+        static thread_local std::vector<int> f_ids, f_st, f_en, r_ids,
+            r_st, r_en;
+        static thread_local std::vector<ll> f_sc, r_sc;
+        f_ids.clear();
+        f_sc.clear();
+        f_st.clear();
+        f_en.clear();
+        r_ids.clear();
+        r_sc.clear();
+        r_st.clear();
+        r_en.clear();
+        for (int i = 0; i < n; ++i) {
+            if (thr1 <= (double)scores1[i]) {
+                f_ids.push_back(tids[i]);
+                f_sc.push_back(scores1[i]);
+                f_st.push_back(starts[i]);
+                f_en.push_back(ends[i]);
+            } else if (thr2 <= (double)scores2[i]) {
+                r_ids.push_back(tids[i]);
+                r_sc.push_back(scores2[i]);
+                r_st.push_back(starts[i]);
+                r_en.push_back(ends[i]);
+            }
+        }
+        int fa = flag_a, fb = flag_b;
+        const uint8_t *seq_a = cur_a, *seq_b = cur_b;
+        if (!f_ids.empty() && f_ids[0] < 0) {
+            for (auto &x : f_ids)
+                x = -x;
+        } else if (!rc_state) {
+            seq_a = res_a;
+            fa ^= 16;
+            fb ^= 32;
+        }
+        if (!r_ids.empty() && r_ids[0] < 0) {
+            for (auto &x : r_ids)
+                x = -x;
+        } else if (!rc_state) {
+            seq_b = res_b;
+            fa ^= 32;
+            fb ^= 16;
+        }
+        if (fa & 2) {
+            fa ^= 2;
+            fb ^= 2;
+        }
+        if (!f_ids.empty())
+            spool_se_rec(R, seq_a, la, f_ids, f_sc, f_st, f_en, best1, h_a,
+                         hla, fa, ord);
+        if (!r_ids.empty())
+            spool_se_rec(R, seq_b, lb, r_ids, r_sc, r_st, r_en, best2, h_b,
+                         hlb, fb, ord);
+        return;
+    }
+    if (best1) {
+        // forward only (alnfrags.c:1518-1552 / :1897-1931)
+        static thread_local std::vector<int> ids, stl, enl;
+        static thread_local std::vector<ll> scl;
+        ids.clear();
+        scl.clear();
+        stl.clear();
+        enl.clear();
+        for (int i = 0; i < n; ++i) {
+            if (scores1[i]) {
+                ids.push_back(tids[i]);
+                scl.push_back(scores1[i]);
+                stl.push_back(starts[i]);
+                enl.push_back(ends[i]);
+            }
+        }
+        int fa = flag_a, fb = flag_b;
+        const uint8_t *seq_a = cur_a;
+        if (!ids.empty() && ids[0] < 0) {
+            for (auto &x : ids)
+                x = -x;
+        } else if (!rc_state) {
+            seq_a = res_a;
+            fa ^= 16;
+            fb ^= 32;
+        }
+        fa |= 8;
+        fb ^= 4;
+        if (fa & 2) {
+            fa ^= 2;
+            fb ^= 2;
+        }
+        spool_se_rec(R, seq_a, la, ids, scl, stl, enl, best1, h_a, hla, fa,
+                     ord);
+        return;
+    }
+    // reverse only (alnfrags.c:1553-1590 / :1933-1969)
+    static thread_local std::vector<int> ids, stl, enl;
+    static thread_local std::vector<ll> scl;
+    ids.clear();
+    scl.clear();
+    stl.clear();
+    enl.clear();
+    for (int i = 0; i < n; ++i) {
+        if (scores2[i]) {
+            ids.push_back(tids[i]);
+            scl.push_back(scores2[i]);
+            stl.push_back(starts[i]);
+            enl.push_back(ends[i]);
+        }
+    }
+    int fa = flag_a, fb = flag_b;
+    const uint8_t *seq_b = cur_b;
+    if (!ids.empty() && ids[0] < 0) {
+        for (auto &x : ids)
+            x = -x;
+    } else if (!rc_state) {
+        seq_b = res_b;
+        fa ^= 32;
+        fb ^= 16;
+    }
+    fb |= 8;
+    fa ^= 4;
+    if (fb & 2) {
+        fa ^= 2;
+        fb ^= 2;
+    }
+    spool_se_rec(R, seq_b, lb, ids, scl, stl, enl, best2, h_b, hlb, fb,
+                 ord);
 }
 
 }  // namespace
@@ -368,6 +1570,10 @@ void *krun_create(const void *exist, int exist_es, const void *key_index,
 
 void krun_free(void *h) { delete (Run *)h; }
 
+void krun_set_pe(void *h, long long pe_reward) {
+    ((Run *)h)->pe_reward = pe_reward;
+}
+
 // Map one batch of SE reads.  codes/headers are flat with [n+1] offsets;
 // ords[i] is read i's global ordinal (multi-host round-robin).  Spool
 // record order matches the reference: reads in input order, hits of one
@@ -399,107 +1605,12 @@ long long krun_map_se_batch(void *hv, const uint8_t *codes_flat,
         S.units.clear();
         S.cod_arena.clear();
         S.tpl_arena.clear();
-        std::vector<uint8_t> rc;
+        S.pairs.clear();
+        S.order.clear();
         for (int rd = slice_begin[ti]; rd < slice_begin[ti + 1]; ++rd) {
             const uint8_t *q = codes_flat + coff[rd];
             int q_len = (int)(coff[rd + 1] - coff[rd]);
-            if (q_len < k)
-                continue;
-            if (R->mode == 0) {
-                // save_kmers (-1t1) strand scan + emit rules
-                // (savekmers.c:2442-3065; mapping/scan.py:315-360)
-                int nb = 0, nbr = 0;
-                ll bs[2] = {0, 0};
-                kchain_save_kmers(S.ctx, q, q_len, R->exhaustive, 0.0, 0,
-                                  S.Score.data(), S.Score_r.data(),
-                                  S.extendScore.data(), S.include.data(),
-                                  nullptr, S.bests.data(), &nb,
-                                  S.bests_r.data(), &nbr, bs);
-                ll b0 = bs[0], b1 = bs[1];
-                if ((b0 <= 0 && b1 <= 0) || (k > b0 && k > b1))
-                    continue;
-                PendUnit u;
-                u.read = rd;
-                u.b0 = u.b1 = -1;
-                u.q_len = q_len;
-                u.cod_off = (ll)S.cod_arena.size();
-                u.tpl_off = (ll)S.tpl_arena.size();
-                if (b0 > b1) {
-                    u.sc = b0;
-                    u.flag = 0;
-                    S.cod_arena.insert(S.cod_arena.end(), q, q + q_len);
-                    S.tpl_arena.insert(S.tpl_arena.end(), S.bests.data(),
-                                       S.bests.data() + nb);
-                    u.n_tpl = nb;
-                } else if (b0 < b1) {
-                    u.sc = b1;
-                    u.flag = 16;
-                    size_t base = S.cod_arena.size();
-                    S.cod_arena.resize(base + q_len);
-                    for (int i = 0; i < q_len; ++i)
-                        S.cod_arena[base + i] = RC_CODE[q[q_len - 1 - i]];
-                    S.tpl_arena.insert(S.tpl_arena.end(), S.bests_r.data(),
-                                       S.bests_r.data() + nbr);
-                    u.n_tpl = nbr;
-                } else {
-                    u.sc = -b0;
-                    u.flag = 0;
-                    S.cod_arena.insert(S.cod_arena.end(), q, q + q_len);
-                    S.tpl_arena.insert(S.tpl_arena.end(), S.bests.data(),
-                                       S.bests.data() + nb);
-                    for (int i = 0; i < nbr; ++i)
-                        S.tpl_arena.push_back(-S.bests_r[i]);
-                    u.n_tpl = nb + nbr;
-                }
-                S.units.push_back(u);
-            } else {
-                // save_kmers_chain (savekmers.c:5127-5944)
-                int nh;
-                for (;;) {
-                    nh = kchain_scan_read(
-                        S.ctx, q, q_len, R->exhaustive, R->minlen,
-                        R->coverT, R->scoreT, R->mrc, R->lc,
-                        S.Score.data(), S.extendScore.data(),
-                        S.include.data(), S.hit_rc.data(), S.hit_sc.data(),
-                        S.hit_b0.data(), S.hit_b1.data(), S.tpl_off.data(),
-                        S.tpl_flat.data(), (int)S.hit_rc.size(),
-                        (ll)S.tpl_flat.size());
-                    if (nh >= 0)
-                        break;
-                    S.hit_rc.resize(S.hit_rc.size() * 4);
-                    S.hit_sc.resize(S.hit_sc.size() * 4);
-                    S.hit_b0.resize(S.hit_b0.size() * 4);
-                    S.hit_b1.resize(S.hit_b1.size() * 4);
-                    S.tpl_off.resize(S.hit_rc.size() + 1);
-                    S.tpl_flat.resize(S.tpl_flat.size() * 4);
-                }
-                for (int hi = 0; hi < nh; ++hi) {
-                    PendUnit u;
-                    u.read = rd;
-                    u.sc = S.hit_sc[hi];
-                    u.b0 = S.hit_b0[hi];
-                    u.b1 = S.hit_b1[hi];
-                    u.flag = 0;
-                    u.q_len = q_len;
-                    u.cod_off = (ll)S.cod_arena.size();
-                    if (S.hit_rc[hi] == 1) {
-                        S.cod_arena.insert(S.cod_arena.end(), q, q + q_len);
-                    } else {
-                        size_t base = S.cod_arena.size();
-                        S.cod_arena.resize(base + q_len);
-                        for (int i = 0; i < q_len; ++i)
-                            S.cod_arena[base + i] =
-                                RC_CODE[q[q_len - 1 - i]];
-                    }
-                    u.tpl_off = (ll)S.tpl_arena.size();
-                    u.n_tpl = (int)(S.tpl_off[hi + 1] - S.tpl_off[hi]);
-                    S.tpl_arena.insert(
-                        S.tpl_arena.end(),
-                        S.tpl_flat.data() + S.tpl_off[hi],
-                        S.tpl_flat.data() + S.tpl_off[hi + 1]);
-                    S.units.push_back(u);
-                }
-            }
+            scan_read_units(R, S, q, q_len, rd, 0);
         }
     };
     if (nt == 1) {
@@ -516,217 +1627,299 @@ long long krun_map_se_batch(void *hv, const uint8_t *codes_flat,
     R->t_scan += _now() - _t0;
     _t0 = _now();
 
-    // ---- phase 2: build the flattened scoring batch (read order) --------
-    // decon filter + short-read gate happen here, BEFORE scoring, exactly
-    // as pipeline._consume does.
-    struct Unit {
-        int read, flag, q_len, b0, b1;
-        ll sc;
-        const uint8_t *cod;
-        ll tpl_base;
-        int n_tpl;
-    };
-    std::vector<Unit> units;
+    // ---- phases 2-4 via the shared SE helpers ---------------------------
+    std::vector<SUnit> units;
     std::vector<int32_t> tpl_ids;
     std::vector<int64_t> tpl_offv{0};
     for (int ti = 0; ti < nt; ++ti) {
         Scratch &S = R->scratch[ti];
-        for (PendUnit &u : S.units) {
-            int n_tpl = u.n_tpl;
-            int32_t *t = S.tpl_arena.data() + u.tpl_off;
-            if (R->contamination >= 0) {
-                n_tpl = decon_filter(t, n_tpl, R->contamination);
-                if (!n_tpl)
-                    continue;
-            }
-            if (k > u.q_len)
-                continue;
-            Unit w;
-            w.read = u.read;
-            w.flag = u.flag;
-            w.q_len = u.q_len;
-            w.b0 = u.b0;
-            w.b1 = u.b1;
-            w.sc = u.sc;
-            w.cod = S.cod_arena.data() + u.cod_off;
-            w.tpl_base = (ll)tpl_ids.size();
-            w.n_tpl = n_tpl;
-            tpl_ids.insert(tpl_ids.end(), t, t + n_tpl);
-            tpl_offv.push_back((ll)tpl_ids.size());
-            units.push_back(w);
-        }
+        for (PendUnit &u : S.units)
+            collect_se_unit(R, S, u, hdr_flat, hoff, nullptr, nullptr,
+                            ords, units, tpl_ids, tpl_offv);
     }
-    // thread slices were contiguous in read order, so units are sorted;
-    // (defensive) stable order is required for spool parity.
     int m = (int)units.size();
     if (!m)
         return (ll)R->spool.size();
+    R->t_build += _now() - _t0;
+    _t0 = _now();
+    SEOut o;
+    score_se_batch(R, units, tpl_ids, tpl_offv, o);
+    R->t_score += _now() - _t0;
+    _t0 = _now();
+    for (int i = 0; i < m; ++i)
+        emit_se_spool(R, units[i], tpl_ids, tpl_offv, o, i);
+    R->t_spool += _now() - _t0;
+    return (ll)R->spool.size();
+}
 
-    // handles for every candidate (parallel build of the missing ones)
-    {
-        std::vector<int32_t> uniq(tpl_ids);
-        for (auto &t : uniq)
-            t = t < 0 ? -t : t;
-        std::sort(uniq.begin(), uniq.end());
-        uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
-        std::vector<int32_t> missing;
-        for (int32_t t : uniq)
-            if (!R->handles[t])
-                missing.push_back(t);
-        if (!missing.empty()) {
-            std::atomic<size_t> next(0);
-            auto build = [&]() {
-                for (;;) {
-                    size_t i = next.fetch_add(1);
-                    if (i >= missing.size())
-                        break;
-                    R->handle_for(missing[i]);
+
+// Map one batch of read pairs (run_kma's PE loop, pipeline.py:1895-1997).
+// Items with b absent (b_present==0) or a short mate fall back to the SE
+// scan of the surviving/long-enough mates, in stream order.  pm / fpm:
+// 0 = union, 1 = penalty (scan combiner / step-3 applier).
+long long krun_map_pe_batch(void *hv, const uint8_t *a_flat,
+                            const long long *a_off, const uint8_t *ha_flat,
+                            const long long *ha_off, const uint8_t *b_flat,
+                            const long long *b_off, const uint8_t *hb_flat,
+                            const long long *hb_off,
+                            const uint8_t *b_present, const long long *ords,
+                            int n, int pm, int fpm) {
+    Run *R = (Run *)hv;
+    const int k = R->ix.k;
+    int nt = R->n_threads;
+    if (nt > n)
+        nt = n < 1 ? 1 : n;
+    std::vector<int> slice_begin(nt + 1);
+    for (int i = 0; i <= nt; ++i)
+        slice_begin[i] = (int)((ll)n * i / nt);
+
+    auto _now = []() {
+        return std::chrono::duration<double>(
+                   std::chrono::steady_clock::now().time_since_epoch())
+            .count();
+    };
+    double _t0 = _now();
+
+    auto scan_slice = [&](int ti) {
+        Scratch &S = R->scratch[ti];
+        S.units.clear();
+        S.pairs.clear();
+        S.order.clear();
+        S.cod_arena.clear();
+        S.tpl_arena.clear();
+        PEmit em[2];
+        for (int it = slice_begin[ti]; it < slice_begin[ti + 1]; ++it) {
+            const uint8_t *qa = a_flat + a_off[it];
+            int la = (int)(a_off[it + 1] - a_off[it]);
+            const uint8_t *qb = b_flat + b_off[it];
+            int lb = (int)(b_off[it + 1] - b_off[it]);
+            if (!b_present[it]) {
+                scan_read_units(R, S, qa, la, it, 0);
+                continue;
+            }
+            if (la < k || lb < k) {
+                // short mate: SE of each long-enough mate
+                // (pipeline.py:1904-1911)
+                if (la >= k)
+                    scan_read_units(R, S, qa, la, it, 0);
+                if (lb >= k)
+                    scan_read_units(R, S, qb, lb, it, 1);
+                continue;
+            }
+            bool is_pair = false;
+            int ne = pair_scan(R, S, qa, la, qb, lb, pm, em, &is_pair);
+            if (!ne)
+                continue;
+            auto put_codes = [&](int which) -> ll {
+                ll off = (ll)S.cod_arena.size();
+                if (which == 0) {
+                    S.cod_arena.insert(S.cod_arena.end(), qa, qa + la);
+                } else if (which == 1) {
+                    size_t b0 = S.cod_arena.size();
+                    S.cod_arena.resize(b0 + la);
+                    for (int i = 0; i < la; ++i)
+                        S.cod_arena[b0 + i] = RC_CODE[qa[la - 1 - i]];
+                } else if (which == 2) {
+                    S.cod_arena.insert(S.cod_arena.end(), qb, qb + lb);
+                } else {
+                    size_t b0 = S.cod_arena.size();
+                    S.cod_arena.resize(b0 + lb);
+                    for (int i = 0; i < lb; ++i)
+                        S.cod_arena[b0 + i] = RC_CODE[qb[lb - 1 - i]];
                 }
+                return off;
             };
-            if (nt == 1 || missing.size() < 8) {
-                build();
+            auto put_tpl = [&](const PEmit &e) -> std::pair<ll, int> {
+                ll off = (ll)S.tpl_arena.size();
+                if (e.tpl == nullptr)
+                    return {off, 0};
+                for (int t : *e.tpl)
+                    S.tpl_arena.push_back(e.neg ? -t : t);
+                return {off, (int)e.tpl->size()};
+            };
+            if (is_pair) {
+                PairPend pp;
+                pp.item = it;
+                pp.sc_a = em[0].sc;
+                pp.sc_b = em[1].sc;
+                pp.flag_a = em[0].flag;
+                pp.flag_b = em[1].flag;
+                pp.hsrc_a = em[0].hsrc;
+                pp.hsrc_b = em[1].hsrc;
+                pp.cod_a_off = put_codes(em[0].which);
+                pp.la = (em[0].which < 2) ? la : lb;
+                pp.cod_b_off = put_codes(em[1].which);
+                pp.lb = (em[1].which < 2) ? la : lb;
+                auto tp = put_tpl(em[1]);
+                pp.tpl_off = tp.first;
+                pp.n_tpl = tp.second;
+                S.pairs.push_back(pp);
+                S.order.emplace_back(1, (int)S.pairs.size() - 1);
             } else {
-                std::vector<std::thread> th;
-                for (int i = 0; i < nt; ++i)
-                    th.emplace_back(build);
-                for (auto &t : th)
-                    t.join();
+                for (int e = 0; e < ne; ++e) {
+                    PendUnit u;
+                    u.read = it;
+                    u.hsrc = em[e].hsrc;
+                    u.sc = em[e].sc;
+                    u.b0 = u.b1 = -1;
+                    u.flag = em[e].flag;
+                    u.q_len = (em[e].which < 2) ? la : lb;
+                    u.cod_off = put_codes(em[e].which);
+                    auto tp = put_tpl(em[e]);
+                    u.tpl_off = tp.first;
+                    u.n_tpl = tp.second;
+                    S.units.push_back(u);
+                    S.order.emplace_back(0, (int)S.units.size() - 1);
+                }
+            }
+        }
+    };
+    if (nt == 1) {
+        scan_slice(0);
+    } else {
+        std::vector<std::thread> th;
+        for (int i = 0; i < nt; ++i)
+            th.emplace_back(scan_slice, i);
+        for (auto &t : th)
+            t.join();
+    }
+    R->t_scan += _now() - _t0;
+    _t0 = _now();
+
+    // ---- flatten in stream order --------------------------------------
+    struct PUnit {
+        const uint8_t *c_a, *c_b, *h_a, *h_b;
+        int la, lb, flag_a, flag_b;
+        ll hla, hlb, ord;
+        bool arc;
+        ll tpl_base;
+        int n_tpl;
+    };
+    std::vector<SUnit> se_units;
+    std::vector<int32_t> se_tpl;
+    std::vector<int64_t> se_off{0};
+    std::vector<PUnit> pairs;
+    std::vector<int32_t> pe_tpl;
+    std::vector<int64_t> pe_off{0};
+    std::vector<std::pair<uint8_t, int>> g_order;
+    for (int ti = 0; ti < nt; ++ti) {
+        Scratch &S = R->scratch[ti];
+        for (auto &oe : S.order) {
+            if (oe.first == 0) {
+                PendUnit &u = S.units[oe.second];
+                size_t before = se_units.size();
+                collect_se_unit(R, S, u, ha_flat, ha_off, hb_flat, hb_off,
+                                ords, se_units, se_tpl, se_off);
+                if (se_units.size() > before)
+                    g_order.emplace_back(0, (int)se_units.size() - 1);
+            } else {
+                PairPend &pp = S.pairs[oe.second];
+                int n_tpl = pp.n_tpl;
+                int32_t *t = S.tpl_arena.data() + pp.tpl_off;
+                if (R->contamination >= 0) {
+                    // deConPrintPair (ankers.c:126-148): one filter on
+                    // the shared list; empty drops BOTH mates
+                    n_tpl = decon_filter(t, n_tpl, R->contamination);
+                    if (!n_tpl)
+                        continue;
+                }
+                if (k > pp.la || k > pp.lb)
+                    continue;
+                PUnit w;
+                w.c_a = S.cod_arena.data() + pp.cod_a_off;
+                w.c_b = S.cod_arena.data() + pp.cod_b_off;
+                w.la = pp.la;
+                w.lb = pp.lb;
+                w.flag_a = pp.flag_a;
+                w.flag_b = pp.flag_b;
+                if (pp.hsrc_a == 0) {
+                    w.h_a = ha_flat + ha_off[pp.item];
+                    w.hla = ha_off[pp.item + 1] - ha_off[pp.item];
+                } else {
+                    w.h_a = hb_flat + hb_off[pp.item];
+                    w.hla = hb_off[pp.item + 1] - hb_off[pp.item];
+                }
+                if (pp.hsrc_b == 0) {
+                    w.h_b = ha_flat + ha_off[pp.item];
+                    w.hlb = ha_off[pp.item + 1] - ha_off[pp.item];
+                } else {
+                    w.h_b = hb_flat + hb_off[pp.item];
+                    w.hlb = hb_off[pp.item + 1] - hb_off[pp.item];
+                }
+                w.ord = ords[pp.item];
+                w.arc = pp.sc_a < 0;
+                w.tpl_base = (ll)pe_tpl.size();
+                w.n_tpl = n_tpl;
+                pe_tpl.insert(pe_tpl.end(), t, t + n_tpl);
+                pe_off.push_back((ll)pe_tpl.size());
+                pairs.push_back(w);
+                g_order.emplace_back(1, (int)pairs.size() - 1);
             }
         }
     }
-    std::vector<void *> handles(tpl_ids.size());
-    for (size_t i = 0; i < tpl_ids.size(); ++i)
-        handles[i] =
-            R->handles[tpl_ids[i] < 0 ? -tpl_ids[i] : tpl_ids[i]];
-
-    // per-unit flat codes / npos / qbounds / arc
-    std::vector<int64_t> cod_offv(m + 1, 0), npos_offv(m + 1, 0);
-    for (int i = 0; i < m; ++i)
-        cod_offv[i + 1] = cod_offv[i] + units[i].q_len;
-    std::vector<uint8_t> cod_flat((size_t)cod_offv[m]);
-    std::vector<int32_t> npos_flat;
-    std::vector<int32_t> qb(2 * m);
-    std::vector<uint8_t> arcs(m);
-    for (int i = 0; i < m; ++i) {
-        Unit &u = units[i];
-        memcpy(cod_flat.data() + cod_offv[i], u.cod, u.q_len);
-        for (int j = 0; j < u.q_len; ++j)
-            if (u.cod[j] == 4)
-                npos_flat.push_back(j);
-        npos_offv[i + 1] = (ll)npos_flat.size();
-        // chain hits carry explicit q-bounds (qseqs.c:41-55 header tail)
-        if (u.b0 >= 0 || u.b1 >= 0) {
-            qb[2 * i] = u.b0;
-            qb[2 * i + 1] = u.b1;
-        } else {
-            qb[2 * i] = 0;
-            qb[2 * i + 1] = u.q_len;
-        }
-        arcs[i] = u.sc < 0 ? 1 : 0;
-    }
-    if (npos_flat.empty())
-        npos_flat.push_back(0);  // non-null base pointer
-
     R->t_build += _now() - _t0;
     _t0 = _now();
 
-    // ---- phase 3: step-3 scoring (threaded inside) ----------------------
-    ll total = tpl_offv[m];
-    std::vector<int32_t> out_nh(m), out_tpl(total), out_start(total),
-        out_end(total), out_len(total);
-    std::vector<ll> out_best(m), out_score(total);
-    std::vector<double> out_frac(m);
-    kaln_frags_se_batch(handles.data(), tpl_ids.data(), tpl_offv.data(),
-                        cod_flat.data(), cod_offv.data(), npos_flat.data(),
-                        npos_offv.data(), qb.data(), arcs.data(), m,
-                        (int)R->ix.M, (int)R->ix.MM, (int)R->ix.U,
-                        (int)R->ix.W1, R->dmat, k, R->minlen, R->mq,
-                        R->scoreT, R->mrc, R->n_threads, out_nh.data(),
-                        out_best.data(), out_frac.data(), out_tpl.data(),
-                        out_start.data(), out_end.data(), out_score.data(),
-                        out_len.data());
-
+    // ---- scoring ------------------------------------------------------
+    SEOut so;
+    if (!se_units.empty())
+        score_se_batch(R, se_units, se_tpl, se_off, so);
+    int np = (int)pairs.size();
+    std::vector<ll> psc1(pe_tpl.size()), psc2(pe_tpl.size());
+    std::vector<int32_t> ppo1(pe_tpl.size()), pln1(pe_tpl.size()),
+        ptg1(pe_tpl.size()), pqg1(pe_tpl.size()), ppo2(pe_tpl.size()),
+        pln2(pe_tpl.size()), ptg2(pe_tpl.size()), pqg2(pe_tpl.size());
+    std::vector<uint8_t> pflip(np);
+    if (np) {
+        build_handles_for(R, pe_tpl);
+        std::vector<void *> handles(pe_tpl.size());
+        for (size_t i = 0; i < pe_tpl.size(); ++i)
+            handles[i] =
+                R->handles[pe_tpl[i] < 0 ? -pe_tpl[i] : pe_tpl[i]];
+        std::vector<int64_t> a_offv(np + 1, 0), b_offv(np + 1, 0);
+        for (int i = 0; i < np; ++i) {
+            a_offv[i + 1] = a_offv[i] + pairs[i].la;
+            b_offv[i + 1] = b_offv[i] + pairs[i].lb;
+        }
+        std::vector<uint8_t> a_cat((size_t)a_offv[np]),
+            b_cat((size_t)b_offv[np]), arcs(np);
+        for (int i = 0; i < np; ++i) {
+            memcpy(a_cat.data() + a_offv[i], pairs[i].c_a, pairs[i].la);
+            memcpy(b_cat.data() + b_offv[i], pairs[i].c_b, pairs[i].lb);
+            arcs[i] = pairs[i].arc ? 1 : 0;
+        }
+        std::vector<int64_t> offv(pe_off.begin(), pe_off.end());
+        kaln_pe_score_batch(handles.data(), pe_tpl.data(), offv.data(),
+                            a_cat.data(), a_offv.data(), b_cat.data(),
+                            b_offv.data(), arcs.data(), np, (int)R->ix.M,
+                            (int)R->ix.MM, (int)R->ix.U, (int)R->ix.W1,
+                            R->dmat, R->mq, R->n_threads, psc1.data(),
+                            ppo1.data(), pln1.data(), ptg1.data(),
+                            pqg1.data(), psc2.data(), ppo2.data(),
+                            pln2.data(), ptg2.data(), pqg2.data(),
+                            pflip.data());
+    }
     R->t_score += _now() - _t0;
     _t0 = _now();
 
-    // ---- phase 4: sequential spool + score arrays (record order) --------
-    Spool &sp = R->spool;
-    const double min_frac = R->aln_min_frac;
-    for (int i = 0; i < m; ++i) {
-        Unit &u = units[i];
-        ll best = out_best[i];
-        if (best <= k)
-            continue;
-        ll b = tpl_offv[i];
-        int nh = out_nh[i];
-        double best_frac = out_frac[i];
-        // update_Scores selection (updatescores.c:203-298)
-        int first_sel = (int)sp.tpl.size();
-        static thread_local std::vector<ll> sel_sc;
-        sel_sc.clear();
-        if (min_frac == 1.0) {
-            for (int j = 0; j < nh; ++j) {
-                ll sc = out_score[b + j];
-                int ln = out_len[b + j];
-                double min_score = ln ? (double)(sc / ln) : 0.0;
-                if (min_score == best_frac || sc == best) {
-                    sp.tpl.push_back(out_tpl[b + j]);
-                    sp.starts.push_back(out_start[b + j]);
-                    sp.ends.push_back(out_end[b + j]);
-                    sel_sc.push_back(sc);
-                }
-            }
+    // ---- sequential spool emission (stream order) ---------------------
+    for (auto &oe : g_order) {
+        if (oe.first == 0) {
+            int i = oe.second;
+            emit_se_spool(R, se_units[i], se_tpl, se_off, so, i);
         } else {
-            double mf = min_frac < 0 ? -min_frac : min_frac;
-            double min_score = mf * best_frac;
-            double min_read = mf * (double)best;
-            bool acc_is_score = min_frac < 0;
-            for (int j = 0; j < nh; ++j) {
-                ll sc = out_score[b + j];
-                if ((double)out_len[b + j] * min_score <= (double)sc ||
-                    min_read <= (double)sc) {
-                    sp.tpl.push_back(out_tpl[b + j]);
-                    sp.starts.push_back(out_start[b + j]);
-                    sp.ends.push_back(out_end[b + j]);
-                    sel_sc.push_back(acc_is_score ? sc : best);
-                }
-            }
+            int i = oe.second;
+            PUnit &w = pairs[i];
+            ll b = pe_off[i];
+            apply_pe_pair(R, fpm, w.c_a, w.la, w.c_b, w.lb, w.h_a, w.hla,
+                          w.h_b, w.hlb, w.flag_a, w.flag_b, w.arc,
+                          pe_tpl.data() + b, w.n_tpl, psc1.data() + b,
+                          ppo1.data() + b, pln1.data() + b,
+                          ptg1.data() + b, pqg1.data() + b,
+                          psc2.data() + b, ppo2.data() + b,
+                          pln2.data() + b, ptg2.data() + b,
+                          pqg2.data() + b, pflip[i] != 0, w.ord);
         }
-        int n_sel = (int)((ll)sp.tpl.size() - first_sel);
-        // score accumulation (pipeline.flush_aln / updatescores.c:217-281)
-        if (n_sel == 1) {
-            int t = sp.tpl[first_sel];
-            if (t < 0)
-                t = -t;
-            R->alignment_scores[t] += sel_sc[0];
-            R->uniq_alignment_scores[t] += best;
-        } else {
-            for (int j = 0; j < n_sel; ++j) {
-                int t = sp.tpl[first_sel + j];
-                if (t < 0)
-                    t = -t;
-                R->alignment_scores[t] += sel_sc[j];
-            }
-        }
-        sp.t_off.push_back((ll)sp.tpl.size());
-        sp.q_len.push_back(u.q_len);
-        sp.flag.push_back(u.flag);
-        sp.best_hits.push_back(n_sel);
-        sp.score.push_back(best);
-        sp.ord.push_back(ords[u.read]);
-        // header: original bytes (+ NUL + chain q-bounds when present)
-        const uint8_t *hp = hdr_flat + hoff[u.read];
-        ll hlen = hoff[u.read + 1] - hoff[u.read];
-        sp.hdr.insert(sp.hdr.end(), hp, hp + hlen);
-        if (u.b0 >= 0 || u.b1 >= 0) {
-            sp.hdr.push_back(0);
-            int32_t bb[2] = {u.b0, u.b1};
-            const uint8_t *bp = (const uint8_t *)bb;
-            sp.hdr.insert(sp.hdr.end(), bp, bp + 8);
-        }
-        sp.hdr_off.push_back((ll)sp.hdr.size());
-        sp.cod.insert(sp.cod.end(), u.cod, u.cod + u.q_len);
-        sp.cod_off.push_back((ll)sp.cod.size());
     }
     R->t_spool += _now() - _t0;
     return (ll)R->spool.size();
@@ -831,15 +2024,26 @@ void krun_conclave(void *hv, int version, int lc, long long *w_scores,
         FragOut f;
         f.rec = (int32_t)rec;
         f.rc = rc;
+        f.mate = 0;
         f.start = start;
         f.end = end;
         f.score = sp.best_hits[rec] < 0 ? 0 : read_score;
         f.chunk = chunk;
         (void)bh;
         R->frags[bestTemplate].push_back(f);
-        // (PE mate records not produced by the SE driver)
+        ++n_since;
+        if (sp.score[rec] < 0) {
+            // PE mate record follows (conclave.c:169-194): same template,
+            // start/end/score; its own codes/header/flag, never rc'd
+            read_counts[bestTemplate] += 1;
+            FragOut m = f;
+            m.mate = 1;
+            m.rc = 0;
+            R->frags[bestTemplate].push_back(m);
+            ++n_since;
+        }
         // maxFrag flush check AFTER the whole record (conclave.c:196-208)
-        if (++n_since >= max_frag) {
+        if (n_since >= max_frag) {
             ++chunk;
             n_since = 0;
         }
@@ -1027,8 +2231,13 @@ void krun_stage_meta(void *hv, long long t, long long *n_frags,
     auto &v = R->frags[t];
     ll cb = 0, hb = 0;
     for (auto &f : v) {
-        cb += R->spool.q_len[f.rec];
-        hb += R->spool.hdr_off[f.rec + 1] - R->spool.hdr_off[f.rec];
+        if (f.mate) {
+            cb += R->spool.mcod_off[f.rec + 1] - R->spool.mcod_off[f.rec];
+            hb += R->spool.mhdr_off[f.rec + 1] - R->spool.mhdr_off[f.rec];
+        } else {
+            cb += R->spool.q_len[f.rec];
+            hb += R->spool.hdr_off[f.rec + 1] - R->spool.hdr_off[f.rec];
+        }
     }
     *n_frags = (ll)v.size();
     *codes_bytes = cb;
@@ -1053,6 +2262,31 @@ void krun_stage_fill(void *hv, long long t, int32_t *q_len,
     for (size_t i = 0; i < v.size(); ++i) {
         FragOut &f = v[i];
         ll rec = f.rec;
+        if (f.mate) {
+            // mate frag: raw mate codes/header/flag (conclave.c:169-194)
+            ll ql = sp.mcod_off[rec + 1] - sp.mcod_off[rec];
+            q_len[i] = (int32_t)ql;
+            int bhm = sp.best_hits[rec] < 0 ? -sp.best_hits[rec]
+                                            : sp.best_hits[rec];
+            best_hits[i] = bhm;
+            score[i] = f.score;
+            fstats[3 * i] = (int32_t)f.score;
+            fstats[3 * i + 1] = f.start;
+            fstats[3 * i + 2] = f.end;
+            flag[i] = sp.mflag[rec];
+            memcpy(codes_out + co, sp.mcod.data() + sp.mcod_off[rec],
+                   (size_t)ql);
+            ll hl = sp.mhdr_off[rec + 1] - sp.mhdr_off[rec];
+            memcpy(hdr_out + ho, sp.mhdr.data() + sp.mhdr_off[rec],
+                   (size_t)hl);
+            qb[2 * i] = 0;
+            qb[2 * i + 1] = (int32_t)ql;
+            co += ql;
+            ho += hl;
+            codes_off[i + 1] = co;
+            hdr_off[i + 1] = ho;
+            continue;
+        }
         ll ql = sp.q_len[rec];
         q_len[i] = (int32_t)ql;
         int bh = sp.best_hits[rec] < 0 ? -sp.best_hits[rec]
@@ -1106,19 +2340,24 @@ long long krun_spool_len(void *hv) { return (ll)((Run *)hv)->spool.size(); }
 
 // Raw spool export (collect mode / .frag_raw.gz rows): sizes then arrays.
 void krun_spool_meta(void *hv, long long *n, long long *tpl_total,
-                     long long *cod_bytes, long long *hdr_bytes) {
+                     long long *cod_bytes, long long *hdr_bytes,
+                     long long *mcod_bytes, long long *mhdr_bytes) {
     Spool &sp = ((Run *)hv)->spool;
     *n = (ll)sp.size();
     *tpl_total = sp.t_off.back();
     *cod_bytes = sp.cod_off.back();
     *hdr_bytes = sp.hdr_off.back();
+    *mcod_bytes = sp.mcod_off.back();
+    *mhdr_bytes = sp.mhdr_off.back();
 }
 
 void krun_spool_fill(void *hv, int32_t *q_len, int32_t *best_hits,
                      long long *score, int32_t *flag, long long *ord,
                      int32_t *tpl, int32_t *starts, int32_t *ends,
                      long long *t_off, uint8_t *cod, long long *cod_off,
-                     uint8_t *hdr, long long *hdr_off) {
+                     uint8_t *hdr, long long *hdr_off, uint8_t *mcod,
+                     long long *mcod_off, uint8_t *mhdr,
+                     long long *mhdr_off, int32_t *mflag) {
     Spool &sp = ((Run *)hv)->spool;
     size_t n = sp.size();
     memcpy(q_len, sp.q_len.data(), n * 4);
@@ -1134,6 +2373,13 @@ void krun_spool_fill(void *hv, int32_t *q_len, int32_t *best_hits,
     memcpy(cod_off, sp.cod_off.data(), (n + 1) * 8);
     memcpy(hdr, sp.hdr.data(), sp.hdr.size());
     memcpy(hdr_off, sp.hdr_off.data(), (n + 1) * 8);
+    if (sp.mcod.size())
+        memcpy(mcod, sp.mcod.data(), sp.mcod.size());
+    memcpy(mcod_off, sp.mcod_off.data(), (n + 1) * 8);
+    if (sp.mhdr.size())
+        memcpy(mhdr, sp.mhdr.data(), sp.mhdr.size());
+    memcpy(mhdr_off, sp.mhdr_off.data(), (n + 1) * 8);
+    memcpy(mflag, sp.mflag.data(), n * 4);
 }
 
 }  // extern "C"
