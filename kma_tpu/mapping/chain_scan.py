@@ -40,17 +40,119 @@ class Anker:
 
 def _collect_ankers(idx: KmaIndex, codes: np.ndarray, rc_strand: bool,
                     rewards: Penalties, exhaustive: bool) -> List[Anker]:
-    """Anker collection for one strand (savekmers.c:5221-5450).
+    """Anker collection for one strand (savekmers.c:5221-5454).
 
-    For the rc strand the scan runs over the rc sequence from its far end,
-    so anker coordinates land in FORWARD read coordinates.
-    """
+    Reference-shaped segment scan: the rc strand is segmented by the
+    FORWARD N positions and, after every N crossing, resets its window
+    offset to seqlen - j instead of seqlen - k - j (savekmers.c:5443) --
+    later rc windows read k-1 positions past their nominal span including
+    the 2-bit zero padding past the sequence end.  The quirk is
+    observable in chain scores of N-containing reads and is kept for
+    byte parity.  cmer DBs keep the symmetric scan (no native quirk port
+    for the minimizer state machines)."""
     k = idx.kmersize
-    M, MM, U, W1 = rewards.M, rewards.MM, rewards.U, rewards.W1
+    M, MM = rewards.M, rewards.MM
     cur = rc_codes(codes) if rc_strand else codes
     if not exhaustive and not _quick_hit(idx, cur):
         return []
+    seqlen = len(codes)
+    W = seqlen - k + 1
+    if idx.flag & 3:
+        return _collect_ankers_sym(idx, codes, cur, rc_strand, rewards)
 
+    strand = cur
+    sN = np.flatnonzero(strand == 4)
+    if rc_strand:
+        aN = sorted((seqlen - 1 - int(p)) for p in sN)
+    else:
+        aN = [int(p) for p in sN]
+    aN.append(seqlen)
+
+    ankers: List[Anker] = []
+    last = -1
+    gaps = 0
+    Ms = MMs = 0
+    cur_anker: Optional[Anker] = None
+    j = 0
+    first_seg = True
+    kroll = (1 << (2 * k)) - 1
+    for ni in aN:
+        if j >= W:
+            break
+        end = ni - k + 1
+        key = 0
+        inited = False
+        while j < end:
+            if not inited:
+                if rc_strand:
+                    wpos = (seqlen - k - j) if first_seg else (seqlen - j)
+                    key = 0
+                    for t in range(k):
+                        p = wpos + t
+                        # reference qseq_r stores N as complement of the
+                        # packed 0 = 'T' (rc_comp, compdna.c:229-251);
+                        # past seqlen the shifted padding reads 'A'
+                        c = int(strand[p]) if 0 <= p < seqlen else 0
+                        key = (key << 2) | (3 if c > 3 else c)
+                else:
+                    key = 0
+                    for t in range(k):
+                        key = (key << 2) | (int(strand[j + t]) & 3)
+                    key &= kroll
+                inited = True
+            elif rc_strand:
+                wpos = (seqlen - k - j) if first_seg else (seqlen - j)
+                c = int(strand[wpos]) if 0 <= wpos < seqlen else 0
+                key = ((3 if c > 3 else c) << (2 * (k - 1))) | (key >> 2)
+            else:
+                c = int(strand[j + k - 1])
+                key = ((key << 2) | (c & 3)) & kroll
+            v = lookup_voff(idx, key)
+            if v >= 0:
+                if v == last and cur_anker is not None:
+                    if gaps == 0:
+                        Ms += 1
+                    elif gaps == k:
+                        Ms += k
+                        MMs += 1
+                    else:
+                        cur_anker.weight = Ms * M + MMs * MM
+                        cur_anker.end = j - gaps + k
+                        cur_anker = Anker()
+                        cur_anker.start = j
+                        cur_anker.voff = v
+                        ankers.append(cur_anker)
+                        Ms, MMs = k, 0
+                else:
+                    if cur_anker is not None:
+                        cur_anker.weight = Ms * M + MMs * MM
+                        cur_anker.end = j - gaps + k
+                    cur_anker = Anker()
+                    cur_anker.start = j
+                    cur_anker.voff = v
+                    ankers.append(cur_anker)
+                    last = v
+                    Ms, MMs = k, 0
+                gaps = 0
+            else:
+                gaps += 1
+            j += 1
+        gaps += ni + 1 - j
+        j = ni + 1
+        if rc_strand:
+            first_seg = False
+    if cur_anker is not None:
+        cur_anker.weight = Ms * M + MMs * MM
+        cur_anker.end = seqlen - gaps
+    return ankers
+
+
+def _collect_ankers_sym(idx: KmaIndex, codes: np.ndarray, cur: np.ndarray,
+                        rc_strand: bool, rewards: Penalties) -> List[Anker]:
+    """The pre-quirk symmetric scan, kept for cmer DBs (no reference
+    quirk port for the minimizer/HC window state machines)."""
+    k = idx.kmersize
+    M, MM = rewards.M, rewards.MM
     from ..io.seq import valid_kmer_mask
     from .scan import scan_keys
     kmers = scan_keys(idx, cur)
@@ -58,7 +160,6 @@ def _collect_ankers(idx: KmaIndex, codes: np.ndarray, rc_strand: bool,
     seqlen = len(codes)
     W = seqlen - k + 1
 
-    # hit stream in forward coordinates
     ankers: List[Anker] = []
     last = -1
     last_hit_j = 0
@@ -66,25 +167,11 @@ def _collect_ankers(idx: KmaIndex, codes: np.ndarray, rc_strand: bool,
     Ms = MMs = 0
     cur_anker: Optional[Anker] = None
 
-    # iterate forward positions; rc strand maps j -> rc index seqlen-k-j
-    if rc_strand:
-        # N segmentation follows the FORWARD read's N positions
-        # (savekmers.c:5370); a window in fw coords [j, j+k) is valid iff
-        # the corresponding rc window has no N, identical sets.
-        positions = range(W)
+    def km_at(j):
+        p = (seqlen - k - j) if rc_strand else j
+        return (int(kmers[p]), bool(valid[p]))
 
-        def km_at(j):
-            p = seqlen - k - j
-            return (int(kmers[p]), bool(valid[p]))
-    else:
-        positions = range(W)
-
-        def km_at(j):
-            return (int(kmers[j]), bool(valid[j]))
-
-    # walk fw windows with N-segment gap accounting: invalid windows are
-    # treated as misses but N-jumps add to gaps exactly like the reference
-    for j in positions:
+    for j in range(W):
         km, ok = km_at(j)
         v = lookup_voff(idx, km) if ok else -1
         if v >= 0:
@@ -96,7 +183,6 @@ def _collect_ankers(idx: KmaIndex, codes: np.ndarray, rc_strand: bool,
                     Ms += k
                     MMs += 1
                 else:
-                    # close current, open new with same list
                     cur_anker.weight = Ms * M + MMs * MM
                     cur_anker.end = j - gaps + k
                     cur_anker = Anker()
@@ -120,15 +206,8 @@ def _collect_ankers(idx: KmaIndex, codes: np.ndarray, rc_strand: bool,
     if cur_anker is not None:
         cur_anker.weight = Ms * M + MMs * MM
         if rc_strand:
-            # the fw-ascending rc formulation's own trailing rule
-            # (equivalent to the reference's rc-scan bookkeeping)
             cur_anker.end = seqlen - (gaps + k)
         else:
-            # trailing end = seqlen - gaps where gaps replays the
-            # reference's segmented tail (misses + N-jumps) and STOPS as
-            # soon as the window cursor passes seqend (savekmers.c:5255
-            # outer condition) -- trailing N-jumps past the last full
-            # window never count
             cur_anker.end = seqlen - _tail_gaps(cur, k, last_hit_j,
                                                 False, seqlen)
     return ankers

@@ -248,6 +248,149 @@ bool quick_hit_voff(int k, const uint8_t *s, int seqlen,
 // voff != nullptr supplies precomputed per-window values offsets (the
 // device chain scanner's TPU hash-lookup output); nullptr = native
 // lookups.
+// reference-shaped single-strand scan (savekmers.c:5221-5454) for plain
+// k-mer DBs.  Segments come from the FORWARD N positions on BOTH strands
+// (the rc scan is in forward notation); after every N crossing the rc
+// window offset resets to seqlen - j instead of seqlen - k - j
+// (savekmers.c:5443) so later rc windows read k-1 positions past their
+// nominal span, including the 2-bit zero padding past the sequence end.
+// That quirk is observable in chain scores of N-containing reads and is
+// reproduced verbatim for byte parity.
+static void collect_ankers_ref(const KIdx *x, const uint8_t *strand,
+                               int seqlen, bool rc_strand, bool exhaustive,
+                               std::vector<Anker> &out) {
+    const int k = x->k;
+    const int W = seqlen - k + 1;
+    // this strand's N positions (probe segments, savekmers.c:5240/5346)
+    static thread_local std::vector<int> sN;
+    sN.clear();
+    for (int i = 0; i < seqlen; ++i)
+        if (strand[i] > 3)
+            sN.push_back(i);
+    bool hit = exhaustive;
+    {
+        int j = 0;
+        size_t si = 0;
+        while (!hit) {
+            int endN = si < sN.size() ? sN[si] : seqlen;
+            int stop = endN - k + 1;
+            while (j < stop) {
+                uint64_t key = 0;
+                for (int t = 0; t < k; ++t)
+                    key = (key << 2) | (strand[j + t] & 3);
+                if (lookup_voff(x, key & x->kroll) >= 0) {
+                    hit = true;
+                    break;
+                }
+                j += k;
+            }
+            if (hit || endN == seqlen)
+                break;
+            j = endN + 1;
+            ++si;
+        }
+    }
+    if (!hit)
+        return;
+    // anker segments: forward N positions + the seqlen sentinel
+    static thread_local std::vector<int> aN;
+    aN.clear();
+    if (!rc_strand) {
+        aN = sN;
+    } else {
+        for (auto it = sN.rbegin(); it != sN.rend(); ++it)
+            aN.push_back(seqlen - 1 - *it);
+    }
+    aN.push_back(seqlen);
+    const int seqend = W;
+    int64_t last = -1;
+    int64_t Ms = 0, MMs = 0;
+    int gaps = 0;
+    int cur = -1;
+    int j = 0;
+    bool first_seg = true;
+    for (size_t si = 0; si < aN.size() && j < seqend; ++si) {
+        int end = aN[si] - k + 1;
+        uint64_t key = 0;
+        bool inited = false;
+        while (j < end) {
+            if (!inited) {
+                if (rc_strand) {
+                    int wpos = first_seg ? (seqlen - k - j) : (seqlen - j);
+                    key = 0;
+                    for (int t = 0; t < k; ++t) {
+                        int p = wpos + t;
+                        // the reference's qseq_r stores N as the
+                        // complement of the packed 0 = 'T' (rc_comp,
+                        // compdna.c:229-251); past seqlen the shifted
+                        // padding is 0 = 'A'
+                        uint8_t c = (p >= 0 && p < seqlen) ? strand[p] : 0;
+                        key = (key << 2) | (c > 3 ? 3 : c);
+                    }
+                } else {
+                    key = 0;
+                    for (int t = 0; t < k; ++t)
+                        key = (key << 2) | (strand[j + t] & 3);
+                    key &= x->kroll;
+                }
+                inited = true;
+            } else if (rc_strand) {
+                int wpos = first_seg ? (seqlen - k - j) : (seqlen - j);
+                uint8_t c = (wpos >= 0 && wpos < seqlen) ? strand[wpos] : 0;
+                key = ((uint64_t)(c > 3 ? 3 : c) << (2 * (k - 1)))
+                      | (key >> 2);
+            } else {
+                uint8_t c = strand[j + k - 1];
+                key = ((key << 2) | (c & 3)) & x->kroll;
+            }
+            int64_t v = lookup_voff(x, key);
+            if (v >= 0) {
+                if (v == last && cur >= 0) {
+                    if (gaps == 0) {
+                        Ms += 1;
+                    } else if (gaps == k) {
+                        Ms += k;
+                        MMs += 1;
+                    } else {
+                        out[cur].weight = Ms * x->M + MMs * x->MM;
+                        out[cur].end = j - gaps + k;
+                        out.push_back(Anker());
+                        cur = (int)out.size() - 1;
+                        out[cur].start = j;
+                        out[cur].voff = v;
+                        Ms = k;
+                        MMs = 0;
+                    }
+                } else {
+                    if (cur >= 0) {
+                        out[cur].weight = Ms * x->M + MMs * x->MM;
+                        out[cur].end = j - gaps + k;
+                    }
+                    out.push_back(Anker());
+                    cur = (int)out.size() - 1;
+                    out[cur].start = j;
+                    out[cur].voff = v;
+                    last = v;
+                    Ms = k;
+                    MMs = 0;
+                }
+                gaps = 0;
+            } else {
+                ++gaps;
+            }
+            ++j;
+        }
+        gaps += aN[si] + 1 - j;
+        j = aN[si] + 1;
+        if (rc_strand)
+            first_seg = false;
+    }
+    if (cur >= 0) {
+        out[cur].weight = Ms * x->M + MMs * x->MM;
+        out[cur].end = seqlen - gaps;
+    }
+}
+
 void collect_ankers(const KIdx *x, const uint8_t *strand, int seqlen,
                     bool rc_strand, bool exhaustive,
                     std::vector<uint64_t> &kmers, std::vector<uint8_t> &ok,
@@ -258,6 +401,10 @@ void collect_ankers(const KIdx *x, const uint8_t *strand, int seqlen,
     int W = seqlen - k + 1;
     if (W <= 0)
         return;
+    if (!voff && !x->cmode) {
+        collect_ankers_ref(x, strand, seqlen, rc_strand, exhaustive, out);
+        return;
+    }
     if (voff) {
         if (!exhaustive &&
             !quick_hit_voff(k, strand, seqlen, voff, rc_strand))
@@ -968,6 +1115,14 @@ int kchain_scan_read_v(void *h, const uint8_t *codes, int seqlen,
     if (seqlen < k)
         return 0;
 
+    // device-fed voffs use the symmetric window layout; N-containing
+    // reads need the host scan's reference-exact segment/quirk handling
+    // (collect_ankers_ref), so bypass the precomputed rows for them
+    if ((voff_f || voff_r) && !x->cmode
+            && memchr(codes, 4, (size_t)seqlen)) {
+        voff_f = nullptr;
+        voff_r = nullptr;
+    }
     collect_ankers(x, codes, seqlen, false, exhaustive != 0, c->kmers,
                    c->ok, c->VF, (const int64_t *)voff_f);
     c->rc.assign(codes, codes + seqlen);
