@@ -1557,7 +1557,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
     if (not collect and shard is None and _fused_pe
             and (input_files and input_files != ["--"] or pe_files)
             and not sparse_db and not cfg.ck and not cfg.hmm
-            and not cfg.mem_mode and scan_proxi is None and not cfg.sam
+            and scan_proxi is None and not cfg.sam
             and not cfg.xml and not cfg.boot and qc is None
             and device_stream is None
             and not os.environ.get("KMA_TPU_NO_FUSED")):

@@ -112,6 +112,7 @@ def get_lib():
         _vp, _u8p, _i64p, _u8p, _i64p, _u8p, _i64p, _u8p, _i64p,
         _u8p, _i64p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.krun_set_pe.argtypes = [_vp, ctypes.c_longlong]
+    lib.krun_set_mem.argtypes = [_vp, ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -162,6 +163,8 @@ class RunDriver:
         if not self._h:
             raise OSError("krun_create failed")
         lib.krun_set_pe(self._h, pen.PE)
+        if cfg.mem_mode:
+            lib.krun_set_mem(self._h, 1)
 
     def __del__(self):  # pragma: no cover - interpreter teardown
         try:

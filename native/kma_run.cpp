@@ -253,6 +253,7 @@ struct Run {
     ll contamination = -1;         // deCon pseudo-template id, -1 = none
     int n_threads = 1;
     ll pe_reward = 7;              // PE pair reward (kma.c:337)
+    int mem_mode = 0;              // -mem_mode: spool step-2 ankers directly
 
     // template store (.seq.b mmap)
     int seq_fd = -1;
@@ -657,6 +658,78 @@ static void scan_read_units(Run *R, Scratch &S, const uint8_t *q,
     }
 }
 
+
+
+// update_Scores_MEM / _pe_MEM (updatescores.c:26-107; pipeline.py
+// handle_mem_anker): candidates and score come straight from the anker.
+static void emit_mem_spool(Run *R, const SUnit &u,
+                           const std::vector<int32_t> &tpl_ids,
+                           const std::vector<int64_t> &tpl_offv, int i,
+                           const SUnit *mate, ll mate_score) {
+    Spool &sp = R->spool;
+    ll b = tpl_offv[i];
+    int n = (int)(tpl_offv[i + 1] - b);
+    ll best_read_score = u.sc < 0 ? -u.sc : u.sc;
+    int first_sel = (int)sp.tpl.size();
+    bool sparse_mark = false;
+    for (int t = 0; t < n; ++t) {
+        int32_t id = tpl_ids[b + t];
+        sp.tpl.push_back(id);
+        sp.starts.push_back(0);
+        sp.ends.push_back((int32_t)R->tlen[id < 0 ? -id : id]);
+    }
+    if (u.sc < 0 && n && tpl_ids[b + n - 1] > 0)
+        sparse_mark = true;   // Sparse marker (runkma.c:1124-1126)
+    ll score = best_read_score + (mate ? mate_score : 0);
+    if (n == 1) {
+        int t0 = sp.tpl[first_sel];
+        if (t0 < 0)
+            t0 = -t0;
+        R->alignment_scores[t0] += score;
+        R->uniq_alignment_scores[t0] += score;
+    } else {
+        for (int t = 0; t < n; ++t) {
+            int id = sp.tpl[first_sel + t];
+            R->alignment_scores[id < 0 ? -id : id] += score;
+        }
+    }
+    sp.t_off.push_back((ll)sp.tpl.size());
+    sp.q_len.push_back(u.q_len);
+    sp.flag.push_back(u.flag);
+    sp.best_hits.push_back(sparse_mark ? -n : n);
+    sp.score.push_back(mate ? -score : score);
+    sp.ord.push_back(u.ord);
+    sp.hdr.insert(sp.hdr.end(), u.hdr, u.hdr + u.hlen);
+    if (u.b0 >= 0 || u.b1 >= 0) {
+        sp.hdr.push_back(0);
+        int32_t bb[2] = {u.b0, u.b1};
+        const uint8_t *bp = (const uint8_t *)bb;
+        sp.hdr.insert(sp.hdr.end(), bp, bp + 8);
+    }
+    sp.hdr_off.push_back((ll)sp.hdr.size());
+    sp.cod.insert(sp.cod.end(), u.cod, u.cod + u.q_len);
+    sp.cod_off.push_back((ll)sp.cod.size());
+    if (mate) {
+        sp.mcod.insert(sp.mcod.end(), mate->cod, mate->cod + mate->q_len);
+        sp.mhdr.insert(sp.mhdr.end(), mate->hdr, mate->hdr + mate->hlen);
+        sp.mflag.push_back(mate->flag);
+    } else {
+        sp.mflag.push_back(-1);
+    }
+    sp.mcod_off.push_back((ll)sp.mcod.size());
+    sp.mhdr_off.push_back((ll)sp.mhdr.size());
+}
+
+
+static void emit_mem_spool_pair(Run *R, const SUnit &prim,
+                                const SUnit &mate, ll mate_score,
+                                const int32_t *tpl, int n_tpl) {
+    static thread_local std::vector<int32_t> ids;
+    static thread_local std::vector<int64_t> off;
+    ids.assign(tpl, tpl + n_tpl);
+    off.assign({0, (int64_t)n_tpl});
+    emit_mem_spool(R, prim, ids, off, 0, &mate, mate_score);
+}
 
 // ===================== paired-end machinery =============================
 //
@@ -1574,6 +1647,10 @@ void krun_set_pe(void *h, long long pe_reward) {
     ((Run *)h)->pe_reward = pe_reward;
 }
 
+void krun_set_mem(void *h, int mem_mode) {
+    ((Run *)h)->mem_mode = mem_mode;
+}
+
 // Map one batch of SE reads.  codes/headers are flat with [n+1] offsets;
 // ords[i] is read i's global ordinal (multi-host round-robin).  Spool
 // record order matches the reference: reads in input order, hits of one
@@ -1642,6 +1719,12 @@ long long krun_map_se_batch(void *hv, const uint8_t *codes_flat,
         return (ll)R->spool.size();
     R->t_build += _now() - _t0;
     _t0 = _now();
+    if (R->mem_mode) {
+        for (int i = 0; i < m; ++i)
+            emit_mem_spool(R, units[i], tpl_ids, tpl_offv, i, nullptr, 0);
+        R->t_spool += _now() - _t0;
+        return (ll)R->spool.size();
+    }
     SEOut o;
     score_se_batch(R, units, tpl_ids, tpl_offv, o);
     R->t_score += _now() - _t0;
@@ -1790,7 +1873,7 @@ long long krun_map_pe_batch(void *hv, const uint8_t *a_flat,
     struct PUnit {
         const uint8_t *c_a, *c_b, *h_a, *h_b;
         int la, lb, flag_a, flag_b;
-        ll hla, hlb, ord;
+        ll hla, hlb, ord, sc_a, sc_b;
         bool arc;
         ll tpl_base;
         int n_tpl;
@@ -1847,6 +1930,8 @@ long long krun_map_pe_batch(void *hv, const uint8_t *a_flat,
                     w.hlb = hb_off[pp.item + 1] - hb_off[pp.item];
                 }
                 w.ord = ords[pp.item];
+                w.sc_a = pp.sc_a;
+                w.sc_b = pp.sc_b;
                 w.arc = pp.sc_a < 0;
                 w.tpl_base = (ll)pe_tpl.size();
                 w.n_tpl = n_tpl;
@@ -1865,6 +1950,8 @@ long long krun_map_pe_batch(void *hv, const uint8_t *a_flat,
     if (!se_units.empty())
         score_se_batch(R, se_units, se_tpl, se_off, so);
     int np = (int)pairs.size();
+    if (R->mem_mode)
+        np = 0;   // mem mode spools ankers directly; no mate scoring
     std::vector<ll> psc1(pe_tpl.size()), psc2(pe_tpl.size());
     std::vector<int32_t> ppo1(pe_tpl.size()), pln1(pe_tpl.size()),
         ptg1(pe_tpl.size()), pqg1(pe_tpl.size()), ppo2(pe_tpl.size()),
@@ -1906,11 +1993,37 @@ long long krun_map_pe_batch(void *hv, const uint8_t *a_flat,
     for (auto &oe : g_order) {
         if (oe.first == 0) {
             int i = oe.second;
-            emit_se_spool(R, se_units[i], se_tpl, se_off, so, i);
+            if (R->mem_mode)
+                emit_mem_spool(R, se_units[i], se_tpl, se_off, i, nullptr,
+                               0);
+            else
+                emit_se_spool(R, se_units[i], se_tpl, se_off, so, i);
         } else {
             int i = oe.second;
             PUnit &w = pairs[i];
             ll b = pe_off[i];
+            if (R->mem_mode) {
+                // handle_mem_anker with mate (updatescores.c:64-107)
+                SUnit prim, mate;
+                prim.cod = w.c_a;
+                prim.q_len = w.la;
+                prim.flag = w.flag_a;
+                prim.hdr = w.h_a;
+                prim.hlen = w.hla;
+                prim.sc = w.sc_a;
+                prim.b0 = prim.b1 = -1;
+                prim.ord = w.ord;
+                mate.cod = w.c_b;
+                mate.q_len = w.lb;
+                mate.flag = w.flag_b;
+                mate.hdr = w.h_b;
+                mate.hlen = w.hlb;
+                // synthesize a one-pair offset view
+                emit_mem_spool_pair(R, prim, mate,
+                                    w.sc_b < 0 ? -w.sc_b : w.sc_b,
+                                    pe_tpl.data() + b, w.n_tpl);
+                continue;
+            }
             apply_pe_pair(R, fpm, w.c_a, w.la, w.c_b, w.lb, w.h_a, w.hla,
                           w.h_b, w.hlb, w.flag_a, w.flag_b, w.arc,
                           pe_tpl.data() + b, w.n_tpl, psc1.data() + b,
