@@ -1,18 +1,24 @@
-"""Benchmark: step-2 mapping scan throughput on one chip.
+"""Benchmark: the five BASELINE.md configs + the device scan headline.
 
-Maps synthetic 100bp reads against the ResFinder database (the reference's
-own benchmark recipe, benchmarkCMDs/benchMarkCMDs.txt) with the -1t1
-scanner and measures reads/sec through the PRODUCTION device scanner
-(mapping/scan_dense.DenseScanner -- the same object pipeline.py uses for
-`kma ... -1t1`), compared against the reference kma binary's
-single-thread `-s2` stage on this host's CPU.
+Measures, on this host:
+  1. se_1t1      -- 20k x 100bp SE reads vs ResFinder, -1t1
+  2. pe_apm      -- 10k pairs (insert 205), -apm p
+  3. ont_bcnano  -- 2k chimeric long reads, -bcNano -bc 0.7
+  4. ont_mem     -- same long reads, -mem_mode
+  5. mh_scaling  -- 2-process jax.distributed CPU run, reads/s efficiency
+plus the TPU step-2 scan throughput (DenseScanner) with a host-parity
+assertion (the device result must match the host scanner on the same
+reads; a mismatch zeroes the metric).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Every e2e config runs the reference binary and our CLI as subprocesses
+(-t 1, byte-compared .res) and reports reads/s for both.  The final line
+is ONE JSON object: the headline device-scan metric with a "configs" map
+carrying every other row.
 """
 
 import json
 import os
+import socket
 import subprocess
 import sys
 import time
@@ -24,20 +30,110 @@ REPO = Path(__file__).resolve().parent
 REF_BUILD = REPO / ".ref_build"
 TESTDATA = REPO / "testdata"
 N_READS = 20000
+N_PAIRS = 10000
+N_ONT = 2000
 READ_LEN = 100
 BATCH = 4096
 
 
 def _precompile():
-    """PYTHONDONTWRITEBYTECODE is set in this environment, so imports
-    re-compile the package every run (~2.5 s of wall); a one-time
-    compileall gives every later python a readable __pycache__."""
     try:
         import compileall
         sys.dont_write_bytecode = False
         compileall.compile_dir(str(REPO / "kma_tpu"), quiet=2)
     except Exception:
         pass
+
+
+def _gen_se(resf, reads):
+    from kma_tpu.io.seq import parse_fasta
+    rng = np.random.default_rng(7)
+    recs = list(parse_fasta(str(resf)))
+    comp = np.array([3, 2, 1, 0, 4, 5], dtype=np.uint8)
+    with open(reads, "w") as f:
+        n = 0
+        while n < N_READS:
+            _h, codes = recs[rng.integers(len(recs))]
+            if len(codes) <= READ_LEN + 1:
+                continue
+            s = int(rng.integers(0, len(codes) - READ_LEN))
+            r = codes[s: s + READ_LEN].copy()
+            ne = rng.binomial(READ_LEN, 0.01)
+            pos = rng.integers(0, READ_LEN, ne)
+            r[pos] = (r[pos] + rng.integers(1, 4, ne)) % 4
+            if rng.random() < 0.5:
+                r = comp[r[::-1]]
+            f.write("@r%d\n%s\n+\n%s\n"
+                    % (n, "".join("ACGTN"[c] for c in r), "I" * READ_LEN))
+            n += 1
+
+
+def _gen_pe(resf, r1p, r2p):
+    from kma_tpu.io.seq import parse_fasta
+    rng = np.random.default_rng(11)
+    recs = list(parse_fasta(str(resf)))
+    comp = np.array([3, 2, 1, 0, 4, 5], dtype=np.uint8)
+    INS = 205
+    with open(r1p, "w") as f1, open(r2p, "w") as f2:
+        n = 0
+        while n < N_PAIRS:
+            _h, codes = recs[rng.integers(len(recs))]
+            if len(codes) <= INS + 2:
+                continue
+            s = int(rng.integers(0, len(codes) - INS))
+            frag = codes[s:s + INS]
+            r1 = frag[:READ_LEN].copy()
+            r2 = comp[frag[-READ_LEN:][::-1]].copy()
+            for r in (r1, r2):
+                ne = rng.binomial(READ_LEN, 0.01)
+                pos = rng.integers(0, READ_LEN, ne)
+                r[pos] = (r[pos] + rng.integers(1, 4, ne)) % 4
+            f1.write("@p%d/1\n%s\n+\n%s\n"
+                     % (n, "".join("ACGTN"[c] for c in r1),
+                        "I" * READ_LEN))
+            f2.write("@p%d/2\n%s\n+\n%s\n"
+                     % (n, "".join("ACGTN"[c] for c in r2),
+                        "I" * READ_LEN))
+            n += 1
+
+
+def _gen_ont(resf, reads):
+    from kma_tpu.io.seq import parse_fasta
+    rng = np.random.default_rng(23)
+    recs = [r for r in parse_fasta(str(resf)) if len(r[1]) > 320]
+    comp = np.array([3, 2, 1, 0, 4, 5], dtype=np.uint8)
+    with open(reads, "w") as f:
+        n = 0
+        while n < N_ONT:
+            parts = []
+            for _ in range(int(rng.integers(1, 4))):
+                _h, codes = recs[rng.integers(len(recs))]
+                hi = min(1200, len(codes))
+                L = int(rng.integers(300, hi)) if hi > 300 else hi
+                s = int(rng.integers(0, len(codes) - L + 1))
+                frag = codes[s:s + L].copy()
+                if rng.random() < 0.5:
+                    frag = comp[frag[::-1]]
+                parts.append(frag)
+            r = np.concatenate(parts)
+            out = []
+            for c in r:
+                x = rng.random()
+                if x < 0.02:
+                    out.append((c + rng.integers(1, 4)) % 4)
+                elif x < 0.035:
+                    out.append(c)
+                    out.append(rng.integers(0, 4))
+                elif x < 0.05:
+                    pass
+                else:
+                    out.append(c)
+            r = np.array(out, np.uint8)
+            if len(r) < 100:
+                continue
+            f.write("@n%d\n%s\n+\n%s\n"
+                    % (n, "".join("ACGTN"[c] for c in r), "I" * len(r)))
+            n += 1
 
 
 def ensure_assets():
@@ -51,49 +147,101 @@ def ensure_assets():
     if not (db_prefix.with_suffix(".comp.b")).exists() and resf.exists():
         from kma_tpu.index.build import build_index
         build_index([str(resf)], str(db_prefix), quiet=True)
-    reads = TESTDATA / "bench_reads.fq"
-    if not reads.exists() and resf.exists():
-        from kma_tpu.io.seq import parse_fasta
-        rng = np.random.default_rng(7)
-        recs = list(parse_fasta(str(resf)))
-        comp = np.array([3, 2, 1, 0, 4, 5], dtype=np.uint8)
-        with open(reads, "w") as f:
-            n = 0
-            while n < N_READS:
-                _h, codes = recs[rng.integers(len(recs))]
-                if len(codes) <= READ_LEN + 1:
-                    continue
-                s = int(rng.integers(0, len(codes) - READ_LEN))
-                r = codes[s: s + READ_LEN].copy()
-                ne = rng.binomial(READ_LEN, 0.01)
-                pos = rng.integers(0, READ_LEN, ne)
-                r[pos] = (r[pos] + rng.integers(1, 4, ne)) % 4
-                if rng.random() < 0.5:
-                    r = comp[r[::-1]]
-                f.write("@r%d\n%s\n+\n%s\n"
-                        % (n, "".join("ACGTN"[c] for c in r),
-                           "I" * READ_LEN))
-                n += 1
-    return have_ref, str(db_prefix), str(reads)
+    if resf.exists():
+        if not (TESTDATA / "bench_reads.fq").exists():
+            _gen_se(resf, TESTDATA / "bench_reads.fq")
+        if not (TESTDATA / "bench_reads_pe_1.fq").exists():
+            _gen_pe(resf, TESTDATA / "bench_reads_pe_1.fq",
+                    TESTDATA / "bench_reads_pe_2.fq")
+        if not (TESTDATA / "bench_reads_ont.fq").exists():
+            _gen_ont(resf, TESTDATA / "bench_reads_ont.fq")
+    return have_ref, str(db_prefix)
 
 
-def baseline_reads_per_sec(db_prefix, reads):
-    """Reference kma -s2 single-thread on this host's CPU."""
-    kma = REF_BUILD / "kma"
-    if not kma.exists():
-        return None
+def _run_wall(cmd, env=None):
     t0 = time.time()
-    with open(os.devnull, "wb") as devnull:
-        subprocess.run([str(kma), "-i", reads, "-o", "/dev/null", "-t_db",
-                        db_prefix, "-1t1", "-s2"], stdout=devnull,
-                       stderr=devnull, check=True)
-    dt = time.time() - t0
-    return N_READS / dt
+    r = subprocess.run(cmd, stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL, env=env)
+    return time.time() - t0, r.returncode
+
+
+def e2e_config(name, n_frags, ref_args, my_args, out_ref, out_my):
+    """One e2e row: best-of-2 subprocess walls, byte-compared .res."""
+    kma = REF_BUILD / "kma"
+    row = {"n": n_frags}
+    if kma.exists():
+        ref = min(_run_wall([str(kma)] + ref_args)[0] for _ in range(2))
+        row["ref_wall_s"] = round(ref, 3)
+        row["ref_reads_per_sec"] = round(n_frags / ref, 1)
+    my = min(_run_wall([sys.executable, "-m", "kma_tpu"] + my_args)[0]
+             for _ in range(2))
+    row["wall_s"] = round(my, 3)
+    row["reads_per_sec"] = round(n_frags / my, 1)
+    if kma.exists():
+        row["vs_ref"] = round(row["reads_per_sec"]
+                              / row["ref_reads_per_sec"], 3)
+        parity = Path(out_ref + ".res").read_bytes() \
+            == Path(out_my + ".res").read_bytes()
+        row["parity"] = bool(parity)
+        if not parity:
+            row["reads_per_sec"] = 0.0
+            row["vs_ref"] = 0.0
+            print(f"# PARITY FAILURE in {name}", file=sys.stderr)
+    print("# %s: %s" % (name, json.dumps(row)), file=sys.stderr)
+    return row
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def mh_scaling(db_prefix):
+    """2-process jax.distributed CPU run vs the 1-process run of the SAME
+    runtime path (-mh collect/merge), reads/s efficiency."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    reads = str(TESTDATA / "bench_reads.fq")
+
+    def run_n(nproc):
+        port = _free_port()
+        out = "/tmp/bench_mh%d" % nproc
+        t0 = time.time()
+        procs = [subprocess.Popen(
+            [sys.executable, "-m", "kma_tpu", "-i", reads, "-t_db",
+             db_prefix, "-o", out, "-1t1", "-mh",
+             "127.0.0.1:%d,%d,%d" % (port, nproc, pid)],
+            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            for pid in range(nproc)]
+        for p in procs:
+            p.wait(timeout=600)
+        dt = time.time() - t0
+        ok = all(p.returncode == 0 for p in procs)
+        return dt, ok
+
+    t1, ok1 = run_n(1)
+    t2, ok2 = run_n(2)
+    row = {"n": N_READS, "wall_1proc_s": round(t1, 2),
+           "wall_2proc_s": round(t2, 2)}
+    if ok1 and ok2:
+        # efficiency: per-process throughput retained going 1 -> 2 procs
+        # on one host (ICI/DCN-free lower bound; same runtime path)
+        row["efficiency"] = round(t1 / t2, 3)
+        parity = Path("/tmp/bench_mh1.res").read_bytes() \
+            == Path("/tmp/bench_mh2.res").read_bytes()
+        row["parity"] = bool(parity)
+    else:
+        row["error"] = "multihost run failed"
+    print("# mh_scaling: %s" % json.dumps(row), file=sys.stderr)
+    return row
 
 
 def _device_alive(timeout: int = 180) -> bool:
-    """Probe jax backend init in a SUBPROCESS: with the axon tunnel dead,
-    any in-process jax call hangs forever rather than failing."""
     try:
         r = subprocess.run(
             [sys.executable, "-c",
@@ -104,23 +252,13 @@ def _device_alive(timeout: int = 180) -> bool:
         return False
 
 
-def main():
-    have_ref, db_prefix, reads = ensure_assets()
-    if not _device_alive():
-        # emit a marker instead of hanging the round on a dead tunnel
-        print("# device backend unreachable; bench skipped",
-              file=sys.stderr)
-        print(json.dumps({
-            "metric": "mapping_scan_reads_per_sec",
-            "value": 0.0,
-            "unit": "reads/s/chip (100bp vs ResFinder, -1t1 step2)",
-            "vs_baseline": 0.0,
-            "note": "device backend unreachable (tunnel down)",
-        }))
-        return
+def device_scan(db_prefix, reads, have_ref):
+    """Headline: DenseScanner reads/s on the chip, asserted against the
+    host scanner result on the same reads."""
     from kma_tpu.config import Penalties
     from kma_tpu.index.format import load_index
     from kma_tpu.io.pipeline import iter_reads
+    from kma_tpu.mapping.scan import SaveKmersScanner
     from kma_tpu.mapping.scan_dense import DenseScanner
 
     idx = load_index(db_prefix)
@@ -137,7 +275,6 @@ def main():
         codes[i, : len(rs[i].codes)] = rs[i].codes
         lengths[i] = len(rs[i].codes)
 
-    # warmup / compile both tier kernels (tier 1 via a tiny forced rescan)
     dev.scan_reads(codes[:BATCH], lengths[:BATCH])
     dummy = np.zeros(N, bool)
     dev._rescan_wide(codes, lengths, np.array([0]), np.zeros(N, np.int32),
@@ -145,29 +282,119 @@ def main():
 
     best = 0.0
     residual = 0
+    scores = modes = tid_lists = None
     for _ in range(3):
         t0 = time.time()
         scores, modes, tid_lists, over = dev.scan_reads(codes, lengths)
         dt = time.time() - t0
         best = max(best, N / dt)
         residual = int(over.sum())
-    if residual:
-        print(f"# residual host-fallback reads: {residual}/{N}",
-              file=sys.stderr)
 
-    # best-of-3 for the CPU baseline too: host load jitter otherwise
-    # swings vs_baseline by +-30%
+    # on-chip parity assertion vs the host scanner (sampled)
+    parity = True
+    host = SaveKmersScanner(idx, pen)
+    rng = np.random.default_rng(3)
+    sample = rng.choice(N, size=min(500, N), replace=False)
+    for i in sample.tolist():
+        hit = host.scan(rs[i].codes, rs[i].n_positions, rs[i].header)
+        if hit is None:
+            if int(scores[i]) > 0 and int(modes[i]) >= 0 \
+                    and tid_lists[i] is not None and len(tid_lists[i]):
+                parity = False
+                break
+            continue
+        dev_t = tid_lists[i]
+        if dev_t is None or int(scores[i]) != abs(int(hit.rc_flag)) \
+                or list(np.asarray(dev_t).tolist()) \
+                != list(np.asarray(hit.templates).tolist()):
+            parity = False
+            print(f"# device/host scan mismatch at read {i}: "
+                  f"dev score={int(scores[i])} tids={dev_t} vs host "
+                  f"rc_flag={hit.rc_flag} tids={hit.templates}",
+                  file=sys.stderr)
+            break
+
     base = None
     if have_ref:
-        base = max(baseline_reads_per_sec(db_prefix, reads)
-                   for _ in range(3))
+        kma = REF_BUILD / "kma"
+        base = 0.0
+        for _ in range(3):
+            t0 = time.time()
+            subprocess.run([str(kma), "-i", reads, "-o", "/dev/null",
+                            "-t_db", db_prefix, "-1t1", "-s2"],
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL, check=True)
+            base = max(base, N_READS / (time.time() - t0))
+    return best, base, residual, parity
+
+
+def main():
+    have_ref, db_prefix = ensure_assets()
+    reads = str(TESTDATA / "bench_reads.fq")
+    pe1 = str(TESTDATA / "bench_reads_pe_1.fq")
+    pe2 = str(TESTDATA / "bench_reads_pe_2.fq")
+    ont = str(TESTDATA / "bench_reads_ont.fq")
+
+    configs = {}
+    configs["se_1t1"] = e2e_config(
+        "se_1t1", N_READS,
+        ["-i", reads, "-t_db", db_prefix, "-o", "/tmp/bref1", "-1t1",
+         "-t", "1"],
+        ["-i", reads, "-t_db", db_prefix, "-o", "/tmp/bmy1", "-1t1",
+         "-t", "1", "-device", "off"],
+        "/tmp/bref1", "/tmp/bmy1")
+    configs["pe_apm"] = e2e_config(
+        "pe_apm", N_PAIRS,
+        ["-ipe", pe1, pe2, "-t_db", db_prefix, "-o", "/tmp/bref2",
+         "-apm", "p", "-t", "1"],
+        ["-ipe", pe1, pe2, "-t_db", db_prefix, "-o", "/tmp/bmy2",
+         "-apm", "p", "-t", "1", "-device", "off"],
+        "/tmp/bref2", "/tmp/bmy2")
+    configs["ont_bcnano"] = e2e_config(
+        "ont_bcnano", N_ONT,
+        ["-i", ont, "-t_db", db_prefix, "-o", "/tmp/bref3", "-bcNano",
+         "-bc", "0.7", "-t", "1"],
+        ["-i", ont, "-t_db", db_prefix, "-o", "/tmp/bmy3", "-bcNano",
+         "-bc", "0.7", "-t", "1", "-device", "off"],
+        "/tmp/bref3", "/tmp/bmy3")
+    configs["ont_mem"] = e2e_config(
+        "ont_mem", N_ONT,
+        ["-i", ont, "-t_db", db_prefix, "-o", "/tmp/bref4", "-mem_mode",
+         "-t", "1"],
+        ["-i", ont, "-t_db", db_prefix, "-o", "/tmp/bmy4", "-mem_mode",
+         "-t", "1", "-device", "off"],
+        "/tmp/bref4", "/tmp/bmy4")
+    try:
+        configs["mh_scaling"] = mh_scaling(db_prefix)
+    except Exception as e:  # pragma: no cover - never block the headline
+        configs["mh_scaling"] = {"error": str(e)[:200]}
+        print("# mh_scaling failed: %s" % e, file=sys.stderr)
+
+    if not _device_alive():
+        print("# device backend unreachable; scan metric skipped",
+              file=sys.stderr)
+        print(json.dumps({
+            "metric": "mapping_scan_reads_per_sec",
+            "value": 0.0,
+            "unit": "reads/s/chip (100bp vs ResFinder, -1t1 step2)",
+            "vs_baseline": 0.0,
+            "note": "device backend unreachable (tunnel down)",
+            "configs": configs,
+        }))
+        return
+
+    best, base, residual, parity = device_scan(db_prefix, reads, have_ref)
     vs = best / base if base else 0.0
-    print(json.dumps({
+    out = {
         "metric": "mapping_scan_reads_per_sec",
-        "value": round(best, 1),
+        "value": round(best, 1) if parity else 0.0,
         "unit": "reads/s/chip (100bp vs ResFinder, -1t1 step2)",
-        "vs_baseline": round(vs, 4),
-    }))
+        "vs_baseline": round(vs, 4) if parity else 0.0,
+        "device_host_parity": parity,
+        "residual_host_fallback": residual,
+        "configs": configs,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
