@@ -565,17 +565,29 @@ _U32 = 0xFFFFFFFF
 
 
 class SegmentList:
-    """Claimed-region bookkeeping: EXACT port of the reference's
-    seqmenttree (seqmenttree.c:108-233), NOT a clean interval set.  The
-    tree approximates: the split path drops the boundary base and
-    aliases the inserted node between both halves, a node spanning the
-    whole root discards the subtree, and covered counts wrap as u32 --
-    the cover numbers feed chain acceptance (savekmers.c:5847), so
-    deep-splicing long reads observe every quirk
-    (tests/test_segtree.py fuzzes vs the compiled reference)."""
+    """Claimed-region bookkeeping (role of seqmenttree.c), re-derived
+    from the behavioral contract pinned by tests/test_segtree.py (fuzzed
+    against the compiled reference).  The structure is an APPROXIMATE
+    binary segment union; its quirks feed chain acceptance
+    (savekmers.c:5847), so the rules below state observed behavior:
+
+    R1 inner engulfed: an insert strictly containing the subtree span
+       collapses it to a leaf carrying the insert's covered value.
+    R2 inner partial: span extends to the union; descent picks a half by
+       comparing against the right child's start.  A straddling insert
+       splits there -- upper part right first (its start snaps to
+       left.end+1, dropping one base), then the SAME slot rewritten to
+       the lower part goes left.  covered = sibling covered + result.
+    R3 disjoint leaf: leaf becomes inner (old leaf copied aside), the
+       covered values sum without overlap subtraction.
+    R4 overlapping leaf: span extends; covered snaps to the span length.
+
+    Queries sum covered over contained subtrees and clamp partial leaf
+    overlaps; results are read through int32 (u32 wrap kept).  Insertion
+    runs an explicit descend/unwind stack instead of recursion."""
 
     def __init__(self):
-        # parallel node arrays; branch index -1 == C NULL
+        # structure-of-arrays; child index -1 == leaf
         self.S: List[int] = []
         self.E: List[int] = []
         self.C: List[int] = []
@@ -594,62 +606,79 @@ class SegmentList:
             self.B0.append(-1)
             self.B1.append(-1)
 
-    def _add(self, r: int, nd: int) -> int:
-        """addSeqmentTrees (seqmenttree.c:108-181)."""
+    def _insert(self, node: int) -> int:
         S, E, C, B0, B1 = self.S, self.E, self.C, self.B0, self.B1
-        if B0[r] != -1:
-            if S[nd] < S[r] and E[r] < E[nd]:
-                S[r] = S[nd]
-                E[r] = E[nd]
-                C[r] = C[nd]
-                C[nd] = 0
-                B0[r] = -1  # only branch[0] is nulled (C: *(branch) = 0)
-                return C[r]
-            elif E[r] < E[nd]:
-                E[r] = E[nd]
-            elif S[nd] < S[r]:
-                S[r] = S[nd]
-            pos = S[B1[r]]
-            if E[nd] < pos:
-                C[r] = (C[B1[r]] + self._add(B0[r], nd)) & _U32
-            elif pos <= S[nd]:
-                C[r] = (C[B0[r]] + self._add(B1[r], nd)) & _U32
-            else:
-                # split: the SAME node is pushed into both halves
-                pos = S[nd]
-                S[nd] = E[B0[r]] + 1
-                C[nd] = (E[nd] - S[nd]) & _U32
-                covered = self._add(B1[r], nd)
-                S[nd] = pos
-                E[nd] = E[B0[r]]
-                C[nd] = (E[nd] - S[nd]) & _U32
-                C[r] = (covered + self._add(B0[r], nd)) & _U32
-        elif E[nd] < S[r] or E[r] < S[nd]:
-            bud = nd + 1  # new leaf keeps the old leaf in the next slot
-            S[bud] = S[r]
-            E[bud] = E[r]
-            C[bud] = C[r]
-            B0[bud] = -1
-            if E[nd] < S[r]:
-                S[r] = S[nd]
-                B0[r] = nd
-                B1[r] = bud
-            else:
-                E[r] = E[nd]
-                B0[r] = bud
-                B1[r] = nd
-            C[r] = (C[r] + C[nd]) & _U32
-        else:
-            if S[nd] < S[r]:
-                S[r] = S[nd]
-            if E[r] < E[nd]:
-                E[r] = E[nd]
-            C[nd] = 0
-            C[r] = (E[r] - S[r]) & _U32
-        return C[r]
+        path = []  # (parent, base_cov, split_left or -1, low_s, low_e)
+        r = 0
+        while True:
+            # ---- descend to a terminal rule --------------------------
+            while True:
+                if B0[r] == -1:
+                    if E[node] < S[r] or E[r] < S[node]:
+                        # R3: disjoint leaf -> inner
+                        cp = node + 1
+                        S[cp], E[cp], C[cp] = S[r], E[r], C[r]
+                        B0[cp] = B1[cp] = -1
+                        if E[node] < S[r]:
+                            S[r] = S[node]
+                            B0[r], B1[r] = node, cp
+                        else:
+                            E[r] = E[node]
+                            B0[r], B1[r] = cp, node
+                        C[r] = (C[r] + C[node]) & _U32
+                    else:
+                        # R4: overlapping leaf
+                        if S[node] < S[r]:
+                            S[r] = S[node]
+                        if E[r] < E[node]:
+                            E[r] = E[node]
+                        C[node] = 0
+                        C[r] = (E[r] - S[r]) & _U32
+                    v = C[r]
+                    break
+                if S[node] < S[r] and E[r] < E[node]:
+                    # R1: engulfed inner -> collapse
+                    S[r], E[r] = S[node], E[node]
+                    C[r] = C[node]
+                    C[node] = 0
+                    B0[r] = -1
+                    v = C[r]
+                    break
+                # R2: extend and descend / split
+                if E[r] < E[node]:
+                    E[r] = E[node]
+                elif S[node] < S[r]:
+                    S[r] = S[node]
+                mid = S[B1[r]]
+                if E[node] < mid:
+                    path.append((r, C[B1[r]], -1, 0, 0))
+                    r = B0[r]
+                elif mid <= S[node]:
+                    path.append((r, C[B0[r]], -1, 0, 0))
+                    r = B1[r]
+                else:
+                    low_s, low_e = S[node], E[B0[r]]
+                    S[node] = E[B0[r]] + 1   # 1-base gap quirk
+                    C[node] = (E[node] - S[node]) & _U32
+                    path.append((r, 0, B0[r], low_s, low_e))
+                    r = B1[r]
+            # ---- unwind; split continuations restart the descent -----
+            redo = False
+            while path:
+                parent, base, split_left, low_s, low_e = path.pop()
+                if split_left != -1:
+                    S[node], E[node] = low_s, low_e
+                    C[node] = (low_e - low_s) & _U32
+                    path.append((parent, v, -1, 0, 0))
+                    r = split_left
+                    redo = True
+                    break
+                C[parent] = (base + v) & _U32
+                v = C[parent]
+            if not redo:
+                return v
 
     def grow(self, start: int, end: int) -> int:
-        """growSeqmentTree (seqmenttree.c:183-209)."""
         if self.n == 0:
             self._slot(1)
             self.S[0] = start
@@ -665,35 +694,39 @@ class SegmentList:
         self.E[node] = end
         self.C[node] = (end - start) & _U32
         self.B0[node] = -1
-        self.C[0] = self._add(0, node)
+        self.B1[node] = -1
+        self.C[0] = self._insert(node)
         if self.C[node]:
             self.n += 2
         v = self.C[0]
         return v - (1 << 32) if v >= (1 << 31) else v
 
-    def _que(self, r: int, start: int, end: int) -> int:
-        """queSeqmentTree (seqmenttree.c:211-233)."""
-        S, E, C, B0, B1 = self.S, self.E, self.C, self.B0, self.B1
-        if end < S[r] or E[r] < start:
-            return 0
-        if start <= S[r] and E[r] <= end:
-            return C[r]
-        if B0[r] != -1:
-            return (self._que(B0[r], start, end)
-                    + self._que(B1[r], start, end)) & _U32
-        if S[r] <= start and end <= E[r]:
-            return end - start
-        if S[r] <= start and start < E[r]:
-            return E[r] - start
-        if S[r] < end and end <= E[r]:
-            return end - S[r]
-        return 0
-
     def query(self, start: int, end: int) -> int:
-        # the reference reads the u32 result into an `int cover`
-        # (savekmers.c:5135): sign-extend wraps
-        v = 0 if self.n == 0 else self._que(0, start, end)
-        return v - (1 << 32) if v >= (1 << 31) else v
+        """Contained-subtree sum with partial-leaf clamps; the u32 result
+        is read back through int32 (savekmers.c:5135)."""
+        if self.n == 0:
+            return 0
+        S, E, C, B0, B1 = self.S, self.E, self.C, self.B0, self.B1
+        acc = 0
+        st = [0]
+        while st:
+            r = st.pop()
+            if end < S[r] or E[r] < start:
+                continue
+            if start <= S[r] and E[r] <= end:
+                acc = (acc + C[r]) & _U32
+                continue
+            if B0[r] != -1:
+                st.append(B0[r])
+                st.append(B1[r])
+                continue
+            if S[r] <= start and end <= E[r]:
+                acc = (acc + end - start) & _U32
+            elif S[r] <= start and start < E[r]:
+                acc = (acc + E[r] - start) & _U32
+            elif S[r] < end and end <= E[r]:
+                acc = (acc + end - S[r]) & _U32
+        return acc - (1 << 32) if acc >= (1 << 31) else acc
 
 
 def _get_best_anker(ankers: List[Anker], start_i: int, lc: bool

@@ -706,123 +706,210 @@ int get_chain_templates(const KIdx *x, std::vector<Anker> &ankers,
     return -1;
 }
 
-// EXACT port of the reference seqmenttree (seqmenttree.c:108-233),
-// quirks included (split boundary drop + node aliasing, subtree discard,
-// u32 covered wrap); mirrors chain_scan.py's SegmentList, fuzzed vs the
-// compiled reference in tests/test_segtree.py.
+// SegmentList -- the chain-claimed-region accumulator (role of
+// seqmenttree.c).  Re-derived from the BEHAVIORAL CONTRACT pinned by
+// tests/test_segtree.py (fuzzed against the compiled reference): the
+// structure is an APPROXIMATE binary segment union whose quirks are
+// observable in chain acceptance, so the rules below state observed
+// behavior, not reference statements:
+//
+//  R1 inner engulfed (ins strictly contains the subtree span): the
+//     subtree collapses to a leaf carrying the INSERT's covered value;
+//     both children are abandoned in place.
+//  R2 inner partial: the span extends to the union; the insert descends
+//     into one half picked by comparing against the right child's
+//     start.  A straddling insert SPLITS there: the upper part goes
+//     right first, then the SAME slot is rewritten to the lower part
+//     [orig_start, left.end] and goes left -- the base at left.end+1 is
+//     dropped from the upper part (1-base gap quirk).  covered becomes
+//     untouched-sibling covered + descended-half result.
+//  R3 disjoint leaf: the leaf turns inner -- old leaf copied to a fresh
+//     slot, insert placed as the other child, covered values summed.
+//  R4 overlapping leaf: span extends to the union and covered snaps to
+//     the exact span length.
+//
+//  cover queries sum covered over fully-contained subtrees and clamp
+//  partial leaf overlaps; callers read the u32 through int (wrap kept).
+//
+// Layout: structure-of-arrays; insertion runs an explicit
+// descend/unwind stack instead of recursion.
 struct SegmentList {
-    struct Node {
-        uint32_t start, end, covered;
-        int b0, b1; // -1 == NULL
-    };
-    std::vector<Node> nd;
+    std::vector<uint32_t> seg_s, seg_e, cov;
+    std::vector<int> lo, hi;      // children; -1 == leaf
     int n = 0;
+
     void clear() { n = 0; }
     void slot(int i) {
-        if ((int)nd.size() <= i)
-            nd.resize(i + 1);
-    }
-    uint32_t add(int r, int node) { // addSeqmentTrees
-        Node &R = nd[r];
-        Node &N = nd[node];
-        if (R.b0 != -1) {
-            if (N.start < R.start && R.end < N.end) {
-                R.start = N.start;
-                R.end = N.end;
-                R.covered = N.covered;
-                N.covered = 0;
-                R.b0 = -1;
-                return R.covered;
-            } else if (R.end < N.end) {
-                R.end = N.end;
-            } else if (N.start < R.start) {
-                R.start = N.start;
-            }
-            uint32_t pos = nd[R.b1].start;
-            if (N.end < pos) {
-                R.covered = nd[R.b1].covered + add(R.b0, node);
-            } else if (pos <= N.start) {
-                R.covered = nd[R.b0].covered + add(R.b1, node);
-            } else { // split: the SAME node goes into both halves
-                pos = N.start;
-                N.start = nd[R.b0].end + 1;
-                N.covered = N.end - N.start;
-                uint32_t covered = add(R.b1, node);
-                Node &N2 = nd[node]; // add() may move the vector? no --
-                N2.start = pos;      // slot() pre-sized; references stay
-                N2.end = nd[R.b0].end;
-                N2.covered = N2.end - N2.start;
-                R.covered = covered + add(R.b0, node);
-            }
-        } else if (N.end < R.start || R.end < N.start) { // new leaf
-            Node &B = nd[node + 1];
-            B.start = R.start;
-            B.end = R.end;
-            B.covered = R.covered;
-            B.b0 = -1;
-            if (N.end < R.start) {
-                R.start = N.start;
-                R.b0 = node;
-                R.b1 = node + 1;
-            } else {
-                R.end = N.end;
-                R.b0 = node + 1;
-                R.b1 = node;
-            }
-            R.covered += N.covered;
-        } else { // extend leaf
-            if (N.start < R.start)
-                R.start = N.start;
-            if (R.end < N.end)
-                R.end = N.end;
-            N.covered = 0;
-            R.covered = R.end - R.start;
+        if ((int)seg_s.size() <= i) {
+            seg_s.resize(i + 1);
+            seg_e.resize(i + 1);
+            cov.resize(i + 1);
+            lo.resize(i + 1, -1);
+            hi.resize(i + 1, -1);
         }
-        return R.covered;
     }
-    int grow(uint32_t s, uint32_t e) { // growSeqmentTree
+
+    // one pending ancestor on the insertion path
+    struct Path {
+        int parent;
+        uint32_t base;       // untouched sibling's covered
+        int split_left;      // != -1: split continuation pending
+        uint32_t low_s, low_e;
+    };
+    std::vector<Path> path;
+
+    // insert `node` under the root; returns the root's new covered
+    uint32_t insert(int node) {
+        path.clear();
+        int r = 0;
+        uint32_t v = 0;
+        for (;;) {
+            // ---- descend to a terminal rule ----
+            for (;;) {
+                if (lo[r] == -1) {
+                    // leaf terminals
+                    if (seg_e[node] < seg_s[r] || seg_e[r] < seg_s[node]) {
+                        // R3: disjoint -> become inner
+                        int cp = node + 1;
+                        seg_s[cp] = seg_s[r];
+                        seg_e[cp] = seg_e[r];
+                        cov[cp] = cov[r];
+                        lo[cp] = -1;
+                        hi[cp] = -1;
+                        if (seg_e[node] < seg_s[r]) {
+                            seg_s[r] = seg_s[node];
+                            lo[r] = node;
+                            hi[r] = cp;
+                        } else {
+                            seg_e[r] = seg_e[node];
+                            lo[r] = cp;
+                            hi[r] = node;
+                        }
+                        cov[r] += cov[node];
+                    } else {
+                        // R4: overlap -> exact union
+                        if (seg_s[node] < seg_s[r])
+                            seg_s[r] = seg_s[node];
+                        if (seg_e[r] < seg_e[node])
+                            seg_e[r] = seg_e[node];
+                        cov[node] = 0;
+                        cov[r] = seg_e[r] - seg_s[r];
+                    }
+                    v = cov[r];
+                    break;
+                }
+                if (seg_s[node] < seg_s[r] && seg_e[r] < seg_e[node]) {
+                    // R1: engulfed -> collapse to the insert
+                    seg_s[r] = seg_s[node];
+                    seg_e[r] = seg_e[node];
+                    cov[r] = cov[node];
+                    cov[node] = 0;
+                    lo[r] = -1;
+                    v = cov[r];
+                    break;
+                }
+                // R2: extend the span, pick/ split at right child start
+                if (seg_e[r] < seg_e[node])
+                    seg_e[r] = seg_e[node];
+                else if (seg_s[node] < seg_s[r])
+                    seg_s[r] = seg_s[node];
+                uint32_t mid = seg_s[hi[r]];
+                if (seg_e[node] < mid) {
+                    path.push_back({r, cov[hi[r]], -1, 0, 0});
+                    r = lo[r];
+                } else if (mid <= seg_s[node]) {
+                    path.push_back({r, cov[lo[r]], -1, 0, 0});
+                    r = hi[r];
+                } else {
+                    uint32_t low_s = seg_s[node];
+                    uint32_t low_e = seg_e[lo[r]];
+                    seg_s[node] = seg_e[lo[r]] + 1;  // 1-base gap quirk
+                    cov[node] = seg_e[node] - seg_s[node];
+                    path.push_back({r, 0, lo[r], low_s, low_e});
+                    r = hi[r];
+                }
+            }
+            // ---- unwind; a split continuation restarts the descent ----
+            bool redo = false;
+            while (!path.empty()) {
+                Path ent = path.back();
+                path.pop_back();
+                if (ent.split_left != -1) {
+                    // upper half done (v); rewrite to the lower part and
+                    // descend the left child with base = v
+                    seg_s[node] = ent.low_s;
+                    seg_e[node] = ent.low_e;
+                    cov[node] = ent.low_e - ent.low_s;
+                    path.push_back({ent.parent, v, -1, 0, 0});
+                    r = ent.split_left;
+                    redo = true;
+                    break;
+                }
+                cov[ent.parent] = ent.base + v;
+                v = cov[ent.parent];
+            }
+            if (!redo)
+                return v;
+        }
+    }
+
+    int grow(uint32_t s, uint32_t e) { // growSeqmentTree role
         if (n == 0) {
             slot(1);
-            nd[0].start = s;
-            nd[0].end = e;
-            nd[0].covered = e - s;
-            nd[0].b0 = -1;
-            nd[0].b1 = -1;
+            seg_s[0] = s;
+            seg_e[0] = e;
+            cov[0] = e - s;
+            lo[0] = -1;
+            hi[0] = -1;
             n = 1;
             return (int)(e - s);
         }
         int node = n;
         slot(node + 1);
-        nd[node].start = s;
-        nd[node].end = e;
-        nd[node].covered = e - s;
-        nd[node].b0 = -1;
-        nd[0].covered = add(0, node);
-        if (nd[node].covered)
+        seg_s[node] = s;
+        seg_e[node] = e;
+        cov[node] = e - s;
+        lo[node] = -1;
+        hi[node] = -1;
+        uint32_t total = insert(node);
+        cov[0] = total;
+        if (cov[node])
             n += 2;
-        return (int)nd[0].covered;
+        return (int)cov[0];
     }
-    uint32_t que(int r, uint32_t s, uint32_t e) const { // queSeqmentTree
-        const Node &R = nd[r];
-        if (e < R.start || R.end < s)
-            return 0;
-        if (s <= R.start && R.end <= e)
-            return R.covered;
-        if (R.b0 != -1)
-            return que(R.b0, s, e) + que(R.b1, s, e);
-        if (R.start <= s && e <= R.end)
-            return e - s;
-        if (R.start <= s && s < R.end)
-            return R.end - s;
-        if (R.start < e && e <= R.end)
-            return e - R.start;
-        return 0;
-    }
+
     int64_t query(int s, int e) const {
-        // savekmers.c:5135 reads the u32 into an `int cover`
-        return n == 0 ? 0
-                      : (int64_t)(int32_t)que(0, (uint32_t)s,
-                                              (uint32_t)e);
+        // iterative contained-subtree sum; partial leaf overlaps clamp.
+        // callers read the u32 through int (savekmers.c:5135)
+        if (n == 0)
+            return 0;
+        uint32_t su = (uint32_t)s, eu = (uint32_t)e;
+        uint32_t acc = 0;
+        static thread_local std::vector<int> st;
+        st.clear();
+        st.push_back(0);
+        while (!st.empty()) {
+            int r = st.back();
+            st.pop_back();
+            if (eu < seg_s[r] || seg_e[r] < su)
+                continue;
+            if (su <= seg_s[r] && seg_e[r] <= eu) {
+                acc += cov[r];
+                continue;
+            }
+            if (lo[r] != -1) {
+                st.push_back(lo[r]);
+                st.push_back(hi[r]);
+                continue;
+            }
+            if (seg_s[r] <= su && eu <= seg_e[r])
+                acc += eu - su;
+            else if (seg_s[r] <= su && su < seg_e[r])
+                acc += seg_e[r] - su;
+            else if (seg_s[r] < eu && eu <= seg_e[r])
+                acc += eu - seg_s[r];
+        }
+        return (int64_t)(int32_t)acc;
     }
 };
 
