@@ -328,6 +328,64 @@ def device_scan(db_prefix, reads, have_ref):
     return best, base, residual, parity
 
 
+
+def nw_kernel_metric():
+    """Pallas banded-NW kernel: cell updates/s on the chip, checked
+    bit-exact against the host-oracle nw_band on the same batch."""
+    import jax
+    from kma_tpu.align.nw import nw_band
+    from kma_tpu.config import Penalties
+    from kma_tpu.ops.nw_kernel import nw_band_score_pallas, stage_band_inputs
+
+    pen = Penalties()
+    d = pen.score_matrix()[:5, :5].astype(np.int8)
+    rng = np.random.default_rng(5)
+    B = 2048
+    T_LEN, Q_LEN, BAND = 160, 150, 64
+    templates, queries, t_lens, q_lens = [], [], [], []
+    for _ in range(B):
+        t = rng.integers(0, 4, T_LEN).astype(np.uint8)
+        q = t[: Q_LEN].copy()
+        ne = rng.binomial(Q_LEN, 0.05)
+        pos = rng.integers(0, Q_LEN, ne)
+        q[pos] = (q[pos] + rng.integers(1, 4, ne)) % 4
+        templates.append(t)
+        queries.append(q)
+        t_lens.append(T_LEN)
+        q_lens.append(Q_LEN)
+    kflag = np.full(B, -1, np.int32)
+    tl, ql, msc = stage_band_inputs(templates, queries, t_lens, q_lens,
+                                    BAND, d)
+    fn = jax.jit(lambda a, b, c, m: nw_band_score_pallas(
+        a, b, c, m, half_band=BAND // 2, W1=pen.W1, U=pen.U, MM=pen.MM))
+    out = np.asarray(jax.block_until_ready(fn(tl, ql, kflag, msc)))
+    # oracle check (host nw_band is oracle-exact vs nw.c)
+    ok = True
+    for b in range(0, B, 16):
+        st = nw_band(templates[b], queries[b], -1, 0, T_LEN, 0, Q_LEN,
+                     BAND, d, pen.W1, pen.U, pen.MM, T_LEN)
+        if int(st.score) != int(out[b]):
+            ok = False
+            print(f"# NW kernel mismatch at {b}: {out[b]} vs {st.score}",
+                  file=sys.stderr)
+            break
+    # steady-state: pipeline several dispatches before syncing so the
+    # tunnel dispatch latency amortizes
+    best = 0.0
+    REP = 8
+    for _ in range(3):
+        t0 = time.time()
+        outs = [fn(tl, ql, kflag, msc) for _ in range(REP)]
+        jax.block_until_ready(outs)
+        dt = time.time() - t0
+        cells = REP * B * T_LEN * (BAND + 1)
+        best = max(best, cells / dt)
+    row = {"cell_updates_per_sec": round(best, 0), "exact": bool(ok),
+           "batch": B, "t_len": T_LEN, "band": BAND}
+    print("# nw_kernel: %s" % json.dumps(row), file=sys.stderr)
+    return row
+
+
 def main():
     have_ref, db_prefix = ensure_assets()
     reads = str(TESTDATA / "bench_reads.fq")
@@ -382,6 +440,12 @@ def main():
             "configs": configs,
         }))
         return
+
+    try:
+        configs["nw_kernel"] = nw_kernel_metric()
+    except Exception as e:  # pragma: no cover
+        configs["nw_kernel"] = {"error": str(e)[:200]}
+        print("# nw_kernel failed: %s" % e, file=sys.stderr)
 
     best, base, residual, parity = device_scan(db_prefix, reads, have_ref)
     vs = best / base if base else 0.0

@@ -86,8 +86,15 @@ class DenseIndex:
     list_voff: np.ndarray       # host: list id -> values offset
 
     @classmethod
-    def from_host(cls, idx: KmaIndex, mem_budget_bytes: int = 2 << 30
+    def from_host(cls, idx: KmaIndex, mem_budget_bytes: int = None
                   ) -> "DenseIndex":
+        if mem_budget_bytes is None:
+            import os as _os
+            try:
+                mem_budget_bytes = int(_os.environ.get(
+                    "KMA_TPU_DENSE_BUDGET_MB", 2048)) << 20
+            except ValueError:
+                mem_budget_bytes = 2 << 30
         if idx.mlen > 16:
             raise NotImplementedError("dense index requires mlen <= 16")
         if idx.flag & 3:
@@ -180,39 +187,37 @@ def _lookup_rows(didx_arrays, kmers, *, mega, size, max_probe):
                                e2[..., 1], np.int32(-1)))
 
 
-def _strand_epilogue(score, first, SBIG, p: ScanParams, t_pad, run_ov,
-                     proxi_frac=None):
-    """Best-score + tie-list extraction shared by the Pallas and XLA run
-    loops (savekmers.c:2750-2833 select)."""
-    inc = first < SBIG
-    score = jnp.where(inc, jnp.maximum(score, 0),
-                      SBIG * 0)  # savekmers.c:2750-2752
-    bestScore = jnp.max(score, axis=-1).astype(jnp.int32)
+def _extract_ties(sc, fi, best, inc, p: ScanParams, t_pad,
+                  proxi_frac=None):
+    """Tie-list extraction shared by the strand and merged epilogues
+    (savekmers.c:2750-2833 select): selection mask -> fused-key/
+    approx_max_k -> append-ordered template ids.  Returns
+    (tids [G, MB], n_best [G], tie_ov [G]).
 
+    Append order = (first-including run, position in that run's value
+    list); the reference's lists are ascending template id (templates
+    are indexed in id order, updateindex.c:33-77), so the in-list
+    position key IS the template id -- no id-table gather needed.  When
+    the combined key fits f32's 24-bit mantissa it fuses into the
+    approx_max_k value: the final exact top-k returns values sorted
+    DESCENDING, i.e. keys ascending -- no second sort."""
     if proxi_frac is None:
-        sel = inc & (score == bestScore[:, None]) & (bestScore[:, None] > 0)
+        sel = inc & (sc == best[:, None]) & (best[:, None] > 0)
     else:
-        thresh = (proxi_frac * bestScore.astype(jnp.float32)
+        thresh = (proxi_frac * best.astype(jnp.float32)
                   ).astype(jnp.int32)  # C double->int truncation
-        sel = inc & (score >= thresh[:, None]) & (bestScore[:, None] > 0)
+        sel = inc & (sc >= thresh[:, None]) & (best[:, None] > 0)
     n_best = jnp.sum(sel, axis=-1)
     MB = min(p.best_cap, t_pad)
     tie_ov = n_best > MB
-    # append order = (first-including run, position in that run's value
-    # list); the reference's lists are ascending template id (templates
-    # are indexed in id order, updateindex.c:33-77), so the in-list
-    # position key IS the template id -- no id-table gather needed.
-    # When the combined key fits f32's 24-bit mantissa, fuse it into the
-    # approx_max_k value: aggregate_to_topk's final exact top-k returns
-    # values sorted DESCENDING, i.e. keys ascending -- no second sort.
     run_span = int(p.run_cap) + 1
     fused = run_span * (t_pad + 1) < (1 << 24)
     if fused:
-        key = first.astype(jnp.int32) * np.int32(t_pad + 1) \
-            + jax.lax.broadcasted_iota(jnp.int32, first.shape, 1)
+        key = fi.astype(jnp.int32) * np.int32(t_pad + 1) \
+            + jax.lax.broadcasted_iota(jnp.int32, fi.shape, 1)
         negkey = jnp.where(sel, -key, -BIG).astype(jnp.float32)
     else:
-        negkey = jnp.where(sel, -first.astype(jnp.int32), -BIG
+        negkey = jnp.where(sel, -fi.astype(jnp.int32), -BIG
                            ).astype(jnp.float32)
     try:  # exact top-k via PartialReduce (sort of [G, t_pad] costs 9ms)
         topv, tids = jax.lax.approx_max_k(negkey, MB, recall_target=1.0)
@@ -222,14 +227,26 @@ def _strand_epilogue(score, first, SBIG, p: ScanParams, t_pad, run_ov,
     cand_ok = topv > -BIG
     if fused:
         tids = jnp.where(cand_ok, tids, 0).astype(jnp.int32)
-        return bestScore, tids, n_best, run_ov, tie_ov, score
-    cand_first = jnp.where(cand_ok, -topv, 0)
-    key = jnp.where(cand_ok,
-                    cand_first * np.int32(t_pad + 1) + tids, BIG)
-    key2, tids = jax.lax.sort_key_val(key, tids)
-    tids = jnp.where(key2 < BIG, tids, 0).astype(jnp.int32)
-    return bestScore, tids, n_best, run_ov, tie_ov, score
+    else:
+        cand_first = jnp.where(cand_ok, -topv, 0)
+        key2, tids = jax.lax.sort_key_val(
+            jnp.where(cand_ok, cand_first * np.int32(t_pad + 1) + tids,
+                      BIG), tids)
+        tids = jnp.where(key2 < BIG, tids, 0).astype(jnp.int32)
+    return tids, n_best, tie_ov
 
+
+def _strand_epilogue(score, first, SBIG, p: ScanParams, t_pad, run_ov,
+                     proxi_frac=None):
+    """Best-score + tie-list extraction shared by the Pallas and XLA run
+    loops (savekmers.c:2750-2833 select)."""
+    inc = first < SBIG
+    score = jnp.where(inc, jnp.maximum(score, 0),
+                      SBIG * 0)  # savekmers.c:2750-2752
+    bestScore = jnp.max(score, axis=-1).astype(jnp.int32)
+    tids, n_best, tie_ov = _extract_ties(score, first, bestScore, inc, p,
+                                         t_pad, proxi_frac)
+    return bestScore, tids, n_best, run_ov, tie_ov, score
 
 
 def _merged_epilogue(score, first, SBIG, inv, run_ov, p: ScanParams, t_pad,
@@ -263,40 +280,9 @@ def _merged_epilogue(score, first, SBIG, inv, run_ov, p: ScanParams, t_pad,
     fi = first[rs]
     chosen_best = jnp.where(mode == 2, br, bf)
     inc_r = fi < SBIG
-    if proxi_frac is None:
-        sel = inc_r & (sc == chosen_best[:, None]) \
-            & (chosen_best[:, None] > 0)
-    else:
-        thresh = (proxi_frac * chosen_best.astype(jnp.float32)
-                  ).astype(jnp.int32)
-        sel = inc_r & (sc >= thresh[:, None]) & (chosen_best[:, None] > 0)
-    n_best = jnp.sum(sel, axis=-1)
+    tids, n_best, tie_ov = _extract_ties(sc, fi, chosen_best, inc_r, p,
+                                         t_pad, proxi_frac)
     MB = min(p.best_cap, t_pad)
-    run_span = int(p.run_cap) + 1
-    fused = run_span * (t_pad + 1) < (1 << 24)
-    if fused:
-        key = fi.astype(jnp.int32) * np.int32(t_pad + 1) \
-            + jax.lax.broadcasted_iota(jnp.int32, fi.shape, 1)
-        negkey = jnp.where(sel, -key, -BIG).astype(jnp.float32)
-    else:
-        negkey = jnp.where(sel, -fi.astype(jnp.int32), -BIG
-                           ).astype(jnp.float32)
-    try:
-        topv, tids = jax.lax.approx_max_k(negkey, MB, recall_target=1.0)
-    except NotImplementedError:  # pragma: no cover - non-TPU backends
-        topv, tids = jax.lax.top_k(negkey, MB)
-    topv = topv.astype(jnp.int32)
-    cand_ok = topv > -BIG
-    if fused:
-        tids = jnp.where(cand_ok, tids, 0).astype(jnp.int32)
-    else:
-        cand_first = jnp.where(cand_ok, -topv, 0)
-        key2, tids = jax.lax.sort_key_val(
-            jnp.where(cand_ok, cand_first * np.int32(t_pad + 1) + tids,
-                      BIG), tids)
-        tids = jnp.where(key2 < BIG, tids, 0).astype(jnp.int32)
-
-    tie_ov = n_best > MB
     ov = (run_ov[:B] | run_ov[B:] | (mode == 3)
           | jnp.where(mode == 0, False, tie_ov))
     n_out = jnp.where(ov | (mode == 0), 0, n_best)
@@ -704,12 +690,22 @@ class DenseScanner:
     TIERS = ((48, 256), (192, 2048))  # (run_cap, best_cap) per tier
 
     def __init__(self, idx: KmaIndex, rewards, exhaustive: bool = False,
-                 proxi_frac: Optional[float] = None, batch: int = 4096):
+                 proxi_frac: Optional[float] = None, batch: int = 4096,
+                 flat_headroom: int = 24):
         self.didx = DenseIndex.from_host(idx)
         self.rewards = rewards
         self.exhaustive = exhaustive
         self.proxi_frac = proxi_frac
         self.batch = batch
+        # per-read tie-id D2H headroom (ids/read); the bench workload
+        # averages ~18 -- heavier-tie workloads should raise this to
+        # keep reads off the slower tier-1 wide rescan
+        self.flat_headroom = flat_headroom
+        # provably-spill-free wide-rescan row count, rounded down to a
+        # power of two so the recursion reuses ONE compiled shape
+        MBw = min(self.TIERS[1][1], self.didx.t_pad)
+        r = max(1, (1 << 17) // (2 * MBw))
+        self._wide_rows = 1 << (r.bit_length() - 1)
         self.small_ids = self.didx.db_size < (1 << 15)
         from ..ops.scan_kernel import pallas_enabled
         import os as _os
@@ -756,7 +752,7 @@ class DenseScanner:
         # tie ids D2H rides the slow tunnel link: 24 ids/read of headroom
         # (bench workload averages ~18) -- reads past the cap are spilled
         # to the wide tier, so this is a bandwidth knob, not a limit
-        flat_cap = 24 * Bt
+        flat_cap = self.flat_headroom * Bt
         futs = []
         for off in range(0, N, Bt):
             cj = codes[off: off + Bt]
@@ -858,8 +854,7 @@ class DenseScanner:
                 tid_lists[ri] = (flat[offs[i]: offs[i] + n_out[i]]
                                  if mode[i] and not ov[i] else None)
         if spilled_sel:
-            next_rows = max(1, (1 << 17) // (2 * MB))
             self._rescan_wide(codes, lengths,
                               np.asarray(spilled_sel, dtype=np.int64),
                               scores, modes, tid_lists, over,
-                              rows=next_rows)
+                              rows=self._wide_rows)

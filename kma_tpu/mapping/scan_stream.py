@@ -51,8 +51,20 @@ class DeviceScanStream:
                  exhaustive: bool = False, proxi_frac: Optional[float] = None,
                  batch: int = 4096, host: Optional[SaveKmersScanner] = None):
         from .scan_dense import DenseScanner
-        self.dense = DenseScanner(idx, pen, exhaustive=exhaustive,
-                                  proxi_frac=proxi_frac, batch=batch)
+        try:
+            self.dense = DenseScanner(idx, pen, exhaustive=exhaustive,
+                                      proxi_frac=proxi_frac, batch=batch)
+        except NotImplementedError:
+            # big-DB path: the dense membership table exceeds the HBM
+            # budget (cgMLST-class DBs); the pair-stream scanner's state
+            # scales with (run, template) pairs instead of DB size
+            # (kmers.c:84-125 / hashmapkma.c:264 megaMap scale story)
+            from .scan_fast import FastScanner
+            import sys as _sys
+            print("# device scanner: dense membership over budget; "
+                  "using the pair-stream scanner", file=_sys.stderr)
+            self.dense = FastScanner(idx, pen, exhaustive=exhaustive,
+                                     proxi_frac=proxi_frac, batch=batch)
         self.host = host
         self.batch = batch
         self.k = idx.kmersize
@@ -111,8 +123,13 @@ class DeviceScanStream:
             c = buf[i].codes
             codes[j, : len(c)] = c
             lengths[j] = len(c)
-        scores, modes, tid_lists, over = self.dense.scan_reads(codes,
-                                                               lengths)
+        res = self.dense.scan_reads(codes, lengths)
+        if isinstance(res, tuple):
+            scores, modes, tid_lists, over = res
+        else:  # pair-stream ScanResult (scan_fast.py)
+            scores, modes, over = res.scores, res.modes, res.overflow
+            tid_lists = [res.tids(i) if (modes[i] and not over[i]) else None
+                         for i in range(len(scores))]
         res = {}
         for j, i in enumerate(scan_idx):
             res[i] = (int(scores[j]), int(modes[j]), tid_lists[j],

@@ -140,7 +140,7 @@ def _nw_band_kernel(tlen_ref, qlen_ref, kflag_ref, msc_ref, score_ref,
         en_next = jnp.where(active, en, en_prev)
         return Dn, Pn, D2, P2, best, en_next
 
-    best0 = neg.copy()
+    best0 = neg + jnp.int32(0)   # .copy() has no Pallas TPU lowering
     en0 = jnp.zeros_like(t_len)
     max_rows = jnp.max(t_len)
     Dp, Pp, _, _, best, en_fin = jax.lax.fori_loop(

@@ -119,3 +119,48 @@ def test_device_chain_long_reads(tmp_path, db50, db50_index, ref_bin):  # noqa: 
         a = (ref_out.parent / (ref_out.name + ext)).read_bytes()
         b = (my_out.parent / (my_out.name + ext)).read_bytes()
         assert a == b, f"{ext} differs"
+
+
+def test_big_db_falls_to_pair_stream(db50_index, monkeypatch):
+    """A DB past the dense-membership budget silently used the HOST
+    scanner before; now the stream wires the pair-stream FastScanner
+    (scan_fast.py) as the device path (kmers.c:84-125 scale story)."""
+    import numpy as np
+    from kma_tpu.config import Penalties
+    from kma_tpu.index.format import load_index
+    from kma_tpu.io.pipeline import Read
+    from kma_tpu.mapping.scan import SaveKmersScanner
+    from kma_tpu.mapping.scan_fast import FastScanner
+    from kma_tpu.mapping.scan_stream import DeviceScanStream
+
+    monkeypatch.setenv("KMA_TPU_DENSE_BUDGET_MB", "0")
+    idx = load_index(db50_index)
+    pen = Penalties()
+    pen.score_matrix()
+    host = SaveKmersScanner(idx, pen)
+    stream = DeviceScanStream(idx, pen, batch=32, host=host)
+    assert isinstance(stream.dense, FastScanner)
+
+    # parity through the stream on a few template-derived reads
+    from kma_tpu.io.seq import unpack_2bit
+    from kma_tpu.index.format import seq_offsets
+    lens = idx.template_lengths
+    offs = seq_offsets(lens)
+    reads = []
+    with open(db50_index + ".seq.b", "rb") as f:
+        for t in range(1, 6):
+            f.seek(int(offs[t]))
+            words = np.fromfile(f, dtype="<u8",
+                                count=(int(lens[t]) >> 5) + 1)
+            codes = unpack_2bit(words, int(lens[t]))[:96].copy()
+            reads.append(Read(codes, b"r%d\x00" % t))
+    host2 = SaveKmersScanner(idx, pen)
+    for read, hit in stream.stream(iter(reads)):
+        exp = host2.scan(read.codes, read.n_positions, read.header)
+        if exp is None:
+            assert hit is None
+            continue
+        assert hit is not None
+        assert int(hit.rc_flag) == int(exp.rc_flag)
+        assert list(np.asarray(hit.templates)) \
+            == list(np.asarray(exp.templates))
