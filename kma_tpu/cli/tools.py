@@ -452,6 +452,8 @@ def dist_main(argv: List[str]) -> int:
     flag = 1
     fmt_flag = 1
     outpath = None
+    disk = False
+    tmpdir = None
     i = 0
     while i < len(rest):
         if rest[i] == "-fh":  # dist.c:937-942
@@ -489,6 +491,12 @@ def dist_main(argv: List[str]) -> int:
         elif rest[i] == "-o" and i + 1 < len(rest):
             outpath = rest[i + 1]
             i += 2
+        elif rest[i] == "-m":  # dist.c:887: matrix on disk
+            disk = True
+            i += 1
+        elif rest[i] == "-tmp" and i + 1 < len(rest):
+            tmpdir = rest[i + 1]
+            i += 2
         else:
             i += 1
     if db is None:
@@ -507,12 +515,32 @@ def dist_main(argv: List[str]) -> int:
         offs = idx.value_index[: idx.n].astype(np.int64)
     uoffs, counts = np.unique(offs, return_counts=True)
     N = np.zeros(n, dtype=np.int64)
-    S = np.zeros((n, n), dtype=np.int64)
+    # packed lower-triangular shared-kmer matrix (ltdMatrix, matrix.c:24);
+    # -m backs it with a disk mapping (ltdMatrix_minit, matrix.c:89) so
+    # cgMLST-scale DBs stay within bounded RSS
+    n_ltd = n * (n - 1) // 2
+    if disk:
+        import tempfile
+        _mf = tempfile.NamedTemporaryFile(dir=tmpdir or None,
+                                          prefix="kma_dist_ltd_")
+        _mf.truncate(max(8, n_ltd * 8))
+        S = np.memmap(_mf, dtype=np.int64, mode="r+",
+                      shape=(max(1, n_ltd),))
+    else:
+        S = np.zeros(max(1, n_ltd), dtype=np.int64)
+
+    def _ltd(ii, jj):
+        # packed index for i > j
+        return ii * (ii - 1) // 2 + jj
+
     for off, c in zip(uoffs.tolist(), counts.tolist()):
         cnt = int(values[off])
         lst = values[off + 1: off + 1 + cnt].astype(np.int64) - 1
         N[lst] += c
-        S[np.ix_(lst, lst)] += c
+        if len(lst) > 1:
+            ii, jj = np.meshgrid(lst, lst, indexing="ij")
+            m = ii > jj
+            np.add.at(S, _ltd(ii[m], jj[m]), c)
 
     parts: List[str] = []
     for bit, method, ltd, _isint, efmt, dfun in _dist_measures():
@@ -538,7 +566,8 @@ def dist_main(argv: List[str]) -> int:
                 if not ltd and j == ti:
                     parts.append(efmt % 100.0)
                 else:
-                    D = int(S[ti, j]) if j < ti else int(S[j, ti])
+                    D = int(S[_ltd(ti, j)]) if j < ti \
+                        else int(S[_ltd(j, ti)])
                     d = dfun(Ni, int(N[j]), D)
                     parts.append(efmt % (0 if d < 0 else d))
         parts.append("\n")

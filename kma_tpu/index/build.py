@@ -135,13 +135,15 @@ def build_index(input_files: List[str], out_prefix: str, kmersize: int = 16,
     # kmer (int) -> list of template ids; each template appended at most once
     # (updateValue only dedups consecutive adds, hashmap.c:126, which equals
     # once-per-template since templates are processed one at a time)
+    spill = None
     if append is not None:
         table = append["table"]
         lengths = list(append["lengths"])
         names = list(append["names"])
         db_size = append["db_size"]
     else:
-        table = {}
+        table = None
+        spill = KmerSpill()
         lengths = [0]
         names = []
         db_size = 1
@@ -201,12 +203,15 @@ def build_index(input_files: List[str], out_prefix: str, kmersize: int = 16,
                     _, fp = np.unique(kv, return_index=True)
                     kk = kv[np.sort(fp)]
                     added = int(valid.sum())
-                    for km in kk.tolist():
-                        lst = table.get(km)
-                        if lst is None:
-                            table[km] = [db_size]
-                        else:
-                            lst.append(db_size)
+                    if spill is not None:
+                        spill.add(kk, db_size)
+                    else:
+                        for km in kk.tolist():
+                            lst = table.get(km)
+                            if lst is None:
+                                table[km] = [db_size]
+                            else:
+                                lst.append(db_size)
                 if added:
                     if bias > 0:
                         names.append(name + b" B%d" % bias)
@@ -228,7 +233,11 @@ def build_index(input_files: List[str], out_prefix: str, kmersize: int = 16,
     finally:
         seq_out.close()
 
-    if not table:
+    if spill is not None:
+        table = spill.finalize()
+        if not len(table[0]):
+            raise SystemExit("DB is empty!!!")
+    elif not table:
         raise SystemExit("DB is empty!!!")
 
     idx = freeze(table, db_size, kmersize, mlen, mega=mega, flag=flag)
@@ -242,6 +251,98 @@ def build_index(input_files: List[str], out_prefix: str, kmersize: int = 16,
         f.write(b"\n".join(names) + b"\n" if names else b"")
     idx.seq_path = out_prefix + ".seq.b"
     return idx
+
+
+
+class KmerSpill:
+    """Bounded-RSS (kmer, template) accumulator for the standard build.
+
+    The reference survives DBs larger than RAM with compress.c's
+    disk-swap failover (compress.c:83-614); the dict the small-DB path
+    uses costs ~100 B per k-mer in Python object overhead.  This
+    accumulator buffers pairs in flat arrays and spills kmer-sorted runs
+    to disk; finalize() merges the runs into (kmers in FIRST-SEEN order,
+    offsets, flat template ids) -- the exact iteration order freeze()
+    needs for byte-identical .comp.b output.
+
+    Per-kmer template order is append order; stable in-run sorts plus a
+    merge that prefers earlier runs keep it across spills."""
+
+    def __init__(self, tmpdir=None, cap: int = 1 << 22):
+        self.cap = cap
+        self.kb = np.empty(cap, np.uint64)
+        self.tb = np.empty(cap, np.uint32)
+        self.n = 0
+        self.base = 0
+        self.tmpdir = tmpdir
+        self.runs: List = []
+
+    def add(self, kmers: np.ndarray, tid: int) -> None:
+        m = len(kmers)
+        off = 0
+        while m:
+            take = min(m, self.cap - self.n)
+            self.kb[self.n: self.n + take] = kmers[off: off + take]
+            self.tb[self.n: self.n + take] = tid
+            self.n += take
+            off += take
+            m -= take
+            if self.n == self.cap:
+                self._spill()
+
+    def _spill(self) -> None:
+        import tempfile
+        order = np.argsort(self.kb[: self.n], kind="stable")
+        f = tempfile.TemporaryFile(dir=self.tmpdir, prefix="kma_idx_run_")
+        self.kb[order].tofile(f)
+        (self.base + order).astype(np.uint64).tofile(f)
+        self.tb[order].tofile(f)
+        self.runs.append((f, self.n))
+        self.base += self.n
+        self.n = 0
+
+    def finalize(self):
+        """-> (kmers first-seen-ordered u64, offsets i64, flat u32)."""
+        if not self.runs:
+            order = np.argsort(self.kb[: self.n], kind="stable")
+            sk = self.kb[order]
+            sp = order.astype(np.uint64)
+            st = self.tb[order]
+        else:
+            self._spill()
+            parts_k, parts_p, parts_t = [], [], []
+            for f, cnt in self.runs:
+                f.seek(0)
+                parts_k.append(np.fromfile(f, np.uint64, cnt))
+                parts_p.append(np.fromfile(f, np.uint64, cnt))
+                parts_t.append(np.fromfile(f, np.uint32, cnt))
+                f.close()
+            ak = np.concatenate(parts_k)
+            ap = np.concatenate(parts_p)
+            at = np.concatenate(parts_t)
+            del parts_k, parts_p, parts_t
+            order = np.lexsort((ap, ak))
+            sk, sp, st = ak[order], ap[order], at[order]
+            del ak, ap, at, order
+        self.runs = []
+        if not len(sk):
+            return (np.empty(0, np.uint64), np.zeros(1, np.int64),
+                    np.empty(0, np.uint32))
+        firsts = np.ones(len(sk), bool)
+        firsts[1:] = sk[1:] != sk[:-1]
+        gidx = np.flatnonzero(firsts)
+        counts = np.diff(np.concatenate([gidx, [len(sk)]]))
+        # first-seen order = ascending first global position
+        fs = np.argsort(sp[gidx], kind="stable")
+        kmers = sk[gidx][fs]
+        counts = counts[fs]
+        offs = np.zeros(len(kmers) + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        flat = np.empty(len(sk), np.uint32)
+        src = gidx[fs]
+        for i in range(len(kmers)):
+            flat[offs[i]: offs[i + 1]] = st[src[i]: src[i] + counts[i]]
+        return kmers, offs, flat
 
 
 def load_for_append(old_prefix: str) -> dict:
@@ -697,7 +798,13 @@ def freeze(table: Dict[int, List[int]], db_size: int, kmersize: int,
     (valueshash.c); records are grouped contiguously per hash bucket so the
     linear probe of hashMap_getGlobal terminates correctly.
     """
-    n = len(table)
+    if isinstance(table, tuple):
+        # streaming build: (kmers first-seen-ordered, offsets, flat ids)
+        kmers_fs, f_offs, f_flat = table
+        n = len(kmers_fs)
+    else:
+        kmers_fs = f_offs = f_flat = None
+        n = len(table)
     mask = (1 << (2 * mlen)) - 1
 
     # hash table size: starts at 2^20 buckets and doubles when n reaches
@@ -709,7 +816,10 @@ def freeze(table: Dict[int, List[int]], db_size: int, kmersize: int,
         mega = True
         size = mask + 1
 
-    kmers = np.fromiter(table.keys(), dtype=np.uint64, count=n)
+    if kmers_fs is not None:
+        kmers = kmers_fs
+    else:
+        kmers = np.fromiter(table.keys(), dtype=np.uint64, count=n)
 
     # deduplicate value lists in the COMPRESS WALK order
     # (compress.c:96-240): megaMap walks values[] by ascending key;
@@ -729,7 +839,10 @@ def freeze(table: Dict[int, List[int]], db_size: int, kmersize: int,
     v_off = np.empty(n, dtype=np.int64)
     v_index = 0
     for i in order.tolist():
-        lst = table[int(kmers[i])]
+        if f_offs is not None:
+            lst = f_flat[f_offs[i]: f_offs[i + 1]]
+        else:
+            lst = table[int(kmers[i])]
         key = np.asarray(lst, dtype=np.int64).tobytes()
         off = dedup.get(key)
         if off is None:

@@ -110,3 +110,29 @@ def test_kmer_scan_matches_naive():
 def test_rc_codes():
     codes = np.array([0, 1, 2, 3, 4], dtype=np.uint8)
     assert np.array_equal(rc_codes(codes), np.array([4, 0, 1, 2, 3]))
+
+
+def test_spill_build_matches_dict_path(tmp_path, db50, ref_index_bin):
+    """The bounded-RSS spill accumulator (KmerSpill) reproduces the
+    reference .comp.b byte-for-byte even when forced to spill many runs
+    (compress.c:83-614 disk-failover role)."""
+    import subprocess as sp
+    from kma_tpu.index import build as B
+
+    ref_prefix = str(tmp_path / "ref")
+    sp.run([str(ref_index_bin), "-i", str(db50), "-o", ref_prefix],
+           check=True, capture_output=True)
+    # force tiny runs so every record spills
+    orig = B.KmerSpill.__init__
+
+    def tiny(self, tmpdir=None, cap=1 << 12):
+        orig(self, tmpdir, cap)
+    B.KmerSpill.__init__ = tiny
+    try:
+        my_prefix = str(tmp_path / "my")
+        B.build_index([str(db50)], my_prefix, quiet=True)
+    finally:
+        B.KmerSpill.__init__ = orig
+    for ext in (".comp.b", ".length.b", ".name", ".seq.b"):
+        assert (tmp_path / ("my" + ext)).read_bytes() \
+            == (tmp_path / ("ref" + ext)).read_bytes(), ext

@@ -400,3 +400,21 @@ def test_cmer_pe_mapping_parity(tmp_path, db50, ref_bin, ref_index_bin):
             (my_out.parent / (my_out.name + ext)).read_bytes(), ext
     assert gzip.open(str(ref_out) + ".frag.gz").read() == \
         gzip.open(str(my_out) + ".frag.gz").read()
+
+
+def test_dist_disk_matrix_parity(tmp_path, db50_index, ref_bin):
+    """-m (disk-backed ltdMatrix, matrix.c:89) output matches both the
+    in-RAM path and the reference."""
+    import subprocess as sp
+    r = sp.run([str(ref_bin), "dist", "-t_db", db50_index, "-d", "4095",
+                "-o", str(tmp_path / "ref.phy")], capture_output=True)
+    assert r.returncode == 0, r.stderr
+    from kma_tpu.cli.main import main as kma_main
+    assert kma_main(["dist", "-t_db", db50_index, "-d", "4095",
+                     "-o", str(tmp_path / "ram.phy")]) == 0
+    assert kma_main(["dist", "-t_db", db50_index, "-d", "4095", "-m",
+                     "-tmp", str(tmp_path),
+                     "-o", str(tmp_path / "disk.phy")]) == 0
+    ref = (tmp_path / "ref.phy").read_bytes()
+    assert (tmp_path / "ram.phy").read_bytes() == ref
+    assert (tmp_path / "disk.phy").read_bytes() == ref
