@@ -2371,13 +2371,38 @@ def _conclave_and_output(records, db_size, template_lengths, name_of, store,
         if ndrv is not None and tindex.native is None:
             # reuse the driver's step-3 template index for assembly
             tindex.native = ndrv.template_handle(template)
-        assem, matrix = assemble_template(
-            tindex, t_len,
-            frag_lists.get(template, []) if ndrv is None else [],
-            kmersize, cfg, rew,
-            points, name, frag_out, sam_out=sam_out, xml_writer=xml_writer,
-            xml_template=template,
-            stage=None if ndrv is None else ndrv.stage_template(template))
+        if ndrv is not None and not cfg.sasm:
+            # fused native assembly: stage + frag loop + .frag.gz rows in
+            # one call against the driver's frag lists
+            assem = Assem()
+            matrix = AssemblyMatrix(t_len)
+            a_score, a_fa, a_ra, rows = ndrv.assemble_template(
+                template, cfg, rew.Wl, matrix, t_len, name.encode())
+            assem.score = a_score
+            assem.fragmentCountAln = a_fa
+            assem.readCountAln = a_ra
+            if frag_out is not None and rows:
+                frag_out.write(rows)
+            if assem.score:
+                call_consensus(matrix, assem, tindex.codes, t_len,
+                               cfg.bcd, cfg.evalue, cfg.support_static,
+                               cfg.base_caller, cfg.significant)
+                if not cfg.dense:
+                    trim_dual_gaps(assem)
+            else:
+                assem.t = np.empty(0, np.uint8)
+                assem.s = np.empty(0, np.uint8)
+                assem.q = np.empty(0, np.uint8)
+                assem.len = 0
+        else:
+            assem, matrix = assemble_template(
+                tindex, t_len,
+                frag_lists.get(template, []) if ndrv is None else [],
+                kmersize, cfg, rew,
+                points, name, frag_out, sam_out=sam_out,
+                xml_writer=xml_writer, xml_template=template,
+                stage=None if ndrv is None
+                else ndrv.stage_template(template))
         if cfg.ef and assem.score:
             get_extended_features(assem, matrix, tindex.codes, t_len)
         if assem.cover > 0:

@@ -113,6 +113,14 @@ def get_lib():
         _u8p, _i64p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.krun_set_pe.argtypes = [_vp, ctypes.c_longlong]
     lib.krun_set_mem.argtypes = [_vp, ctypes.c_int]
+    lib.krun_assemble_template.restype = ctypes.c_longlong
+    lib.krun_assemble_template.argtypes = [
+        _vp, ctypes.c_longlong, ctypes.c_longlong, ctypes.c_int,
+        ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        _i64p, _i64p, ctypes.c_longlong, ctypes.c_longlong,
+        _u8p, ctypes.c_longlong,
+        _i64p, _i64p, _i64p, _u8p, ctypes.c_longlong, _i64p]
     _lib = lib
     return _lib
 
@@ -227,6 +235,52 @@ class RunDriver:
             rc.ctypes.data_as(_i64p), template_tot_ulen, scoreT, evalue,
             cmpm, max_frag)
         return w, fc, rc
+
+    def frag_count(self, t: int) -> int:
+        meta = np.zeros(3, np.int64)
+        self._lib.krun_stage_meta(self._h, t,
+                                  meta[0:].ctypes.data_as(_i64p),
+                                  meta[1:].ctypes.data_as(_i64p),
+                                  meta[2:].ctypes.data_as(_i64p))
+        return int(meta[0])
+
+    def assemble_template(self, t: int, cfg, Wl_raw: int, matrix,
+                          t_len: int, name: bytes):
+        """Fused stage + native assembly frag loop (assemble_KMA,
+        assembly.c:1689-2127) + .frag.gz row formatting; grows and
+        updates `matrix` in place; returns (score, frag_aln, read_aln,
+        rows_bytes)."""
+        meta = np.zeros(3, np.int64)
+        self._lib.krun_stage_meta(self._h, t,
+                                  meta[0:].ctypes.data_as(_i64p),
+                                  meta[1:].ctypes.data_as(_i64p),
+                                  meta[2:].ctypes.data_as(_i64p))
+        n, cb, hb = int(meta[0]), int(meta[1]), int(meta[2])
+        matrix.ensure(matrix.len + cb + 1)
+        cap = cb + hb + n * (80 + len(name)) + 64
+        rows = np.zeros(cap, np.uint8)
+        out = np.zeros(4, np.int64)
+        nm = np.frombuffer(name, np.uint8)
+        while True:
+            new_len = self._lib.krun_assemble_template(
+                self._h, t, Wl_raw, cfg.min_len, cfg.mq, cfg.score_t,
+                cfg.mrc, 1 if cfg.circular else 0, cfg.ts,
+                1 if cfg.skip_tail_aln else 0, 1 if cfg.dense else 0,
+                matrix.counts.ctypes.data_as(_i64p),
+                matrix.next.ctypes.data_as(_i64p),
+                matrix.len, t_len, nm.ctypes.data_as(_u8p), len(nm),
+                out[0:].ctypes.data_as(_i64p),
+                out[1:].ctypes.data_as(_i64p),
+                out[2:].ctypes.data_as(_i64p),
+                rows.ctypes.data_as(_u8p), cap,
+                out[3:].ctypes.data_as(_i64p))
+            if new_len >= 0:
+                break
+            cap *= 4
+            rows = np.zeros(cap, np.uint8)
+        matrix.len = int(new_len)
+        return (int(out[0]), int(out[1]), int(out[2]),
+                rows[: int(out[3])].tobytes())
 
     def stage_template(self, t: int):
         """Per-template fragment stage for assembly: (q_len, best_hits,

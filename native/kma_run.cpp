@@ -75,6 +75,15 @@ void kaln_pe_score_batch(
     int32_t *o_tg2, int32_t *o_qg2, uint8_t *out_flipped);
 void *kidx_create(const uint8_t *codes, int len, int kmersize);
 void kidx_free(void *h);
+long long kassem_template_frags(
+    void *h, const uint8_t *codes_flat, const int64_t *codes_off,
+    const int32_t *qbounds, const int32_t *fstats, int n_frags, int M,
+    int MM, int U, int W1, const int32_t *dmat, int Wl_raw, int minlen,
+    int mq, double scoreT, double mrc, int circular, int ts,
+    int skip_tails, int dense, long long *counts, long long *next_,
+    long long mat_len, int t_len_, uint8_t *o_acc, uint8_t *o_rcu,
+    long long *o_rs, long long *o_ms, int32_t *o_st, int32_t *o_en,
+    int32_t *o_ln);
 void kaln_frags_se_batch(
     void *const *handles, const int32_t *tpl_ids, const int64_t *tpl_off,
     const uint8_t *codes_flat, const int64_t *codes_off,
@@ -2443,6 +2452,152 @@ void krun_stage_fill(void *hv, long long t, int32_t *q_len,
         codes_off[i + 1] = co;
         hdr_off[i + 1] = ho;
     }
+}
+
+
+// Per-template assembly in ONE call: stage the conclave frag list,
+// run the native frag loop (assemble_KMA, assembly.c:1689-2127) against
+// the caller's pileup matrix, and format the accepted .frag.gz rows
+// (updateFrags, assembly.c:49-83).  Python keeps consensus calling and
+// the .res/.fsa row formatting.  Returns the new matrix length, or -1
+// when rows_buf is too small (caller grows and retries).
+long long krun_assemble_template(
+    void *hv, long long t, long long Wl_raw, int minlen, int mq,
+    double scoreT, double mrc, int circular, int ts, int skip_tails,
+    int dense, long long *counts, long long *next_, long long mat_len,
+    long long t_len, const uint8_t *name, long long name_len,
+    long long *o_score, long long *o_frag_aln, long long *o_read_aln,
+    uint8_t *rows_buf, long long rows_cap, long long *rows_len) {
+    Run *R = (Run *)hv;
+    Spool &sp = R->spool;
+    auto &v = R->frags[t];
+    int n = (int)v.size();
+    *o_score = 0;
+    *o_frag_aln = 0;
+    *o_read_aln = 0;
+    *rows_len = 0;
+    if (!n)
+        return mat_len;
+    static thread_local std::vector<uint8_t> cod;
+    static thread_local std::vector<int64_t> coff;
+    static thread_local std::vector<int32_t> qb, fs, flags, bhs;
+    static thread_local std::vector<const uint8_t *> hdrp;
+    static thread_local std::vector<ll> hdrl;
+    cod.clear();
+    coff.assign(1, 0);
+    qb.resize(2 * n);
+    fs.resize(3 * n);
+    flags.resize(n);
+    bhs.resize(n);
+    hdrp.resize(n);
+    hdrl.resize(n);
+    for (int i = 0; i < n; ++i) {
+        FragOut &f = v[i];
+        ll rec = f.rec;
+        int bh = sp.best_hits[rec] < 0 ? -sp.best_hits[rec]
+                                       : sp.best_hits[rec];
+        bhs[i] = bh;
+        fs[3 * i] = (int32_t)f.score;
+        fs[3 * i + 1] = f.start;
+        fs[3 * i + 2] = f.end;
+        if (f.mate) {
+            ll b = sp.mcod_off[rec], e = sp.mcod_off[rec + 1];
+            cod.insert(cod.end(), sp.mcod.data() + b, sp.mcod.data() + e);
+            flags[i] = sp.mflag[rec];
+            hdrp[i] = sp.mhdr.data() + sp.mhdr_off[rec];
+            hdrl[i] = sp.mhdr_off[rec + 1] - sp.mhdr_off[rec];
+            qb[2 * i] = 0;
+            qb[2 * i + 1] = (int32_t)(e - b);
+        } else {
+            ll b = sp.cod_off[rec], e = sp.cod_off[rec + 1];
+            ll ql = e - b;
+            size_t base = cod.size();
+            cod.resize(base + ql);
+            const uint8_t *c = sp.cod.data() + b;
+            if (f.rc) {
+                for (ll j = 0; j < ql; ++j)
+                    cod[base + j] = RC_CODE[c[ql - 1 - j]];
+            } else {
+                memcpy(cod.data() + base, c, (size_t)ql);
+            }
+            flags[i] = sp.flag[rec] | (f.rc ? 16 : 0);
+            hdrp[i] = sp.hdr.data() + sp.hdr_off[rec];
+            hdrl[i] = sp.hdr_off[rec + 1] - sp.hdr_off[rec];
+            // q-bounds from the header tail, mirrored for rc
+            const uint8_t *h = hdrp[i];
+            ll hl = hdrl[i];
+            int qs = 0, qe = (int)ql;
+            if (hl > 9 && h[hl - 9] == 0) {
+                int32_t bb[2];
+                memcpy(bb, h + hl - 8, 8);
+                qs = bb[0];
+                qe = bb[1];
+                if (f.rc) {
+                    int nqs = (int)(ql - qe), nqe = (int)(ql - qs);
+                    qs = nqs;
+                    qe = nqe;
+                }
+            }
+            qb[2 * i] = qs;
+            qb[2 * i + 1] = qe;
+        }
+        coff.push_back((int64_t)cod.size());
+    }
+    void *h = R->handle_for((int)t);
+    static thread_local std::vector<uint8_t> acc, rcu;
+    static thread_local std::vector<ll> rs, ms;
+    static thread_local std::vector<int32_t> stt, enn, lnn;
+    acc.resize(n);
+    rcu.resize(n);
+    rs.resize(n);
+    ms.resize(n);
+    stt.resize(n);
+    enn.resize(n);
+    lnn.resize(n);
+    ll new_len = kassem_template_frags(
+        h, cod.data(), coff.data(), qb.data(), fs.data(), n,
+        (int)R->ix.M, (int)R->ix.MM, (int)R->ix.U, (int)R->ix.W1, R->dmat,
+        (int)Wl_raw, minlen, mq, scoreT, mrc, circular, ts, skip_tails,
+        dense, counts, next_, mat_len, (int)t_len, acc.data(), rcu.data(),
+        rs.data(), ms.data(), stt.data(), enn.data(), lnn.data());
+    // accepted-frag stats + .frag.gz rows (assembly.c:49-83)
+    static const char B2C[6] = {'A', 'C', 'G', 'T', 'N', '-'};
+    ll w = 0;
+    for (int i = 0; i < n; ++i) {
+        if (acc[i] != 1)
+            continue;
+        *o_score += ms[i];
+        int fl = flags[i];
+        if (!(fl & 2) || (fl & 64))
+            *o_frag_aln += 1;
+        *o_read_aln += 1;
+        ll ql = coff[i + 1] - coff[i];
+        // header text stops at the first NUL (writers.frag_row)
+        ll hl = 0;
+        while (hl < hdrl[i] && hdrp[i][hl] != 0)
+            ++hl;
+        if (w + ql + hl + name_len + 64 > rows_cap)
+            return -1;
+        const uint8_t *c = cod.data() + coff[i];
+        if (rcu[i]) {
+            for (ll j = 0; j < ql; ++j)
+                rows_buf[w + j] = (uint8_t)B2C[RC_CODE[c[ql - 1 - j]]];
+        } else {
+            for (ll j = 0; j < ql; ++j)
+                rows_buf[w + j] = (uint8_t)B2C[c[j]];
+        }
+        w += ql;
+        w += snprintf((char *)rows_buf + w, 64, "\t%d\t%lld\t%d\t%d\t",
+                      bhs[i], (long long)rs[i], stt[i], enn[i]);
+        memcpy(rows_buf + w, name, (size_t)name_len);
+        w += name_len;
+        rows_buf[w++] = '\t';
+        memcpy(rows_buf + w, hdrp[i], (size_t)hl);
+        w += hl;
+        rows_buf[w++] = '\n';
+    }
+    *rows_len = w;
+    return new_len;
 }
 
 void *krun_template_handle(void *hv, long long t) {
