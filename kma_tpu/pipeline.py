@@ -1593,7 +1593,12 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                 fused.map_batch(c_f, c_o, h_f, h_o, ords)
                 n_frags += nb
         if pe_files:
-            n_frags = _fused_pe_feed(fused, pe_files, cfg, _mp, n_frags)
+            _pe_dev = None
+            if _device_enabled(cfg, _in_bytes):
+                from .mapping.pe_device import make_pe_lookup
+                _pe_dev = make_pe_lookup(idx)
+            n_frags = _fused_pe_feed(fused, pe_files, cfg, _mp, n_frags,
+                                     dev=_pe_dev)
         if frag_raw_out is not None:
             _fused_frag_raw(fused, dump_all_frag)
     elif input_files and input_files != ["--"] or not (pe_files or int_files):
@@ -2083,7 +2088,7 @@ def _fused_frag_raw(fused, dump_all_frag) -> None:
                           mhdr[mhdr_off[i]:mhdr_off[i + 1]].tobytes())
 
 
-def _fused_pe_feed(fused, pe_files, cfg, mp, n_frags) -> int:
+def _fused_pe_feed(fused, pe_files, cfg, mp, n_frags, dev=None) -> int:
     """Aligned PE item batches from two emit-all native streams into
     krun_map_pe_batch (run_input_PE lockstep, runinput.c:463-606)."""
     from .io.native_io import iter_fastq_native_pe_batches
@@ -2136,12 +2141,25 @@ def _fused_pe_feed(fused, pe_files, cfg, mp, n_frags) -> int:
                 n_frags += nk
                 if keep.all() and s1.all() and s2.all():
                     # common case: both streams fully passed; zero-copy
+                    ao_ = np.ascontiguousarray(o1[i1:i1 + n + 1])
+                    bo_ = np.ascontiguousarray(o2[i2:i2 + n + 1])
+                    a_view = c1[ao_[0]:]
+                    b_view = c2[bo_[0]:]
+                    a_reb = ao_ - ao_[0]
+                    b_reb = bo_ - bo_[0]
+                    voffs = None
+                    if dev is not None:
+                        # device PE probes (savekmers.c:427-688 lookups)
+                        vaf, var, stride = dev.voffs(a_view, a_reb)
+                        vbf, vbr, _ = dev.voffs(b_view, b_reb)
+                        voffs = (vaf, var, vbf, vbr, stride)
                     fused.map_pe_batch(
-                        c1, np.ascontiguousarray(o1[i1:i1 + n + 1]),
+                        a_view, a_reb,
                         h1, np.ascontiguousarray(ho1[i1:i1 + n + 1]),
-                        c2, np.ascontiguousarray(o2[i2:i2 + n + 1]),
+                        b_view, b_reb,
                         h2, np.ascontiguousarray(ho2[i2:i2 + n + 1]),
-                        np.ones(n, np.uint8), ords, pm, fpm)
+                        np.ones(n, np.uint8), ords, pm, fpm,
+                        voffs=voffs)
                 else:
                     # mixed batch: surviving mate becomes "a"
                     a_c, a_h, b_c, b_h = [], [], [], []
@@ -2177,8 +2195,13 @@ def _fused_pe_feed(fused, pe_files, cfg, mp, n_frags) -> int:
                     hf, hof = _flat(a_h)
                     bf, bo = _flat(b_c)
                     bhf, bho = _flat(b_h)
+                    voffs = None
+                    if dev is not None:
+                        vaf, var, stride = dev.voffs(af, ao)
+                        vbf, vbr, _ = dev.voffs(bf, bo)
+                        voffs = (vaf, var, vbf, vbr, stride)
                     fused.map_pe_batch(af, ao, hf, hof, bf, bo, bhf, bho,
-                                       bp, ords, pm, fpm)
+                                       bp, ords, pm, fpm, voffs=voffs)
             b1.pos += n
             b2.pos += n
     return n_frags

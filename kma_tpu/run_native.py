@@ -110,7 +110,8 @@ def get_lib():
     lib.krun_map_pe_batch.restype = ctypes.c_longlong
     lib.krun_map_pe_batch.argtypes = [
         _vp, _u8p, _i64p, _u8p, _i64p, _u8p, _i64p, _u8p, _i64p,
-        _u8p, _i64p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        _u8p, _i64p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        _i64p, _i64p, _i64p, _i64p, ctypes.c_longlong]
     lib.krun_set_pe.argtypes = [_vp, ctypes.c_longlong]
     lib.krun_set_mem.argtypes = [_vp, ctypes.c_int]
     lib.krun_assemble_template.restype = ctypes.c_longlong
@@ -199,10 +200,17 @@ class RunDriver:
 
     def map_pe_batch(self, a_flat, a_off, ha_flat, ha_off, b_flat, b_off,
                      hb_flat, hb_off, b_present, ords, pm: int,
-                     fpm: int) -> int:
+                     fpm: int, voffs=None) -> int:
         n = len(a_off) - 1
         if n <= 0:
             return 0
+        if voffs is not None:
+            va_f, va_r, vb_f, vb_r, stride = voffs
+            vp = (va_f.ctypes.data_as(_i64p), va_r.ctypes.data_as(_i64p),
+                  vb_f.ctypes.data_as(_i64p), vb_r.ctypes.data_as(_i64p),
+                  stride)
+        else:
+            vp = (None, None, None, None, 0)
         r = self._lib.krun_map_pe_batch(
             self._h,
             a_flat.ctypes.data_as(_u8p), a_off.ctypes.data_as(_i64p),
@@ -210,7 +218,7 @@ class RunDriver:
             b_flat.ctypes.data_as(_u8p), b_off.ctypes.data_as(_i64p),
             hb_flat.ctypes.data_as(_u8p), hb_off.ctypes.data_as(_i64p),
             b_present.ctypes.data_as(_u8p), ords.ctypes.data_as(_i64p),
-            n, pm, fpm)
+            n, pm, fpm, *vp)
         if r < 0:
             raise RuntimeError("krun_map_pe_batch failed")
         return int(r)

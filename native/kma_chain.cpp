@@ -1555,11 +1555,15 @@ int kchain_scan_batch_dev(void *h, const uint8_t *codes_flat,
 // score both strands of one mate into Score/Score_r (left FILLED for the
 // pair combiners), collecting the touched template ids per strand.
 // Returns bestSeqCount.
-int kchain_pair_mate(void *h, const uint8_t *codes, int seqlen,
-                     int exhaustive, long long *Score_,
-                     long long *Score_r_, long long *extendScore_,
-                     uint8_t *include, int *bests_out, int *nb_out,
-                     int *bests_r_out, int *nbr_out) {
+// voff_fw/voff_rc: optional device-precomputed per-window values
+// offsets for each strand IN THAT STRAND'S window order (p ascending);
+// nullptr = native lookups (the -device PE probe path).
+int kchain_pair_mate_v(void *h, const uint8_t *codes, int seqlen,
+                       int exhaustive, long long *Score_,
+                       long long *Score_r_, long long *extendScore_,
+                       uint8_t *include, int *bests_out, int *nb_out,
+                       int *bests_r_out, int *nbr_out,
+                       const long long *voff_fw, const long long *voff_rc) {
     Ctx *c = (Ctx *)h;
     const KIdx *x = &c->x;
     const int k = x->k;
@@ -1624,17 +1628,33 @@ int kchain_pair_mate(void *h, const uint8_t *codes, int seqlen,
         int *nb = rc ? nbr_out : nb_out;
 
         int W = seqlen - k + 1;
-        window_kmers(x, cur, seqlen, c->kmers, c->ok);
-        if (!exhaustive && !quick_hit(x, cur, seqlen, c->kmers, c->ok))
-            continue;
+        const long long *voffs = rc ? voff_rc : voff_fw;
+        if (voffs) {
+            // device probe: voffs[p] >= 0 iff window p is N-free AND the
+            // hash hits -- identical to ok[p] && lookup (quick_hit shape)
+            if (!exhaustive &&
+                !quick_hit_voff(k, cur, seqlen, (const int64_t *)voffs,
+                                false))
+                continue;
+        } else {
+            window_kmers(x, cur, seqlen, c->kmers, c->ok);
+            if (!exhaustive &&
+                !quick_hit(x, cur, seqlen, c->kmers, c->ok))
+                continue;
+        }
 
         int hitCounter = 0;
         int64_t last = -1, Ms = 0, MMs = 0, Us = 0, W1s = 0, HIT = 0;
         int64_t prev_j = 0;
         for (int p = 0; p < W; ++p) {
-            if (!c->ok[p])
-                continue;
-            int64_t v = lookup_voff(x, c->kmers[p]);
+            int64_t v;
+            if (voffs) {
+                v = voffs[p];
+            } else {
+                if (!c->ok[p])
+                    continue;
+                v = lookup_voff(x, c->kmers[p]);
+            }
             if (v < 0)
                 continue;
             int64_t j = p + k - 1; // reference scan index (:2516)
@@ -1731,6 +1751,17 @@ int kchain_pair_mate(void *h, const uint8_t *codes, int seqlen,
             bestSeqCount = hitCounter;
     }
     return bestSeqCount;
+}
+
+int kchain_pair_mate(void *h, const uint8_t *codes, int seqlen,
+                     int exhaustive, long long *Score_,
+                     long long *Score_r_, long long *extendScore_,
+                     uint8_t *include, int *bests_out, int *nb_out,
+                     int *bests_r_out, int *nbr_out) {
+    return kchain_pair_mate_v(h, codes, seqlen, exhaustive, Score_,
+                              Score_r_, extendScore_, include, bests_out,
+                              nb_out, bests_r_out, nbr_out, nullptr,
+                              nullptr);
 }
 
 

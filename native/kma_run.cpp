@@ -60,11 +60,12 @@ void kchain_save_kmers(void *h, const uint8_t *codes, int seqlen,
                        long long *extendScore_, uint8_t *include,
                        long long *soft, int *bests_out, int *nb_out,
                        int *bests_r_out, int *nbr_out, long long *bs_out);
-int kchain_pair_mate(void *h, const uint8_t *codes, int seqlen,
-                     int exhaustive, long long *Score_,
-                     long long *Score_r_, long long *extendScore_,
-                     uint8_t *include, int *bests_out, int *nb_out,
-                     int *bests_r_out, int *nbr_out);
+int kchain_pair_mate_v(void *h, const uint8_t *codes, int seqlen,
+                       int exhaustive, long long *Score_,
+                       long long *Score_r_, long long *extendScore_,
+                       uint8_t *include, int *bests_out, int *nb_out,
+                       int *bests_r_out, int *nbr_out,
+                       const long long *voff_fw, const long long *voff_rc);
 void kaln_pe_score_batch(
     void *const *handles, int32_t *tpl_ids, const int64_t *tpl_off,
     const uint8_t *a_flat, const int64_t *a_off, const uint8_t *b_flat,
@@ -965,14 +966,18 @@ struct PEmit {
 // Returns emits (0-2 records); *is_pair marks a proper pair.
 static int pair_scan(Run *R, Scratch &S, const uint8_t *q1, int l1,
                      const uint8_t *q2, int l2, int pm, PEmit *out,
-                     bool *is_pair) {
+                     bool *is_pair, const long long *v1f = nullptr,
+                     const long long *v1r = nullptr,
+                     const long long *v2f = nullptr,
+                     const long long *v2r = nullptr) {
     const int k = R->ix.k;
     *is_pair = false;
     int nb = 0, nbr = 0;
-    int hc1 = kchain_pair_mate(S.ctx, q1, l1, R->exhaustive,
-                               S.Score.data(), S.Score_r.data(),
-                               S.extendScore.data(), S.include.data(),
-                               S.bests.data(), &nb, S.bests_r.data(), &nbr);
+    int hc1 = kchain_pair_mate_v(S.ctx, q1, l1, R->exhaustive,
+                                 S.Score.data(), S.Score_r.data(),
+                                 S.extendScore.data(), S.include.data(),
+                                 S.bests.data(), &nb, S.bests_r.data(),
+                                 &nbr, v1f, v1r);
     std::vector<int> &region = S.region;
     std::vector<int> &best2 = S.best2;
     std::vector<ll> &rscores = S.rscores;
@@ -994,10 +999,11 @@ static int pair_scan(Run *R, Scratch &S, const uint8_t *q1, int l1,
         }
     }
 
-    int hc2 = kchain_pair_mate(S.ctx, q2, l2, R->exhaustive,
-                               S.Score.data(), S.Score_r.data(),
-                               S.extendScore.data(), S.include.data(),
-                               S.bests.data(), &nb, S.bests_r.data(), &nbr);
+    int hc2 = kchain_pair_mate_v(S.ctx, q2, l2, R->exhaustive,
+                                 S.Score.data(), S.Score_r.data(),
+                                 S.extendScore.data(), S.include.data(),
+                                 S.bests.data(), &nb, S.bests_r.data(),
+                                 &nbr, v2f, v2r);
     bool pe = false;
     ll bestScore_r = 0;
     best2.clear();
@@ -1755,7 +1761,10 @@ long long krun_map_pe_batch(void *hv, const uint8_t *a_flat,
                             const long long *b_off, const uint8_t *hb_flat,
                             const long long *hb_off,
                             const uint8_t *b_present, const long long *ords,
-                            int n, int pm, int fpm) {
+                            int n, int pm, int fpm,
+                            const long long *va_f, const long long *va_r,
+                            const long long *vb_f, const long long *vb_r,
+                            long long vstride) {
     Run *R = (Run *)hv;
     const int k = R->ix.k;
     int nt = R->n_threads;
@@ -1799,7 +1808,12 @@ long long krun_map_pe_batch(void *hv, const uint8_t *a_flat,
                 continue;
             }
             bool is_pair = false;
-            int ne = pair_scan(R, S, qa, la, qb, lb, pm, em, &is_pair);
+            const long long *p1f = va_f ? va_f + (ll)it * vstride : nullptr;
+            const long long *p1r = va_r ? va_r + (ll)it * vstride : nullptr;
+            const long long *p2f = vb_f ? vb_f + (ll)it * vstride : nullptr;
+            const long long *p2r = vb_r ? vb_r + (ll)it * vstride : nullptr;
+            int ne = pair_scan(R, S, qa, la, qb, lb, pm, em, &is_pair,
+                               p1f, p1r, p2f, p2r);
             if (!ne)
                 continue;
             auto put_codes = [&](int which) -> ll {
