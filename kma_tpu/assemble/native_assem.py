@@ -30,15 +30,18 @@ SIGNIFICANTS = {"mcnemar": 0, "and90": 1, "support": 2}
 def _build() -> bool:
     if not os.path.exists(_SRC):
         return False
-    try:
-        subprocess.run(
-            ["g++", "-O2", "-fPIC", "-shared", "-o", _SO + ".tmp", _SRC],
-            check=True, capture_output=True)
-        os.replace(_SO + ".tmp", _SO)
-        return True
-    except Exception as e:  # pragma: no cover - toolchain missing
-        print(f"# native assembler build failed: {e}", file=sys.stderr)
-        return False
+    for extra in (["-march=native"], []):
+        try:
+            subprocess.run(
+                ["g++", "-O2", "-fPIC", "-shared"] + extra
+                + ["-o", _SO + ".tmp"] + [_SRC],
+                check=True, capture_output=True)
+            os.replace(_SO + ".tmp", _SO)
+            return True
+        except Exception as e:
+            err = e
+    print(f"# native assembly build failed: {err}", file=sys.stderr)
+    return False
 
 
 def get_lib():

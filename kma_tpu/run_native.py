@@ -38,16 +38,18 @@ _vp = ctypes.c_void_p
 def _build() -> bool:
     if not all(os.path.exists(s) for s in _SRCS):
         return False
-    try:
-        subprocess.run(
-            ["g++", "-O2", "-fPIC", "-shared", "-o", _SO + ".tmp"]
-            + _SRCS + ["-lpthread"],
-            check=True, capture_output=True)
-        os.replace(_SO + ".tmp", _SO)
-        return True
-    except Exception as e:  # pragma: no cover - toolchain missing
-        print(f"# native run-driver build failed: {e}", file=sys.stderr)
-        return False
+    for extra in (["-march=native"], []):
+        try:
+            subprocess.run(
+                ["g++", "-O2", "-fPIC", "-shared"] + extra
+                + ["-o", _SO + ".tmp"] + _SRCS + ["-lpthread"],
+                check=True, capture_output=True)
+            os.replace(_SO + ".tmp", _SO)
+            return True
+        except Exception as e:
+            err = e
+    print(f"# native run-driver build failed: {err}", file=sys.stderr)
+    return False
 
 
 def get_lib():
