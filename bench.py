@@ -173,7 +173,7 @@ def e2e_config(name, n_frags, ref_args, my_args, out_ref, out_my):
         ref = min(_run_wall([str(kma)] + ref_args)[0] for _ in range(2))
         row["ref_wall_s"] = round(ref, 3)
         row["ref_reads_per_sec"] = round(n_frags / ref, 1)
-    my = min(_run_wall([sys.executable, "-m", "kma_tpu"] + my_args)[0]
+    my = min(_run_wall([str(REPO / "bin" / "kma")] + my_args)[0]
              for _ in range(2))
     row["wall_s"] = round(my, 3)
     row["reads_per_sec"] = round(n_frags / my, 1)
