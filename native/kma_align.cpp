@@ -262,15 +262,18 @@ static void nw_full(const uint8_t* tmpl, const uint8_t* query, int k,
                    aligned);
         return;
     }
-    ll neg = (ll)(t_len + q_len) * (MM + U + W1);
+    // scores fit i32 (the reference's own int arrays, nw.c:26); the
+    // narrower rows halve DP memory traffic
+    int32_t neg = (int32_t)((t_len + q_len) * (MM + U + W1));
     size_t Erows = (size_t)(t_len + 1) * (q_len + 1);
     Ebuf.assign(Erows, 0);
     auto E = [&](int m, int n) -> uint8_t& {
         return Ebuf[(size_t)m * (q_len + 1) + n];
     };
-    Dbuf.assign(2 * (q_len + 1), neg);
-    ll* D_prev = Dbuf.data();            // [q_len+1]
-    ll* P_prev = Dbuf.data() + q_len + 1;
+    static thread_local std::vector<int32_t> D32;
+    D32.assign(2 * (q_len + 1), neg);
+    int32_t* D_prev = D32.data();        // [q_len+1]
+    int32_t* P_prev = D32.data() + q_len + 1;
 
     if (0 < k) {
         if (k == 1) {
@@ -299,31 +302,32 @@ static void nw_full(const uint8_t* tmpl, const uint8_t* query, int k,
     ll best_score = neg;
     int best_m = 0;
     for (int m = t_len - 1; m >= 0; m--) {
-        ll D_boundary = (0 < k) ? 0 : (W1 + (ll)(t_len - 1 - m) * U);
+        int32_t D_boundary =
+            (0 < k) ? 0 : (int32_t)(W1 + (ll)(t_len - 1 - m) * U);
         int nuc_pos = (t_e - 1 - (t_len - 1 - m)) % template_length;
         if (nuc_pos < 0) nuc_pos += template_length;
         const int* drow = pen.d[tmpl[nuc_pos]];
-        ll Qprev = neg;
-        ll Dfin_next = D_boundary;
-        ll diag = D_prev[q_len];          // D_prev[n+1] running from right
+        int32_t Qprev = neg;
+        int32_t Dfin_next = D_boundary;
+        int32_t diag = D_prev[q_len];     // D_prev[n+1] running from right
         for (int n = q_len - 1; n >= 0; n--) {
-            ll Popen = D_prev[n] + W1;
-            ll Pext = P_prev[n] + U;
-            ll P = Popen < Pext ? Pext : Popen;
-            ll Msc = diag + drow[q[n]];
-            ll D0 = P < Msc ? Msc : P;
-            ll Qopen = Dfin_next + W1;
-            ll Qext = Qprev + U;
-            ll Q = Qopen < Qext ? Qext : Qopen;
+            int32_t Popen = D_prev[n] + W1;
+            int32_t Pext = P_prev[n] + U;
+            int32_t P = Popen < Pext ? Pext : Popen;
+            int32_t Msc = diag + drow[q[n]];
+            int32_t D0 = P < Msc ? Msc : P;
+            int32_t Qopen = Dfin_next + W1;
+            int32_t Qext = Qprev + U;
+            int32_t Q = Qopen < Qext ? Qext : Qopen;
             int e = (Qopen < Popen) ? 4 : 2;
-            ll Dr = Qopen < Popen ? Popen : Qopen;
+            int32_t Dr = Qopen < Popen ? Popen : Qopen;
             int bit16 = !(Qopen < Qext);
             if (Qopen < Qext && Dr <= Qext) { Dr = Qext; e = 3; }
             int bit32 = !(Popen < Pext);
             if (Popen < Pext && Dr <= Pext) { Dr = Pext; e = 5; }
             E(m, n) = (uint8_t)(bit16 * 16 + bit32 * 32
                                 + ((Dr <= Msc) ? 1 : e));
-            ll Dfin = D0 < Q ? Q : D0;
+            int32_t Dfin = D0 < Q ? Q : D0;
             diag = D_prev[n];
             D_prev[n] = Dfin;
             P_prev[n] = P;
@@ -435,16 +439,18 @@ static void nw_band(const uint8_t* tmpl, const uint8_t* query, int k,
     if (band & 1) band++;
     int halfBand = band >> 1;
     int bq_len = band + 1;
-    ll neg = (ll)(t_len + q_len) * (MM + U + W1);
+    // scores fit i32 (the reference's own int rows, nw.c:310)
+    int32_t neg = (int32_t)((t_len + q_len) * (MM + U + W1));
     Ebuf.assign((size_t)(t_len + 1) * (bq_len + 1), 0);
     auto E = [&](int m, int n) -> uint8_t& {
         return Ebuf[(size_t)m * (bq_len + 1) + n];
     };
-    Dbuf.assign(4 * (bq_len + 1), neg);
-    ll* D_prev = Dbuf.data();
-    ll* P_prev = Dbuf.data() + (bq_len + 1);
-    ll* D_ptr = Dbuf.data() + 2 * (bq_len + 1);
-    ll* P_ptr = Dbuf.data() + 3 * (bq_len + 1);
+    static thread_local std::vector<int32_t> D32b;
+    D32b.assign(4 * (bq_len + 1), neg);
+    int32_t* D_prev = D32b.data();
+    int32_t* P_prev = D32b.data() + (bq_len + 1);
+    int32_t* D_ptr = D32b.data() + 2 * (bq_len + 1);
+    int32_t* P_ptr = D32b.data() + 3 * (bq_len + 1);
 
     int c_pos = (t_len + q_len) >> 1;
     int sn0 = q_len - 1 - (c_pos - halfBand);
@@ -486,30 +492,30 @@ static void nw_band(const uint8_t* tmpl, const uint8_t* query, int k,
 
         const int* drow = pen.d[tmpl[nuc_pos]];
         int width = sn - en;
-        ll q_en = neg;
+        int32_t q_en = neg;
         bool have_q_en = false;
         if (width > 0) {
-            ll Qprev = neg;
-            ll Dfin_next = D_ptr[sn + 1];
+            int32_t Qprev = neg;
+            int32_t Dfin_next = D_ptr[sn + 1];
             for (int n = sn; n >= en + 1; n--) {
                 int qpos = sq - (sn - n);
-                ll Popen = D_prev[n - 1] + W1;
-                ll Pext = P_prev[n - 1] + U;
-                ll P = Popen < Pext ? Pext : Popen;
-                ll Msc = D_prev[n] + drow[q[qpos]];
-                ll D0 = P < Msc ? Msc : P;
-                ll Qopen = Dfin_next + W1;
-                ll Qext = Qprev + U;
-                ll Q = Qopen < Qext ? Qext : Qopen;
+                int32_t Popen = D_prev[n - 1] + W1;
+                int32_t Pext = P_prev[n - 1] + U;
+                int32_t P = Popen < Pext ? Pext : Popen;
+                int32_t Msc = D_prev[n] + drow[q[qpos]];
+                int32_t D0 = P < Msc ? Msc : P;
+                int32_t Qopen = Dfin_next + W1;
+                int32_t Qext = Qprev + U;
+                int32_t Q = Qopen < Qext ? Qext : Qopen;
                 int e = (Qopen < Popen) ? 4 : 2;
-                ll Dr = Qopen < Popen ? Popen : Qopen;
+                int32_t Dr = Qopen < Popen ? Popen : Qopen;
                 int bit16 = !(Qopen < Qext);
                 if (Qopen < Qext && Dr <= Qext) { Dr = Qext; e = 3; }
                 int bit32 = !(Popen < Pext);
                 if (Popen < Pext && Dr <= Pext) { Dr = Pext; e = 5; }
                 E(m, n) = (uint8_t)(bit16 * 16 + bit32 * 32
                                     + ((Dr <= Msc) ? 1 : e));
-                ll Dfin = D0 < Q ? Q : D0;
+                int32_t Dfin = D0 < Q ? Q : D0;
                 D_ptr[n] = Dfin;
                 P_ptr[n] = P;
                 Qprev = Q;
@@ -524,13 +530,13 @@ static void nw_band(const uint8_t* tmpl, const uint8_t* query, int k,
             int n = en;
             int q_pos = sq - (sn - n);
             int Ebits = 0;
-            ll Qb = D_ptr[n + 1] + W1;
-            ll ext = (have_q_en ? q_en : neg) + U;
+            int32_t Qb = D_ptr[n + 1] + W1;
+            int32_t ext = (have_q_en ? q_en : neg) + U;
             int eb;
             if (Qb < ext) { Qb = ext; eb = 3; }
             else { eb = 2; Ebits |= 16; }
             P_ptr[n] = neg;
-            ll Db = D_prev[n] + drow[q[q_pos]];
+            int32_t Db = D_prev[n] + drow[q[q_pos]];
             if (Qb <= Db) Ebits |= 1;
             else { Db = Qb; Ebits |= eb; }
             D_ptr[n] = Db;
