@@ -1554,7 +1554,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                  and (not pe_files
                       or (cfg.pair_mode in ("u", "p")
                           and cfg.fpm in ("u", "p"))))
-    if (not collect and shard is None and _fused_pe
+    if (_fused_pe
             and (input_files and input_files != ["--"] or pe_files)
             and not sparse_db and not cfg.ck and not cfg.hmm
             and scan_proxi is None and not cfg.sam
@@ -1590,15 +1590,24 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                     cfg.min_len, cfg.max_len):
                 nb = len(c_o) - 1
                 ords = np.arange(n_frags, n_frags + nb, dtype=np.int64)
-                fused.map_batch(c_f, c_o, h_f, h_o, ords)
                 n_frags += nb
+                if _nproc > 1:
+                    # round-robin fragment ownership over 'data'
+                    keep = np.flatnonzero(ords % _nproc == _pid0)
+                    if not len(keep):
+                        continue
+                    c_f, c_o = _gather_flat(c_f, c_o, keep)
+                    h_f, h_o = _gather_flat(h_f, h_o, keep)
+                    ords = ords[keep]
+                fused.map_batch(c_f, c_o, h_f, h_o, ords)
         if pe_files:
             _pe_dev = None
             if _device_enabled(cfg, _in_bytes):
                 from .mapping.pe_device import make_pe_lookup
                 _pe_dev = make_pe_lookup(idx)
             n_frags = _fused_pe_feed(fused, pe_files, cfg, _mp, n_frags,
-                                     dev=_pe_dev)
+                                     dev=_pe_dev,
+                                     shard=(_pid0, _nproc))
         if frag_raw_out is not None:
             _fused_frag_raw(fused, dump_all_frag)
     elif input_files and input_files != ["--"] or not (pe_files or int_files):
@@ -2024,6 +2033,11 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         # alignment_scores before ConClave (runkma.c:1154-1156)
         alignment_scores[:] = soft_proxi[:db_size]
     if collect:
+        if fused is not None:
+            records, rec_ords = _fused_collect_records(fused)
+            a, u = fused.scores()
+            alignment_scores[:] = a
+            uniq_alignment_scores[:] = u
         return {"records": records, "rec_ords": rec_ords,
                 "alignment_scores": alignment_scores,
                 "uniq_alignment_scores": uniq_alignment_scores,
@@ -2066,6 +2080,50 @@ def _sam_init_single(names, template_lengths, exe_cmd, out):
     sam_header(names, template_lengths, exe_cmd, out)
 
 
+def _gather_flat(flat, off, keep):
+    """Sub-batch (flat, off) for the kept item indices (vectorized)."""
+    lens = np.diff(off)
+    kl = lens[keep]
+    total = int(kl.sum())
+    starts = off[:-1][keep]
+    if total:
+        base = np.repeat(starts, kl)
+        rel = np.arange(total, dtype=np.int64) \
+            - np.repeat(np.cumsum(kl) - kl, kl)
+        out = np.ascontiguousarray(np.asarray(flat)[base + rel])
+    else:
+        out = np.zeros(0, np.uint8)
+    noff = np.zeros(len(keep) + 1, np.int64)
+    np.cumsum(kl, out=noff[1:])
+    return out, noff
+
+
+def _fused_collect_records(fused):
+    """Native spool -> (FragRecord list, ords) for the multihost merge
+    (parallel/multihost.py consumes the same shapes the Python spool
+    produced)."""
+    (q_len, best_hits, score, flag, ordv, tpl, starts, ends, t_off, cod,
+     cod_off, hdr, hdr_off, mcod, mcod_off, mhdr, mhdr_off,
+     mflag) = fused.spool_export()
+    records = []
+    for i in range(len(q_len)):
+        b, e = int(t_off[i]), int(t_off[i + 1])
+        rec = FragRecord(
+            q_len=int(q_len[i]), best_hits=int(best_hits[i]),
+            score=int(score[i]),
+            header=hdr[hdr_off[i]:hdr_off[i + 1]].tobytes(),
+            flag=int(flag[i]),
+            codes=cod[cod_off[i]:cod_off[i + 1]].copy(),
+            starts=starts[b:e].tolist(), ends=ends[b:e].tolist(),
+            templates=tpl[b:e].tolist())
+        if score[i] < 0:
+            rec.mate_codes = mcod[mcod_off[i]:mcod_off[i + 1]].copy()
+            rec.mate_header = mhdr[mhdr_off[i]:mhdr_off[i + 1]].tobytes()
+            rec.mate_flag = int(mflag[i])
+        records.append(rec)
+    return records, ordv.tolist()
+
+
 def _fused_frag_raw(fused, dump_all_frag) -> None:
     """-a rows from the native spool (updateAllFrag, frags.c:64-184):
     record order equals production order, so post-hoc iteration writes
@@ -2088,7 +2146,8 @@ def _fused_frag_raw(fused, dump_all_frag) -> None:
                           mhdr[mhdr_off[i]:mhdr_off[i + 1]].tobytes())
 
 
-def _fused_pe_feed(fused, pe_files, cfg, mp, n_frags, dev=None) -> int:
+def _fused_pe_feed(fused, pe_files, cfg, mp, n_frags, dev=None,
+                   shard=(0, 1)) -> int:
     """Aligned PE item batches from two emit-all native streams into
     krun_map_pe_batch (run_input_PE lockstep, runinput.c:463-606)."""
     from .io.native_io import iter_fastq_native_pe_batches
@@ -2139,7 +2198,21 @@ def _fused_pe_feed(fused, pe_files, cfg, mp, n_frags, dev=None) -> int:
             if nk:
                 ords = np.arange(n_frags, n_frags + nk, dtype=np.int64)
                 n_frags += nk
-                if keep.all() and s1.all() and s2.all():
+                pid0, nproc = shard
+                if nproc > 1:
+                    # round-robin pair ownership over 'data' (ordinals
+                    # count every surviving pair globally)
+                    own = ords % nproc == pid0
+                    kidx = np.flatnonzero(keep)
+                    keep = keep.copy()
+                    keep[kidx[~own]] = False
+                    s1 = s1 & keep
+                    s2 = s2 & keep
+                    ords = ords[own]
+                    nk = int(keep.sum())
+                if nk == 0:
+                    pass
+                elif keep.all() and s1.all() and s2.all():
                     # common case: both streams fully passed; zero-copy
                     ao_ = np.ascontiguousarray(o1[i1:i1 + n + 1])
                     bo_ = np.ascontiguousarray(o2[i2:i2 + n + 1])
