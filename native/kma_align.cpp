@@ -266,7 +266,21 @@ static void nw_full(const uint8_t* tmpl, const uint8_t* query, int k,
     // narrower rows halve DP memory traffic
     int32_t neg = (int32_t)((t_len + q_len) * (MM + U + W1));
     size_t Erows = (size_t)(t_len + 1) * (q_len + 1);
-    Ebuf.assign(Erows, 0);
+    // every interior cell is overwritten by the DP sweep; only the
+    // boundary row/column the init branches leave untouched must be
+    // zeroed, so large (assembly realignment) calls skip the full memset
+    if (Erows <= (16 << 10)) {
+        Ebuf.assign(Erows, 0);
+    } else {
+        Ebuf.resize(Erows);
+        // k > 0: column q_len terminates the traceback; k == 2 also
+        // leaves row t_len unwritten
+        for (int m = 0; m <= t_len; m++)
+            Ebuf[(size_t)m * (q_len + 1) + q_len] = 0;
+        if (k > 1)
+            memset(Ebuf.data() + (size_t)t_len * (q_len + 1), 0,
+                   q_len + 1);
+    }
     auto E = [&](int m, int n) -> uint8_t& {
         return Ebuf[(size_t)m * (q_len + 1) + n];
     };
