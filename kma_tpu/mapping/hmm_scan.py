@@ -635,7 +635,30 @@ def _anker_and_clean(idx, codes, NN, region, Score, Score_r, include,
             include[abs(t)] = 1
         bestHitsCov = min(int(template_lengths[abs(t)]) for t in reg)
         cursor = len(reg) - 1           # C bestHits is a 1-based cursor
-        if min_frac:
+        if eng is not None:
+            # native extension walk (kchain_hmm_extend); quirks identical
+            import struct as _st
+            reg_buf = np.zeros(DB_size + len(reg) + 2, np.int32)
+            reg_buf[: len(reg)] = reg
+            state = np.zeros(3, np.int64)
+            state[0] = cursor
+            state[1] = HIT
+            if min_frac:
+                proxiScore = int(min_frac * bestScore)
+                bestCov = 1.0 * proxiScore / bestHitsCov
+                mode, parg = 1, float(proxiScore)
+            else:
+                bestCov = 1.0 * bestScore / bestHitsCov
+                mode, parg = 0, 0.0
+            state[2] = _st.unpack("<q", _st.pack("<d", bestCov))[0]
+            eng.hmm_extend(VF_scores.a, VR_scores.a, start_cut + 92,
+                           end_cut - 92, Score, Score_r, include,
+                           DB_size, mode, parg, len(region), reg_buf,
+                           len(reg), soft_proxi, state)
+            cursor = int(state[0])
+            HIT = int(state[1])
+            reg = reg_buf[: cursor + 1].tolist()
+        elif min_frac:
             proxiScore = int(min_frac * bestScore)
             bestCov = 1.0 * proxiScore / bestHitsCov
             for kq in range(start_cut + 92, end_cut - 92 + 1):
@@ -669,7 +692,7 @@ def _anker_and_clean(idx, codes, NN, region, Score, Score_r, include,
                             if soft_proxi is not None:
                                 soft_proxi[t] += score
                         Score_r[t] -= 1
-        else:
+        elif True:
             bestCov = 1.0 * bestScore / bestHitsCov
             base_count = len(region)
             for kq in range(start_cut + 92, end_cut - 92 + 1):
@@ -728,7 +751,31 @@ def _anker_and_clean(idx, codes, NN, region, Score, Score_r, include,
     else:
         # ankerAndClean_MEM
         cursor = len(reg) - 1
-        if min_frac:
+        if min_frac and eng is not None:
+            import struct as _st
+            for t in reg:
+                include[abs(t)] = 1
+            proxiScore = int(min_frac * bestScore)
+            reg_buf = np.zeros(DB_size + len(reg) + 2, np.int32)
+            reg_buf[: len(reg)] = reg
+            state = np.zeros(3, np.int64)
+            state[0] = cursor
+            state[1] = HIT
+            eng.hmm_extend(VF_scores.a, VR_scores.a, start_cut + 92,
+                           end_cut - 92, Score, Score_r, include,
+                           DB_size, 2, float(proxiScore), len(region),
+                           reg_buf, len(reg), soft_proxi, state)
+            cursor = int(state[0])
+            reg = reg_buf[: cursor + 1].tolist()
+            end = min(seqlen, start_cut + 92)
+            dec_range(max(0, start_cut - 92), end)
+            end = min(seqlen, end_cut + 92)
+            dec_range(max(0, end_cut - 92), end)
+            start_cut = max(0, start_cut - 92)
+            end_cut = min(seqlen, end_cut + 92)
+            for t in reg:
+                include[abs(t)] = 0
+        elif min_frac:
             for t in reg:
                 include[abs(t)] = 1
             proxiScore = int(min_frac * bestScore)

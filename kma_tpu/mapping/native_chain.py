@@ -148,6 +148,12 @@ def get_lib():
     lib.kchain_cut_limits.argtypes = [
         _vp, _i64p, _i64p, ctypes.c_longlong, ctypes.c_longlong,
         _i32p, ctypes.c_int, _i64p]
+    lib.kchain_hmm_extend.restype = ctypes.c_longlong
+    lib.kchain_hmm_extend.argtypes = [
+        _vp, _i64p, _i64p, ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_longlong, _i64p, _i64p, _u8p, ctypes.c_longlong,
+        ctypes.c_int, ctypes.c_double, ctypes.c_longlong, _i32p,
+        ctypes.c_longlong, _i64p, _i64p]
     lib.kchain_hmm_region.restype = ctypes.c_int
     lib.kchain_hmm_region.argtypes = [
         _i64p, _i64p, _i64p, _i64p, _i64p,
@@ -487,6 +493,18 @@ class NativeChain:
         return self._lib.kchain_score_window_runs(
             self._h, win.ctypes.data_as(_i64p), len(win),
             Score.ctypes.data_as(_i64p), bt.ctypes.data_as(_i32p), nb)
+
+    def hmm_extend(self, VF_a, VR_a, lo, hi, Score, Score_r, include,
+                   DB_size, mode, proxi, base_count, reg_buf, reg_len,
+                   soft, state):
+        softp = soft.ctypes.data_as(_i64p) if soft is not None else None
+        return self._lib.kchain_hmm_extend(
+            self._h, VF_a.ctypes.data_as(_i64p),
+            VR_a.ctypes.data_as(_i64p), len(VF_a), lo, hi,
+            Score.ctypes.data_as(_i64p), Score_r.ctypes.data_as(_i64p),
+            include.ctypes.data_as(_u8p), DB_size, mode, proxi,
+            base_count, reg_buf.ctypes.data_as(_i32p), reg_len, softp,
+            state.ctypes.data_as(_i64p))
 
     def cut_limits(self, VFs, VRs, start, jj, region) -> tuple:
         reg = np.asarray(region, np.int32)

@@ -1765,6 +1765,109 @@ int kchain_pair_mate(void *h, const uint8_t *codes, int seqlen,
 }
 
 
+
+// ankerAndClean extension loops (savekmers.c:4623-4720 non-mem,
+// :4852-5020 MEM; hmm_scan.py:_anker_and_clean): walk the region's
+// window voffs [lo, hi], extend the regionTemplates array under the
+// branch's coverage/proxi rules (including the reference's cursor-reset
+// and no-rc-advance quirks), decrement scores, and pop consumed windows.
+// mode: 0 = non-mem coverage, 1 = non-mem proxi, 2 = MEM proxi.
+// state in/out: [0] cursor, [1] HIT, [2] bestCov bits (double).
+long long kchain_hmm_extend(void *h, long long *VF, long long *VR,
+                            long long n_windows, long long lo,
+                            long long hi, long long *Score_,
+                            long long *Score_r_, unsigned char *include,
+                            long long DB_size, int mode,
+                            double proxi_score_or_bestcov,
+                            long long base_count, int *reg,
+                            long long reg_len_in, long long *soft,
+                            long long *state) {
+    Ctx *c = (Ctx *)h;
+    const KIdx *x = &c->x;
+    int64_t *Score = (int64_t *)Score_;
+    int64_t *Score_r = (int64_t *)Score_r_;
+    const int64_t *tl = x->template_lengths;
+    long long cursor = state[0];
+    long long HIT = state[1];
+    double bestCov;
+    memcpy(&bestCov, &state[2], 8);
+    double proxiScore = proxi_score_or_bestcov;
+    long long reg_len = reg_len_in;
+    auto reg_write = [&](long long pos, int val) {
+        if (pos >= reg_len)
+            reg_len = pos + 1;   // caller pre-zeroed the buffer
+        reg[pos] = val;
+    };
+    if (lo < 0)
+        lo = 0;
+    if (hi > n_windows - 1)
+        hi = n_windows - 1;
+    for (long long kq = lo; kq <= hi; ++kq) {
+        for (int strand = 0; strand < 2; ++strand) {
+            long long *V = strand ? VR : VF;
+            int64_t *Sc = strand ? Score_r : Score;
+            long long v = V[kq];
+            if (v < 0)
+                continue;
+            V[kq] = -1;
+            int64_t cnt = val_at(x, v);
+            for (int64_t i2 = v + 1; i2 <= v + cnt; ++i2) {
+                int64_t t = val_at(x, i2);
+                if (mode == 0) {
+                    if (!include[t] && t != DB_size) {
+                        double thisCov =
+                            (double)Sc[t] / (double)tl[t];
+                        if (thisCov > bestCov) {
+                            include[t] = 1;
+                            bestCov = thisCov;
+                            cursor = base_count;
+                            reg_write(cursor, strand ? -(int)t : (int)t);
+                            if (strand)
+                                HIT = -1;
+                        } else if (thisCov == bestCov) {
+                            include[t] = 1;
+                            cursor += 1;
+                            reg_write(cursor, strand ? -(int)t : (int)t);
+                            if (strand)
+                                HIT = -1;
+                        }
+                    }
+                } else if (mode == 1) {
+                    // non-mem proxi (savekmers.c:4631-4662): bestCov in
+                    // holds proxiScore/bestHitsCov
+                    int64_t score = Sc[t];
+                    if (!include[t] && t != DB_size
+                        && ((int64_t)proxiScore <= score
+                            || bestCov * (double)tl[t] <= (double)score)) {
+                        include[t] = 1;
+                        if (!strand)
+                            cursor += 1;  // quirk: rc never advances
+                        reg_write(cursor, strand ? -(int)t : (int)t);
+                        if (soft)
+                            soft[t] += score;
+                    }
+                } else {
+                    // MEM proxi (savekmers.c:4900-4960)
+                    int64_t score = Sc[t];
+                    if (!include[t] && (int64_t)proxiScore <= score
+                        && t != DB_size) {
+                        include[t] = 1;
+                        cursor += 1;
+                        reg_write(cursor, strand ? -(int)t : (int)t);
+                        if (soft)
+                            soft[t] += score;
+                    }
+                }
+                Sc[t] -= 1;
+            }
+        }
+    }
+    state[0] = cursor;
+    state[1] = HIT;
+    memcpy(&state[2], &bestCov, 8);
+    return reg_len;
+}
+
 // save_kmers (-1t1 scanner, savekmers.c:2442-3065 / mapping/scan.py
 // _scan_strand + get_match): both strands scored with the reference's
 // strand-asymmetric SNP reconnect, then getBestMatch / getProxiMatch
