@@ -105,6 +105,18 @@ def get_lib():
     i64p = ctypes.POINTER(ctypes.c_int64)
     f64p = ctypes.POINTER(ctypes.c_double)
     vpp = ctypes.POINTER(ctypes.c_void_p)
+    lib.kaln_frags_se_batch_crc.restype = None
+    lib.kaln_frags_se_batch_crc.argtypes = [
+        vpp, i32p, i64p,                 # handles, tpl ids, tpl offsets
+        u8p, i64p,                       # codes flat, offsets
+        i32p, i64p,                      # npos flat, offsets
+        i32p, u8p,                       # qbounds, arc flags
+        u8p, i64p, ctypes.c_int,         # custom rc flat/off, n_reads
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int,
+        i32p, i64p, f64p,                # nhits, best_score, best_frac
+        i32p, i32p, i32p, i64p, i32p]    # tpl, start, end, score, len
     lib.kaln_frags_se_batch.restype = None
     lib.kaln_frags_se_batch.argtypes = [
         vpp, i32p, i64p,                 # handles, tpl ids, tpl offsets
@@ -149,6 +161,7 @@ def _i32p(a: np.ndarray):
 
 
 _EMPTY_I32 = np.empty(0, dtype=np.int32)
+_EMPTY_U8 = np.empty(0, dtype=np.uint8)
 
 
 def native_handle(tindex):
@@ -226,7 +239,8 @@ def frags_se_batch(handles: np.ndarray, tpl_ids: np.ndarray,
                    codes_off: np.ndarray, npos_flat: np.ndarray,
                    npos_off: np.ndarray, qbounds: np.ndarray,
                    arc_flags: np.ndarray, rew, kmersize: int, minlen: int,
-                   mq: int, scoreT: float, mrc: float, n_threads: int):
+                   mq: int, scoreT: float, mrc: float, n_threads: int,
+                   crc_flat=None, crc_off=None):
     """Threaded native alnFragsSE over a read batch (alnfrags.c:1052-1218,
     2150-2293).  Returns (n_hits [n], best_score i64 [n], best_frac f64 [n],
     tpl/start/end/score/length flat arrays; read r's hits live at
@@ -243,10 +257,14 @@ def frags_se_batch(handles: np.ndarray, tpl_ids: np.ndarray,
     out_end = np.zeros(total, np.int32)
     out_score = np.zeros(total, np.int64)
     out_len = np.zeros(total, np.int32)
-    lib.kaln_frags_se_batch(
+    if crc_flat is None:
+        crc_flat = _EMPTY_U8
+        crc_off = np.zeros(n + 1, np.int64)
+    lib.kaln_frags_se_batch_crc(
         handles.ctypes.data_as(ctypes.POINTER(ctypes.c_void_p)),
         _i32p(tpl_ids), _i64p(tpl_off), _u8p(codes_flat), _i64p(codes_off),
         _i32p(npos_flat), _i64p(npos_off), _i32p(qbounds), _u8p(arc_flags),
+        _u8p(crc_flat), _i64p(crc_off),
         n, rew.M, rew.MM, rew.U, rew.W1, _i32p(d), kmersize, minlen, mq,
         scoreT, mrc, n_threads,
         _i32p(out_nhits), _i64p(out_best),

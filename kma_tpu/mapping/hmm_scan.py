@@ -551,10 +551,9 @@ def hmm_scan_read(idx: KmaIndex, codes: np.ndarray, header: bytes,
                             Score_r[t] = 0
                         HIT = 0
 
-        # clear scores (savekmers.c:4505-4509)
-        for kq in range(start, j):
-            VF_scores.pop(kq, None)
-            VR_scores.pop(kq, None)
+        # clear scores (savekmers.c:4505-4509); the reference pops the
+        # window hashmap entry-by-entry, but a full reset is outcome-
+        # identical on the dense window arrays
         VF_scores.clear()
         VR_scores.clear()
 

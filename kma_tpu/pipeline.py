@@ -1625,9 +1625,11 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             npos_off = np.zeros(nb + 1, np.int64)
             qb = np.zeros(2 * nb, np.int32)
             arcs = np.zeros(nb, np.uint8)
-            ids_l, codes_l, npos_l = [], [], []
-            for i, (codes, n_pos, rc_flag, templates, header,
-                    flag) in enumerate(pend):
+            crc_off = np.zeros(nb + 1, np.int64)
+            ids_l, codes_l, npos_l, crc_l = [], [], [], []
+            for i, item in enumerate(pend):
+                (codes, n_pos, rc_flag, templates, header, flag) = item[:6]
+                rc_override = item[6] if len(item) > 6 else None
                 q_len = len(codes)
                 q_start, q_end = 0, q_len
                 if (len(header) > 2 * 4 + 1
@@ -1640,23 +1642,33 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                 codes_l.append(np.ascontiguousarray(codes, np.uint8))
                 npos_l.append(np.ascontiguousarray(n_pos, np.int32))
                 ids_l.append(np.asarray(templates, np.int32))
+                if rc_override is not None:
+                    # HMM whole-word-slice rc (AnkerHit.rc_override)
+                    crc_l.append(np.ascontiguousarray(rc_override,
+                                                      np.uint8))
                 tpl_off[i + 1] = tpl_off[i] + len(templates)
                 codes_off[i + 1] = codes_off[i] + q_len
                 npos_off[i + 1] = npos_off[i] + len(npos_l[-1])
+                crc_off[i + 1] = crc_off[i] \
+                    + (len(rc_override) if rc_override is not None else 0)
             tpl_ids = np.ascontiguousarray(np.concatenate(ids_l))
             handles = np.ascontiguousarray(
                 _handles_for(np.abs(tpl_ids.astype(np.int64))))
             codes_flat = np.concatenate(codes_l)
             npos_flat = (np.concatenate(npos_l) if npos_l
                          else np.zeros(0, np.int32))
+            crc_flat = (np.concatenate(crc_l) if crc_l
+                        else None)
             nh, best, frac, otpl, ostart, oend, oscore, olen = \
                 _nat.frags_se_batch(
                     handles, tpl_ids, tpl_off, codes_flat, codes_off,
                     np.ascontiguousarray(npos_flat), npos_off, qb, arcs,
                     rew, kmersize, cfg.min_len, cfg.mq, cfg.score_t,
-                    cfg.mrc, max(1, cfg.threads))
-            for i, (codes, n_pos, rc_flag, templates, header,
-                    flag) in enumerate(pend):
+                    cfg.mrc, max(1, cfg.threads),
+                    crc_flat=crc_flat,
+                    crc_off=crc_off if crc_l else None)
+            for i, item in enumerate(pend):
+                (codes, n_pos, rc_flag, templates, header, flag) = item[:6]
                 if best[i] <= kmersize:
                     if sam_un is not None:
                         sam_unmapped(codes, header, flag | 4)
@@ -1719,9 +1731,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                 if not hits and sam_un is not None:
                     sam_unmapped(read.codes, read.header, _un_flag)
                 for hit in hits:
-                    if not batchable or hit.rc_override is not None:
-                        # drain the batch first so the spool keeps the
-                        # reference's record order
+                    if not batchable:
                         flush_aln()
                         handle_se_anker(hit.codes, hit.n_positions,
                                         hit.rc_flag, hit.templates,
@@ -1737,7 +1747,8 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                         continue
                     pord.append(_cur_ord[0])
                     pend.append((hit.codes, hit.n_positions, hit.rc_flag,
-                                 templates, hit.header, hit.flag))
+                                 templates, hit.header, hit.flag,
+                                 hit.rc_override))
                     if len(pend) >= 2048:
                         flush_aln()
 

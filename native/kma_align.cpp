@@ -1633,7 +1633,7 @@ extern "C" int kaln_anker_rc_bytes(void* h, const uint8_t* qseq,
 #include <thread>
 #include <atomic>
 
-extern "C" void kaln_frags_se_batch(
+extern "C" void kaln_frags_se_batch_crc(
     void* const* handles,        // [total_tpl] TIndex* per candidate
     const int32_t* tpl_ids,      // [total_tpl] signed template ids
     const int64_t* tpl_off,      // [n_reads+1]
@@ -1643,6 +1643,9 @@ extern "C" void kaln_frags_se_batch(
     const int64_t* npos_off,     // [n_reads+1]
     const int32_t* qbounds,      // [n_reads,2] q_start,q_end
     const uint8_t* arc_flags,    // [n_reads] rc_flag<0
+    // optional custom rc codes per read (the HMM whole-word-slice rc,
+    // AnkerHit.rc_override); empty slice = derive the plain revcomp
+    const uint8_t* crc_flat, const int64_t* crc_off,
     int n_reads,
     int M, int MM, int U, int W1, const int32_t* dmat,
     int kmersize, int minlen, int mq, double scoreT, double mrc,
@@ -1672,10 +1675,15 @@ extern "C" void kaln_frags_se_batch(
             int q_len = (int)(codes_off[r + 1] - codes_off[r]);
             const int32_t* np = npos_flat + npos_off[r];
             int n_np = (int)(npos_off[r + 1] - npos_off[r]);
-            rcq.resize(q_len);
-            for (int i = 0; i < q_len; i++) {
-                uint8_t c = q[q_len - 1 - i];
-                rcq[i] = c < 4 ? (uint8_t)(3 - c) : c;
+            if (crc_flat && crc_off[r + 1] > crc_off[r]) {
+                rcq.assign(crc_flat + crc_off[r],
+                           crc_flat + crc_off[r + 1]);
+            } else {
+                rcq.resize(q_len);
+                for (int i = 0; i < q_len; i++) {
+                    uint8_t c = q[q_len - 1 - i];
+                    rcq[i] = c < 4 ? (uint8_t)(3 - c) : c;
+                }
             }
             npr.resize(n_np);   // mirrored N positions, ascending
             for (int i = 0; i < n_np; i++)
@@ -1773,6 +1781,25 @@ extern "C" void kaln_frags_se_batch(
     th.reserve(nt);
     for (int i = 0; i < nt; i++) th.emplace_back(worker);
     for (auto& t : th) t.join();
+}
+
+extern "C" void kaln_frags_se_batch(
+    void* const* handles, const int32_t* tpl_ids, const int64_t* tpl_off,
+    const uint8_t* codes_flat, const int64_t* codes_off,
+    const int32_t* npos_flat, const int64_t* npos_off,
+    const int32_t* qbounds, const uint8_t* arc_flags, int n_reads, int M,
+    int MM, int U, int W1, const int32_t* dmat, int kmersize, int minlen,
+    int mq, double scoreT, double mrc, int n_threads, int32_t* out_nhits,
+    long long* out_best_score, double* out_best_frac, int32_t* out_tpl,
+    int32_t* out_start, int32_t* out_end, long long* out_score,
+    int32_t* out_len) {
+    kaln_frags_se_batch_crc(handles, tpl_ids, tpl_off, codes_flat,
+                            codes_off, npos_flat, npos_off, qbounds,
+                            arc_flags, nullptr, nullptr, n_reads, M, MM,
+                            U, W1, dmat, kmersize, minlen, mq, scoreT,
+                            mrc, n_threads, out_nhits, out_best_score,
+                            out_best_frac, out_tpl, out_start, out_end,
+                            out_score, out_len);
 }
 
 // ------------------------------------------------- batched PE mate scoring
