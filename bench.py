@@ -177,6 +177,11 @@ def e2e_config(name, n_frags, ref_args, my_args, out_ref, out_my):
              for _ in range(2))
     row["wall_s"] = round(my, 3)
     row["reads_per_sec"] = round(n_frags / my, 1)
+    # auxiliary: our multithreaded wall (outputs stay deterministic)
+    t4 = [a if a != "1" or my_args[my_args.index(a) - 1] != "-t" else "4"
+          for a in my_args]
+    my4 = _run_wall([str(REPO / "bin" / "kma")] + t4)[0]
+    row["wall_t4_s"] = round(my4, 3)
     if kma.exists():
         row["vs_ref"] = round(row["reads_per_sec"]
                               / row["ref_reads_per_sec"], 3)
