@@ -2135,6 +2135,24 @@ def _fused_collect_records(fused):
     return records, ordv.tolist()
 
 
+def _res_gate(read_score, t_len, template_tot_ulen, Nhits, cfg, cmp):
+    """The .res significance gate (runkma.c:770-783), long-double exact.
+    Returns (expected, q_value, p_value, passed)."""
+    ld = np.longdouble
+    expected = ld(t_len) / ld(max(1, (template_tot_ulen - t_len))) \
+        * ld(Nhits - read_score)
+    if 0 < expected:
+        q_value = ((ld(read_score) - expected)
+                   / (expected + ld(read_score))
+                   * (ld(read_score) - expected))
+    else:
+        q_value = ld(read_score)
+    p_value = p_chisqr(q_value)
+    passed = cmp(p_value <= cfg.evalue and read_score > expected,
+                 read_score >= cfg.score_t * t_len)
+    return expected, q_value, p_value, passed
+
+
 def _fused_frag_raw(fused, dump_all_frag) -> None:
     """-a rows from the native spool (updateAllFrag, frags.c:64-184):
     record order equals production order, so post-hoc iteration writes
@@ -2405,6 +2423,7 @@ def _conclave_and_output(records, db_size, template_lengths, name_of, store,
     status = 0
 
     boundary = splt["boundary"] if splt is not None else frozenset()
+
     # --- assembly per template (runkma.c:763-863) ------------------------
     for template in range(1, db_size):
         if template in boundary:
@@ -2424,20 +2443,10 @@ def _conclave_and_output(records, db_size, template_lengths, name_of, store,
                 splt["biases"], template)]
         read_score = int(w_scores[template])
         t_len = int(template_lengths[template])
-        # long-double arithmetic as the reference (runkma.c:770-783)
-        ld = np.longdouble
-        expected = ld(t_len) / ld(max(1, (template_tot_ulen - t_len))) \
-            * ld(Nhits - read_score)
-        if 0 < expected:
-            q_value = ((ld(read_score) - expected)
-                       / (expected + ld(read_score))
-                       * (ld(read_score) - expected))
-        else:
-            q_value = ld(read_score)
-        p_value = p_chisqr(q_value)
+        expected, q_value, p_value, _passed = _res_gate(
+            read_score, t_len, template_tot_ulen, Nhits, cfg, cmp)
         name = name_of(template)
-        if not cmp(p_value <= cfg.evalue and read_score > expected,
-                   read_score >= cfg.score_t * t_len):
+        if not _passed:
             # runkma.c:835-857: the failed gate still drains frags
             # through skip_assemble for -sam, and -ID 0 prints a
             # zero-identity row from the mapping depth alone
