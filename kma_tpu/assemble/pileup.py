@@ -285,8 +285,6 @@ def call_consensus(matrix: AssemblyMatrix, assem: Assem,
                    significant: str = "mcnemar") -> None:
     """callConsensus (assembly.c:1499-1631) + base callers (:143-271)."""
     asm_len = matrix.len
-    order = matrix.walk()
-    counts = matrix.counts[order]
 
     t_arr = np.empty(asm_len, dtype=np.uint8)
     s_arr = np.empty(asm_len, dtype=np.uint8)
@@ -294,9 +292,9 @@ def call_consensus(matrix: AssemblyMatrix, assem: Assem,
 
     lib = native_assem.get_lib()
     if lib is not None:
-        stats = np.zeros(4, np.int64)
+        stats = np.empty(4, np.int64)
         lib.kassem_consensus(
-            _nat_i64p(np.ascontiguousarray(counts)), _nat_i64p(order),
+            _nat_i64p(matrix.counts), _nat_i64p(matrix.next),
             _nat_u8p(np.ascontiguousarray(template_codes, np.uint8)),
             t_len, asm_len, bcd, evalue, support,
             native_assem.BASE_CALLERS[base_caller],
@@ -313,6 +311,8 @@ def call_consensus(matrix: AssemblyMatrix, assem: Assem,
         assem.q = q_arr
         return
 
+    order = matrix.walk()
+    counts = matrix.counts[order]
     depth_total = 0
     depth_var = 0
     aln_len = 0

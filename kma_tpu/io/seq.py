@@ -148,11 +148,10 @@ def _sniff_phred_np(data: bytes):
         return None
     s = bnds[qidx] + 1
     e = bnds[qidx + 1]
-    d = np.zeros(n + 1, np.int32)
-    np.add.at(d, s, 1)
-    np.add.at(d, e, -1)
-    inq = np.cumsum(d[:-1]) > 0
-    q = arr[inq]
+    # gather the quality bytes line by line (a few thousand slices) —
+    # building a whole-buffer membership mask via cumsum is far slower
+    q = np.concatenate([arr[a:b] for a, b in zip(s, e)]) \
+        if len(s) else arr[:0]
     bad = (q < 33) | ((q > 53) & (q < 59))
     if bad.any():
         first = int(np.argmax(bad))

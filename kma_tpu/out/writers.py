@@ -45,14 +45,14 @@ def print_consensus(assem: Assem, name: str, aln_out: Optional[IO],
     aln_len = assem.len
     t = assem.t.tobytes().decode("latin1")
     s = assem.s.tobytes().decode("latin1")
-    q_arr = assem.q.copy()
-    q = q_arr.tobytes().decode("latin1")
+    q = assem.q.tobytes().decode("latin1")
     if aln_out is not None:
-        aln_out.write(f"# {name}\n")
+        parts = [f"# {name}\n"]
         for i in range(0, aln_len, 60):
-            aln_out.write("%-10s\t%.60s\n" % ("template:", t[i: i + 60]))
-            aln_out.write("%-10s\t%.60s\n" % ("", s[i: i + 60]))
-            aln_out.write("%-10s\t%.60s\n\n" % ("query:", q[i: i + 60]))
+            parts += ("template: \t", t[i: i + 60],
+                      "\n          \t", s[i: i + 60],
+                      "\nquery:    \t", q[i: i + 60], "\n\n")
+        aln_out.write("".join(parts))
     if fsa_out is None:
         return
     if ref_fsa == 0:
@@ -60,9 +60,10 @@ def print_consensus(assem: Assem, name: str, aln_out: Optional[IO],
         aln_len = len(q)
     elif ref_fsa == 1:
         q = q.replace("-", "n")
-    fsa_out.write(f">{name}\n")
+    parts = [f">{name}\n"]
     for i in range(0, aln_len, 60):
-        fsa_out.write("%.60s\n" % q[i: i + 60])
+        parts += (q[i: i + 60], "\n")
+    fsa_out.write("".join(parts))
 
 
 BASES_STR = np.frombuffer(b"ACGTN-", dtype=np.uint8)

@@ -53,15 +53,19 @@ class TemplateStore:
         self.offsets = seq_offsets(template_lengths)
         self.kmersize = kmersize
         self.cache: Dict[int, TemplateIndex] = {}
+        self._mm = None
+
+    def _words(self, template: int, nwords: int) -> np.ndarray:
+        if self._mm is None:
+            self._mm = np.memmap(self.seq_path, dtype="<u8", mode="r")
+        w0 = int(self.offsets[template]) >> 3
+        return np.asarray(self._mm[w0:w0 + nwords])
 
     def get(self, template: int) -> TemplateIndex:
         ti = self.cache.get(template)
         if ti is None:
             t_len = int(self.lengths[template])
-            nwords = (t_len >> 5) + 1
-            with open(self.seq_path, "rb") as f:
-                f.seek(int(self.offsets[template]))
-                words = np.fromfile(f, dtype="<u8", count=nwords)
+            words = self._words(template, (t_len >> 5) + 1)
             ti = TemplateIndex(unpack_2bit(words, t_len), self.kmersize)
             self.cache[template] = ti
         return ti

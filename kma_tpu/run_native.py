@@ -260,7 +260,7 @@ class RunDriver:
         assembly.c:1689-2127) + .frag.gz row formatting; grows and
         updates `matrix` in place; returns (score, frag_aln, read_aln,
         rows_bytes)."""
-        meta = np.zeros(3, np.int64)
+        meta = np.empty(3, np.int64)
         self._lib.krun_stage_meta(self._h, t,
                                   meta[0:].ctypes.data_as(_i64p),
                                   meta[1:].ctypes.data_as(_i64p),
@@ -268,8 +268,8 @@ class RunDriver:
         n, cb, hb = int(meta[0]), int(meta[1]), int(meta[2])
         matrix.ensure(matrix.len + cb + 1)
         cap = cb + hb + n * (80 + len(name)) + 64
-        rows = np.zeros(cap, np.uint8)
-        out = np.zeros(4, np.int64)
+        rows = np.empty(cap, np.uint8)
+        out = np.empty(4, np.int64)
         nm = np.frombuffer(name, np.uint8)
         while True:
             new_len = self._lib.krun_assemble_template(
@@ -287,7 +287,7 @@ class RunDriver:
             if new_len >= 0:
                 break
             cap *= 4
-            rows = np.zeros(cap, np.uint8)
+            rows = np.empty(cap, np.uint8)
         matrix.len = int(new_len)
         return (int(out[0]), int(out[1]), int(out[2]),
                 rows[: int(out[3])].tobytes())

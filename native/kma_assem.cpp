@@ -164,23 +164,23 @@ void kassem_aln_to_mat_dense(long long *counts, long long *next_,
 }
 
 // callConsensus (assembly.c:1499-1631) + baseCaller family (:143-271).
-// counts_w = matrix counts ALREADY gathered in walk order [asm_len, 6];
-// order = walk order (to test pos < t_len).
+// counts = RAW matrix counts [cap, 6]; nxt = the matrix chain (walked
+// internally — saves the caller a walk + gather).
 // base_caller: 0 default, 1 org, 2 ref, 3 nano.
 // out_stats: {depth_total, depth_var, aln_len, cover}.
-void kassem_consensus(const long long *counts_w, const long long *order,
+void kassem_consensus(const long long *counts, const long long *nxt,
                       const unsigned char *template_codes, int t_len,
                       long long asm_len, int bcd, double evalue,
                       double support, int base_caller, int significant,
                       unsigned char *t_arr, unsigned char *s_arr,
                       unsigned char *q_arr, long long *out_stats) {
-    const int64_t *cw = (const int64_t *)counts_w;
+    const int64_t *cw = (const int64_t *)counts;
     int64_t depth_total = 0, depth_var = 0, aln_len = 0, cover = 0;
-    for (long long i = 0; i < asm_len; ++i) {
-        int64_t pos = order[i];
+    int64_t pos = 0;
+    for (long long i = 0; i < asm_len; ++i, pos = nxt[pos]) {
         int tn = pos < t_len ? template_codes[pos] : 5;
         t_arr[i] = BASES[tn];
-        const int64_t *row = cw + i * 6;
+        const int64_t *row = cw + pos * 6;
         int64_t bestScore = row[tn];
         int bestIdx = tn;
         int64_t depthUpdate = 0;
