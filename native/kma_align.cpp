@@ -18,12 +18,40 @@
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <cstdio>
+#include <cstdlib>
+#include <chrono>
 #include <vector>
 #include <unordered_map>
 #include <algorithm>
 #include <climits>
 
 typedef long long ll;
+
+// ---- KMA_ALN_PROF=1 sub-phase accounting (ns totals across threads) -----
+#include <atomic>
+static std::atomic<ll> g_p_collect(0), g_p_chain(0), g_p_tails(0),
+    g_p_nw(0), g_p_calls(0), g_p_seeds(0), g_p_nwcells(0), g_p_skipped(0);
+static bool aln_prof_on() {
+    static bool v = getenv("KMA_ALN_PROF") != nullptr;
+    return v;
+}
+static inline double prof_now() {
+    return std::chrono::duration<double>(
+               std::chrono::steady_clock::now().time_since_epoch())
+        .count();
+}
+extern "C" void kaln_prof_report(void) {
+    if (!aln_prof_on())
+        return;
+    fprintf(stderr,
+            "# kaln prof: calls %lld collect %.3f chain %.3f tails %.3f "
+            "nw %.3f seeds %lld nw_cells %lld skipped %lld\n",
+            (ll)g_p_calls.load(), g_p_collect.load() * 1e-9,
+            g_p_chain.load() * 1e-9, g_p_tails.load() * 1e-9,
+            g_p_nw.load() * 1e-9, (ll)g_p_seeds.load(),
+            (ll)g_p_nwcells.load(), (ll)g_p_skipped.load());
+}
 
 // ---------------------------------------------------------------- structs
 
@@ -1181,6 +1209,8 @@ static int kaln_align_impl(TIndex& T, const uint8_t* qseq, int q_len,
         aligned = nullptr;
     }
 
+    const bool prof = aln_prof_on();
+    double pt0 = prof ? prof_now() : 0.0;
     if (!use_points) {
         pts.clear_all();
         if (traceback)
@@ -1189,6 +1219,13 @@ static int kaln_align_impl(TIndex& T, const uint8_t* qseq, int q_len,
             collect_seeds_comp(T, qseq, n_positions, n_n, q_len, q_start,
                                q_end, pts);
         pts.len = (int)pts.n();
+    }
+    if (prof) {
+        double t1 = prof_now();
+        g_p_collect += (ll)((t1 - pt0) * 1e9);
+        g_p_calls += 1;
+        g_p_seeds += pts.len;
+        pt0 = t1;
     }
 
     out->score = 0; out->pos = 0; out->len = 1; out->match = 0;
@@ -1201,6 +1238,11 @@ static int kaln_align_impl(TIndex& T, const uint8_t* qseq, int q_len,
 
     int start, mapQ;
     chain_seeds(pts, q_len, t_len, T.k, pen, circular != 0, start, mapQ);
+    if (prof) {
+        double t1 = prof_now();
+        g_p_chain += (ll)((t1 - pt0) * 1e9);
+        pt0 = t1;
+    }
     out->mapQ = mapQ;
     ll score = pts.score[start];
     if (mapQ < mq || score < T.k) {
@@ -1214,6 +1256,11 @@ static int kaln_align_impl(TIndex& T, const uint8_t* qseq, int q_len,
     AlnStat st;
     lead_tail_aln(aligned, T, qseq, pts.tStart[start] - 1, t_len,
                   pts.qStart[start], pen, skip_tails != 0, st, Ebuf, Dbuf);
+    if (prof) {
+        double t1 = prof_now();
+        g_p_tails += (ll)((t1 - pt0) * 1e9);
+        pt0 = t1;
+    }
 
     for (;;) {
         int q_s = pts.qStart[start];
@@ -1268,6 +1315,7 @@ static int kaln_align_impl(TIndex& T, const uint8_t* qseq, int q_len,
                 return 0;
             }
             if (t_l > 0 || q_ev - q_s > 0) {
+                if (prof) pt0 = prof_now();
                 int band = std::abs(t_l - q_ev + q_s) + BANDWIDTH;
                 Aligned frag_store;
                 Aligned* frag = nullptr;
@@ -1292,14 +1340,21 @@ static int kaln_align_impl(TIndex& T, const uint8_t* qseq, int q_len,
                 st.match += nw.match;
                 st.tGaps += nw.tGaps;
                 st.qGaps += nw.qGaps;
+                if (prof) {
+                    g_p_nw += (ll)((prof_now() - pt0) * 1e9);
+                    g_p_nwcells += (ll)(q_ev - q_s)
+                        * (t_l <= band ? t_l : band);
+                }
             }
         } else {
             break;
         }
     }
 
+    if (prof) pt0 = prof_now();
     trail_tail_aln(aligned, st, T, qseq, pts.tEnd[start] - 1, t_len,
                    pts.qEnd[start], q_len, pen, skip_tails != 0, Ebuf, Dbuf);
+    if (prof) g_p_tails += (ll)((prof_now() - pt0) * 1e9);
     pts.len = 0;
     *out = st;
     out->mapQ = mapQ;
@@ -1633,7 +1688,69 @@ extern "C" int kaln_anker_rc_bytes(void* h, const uint8_t* qseq,
 #include <thread>
 #include <atomic>
 
-extern "C" void kaln_frags_se_batch_crc(
+// ---- bound-skipped batch scoring ------------------------------------------
+//
+// Per-candidate chain state stashed between the chain phase and the NW
+// phase.  Segments carry the fixed-up coordinates of the chain walk
+// (kaln_align_impl's merge fixups applied); gaps carry the junction
+// geometry the NW calls consume.
+struct ChainSeg { int qs, qe; };
+struct GapGeom { int t_sv, t_ev, q_s, q_ev, t_l; };
+struct CandWork {
+    uint8_t done;        // 1 = st already final (dead/aborted candidate)
+    uint8_t skipped;     // 1 = bound-skipped (treated as read_score 0)
+    int tmpl;            // sign-resolved template id
+    int mapQ;
+    const uint8_t* q;    // oriented query the alignment uses
+    ll bound;            // strict upper bound on the alignment score
+    int seg_off, seg_n;  // into the segment arena
+    int gap_off;         // into the gap arena (seg_n - 1 entries)
+    int lead_te, lead_qe;    // first segment tStart-1 / qStart
+    int tail_ts, tail_qs;    // last segment tEnd-1 / qEnd
+    AlnStat st;
+};
+
+// Content-dedupe of candidate alignments: with a redundant DB most
+// candidates of a read are alleles whose aligned windows are
+// byte-identical, so the NW result (score/len/match/gaps and the lead
+// offset) is identical too.  The key captures everything the NW phase
+// reads: orientation, segment q-coords, the k-flag cases, and the raw
+// template bytes of the lead/gap/trail windows.
+struct AlnCacheEnt {
+    uint64_t hash;
+    int key_off, key_len;
+    ll score;
+    int len, match, tGaps, qGaps;
+    int pos_delta;   // lead_te - st.pos (content-determined)
+};
+
+static inline uint64_t fnv1a(const uint8_t* p, size_t n, uint64_t h) {
+    for (size_t i = 0; i < n; i++) {
+        h ^= p[i];
+        h *= 0x100000001b3ULL;
+    }
+    return h;
+}
+
+// best possible (least negative) cost of `diff` gapped bases: one run
+// when extensions beat openings, else all openings
+static inline ll gap_best(int diff, int W1, int U) {
+    if (diff <= 0) return 0;
+    ll one_run = (ll)W1 + (ll)(diff - 1) * U;
+    ll all_open = (ll)diff * W1;
+    return one_run < all_open ? all_open : one_run;
+}
+
+// upper bound of a global-in-q NW over a (qr x tr) window (the tail
+// windows and interior gaps): <= maxd per aligned pair, mandatory gap
+// run when qr > tr
+static inline ll window_bound(int qr, int tr, int maxd, int W1, int U) {
+    if (qr <= 0 || tr <= 0) return 0;
+    int mn = qr < tr ? qr : tr;
+    return (ll)maxd * mn + (qr > tr ? gap_best(qr - tr, W1, U) : 0);
+}
+
+extern "C" void kaln_frags_se_batch_mf(
     void* const* handles,        // [total_tpl] TIndex* per candidate
     const int32_t* tpl_ids,      // [total_tpl] signed template ids
     const int64_t* tpl_off,      // [n_reads+1]
@@ -1650,6 +1767,14 @@ extern "C" void kaln_frags_se_batch_crc(
     int M, int MM, int U, int W1, const int32_t* dmat,
     int kmersize, int minlen, int mq, double scoreT, double mrc,
     int n_threads,
+    // min_frac of the DOWNSTREAM update_Scores selection
+    // (updatescores.c:203-298).  When == 1.0, candidates whose score
+    // bound is strictly below both running bests are skipped (they can
+    // neither be selected nor move the per-read bests).  Pass NaN when
+    // the selection rule is unknown; the bound<=kmersize skip (exact for
+    // every consumer: such candidates never pass the in-loop gate) still
+    // applies.
+    double sel_min_frac,
     int32_t* out_nhits,          // [n_reads]
     long long* out_best_score,   // [n_reads] bestReadScore
     double* out_best_frac,       // [n_reads] bestScore ratio
@@ -1657,9 +1782,16 @@ extern "C" void kaln_frags_se_batch_crc(
     long long* out_score, int32_t* out_len) {
     Penal pen;
     pen.M = M; pen.MM = MM; pen.U = U; pen.W1 = W1;
+    int maxd = INT_MIN;
     for (int a = 0; a < 5; a++)
-        for (int b = 0; b < 5; b++)
+        for (int b = 0; b < 5; b++) {
             pen.d[a][b] = dmat[a * 5 + b];
+            if (pen.d[a][b] > maxd) maxd = pen.d[a][b];
+        }
+    // the bound arithmetic assumes non-negative match rewards and
+    // non-positive gap costs; disable skipping for exotic matrices
+    const bool bounds_ok = maxd >= 0 && W1 <= 0 && U <= 0;
+    const bool frac_skip = bounds_ok && sel_min_frac == 1.0;
 
     std::atomic<int> next(0);
     auto worker = [&]() {
@@ -1668,6 +1800,17 @@ extern "C" void kaln_frags_se_batch_crc(
         std::vector<ll> Dbuf;
         std::vector<uint8_t> rcq;
         std::vector<int32_t> npr;
+        std::vector<ChainSeg> segA;
+        std::vector<GapGeom> gapA;
+        std::vector<CandWork> cands;
+        std::vector<int> order;
+        std::vector<uint8_t> keyA;          // per-read key arena
+        std::vector<AlnCacheEnt> centries;  // per-read dedupe entries
+        std::vector<uint8_t> kb;            // scratch key
+        auto put_i32 = [](std::vector<uint8_t>& v, int x) {
+            const uint8_t* p = (const uint8_t*)&x;
+            v.insert(v.end(), p, p + 4);
+        };
         for (;;) {
             int r = next.fetch_add(1);
             if (r >= n_reads) break;
@@ -1690,20 +1833,28 @@ extern "C" void kaln_frags_se_batch_crc(
                 npr[i] = q_len - 1 - np[n_np - 1 - i];
             int q_start = qbounds[2 * r], q_end = qbounds[2 * r + 1];
             bool arc = arc_flags[r] != 0;
-            ll best_read_score = 0;
-            double bestScore = 0.0;
-            int nh = 0;
             long long base = tpl_off[r];
             int ncand = (int)(tpl_off[r + 1] - base);
+            const bool prof = aln_prof_on();
+
+            // ---- phase A: seed + chain every candidate, stash the walk
+            segA.clear();
+            gapA.clear();
+            cands.assign(ncand, CandWork());
             for (int ci = 0; ci < ncand; ci++) {
+                CandWork& w = cands[ci];
                 TIndex& T = *(TIndex*)handles[base + ci];
                 int tmpl = tpl_ids[base + ci];
                 int t_len = T.len;
-                AlnStat st;
-                st.score = 0; st.pos = 0; st.len = 0; st.match = 0;
-                st.tGaps = 0; st.qGaps = 0; st.mapQ = 0;
+                w.done = 0;
+                w.skipped = 0;
+                w.st.score = 0; w.st.pos = 0; w.st.len = 0;
+                w.st.match = 0; w.st.tGaps = 0; w.st.qGaps = 0;
+                w.st.mapQ = 0;
                 pts.clear_all();
                 pts.len = 0;
+                int use_points = 0;
+                double pt0 = prof ? prof_now() : 0.0;
                 if (arc) {
                     int npout = 0;
                     int rc = anker_rc_comp_impl(T, q, rcq.data(), np, n_np,
@@ -1713,29 +1864,417 @@ extern "C" void kaln_frags_se_batch_crc(
                     pts.len = npout;
                     if (rc < 0) {
                         if (0 < tmpl) tmpl = -tmpl;
-                        kaln_align_impl(T, rcq.data(), q_len, q_len - q_end,
-                                        q_len - q_start, 0, 0, mq, pen,
-                                        npr.data(), n_np, 0,
-                                        pts.len ? 1 : 0, 0, 0, 0, pts,
-                                        Ebuf, Dbuf, nullptr, &st);
+                        w.q = rcq.data();
+                        use_points = pts.len ? 1 : 0;
+                        if (!use_points) {
+                            pts.clear_all();
+                            collect_seeds_comp(T, rcq.data(), npr.data(),
+                                               n_np, q_len, q_len - q_end,
+                                               q_len - q_start, pts);
+                            pts.len = (int)pts.n();
+                        }
                     } else if (rc > 0) {
                         if (tmpl < 0) tmpl = -tmpl;
-                        kaln_align_impl(T, q, q_len, q_start, q_end, 0, 0,
-                                        mq, pen, np, n_np, 0,
-                                        pts.len ? 1 : 0, 0, 0, 0, pts,
-                                        Ebuf, Dbuf, nullptr, &st);
+                        w.q = q;
+                        use_points = pts.len ? 1 : 0;
+                        if (!use_points) {
+                            pts.clear_all();
+                            collect_seeds_comp(T, q, np, n_np, q_len,
+                                               q_start, q_end, pts);
+                            pts.len = (int)pts.n();
+                        }
+                    } else {
+                        // no anker: st stays zeroed (len 0), mapQ 0
+                        w.tmpl = tmpl;
+                        w.done = 1;
+                        if (prof) g_p_collect += (ll)((prof_now() - pt0) * 1e9);
+                        continue;
                     }
-                    // rc == 0: st stays zeroed (AlnScore() default)
                 } else if (tmpl < 0) {
-                    kaln_align_impl(T, rcq.data(), q_len, q_len - q_end,
-                                    q_len - q_start, 0, 0, mq, pen,
-                                    npr.data(), n_np, 0, 0, 0, 0, 0, pts,
-                                    Ebuf, Dbuf, nullptr, &st);
+                    w.q = rcq.data();
+                    pts.clear_all();
+                    collect_seeds_comp(T, rcq.data(), npr.data(), n_np,
+                                       q_len, q_len - q_end,
+                                       q_len - q_start, pts);
+                    pts.len = (int)pts.n();
                 } else {
-                    kaln_align_impl(T, q, q_len, q_start, q_end, 0, 0, mq,
-                                    pen, np, n_np, 0, 0, 0, 0, 0, pts,
-                                    Ebuf, Dbuf, nullptr, &st);
+                    w.q = q;
+                    pts.clear_all();
+                    collect_seeds_comp(T, q, np, n_np, q_len, q_start,
+                                       q_end, pts);
+                    pts.len = (int)pts.n();
                 }
+                w.tmpl = tmpl;
+                if (prof) {
+                    double t1 = prof_now();
+                    g_p_collect += (ll)((t1 - pt0) * 1e9);
+                    g_p_calls += 1;
+                    g_p_seeds += pts.len;
+                    pt0 = t1;
+                }
+                if (!pts.len) {
+                    // kaln_align_impl's !pts.len outcome: zeroed, len 1
+                    w.st.len = 1;
+                    w.done = 1;
+                    continue;
+                }
+                int start, mapQ;
+                chain_seeds(pts, q_len, t_len, T.k, pen, false, start,
+                            mapQ);
+                if (prof) {
+                    g_p_chain += (ll)((prof_now() - pt0) * 1e9);
+                }
+                w.mapQ = mapQ;
+                w.st.mapQ = mapQ;
+                ll cscore = pts.score[start];
+                if (mapQ < mq || cscore < T.k) {
+                    w.st.len = 1;
+                    w.done = 1;
+                    pts.len = 0;
+                    continue;
+                }
+                trim_seeds(pts, start, 0, false);
+
+                // walk the chain: apply the merge fixups, stash the
+                // fixed-up segments + junction geometry, abort like
+                // kaln_align_impl's gap check
+                w.seg_off = (int)segA.size();
+                w.gap_off = (int)gapA.size();
+                w.lead_te = pts.tStart[start] - 1;
+                w.lead_qe = pts.qStart[start];
+                ll bound = 0;
+                {
+                    // lead window geometry (lead_tail_aln rules)
+                    int t_e = w.lead_te, q_e = w.lead_qe;
+                    int t_s = 0, q_s = 0;
+                    if ((q_e << 1) < t_e || (q_e + BANDWIDTH) < t_e)
+                        t_s = t_e - (q_e + (q_e < BANDWIDTH ? q_e
+                                                            : BANDWIDTH));
+                    else if ((t_e << 1) < q_e || (t_e + BANDWIDTH) < q_e)
+                        q_s = q_e - (t_e + (t_e < BANDWIDTH ? t_e
+                                                            : BANDWIDTH));
+                    if (q_e)
+                        bound = window_bound(q_e - q_s, t_e - t_s, maxd,
+                                             W1, U);
+                }
+                bool aborted = false;
+                for (;;) {
+                    segA.push_back({pts.qStart[start], pts.qEnd[start]});
+                    int seg = pts.qEnd[start] - pts.qStart[start];
+                    if (seg > 0) bound += (ll)maxd * seg;
+                    if (!pts.next[start]) {
+                        w.tail_ts = pts.tEnd[start] - 1;
+                        w.tail_qs = pts.qEnd[start];
+                        break;
+                    }
+                    int q_s = pts.qEnd[start];
+                    int t_sv = pts.tEnd[start] - 1;
+                    start = pts.next[start];
+                    if (pts.qStart[start] < q_s) {
+                        pts.tStart[start] += q_s - pts.qStart[start];
+                        pts.qStart[start] = q_s;
+                    }
+                    int t_ev = pts.tStart[start] - 1;
+                    int t_l;
+                    if (t_ev < t_sv) {
+                        if (t_sv <= pts.tEnd[start]) {
+                            pts.qStart[start] += t_sv - t_ev;
+                            t_ev = t_sv;
+                            t_l = 0;
+                        } else {
+                            t_l = t_len - t_sv + t_ev;
+                        }
+                    } else {
+                        t_l = t_ev - t_sv;
+                    }
+                    int q_ev = pts.qStart[start];
+                    if ((ll)std::abs(t_l - q_ev + q_s) * pen.U
+                                > (ll)q_len * pen.M
+                        || t_l > q_len || q_ev - q_s > (q_len >> 1)) {
+                        aborted = true;
+                        break;
+                    }
+                    gapA.push_back({t_sv, t_ev, q_s, q_ev, t_l});
+                    int qg = q_ev - q_s;
+                    if (t_l > 0 || qg > 0) {
+                        if (qg == 1 && t_l == 1) {
+                            // single mismatch junction: exact value
+                            int t_nuc_pos = t_sv % t_len;
+                            if (t_nuc_pos < 0) t_nuc_pos += t_len;
+                            ll d = pen.d[T.codes[t_nuc_pos]][w.q[q_s]];
+                            ll gg = 2LL * W1;
+                            bound += d < gg ? gg : d;
+                        } else if (qg == 0 || t_l == 0) {
+                            // pure gap: empty_case value, exact
+                            int g = qg > t_l ? qg : t_l;
+                            bound += (ll)W1 + (ll)(g - 1) * U;
+                        } else {
+                            bound += window_bound(qg, t_l, maxd, W1, U);
+                        }
+                    }
+                }
+                pts.len = 0;
+                if (aborted) {
+                    segA.resize(w.seg_off);
+                    gapA.resize(w.gap_off);
+                    w.st.len = 1;
+                    w.done = 1;
+                    continue;
+                }
+                w.seg_n = (int)(segA.size() - w.seg_off);
+                // trail window geometry (trail_tail_aln rules)
+                {
+                    int t_s = w.tail_ts, q_s = w.tail_qs;
+                    int q_e = q_len, t_e = t_len;
+                    int qr0 = q_len - q_s, tr0 = t_len - t_s;
+                    if ((qr0 << 1) < tr0 || (qr0 + BANDWIDTH) < tr0)
+                        t_e = t_s + (qr0 + (qr0 < BANDWIDTH ? qr0
+                                                            : BANDWIDTH));
+                    else if ((tr0 << 1) < qr0 || (tr0 + BANDWIDTH) < qr0)
+                        q_e = q_s + (tr0 + (tr0 < BANDWIDTH ? tr0
+                                                            : BANDWIDTH));
+                    bound += window_bound(q_e - q_s, t_e - t_s, maxd, W1,
+                                          U);
+                }
+                w.bound = bound;
+            }
+
+            // ---- phase B: exact NW in descending-bound order, skipping
+            // candidates whose bound proves they cannot be selected
+            order.clear();
+            for (int ci = 0; ci < ncand; ci++)
+                if (!cands[ci].done) order.push_back(ci);
+            std::stable_sort(order.begin(), order.end(),
+                             [&](int a, int b) {
+                                 return cands[a].bound > cands[b].bound;
+                             });
+            ll run_best = 0;
+            double run_frac = 0.0;
+            keyA.clear();
+            centries.clear();
+            for (int oi = 0; oi < (int)order.size(); oi++) {
+                CandWork& w = cands[order[oi]];
+                if (bounds_ok && w.bound <= kmersize) {
+                    w.skipped = 1;
+                    if (prof) g_p_skipped += 1;
+                    continue;
+                }
+                TIndex& T = *(TIndex*)handles[base + order[oi]];
+                int t_len = T.len;
+                if (frac_skip && w.bound < run_best) {
+                    // frac is read_score/denom with denom >=
+                    // min(q_len, t_len) whenever it can gate-pass
+                    int mn = q_len < t_len ? q_len : t_len;
+                    double frac_max =
+                        w.bound <= 0 ? 0.0 : (double)w.bound / mn;
+                    if (frac_max < run_frac) {
+                        w.skipped = 1;
+                        if (prof) g_p_skipped += 1;
+                        continue;
+                    }
+                }
+
+                // ---- content-dedupe key: everything the NW reads ----
+                const uint8_t* tc = T.codes.data();
+                kb.clear();
+                kb.push_back(w.q == q ? 0 : 1);
+                put_i32(kb, w.seg_n);
+                for (int si = 0; si < w.seg_n; si++) {
+                    put_i32(kb, segA[w.seg_off + si].qs);
+                    put_i32(kb, segA[w.seg_off + si].qe);
+                }
+                {
+                    // lead window (lead_tail_aln geometry)
+                    int t_e = w.lead_te, q_e = w.lead_qe;
+                    int t_s = 0, q_s = 0;
+                    if (q_e) {
+                        if ((q_e << 1) < t_e || (q_e + BANDWIDTH) < t_e)
+                            t_s = t_e - (q_e + (q_e < BANDWIDTH
+                                                        ? q_e
+                                                        : BANDWIDTH));
+                        else if ((t_e << 1) < q_e
+                                 || (t_e + BANDWIDTH) < q_e)
+                            q_s = q_e - (t_e + (t_e < BANDWIDTH
+                                                        ? t_e
+                                                        : BANDWIDTH));
+                    }
+                    put_i32(kb, q_e - q_s);
+                    put_i32(kb, q_e ? t_e - t_s : -1);
+                    kb.push_back(t_s == 0 ? 1 : 0);
+                    if (q_e && t_e - t_s > 0 && q_e - q_s > 0)
+                        kb.insert(kb.end(), tc + t_s, tc + t_e);
+                }
+                for (int si = 0; si + 1 < w.seg_n; si++) {
+                    const GapGeom& g = gapA[w.gap_off + si];
+                    put_i32(kb, g.t_l);
+                    if (g.t_l > 0) {
+                        int p0 = g.t_sv % t_len;
+                        if (p0 < 0) p0 += t_len;
+                        if (p0 + g.t_l <= t_len) {
+                            kb.insert(kb.end(), tc + p0, tc + p0 + g.t_l);
+                        } else {
+                            for (int i = 0; i < g.t_l; i++)
+                                kb.push_back(tc[(p0 + i) % t_len]);
+                        }
+                    }
+                }
+                {
+                    // trail window (trail_tail_aln geometry)
+                    int t_s = w.tail_ts, q_s = w.tail_qs;
+                    int q_e = q_len, t_e = t_len;
+                    int qr0 = q_len - q_s, tr0 = t_len - t_s;
+                    if ((qr0 << 1) < tr0 || (qr0 + BANDWIDTH) < tr0)
+                        t_e = t_s + (qr0 + (qr0 < BANDWIDTH ? qr0
+                                                            : BANDWIDTH));
+                    else if ((tr0 << 1) < qr0 || (tr0 + BANDWIDTH) < qr0)
+                        q_e = q_s + (tr0 + (tr0 < BANDWIDTH ? tr0
+                                                            : BANDWIDTH));
+                    put_i32(kb, q_e - q_s);
+                    put_i32(kb, t_e - t_s);
+                    kb.push_back(t_e == t_len ? 1 : 0);
+                    if (t_e - t_s > 0 && q_e - q_s > 0)
+                        kb.insert(kb.end(), tc + t_s, tc + t_e);
+                }
+                uint64_t h = fnv1a(kb.data(), kb.size(),
+                                   0xcbf29ce484222325ULL);
+                AlnCacheEnt* hit = nullptr;
+                for (auto& e : centries)
+                    if (e.hash == h && e.key_len == (int)kb.size()
+                        && memcmp(keyA.data() + e.key_off, kb.data(),
+                                  kb.size()) == 0) {
+                        hit = &e;
+                        break;
+                    }
+                if (hit) {
+                    AlnStat st;
+                    st.score = hit->score;
+                    st.len = hit->len;
+                    st.match = hit->match;
+                    st.tGaps = hit->tGaps;
+                    st.qGaps = hit->qGaps;
+                    st.pos = w.lead_te - hit->pos_delta;
+                    st.mapQ = w.mapQ;
+                    w.st = st;
+                    if (prof) g_p_skipped += 1;
+                    // running bests still advance off the cached result
+                    int aln_len = st.len;
+                    double denom;
+                    if (q_len <= aln_len || t_len <= aln_len)
+                        denom = (double)aln_len;
+                    else
+                        denom = (double)(q_len < t_len ? q_len : t_len);
+                    ll read_score = st.score;
+                    bool mr = (mrc * q_len <= st.len - st.qGaps)
+                              || (mrc * t_len <= st.len - st.tGaps);
+                    if (minlen <= aln_len && mr
+                        && kmersize < read_score) {
+                        double score = (double)read_score / denom;
+                        if (scoreT <= score) {
+                            if (run_frac < score) run_frac = score;
+                            if (run_best < read_score)
+                                run_best = read_score;
+                        }
+                    }
+                    continue;
+                }
+
+                double pt0 = prof ? prof_now() : 0.0;
+                AlnStat st;
+                lead_tail_aln(nullptr, T, w.q, w.lead_te, t_len,
+                              w.lead_qe, pen, false, st, Ebuf, Dbuf);
+                if (prof) {
+                    double t1 = prof_now();
+                    g_p_tails += (ll)((t1 - pt0) * 1e9);
+                    pt0 = t1;
+                }
+                for (int si = 0; si < w.seg_n; si++) {
+                    const ChainSeg& sg = segA[w.seg_off + si];
+                    int seg = sg.qe - sg.qs;
+                    st.len += seg;
+                    st.match += seg;
+                    for (int x = sg.qs; x < sg.qe; x++) {
+                        uint8_t nuc = w.q[x];
+                        st.score += pen.d[nuc][nuc];
+                    }
+                    if (si + 1 < w.seg_n) {
+                        const GapGeom& g = gapA[w.gap_off + si];
+                        int qg = g.q_ev - g.q_s;
+                        if (g.t_l > 0 || qg > 0) {
+                            if (prof) pt0 = prof_now();
+                            int band = std::abs(g.t_l - qg) + BANDWIDTH;
+                            AlnStat nw;
+                            if (qg <= band || g.t_l <= band)
+                                nw_full(T.codes.data(), w.q, 0, g.t_sv,
+                                        g.t_ev, g.q_s, g.q_ev, pen, t_len,
+                                        nw, nullptr, Ebuf, Dbuf);
+                            else
+                                nw_band(T.codes.data(), w.q, 0, g.t_sv,
+                                        g.t_ev, g.q_s, g.q_ev, band, pen,
+                                        t_len, nw, nullptr, Ebuf, Dbuf);
+                            st.score += nw.score;
+                            st.len += nw.len;
+                            st.match += nw.match;
+                            st.tGaps += nw.tGaps;
+                            st.qGaps += nw.qGaps;
+                            if (prof) {
+                                g_p_nw += (ll)((prof_now() - pt0) * 1e9);
+                                g_p_nwcells += (ll)qg
+                                    * (g.t_l <= band ? g.t_l : band);
+                            }
+                        }
+                    }
+                }
+                if (prof) pt0 = prof_now();
+                trail_tail_aln(nullptr, st, T, w.q, w.tail_ts, t_len,
+                               w.tail_qs, q_len, pen, false, Ebuf, Dbuf);
+                if (prof) g_p_tails += (ll)((prof_now() - pt0) * 1e9);
+                st.mapQ = w.mapQ;
+                w.st = st;
+                {
+                    AlnCacheEnt e;
+                    e.hash = h;
+                    e.key_off = (int)keyA.size();
+                    e.key_len = (int)kb.size();
+                    keyA.insert(keyA.end(), kb.begin(), kb.end());
+                    e.score = st.score;
+                    e.len = st.len;
+                    e.match = st.match;
+                    e.tGaps = st.tGaps;
+                    e.qGaps = st.qGaps;
+                    e.pos_delta = w.lead_te - st.pos;
+                    centries.push_back(e);
+                }
+
+                // replicate the in-loop gate to advance the running bests
+                int aln_len = st.len;
+                double denom;
+                if (q_len <= aln_len || t_len <= aln_len)
+                    denom = (double)aln_len;
+                else
+                    denom = (double)(q_len < t_len ? q_len : t_len);
+                ll read_score = st.score;
+                bool mr = (mrc * q_len <= st.len - st.qGaps)
+                          || (mrc * t_len <= st.len - st.tGaps);
+                if (minlen <= aln_len && mr && kmersize < read_score) {
+                    double score = (double)read_score / denom;
+                    if (scoreT <= score) {
+                        if (run_frac < score) run_frac = score;
+                        if (run_best < read_score) run_best = read_score;
+                    }
+                }
+            }
+
+            // ---- phase C: gates + output in original candidate order
+            ll best_read_score = 0;
+            double bestScore = 0.0;
+            int nh = 0;
+            for (int ci = 0; ci < ncand; ci++) {
+                CandWork& w = cands[ci];
+                if (w.skipped)
+                    continue;
+                TIndex& T = *(TIndex*)handles[base + ci];
+                int t_len = T.len;
+                const AlnStat& st = w.st;
                 int aln_len = st.len;
                 int start = st.pos;
                 int end = start + aln_len - st.tGaps;
@@ -1756,7 +2295,7 @@ extern "C" void kaln_frags_se_batch_crc(
                     score = 0.0;
                 }
                 if (kmersize < read_score && scoreT <= score) {
-                    out_tpl[base + nh] = tmpl;
+                    out_tpl[base + nh] = w.tmpl;
                     out_start[base + nh] = start;
                     out_end[base + nh] = end;
                     out_score[base + nh] = read_score;
@@ -1781,6 +2320,26 @@ extern "C" void kaln_frags_se_batch_crc(
     th.reserve(nt);
     for (int i = 0; i < nt; i++) th.emplace_back(worker);
     for (auto& t : th) t.join();
+}
+
+extern "C" void kaln_frags_se_batch_crc(
+    void* const* handles, const int32_t* tpl_ids, const int64_t* tpl_off,
+    const uint8_t* codes_flat, const int64_t* codes_off,
+    const int32_t* npos_flat, const int64_t* npos_off,
+    const int32_t* qbounds, const uint8_t* arc_flags,
+    const uint8_t* crc_flat, const int64_t* crc_off, int n_reads, int M,
+    int MM, int U, int W1, const int32_t* dmat, int kmersize, int minlen,
+    int mq, double scoreT, double mrc, int n_threads, int32_t* out_nhits,
+    long long* out_best_score, double* out_best_frac, int32_t* out_tpl,
+    int32_t* out_start, int32_t* out_end, long long* out_score,
+    int32_t* out_len) {
+    kaln_frags_se_batch_mf(handles, tpl_ids, tpl_off, codes_flat,
+                           codes_off, npos_flat, npos_off, qbounds,
+                           arc_flags, crc_flat, crc_off, n_reads, M, MM,
+                           U, W1, dmat, kmersize, minlen, mq, scoreT,
+                           mrc, n_threads, NAN, out_nhits,
+                           out_best_score, out_best_frac, out_tpl,
+                           out_start, out_end, out_score, out_len);
 }
 
 extern "C" void kaln_frags_se_batch(

@@ -85,6 +85,18 @@ long long kassem_template_frags(
     long long mat_len, int t_len_, uint8_t *o_acc, uint8_t *o_rcu,
     long long *o_rs, long long *o_ms, int32_t *o_st, int32_t *o_en,
     int32_t *o_ln);
+void kaln_prof_report(void);
+void kaln_frags_se_batch_mf(
+    void *const *handles, const int32_t *tpl_ids, const int64_t *tpl_off,
+    const uint8_t *codes_flat, const int64_t *codes_off,
+    const int32_t *npos_flat, const int64_t *npos_off,
+    const int32_t *qbounds, const uint8_t *arc_flags,
+    const uint8_t *crc_flat, const int64_t *crc_off, int n_reads, int M,
+    int MM, int U, int W1, const int32_t *dmat, int kmersize, int minlen,
+    int mq, double scoreT, double mrc, int n_threads, double sel_min_frac,
+    int32_t *out_nhits, long long *out_best_score, double *out_best_frac,
+    int32_t *out_tpl, int32_t *out_start, int32_t *out_end,
+    long long *out_score, int32_t *out_len);
 void kaln_frags_se_batch(
     void *const *handles, const int32_t *tpl_ids, const int64_t *tpl_off,
     const uint8_t *codes_flat, const int64_t *codes_off,
@@ -284,11 +296,13 @@ struct Run {
     double t_scan = 0, t_build = 0, t_score = 0, t_spool = 0;
 
     ~Run() {
-        if (getenv("KMA_RUN_PROF"))
+        if (getenv("KMA_RUN_PROF")) {
             fprintf(stderr,
                     "# krun prof: scan %.3f build %.3f score %.3f "
                     "spool %.3f\n",
                     t_scan, t_build, t_score, t_spool);
+            kaln_prof_report();
+        }
         for (auto *c : ctxs)
             if (c)
                 kchain_free(c);
@@ -473,15 +487,14 @@ static void score_se_batch(Run *R, const std::vector<SUnit> &units,
     o.end.resize(total);
     o.score.resize(total);
     o.len.resize(total);
-    kaln_frags_se_batch(handles.data(), tpl_ids.data(), tpl_offv.data(),
-                        cod_flat.data(), cod_offv.data(), npos_flat.data(),
-                        npos_offv.data(), qb.data(), arcs.data(), m,
-                        (int)R->ix.M, (int)R->ix.MM, (int)R->ix.U,
-                        (int)R->ix.W1, R->dmat, R->ix.k, R->minlen, R->mq,
-                        R->scoreT, R->mrc, R->n_threads, o.nh.data(),
-                        o.best.data(), o.frac.data(), o.tpl.data(),
-                        o.start.data(), o.end.data(), o.score.data(),
-                        o.len.data());
+    kaln_frags_se_batch_mf(
+        handles.data(), tpl_ids.data(), tpl_offv.data(), cod_flat.data(),
+        cod_offv.data(), npos_flat.data(), npos_offv.data(), qb.data(),
+        arcs.data(), nullptr, nullptr, m, (int)R->ix.M, (int)R->ix.MM,
+        (int)R->ix.U, (int)R->ix.W1, R->dmat, R->ix.k, R->minlen, R->mq,
+        R->scoreT, R->mrc, R->n_threads, R->aln_min_frac, o.nh.data(),
+        o.best.data(), o.frac.data(), o.tpl.data(), o.start.data(),
+        o.end.data(), o.score.data(), o.len.data());
 }
 
 // one unit's update_Scores selection + spool append
