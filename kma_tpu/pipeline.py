@@ -35,6 +35,8 @@ from .out import writers
 from .out.writers import tsv_headerline, tsv_row
 from .utils.stats import CMP, p_chisqr
 
+CMP_CODE = {"or": 0, "and": 1, "true": 2}
+
 
 def mrcheck(mrc: float, st, q_len: int, t_len: int) -> bool:
     """alnfrags.c:38."""
@@ -2362,6 +2364,40 @@ def _conclave_and_output(records, db_size, template_lengths, name_of, store,
     _stage("#\n# Doing local assemblies of found templates, and output "
            "results")
     _t_asm = time.process_time()
+
+    # ---- native output fast path: the whole per-template loop below in
+    # one C call when only the plain .res/.fsa/.aln/.frag.gz set is
+    # requested (runkma.c:763-863 as one loop)
+    if (ndrv is not None and splt is None and not cfg.mem_mode
+            and not cfg.sasm and not cfg.dense and not cfg.verbose
+            and not (cfg.tsv or cfg.xml or cfg.vcf or cfg.sam or cfg.ef
+                     or cfg.print_matrix) and cfg.ID_t != 0.0):
+        from .assemble import native_assem as _na
+        names = [b""] + [name_of(t).encode("latin1")
+                         for t in range(1, db_size)]
+        want_fsa = (cfg.nc & 1) == 0 or (cfg.nc & 2) == 0
+        want_aln = (cfg.nc & 2) == 0
+        res_b, fsa_b, aln_b, frag_b = ndrv.output_all(
+            w_scores, names, cfg, rew.Wl, template_tot_ulen, Nhits,
+            cfg.bcd, _na.BASE_CALLERS[cfg.base_caller],
+            _na.SIGNIFICANTS[cfg.significant], CMP_CODE[cfg.cmp_mode],
+            want_fsa, want_aln, not cfg.nf)
+        with open(output_prefix + ".res", "w") as f:
+            f.write(writers.RES_HEADER)
+            f.write(res_b.decode("latin1"))
+        if want_fsa:
+            with open(output_prefix + ".fsa", "wb") as f:
+                f.write(fsa_b)
+        if want_aln:
+            with open(output_prefix + ".aln", "wb") as f:
+                f.write(aln_b)
+        if not cfg.nf:
+            with writers.open_gz(output_prefix + ".frag.gz") as f:
+                f.write(frag_b)
+        _stage("# Total time used for local assembly: %.2f s.\n#"
+               % (time.process_time() - _t_asm))
+        _stage("# Closing files")
+        return 0
     if cfg.verbose:
         _stage("# Template\tScore\tProgress")
     _v_counter = 0

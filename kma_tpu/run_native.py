@@ -124,6 +124,17 @@ def get_lib():
         _i64p, _i64p, ctypes.c_longlong, ctypes.c_longlong,
         _u8p, ctypes.c_longlong,
         _i64p, _i64p, _i64p, _u8p, ctypes.c_longlong, _i64p]
+    lib.krun_output_all.restype = ctypes.c_longlong
+    lib.krun_output_all.argtypes = [
+        _vp, _i64p, _u8p, _i64p, ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_longlong, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int, ctypes.c_double,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_longlong, ctypes.c_int,
+        ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        _i64p, _i64p, _i64p, _i64p]
+    lib.krun_output_fetch.argtypes = [_vp, _u8p, _u8p, _u8p, _u8p]
     _lib = lib
     return _lib
 
@@ -291,6 +302,40 @@ class RunDriver:
         matrix.len = int(new_len)
         return (int(out[0]), int(out[1]), int(out[2]),
                 rows[: int(out[3])].tobytes())
+
+    def output_all(self, w_scores: np.ndarray, names: list, cfg, Wl_raw,
+                   template_tot_ulen: int, Nhits: int, bcd: int,
+                   base_caller: int, significant: int, cmp_mode: int,
+                   want_fsa: bool, want_aln: bool, want_frag: bool):
+        """Native output stage fast path (runkma.c:763-863): assembles
+        every passing template and formats .res/.fsa/.aln/.frag rows in
+        one call; returns the four byte buffers.  ``names`` is indexed
+        by template id (entry 0 is an unused placeholder)."""
+        names_flat = b"".join(names)
+        names_off = np.zeros(len(names) + 1, np.int64)
+        np.cumsum([len(n) for n in names], out=names_off[1:])
+        nf = np.frombuffer(names_flat, np.uint8) if names_flat \
+            else np.zeros(1, np.uint8)
+        lens = np.zeros(4, np.int64)
+        ws = np.ascontiguousarray(w_scores, np.int64)
+        r = self._lib.krun_output_all(
+            self._h, ws.ctypes.data_as(_i64p), nf.ctypes.data_as(_u8p),
+            names_off.ctypes.data_as(_i64p), len(names),
+            template_tot_ulen, Nhits, cfg.evalue, cfg.score_t,
+            cmp_mode, cfg.ID_t, cfg.Depth_t, bcd, cfg.support_static,
+            base_caller, significant, cfg.ref_fsa,
+            1 if want_fsa else 0, 1 if want_aln else 0,
+            1 if want_frag else 0, Wl_raw, cfg.min_len, cfg.mq,
+            cfg.score_t, cfg.mrc, 1 if cfg.circular else 0, cfg.ts,
+            1 if cfg.skip_tail_aln else 0, 1 if cfg.dense else 0,
+            lens[0:].ctypes.data_as(_i64p), lens[1:].ctypes.data_as(_i64p),
+            lens[2:].ctypes.data_as(_i64p), lens[3:].ctypes.data_as(_i64p))
+        if r < 0:
+            raise RuntimeError("krun_output_all failed")
+        bufs = [np.empty(max(1, int(n)), np.uint8) for n in lens]
+        self._lib.krun_output_fetch(
+            self._h, *(b.ctypes.data_as(_u8p) for b in bufs))
+        return tuple(bufs[i][: int(lens[i])].tobytes() for i in range(4))
 
     def stage_template(self, t: int):
         """Per-template fragment stage for assembly: (q_len, best_hits,

@@ -31,7 +31,8 @@ typedef long long ll;
 // ---- KMA_ALN_PROF=1 sub-phase accounting (ns totals across threads) -----
 #include <atomic>
 static std::atomic<ll> g_p_collect(0), g_p_chain(0), g_p_tails(0),
-    g_p_nw(0), g_p_calls(0), g_p_seeds(0), g_p_nwcells(0), g_p_skipped(0);
+    g_p_nw(0), g_p_calls(0), g_p_seeds(0), g_p_nwcells(0), g_p_skipped(0),
+    g_p_anker(0);
 static bool aln_prof_on() {
     static bool v = getenv("KMA_ALN_PROF") != nullptr;
     return v;
@@ -46,11 +47,12 @@ extern "C" void kaln_prof_report(void) {
         return;
     fprintf(stderr,
             "# kaln prof: calls %lld collect %.3f chain %.3f tails %.3f "
-            "nw %.3f seeds %lld nw_cells %lld skipped %lld\n",
+            "nw %.3f anker %.3f seeds %lld nw_cells %lld skipped %lld\n",
             (ll)g_p_calls.load(), g_p_collect.load() * 1e-9,
             g_p_chain.load() * 1e-9, g_p_tails.load() * 1e-9,
-            g_p_nw.load() * 1e-9, (ll)g_p_seeds.load(),
-            (ll)g_p_nwcells.load(), (ll)g_p_skipped.load());
+            g_p_nw.load() * 1e-9, g_p_anker.load() * 1e-9,
+            (ll)g_p_seeds.load(), (ll)g_p_nwcells.load(),
+            (ll)g_p_skipped.load());
 }
 
 // ---------------------------------------------------------------- structs
@@ -108,9 +110,10 @@ struct TIndex {
     // kmer -> [begin, end) into pos_flat, as an open-addressed flat
     // table (the reference CCI shape, hashmapcci.c:95-199).  kidx_create
     // drops kmer 0 ("likely undefined region", hashmapcci.c:414), so 0
-    // doubles as the empty-slot sentinel.
-    std::vector<uint64_t> tkey;
-    std::vector<uint32_t> tbeg, tend;
+    // doubles as the empty-slot sentinel.  One 16-byte slot per entry so
+    // a probe touches a single cache line.
+    struct Slot { uint64_t key; uint32_t beg, end; };
+    std::vector<Slot> table;
     uint64_t hmask = 0;
 
     static inline uint64_t mix(uint64_t v) {
@@ -123,24 +126,23 @@ struct TIndex {
     }
     inline void insert(uint64_t kmer, uint32_t b, uint32_t e) {
         uint64_t s = mix(kmer) & hmask;
-        while (tkey[s] != 0)
+        while (table[s].key != 0)
             s = (s + 1) & hmask;
-        tkey[s] = kmer;
-        tbeg[s] = b;
-        tend[s] = e;
+        table[s] = {kmer, b, e};
     }
     // returns false on miss; on hit fills [b, e) into pos_flat
     inline bool find(uint64_t kmer, uint32_t *b, uint32_t *e) const {
-        if (tkey.empty())
+        if (table.empty())
             return false;
         uint64_t s = mix(kmer) & hmask;
         for (;;) {
-            if (tkey[s] == kmer) {
-                *b = tbeg[s];
-                *e = tend[s];
+            const Slot& sl = table[s];
+            if (sl.key == kmer) {
+                *b = sl.beg;
+                *e = sl.end;
                 return true;
             }
-            if (tkey[s] == 0)
+            if (sl.key == 0)
                 return false;
             s = (s + 1) & hmask;
         }
@@ -168,6 +170,23 @@ struct TIndex {
         return 0;
     }
 };
+
+// count of equal leading bytes of a[0..n) vs b[0..n), compared 8 at a time
+static inline int ext_match_fwd(const uint8_t* a, const uint8_t* b, int n) {
+    int i = 0;
+    while (i + 8 <= n) {
+        uint64_t x, y;
+        memcpy(&x, a + i, 8);
+        memcpy(&y, b + i, 8);
+        uint64_t d = x ^ y;
+        if (d)
+            return i + (__builtin_ctzll(d) >> 3);
+        i += 8;
+    }
+    while (i < n && a[i] == b[i])
+        i++;
+    return i;
+}
 
 // ------------------------------------------------------------ index build
 
@@ -207,9 +226,7 @@ extern "C" void* kidx_create(const uint8_t* codes, int len, int kmersize) {
         uint64_t cap = 8;
         while (cap < 2ull * (nuniq ? nuniq : 1))
             cap <<= 1;
-        t->tkey.assign(cap, 0);
-        t->tbeg.assign(cap, 0);
-        t->tend.assign(cap, 0);
+        t->table.assign(cap, {0, 0, 0});
         t->hmask = cap - 1;
         uint32_t i = 0;
         while (i < (uint32_t)end) {
@@ -231,6 +248,11 @@ extern "C" void* kidx_create(const uint8_t* codes, int len, int kmersize) {
 }
 
 extern "C" void kidx_free(void* h) { delete (TIndex*)h; }
+
+// template byte codes of a kidx handle (length == template length)
+extern "C" const uint8_t* kidx_codes(void* h) {
+    return ((TIndex*)h)->codes.data();
+}
 
 // -------------------------------------------------------------------- NW
 
@@ -892,8 +914,14 @@ static void collect_seeds_comp(const TIndex& T, const uint8_t* qseq,
                 value += k - 1;
                 j += k;
                 int ext_end = end + (k - 1);
-                while (j < ext_end && value < t_len && qseq[j] == tc[value]) {
-                    j++; value++;
+                {
+                    int nmax = ext_end - j;
+                    if (t_len - value < nmax) nmax = t_len - value;
+                    if (nmax > 0) {
+                        int adv = ext_match_fwd(qseq + j, tc + value, nmax);
+                        j += adv;
+                        value += adv;
+                    }
                 }
                 size_t idx = pts.n() - 1;
                 pts.qEnd[idx] = j;
@@ -913,9 +941,15 @@ static void collect_seeds_comp(const TIndex& T, const uint8_t* qseq,
                     value2 += k - 1;
                     llp += k;
                     int ext_end = end + (k - 1);
-                    while (llp < ext_end && value2 < t_len
-                           && qseq[llp] == tc[value2]) {
-                        llp++; value2++;
+                    {
+                        int nmax = ext_end - llp;
+                        if (t_len - value2 < nmax) nmax = t_len - value2;
+                        if (nmax > 0) {
+                            int adv = ext_match_fwd(qseq + llp,
+                                                    tc + value2, nmax);
+                            llp += adv;
+                            value2 += adv;
+                        }
                     }
                     size_t idx = pts.n() - 1;
                     pts.qEnd[idx] = llp;
@@ -1793,6 +1827,20 @@ extern "C" void kaln_frags_se_batch_mf(
     const bool bounds_ok = maxd >= 0 && W1 <= 0 && U <= 0;
     const bool frac_skip = bounds_ok && sel_min_frac == 1.0;
 
+    // process reads grouped by their first candidate template so each
+    // per-template seed table stays cache-hot across its whole group
+    // (outputs are per-read slots, so order is free)
+    std::vector<int> rperm(n_reads);
+    for (int i = 0; i < n_reads; i++)
+        rperm[i] = i;
+    std::stable_sort(rperm.begin(), rperm.end(), [&](int a, int b) {
+        int ta = tpl_off[a] < tpl_off[a + 1]
+                     ? std::abs(tpl_ids[tpl_off[a]]) : INT_MAX;
+        int tb = tpl_off[b] < tpl_off[b + 1]
+                     ? std::abs(tpl_ids[tpl_off[b]]) : INT_MAX;
+        return ta < tb;
+    });
+
     std::atomic<int> next(0);
     auto worker = [&]() {
         Points pts;
@@ -1812,8 +1860,9 @@ extern "C" void kaln_frags_se_batch_mf(
             v.insert(v.end(), p, p + 4);
         };
         for (;;) {
-            int r = next.fetch_add(1);
-            if (r >= n_reads) break;
+            int ri = next.fetch_add(1);
+            if (ri >= n_reads) break;
+            int r = rperm[ri];
             const uint8_t* q = codes_flat + codes_off[r];
             int q_len = (int)(codes_off[r + 1] - codes_off[r]);
             const int32_t* np = npos_flat + npos_off[r];
@@ -1862,6 +1911,11 @@ extern "C" void kaln_frags_se_batch_mf(
                                                 q_start, q_end, 1, &npout,
                                                 pts);
                     pts.len = npout;
+                    if (prof) {
+                        double t1 = prof_now();
+                        g_p_anker += (ll)((t1 - pt0) * 1e9);
+                        pt0 = t1;
+                    }
                     if (rc < 0) {
                         if (0 < tmpl) tmpl = -tmpl;
                         w.q = rcq.data();

@@ -27,6 +27,7 @@
 #include <vector>
 
 #include <chrono>
+#include <cstdarg>
 #include <cstdlib>
 
 #include <fcntl.h>
@@ -75,6 +76,13 @@ void kaln_pe_score_batch(
     int32_t *o_qg1, long long *o_sc2, int32_t *o_pos2, int32_t *o_len2,
     int32_t *o_tg2, int32_t *o_qg2, uint8_t *out_flipped);
 void *kidx_create(const uint8_t *codes, int len, int kmersize);
+const uint8_t *kidx_codes(void *h);
+void kassem_consensus(const long long *counts, const long long *nxt,
+                      const unsigned char *template_codes, int t_len,
+                      long long asm_len, int bcd, double evalue,
+                      double support, int base_caller, int significant,
+                      unsigned char *t_arr, unsigned char *s_arr,
+                      unsigned char *q_arr, long long *out_stats);
 void kidx_free(void *h);
 long long kassem_template_frags(
     void *h, const uint8_t *codes_flat, const int64_t *codes_off,
@@ -291,6 +299,9 @@ struct Run {
 
     // conclave output
     std::vector<std::vector<FragOut>> frags;   // per template
+
+    // krun_output_all buffers (fetched then cleared by Python)
+    std::vector<uint8_t> out_res, out_fsa, out_aln, out_frag;
 
     // KMA_RUN_PROF=1 phase timing (seconds)
     double t_scan = 0, t_build = 0, t_score = 0, t_spool = 0;
@@ -2629,6 +2640,237 @@ long long krun_assemble_template(
 
 void *krun_template_handle(void *hv, long long t) {
     return ((Run *)hv)->handle_for((int)t);
+}
+
+namespace {
+// append `n` bytes to an output buffer
+inline void buf_put(std::vector<uint8_t> &b, const void *p, size_t n) {
+    const uint8_t *c = (const uint8_t *)p;
+    b.insert(b.end(), c, c + n);
+}
+inline void buf_printf(std::vector<uint8_t> &b, const char *fmt, ...) {
+    char tmp[256];
+    va_list ap;
+    va_start(ap, fmt);
+    int n = vsnprintf(tmp, sizeof tmp, fmt, ap);
+    va_end(ap);
+    if (n > 0)
+        buf_put(b, tmp, (size_t)n);
+}
+}  // namespace
+
+// Fast path of the output stage (runkma.c:763-863) for the plain output
+// set: per passing template, the significance gate (runkma.c:770-783),
+// native assembly (assemble_KMA) + consensus (callConsensus) + dual-gap
+// trim (assembly.c:2095-2124), and .res/.fsa/.aln/.frag row formatting
+// (runkma.c:816, printconsensus.c:24-61, assembly.c:49-83) into
+// Run-held buffers.  Covers the no-sam/xml/vcf/tsv/ef/matrix, non-mem,
+// ID_t>0 configuration; pipeline falls back to the per-template Python
+// loop otherwise.  Returns 0, or -1 on error.
+long long krun_output_all(
+    void *hv, const long long *w_scores, const uint8_t *names_flat,
+    const long long *names_off, long long db_size,
+    long long template_tot_ulen, long long Nhits, double evalue,
+    double score_t_gate, int cmp_mode, double ID_t, double Depth_t,
+    int bcd, double support, int base_caller, int significant,
+    int ref_fsa, int want_fsa, int want_aln, int want_frag,
+    long long Wl_raw, int minlen, int mq, double scoreT, double mrc,
+    int circular, int ts, int skip_tails, int dense,
+    long long *o_res_len, long long *o_fsa_len, long long *o_aln_len,
+    long long *o_frag_len) {
+    Run *R = (Run *)hv;
+    R->out_res.clear();
+    R->out_fsa.clear();
+    R->out_aln.clear();
+    R->out_frag.clear();
+    std::vector<ll> mcounts, mnext;
+    std::vector<uint8_t> t_arr, s_arr, q_arr, rows;
+    ll stats[4];
+    for (ll t = 1; t < db_size; ++t) {
+        ll read_score = w_scores[t];
+        if (read_score <= 0)
+            continue;
+        ll t_len = R->tlen[t];
+        // significance gate, long-double exact (runkma.c:770-783)
+        long double denom_t = (long double)(template_tot_ulen - t_len);
+        if (denom_t < 1.0L)
+            denom_t = 1.0L;
+        long double expected =
+            (long double)t_len / denom_t
+            * (long double)(Nhits - read_score);
+        long double q_value;
+        if (0 < expected)
+            q_value = ((long double)read_score - expected)
+                      / (expected + (long double)read_score)
+                      * ((long double)read_score - expected);
+        else
+            q_value = (long double)read_score;
+        double p_value = p_chisqr_ld(q_value);
+        bool c1 = p_value <= evalue
+                  && (long double)read_score > expected;
+        bool c2 = (long double)read_score
+                  >= score_t_gate * (long double)t_len;
+        bool passed = cmp_mode == 0 ? (c1 || c2)
+                      : cmp_mode == 1 ? (c1 && c2) : true;
+        if (!passed)
+            continue;
+
+        const uint8_t *name = names_flat + names_off[t];
+        ll name_len = names_off[t + 1] - names_off[t];
+
+        // assembly matrix (AssemblyMatrix.__init__ shape)
+        ll n_frags, cb, hb;
+        krun_stage_meta(hv, t, &n_frags, &cb, &hb);
+        ll cap = t_len * 2 > 16 ? t_len * 2 : 16;
+        if (cap < t_len + cb + 1)
+            cap = t_len + cb + 1;
+        mcounts.assign((size_t)cap * 6, 0);
+        mnext.assign((size_t)cap, 0);
+        for (ll i = 0; i + 1 < t_len; ++i)
+            mnext[i] = i + 1;
+        if (t_len)
+            mnext[t_len - 1] = 0;   // circularise (assembly.c:1852-1855)
+        ll mat_len = t_len;
+        ll rows_cap = cb + hb + n_frags * (80 + name_len) + 64;
+        rows.resize((size_t)rows_cap);
+        ll a_score = 0, a_fa = 0, a_ra = 0, rows_len = 0;
+        for (;;) {
+            ll new_len = krun_assemble_template(
+                hv, t, Wl_raw, minlen, mq, scoreT, mrc, circular, ts,
+                skip_tails, dense, mcounts.data(), mnext.data(), mat_len,
+                t_len, name, name_len, &a_score, &a_fa, &a_ra,
+                rows.data(), rows_cap, &rows_len);
+            if (new_len >= 0) {
+                mat_len = new_len;
+                break;
+            }
+            rows_cap *= 4;
+            rows.resize((size_t)rows_cap);
+        }
+        if (want_frag && rows_len)
+            buf_put(R->out_frag, rows.data(), (size_t)rows_len);
+
+        ll aln_len_s = 0, cover_s = 0, depth_s = 0;
+        ll asm_len = 0;
+        if (a_score) {
+            void *h = R->handle_for((int)t);
+            const uint8_t *tcodes = kidx_codes(h);
+            asm_len = mat_len;
+            t_arr.resize((size_t)asm_len);
+            s_arr.resize((size_t)asm_len);
+            q_arr.resize((size_t)asm_len);
+            kassem_consensus(mcounts.data(), mnext.data(), tcodes,
+                             (int)t_len, asm_len, bcd, evalue, support,
+                             base_caller, significant, t_arr.data(),
+                             s_arr.data(), q_arr.data(), stats);
+            depth_s = stats[0];
+            aln_len_s = stats[2];
+            cover_s = stats[3];
+            if (!dense) {
+                // drop dual-gap columns (assembly.c:2095-2124)
+                ll w = 0;
+                for (ll i = 0; i < asm_len; ++i) {
+                    if (t_arr[i] == '-' && q_arr[i] == '-')
+                        continue;
+                    t_arr[w] = t_arr[i];
+                    s_arr[w] = s_arr[i];
+                    q_arr[w] = q_arr[i];
+                    ++w;
+                }
+                asm_len = w;
+            }
+        }
+
+        double id_ = 0.0, q_id = 0.0, depth = 0.0, cover = 0.0,
+               q_cover = 0.0;
+        ll aln_len = 0;
+        if (cover_s > 0) {
+            depth = (double)depth_s / (double)t_len;
+            id_ = 100.0 * (double)cover_s / (double)t_len;
+            aln_len = aln_len_s;
+            q_id = 100.0 * (double)cover_s / (double)aln_len;
+            cover = 100.0 * (double)aln_len / (double)t_len;
+            q_cover = 100.0 * (double)t_len / (double)aln_len;
+        }
+        if (!(ID_t <= id_ && 0 < id_ && Depth_t <= depth))
+            continue;
+
+        // .res row (runkma.c:816); (unsigned)(long double) cast like
+        // writers.c_unsigned
+        unsigned exp_u = (unsigned)(long long)expected;
+        buf_put(R->out_res, name, (size_t)name_len);
+        buf_printf(R->out_res,
+                   "\t%8lld\t%8u\t%8lld\t%8.2f\t%8.2f\t%8.2f\t%8.2f\t"
+                   "%8.2f\t%8.2f\t%4.1e\n",
+                   (long long)read_score, exp_u, (long long)t_len, id_,
+                   cover, q_id, q_cover, depth, (double)q_value, p_value);
+
+        // .aln / .fsa (printconsensus.c:24-61)
+        if (want_aln) {
+            buf_put(R->out_aln, "# ", 2);
+            buf_put(R->out_aln, name, (size_t)name_len);
+            buf_put(R->out_aln, "\n", 1);
+            for (ll i = 0; i < asm_len; i += 60) {
+                ll seg = asm_len - i < 60 ? asm_len - i : 60;
+                buf_put(R->out_aln, "template: \t", 11);
+                buf_put(R->out_aln, t_arr.data() + i, (size_t)seg);
+                buf_put(R->out_aln, "\n          \t", 12);
+                buf_put(R->out_aln, s_arr.data() + i, (size_t)seg);
+                buf_put(R->out_aln, "\nquery:    \t", 12);
+                buf_put(R->out_aln, q_arr.data() + i, (size_t)seg);
+                buf_put(R->out_aln, "\n\n", 2);
+            }
+        }
+        if (want_fsa) {
+            // ref_fsa 0: strip '-'; 1: '-' -> 'n'
+            ll flen = asm_len;
+            if (ref_fsa == 0) {
+                ll w = 0;
+                for (ll i = 0; i < asm_len; ++i)
+                    if (q_arr[i] != '-')
+                        q_arr[w++] = q_arr[i];
+                flen = w;
+            } else if (ref_fsa == 1) {
+                for (ll i = 0; i < asm_len; ++i)
+                    if (q_arr[i] == '-')
+                        q_arr[i] = 'n';
+            }
+            buf_put(R->out_fsa, ">", 1);
+            buf_put(R->out_fsa, name, (size_t)name_len);
+            buf_put(R->out_fsa, "\n", 1);
+            for (ll i = 0; i < flen; i += 60) {
+                ll seg = flen - i < 60 ? flen - i : 60;
+                buf_put(R->out_fsa, q_arr.data() + i, (size_t)seg);
+                buf_put(R->out_fsa, "\n", 1);
+            }
+        }
+    }
+    *o_res_len = (ll)R->out_res.size();
+    *o_fsa_len = (ll)R->out_fsa.size();
+    *o_aln_len = (ll)R->out_aln.size();
+    *o_frag_len = (ll)R->out_frag.size();
+    return 0;
+}
+
+void krun_output_fetch(void *hv, uint8_t *res, uint8_t *fsa, uint8_t *aln,
+                       uint8_t *frag) {
+    Run *R = (Run *)hv;
+    if (res && !R->out_res.empty())
+        memcpy(res, R->out_res.data(), R->out_res.size());
+    if (fsa && !R->out_fsa.empty())
+        memcpy(fsa, R->out_fsa.data(), R->out_fsa.size());
+    if (aln && !R->out_aln.empty())
+        memcpy(aln, R->out_aln.data(), R->out_aln.size());
+    if (frag && !R->out_frag.empty())
+        memcpy(frag, R->out_frag.data(), R->out_frag.size());
+    R->out_res.clear();
+    R->out_fsa.clear();
+    R->out_aln.clear();
+    R->out_frag.clear();
+    R->out_res.shrink_to_fit();
+    R->out_fsa.shrink_to_fit();
+    R->out_aln.shrink_to_fit();
+    R->out_frag.shrink_to_fit();
 }
 
 long long krun_spool_len(void *hv) { return (ll)((Run *)hv)->spool.size(); }
