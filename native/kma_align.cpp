@@ -32,7 +32,8 @@ typedef long long ll;
 #include <atomic>
 static std::atomic<ll> g_p_collect(0), g_p_chain(0), g_p_tails(0),
     g_p_nw(0), g_p_calls(0), g_p_seeds(0), g_p_nwcells(0), g_p_skipped(0),
-    g_p_anker(0);
+    g_p_anker(0), g_p_key(0), g_p_walk(0), g_p_phA(0), g_p_phB(0),
+    g_p_phC(0);
 static bool aln_prof_on() {
     static bool v = getenv("KMA_ALN_PROF") != nullptr;
     return v;
@@ -47,12 +48,15 @@ extern "C" void kaln_prof_report(void) {
         return;
     fprintf(stderr,
             "# kaln prof: calls %lld collect %.3f chain %.3f tails %.3f "
-            "nw %.3f anker %.3f seeds %lld nw_cells %lld skipped %lld\n",
+            "nw %.3f anker %.3f walk %.3f key %.3f seeds %lld "
+            "nw_cells %lld skipped %lld phA %.3f phB %.3f phC %.3f\n",
             (ll)g_p_calls.load(), g_p_collect.load() * 1e-9,
             g_p_chain.load() * 1e-9, g_p_tails.load() * 1e-9,
             g_p_nw.load() * 1e-9, g_p_anker.load() * 1e-9,
+            g_p_walk.load() * 1e-9, g_p_key.load() * 1e-9,
             (ll)g_p_seeds.load(), (ll)g_p_nwcells.load(),
-            (ll)g_p_skipped.load());
+            (ll)g_p_skipped.load(), g_p_phA.load() * 1e-9,
+            g_p_phB.load() * 1e-9, g_p_phC.load() * 1e-9);
 }
 
 // ---------------------------------------------------------------- structs
@@ -197,51 +201,59 @@ extern "C" void* kidx_create(const uint8_t* codes, int len, int kmersize) {
     t->codes.assign(codes, codes + len);
     int end = len - kmersize + 1;
     if (end > 0) {
-        // rolling k-mers (N counted as 0, matching io.seq.kmer_scan)
-        std::vector<std::pair<uint64_t, int32_t>> kp(end);
+        // rolling k-mers (N counted as 0, matching io.seq.kmer_scan);
+        // two counting passes instead of a sort, positions stay in
+        // ascending order within each kmer's [beg, end) slice
         uint64_t mask = (kmersize < 32)
             ? ((uint64_t(1) << (2 * kmersize)) - 1) : ~uint64_t(0);
+        uint64_t cap = 8;
+        while (cap < 2ull * (uint64_t)end)
+            cap <<= 1;
+        t->table.assign(cap, {0, 0, 0});
+        t->hmask = cap - 1;
+        auto& tab = t->table;
+        const uint64_t hmask = t->hmask;
         uint64_t key = 0;
         for (int i = 0; i < kmersize - 1; i++) {
             uint8_t c = codes[i];
             key = (key << 2) | (c > 3 ? 0 : c);
         }
+        uint64_t key0 = key;
+        int n_used = 0;   // non-zero kmer instances
+        // pass 1: count occurrences per kmer (Slot.end as counter)
         for (int i = 0; i < end; i++) {
             uint8_t c = codes[i + kmersize - 1];
             key = ((key << 2) | (c > 3 ? 0 : c)) & mask;
-            kp[i] = {key, i + 1};   // 1-based positions
+            if (key == 0)   // "likely undefined region" (hashmapcci.c:414)
+                continue;
+            n_used++;
+            uint64_t s = TIndex::mix(key) & hmask;
+            while (tab[s].key != 0 && tab[s].key != key)
+                s = (s + 1) & hmask;
+            tab[s].key = key;
+            tab[s].end++;
         }
-        std::sort(kp.begin(), kp.end());
-        t->pos_flat.reserve(end);
-        // count unique non-zero kmers, then size the open table at 2x
-        uint32_t nuniq = 0;
-        for (uint32_t i = 0; i < (uint32_t)end;) {
-            uint32_t j = i;
-            while (j < (uint32_t)end && kp[j].first == kp[i].first)
-                j++;
-            if (kp[i].first != 0)
-                nuniq++;
-            i = j;
+        // prefix-sum the counters into [beg, end) slices
+        uint32_t off = 0;
+        for (uint64_t s = 0; s < cap; s++) {
+            if (tab[s].key == 0)
+                continue;
+            tab[s].beg = off;
+            off += tab[s].end;
+            tab[s].end = tab[s].beg;   // reused as fill cursor
         }
-        uint64_t cap = 8;
-        while (cap < 2ull * (nuniq ? nuniq : 1))
-            cap <<= 1;
-        t->table.assign(cap, {0, 0, 0});
-        t->hmask = cap - 1;
-        uint32_t i = 0;
-        while (i < (uint32_t)end) {
-            uint64_t km = kp[i].first;
-            uint32_t b = (uint32_t)t->pos_flat.size();
-            uint32_t j = i;
-            while (j < (uint32_t)end && kp[j].first == km) {
-                t->pos_flat.push_back(kp[j].second);
-                j++;
-            }
-            if (km != 0)   // "likely undefined region" (hashmapcci.c:414)
-                t->insert(km, b, (uint32_t)t->pos_flat.size());
-            else
-                t->pos_flat.resize(b);
-            i = j;
+        t->pos_flat.resize(n_used);
+        // pass 2: fill positions (ascending within each kmer)
+        key = key0;
+        for (int i = 0; i < end; i++) {
+            uint8_t c = codes[i + kmersize - 1];
+            key = ((key << 2) | (c > 3 ? 0 : c)) & mask;
+            if (key == 0)
+                continue;
+            uint64_t s = TIndex::mix(key) & hmask;
+            while (tab[s].key != key)
+                s = (s + 1) & hmask;
+            t->pos_flat[tab[s].end++] = i + 1;   // 1-based positions
         }
     }
     return t;
@@ -1887,6 +1899,7 @@ extern "C" void kaln_frags_se_batch_mf(
             const bool prof = aln_prof_on();
 
             // ---- phase A: seed + chain every candidate, stash the walk
+            double ph0 = prof ? prof_now() : 0.0;
             segA.clear();
             gapA.clear();
             cands.assign(ncand, CandWork());
@@ -1976,7 +1989,9 @@ extern "C" void kaln_frags_se_batch_mf(
                 chain_seeds(pts, q_len, t_len, T.k, pen, false, start,
                             mapQ);
                 if (prof) {
-                    g_p_chain += (ll)((prof_now() - pt0) * 1e9);
+                    double t1 = prof_now();
+                    g_p_chain += (ll)((t1 - pt0) * 1e9);
+                    pt0 = t1;
                 }
                 w.mapQ = mapQ;
                 w.st.mapQ = mapQ;
@@ -2075,6 +2090,7 @@ extern "C" void kaln_frags_se_batch_mf(
                     w.done = 1;
                     continue;
                 }
+                if (prof) g_p_walk += (ll)((prof_now() - pt0) * 1e9);
                 w.seg_n = (int)(segA.size() - w.seg_off);
                 // trail window geometry (trail_tail_aln rules)
                 {
@@ -2093,6 +2109,11 @@ extern "C" void kaln_frags_se_batch_mf(
                 w.bound = bound;
             }
 
+            if (prof) {
+                double t1 = prof_now();
+                g_p_phA += (ll)((t1 - ph0) * 1e9);
+                ph0 = t1;
+            }
             // ---- phase B: exact NW in descending-bound order, skipping
             // candidates whose bound proves they cannot be selected
             order.clear();
@@ -2129,6 +2150,7 @@ extern "C" void kaln_frags_se_batch_mf(
                 }
 
                 // ---- content-dedupe key: everything the NW reads ----
+                double kt0 = prof ? prof_now() : 0.0;
                 const uint8_t* tc = T.codes.data();
                 kb.clear();
                 kb.push_back(w.q == q ? 0 : 1);
@@ -2199,6 +2221,7 @@ extern "C" void kaln_frags_se_batch_mf(
                         hit = &e;
                         break;
                     }
+                if (prof) g_p_key += (ll)((prof_now() - kt0) * 1e9);
                 if (hit) {
                     AlnStat st;
                     st.score = hit->score;
@@ -2318,6 +2341,11 @@ extern "C" void kaln_frags_se_batch_mf(
                 }
             }
 
+            if (prof) {
+                double t1 = prof_now();
+                g_p_phB += (ll)((t1 - ph0) * 1e9);
+                ph0 = t1;
+            }
             // ---- phase C: gates + output in original candidate order
             ll best_read_score = 0;
             double bestScore = 0.0;
@@ -2363,6 +2391,7 @@ extern "C" void kaln_frags_se_batch_mf(
             out_nhits[r] = nh;
             out_best_score[r] = best_read_score;
             out_best_frac[r] = bestScore;
+            if (prof) g_p_phC += (ll)((prof_now() - ph0) * 1e9);
         }
     };
     int nt = n_threads < 1 ? 1 : n_threads;

@@ -460,7 +460,18 @@ static void score_se_batch(Run *R, const std::vector<SUnit> &units,
                            std::vector<int32_t> &tpl_ids,
                            const std::vector<int64_t> &tpl_offv, SEOut &o) {
     int m = (int)units.size();
+    auto _snow = []() {
+        return std::chrono::duration<double>(
+                   std::chrono::steady_clock::now().time_since_epoch())
+            .count();
+    };
+    const bool sprof = getenv("KMA_ALN_PROF") != nullptr;
+    double st0 = sprof ? _snow() : 0.0;
     build_handles_for(R, tpl_ids);
+    if (sprof) {
+        fprintf(stderr, "# score stage: handles %.3f\n", _snow() - st0);
+        st0 = _snow();
+    }
     std::vector<void *> handles(tpl_ids.size());
     for (size_t i = 0; i < tpl_ids.size(); ++i)
         handles[i] = R->handles[tpl_ids[i] < 0 ? -tpl_ids[i] : tpl_ids[i]];
@@ -498,6 +509,10 @@ static void score_se_batch(Run *R, const std::vector<SUnit> &units,
     o.end.resize(total);
     o.score.resize(total);
     o.len.resize(total);
+    if (sprof) {
+        fprintf(stderr, "# score stage: arrays %.3f\n", _snow() - st0);
+        st0 = _snow();
+    }
     kaln_frags_se_batch_mf(
         handles.data(), tpl_ids.data(), tpl_offv.data(), cod_flat.data(),
         cod_offv.data(), npos_flat.data(), npos_offv.data(), qb.data(),
@@ -506,6 +521,8 @@ static void score_se_batch(Run *R, const std::vector<SUnit> &units,
         R->scoreT, R->mrc, R->n_threads, R->aln_min_frac, o.nh.data(),
         o.best.data(), o.frac.data(), o.tpl.data(), o.start.data(),
         o.end.data(), o.score.data(), o.len.data());
+    if (sprof)
+        fprintf(stderr, "# score stage: batch %.3f\n", _snow() - st0);
 }
 
 // one unit's update_Scores selection + spool append
