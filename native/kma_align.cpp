@@ -1778,6 +1778,132 @@ static inline uint64_t fnv1a(const uint8_t* p, size_t n, uint64_t h) {
     return h;
 }
 
+// exact score of a stashed chain: lead tail + matched segments + gap
+// NWs + trail tail (the post-chain half of KMA_score, align.c:509-748)
+static void nw_score_chain(TIndex& T, const uint8_t* q, int q_len,
+                           const Penal& pen, const ChainSeg* segs,
+                           int nseg, const GapGeom* gaps, int lead_te,
+                           int lead_qe, int tail_ts, int tail_qs,
+                           std::vector<uint8_t>& Ebuf,
+                           std::vector<ll>& Dbuf, AlnStat& st) {
+    const bool prof = aln_prof_on();
+    int t_len = T.len;
+    double pt0 = prof ? prof_now() : 0.0;
+    lead_tail_aln(nullptr, T, q, lead_te, t_len, lead_qe, pen, false, st,
+                  Ebuf, Dbuf);
+    if (prof) {
+        double t1 = prof_now();
+        g_p_tails += (ll)((t1 - pt0) * 1e9);
+    }
+    for (int si = 0; si < nseg; si++) {
+        const ChainSeg& sg = segs[si];
+        int seg = sg.qe - sg.qs;
+        st.len += seg;
+        st.match += seg;
+        for (int x = sg.qs; x < sg.qe; x++) {
+            uint8_t nuc = q[x];
+            st.score += pen.d[nuc][nuc];
+        }
+        if (si + 1 < nseg) {
+            const GapGeom& g = gaps[si];
+            int qg = g.q_ev - g.q_s;
+            if (g.t_l > 0 || qg > 0) {
+                if (prof) pt0 = prof_now();
+                int band = std::abs(g.t_l - qg) + BANDWIDTH;
+                AlnStat nw;
+                if (qg <= band || g.t_l <= band)
+                    nw_full(T.codes.data(), q, 0, g.t_sv, g.t_ev, g.q_s,
+                            g.q_ev, pen, t_len, nw, nullptr, Ebuf, Dbuf);
+                else
+                    nw_band(T.codes.data(), q, 0, g.t_sv, g.t_ev, g.q_s,
+                            g.q_ev, band, pen, t_len, nw, nullptr, Ebuf,
+                            Dbuf);
+                st.score += nw.score;
+                st.len += nw.len;
+                st.match += nw.match;
+                st.tGaps += nw.tGaps;
+                st.qGaps += nw.qGaps;
+                if (prof) {
+                    g_p_nw += (ll)((prof_now() - pt0) * 1e9);
+                    g_p_nwcells +=
+                        (ll)qg * (g.t_l <= band ? g.t_l : band);
+                }
+            }
+        }
+    }
+    if (prof) pt0 = prof_now();
+    trail_tail_aln(nullptr, st, T, q, tail_ts, t_len, tail_qs, q_len, pen,
+                   false, Ebuf, Dbuf);
+    if (prof) g_p_tails += (ll)((prof_now() - pt0) * 1e9);
+}
+
+// content-dedupe key of a stashed chain (everything nw_score_chain
+// reads): tag byte (orientation/mate), segment q-coords, window k-flag
+// cases and the raw template bytes of the lead/gap/trail windows
+static void chain_key(std::vector<uint8_t>& kb, uint8_t tag,
+                      const TIndex& T, const ChainSeg* segs, int nseg,
+                      const GapGeom* gaps, int lead_te, int lead_qe,
+                      int tail_ts, int tail_qs, int q_len) {
+    auto put_i32 = [&](int x) {
+        const uint8_t* p = (const uint8_t*)&x;
+        kb.insert(kb.end(), p, p + 4);
+    };
+    const uint8_t* tc = T.codes.data();
+    int t_len = T.len;
+    kb.clear();
+    kb.push_back(tag);
+    put_i32(nseg);
+    for (int si = 0; si < nseg; si++) {
+        put_i32(segs[si].qs);
+        put_i32(segs[si].qe);
+    }
+    {
+        // lead window (lead_tail_aln geometry)
+        int t_e = lead_te, q_e = lead_qe;
+        int t_s = 0, q_s = 0;
+        if (q_e) {
+            if ((q_e << 1) < t_e || (q_e + BANDWIDTH) < t_e)
+                t_s = t_e - (q_e + (q_e < BANDWIDTH ? q_e : BANDWIDTH));
+            else if ((t_e << 1) < q_e || (t_e + BANDWIDTH) < q_e)
+                q_s = q_e - (t_e + (t_e < BANDWIDTH ? t_e : BANDWIDTH));
+        }
+        put_i32(q_e - q_s);
+        put_i32(q_e ? t_e - t_s : -1);
+        kb.push_back(t_s == 0 ? 1 : 0);
+        if (q_e && t_e - t_s > 0 && q_e - q_s > 0)
+            kb.insert(kb.end(), tc + t_s, tc + t_e);
+    }
+    for (int si = 0; si + 1 < nseg; si++) {
+        const GapGeom& g = gaps[si];
+        put_i32(g.t_l);
+        if (g.t_l > 0) {
+            int p0 = g.t_sv % t_len;
+            if (p0 < 0) p0 += t_len;
+            if (p0 + g.t_l <= t_len) {
+                kb.insert(kb.end(), tc + p0, tc + p0 + g.t_l);
+            } else {
+                for (int i = 0; i < g.t_l; i++)
+                    kb.push_back(tc[(p0 + i) % t_len]);
+            }
+        }
+    }
+    {
+        // trail window (trail_tail_aln geometry)
+        int t_s = tail_ts, q_s = tail_qs;
+        int q_e = q_len, t_e = t_len;
+        int qr0 = q_len - q_s, tr0 = t_len - t_s;
+        if ((qr0 << 1) < tr0 || (qr0 + BANDWIDTH) < tr0)
+            t_e = t_s + (qr0 + (qr0 < BANDWIDTH ? qr0 : BANDWIDTH));
+        else if ((tr0 << 1) < qr0 || (tr0 + BANDWIDTH) < qr0)
+            q_e = q_s + (tr0 + (tr0 < BANDWIDTH ? tr0 : BANDWIDTH));
+        put_i32(q_e - q_s);
+        put_i32(t_e - t_s);
+        kb.push_back(t_e == t_len ? 1 : 0);
+        if (t_e - t_s > 0 && q_e - q_s > 0)
+            kb.insert(kb.end(), tc + t_s, tc + t_e);
+    }
+}
+
 // best possible (least negative) cost of `diff` gapped bases: one run
 // when extensions beat openings, else all openings
 static inline ll gap_best(int diff, int W1, int U) {
@@ -2151,66 +2277,9 @@ extern "C" void kaln_frags_se_batch_mf(
 
                 // ---- content-dedupe key: everything the NW reads ----
                 double kt0 = prof ? prof_now() : 0.0;
-                const uint8_t* tc = T.codes.data();
-                kb.clear();
-                kb.push_back(w.q == q ? 0 : 1);
-                put_i32(kb, w.seg_n);
-                for (int si = 0; si < w.seg_n; si++) {
-                    put_i32(kb, segA[w.seg_off + si].qs);
-                    put_i32(kb, segA[w.seg_off + si].qe);
-                }
-                {
-                    // lead window (lead_tail_aln geometry)
-                    int t_e = w.lead_te, q_e = w.lead_qe;
-                    int t_s = 0, q_s = 0;
-                    if (q_e) {
-                        if ((q_e << 1) < t_e || (q_e + BANDWIDTH) < t_e)
-                            t_s = t_e - (q_e + (q_e < BANDWIDTH
-                                                        ? q_e
-                                                        : BANDWIDTH));
-                        else if ((t_e << 1) < q_e
-                                 || (t_e + BANDWIDTH) < q_e)
-                            q_s = q_e - (t_e + (t_e < BANDWIDTH
-                                                        ? t_e
-                                                        : BANDWIDTH));
-                    }
-                    put_i32(kb, q_e - q_s);
-                    put_i32(kb, q_e ? t_e - t_s : -1);
-                    kb.push_back(t_s == 0 ? 1 : 0);
-                    if (q_e && t_e - t_s > 0 && q_e - q_s > 0)
-                        kb.insert(kb.end(), tc + t_s, tc + t_e);
-                }
-                for (int si = 0; si + 1 < w.seg_n; si++) {
-                    const GapGeom& g = gapA[w.gap_off + si];
-                    put_i32(kb, g.t_l);
-                    if (g.t_l > 0) {
-                        int p0 = g.t_sv % t_len;
-                        if (p0 < 0) p0 += t_len;
-                        if (p0 + g.t_l <= t_len) {
-                            kb.insert(kb.end(), tc + p0, tc + p0 + g.t_l);
-                        } else {
-                            for (int i = 0; i < g.t_l; i++)
-                                kb.push_back(tc[(p0 + i) % t_len]);
-                        }
-                    }
-                }
-                {
-                    // trail window (trail_tail_aln geometry)
-                    int t_s = w.tail_ts, q_s = w.tail_qs;
-                    int q_e = q_len, t_e = t_len;
-                    int qr0 = q_len - q_s, tr0 = t_len - t_s;
-                    if ((qr0 << 1) < tr0 || (qr0 + BANDWIDTH) < tr0)
-                        t_e = t_s + (qr0 + (qr0 < BANDWIDTH ? qr0
-                                                            : BANDWIDTH));
-                    else if ((tr0 << 1) < qr0 || (tr0 + BANDWIDTH) < qr0)
-                        q_e = q_s + (tr0 + (tr0 < BANDWIDTH ? tr0
-                                                            : BANDWIDTH));
-                    put_i32(kb, q_e - q_s);
-                    put_i32(kb, t_e - t_s);
-                    kb.push_back(t_e == t_len ? 1 : 0);
-                    if (t_e - t_s > 0 && q_e - q_s > 0)
-                        kb.insert(kb.end(), tc + t_s, tc + t_e);
-                }
+                chain_key(kb, w.q == q ? 0 : 1, T, segA.data() + w.seg_off,
+                          w.seg_n, gapA.data() + w.gap_off, w.lead_te,
+                          w.lead_qe, w.tail_ts, w.tail_qs, q_len);
                 uint64_t h = fnv1a(kb.data(), kb.size(),
                                    0xcbf29ce484222325ULL);
                 AlnCacheEnt* hit = nullptr;
@@ -2255,56 +2324,11 @@ extern "C" void kaln_frags_se_batch_mf(
                     continue;
                 }
 
-                double pt0 = prof ? prof_now() : 0.0;
                 AlnStat st;
-                lead_tail_aln(nullptr, T, w.q, w.lead_te, t_len,
-                              w.lead_qe, pen, false, st, Ebuf, Dbuf);
-                if (prof) {
-                    double t1 = prof_now();
-                    g_p_tails += (ll)((t1 - pt0) * 1e9);
-                    pt0 = t1;
-                }
-                for (int si = 0; si < w.seg_n; si++) {
-                    const ChainSeg& sg = segA[w.seg_off + si];
-                    int seg = sg.qe - sg.qs;
-                    st.len += seg;
-                    st.match += seg;
-                    for (int x = sg.qs; x < sg.qe; x++) {
-                        uint8_t nuc = w.q[x];
-                        st.score += pen.d[nuc][nuc];
-                    }
-                    if (si + 1 < w.seg_n) {
-                        const GapGeom& g = gapA[w.gap_off + si];
-                        int qg = g.q_ev - g.q_s;
-                        if (g.t_l > 0 || qg > 0) {
-                            if (prof) pt0 = prof_now();
-                            int band = std::abs(g.t_l - qg) + BANDWIDTH;
-                            AlnStat nw;
-                            if (qg <= band || g.t_l <= band)
-                                nw_full(T.codes.data(), w.q, 0, g.t_sv,
-                                        g.t_ev, g.q_s, g.q_ev, pen, t_len,
-                                        nw, nullptr, Ebuf, Dbuf);
-                            else
-                                nw_band(T.codes.data(), w.q, 0, g.t_sv,
-                                        g.t_ev, g.q_s, g.q_ev, band, pen,
-                                        t_len, nw, nullptr, Ebuf, Dbuf);
-                            st.score += nw.score;
-                            st.len += nw.len;
-                            st.match += nw.match;
-                            st.tGaps += nw.tGaps;
-                            st.qGaps += nw.qGaps;
-                            if (prof) {
-                                g_p_nw += (ll)((prof_now() - pt0) * 1e9);
-                                g_p_nwcells += (ll)qg
-                                    * (g.t_l <= band ? g.t_l : band);
-                            }
-                        }
-                    }
-                }
-                if (prof) pt0 = prof_now();
-                trail_tail_aln(nullptr, st, T, w.q, w.tail_ts, t_len,
-                               w.tail_qs, q_len, pen, false, Ebuf, Dbuf);
-                if (prof) g_p_tails += (ll)((prof_now() - pt0) * 1e9);
+                nw_score_chain(T, w.q, q_len, pen, segA.data() + w.seg_off,
+                               w.seg_n, gapA.data() + w.gap_off,
+                               w.lead_te, w.lead_qe, w.tail_ts, w.tail_qs,
+                               Ebuf, Dbuf, st);
                 st.mapQ = w.mapQ;
                 w.st = st;
                 {
@@ -2444,6 +2468,147 @@ extern "C" void kaln_frags_se_batch(
                             out_score, out_len);
 }
 
+// Cached KMA_score: collect + chain + walk-stash + content-dedupe + NW
+// (the SE batch's phase A+B for a single alignment).  `tag`
+// discriminates query streams sharing one cache (mate x orientation);
+// the cache scope (keyA/centries) is caller-owned and must only span
+// alignments of the same query set.
+static void kma_score_cached(
+    TIndex& T, const uint8_t* q_used, const int32_t* np, int n_np,
+    int q_len, int q_start, int q_end, int mq, const Penal& pen,
+    Points& pts, int use_points, uint8_t tag,
+    std::vector<ChainSeg>& segS, std::vector<GapGeom>& gapS,
+    std::vector<uint8_t>& keyA, std::vector<AlnCacheEnt>& centries,
+    std::vector<uint8_t>& kb, std::vector<uint8_t>& Ebuf,
+    std::vector<ll>& Dbuf, AlnStat* out) {
+    const bool prof = aln_prof_on();
+    double pt0 = prof ? prof_now() : 0.0;
+    int t_len = T.len;
+    if (!use_points) {
+        pts.clear_all();
+        collect_seeds_comp(T, q_used, np, n_np, q_len, q_start, q_end,
+                           pts);
+        pts.len = (int)pts.n();
+    }
+    if (prof) {
+        double t1 = prof_now();
+        g_p_collect += (ll)((t1 - pt0) * 1e9);
+        g_p_calls += 1;
+        g_p_seeds += pts.len;
+        pt0 = t1;
+    }
+    out->score = 0;
+    out->pos = 0;
+    out->len = 1;
+    out->match = 0;
+    out->tGaps = 0;
+    out->qGaps = 0;
+    out->mapQ = 0;
+    if (!pts.len) {
+        pts.len = 0;
+        return;
+    }
+    int start, mapQ;
+    chain_seeds(pts, q_len, t_len, T.k, pen, false, start, mapQ);
+    if (prof) {
+        double t1 = prof_now();
+        g_p_chain += (ll)((t1 - pt0) * 1e9);
+        pt0 = t1;
+    }
+    out->mapQ = mapQ;
+    if (mapQ < mq || pts.score[start] < T.k) {
+        pts.len = 0;
+        return;
+    }
+    trim_seeds(pts, start, 0, false);
+    segS.clear();
+    gapS.clear();
+    int lead_te = pts.tStart[start] - 1;
+    int lead_qe = pts.qStart[start];
+    int tail_ts = 0, tail_qs = 0;
+    bool aborted = false;
+    for (;;) {
+        segS.push_back({pts.qStart[start], pts.qEnd[start]});
+        if (!pts.next[start]) {
+            tail_ts = pts.tEnd[start] - 1;
+            tail_qs = pts.qEnd[start];
+            break;
+        }
+        int q_s = pts.qEnd[start];
+        int t_sv = pts.tEnd[start] - 1;
+        start = pts.next[start];
+        if (pts.qStart[start] < q_s) {
+            pts.tStart[start] += q_s - pts.qStart[start];
+            pts.qStart[start] = q_s;
+        }
+        int t_ev = pts.tStart[start] - 1;
+        int t_l;
+        if (t_ev < t_sv) {
+            if (t_sv <= pts.tEnd[start]) {
+                pts.qStart[start] += t_sv - t_ev;
+                t_ev = t_sv;
+                t_l = 0;
+            } else {
+                t_l = t_len - t_sv + t_ev;
+            }
+        } else {
+            t_l = t_ev - t_sv;
+        }
+        int q_ev = pts.qStart[start];
+        if ((ll)std::abs(t_l - q_ev + q_s) * pen.U > (ll)q_len * pen.M
+            || t_l > q_len || q_ev - q_s > (q_len >> 1)) {
+            aborted = true;
+            break;
+        }
+        gapS.push_back({t_sv, t_ev, q_s, q_ev, t_l});
+    }
+    if (prof) g_p_walk += (ll)((prof_now() - pt0) * 1e9);
+    pts.len = 0;
+    if (aborted)
+        return;
+    double kt0 = prof ? prof_now() : 0.0;
+    chain_key(kb, tag, T, segS.data(), (int)segS.size(), gapS.data(),
+              lead_te, lead_qe, tail_ts, tail_qs, q_len);
+    uint64_t h = fnv1a(kb.data(), kb.size(), 0xcbf29ce484222325ULL);
+    AlnCacheEnt* hit = nullptr;
+    for (auto& e : centries)
+        if (e.hash == h && e.key_len == (int)kb.size()
+            && memcmp(keyA.data() + e.key_off, kb.data(), kb.size())
+                       == 0) {
+            hit = &e;
+            break;
+        }
+    if (prof) g_p_key += (ll)((prof_now() - kt0) * 1e9);
+    if (hit) {
+        out->score = hit->score;
+        out->len = hit->len;
+        out->match = hit->match;
+        out->tGaps = hit->tGaps;
+        out->qGaps = hit->qGaps;
+        out->pos = lead_te - hit->pos_delta;
+        if (prof) g_p_skipped += 1;
+        return;
+    }
+    AlnStat st;
+    nw_score_chain(T, q_used, q_len, pen, segS.data(), (int)segS.size(),
+                   gapS.data(), lead_te, lead_qe, tail_ts, tail_qs, Ebuf,
+                   Dbuf, st);
+    st.mapQ = mapQ;
+    *out = st;
+    AlnCacheEnt e;
+    e.hash = h;
+    e.key_off = (int)keyA.size();
+    e.key_len = (int)kb.size();
+    keyA.insert(keyA.end(), kb.begin(), kb.end());
+    e.score = st.score;
+    e.len = st.len;
+    e.match = st.match;
+    e.tGaps = st.tGaps;
+    e.qGaps = st.qGaps;
+    e.pos_delta = lead_te - st.pos;
+    centries.push_back(e);
+}
+
 // ------------------------------------------------- batched PE mate scoring
 //
 // The shared per-(pair, template) mate scoring of alnFragsUnionPE /
@@ -2474,6 +2639,18 @@ extern "C" void kaln_pe_score_batch(
         for (int b = 0; b < 5; b++)
             pen.d[a][b] = dmat[a * 5 + b];
 
+    // pair-locality permutation (see kaln_frags_se_batch_mf)
+    std::vector<int> rperm(n_pairs);
+    for (int i = 0; i < n_pairs; i++)
+        rperm[i] = i;
+    std::stable_sort(rperm.begin(), rperm.end(), [&](int a, int b) {
+        int ta = tpl_off[a] < tpl_off[a + 1]
+                     ? std::abs(tpl_ids[tpl_off[a]]) : INT_MAX;
+        int tb = tpl_off[b] < tpl_off[b + 1]
+                     ? std::abs(tpl_ids[tpl_off[b]]) : INT_MAX;
+        return ta < tb;
+    });
+
     std::atomic<int> next(0);
     auto worker = [&]() {
         Points pts;
@@ -2481,9 +2658,14 @@ extern "C" void kaln_pe_score_batch(
         std::vector<ll> Dbuf;
         std::vector<uint8_t> rca, rcb;
         std::vector<int32_t> npa, npar, npb, npbr;
+        std::vector<ChainSeg> segS;
+        std::vector<GapGeom> gapS;
+        std::vector<uint8_t> keyA, kb;
+        std::vector<AlnCacheEnt> centries;
         for (;;) {
-            int r = next.fetch_add(1);
-            if (r >= n_pairs) break;
+            int ri = next.fetch_add(1);
+            if (ri >= n_pairs) break;
+            int r = rperm[ri];
             const uint8_t* qa = a_flat + a_off[r];
             int la = (int)(a_off[r + 1] - a_off[r]);
             const uint8_t* qb = b_flat + b_off[r];
@@ -2510,6 +2692,8 @@ extern "C" void kaln_pe_score_batch(
             bool flipped = false;
             long long base = tpl_off[r];
             int ncand = (int)(tpl_off[r + 1] - base);
+            keyA.clear();
+            centries.clear();
             for (int ci = 0; ci < ncand; ci++) {
                 long long slot = base + ci;
                 TIndex& T = *(TIndex*)handles[slot];
@@ -2553,9 +2737,10 @@ extern "C" void kaln_pe_score_batch(
                 st.score = 0; st.pos = 0; st.len = 0; st.match = 0;
                 st.tGaps = 0; st.qGaps = 0; st.mapQ = 0;
                 if (cur_a) {
-                    kaln_align_impl(T, cur_a, la, 0, la, 0, 0, mq, pen,
-                                    na, nna, 0, use_pts, 0, 0, 0, pts,
-                                    Ebuf, Dbuf, nullptr, &st);
+                    kma_score_cached(T, cur_a, na, nna, la, 0, la, mq,
+                                     pen, pts, use_pts,
+                                     cur_a == qa ? 0 : 1, segS, gapS,
+                                     keyA, centries, kb, Ebuf, Dbuf, &st);
                 }
                 o_sc1[slot] = st.score;
                 o_pos1[slot] = st.pos;
@@ -2568,9 +2753,10 @@ extern "C" void kaln_pe_score_batch(
                 st.score = 0; st.pos = 0; st.len = 0; st.match = 0;
                 st.tGaps = 0; st.qGaps = 0; st.mapQ = 0;
                 if (cur_b) {
-                    kaln_align_impl(T, cur_b, lb, 0, lb, 0, 0, mq, pen,
-                                    nb, nnb, 0, 0, 0, 0, 0, pts,
-                                    Ebuf, Dbuf, nullptr, &st);
+                    kma_score_cached(T, cur_b, nb, nnb, lb, 0, lb, mq,
+                                     pen, pts, 0,
+                                     cur_b == qb ? 2 : 3, segS, gapS,
+                                     keyA, centries, kb, Ebuf, Dbuf, &st);
                 }
                 o_sc2[slot] = st.score;
                 o_pos2[slot] = st.pos;
