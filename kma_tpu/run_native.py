@@ -45,11 +45,31 @@ def _build() -> bool:
                 + ["-o", _SO + ".tmp"] + _SRCS + ["-lpthread"],
                 check=True, capture_output=True)
             os.replace(_SO + ".tmp", _SO)
+            _build_cli(extra)
             return True
         except Exception as e:
             err = e
     print(f"# native run-driver build failed: {err}", file=sys.stderr)
     return False
+
+
+def _build_cli(extra) -> None:
+    """Also refresh the native CLI fast-path binary (bin/kma execs it for
+    plain host-path runs; exit 113 falls back to this Python CLI)."""
+    cli_src = os.path.join(_NATIVE_DIR, "kma_cli.cpp")
+    cli_bin = os.path.join(_NATIVE_DIR, "kma_cli")
+    if not os.path.exists(cli_src):
+        return
+    try:
+        subprocess.run(
+            ["g++", "-O2"] + extra
+            + ["-o", cli_bin + ".tmp", cli_src] + _SRCS
+            + [os.path.join(_NATIVE_DIR, "kma_io.cpp"), "-lpthread",
+               "-lz"],
+            check=True, capture_output=True)
+        os.replace(cli_bin + ".tmp", cli_bin)
+    except Exception as e:  # pragma: no cover - CLI stays Python-only
+        print(f"# native cli build failed: {e}", file=sys.stderr)
 
 
 def get_lib():

@@ -1,0 +1,723 @@
+// kma_cli — native CLI driver for the plain host-path mapping
+// configurations (the reference's one-process C flow, kma.c:1250-1440 +
+// runkma.c:130-908).  Covers SE / one-PE-pair fastq mapping against a
+// frozen DB with the default output set (.res/.fsa/.aln/.frag.gz); any
+// flag outside that envelope exits with code 113 so the bin/kma wrapper
+// falls back to the Python CLI (which owns the TPU device paths,
+// multihost, and every other tool).
+//
+// Build: g++ -O2 -march=native -o kma_cli kma_cli.cpp kma_run.cpp \
+//        kma_chain.cpp kma_align.cpp kma_assem.cpp kma_io.cpp -lpthread -lz
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+#include <zlib.h>
+
+typedef long long ll;
+typedef unsigned long long ull;
+
+// ---- entry points of the sibling translation units -------------------------
+extern "C" {
+void *krun_create(const void *exist, int exist_es, const void *key_index,
+                  int key_es, const void *value_index, int vidx_es,
+                  const void *values, int val_es, ull null_index, ull smask,
+                  ull mmask, int mega, int use_murmur, int cmode, int k,
+                  int mlen, const long long *template_lengths, ll tlen_n,
+                  ll db_size, ll M, ll MM, ll U, ll W1, ll Wl,
+                  const int32_t *dmat, const char *seq_path, int mode,
+                  int exhaustive, int minlen, int mq, double scoreT,
+                  double mrc, double coverT, int lc, double aln_min_frac,
+                  ll contamination, int n_threads);
+void krun_free(void *hv);
+void krun_set_pe(void *hv, ll pe);
+ll krun_map_se_batch(void *hv, const uint8_t *codes_flat, const ll *coff,
+                     const uint8_t *hdr_flat, const ll *hoff,
+                     const ll *ords, int n);
+ll krun_map_pe_batch(void *hv, const uint8_t *a_flat, const ll *a_off,
+                     const uint8_t *ha_flat, const ll *ha_off,
+                     const uint8_t *b_flat, const ll *b_off,
+                     const uint8_t *hb_flat, const ll *hb_off,
+                     const uint8_t *b_present, const ll *ords, int n,
+                     int pm, int fpm, const ll *va_f, const ll *va_r,
+                     const ll *vb_f, const ll *vb_r, ll vstride);
+void krun_conclave(void *hv, int version, int lc, ll *w_scores,
+                   ll *fragment_counts, ll *read_counts,
+                   ll template_tot_ulen, double scoreT, double evalue,
+                   int cmpm, ll max_frag);
+ll krun_output_all(void *hv, const ll *w_scores, const uint8_t *names_flat,
+                   const ll *names_off, ll db_size, ll template_tot_ulen,
+                   ll Nhits, double evalue, double score_t_gate,
+                   int cmp_mode, double ID_t, double Depth_t, int bcd,
+                   double support, int base_caller, int significant,
+                   int ref_fsa, int want_fsa, int want_aln, int want_frag,
+                   ll Wl_raw, int minlen, int mq, double scoreT, double mrc,
+                   int circular, int ts, int skip_tails, int dense,
+                   ll *o_res_len, ll *o_fsa_len, ll *o_aln_len,
+                   ll *o_frag_len);
+void krun_output_fetch(void *hv, uint8_t *res, uint8_t *fsa, uint8_t *aln,
+                       uint8_t *frag);
+ll kio_parse_fastq(const unsigned char *buf, ll len, int last,
+                   const unsigned char *to2bit, const double *prob,
+                   int scale, int min_phred, int min_q, int hardmask_q,
+                   ll min_len, ll max_len, unsigned char *codes_out,
+                   ll cap_codes, ll *code_off, unsigned char *hdr_out,
+                   ll cap_hdr, ll *hdr_off, int cap_reads, int *n_out,
+                   int *status, int emit_all, unsigned char *passed);
+}
+
+#define FALLBACK 113
+
+static void die(const char *msg) {
+    fprintf(stderr, "kma_cli: %s\n", msg);
+    exit(1);
+}
+
+// ---- translation tables (io/seq.py TO2BIT / PROB; kma.c:219-250,1442) -----
+static unsigned char TO2BIT[256];
+static double PROB[256];
+static void init_tables() {
+    memset(TO2BIT, 8, sizeof TO2BIT);
+    TO2BIT[(int)'\n'] = 16;
+    const char *grp[] = {"Aa", "Cc", "Gg", "Tt", "Nn", "Rr", "Yy", "Ss",
+                         "Ww", "Kk", "Mm", "Bb", "Dd", "Hh", "Vv", "Xx",
+                         "Uu"};
+    const int code[] = {0, 1, 2, 3, 4, 0, 1, 2, 3, 2, 0, 1, 0, 3, 2, 4, 3};
+    for (size_t g = 0; g < sizeof(grp) / sizeof(*grp); g++)
+        for (const char *c = grp[g]; *c; c++)
+            TO2BIT[(int)(unsigned char)*c] = (unsigned char)code[g];
+    for (int i = 0; i < 256; i++) {
+        // "%.32f"-rounded pow like io/seq._phred_prob_table
+        char tmp[64];
+        snprintf(tmp, sizeof tmp, "%.32f", pow(10.0, -0.1 * i));
+        PROB[i] = atof(tmp);
+    }
+}
+
+// ---- index image (index/format.py load_comp_b; hashmapkma.c:275-455) -----
+struct Index {
+    // mmap of .comp.b
+    uint8_t *map = (uint8_t *)MAP_FAILED;
+    size_t map_len = 0;
+    uint32_t db_size = 0, mlen = 0, prefix_len = 0;
+    ull prefix = 0, size = 0, n = 0, v_index = 0, null_index = 0;
+    uint32_t kmersize = 0, flag = 0;
+    int mega = 0;
+    const void *exist = nullptr;
+    int exist_es = 0;
+    const void *values = nullptr;
+    int val_es = 0;
+    const void *key_index = nullptr;
+    int key_es = 0;
+    const void *value_index = nullptr;
+    int vidx_es = 0;
+    std::vector<ll> tlen;          // .length.b as i64 ([0] = kmerindex)
+    std::vector<uint8_t> names;    // .name raw bytes
+    std::vector<ll> names_off;     // per template id (1-based), +1 entries
+};
+
+static bool load_index(const std::string &prefix, Index &ix) {
+    std::string comp = prefix + ".comp.b";
+    int fd = open(comp.c_str(), O_RDONLY);
+    if (fd < 0)
+        return false;
+    struct stat stt;
+    fstat(fd, &stt);
+    ix.map_len = (size_t)stt.st_size;
+    ix.map = (uint8_t *)mmap(nullptr, ix.map_len, PROT_READ, MAP_PRIVATE,
+                             fd, 0);
+    close(fd);
+    if (ix.map == MAP_FAILED)
+        return false;
+    const uint8_t *p = ix.map;
+    memcpy(&ix.db_size, p, 4);
+    memcpy(&ix.mlen, p + 4, 4);
+    memcpy(&ix.prefix_len, p + 8, 4);
+    memcpy(&ix.prefix, p + 12, 8);
+    memcpy(&ix.size, p + 20, 8);
+    memcpy(&ix.n, p + 28, 8);
+    memcpy(&ix.v_index, p + 36, 8);
+    memcpy(&ix.null_index, p + 44, 8);
+    size_t off = 52;
+    ull mask = (1ull << (2 * ix.mlen)) - 1;
+    ix.mega = (ix.size - 1) == mask;
+    const ull U32MAX = 0xFFFFFFFFull;
+    ix.exist_es = ix.mega ? (ix.v_index <= U32MAX ? 4 : 8)
+                          : (ix.n <= U32MAX ? 4 : 8);
+    ix.exist = p + off;
+    off += (size_t)ix.exist_es * ix.size;
+    ix.val_es = ix.db_size < 0xFFFF ? 2 : 4;
+    ix.values = p + off;
+    off += (size_t)ix.val_es * ix.v_index;
+    if (!ix.mega) {
+        ix.key_es = ix.mlen <= 16 ? 4 : 8;
+        ix.key_index = p + off;
+        off += (size_t)ix.key_es * (ix.n + 1);
+        ix.vidx_es = ix.v_index < U32MAX ? 4 : 8;
+        ix.value_index = p + off;
+        off += (size_t)ix.vidx_es * ix.n;
+    }
+    if (off + 8 <= ix.map_len) {
+        memcpy(&ix.kmersize, p + off, 4);
+        memcpy(&ix.flag, p + off + 4, 4);
+    } else {
+        ix.kmersize = ix.mlen;
+        ix.flag = 0;
+    }
+
+    // .length.b: i32 db_size then u32 lengths
+    std::string lenp = prefix + ".length.b";
+    FILE *lf = fopen(lenp.c_str(), "rb");
+    if (!lf)
+        return false;
+    int32_t db2 = 0;
+    if (fread(&db2, 4, 1, lf) != 1) { fclose(lf); return false; }
+    std::vector<uint32_t> lens(db2);
+    if (db2 && fread(lens.data(), 4, db2, lf) != (size_t)db2) {
+        fclose(lf);
+        return false;
+    }
+    fclose(lf);
+    ix.tlen.assign(lens.begin(), lens.end());
+
+    // .name lines, template t = line t-1
+    std::string namep = prefix + ".name";
+    FILE *nf = fopen(namep.c_str(), "rb");
+    if (!nf)
+        return false;
+    fseek(nf, 0, SEEK_END);
+    long nsz = ftell(nf);
+    fseek(nf, 0, SEEK_SET);
+    std::vector<uint8_t> raw(nsz);
+    if (nsz && fread(raw.data(), 1, nsz, nf) != (size_t)nsz) {
+        fclose(nf);
+        return false;
+    }
+    fclose(nf);
+    ix.names_off.push_back(0);   // template 0 placeholder (empty)
+    ix.names_off.push_back(0);
+    long i = 0;
+    while (i < nsz) {
+        long j = i;
+        while (j < nsz && raw[j] != '\n')
+            j++;
+        ix.names.insert(ix.names.end(), raw.begin() + i, raw.begin() + j);
+        ix.names_off.push_back((ll)ix.names.size());
+        i = j + 1;
+    }
+    return true;
+}
+
+// fastq check: the native reader is fastq-only; fasta (and anything
+// else) falls back to the Python CLI
+static bool is_fastq(const char *path) {
+    gzFile f = gzopen(path, "rb");
+    if (!f)
+        return false;
+    int c = gzgetc(f);
+    gzclose(f);
+    return c == '@';
+}
+
+// ---- phred scale sniff (io/seq.sniff_phred_scale; seqparse.c:551-589) -----
+static int sniff_phred(const char *path) {
+    gzFile f = gzopen(path, "rb");
+    if (!f)
+        return 33;
+    static std::vector<uint8_t> data(1 << 20);
+    int n = gzread(f, data.data(), 1 << 20);
+    gzclose(f);
+    if (n <= 0)
+        return 33;
+    int scale = 33, maxlen = 0;
+    long i = 0;
+    while (i < n) {
+        int seek = 3;
+        while (seek && i < n - 1) {
+            i++;
+            if (data[i] == 0x0A)
+                seek--;
+        }
+        int ln = 0;
+        bool cont = i < n - 1;
+        while (cont && i < n - 1) {
+            i++;
+            uint8_t c = data[i];
+            if (c == 0x0A)
+                cont = false;
+            else if (c < 33)
+                return 0;
+            else if (53 < c && c < 59)
+                return 33;
+            else if (94 < c)
+                scale = 64;
+            if (cont)
+                ln++;
+        }
+        if (maxlen < ln)
+            maxlen = ln;
+        if (i >= n - 1)
+            break;
+    }
+    return maxlen <= 301 ? scale : 33;
+}
+
+// ---- streaming fastq batches (io/native_io.iter_fastq_native_batches) ----
+struct FqStream {
+    gzFile f = nullptr;
+    std::vector<uint8_t> carry;
+    std::vector<uint8_t> buf;
+    bool eof = false;
+    static const ll CHUNK = 8 << 20;
+
+    bool open(const char *path) {
+        f = gzopen(path, "rb");
+        return f != nullptr;
+    }
+    ~FqStream() {
+        if (f)
+            gzclose(f);
+    }
+};
+
+struct FqBatch {
+    std::vector<uint8_t> codes, hdr, passed;
+    std::vector<ll> coff, hoff;
+    int n = 0;
+};
+
+// pull one parsed batch; returns false at end of stream
+static bool next_batch(FqStream &s, int scale, int min_phred, int min_q,
+                       int hardmask_q, ll min_len, ll max_len,
+                       int emit_all, FqBatch &out) {
+    const int CAP_READS = 1 << 15;
+    for (;;) {
+        if (s.carry.empty() && !s.eof) {
+            s.buf.resize(FqStream::CHUNK);
+            int got = gzread(s.f, s.buf.data(), (unsigned)FqStream::CHUNK);
+            if (got <= 0) {
+                s.eof = true;
+                s.buf.clear();
+            } else {
+                s.buf.resize(got);
+            }
+            s.carry.swap(s.buf);
+            if (!s.eof) {
+                // keep pulling until we have a decent chunk or EOF
+            }
+        } else if (!s.eof) {
+            size_t base = s.carry.size();
+            s.carry.resize(base + FqStream::CHUNK);
+            int got = gzread(s.f, s.carry.data() + base,
+                             (unsigned)FqStream::CHUNK);
+            if (got <= 0) {
+                s.eof = true;
+                s.carry.resize(base);
+            } else {
+                s.carry.resize(base + got);
+            }
+        }
+        if (s.carry.empty())
+            return false;
+        ll cap = (ll)s.carry.size();
+        out.codes.resize(cap);
+        out.hdr.resize(cap);
+        out.coff.resize(CAP_READS + 1);
+        out.hoff.resize(CAP_READS + 1);
+        out.passed.resize(CAP_READS);
+        int n_out = 0, status = 0;
+        ll consumed = kio_parse_fastq(
+            s.carry.data(), cap, s.eof ? 1 : 0, TO2BIT, PROB, scale,
+            min_phred, min_q, hardmask_q, min_len, max_len,
+            out.codes.data(), cap, out.coff.data(), out.hdr.data(), cap,
+            out.hoff.data(), CAP_READS, &n_out, &status, emit_all,
+            emit_all ? out.passed.data() : nullptr);
+        if (status != 0)
+            die("malformed fastq record");
+        s.carry.erase(s.carry.begin(), s.carry.begin() + consumed);
+        out.n = n_out;
+        if (n_out > 0)
+            return true;
+        if (s.eof && s.carry.empty())
+            return false;
+        if (s.eof && consumed == 0)
+            return false;   // trailing garbage
+    }
+}
+
+// ---- gz writer (writers.open_gz: zlib level 1) ----------------------------
+static void write_gz(const std::string &path, const uint8_t *data, ll n) {
+    gzFile g = gzopen(path.c_str(), "wb1");
+    if (!g)
+        die("cannot open .frag.gz for writing");
+    ll w = 0;
+    while (w < n) {
+        unsigned chunk = (unsigned)((n - w) > (1 << 28) ? (1 << 28)
+                                                        : (n - w));
+        if (gzwrite(g, data + w, chunk) != (int)chunk)
+            die("gzwrite failed");
+        w += chunk;
+    }
+    gzclose(g);
+}
+
+static void write_file(const std::string &path, const char *head,
+                       const uint8_t *data, ll n) {
+    FILE *f = fopen(path.c_str(), "wb");
+    if (!f)
+        die("cannot open output file");
+    if (head)
+        fwrite(head, 1, strlen(head), f);
+    if (n)
+        fwrite(data, 1, (size_t)n, f);
+    fclose(f);
+}
+
+// ---- config (config.py defaults; kma.c:281-348) ---------------------------
+struct Cfg {
+    std::vector<std::string> in_se;
+    std::string pe1, pe2;
+    std::string t_db, out;
+    bool one2one = false;
+    int pm = 0, fpm = 0;           // 0 union, 1 penalty
+    bool pe = false;
+    int threads = 1;
+    int min_phred = 20, hardmask_q = 0, min_q = 0;
+    ll min_len = 16, max_len = 2147483647LL;
+    double score_t = 0.5, mrc = 0.0, cover_t = 0.1;
+    int mq = 0;
+    double evalue = 0.05;
+    double ID_t = 1.0, Depth_t = 0.0;
+    int bcd = 1;
+    double support = 0.0;
+    int base_caller = 0;           // default
+    int significant = 0;           // mcnemar
+    // penalties (kma.c:328-337)
+    int M = 1, U = -1, W1 = -3, Wl = -6, Mn = 0, PE = 7, Ts = -2, Tv = -2;
+};
+
+// score_matrix (config.Penalties.score_matrix; kma.c:1307-1328)
+static void score_matrix(const Cfg &c, int32_t *d, int *MM_out) {
+    int MM = (c.Ts + c.Tv - 1) / 2;   // C99 trunc division
+    if ((c.Ts + c.Tv - 1) % 2 != 0 && (c.Ts + c.Tv - 1) < 0)
+        MM = (c.Ts + c.Tv - 1) / 2;   // already truncates toward zero
+    *MM_out = MM;
+    for (int i = 0; i < 4; i++) {
+        for (int j = 0; j < 4; j++)
+            d[i * 5 + j] = c.Tv;
+        d[i * 5 + 4] = c.Mn;
+        int tr = (i - 2) < 0 ? i + 2 : i - 2;
+        d[i * 5 + tr] = c.Ts;
+        d[i * 5 + i] = c.M;
+    }
+    for (int j = 0; j < 5; j++)
+        d[4 * 5 + j] = c.Mn;
+    d[4 * 5 + 4] = 0;
+}
+
+int main(int argc, char **argv) {
+    Cfg cfg;
+    bool device_ok = getenv("PALLAS_AXON_POOL_IPS") == nullptr;
+    for (int i = 1; i < argc; i++) {
+        std::string a = argv[i];
+        // every value-taking flag below reads argv[i+1]
+        static const char *valflags[] = {"-t_db", "-o", "-apm", "-pm",
+                                         "-fpm", "-t", "-device", "-ID",
+                                         "-md", "-bcd", "-mrs", "-mrc",
+                                         "-ml", "-mp"};
+        bool needs_val = false;
+        for (const char *v : valflags)
+            if (a == v)
+                needs_val = true;
+        if (needs_val && i + 1 >= argc)
+            return FALLBACK;
+        if (a == "-i") {
+            while (i + 1 < argc && argv[i + 1][0] != '-')
+                cfg.in_se.push_back(argv[++i]);
+        } else if (a == "-ipe") {
+            if (i + 2 >= argc || !cfg.pe1.empty())
+                return FALLBACK;   // exactly one pair supported
+            cfg.pe1 = argv[++i];
+            cfg.pe2 = argv[++i];
+            if (i + 1 < argc && argv[i + 1][0] != '-')
+                return FALLBACK;
+            cfg.pe = true;
+        } else if (a == "-t_db") {
+            cfg.t_db = argv[++i];
+        } else if (a == "-o") {
+            cfg.out = argv[++i];
+        } else if (a == "-1t1") {
+            cfg.one2one = true;
+        } else if (a == "-apm") {
+            std::string v = argv[++i];
+            if (v == "u") { cfg.pm = 0; cfg.fpm = 0; }
+            else if (v == "p") { cfg.pm = 1; cfg.fpm = 1; }
+            else return FALLBACK;   // force mode has its own path
+        } else if (a == "-pm") {
+            std::string v = argv[++i];
+            if (v == "u") cfg.pm = 0;
+            else if (v == "p") cfg.pm = 1;
+            else return FALLBACK;
+        } else if (a == "-fpm") {
+            std::string v = argv[++i];
+            if (v == "u") cfg.fpm = 0;
+            else if (v == "p") cfg.fpm = 1;
+            else return FALLBACK;
+        } else if (a == "-t") {
+            cfg.threads = atoi(argv[++i]);
+            if (cfg.threads < 1) cfg.threads = 1;
+        } else if (a == "-device") {
+            std::string v = argv[++i];
+            if (v == "off") device_ok = true;
+            else return FALLBACK;
+        } else if (a == "-bc") {
+            if (i + 1 < argc && argv[i + 1][0] != '-') {
+                cfg.support = atof(argv[++i]);
+                cfg.significant = 2;   // support
+            }
+        } else if (a == "-bcNano") {
+            if (cfg.significant == 0)
+                cfg.significant = 1;   // and90
+            cfg.base_caller = 3;       // nano
+        } else if (a == "-bc90") {
+            cfg.significant = 1;
+        } else if (a == "-bcg") {
+            cfg.base_caller = 1;
+        } else if (a == "-ID") {
+            cfg.ID_t = atof(argv[++i]);
+            if (cfg.ID_t == 0.0)
+                return FALLBACK;   // zero-identity rows need Python loop
+        } else if (a == "-md") {
+            cfg.Depth_t = atof(argv[++i]);
+        } else if (a == "-bcd") {
+            cfg.bcd = atoi(argv[++i]);
+        } else if (a == "-mrs") {
+            cfg.score_t = atof(argv[++i]);
+        } else if (a == "-mrc") {
+            cfg.mrc = atof(argv[++i]);
+        } else if (a == "-ml") {
+            cfg.min_len = atoll(argv[++i]);
+        } else if (a == "-mp") {
+            cfg.min_phred = atoi(argv[++i]);
+        } else {
+            return FALLBACK;   // anything else: Python owns it
+        }
+    }
+    if (!device_ok || cfg.t_db.empty() || cfg.out.empty())
+        return FALLBACK;
+    if (cfg.in_se.empty() && !cfg.pe)
+        return FALLBACK;
+    if (!cfg.in_se.empty() && cfg.pe)
+        return FALLBACK;   // mixed SE+PE in one run: Python path
+    for (const std::string &p : cfg.in_se)
+        if (!is_fastq(p.c_str()))
+            return FALLBACK;
+    if (cfg.pe && (!is_fastq(cfg.pe1.c_str()) || !is_fastq(cfg.pe2.c_str())))
+        return FALLBACK;
+
+    init_tables();
+    fprintf(stderr, "# Running KMA.\n");
+    Index ix;
+    if (!load_index(cfg.t_db, ix))
+        return FALLBACK;
+    if ((ix.flag & 3) && ix.kmersize > 16)
+        return FALLBACK;   // cmer DBs follow the Python driver gates
+
+    int32_t dmat[25];
+    int MM;
+    score_matrix(cfg, dmat, &MM);
+    double db_t0 = 0.0;
+
+    void *R = krun_create(
+        ix.exist, ix.exist_es, ix.key_index, ix.key_es, ix.value_index,
+        ix.vidx_es, ix.values, ix.val_es, ix.null_index, ix.size - 1,
+        (1ull << (2 * ix.mlen)) - 1, ix.mega, ix.flag ? 1 : 0,
+        (int)(ix.flag & 3), (int)ix.kmersize, (int)ix.mlen,
+        ix.tlen.data(), (ll)ix.tlen.size(), (ll)ix.db_size, cfg.M, MM,
+        cfg.U, cfg.W1, cfg.Wl, dmat, (cfg.t_db + ".seq.b").c_str(),
+        cfg.one2one ? 0 : 1, 0, (int)cfg.min_len, cfg.mq, cfg.score_t,
+        cfg.mrc, cfg.cover_t, 0, 1.0, -1, cfg.threads);
+    if (!R)
+        return FALLBACK;
+    krun_set_pe(R, cfg.PE);
+
+    int mp = cfg.min_phred;
+    if (mp < cfg.hardmask_q) mp = cfg.hardmask_q;
+    if (mp < cfg.min_q) mp = cfg.min_q;
+
+    ll n_frags = 0;
+    std::vector<ll> ords;
+    if (!cfg.pe) {
+        FqBatch b;
+        for (const std::string &path : cfg.in_se) {
+            fprintf(stderr, "# Reading inputfile: \t%s\n", path.c_str());
+            int scale = sniff_phred(path.c_str());
+            fprintf(stderr, "# Phred scale:\t%d\n", scale);
+            FqStream s;
+            if (!s.open(path.c_str()))
+                die("cannot open input");
+            while (next_batch(s, scale, mp, cfg.min_q, cfg.hardmask_q,
+                              cfg.min_len, cfg.max_len, 0, b)) {
+                ords.resize(b.n);
+                for (int i = 0; i < b.n; i++)
+                    ords[i] = n_frags + i;
+                n_frags += b.n;
+                if (krun_map_se_batch(R, b.codes.data(), b.coff.data(),
+                                      b.hdr.data(), b.hoff.data(),
+                                      ords.data(), b.n) < 0)
+                    die("mapping failed");
+            }
+        }
+    } else {
+        fprintf(stderr, "# Reading inputfile: \t%s %s\n", cfg.pe1.c_str(),
+                cfg.pe2.c_str());
+        int scale = sniff_phred(cfg.pe1.c_str());
+        if (!scale)
+            scale = sniff_phred(cfg.pe2.c_str());
+        fprintf(stderr, "# Phred scale:\t%d\n", scale);
+        FqStream s1, s2;
+        if (!s1.open(cfg.pe1.c_str()) || !s2.open(cfg.pe2.c_str()))
+            die("cannot open input");
+        FqBatch b1, b2;
+        int i1 = 0, i2 = 0;   // record cursors into b1/b2
+        bool h1 = next_batch(s1, scale, mp, cfg.min_q, cfg.hardmask_q,
+                             cfg.min_len, cfg.max_len, 1, b1);
+        bool h2 = next_batch(s2, scale, mp, cfg.min_q, cfg.hardmask_q,
+                             cfg.min_len, cfg.max_len, 1, b2);
+        std::vector<uint8_t> af, bf, haf, hbf, bp;
+        std::vector<ll> ao, bo, hao, hbo;
+        while (h1 && h2) {
+            int n = b1.n - i1 < b2.n - i2 ? b1.n - i1 : b2.n - i2;
+            // count pairs where either mate survived trimming
+            af.clear(); bf.clear(); haf.clear(); hbf.clear(); bp.clear();
+            ao.assign(1, 0); bo.assign(1, 0);
+            hao.assign(1, 0); hbo.assign(1, 0);
+            ords.clear();
+            for (int t = 0; t < n; t++) {
+                bool p1 = b1.passed[i1 + t] != 0;
+                bool p2 = b2.passed[i2 + t] != 0;
+                if (!p1 && !p2)
+                    continue;
+                const uint8_t *c1 = b1.codes.data() + b1.coff[i1 + t];
+                ll l1 = b1.coff[i1 + t + 1] - b1.coff[i1 + t];
+                const uint8_t *hd1 = b1.hdr.data() + b1.hoff[i1 + t];
+                ll hl1 = b1.hoff[i1 + t + 1] - b1.hoff[i1 + t];
+                const uint8_t *c2 = b2.codes.data() + b2.coff[i2 + t];
+                ll l2 = b2.coff[i2 + t + 1] - b2.coff[i2 + t];
+                const uint8_t *hd2 = b2.hdr.data() + b2.hoff[i2 + t];
+                ll hl2 = b2.hoff[i2 + t + 1] - b2.hoff[i2 + t];
+                if (p1) {
+                    af.insert(af.end(), c1, c1 + l1);
+                    haf.insert(haf.end(), hd1, hd1 + hl1);
+                    if (p2) {
+                        bf.insert(bf.end(), c2, c2 + l2);
+                        hbf.insert(hbf.end(), hd2, hd2 + hl2);
+                        bp.push_back(1);
+                    } else {
+                        bp.push_back(0);
+                    }
+                } else {
+                    // surviving mate becomes "a" (runinput.c lockstep)
+                    af.insert(af.end(), c2, c2 + l2);
+                    haf.insert(haf.end(), hd2, hd2 + hl2);
+                    bp.push_back(0);
+                }
+                ao.push_back((ll)af.size());
+                bo.push_back((ll)bf.size());
+                hao.push_back((ll)haf.size());
+                hbo.push_back((ll)hbf.size());
+                ords.push_back(n_frags++);
+            }
+            int nk = (int)bp.size();
+            if (nk) {
+                if (krun_map_pe_batch(
+                        R, af.data(), ao.data(), haf.data(), hao.data(),
+                        bf.data(), bo.data(), hbf.data(), hbo.data(),
+                        bp.data(), ords.data(), nk, cfg.pm, cfg.fpm,
+                        nullptr, nullptr, nullptr, nullptr, 0) < 0)
+                    die("PE mapping failed");
+            }
+            i1 += n;
+            i2 += n;
+            if (i1 >= b1.n) {
+                h1 = next_batch(s1, scale, mp, cfg.min_q, cfg.hardmask_q,
+                                cfg.min_len, cfg.max_len, 1, b1);
+                i1 = 0;
+            }
+            if (i2 >= b2.n) {
+                h2 = next_batch(s2, scale, mp, cfg.min_q, cfg.hardmask_q,
+                                cfg.min_len, cfg.max_len, 1, b2);
+                i2 = 0;
+            }
+        }
+    }
+
+    // stage lines (kmaPipe order, non -status variants)
+    fprintf(stderr,
+            "#\n# Total number of query fragment after trimming:\t%lld\n"
+            "#\n",
+            n_frags);
+    fprintf(stderr, "# Query converted\n#\n");
+    fprintf(stderr, "#\n# Total time used for DB loading: %.2f s.\n#\n",
+            db_t0);
+    fprintf(stderr, "# Finding k-mer ankers\n");
+    fprintf(stderr, "# Query ankered\n#\n");
+    fprintf(stderr, "# KMA mapping done\n#\n");
+    fprintf(stderr, "# Sort, output and select KMA alignments.\n");
+
+    // ---- ConClave + output ------------------------------------------------
+    std::vector<ll> w_scores(ix.db_size, 0), fc(ix.db_size, 0),
+        rc(ix.db_size, 0);
+    ll tot_ulen = 0;
+    for (uint32_t t = 1; t < ix.db_size; t++)
+        tot_ulen += ix.tlen[t];
+    krun_conclave(R, 1, 0, w_scores.data(), fc.data(), rc.data(), tot_ulen,
+                  cfg.score_t, cfg.evalue, 0, 1000000);
+    ll Nhits = 0;
+    for (uint32_t t = 1; t < ix.db_size; t++)
+        Nhits += w_scores[t];
+    if (!Nhits)
+        Nhits = 1;
+    fprintf(stderr,
+            "# Total time for sorting and outputting KMA alignment\t"
+            "%.2f s.\n#\n"
+            "# Doing local assemblies of found templates, and output "
+            "results\n",
+            0.0);
+
+    ll lr = 0, lf = 0, la = 0, lg = 0;
+    if (krun_output_all(R, w_scores.data(), ix.names.data(),
+                        ix.names_off.data(), (ll)ix.db_size, tot_ulen,
+                        Nhits, cfg.evalue, cfg.score_t, 0, cfg.ID_t,
+                        cfg.Depth_t, cfg.bcd, cfg.support, cfg.base_caller,
+                        cfg.significant, 0, 1, 1, 1, cfg.Wl,
+                        (int)cfg.min_len, cfg.mq, cfg.score_t, cfg.mrc, 0,
+                        0, 0, 0, &lr, &lf, &la, &lg) < 0)
+        die("output failed");
+    std::vector<uint8_t> res(lr ? lr : 1), fsa(lf ? lf : 1),
+        aln(la ? la : 1), frag(lg ? lg : 1);
+    krun_output_fetch(R, res.data(), fsa.data(), aln.data(), frag.data());
+    write_file(cfg.out + ".res",
+               "#Template\tScore\tExpected\tTemplate_length\t"
+               "Template_Identity\tTemplate_Coverage\tQuery_Identity\t"
+               "Query_Coverage\tDepth\tq_value\tp_value\n",
+               res.data(), lr);
+    write_file(cfg.out + ".fsa", nullptr, fsa.data(), lf);
+    write_file(cfg.out + ".aln", nullptr, aln.data(), la);
+    write_gz(cfg.out + ".frag.gz", frag.data(), lg);
+    fprintf(stderr,
+            "# Total time used for local assembly: %.2f s.\n#\n"
+            "# Closing files\n",
+            0.0);
+    krun_free(R);
+    return 0;
+}
