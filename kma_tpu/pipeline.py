@@ -2368,7 +2368,7 @@ def _conclave_and_output(records, db_size, template_lengths, name_of, store,
     # ---- native output fast path: the whole per-template loop below in
     # one C call when only the plain .res/.fsa/.aln/.frag.gz set is
     # requested (runkma.c:763-863 as one loop)
-    if (ndrv is not None and splt is None and not cfg.mem_mode
+    if (ndrv is not None and splt is None
             and not cfg.sasm and not cfg.dense and not cfg.verbose
             and not (cfg.tsv or cfg.xml or cfg.vcf or cfg.sam or cfg.ef
                      or cfg.print_matrix) and cfg.ID_t != 0.0):

@@ -40,6 +40,7 @@ void *krun_create(const void *exist, int exist_es, const void *key_index,
                   ll contamination, int n_threads);
 void krun_free(void *hv);
 void krun_set_pe(void *hv, ll pe);
+void krun_set_mem(void *hv, int mem_mode);
 ll krun_map_se_batch(void *hv, const uint8_t *codes_flat, const ll *coff,
                      const uint8_t *hdr_flat, const ll *hoff,
                      const ll *ords, int n);
@@ -390,6 +391,7 @@ struct Cfg {
     bool one2one = false;
     int pm = 0, fpm = 0;           // 0 union, 1 penalty
     bool pe = false;
+    bool mem_mode = false;
     int threads = 1;
     int min_phred = 20, hardmask_q = 0, min_q = 0;
     ll min_len = 16, max_len = 2147483647LL;
@@ -457,6 +459,8 @@ int main(int argc, char **argv) {
             cfg.out = argv[++i];
         } else if (a == "-1t1") {
             cfg.one2one = true;
+        } else if (a == "-mem_mode") {
+            cfg.mem_mode = true;
         } else if (a == "-apm") {
             std::string v = argv[++i];
             if (v == "u") { cfg.pm = 0; cfg.fpm = 0; }
@@ -549,6 +553,8 @@ int main(int argc, char **argv) {
     if (!R)
         return FALLBACK;
     krun_set_pe(R, cfg.PE);
+    if (cfg.mem_mode)
+        krun_set_mem(R, 1);
 
     int mp = cfg.min_phred;
     if (mp < cfg.hardmask_q) mp = cfg.hardmask_q;

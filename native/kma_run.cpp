@@ -2808,8 +2808,16 @@ long long krun_output_all(
             q_id = 100.0 * (double)cover_s / (double)aln_len;
             cover = 100.0 * (double)aln_len / (double)t_len;
             q_cover = 100.0 * (double)t_len / (double)aln_len;
+        } else if (R->mem_mode) {
+            // runkma.c:1515-1523: MEM keeps depth/cover of empty assemblies
+            depth = (double)depth_s / (double)t_len;
+            aln_len = aln_len_s;
+            cover = 100.0 * (double)aln_len / (double)t_len;
         }
-        if (!(ID_t <= id_ && 0 < id_ && Depth_t <= depth))
+        bool printed = R->mem_mode
+                           ? (ID_t <= id_ && Depth_t <= depth)
+                           : (ID_t <= id_ && 0 < id_ && Depth_t <= depth);
+        if (!printed)
             continue;
 
         // .res row (runkma.c:816); (unsigned)(long double) cast like

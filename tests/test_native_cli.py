@@ -46,6 +46,7 @@ def _run_python(args, out):
 
 @pytest.mark.parametrize("margs", [
     ["-1t1"], [], ["-bcNano", "-bc", "0.7"], ["-mrs", "0.6"],
+    ["-mem_mode"],
 ])
 def test_native_cli_matches_python(tmp_path, sim_reads_mod, db50_index,
                                    margs):  # noqa: F811
@@ -65,7 +66,7 @@ def test_native_cli_matches_python(tmp_path, sim_reads_mod, db50_index,
 
 
 @pytest.mark.parametrize("margs", [
-    ["-mem_mode"], ["-ef"], ["-sam"], ["-matrix"], ["-Sparse"],
+    ["-ef"], ["-sam"], ["-matrix"], ["-Sparse"],
     ["-mf", "7"], ["-ID", "0"],
 ])
 def test_native_cli_falls_back(tmp_path, sim_reads_mod, db50_index,
