@@ -292,6 +292,10 @@ struct Run {
     std::vector<ll> seq_off;       // byte offset of template t
     std::vector<void *> handles;   // TIndex* per template (lazy)
     std::mutex handle_mu;
+    // background prebuilder: fills `handles` while the scan phase runs
+    // (the reference overlaps input parsing with mapping the same way)
+    std::thread prebuild_th;
+    std::atomic<int> prebuild_stop{0};
 
     // accumulators + spool
     std::vector<ll> alignment_scores, uniq_alignment_scores;
@@ -307,6 +311,9 @@ struct Run {
     double t_scan = 0, t_build = 0, t_score = 0, t_spool = 0;
 
     ~Run() {
+        prebuild_stop.store(1);
+        if (prebuild_th.joinable())
+            prebuild_th.join();
         if (getenv("KMA_RUN_PROF")) {
             fprintf(stderr,
                     "# krun prof: scan %.3f build %.3f score %.3f "
@@ -1694,6 +1701,20 @@ void *krun_create(const void *exist, int exist_es, const void *key_index,
         r->scratch[i].ctx = r->ctxs[i];
         r->scratch[i].init((int)db_size + 1, 1024, 1 << 16);
     }
+    // overlap per-template seed-index builds with the scan phase on one
+    // helper thread (the reference overlaps input parsing the same way);
+    // bounded to DBs whose packed sequence fits a sane handle budget
+    if (r->seq_bytes < (256u << 20) && tlen_n > 2) {
+        Run *rp = r;
+        ll tn = tlen_n;
+        r->prebuild_th = std::thread([rp, tn]() {
+            for (ll t = 1; t < tn; ++t) {
+                if (rp->prebuild_stop.load(std::memory_order_relaxed))
+                    return;
+                rp->handle_for((int)t);
+            }
+        });
+    }
     return r;
 }
 
@@ -2016,6 +2037,14 @@ long long krun_map_pe_batch(void *hv, const uint8_t *a_flat,
     int np = (int)pairs.size();
     if (R->mem_mode)
         np = 0;   // mem mode spools ankers directly; no mate scoring
+    const bool _peprof = getenv("KMA_ALN_PROF") != nullptr;
+    static double _pe_handles = 0.0, _pe_stage = 0.0, _pe_kaln = 0.0;
+    auto _pnow = []() {
+        return std::chrono::duration<double>(
+                   std::chrono::steady_clock::now().time_since_epoch())
+            .count();
+    };
+    double _pt = _peprof ? _pnow() : 0.0;
     std::vector<ll> psc1(pe_tpl.size()), psc2(pe_tpl.size());
     std::vector<int32_t> ppo1(pe_tpl.size()), pln1(pe_tpl.size()),
         ptg1(pe_tpl.size()), pqg1(pe_tpl.size()), ppo2(pe_tpl.size()),
@@ -2023,6 +2052,11 @@ long long krun_map_pe_batch(void *hv, const uint8_t *a_flat,
     std::vector<uint8_t> pflip(np);
     if (np) {
         build_handles_for(R, pe_tpl);
+        if (_peprof) {
+            double t1 = _pnow();
+            _pe_handles += t1 - _pt;
+            _pt = t1;
+        }
         std::vector<void *> handles(pe_tpl.size());
         for (size_t i = 0; i < pe_tpl.size(); ++i)
             handles[i] =
@@ -2040,6 +2074,11 @@ long long krun_map_pe_batch(void *hv, const uint8_t *a_flat,
             arcs[i] = pairs[i].arc ? 1 : 0;
         }
         std::vector<int64_t> offv(pe_off.begin(), pe_off.end());
+        if (_peprof) {
+            double t1 = _pnow();
+            _pe_stage += t1 - _pt;
+            _pt = t1;
+        }
         kaln_pe_score_batch(handles.data(), pe_tpl.data(), offv.data(),
                             a_cat.data(), a_offv.data(), b_cat.data(),
                             b_offv.data(), arcs.data(), np, (int)R->ix.M,
@@ -2049,6 +2088,12 @@ long long krun_map_pe_batch(void *hv, const uint8_t *a_flat,
                             pqg1.data(), psc2.data(), ppo2.data(),
                             pln2.data(), ptg2.data(), pqg2.data(),
                             pflip.data());
+        if (_peprof) {
+            _pe_kaln += _pnow() - _pt;
+            fprintf(stderr,
+                    "# pe score: handles %.3f stage %.3f kaln %.3f\n",
+                    _pe_handles, _pe_stage, _pe_kaln);
+        }
     }
     R->t_score += _now() - _t0;
     _t0 = _now();
