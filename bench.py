@@ -170,11 +170,11 @@ def e2e_config(name, n_frags, ref_args, my_args, out_ref, out_my):
     kma = REF_BUILD / "kma"
     row = {"n": n_frags}
     if kma.exists():
-        ref = min(_run_wall([str(kma)] + ref_args)[0] for _ in range(2))
+        ref = min(_run_wall([str(kma)] + ref_args)[0] for _ in range(3))
         row["ref_wall_s"] = round(ref, 3)
         row["ref_reads_per_sec"] = round(n_frags / ref, 1)
     my = min(_run_wall([str(REPO / "bin" / "kma")] + my_args)[0]
-             for _ in range(2))
+             for _ in range(3))
     row["wall_s"] = round(my, 3)
     row["reads_per_sec"] = round(n_frags / my, 1)
     # auxiliary: our multithreaded wall (outputs stay deterministic)

@@ -1771,7 +1771,17 @@ struct AlnCacheEnt {
 };
 
 static inline uint64_t fnv1a(const uint8_t* p, size_t n, uint64_t h) {
-    for (size_t i = 0; i < n; i++) {
+    // 8-byte chunks with a murmur-style mix (exact compare backs it up,
+    // so only distribution matters)
+    size_t i = 0;
+    for (; i + 8 <= n; i += 8) {
+        uint64_t x;
+        memcpy(&x, p + i, 8);
+        h ^= x;
+        h *= 0xff51afd7ed558ccdULL;
+        h ^= h >> 33;
+    }
+    for (; i < n; i++) {
         h ^= p[i];
         h *= 0x100000001b3ULL;
     }
@@ -1839,69 +1849,80 @@ static void nw_score_chain(TIndex& T, const uint8_t* q, int q_len,
 
 // content-dedupe key of a stashed chain (everything nw_score_chain
 // reads): tag byte (orientation/mate), segment q-coords, window k-flag
-// cases and the raw template bytes of the lead/gap/trail windows
+// cases and the raw template bytes of the lead/gap/trail windows.
+// Exact-sized upfront, raw cursor writes — this runs per candidate.
 static void chain_key(std::vector<uint8_t>& kb, uint8_t tag,
                       const TIndex& T, const ChainSeg* segs, int nseg,
                       const GapGeom* gaps, int lead_te, int lead_qe,
                       int tail_ts, int tail_qs, int q_len) {
-    auto put_i32 = [&](int x) {
-        const uint8_t* p = (const uint8_t*)&x;
-        kb.insert(kb.end(), p, p + 4);
-    };
     const uint8_t* tc = T.codes.data();
     int t_len = T.len;
-    kb.clear();
-    kb.push_back(tag);
-    put_i32(nseg);
-    for (int si = 0; si < nseg; si++) {
-        put_i32(segs[si].qs);
-        put_i32(segs[si].qe);
+    // lead window geometry (lead_tail_aln rules)
+    int l_te = lead_te, l_qe = lead_qe, l_ts = 0, l_qs = 0;
+    if (l_qe) {
+        if ((l_qe << 1) < l_te || (l_qe + BANDWIDTH) < l_te)
+            l_ts = l_te - (l_qe + (l_qe < BANDWIDTH ? l_qe : BANDWIDTH));
+        else if ((l_te << 1) < l_qe || (l_te + BANDWIDTH) < l_qe)
+            l_qs = l_qe - (l_te + (l_te < BANDWIDTH ? l_te : BANDWIDTH));
     }
+    bool l_win = l_qe && l_te - l_ts > 0 && l_qe - l_qs > 0;
+    // trail window geometry (trail_tail_aln rules)
+    int r_ts = tail_ts, r_qs = tail_qs, r_qe = q_len, r_te = t_len;
     {
-        // lead window (lead_tail_aln geometry)
-        int t_e = lead_te, q_e = lead_qe;
-        int t_s = 0, q_s = 0;
-        if (q_e) {
-            if ((q_e << 1) < t_e || (q_e + BANDWIDTH) < t_e)
-                t_s = t_e - (q_e + (q_e < BANDWIDTH ? q_e : BANDWIDTH));
-            else if ((t_e << 1) < q_e || (t_e + BANDWIDTH) < q_e)
-                q_s = q_e - (t_e + (t_e < BANDWIDTH ? t_e : BANDWIDTH));
-        }
-        put_i32(q_e - q_s);
-        put_i32(q_e ? t_e - t_s : -1);
-        kb.push_back(t_s == 0 ? 1 : 0);
-        if (q_e && t_e - t_s > 0 && q_e - q_s > 0)
-            kb.insert(kb.end(), tc + t_s, tc + t_e);
+        int qr0 = q_len - r_qs, tr0 = t_len - r_ts;
+        if ((qr0 << 1) < tr0 || (qr0 + BANDWIDTH) < tr0)
+            r_te = r_ts + (qr0 + (qr0 < BANDWIDTH ? qr0 : BANDWIDTH));
+        else if ((tr0 << 1) < qr0 || (tr0 + BANDWIDTH) < qr0)
+            r_qe = r_qs + (tr0 + (tr0 < BANDWIDTH ? tr0 : BANDWIDTH));
+    }
+    bool r_win = r_te - r_ts > 0 && r_qe - r_qs > 0;
+    size_t need = 1 + 4 + 8 * (size_t)nseg + 9 + 9
+                  + (l_win ? (size_t)(l_te - l_ts) : 0)
+                  + (r_win ? (size_t)(r_te - r_ts) : 0) + 2;
+    for (int si = 0; si + 1 < nseg; si++)
+        need += 4 + (gaps[si].t_l > 0 ? (size_t)gaps[si].t_l : 0);
+    kb.resize(need);
+    uint8_t* w = kb.data();
+    auto wi32 = [&w](int x) {
+        memcpy(w, &x, 4);
+        w += 4;
+    };
+    *w++ = tag;
+    wi32(nseg);
+    for (int si = 0; si < nseg; si++) {
+        wi32(segs[si].qs);
+        wi32(segs[si].qe);
+    }
+    wi32(l_qe - l_qs);
+    wi32(l_qe ? l_te - l_ts : -1);
+    *w++ = (l_ts == 0 ? 1 : 0);
+    if (l_win) {
+        memcpy(w, tc + l_ts, (size_t)(l_te - l_ts));
+        w += l_te - l_ts;
     }
     for (int si = 0; si + 1 < nseg; si++) {
         const GapGeom& g = gaps[si];
-        put_i32(g.t_l);
+        wi32(g.t_l);
         if (g.t_l > 0) {
             int p0 = g.t_sv % t_len;
             if (p0 < 0) p0 += t_len;
             if (p0 + g.t_l <= t_len) {
-                kb.insert(kb.end(), tc + p0, tc + p0 + g.t_l);
+                memcpy(w, tc + p0, (size_t)g.t_l);
+                w += g.t_l;
             } else {
                 for (int i = 0; i < g.t_l; i++)
-                    kb.push_back(tc[(p0 + i) % t_len]);
+                    *w++ = tc[(p0 + i) % t_len];
             }
         }
     }
-    {
-        // trail window (trail_tail_aln geometry)
-        int t_s = tail_ts, q_s = tail_qs;
-        int q_e = q_len, t_e = t_len;
-        int qr0 = q_len - q_s, tr0 = t_len - t_s;
-        if ((qr0 << 1) < tr0 || (qr0 + BANDWIDTH) < tr0)
-            t_e = t_s + (qr0 + (qr0 < BANDWIDTH ? qr0 : BANDWIDTH));
-        else if ((tr0 << 1) < qr0 || (tr0 + BANDWIDTH) < qr0)
-            q_e = q_s + (tr0 + (tr0 < BANDWIDTH ? tr0 : BANDWIDTH));
-        put_i32(q_e - q_s);
-        put_i32(t_e - t_s);
-        kb.push_back(t_e == t_len ? 1 : 0);
-        if (t_e - t_s > 0 && q_e - q_s > 0)
-            kb.insert(kb.end(), tc + t_s, tc + t_e);
+    wi32(r_qe - r_qs);
+    wi32(r_te - r_ts);
+    *w++ = (r_te == t_len ? 1 : 0);
+    if (r_win) {
+        memcpy(w, tc + r_ts, (size_t)(r_te - r_ts));
+        w += r_te - r_ts;
     }
+    kb.resize((size_t)(w - kb.data()));
 }
 
 // best possible (least negative) cost of `diff` gapped bases: one run

@@ -10,11 +10,15 @@
 //        kma_chain.cpp kma_align.cpp kma_assem.cpp kma_io.cpp -lpthread -lz
 
 #include <cmath>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <deque>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include <fcntl.h>
@@ -355,6 +359,52 @@ static bool next_batch(FqStream &s, int scale, int min_phred, int min_q,
     }
 }
 
+// ---- async batch reader (the reference's input thread, kmers.c) -----------
+struct BatchQueue {
+    std::mutex mu;
+    std::condition_variable cv;
+    std::deque<FqBatch> q;
+    bool done = false;
+    size_t cap = 3;
+
+    void push(FqBatch&& b) {
+        std::unique_lock<std::mutex> l(mu);
+        cv.wait(l, [&] { return q.size() < cap; });
+        q.push_back(std::move(b));
+        cv.notify_all();
+    }
+    bool pop(FqBatch& out) {
+        std::unique_lock<std::mutex> l(mu);
+        cv.wait(l, [&] { return !q.empty() || done; });
+        if (q.empty())
+            return false;
+        out = std::move(q.front());
+        q.pop_front();
+        cv.notify_all();
+        return true;
+    }
+    void finish() {
+        std::lock_guard<std::mutex> l(mu);
+        done = true;
+        cv.notify_all();
+    }
+};
+
+static void reader_thread(const std::string path, int scale, int mp,
+                          int min_q, int hardmask_q, ll min_len,
+                          ll max_len, int emit_all, BatchQueue* out) {
+    FqStream s;
+    if (!s.open(path.c_str())) {
+        out->finish();
+        return;
+    }
+    FqBatch b;
+    while (next_batch(s, scale, mp, min_q, hardmask_q, min_len, max_len,
+                      emit_all, b))
+        out->push(std::move(b));
+    out->finish();
+}
+
 // ---- gz writer (writers.open_gz: zlib level 1) ----------------------------
 static void write_gz(const std::string &path, const uint8_t *data, ll n) {
     gzFile g = gzopen(path.c_str(), "wb1");
@@ -568,11 +618,11 @@ int main(int argc, char **argv) {
             fprintf(stderr, "# Reading inputfile: \t%s\n", path.c_str());
             int scale = sniff_phred(path.c_str());
             fprintf(stderr, "# Phred scale:\t%d\n", scale);
-            FqStream s;
-            if (!s.open(path.c_str()))
-                die("cannot open input");
-            while (next_batch(s, scale, mp, cfg.min_q, cfg.hardmask_q,
-                              cfg.min_len, cfg.max_len, 0, b)) {
+            BatchQueue bq;
+            std::thread rd(reader_thread, path, scale, mp, cfg.min_q,
+                           cfg.hardmask_q, cfg.min_len, cfg.max_len, 0,
+                           &bq);
+            while (bq.pop(b)) {
                 ords.resize(b.n);
                 for (int i = 0; i < b.n; i++)
                     ords[i] = n_frags + i;
@@ -582,6 +632,7 @@ int main(int argc, char **argv) {
                                       ords.data(), b.n) < 0)
                     die("mapping failed");
             }
+            rd.join();
         }
     } else {
         fprintf(stderr, "# Reading inputfile: \t%s %s\n", cfg.pe1.c_str(),
@@ -590,15 +641,15 @@ int main(int argc, char **argv) {
         if (!scale)
             scale = sniff_phred(cfg.pe2.c_str());
         fprintf(stderr, "# Phred scale:\t%d\n", scale);
-        FqStream s1, s2;
-        if (!s1.open(cfg.pe1.c_str()) || !s2.open(cfg.pe2.c_str()))
-            die("cannot open input");
+        BatchQueue bq1, bq2;
+        std::thread rd1(reader_thread, cfg.pe1, scale, mp, cfg.min_q,
+                        cfg.hardmask_q, cfg.min_len, cfg.max_len, 1, &bq1);
+        std::thread rd2(reader_thread, cfg.pe2, scale, mp, cfg.min_q,
+                        cfg.hardmask_q, cfg.min_len, cfg.max_len, 1, &bq2);
         FqBatch b1, b2;
         int i1 = 0, i2 = 0;   // record cursors into b1/b2
-        bool h1 = next_batch(s1, scale, mp, cfg.min_q, cfg.hardmask_q,
-                             cfg.min_len, cfg.max_len, 1, b1);
-        bool h2 = next_batch(s2, scale, mp, cfg.min_q, cfg.hardmask_q,
-                             cfg.min_len, cfg.max_len, 1, b2);
+        bool h1 = bq1.pop(b1);
+        bool h2 = bq2.pop(b2);
         std::vector<uint8_t> af, bf, haf, hbf, bp;
         std::vector<ll> ao, bo, hao, hbo;
         while (h1 && h2) {
@@ -655,16 +706,21 @@ int main(int argc, char **argv) {
             i1 += n;
             i2 += n;
             if (i1 >= b1.n) {
-                h1 = next_batch(s1, scale, mp, cfg.min_q, cfg.hardmask_q,
-                                cfg.min_len, cfg.max_len, 1, b1);
+                h1 = bq1.pop(b1);
                 i1 = 0;
             }
             if (i2 >= b2.n) {
-                h2 = next_batch(s2, scale, mp, cfg.min_q, cfg.hardmask_q,
-                                cfg.min_len, cfg.max_len, 1, b2);
+                h2 = bq2.pop(b2);
                 i2 = 0;
             }
         }
+        // drain so the producers can exit their push waits
+        while (h1 || bq1.pop(b1))
+            h1 = false;
+        while (h2 || bq2.pop(b2))
+            h2 = false;
+        rd1.join();
+        rd2.join();
     }
 
     // stage lines (kmaPipe order, non -status variants)
