@@ -110,14 +110,16 @@ struct TIndex {
     int len = 0;
     int k = 0;
     std::vector<uint8_t> codes;
-    std::vector<int32_t> pos_flat;
-    // kmer -> [begin, end) into pos_flat, as an open-addressed flat
-    // table (the reference CCI shape, hashmapcci.c:95-199).  kidx_create
-    // drops kmer 0 ("likely undefined region", hashmapcci.c:414), so 0
-    // doubles as the empty-slot sentinel.  One 16-byte slot per entry so
-    // a probe touches a single cache line.
-    struct Slot { uint64_t key; uint32_t beg, end; };
-    std::vector<Slot> table;
+    // kmer -> positions, as a 4-byte open-addressed table verified
+    // against the template sequence (the reference CCI shape,
+    // hashmapcci.c:95-199: positions in the table, key equality checked
+    // by re-extracting the kmer at the stored position).  slot[i] = 0
+    // empty, +pos (1-based) unique kmer, -(chain_off+1) duplicated kmer
+    // with chains[chain_off] = count followed by ascending positions.
+    // kidx_create drops kmer 0 ("likely undefined region",
+    // hashmapcci.c:414).
+    std::vector<int32_t> slot;
+    std::vector<int32_t> chains;
     uint64_t hmask = 0;
 
     static inline uint64_t mix(uint64_t v) {
@@ -128,49 +130,67 @@ struct TIndex {
         v ^= v >> 33;
         return v;
     }
-    inline void insert(uint64_t kmer, uint32_t b, uint32_t e) {
-        uint64_t s = mix(kmer) & hmask;
-        while (table[s].key != 0)
-            s = (s + 1) & hmask;
-        table[s] = {kmer, b, e};
+    // the kmer the rolling build produced at 1-based position `pos`
+    // (N folds to base 0, like the build)
+    inline bool verify(uint64_t key, int pos) const {
+        const uint8_t* c = codes.data() + (pos - 1);
+        for (int i = 0; i < k; i++) {
+            uint8_t b = c[i];
+            if (b > 3)
+                b = 0;
+            if ((uint8_t)((key >> (2 * (k - 1 - i))) & 3) != b)
+                return false;
+        }
+        return true;
     }
-    // returns false on miss; on hit fills [b, e) into pos_flat
-    inline bool find(uint64_t kmer, uint32_t *b, uint32_t *e) const {
-        if (table.empty())
-            return false;
+    // miss -> 0.  unique -> 1, *pos set.  dup -> n (count), *list set to
+    // the ascending positions.
+    inline int find2(uint64_t kmer, int* pos,
+                     const int32_t** list) const {
+        if (slot.empty())
+            return 0;
         uint64_t s = mix(kmer) & hmask;
         for (;;) {
-            const Slot& sl = table[s];
-            if (sl.key == kmer) {
-                *b = sl.beg;
-                *e = sl.end;
-                return true;
+            int32_t v = slot[s];
+            if (v == 0)
+                return 0;
+            if (v > 0) {
+                if (verify(kmer, v)) {
+                    *pos = v;
+                    return 1;
+                }
+            } else {
+                const int32_t* ch = chains.data() + (-v - 1);
+                if (verify(kmer, ch[1])) {
+                    *list = ch + 1;
+                    return ch[0];
+                }
             }
-            if (sl.key == 0)
-                return false;
             s = (s + 1) & hmask;
         }
     }
 
     // hashMapCCI_get semantics: 0 miss, +pos unique, -first duplicated
     int get(uint64_t kmer) const {
-        uint32_t b, e;
-        if (!find(kmer, &b, &e)) return 0;
-        if (e - b == 1) return pos_flat[b];
-        return -pos_flat[b];
+        int p;
+        const int32_t* ls;
+        int n = find2(kmer, &p, &ls);
+        if (!n)
+            return 0;
+        return n == 1 ? p : -ls[0];
     }
     // first position in (lo, hi) exclusive; sign marks duplication
     int get_bound(uint64_t kmer, int lo, int hi) const {
-        uint32_t b, e;
-        if (!find(kmer, &b, &e)) return 0;
-        if (e - b == 1) {
-            int p = pos_flat[b];
+        int p;
+        const int32_t* ls;
+        int n = find2(kmer, &p, &ls);
+        if (!n)
+            return 0;
+        if (n == 1)
             return (lo < p && p < hi) ? p : 0;
-        }
-        for (uint32_t i = b; i < e; i++) {
-            int p = pos_flat[i];
-            if (lo < p && p < hi) return -p;
-        }
+        for (int i = 0; i < n; i++)
+            if (lo < ls[i] && ls[i] < hi)
+                return -ls[i];
         return 0;
     }
 };
@@ -202,58 +222,68 @@ extern "C" void* kidx_create(const uint8_t* codes, int len, int kmersize) {
     int end = len - kmersize + 1;
     if (end > 0) {
         // rolling k-mers (N counted as 0, matching io.seq.kmer_scan);
-        // two counting passes instead of a sort, positions stay in
-        // ascending order within each kmer's [beg, end) slice
+        // one insert pass claiming slots with first positions, repeats
+        // spill to a small dup list folded into chains afterwards
         uint64_t mask = (kmersize < 32)
             ? ((uint64_t(1) << (2 * kmersize)) - 1) : ~uint64_t(0);
         uint64_t cap = 8;
         while (cap < 2ull * (uint64_t)end)
             cap <<= 1;
-        t->table.assign(cap, {0, 0, 0});
+        t->slot.assign(cap, 0);
         t->hmask = cap - 1;
-        auto& tab = t->table;
+        int32_t* tab = t->slot.data();
         const uint64_t hmask = t->hmask;
+        // (slot_idx, pos) of occurrences past the first, ascending pos
+        static thread_local std::vector<std::pair<int32_t, int32_t>> dups;
+        dups.clear();
         uint64_t key = 0;
         for (int i = 0; i < kmersize - 1; i++) {
             uint8_t c = codes[i];
             key = (key << 2) | (c > 3 ? 0 : c);
         }
-        uint64_t key0 = key;
-        int n_used = 0;   // non-zero kmer instances
-        // pass 1: count occurrences per kmer (Slot.end as counter)
         for (int i = 0; i < end; i++) {
             uint8_t c = codes[i + kmersize - 1];
             key = ((key << 2) | (c > 3 ? 0 : c)) & mask;
             if (key == 0)   // "likely undefined region" (hashmapcci.c:414)
                 continue;
-            n_used++;
             uint64_t s = TIndex::mix(key) & hmask;
-            while (tab[s].key != 0 && tab[s].key != key)
+            for (;;) {
+                int32_t v = tab[s];
+                if (v == 0) {
+                    tab[s] = i + 1;   // 1-based first position
+                    break;
+                }
+                // during the pass slots only hold positive first
+                // positions (chains are folded in afterwards)
+                if (t->verify(key, v)) {
+                    dups.emplace_back((int32_t)s, i + 1);
+                    break;
+                }
                 s = (s + 1) & hmask;
-            tab[s].key = key;
-            tab[s].end++;
+            }
         }
-        // prefix-sum the counters into [beg, end) slices
-        uint32_t off = 0;
-        for (uint64_t s = 0; s < cap; s++) {
-            if (tab[s].key == 0)
-                continue;
-            tab[s].beg = off;
-            off += tab[s].end;
-            tab[s].end = tab[s].beg;   // reused as fill cursor
-        }
-        t->pos_flat.resize(n_used);
-        // pass 2: fill positions (ascending within each kmer)
-        key = key0;
-        for (int i = 0; i < end; i++) {
-            uint8_t c = codes[i + kmersize - 1];
-            key = ((key << 2) | (c > 3 ? 0 : c)) & mask;
-            if (key == 0)
-                continue;
-            uint64_t s = TIndex::mix(key) & hmask;
-            while (tab[s].key != key)
-                s = (s + 1) & hmask;
-            t->pos_flat[tab[s].end++] = i + 1;   // 1-based positions
+        if (!dups.empty()) {
+            std::stable_sort(dups.begin(), dups.end(),
+                             [](const std::pair<int32_t, int32_t>& a,
+                                const std::pair<int32_t, int32_t>& b) {
+                                 return a.first < b.first;
+                             });
+            size_t i = 0;
+            while (i < dups.size()) {
+                size_t j = i;
+                while (j < dups.size()
+                       && dups[j].first == dups[i].first)
+                    j++;
+                int32_t s = dups[i].first;
+                int32_t first = tab[s];
+                int32_t off = (int32_t)t->chains.size();
+                t->chains.push_back((int32_t)(j - i) + 1);
+                t->chains.push_back(first);
+                for (size_t x = i; x < j; x++)
+                    t->chains.push_back(dups[x].second);
+                tab[s] = -(off + 1);
+                i = j;
+            }
         }
     }
     return t;
@@ -910,10 +940,10 @@ static void collect_seeds_comp(const TIndex& T, const uint8_t* qseq,
             }
             kj = j;
             // single probe serves both the unique and duplicated case
-            uint32_t pb = 0, pe = 0;
-            int value = 0;
-            if (T.find(key, &pb, &pe))
-                value = (pe - pb == 1) ? T.pos_flat[pb] : -T.pos_flat[pb];
+            int upos = 0;
+            const int32_t* plist = nullptr;
+            int pn = T.find2(key, &upos, &plist);
+            int value = pn == 0 ? 0 : (pn == 1 ? upos : -plist[0]);
             if (value == 0) {
                 j++;
             } else if (0 < value) {
@@ -941,8 +971,8 @@ static void collect_seeds_comp(const TIndex& T, const uint8_t* qseq,
                 pts.weight[idx] = j - pts.qStart[idx];
             } else {
                 int bias = j;
-                for (uint32_t pi = pb; pi < pe; pi++) {
-                    int value2 = T.pos_flat[pi];
+                for (int pi = 0; pi < pn; pi++) {
+                    int value2 = plist[pi];
                     int llp = j;
                     int prev = value2 - 2;
                     int kk = llp - 1;
@@ -1034,10 +1064,13 @@ static void collect_seeds_bytes(const TIndex& T, const uint8_t* qseq,
             } else {
                 i -= k - 1;
                 int bias = i;
-                uint32_t pb = 0, pe = 0;
-                T.find(key & mask, &pb, &pe);
-                for (uint32_t pi = pb; pi < pe; pi++) {
-                    int value2 = T.pos_flat[pi];
+                int upos2 = 0;
+                const int32_t* plist2 = nullptr;
+                int pn2 = T.find2(key & mask, &upos2, &plist2);
+                if (pn2 == 1)
+                    plist2 = &upos2;
+                for (int pi = 0; pi < pn2; pi++) {
+                    int value2 = plist2[pi];
                     int kk = i;
                     int prev = value2 - 2;
                     int jj = kk - 1;
@@ -1516,10 +1549,13 @@ static int anker_rc_comp_impl(TIndex& T, const uint8_t* qseq,
                 } else {
                     score_r += k;
                     int bias = i;
-                    uint32_t pb = 0, pe = 0;
-                    T.find(key, &pb, &pe);
-                    for (uint32_t pi = pb; pi < pe; pi++) {
-                        int value2 = T.pos_flat[pi];
+                    int upos2 = 0;
+                    const int32_t* plist2 = nullptr;
+                    int pn2 = T.find2(key, &upos2, &plist2);
+                    if (pn2 == 1)
+                        plist2 = &upos2;
+                    for (int pi = 0; pi < pn2; pi++) {
+                        int value2 = plist2[pi];
                         int kk = i;
                         int prev = value2 - 2;
                         int j = kk - 1;
@@ -1656,10 +1692,13 @@ static int anker_rc_bytes_impl(TIndex& T, const uint8_t* qseq,
                     } else {
                         score_r += k;
                         int bias = s;
-                        uint32_t pb = 0, pe = 0;
-                        T.find(key, &pb, &pe);
-                        for (uint32_t pi = pb; pi < pe; pi++) {
-                            int value2 = T.pos_flat[pi];
+                        int upos2 = 0;
+                        const int32_t* plist2 = nullptr;
+                        int pn2 = T.find2(key, &upos2, &plist2);
+                        if (pn2 == 1)
+                            plist2 = &upos2;
+                        for (int pi = 0; pi < pn2; pi++) {
+                            int value2 = plist2[pi];
                             int kk = s;
                             int prev = value2 - 2;
                             int j = kk - 1;
