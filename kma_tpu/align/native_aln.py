@@ -117,6 +117,11 @@ def get_lib():
         ctypes.c_double, ctypes.c_double, ctypes.c_int,
         i32p, i64p, f64p,                # nhits, best_score, best_frac
         i32p, i32p, i32p, i64p, i32p]    # tpl, start, end, score, len
+    lib.kaln_frags_se_batch_mf.restype = None
+    lib.kaln_frags_se_batch_mf.argtypes = \
+        lib.kaln_frags_se_batch_crc.argtypes[:23] \
+        + [ctypes.c_double] \
+        + lib.kaln_frags_se_batch_crc.argtypes[23:]
     lib.kaln_frags_se_batch.restype = None
     lib.kaln_frags_se_batch.argtypes = [
         vpp, i32p, i64p,                 # handles, tpl ids, tpl offsets
@@ -240,11 +245,15 @@ def frags_se_batch(handles: np.ndarray, tpl_ids: np.ndarray,
                    npos_off: np.ndarray, qbounds: np.ndarray,
                    arc_flags: np.ndarray, rew, kmersize: int, minlen: int,
                    mq: int, scoreT: float, mrc: float, n_threads: int,
-                   crc_flat=None, crc_off=None):
+                   crc_flat=None, crc_off=None, min_frac: float = None):
     """Threaded native alnFragsSE over a read batch (alnfrags.c:1052-1218,
     2150-2293).  Returns (n_hits [n], best_score i64 [n], best_frac f64 [n],
     tpl/start/end/score/length flat arrays; read r's hits live at
-    tpl_off[r] .. tpl_off[r]+n_hits[r])."""
+    tpl_off[r] .. tpl_off[r]+n_hits[r]).
+
+    ``min_frac`` is the downstream update_Scores selection's minFrac;
+    passing it (1.0 for the default selection) lets the native scorer
+    skip candidates whose score bound proves they cannot be selected."""
     lib = get_lib()
     n = len(arc_flags)
     total = int(tpl_off[-1])
@@ -260,13 +269,14 @@ def frags_se_batch(handles: np.ndarray, tpl_ids: np.ndarray,
     if crc_flat is None:
         crc_flat = _EMPTY_U8
         crc_off = np.zeros(n + 1, np.int64)
-    lib.kaln_frags_se_batch_crc(
+    lib.kaln_frags_se_batch_mf(
         handles.ctypes.data_as(ctypes.POINTER(ctypes.c_void_p)),
         _i32p(tpl_ids), _i64p(tpl_off), _u8p(codes_flat), _i64p(codes_off),
         _i32p(npos_flat), _i64p(npos_off), _i32p(qbounds), _u8p(arc_flags),
         _u8p(crc_flat), _i64p(crc_off),
         n, rew.M, rew.MM, rew.U, rew.W1, _i32p(d), kmersize, minlen, mq,
         scoreT, mrc, n_threads,
+        float("nan") if min_frac is None else float(min_frac),
         _i32p(out_nhits), _i64p(out_best),
         out_frac.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         _i32p(out_tpl), _i32p(out_start), _i32p(out_end), _i64p(out_score),

@@ -1672,7 +1672,8 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                     rew, kmersize, cfg.min_len, cfg.mq, cfg.score_t,
                     cfg.mrc, max(1, cfg.threads),
                     crc_flat=crc_flat,
-                    crc_off=crc_off if crc_l else None)
+                    crc_off=crc_off if crc_l else None,
+                    min_frac=aln_min_frac)
             for i, item in enumerate(pend):
                 (codes, n_pos, rc_flag, templates, header, flag) = item[:6]
                 if best[i] <= kmersize:

@@ -1788,6 +1788,7 @@ struct CandWork {
     int mapQ;
     const uint8_t* q;    // oriented query the alignment uses
     ll bound;            // strict upper bound on the alignment score
+    int seg_total;       // signed segment length sum (<= final aln_len)
     int seg_off, seg_n;  // into the segment arena
     int gap_off;         // into the gap arena (seg_n - 1 entries)
     int lead_te, lead_qe;    // first segment tStart-1 / qStart
@@ -2213,9 +2214,11 @@ extern "C" void kaln_frags_se_batch_mf(
                                              W1, U);
                 }
                 bool aborted = false;
+                w.seg_total = 0;
                 for (;;) {
                     segA.push_back({pts.qStart[start], pts.qEnd[start]});
                     int seg = pts.qEnd[start] - pts.qStart[start];
+                    w.seg_total += seg;
                     if (seg > 0) bound += (ll)maxd * seg;
                     if (!pts.next[start]) {
                         w.tail_ts = pts.tEnd[start] - 1;
@@ -2323,9 +2326,18 @@ extern "C" void kaln_frags_se_batch_mf(
                 TIndex& T = *(TIndex*)handles[base + order[oi]];
                 int t_len = T.len;
                 if (frac_skip && w.bound < run_best) {
-                    // frac is read_score/denom with denom >=
-                    // min(q_len, t_len) whenever it can gate-pass
+                    // two frac channels must stay strictly below
+                    // run_frac: the real-division best tracker
+                    // (read_score/denom, denom >= min(q_len, t_len)
+                    // whenever it can gate-pass) and update_Scores'
+                    // int-division tie rule (read_score/aln_len with
+                    // aln_len >= the chained segment sum), which can
+                    // equal an integral best_frac
                     int mn = q_len < t_len ? q_len : t_len;
+                    if (w.seg_total > 0 && w.seg_total < mn)
+                        mn = w.seg_total;
+                    if (mn < 1)
+                        mn = 1;
                     double frac_max =
                         w.bound <= 0 ? 0.0 : (double)w.bound / mn;
                     if (frac_max < run_frac) {
