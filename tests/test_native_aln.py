@@ -143,3 +143,92 @@ def test_anker_rc_matches_python(lib):
                 assert (st_n.score, st_n.pos, st_n.len) == \
                     (st_p.score, st_p.pos, st_p.len), f"trial {trial}"
                 assert mq_n == mq_p
+
+
+def test_frags_batch_minfrac_skip_is_exact(lib):
+    """The bound-skip in kaln_frags_se_batch_mf (min_frac=1.0) must be
+    observationally identical to the no-skip scorer (min_frac=NaN) after
+    the update_Scores selection — including the INT-division tie rule
+    that can equal an integral best_frac on long reads (the bug class
+    this nets: a skipped candidate with sc >= aln_len being selected)."""
+    from kma_tpu.align.native_aln import frags_se_batch, native_handle
+    from kma_tpu.pipeline import update_scores
+
+    rng = np.random.default_rng(11)
+    rew = _penalty()
+    for trial in range(40):
+        # a base template plus near-identical siblings (SNPs) and junk
+        t_len = int(rng.integers(150, 1200))
+        base = rng.integers(0, 4, t_len).astype(np.uint8)
+        tindexes = [TemplateIndex(base, 16)]
+        for _ in range(int(rng.integers(2, 12))):
+            sib = base.copy()
+            ns = int(rng.integers(0, 6))
+            pos = rng.integers(0, t_len, ns)
+            sib[pos] = (sib[pos] + rng.integers(1, 4, ns)) % 4
+            tindexes.append(TemplateIndex(sib, 16))
+        # a couple of unrelated templates (low-bound candidates)
+        for _ in range(2):
+            tindexes.append(TemplateIndex(
+                rng.integers(0, 4, t_len).astype(np.uint8), 16))
+
+        n_reads = 6
+        codes_l, tpl_l = [], []
+        for ri in range(n_reads):
+            if ri == 0:
+                # full-length perfect read: frac == M exactly, the
+                # integral-best_frac tie case
+                q = base.copy()
+            else:
+                L = int(rng.integers(40, min(400, t_len)))
+                s = int(rng.integers(0, t_len - L + 1))
+                q = _mutate(rng, base[s: s + L], sub=0.03, ind=0.01)
+            codes_l.append(q)
+            tpl_l.append(np.arange(1, len(tindexes) + 1, dtype=np.int32))
+
+        handles = np.array(
+            [native_handle(t) for t in tindexes], np.uint64)
+        tpl_off = np.zeros(n_reads + 1, np.int64)
+        codes_off = np.zeros(n_reads + 1, np.int64)
+        for i in range(n_reads):
+            tpl_off[i + 1] = tpl_off[i] + len(tpl_l[i])
+            codes_off[i + 1] = codes_off[i] + len(codes_l[i])
+        tpl_ids = np.concatenate(tpl_l)
+        cand_handles = np.ascontiguousarray(handles[np.abs(tpl_ids) - 1])
+        codes_flat = np.concatenate(codes_l).astype(np.uint8)
+        npos_flat = np.zeros(0, np.int32)
+        npos_off = np.zeros(n_reads + 1, np.int64)
+        qb = np.zeros(2 * n_reads, np.int32)
+        for i in range(n_reads):
+            qb[2 * i + 1] = len(codes_l[i])
+        arcs = (rng.random(n_reads) < 0.5).astype(np.uint8)
+
+        outs = {}
+        for mf in (None, 1.0):
+            outs[mf] = frags_se_batch(
+                cand_handles, tpl_ids.copy(), tpl_off, codes_flat,
+                codes_off, npos_flat, npos_off, qb, arcs, rew, 16, 16,
+                0, 0.5, 0.0, 1, min_frac=mf)
+        (nh0, best0, frac0, tpl0, st0, en0, sc0, ln0) = outs[None]
+        (nh1, best1, frac1, tpl1, st1, en1, sc1, ln1) = outs[1.0]
+        assert np.array_equal(best0, best1), f"trial {trial}"
+        assert np.array_equal(frac0, frac1), f"trial {trial}"
+        # the POST-SELECTION records must be identical
+        for i in range(n_reads):
+            if best0[i] <= 16:
+                assert best1[i] <= 16
+                continue
+            recs = []
+            for (nh, tpl, st, en, sc, ln, best, frac) in (
+                    (nh0, tpl0, st0, en0, sc0, ln0, best0, frac0),
+                    (nh1, tpl1, st1, en1, sc1, ln1, best1, frac1)):
+                b = int(tpl_off[i])
+                e = b + int(nh[i])
+                rec, sel = update_scores(
+                    codes_l[i], len(codes_l[i]), 1.0, int(nh[i]),
+                    int(best[i]), float(frac[i]), st[b:e].tolist(),
+                    en[b:e].tolist(), tpl[b:e].tolist(),
+                    sc[b:e].tolist(), ln[b:e].tolist(), b"r", 0)
+                recs.append((rec.templates, rec.starts, rec.ends,
+                             rec.score, sel))
+            assert recs[0] == recs[1], f"trial {trial} read {i}"
