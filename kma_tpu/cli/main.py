@@ -681,10 +681,15 @@ def map_main(argv: List[str]) -> int:
         return 0
     if len(dbs) > 1:
         from ..pipeline import run_kma_spltdb
+        mh_tuple = None
+        if mh is not None:
+            coord, n, pid = mh.rsplit(",", 2)
+            mh_tuple = (coord, int(n), int(pid))
         return run_kma_spltdb(dbs, out, inputs, cfg,
                               exe_cmd=" ".join(["kma"] + argv),
                               pe_files=pe_inputs or None,
-                              int_files=int_inputs or None)
+                              int_files=int_inputs or None,
+                              mh=mh_tuple)
     if mt1:
         from ..pipeline import run_kma_mt1
         return run_kma_mt1(db, out, inputs, cfg, mt1,

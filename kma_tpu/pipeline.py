@@ -2659,22 +2659,39 @@ def run_kma_spltdb(db_prefixes: List[str], output_prefix: str,
                    input_files: List[str], cfg: MapConfig,
                    exe_cmd: str = "kma_tpu",
                    pe_files: Optional[List[str]] = None,
-                   int_files: Optional[List[str]] = None) -> int:
-    """Multiple -t_db: the spltDB map/reduce flow, in-process.
+                   int_files: Optional[List[str]] = None,
+                   mh: Optional[tuple] = None) -> int:
+    """Multiple -t_db: the spltDB map/reduce flow.
 
     The reference runs one ``-s2`` mapper per shard DB (kma.c:1330-1424)
     whose anker streams are merged by runKMA_spltDB (spltdb.c:401-1293).
-    Here each read is scanned against every shard index in one process and
-    the reducer's exact merge rule is applied to the per-shard record
-    streams: the shard(s) with the highest ``abs(rc_flag)`` win, ties
-    contribute the union of their template lists offset by the shard's
-    dbBias, and inferior records from shards > 0 are consumed silently.
-    Stream 0 is excluded from the inferior-record wipe (spltdb.c:722-731
-    never reaches i == 0), so a read whose shard-0 score is strictly
-    inferior is scored a second time with shard 0's list alone -- observable
+    Here each read is scanned against every shard index and the reducer's
+    exact merge rule is applied to the per-shard record streams: the
+    shard(s) with the highest ``abs(rc_flag)`` win, ties contribute the
+    union of their template lists offset by the shard's dbBias, and
+    inferior records from shards > 0 are consumed silently.  Stream 0 is
+    excluded from the inferior-record wipe (spltdb.c:722-731 never
+    reaches i == 0), so a read whose shard-0 score is strictly inferior
+    is scored a second time with shard 0's list alone -- observable
     reference behaviour that is reproduced here.
+
+    ``mh`` = (coordinator, num_processes, process_id) distributes the
+    DB axis over a ``jax.distributed`` process group (the reference's
+    one-mapper-per-shard layout, lifted to hosts): each process scans
+    the full read stream against its round-robin subset of shards, the
+    per-shard anker streams are all-gathered, and rank 0 runs the
+    reducer.  Outputs are bit-identical for any process count.
     """
     from .index.format import load_comp_b, load_length_b, load_names
+
+    _pid, _np = 0, 1
+    if mh is not None:
+        import jax
+        coord, nproc, pid = mh
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=int(nproc),
+                                   process_id=int(pid))
+        _pid, _np = int(pid), int(nproc)
 
     # the reducer always scores ankers MEM-style and gates output like
     # runKMA_MEM (spltdb.c:697-699,1182-1196)
@@ -2726,6 +2743,9 @@ def run_kma_spltdb(db_prefixes: List[str], output_prefix: str,
     # Each shard mapper is a one2one save_kmers scan (kma.c:1259-1276
     # forces kmerScan = save_kmers / save_kmers_count and one2one = 1).
     streams: List[List[_SpltRec]] = [[] for _ in range(n_shards)]
+    # db-axis ownership: process p scans shards p, p+N, ... (one mapper
+    # per shard in the reference; round-robin over processes here)
+    my_shards = [n for n in range(n_shards) if n % _np == _pid]
     readnum = 0
 
     def decon_filter(n: int, tl: List[int]) -> List[int]:
@@ -2784,7 +2804,7 @@ def run_kma_spltdb(db_prefixes: List[str], output_prefix: str,
                                min_len=cfg.min_len, max_len=cfg.max_len,
                                qc=qc):
             readnum += 1
-            for n in range(n_shards):
+            for n in my_shards:
                 scan_se(n, read)
 
     def _pair_stream():
@@ -2817,7 +2837,7 @@ def run_kma_spltdb(db_prefixes: List[str], output_prefix: str,
         for r1, r2 in _pair_stream():
             readnum += 1
             if r2 is None:
-                for n in range(n_shards):
+                for n in my_shards:
                     hit = scanners[n].scan(r1.codes, r1.n_positions,
                                            r1.header)
                     if hit is not None:
@@ -2825,7 +2845,7 @@ def run_kma_spltdb(db_prefixes: List[str], output_prefix: str,
                              hit.codes, hit.header)
                 continue
             if len(r1.codes) < kmersize or len(r2.codes) < kmersize:
-                for n in range(n_shards):
+                for n in my_shards:
                     for r in (r1, r2):
                         if len(r.codes) >= kmersize:
                             hit = scanners[n].scan(r.codes, r.n_positions,
@@ -2834,7 +2854,7 @@ def run_kma_spltdb(db_prefixes: List[str], output_prefix: str,
                                 push(n, hit.rc_flag, hit.templates,
                                      hit.flag, hit.codes, hit.header)
                 continue
-            for n in range(n_shards):
+            for n in my_shards:
                 sc = scanners[n]
                 pa = scan_pair(idxs[n], pen, r1.codes, r2.codes, r1.header,
                                r2.header, cfg.exhaustive, sc.Score,
@@ -2859,12 +2879,27 @@ def run_kma_spltdb(db_prefixes: List[str], output_prefix: str,
                     for (c, _npos, s, tl2, h, f) in pa.records:
                         push(n, s, tl2, f, c, h)
 
-    if qc is not None:
+    if qc is not None and _pid == 0:
         from .utils.qc import print_qcstat
         with open(output_prefix + ".json", "w") as jf:
             print_qcstat(qc, cfg.min_q, max(cfg.min_phred, cfg.hardmask_q),
                          cfg.hardmask_q, cfg.min_len, cfg.max_len,
                          cfg.five_clip, cfg.three_clip, jf)
+
+    if mh is not None and _np > 1:
+        # gather every process's owned shard streams; rank 0 reduces
+        import pickle
+        from .parallel.multihost import _allgather_blob
+        blob = pickle.dumps({n: streams[n] for n in my_shards},
+                            protocol=pickle.HIGHEST_PROTOCOL)
+        blobs = _allgather_blob(blob)
+        print("# multihost spltDB: %d processes, %d shards"
+              % (_np, n_shards), file=sys.stderr)
+        if _pid != 0:
+            return 0
+        for b in blobs:
+            for n, recs in pickle.loads(b).items():
+                streams[n] = recs
 
     # --- phase B: the reducer merge (spltdb.c:638-803) -------------------
     records: List[FragRecord] = []

@@ -169,3 +169,47 @@ def test_multihost_pe_shard_invariance(tmp_path, mh_pairs, db50_index3,
     import gzip
     assert gzip.open(str(single) + ".frag.gz").read() \
         == gzip.open(str(multi) + ".frag.gz").read()
+
+
+def test_multihost_spltdb_db_sharding(tmp_path, mh_reads, mh_env,
+                                      tmp_path_factory, db50,
+                                      ref_index_bin):
+    """-mh with multiple -t_db: the DB axis is distributed over the
+    process group (one reference mapper per shard, lifted to hosts);
+    outputs must be bit-identical to the in-process spltDB run."""
+    d = tmp_path_factory.mktemp("mh_splt_db")
+    from kma_tpu.io.seq import parse_fasta
+    recs = list(parse_fasta(str(db50)))
+    fa, fb = d / "a.fsa", d / "b.fsa"
+    for path, lo, hi in ((fa, 0, 30), (fb, 20, 50)):
+        with open(path, "w") as f:
+            for h, codes in recs[lo:hi]:
+                f.write(">%s\n%s\n"
+                        % (h.decode(), "".join("ACGTN"[c] for c in codes)))
+    pa, pb = str(d / "dbA"), str(d / "dbB")
+    for fasta, prefix in ((fa, pa), (fb, pb)):
+        subprocess.run([str(ref_index_bin), "-i", str(fasta), "-o",
+                        prefix], check=True, capture_output=True)
+
+    single = tmp_path / "single"
+    p = _run_cli(["-i", str(mh_reads), "-t_db", pa, pb, "-o",
+                  str(single)], mh_env)
+    _, err = p.communicate(timeout=280)
+    assert p.returncode == 0, err.decode()[-2000:]
+
+    multi = tmp_path / "multi"
+    port = _free_port()
+    procs = [_run_cli(["-i", str(mh_reads), "-t_db", pa, pb, "-o",
+                       str(multi), "-mh",
+                       "127.0.0.1:%d,2,%d" % (port, pid)], mh_env)
+             for pid in range(2)]
+    errs = [p.communicate(timeout=280)[1] for p in procs]
+    for p, err in zip(procs, errs):
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    for ext in (".res", ".fsa", ".aln"):
+        assert (tmp_path / ("single" + ext)).read_bytes() \
+            == (tmp_path / ("multi" + ext)).read_bytes(), f"{ext} differs"
+    import gzip
+    assert gzip.open(str(single) + ".frag.gz").read() \
+        == gzip.open(str(multi) + ".frag.gz").read()
