@@ -33,7 +33,8 @@ typedef long long ll;
 static std::atomic<ll> g_p_collect(0), g_p_chain(0), g_p_tails(0),
     g_p_nw(0), g_p_calls(0), g_p_seeds(0), g_p_nwcells(0), g_p_skipped(0),
     g_p_anker(0), g_p_key(0), g_p_walk(0), g_p_phA(0), g_p_phB(0),
-    g_p_phC(0);
+    g_p_phC(0), g_p_pre(0), g_p_preskip(0), g_p_pre_small(0),
+    g_p_pre_nobest(0), g_p_pre_run(0);
 static bool aln_prof_on() {
     static bool v = getenv("KMA_ALN_PROF") != nullptr;
     return v;
@@ -49,14 +50,19 @@ extern "C" void kaln_prof_report(void) {
     fprintf(stderr,
             "# kaln prof: calls %lld collect %.3f chain %.3f tails %.3f "
             "nw %.3f anker %.3f walk %.3f key %.3f seeds %lld "
-            "nw_cells %lld skipped %lld phA %.3f phB %.3f phC %.3f\n",
+            "nw_cells %lld skipped %lld phA %.3f phB %.3f phC %.3f "
+            "pre %.3f preskip %lld presmall %lld prenobest %lld "
+            "prerun %lld\n",
             (ll)g_p_calls.load(), g_p_collect.load() * 1e-9,
             g_p_chain.load() * 1e-9, g_p_tails.load() * 1e-9,
             g_p_nw.load() * 1e-9, g_p_anker.load() * 1e-9,
             g_p_walk.load() * 1e-9, g_p_key.load() * 1e-9,
             (ll)g_p_seeds.load(), (ll)g_p_nwcells.load(),
             (ll)g_p_skipped.load(), g_p_phA.load() * 1e-9,
-            g_p_phB.load() * 1e-9, g_p_phC.load() * 1e-9);
+            g_p_phB.load() * 1e-9, g_p_phC.load() * 1e-9,
+            g_p_pre.load() * 1e-9, (ll)g_p_preskip.load(),
+            (ll)g_p_pre_small.load(), (ll)g_p_pre_nobest.load(),
+            (ll)g_p_pre_run.load());
 }
 
 // ---------------------------------------------------------------- structs
@@ -1006,6 +1012,207 @@ static void collect_seeds_comp(const TIndex& T, const uint8_t* qseq,
     }
 }
 
+// score-only NW / NW_band (identical DP numeric path as nw_full /
+// nw_band, no E matrix and no traceback): the exact-score pre-pass of
+// the step-3 candidate scorer — candidates whose exact score proves
+// they cannot be selected never pay the stats pass
+static ll nw_full_score(const uint8_t* tmpl, const uint8_t* query, int k,
+                        int t_s, int t_e, int q_s, int q_e,
+                        const Penal& pen, int template_length) {
+    const int W1 = pen.W1, U = pen.U, MM = pen.MM;
+    int q_len = q_e - q_s;
+    int t_len = t_e - t_s;
+    if (t_len < 0) t_len += template_length;
+    const uint8_t* q = query + q_s;
+    if (t_len == 0 || q_len == 0) {
+        if (t_len == q_len)
+            return 0;
+        int g = t_len ? t_len : q_len;
+        return (ll)W1 + (ll)(g - 1) * U;
+    }
+    int32_t neg = (int32_t)((t_len + q_len) * (MM + U + W1));
+    static thread_local std::vector<int32_t> D32;
+    D32.assign(2 * (q_len + 1), neg);
+    int32_t* D_prev = D32.data();
+    int32_t* P_prev = D32.data() + q_len + 1;
+    if (0 < k) {
+        if (k == 1) {
+            for (int n = 0; n < q_len; n++)
+                D_prev[n] = W1 + (ll)(q_len - 1 - n) * U;
+            D_prev[q_len] = 0;
+            P_prev[q_len] = 0;
+        } else {
+            for (int n = 0; n <= q_len; n++)
+                D_prev[n] = 0;
+        }
+    } else {
+        for (int n = 0; n < q_len; n++)
+            D_prev[n] = W1 + (ll)(q_len - 1 - n) * U;
+        D_prev[q_len] = 0;
+        P_prev[q_len] = 0;
+    }
+    ll best_score = neg;
+    for (int m = t_len - 1; m >= 0; m--) {
+        int32_t D_boundary =
+            (0 < k) ? 0 : (int32_t)(W1 + (ll)(t_len - 1 - m) * U);
+        int nuc_pos = (t_e - 1 - (t_len - 1 - m)) % template_length;
+        if (nuc_pos < 0) nuc_pos += template_length;
+        const int* drow = pen.d[tmpl[nuc_pos]];
+        int32_t Qprev = neg;
+        int32_t Dfin_next = D_boundary;
+        int32_t diag = D_prev[q_len];
+        for (int n = q_len - 1; n >= 0; n--) {
+            int32_t Popen = D_prev[n] + W1;
+            int32_t Pext = P_prev[n] + U;
+            int32_t P = Popen < Pext ? Pext : Popen;
+            int32_t Msc = diag + drow[q[n]];
+            int32_t D0 = P < Msc ? Msc : P;
+            int32_t Qopen = Dfin_next + W1;
+            int32_t Qext = Qprev + U;
+            int32_t Q = Qopen < Qext ? Qext : Qopen;
+            int32_t Dfin = D0 < Q ? Q : D0;
+            diag = D_prev[n];
+            D_prev[n] = Dfin;
+            P_prev[n] = P;
+            Qprev = Q;
+            Dfin_next = Dfin;
+        }
+        D_prev[q_len] = D_boundary;
+        if (k < 0 && best_score < D_prev[0])
+            best_score = D_prev[0];
+    }
+    if (k < 0) {
+        ll sc = best_score;
+        if (k == -2)
+            for (int n = 0; n < q_len; n++)
+                if (sc <= D_prev[n])
+                    sc = D_prev[n];
+        return sc;
+    }
+    return D_prev[0];
+}
+
+static ll nw_band_score(const uint8_t* tmpl, const uint8_t* query, int k,
+                        int t_s, int t_e, int q_s, int q_e, int band,
+                        const Penal& pen, int template_length) {
+    const int W1 = pen.W1, U = pen.U, MM = pen.MM;
+    int q_len = q_e - q_s;
+    int t_len = t_e - t_s;
+    if (t_len < 0) t_len += template_length;
+    const uint8_t* q = query + q_s;
+    if (t_len == 0 || q_len == 0) {
+        if (t_len == q_len)
+            return 0;
+        int g = t_len ? t_len : q_len;
+        return (ll)W1 + (ll)(g - 1) * U;
+    }
+    if (band & 1) band++;
+    int halfBand = band >> 1;
+    int bq_len = band + 1;
+    int32_t neg = (int32_t)((t_len + q_len) * (MM + U + W1));
+    static thread_local std::vector<int32_t> D32b;
+    D32b.assign(4 * (bq_len + 1), neg);
+    int32_t* D_prev = D32b.data();
+    int32_t* P_prev = D32b.data() + (bq_len + 1);
+    int32_t* D_ptr = D32b.data() + 2 * (bq_len + 1);
+    int32_t* P_ptr = D32b.data() + 3 * (bq_len + 1);
+
+    int c_pos = (t_len + q_len) >> 1;
+    int sn0 = q_len - 1 - (c_pos - halfBand);
+    if (k != 2) {
+        for (int n = 0; n < sn0; n++)
+            D_prev[n] = W1 + (ll)(sn0 - n - 1) * U;
+        D_prev[sn0] = 0;
+        P_prev[sn0] = 0;
+    } else {
+        for (int n = 0; n <= sn0; n++)
+            D_prev[n] = 0;
+    }
+
+    int en = 0;
+    ll best_score = neg;
+    int nuc_pos = t_e - 1;
+    int en_final = 0;
+    for (int m = t_len - 1; m >= 0; m--) {
+        if (nuc_pos < 0) nuc_pos = template_length - 1;
+        int sq = c_pos + halfBand;
+        int eq = c_pos - halfBand;
+        if (eq < 0) { eq = 0; en++; } else en = 0;
+
+        int sn;
+        if (sq < q_len - 1) {
+            sn = bq_len - 1;
+            D_ptr[bq_len] = neg;
+        } else {
+            sq = q_len - 1;
+            sn = en + (q_len - eq);
+            D_ptr[sn] = (0 < k) ? 0 : (W1 + (ll)(t_len - 1 - m) * U);
+            sn--;
+        }
+
+        const int* drow = pen.d[tmpl[nuc_pos]];
+        int width = sn - en;
+        int32_t q_en = neg;
+        bool have_q_en = false;
+        if (width > 0) {
+            int32_t Qprev = neg;
+            int32_t Dfin_next = D_ptr[sn + 1];
+            for (int n = sn; n >= en + 1; n--) {
+                int qpos = sq - (sn - n);
+                int32_t Popen = D_prev[n - 1] + W1;
+                int32_t Pext = P_prev[n - 1] + U;
+                int32_t P = Popen < Pext ? Pext : Popen;
+                int32_t Msc = D_prev[n] + drow[q[qpos]];
+                int32_t D0 = P < Msc ? Msc : P;
+                int32_t Qopen = Dfin_next + W1;
+                int32_t Qext = Qprev + U;
+                int32_t Q = Qopen < Qext ? Qext : Qopen;
+                int32_t Dfin = D0 < Q ? Q : D0;
+                D_ptr[n] = Dfin;
+                P_ptr[n] = P;
+                Qprev = Q;
+                Dfin_next = Dfin;
+            }
+            q_en = Qprev;
+            have_q_en = true;
+        }
+        {
+            int n = en;
+            int q_pos = sq - (sn - n);
+            int32_t Qb = D_ptr[n + 1] + W1;
+            int32_t ext = (have_q_en ? q_en : neg) + U;
+            if (Qb < ext)
+                Qb = ext;
+            P_ptr[n] = neg;
+            int32_t Db = D_prev[n] + drow[q[q_pos]];
+            if (Qb > Db)
+                Db = Qb;
+            D_ptr[n] = Db;
+            if (eq == 0 && k < 0 && best_score < Db)
+                best_score = Db;
+        }
+        std::swap(D_prev, D_ptr);
+        std::swap(P_prev, P_ptr);
+        nuc_pos--;
+        c_pos--;
+        en_final = en;
+    }
+    ll sc;
+    if (k >= 0 || best_score == neg) {
+        // pos0 == 0 path of nw_band: the final row's edge cell
+        sc = D_prev[en_final];
+        if (k < 0 && best_score > sc)
+            sc = best_score;
+    } else {
+        sc = best_score;
+    }
+    if (k == -2)
+        for (int n = en_final; n < bq_len; n++)
+            if (sc <= D_prev[n])
+                sc = D_prev[n];
+    return sc;
+}
+
 // KMA seeding over byte codes (align.c:244-377)
 static void collect_seeds_bytes(const TIndex& T, const uint8_t* qseq,
                                 int q_len, int q_start, int q_end,
@@ -1887,6 +2094,81 @@ static void nw_score_chain(TIndex& T, const uint8_t* q, int q_len,
     if (prof) g_p_tails += (ll)((prof_now() - pt0) * 1e9);
 }
 
+// exact score of a stashed chain WITHOUT stats (nw_*_score pre-pass):
+// identical numeric path as nw_score_chain, a fraction of the cost —
+// candidates whose exact score proves they cannot be selected skip the
+// stats pass entirely
+static ll chain_exact_score(TIndex& T, const uint8_t* q, int q_len,
+                            const Penal& pen, const ChainSeg* segs,
+                            int nseg, const GapGeom* gaps, int lead_te,
+                            int lead_qe, int tail_ts, int tail_qs) {
+    int t_len = T.len;
+    const uint8_t* tc = T.codes.data();
+    ll score = 0;
+    {
+        // lead window (lead_tail_aln geometry + k flags)
+        int t_e = lead_te, q_e = lead_qe;
+        if (q_e) {
+            int t_s = 0, q_s = 0;
+            if ((q_e << 1) < t_e || (q_e + BANDWIDTH) < t_e)
+                t_s = t_e - (q_e + (q_e < BANDWIDTH ? q_e : BANDWIDTH));
+            else if ((t_e << 1) < q_e || (t_e + BANDWIDTH) < q_e)
+                q_s = q_e - (t_e + (t_e < BANDWIDTH ? t_e : BANDWIDTH));
+            if (t_e - t_s > 0 && q_e - q_s > 0) {
+                int band = std::abs(t_e - t_s - q_e + q_s) + BANDWIDTH;
+                int kf = -1 - (t_s == 0 ? 1 : 0);
+                if (q_e - q_s <= band || t_e - t_s <= band)
+                    score += nw_full_score(tc, q, kf, t_s, t_e, q_s, q_e,
+                                           pen, t_len);
+                else
+                    score += nw_band_score(tc, q, kf, t_s, t_e, q_s, q_e,
+                                           band, pen, t_len);
+            }
+        }
+    }
+    for (int si = 0; si < nseg; si++) {
+        for (int x = segs[si].qs; x < segs[si].qe; x++) {
+            uint8_t nuc = q[x];
+            score += pen.d[nuc][nuc];
+        }
+        if (si + 1 < nseg) {
+            const GapGeom& g = gaps[si];
+            int qg = g.q_ev - g.q_s;
+            if (g.t_l > 0 || qg > 0) {
+                int band = std::abs(g.t_l - qg) + BANDWIDTH;
+                if (qg <= band || g.t_l <= band)
+                    score += nw_full_score(tc, q, 0, g.t_sv, g.t_ev,
+                                           g.q_s, g.q_ev, pen, t_len);
+                else
+                    score += nw_band_score(tc, q, 0, g.t_sv, g.t_ev,
+                                           g.q_s, g.q_ev, band, pen,
+                                           t_len);
+            }
+        }
+    }
+    {
+        // trail window (trail_tail_aln geometry + k flags)
+        int t_s = tail_ts, q_s = tail_qs;
+        int q_e = q_len, t_e = t_len;
+        int qr0 = q_len - q_s, tr0 = t_len - t_s;
+        if ((qr0 << 1) < tr0 || (qr0 + BANDWIDTH) < tr0)
+            t_e = t_s + (qr0 + (qr0 < BANDWIDTH ? qr0 : BANDWIDTH));
+        else if ((tr0 << 1) < qr0 || (tr0 + BANDWIDTH) < qr0)
+            q_e = q_s + (tr0 + (tr0 < BANDWIDTH ? tr0 : BANDWIDTH));
+        if (t_e - t_s > 0 && q_e - q_s > 0) {
+            int band = std::abs(t_e - t_s - q_e + q_s) + BANDWIDTH;
+            int kf = 1 + (t_e == t_len ? 1 : 0);
+            if (q_e - q_s <= band || t_e - t_s <= band)
+                score += nw_full_score(tc, q, kf, t_s, t_e, q_s, q_e,
+                                       pen, t_len);
+            else
+                score += nw_band_score(tc, q, kf, t_s, t_e, q_s, q_e,
+                                       band, pen, t_len);
+        }
+    }
+    return score;
+}
+
 // content-dedupe key of a stashed chain (everything nw_score_chain
 // reads): tag byte (orientation/mate), segment q-coords, window k-flag
 // cases and the raw template bytes of the lead/gap/trail windows.
@@ -1963,6 +2245,29 @@ static void chain_key(std::vector<uint8_t>& kb, uint8_t tag,
         w += r_te - r_ts;
     }
     kb.resize((size_t)(w - kb.data()));
+}
+
+// Both selection channels a sub-best candidate could still reach must
+// stay strictly below run_frac:
+// - the real-division best tracker, read_score/denom with denom >=
+//   min(q_len, t_len) whenever the candidate can gate-pass,
+// - update_Scores' INT-division tie rule, read_score/aln_len with
+//   aln_len >= the chained segment sum; its value is an integer <=
+//   floor(sc_cap/seg_total), which can only equal an integral
+//   best_frac.
+// `sc_cap` is an upper limit on the candidate's score (the chain bound
+// or the exact pre-pass score).
+static inline bool frac_channels_below(ll sc_cap, int q_len, int t_len,
+                                       int seg_total, double run_frac) {
+    if (sc_cap <= 0)
+        return 0.0 < run_frac;
+    int mn = q_len < t_len ? q_len : t_len;
+    if (mn < 1)
+        mn = 1;
+    if (!((double)sc_cap / mn < run_frac))
+        return false;
+    ll st = seg_total > 0 ? seg_total : 1;
+    return (double)(sc_cap / st) < run_frac;   // int division = floor
 }
 
 // best possible (least negative) cost of `diff` gapped bases: one run
@@ -2318,33 +2623,29 @@ extern "C" void kaln_frags_se_batch_mf(
             centries.clear();
             for (int oi = 0; oi < (int)order.size(); oi++) {
                 CandWork& w = cands[order[oi]];
-                if (bounds_ok && w.bound <= kmersize) {
-                    w.skipped = 1;
-                    if (prof) g_p_skipped += 1;
-                    continue;
-                }
                 TIndex& T = *(TIndex*)handles[base + order[oi]];
                 int t_len = T.len;
-                if (frac_skip && w.bound < run_best) {
-                    // two frac channels must stay strictly below
-                    // run_frac: the real-division best tracker
-                    // (read_score/denom, denom >= min(q_len, t_len)
-                    // whenever it can gate-pass) and update_Scores'
-                    // int-division tie rule (read_score/aln_len with
-                    // aln_len >= the chained segment sum), which can
-                    // equal an integral best_frac
-                    int mn = q_len < t_len ? q_len : t_len;
-                    if (w.seg_total > 0 && w.seg_total < mn)
-                        mn = w.seg_total;
-                    if (mn < 1)
-                        mn = 1;
-                    double frac_max =
-                        w.bound <= 0 ? 0.0 : (double)w.bound / mn;
-                    if (frac_max < run_frac) {
+                if (bounds_ok) {
+                    int mn0 = q_len < t_len ? q_len : t_len;
+                    if (mn0 < 1)
+                        mn0 = 1;
+                    // the in-loop gate (kmersize < read_score &&
+                    // scoreT <= score, score = read_score/denom with
+                    // denom >= mn0) can provably never pass: exact for
+                    // every consumer
+                    if (w.bound <= kmersize
+                        || (double)w.bound / mn0 < scoreT) {
                         w.skipped = 1;
                         if (prof) g_p_skipped += 1;
                         continue;
                     }
+                }
+                if (frac_skip && w.bound < run_best
+                    && frac_channels_below(w.bound, q_len, t_len,
+                                           w.seg_total, run_frac)) {
+                    w.skipped = 1;
+                    if (prof) g_p_skipped += 1;
+                    continue;
                 }
 
                 // ---- content-dedupe key: everything the NW reads ----
@@ -2363,6 +2664,46 @@ extern "C" void kaln_frags_se_batch_mf(
                         break;
                     }
                 if (prof) g_p_key += (ll)((prof_now() - kt0) * 1e9);
+                // exact-score pre-pass for heavy-window candidates (long
+                // reads): a score-only NW (no E matrix, no traceback)
+                // costs a fraction of the stats pass, and the EXACT
+                // score drives the same skip rules the bound drives —
+                // strictly more skips where bounds are loose (indels)
+                if (!hit) {
+                    ll est_cells =
+                        ((ll)w.lead_qe + (q_len - w.tail_qs))
+                        * (2 * BANDWIDTH);
+                    if (est_cells > (1 << 15)) {
+                        if (prof) g_p_pre_run += 1;
+                        double pp0 = prof ? prof_now() : 0.0;
+                        ll exact = chain_exact_score(
+                            T, w.q, q_len, pen, segA.data() + w.seg_off,
+                            w.seg_n, gapA.data() + w.gap_off, w.lead_te,
+                            w.lead_qe, w.tail_ts, w.tail_qs);
+                        if (prof)
+                            g_p_pre += (ll)((prof_now() - pp0) * 1e9);
+                        int mn = q_len < t_len ? q_len : t_len;
+                        if (mn < 1)
+                            mn = 1;
+                        // exact <= kmersize or score (= exact/denom,
+                        // denom >= mn) provably below scoreT: the
+                        // in-loop gate can never pass — exact for every
+                        // consumer, like the bound<=kmersize skip
+                        bool skip = exact <= kmersize
+                            || (double)exact / mn < scoreT
+                            || (frac_skip && exact < run_best
+                                && frac_channels_below(exact, q_len,
+                                                       t_len, w.seg_total,
+                                                       run_frac));
+                        if (skip) {
+                            w.skipped = 1;
+                            if (prof) g_p_preskip += 1;
+                            continue;
+                        }
+                    } else if (prof) {
+                        g_p_pre_small += 1;
+                    }
+                }
                 if (hit) {
                     AlnStat st;
                     st.score = hit->score;
