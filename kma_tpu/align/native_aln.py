@@ -81,6 +81,9 @@ def get_lib():
         return None
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
+    if os.environ.get("KMA_ALN_PROF"):
+        import atexit
+        atexit.register(lib.kaln_prof_report)
     lib.kidx_create.restype = ctypes.c_void_p
     lib.kidx_create.argtypes = [u8p, ctypes.c_int, ctypes.c_int]
     lib.kidx_free.argtypes = [ctypes.c_void_p]
