@@ -123,12 +123,12 @@ def get_lib():
         _i64p,
     ]
     lib.kchain_lookup_windows.restype = None
-    lib.kchain_lookup_windows.argtypes = [_vp, _u8p, ctypes.c_int, _i64p]
+    lib.kchain_lookup_windows.argtypes = [_vp, _vp, ctypes.c_int, _vp]
     lib.kchain_dec_voffs.restype = None
-    lib.kchain_dec_voffs.argtypes = [_vp, _i64p, ctypes.c_longlong, _i64p]
+    lib.kchain_dec_voffs.argtypes = [_vp, _vp, ctypes.c_longlong, _vp]
     lib.kchain_score_reps.restype = ctypes.c_int
     lib.kchain_score_reps.argtypes = [
-        _vp, ctypes.c_longlong, ctypes.c_longlong, _i64p, _i32p,
+        _vp, ctypes.c_longlong, ctypes.c_longlong, _vp, _vp,
         ctypes.c_int]
     lib.kchain_save_kmers_count.restype = None
     lib.kchain_save_kmers_count.argtypes = [
@@ -143,22 +143,22 @@ def get_lib():
         ctypes.c_ulonglong, ctypes.POINTER(ctypes.c_uint64)]
     lib.kchain_score_window_runs.restype = ctypes.c_int
     lib.kchain_score_window_runs.argtypes = [
-        _vp, _i64p, ctypes.c_longlong, _i64p, _i32p, ctypes.c_int]
+        _vp, _vp, ctypes.c_longlong, _vp, _vp, ctypes.c_int]
     lib.kchain_cut_limits.restype = None
     lib.kchain_cut_limits.argtypes = [
-        _vp, _i64p, _i64p, ctypes.c_longlong, ctypes.c_longlong,
-        _i32p, ctypes.c_int, _i64p]
+        _vp, _vp, _vp, ctypes.c_longlong, ctypes.c_longlong,
+        _vp, ctypes.c_int, _vp]
     lib.kchain_hmm_extend.restype = ctypes.c_longlong
     lib.kchain_hmm_extend.argtypes = [
-        _vp, _i64p, _i64p, ctypes.c_longlong, ctypes.c_longlong,
-        ctypes.c_longlong, _i64p, _i64p, _u8p, ctypes.c_longlong,
-        ctypes.c_int, ctypes.c_double, ctypes.c_longlong, _i32p,
-        ctypes.c_longlong, _i64p, _i64p]
+        _vp, _vp, _vp, ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_longlong, _vp, _vp, _vp, ctypes.c_longlong,
+        ctypes.c_int, ctypes.c_double, ctypes.c_longlong, _vp,
+        ctypes.c_longlong, _vp, _vp]
     lib.kchain_hmm_region.restype = ctypes.c_int
     lib.kchain_hmm_region.argtypes = [
-        _i64p, _i64p, _i64p, _i64p, _i64p,
+        _vp, _vp, _vp, _vp, _vp,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_double), _i64p, _i64p]
+        _vp, _vp, _vp]
     lib.kchain_scan_batch_dev.restype = ctypes.c_int
     lib.kchain_scan_batch_dev.argtypes = [
         _vp, _u8p, _i64p, ctypes.c_int,
@@ -470,49 +470,44 @@ class NativeChain:
         if W > 0:
             fold = np.ascontiguousarray(fold, np.uint8)
             self._lib.kchain_lookup_windows(
-                self._h, fold.ctypes.data_as(_u8p), len(fold),
-                out.ctypes.data_as(_i64p))
+                self._h, fold.ctypes.data, len(fold), out.ctypes.data)
         return out
 
     def dec_voffs(self, voffs: np.ndarray, Score: np.ndarray) -> None:
         if len(voffs):
             voffs = np.ascontiguousarray(voffs, np.int64)
             self._lib.kchain_dec_voffs(
-                self._h, voffs.ctypes.data_as(_i64p), len(voffs),
-                Score.ctypes.data_as(_i64p))
+                self._h, voffs.ctypes.data, len(voffs),
+                Score.ctypes.data)
 
     def score_reps(self, voff: int, reps: int, Score: np.ndarray,
                    bt: np.ndarray, nb: int) -> int:
         return self._lib.kchain_score_reps(
-            self._h, voff, reps, Score.ctypes.data_as(_i64p),
-            bt.ctypes.data_as(_i32p), nb)
+            self._h, voff, reps, Score.ctypes.data, bt.ctypes.data, nb)
 
     def score_window_runs(self, win: np.ndarray, Score: np.ndarray,
                           bt: np.ndarray, nb: int) -> int:
         win = np.ascontiguousarray(win, np.int64)
         return self._lib.kchain_score_window_runs(
-            self._h, win.ctypes.data_as(_i64p), len(win),
-            Score.ctypes.data_as(_i64p), bt.ctypes.data_as(_i32p), nb)
+            self._h, win.ctypes.data, len(win),
+            Score.ctypes.data, bt.ctypes.data, nb)
 
     def hmm_extend(self, VF_a, VR_a, lo, hi, Score, Score_r, include,
                    DB_size, mode, proxi, base_count, reg_buf, reg_len,
                    soft, state):
-        softp = soft.ctypes.data_as(_i64p) if soft is not None else None
+        softp = soft.ctypes.data if soft is not None else None
         return self._lib.kchain_hmm_extend(
-            self._h, VF_a.ctypes.data_as(_i64p),
-            VR_a.ctypes.data_as(_i64p), len(VF_a), lo, hi,
-            Score.ctypes.data_as(_i64p), Score_r.ctypes.data_as(_i64p),
-            include.ctypes.data_as(_u8p), DB_size, mode, proxi,
-            base_count, reg_buf.ctypes.data_as(_i32p), reg_len, softp,
-            state.ctypes.data_as(_i64p))
+            self._h, VF_a.ctypes.data, VR_a.ctypes.data, len(VF_a), lo,
+            hi, Score.ctypes.data, Score_r.ctypes.data,
+            include.ctypes.data, DB_size, mode, proxi, base_count,
+            reg_buf.ctypes.data, reg_len, softp, state.ctypes.data)
 
     def cut_limits(self, VFs, VRs, start, jj, region) -> tuple:
         reg = np.asarray(region, np.int32)
         out2 = np.zeros(2, np.int64)
         self._lib.kchain_cut_limits(
-            self._h, VFs.ctypes.data_as(_i64p), VRs.ctypes.data_as(_i64p),
-            start, jj, reg.ctypes.data_as(_i32p), len(reg),
-            out2.ctypes.data_as(_i64p))
+            self._h, VFs.ctypes.data, VRs.ctypes.data, start, jj,
+            reg.ctypes.data, len(reg), out2.ctypes.data)
         return int(out2[0]), int(out2[1])
 
     def save_kmers_count(self, codes: np.ndarray, n_positions,
@@ -554,12 +549,10 @@ class NativeChain:
         """One save_kmers_HMM region iteration (savekmers.c:3986-4283):
         seed search + both-direction HMM extension."""
         return self._lib.kchain_hmm_region(
-            VFL_a.ctypes.data_as(_i64p), VRL_a.ctypes.data_as(_i64p),
-            VFs.ctypes.data_as(_i64p), VRs.ctypes.data_as(_i64p),
-            NN_a.ctypes.data_as(_i64p), seqlen, k,
-            1 if exhaustive else 0,
-            hp_a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            st3.ctypes.data_as(_i64p), out4.ctypes.data_as(_i64p))
+            VFL_a.ctypes.data, VRL_a.ctypes.data, VFs.ctypes.data,
+            VRs.ctypes.data, NN_a.ctypes.data, seqlen, k,
+            1 if exhaustive else 0, hp_a.ctypes.data, st3.ctypes.data,
+            out4.ctypes.data)
 
     def _ws(self, t):
         """Per-thread Score/extendScore/include workspaces."""
