@@ -200,12 +200,18 @@ def build_index(input_files: List[str], out_prefix: str, kmersize: int = 16,
                     # 58-73), which fixes hash-chain order for colliding
                     # keys (np.unique would sort)
                     kv = kmers[valid]
-                    _, fp = np.unique(kv, return_index=True)
-                    kk = kv[np.sort(fp)]
                     added = int(valid.sum())
                     if spill is not None:
-                        spill.add(kk, db_size)
+                        # within-template repeats are dropped at merge
+                        # time (KmerSpill.finalize): in a kmer group
+                        # sorted by global position one template's
+                        # occurrences are contiguous, so the adjacent
+                        # same-tid mask equals the reference's
+                        # once-per-template insert (hashmap.c:126)
+                        spill.add(kv, db_size)
                     else:
+                        _, fp = np.unique(kv, return_index=True)
+                        kk = kv[np.sort(fp)]
                         for km in kk.tolist():
                             lst = table.get(km)
                             if lst is None:
@@ -328,6 +334,12 @@ class KmerSpill:
         if not len(sk):
             return (np.empty(0, np.uint64), np.zeros(1, np.int64),
                     np.empty(0, np.uint32))
+        # drop within-template repeats (adjacent same kmer + same tid
+        # after the (kmer, position) sort — see build_index)
+        keep = np.ones(len(sk), bool)
+        keep[1:] = (sk[1:] != sk[:-1]) | (st[1:] != st[:-1])
+        if not keep.all():
+            sk, sp, st = sk[keep], sp[keep], st[keep]
         firsts = np.ones(len(sk), bool)
         firsts[1:] = sk[1:] != sk[:-1]
         gidx = np.flatnonzero(firsts)
@@ -338,10 +350,12 @@ class KmerSpill:
         counts = counts[fs]
         offs = np.zeros(len(kmers) + 1, np.int64)
         np.cumsum(counts, out=offs[1:])
-        flat = np.empty(len(sk), np.uint32)
+        # one fancy gather instead of a per-kmer python loop: element j
+        # of group i comes from st[src[i] + j]
         src = gidx[fs]
-        for i in range(len(kmers)):
-            flat[offs[i]: offs[i + 1]] = st[src[i]: src[i] + counts[i]]
+        within = np.arange(len(sk), dtype=np.int64) \
+            - np.repeat(offs[:-1], counts)
+        flat = st[np.repeat(src, counts) + within]
         return kmers, offs, flat
 
 
@@ -835,27 +849,68 @@ def freeze(table: Dict[int, List[int]], db_size: int, kmersize: int,
         order = np.argsort(_b, kind="stable")
     vdt = np.uint32  # width applied at dump time; keep wide here
     dedup: Dict[bytes, int] = {}
-    chunks: List[np.ndarray] = []
     v_off = np.empty(n, dtype=np.int64)
-    v_index = 0
-    for i in order.tolist():
-        if f_offs is not None:
-            lst = f_flat[f_offs[i]: f_offs[i + 1]]
+    if f_offs is not None:
+        # streaming build: native dedup over the flat (offsets, ids)
+        # arrays (valueshash.c's role, one C pass)
+        from ..io import native_io
+        lib = native_io.get_lib()
+        ff = np.ascontiguousarray(f_flat, np.uint32)
+        fo = np.ascontiguousarray(f_offs, np.int64)
+        odr = np.ascontiguousarray(order, np.int64)
+        if lib is not None:
+            out_vals = np.empty(len(ff) + n, np.uint32)
+            v_index = lib.kio_dedup_values(
+                fo.ctypes.data, ff.ctypes.data, odr.ctypes.data, n,
+                v_off.ctypes.data, out_vals.ctypes.data)
+            values = out_vals[:v_index].copy()
         else:
+            # identity keys are raw u32 byte slices of ONE flat buffer;
+            # values assembled vectorized over the first occurrences
+            all_b = ff.tobytes()
+            lens = np.diff(fo)
+            firsts: List[int] = []
+            v_index = 0
+            dget = dedup.get
+            for i in odr.tolist():
+                key = all_b[4 * fo[i]: 4 * fo[i + 1]]
+                off = dget(key)
+                if off is None:
+                    dedup[key] = v_index
+                    v_off[i] = v_index
+                    firsts.append(i)
+                    v_index += int(lens[i]) + 1
+                else:
+                    v_off[i] = off
+            fi = np.asarray(firsts, np.int64)
+            flens = lens[fi]
+            voffs_u = v_off[fi]
+            values = np.empty(v_index, dtype=vdt)
+            values[voffs_u] = flens
+            total = int(flens.sum())
+            within = np.arange(total, dtype=np.int64) \
+                - np.repeat(np.cumsum(flens) - flens, flens)
+            values[np.repeat(voffs_u + 1, flens) + within] = \
+                ff[np.repeat(fo[fi], flens) + within]
+    else:
+        chunks: List[np.ndarray] = []
+        v_index = 0
+        for i in order.tolist():
             lst = table[int(kmers[i])]
-        key = np.asarray(lst, dtype=np.int64).tobytes()
-        off = dedup.get(key)
-        if off is None:
-            arr = np.empty(len(lst) + 1, dtype=vdt)
-            arr[0] = len(lst)
-            arr[1:] = lst
-            dedup[key] = v_index
-            v_off[i] = v_index
-            chunks.append(arr)
-            v_index += len(arr)
-        else:
-            v_off[i] = off
-    values = np.concatenate(chunks) if chunks else np.empty(0, dtype=vdt)
+            key = np.asarray(lst, dtype=np.int64).tobytes()
+            off = dedup.get(key)
+            if off is None:
+                arr = np.empty(len(lst) + 1, dtype=vdt)
+                arr[0] = len(lst)
+                arr[1:] = lst
+                dedup[key] = v_index
+                v_off[i] = v_index
+                chunks.append(arr)
+                v_index += len(arr)
+            else:
+                v_off[i] = off
+        values = np.concatenate(chunks) if chunks \
+            else np.empty(0, dtype=vdt)
 
     if mega:
         exist = np.full(size, 1, dtype=np.uint64)  # null_index == 1 (compress.c:804)

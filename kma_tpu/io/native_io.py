@@ -82,6 +82,10 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int),                    # status
         ctypes.c_int, _u8p,                              # emit_all, passed
     ]
+    lib.kio_dedup_values.restype = ctypes.c_longlong
+    lib.kio_dedup_values.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_longlong, ctypes.c_void_p, ctypes.c_void_p]
     _lib = lib
     return _lib
 

@@ -16,6 +16,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -245,6 +246,65 @@ long long kio_parse_fastq(
     }
     *n_out = n;
     return pos;
+}
+
+// values dedup of the index freeze (compressKMA_DB + valueshash.c):
+// records visited in `order`; identical u32 template lists share one
+// values entry [len, ids...].  out_values must hold n + sum(lens)
+// entries (worst case, no duplicates); returns the used length.
+// v_off[i] = the record's offset into out_values.
+long long kio_dedup_values(const long long *f_offs,
+                           const unsigned int *f_flat,
+                           const long long *order, long long n,
+                           long long *v_off, unsigned int *out_values) {
+    // open-addressed (hash, first_record) table; key equality verified
+    // against the already-emitted values entry
+    unsigned long long cap = 64;
+    while (cap < 2ull * (unsigned long long)(n ? n : 1))
+        cap <<= 1;
+    std::vector<long long> slot(cap, -1);
+    unsigned long long hmask = cap - 1;
+    long long v_index = 0;
+    for (long long oi = 0; oi < n; ++oi) {
+        long long i = order[oi];
+        long long b = f_offs[i], e = f_offs[i + 1];
+        long long len = e - b;
+        const unsigned int *lst = f_flat + b;
+        unsigned long long h = 1469598103934665603ull ^
+                               (unsigned long long)len;
+        for (long long j = 0; j < len; ++j) {
+            h ^= lst[j];
+            h *= 1099511628211ull;
+        }
+        h ^= h >> 33;
+        unsigned long long s = h & hmask;
+        long long off = -1;
+        for (;;) {
+            long long v = slot[s];
+            if (v < 0) {
+                slot[s] = v_index;
+                break;
+            }
+            // verify against the emitted entry at offset v
+            if ((long long)out_values[v] == len
+                && memcmp(out_values + v + 1, lst,
+                          (size_t)len * sizeof(unsigned int)) == 0) {
+                off = v;
+                break;
+            }
+            s = (s + 1) & hmask;
+        }
+        if (off >= 0) {
+            v_off[i] = off;
+        } else {
+            v_off[i] = v_index;
+            out_values[v_index] = (unsigned int)len;
+            memcpy(out_values + v_index + 1, lst,
+                   (size_t)len * sizeof(unsigned int));
+            v_index += len + 1;
+        }
+    }
+    return v_index;
 }
 
 } // extern "C"
