@@ -454,43 +454,27 @@ def hmm_scan_read(idx: KmaIndex, codes: np.ndarray, header: bytes,
                         nb_f = _flush(last, reps, Score, bt_buf, nb_f)
                     if rlast >= 0:
                         nb_r = _flush(rlast, rreps, Score_r, btr_buf, nb_r)
-                bestT: List[int] = bt_buf[:nb_f].tolist()
-                bestT_r: List[int] = btr_buf[:nb_r].tolist()
+                bestT_a = bt_buf[:nb_f].copy()
+                bestT_r_a = btr_buf[:nb_r].copy()
 
-                # cut out template hits (savekmers.c:4404-4502)
+                # cut out template hits (savekmers.c:4404-4502).  The
+                # reference's zero-score removal (swap-with-last while
+                # bestScore == 0) only drops entries whose score is
+                # already 0, which never changes any later read of the
+                # lists — so the selection reduces to "ordered ties of
+                # the global max, fw entries first iff the fw max ties
+                # the global max"
                 while HIT != 0:
-                    bestScore = 0
-                    region: List[int] = []
-                    kq = 0
-                    while kq < len(bestT):
-                        t = bestT[kq]
-                        s = int(Score[t])
-                        if s > bestScore:
-                            bestScore = s
-                            region = [t]
-                        elif s == bestScore:
-                            if s:
-                                region.append(t)
-                            else:
-                                bestT[kq] = bestT[-1]
-                                bestT.pop()
-                                continue
-                        kq += 1
-                    kq = 0
-                    while kq < len(bestT_r):
-                        t = bestT_r[kq]
-                        s = int(Score_r[t])
-                        if s > bestScore:
-                            bestScore = s
-                            region = [-t]
-                        elif s == bestScore:
-                            if bestScore:
-                                region.append(-t)
-                            else:
-                                bestT_r[kq] = bestT_r[-1]
-                                bestT_r.pop()
-                                continue
-                        kq += 1
+                    sf = Score[bestT_a]
+                    sr = Score_r[bestT_r_a]
+                    mf = int(sf.max()) if len(sf) else 0
+                    mr = int(sr.max()) if len(sr) else 0
+                    bestScore = mf if mf >= mr else mr
+                    region = []
+                    if bestScore > 0:
+                        if mf == bestScore:
+                            region = bestT_a[sf == bestScore].tolist()
+                        region += (-bestT_r_a[sr == bestScore]).tolist()
 
                     if bestScore > 0:
                         # find limits of match; the bound is re-read
@@ -539,16 +523,12 @@ def hmm_scan_read(idx: KmaIndex, codes: np.ndarray, header: bytes,
                             if hit_rec is not None:
                                 out.append(hit_rec)
                         else:
-                            for t in bestT:
-                                Score[t] = 0
-                            for t in bestT_r:
-                                Score_r[t] = 0
+                            Score[bestT_a] = 0
+                            Score_r[bestT_r_a] = 0
                             HIT = 0
                     else:
-                        for t in bestT:
-                            Score[t] = 0
-                        for t in bestT_r:
-                            Score_r[t] = 0
+                        Score[bestT_a] = 0
+                        Score_r[bestT_r_a] = 0
                         HIT = 0
 
         # clear scores (savekmers.c:4505-4509); the reference pops the
