@@ -2371,18 +2371,21 @@ def _conclave_and_output(records, db_size, template_lengths, name_of, store,
     # requested (runkma.c:763-863 as one loop)
     if (ndrv is not None and splt is None
             and not cfg.sasm and not cfg.dense and not cfg.verbose
-            and not (cfg.tsv or cfg.xml or cfg.vcf or cfg.sam or cfg.ef
-                     or cfg.print_matrix) and cfg.ID_t != 0.0):
+            and not (cfg.tsv or cfg.xml or cfg.sam)
+            and cfg.ID_t != 0.0):
         from .assemble import native_assem as _na
         names = [b""] + [name_of(t).encode("latin1")
                          for t in range(1, db_size)]
         want_fsa = (cfg.nc & 1) == 0 or (cfg.nc & 2) == 0
         want_aln = (cfg.nc & 2) == 0
-        res_b, fsa_b, aln_b, frag_b = ndrv.output_all(
+        res_b, fsa_b, aln_b, frag_b, mat_b, vcf_b, ef_b = ndrv.output_all(
             w_scores, names, cfg, rew.Wl, template_tot_ulen, Nhits,
             cfg.bcd, _na.BASE_CALLERS[cfg.base_caller],
             _na.SIGNIFICANTS[cfg.significant], CMP_CODE[cfg.cmp_mode],
-            want_fsa, want_aln, not cfg.nf)
+            want_fsa, want_aln, not cfg.nf,
+            want_matrix=cfg.print_matrix, vcf_filt=cfg.vcf,
+            want_ef=cfg.ef, fragment_counts=fragment_counts,
+            read_counts=read_counts)
         with open(output_prefix + ".res", "w") as f:
             f.write(writers.RES_HEADER)
             f.write(res_b.decode("latin1"))
@@ -2395,6 +2398,20 @@ def _conclave_and_output(records, db_size, template_lengths, name_of, store,
         if not cfg.nf:
             with writers.open_gz(output_prefix + ".frag.gz") as f:
                 f.write(frag_b)
+        if cfg.print_matrix:
+            with writers.open_gz(output_prefix + ".mat.gz") as f:
+                f.write(mat_b)
+        if cfg.vcf:
+            from .out.vcf import vcf_header
+            with writers.open_gz(output_prefix + ".vcf.gz") as f:
+                f.write(vcf_header(db_prefix))
+                f.write(vcf_b)
+        if cfg.ef:
+            with open(output_prefix + ".mapstat", "wb") as f:
+                f.write(writers.mapstat_header(
+                    os.path.basename(db_prefix), tot_frags,
+                    exe_cmd).encode("latin1"))
+                f.write(ef_b)
         _stage("# Total time used for local assembly: %.2f s.\n#"
                % (time.process_time() - _t_asm))
         _stage("# Closing files")

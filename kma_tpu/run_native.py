@@ -150,11 +150,14 @@ def get_lib():
         ctypes.c_longlong, ctypes.c_double, ctypes.c_double, ctypes.c_int,
         ctypes.c_double, ctypes.c_double, ctypes.c_int, ctypes.c_double,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int, ctypes.c_longlong, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, _i64p, _i64p,
+        ctypes.c_longlong, ctypes.c_int,
         ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        _i64p, _i64p, _i64p, _i64p]
-    lib.krun_output_fetch.argtypes = [_vp, _u8p, _u8p, _u8p, _u8p]
+        _i64p, _i64p, _i64p, _i64p, _i64p, _i64p, _i64p]
+    lib.krun_output_fetch.argtypes = [_vp, _u8p, _u8p, _u8p, _u8p, _u8p,
+                                      _u8p, _u8p]
     _lib = lib
     return _lib
 
@@ -326,18 +329,29 @@ class RunDriver:
     def output_all(self, w_scores: np.ndarray, names: list, cfg, Wl_raw,
                    template_tot_ulen: int, Nhits: int, bcd: int,
                    base_caller: int, significant: int, cmp_mode: int,
-                   want_fsa: bool, want_aln: bool, want_frag: bool):
+                   want_fsa: bool, want_aln: bool, want_frag: bool,
+                   want_matrix: bool = False, vcf_filt: int = 0,
+                   want_ef: bool = False, fragment_counts=None,
+                   read_counts=None):
         """Native output stage fast path (runkma.c:763-863): assembles
-        every passing template and formats .res/.fsa/.aln/.frag rows in
-        one call; returns the four byte buffers.  ``names`` is indexed
-        by template id (entry 0 is an unused placeholder)."""
+        every passing template and formats .res/.fsa/.aln/.frag rows —
+        plus optional .mat.gz/.vcf.gz/.mapstat rows (assembly.c:85,
+        vcf.c:97, ef.c:48-136) — in one call; returns the seven byte
+        buffers.  ``names`` is indexed by template id (entry 0 is an
+        unused placeholder)."""
         names_flat = b"".join(names)
         names_off = np.zeros(len(names) + 1, np.int64)
         np.cumsum([len(n) for n in names], out=names_off[1:])
         nf = np.frombuffer(names_flat, np.uint8) if names_flat \
             else np.zeros(1, np.uint8)
-        lens = np.zeros(4, np.int64)
+        lens = np.zeros(7, np.int64)
         ws = np.ascontiguousarray(w_scores, np.int64)
+        fc = np.ascontiguousarray(
+            fragment_counts if fragment_counts is not None
+            else np.zeros(len(names), np.int64), np.int64)
+        rc = np.ascontiguousarray(
+            read_counts if read_counts is not None
+            else np.zeros(len(names), np.int64), np.int64)
         r = self._lib.krun_output_all(
             self._h, ws.ctypes.data_as(_i64p), nf.ctypes.data_as(_u8p),
             names_off.ctypes.data_as(_i64p), len(names),
@@ -345,17 +359,22 @@ class RunDriver:
             cmp_mode, cfg.ID_t, cfg.Depth_t, bcd, cfg.support_static,
             base_caller, significant, cfg.ref_fsa,
             1 if want_fsa else 0, 1 if want_aln else 0,
-            1 if want_frag else 0, Wl_raw, cfg.min_len, cfg.mq,
+            1 if want_frag else 0,
+            1 if want_matrix else 0, int(vcf_filt), 1 if want_ef else 0,
+            fc.ctypes.data_as(_i64p), rc.ctypes.data_as(_i64p),
+            Wl_raw, cfg.min_len, cfg.mq,
             cfg.score_t, cfg.mrc, 1 if cfg.circular else 0, cfg.ts,
             1 if cfg.skip_tail_aln else 0, 1 if cfg.dense else 0,
             lens[0:].ctypes.data_as(_i64p), lens[1:].ctypes.data_as(_i64p),
-            lens[2:].ctypes.data_as(_i64p), lens[3:].ctypes.data_as(_i64p))
+            lens[2:].ctypes.data_as(_i64p), lens[3:].ctypes.data_as(_i64p),
+            lens[4:].ctypes.data_as(_i64p), lens[5:].ctypes.data_as(_i64p),
+            lens[6:].ctypes.data_as(_i64p))
         if r < 0:
             raise RuntimeError("krun_output_all failed")
         bufs = [np.empty(max(1, int(n)), np.uint8) for n in lens]
         self._lib.krun_output_fetch(
             self._h, *(b.ctypes.data_as(_u8p) for b in bufs))
-        return tuple(bufs[i][: int(lens[i])].tobytes() for i in range(4))
+        return tuple(bufs[i][: int(lens[i])].tobytes() for i in range(7))
 
     def stage_template(self, t: int):
         """Per-template fragment stage for assembly: (q_len, best_hits,

@@ -12,6 +12,8 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstring>
 
 namespace {
 
@@ -68,9 +70,289 @@ bool significant_base(int64_t X, int64_t Y, int significant,
     return chi <= evalue;
 }
 
+// stdstat.c:149-159 exact binary exponentiation (rounding order matters)
+double power_(double x, long long n) {
+    if (n) {
+        double y = power_(x, n >> 1);
+        return (n & 1) ? y * y * x : y * y;
+    }
+    return 1.0;
+}
+
+// binomial point probability for VCF QUAL (stdstat.c:161-202)
+double binP(long long n, long long k, double p) {
+    double q = 1 - p;
+    if (k == 0) {
+        double P = power_(q, n);
+        return P != 0.0 ? P : 1.0e-308;
+    }
+    if (n == k) {
+        double P = power_(p, n);
+        return P != 0.0 ? P : 1.0e-308;
+    }
+    if (p == 0 || q == 0)
+        return 0.0;
+    double P = 1.0;
+    long long nk = n - k;
+    double pq = p * q;
+    long long i = n + 1;
+    long long j = (k < nk ? k : nk) + 1;
+    while (j > 1) {
+        --j;
+        --i;
+        P *= ((double)i * pq / (double)j);
+    }
+    if (nk < k)
+        P *= power_(p, k - nk);
+    else if (k < nk)
+        P *= power_(q, nk - k);
+    return P != 0.0 ? P : 1.0e-308;
+}
+
+// baseCaller family as a pure function (assembly.c:162-271 /
+// pileup.make_base_caller): (bestNuc_char, tNuc_char, bestScore,
+// depthUpdate, row) -> char code.
+int base_call(int base_caller, int significant, double evalue,
+              double support, int bn, int tchar, int64_t bestScore,
+              int64_t depthUpdate, const int64_t *row) {
+    if (base_caller == 1) { // org
+        if (depthUpdate == 0 || bn == '-')
+            return '-';
+        if (!significant_base(bestScore, depthUpdate - bestScore,
+                              significant, evalue, support))
+            return ('A' <= bn && bn <= 'Z') ? (bn | 0x20) : bn;
+        return bn;
+    }
+    if (base_caller == 2) { // ref
+        if (depthUpdate == 0 || (bn == '-' && tchar != '-'))
+            return 'n';
+        if (!significant_base(bestScore, depthUpdate - bestScore,
+                              significant, evalue, support))
+            return ('A' <= bn && bn <= 'Z') ? (bn | 0x20) : bn;
+        return bn;
+    }
+    if (base_caller == 3) { // nano
+        if (depthUpdate == 0)
+            return '-';
+        if (!significant_base(bestScore, depthUpdate - bestScore,
+                              significant, evalue, support)) {
+            if (bn == '-' && tchar != '-' && bestScore != depthUpdate) {
+                int64_t bestBaseScore = 0;
+                int bi = -1;
+                for (int j = 0; j < 5; ++j)
+                    if (bestBaseScore < row[j]) {
+                        bestBaseScore = row[j];
+                        bi = j;
+                    }
+                return bestBaseScore == 0 ? '-' : (BASES[bi] | 0x20);
+            }
+            return ('A' <= bn && bn <= 'Z') ? (bn | 0x20) : bn;
+        }
+        return bn;
+    }
+    // default
+    if (depthUpdate == 0)
+        return '-';
+    if (!significant_base(bestScore, depthUpdate - bestScore, significant,
+                          evalue, support)) {
+        if (bn == '-' && tchar != '-' && bestScore != depthUpdate)
+            return 'n';
+        return ('A' <= bn && bn <= 'Z') ? (bn | 0x20) : bn;
+    }
+    return bn;
+}
+
+// vcf.c NUC2NUM: char -> base index, 8 when unknown
+int nuc2num(int c) {
+    switch (c) {
+    case 'A': case 'a': return 0;
+    case 'C': case 'c': return 1;
+    case 'G': case 'g': return 2;
+    case 'T': case 't': return 3;
+    case 'N': case 'n': return 4;
+    case '-': return 5;
+    default: return 8;
+    }
+}
+
 } // namespace
 
 extern "C" {
+
+// updateMatrix rows for one template (assembly.c:85-140 /
+// writers.matrix_rows): "#name\n" then per walk position the ref base
+// and the six counts, final blank line.  Returns bytes written, or -1
+// when `cap` is too small (caller grows and retries).
+long long kassem_matrix_rows(const long long *counts, const long long *nxt,
+                             long long mat_len, int t_len,
+                             const unsigned char *template_codes,
+                             const unsigned char *name, long long name_len,
+                             unsigned char *buf, long long cap) {
+    const int64_t *cnt = (const int64_t *)counts;
+    long long w = 0;
+    if (w + name_len + 2 > cap)
+        return -1;
+    buf[w++] = '#';
+    memcpy(buf + w, name, (size_t)name_len);
+    w += name_len;
+    buf[w++] = '\n';
+    int64_t pos = 0;
+    long long ti = 0;
+    for (long long i = 0; i < mat_len; ++i, pos = nxt[pos]) {
+        if (w + 128 > cap)
+            return -1;
+        buf[w++] = pos < t_len ? BASES[template_codes[ti++]] : '-';
+        const int64_t *row = cnt + pos * 6;
+        w += snprintf((char *)buf + w, 127,
+                      "\t%lld\t%lld\t%lld\t%lld\t%lld\t%lld\n",
+                      (long long)row[0], (long long)row[1],
+                      (long long)row[2], (long long)row[3],
+                      (long long)row[4], (long long)row[5]);
+    }
+    if (w + 1 > cap)
+        return -1;
+    buf[w++] = '\n';
+    return w;
+}
+
+// updateVcf rows for one template (vcf.c:97-282 / out/vcf.vcf_rows).
+// assem_t = the dual-gap-trimmed consensus template chars; the walk
+// re-syncs at trimmed insertion rows.  Returns bytes written or -1 when
+// `cap` is too small.
+long long kassem_vcf_rows(const long long *counts, const long long *nxt,
+                          long long mat_len, int t_len,
+                          const unsigned char *assem_t, long long assem_len,
+                          const unsigned char *name, long long name_len,
+                          double evalue, double support, int bcd, int filt,
+                          int base_caller, int significant,
+                          unsigned char *buf, long long cap) {
+    const int64_t *cnt = (const int64_t *)counts;
+    const double ln_const = -10.0 / log(10.0);
+    long long w = 0;
+    int64_t pos = 0;
+    long long ti = 0;
+    for (long long i = 0; i < mat_len; ++i, pos = nxt[pos]) {
+        int64_t next_pos = nxt[pos];
+        int nuc = ti < assem_len ? assem_t[ti] : '-';
+        if (pos < t_len) {
+            ++ti;
+        } else if (nuc != '-') {
+            nuc = '-';
+        } else {
+            ++ti;
+        }
+        const int64_t *row = cnt + pos * 6;
+        int bi = nuc2num(nuc);
+        int64_t bestScore = bi < 6 ? row[bi] : 0;
+        int64_t depthUpdate = 0;
+        for (int j = 0; j < 6; ++j) {
+            if (bestScore < row[j]) {
+                bestScore = row[j];
+                bi = j;
+            }
+            depthUpdate += row[j];
+        }
+        int nucNum = bi;
+        int bestNuc = bi < 6 ? BASES[bi] : '-';
+        if (!depthUpdate) {
+            nucNum = 5;
+            bestNuc = '-';
+        } else if ((bestScore << 1) < depthUpdate) {
+            if (bestNuc == '-') {
+                int64_t bestBaseScore = 0;
+                int bj = 4;
+                for (int j = 0; j < 5; ++j)
+                    if (bestBaseScore < row[j]) {
+                        bestBaseScore = row[j];
+                        bj = j;
+                    }
+                nucNum = bj;
+                bestNuc = BASES[bj] | 0x20;
+            } else {
+                bestNuc |= 0x20;
+            }
+            bestScore = depthUpdate - row[5];
+        } else if (depthUpdate < bcd) {
+            bestNuc |= 0x20;
+        }
+
+        if (bestScore) {
+            bestNuc = base_call(base_caller, significant, evalue, support,
+                                bestNuc, nuc, bestScore, depthUpdate, row);
+            nucNum = nuc2num(bestNuc);
+            long long DP = depthUpdate;
+            long long AD = nucNum < 6 ? (long long)row[nucNum] : 0;
+            double AF = (double)AD / (double)DP;
+            double RAF = (double)bestScore / (double)DP;
+            long long DEL = (long long)row[5];
+            long long d2 = depthUpdate - (bestScore << 1);
+            double Q = (double)(d2 * d2) / (double)depthUpdate;
+            double P = p_chisqr(Q);
+            bool cond = nuc != bestNuc
+                        || (t_len <= next_pos
+                            && (ti < assem_len && assem_t[ti] == '-'))
+                        || DP < bcd || evalue < P
+                        || AD < support * (double)DP;
+            if (cond) {
+                long long QUAL =
+                    (long long)(ln_const * log(binP(DP, AD, 0.25)));
+                if (QUAL < 0 || 3079 < QUAL)
+                    QUAL = 3079;
+                const char *FILTER;
+                if (bcd <= DP && P <= evalue
+                    && support * (double)DP <= (double)AD)
+                    FILTER = "PASS";
+                else if (bcd <= DP || P <= evalue
+                         || support * (double)DP <= (double)AD)
+                    FILTER = "LowQual";
+                else
+                    FILTER = "FAIL";
+                const char *fcol = filt == 2 ? FILTER : ".";
+                char refb[4], altb[4], pstr[24];
+                if (nuc != '-')
+                    snprintf(refb, 4, "%c", nuc);
+                else
+                    snprintf(refb, 4, "<->");
+                if (bestNuc != '-')
+                    snprintf(altb, 4, "%c", bestNuc);
+                else
+                    snprintf(altb, 4, "<->");
+                if (pos < t_len)
+                    snprintf(pstr, 24, "%lld", (long long)pos + 1);
+                else
+                    snprintf(pstr, 24, "0");
+                if (w + name_len + 256 > cap)
+                    return -1;
+                memcpy(buf + w, name, (size_t)name_len);
+                w += name_len;
+                w += snprintf(
+                    (char *)buf + w, 255,
+                    "\t%s\t.\t%s\t%s\t%lld\t%s\tDP=%lld;AD=%lld;"
+                    "AF=%.2f;RAF=%.2f;DEL=%lld;AD6=%lld,%lld,%lld,"
+                    "%lld,%lld,%lld\tQ:P:FT\t%.2f:%4.1e:%s\n",
+                    pstr, refb, altb, QUAL, fcol, DP, AD, AF, RAF, DEL,
+                    (long long)row[0], (long long)row[1],
+                    (long long)row[2], (long long)row[3],
+                    (long long)row[4], (long long)row[5], Q, P, FILTER);
+            }
+        } else if (pos < t_len) {
+            const char *FILTER = "FAIL";
+            const char *fcol = filt == 2 ? FILTER : ".";
+            if (w + name_len + 160 > cap)
+                return -1;
+            memcpy(buf + w, name, (size_t)name_len);
+            w += name_len;
+            w += snprintf(
+                (char *)buf + w, 159,
+                "\t%lld\t.\t%c\t.\t0\t%s\tDP=0;AD=0;AF=0.00;RAF=0.00;"
+                "DEL=0;AD6=0,0,0,0,0,0\tQ:P:FT\t0.00:%4.1e:%s\n",
+                (long long)pos + 1, nuc, fcol, 1.0, FILTER);
+        }
+        if (next_pos == 0)
+            break;
+    }
+    return w;
+}
 
 // alnToMat (assembly.c:1317-1444).  counts[cap][6]/next[cap] are the
 // Python AssemblyMatrix arrays (int64); the caller pre-grows capacity to

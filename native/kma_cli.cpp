@@ -9,8 +9,10 @@
 // Build: g++ -O2 -march=native -o kma_cli kma_cli.cpp kma_run.cpp \
 //        kma_chain.cpp kma_align.cpp kma_assem.cpp kma_io.cpp -lpthread -lz
 
+#include <cctype>
 #include <cmath>
 #include <condition_variable>
+#include <ctime>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -65,12 +67,16 @@ ll krun_output_all(void *hv, const ll *w_scores, const uint8_t *names_flat,
                    int cmp_mode, double ID_t, double Depth_t, int bcd,
                    double support, int base_caller, int significant,
                    int ref_fsa, int want_fsa, int want_aln, int want_frag,
+                   int want_matrix, int vcf_filt, int want_ef,
+                   const ll *fragment_counts, const ll *read_counts,
                    ll Wl_raw, int minlen, int mq, double scoreT, double mrc,
                    int circular, int ts, int skip_tails, int dense,
                    ll *o_res_len, ll *o_fsa_len, ll *o_aln_len,
-                   ll *o_frag_len);
+                   ll *o_frag_len, ll *o_mat_len, ll *o_vcf_len,
+                   ll *o_ef_len);
 void krun_output_fetch(void *hv, uint8_t *res, uint8_t *fsa, uint8_t *aln,
-                       uint8_t *frag);
+                       uint8_t *frag, uint8_t *mat, uint8_t *vcf,
+                       uint8_t *ef);
 ll kio_parse_fastq(const unsigned char *buf, ll len, int last,
                    const unsigned char *to2bit, const double *prob,
                    int scale, int min_phred, int min_q, int hardmask_q,
@@ -453,6 +459,10 @@ struct Cfg {
     double support = 0.0;
     int base_caller = 0;           // default
     int significant = 0;           // mcnemar
+    bool print_matrix = false, ef = false;
+    int vcf = 0;                   // 0 off, 1 default, 2 apply FT
+    int nc = 0;                    // bit1 = no .fsa, bit2 = no .aln
+    bool nf = false;               // no .frag.gz
     // penalties (kma.c:328-337)
     int M = 1, U = -1, W1 = -3, Wl = -6, Mn = 0, PE = 7, Ts = -2, Tv = -2;
 };
@@ -562,6 +572,21 @@ int main(int argc, char **argv) {
             cfg.min_len = atoll(argv[++i]);
         } else if (a == "-mp") {
             cfg.min_phred = atoi(argv[++i]);
+        } else if (a == "-matrix") {
+            cfg.print_matrix = true;
+        } else if (a == "-ef") {
+            cfg.ef = true;
+        } else if (a == "-vcf") {
+            if (i + 1 < argc && isdigit((unsigned char)argv[i + 1][0]))
+                cfg.vcf = atoi(argv[++i]);
+            else
+                cfg.vcf = 1;
+        } else if (a == "-nc") {
+            cfg.nc = 1;
+        } else if (a == "-na") {
+            cfg.nc |= 2;
+        } else if (a == "-nf") {
+            cfg.nf = true;
         } else {
             return FALLBACK;   // anything else: Python owns it
         }
@@ -756,26 +781,110 @@ int main(int argc, char **argv) {
             "results\n",
             0.0);
 
-    ll lr = 0, lf = 0, la = 0, lg = 0;
+    int want_fsa = (cfg.nc & 1) == 0 || (cfg.nc & 2) == 0;
+    int want_aln = (cfg.nc & 2) == 0;
+    ll lr = 0, lf = 0, la = 0, lg = 0, lm = 0, lv = 0, le = 0;
     if (krun_output_all(R, w_scores.data(), ix.names.data(),
                         ix.names_off.data(), (ll)ix.db_size, tot_ulen,
                         Nhits, cfg.evalue, cfg.score_t, 0, cfg.ID_t,
                         cfg.Depth_t, cfg.bcd, cfg.support, cfg.base_caller,
-                        cfg.significant, 0, 1, 1, 1, cfg.Wl,
+                        cfg.significant, 0, want_fsa, want_aln,
+                        cfg.nf ? 0 : 1, cfg.print_matrix ? 1 : 0, cfg.vcf,
+                        cfg.ef ? 1 : 0, fc.data(), rc.data(), cfg.Wl,
                         (int)cfg.min_len, cfg.mq, cfg.score_t, cfg.mrc, 0,
-                        0, 0, 0, &lr, &lf, &la, &lg) < 0)
+                        0, 0, 0, &lr, &lf, &la, &lg, &lm, &lv, &le) < 0)
         die("output failed");
     std::vector<uint8_t> res(lr ? lr : 1), fsa(lf ? lf : 1),
-        aln(la ? la : 1), frag(lg ? lg : 1);
-    krun_output_fetch(R, res.data(), fsa.data(), aln.data(), frag.data());
+        aln(la ? la : 1), frag(lg ? lg : 1), mat(lm ? lm : 1),
+        vcfb(lv ? lv : 1), efb(le ? le : 1);
+    krun_output_fetch(R, res.data(), fsa.data(), aln.data(), frag.data(),
+                      mat.data(), vcfb.data(), efb.data());
     write_file(cfg.out + ".res",
                "#Template\tScore\tExpected\tTemplate_length\t"
                "Template_Identity\tTemplate_Coverage\tQuery_Identity\t"
                "Query_Coverage\tDepth\tq_value\tp_value\n",
                res.data(), lr);
-    write_file(cfg.out + ".fsa", nullptr, fsa.data(), lf);
-    write_file(cfg.out + ".aln", nullptr, aln.data(), la);
-    write_gz(cfg.out + ".frag.gz", frag.data(), lg);
+    if (want_fsa)
+        write_file(cfg.out + ".fsa", nullptr, fsa.data(), lf);
+    if (want_aln)
+        write_file(cfg.out + ".aln", nullptr, aln.data(), la);
+    if (!cfg.nf)
+        write_gz(cfg.out + ".frag.gz", frag.data(), lg);
+    if (cfg.print_matrix)
+        write_gz(cfg.out + ".mat.gz", mat.data(), lm);
+    if (cfg.vcf) {
+        // initialiseVcf (vcf.c:46-95) — same lines as out/vcf.vcf_header
+        const char *slash = strrchr(cfg.t_db.c_str(), '/');
+        std::string base = slash ? slash + 1 : cfg.t_db;
+        std::string head =
+            "##fileformat=VCFv4.2\n##kmaVersion=1.5.1\n"
+            "##FILTER=<ID=LowQual,Description=\"Low quality\">\n"
+            "##INFO=<ID=DP,Number=1,Type=Integer,"
+            "Description=\"Total Depth\">\n"
+            "##INFO=<ID=AD,Number=1,Type=Integer,"
+            "Description=\"Allele Depth\">\n"
+            "##INFO=<ID=AF,Number=1,Type=Float,"
+            "Description=\"Allele Fraction\">\n"
+            "##INFO=<ID=RAF,Number=1,Type=Float,"
+            "Description=\"Revised Allele Fraction\">\n"
+            "##INFO=<ID=DEL,Number=1,Type=Float,Description=\"Fraction "
+            "of Reads Containing Spanning Deletions\">\n"
+            "##INFO=<ID=AD6,Number=6,Type=Integer,Description=\"Count of "
+            "all alternative alleles: A,C,G,T,N,-\">\n"
+            "##FORMAT=<ID=Q,Number=1,Type=Float,"
+            "Description=\"McNemar quantile\">\n"
+            "##FORMAT=<ID=P,Number=1,Type=Float,"
+            "Description=\"McNemar p-value\">\n"
+            "##FORMAT=<ID=FT,Number=1,Type=String,"
+            "Description=\"Filter\">\n"
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+            + base + "\n";
+        gzFile g = gzopen((cfg.out + ".vcf.gz").c_str(), "wb1");
+        if (!g)
+            die("cannot open .vcf.gz for writing");
+        if (gzwrite(g, head.data(), (unsigned)head.size())
+                != (int)head.size())
+            die("gzwrite failed");
+        ll w = 0;
+        while (w < lv) {
+            unsigned chunk = (unsigned)((lv - w) > (1 << 28) ? (1 << 28)
+                                                             : (lv - w));
+            if (gzwrite(g, vcfb.data() + w, chunk) != (int)chunk)
+                die("gzwrite failed");
+            w += chunk;
+        }
+        gzclose(g);
+    }
+    if (cfg.ef) {
+        // initExtendedFeatures (ef.c:30-46) — writers.mapstat_header
+        const char *slash = strrchr(cfg.t_db.c_str(), '/');
+        std::string base = slash ? slash + 1 : cfg.t_db;
+        std::string cmd = "kma";
+        for (int i = 1; i < argc; i++) {
+            cmd += " ";
+            cmd += argv[i];
+        }
+        char date[32];
+        time_t now = time(nullptr);
+        struct tm lt;
+        localtime_r(&now, &lt);
+        strftime(date, sizeof date, "%Y-%m-%d", &lt);
+        std::string head =
+            "## method\tKMA\n## version\t1.5.1\n## database\t" + base
+            + "\n## fragmentCount\t" + std::to_string(n_frags)
+            + "\n## date\t" + date + "\n## command\t" + cmd + "\n"
+            "# refSequence\treadCount\tfragmentCount\tmapScoreSum\t"
+            "refCoveredPositions\trefConsensusSum\tbpTotal\t"
+            "depthVariance\tnucHighDepthVariance\tdepthMax\tsnpSum\t"
+            "insertSum\tdeletionSum\treadCountAln\tfragmentCountAln\n";
+        FILE *f = fopen((cfg.out + ".mapstat").c_str(), "wb");
+        if (!f)
+            die("cannot open .mapstat");
+        fwrite(head.data(), 1, head.size(), f);
+        if (le)
+            fwrite(efb.data(), 1, (size_t)le, f);
+        fclose(f);
+    }
     fprintf(stderr,
             "# Total time used for local assembly: %.2f s.\n#\n"
             "# Closing files\n",

@@ -94,6 +94,23 @@ long long kassem_template_frags(
     long long *o_rs, long long *o_ms, int32_t *o_st, int32_t *o_en,
     int32_t *o_ln);
 void kaln_prof_report(void);
+long long kassem_matrix_rows(const long long *counts, const long long *nxt,
+                             long long mat_len, int t_len,
+                             const unsigned char *template_codes,
+                             const unsigned char *name, long long name_len,
+                             unsigned char *buf, long long cap);
+long long kassem_vcf_rows(const long long *counts, const long long *nxt,
+                          long long mat_len, int t_len,
+                          const unsigned char *assem_t, long long assem_len,
+                          const unsigned char *name, long long name_len,
+                          double evalue, double support, int bcd, int filt,
+                          int base_caller, int significant,
+                          unsigned char *buf, long long cap);
+void kassem_ef(const long long *counts, const long long *order,
+               const unsigned char *template_codes, int t_len,
+               long long mat_len, double highVar, long long *out);
+void kassem_walk(const long long *next_, long long mat_len,
+                 long long *order);
 void kaln_frags_se_batch_mf(
     void *const *handles, const int32_t *tpl_ids, const int64_t *tpl_off,
     const uint8_t *codes_flat, const int64_t *codes_off,
@@ -306,6 +323,7 @@ struct Run {
 
     // krun_output_all buffers (fetched then cleared by Python)
     std::vector<uint8_t> out_res, out_fsa, out_aln, out_frag;
+    std::vector<uint8_t> out_mat, out_vcf, out_ef;
 
     // KMA_RUN_PROF=1 phase timing (seconds)
     double t_scan = 0, t_build = 0, t_score = 0, t_spool = 0;
@@ -2711,7 +2729,7 @@ inline void buf_put(std::vector<uint8_t> &b, const void *p, size_t n) {
     b.insert(b.end(), c, c + n);
 }
 inline void buf_printf(std::vector<uint8_t> &b, const char *fmt, ...) {
-    char tmp[256];
+    char tmp[512];
     va_list ap;
     va_start(ap, fmt);
     int n = vsnprintf(tmp, sizeof tmp, fmt, ap);
@@ -2736,17 +2754,23 @@ long long krun_output_all(
     double score_t_gate, int cmp_mode, double ID_t, double Depth_t,
     int bcd, double support, int base_caller, int significant,
     int ref_fsa, int want_fsa, int want_aln, int want_frag,
+    int want_matrix, int vcf_filt, int want_ef,
+    const long long *fragment_counts, const long long *read_counts,
     long long Wl_raw, int minlen, int mq, double scoreT, double mrc,
     int circular, int ts, int skip_tails, int dense,
     long long *o_res_len, long long *o_fsa_len, long long *o_aln_len,
-    long long *o_frag_len) {
+    long long *o_frag_len, long long *o_mat_len, long long *o_vcf_len,
+    long long *o_ef_len) {
     Run *R = (Run *)hv;
     R->out_res.clear();
     R->out_fsa.clear();
     R->out_aln.clear();
     R->out_frag.clear();
-    std::vector<ll> mcounts, mnext;
-    std::vector<uint8_t> t_arr, s_arr, q_arr, rows;
+    R->out_mat.clear();
+    R->out_vcf.clear();
+    R->out_ef.clear();
+    std::vector<ll> mcounts, mnext, worder;
+    std::vector<uint8_t> t_arr, s_arr, q_arr, rows, fmt;
     ll stats[4];
     for (ll t = 1; t < db_size; ++t) {
         ll read_score = w_scores[t];
@@ -2812,7 +2836,7 @@ long long krun_output_all(
         if (want_frag && rows_len)
             buf_put(R->out_frag, rows.data(), (size_t)rows_len);
 
-        ll aln_len_s = 0, cover_s = 0, depth_s = 0;
+        ll aln_len_s = 0, cover_s = 0, depth_s = 0, dvar_s = 0;
         ll asm_len = 0;
         if (a_score) {
             void *h = R->handle_for((int)t);
@@ -2826,6 +2850,7 @@ long long krun_output_all(
                              base_caller, significant, t_arr.data(),
                              s_arr.data(), q_arr.data(), stats);
             depth_s = stats[0];
+            dvar_s = stats[1];
             aln_len_s = stats[2];
             cover_s = stats[3];
             if (!dense) {
@@ -2914,7 +2939,90 @@ long long krun_output_all(
                 buf_put(R->out_fsa, "\n", 1);
             }
         }
+
+        // .mat.gz rows (updateMatrix, assembly.c:85-140)
+        if (want_matrix) {
+            void *h = R->handle_for((int)t);
+            const uint8_t *tcodes = kidx_codes(h);
+            ll cap2 = mat_len * 136 + name_len + 64;
+            for (;;) {
+                fmt.resize((size_t)cap2);
+                ll n = kassem_matrix_rows(
+                    mcounts.data(), mnext.data(), mat_len, (int)t_len,
+                    tcodes, name, name_len, fmt.data(), cap2);
+                if (n >= 0) {
+                    buf_put(R->out_mat, fmt.data(), (size_t)n);
+                    break;
+                }
+                cap2 *= 2;
+            }
+        }
+
+        // .mapstat row (getExtendedFeatures ef.c:48-127 +
+        // printExtendedFeatures ef.c:129-136)
+        if (want_ef) {
+            double var = 0.0;
+            ll out5[5] = {0, 0, 0, 0, 0};
+            ll frag_aln = a_fa, read_aln = a_ra;
+            if (a_score) {
+                double mean = (double)depth_s / (double)t_len;
+                var = (double)dvar_s / (double)t_len - mean * mean;
+                if (var < 0) {
+                    // fixVarOverflow (assembly.c:1656-1680): raw template
+                    // positions only (naive left-to-right accumulation)
+                    double acc = 0.0;
+                    for (ll p = 0; p < t_len; ++p) {
+                        double tot = 0.0;
+                        for (int j = 0; j < 6; ++j)
+                            tot += (double)mcounts[(size_t)p * 6 + j];
+                        double d = tot - mean;
+                        acc += d * d / (double)t_len;
+                    }
+                    var = acc;
+                }
+                double highVar = var >= 0 ? mean + 3.0 * sqrt(var) : 0.0;
+                ll half = (read_aln >> 1) + (read_aln & 1);
+                if (frag_aln < half)
+                    frag_aln = half;
+                worder.resize((size_t)mat_len);
+                kassem_walk(mnext.data(), mat_len, worder.data());
+                void *h = R->handle_for((int)t);
+                const uint8_t *tcodes = kidx_codes(h);
+                kassem_ef(mcounts.data(), worder.data(), tcodes,
+                          (int)t_len, mat_len, highVar, out5);
+            }
+            buf_put(R->out_ef, name, (size_t)name_len);
+            buf_printf(R->out_ef,
+                       "\t%lld\t%lld\t%lld\t%lld\t%lld\t%lld\t%f\t%lld\t"
+                       "%lld\t%lld\t%lld\t%lld\t%lld\t%lld\n",
+                       read_counts[t], fragment_counts[t],
+                       (long long)a_score, aln_len_s, cover_s, depth_s,
+                       var, out5[4], out5[3], out5[0], out5[1], out5[2],
+                       read_aln, frag_aln);
+        }
+
+        // .vcf.gz rows (updateVcf, vcf.c:97-282); t_arr is already
+        // dual-gap-trimmed for !dense, matching the Python caller
+        if (vcf_filt) {
+            ll cap2 = mat_len * (name_len + 224) + 256;
+            for (;;) {
+                fmt.resize((size_t)cap2);
+                ll n = kassem_vcf_rows(
+                    mcounts.data(), mnext.data(), mat_len, (int)t_len,
+                    t_arr.data(), asm_len, name, name_len, evalue,
+                    support, bcd, vcf_filt, base_caller, significant,
+                    fmt.data(), cap2);
+                if (n >= 0) {
+                    buf_put(R->out_vcf, fmt.data(), (size_t)n);
+                    break;
+                }
+                cap2 *= 2;
+            }
+        }
     }
+    *o_mat_len = (ll)R->out_mat.size();
+    *o_vcf_len = (ll)R->out_vcf.size();
+    *o_ef_len = (ll)R->out_ef.size();
     *o_res_len = (ll)R->out_res.size();
     *o_fsa_len = (ll)R->out_fsa.size();
     *o_aln_len = (ll)R->out_aln.size();
@@ -2923,7 +3031,8 @@ long long krun_output_all(
 }
 
 void krun_output_fetch(void *hv, uint8_t *res, uint8_t *fsa, uint8_t *aln,
-                       uint8_t *frag) {
+                       uint8_t *frag, uint8_t *mat, uint8_t *vcf,
+                       uint8_t *ef) {
     Run *R = (Run *)hv;
     if (res && !R->out_res.empty())
         memcpy(res, R->out_res.data(), R->out_res.size());
@@ -2933,14 +3042,17 @@ void krun_output_fetch(void *hv, uint8_t *res, uint8_t *fsa, uint8_t *aln,
         memcpy(aln, R->out_aln.data(), R->out_aln.size());
     if (frag && !R->out_frag.empty())
         memcpy(frag, R->out_frag.data(), R->out_frag.size());
-    R->out_res.clear();
-    R->out_fsa.clear();
-    R->out_aln.clear();
-    R->out_frag.clear();
-    R->out_res.shrink_to_fit();
-    R->out_fsa.shrink_to_fit();
-    R->out_aln.shrink_to_fit();
-    R->out_frag.shrink_to_fit();
+    if (mat && !R->out_mat.empty())
+        memcpy(mat, R->out_mat.data(), R->out_mat.size());
+    if (vcf && !R->out_vcf.empty())
+        memcpy(vcf, R->out_vcf.data(), R->out_vcf.size());
+    if (ef && !R->out_ef.empty())
+        memcpy(ef, R->out_ef.data(), R->out_ef.size());
+    for (auto *b : {&R->out_res, &R->out_fsa, &R->out_aln, &R->out_frag,
+                    &R->out_mat, &R->out_vcf, &R->out_ef}) {
+        b->clear();
+        b->shrink_to_fit();
+    }
 }
 
 long long krun_spool_len(void *hv) { return (ll)((Run *)hv)->spool.size(); }

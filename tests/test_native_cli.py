@@ -47,6 +47,8 @@ def _run_python(args, out):
 @pytest.mark.parametrize("margs", [
     ["-1t1"], [], ["-bcNano", "-bc", "0.7"], ["-mrs", "0.6"],
     ["-mem_mode"],
+    ["-1t1", "-matrix", "-vcf", "-ef"], ["-vcf", "2"],
+    ["-bcNano", "-bc", "0.7", "-matrix", "-vcf", "-ef"],
 ])
 def test_native_cli_matches_python(tmp_path, sim_reads_mod, db50_index,
                                    margs):  # noqa: F811
@@ -61,12 +63,24 @@ def test_native_cli_matches_python(tmp_path, sim_reads_mod, db50_index,
     for ext in (".res", ".fsa", ".aln"):
         assert (tmp_path / ("nat" + ext)).read_bytes() \
             == (tmp_path / ("py" + ext)).read_bytes(), ext
-    with gzip.open(a + ".frag.gz") as f1, gzip.open(b + ".frag.gz") as f2:
-        assert f1.read() == f2.read()
+    gz_exts = [".frag.gz"]
+    if "-matrix" in margs:
+        gz_exts.append(".mat.gz")
+    if "-vcf" in margs:
+        gz_exts.append(".vcf.gz")
+    for ext in gz_exts:
+        with gzip.open(a + ext) as f1, gzip.open(b + ext) as f2:
+            assert f1.read() == f2.read(), ext
+    if "-ef" in margs:
+        # mask the command echo + date lines (ef.c:30-46 metadata)
+        def body(p):
+            return [ln for ln in open(p, "rb").read().splitlines()
+                    if not ln.startswith((b"## command", b"## date"))]
+        assert body(a + ".mapstat") == body(b + ".mapstat")
 
 
 @pytest.mark.parametrize("margs", [
-    ["-ef"], ["-sam"], ["-matrix"], ["-Sparse"],
+    ["-sam"], ["-Sparse"],
     ["-mf", "7"], ["-ID", "0"],
 ])
 def test_native_cli_falls_back(tmp_path, sim_reads_mod, db50_index,
