@@ -162,6 +162,81 @@ int base_call(int base_caller, int significant, double evalue,
     return bn;
 }
 
+// fast unsigned decimal append (all VCF/matrix int fields are >= 0)
+inline long long put_u(unsigned char *buf, unsigned long long v) {
+    char tmp[24];
+    int n = 0;
+    do {
+        tmp[n++] = (char)('0' + (int)(v % 10));
+        v /= 10;
+    } while (v);
+    for (int i = 0; i < n; ++i)
+        buf[i] = (unsigned char)tmp[n - 1 - i];
+    return n;
+}
+
+inline long long put_lit(unsigned char *buf, const char *s) {
+    size_t n = strlen(s);
+    memcpy(buf, s, n);
+    return (long long)n;
+}
+
+// direct-mapped format caches: pileup depths cluster, so the same few
+// doubles are formatted millions of times; keys are exact bit patterns
+struct FmtCache {
+    struct Ent {
+        uint64_t bits;
+        uint8_t len;
+        char str[22];
+    };
+    Ent e[2048] = {};
+    template <typename F>
+    long long put(unsigned char *buf, double v, F fmt) {
+        uint64_t b;
+        memcpy(&b, &v, 8);
+        Ent &x = e[(b ^ (b >> 17) ^ (b >> 41)) & 2047];
+        if (x.bits != b || !x.len) {
+            x.bits = b;
+            x.len = (uint8_t)fmt(x.str, v);
+        }
+        memcpy(buf, x.str, x.len);
+        return x.len;
+    }
+};
+thread_local FmtCache f2_cache, e1_cache;
+
+// value caches on the same principle (exact-bit keys)
+struct ValCache {
+    struct Ent {
+        uint64_t key;
+        double val;
+        bool set;
+    };
+    Ent e[2048] = {};
+    template <typename F>
+    double get(uint64_t key, F calc) {
+        Ent &x = e[(key ^ (key >> 17) ^ (key >> 41)) & 2047];
+        if (!x.set || x.key != key) {
+            x.key = key;
+            x.val = calc();
+            x.set = true;
+        }
+        return x.val;
+    }
+};
+thread_local ValCache pchi_cache, qual_cache;
+
+inline long long put_f2(unsigned char *buf, double v) {
+    return f2_cache.put(buf, v, [](char *s, double x) {
+        return snprintf(s, 22, "%.2f", x);
+    });
+}
+inline long long put_e1(unsigned char *buf, double v) {
+    return e1_cache.put(buf, v, [](char *s, double x) {
+        return snprintf(s, 16, "%4.1e", x);
+    });
+}
+
 // vcf.c NUC2NUM: char -> base index, 8 when unknown
 int nuc2num(int c) {
     switch (c) {
@@ -199,15 +274,17 @@ long long kassem_matrix_rows(const long long *counts, const long long *nxt,
     int64_t pos = 0;
     long long ti = 0;
     for (long long i = 0; i < mat_len; ++i, pos = nxt[pos]) {
-        if (w + 128 > cap)
+        if (w + 136 > cap)
             return -1;
-        buf[w++] = pos < t_len ? BASES[template_codes[ti++]] : '-';
+        unsigned char *p = buf + w;
+        *p++ = pos < t_len ? BASES[template_codes[ti++]] : '-';
         const int64_t *row = cnt + pos * 6;
-        w += snprintf((char *)buf + w, 127,
-                      "\t%lld\t%lld\t%lld\t%lld\t%lld\t%lld\n",
-                      (long long)row[0], (long long)row[1],
-                      (long long)row[2], (long long)row[3],
-                      (long long)row[4], (long long)row[5]);
+        for (int j = 0; j < 6; ++j) {
+            *p++ = '\t';
+            p += put_u(p, (unsigned long long)row[j]);
+        }
+        *p++ = '\n';
+        w = (long long)(p - buf);
     }
     if (w + 1 > cap)
         return -1;
@@ -287,15 +364,19 @@ long long kassem_vcf_rows(const long long *counts, const long long *nxt,
             long long DEL = (long long)row[5];
             long long d2 = depthUpdate - (bestScore << 1);
             double Q = (double)(d2 * d2) / (double)depthUpdate;
-            double P = p_chisqr(Q);
+            uint64_t qb;
+            memcpy(&qb, &Q, 8);
+            double P = pchi_cache.get(qb, [&] { return p_chisqr(Q); });
             bool cond = nuc != bestNuc
                         || (t_len <= next_pos
                             && (ti < assem_len && assem_t[ti] == '-'))
                         || DP < bcd || evalue < P
                         || AD < support * (double)DP;
             if (cond) {
-                long long QUAL =
-                    (long long)(ln_const * log(binP(DP, AD, 0.25)));
+                uint64_t dk = ((uint64_t)DP << 24) ^ (uint64_t)AD;
+                long long QUAL = (long long)qual_cache.get(dk, [&] {
+                    return ln_const * log(binP(DP, AD, 0.25));
+                });
                 if (QUAL < 0 || 3079 < QUAL)
                     QUAL = 3079;
                 const char *FILTER;
@@ -308,45 +389,71 @@ long long kassem_vcf_rows(const long long *counts, const long long *nxt,
                 else
                     FILTER = "FAIL";
                 const char *fcol = filt == 2 ? FILTER : ".";
-                char refb[4], altb[4], pstr[24];
-                if (nuc != '-')
-                    snprintf(refb, 4, "%c", nuc);
-                else
-                    snprintf(refb, 4, "<->");
-                if (bestNuc != '-')
-                    snprintf(altb, 4, "%c", bestNuc);
-                else
-                    snprintf(altb, 4, "<->");
-                if (pos < t_len)
-                    snprintf(pstr, 24, "%lld", (long long)pos + 1);
-                else
-                    snprintf(pstr, 24, "0");
                 if (w + name_len + 256 > cap)
                     return -1;
-                memcpy(buf + w, name, (size_t)name_len);
-                w += name_len;
-                w += snprintf(
-                    (char *)buf + w, 255,
-                    "\t%s\t.\t%s\t%s\t%lld\t%s\tDP=%lld;AD=%lld;"
-                    "AF=%.2f;RAF=%.2f;DEL=%lld;AD6=%lld,%lld,%lld,"
-                    "%lld,%lld,%lld\tQ:P:FT\t%.2f:%4.1e:%s\n",
-                    pstr, refb, altb, QUAL, fcol, DP, AD, AF, RAF, DEL,
-                    (long long)row[0], (long long)row[1],
-                    (long long)row[2], (long long)row[3],
-                    (long long)row[4], (long long)row[5], Q, P, FILTER);
+                unsigned char *p = buf + w;
+                memcpy(p, name, (size_t)name_len);
+                p += name_len;
+                *p++ = '\t';
+                if (pos < t_len)
+                    p += put_u(p, (unsigned long long)(pos + 1));
+                else
+                    *p++ = '0';
+                p += put_lit(p, "\t.\t");
+                if (nuc != '-')
+                    *p++ = (unsigned char)nuc;
+                else
+                    p += put_lit(p, "<->");
+                *p++ = '\t';
+                if (bestNuc != '-')
+                    *p++ = (unsigned char)bestNuc;
+                else
+                    p += put_lit(p, "<->");
+                *p++ = '\t';
+                p += put_u(p, (unsigned long long)QUAL);
+                *p++ = '\t';
+                p += put_lit(p, fcol);
+                p += put_lit(p, "\tDP=");
+                p += put_u(p, (unsigned long long)DP);
+                p += put_lit(p, ";AD=");
+                p += put_u(p, (unsigned long long)AD);
+                p += put_lit(p, ";AF=");
+                p += put_f2(p, AF);
+                p += put_lit(p, ";RAF=");
+                p += put_f2(p, RAF);
+                p += put_lit(p, ";DEL=");
+                p += put_u(p, (unsigned long long)DEL);
+                p += put_lit(p, ";AD6=");
+                for (int j = 0; j < 6; ++j) {
+                    p += put_u(p, (unsigned long long)row[j]);
+                    *p++ = j < 5 ? ',' : '\t';
+                }
+                p += put_lit(p, "Q:P:FT\t");
+                p += put_f2(p, Q);
+                *p++ = ':';
+                p += put_e1(p, P);
+                *p++ = ':';
+                p += put_lit(p, FILTER);
+                *p++ = '\n';
+                w = (long long)(p - buf);
             }
         } else if (pos < t_len) {
-            const char *FILTER = "FAIL";
-            const char *fcol = filt == 2 ? FILTER : ".";
+            // zero-depth row: all-literal tail ("%4.1e" of 1.0)
+            const char *fcol = filt == 2 ? "FAIL" : ".";
             if (w + name_len + 160 > cap)
                 return -1;
-            memcpy(buf + w, name, (size_t)name_len);
-            w += name_len;
-            w += snprintf(
-                (char *)buf + w, 159,
-                "\t%lld\t.\t%c\t.\t0\t%s\tDP=0;AD=0;AF=0.00;RAF=0.00;"
-                "DEL=0;AD6=0,0,0,0,0,0\tQ:P:FT\t0.00:%4.1e:%s\n",
-                (long long)pos + 1, nuc, fcol, 1.0, FILTER);
+            unsigned char *p = buf + w;
+            memcpy(p, name, (size_t)name_len);
+            p += name_len;
+            *p++ = '\t';
+            p += put_u(p, (unsigned long long)(pos + 1));
+            p += put_lit(p, "\t.\t");
+            *p++ = (unsigned char)nuc;
+            p += put_lit(p, "\t.\t0\t");
+            p += put_lit(p, fcol);
+            p += put_lit(p, "\tDP=0;AD=0;AF=0.00;RAF=0.00;DEL=0;"
+                            "AD6=0,0,0,0,0,0\tQ:P:FT\t0.00:1.0e+00:FAIL\n");
+            w = (long long)(p - buf);
         }
         if (next_pos == 0)
             break;

@@ -799,6 +799,18 @@ int main(int argc, char **argv) {
         vcfb(lv ? lv : 1), efb(le ? le : 1);
     krun_output_fetch(R, res.data(), fsa.data(), aln.data(), frag.data(),
                       mat.data(), vcfb.data(), efb.data());
+    // gz compression is the expensive tail: the three gz artifacts are
+    // independent files, so deflate them on parallel threads while the
+    // main thread writes the plain-text outputs
+    std::vector<std::thread> gzw;
+    if (!cfg.nf)
+        gzw.emplace_back([&] {
+            write_gz(cfg.out + ".frag.gz", frag.data(), lg);
+        });
+    if (cfg.print_matrix)
+        gzw.emplace_back([&] {
+            write_gz(cfg.out + ".mat.gz", mat.data(), lm);
+        });
     write_file(cfg.out + ".res",
                "#Template\tScore\tExpected\tTemplate_length\t"
                "Template_Identity\tTemplate_Coverage\tQuery_Identity\t"
@@ -808,10 +820,6 @@ int main(int argc, char **argv) {
         write_file(cfg.out + ".fsa", nullptr, fsa.data(), lf);
     if (want_aln)
         write_file(cfg.out + ".aln", nullptr, aln.data(), la);
-    if (!cfg.nf)
-        write_gz(cfg.out + ".frag.gz", frag.data(), lg);
-    if (cfg.print_matrix)
-        write_gz(cfg.out + ".mat.gz", mat.data(), lm);
     if (cfg.vcf) {
         // initialiseVcf (vcf.c:46-95) — same lines as out/vcf.vcf_header
         const char *slash = strrchr(cfg.t_db.c_str(), '/');
@@ -839,21 +847,25 @@ int main(int argc, char **argv) {
             "Description=\"Filter\">\n"
             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
             + base + "\n";
-        gzFile g = gzopen((cfg.out + ".vcf.gz").c_str(), "wb1");
-        if (!g)
-            die("cannot open .vcf.gz for writing");
-        if (gzwrite(g, head.data(), (unsigned)head.size())
-                != (int)head.size())
-            die("gzwrite failed");
-        ll w = 0;
-        while (w < lv) {
-            unsigned chunk = (unsigned)((lv - w) > (1 << 28) ? (1 << 28)
-                                                             : (lv - w));
-            if (gzwrite(g, vcfb.data() + w, chunk) != (int)chunk)
+        static std::string vcf_head;   // outlives the writer thread
+        vcf_head = head;
+        gzw.emplace_back([&, lv] {
+            gzFile g = gzopen((cfg.out + ".vcf.gz").c_str(), "wb1");
+            if (!g)
+                die("cannot open .vcf.gz for writing");
+            if (gzwrite(g, vcf_head.data(), (unsigned)vcf_head.size())
+                    != (int)vcf_head.size())
                 die("gzwrite failed");
-            w += chunk;
-        }
-        gzclose(g);
+            ll w = 0;
+            while (w < lv) {
+                unsigned chunk = (unsigned)(
+                    (lv - w) > (1 << 28) ? (1 << 28) : (lv - w));
+                if (gzwrite(g, vcfb.data() + w, chunk) != (int)chunk)
+                    die("gzwrite failed");
+                w += chunk;
+            }
+            gzclose(g);
+        });
     }
     if (cfg.ef) {
         // initExtendedFeatures (ef.c:30-46) — writers.mapstat_header
@@ -885,6 +897,8 @@ int main(int argc, char **argv) {
             fwrite(efb.data(), 1, (size_t)le, f);
         fclose(f);
     }
+    for (auto &th : gzw)
+        th.join();
     fprintf(stderr,
             "# Total time used for local assembly: %.2f s.\n#\n"
             "# Closing files\n",

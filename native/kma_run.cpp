@@ -2946,7 +2946,9 @@ long long krun_output_all(
             const uint8_t *tcodes = kidx_codes(h);
             ll cap2 = mat_len * 136 + name_len + 64;
             for (;;) {
-                fmt.resize((size_t)cap2);
+                if ((ll)fmt.size() < cap2)
+                    fmt.resize((size_t)cap2);
+                cap2 = (ll)fmt.size();
                 ll n = kassem_matrix_rows(
                     mcounts.data(), mnext.data(), mat_len, (int)t_len,
                     tcodes, name, name_len, fmt.data(), cap2);
@@ -3006,7 +3008,9 @@ long long krun_output_all(
         if (vcf_filt) {
             ll cap2 = mat_len * (name_len + 224) + 256;
             for (;;) {
-                fmt.resize((size_t)cap2);
+                if ((ll)fmt.size() < cap2)
+                    fmt.resize((size_t)cap2);
+                cap2 = (ll)fmt.size();
                 ll n = kassem_vcf_rows(
                     mcounts.data(), mnext.data(), mat_len, (int)t_len,
                     t_arr.data(), asm_len, name, name_len, evalue,
