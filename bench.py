@@ -1,11 +1,13 @@
 """Benchmark: the five BASELINE.md configs + the device scan headline.
 
 Measures, on this host:
-  1. se_1t1      -- 20k x 100bp SE reads vs ResFinder, -1t1
-  2. pe_apm      -- 10k pairs (insert 205), -apm p
-  3. ont_bcnano  -- 2k chimeric long reads, -bcNano -bc 0.7
-  4. ont_mem     -- same long reads, -mem_mode
-  5. mh_scaling  -- 2-process jax.distributed CPU run, reads/s efficiency
+  1. se_1t1        -- 20k x 100bp SE reads vs ResFinder, -1t1
+  2. pe_apm        -- 10k pairs (insert 205), -apm p
+  3. ont_bcnano    -- 2k chimeric long reads, -bcNano -bc 0.7
+  4. ont_mem       -- same long reads, -mem_mode
+  5. full_outputs  -- BASELINE config 5 shape: -1t1 -matrix -vcf -ef
+  6. mh_scaling    -- 2-process jax.distributed CPU run, efficiency =
+                      reads/s_2proc / (2 * reads/s_1proc)
 plus the TPU step-2 scan throughput (DenseScanner) with a host-parity
 assertion (the device result must match the host scanner on the same
 reads; a mismatch zeroes the metric).
@@ -165,8 +167,25 @@ def _run_wall(cmd, env=None):
     return time.time() - t0, r.returncode
 
 
-def e2e_config(name, n_frags, ref_args, my_args, out_ref, out_my):
-    """One e2e row: best-of-2 subprocess walls, byte-compared .res."""
+def _t4(args):
+    out = list(args)
+    for i, a in enumerate(out):
+        if a == "-t" and i + 1 < len(out):
+            out[i + 1] = "4"
+    return out
+
+
+def _gz_eq(a, b):
+    import gzip
+    with gzip.open(a) as f1, gzip.open(b) as f2:
+        return f1.read() == f2.read()
+
+
+def e2e_config(name, n_frags, ref_args, my_args, out_ref, out_my,
+               extra_parity=()):
+    """One e2e row: best-of-3 subprocess walls, byte-compared .res (plus
+    ``extra_parity`` artifacts: '.x.gz' members are gzip-decompressed,
+    '.mapstat' compared modulo the command/date echo)."""
     kma = REF_BUILD / "kma"
     row = {"n": n_frags}
     if kma.exists():
@@ -177,16 +196,32 @@ def e2e_config(name, n_frags, ref_args, my_args, out_ref, out_my):
              for _ in range(3))
     row["wall_s"] = round(my, 3)
     row["reads_per_sec"] = round(n_frags / my, 1)
-    # auxiliary: our multithreaded wall (outputs stay deterministic)
-    t4 = [a if a != "1" or my_args[my_args.index(a) - 1] != "-t" else "4"
-          for a in my_args]
-    my4 = _run_wall([str(REPO / "bin" / "kma")] + t4)[0]
+    # auxiliary: the -t 4 walls on both sides (outputs deterministic for
+    # ours; the multithreaded reference is the bar a whole chip clears)
+    my4 = _run_wall([str(REPO / "bin" / "kma")] + _t4(my_args))[0]
     row["wall_t4_s"] = round(my4, 3)
     if kma.exists():
+        ref4 = _run_wall([str(kma)] + _t4(ref_args))[0]
+        row["ref_wall_t4_s"] = round(ref4, 3)
         row["vs_ref"] = round(row["reads_per_sec"]
                               / row["ref_reads_per_sec"], 3)
         parity = Path(out_ref + ".res").read_bytes() \
             == Path(out_my + ".res").read_bytes()
+        for ext in extra_parity:
+            if not parity:
+                break
+            if ext.endswith(".gz"):
+                parity = _gz_eq(out_ref + ext, out_my + ext)
+            elif ext == ".mapstat":
+                mask = (b"## command", b"## date")
+                a = [ln for ln in Path(out_ref + ext).read_bytes()
+                     .splitlines() if not ln.startswith(mask)]
+                b = [ln for ln in Path(out_my + ext).read_bytes()
+                     .splitlines() if not ln.startswith(mask)]
+                parity = a == b
+            else:
+                parity = Path(out_ref + ext).read_bytes() \
+                    == Path(out_my + ext).read_bytes()
         row["parity"] = bool(parity)
         if not parity:
             row["reads_per_sec"] = 0.0
@@ -427,6 +462,15 @@ def main():
         ["-i", ont, "-t_db", db_prefix, "-o", "/tmp/bmy4", "-mem_mode",
          "-t", "1", "-device", "off"],
         "/tmp/bref4", "/tmp/bmy4")
+    # BASELINE config 5 shape: ConClave + matrix + VCF + mapstat
+    configs["full_outputs"] = e2e_config(
+        "full_outputs", N_READS,
+        ["-i", reads, "-t_db", db_prefix, "-o", "/tmp/bref5", "-1t1",
+         "-matrix", "-vcf", "-ef", "-t", "1"],
+        ["-i", reads, "-t_db", db_prefix, "-o", "/tmp/bmy5", "-1t1",
+         "-matrix", "-vcf", "-ef", "-t", "1", "-device", "off"],
+        "/tmp/bref5", "/tmp/bmy5",
+        extra_parity=(".mat.gz", ".vcf.gz", ".mapstat", ".fsa", ".aln"))
     try:
         configs["mh_scaling"] = mh_scaling(db_prefix)
     except Exception as e:  # pragma: no cover - never block the headline
@@ -437,14 +481,15 @@ def main():
         print("# device backend unreachable; scan metric skipped",
               file=sys.stderr)
         ratios = [configs[c].get("vs_ref", 0.0)
-                  for c in ("se_1t1", "pe_apm", "ont_bcnano", "ont_mem")]
+                  for c in ("se_1t1", "pe_apm", "ont_bcnano", "ont_mem",
+                            "full_outputs")]
         geo = float(np.exp(np.mean(np.log(ratios)))) if all(ratios) \
             else 0.0
         print(json.dumps({
             "metric": "e2e_mapping_reads_per_sec",
             "value": configs["se_1t1"].get("reads_per_sec", 0.0),
             "unit": "reads/s e2e (SE -1t1 vs ResFinder, -t 1, byte "
-                    "parity; vs_baseline = geomean speedup over the 4 "
+                    "parity; vs_baseline = geomean speedup over the 5 "
                     "configs)",
             "vs_baseline": round(geo, 4),
             "note": "device backend unreachable (tunnel down)",
@@ -471,14 +516,15 @@ def main():
     # geometric mean over the four single-host BASELINE configs (byte
     # parity enforced per config; a parity failure zeroes its row)
     ratios = [configs[c].get("vs_ref", 0.0)
-              for c in ("se_1t1", "pe_apm", "ont_bcnano", "ont_mem")]
+              for c in ("se_1t1", "pe_apm", "ont_bcnano", "ont_mem",
+                        "full_outputs")]
     geo = float(np.exp(np.mean(np.log(ratios)))) if all(ratios) else 0.0
     se_rps = configs["se_1t1"].get("reads_per_sec", 0.0)
     out = {
         "metric": "e2e_mapping_reads_per_sec",
         "value": se_rps,
         "unit": "reads/s e2e (SE -1t1 vs ResFinder, -t 1, byte parity; "
-                "vs_baseline = geomean speedup over the 4 configs)",
+                "vs_baseline = geomean speedup over the 5 configs)",
         "vs_baseline": round(geo, 4),
         "configs": configs,
     }

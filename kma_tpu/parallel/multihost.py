@@ -42,6 +42,62 @@ def _allgather_blob(blob: bytes) -> List[bytes]:
             for p in range(gathered.shape[0])]
 
 
+def _allgather_arr(a: np.ndarray) -> List[np.ndarray]:
+    """All-gather one ragged 1-D array per process (padded to max).
+
+    Gathers raw bytes: jax.numpy would silently downcast int64 payloads
+    without the x64 flag, so the dtype is re-applied after the gather."""
+    from jax.experimental import multihost_utils as mh
+
+    dt = np.asarray(a).dtype
+    raw = np.ascontiguousarray(a).view(np.uint8).ravel()
+    sizes = mh.process_allgather(np.array([len(raw)], np.int64))
+    cap = max(int(sizes.max()), 1)
+    padded = np.zeros(cap, np.uint8)
+    padded[: len(raw)] = raw
+    g = mh.process_allgather(padded)
+    return [np.ascontiguousarray(g[p, : int(sizes[p, 0])]).view(dt)
+            for p in range(g.shape[0])]
+
+
+def _merge_ragged(flats: List[np.ndarray], offs: List[np.ndarray],
+                  order: np.ndarray):
+    """Merge per-process (flat, offsets) ragged arrays into one flat
+    array whose records follow ``order`` over the concatenated records."""
+    lens = np.concatenate([np.diff(o) for o in offs])
+    bases = np.cumsum([0] + [len(f) for f in flats[:-1]])
+    starts = np.concatenate([np.asarray(o[:-1], np.int64) + b
+                             for o, b in zip(offs, bases)])
+    flat = np.concatenate(flats) if sum(len(f) for f in flats) \
+        else np.zeros(0, flats[0].dtype)
+    l2 = np.ascontiguousarray(lens[order], np.int64)
+    s2 = np.ascontiguousarray(starts[order], np.int64)
+    total = int(l2.sum())
+    noff = np.zeros(len(order) + 1, np.int64)
+    np.cumsum(l2, out=noff[1:])
+    if not total:
+        return np.zeros(0, flat.dtype), noff
+    from ..run_native import get_lib
+    lib = get_lib()
+    if lib is not None:
+        import ctypes
+        es = flat.dtype.itemsize
+        out = np.empty(total, flat.dtype)
+        u8 = ctypes.POINTER(ctypes.c_uint8)
+        i64 = ctypes.POINTER(ctypes.c_longlong)
+        flat = np.ascontiguousarray(flat)
+        lib.krun_ragged_gather(
+            flat.view(np.uint8).ctypes.data_as(u8),
+            (s2 * es).ctypes.data_as(i64),
+            (l2 * es).ctypes.data_as(i64), len(order),
+            out.view(np.uint8).ctypes.data_as(u8))
+        return out, noff
+    base = np.repeat(s2, l2)
+    rel = np.arange(total, dtype=np.int64) \
+        - np.repeat(np.cumsum(l2) - l2, l2)
+    return np.ascontiguousarray(flat[base + rel]), noff
+
+
 def run_kma_multihost(db_prefix: str, output_prefix: str,
                       input_files: List[str], cfg, exe_cmd: str,
                       coordinator: str, num_processes: int,
@@ -68,10 +124,168 @@ def run_kma_multihost(db_prefix: str, output_prefix: str,
     alignment_scores = g.sum(axis=0)
     g = mh.process_allgather(np.asarray(part["uniq_alignment_scores"]))
     uniq_alignment_scores = g.sum(axis=0)
-    g = mh.process_allgather(np.array([part["tot_frags"]], np.int64))
-    tot_frags = int(g.sum())
+    # every rank counts the GLOBAL fragment stream while sharding
+    # ownership (pipeline._shard_reads ordinals), so the totals agree
+    tot_frags = int(part["tot_frags"])
 
-    # candidate-record merge: gather + order by global read ordinal
+    names = part["names"]
+    if part.get("ndrv") is not None:
+        # fast path: the per-rank spools are flat native arrays — gather
+        # them, merge by global read ordinal, and import the merged spool
+        # into rank 0's native driver for native ConClave + output
+        # (the spltdb.c:625 reducer merge over DCN, no Python records)
+        import time as _time
+        sp = part["spool"]
+        _tg = _time.time()
+        gathered = [_allgather_arr(x) for x in sp]
+        _tg = _time.time() - _tg
+        n_local = len(sp[0])
+        n_total = sum(len(g) for g in gathered[0])
+        print("# multihost: %d processes, %d local / %d total spool "
+              "records (gather %.2f s)"
+              % (num_processes, n_local, n_total, _tg), file=sys.stderr)
+        # EVERY rank merges the identical global spool: ConClave is then
+        # replicated (deterministic) so each rank can emit its 1/N slice
+        # of the per-template output stage below
+        _t0 = _time.time()
+        ordv = np.concatenate(gathered[4])
+        order = np.argsort(ordv, kind="stable")
+
+        def cat(i):
+            return np.concatenate(gathered[i])[order]
+
+        q_len, best_hits, score, flag = (cat(0), cat(1), cat(2), cat(3))
+        mflag = cat(17)
+        tpl, t_off = _merge_ragged(gathered[5], gathered[8], order)
+        starts, _ = _merge_ragged(gathered[6], gathered[8], order)
+        ends, _ = _merge_ragged(gathered[7], gathered[8], order)
+        cod, cod_off = _merge_ragged(gathered[9], gathered[10], order)
+        hdr, hdr_off = _merge_ragged(gathered[11], gathered[12], order)
+        mcod, mcod_off = _merge_ragged(gathered[13], gathered[14], order)
+        mhdr, mhdr_off = _merge_ragged(gathered[15], gathered[16], order)
+        ndrv = part["ndrv"]
+        ndrv.spool_import((q_len, best_hits, score, flag, ordv[order],
+                           tpl, starts, ends, t_off, cod, cod_off, hdr,
+                           hdr_off, mcod, mcod_off, mhdr, mhdr_off,
+                           mflag))
+        ndrv.scores_set(alignment_scores, uniq_alignment_scores)
+        _t1 = _time.time()
+
+        # the per-template output stage is independent work -- distribute
+        # it round-robin over the ranks (spltdb.c:1049's shard-assembly
+        # role) when the native fast path applies, stitching the streams
+        # back by template id on rank 0
+        eligible = (not cfg.sasm and not cfg.dense and not cfg.verbose
+                    and not (cfg.tsv or cfg.xml or cfg.sam)
+                    and cfg.ID_t != 0.0)
+        if not eligible:
+            if process_id != 0:
+                return 0
+            rc = _conclave_and_output(
+                None, part["db_size"], part["template_lengths"],
+                lambda t: names[t - 1].decode("latin1"), part["store"],
+                alignment_scores, uniq_alignment_scores, cfg,
+                part["rew"], part["points"], part["kmersize"], db_prefix,
+                output_prefix, exe_cmd, tot_frags,
+                sam_init=lambda out: _sam_init_single(
+                    names, part["template_lengths"], exe_cmd, out),
+                ndrv=ndrv)
+            _t2 = _time.time()
+            print("# multihost: rank-0 merge %.2f s, conclave+output "
+                  "%.2f s" % (_t1 - _t0, _t2 - _t1), file=sys.stderr)
+            return rc
+
+        import os as _os
+
+        from ..assemble import native_assem as _na
+        from ..out import writers
+        from ..pipeline import CMP_CODE
+
+        cfg_names = [b""] + list(names)
+        db_size = int(part["db_size"])
+        template_lengths = part["template_lengths"]
+        tot_ulen = int(np.asarray(template_lengths[1:db_size]).sum())
+        # replicated ConClave (deterministic on the identical merged
+        # spool + summed score arrays)
+        w_scores, fragment_counts, read_counts = ndrv.conclave(
+            cfg.conclave, cfg.lc, tot_ulen, cfg.score_t, cfg.evalue,
+            cfg.cmp_mode, cfg.max_frag)
+        a, u = ndrv.scores()
+        alignment_scores[:] = a
+        uniq_alignment_scores[:] = u
+        Nhits = int(np.asarray(w_scores[1:]).sum()) or 1
+        rew = part["rew"]
+        want_fsa = (cfg.nc & 1) == 0 or (cfg.nc & 2) == 0
+        want_aln = (cfg.nc & 2) == 0
+        *seven, segs = ndrv.output_all(
+            w_scores, cfg_names, cfg, rew.Wl, tot_ulen, Nhits, cfg.bcd,
+            _na.BASE_CALLERS[cfg.base_caller],
+            _na.SIGNIFICANTS[cfg.significant], CMP_CODE[cfg.cmp_mode],
+            want_fsa, want_aln, not cfg.nf,
+            want_matrix=cfg.print_matrix, vcf_filt=cfg.vcf,
+            want_ef=cfg.ef, fragment_counts=fragment_counts,
+            read_counts=read_counts,
+            t_stride=(num_processes, process_id), want_segments=True)
+        blob = pickle.dumps((seven, segs),
+                            protocol=pickle.HIGHEST_PROTOCOL)
+        blobs = _allgather_blob(blob)
+        _t2 = _time.time()
+        if process_id != 0:
+            return 0
+
+        # stitch the 7 streams back into template-id order
+        parts = [pickle.loads(b) for b in blobs]
+        stitched = []
+        entries = []   # (template, rank, start7[7], len7[7])
+        for r, (_bufs, (seg_tpl, seg_lens)) in enumerate(parts):
+            offs = np.zeros((len(seg_tpl) + 1, 7), np.int64)
+            np.cumsum(seg_lens, axis=0, out=offs[1:])
+            for i, t in enumerate(np.asarray(seg_tpl).tolist()):
+                entries.append((t, r, offs[i], seg_lens[i]))
+        entries.sort(key=lambda e: e[0])
+        for s in range(7):
+            chunks = []
+            for t, r, off, ln in entries:
+                if ln[s]:
+                    b = parts[r][0][s]
+                    chunks.append(b[int(off[s]): int(off[s] + ln[s])])
+            stitched.append(b"".join(chunks))
+        res_b, fsa_b, aln_b, frag_b, mat_b, vcf_b, ef_b = stitched
+
+        with open(output_prefix + ".res", "wb") as f:
+            f.write(writers.RES_HEADER.encode("latin1"))
+            f.write(res_b)
+        if want_fsa:
+            with open(output_prefix + ".fsa", "wb") as f:
+                f.write(fsa_b)
+        if want_aln:
+            with open(output_prefix + ".aln", "wb") as f:
+                f.write(aln_b)
+        if not cfg.nf:
+            with writers.open_gz(output_prefix + ".frag.gz") as f:
+                f.write(frag_b)
+        if cfg.print_matrix:
+            with writers.open_gz(output_prefix + ".mat.gz") as f:
+                f.write(mat_b)
+        if cfg.vcf:
+            from ..out.vcf import vcf_header
+            with writers.open_gz(output_prefix + ".vcf.gz") as f:
+                f.write(vcf_header(db_prefix))
+                f.write(vcf_b)
+        if cfg.ef:
+            with open(output_prefix + ".mapstat", "wb") as f:
+                f.write(writers.mapstat_header(
+                    _os.path.basename(db_prefix), tot_frags,
+                    exe_cmd).encode("latin1"))
+                f.write(ef_b)
+        _t3 = _time.time()
+        print("# multihost: rank-0 merge %.2f s, conclave+output(1/%d) "
+              "%.2f s, stitch+write %.2f s"
+              % (_t1 - _t0, num_processes, _t2 - _t1, _t3 - _t2),
+              file=sys.stderr)
+        return 0
+
+    # fallback: Python records over pickle (non-fused configurations)
     blob = pickle.dumps((part["rec_ords"], part["records"]),
                         protocol=pickle.HIGHEST_PROTOCOL)
     blobs = _allgather_blob(blob)
@@ -91,7 +305,6 @@ def run_kma_multihost(db_prefix: str, output_prefix: str,
     order = np.argsort(np.asarray(ords, np.int64), kind="stable")
     records = [records[i] for i in order]
 
-    names = part["names"]
     return _conclave_and_output(
         records, part["db_size"], part["template_lengths"],
         lambda t: names[t - 1].decode("latin1"), part["store"],

@@ -2051,18 +2051,25 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         # alignment_scores before ConClave (runkma.c:1154-1156)
         alignment_scores[:] = soft_proxi[:db_size]
     if collect:
+        out = {"alignment_scores": alignment_scores,
+               "uniq_alignment_scores": uniq_alignment_scores,
+               "tot_frags": n_frags, "db_size": db_size,
+               "template_lengths": template_lengths, "names": names,
+               "store": store, "rew": rew, "points": points,
+               "kmersize": kmersize, "ndrv": None, "spool": None,
+               "records": None, "rec_ords": None}
         if fused is not None:
-            records, rec_ords = _fused_collect_records(fused)
+            # fast path: hand the native driver + raw spool arrays to the
+            # multihost reducer (no Python record conversion)
             a, u = fused.scores()
             alignment_scores[:] = a
             uniq_alignment_scores[:] = u
-        return {"records": records, "rec_ords": rec_ords,
-                "alignment_scores": alignment_scores,
-                "uniq_alignment_scores": uniq_alignment_scores,
-                "tot_frags": n_frags, "db_size": db_size,
-                "template_lengths": template_lengths, "names": names,
-                "store": store, "rew": rew, "points": points,
-                "kmersize": kmersize}
+            out["ndrv"] = fused
+            out["spool"] = fused.spool_export()
+        else:
+            out["records"] = records
+            out["rec_ords"] = rec_ords
+        return out
     # stage lines in the reference's kmaPipe order; -status switches to
     # the forked-pipe TIMED variants (kmers.c:267/269, runkma.c:554-560)
     _map_dt = time.process_time() - _t_stage

@@ -111,6 +111,13 @@ def get_lib():
     lib.krun_map_se_batch.argtypes = [
         _vp, _u8p, _i64p, _u8p, _i64p, _i64p, ctypes.c_int]
     lib.krun_scores.argtypes = [_vp, _i64p, _i64p]
+    lib.krun_scores_set.argtypes = [_vp, _i64p, _i64p]
+    lib.krun_ragged_gather.argtypes = [_u8p, _i64p, _i64p,
+                                       ctypes.c_longlong, _u8p]
+    lib.krun_spool_import.argtypes = [
+        _vp, ctypes.c_longlong, _i32p, _i32p, _i64p, _i32p, _i64p,
+        _i32p, _i32p, _i32p, _i64p, _u8p, _i64p, _u8p, _i64p, _u8p,
+        _i64p, _u8p, _i64p, _i32p]
     lib.krun_conclave.argtypes = [
         _vp, ctypes.c_int, ctypes.c_int, _i64p, _i64p, _i64p,
         ctypes.c_longlong, ctypes.c_double, ctypes.c_double, ctypes.c_int,
@@ -152,12 +159,16 @@ def get_lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, _i64p, _i64p,
+        ctypes.c_int, ctypes.c_int,
         ctypes.c_longlong, ctypes.c_int,
         ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         _i64p, _i64p, _i64p, _i64p, _i64p, _i64p, _i64p]
     lib.krun_output_fetch.argtypes = [_vp, _u8p, _u8p, _u8p, _u8p, _u8p,
                                       _u8p, _u8p]
+    lib.krun_output_nseg.restype = ctypes.c_longlong
+    lib.krun_output_nseg.argtypes = [_vp]
+    lib.krun_output_segments.argtypes = [_vp, _i32p, _i64p]
     _lib = lib
     return _lib
 
@@ -332,7 +343,8 @@ class RunDriver:
                    want_fsa: bool, want_aln: bool, want_frag: bool,
                    want_matrix: bool = False, vcf_filt: int = 0,
                    want_ef: bool = False, fragment_counts=None,
-                   read_counts=None):
+                   read_counts=None, t_stride=(1, 0),
+                   want_segments: bool = False):
         """Native output stage fast path (runkma.c:763-863): assembles
         every passing template and formats .res/.fsa/.aln/.frag rows —
         plus optional .mat.gz/.vcf.gz/.mapstat rows (assembly.c:85,
@@ -362,6 +374,7 @@ class RunDriver:
             1 if want_frag else 0,
             1 if want_matrix else 0, int(vcf_filt), 1 if want_ef else 0,
             fc.ctypes.data_as(_i64p), rc.ctypes.data_as(_i64p),
+            int(t_stride[0]), int(t_stride[1]),
             Wl_raw, cfg.min_len, cfg.mq,
             cfg.score_t, cfg.mrc, 1 if cfg.circular else 0, cfg.ts,
             1 if cfg.skip_tail_aln else 0, 1 if cfg.dense else 0,
@@ -371,10 +384,20 @@ class RunDriver:
             lens[6:].ctypes.data_as(_i64p))
         if r < 0:
             raise RuntimeError("krun_output_all failed")
+        segs = None
+        if want_segments:
+            ns = int(self._lib.krun_output_nseg(self._h))
+            seg_tpl = np.zeros(max(ns, 1), np.int32)
+            seg_lens = np.zeros(max(ns, 1) * 7, np.int64)
+            self._lib.krun_output_segments(
+                self._h, seg_tpl.ctypes.data_as(_i32p),
+                seg_lens.ctypes.data_as(_i64p))
+            segs = (seg_tpl[:ns], seg_lens[: ns * 7].reshape(ns, 7))
         bufs = [np.empty(max(1, int(n)), np.uint8) for n in lens]
         self._lib.krun_output_fetch(
             self._h, *(b.ctypes.data_as(_u8p) for b in bufs))
-        return tuple(bufs[i][: int(lens[i])].tobytes() for i in range(7))
+        out = tuple(bufs[i][: int(lens[i])].tobytes() for i in range(7))
+        return (out + (segs,)) if want_segments else out
 
     def stage_template(self, t: int):
         """Per-template fragment stage for assembly: (q_len, best_hits,
@@ -459,6 +482,35 @@ class RunDriver:
         return (q_len, best_hits, score, flag, ordv, tpl, starts, ends,
                 t_off, cod, cod_off, hdr, hdr_off, mcod, mcod_off, mhdr,
                 mhdr_off, mflag)
+
+    def spool_import(self, arrs):
+        """Replace the driver's spool with merged flat arrays (the
+        spool_export layout) — the multi-host rank-0 reduce."""
+        n = len(arrs[0])
+        # keep 1-element placeholders alive for empty slices
+        arrs = [np.ascontiguousarray(a) if len(a)
+                else np.zeros(1, np.asarray(a).dtype) for a in arrs]
+        (q_len, best_hits, score, flag, ordv, tpl, starts, ends, t_off,
+         cod, cod_off, hdr, hdr_off, mcod, mcod_off, mhdr, mhdr_off,
+         mflag) = arrs
+
+        def _p(a, t):
+            return a.ctypes.data_as(t)
+        self._lib.krun_spool_import(
+            self._h, n, _p(q_len, _i32p), _p(best_hits, _i32p),
+            _p(score, _i64p), _p(flag, _i32p), _p(ordv, _i64p),
+            _p(tpl, _i32p), _p(starts, _i32p), _p(ends, _i32p),
+            t_off.ctypes.data_as(_i64p), _p(cod, _u8p),
+            cod_off.ctypes.data_as(_i64p), _p(hdr, _u8p),
+            hdr_off.ctypes.data_as(_i64p), _p(mcod, _u8p),
+            mcod_off.ctypes.data_as(_i64p), _p(mhdr, _u8p),
+            mhdr_off.ctypes.data_as(_i64p), _p(mflag, _i32p))
+
+    def scores_set(self, alignment_scores, uniq_alignment_scores):
+        a = np.ascontiguousarray(alignment_scores, np.int64)
+        u = np.ascontiguousarray(uniq_alignment_scores, np.int64)
+        self._lib.krun_scores_set(self._h, a.ctypes.data_as(_i64p),
+                                  u.ctypes.data_as(_i64p))
 
 
 def make_run_driver(idx: KmaIndex, pen: Penalties,

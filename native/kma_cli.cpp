@@ -69,7 +69,7 @@ ll krun_output_all(void *hv, const ll *w_scores, const uint8_t *names_flat,
                    int ref_fsa, int want_fsa, int want_aln, int want_frag,
                    int want_matrix, int vcf_filt, int want_ef,
                    const ll *fragment_counts, const ll *read_counts,
-                   ll Wl_raw, int minlen, int mq, double scoreT, double mrc,
+                   int t_mod, int t_res, ll Wl_raw, int minlen, int mq, double scoreT, double mrc,
                    int circular, int ts, int skip_tails, int dense,
                    ll *o_res_len, ll *o_fsa_len, ll *o_aln_len,
                    ll *o_frag_len, ll *o_mat_len, ll *o_vcf_len,
@@ -790,7 +790,7 @@ int main(int argc, char **argv) {
                         cfg.Depth_t, cfg.bcd, cfg.support, cfg.base_caller,
                         cfg.significant, 0, want_fsa, want_aln,
                         cfg.nf ? 0 : 1, cfg.print_matrix ? 1 : 0, cfg.vcf,
-                        cfg.ef ? 1 : 0, fc.data(), rc.data(), cfg.Wl,
+                        cfg.ef ? 1 : 0, fc.data(), rc.data(), 1, 0, cfg.Wl,
                         (int)cfg.min_len, cfg.mq, cfg.score_t, cfg.mrc, 0,
                         0, 0, 0, &lr, &lf, &la, &lg, &lm, &lv, &le) < 0)
         die("output failed");

@@ -324,6 +324,10 @@ struct Run {
     // krun_output_all buffers (fetched then cleared by Python)
     std::vector<uint8_t> out_res, out_fsa, out_aln, out_frag;
     std::vector<uint8_t> out_mat, out_vcf, out_ef;
+    // per-printed-template segment table: template id + the 7 buffer
+    // byte counts it contributed (multi-host by-template stitch)
+    std::vector<int32_t> seg_tpl;
+    std::vector<ll> seg_lens;
 
     // KMA_RUN_PROF=1 phase timing (seconds)
     double t_scan = 0, t_build = 0, t_score = 0, t_spool = 0;
@@ -2174,6 +2178,64 @@ void krun_scores(void *hv, long long *alignment_scores,
            R->uniq_alignment_scores.size() * sizeof(ll));
 }
 
+// Overwrite the global score arrays with externally reduced values (the
+// multi-host all-reduce of updatescores.c:217-281's accumulators).
+void krun_scores_set(void *hv, const long long *alignment_scores,
+                     const long long *uniq_alignment_scores) {
+    Run *R = (Run *)hv;
+    memcpy(R->alignment_scores.data(), alignment_scores,
+           R->alignment_scores.size() * sizeof(ll));
+    memcpy(R->uniq_alignment_scores.data(), uniq_alignment_scores,
+           R->uniq_alignment_scores.size() * sizeof(ll));
+}
+
+// Ragged segment gather: out = concat(flat[starts[i] : starts[i]+lens[i]])
+// (byte offsets/lengths).  The multi-host merge's reorder of per-record
+// slices — one memcpy per record instead of numpy index arithmetic.
+void krun_ragged_gather(const uint8_t *flat, const long long *starts,
+                        const long long *lens, long long n,
+                        uint8_t *out) {
+    ll w = 0;
+    for (ll i = 0; i < n; ++i) {
+        memcpy(out + w, flat + starts[i], (size_t)lens[i]);
+        w += lens[i];
+    }
+}
+
+// Replace the spool with externally merged records (the multi-host
+// rank-0 reduce: per-rank spools merged in global read-ordinal order,
+// the spltdb.c:625 merge lifted to flat arrays).
+void krun_spool_import(void *hv, long long n, const int32_t *q_len,
+                       const int32_t *best_hits, const long long *score,
+                       const int32_t *flag, const long long *ord,
+                       const int32_t *tpl, const int32_t *starts,
+                       const int32_t *ends, const long long *t_off,
+                       const uint8_t *cod, const long long *cod_off,
+                       const uint8_t *hdr, const long long *hdr_off,
+                       const uint8_t *mcod, const long long *mcod_off,
+                       const uint8_t *mhdr, const long long *mhdr_off,
+                       const int32_t *mflag) {
+    Spool &sp = ((Run *)hv)->spool;
+    sp.q_len.assign(q_len, q_len + n);
+    sp.best_hits.assign(best_hits, best_hits + n);
+    sp.score.assign(score, score + n);
+    sp.flag.assign(flag, flag + n);
+    sp.ord.assign(ord, ord + n);
+    sp.tpl.assign(tpl, tpl + t_off[n]);
+    sp.starts.assign(starts, starts + t_off[n]);
+    sp.ends.assign(ends, ends + t_off[n]);
+    sp.t_off.assign(t_off, t_off + n + 1);
+    sp.cod.assign(cod, cod + cod_off[n]);
+    sp.cod_off.assign(cod_off, cod_off + n + 1);
+    sp.hdr.assign(hdr, hdr + hdr_off[n]);
+    sp.hdr_off.assign(hdr_off, hdr_off + n + 1);
+    sp.mcod.assign(mcod, mcod + mcod_off[n]);
+    sp.mcod_off.assign(mcod_off, mcod_off + n + 1);
+    sp.mhdr.assign(mhdr, mhdr + mhdr_off[n]);
+    sp.mhdr_off.assign(mhdr_off, mhdr_off + n + 1);
+    sp.mflag.assign(mflag, mflag + n);
+}
+
 // ConClave over the native spool (conclave.c:43-213 CC1 / 386-747 CC2).
 // Outputs per-template w_scores / fragment_counts / read_counts and keeps
 // the per-template fragment lists inside the handle for krun_stage_*.
@@ -2756,6 +2818,7 @@ long long krun_output_all(
     int ref_fsa, int want_fsa, int want_aln, int want_frag,
     int want_matrix, int vcf_filt, int want_ef,
     const long long *fragment_counts, const long long *read_counts,
+    int t_mod, int t_res,
     long long Wl_raw, int minlen, int mq, double scoreT, double mrc,
     int circular, int ts, int skip_tails, int dense,
     long long *o_res_len, long long *o_fsa_len, long long *o_aln_len,
@@ -2769,13 +2832,35 @@ long long krun_output_all(
     R->out_mat.clear();
     R->out_vcf.clear();
     R->out_ef.clear();
+    R->seg_tpl.clear();
+    R->seg_lens.clear();
     std::vector<ll> mcounts, mnext, worder;
     std::vector<uint8_t> t_arr, s_arr, q_arr, rows, fmt;
     ll stats[4];
+    ll prev[7] = {0, 0, 0, 0, 0, 0, 0};
+    auto flush_seg = [&](ll t) {
+        ll cur[7] = {(ll)R->out_res.size(),  (ll)R->out_fsa.size(),
+                     (ll)R->out_aln.size(),  (ll)R->out_frag.size(),
+                     (ll)R->out_mat.size(),  (ll)R->out_vcf.size(),
+                     (ll)R->out_ef.size()};
+        bool any = false;
+        for (int i = 0; i < 7; ++i)
+            if (cur[i] != prev[i])
+                any = true;
+        if (!any)
+            return;
+        R->seg_tpl.push_back((int32_t)t);
+        for (int i = 0; i < 7; ++i) {
+            R->seg_lens.push_back(cur[i] - prev[i]);
+            prev[i] = cur[i];
+        }
+    };
     for (ll t = 1; t < db_size; ++t) {
         ll read_score = w_scores[t];
         if (read_score <= 0)
             continue;
+        if (t_mod > 1 && (t % t_mod) != t_res)
+            continue;   // another rank owns this template's output
         ll t_len = R->tlen[t];
         // significance gate, long-double exact (runkma.c:770-783)
         long double denom_t = (long double)(template_tot_ulen - t_len);
@@ -2887,8 +2972,10 @@ long long krun_output_all(
         bool printed = R->mem_mode
                            ? (ID_t <= id_ && Depth_t <= depth)
                            : (ID_t <= id_ && 0 < id_ && Depth_t <= depth);
-        if (!printed)
+        if (!printed) {
+            flush_seg(t);   // .frag rows may already be emitted
             continue;
+        }
 
         // .res row (runkma.c:816); (unsigned)(long double) cast like
         // writers.c_unsigned
@@ -3023,6 +3110,7 @@ long long krun_output_all(
                 cap2 *= 2;
             }
         }
+        flush_seg(t);
     }
     *o_mat_len = (ll)R->out_mat.size();
     *o_vcf_len = (ll)R->out_vcf.size();
@@ -3032,6 +3120,18 @@ long long krun_output_all(
     *o_aln_len = (ll)R->out_aln.size();
     *o_frag_len = (ll)R->out_frag.size();
     return 0;
+}
+
+// Per-printed-template segment table (fetch BEFORE krun_output_fetch,
+// which clears it): template ids + 7 byte counts each.
+long long krun_output_nseg(void *hv) {
+    return (ll)((Run *)hv)->seg_tpl.size();
+}
+
+void krun_output_segments(void *hv, int32_t *tpl, long long *lens7) {
+    Run *R = (Run *)hv;
+    memcpy(tpl, R->seg_tpl.data(), R->seg_tpl.size() * 4);
+    memcpy(lens7, R->seg_lens.data(), R->seg_lens.size() * 8);
 }
 
 void krun_output_fetch(void *hv, uint8_t *res, uint8_t *fsa, uint8_t *aln,
@@ -3057,6 +3157,8 @@ void krun_output_fetch(void *hv, uint8_t *res, uint8_t *fsa, uint8_t *aln,
         b->clear();
         b->shrink_to_fit();
     }
+    R->seg_tpl.clear();
+    R->seg_lens.clear();
 }
 
 long long krun_spool_len(void *hv) { return (ll)((Run *)hv)->spool.size(); }
