@@ -109,15 +109,20 @@ def run_kma_multihost(db_prefix: str, output_prefix: str,
 
     from ..pipeline import _conclave_and_output, _sam_init_single, run_kma
 
+    import time as _time
+    _ti = _time.time()
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)
+    _tm = _time.time()
 
     # local shard: scan + align my fragments
     part = run_kma(db_prefix, output_prefix, input_files, cfg,
                    exe_cmd=exe_cmd, pe_files=pe_files,
                    int_files=int_files,
                    shard=(process_id, num_processes), collect=True)
+    print("# multihost: init %.2f s, local map %.2f s"
+          % (_tm - _ti, _time.time() - _tm), file=sys.stderr)
 
     # global ConClave inputs: element-wise sums over the data axis
     g = mh.process_allgather(np.asarray(part["alignment_scores"]))
