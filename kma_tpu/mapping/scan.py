@@ -5,9 +5,9 @@ against the frozen k-mer index; hits are grouped into runs of equal
 value-list identity and scored with the gap-classification heuristic.  The
 best-scoring template set is emitted as an "anker" record (ankers.c:30-50).
 
-The batched TPU path (kma_tpu.mapping.scan_jax) reformulates the identical
-arithmetic as sort-based segmented reductions and is validated against this
-module.
+The batched TPU paths (kma_tpu.mapping.scan_dense / scan_fast) reformulate
+the identical arithmetic as dense-membership / segmented reductions and are
+validated against this module.
 """
 
 from __future__ import annotations

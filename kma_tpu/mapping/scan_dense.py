@@ -1,7 +1,7 @@
 """Dense-template batched save_kmers scanner (TPU path of savekmers.c:2442).
 
 Second-generation device scanner.  The round-1 pair-stream formulation
-(scan_jax.py) was built on the assumption that global gathers are slow on
+was built on the assumption that global gathers are slow on
 TPU; measurement on real v5e hardware shows the opposite (12-18G gathered
 elements/s) and that the actual ceilings are (a) host<->device transfer
 bandwidth and (b) XLA compile time of the sort/scatter graph.  This module
@@ -28,8 +28,10 @@ No bit-packed attribute words are needed, so arbitrarily long reads
 (Nanopore) run on device -- the round-1 ~500 bp static reject is gone.
 
 Dense state is O(batch * DB_size); the scanner is used when the membership
-table fits the budget (gene panels up to ~100k templates).  Larger DBs
-keep the pair-stream scanner (scan_jax.py) as fallback.
+table fits the per-device budget (gene panels up to ~100k templates) --
+or, over-budget but multi-chip, with the template columns sharded over a
+('db',) device mesh (spltdb.c:625 / shm.c:466-476 roles).  Still-larger
+DBs keep the pair-stream scanner (scan_fast.py) as fallback.
 """
 
 from __future__ import annotations
@@ -45,8 +47,8 @@ import numpy as np
 from ..index.format import KmaIndex
 from .device_index import (MURMUR_SEED2, _cuckoo_build, batch_kmers,
                            murmur32, murmur32_np, valid_windows)
-from .scan_jax import (_reconnect_score, _run_transition_score,
-                       _segment_starts, ScanParams)
+from .scan_common import (_reconnect_score, _run_transition_score,
+                          _segment_starts, ScanParams)
 
 # host scalar: device-array constants force a D2H fetch at jit lowering
 # time (catastrophic over the axon tunnel); np constants embed for free
@@ -84,10 +86,18 @@ class DenseIndex:
     bits_t: jax.Array           # transposed packing for the Pallas kernel
                                 # (template t -> word t%W32, bit t//W32)
     list_voff: np.ndarray       # host: list id -> values offset
+    sharded: bool = False       # membership columns split over a ('db',)
+                                # device mesh (over-HBM DBs)
 
     @classmethod
-    def from_host(cls, idx: KmaIndex, mem_budget_bytes: int = None
-                  ) -> "DenseIndex":
+    def from_host(cls, idx: KmaIndex, mem_budget_bytes: int = None,
+                  n_db: int = 1) -> "DenseIndex":
+        """Build the device image; ``n_db`` > 1 shards the bit-packed
+        template columns over the first n_db devices of a ('db',) mesh
+        -- HBM capacity scales with the mesh while the hash tables stay
+        replicated (the index under -shm, hashmapkma.c:457-597, with the
+        spltDB shard-table role, spltdb.c:625, played by the column
+        shards).  The budget is then per DEVICE."""
         if mem_budget_bytes is None:
             import os as _os
             try:
@@ -101,7 +111,10 @@ class DenseIndex:
             raise NotImplementedError(
                 "cmer (-m/-hc) DBs use the host scanner")
         values = np.asarray(idx.values, dtype=np.int64)
-        t_pad = _round_up(idx.db_size + 1, 128)
+        # lcm keeps the sharded word axis (t_pad//32) divisible by n_db
+        import math
+        t_pad = _round_up(idx.db_size + 1,
+                          math.lcm(128, 32 * max(n_db, 1)))
 
         if idx.mega:
             offs = np.unique(idx.exist[idx.exist != idx.null_index]
@@ -109,7 +122,7 @@ class DenseIndex:
         else:
             offs = np.unique(idx.value_index[: idx.n]).astype(np.int64)
         V = len(offs)
-        if V * t_pad * 2 > mem_budget_bytes:
+        if V * t_pad * 2 > mem_budget_bytes * max(n_db, 1):
             raise NotImplementedError("DB too large for dense membership")
         cnts = values[offs].astype(np.int64)
         max_list = int(cnts.max()) if V else 0
@@ -136,6 +149,20 @@ class DenseIndex:
                          (np.uint32(1)
                           << (tid_flat // w32).astype(np.uint32)))
 
+        if n_db > 1:
+            from jax.sharding import (Mesh, NamedSharding,
+                                      PartitionSpec as P)
+            mesh = Mesh(np.array(jax.devices()[:n_db]), ("db",))
+
+            def put_rep(a):
+                return jax.device_put(a, NamedSharding(mesh, P()))
+
+            def put_col(a):
+                return jax.device_put(a, NamedSharding(mesh,
+                                                       P(None, "db")))
+        else:
+            put_rep = put_col = jnp.asarray
+
         if idx.mega:
             remap = np.full(idx.size, -1, dtype=np.int32)
             live = idx.exist != idx.null_index
@@ -145,11 +172,11 @@ class DenseIndex:
                        db_size=idx.db_size, t_pad=t_pad, n_lists=V,
                        mega=True, size=idx.size, max_probe=1,
                        max_list=max_list,
-                       exist=jnp.asarray(remap),
-                       kv=jnp.zeros((1, 2), jnp.int32),
-                       bits=jnp.asarray(bits),
-                       bits_t=jnp.asarray(bits_t),
-                       list_voff=offs)
+                       exist=put_rep(remap),
+                       kv=put_rep(np.zeros((1, 2), np.int32)),
+                       bits=put_col(bits),
+                       bits_t=put_col(bits_t),
+                       list_voff=offs, sharded=n_db > 1)
 
         keys = idx.key_index[: idx.n].astype(np.uint32)
         rows = np.searchsorted(offs, idx.value_index[: idx.n].astype(np.int64)
@@ -161,11 +188,11 @@ class DenseIndex:
         return cls(kmersize=idx.kmersize, mlen=idx.mlen, flag=idx.flag,
                    db_size=idx.db_size, t_pad=t_pad, n_lists=V,
                    mega=False, size=tsize, max_probe=0, max_list=max_list,
-                   exist=jnp.zeros(1, jnp.int32),
-                   kv=jnp.asarray(kv),
-                   bits=jnp.asarray(bits),
-                   bits_t=jnp.asarray(bits_t),
-                   list_voff=offs)
+                   exist=put_rep(np.zeros(1, np.int32)),
+                   kv=put_rep(kv),
+                   bits=put_col(bits),
+                   bits_t=put_col(bits_t),
+                   list_voff=offs, sharded=n_db > 1)
 
 
 def _lookup_rows(didx_arrays, kmers, *, mega, size, max_probe):
@@ -691,8 +718,22 @@ class DenseScanner:
 
     def __init__(self, idx: KmaIndex, rewards, exhaustive: bool = False,
                  proxi_frac: Optional[float] = None, batch: int = 4096,
-                 flat_headroom: int = 24):
-        self.didx = DenseIndex.from_host(idx)
+                 flat_headroom: int = 24, mem_budget_bytes: int = None):
+        try:
+            self.didx = DenseIndex.from_host(idx, mem_budget_bytes)
+        except NotImplementedError as err:
+            # over ONE device's HBM budget: shard the membership columns
+            # over the whole device mesh before giving up on the dense
+            # formulation (spltdb.c:625 DB-shard role)
+            if "dense membership" not in str(err) \
+                    or len(jax.devices()) < 2:
+                raise
+            self.didx = DenseIndex.from_host(idx, mem_budget_bytes,
+                                             n_db=len(jax.devices()))
+            import sys as _sys
+            print("# device scanner: dense membership sharded over %d "
+                  "devices ('db' axis)" % len(jax.devices()),
+                  file=_sys.stderr)
         self.rewards = rewards
         self.exhaustive = exhaustive
         self.proxi_frac = proxi_frac
@@ -712,6 +753,10 @@ class DenseScanner:
         self.pallas_mode = (
             "interpret" if _os.environ.get("KMA_TPU_PALLAS") == "interpret"
             else ("compiled" if pallas_enabled() else None))
+        if self.didx.sharded:
+            # GSPMD cannot partition a pallas_call; the XLA-native scan
+            # path shards cleanly over the ('db',) mesh
+            self.pallas_mode = None
         self._sp_cache: dict = {}
 
     def _sparams(self, L: int, tier: int):
@@ -734,6 +779,14 @@ class DenseScanner:
 
     def _call(self, codes_j, lens_j, tier: int, flat_cap: int):
         d = self.didx
+        if d.sharded:
+            # read batches replicate over the mesh (committed single-
+            # device arrays would conflict with the column-sharded table)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            mesh = d.bits.sharding.mesh
+            rep = NamedSharding(mesh, P())
+            codes_j = jax.device_put(codes_j, rep)
+            lens_j = jax.device_put(lens_j, rep)
         return dense_scan_device(
             codes_j, lens_j, d.exist, d.kv, d.bits, d.bits_t,
             sparams=self._sparams(codes_j.shape[1], tier),

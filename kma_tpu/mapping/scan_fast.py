@@ -45,8 +45,8 @@ from ..config import Penalties
 from ..index.format import KmaIndex
 from .device_index import (DeviceIndex, batch_kmers, lookup_voffsets,
                            valid_windows)
-from .scan_jax import (ScanParams, _reconnect_score, _run_transition_score,
-                       _segment_starts, rc_batch)
+from .scan_common import (ScanParams, _reconnect_score,
+                          _run_transition_score, _segment_starts, rc_batch)
 
 BIG = np.int32(0x3FFFFFFF)  # host scalar: no device fetch at lowering
 

@@ -1,4 +1,11 @@
-"""Device (JAX) scanner vs host-exact scanner, plus multichip sharding."""
+"""Production dense scanner sharded over a ('db',) device mesh.
+
+The over-HBM path of scan_dense.DenseScanner: when the membership table
+exceeds one device's budget, the bit-packed template columns are split
+over every device (spltdb.c:625 DB-shard role, shm.c:466-476 residency
+role) and the scan runs under GSPMD.  Asserted bit-equal to the
+single-device production scanner on the 8-virtual-device CPU mesh.
+"""
 
 import numpy as np
 import pytest
@@ -7,12 +14,8 @@ jax = pytest.importorskip("jax")
 
 from kma_tpu.config import Penalties
 from kma_tpu.index.build import freeze
-from kma_tpu.index.format import KmaIndex
 from kma_tpu.io.seq import kmer_scan, rc_codes, valid_kmer_mask
-from kma_tpu.mapping.device_index import DeviceIndex
-from kma_tpu.mapping.scan import SaveKmersScanner, _scan_strand
-from kma_tpu.mapping.scan_jax import DeviceScanner
-from kma_tpu.parallel.dist import make_mesh, sharded_scan_step
+from kma_tpu.mapping.scan_dense import DenseScanner
 
 
 @pytest.fixture(scope="module")
@@ -59,48 +62,70 @@ def read_batch(tiny_db):
     return codes, lengths
 
 
-def test_device_scan_matches_host(tiny_db, read_batch):
-    idx, _ = tiny_db
-    codes, lengths = read_batch
-    pen = Penalties()
-    pen.score_matrix()
-    didx = DeviceIndex.from_host(idx)
-    dev = DeviceScanner(didx, pen, run_cap=16, pair_cap=256)
-    host = SaveKmersScanner(idx, pen)
-    bf, tf, vf, nf, br, tr, vr, nr, ov = dev.scan(codes, lengths)
-    for i in range(len(codes)):
-        if ov[i]:
-            continue
-        r = codes[i, : lengths[i]]
-        bs_f, best_f = _scan_strand(idx, r, pen, False, False, host.Score,
-                                    host.extendScore, host.include)
-        bs_r, best_r = _scan_strand(idx, rc_codes(r), pen, False, True,
-                                    host.Score_r, host.extendScore,
-                                    host.include)
-        assert bs_f == bf[i] and bs_r == br[i]
-        assert best_f == tf[i][vf[i]].tolist()
-        assert best_r == tr[i][vr[i]].tolist()
+def _budget_forcing_shard(idx):
+    """A per-device budget the single-device table exceeds but the
+    8-way column-sharded table fits."""
+    from kma_tpu.mapping.scan_dense import DenseIndex
+    d1 = DenseIndex.from_host(idx)   # unsharded, to read V / t_pad
+    need1 = d1.n_lists * d1.t_pad * 2
+    return need1 - 1
 
 
-def test_sharded_scan_matches_single(tiny_db, read_batch):
+def test_sharded_dense_scan_matches_single(tiny_db, read_batch):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     idx, _ = tiny_db
     codes, lengths = read_batch
     pen = Penalties()
     pen.score_matrix()
-    didx = DeviceIndex.from_host(idx)
-    dev = DeviceScanner(didx, pen, run_cap=16, pair_cap=256)
-    single = dev.scan(codes, lengths)
-    mesh = make_mesh(4, 2)
-    step, place = sharded_scan_step(mesh, didx, dev.params)
-    out = step(*place(codes, lengths))
-    for a, b in zip(single, out):
-        a = np.asarray(a)
-        b = np.asarray(b)
-        if a.ndim == 2:  # tiered scan pads tie lists to the widest cap
-            w = min(a.shape[1], b.shape[1])
-            assert np.array_equal(a[:, :w], b[:, :w])
-            assert not a[:, w:].any()
+
+    single = DenseScanner(idx, pen, batch=len(codes))
+    assert not single.didx.sharded
+    s_sc, s_md, s_tl, s_ov = single.scan_reads(codes, lengths)
+
+    sharded = DenseScanner(idx, pen, batch=len(codes),
+                           mem_budget_bytes=_budget_forcing_shard(idx))
+    assert sharded.didx.sharded
+    assert len(sharded.didx.bits.sharding.device_set) == 8
+    d_sc, d_md, d_tl, d_ov = sharded.scan_reads(codes, lengths)
+
+    assert np.array_equal(s_sc, d_sc)
+    assert np.array_equal(s_md, d_md)
+    assert np.array_equal(s_ov, d_ov)
+    for a, b in zip(s_tl, d_tl):
+        if a is None or b is None:
+            assert a is None and b is None
         else:
-            assert np.array_equal(a, b)
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_dense_long_reads(tiny_db):
+    """Wide-tier rescan + long (multi-segment) reads through the sharded
+    scanner: same answers as the single-device scanner."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    idx, templates = tiny_db
+    pen = Penalties()
+    pen.score_matrix()
+    rng = np.random.default_rng(11)
+    B, L = 8, 280
+    codes = np.full((B, L), 4, dtype=np.uint8)
+    lengths = np.zeros(B, np.int32)
+    for i in range(B):
+        src = templates[1 + (i % 12)]
+        r = src[: L].copy()
+        r[rng.integers(0, L, 5)] = 4   # N breaks -> segment restarts
+        codes[i, : len(r)] = r
+        lengths[i] = len(r)
+
+    single = DenseScanner(idx, pen, batch=B)
+    sharded = DenseScanner(idx, pen, batch=B,
+                           mem_budget_bytes=_budget_forcing_shard(idx))
+    s = single.scan_reads(codes, lengths)
+    d = sharded.scan_reads(codes, lengths)
+    assert np.array_equal(s[0], d[0]) and np.array_equal(s[1], d[1])
+    for a, b in zip(s[2], d[2]):
+        if a is None or b is None:
+            assert a is None and b is None
+        else:
+            assert np.array_equal(np.asarray(a), np.asarray(b))
