@@ -605,6 +605,13 @@ int main(int argc, char **argv) {
 
     init_tables();
     fprintf(stderr, "# Running KMA.\n");
+    const bool prof = getenv("KMA_RUN_PROF") != nullptr;
+    auto now = [] {
+        struct timespec ts;
+        clock_gettime(CLOCK_MONOTONIC, &ts);
+        return ts.tv_sec + 1e-9 * ts.tv_nsec;
+    };
+    double tw0 = now();
     Index ix;
     if (!load_index(cfg.t_db, ix))
         return FALLBACK;
@@ -748,6 +755,8 @@ int main(int argc, char **argv) {
         rd2.join();
     }
 
+    if (prof)
+        fprintf(stderr, "# cli prof: load+map %.3f s\n", now() - tw0);
     // stage lines (kmaPipe order, non -status variants)
     fprintf(stderr,
             "#\n# Total number of query fragment after trimming:\t%lld\n"
@@ -767,8 +776,11 @@ int main(int argc, char **argv) {
     ll tot_ulen = 0;
     for (uint32_t t = 1; t < ix.db_size; t++)
         tot_ulen += ix.tlen[t];
+    double tw1 = now();
     krun_conclave(R, 1, 0, w_scores.data(), fc.data(), rc.data(), tot_ulen,
                   cfg.score_t, cfg.evalue, 0, 1000000);
+    if (prof)
+        fprintf(stderr, "# cli prof: conclave %.3f s\n", now() - tw1);
     ll Nhits = 0;
     for (uint32_t t = 1; t < ix.db_size; t++)
         Nhits += w_scores[t];
@@ -899,6 +911,9 @@ int main(int argc, char **argv) {
     }
     for (auto &th : gzw)
         th.join();
+    if (prof)
+        fprintf(stderr, "# cli prof: output %.3f s, total %.3f s\n",
+                now() - tw1, now() - tw0);
     fprintf(stderr,
             "# Total time used for local assembly: %.2f s.\n#\n"
             "# Closing files\n",
