@@ -74,6 +74,84 @@ int64_t lookup_voff(const KIdx *x, uint64_t kmer) {
     }
 }
 
+// Batched lookup_voff with software pipelining: the scalar probe chain
+// (exist -> key_index -> value_index) is 2-3 dependent cache misses on
+// an over-L2 table; issuing the independent per-window probes in three
+// staged passes (hash+prefetch exist, read exist+prefetch keys, resolve)
+// overlaps the misses.  out[j] = -1 for !ok[j] windows.
+void lookup_voff_batch(const KIdx *x, const uint64_t *kmers,
+                       const uint8_t *ok, int W, int64_t *out) {
+    if (x->mega) {
+        const int D = 8;
+        for (int j = 0; j < W; ++j) {
+            if (j + D < W && (!ok || ok[j + D]))
+                __builtin_prefetch((const char *)x->exist +
+                                   (kmers[j + D] & x->mmask) * x->exist_es);
+            if (ok && !ok[j]) {
+                out[j] = -1;
+                continue;
+            }
+            uint64_t pos = get_u(x->exist, x->exist_es, kmers[j] & x->mmask);
+            out[j] = pos == x->null_index ? -1 : (int64_t)pos;
+        }
+        return;
+    }
+    constexpr int T = 128;
+    constexpr uint64_t SKIP = ~0ull; // > smask: never a valid slot
+    uint64_t kpos[T];
+    uint64_t pos[T];
+    for (int base = 0; base < W; base += T) {
+        int n = W - base < T ? W - base : T;
+        for (int j = 0; j < n; ++j) {
+            if (ok && !ok[base + j]) {
+                kpos[j] = SKIP;
+                continue;
+            }
+            uint64_t kp = (x->use_murmur ? murmur64(kmers[base + j])
+                                         : kmers[base + j]) &
+                          x->smask;
+            kpos[j] = kp;
+            __builtin_prefetch((const char *)x->exist + kp * x->exist_es);
+        }
+        for (int j = 0; j < n; ++j) {
+            if (kpos[j] == SKIP) {
+                pos[j] = x->null_index;
+                continue;
+            }
+            uint64_t p = get_u(x->exist, x->exist_es, kpos[j]);
+            pos[j] = p;
+            if (p != x->null_index) {
+                __builtin_prefetch((const char *)x->key_index +
+                                   p * x->key_es);
+                __builtin_prefetch((const char *)x->value_index +
+                                   p * x->vidx_es);
+            }
+        }
+        for (int j = 0; j < n; ++j) {
+            uint64_t p = pos[j];
+            if (p == x->null_index) {
+                out[base + j] = -1;
+                continue;
+            }
+            uint64_t kmer = kmers[base + j];
+            for (;;) {
+                uint64_t km = get_u(x->key_index, x->key_es, p);
+                if (km == kmer) {
+                    out[base + j] =
+                        (int64_t)get_u(x->value_index, x->vidx_es, p);
+                    break;
+                }
+                uint64_t h = x->use_murmur ? murmur64(km) : km;
+                if (kpos[j] != (h & x->smask)) {
+                    out[base + j] = -1;
+                    break;
+                }
+                ++p;
+            }
+        }
+    }
+}
+
 struct Anker {
     int start = 0;
     int end = 0;
@@ -303,47 +381,74 @@ static void collect_ankers_ref(const KIdx *x, const uint8_t *strand,
     }
     aN.push_back(seqlen);
     const int seqend = W;
+    // pass 1: rolling window keys per position (the quirk rules above
+    // are in the key generation, not the lookup); pass 2: pipelined
+    // batch lookup; pass 3: the anker-building walk over the voffs.
+    static thread_local std::vector<uint64_t> kbuf;
+    static thread_local std::vector<uint8_t> kok;
+    static thread_local std::vector<int64_t> vbuf;
+    kbuf.assign(seqend, 0);
+    kok.assign(seqend, 0);
+    {
+        int j = 0;
+        bool first_seg = true;
+        for (size_t si = 0; si < aN.size() && j < seqend; ++si) {
+            int end = aN[si] - k + 1;
+            uint64_t key = 0;
+            bool inited = false;
+            while (j < end) {
+                if (!inited) {
+                    if (rc_strand) {
+                        int wpos =
+                            first_seg ? (seqlen - k - j) : (seqlen - j);
+                        key = 0;
+                        for (int t = 0; t < k; ++t) {
+                            int p = wpos + t;
+                            // the reference's qseq_r stores N as the
+                            // complement of the packed 0 = 'T' (rc_comp,
+                            // compdna.c:229-251); past seqlen the shifted
+                            // padding is 0 = 'A'
+                            uint8_t c =
+                                (p >= 0 && p < seqlen) ? strand[p] : 0;
+                            key = (key << 2) | (c > 3 ? 3 : c);
+                        }
+                    } else {
+                        key = 0;
+                        for (int t = 0; t < k; ++t)
+                            key = (key << 2) | (strand[j + t] & 3);
+                        key &= x->kroll;
+                    }
+                    inited = true;
+                } else if (rc_strand) {
+                    int wpos = first_seg ? (seqlen - k - j) : (seqlen - j);
+                    uint8_t c =
+                        (wpos >= 0 && wpos < seqlen) ? strand[wpos] : 0;
+                    key = ((uint64_t)(c > 3 ? 3 : c) << (2 * (k - 1)))
+                          | (key >> 2);
+                } else {
+                    uint8_t c = strand[j + k - 1];
+                    key = ((key << 2) | (c & 3)) & x->kroll;
+                }
+                kbuf[j] = key;
+                kok[j] = 1;
+                ++j;
+            }
+            j = aN[si] + 1;
+            if (rc_strand)
+                first_seg = false;
+        }
+    }
+    vbuf.resize(seqend);
+    lookup_voff_batch(x, kbuf.data(), kok.data(), seqend, vbuf.data());
     int64_t last = -1;
     int64_t Ms = 0, MMs = 0;
     int gaps = 0;
     int cur = -1;
     int j = 0;
-    bool first_seg = true;
     for (size_t si = 0; si < aN.size() && j < seqend; ++si) {
         int end = aN[si] - k + 1;
-        uint64_t key = 0;
-        bool inited = false;
         while (j < end) {
-            if (!inited) {
-                if (rc_strand) {
-                    int wpos = first_seg ? (seqlen - k - j) : (seqlen - j);
-                    key = 0;
-                    for (int t = 0; t < k; ++t) {
-                        int p = wpos + t;
-                        // the reference's qseq_r stores N as the
-                        // complement of the packed 0 = 'T' (rc_comp,
-                        // compdna.c:229-251); past seqlen the shifted
-                        // padding is 0 = 'A'
-                        uint8_t c = (p >= 0 && p < seqlen) ? strand[p] : 0;
-                        key = (key << 2) | (c > 3 ? 3 : c);
-                    }
-                } else {
-                    key = 0;
-                    for (int t = 0; t < k; ++t)
-                        key = (key << 2) | (strand[j + t] & 3);
-                    key &= x->kroll;
-                }
-                inited = true;
-            } else if (rc_strand) {
-                int wpos = first_seg ? (seqlen - k - j) : (seqlen - j);
-                uint8_t c = (wpos >= 0 && wpos < seqlen) ? strand[wpos] : 0;
-                key = ((uint64_t)(c > 3 ? 3 : c) << (2 * (k - 1)))
-                      | (key >> 2);
-            } else {
-                uint8_t c = strand[j + k - 1];
-                key = ((key << 2) | (c & 3)) & x->kroll;
-            }
-            int64_t v = lookup_voff(x, key);
+            int64_t v = vbuf[j];
             if (v >= 0) {
                 if (v == last && cur >= 0) {
                     if (gaps == 0) {
@@ -382,8 +487,6 @@ static void collect_ankers_ref(const KIdx *x, const uint8_t *strand,
         }
         gaps += aN[si] + 1 - j;
         j = aN[si] + 1;
-        if (rc_strand)
-            first_seg = false;
     }
     if (cur >= 0) {
         out[cur].weight = Ms * x->M + MMs * x->MM;
@@ -414,6 +517,11 @@ void collect_ankers(const KIdx *x, const uint8_t *strand, int seqlen,
         if (!exhaustive && !quick_hit(x, strand, seqlen, kmers, ok))
             return;
     }
+    static thread_local std::vector<int64_t> vbuf;
+    if (!voff) {
+        vbuf.resize(W);
+        lookup_voff_batch(x, kmers.data(), ok.data(), W, vbuf.data());
+    }
     int64_t last = -1;
     int last_hit_j = 0;
     int gaps = 0;
@@ -424,8 +532,7 @@ void collect_ankers(const KIdx *x, const uint8_t *strand, int seqlen,
         // device voff rows are indexed by the ITERATION index j: for the
         // rc strand entry j holds lookup(revcomp(fw_kmer[j])), which IS
         // the rc window at rc-coordinate p = W-1-j (chain_device.py)
-        int64_t v = voff ? voff[j]
-                         : (ok[p] ? lookup_voff(x, kmers[p]) : -1);
+        int64_t v = voff ? voff[j] : vbuf[p];
         if (v >= 0) {
             last_hit_j = j;
             if (v == last && cur >= 0) {
@@ -1024,6 +1131,7 @@ struct Ctx {
     KIdx x;
     std::vector<uint64_t> kmers;
     std::vector<uint8_t> ok;
+    std::vector<int64_t> voffs; // lookup_voff_batch scratch
     std::vector<Anker> VF, VR;
     std::vector<int64_t> bestT, bestT_r, passT, adds;
     std::vector<uint8_t> rc;
@@ -1641,20 +1749,17 @@ int kchain_pair_mate_v(void *h, const uint8_t *codes, int seqlen,
             if (!exhaustive &&
                 !quick_hit(x, cur, seqlen, c->kmers, c->ok))
                 continue;
+            if ((int)c->voffs.size() < W)
+                c->voffs.resize(W);
+            lookup_voff_batch(x, c->kmers.data(), c->ok.data(), W,
+                              c->voffs.data());
         }
 
         int hitCounter = 0;
         int64_t last = -1, Ms = 0, MMs = 0, Us = 0, W1s = 0, HIT = 0;
         int64_t prev_j = 0;
         for (int p = 0; p < W; ++p) {
-            int64_t v;
-            if (voffs) {
-                v = voffs[p];
-            } else {
-                if (!c->ok[p])
-                    continue;
-                v = lookup_voff(x, c->kmers[p]);
-            }
+            int64_t v = voffs ? voffs[p] : c->voffs[p];
             if (v < 0)
                 continue;
             int64_t j = p + k - 1; // reference scan index (:2516)
@@ -1943,14 +2048,16 @@ void kchain_save_kmers(void *h, const uint8_t *codes, int seqlen,
         window_kmers(x, cur, seqlen, c->kmers, c->ok);
         if (!exhaustive && !quick_hit(x, cur, seqlen, c->kmers, c->ok))
             continue;
+        if ((int)c->voffs.size() < W)
+            c->voffs.resize(W);
+        lookup_voff_batch(x, c->kmers.data(), c->ok.data(), W,
+                          c->voffs.data());
 
         int hits = 0;
         int64_t last = -1, Ms = 0, MMs = 0, Us = 0, W1s = 0, HIT = 0;
         int64_t prev_j = 0;
         for (int p = 0; p < W; ++p) {
-            if (!c->ok[p])
-                continue;
-            int64_t v = lookup_voff(x, c->kmers[p]);
+            int64_t v = c->voffs[p];
             if (v < 0)
                 continue;
             int64_t j = p + k - 1;
@@ -2144,8 +2251,7 @@ void kchain_lookup_windows(void *h, const uint8_t *fold, int seqlen,
             }
         }
     }
-    for (int j = 0; j < W; ++j)
-        out[j] = lookup_voff(x, kmers[j]);
+    lookup_voff_batch(x, kmers.data(), nullptr, W, (int64_t *)out);
 }
 
 // decrement every template of each values list (ankerAndClean's
