@@ -377,8 +377,11 @@ def device_scan(db_prefix, reads, have_ref):
 
 
 def nw_kernel_metric():
-    """Pallas banded-NW kernel: cell updates/s on the chip, checked
-    bit-exact against the host-oracle nw_band on the same batch."""
+    """Pallas banded-NW kernel: cell updates/s ON THE CHIP (invariant
+    operands device_put once -- the production staging keeps the score
+    slab resident), checked bit-exact against the host-oracle nw_band.
+    Also reports the transfer-inclusive number (numpy operands re-shipped
+    every dispatch through the tunnel) and a VPU-utilization estimate."""
     import jax
     from kma_tpu.align.nw import nw_band
     from kma_tpu.config import Penalties
@@ -388,7 +391,8 @@ def nw_kernel_metric():
     d = pen.score_matrix()[:5, :5].astype(np.int8)
     rng = np.random.default_rng(5)
     B = 2048
-    T_LEN, Q_LEN, BAND = 160, 150, 64
+    GT = 256
+    T_LEN, Q_LEN, BAND = 160, 150, 126
     templates, queries, t_lens, q_lens = [], [], [], []
     for _ in range(B):
         t = rng.integers(0, 4, T_LEN).astype(np.uint8)
@@ -404,8 +408,11 @@ def nw_kernel_metric():
     tl, ql, msc = stage_band_inputs(templates, queries, t_lens, q_lens,
                                     BAND, d)
     fn = jax.jit(lambda a, b, c, m: nw_band_score_pallas(
-        a, b, c, m, half_band=BAND // 2, W1=pen.W1, U=pen.U, MM=pen.MM))
-    out = np.asarray(jax.block_until_ready(fn(tl, ql, kflag, msc)))
+        a, b, c, m, half_band=BAND // 2, W1=pen.W1, U=pen.U, MM=pen.MM,
+        GT=GT))
+    tl_d, ql_d, kf_d, msc_d = (jax.device_put(x)
+                               for x in (tl, ql, kflag, msc))
+    out = np.asarray(jax.block_until_ready(fn(tl_d, ql_d, kf_d, msc_d)))
     # oracle check (host nw_band is oracle-exact vs nw.c)
     ok = True
     for b in range(0, B, 16):
@@ -416,19 +423,26 @@ def nw_kernel_metric():
             print(f"# NW kernel mismatch at {b}: {out[b]} vs {st.score}",
                   file=sys.stderr)
             break
-    # steady-state: pipeline several dispatches before syncing so the
-    # tunnel dispatch latency amortizes
+    cells1 = B * T_LEN * (BAND + 1)
     best = 0.0
-    REP = 8
+    REP = 16
     for _ in range(3):
         t0 = time.time()
-        outs = [fn(tl, ql, kflag, msc) for _ in range(REP)]
+        outs = [fn(tl_d, ql_d, kf_d, msc_d) for _ in range(REP)]
         jax.block_until_ready(outs)
-        dt = time.time() - t0
-        cells = REP * B * T_LEN * (BAND + 1)
-        best = max(best, cells / dt)
-    row = {"cell_updates_per_sec": round(best, 0), "exact": bool(ok),
-           "batch": B, "t_len": T_LEN, "band": BAND}
+        best = max(best, REP * cells1 / (time.time() - t0))
+    # transfer-inclusive: numpy operands re-shipped every dispatch
+    t0 = time.time()
+    jax.block_until_ready([fn(tl, ql, kflag, msc) for _ in range(2)])
+    with_tx = 2 * cells1 / (time.time() - t0)
+    # VPU roofline estimate: ~45 vector ops per wavefront row of
+    # (BAND+2 <= 128) lanes; v5e VPU ~= 940 MHz x 8x128x4-lane ALUs
+    vpu_peak_lane_ops = 940e6 * 8 * 128 * 4
+    lane_ops = (best / (BAND + 1)) * 45 * 128
+    row = {"cell_updates_per_sec": round(best, 0),
+           "with_transfers": round(with_tx, 0),
+           "vpu_util_est": round(lane_ops / vpu_peak_lane_ops, 3),
+           "exact": bool(ok), "batch": B, "t_len": T_LEN, "band": BAND}
     print("# nw_kernel: %s" % json.dumps(row), file=sys.stderr)
     return row
 
