@@ -20,6 +20,10 @@ def main(argv: List[str] = None) -> int:
                             "shm", "update", "trim"):
         from . import tools
         return tools.dispatch(argv[0], argv[1:])
+    if argv and argv[0] == "devserve":
+        # persistent TPU session daemon (the -shm analog for the device)
+        from ..devserve import devserve_main
+        return devserve_main(argv[1:])
     return map_main(argv)
 
 

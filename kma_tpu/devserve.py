@@ -1,0 +1,536 @@
+"""Persistent device session: the ``kma shm`` analog for the TPU.
+
+The reference amortizes DB load across runs by parking the index in
+SysV shared memory (shm.c:51-153; runs attach with ``-shm``).  The TPU
+equivalent must park MORE than host memory: the device-resident index
+image (HBM upload), the compiled XLA/Mosaic executables (minutes of
+remote-compile latency on a tunneled chip), and the live backend
+session itself.  None of those survive a process, so the analog is a
+small daemon: ``kma devserve -t_db DB`` loads the DB once, builds the
+dense device scanner, pre-warms the hot compile shapes, and serves scan
+batches over a unix socket.  Mapping runs with ``-device on`` detect
+the socket and ship batches instead of paying per-run backend setup --
+the client side needs numpy and a socket, not jax.
+
+Protocol: one request/response frame per call.
+``u64 header_len | header JSON | concat(raw array bytes)``;
+header = {"meta": {...}, "arrays": [[name, dtype, shape], ...]}.
+Arrays are C-contiguous little-endian numpy buffers.
+
+Ops:
+- hello: client identity check {db, sig}; reply carries k and the
+  list-id -> values-offset map the chain/PE clients need.
+- dense: step-2 -1t1 scan (scan_dense.DenseScanner.scan_reads).
+- chain: per-window hash probes for both strands (chain_device
+  _chain_lookup); feeds the native chain splicer / PE combiners.
+- nw:    batched banded-NW candidate scores (ops/nw_kernel.py).
+- stop:  shut the daemon down.
+
+Reference roles: shm.c:51 (persistent DB residency), kmers.c:51-290
+(the step-2 batch driver the dense op serves).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import socket
+import struct
+import sys
+import tempfile
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+_HDR = struct.Struct("<Q")
+
+
+def socket_path(db_prefix: str) -> str:
+    """Per-DB socket path (keyed by the resolved prefix)."""
+    real = os.path.realpath(db_prefix)
+    h = hashlib.sha1(real.encode()).hexdigest()[:12]
+    d = os.environ.get("KMA_DEVSERVE_DIR") or os.path.join(
+        tempfile.gettempdir(), "kma_devserve_%d" % os.getuid())
+    return os.path.join(d, h + ".sock")
+
+
+def db_signature(db_prefix: str) -> List:
+    """Cheap DB identity: size+mtime of the frozen hashmap file."""
+    for ext in (".comp.b", ".b"):
+        p = db_prefix + ext
+        if os.path.exists(p):
+            st = os.stat(p)
+            return [ext, st.st_size, int(st.st_mtime)]
+    return ["?", 0, 0]
+
+
+def _send(sock: socket.socket, meta: dict,
+          arrays: Optional[List[Tuple[str, np.ndarray]]] = None) -> None:
+    arrays = arrays or []
+    desc = []
+    bufs = []
+    for name, a in arrays:
+        a = np.ascontiguousarray(a)
+        desc.append([name, a.dtype.str, list(a.shape)])
+        bufs.append(a)
+    hdr = json.dumps({"meta": meta, "arrays": desc}).encode()
+    sock.sendall(_HDR.pack(len(hdr)))
+    sock.sendall(hdr)
+    for a in bufs:
+        sock.sendall(memoryview(a).cast("B"))
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytearray:
+    buf = bytearray(n)
+    view = memoryview(buf)
+    got = 0
+    while got < n:
+        r = sock.recv_into(view[got:], n - got)
+        if r == 0:
+            raise EOFError("peer closed")
+        got += r
+    return buf
+
+
+def _recv(sock: socket.socket) -> Tuple[dict, Dict[str, np.ndarray]]:
+    (hlen,) = _HDR.unpack(bytes(_recv_exact(sock, _HDR.size)))
+    hdr = json.loads(bytes(_recv_exact(sock, hlen)))
+    arrays = {}
+    for name, dt, shape in hdr["arrays"]:
+        n = int(np.prod(shape, dtype=np.int64)) * np.dtype(dt).itemsize
+        raw = _recv_exact(sock, n)
+        arrays[name] = np.frombuffer(raw, dtype=dt).reshape(shape)
+    return hdr["meta"], arrays
+
+
+def _pack_tid_lists(tid_lists) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Ragged list-of-arrays -> (has u8, counts i32, flat i32)."""
+    has = np.fromiter((t is not None for t in tid_lists), np.uint8,
+                      len(tid_lists))
+    counts = np.fromiter((0 if t is None else len(t) for t in tid_lists),
+                         np.int32, len(tid_lists))
+    total = int(counts.sum())
+    flat = np.empty(total, np.int32)
+    off = 0
+    for t in tid_lists:
+        if t is not None and len(t):
+            flat[off: off + len(t)] = t
+            off += len(t)
+    return has, counts, flat
+
+
+def _unpack_tid_lists(has, counts, flat) -> list:
+    offs = np.cumsum(counts) - counts
+    out: list = [None] * len(has)
+    for i in range(len(has)):
+        if has[i]:
+            out[i] = flat[offs[i]: offs[i] + counts[i]]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# server
+
+
+class DevServer:
+    """Holds the device-resident index + compiled scan entry points."""
+
+    def __init__(self, db_prefix: str, batch: int = 2048):
+        import jax  # noqa: F401  (backend init up front)
+        from .config import Penalties
+        from .index.format import load_index
+        from .mapping.scan_dense import DenseIndex, DenseScanner
+
+        self.db = os.path.realpath(db_prefix)
+        self.sig = db_signature(db_prefix)
+        self.idx = load_index(db_prefix)
+        self.batch = batch
+        self.didx = DenseIndex.from_host(self.idx)
+        self._scanner_cls = DenseScanner
+        self._default_pen = Penalties()
+        self.scanners: Dict[tuple, object] = {}
+        self.voff_map = np.asarray(self.didx.list_voff, np.int64)
+        self._nw_cache: Dict[tuple, object] = {}
+
+    # -- op implementations -------------------------------------------------
+
+    def _scanner(self, meta: dict):
+        key = (int(meta["M"]), int(meta["MM"]), int(meta["U"]),
+               int(meta["W1"]), bool(meta.get("exhaustive")),
+               meta.get("proxi_frac"))
+        sc = self.scanners.get(key)
+        if sc is None:
+            import dataclasses
+            pen = dataclasses.replace(self._default_pen, M=key[0],
+                                      MM=key[1], U=key[2], W1=key[3])
+            sc = self._scanner_cls(self.idx, pen, exhaustive=key[4],
+                                   proxi_frac=key[5], batch=self.batch,
+                                   didx=self.didx)
+            self.scanners[key] = sc
+        return sc
+
+    def _op_dense(self, meta, arrays):
+        sc = self._scanner(meta)
+        scores, modes, tid_lists, over = sc.scan_reads(
+            np.asarray(arrays["codes"]), np.asarray(arrays["lengths"]))
+        has, counts, flat = _pack_tid_lists(tid_lists)
+        return {"ok": 1}, [("scores", scores.astype(np.int32)),
+                           ("modes", modes.astype(np.uint8)),
+                           ("over", over.astype(np.uint8)),
+                           ("has", has), ("counts", counts),
+                           ("flat", flat)]
+
+    def _op_chain(self, meta, arrays):
+        from .mapping.chain_device import _chain_lookup
+        d = self.didx
+        rows_f, rows_rc = _chain_lookup(
+            d.exist, d.kv, np.asarray(arrays["codes"]),
+            np.asarray(arrays["lengths"]), k=int(self.idx.kmersize),
+            mega=d.mega, size=d.size, max_probe=d.max_probe)
+        return {"ok": 1}, [("rows_f", np.asarray(rows_f, np.int32)),
+                           ("rows_rc", np.asarray(rows_rc, np.int32))]
+
+    def _op_nw(self, meta, arrays):
+        from .ops.nw_kernel import nw_band_score_pallas
+        sc = nw_band_score_pallas(
+            np.asarray(arrays["t_len"], np.int32),
+            np.asarray(arrays["q_len"], np.int32),
+            np.asarray(arrays["kflag"], np.int32),
+            np.asarray(arrays["msc"]),
+            half_band=int(meta["half_band"]), W1=int(meta["W1"]),
+            U=int(meta["U"]), MM=int(meta["MM"]),
+            GT=int(meta.get("GT", 8)),
+            interpret=bool(meta.get("interpret", False)))
+        return {"ok": 1}, [("scores", np.asarray(sc, np.int32))]
+
+    def _op_hello(self, meta, arrays):
+        if meta.get("db") != self.db or meta.get("sig") != self.sig:
+            return {"ok": 0, "err": "db mismatch: serving %s" % self.db}, []
+        return {"ok": 1, "k": int(self.idx.kmersize),
+                "db_size": int(self.idx.db_size)}, \
+            [("voff_map", self.voff_map)]
+
+    # -- warm-up ------------------------------------------------------------
+
+    def warm(self, lengths=(128,), verbose=True):
+        """Compile + execute the hot shapes once so client runs never
+        pay the remote-compile / first-dispatch latency."""
+        import time
+        rng = np.random.default_rng(0)
+        sc = self._scanner({"M": self._default_pen.M,
+                            "MM": self._default_pen.MM,
+                            "U": self._default_pen.U,
+                            "W1": self._default_pen.W1,
+                            "exhaustive": False, "proxi_frac": None})
+        for L in lengths:
+            t0 = time.time()
+            codes = rng.integers(0, 4, (self.batch, L), dtype=np.uint8)
+            lens = np.full(self.batch, min(100, L), np.int32)
+            sc.scan_reads(codes, lens)
+            # tier-1 rescan shape (fires on overflow ties)
+            sel = np.arange(min(8, self.batch), dtype=np.int64)
+            scores = np.zeros(self.batch, np.int32)
+            modes = np.zeros(self.batch, np.uint8)
+            over = np.zeros(self.batch, bool)
+            tid_lists: list = [None] * self.batch
+            sc._rescan_wide(codes, lens, sel, scores, modes, tid_lists,
+                            over)
+            if verbose:
+                print("# devserve: warmed dense L=%d in %.1fs"
+                      % (L, time.time() - t0), file=sys.stderr)
+        # chain lookup shape (default-mode / ONT runs)
+        if int(self.idx.kmersize) <= 16:
+            from .mapping.chain_device import _chain_lookup
+            d = self.didx
+            for L in lengths:
+                t0 = time.time()
+                codes = rng.integers(0, 4, (self.batch, L), dtype=np.uint8)
+                lens = np.full(self.batch, min(100, L), np.int32)
+                import jax
+                jax.block_until_ready(_chain_lookup(
+                    d.exist, d.kv, codes, lens, k=int(self.idx.kmersize),
+                    mega=d.mega, size=d.size, max_probe=d.max_probe))
+                if verbose:
+                    print("# devserve: warmed chain L=%d in %.1fs"
+                          % (L, time.time() - t0), file=sys.stderr)
+
+    # -- serve loop ----------------------------------------------------------
+
+    def serve(self, sock_path: Optional[str] = None,
+              ready_cb=None) -> None:
+        sock_path = sock_path or socket_path(self.db)
+        d = os.path.dirname(sock_path)
+        os.makedirs(d, exist_ok=True)
+        try:
+            os.chmod(d, 0o700)
+        except OSError:
+            pass
+        if os.path.exists(sock_path):
+            # stale socket from a dead daemon: connectable means live
+            probe = socket.socket(socket.AF_UNIX)
+            try:
+                probe.connect(sock_path)
+                probe.close()
+                raise RuntimeError("devserve already running at %s"
+                                   % sock_path)
+            except (ConnectionRefusedError, FileNotFoundError):
+                os.unlink(sock_path)
+            finally:
+                probe.close()
+        srv = socket.socket(socket.AF_UNIX)
+        srv.bind(sock_path)
+        srv.listen(4)
+        print("# devserve: serving %s at %s" % (self.db, sock_path),
+              file=sys.stderr, flush=True)
+        if ready_cb is not None:
+            ready_cb()
+        ops = {"dense": self._op_dense, "chain": self._op_chain,
+               "nw": self._op_nw, "hello": self._op_hello}
+        stop = False
+        while not stop:
+            conn, _ = srv.accept()
+            try:
+                while True:
+                    meta, arrays = _recv(conn)
+                    op = meta.get("op")
+                    if op == "stop":
+                        _send(conn, {"ok": 1})
+                        stop = True
+                        break
+                    fn = ops.get(op)
+                    if fn is None:
+                        _send(conn, {"ok": 0, "err": "bad op %r" % op})
+                        continue
+                    try:
+                        rmeta, rarrays = fn(meta, arrays)
+                    except Exception as e:  # keep the daemon alive
+                        _send(conn, {"ok": 0, "err": repr(e)})
+                        continue
+                    _send(conn, rmeta, rarrays)
+            except (EOFError, ConnectionResetError, BrokenPipeError):
+                pass
+            finally:
+                conn.close()
+        srv.close()
+        try:
+            os.unlink(sock_path)
+        except OSError:
+            pass
+        print("# devserve: stopped", file=sys.stderr)
+
+
+# ---------------------------------------------------------------------------
+# client
+
+
+class DevClient:
+    """Socket client for a running devserve daemon.
+
+    Needs numpy + a unix socket only -- no jax import, so ``-device on``
+    runs keep the light host interpreter startup.
+    """
+
+    def __init__(self, sock: socket.socket, k: int, db_size: int,
+                 voff_map: np.ndarray):
+        self._sock = sock
+        self.k = k
+        self.db_size = db_size
+        self.voff_map = voff_map
+
+    @classmethod
+    def connect(cls, db_prefix: str,
+                timeout: float = 600.0) -> Optional["DevClient"]:
+        """Connect + identity handshake; None when no live daemon."""
+        path = os.environ.get("KMA_DEVSERVE_SOCKET") \
+            or socket_path(db_prefix)
+        if not os.path.exists(path):
+            return None
+        s = socket.socket(socket.AF_UNIX)
+        s.settimeout(timeout)
+        try:
+            s.connect(path)
+            _send(s, {"op": "hello",
+                      "db": os.path.realpath(db_prefix),
+                      "sig": db_signature(db_prefix)})
+            meta, arrays = _recv(s)
+        except (OSError, EOFError):
+            s.close()
+            return None
+        if not meta.get("ok"):
+            print("# devserve: %s" % meta.get("err", "handshake failed"),
+                  file=sys.stderr)
+            s.close()
+            return None
+        return cls(s, int(meta["k"]), int(meta["db_size"]),
+                   np.asarray(arrays["voff_map"], np.int64))
+
+    def _call(self, meta: dict, arrays) -> Tuple[dict,
+                                                 Dict[str, np.ndarray]]:
+        _send(self._sock, meta, arrays)
+        rmeta, rarrays = _recv(self._sock)
+        if not rmeta.get("ok"):
+            raise RuntimeError("devserve error: %s"
+                               % rmeta.get("err", "?"))
+        return rmeta, rarrays
+
+    def dense_scan(self, codes: np.ndarray, lengths: np.ndarray,
+                   pen, exhaustive: bool, proxi_frac):
+        meta = {"op": "dense", "M": int(pen.M), "MM": int(pen.MM),
+                "U": int(pen.U), "W1": int(pen.W1),
+                "exhaustive": bool(exhaustive), "proxi_frac": proxi_frac}
+        _, r = self._call(meta, [("codes", codes.astype(np.uint8)),
+                                 ("lengths", lengths.astype(np.int32))])
+        tid_lists = _unpack_tid_lists(r["has"], r["counts"],
+                                      np.asarray(r["flat"], np.int32))
+        return (np.asarray(r["scores"]), np.asarray(r["modes"]),
+                tid_lists, np.asarray(r["over"]).astype(bool))
+
+    def chain_lookup(self, codes: np.ndarray, lengths: np.ndarray):
+        _, r = self._call({"op": "chain"},
+                          [("codes", codes.astype(np.uint8)),
+                           ("lengths", lengths.astype(np.int32))])
+        return np.asarray(r["rows_f"]), np.asarray(r["rows_rc"])
+
+    def nw_scores(self, t_len, q_len, kflag, msc, *, half_band, W1, U,
+                  MM, GT=8, interpret=False):
+        meta = {"op": "nw", "half_band": int(half_band), "W1": int(W1),
+                "U": int(U), "MM": int(MM), "GT": int(GT),
+                "interpret": interpret}
+        _, r = self._call(meta, [("t_len", np.asarray(t_len, np.int32)),
+                                 ("q_len", np.asarray(q_len, np.int32)),
+                                 ("kflag", np.asarray(kflag, np.int32)),
+                                 ("msc", np.asarray(msc, np.int8))])
+        return np.asarray(r["scores"])
+
+    def stop(self) -> None:
+        _send(self._sock, {"op": "stop"})
+        try:
+            _recv(self._sock)
+        except EOFError:
+            pass
+        self.close()
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+
+class RemoteDenseScanner:
+    """DenseScanner.scan_reads duck-type backed by a devserve daemon
+    (scan_stream.DeviceScanStream's ``dense`` slot)."""
+
+    def __init__(self, client: DevClient, pen, exhaustive: bool,
+                 proxi_frac):
+        self.client = client
+        self.pen = pen
+        self.exhaustive = exhaustive
+        self.proxi_frac = proxi_frac
+
+    def scan_reads(self, codes: np.ndarray, lengths: np.ndarray):
+        return self.client.dense_scan(codes, lengths, self.pen,
+                                      self.exhaustive, self.proxi_frac)
+
+
+# ---------------------------------------------------------------------------
+# CLI
+
+
+def devserve_main(argv: List[str]) -> int:
+    """``kma devserve -t_db DB [-b] [-stop] [-warm L1,L2,..] [-batch N]``.
+
+    -b daemonizes (double fork); -stop shuts a running daemon down.
+    """
+    db = None
+    bg = False
+    stop = False
+    warm_lens = [128]
+    batch = 2048
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-t_db":
+            i += 1
+            db = argv[i]
+        elif a == "-b":
+            bg = True
+        elif a == "-stop":
+            stop = True
+        elif a == "-warm":
+            i += 1
+            warm_lens = [int(x) for x in argv[i].split(",") if x]
+        elif a == "-batch":
+            i += 1
+            batch = int(argv[i])
+        elif a in ("-h", "--help"):
+            print(devserve_main.__doc__)
+            return 0
+        else:
+            print("# Invalid option:\t%s" % a, file=sys.stderr)
+            return 1
+        i += 1
+    if db is None:
+        print("devserve needs -t_db", file=sys.stderr)
+        return 1
+    if stop:
+        cli = DevClient.connect(db)
+        if cli is None:
+            print("# devserve: no daemon for %s" % db, file=sys.stderr)
+            return 1
+        cli.stop()
+        print("# devserve: stopped daemon for %s" % db, file=sys.stderr)
+        return 0
+    if bg:
+        # double-fork daemonization; the child signals readiness (socket
+        # bound, shapes warm) through a pipe so `kma devserve -b` returns
+        # only when clients can connect
+        r, w = os.pipe()
+        pid = os.fork()
+        if pid:
+            os.close(w)
+            msg = os.read(r, 64)
+            os.close(r)
+            if msg.startswith(b"ready"):
+                print("# devserve: daemon ready (pid %s)"
+                      % msg.split()[1].decode(), file=sys.stderr)
+                return 0
+            print("# devserve: daemon failed to start", file=sys.stderr)
+            return 1
+        os.close(r)
+        os.setsid()
+        pid2 = os.fork()
+        if pid2:
+            os._exit(0)
+        devnull = os.open(os.devnull, os.O_RDWR)
+        os.dup2(devnull, 0)
+        log = os.environ.get("KMA_DEVSERVE_LOG")
+        if log:
+            fd = os.open(log, os.O_WRONLY | os.O_CREAT | os.O_APPEND,
+                         0o600)
+            os.dup2(fd, 1)
+            os.dup2(fd, 2)
+        else:
+            os.dup2(devnull, 1)
+            os.dup2(devnull, 2)
+
+        def ready():
+            os.write(w, b"ready %d" % os.getpid())
+            os.close(w)
+
+        try:
+            srv = DevServer(db, batch=batch)
+            srv.warm(warm_lens)
+            srv.serve(ready_cb=ready)
+        except Exception:
+            try:
+                os.close(w)
+            except OSError:
+                pass
+            raise
+        return 0
+    srv = DevServer(db, batch=batch)
+    srv.warm(warm_lens)
+    srv.serve()
+    return 0

@@ -21,17 +21,58 @@ from __future__ import annotations
 import functools
 from typing import Iterable, Iterator, List, Optional, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import Penalties
 from ..index.format import KmaIndex
-from .scan_dense import DenseIndex, _lookup_rows
 
 
-@functools.partial(jax.jit, static_argnames=("k", "mega", "size",
-                                             "max_probe"))
+@functools.lru_cache(maxsize=None)
+def _chain_lookup_jit():
+    """Build the jitted lookup on first use: the module must import
+    WITHOUT jax so devserve remote clients stay jax-free."""
+    import jax
+    import jax.numpy as jnp
+
+    from .scan_dense import _lookup_rows
+
+    @functools.partial(jax.jit, static_argnames=("k", "mega", "size",
+                                                 "max_probe"))
+    def _impl(exist, kv, codes, lengths, *, k, mega, size, max_probe):
+        B, L = codes.shape
+        W = L - k + 1
+        c = jnp.where(codes == 4, 0, codes).astype(jnp.uint32)
+        acc = jnp.zeros((B, W), jnp.uint32)
+        for i in range(k):
+            acc = (acc << 2) | jax.lax.dynamic_slice_in_dim(c, i, W,
+                                                            axis=1)
+        # window validity: N-free and fully inside the read
+        isn = (codes == 4).astype(jnp.int32)
+        pcs = jnp.pad(jnp.cumsum(isn, axis=1), ((0, 0), (1, 0)))
+        nin = pcs[:, k:k + W] - pcs[:, 0:W]
+        valid = (nin == 0) & (jnp.arange(W)[None, :] + k
+                              <= lengths[:, None])
+
+        args = dict(mega=mega, size=size, max_probe=max_probe)
+        rows_f = jnp.where(valid, _lookup_rows((exist, kv), acc, **args),
+                           np.int32(-1))
+        # reverse complement of each packed k-mer (strrc in-register)
+        x = ~acc
+        x = ((x & np.uint32(0x33333333)) << 2) | \
+            ((x >> 2) & np.uint32(0x33333333))
+        x = ((x & np.uint32(0x0F0F0F0F)) << 4) | \
+            ((x >> 4) & np.uint32(0x0F0F0F0F))
+        x = ((x & np.uint32(0x00FF00FF)) << 8) | \
+            ((x >> 8) & np.uint32(0x00FF00FF))
+        x = (x << 16) | (x >> 16)
+        rc = x >> (32 - 2 * k)
+        rows_rc = jnp.where(valid, _lookup_rows((exist, kv), rc, **args),
+                            np.int32(-1))
+        return rows_f, rows_rc
+
+    return _impl
+
+
 def _chain_lookup(exist, kv, codes, lengths, *, k, mega, size, max_probe):
     """Per-window value-list rows for both strands.
 
@@ -39,35 +80,8 @@ def _chain_lookup(exist, kv, codes, lengths, *, k, mega, size, max_probe):
     [B, W] i32 with -1 for miss/invalid.  rows_rc[q] is the lookup of
     revcomp(fw_kmer[q]): the rc strand's window at rc-coordinate
     p = W_r-1-q, i.e. already in the chain walk's iteration order."""
-    B, L = codes.shape
-    W = L - k + 1
-    c = jnp.where(codes == 4, 0, codes).astype(jnp.uint32)
-    acc = jnp.zeros((B, W), jnp.uint32)
-    for i in range(k):
-        acc = (acc << 2) | jax.lax.dynamic_slice_in_dim(c, i, W, axis=1)
-    # window validity: N-free and fully inside the read
-    isn = (codes == 4).astype(jnp.int32)
-    pcs = jnp.pad(jnp.cumsum(isn, axis=1), ((0, 0), (1, 0)))
-    nin = pcs[:, k:k + W] - pcs[:, 0:W]
-    valid = (nin == 0) & (jnp.arange(W)[None, :] + k
-                          <= lengths[:, None])
-
-    args = dict(mega=mega, size=size, max_probe=max_probe)
-    rows_f = jnp.where(valid, _lookup_rows((exist, kv), acc, **args),
-                       np.int32(-1))
-    # reverse complement of each packed k-mer (strrc in-register)
-    x = ~acc
-    x = ((x & np.uint32(0x33333333)) << 2) | \
-        ((x >> 2) & np.uint32(0x33333333))
-    x = ((x & np.uint32(0x0F0F0F0F)) << 4) | \
-        ((x >> 4) & np.uint32(0x0F0F0F0F))
-    x = ((x & np.uint32(0x00FF00FF)) << 8) | \
-        ((x >> 8) & np.uint32(0x00FF00FF))
-    x = (x << 16) | (x >> 16)
-    rc = x >> (32 - 2 * k)
-    rows_rc = jnp.where(valid, _lookup_rows((exist, kv), rc, **args),
-                        np.int32(-1))
-    return rows_f, rows_rc
+    return _chain_lookup_jit()(exist, kv, codes, lengths, k=k, mega=mega,
+                               size=size, max_probe=max_probe)
 
 
 def _pad_len(n: int) -> int:
@@ -89,10 +103,19 @@ class DeviceChainStream:
 
     def __init__(self, idx: KmaIndex, pen: Penalties,
                  template_lengths: np.ndarray, nchain,
-                 batch: int = 2048):
+                 batch: int = 2048, lookup=None, voff_map=None):
         if idx.kmersize > 16:
             raise NotImplementedError("device chain lookup needs k <= 16")
-        self.didx = DenseIndex.from_host(idx)
+        if lookup is not None:
+            # remote probe fn (devserve daemon): no local device image
+            self.didx = None
+            self._lookup = lookup
+            vm = np.asarray(voff_map, np.int64)
+        else:
+            from .scan_dense import DenseIndex
+            self.didx = DenseIndex.from_host(idx)
+            self._lookup = None
+            vm = self.didx.list_voff.astype(np.int64)
         self.nchain = nchain
         self.k = idx.kmersize
         self.batch = batch
@@ -100,8 +123,7 @@ class DeviceChainStream:
         # simply shrink the batch instead of exhausting memory
         self.cell_budget = 8 << 20  # [B, W] elements per strand
         # list id -> values offset, -1 passthrough
-        self.voff_map = np.concatenate(
-            [self.didx.list_voff.astype(np.int64), [-1]])
+        self.voff_map = np.concatenate([vm, [-1]])
 
     def _rows_to_voff(self, rows: np.ndarray) -> np.ndarray:
         return self.voff_map[rows]  # rows == -1 hits the sentinel slot
@@ -143,9 +165,11 @@ class DeviceChainStream:
             c = buf[i].codes
             codes[j, : len(c)] = c
             lengths[j] = len(c)
+        if self._lookup is not None:
+            return (idxs,) + tuple(self._lookup(codes, lengths))
         d = self.didx
         rows_f, rows_rc = _chain_lookup(
-            d.exist, d.kv, jnp.asarray(codes), jnp.asarray(lengths),
+            d.exist, d.kv, codes, lengths,
             k=k, mega=d.mega, size=d.size, max_probe=d.max_probe)
         return idxs, rows_f, rows_rc
 

@@ -20,7 +20,6 @@ import numpy as np
 from ..config import Penalties
 from ..index.format import KmaIndex
 from .chain_device import _chain_lookup, _pad_len
-from .scan_dense import DenseIndex
 
 
 class DevicePELookup:
@@ -29,12 +28,20 @@ class DevicePELookup:
     block: rows per device call (batches are padded up to a multiple so
     the jit shape count stays bounded)."""
 
-    def __init__(self, idx: KmaIndex, block: int = 4096):
-        self.didx = DenseIndex.from_host(idx)
+    def __init__(self, idx: KmaIndex, block: int = 4096, lookup=None,
+                 voff_map=None):
+        if lookup is not None:
+            # remote probe fn (devserve daemon): jax-free client
+            self.didx = None
+            self._lookup = lookup
+            self.voff_map = np.asarray(voff_map, np.int64)
+        else:
+            from .scan_dense import DenseIndex
+            self.didx = DenseIndex.from_host(idx)
+            self._lookup = None
+            self.voff_map = np.asarray(self.didx.list_voff, np.int64)
         self.k = int(idx.kmersize)
         self.block = block
-        # dense row -> values offset (chain_device._rows_to_voff role)
-        self.voff_map = np.asarray(self.didx.list_voff, np.int64)
 
     def _rows_to_voff(self, rows: np.ndarray) -> np.ndarray:
         rows = np.asarray(rows)
@@ -58,10 +65,13 @@ class DevicePELookup:
             codes[rows_i, cols_i] = flat[:total]
         lens_p = np.zeros(nb, np.int32)
         lens_p[:n] = lens
-        d = self.didx
-        rf, rr = _chain_lookup(d.exist, d.kv, codes, lens_p, k=self.k,
-                               mega=d.mega, size=d.size,
-                               max_probe=d.max_probe)
+        if self._lookup is not None:
+            rf, rr = self._lookup(codes, lens_p)
+        else:
+            d = self.didx
+            rf, rr = _chain_lookup(d.exist, d.kv, codes, lens_p, k=self.k,
+                                   mega=d.mega, size=d.size,
+                                   max_probe=d.max_probe)
         vf = self._rows_to_voff(np.asarray(rf)[:n])
         vrc = self._rows_to_voff(np.asarray(rr)[:n])
         # rc strand window p corresponds to fw window q = W_i - 1 - p
@@ -74,8 +84,15 @@ class DevicePELookup:
         return (np.ascontiguousarray(vf), np.ascontiguousarray(vr), W)
 
 
-def make_pe_lookup(idx: KmaIndex, block: int = 4096):
-    """DevicePELookup or None when the dense index does not apply."""
+def make_pe_lookup(idx: KmaIndex, block: int = 4096, client=None):
+    """DevicePELookup or None when the dense index does not apply.
+
+    client: a connected devserve.DevClient routes the probes through
+    the persistent daemon instead of a per-run device image."""
+    if client is not None:
+        return DevicePELookup(idx, block=block,
+                              lookup=client.chain_lookup,
+                              voff_map=client.voff_map)
     try:
         return DevicePELookup(idx, block=block)
     except NotImplementedError:

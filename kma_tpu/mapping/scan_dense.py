@@ -718,9 +718,14 @@ class DenseScanner:
 
     def __init__(self, idx: KmaIndex, rewards, exhaustive: bool = False,
                  proxi_frac: Optional[float] = None, batch: int = 4096,
-                 flat_headroom: int = 24, mem_budget_bytes: int = None):
+                 flat_headroom: int = 24, mem_budget_bytes: int = None,
+                 didx: Optional[DenseIndex] = None):
         try:
-            self.didx = DenseIndex.from_host(idx, mem_budget_bytes)
+            # a prebuilt device image may be shared across scanner
+            # configs (the devserve daemon serves one image to many
+            # penalty/proxi combinations)
+            self.didx = didx if didx is not None \
+                else DenseIndex.from_host(idx, mem_budget_bytes)
         except NotImplementedError as err:
             # over ONE device's HBM budget: shard the membership columns
             # over the whole device mesh before giving up on the dense

@@ -49,7 +49,16 @@ class DeviceScanStream:
 
     def __init__(self, idx: KmaIndex, pen: Penalties,
                  exhaustive: bool = False, proxi_frac: Optional[float] = None,
-                 batch: int = 4096, host: Optional[SaveKmersScanner] = None):
+                 batch: int = 4096, host: Optional[SaveKmersScanner] = None,
+                 dense=None):
+        if dense is not None:
+            # pre-built scanner (e.g. devserve.RemoteDenseScanner): no
+            # jax import / device setup in this process at all
+            self.dense = dense
+            self.host = host
+            self.batch = batch
+            self.k = idx.kmersize
+            return
         from .scan_dense import DenseScanner
         try:
             self.dense = DenseScanner(idx, pen, exhaustive=exhaustive,

@@ -1519,17 +1519,35 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             _in_bytes += os.path.getsize(_f)
         except OSError:
             pass
+    # persistent device session (devserve daemon, the -shm analog): one
+    # connection per run serves the dense scan, chain probes and PE
+    # lookups without any in-process jax/backend setup
+    _dev_client = None
+    if _device_enabled(cfg, _in_bytes):
+        from .devserve import DevClient
+        _dev_client = DevClient.connect(db_prefix)
+        if _dev_client is not None:
+            print("# device: using devserve session", file=sys.stderr)
     if (cfg.one2one and not sparse_db and not cfg.ck
             and not (scan_proxi and scan_proxi.soft is not None)
             and _device_enabled(cfg, _in_bytes)):
-        try:
+        if _dev_client is not None:
+            from .devserve import RemoteDenseScanner
             from .mapping.scan_stream import DeviceScanStream
             device_stream = DeviceScanStream(
-                idx, pen, exhaustive=cfg.exhaustive,
-                proxi_frac=scan_proxi.min_frac if scan_proxi else None,
-                host=scanner)
-        except NotImplementedError:
-            device_stream = None
+                idx, pen, host=scanner,
+                dense=RemoteDenseScanner(
+                    _dev_client, pen, cfg.exhaustive,
+                    scan_proxi.min_frac if scan_proxi else None))
+        else:
+            try:
+                from .mapping.scan_stream import DeviceScanStream
+                device_stream = DeviceScanStream(
+                    idx, pen, exhaustive=cfg.exhaustive,
+                    proxi_frac=scan_proxi.min_frac if scan_proxi else None,
+                    host=scanner)
+            except NotImplementedError:
+                device_stream = None
 
     # Batched step-3: buffer step-2 ankers and align them through the
     # threaded native engine (alnfrags.c worker pool analog) instead of
@@ -1610,7 +1628,7 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             _pe_dev = None
             if _device_enabled(cfg, _in_bytes):
                 from .mapping.pe_device import make_pe_lookup
-                _pe_dev = make_pe_lookup(idx)
+                _pe_dev = make_pe_lookup(idx, client=_dev_client)
             n_frags = _fused_pe_feed(fused, pe_files, cfg, _mp, n_frags,
                                      dev=_pe_dev,
                                      shard=(_pid0, _nproc))
@@ -1772,9 +1790,15 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                 # chain splicer (mapping/chain_device.py)
                 try:
                     from .mapping.chain_device import DeviceChainStream
-                    chain_dev = DeviceChainStream(idx, pen,
-                                                  template_lengths,
-                                                  nchain_b)
+                    if _dev_client is not None:
+                        chain_dev = DeviceChainStream(
+                            idx, pen, template_lengths, nchain_b,
+                            lookup=_dev_client.chain_lookup,
+                            voff_map=_dev_client.voff_map)
+                    else:
+                        chain_dev = DeviceChainStream(idx, pen,
+                                                      template_lengths,
+                                                      nchain_b)
                 except NotImplementedError:
                     chain_dev = None
             if chain_dev is not None:

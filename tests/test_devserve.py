@@ -1,0 +1,180 @@
+"""devserve daemon: protocol, parity with in-process scanners, e2e.
+
+The persistent device session (kma_tpu/devserve.py) is the TPU analog
+of the reference's shm residency (shm.c:51-153): scanners stay compiled
+and device-resident in a daemon; runs attach over a unix socket.
+"""
+
+import gzip
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from kma_tpu.cli.main import index_main, main
+from kma_tpu.config import Penalties
+from kma_tpu.devserve import DevClient, socket_path
+from kma_tpu.index.format import load_index
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def disk_db(tmp_path_factory):
+    d = tmp_path_factory.mktemp("devserve")
+    rng = np.random.default_rng(7)
+    fasta = d / "db.fsa"
+    seqs = []
+    with open(fasta, "w") as f:
+        for t in range(8):
+            seq = "".join("ACGT"[c] for c in rng.integers(0, 4, 300))
+            seqs.append(seq)
+            f.write(">tpl%d\n%s\n" % (t, seq))
+    prefix = str(d / "db")
+    assert index_main(["-i", str(fasta), "-o", prefix]) == 0
+    reads = d / "reads.fq"
+    with open(reads, "w") as f:
+        for i in range(60):
+            s = seqs[i % 8][i % 100: i % 100 + 100]
+            f.write("@r%d\n%s\n+\n%s\n" % (i, s, "I" * len(s)))
+    return prefix, str(reads)
+
+
+@pytest.fixture(scope="module")
+def daemon(disk_db, tmp_path_factory):
+    prefix, _ = disk_db
+    sdir = str(tmp_path_factory.mktemp("sock"))
+    env = dict(os.environ, KMA_DEVSERVE_DIR=sdir,
+               PYTHONPATH=str(REPO) + os.pathsep
+               + os.environ.get("PYTHONPATH", ""))
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "kma_tpu", "devserve", "-t_db", prefix,
+         "-batch", "32", "-warm", ""],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    path = None
+    try:
+        deadline = time.time() + 120
+        cli = None
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise RuntimeError("daemon died rc=%s" % proc.returncode)
+            os.environ["KMA_DEVSERVE_DIR"] = sdir
+            cli = DevClient.connect(prefix)
+            if cli is not None:
+                break
+            time.sleep(0.2)
+        assert cli is not None, "daemon never came up"
+        cli.close()
+        yield prefix, sdir
+    finally:
+        os.environ.pop("KMA_DEVSERVE_DIR", None)
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
+def test_dense_and_chain_parity(daemon, disk_db):
+    prefix, sdir = daemon
+    os.environ["KMA_DEVSERVE_DIR"] = sdir
+    cli = DevClient.connect(prefix)
+    assert cli is not None
+    idx = load_index(prefix)
+    pen = Penalties()
+    rng = np.random.default_rng(1)
+    codes = np.full((50, 128), 4, np.uint8)
+    lengths = np.full(50, 100, np.int32)
+    codes[:, :100] = rng.integers(0, 4, (50, 100), dtype=np.uint8)
+
+    s, m, t, o = cli.dense_scan(codes, lengths, pen, False, None)
+    from kma_tpu.mapping.scan_dense import DenseScanner
+    loc = DenseScanner(idx, pen, batch=32)
+    s2, m2, t2, o2 = loc.scan_reads(codes, lengths)
+    assert (s == s2).all() and (m == m2).all() and (o == o2).all()
+    for a, b in zip(t, t2):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    rf, rr = cli.chain_lookup(codes, lengths)
+    from kma_tpu.mapping.chain_device import _chain_lookup
+    d = loc.didx
+    rf2, rr2 = _chain_lookup(d.exist, d.kv, codes, lengths,
+                             k=idx.kmersize, mega=d.mega, size=d.size,
+                             max_probe=d.max_probe)
+    assert np.array_equal(rf, np.asarray(rf2))
+    assert np.array_equal(rr, np.asarray(rr2))
+    assert np.array_equal(cli.voff_map,
+                          np.asarray(d.list_voff, np.int64))
+    cli.close()
+
+
+def test_nw_op(daemon):
+    prefix, sdir = daemon
+    os.environ["KMA_DEVSERVE_DIR"] = sdir
+    cli = DevClient.connect(prefix)
+    assert cli is not None
+    from kma_tpu.ops.nw_kernel import stage_band_inputs
+    from kma_tpu.align.nw import nw_band
+    from kma_tpu.config import Penalties
+    pen = Penalties()
+    d = pen.score_matrix()
+    rng = np.random.default_rng(3)
+    B = 8
+    tls, qls, ts, qs, kf = [], [], [], [], []
+    for b in range(B):
+        tl = int(rng.integers(20, 60))
+        ql = tl + int(rng.integers(-4, 5))
+        ts.append(rng.integers(0, 4, tl).astype(np.uint8))
+        qs.append(rng.integers(0, 4, max(ql, 1)).astype(np.uint8))
+        tls.append(tl)
+        qls.append(max(ql, 1))
+        kf.append([0, 1, -1, 2][b % 4])
+    t_len, q_len, msc = stage_band_inputs(ts, qs, tls, qls, 64, d)
+    got = cli.nw_scores(t_len, q_len, np.asarray(kf, np.int32), msc,
+                        half_band=32, W1=pen.W1, U=pen.U, MM=pen.MM,
+                        interpret=True)
+    for b in range(B):
+        exp = nw_band(ts[b], qs[b], kf[b], 0, tls[b], 0, qls[b], 64,
+                      d, pen.W1, pen.U, pen.MM, tls[b])
+        assert got[b] == exp.score, "cand %d" % b
+    cli.close()
+
+
+def test_e2e_device_run_via_daemon(daemon, disk_db, tmp_path):
+    """-device on with a live daemon = byte parity with the host path
+    (gzip members may differ in framing; compare decompressed)."""
+    prefix, reads = disk_db
+    _, sdir = daemon
+    os.environ["KMA_DEVSERVE_DIR"] = sdir
+    out_dev = str(tmp_path / "dev")
+    out_host = str(tmp_path / "host")
+    assert main(["-i", reads, "-t_db", prefix, "-o", out_dev, "-1t1",
+                 "-device", "on"]) in (0, None)
+    assert main(["-i", reads, "-t_db", prefix, "-o", out_host, "-1t1",
+                 "-device", "off"]) in (0, None)
+    for ext in (".res", ".fsa", ".aln"):
+        a = open(out_dev + ext, "rb").read()
+        b = open(out_host + ext, "rb").read()
+        assert a == b, ext
+    a = gzip.open(out_dev + ".frag.gz").read()
+    b = gzip.open(out_host + ".frag.gz").read()
+    assert a == b, ".frag.gz content"
+
+
+def test_stale_socket_and_mismatch(disk_db, tmp_path):
+    prefix, _ = disk_db
+    os.environ["KMA_DEVSERVE_DIR"] = str(tmp_path)
+    # no daemon: connect returns None
+    assert DevClient.connect(prefix) is None
+    # stale socket file: connect returns None (no daemon behind it)
+    p = socket_path(prefix)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    open(p, "w").close()
+    assert DevClient.connect(prefix) is None
+    os.environ.pop("KMA_DEVSERVE_DIR", None)
