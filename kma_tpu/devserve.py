@@ -32,7 +32,6 @@ Reference roles: shm.c:51 (persistent DB residency), kmers.c:51-290
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import socket
@@ -46,10 +45,18 @@ import numpy as np
 _HDR = struct.Struct("<Q")
 
 
+def _fnv1a64(s: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for b in s:
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 def socket_path(db_prefix: str) -> str:
-    """Per-DB socket path (keyed by the resolved prefix)."""
+    """Per-DB socket path, keyed by FNV-1a of the resolved prefix (the
+    same trivially-portable hash the native CLI client computes)."""
     real = os.path.realpath(db_prefix)
-    h = hashlib.sha1(real.encode()).hexdigest()[:12]
+    h = "%016x" % _fnv1a64(real.encode())
     d = os.environ.get("KMA_DEVSERVE_DIR") or os.path.join(
         tempfile.gettempdir(), "kma_devserve_%d" % os.getuid())
     return os.path.join(d, h + ".sock")

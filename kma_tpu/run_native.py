@@ -64,8 +64,9 @@ def _build_cli(extra) -> None:
         subprocess.run(
             ["g++", "-O2"] + extra
             + ["-o", cli_bin + ".tmp", cli_src] + _SRCS
-            + [os.path.join(_NATIVE_DIR, "kma_io.cpp"), "-lpthread",
-               "-lz"],
+            + [os.path.join(_NATIVE_DIR, "kma_io.cpp"),
+               os.path.join(_NATIVE_DIR, "kma_devclient.cpp"),
+               "-lpthread", "-lz"],
             check=True, capture_output=True)
         os.replace(cli_bin + ".tmp", cli_bin)
     except Exception as e:  # pragma: no cover - CLI stays Python-only

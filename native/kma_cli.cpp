@@ -29,6 +29,8 @@
 #include <unistd.h>
 #include <zlib.h>
 
+#include "kma_devclient.h"
+
 typedef long long ll;
 typedef unsigned long long ull;
 
@@ -50,6 +52,12 @@ void krun_set_mem(void *hv, int mem_mode);
 ll krun_map_se_batch(void *hv, const uint8_t *codes_flat, const ll *coff,
                      const uint8_t *hdr_flat, const ll *hoff,
                      const ll *ords, int n);
+ll krun_map_se_batch_dev(void *hv, const uint8_t *codes_flat,
+                         const ll *coff, const uint8_t *hdr_flat,
+                         const ll *hoff, const ll *ords, int n,
+                         const int32_t *dscores, const uint8_t *dmodes,
+                         const uint8_t *dover, const int32_t *dcounts,
+                         const int32_t *dflat);
 ll krun_map_pe_batch(void *hv, const uint8_t *a_flat, const ll *a_off,
                      const uint8_t *ha_flat, const ll *ha_off,
                      const uint8_t *b_flat, const ll *b_off,
@@ -448,6 +456,7 @@ struct Cfg {
     int pm = 0, fpm = 0;           // 0 union, 1 penalty
     bool pe = false;
     bool mem_mode = false;
+    bool device_on = false;        // -device on: devserve daemon scan
     int threads = 1;
     int min_phred = 20, hardmask_q = 0, min_q = 0;
     ll min_len = 16, max_len = 2147483647LL;
@@ -542,6 +551,7 @@ int main(int argc, char **argv) {
         } else if (a == "-device") {
             std::string v = argv[++i];
             if (v == "off") device_ok = true;
+            else if (v == "on") { cfg.device_on = true; device_ok = true; }
             else return FALLBACK;
         } else if (a == "-bc") {
             if (i + 1 < argc && argv[i + 1][0] != '-') {
@@ -602,6 +612,18 @@ int main(int argc, char **argv) {
             return FALLBACK;
     if (cfg.pe && (!is_fastq(cfg.pe1.c_str()) || !is_fastq(cfg.pe2.c_str())))
         return FALLBACK;
+    // -device on: the native envelope is the SE -1t1 dense-scan shape
+    // (the daemon's dense op); everything else keeps the Python device
+    // paths.  No live daemon -> Python decides (in-process device).
+    DevConn *dc = nullptr;
+    if (cfg.device_on) {
+        if (cfg.pe || !cfg.one2one)
+            return FALLBACK;
+        dc = kdev_connect(cfg.t_db.c_str());
+        if (!dc)
+            return FALLBACK;
+        fprintf(stderr, "# device: using devserve session\n");
+    }
 
     init_tables();
     fprintf(stderr, "# Running KMA.\n");
@@ -645,6 +667,65 @@ int main(int argc, char **argv) {
     ll n_frags = 0;
     std::vector<ll> ords;
     if (!cfg.pe) {
+        // device-scan plumbing: one request in flight ahead of the
+        // batch being consumed, so the daemon's dispatch overlaps the
+        // native step-3/spool work on the previous batch
+        struct DevPend {
+            FqBatch b;
+            std::vector<ll> ords;
+        };
+        std::deque<DevPend> inflight;
+        std::vector<uint8_t> dcodes;
+        std::vector<int32_t> dlens, dscores, dcounts, dflat;
+        std::vector<uint8_t> dmodes, dover;
+        auto dev_send = [&](const FqBatch &b) {
+            int mx = 1;
+            for (int i = 0; i < b.n; i++) {
+                int l = (int)(b.coff[i + 1] - b.coff[i]);
+                if (l > mx)
+                    mx = l;
+            }
+            // the Python DeviceScanStream's length buckets, so client
+            // runs share the daemon's warmed compile shapes
+            int Lb = 128;
+            while (Lb < mx)
+                Lb = (Lb * 3 / 2 + 63) / 64 * 64;
+            dcodes.assign((size_t)b.n * Lb, 4);
+            dlens.assign(b.n, 0);
+            for (int i = 0; i < b.n; i++) {
+                ll l = b.coff[i + 1] - b.coff[i];
+                memcpy(dcodes.data() + (size_t)i * Lb,
+                       b.codes.data() + b.coff[i], (size_t)l);
+                dlens[i] = (int32_t)l;
+            }
+            return kdev_dense_send(dc, dcodes.data(), dlens.data(), b.n,
+                                   Lb, (int)cfg.M, MM, (int)cfg.U,
+                                   (int)cfg.W1, false, false, 0.0);
+        };
+        auto dev_finish = [&](DevPend &p) {
+            if (dc && kdev_dense_recv(dc, dscores, dmodes, dover, dcounts,
+                                      dflat)
+                && (int)dmodes.size() == p.b.n) {
+                if (krun_map_se_batch_dev(
+                        R, p.b.codes.data(), p.b.coff.data(),
+                        p.b.hdr.data(), p.b.hoff.data(), p.ords.data(),
+                        p.b.n, dscores.data(), dmodes.data(),
+                        dover.data(), dcounts.data(), dflat.data()) < 0)
+                    die("mapping failed");
+                return;
+            }
+            // daemon died mid-run: degrade to the host scan
+            if (dc) {
+                fprintf(stderr,
+                        "# device: devserve lost; host scan takes over\n");
+                kdev_close(dc);
+                dc = nullptr;
+            }
+            if (krun_map_se_batch(R, p.b.codes.data(), p.b.coff.data(),
+                                  p.b.hdr.data(), p.b.hoff.data(),
+                                  p.ords.data(), p.b.n) < 0)
+                die("mapping failed");
+        };
         FqBatch b;
         for (const std::string &path : cfg.in_se) {
             fprintf(stderr, "# Reading inputfile: \t%s\n", path.c_str());
@@ -659,10 +740,35 @@ int main(int argc, char **argv) {
                 for (int i = 0; i < b.n; i++)
                     ords[i] = n_frags + i;
                 n_frags += b.n;
+                if (dc) {
+                    DevPend p;
+                    p.b = std::move(b);
+                    p.ords = ords;
+                    if (dev_send(p.b)) {
+                        inflight.push_back(std::move(p));
+                        if (inflight.size() > 1) {
+                            dev_finish(inflight.front());
+                            inflight.pop_front();
+                        }
+                    } else {
+                        // send failed: host scan, drop the daemon
+                        fprintf(stderr, "# device: devserve lost; host "
+                                        "scan takes over\n");
+                        kdev_close(dc);
+                        dc = nullptr;
+                        dev_finish(p);
+                    }
+                    b = FqBatch();
+                    continue;
+                }
                 if (krun_map_se_batch(R, b.codes.data(), b.coff.data(),
                                       b.hdr.data(), b.hoff.data(),
                                       ords.data(), b.n) < 0)
                     die("mapping failed");
+            }
+            while (!inflight.empty()) {
+                dev_finish(inflight.front());
+                inflight.pop_front();
             }
             rd.join();
         }

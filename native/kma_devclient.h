@@ -1,0 +1,32 @@
+// Native client for the kma_tpu devserve daemon (kma_tpu/devserve.py):
+// the persistent TPU session holding the device-resident index and the
+// compiled scan executables (the -shm analog, shm.c:51 role).  The CLI
+// driver ships step-2 read batches over the daemon's unix socket and
+// keeps the rest of the run native.
+#ifndef KMA_DEVCLIENT_H
+#define KMA_DEVCLIENT_H
+
+#include <cstdint>
+#include <vector>
+
+struct DevConn;
+
+// Connect + hello identity check against the daemon serving db_prefix.
+// Returns nullptr when there is no live, matching daemon.
+DevConn *kdev_connect(const char *db_prefix);
+void kdev_close(DevConn *c);
+
+// One in-flight dense request at a time per extra slot: send is
+// fire-and-forget, recv blocks for the matching response (FIFO), so the
+// caller can pipeline batch k+1's send before batch k's recv.
+bool kdev_dense_send(DevConn *c, const uint8_t *codes,
+                     const int32_t *lengths, int n, int l, int M, int MM,
+                     int U, int W1, bool exhaustive, bool has_proxi,
+                     double proxi);
+bool kdev_dense_recv(DevConn *c, std::vector<int32_t> &scores,
+                     std::vector<uint8_t> &modes,
+                     std::vector<uint8_t> &over,
+                     std::vector<int32_t> &counts,
+                     std::vector<int32_t> &flat);
+
+#endif

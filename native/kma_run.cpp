@@ -1648,6 +1648,46 @@ static void apply_pe_pair(Run *R, int fpm, const uint8_t *c_a, int la,
                  ord);
 }
 
+// Shared SE phases 2-4 (unit collection -> step-3 scoring -> spool):
+// consumes the PendUnits of scratches [0, nt).
+static ll se_batch_tail(Run *R, int nt, const uint8_t *hdr_flat,
+                        const long long *hoff, const long long *ords) {
+    auto _now = []() {
+        return std::chrono::duration<double>(
+                   std::chrono::steady_clock::now().time_since_epoch())
+            .count();
+    };
+    double _t0 = _now();
+    std::vector<SUnit> units;
+    std::vector<int32_t> tpl_ids;
+    std::vector<int64_t> tpl_offv{0};
+    for (int ti = 0; ti < nt; ++ti) {
+        Scratch &S = R->scratch[ti];
+        for (PendUnit &u : S.units)
+            collect_se_unit(R, S, u, hdr_flat, hoff, nullptr, nullptr,
+                            ords, units, tpl_ids, tpl_offv);
+    }
+    int m = (int)units.size();
+    if (!m)
+        return (ll)R->spool.size();
+    R->t_build += _now() - _t0;
+    _t0 = _now();
+    if (R->mem_mode) {
+        for (int i = 0; i < m; ++i)
+            emit_mem_spool(R, units[i], tpl_ids, tpl_offv, i, nullptr, 0);
+        R->t_spool += _now() - _t0;
+        return (ll)R->spool.size();
+    }
+    SEOut o;
+    score_se_batch(R, units, tpl_ids, tpl_offv, o);
+    R->t_score += _now() - _t0;
+    _t0 = _now();
+    for (int i = 0; i < m; ++i)
+        emit_se_spool(R, units[i], tpl_ids, tpl_offv, o, i);
+    R->t_spool += _now() - _t0;
+    return (ll)R->spool.size();
+}
+
 }  // namespace
 
 extern "C" {
@@ -1801,37 +1841,80 @@ long long krun_map_se_batch(void *hv, const uint8_t *codes_flat,
     if (fail.load())
         return -1;
     R->t_scan += _now() - _t0;
-    _t0 = _now();
 
-    // ---- phases 2-4 via the shared SE helpers ---------------------------
-    std::vector<SUnit> units;
-    std::vector<int32_t> tpl_ids;
-    std::vector<int64_t> tpl_offv{0};
-    for (int ti = 0; ti < nt; ++ti) {
-        Scratch &S = R->scratch[ti];
-        for (PendUnit &u : S.units)
-            collect_se_unit(R, S, u, hdr_flat, hoff, nullptr, nullptr,
-                            ords, units, tpl_ids, tpl_offv);
+    return se_batch_tail(R, nt, hdr_flat, hoff, ords);
+}
+
+// Map one SE batch whose step-2 scan ALREADY RAN on the device (the
+// devserve daemon's dense op, kma_tpu/devserve.py): dscores/dmodes/
+// dcounts/dflat are scan_dense's per-read outputs (mode 0 unmapped,
+// 1 fw, 2 rc, 3 merged with score negated and tpl = fw ++ -rc ids --
+// exactly the savekmers.c:2766-2833 emit scan_read_units reproduces).
+// Reads flagged overflow fall back to the native host scan, preserving
+// byte parity for any tie width.
+long long krun_map_se_batch_dev(void *hv, const uint8_t *codes_flat,
+                                const long long *coff,
+                                const uint8_t *hdr_flat,
+                                const long long *hoff,
+                                const long long *ords, int n,
+                                const int32_t *dscores,
+                                const uint8_t *dmodes,
+                                const uint8_t *dover,
+                                const int32_t *dcounts,
+                                const int32_t *dflat) {
+    Run *R = (Run *)hv;
+    const int k = R->ix.k;
+    Scratch &S = R->scratch[0];
+    S.units.clear();
+    S.cod_arena.clear();
+    S.tpl_arena.clear();
+    S.pairs.clear();
+    S.order.clear();
+    auto _now = []() {
+        return std::chrono::duration<double>(
+                   std::chrono::steady_clock::now().time_since_epoch())
+            .count();
+    };
+    double _t0 = _now();
+    ll foff = 0;
+    for (int rd = 0; rd < n; ++rd) {
+        const uint8_t *q = codes_flat + coff[rd];
+        int q_len = (int)(coff[rd + 1] - coff[rd]);
+        ll fo = foff;
+        foff += dcounts[rd];
+        if (dover[rd]) {
+            // device tie/run overflow: exact host rescan of this read
+            scan_read_units(R, S, q, q_len, rd, 0);
+            continue;
+        }
+        int mode = dmodes[rd];
+        if (!mode || q_len < k)
+            continue;
+        PendUnit u;
+        u.read = rd;
+        u.hsrc = 0;
+        u.b0 = u.b1 = -1;
+        u.q_len = q_len;
+        u.cod_off = (ll)S.cod_arena.size();
+        u.tpl_off = (ll)S.tpl_arena.size();
+        u.sc = dscores[rd];
+        u.flag = mode == 2 ? 16 : 0;
+        if (mode == 2) {
+            size_t base = S.cod_arena.size();
+            S.cod_arena.resize(base + q_len);
+            for (int i = 0; i < q_len; ++i)
+                S.cod_arena[base + i] = RC_CODE[q[q_len - 1 - i]];
+        } else {
+            S.cod_arena.insert(S.cod_arena.end(), q, q + q_len);
+        }
+        S.tpl_arena.insert(S.tpl_arena.end(), dflat + fo,
+                           dflat + fo + dcounts[rd]);
+        u.n_tpl = dcounts[rd];
+        S.units.push_back(u);
+        S.order.emplace_back(0, (int)S.units.size() - 1);
     }
-    int m = (int)units.size();
-    if (!m)
-        return (ll)R->spool.size();
-    R->t_build += _now() - _t0;
-    _t0 = _now();
-    if (R->mem_mode) {
-        for (int i = 0; i < m; ++i)
-            emit_mem_spool(R, units[i], tpl_ids, tpl_offv, i, nullptr, 0);
-        R->t_spool += _now() - _t0;
-        return (ll)R->spool.size();
-    }
-    SEOut o;
-    score_se_batch(R, units, tpl_ids, tpl_offv, o);
-    R->t_score += _now() - _t0;
-    _t0 = _now();
-    for (int i = 0; i < m; ++i)
-        emit_se_spool(R, units[i], tpl_ids, tpl_offv, o, i);
-    R->t_spool += _now() - _t0;
-    return (ll)R->spool.size();
+    R->t_scan += _now() - _t0;
+    return se_batch_tail(R, 1, hdr_flat, hoff, ords);
 }
 
 

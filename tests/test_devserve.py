@@ -167,6 +167,38 @@ def test_e2e_device_run_via_daemon(daemon, disk_db, tmp_path):
     assert a == b, ".frag.gz content"
 
 
+def test_native_cli_uses_daemon(daemon, disk_db, tmp_path):
+    """bin/kma -device on routes the scan through the daemon from the
+    NATIVE CLI (native/kma_devclient.cpp) at byte parity."""
+    prefix, reads = disk_db
+    _, sdir = daemon
+    cli = REPO / "native" / "kma_cli"
+    if not cli.exists():
+        pytest.skip("native CLI not built")
+    env = dict(os.environ, KMA_DEVSERVE_DIR=sdir)
+    out_dev = str(tmp_path / "ndev")
+    out_host = str(tmp_path / "nhost")
+    r = subprocess.run(
+        [str(cli), "-i", reads, "-t_db", prefix, "-o", out_dev, "-1t1",
+         "-device", "on"], env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert "devserve session" in r.stderr
+    r = subprocess.run(
+        [str(cli), "-i", reads, "-t_db", prefix, "-o", out_host, "-1t1",
+         "-device", "off"], env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    for ext in (".res", ".fsa", ".aln", ".frag.gz"):
+        a = open(out_dev + ext, "rb").read()
+        b = open(out_host + ext, "rb").read()
+        assert a == b, ext
+    # no daemon dir -> the CLI exits 113 (python fallback owns the run)
+    env2 = dict(os.environ, KMA_DEVSERVE_DIR=str(tmp_path / "empty"))
+    r = subprocess.run(
+        [str(cli), "-i", reads, "-t_db", prefix, "-o", out_dev, "-1t1",
+         "-device", "on"], env=env2, capture_output=True, text=True)
+    assert r.returncode == 113
+
+
 def test_stale_socket_and_mismatch(disk_db, tmp_path):
     prefix, _ = disk_db
     os.environ["KMA_DEVSERVE_DIR"] = str(tmp_path)
