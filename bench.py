@@ -447,6 +447,82 @@ def nw_kernel_metric():
     return row
 
 
+def device_e2e_metric(db_prefix, reads):
+    """On-chip e2e smoke: a full SE -1t1 run whose step-2 scan runs on
+    the real chip through a devserve session (the persistent device
+    daemon, kma_tpu/devserve.py), byte-compared against the reference.
+
+    Reuses a live daemon when one is serving this DB; otherwise starts
+    one (cold wall recorded -- dominated by the remote compile service
+    on a tunneled chip, paid once per daemon lifetime) and stops it
+    after.  warm_wall_s is the repeat-run wall the daemon buys."""
+    sys.path.insert(0, str(REPO))
+    from kma_tpu.devserve import DevClient
+
+    row = {"n": N_READS}
+    started = False
+    cli = DevClient.connect(db_prefix)
+    if cli is None:
+        t0 = time.time()
+        r = subprocess.run(
+            [str(REPO / "bin" / "kma"), "devserve", "-t_db", db_prefix,
+             "-warm", "128", "-b"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            timeout=2400)
+        row["daemon_start_s"] = round(time.time() - t0, 1)
+        started = True
+        if r.returncode != 0:
+            row["skipped"] = "daemon failed to start"
+            print("# device_e2e: %s" % json.dumps(row), file=sys.stderr)
+            return row
+        cli = DevClient.connect(db_prefix)
+        if cli is None:
+            row["skipped"] = "daemon started but not connectable"
+            print("# device_e2e: %s" % json.dumps(row), file=sys.stderr)
+            return row
+    cli.close()
+    try:
+        my_args = ["-i", reads, "-t_db", db_prefix, "-o", "/tmp/bdev",
+                   "-1t1", "-t", "1", "-device", "on"]
+        walls = [_run_wall([str(REPO / "bin" / "kma")] + my_args)[0]
+                 for _ in range(3)]
+        row["wall_first_s"] = round(walls[0], 3)
+        row["warm_wall_s"] = round(min(walls[1:]), 3)
+        row["reads_per_sec_e2e"] = round(N_READS / min(walls[1:]), 1)
+        host = min(_run_wall(
+            [str(REPO / "bin" / "kma")] + my_args[:-2]
+            + ["-device", "off"])[0] for _ in range(3))
+        row["host_wall_s"] = round(host, 3)
+        row["vs_host"] = round(host / min(walls[1:]), 3)
+        kma = REF_BUILD / "kma"
+        if kma.exists():
+            ref = min(_run_wall(
+                [str(kma), "-i", reads, "-t_db", db_prefix, "-o",
+                 "/tmp/bdevr", "-1t1", "-t", "1"])[0] for _ in range(3))
+            row["ref_wall_s"] = round(ref, 3)
+            row["vs_ref"] = round(ref / min(walls[1:]), 3)
+            parity = all(
+                Path("/tmp/bdev" + ext).read_bytes()
+                == Path("/tmp/bdevr" + ext).read_bytes()
+                for ext in (".res", ".fsa", ".aln"))
+            parity = parity and _gz_eq("/tmp/bdev.frag.gz",
+                                       "/tmp/bdevr.frag.gz")
+            row["parity"] = bool(parity)
+            if not parity:
+                row["vs_ref"] = 0.0
+                row["reads_per_sec_e2e"] = 0.0
+                print("# PARITY FAILURE in device_e2e", file=sys.stderr)
+    finally:
+        if started:
+            subprocess.run(
+                [str(REPO / "bin" / "kma"), "devserve", "-t_db",
+                 db_prefix, "-stop"],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                timeout=120)
+    print("# device_e2e: %s" % json.dumps(row), file=sys.stderr)
+    return row
+
+
 def main():
     have_ref, db_prefix = ensure_assets()
     reads = str(TESTDATA / "bench_reads.fq")
@@ -532,6 +608,12 @@ def main():
         "device_host_parity": parity,
         "residual_host_fallback": residual,
     }
+
+    try:
+        configs["device_e2e"] = device_e2e_metric(db_prefix, reads)
+    except Exception as e:  # pragma: no cover
+        configs["device_e2e"] = {"error": str(e)[:200]}
+        print("# device_e2e failed: %s" % e, file=sys.stderr)
 
     # headline: end-to-end mapping speed vs the reference binary, the
     # geometric mean over the four single-host BASELINE configs (byte
