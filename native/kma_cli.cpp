@@ -667,20 +667,27 @@ int main(int argc, char **argv) {
     ll n_frags = 0;
     std::vector<ll> ords;
     if (!cfg.pe) {
-        // device-scan plumbing: one request in flight ahead of the
-        // batch being consumed, so the daemon's dispatch overlaps the
-        // native step-3/spool work on the previous batch
-        struct DevPend {
+        // device-scan plumbing: reader batches are sliced into daemon
+        // requests a few thousand reads wide and pipelined 2 deep, so
+        // the chip's scan of slice k+1/k+2 overlaps the native
+        // step-3/spool work on slice k
+        struct DevBatch {
             FqBatch b;
             std::vector<ll> ords;
         };
-        std::deque<DevPend> inflight;
+        struct DevSlice {
+            std::shared_ptr<DevBatch> db;
+            int start, n;
+        };
+        const int DEVSLICE = 4096;
+        std::deque<DevSlice> inflight;
         std::vector<uint8_t> dcodes;
         std::vector<int32_t> dlens, dscores, dcounts, dflat;
         std::vector<uint8_t> dmodes, dover;
-        auto dev_send = [&](const FqBatch &b) {
+        auto dev_send = [&](const DevSlice &s) {
+            const FqBatch &b = s.db->b;
             int mx = 1;
-            for (int i = 0; i < b.n; i++) {
+            for (int i = s.start; i < s.start + s.n; i++) {
                 int l = (int)(b.coff[i + 1] - b.coff[i]);
                 if (l > mx)
                     mx = l;
@@ -690,27 +697,30 @@ int main(int argc, char **argv) {
             int Lb = 128;
             while (Lb < mx)
                 Lb = (Lb * 3 / 2 + 63) / 64 * 64;
-            dcodes.assign((size_t)b.n * Lb, 4);
-            dlens.assign(b.n, 0);
-            for (int i = 0; i < b.n; i++) {
-                ll l = b.coff[i + 1] - b.coff[i];
-                memcpy(dcodes.data() + (size_t)i * Lb,
-                       b.codes.data() + b.coff[i], (size_t)l);
+            dcodes.assign((size_t)s.n * Lb, 4);
+            dlens.assign(s.n, 0);
+            for (int i = 0; i < s.n; i++) {
+                ll off = b.coff[s.start + i];
+                ll l = b.coff[s.start + i + 1] - off;
+                memcpy(dcodes.data() + (size_t)i * Lb, b.codes.data() + off,
+                       (size_t)l);
                 dlens[i] = (int32_t)l;
             }
-            return kdev_dense_send(dc, dcodes.data(), dlens.data(), b.n,
+            return kdev_dense_send(dc, dcodes.data(), dlens.data(), s.n,
                                    Lb, (int)cfg.M, MM, (int)cfg.U,
                                    (int)cfg.W1, false, false, 0.0);
         };
-        auto dev_finish = [&](DevPend &p) {
+        auto dev_finish = [&](DevSlice &s) {
+            const FqBatch &b = s.db->b;
             if (dc && kdev_dense_recv(dc, dscores, dmodes, dover, dcounts,
                                       dflat)
-                && (int)dmodes.size() == p.b.n) {
+                && (int)dmodes.size() == s.n) {
                 if (krun_map_se_batch_dev(
-                        R, p.b.codes.data(), p.b.coff.data(),
-                        p.b.hdr.data(), p.b.hoff.data(), p.ords.data(),
-                        p.b.n, dscores.data(), dmodes.data(),
-                        dover.data(), dcounts.data(), dflat.data()) < 0)
+                        R, b.codes.data(), b.coff.data() + s.start,
+                        b.hdr.data(), b.hoff.data() + s.start,
+                        s.db->ords.data() + s.start, s.n, dscores.data(),
+                        dmodes.data(), dover.data(), dcounts.data(),
+                        dflat.data()) < 0)
                     die("mapping failed");
                 return;
             }
@@ -721,9 +731,9 @@ int main(int argc, char **argv) {
                 kdev_close(dc);
                 dc = nullptr;
             }
-            if (krun_map_se_batch(R, p.b.codes.data(), p.b.coff.data(),
-                                  p.b.hdr.data(), p.b.hoff.data(),
-                                  p.ords.data(), p.b.n) < 0)
+            if (krun_map_se_batch(R, b.codes.data(), b.coff.data() + s.start,
+                                  b.hdr.data(), b.hoff.data() + s.start,
+                                  s.db->ords.data() + s.start, s.n) < 0)
                 die("mapping failed");
         };
         FqBatch b;
@@ -741,22 +751,40 @@ int main(int argc, char **argv) {
                     ords[i] = n_frags + i;
                 n_frags += b.n;
                 if (dc) {
-                    DevPend p;
-                    p.b = std::move(b);
-                    p.ords = ords;
-                    if (dev_send(p.b)) {
-                        inflight.push_back(std::move(p));
-                        if (inflight.size() > 1) {
+                    auto db = std::make_shared<DevBatch>();
+                    db->b = std::move(b);
+                    db->ords = ords;
+                    for (int st = 0; st < db->b.n && dc; st += DEVSLICE) {
+                        DevSlice s{db, st,
+                                   db->b.n - st < DEVSLICE ? db->b.n - st
+                                                           : DEVSLICE};
+                        if (dev_send(s)) {
+                            inflight.push_back(std::move(s));
+                            while (inflight.size() > 2) {
+                                dev_finish(inflight.front());
+                                inflight.pop_front();
+                            }
+                        } else {
+                            fprintf(stderr, "# device: devserve lost; "
+                                            "host scan takes over\n");
+                            kdev_close(dc);
+                            dc = nullptr;
+                            // spool order = read order: drain the queued
+                            // slices before the one that failed to send
+                            while (!inflight.empty()) {
+                                dev_finish(inflight.front());
+                                inflight.pop_front();
+                            }
+                            dev_finish(s);
+                        }
+                    }
+                    if (!dc) {
+                        // daemon lost mid-batch: finish queued slices
+                        // (host scan) before the next reader batch
+                        while (!inflight.empty()) {
                             dev_finish(inflight.front());
                             inflight.pop_front();
                         }
-                    } else {
-                        // send failed: host scan, drop the daemon
-                        fprintf(stderr, "# device: devserve lost; host "
-                                        "scan takes over\n");
-                        kdev_close(dc);
-                        dc = nullptr;
-                        dev_finish(p);
                     }
                     b = FqBatch();
                     continue;
