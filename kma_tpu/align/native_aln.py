@@ -136,6 +136,25 @@ def get_lib():
         ctypes.c_double, ctypes.c_double, ctypes.c_int,
         i32p, i64p, f64p,                # nhits, best_score, best_frac
         i32p, i32p, i32p, i64p, i32p]    # tpl, start, end, score, len
+    lib.kaln_set_dev_scores.restype = None
+    lib.kaln_set_dev_scores.argtypes = [i64p, u8p, i64p, u8p]
+    lib.kaln_se_windows.restype = ctypes.c_longlong
+    lib.kaln_se_windows.argtypes = [
+        vpp, i32p, i64p,                 # handles, tpl ids, tpl offsets
+        u8p, i64p, i32p, i64p,           # codes, npos
+        i32p, u8p, u8p, i64p,            # qbounds, arc, crc
+        ctypes.c_int,                    # n_reads
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.c_longlong, ctypes.c_int, ctypes.c_longlong,
+        i32p, i32p, u8p, i32p, i32p, i32p, i32p, i32p, i32p,
+        i32p, i32p]                      # lead_win, trail_win
+    lib.kaln_se_stage_msc.restype = None
+    lib.kaln_se_stage_msc.argtypes = [
+        vpp, u8p, i64p, u8p, i64p, i32p,
+        i32p, i32p, u8p, i32p, i32p, i32p, i32p, i32p, i32p,
+        i64p, ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int8), i32p, i32p, i32p, i32p]
     lib.kaln_pe_score_batch.restype = None
     lib.kaln_pe_score_batch.argtypes = [
         vpp, i32p, i64p,                 # handles, tpl ids, tpl offsets
@@ -286,6 +305,102 @@ def frags_se_batch(handles: np.ndarray, tpl_ids: np.ndarray,
         _i32p(out_len))
     return (out_nhits, out_best, out_frac, out_tpl, out_start, out_end,
             out_score, out_len)
+
+
+_EMPTY_I64 = np.zeros(0, np.int64)
+
+
+def se_windows(handles, tpl_ids, tpl_off, codes_flat, codes_off,
+               npos_flat, npos_off, qbounds, arc_flags, rew,
+               kmersize: int, mq: int, scoreT: float,
+               est_cells_min: int = 1 << 15, max_band: int = 126,
+               crc_flat=None, crc_off=None):
+    """Export the heavy lead/trail banded windows of an SE batch for the
+    device pre-pass (kaln_se_windows; nw.c:892 window role).  Returns
+    (wins dict of per-window arrays, lead_win i32 [total], trail_win
+    i32 [total]) or None when no window qualifies."""
+    lib = get_lib()
+    n = len(arc_flags)
+    total = int(tpl_off[-1])
+    d = _dmat(rew.d)
+    if crc_flat is None:
+        crc_flat = _EMPTY_U8
+        crc_off = np.zeros(n + 1, np.int64)
+    lead_win = np.empty(total, np.int32)
+    trail_win = np.empty(total, np.int32)
+    cap = max(1024, 2 * n)
+    while True:
+        w_read = np.empty(cap, np.int32)
+        w_cand = np.empty(cap, np.int32)
+        w_rc = np.empty(cap, np.uint8)
+        w_ts = np.empty(cap, np.int32)
+        w_te = np.empty(cap, np.int32)
+        w_qs = np.empty(cap, np.int32)
+        w_qe = np.empty(cap, np.int32)
+        w_kf = np.empty(cap, np.int32)
+        w_band = np.empty(cap, np.int32)
+        got = lib.kaln_se_windows(
+            handles.ctypes.data_as(ctypes.POINTER(ctypes.c_void_p)),
+            _i32p(tpl_ids), _i64p(tpl_off), _u8p(codes_flat),
+            _i64p(codes_off), _i32p(npos_flat), _i64p(npos_off),
+            _i32p(qbounds), _u8p(arc_flags), _u8p(crc_flat),
+            _i64p(crc_off), n, rew.M, rew.MM, rew.U, rew.W1, _i32p(d),
+            kmersize, mq, scoreT, est_cells_min, max_band, cap,
+            _i32p(w_read), _i32p(w_cand), _u8p(w_rc), _i32p(w_ts),
+            _i32p(w_te), _i32p(w_qs), _i32p(w_qe), _i32p(w_kf),
+            _i32p(w_band), _i32p(lead_win), _i32p(trail_win))
+        if got >= 0:
+            break
+        cap = int(-got) + 64
+    nw = int(got)
+    if nw == 0:
+        return None
+    wins = {"read": w_read[:nw], "cand": w_cand[:nw], "rc": w_rc[:nw],
+            "ts": w_ts[:nw], "te": w_te[:nw], "qs": w_qs[:nw],
+            "qe": w_qe[:nw], "kf": w_kf[:nw], "band": w_band[:nw]}
+    return wins, lead_win, trail_win
+
+
+def stage_msc(handles, codes_flat, codes_off, crc_flat, crc_off, rew,
+              wins, sel, R: int, L: int):
+    """Fill the Pallas kernel's staged inputs for the selected windows
+    (kaln_se_stage_msc).  Returns (msc [R, n, L] i8, tl, ql, kf, hb)."""
+    lib = get_lib()
+    d = _dmat(rew.d)
+    if crc_flat is None:
+        crc_flat = _EMPTY_U8
+        crc_off = np.zeros(len(codes_off), np.int64)
+    sel = np.ascontiguousarray(sel, np.int64)
+    n = len(sel)
+    msc = np.empty((R, n, L), np.int8)
+    tl = np.empty(n, np.int32)
+    ql = np.empty(n, np.int32)
+    kf = np.empty(n, np.int32)
+    hb = np.empty(n, np.int32)
+    lib.kaln_se_stage_msc(
+        handles.ctypes.data_as(ctypes.POINTER(ctypes.c_void_p)),
+        _u8p(codes_flat), _i64p(codes_off), _u8p(crc_flat),
+        _i64p(crc_off), _i32p(d), _i32p(wins["read"]),
+        _i32p(wins["cand"]), _u8p(wins["rc"]), _i32p(wins["ts"]),
+        _i32p(wins["te"]), _i32p(wins["qs"]), _i32p(wins["qe"]),
+        _i32p(wins["kf"]), _i32p(wins["band"]), _i64p(sel), n, R, L,
+        msc.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), _i32p(tl),
+        _i32p(ql), _i32p(kf), _i32p(hb))
+    return msc, tl, ql, kf, hb
+
+
+def set_dev_scores(lead, has_lead, trail, has_trail):
+    """Arm the device pre-pass score tables for the NEXT
+    frags_se_batch call (cleared by it).  The caller must keep the
+    arrays alive until that call returns."""
+    lib = get_lib()
+    if lead is None:
+        nullp = ctypes.POINTER(ctypes.c_int64)()
+        nullb = ctypes.POINTER(ctypes.c_uint8)()
+        lib.kaln_set_dev_scores(nullp, nullb, nullp, nullb)
+        return
+    lib.kaln_set_dev_scores(_i64p(lead), _u8p(has_lead), _i64p(trail),
+                            _u8p(has_trail))
 
 
 def anker_rc_comp(tindex, qseq, qseq_r, n_pos_f, n_pos_r, q_len, q_start,

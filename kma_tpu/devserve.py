@@ -200,12 +200,16 @@ class DevServer:
 
     def _op_nw(self, meta, arrays):
         from .ops.nw_kernel import nw_band_score_pallas
+        if "hband" in arrays:
+            hb = np.asarray(arrays["hband"], np.int32)
+        else:
+            hb = int(meta["half_band"])
         sc = nw_band_score_pallas(
             np.asarray(arrays["t_len"], np.int32),
             np.asarray(arrays["q_len"], np.int32),
             np.asarray(arrays["kflag"], np.int32),
             np.asarray(arrays["msc"]),
-            half_band=int(meta["half_band"]), W1=int(meta["W1"]),
+            half_band=hb, W1=int(meta["W1"]),
             U=int(meta["U"]), MM=int(meta["MM"]),
             GT=int(meta.get("GT", 8)),
             interpret=bool(meta.get("interpret", False)))
@@ -401,13 +405,18 @@ class DevClient:
 
     def nw_scores(self, t_len, q_len, kflag, msc, *, half_band, W1, U,
                   MM, GT=8, interpret=False):
-        meta = {"op": "nw", "half_band": int(half_band), "W1": int(W1),
+        meta = {"op": "nw", "W1": int(W1),
                 "U": int(U), "MM": int(MM), "GT": int(GT),
                 "interpret": interpret}
-        _, r = self._call(meta, [("t_len", np.asarray(t_len, np.int32)),
-                                 ("q_len", np.asarray(q_len, np.int32)),
-                                 ("kflag", np.asarray(kflag, np.int32)),
-                                 ("msc", np.asarray(msc, np.int8))])
+        arrays = [("t_len", np.asarray(t_len, np.int32)),
+                  ("q_len", np.asarray(q_len, np.int32)),
+                  ("kflag", np.asarray(kflag, np.int32)),
+                  ("msc", np.asarray(msc, np.int8))]
+        if np.ndim(half_band):
+            arrays.append(("hband", np.asarray(half_band, np.int32)))
+        else:
+            meta["half_band"] = int(half_band)
+        _, r = self._call(meta, arrays)
         return np.asarray(r["scores"])
 
     def stop(self) -> None:

@@ -37,15 +37,16 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_CAP = np.int32(-(1 << 29))
 
 
-def _nw_band_kernel(tlen_ref, qlen_ref, kflag_ref, msc_ref, score_ref,
-                    *, L, GT, half_band, W1, U, MM):
-    band = 2 * half_band
-    bq_len = band + 1
+def _nw_band_kernel(tlen_ref, qlen_ref, kflag_ref, hband_ref, msc_ref,
+                    score_ref, *, L, GT, W1, U, MM):
     lane = jax.lax.broadcasted_iota(jnp.int32, (GT, L), 1)
 
     t_len = tlen_ref[:]          # [GT, 1] i32
     q_len = qlen_ref[:]
     kflag = kflag_ref[:]
+    half_band = hband_ref[:]     # [GT, 1] i32: per-alignment band/2
+    band = 2 * half_band
+    bq_len = band + 1
     neg = ((t_len + q_len) * np.int32(MM + U + W1)).astype(jnp.int32)
     c_pos0 = (t_len + q_len) >> 1
     sn0 = q_len - 1 - (c_pos0 - half_band)
@@ -79,7 +80,7 @@ def _nw_band_kernel(tlen_ref, qlen_ref, kflag_ref, msc_ref, score_ref,
                              np.int32(W1) + (t_len - 1 - m) * np.int32(U))
         # boundary source one lane above the loop's top lane
         bval = jnp.where(interior, neg, edge_val)
-        blane = jnp.where(interior, np.int32(bq_len), sn_cell)
+        blane = jnp.where(interior, bq_len, sn_cell)
         top = blane - 1                        # last looped lane
 
         msc = msc_ref[i].astype(jnp.int32)     # [GT, L]
@@ -156,23 +157,27 @@ def _nw_band_kernel(tlen_ref, qlen_ref, kflag_ref, msc_ref, score_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("half_band", "W1", "U", "MM", "GT",
-                                    "interpret"))
+                   static_argnames=("W1", "U", "MM", "GT", "interpret"))
 def nw_band_score_pallas(t_len, q_len, kflag, msc, *, half_band, W1, U,
                          MM, GT=8, interpret=False):
     """Batched banded-NW scores.
 
-    t_len/q_len/kflag [B] i32; msc [R, B, L] i8 staged match scores
-    (stage_band_inputs); returns scores [B] i32."""
+    t_len/q_len/kflag [B] i32; half_band int or [B] i32 (per-alignment
+    bands mix in one dispatch; each lives in its own lane window); msc
+    [R, B, L] i8 staged match scores (stage_band_inputs); returns
+    scores [B] i32."""
     R, B, L = msc.shape
     n_tiles = B // GT
+    hb = jnp.broadcast_to(jnp.asarray(half_band, jnp.int32), (B,))
     kern = functools.partial(_nw_band_kernel, L=L, GT=GT,
-                             half_band=half_band, W1=W1, U=U, MM=MM)
+                             W1=W1, U=U, MM=MM)
     score = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((B, 1), jnp.int32),
         grid=(n_tiles,),
         in_specs=[
+            pl.BlockSpec((GT, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((GT, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GT, 1), lambda i: (i, 0),
@@ -186,23 +191,24 @@ def nw_band_score_pallas(t_len, q_len, kflag, msc, *, half_band, W1, U,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(t_len[:, None].astype(jnp.int32), q_len[:, None].astype(jnp.int32),
-      kflag[:, None].astype(jnp.int32), msc)
+      kflag[:, None].astype(jnp.int32), hb[:, None], msc)
     return score[:, 0]
 
 
 def stage_band_inputs(templates, queries, t_lens, q_lens, band, d):
     """Host staging of the per-row band match scores (nw.c:958-1035
     geometry): msc[i, b, n] = d[t_nuc(m)][query[qpos(n)]] for row
-    i = t_len-1-m.  Returns (t_len, q_len, msc[R, B, L] i8)."""
+    i = t_len-1-m.  ``band`` is an int or a per-alignment array.
+    Returns (t_len, q_len, msc[R, B, L] i8)."""
     B = len(templates)
-    if band & 1:
-        band += 1
-    half = band // 2
-    bq_len = band + 1
-    L = -(-(band + 2) // 128) * 128
+    bands = np.broadcast_to(np.asarray(band, np.int32), (B,)).copy()
+    bands += bands & 1
+    L = -(-(int(bands.max()) + 2) // 128) * 128
     R = int(max(int(t) for t in t_lens))
     msc = np.zeros((R, B, L), dtype=np.int8)
     for b in range(B):
+        half = int(bands[b]) // 2
+        bq_len = int(bands[b]) + 1
         t = np.asarray(templates[b])
         q = np.asarray(queries[b])
         t_len = int(t_lens[b])

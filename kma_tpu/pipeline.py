@@ -1554,6 +1554,13 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
     # one ctypes call per (read, template).
     from .align import native_aln as _nat
     use_batch = _nat.get_lib() is not None and not cfg.mem_mode
+
+    # device step-3 pre-pass: heavy lead/trail banded windows scored by
+    # the Pallas wavefront kernel (align/nw_device.py; nw.c:892 role)
+    _nw_dev = None
+    if use_batch and _device_enabled(cfg, _in_bytes):
+        from .align.nw_device import make_nw_prepass
+        _nw_dev = make_nw_prepass(_dev_client)
     pend: List[tuple] = []
     pord: List[int] = []
 
@@ -1683,10 +1690,22 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                          else np.zeros(0, np.int32))
             crc_flat = (np.concatenate(crc_l) if crc_l
                         else None)
+            npos_flat = np.ascontiguousarray(npos_flat)
+            _dev_tables = None
+            if _nw_dev is not None:
+                _dev_tables = _nw_dev.compute(
+                    handles, tpl_ids, tpl_off, codes_flat, codes_off,
+                    npos_flat, npos_off, qb, arcs, rew, kmersize,
+                    cfg.mq, cfg.score_t, crc_flat,
+                    crc_off if crc_l else None)
+                if _dev_tables is not None:
+                    # armed for the next frags_se_batch call (which
+                    # clears it); _dev_tables keeps the arrays alive
+                    _nat.set_dev_scores(*_dev_tables)
             nh, best, frac, otpl, ostart, oend, oscore, olen = \
                 _nat.frags_se_batch(
                     handles, tpl_ids, tpl_off, codes_flat, codes_off,
-                    np.ascontiguousarray(npos_flat), npos_off, qb, arcs,
+                    npos_flat, npos_off, qb, arcs,
                     rew, kmersize, cfg.min_len, cfg.mq, cfg.score_t,
                     cfg.mrc, max(1, cfg.threads),
                     crc_flat=crc_flat,

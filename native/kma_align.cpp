@@ -34,7 +34,24 @@ static std::atomic<ll> g_p_collect(0), g_p_chain(0), g_p_tails(0),
     g_p_nw(0), g_p_calls(0), g_p_seeds(0), g_p_nwcells(0), g_p_skipped(0),
     g_p_anker(0), g_p_key(0), g_p_walk(0), g_p_phA(0), g_p_phB(0),
     g_p_phC(0), g_p_pre(0), g_p_preskip(0), g_p_pre_small(0),
-    g_p_pre_nobest(0), g_p_pre_run(0);
+    g_p_pre_nobest(0), g_p_pre_run(0), g_p_pre_dev(0);
+
+// Device pre-pass score tables (per GLOBAL candidate = tpl_off[r]+ci),
+// produced by the Pallas banded-NW kernel over the windows exported by
+// kaln_se_windows.  Set immediately before ONE kaln_frags_se_batch*
+// call and cleared by it; read-only while the batch workers run.
+static const long long *g_dev_lead = nullptr, *g_dev_trail = nullptr;
+static const uint8_t *g_dev_has_lead = nullptr,
+                     *g_dev_has_trail = nullptr;
+extern "C" void kaln_set_dev_scores(const long long* lead,
+                                    const uint8_t* has_lead,
+                                    const long long* trail,
+                                    const uint8_t* has_trail) {
+    g_dev_lead = lead;
+    g_dev_has_lead = has_lead;
+    g_dev_trail = trail;
+    g_dev_has_trail = has_trail;
+}
 static bool aln_prof_on() {
     static bool v = getenv("KMA_ALN_PROF") != nullptr;
     return v;
@@ -52,7 +69,7 @@ extern "C" void kaln_prof_report(void) {
             "nw %.3f anker %.3f walk %.3f key %.3f seeds %lld "
             "nw_cells %lld skipped %lld phA %.3f phB %.3f phC %.3f "
             "pre %.3f preskip %lld presmall %lld prenobest %lld "
-            "prerun %lld\n",
+            "prerun %lld predev %lld\n",
             (ll)g_p_calls.load(), g_p_collect.load() * 1e-9,
             g_p_chain.load() * 1e-9, g_p_tails.load() * 1e-9,
             g_p_nw.load() * 1e-9, g_p_anker.load() * 1e-9,
@@ -62,7 +79,7 @@ extern "C" void kaln_prof_report(void) {
             g_p_phB.load() * 1e-9, g_p_phC.load() * 1e-9,
             g_p_pre.load() * 1e-9, (ll)g_p_preskip.load(),
             (ll)g_p_pre_small.load(), (ll)g_p_pre_nobest.load(),
-            (ll)g_p_pre_run.load());
+            (ll)g_p_pre_run.load(), (ll)g_p_pre_dev.load());
 }
 
 // ---------------------------------------------------------------- structs
@@ -2098,34 +2115,81 @@ static void nw_score_chain(TIndex& T, const uint8_t* q, int q_len,
 // identical numeric path as nw_score_chain, a fraction of the cost —
 // candidates whose exact score proves they cannot be selected skip the
 // stats pass entirely
-static ll chain_exact_score(TIndex& T, const uint8_t* q, int q_len,
-                            const Penal& pen, const ChainSeg* segs,
-                            int nseg, const GapGeom* gaps, int lead_te,
-                            int lead_qe, int tail_ts, int tail_qs) {
+// Lead/trail window geometry (lead_tail_aln / trail_tail_aln rules):
+// shared by the bound math, the exact pre-pass, and the device window
+// export (kaln_se_windows).  use_band marks the banded-NW branch -- the
+// shape the Pallas wavefront kernel (ops/nw_kernel.py) covers.
+struct WinGeom {
+    int t_s, t_e, q_s, q_e, kf, band;
+    bool use_band;
+    bool nonzero;
+};
+
+static WinGeom lead_window_geom(int lead_te, int lead_qe) {
+    WinGeom g{};
+    int t_e = lead_te, q_e = lead_qe;
+    if (!q_e)
+        return g;
+    int t_s = 0, q_s = 0;
+    if ((q_e << 1) < t_e || (q_e + BANDWIDTH) < t_e)
+        t_s = t_e - (q_e + (q_e < BANDWIDTH ? q_e : BANDWIDTH));
+    else if ((t_e << 1) < q_e || (t_e + BANDWIDTH) < q_e)
+        q_s = q_e - (t_e + (t_e < BANDWIDTH ? t_e : BANDWIDTH));
+    if (t_e - t_s <= 0 || q_e - q_s <= 0)
+        return g;
+    g.nonzero = true;
+    g.t_s = t_s;
+    g.t_e = t_e;
+    g.q_s = q_s;
+    g.q_e = q_e;
+    g.band = std::abs(t_e - t_s - q_e + q_s) + BANDWIDTH;
+    g.kf = -1 - (t_s == 0 ? 1 : 0);
+    g.use_band = !(q_e - q_s <= g.band || t_e - t_s <= g.band);
+    return g;
+}
+
+static WinGeom trail_window_geom(int tail_ts, int tail_qs, int q_len,
+                                 int t_len) {
+    WinGeom g{};
+    int t_s = tail_ts, q_s = tail_qs;
+    int q_e = q_len, t_e = t_len;
+    int qr0 = q_len - q_s, tr0 = t_len - t_s;
+    if ((qr0 << 1) < tr0 || (qr0 + BANDWIDTH) < tr0)
+        t_e = t_s + (qr0 + (qr0 < BANDWIDTH ? qr0 : BANDWIDTH));
+    else if ((tr0 << 1) < qr0 || (tr0 + BANDWIDTH) < qr0)
+        q_e = q_s + (tr0 + (tr0 < BANDWIDTH ? tr0 : BANDWIDTH));
+    if (t_e - t_s <= 0 || q_e - q_s <= 0)
+        return g;
+    g.nonzero = true;
+    g.t_s = t_s;
+    g.t_e = t_e;
+    g.q_s = q_s;
+    g.q_e = q_e;
+    g.band = std::abs(t_e - t_s - q_e + q_s) + BANDWIDTH;
+    g.kf = 1 + (t_e == t_len ? 1 : 0);
+    g.use_band = !(q_e - q_s <= g.band || t_e - t_s <= g.band);
+    return g;
+}
+
+static ll window_score(TIndex& T, const uint8_t* q, const Penal& pen,
+                       const WinGeom& g) {
+    if (!g.nonzero)
+        return 0;
+    const uint8_t* tc = T.codes.data();
+    if (g.use_band)
+        return nw_band_score(tc, q, g.kf, g.t_s, g.t_e, g.q_s, g.q_e,
+                             g.band, pen, T.len);
+    return nw_full_score(tc, q, g.kf, g.t_s, g.t_e, g.q_s, g.q_e, pen,
+                         T.len);
+}
+
+// exact segment + junction contributions between the lead/trail windows
+static ll chain_mid_score(TIndex& T, const uint8_t* q, const Penal& pen,
+                          const ChainSeg* segs, int nseg,
+                          const GapGeom* gaps) {
     int t_len = T.len;
     const uint8_t* tc = T.codes.data();
     ll score = 0;
-    {
-        // lead window (lead_tail_aln geometry + k flags)
-        int t_e = lead_te, q_e = lead_qe;
-        if (q_e) {
-            int t_s = 0, q_s = 0;
-            if ((q_e << 1) < t_e || (q_e + BANDWIDTH) < t_e)
-                t_s = t_e - (q_e + (q_e < BANDWIDTH ? q_e : BANDWIDTH));
-            else if ((t_e << 1) < q_e || (t_e + BANDWIDTH) < q_e)
-                q_s = q_e - (t_e + (t_e < BANDWIDTH ? t_e : BANDWIDTH));
-            if (t_e - t_s > 0 && q_e - q_s > 0) {
-                int band = std::abs(t_e - t_s - q_e + q_s) + BANDWIDTH;
-                int kf = -1 - (t_s == 0 ? 1 : 0);
-                if (q_e - q_s <= band || t_e - t_s <= band)
-                    score += nw_full_score(tc, q, kf, t_s, t_e, q_s, q_e,
-                                           pen, t_len);
-                else
-                    score += nw_band_score(tc, q, kf, t_s, t_e, q_s, q_e,
-                                           band, pen, t_len);
-            }
-        }
-    }
     for (int si = 0; si < nseg; si++) {
         for (int x = segs[si].qs; x < segs[si].qe; x++) {
             uint8_t nuc = q[x];
@@ -2146,27 +2210,17 @@ static ll chain_exact_score(TIndex& T, const uint8_t* q, int q_len,
             }
         }
     }
-    {
-        // trail window (trail_tail_aln geometry + k flags)
-        int t_s = tail_ts, q_s = tail_qs;
-        int q_e = q_len, t_e = t_len;
-        int qr0 = q_len - q_s, tr0 = t_len - t_s;
-        if ((qr0 << 1) < tr0 || (qr0 + BANDWIDTH) < tr0)
-            t_e = t_s + (qr0 + (qr0 < BANDWIDTH ? qr0 : BANDWIDTH));
-        else if ((tr0 << 1) < qr0 || (tr0 + BANDWIDTH) < qr0)
-            q_e = q_s + (tr0 + (tr0 < BANDWIDTH ? tr0 : BANDWIDTH));
-        if (t_e - t_s > 0 && q_e - q_s > 0) {
-            int band = std::abs(t_e - t_s - q_e + q_s) + BANDWIDTH;
-            int kf = 1 + (t_e == t_len ? 1 : 0);
-            if (q_e - q_s <= band || t_e - t_s <= band)
-                score += nw_full_score(tc, q, kf, t_s, t_e, q_s, q_e,
-                                       pen, t_len);
-            else
-                score += nw_band_score(tc, q, kf, t_s, t_e, q_s, q_e,
-                                       band, pen, t_len);
-        }
-    }
     return score;
+}
+
+static ll chain_exact_score(TIndex& T, const uint8_t* q, int q_len,
+                            const Penal& pen, const ChainSeg* segs,
+                            int nseg, const GapGeom* gaps, int lead_te,
+                            int lead_qe, int tail_ts, int tail_qs) {
+    return window_score(T, q, pen, lead_window_geom(lead_te, lead_qe))
+        + chain_mid_score(T, q, pen, segs, nseg, gaps)
+        + window_score(T, q, pen,
+                       trail_window_geom(tail_ts, tail_qs, q_len, T.len));
 }
 
 // content-dedupe key of a stashed chain (everything nw_score_chain
@@ -2288,6 +2342,232 @@ static inline ll window_bound(int qr, int tr, int maxd, int W1, int U) {
     return (ll)maxd * mn + (qr > tr ? gap_best(qr - tr, W1, U) : 0);
 }
 
+// ---- phase A extracted: seed + chain + walk + score bound for every
+// candidate of one read (shared by the fused batch scorer and the
+// device-NW window export, kaln_se_windows) ---------------------------------
+static void stage_read_chains(void* const* handles, const int32_t* tpl_ids,
+                              ll base, int ncand, const uint8_t* q,
+                              const uint8_t* rcq, const int32_t* np,
+                              int n_np, const int32_t* npr, int q_len,
+                              int q_start, int q_end, bool arc,
+                              const Penal& pen, int maxd, int W1, int U,
+                              int mq, Points& pts,
+                              std::vector<ChainSeg>& segA,
+                              std::vector<GapGeom>& gapA,
+                              std::vector<CandWork>& cands) {
+    const bool prof = aln_prof_on();
+    segA.clear();
+    gapA.clear();
+    cands.assign(ncand, CandWork());
+    for (int ci = 0; ci < ncand; ci++) {
+        CandWork& w = cands[ci];
+        TIndex& T = *(TIndex*)handles[base + ci];
+        int tmpl = tpl_ids[base + ci];
+        int t_len = T.len;
+        w.done = 0;
+        w.skipped = 0;
+        w.st.score = 0; w.st.pos = 0; w.st.len = 0;
+        w.st.match = 0; w.st.tGaps = 0; w.st.qGaps = 0;
+        w.st.mapQ = 0;
+        pts.clear_all();
+        pts.len = 0;
+        int use_points = 0;
+        double pt0 = prof ? prof_now() : 0.0;
+        if (arc) {
+            int npout = 0;
+            int rc = anker_rc_comp_impl(T, q, rcq, np, n_np,
+                                        npr, n_np, q_len,
+                                        q_start, q_end, 1, &npout,
+                                        pts);
+            pts.len = npout;
+            if (prof) {
+                double t1 = prof_now();
+                g_p_anker += (ll)((t1 - pt0) * 1e9);
+                pt0 = t1;
+            }
+            if (rc < 0) {
+                if (0 < tmpl) tmpl = -tmpl;
+                w.q = rcq;
+                use_points = pts.len ? 1 : 0;
+                if (!use_points) {
+                    pts.clear_all();
+                    collect_seeds_comp(T, rcq, npr,
+                                       n_np, q_len, q_len - q_end,
+                                       q_len - q_start, pts);
+                    pts.len = (int)pts.n();
+                }
+            } else if (rc > 0) {
+                if (tmpl < 0) tmpl = -tmpl;
+                w.q = q;
+                use_points = pts.len ? 1 : 0;
+                if (!use_points) {
+                    pts.clear_all();
+                    collect_seeds_comp(T, q, np, n_np, q_len,
+                                       q_start, q_end, pts);
+                    pts.len = (int)pts.n();
+                }
+            } else {
+                // no anker: st stays zeroed (len 0), mapQ 0
+                w.tmpl = tmpl;
+                w.done = 1;
+                if (prof) g_p_collect += (ll)((prof_now() - pt0) * 1e9);
+                continue;
+            }
+        } else if (tmpl < 0) {
+            w.q = rcq;
+            pts.clear_all();
+            collect_seeds_comp(T, rcq, npr, n_np,
+                               q_len, q_len - q_end,
+                               q_len - q_start, pts);
+            pts.len = (int)pts.n();
+        } else {
+            w.q = q;
+            pts.clear_all();
+            collect_seeds_comp(T, q, np, n_np, q_len, q_start,
+                               q_end, pts);
+            pts.len = (int)pts.n();
+        }
+        w.tmpl = tmpl;
+        if (prof) {
+            double t1 = prof_now();
+            g_p_collect += (ll)((t1 - pt0) * 1e9);
+            g_p_calls += 1;
+            g_p_seeds += pts.len;
+            pt0 = t1;
+        }
+        if (!pts.len) {
+            // kaln_align_impl's !pts.len outcome: zeroed, len 1
+            w.st.len = 1;
+            w.done = 1;
+            continue;
+        }
+        int start, mapQ;
+        chain_seeds(pts, q_len, t_len, T.k, pen, false, start,
+                    mapQ);
+        if (prof) {
+            double t1 = prof_now();
+            g_p_chain += (ll)((t1 - pt0) * 1e9);
+            pt0 = t1;
+        }
+        w.mapQ = mapQ;
+        w.st.mapQ = mapQ;
+        ll cscore = pts.score[start];
+        if (mapQ < mq || cscore < T.k) {
+            w.st.len = 1;
+            w.done = 1;
+            pts.len = 0;
+            continue;
+        }
+        trim_seeds(pts, start, 0, false);
+
+        // walk the chain: apply the merge fixups, stash the
+        // fixed-up segments + junction geometry, abort like
+        // kaln_align_impl's gap check
+        w.seg_off = (int)segA.size();
+        w.gap_off = (int)gapA.size();
+        w.lead_te = pts.tStart[start] - 1;
+        w.lead_qe = pts.qStart[start];
+        ll bound = 0;
+        {
+            // lead window geometry (lead_tail_aln rules)
+            int t_e = w.lead_te, q_e = w.lead_qe;
+            int t_s = 0, q_s = 0;
+            if ((q_e << 1) < t_e || (q_e + BANDWIDTH) < t_e)
+                t_s = t_e - (q_e + (q_e < BANDWIDTH ? q_e
+                                                    : BANDWIDTH));
+            else if ((t_e << 1) < q_e || (t_e + BANDWIDTH) < q_e)
+                q_s = q_e - (t_e + (t_e < BANDWIDTH ? t_e
+                                                    : BANDWIDTH));
+            if (q_e)
+                bound = window_bound(q_e - q_s, t_e - t_s, maxd,
+                                     W1, U);
+        }
+        bool aborted = false;
+        w.seg_total = 0;
+        for (;;) {
+            segA.push_back({pts.qStart[start], pts.qEnd[start]});
+            int seg = pts.qEnd[start] - pts.qStart[start];
+            w.seg_total += seg;
+            if (seg > 0) bound += (ll)maxd * seg;
+            if (!pts.next[start]) {
+                w.tail_ts = pts.tEnd[start] - 1;
+                w.tail_qs = pts.qEnd[start];
+                break;
+            }
+            int q_s = pts.qEnd[start];
+            int t_sv = pts.tEnd[start] - 1;
+            start = pts.next[start];
+            if (pts.qStart[start] < q_s) {
+                pts.tStart[start] += q_s - pts.qStart[start];
+                pts.qStart[start] = q_s;
+            }
+            int t_ev = pts.tStart[start] - 1;
+            int t_l;
+            if (t_ev < t_sv) {
+                if (t_sv <= pts.tEnd[start]) {
+                    pts.qStart[start] += t_sv - t_ev;
+                    t_ev = t_sv;
+                    t_l = 0;
+                } else {
+                    t_l = t_len - t_sv + t_ev;
+                }
+            } else {
+                t_l = t_ev - t_sv;
+            }
+            int q_ev = pts.qStart[start];
+            if ((ll)std::abs(t_l - q_ev + q_s) * pen.U
+                        > (ll)q_len * pen.M
+                || t_l > q_len || q_ev - q_s > (q_len >> 1)) {
+                aborted = true;
+                break;
+            }
+            gapA.push_back({t_sv, t_ev, q_s, q_ev, t_l});
+            int qg = q_ev - q_s;
+            if (t_l > 0 || qg > 0) {
+                if (qg == 1 && t_l == 1) {
+                    // single mismatch junction: exact value
+                    int t_nuc_pos = t_sv % t_len;
+                    if (t_nuc_pos < 0) t_nuc_pos += t_len;
+                    ll d = pen.d[T.codes[t_nuc_pos]][w.q[q_s]];
+                    ll gg = 2LL * W1;
+                    bound += d < gg ? gg : d;
+                } else if (qg == 0 || t_l == 0) {
+                    // pure gap: empty_case value, exact
+                    int g = qg > t_l ? qg : t_l;
+                    bound += (ll)W1 + (ll)(g - 1) * U;
+                } else {
+                    bound += window_bound(qg, t_l, maxd, W1, U);
+                }
+            }
+        }
+        pts.len = 0;
+        if (aborted) {
+            segA.resize(w.seg_off);
+            gapA.resize(w.gap_off);
+            w.st.len = 1;
+            w.done = 1;
+            continue;
+        }
+        if (prof) g_p_walk += (ll)((prof_now() - pt0) * 1e9);
+        w.seg_n = (int)(segA.size() - w.seg_off);
+        // trail window geometry (trail_tail_aln rules)
+        {
+            int t_s = w.tail_ts, q_s = w.tail_qs;
+            int q_e = q_len, t_e = t_len;
+            int qr0 = q_len - q_s, tr0 = t_len - t_s;
+            if ((qr0 << 1) < tr0 || (qr0 + BANDWIDTH) < tr0)
+                t_e = t_s + (qr0 + (qr0 < BANDWIDTH ? qr0
+                                                    : BANDWIDTH));
+            else if ((tr0 << 1) < qr0 || (tr0 + BANDWIDTH) < qr0)
+                q_e = q_s + (tr0 + (tr0 < BANDWIDTH ? tr0
+                                                    : BANDWIDTH));
+            bound += window_bound(q_e - q_s, t_e - t_s, maxd, W1,
+                                  U);
+        }
+        w.bound = bound;
+    }
+}
+
 extern "C" void kaln_frags_se_batch_mf(
     void* const* handles,        // [total_tpl] TIndex* per candidate
     const int32_t* tpl_ids,      // [total_tpl] signed template ids
@@ -2392,216 +2672,10 @@ extern "C" void kaln_frags_se_batch_mf(
 
             // ---- phase A: seed + chain every candidate, stash the walk
             double ph0 = prof ? prof_now() : 0.0;
-            segA.clear();
-            gapA.clear();
-            cands.assign(ncand, CandWork());
-            for (int ci = 0; ci < ncand; ci++) {
-                CandWork& w = cands[ci];
-                TIndex& T = *(TIndex*)handles[base + ci];
-                int tmpl = tpl_ids[base + ci];
-                int t_len = T.len;
-                w.done = 0;
-                w.skipped = 0;
-                w.st.score = 0; w.st.pos = 0; w.st.len = 0;
-                w.st.match = 0; w.st.tGaps = 0; w.st.qGaps = 0;
-                w.st.mapQ = 0;
-                pts.clear_all();
-                pts.len = 0;
-                int use_points = 0;
-                double pt0 = prof ? prof_now() : 0.0;
-                if (arc) {
-                    int npout = 0;
-                    int rc = anker_rc_comp_impl(T, q, rcq.data(), np, n_np,
-                                                npr.data(), n_np, q_len,
-                                                q_start, q_end, 1, &npout,
-                                                pts);
-                    pts.len = npout;
-                    if (prof) {
-                        double t1 = prof_now();
-                        g_p_anker += (ll)((t1 - pt0) * 1e9);
-                        pt0 = t1;
-                    }
-                    if (rc < 0) {
-                        if (0 < tmpl) tmpl = -tmpl;
-                        w.q = rcq.data();
-                        use_points = pts.len ? 1 : 0;
-                        if (!use_points) {
-                            pts.clear_all();
-                            collect_seeds_comp(T, rcq.data(), npr.data(),
-                                               n_np, q_len, q_len - q_end,
-                                               q_len - q_start, pts);
-                            pts.len = (int)pts.n();
-                        }
-                    } else if (rc > 0) {
-                        if (tmpl < 0) tmpl = -tmpl;
-                        w.q = q;
-                        use_points = pts.len ? 1 : 0;
-                        if (!use_points) {
-                            pts.clear_all();
-                            collect_seeds_comp(T, q, np, n_np, q_len,
-                                               q_start, q_end, pts);
-                            pts.len = (int)pts.n();
-                        }
-                    } else {
-                        // no anker: st stays zeroed (len 0), mapQ 0
-                        w.tmpl = tmpl;
-                        w.done = 1;
-                        if (prof) g_p_collect += (ll)((prof_now() - pt0) * 1e9);
-                        continue;
-                    }
-                } else if (tmpl < 0) {
-                    w.q = rcq.data();
-                    pts.clear_all();
-                    collect_seeds_comp(T, rcq.data(), npr.data(), n_np,
-                                       q_len, q_len - q_end,
-                                       q_len - q_start, pts);
-                    pts.len = (int)pts.n();
-                } else {
-                    w.q = q;
-                    pts.clear_all();
-                    collect_seeds_comp(T, q, np, n_np, q_len, q_start,
-                                       q_end, pts);
-                    pts.len = (int)pts.n();
-                }
-                w.tmpl = tmpl;
-                if (prof) {
-                    double t1 = prof_now();
-                    g_p_collect += (ll)((t1 - pt0) * 1e9);
-                    g_p_calls += 1;
-                    g_p_seeds += pts.len;
-                    pt0 = t1;
-                }
-                if (!pts.len) {
-                    // kaln_align_impl's !pts.len outcome: zeroed, len 1
-                    w.st.len = 1;
-                    w.done = 1;
-                    continue;
-                }
-                int start, mapQ;
-                chain_seeds(pts, q_len, t_len, T.k, pen, false, start,
-                            mapQ);
-                if (prof) {
-                    double t1 = prof_now();
-                    g_p_chain += (ll)((t1 - pt0) * 1e9);
-                    pt0 = t1;
-                }
-                w.mapQ = mapQ;
-                w.st.mapQ = mapQ;
-                ll cscore = pts.score[start];
-                if (mapQ < mq || cscore < T.k) {
-                    w.st.len = 1;
-                    w.done = 1;
-                    pts.len = 0;
-                    continue;
-                }
-                trim_seeds(pts, start, 0, false);
-
-                // walk the chain: apply the merge fixups, stash the
-                // fixed-up segments + junction geometry, abort like
-                // kaln_align_impl's gap check
-                w.seg_off = (int)segA.size();
-                w.gap_off = (int)gapA.size();
-                w.lead_te = pts.tStart[start] - 1;
-                w.lead_qe = pts.qStart[start];
-                ll bound = 0;
-                {
-                    // lead window geometry (lead_tail_aln rules)
-                    int t_e = w.lead_te, q_e = w.lead_qe;
-                    int t_s = 0, q_s = 0;
-                    if ((q_e << 1) < t_e || (q_e + BANDWIDTH) < t_e)
-                        t_s = t_e - (q_e + (q_e < BANDWIDTH ? q_e
-                                                            : BANDWIDTH));
-                    else if ((t_e << 1) < q_e || (t_e + BANDWIDTH) < q_e)
-                        q_s = q_e - (t_e + (t_e < BANDWIDTH ? t_e
-                                                            : BANDWIDTH));
-                    if (q_e)
-                        bound = window_bound(q_e - q_s, t_e - t_s, maxd,
-                                             W1, U);
-                }
-                bool aborted = false;
-                w.seg_total = 0;
-                for (;;) {
-                    segA.push_back({pts.qStart[start], pts.qEnd[start]});
-                    int seg = pts.qEnd[start] - pts.qStart[start];
-                    w.seg_total += seg;
-                    if (seg > 0) bound += (ll)maxd * seg;
-                    if (!pts.next[start]) {
-                        w.tail_ts = pts.tEnd[start] - 1;
-                        w.tail_qs = pts.qEnd[start];
-                        break;
-                    }
-                    int q_s = pts.qEnd[start];
-                    int t_sv = pts.tEnd[start] - 1;
-                    start = pts.next[start];
-                    if (pts.qStart[start] < q_s) {
-                        pts.tStart[start] += q_s - pts.qStart[start];
-                        pts.qStart[start] = q_s;
-                    }
-                    int t_ev = pts.tStart[start] - 1;
-                    int t_l;
-                    if (t_ev < t_sv) {
-                        if (t_sv <= pts.tEnd[start]) {
-                            pts.qStart[start] += t_sv - t_ev;
-                            t_ev = t_sv;
-                            t_l = 0;
-                        } else {
-                            t_l = t_len - t_sv + t_ev;
-                        }
-                    } else {
-                        t_l = t_ev - t_sv;
-                    }
-                    int q_ev = pts.qStart[start];
-                    if ((ll)std::abs(t_l - q_ev + q_s) * pen.U
-                                > (ll)q_len * pen.M
-                        || t_l > q_len || q_ev - q_s > (q_len >> 1)) {
-                        aborted = true;
-                        break;
-                    }
-                    gapA.push_back({t_sv, t_ev, q_s, q_ev, t_l});
-                    int qg = q_ev - q_s;
-                    if (t_l > 0 || qg > 0) {
-                        if (qg == 1 && t_l == 1) {
-                            // single mismatch junction: exact value
-                            int t_nuc_pos = t_sv % t_len;
-                            if (t_nuc_pos < 0) t_nuc_pos += t_len;
-                            ll d = pen.d[T.codes[t_nuc_pos]][w.q[q_s]];
-                            ll gg = 2LL * W1;
-                            bound += d < gg ? gg : d;
-                        } else if (qg == 0 || t_l == 0) {
-                            // pure gap: empty_case value, exact
-                            int g = qg > t_l ? qg : t_l;
-                            bound += (ll)W1 + (ll)(g - 1) * U;
-                        } else {
-                            bound += window_bound(qg, t_l, maxd, W1, U);
-                        }
-                    }
-                }
-                pts.len = 0;
-                if (aborted) {
-                    segA.resize(w.seg_off);
-                    gapA.resize(w.gap_off);
-                    w.st.len = 1;
-                    w.done = 1;
-                    continue;
-                }
-                if (prof) g_p_walk += (ll)((prof_now() - pt0) * 1e9);
-                w.seg_n = (int)(segA.size() - w.seg_off);
-                // trail window geometry (trail_tail_aln rules)
-                {
-                    int t_s = w.tail_ts, q_s = w.tail_qs;
-                    int q_e = q_len, t_e = t_len;
-                    int qr0 = q_len - q_s, tr0 = t_len - t_s;
-                    if ((qr0 << 1) < tr0 || (qr0 + BANDWIDTH) < tr0)
-                        t_e = t_s + (qr0 + (qr0 < BANDWIDTH ? qr0
-                                                            : BANDWIDTH));
-                    else if ((tr0 << 1) < qr0 || (tr0 + BANDWIDTH) < qr0)
-                        q_e = q_s + (tr0 + (tr0 < BANDWIDTH ? tr0
-                                                            : BANDWIDTH));
-                    bound += window_bound(q_e - q_s, t_e - t_s, maxd, W1,
-                                          U);
-                }
-                w.bound = bound;
-            }
+            stage_read_chains(handles, tpl_ids, base, ncand, q,
+                              rcq.data(), np, n_np, npr.data(), q_len,
+                              q_start, q_end, arc, pen, maxd, W1, U, mq,
+                              pts, segA, gapA, cands);
 
             if (prof) {
                 double t1 = prof_now();
@@ -2670,16 +2744,48 @@ extern "C" void kaln_frags_se_batch_mf(
                 // score drives the same skip rules the bound drives —
                 // strictly more skips where bounds are loose (indels)
                 if (!hit) {
+                    ll gcand = base + order[oi];
+                    bool dev_l = g_dev_has_lead && g_dev_has_lead[gcand];
+                    bool dev_t = g_dev_has_trail
+                                 && g_dev_has_trail[gcand];
                     ll est_cells =
                         ((ll)w.lead_qe + (q_len - w.tail_qs))
                         * (2 * BANDWIDTH);
-                    if (est_cells > (1 << 15)) {
+                    if (est_cells > (1 << 15) || dev_l || dev_t) {
                         if (prof) g_p_pre_run += 1;
                         double pp0 = prof ? prof_now() : 0.0;
-                        ll exact = chain_exact_score(
-                            T, w.q, q_len, pen, segA.data() + w.seg_off,
-                            w.seg_n, gapA.data() + w.gap_off, w.lead_te,
-                            w.lead_qe, w.tail_ts, w.tail_qs);
+                        ll exact;
+                        if (dev_l || dev_t) {
+                            // device-scored lead/trail windows (the
+                            // Pallas wavefront kernel): same numeric
+                            // path, heavy windows off the host
+                            if (prof) g_p_pre_dev += 1;
+                            ll lead = dev_l
+                                ? g_dev_lead[gcand]
+                                : window_score(
+                                      T, w.q, pen,
+                                      lead_window_geom(w.lead_te,
+                                                       w.lead_qe));
+                            ll trail = dev_t
+                                ? g_dev_trail[gcand]
+                                : window_score(
+                                      T, w.q, pen,
+                                      trail_window_geom(w.tail_ts,
+                                                        w.tail_qs,
+                                                        q_len, t_len));
+                            exact = lead
+                                + chain_mid_score(T, w.q, pen,
+                                                  segA.data() + w.seg_off,
+                                                  w.seg_n,
+                                                  gapA.data() + w.gap_off)
+                                + trail;
+                        } else {
+                            exact = chain_exact_score(
+                                T, w.q, q_len, pen,
+                                segA.data() + w.seg_off, w.seg_n,
+                                gapA.data() + w.gap_off, w.lead_te,
+                                w.lead_qe, w.tail_ts, w.tail_qs);
+                        }
                         if (prof)
                             g_p_pre += (ll)((prof_now() - pp0) * 1e9);
                         int mn = q_len < t_len ? q_len : t_len;
@@ -2834,12 +2940,261 @@ extern "C" void kaln_frags_se_batch_mf(
     int nt = n_threads < 1 ? 1 : n_threads;
     if (nt == 1) {
         worker();
-        return;
+    } else {
+        std::vector<std::thread> th;
+        th.reserve(nt);
+        for (int i = 0; i < nt; i++) th.emplace_back(worker);
+        for (auto& t : th) t.join();
     }
-    std::vector<std::thread> th;
-    th.reserve(nt);
-    for (int i = 0; i < nt; i++) th.emplace_back(worker);
-    for (auto& t : th) t.join();
+    // device score tables are single-call scoped
+    kaln_set_dev_scores(nullptr, nullptr, nullptr, nullptr);
+}
+
+// Export the heavy lead/trail banded windows of one SE batch for the
+// device pre-pass (the Pallas wavefront kernel, ops/nw_kernel.py): runs
+// phase A (stage_read_chains) per read, applies the same static gates
+// phase B applies unconditionally, dedupes windows by CONTENT (the
+// redundant-DB workload makes most candidates alleles with identical
+// window bytes) and writes one descriptor per unique window plus the
+// per-candidate window indices.  Returns the unique-window count, or
+// -(needed) when `cap` is too small.
+extern "C" ll kaln_se_windows(
+    void* const* handles, const int32_t* tpl_ids, const int64_t* tpl_off,
+    const uint8_t* codes_flat, const int64_t* codes_off,
+    const int32_t* npos_flat, const int64_t* npos_off,
+    const int32_t* qbounds, const uint8_t* arc_flags,
+    const uint8_t* crc_flat, const int64_t* crc_off, int n_reads, int M,
+    int MM, int U, int W1, const int32_t* dmat, int kmersize, int mq,
+    double scoreT,
+    ll est_cells_min,      // pre-pass trigger (must match phase B's)
+    int max_band,          // device band cap (kernel lane budget)
+    ll cap,
+    // per unique window (size cap):
+    int32_t* w_read, int32_t* w_cand, uint8_t* w_rc, int32_t* w_ts,
+    int32_t* w_te, int32_t* w_qs, int32_t* w_qe, int32_t* w_kf,
+    int32_t* w_band,
+    // per global candidate (size tpl_off[n_reads]):
+    int32_t* lead_win, int32_t* trail_win) {
+    Penal pen;
+    pen.M = M; pen.MM = MM; pen.U = U; pen.W1 = W1;
+    int maxd = INT_MIN;
+    for (int a = 0; a < 5; a++)
+        for (int b = 0; b < 5; b++) {
+            pen.d[a][b] = dmat[a * 5 + b];
+            if (pen.d[a][b] > maxd) maxd = pen.d[a][b];
+        }
+    const bool bounds_ok = maxd >= 0 && W1 <= 0 && U <= 0;
+    ll total_tpl = tpl_off[n_reads];
+    for (ll i = 0; i < total_tpl; i++)
+        lead_win[i] = trail_win[i] = -1;
+
+    // content-dedupe of exported windows: key = window template bytes
+    // ++ window query coords ++ kf/band (the query bytes are shared per
+    // read, so q_s/q_e identify them)
+    struct WKey {
+        uint64_t hash;
+        ll off;
+        int len;
+        int idx;
+    };
+    std::vector<WKey> wkeys;
+    std::vector<uint8_t> karena;
+    std::vector<uint8_t> kb;
+    ll n_win = 0;
+    ll needed = 0;
+
+    Points pts;
+    std::vector<uint8_t> rcq;
+    std::vector<int32_t> npr;
+    std::vector<ChainSeg> segA;
+    std::vector<GapGeom> gapA;
+    std::vector<CandWork> cands;
+
+    auto try_emit = [&](int r, ll gcand, const CandWork& w,
+                        const WinGeom& g, TIndex& T,
+                        int32_t* slot_arr) {
+        if (!g.nonzero || !g.use_band || g.band > max_band)
+            return;
+        // key: orientation tag + q window + kf/band + template bytes
+        kb.clear();
+        kb.push_back(w.q == (codes_flat + codes_off[r]) ? 0 : 1);
+        auto put32 = [&](int v) {
+            const uint8_t* p = (const uint8_t*)&v;
+            kb.insert(kb.end(), p, p + 4);
+        };
+        put32(r);        // query bytes are per-read
+        put32(g.q_s);
+        put32(g.q_e);
+        put32(g.kf);
+        put32(g.band);
+        put32(g.t_e - g.t_s);
+        kb.insert(kb.end(), T.codes.data() + g.t_s,
+                  T.codes.data() + g.t_e);
+        uint64_t h = fnv1a(kb.data(), kb.size(), 0xcbf29ce484222325ULL);
+        for (auto& e : wkeys)
+            if (e.hash == h && e.len == (int)kb.size()
+                && memcmp(karena.data() + e.off, kb.data(),
+                          kb.size()) == 0) {
+                slot_arr[gcand] = e.idx;
+                return;
+            }
+        needed++;
+        if (n_win >= cap)
+            return;
+        WKey e;
+        e.hash = h;
+        e.off = (ll)karena.size();
+        e.len = (int)kb.size();
+        e.idx = (int)n_win;
+        karena.insert(karena.end(), kb.begin(), kb.end());
+        wkeys.push_back(e);
+        w_read[n_win] = r;
+        w_cand[n_win] = (int32_t)gcand;
+        w_rc[n_win] = kb[0];
+        w_ts[n_win] = g.t_s;
+        w_te[n_win] = g.t_e;
+        w_qs[n_win] = g.q_s;
+        w_qe[n_win] = g.q_e;
+        w_kf[n_win] = g.kf;
+        w_band[n_win] = g.band;
+        slot_arr[gcand] = (int32_t)n_win;
+        n_win++;
+    };
+
+    for (int r = 0; r < n_reads; r++) {
+        const uint8_t* q = codes_flat + codes_off[r];
+        int q_len = (int)(codes_off[r + 1] - codes_off[r]);
+        const int32_t* np = npos_flat + npos_off[r];
+        int n_np = (int)(npos_off[r + 1] - npos_off[r]);
+        if (crc_flat && crc_off[r + 1] > crc_off[r]) {
+            rcq.assign(crc_flat + crc_off[r], crc_flat + crc_off[r + 1]);
+        } else {
+            rcq.resize(q_len);
+            for (int i = 0; i < q_len; i++) {
+                uint8_t c = q[q_len - 1 - i];
+                rcq[i] = c < 4 ? (uint8_t)(3 - c) : c;
+            }
+        }
+        npr.resize(n_np);
+        for (int i = 0; i < n_np; i++)
+            npr[i] = q_len - 1 - np[n_np - 1 - i];
+        int q_start = qbounds[2 * r], q_end = qbounds[2 * r + 1];
+        bool arc = arc_flags[r] != 0;
+        ll base = tpl_off[r];
+        int ncand = (int)(tpl_off[r + 1] - base);
+        stage_read_chains(handles, tpl_ids, base, ncand, q, rcq.data(),
+                          np, n_np, npr.data(), q_len, q_start, q_end,
+                          arc, pen, maxd, W1, U, mq, pts, segA, gapA,
+                          cands);
+        for (int ci = 0; ci < ncand; ci++) {
+            CandWork& w = cands[ci];
+            if (w.done)
+                continue;
+            TIndex& T = *(TIndex*)handles[base + ci];
+            int t_len = T.len;
+            if (bounds_ok) {
+                int mn0 = q_len < t_len ? q_len : t_len;
+                if (mn0 < 1)
+                    mn0 = 1;
+                if (w.bound <= kmersize
+                    || (double)w.bound / mn0 < scoreT)
+                    continue;  // phase B skips it before any pre-pass
+            }
+            ll est_cells = ((ll)w.lead_qe + (q_len - w.tail_qs))
+                           * (2 * BANDWIDTH);
+            if (est_cells <= est_cells_min)
+                continue;
+            try_emit(r, base + ci, w,
+                     lead_window_geom(w.lead_te, w.lead_qe), T, lead_win);
+            try_emit(r, base + ci, w,
+                     trail_window_geom(w.tail_ts, w.tail_qs, q_len,
+                                       t_len), T, trail_win);
+        }
+    }
+    if (needed > n_win)
+        return -needed;
+    return n_win;
+}
+
+// Fill the Pallas kernel's staged inputs for a batch of exported
+// windows (ops/nw_kernel.py stage_band_inputs geometry, nw.c:958-1035):
+// msc[i, j, n] = d[t_nuc(m)][q(qpos(n))] over WINDOW-LOCAL coordinates;
+// rows beyond a window's t-span stay zero (the kernel's fori guard
+// skips them).  sel selects which windows land in this [R, n_sel, L]
+// dispatch (the caller buckets by t-span).
+extern "C" void kaln_se_stage_msc(
+    void* const* handles, const uint8_t* codes_flat,
+    const int64_t* codes_off, const uint8_t* crc_flat,
+    const int64_t* crc_off, const int32_t* dmat, const int32_t* w_read,
+    const int32_t* w_cand, const uint8_t* w_rc, const int32_t* w_ts,
+    const int32_t* w_te, const int32_t* w_qs, const int32_t* w_qe,
+    const int32_t* w_kf, const int32_t* w_band, const int64_t* sel,
+    ll n_sel, int R, int L, int8_t* msc, int32_t* tl_out, int32_t* ql_out,
+    int32_t* kf_out, int32_t* hb_out) {
+    int8_t d[5][5];
+    for (int a = 0; a < 5; a++)
+        for (int b = 0; b < 5; b++)
+            d[a][b] = (int8_t)dmat[a * 5 + b];
+    memset(msc, 0, (size_t)R * n_sel * L);
+    std::vector<uint8_t> rcq;
+    for (ll j = 0; j < n_sel; j++) {
+        ll wi = sel[j];
+        int r = w_read[wi];
+        const uint8_t* q_fw = codes_flat + codes_off[r];
+        int q_len_full = (int)(codes_off[r + 1] - codes_off[r]);
+        const uint8_t* q_used = q_fw;
+        if (w_rc[wi]) {
+            if (crc_flat && crc_off[r + 1] > crc_off[r]) {
+                q_used = crc_flat + crc_off[r];
+            } else {
+                rcq.resize(q_len_full);
+                for (int i = 0; i < q_len_full; i++) {
+                    uint8_t c = q_fw[q_len_full - 1 - i];
+                    rcq[i] = c < 4 ? (uint8_t)(3 - c) : c;
+                }
+                q_used = rcq.data();
+            }
+        }
+        TIndex& T = *(TIndex*)handles[w_cand[wi]];
+        const uint8_t* tw = T.codes.data() + w_ts[wi];
+        const uint8_t* qw = q_used + w_qs[wi];
+        int t_len = w_te[wi] - w_ts[wi];
+        int q_len = w_qe[wi] - w_qs[wi];
+        int band = w_band[wi];
+        band += band & 1;
+        int half = band / 2;
+        int bq_len = band + 1;
+        tl_out[j] = t_len;
+        ql_out[j] = q_len;
+        kf_out[j] = w_kf[wi];
+        hb_out[j] = half;
+        int c0 = (t_len + q_len) >> 1;
+        int en = 0;
+        for (int i = 0; i < t_len && i < R; i++) {
+            int m = t_len - 1 - i;
+            int c_pos = c0 - i;
+            int sq = c_pos + half;
+            en = (c_pos - half) < 0 ? en + 1 : 0;
+            int eq = c_pos - half > 0 ? c_pos - half : 0;
+            int sn_eff, sq_eff;
+            if (sq < q_len - 1) {
+                sn_eff = bq_len - 1;
+                sq_eff = sq;
+            } else {
+                sq_eff = q_len - 1;
+                sn_eff = en + (q_len - eq) - 1;
+            }
+            int8_t* row = msc + ((size_t)i * n_sel + j) * L;
+            int8_t drow[5];
+            for (int x = 0; x < 5; x++)
+                drow[x] = d[tw[m]][x];
+            for (int n = en; n <= sn_eff && n < L; n++) {
+                int qpos = sq_eff - (sn_eff - n);
+                if (qpos >= 0 && qpos < q_len)
+                    row[n] = drow[qw[qpos]];
+            }
+        }
+    }
 }
 
 extern "C" void kaln_frags_se_batch_crc(

@@ -44,3 +44,41 @@ def test_nw_band_score_pallas_exact(seed, err):
         t_len, q_len, np.asarray(ks, np.int32), msc,
         half_band=band // 2, W1=W1, U=U, MM=MM, interpret=True))
     assert got.tolist() == exp
+
+
+def test_nw_band_score_pallas_mixed_bands():
+    """Per-alignment runtime bands: alignments with different band
+    widths share one dispatch (the production lead/trail windows mix
+    bands 64..126)."""
+    pen = Penalties()
+    d = pen.score_matrix().astype(np.int64)
+    W1, U, MM = pen.W1, pen.U, pen.MM
+    rng = np.random.default_rng(17)
+    B = 16
+    templates, queries, tl, ql, ks, bands = [], [], [], [], [], []
+    for b in range(B):
+        tlen = int(rng.integers(30, 200))
+        qlen = max(10, tlen + int(rng.integers(-30, 30)))
+        t = rng.integers(0, 4, tlen).astype(np.uint8)
+        q = t[:qlen].copy() if qlen <= tlen else np.concatenate(
+            [t, rng.integers(0, 4, qlen - tlen)]).astype(np.uint8)
+        ne = rng.binomial(qlen, 0.1)
+        pos = rng.integers(0, qlen, ne)
+        q[pos] = (q[pos] + rng.integers(1, 4, ne)) % 4
+        templates.append(t)
+        queries.append(q)
+        tl.append(tlen)
+        ql.append(qlen)
+        ks.append(int(rng.choice([0, 1, -1, 2, -2])))
+        bands.append(int(rng.choice([64, 80, 100, 126])))
+    bands = np.asarray(bands, np.int32)
+    bands += bands & 1
+    exp = [nw_band(templates[b], queries[b], ks[b], 0, tl[b], 0, ql[b],
+                   int(bands[b]), d, W1, U, MM, tl[b]).score
+           for b in range(B)]
+    t_len, q_len, msc = stage_band_inputs(templates, queries, tl, ql,
+                                          bands, d)
+    got = np.asarray(nw_band_score_pallas(
+        t_len, q_len, np.asarray(ks, np.int32), msc,
+        half_band=bands // 2, W1=W1, U=U, MM=MM, interpret=True))
+    assert got.tolist() == exp
