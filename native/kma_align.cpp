@@ -34,7 +34,8 @@ static std::atomic<ll> g_p_collect(0), g_p_chain(0), g_p_tails(0),
     g_p_nw(0), g_p_calls(0), g_p_seeds(0), g_p_nwcells(0), g_p_skipped(0),
     g_p_anker(0), g_p_key(0), g_p_walk(0), g_p_phA(0), g_p_phB(0),
     g_p_phC(0), g_p_pre(0), g_p_preskip(0), g_p_pre_small(0),
-    g_p_pre_nobest(0), g_p_pre_run(0), g_p_pre_dev(0);
+    g_p_pre_nobest(0), g_p_pre_run(0), g_p_pre_dev(0),
+    g_p_tfull_cells(0), g_p_tband_cells(0);
 
 // Device pre-pass score tables (per GLOBAL candidate = tpl_off[r]+ci),
 // produced by the Pallas banded-NW kernel over the windows exported by
@@ -69,7 +70,7 @@ extern "C" void kaln_prof_report(void) {
             "nw %.3f anker %.3f walk %.3f key %.3f seeds %lld "
             "nw_cells %lld skipped %lld phA %.3f phB %.3f phC %.3f "
             "pre %.3f preskip %lld presmall %lld prenobest %lld "
-            "prerun %lld predev %lld\n",
+            "prerun %lld predev %lld tfull_cells %lld tband_cells %lld\n",
             (ll)g_p_calls.load(), g_p_collect.load() * 1e-9,
             g_p_chain.load() * 1e-9, g_p_tails.load() * 1e-9,
             g_p_nw.load() * 1e-9, g_p_anker.load() * 1e-9,
@@ -79,7 +80,8 @@ extern "C" void kaln_prof_report(void) {
             g_p_phB.load() * 1e-9, g_p_phC.load() * 1e-9,
             g_p_pre.load() * 1e-9, (ll)g_p_preskip.load(),
             (ll)g_p_pre_small.load(), (ll)g_p_pre_nobest.load(),
-            (ll)g_p_pre_run.load(), (ll)g_p_pre_dev.load());
+            (ll)g_p_pre_run.load(), (ll)g_p_pre_dev.load(),
+            (ll)g_p_tfull_cells.load(), (ll)g_p_tband_cells.load());
 }
 
 // ---------------------------------------------------------------- structs
@@ -1359,12 +1361,17 @@ static void lead_tail_aln(Aligned* aligned, const TIndex& T,
         if (aligned) { frag_store.pos = t_len; frag = &frag_store; }
         int k = -1 - (t_s == 0 ? 1 : 0);
         AlnStat nw;
-        if (q_e - q_s <= band || t_e - t_s <= band)
+        if (q_e - q_s <= band || t_e - t_s <= band) {
+            if (aln_prof_on())
+                g_p_tfull_cells += (ll)(q_e - q_s) * (t_e - t_s);
             nw_full(T.codes.data(), qseq, k, t_s, t_e, q_s, q_e, pen,
                     t_len, nw, frag, Ebuf, Dbuf);
-        else
+        } else {
+            if (aln_prof_on())
+                g_p_tband_cells += (ll)(t_e - t_s) * (band + 1);
             nw_band(T.codes.data(), qseq, k, t_s, t_e, q_s, q_e, band, pen,
                     t_len, nw, frag, Ebuf, Dbuf);
+        }
         if (frag) {
             int bias = 0;
             if (t_s == 0) {
@@ -1425,12 +1432,17 @@ static void trail_tail_aln(Aligned* aligned, AlnStat& st, const TIndex& T,
         if (aligned) { frag_store.pos = t_len; frag = &frag_store; }
         int k = 1 + (t_e == t_len ? 1 : 0);
         AlnStat nw;
-        if (q_e - q_s <= band || t_e - t_s <= band)
+        if (q_e - q_s <= band || t_e - t_s <= band) {
+            if (aln_prof_on())
+                g_p_tfull_cells += (ll)(q_e - q_s) * (t_e - t_s);
             nw_full(T.codes.data(), qseq, k, t_s, t_e, q_s, q_e, pen,
                     t_len, nw, frag, Ebuf, Dbuf);
-        else
+        } else {
+            if (aln_prof_on())
+                g_p_tband_cells += (ll)(t_e - t_s) * (band + 1);
             nw_band(T.codes.data(), qseq, k, t_s, t_e, q_s, q_e, band, pen,
                     t_len, nw, frag, Ebuf, Dbuf);
+        }
         if (frag) {
             if (t_e == t_len) {
                 int bias = nw.len - 1;
