@@ -109,13 +109,78 @@ class _VCache:
         return v
 
 
+class DeviceHmmStream:
+    """Batch the HMM scanner's per-window probes through the device
+    (savekmers.c:3941-3981 lookups; the devserve chain op or any
+    (codes, lengths) -> (rows_f, rows_rc) callable).  The fold/rc-fold
+    semantics are preserved: N folds to base 0 and EVERY in-length
+    window probes, so the hit stream is identical to the host scan's.
+    The seed/extend/carve walk stays host/native."""
+
+    def __init__(self, idx: KmaIndex, lookup, voff_map,
+                 batch: int = 2048, cell_budget: int = 8 << 20):
+        self.k = int(idx.kmersize)
+        self._lookup = lookup
+        self.voff_map = np.concatenate(
+            [np.asarray(voff_map, np.int64), [-1]])
+        self.batch = batch
+        self.cell_budget = cell_budget
+
+    def _pad_len(self, n: int) -> int:
+        b = 128
+        while b < n:
+            b = -(-b * 3 // 2) // 64 * 64
+        return b
+
+    def _flush(self, buf, scan_fn):
+        k = self.k
+        idxs = [i for i, r in enumerate(buf) if len(r.codes) >= k]
+        empty = np.zeros(0, np.int64)
+        if idxs:
+            L = self._pad_len(max(len(buf[i].codes) for i in idxs))
+            codes = np.full((len(idxs), L), 4, np.uint8)
+            lengths = np.zeros(len(idxs), np.int32)
+            for j, i in enumerate(idxs):
+                c = buf[i].codes
+                codes[j, : len(c)] = c & 3     # HMM fold: N -> base 0
+                lengths[j] = len(c)
+            rows_f, rows_rc = self._lookup(codes, lengths)
+            vf = self.voff_map[rows_f]
+            vr = self.voff_map[rows_rc]
+        look = {}
+        for j, i in enumerate(idxs):
+            W = len(buf[i].codes) - k + 1
+            # host VRL order is rc-window order: rc window w is the
+            # revcomp of fw window W-1-w, which is rows_rc[W-1-w];
+            # contiguous copies: the arrays feed native code
+            look[i] = (np.ascontiguousarray(vf[j, :W]),
+                       np.ascontiguousarray(vr[j, :W][::-1]))
+        for i, r in enumerate(buf):
+            yield r, scan_fn(r, lookups=look.get(i, (empty, empty)))
+
+    def stream(self, reads, scan_fn):
+        buf = []
+        mx = 0
+        for read in reads:
+            buf.append(read)
+            mx = max(mx, len(read.codes))
+            if (len(buf) >= self.batch
+                    or len(buf) * self._pad_len(mx) >= self.cell_budget):
+                yield from self._flush(buf, scan_fn)
+                buf = []
+                mx = 0
+        if buf:
+            yield from self._flush(buf, scan_fn)
+
+
 def hmm_scan_read(idx: KmaIndex, codes: np.ndarray, header: bytes,
                   template_lengths: np.ndarray, minlen: int,
                   Score: np.ndarray, Score_r: np.ndarray,
                   include: np.ndarray, mem_mode: bool = False,
                   proxi=None, exhaustive: bool = False,
                   decon: bool = False,
-                  comp_buf: Optional[HmmCompBuf] = None) -> List[AnkerHit]:
+                  comp_buf: Optional[HmmCompBuf] = None,
+                  lookups=None) -> List[AnkerHit]:
     """Scan one read with the HMM scanner; returns emitted anker records
     (empty = unmapped).  Score/Score_r/include are reusable DB_size+1
     dense arrays (zeroed between reads by construction, like the
@@ -139,7 +204,17 @@ def hmm_scan_read(idx: KmaIndex, codes: np.ndarray, header: bytes,
     from ..config import Penalties
     from .native_chain import engine_for
     eng = engine_for(idx, Penalties())
-    if eng is not None:
+    if lookups is not None and eng is not None:
+        # device-probed window voffs (devserve chain op; the HMM probes
+        # fold N to base 0 and probe EVERY window, savekmers.c:3941)
+        VFL_a, VRL_a = lookups
+
+        def VFL(w: int) -> int:
+            return int(VFL_a[w])
+
+        def VRL(w: int) -> int:
+            return int(VRL_a[w])
+    elif eng is not None:
         VFL_a = eng.lookup_windows(fold)
         VRL_a = eng.lookup_windows(rc_fold)
 

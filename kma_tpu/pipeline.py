@@ -1466,13 +1466,13 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         from .mapping.hmm_scan import HmmCompBuf, hmm_scan_read
         hmm_buf = HmmCompBuf()
 
-        def scan_one(read):
+        def scan_one(read, lookups=None):
             return hmm_scan_read(
                 idx, read.codes, read.header, template_lengths,
                 cfg.min_len, scanner.Score, scanner.Score_r,
                 scanner.include, mem_mode=cfg.mem_mode, proxi=scan_proxi,
                 exhaustive=cfg.exhaustive, decon=cfg.deCon,
-                comp_buf=hmm_buf)
+                comp_buf=hmm_buf, lookups=lookups)
     elif not cfg.one2one:
         from .mapping.chain_scan import chain_scan_read
         from .mapping.native_chain import make_native_chain
@@ -1849,6 +1849,18 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                     if len(chunk) >= chunk_cap:
                         _scan_chunk()
                 _scan_chunk()
+            elif cfg.hmm and _dev_client is not None \
+                    and idx.kmersize <= 16 and not (idx.flag & 3):
+                # device HMM probes: the daemon's chain op feeds the
+                # host seed/extend/carve walk (mapping/hmm_scan.py)
+                from .mapping.hmm_scan import DeviceHmmStream
+                _hstream = DeviceHmmStream(idx, _dev_client.chain_lookup,
+                                           _dev_client.voff_map)
+                for read, hits in _hstream.stream(_shard_reads(reads_it),
+                                                  scan_one):
+                    n_frags += 1
+                    _cur_ord[0] = (n_frags - 1) * _nproc + _pid0
+                    _consume(read, hits)
             else:
                 for read in _shard_reads(reads_it):
                     n_frags += 1

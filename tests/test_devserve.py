@@ -167,6 +167,27 @@ def test_e2e_device_run_via_daemon(daemon, disk_db, tmp_path):
     assert a == b, ".frag.gz content"
 
 
+def test_hmm_device_run_via_daemon(daemon, disk_db, tmp_path):
+    """-hmm -device on probes through the daemon's chain op at byte
+    parity with the host HMM scan (savekmers.c:3866-4522 flow)."""
+    prefix, reads = disk_db
+    _, sdir = daemon
+    os.environ["KMA_DEVSERVE_DIR"] = sdir
+    out_dev = str(tmp_path / "hdev")
+    out_host = str(tmp_path / "hhost")
+    assert main(["-i", reads, "-t_db", prefix, "-o", out_dev, "-hmm",
+                 "-device", "on"]) in (0, None)
+    assert main(["-i", reads, "-t_db", prefix, "-o", out_host, "-hmm",
+                 "-device", "off"]) in (0, None)
+    for ext in (".res", ".fsa", ".aln"):
+        a = open(out_dev + ext, "rb").read()
+        b = open(out_host + ext, "rb").read()
+        assert a == b, ext
+    a = gzip.open(out_dev + ".frag.gz").read()
+    b = gzip.open(out_host + ".frag.gz").read()
+    assert a == b, ".frag.gz content"
+
+
 def test_native_cli_uses_daemon(daemon, disk_db, tmp_path):
     """bin/kma -device on routes the scan through the daemon from the
     NATIVE CLI (native/kma_devclient.cpp) at byte parity."""
