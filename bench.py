@@ -5,8 +5,9 @@ Measures, on this host:
   2. pe_apm        -- 10k pairs (insert 205), -apm p
   3. ont_bcnano    -- 2k chimeric long reads, -bcNano -bc 0.7
   4. ont_mem       -- same long reads, -mem_mode
-  5. full_outputs  -- BASELINE config 5 shape: -1t1 -matrix -vcf -ef
-  6. mh_scaling    -- 2-process jax.distributed CPU run, efficiency =
+  5. ont_hmm       -- same long reads, -hmm (native HMM scan)
+  6. full_outputs  -- BASELINE config 5 shape: -1t1 -matrix -vcf -ef
+  7. mh_scaling    -- 2-process jax.distributed CPU run, efficiency =
                       reads/s_2proc / (2 * reads/s_1proc)
 plus the TPU step-2 scan throughput (DenseScanner) with a host-parity
 assertion (the device result must match the host scanner on the same
@@ -559,6 +560,14 @@ def main():
         ["-i", ont, "-t_db", db_prefix, "-o", "/tmp/bmy4", "-mem_mode",
          "-t", "1", "-device", "off"],
         "/tmp/bref4", "/tmp/bmy4")
+    configs["ont_hmm"] = e2e_config(
+        "ont_hmm", N_ONT,
+        ["-i", ont, "-t_db", db_prefix, "-o", "/tmp/bref6", "-hmm",
+         "-t", "1"],
+        ["-i", ont, "-t_db", db_prefix, "-o", "/tmp/bmy6", "-hmm",
+         "-t", "1", "-device", "off"],
+        "/tmp/bref6", "/tmp/bmy6", extra_parity=(".fsa", ".aln",
+                                                 ".frag.gz"))
     # BASELINE config 5 shape: ConClave + matrix + VCF + mapstat
     configs["full_outputs"] = e2e_config(
         "full_outputs", N_READS,
@@ -578,7 +587,7 @@ def main():
         print("# device backend unreachable; scan metric skipped",
               file=sys.stderr)
         ratios = [configs[c].get("vs_ref", 0.0)
-                  for c in ("se_1t1", "pe_apm", "ont_bcnano", "ont_mem",
+                  for c in ("se_1t1", "pe_apm", "ont_bcnano", "ont_mem", "ont_hmm",
                             "full_outputs")]
         geo = float(np.exp(np.mean(np.log(ratios)))) if all(ratios) \
             else 0.0
@@ -586,7 +595,7 @@ def main():
             "metric": "e2e_mapping_reads_per_sec",
             "value": configs["se_1t1"].get("reads_per_sec", 0.0),
             "unit": "reads/s e2e (SE -1t1 vs ResFinder, -t 1, byte "
-                    "parity; vs_baseline = geomean speedup over the 5 "
+                    "parity; vs_baseline = geomean speedup over the 6 "
                     "configs)",
             "vs_baseline": round(geo, 4),
             "note": "device backend unreachable (tunnel down)",
@@ -619,7 +628,7 @@ def main():
     # geometric mean over the four single-host BASELINE configs (byte
     # parity enforced per config; a parity failure zeroes its row)
     ratios = [configs[c].get("vs_ref", 0.0)
-              for c in ("se_1t1", "pe_apm", "ont_bcnano", "ont_mem",
+              for c in ("se_1t1", "pe_apm", "ont_bcnano", "ont_mem", "ont_hmm",
                         "full_outputs")]
     geo = float(np.exp(np.mean(np.log(ratios)))) if all(ratios) else 0.0
     se_rps = configs["se_1t1"].get("reads_per_sec", 0.0)
@@ -627,7 +636,7 @@ def main():
         "metric": "e2e_mapping_reads_per_sec",
         "value": se_rps,
         "unit": "reads/s e2e (SE -1t1 vs ResFinder, -t 1, byte parity; "
-                "vs_baseline = geomean speedup over the 5 configs)",
+                "vs_baseline = geomean speedup over the 6 configs)",
         "vs_baseline": round(geo, 4),
         "configs": configs,
     }

@@ -453,6 +453,7 @@ struct Cfg {
     std::string pe1, pe2;
     std::string t_db, out;
     bool one2one = false;
+    bool hmm = false;              // -hmm probabilistic splicing scan
     int pm = 0, fpm = 0;           // 0 union, 1 penalty
     bool pe = false;
     bool mem_mode = false;
@@ -528,6 +529,9 @@ int main(int argc, char **argv) {
             cfg.out = argv[++i];
         } else if (a == "-1t1") {
             cfg.one2one = true;
+        } else if (a == "-hmm") {
+            cfg.hmm = true;
+            cfg.one2one = false;
         } else if (a == "-mem_mode") {
             cfg.mem_mode = true;
         } else if (a == "-apm") {
@@ -615,6 +619,8 @@ int main(int argc, char **argv) {
     // -device on: the native envelope is the SE -1t1 dense-scan shape
     // (the daemon's dense op); everything else keeps the Python device
     // paths.  No live daemon -> Python decides (in-process device).
+    if (cfg.hmm && cfg.pe)
+        return FALLBACK;   // PE+HMM stays on the Python path
     DevConn *dc = nullptr;
     if (cfg.device_on) {
         if (cfg.pe || !cfg.one2one)
@@ -652,7 +658,8 @@ int main(int argc, char **argv) {
         (int)(ix.flag & 3), (int)ix.kmersize, (int)ix.mlen,
         ix.tlen.data(), (ll)ix.tlen.size(), (ll)ix.db_size, cfg.M, MM,
         cfg.U, cfg.W1, cfg.Wl, dmat, (cfg.t_db + ".seq.b").c_str(),
-        cfg.one2one ? 0 : 1, 0, (int)cfg.min_len, cfg.mq, cfg.score_t,
+        cfg.hmm ? 2 : (cfg.one2one ? 0 : 1), 0, (int)cfg.min_len,
+        cfg.mq, cfg.score_t,
         cfg.mrc, cfg.cover_t, 0, 1.0, -1, cfg.threads);
     if (!R)
         return FALLBACK;

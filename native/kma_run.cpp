@@ -48,6 +48,31 @@ void *kchain_create(const void *exist, int exist_es, const void *key_index,
                     const long long *template_lengths, long long M,
                     long long MM, long long U, long long W1, long long Wl);
 void kchain_free(void *h);
+// save_kmers_HMM helpers (kma_chain.cpp; Python flow: hmm_scan.py)
+void kchain_lookup_windows(void *h, const uint8_t *fold, int seqlen,
+                           long long *out);
+int kchain_hmm_region(const long long *VFL_a, const long long *VRL_a,
+                      long long *VFs, long long *VRs,
+                      const long long *NN, int seqlen, int k,
+                      int exhaustive, const double *hp, long long *state,
+                      long long *out);
+int kchain_score_window_runs(void *h, const long long *win, long long n,
+                             long long *Score_, int *bt, int nb);
+void kchain_cut_limits(void *h, const long long *VFs,
+                       const long long *VRs, long long start,
+                       long long jj, const int *region, int nreg,
+                       long long *out2);
+long long kchain_hmm_extend(void *h, long long *VF, long long *VR,
+                            long long n_windows, long long lo,
+                            long long hi, long long *Score_,
+                            long long *Score_r_, unsigned char *include,
+                            long long DB_size, int mode,
+                            double proxi_score_or_bestcov,
+                            long long base_count, int *reg,
+                            long long reg_len_in, long long *soft,
+                            long long *state);
+void kchain_dec_voffs(void *h, const long long *voffs, long long n,
+                      long long *Score_);
 int kchain_scan_read(void *h, const uint8_t *codes, int seqlen,
                      int exhaustive, long long minlen, double coverT,
                      double mrs, double mrc, int lc, long long *Score,
@@ -191,6 +216,12 @@ struct PendUnit {
     int q_len;
     ll tpl_off;          // candidates in the unit tpl arena
     int n_tpl;
+    // HMM ankers: sliced header (the "\tstart\tend" suffix) and the
+    // whole-word-slice custom rc (AnkerHit.rc_override); -1 = none
+    ll hdr_off = -1;
+    int hdr_len = 0;
+    ll crc_off = -1;
+    int crc_len = 0;
 };
 
 // One proper-pair emit (printPair, ankers.c:150-161) awaiting PE step 3.
@@ -220,6 +251,16 @@ struct Scratch {
     std::vector<PendUnit> units;
     std::vector<uint8_t> cod_arena;
     std::vector<int32_t> tpl_arena;
+    std::vector<uint8_t> hdr_arena;   // HMM sliced headers
+    std::vector<uint8_t> crc_arena;   // HMM custom rc codes
+    // save_kmers_HMM scratch (scan_read_hmm)
+    std::vector<ll> VFL, VRL, VFs, VRs, NNv;
+    std::vector<int> bt, btr, reg_buf, hreg;
+    std::vector<uint8_t> fold, rc_fold;
+    // model of step 2's reused qseq_comp buffer (HmmCompBuf): residue
+    // bases of earlier longer reads are observable through the
+    // whole-word rc slice quirk
+    std::vector<uint8_t> comp_base = std::vector<uint8_t>(1024, 0);
     // PE: pair emits + per-item ordered skeleton (kind 0 = SE unit,
     // kind 1 = pair; idx into units/pairs)
     std::vector<PairPend> pairs;
@@ -404,6 +445,8 @@ struct SUnit {
     const uint8_t *cod;
     const uint8_t *hdr;
     ll hlen;
+    const uint8_t *crc = nullptr;   // custom rc codes (HMM slices)
+    int crc_len = 0;
 };
 
 struct SEOut {
@@ -438,12 +481,20 @@ static void collect_se_unit(Run *R, Scratch &S, PendUnit &u,
     w.sc = u.sc;
     w.ord = ords[u.read];
     w.cod = S.cod_arena.data() + u.cod_off;
-    if (u.hsrc == 0) {
+    if (u.hdr_off >= 0) {
+        // HMM anker: suffixed header from the scratch arena
+        w.hdr = S.hdr_arena.data() + u.hdr_off;
+        w.hlen = u.hdr_len;
+    } else if (u.hsrc == 0) {
         w.hdr = hdr_a + hoff_a[u.read];
         w.hlen = hoff_a[u.read + 1] - hoff_a[u.read];
     } else {
         w.hdr = hdr_b + hoff_b[u.read];
         w.hlen = hoff_b[u.read + 1] - hoff_b[u.read];
+    }
+    if (u.crc_off >= 0) {
+        w.crc = S.crc_arena.data() + u.crc_off;
+        w.crc_len = u.crc_len;
     }
     tpl_ids.insert(tpl_ids.end(), t, t + n_tpl);
     tpl_offv.push_back((ll)tpl_ids.size());
@@ -505,12 +556,20 @@ static void score_se_batch(Run *R, const std::vector<SUnit> &units,
     for (size_t i = 0; i < tpl_ids.size(); ++i)
         handles[i] = R->handles[tpl_ids[i] < 0 ? -tpl_ids[i] : tpl_ids[i]];
     std::vector<int64_t> cod_offv(m + 1, 0), npos_offv(m + 1, 0);
-    for (int i = 0; i < m; ++i)
+    bool any_crc = false;
+    for (int i = 0; i < m; ++i) {
         cod_offv[i + 1] = cod_offv[i] + units[i].q_len;
+        if (units[i].crc)
+            any_crc = true;
+    }
     std::vector<uint8_t> cod_flat((size_t)cod_offv[m]);
     std::vector<int32_t> npos_flat;
     std::vector<int32_t> qb(2 * m);
     std::vector<uint8_t> arcs(m);
+    std::vector<uint8_t> crc_flat;
+    std::vector<int64_t> crc_offv;
+    if (any_crc)
+        crc_offv.assign(m + 1, 0);
     for (int i = 0; i < m; ++i) {
         const SUnit &u = units[i];
         memcpy(cod_flat.data() + cod_offv[i], u.cod, u.q_len);
@@ -526,6 +585,11 @@ static void score_se_batch(Run *R, const std::vector<SUnit> &units,
             qb[2 * i + 1] = u.q_len;
         }
         arcs[i] = u.sc < 0 ? 1 : 0;
+        if (any_crc) {
+            if (u.crc)
+                crc_flat.insert(crc_flat.end(), u.crc, u.crc + u.crc_len);
+            crc_offv[i + 1] = (ll)crc_flat.size();
+        }
     }
     if (npos_flat.empty())
         npos_flat.push_back(0);
@@ -545,7 +609,8 @@ static void score_se_batch(Run *R, const std::vector<SUnit> &units,
     kaln_frags_se_batch_mf(
         handles.data(), tpl_ids.data(), tpl_offv.data(), cod_flat.data(),
         cod_offv.data(), npos_flat.data(), npos_offv.data(), qb.data(),
-        arcs.data(), nullptr, nullptr, m, (int)R->ix.M, (int)R->ix.MM,
+        arcs.data(), any_crc ? crc_flat.data() : nullptr,
+        any_crc ? crc_offv.data() : nullptr, m, (int)R->ix.M, (int)R->ix.MM,
         (int)R->ix.U, (int)R->ix.W1, R->dmat, R->ix.k, R->minlen, R->mq,
         R->scoreT, R->mrc, R->n_threads, R->aln_min_frac, o.nh.data(),
         o.best.data(), o.frac.data(), o.tpl.data(), o.start.data(),
@@ -639,6 +704,299 @@ static void emit_se_spool(Run *R, const SUnit &u,
 // One read's step-2 scan -> PendUnit emits appended to S (save_kmers
 // -1t1, savekmers.c:2442-3065 / save_kmers_chain, savekmers.c:5127-5944;
 // the emit rules mirror mapping/scan.py:315-360 and NativeChain.scan).
+// ---- save_kmers_HMM scan (savekmers.c:3866-4522; Python reference
+// flow mapping/hmm_scan.py).  Envelope: non-proxi, non-deCon (the CLI
+// falls back to Python outside it); mem_mode follows
+// ankerAndClean_MEM's non-proxi branch. -----------------------------------
+
+// dec_clear over window range [lo, hi) (savekmers.c:4731-4802)
+static void hmm_dec_range(Scratch &S, ll lo, ll hi) {
+    if (lo < 0)
+        lo = 0;
+    ll n = (ll)S.VFs.size();
+    if (hi > n)
+        hi = n;
+    if (hi <= lo)
+        return;
+    for (int which = 0; which < 2; ++which) {
+        std::vector<ll> &arr = which ? S.VRs : S.VFs;
+        std::vector<ll> &sc = which ? S.Score_r : S.Score;
+        for (ll el = lo; el < hi; ++el) {
+            ll v = arr[el];
+            if (v >= 0) {
+                kchain_dec_voffs(S.ctx, &v, 1, sc.data());
+                arr[el] = -1;
+            }
+        }
+    }
+}
+
+// ankerAndClean + slice emission for one carved region
+// (savekmers.c:4522-4853; hmm_scan.py _anker_and_clean)
+static void emit_hmm_anker(Run *R, Scratch &S, const uint8_t *q,
+                           int seqlen, int item, int HIT, ll bestScore,
+                           ll start_cut, ll end_cut, bool mem,
+                           const uint8_t *hdr, ll hlen) {
+    const ll DB_size = R->db_size;
+    std::vector<int> &reg = S.hreg;
+    ll cursor = (ll)reg.size() - 1;
+    if (!mem) {
+        for (int t : reg)
+            S.include[t < 0 ? -t : t] = 1;
+        ll bestHitsCov = LLONG_MAX;
+        for (int t : reg) {
+            ll tl = R->tlen[t < 0 ? -t : t];
+            if (tl < bestHitsCov)
+                bestHitsCov = tl;
+        }
+        if ((ll)S.reg_buf.size() < DB_size + (ll)reg.size() + 2)
+            S.reg_buf.resize(DB_size + (ll)reg.size() + 2);
+        std::fill(S.reg_buf.begin(), S.reg_buf.end(), 0);
+        for (size_t z = 0; z < reg.size(); ++z)
+            S.reg_buf[z] = reg[z];
+        ll state[3];
+        state[0] = cursor;
+        state[1] = HIT;
+        double bestCov = (double)bestScore / (double)bestHitsCov;
+        memcpy(&state[2], &bestCov, 8);
+        kchain_hmm_extend(S.ctx, S.VFs.data(), S.VRs.data(),
+                          (ll)S.VFs.size(), start_cut + 92, end_cut - 92,
+                          S.Score.data(), S.Score_r.data(),
+                          S.include.data(), DB_size, 0, 0.0,
+                          (ll)reg.size(), S.reg_buf.data(),
+                          (ll)reg.size(), nullptr, state);
+        cursor = state[0];
+        HIT = (int)state[1];
+        reg.assign(S.reg_buf.begin(), S.reg_buf.begin() + cursor + 1);
+        // clear nearest templates on both sides
+        ll end = seqlen < start_cut + 92 ? seqlen : start_cut + 92;
+        start_cut = start_cut - 92 > 0 ? start_cut - 92 : 0;
+        hmm_dec_range(S, start_cut, end);
+        end = end_cut - 92 > 0 ? end_cut - 92 : 0;
+        end_cut = seqlen < end_cut + 92 ? seqlen : end_cut + 92;
+        hmm_dec_range(S, end + 1, end_cut + 1);
+        for (int t : reg)
+            S.include[t < 0 ? -t : t] = 0;
+        start_cut = start_cut - 92 > 0 ? start_cut - 92 : 0;
+        end_cut = seqlen < end_cut + 92 ? seqlen : end_cut + 92;
+    } else {
+        start_cut = start_cut - 92 > 0 ? start_cut - 92 : 0;
+        end_cut = seqlen < end_cut + 92 ? seqlen : end_cut + 92;
+        hmm_dec_range(S, start_cut, end_cut);
+    }
+
+    // modify limits of match seq: 32-align + N slice
+    start_cut = (start_cut >> 5) << 5;
+    {
+        ll e32 = ((end_cut >> 5) << 5) + 32;
+        end_cut = e32 < seqlen ? e32 : seqlen;
+    }
+    ll tmplen = end_cut - start_cut;
+    static thread_local std::vector<int> tmpN;
+    tmpN.clear();
+    for (ll z = 1; z < S.NNv[0]; ++z) {
+        if (start_cut <= S.NNv[z]) {
+            ll p = S.NNv[z] - start_cut;
+            if (p >= tmplen)
+                break;
+            tmpN.push_back((int)p);
+        }
+    }
+    tmplen -= 1;
+    size_t ln = tmpN.size();
+    while (ln && tmpN[ln - 1] == tmplen) {
+        --tmplen;
+        --ln;
+    }
+    tmplen += 1;
+    tmpN.resize(ln);
+
+    PendUnit u;
+    u.read = item;
+    u.hsrc = 0;
+    u.b0 = u.b1 = -1;
+    u.q_len = (int)tmplen;
+    u.sc = (ll)HIT * bestScore;
+    u.flag = 0;
+    u.cod_off = (ll)S.cod_arena.size();
+    S.cod_arena.insert(S.cod_arena.end(), q + start_cut,
+                       q + start_cut + tmplen);
+    u.tpl_off = (ll)S.tpl_arena.size();
+    S.tpl_arena.insert(S.tpl_arena.end(), reg.begin(), reg.end());
+    u.n_tpl = (int)reg.size();
+    // sprintf at header->len-1 overwrites the trailing NUL and appends
+    // a new one (savekmers.c:4853)
+    u.hdr_off = (ll)S.hdr_arena.size();
+    char suf[48];
+    int sn = snprintf(suf, sizeof(suf), "\t%lld\t%lld",
+                      (long long)start_cut, (long long)end_cut);
+    S.hdr_arena.insert(S.hdr_arena.end(), hdr, hdr + (hlen - 1));
+    S.hdr_arena.insert(S.hdr_arena.end(), (const uint8_t *)suf,
+                       (const uint8_t *)suf + sn);
+    S.hdr_arena.push_back(0);
+    u.hdr_len = (int)((ll)S.hdr_arena.size() - u.hdr_off);
+    // whole-word slices: step 3's rc read is the shifted view through
+    // the reused step-2 packed buffer (compdna.c:250-270 quirk)
+    if (tmplen && tmplen % 32 == 0) {
+        u.crc_off = (ll)S.crc_arena.size();
+        u.crc_len = (int)tmplen;
+        // true_rc = reverse(3 - comp_base[start_cut : start_cut +
+        // tmplen + 32])[:tmplen]; the +32 window may expose residue
+        // bases of an earlier, longer read (HmmCompBuf semantics)
+        for (ll i = 0; i < tmplen; ++i) {
+            ll xx = start_cut + tmplen + 32 - 1 - i;
+            uint8_t c = xx < (ll)S.comp_base.size() ? S.comp_base[xx] : 0;
+            S.crc_arena.push_back((uint8_t)(3 - c));
+        }
+        // unCompDNA restores Ns at the TRUE-rc N positions
+        for (size_t z = 0; z < tmpN.size(); ++z) {
+            ll npr = (tmplen - 1) - (ll)tmpN[z];
+            S.crc_arena[u.crc_off + npr] = 4;
+        }
+    }
+    S.units.push_back(u);
+    S.order.emplace_back(0, (int)S.units.size() - 1);
+}
+
+static void scan_read_hmm(Run *R, Scratch &S, const uint8_t *q,
+                          int q_len, int item, const uint8_t *hdr,
+                          ll hlen) {
+    const int k = R->ix.k;
+    const int seqlen = q_len;
+    // HmmCompBuf.load: the reused step-2 packed buffer (getComp rules)
+    {
+        ll L = seqlen;
+        ll size = (ll)S.comp_base.size();
+        if (L >= size) {
+            size = (L & 31) ? (((L >> 5) + 1) << 6) : (L << 1);
+            S.comp_base.assign(size, 0);
+        }
+        ll complen = (L & 31) ? ((L >> 5) + 1) : (L >> 5);
+        for (ll i = 0; i < L; ++i)
+            S.comp_base[i] = q[i] & 3;
+        for (ll i = L; i < complen * 32; ++i)
+            S.comp_base[i] = 0;
+    }
+    if (seqlen < k)
+        return;
+    const int seqend = seqlen - k + 1;
+    const ll DB_size = R->db_size;
+
+    S.fold.resize(seqlen);
+    S.rc_fold.resize(seqlen);
+    for (int i = 0; i < seqlen; ++i)
+        S.fold[i] = q[i] & 3;
+    for (int i = 0; i < seqlen; ++i)
+        S.rc_fold[i] = (uint8_t)(3 - S.fold[seqlen - 1 - i]);
+    S.VFL.assign(seqend, -1);
+    S.VRL.assign(seqend, -1);
+    kchain_lookup_windows(S.ctx, S.fold.data(), seqlen, S.VFL.data());
+    kchain_lookup_windows(S.ctx, S.rc_fold.data(), seqlen,
+                          S.VRL.data());
+
+    // qseq->N with the appended sentinel (savekmers.c:3981)
+    S.NNv.clear();
+    S.NNv.push_back(0);
+    for (int i = 0; i < seqlen; ++i)
+        if (q[i] == 4)
+            S.NNv.push_back(i);
+    S.NNv[0] = (ll)S.NNv.size();
+    S.NNv.push_back(seqlen);
+
+    // HMM parameters (savekmers.c:3943-3950)
+    double hp[8];
+    hp[0] = log(1 - pow(0.25, k));
+    hp[1] = log(pow(0.25, k));
+    hp[2] = log(1 - pow(0.25, k - 1) * 0.75);
+    hp[3] = log(pow(0.25, k - 1) * 0.75);
+    hp[4] = log(1 - 1.0 / k * 0.75 * 0.25);
+    hp[5] = log(1.0 / k * 0.75 * 0.25);
+    hp[6] = log(0.75);
+    hp[7] = log(0.25);
+
+    S.VFs.assign(seqlen + 1, -1);
+    S.VRs.assign(seqlen + 1, -1);
+    if ((ll)S.bt.size() < DB_size + 2) {
+        S.bt.resize(DB_size + 2);
+        S.btr.resize(DB_size + 2);
+    }
+    ll state3[3] = {0, (ll)(seqlen - k), 1};
+    ll out4[4];
+    while (state3[2] <= S.NNv[0] && state3[1] >= 0) {
+        int HIT = kchain_hmm_region(S.VFL.data(), S.VRL.data(),
+                                    S.VFs.data(), S.VRs.data(),
+                                    S.NNv.data(), seqlen, k,
+                                    R->exhaustive, hp, state3, out4);
+        if (!HIT)
+            continue;
+        ll start = out4[0], j = out4[1], stop = out4[2],
+           hitCounter = out4[3];
+        if (hitCounter > 0
+            && ((stop - start) > R->minlen || start == 0
+                || stop == seqlen)) {
+            int nb_f = kchain_score_window_runs(
+                S.ctx, S.VFs.data() + start, j - start, S.Score.data(),
+                S.bt.data(), 0);
+            int nb_r = kchain_score_window_runs(
+                S.ctx, S.VRs.data() + start, j - start, S.Score_r.data(),
+                S.btr.data(), 0);
+            // cut out template hits (savekmers.c:4404-4502)
+            int HITc = HIT;
+            while (HITc != 0) {
+                ll mf = 0, mr = 0;
+                for (int z = 0; z < nb_f; ++z)
+                    if (S.Score[S.bt[z]] > mf)
+                        mf = S.Score[S.bt[z]];
+                for (int z = 0; z < nb_r; ++z)
+                    if (S.Score_r[S.btr[z]] > mr)
+                        mr = S.Score_r[S.btr[z]];
+                ll bestScore = mf >= mr ? mf : mr;
+                S.hreg.clear();
+                if (bestScore > 0) {
+                    if (mf == bestScore)
+                        for (int z = 0; z < nb_f; ++z)
+                            if (S.Score[S.bt[z]] == bestScore)
+                                S.hreg.push_back(S.bt[z]);
+                    for (int z = 0; z < nb_r; ++z)
+                        if (S.Score_r[S.btr[z]] == bestScore)
+                            S.hreg.push_back(-S.btr[z]);
+                    ll out2[2];
+                    kchain_cut_limits(S.ctx, S.VFs.data(), S.VRs.data(),
+                                      start, j, S.hreg.data(),
+                                      (int)S.hreg.size(), out2);
+                    ll start_cut = out2[0], end_cut = out2[1];
+                    if (bestScore * k
+                            > (end_cut - start_cut - bestScore + k)) {
+                        HITc = S.hreg.back() > 0 ? 1 : -1;
+                        bool interior = (start != 0 && j != seqlen);
+                        bool mem = R->mem_mode && !interior;
+                        emit_hmm_anker(R, S, q, seqlen, item, HITc,
+                                       bestScore, start_cut, end_cut,
+                                       mem, hdr, hlen);
+                    } else {
+                        for (int z = 0; z < nb_f; ++z)
+                            S.Score[S.bt[z]] = 0;
+                        for (int z = 0; z < nb_r; ++z)
+                            S.Score_r[S.btr[z]] = 0;
+                        HITc = 0;
+                    }
+                } else {
+                    for (int z = 0; z < nb_f; ++z)
+                        S.Score[S.bt[z]] = 0;
+                    for (int z = 0; z < nb_r; ++z)
+                        S.Score_r[S.btr[z]] = 0;
+                    HITc = 0;
+                }
+            }
+        }
+        // clear window maps (savekmers.c:4505-4509)
+        std::fill(S.VFs.begin(), S.VFs.end(), -1);
+        std::fill(S.VRs.begin(), S.VRs.end(), -1);
+        state3[0] = stop + 1;
+        state3[1] = seqlen - k - state3[0];
+    }
+}
+
 static void scan_read_units(Run *R, Scratch &S, const uint8_t *q,
                             int q_len, int item, uint8_t hsrc) {
     const int k = R->ix.k;
@@ -1820,13 +2178,20 @@ long long krun_map_se_batch(void *hv, const uint8_t *codes_flat,
         Scratch &S = R->scratch[ti];
         S.units.clear();
         S.cod_arena.clear();
+        S.hdr_arena.clear();
+        S.crc_arena.clear();
         S.tpl_arena.clear();
         S.pairs.clear();
         S.order.clear();
         for (int rd = slice_begin[ti]; rd < slice_begin[ti + 1]; ++rd) {
             const uint8_t *q = codes_flat + coff[rd];
             int q_len = (int)(coff[rd + 1] - coff[rd]);
-            scan_read_units(R, S, q, q_len, rd, 0);
+            if (R->mode == 2)
+                scan_read_hmm(R, S, q, q_len, rd,
+                              hdr_flat + hoff[rd],
+                              hoff[rd + 1] - hoff[rd]);
+            else
+                scan_read_units(R, S, q, q_len, rd, 0);
         }
     };
     if (nt == 1) {
@@ -1867,6 +2232,8 @@ long long krun_map_se_batch_dev(void *hv, const uint8_t *codes_flat,
     Scratch &S = R->scratch[0];
     S.units.clear();
     S.cod_arena.clear();
+    S.hdr_arena.clear();
+    S.crc_arena.clear();
     S.tpl_arena.clear();
     S.pairs.clear();
     S.order.clear();
@@ -1954,6 +2321,8 @@ long long krun_map_pe_batch(void *hv, const uint8_t *a_flat,
         S.pairs.clear();
         S.order.clear();
         S.cod_arena.clear();
+        S.hdr_arena.clear();
+        S.crc_arena.clear();
         S.tpl_arena.clear();
         PEmit em[2];
         for (int it = slice_begin[ti]; it < slice_begin[ti + 1]; ++it) {

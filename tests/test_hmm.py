@@ -117,3 +117,34 @@ def test_hmm_mem_mode_parity(tmp_path, hmm_reads, db50_index, ref_bin):
     ankerAndClean_MEM (savekmers.c:4852-5120)."""
     _run_both(tmp_path, hmm_reads, db50_index, ref_bin,
               ["-hmm", "-mem_mode"])
+
+
+@pytest.mark.parametrize("extra", [["-hmm"], ["-hmm", "-mem_mode"]])
+def test_hmm_native_cli_parity(tmp_path, hmm_reads, db50_index, ref_bin,
+                               extra):
+    """The NATIVE CLI's -hmm mode (kma_run.cpp scan_read_hmm) is
+    byte-identical to the reference on the same mixed workload."""
+    import os
+    from pathlib import Path
+    cli = Path(__file__).resolve().parent.parent / "native" / "kma_cli"
+    if not cli.exists():
+        pytest.skip("native CLI not built")
+    ref_out = tmp_path / "ref"
+    my_out = tmp_path / "my"
+    r = subprocess.run([str(ref_bin), "-i", str(hmm_reads), "-o",
+                       str(ref_out), "-t_db", db50_index] + extra,
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run([str(cli), "-i", str(hmm_reads), "-o", str(my_out),
+                        "-t_db", db50_index] + extra,
+                       capture_output=True, env=env)
+    assert r.returncode == 0, r.stderr
+    for ext in (".res", ".fsa", ".aln"):
+        a = (ref_out.parent / (ref_out.name + ext)).read_bytes()
+        b = (my_out.parent / (my_out.name + ext)).read_bytes()
+        assert a == b, f"{ext} differs"
+    a = gzip.open(str(ref_out) + ".frag.gz").read()
+    b = gzip.open(str(my_out) + ".frag.gz").read()
+    assert a == b, ".frag.gz content differs"
