@@ -58,6 +58,11 @@ ll krun_map_se_batch_dev(void *hv, const uint8_t *codes_flat,
                          const int32_t *dscores, const uint8_t *dmodes,
                          const uint8_t *dover, const int32_t *dcounts,
                          const int32_t *dflat);
+ll krun_map_se_batch_chain_dev(void *hv, const uint8_t *codes_flat,
+                               const ll *coff, const uint8_t *hdr_flat,
+                               const ll *hoff, const ll *ords, int n,
+                               const ll *voff_f, const ll *voff_r,
+                               ll stride);
 ll krun_map_pe_batch(void *hv, const uint8_t *a_flat, const ll *a_off,
                      const uint8_t *ha_flat, const ll *ha_off,
                      const uint8_t *b_flat, const ll *b_off,
@@ -623,7 +628,9 @@ int main(int argc, char **argv) {
         return FALLBACK;   // PE+HMM stays on the Python path
     DevConn *dc = nullptr;
     if (cfg.device_on) {
-        if (cfg.pe || !cfg.one2one)
+        // native device envelope: SE -1t1 (dense scan op) and the SE
+        // chain modes (chain probe op); HMM/PE device stay Python
+        if (cfg.pe || cfg.hmm)
             return FALLBACK;
         dc = kdev_connect(cfg.t_db.c_str());
         if (!dc)
@@ -687,10 +694,18 @@ int main(int argc, char **argv) {
             int start, n;
         };
         const int DEVSLICE = 4096;
+        const bool chain_dev = !cfg.one2one;   // chain probe op
         std::deque<DevSlice> inflight;
         std::vector<uint8_t> dcodes;
         std::vector<int32_t> dlens, dscores, dcounts, dflat;
         std::vector<uint8_t> dmodes, dover;
+        std::vector<ll> dvf, dvr;
+        auto pad_len = [](int mx) {
+            int Lb = 128;
+            while (Lb < mx)
+                Lb = (Lb * 3 / 2 + 63) / 64 * 64;
+            return Lb;
+        };
         auto dev_send = [&](const DevSlice &s) {
             const FqBatch &b = s.db->b;
             int mx = 1;
@@ -701,11 +716,17 @@ int main(int argc, char **argv) {
             }
             // the Python DeviceScanStream's length buckets, so client
             // runs share the daemon's warmed compile shapes
-            int Lb = 128;
-            while (Lb < mx)
-                Lb = (Lb * 3 / 2 + 63) / 64 * 64;
-            dcodes.assign((size_t)s.n * Lb, 4);
-            dlens.assign(s.n, 0);
+            int Lb = pad_len(mx);
+            // chain slices: power-of-two row counts bound the daemon's
+            // per-(B, L) compile-shape set
+            int rows = s.n;
+            if (chain_dev) {
+                rows = 64;
+                while (rows < s.n)
+                    rows <<= 1;
+            }
+            dcodes.assign((size_t)rows * Lb, 4);
+            dlens.assign(rows, 0);
             for (int i = 0; i < s.n; i++) {
                 ll off = b.coff[s.start + i];
                 ll l = b.coff[s.start + i + 1] - off;
@@ -713,23 +734,40 @@ int main(int argc, char **argv) {
                        (size_t)l);
                 dlens[i] = (int32_t)l;
             }
+            if (chain_dev)
+                return kdev_chain_send(dc, dcodes.data(), dlens.data(),
+                                       rows, Lb);
             return kdev_dense_send(dc, dcodes.data(), dlens.data(), s.n,
                                    Lb, (int)cfg.M, MM, (int)cfg.U,
                                    (int)cfg.W1, false, false, 0.0);
         };
         auto dev_finish = [&](DevSlice &s) {
             const FqBatch &b = s.db->b;
-            if (dc && kdev_dense_recv(dc, dscores, dmodes, dover, dcounts,
-                                      dflat)
-                && (int)dmodes.size() == s.n) {
-                if (krun_map_se_batch_dev(
-                        R, b.codes.data(), b.coff.data() + s.start,
-                        b.hdr.data(), b.hoff.data() + s.start,
-                        s.db->ords.data() + s.start, s.n, dscores.data(),
-                        dmodes.data(), dover.data(), dcounts.data(),
-                        dflat.data()) < 0)
-                    die("mapping failed");
-                return;
+            if (dc && chain_dev) {
+                ll W = 0;
+                if (kdev_chain_recv(dc, dvf, dvr, &W)
+                    && (ll)dvf.size() >= (ll)s.n * W) {
+                    if (krun_map_se_batch_chain_dev(
+                            R, b.codes.data(), b.coff.data() + s.start,
+                            b.hdr.data(), b.hoff.data() + s.start,
+                            s.db->ords.data() + s.start, s.n, dvf.data(),
+                            dvr.data(), W) < 0)
+                        die("mapping failed");
+                    return;
+                }
+            } else if (dc) {
+                if (kdev_dense_recv(dc, dscores, dmodes, dover, dcounts,
+                                    dflat)
+                    && (int)dmodes.size() == s.n) {
+                    if (krun_map_se_batch_dev(
+                            R, b.codes.data(), b.coff.data() + s.start,
+                            b.hdr.data(), b.hoff.data() + s.start,
+                            s.db->ords.data() + s.start, s.n,
+                            dscores.data(), dmodes.data(), dover.data(),
+                            dcounts.data(), dflat.data()) < 0)
+                        die("mapping failed");
+                    return;
+                }
             }
             // daemon died mid-run: degrade to the host scan
             if (dc) {
@@ -761,10 +799,23 @@ int main(int argc, char **argv) {
                     auto db = std::make_shared<DevBatch>();
                     db->b = std::move(b);
                     db->ords = ords;
-                    for (int st = 0; st < db->b.n && dc; st += DEVSLICE) {
-                        DevSlice s{db, st,
-                                   db->b.n - st < DEVSLICE ? db->b.n - st
-                                                           : DEVSLICE};
+                    for (int st = 0; st < db->b.n && dc;) {
+                        // slice width: fixed for short reads, cell-
+                        // budget-bounded for chain (ONT) reads
+                        int en = st, mx = 1;
+                        const ll CELLS = 8ll << 20;
+                        while (en < db->b.n && en - st < DEVSLICE) {
+                            int l = (int)(db->b.coff[en + 1]
+                                          - db->b.coff[en]);
+                            int m2 = l > mx ? l : mx;
+                            if (en > st
+                                && (ll)(en - st + 1) * pad_len(m2) > CELLS)
+                                break;
+                            mx = m2;
+                            ++en;
+                        }
+                        DevSlice s{db, st, en - st};
+                        st = en;
                         if (dev_send(s)) {
                             inflight.push_back(std::move(s));
                             while (inflight.size() > 2) {

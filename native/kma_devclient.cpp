@@ -176,6 +176,8 @@ struct DevConn {
     // reply scratch
     JVal hdr;
     std::vector<std::vector<uint8_t>> payloads;
+    // hello payload: list id -> values offset (chain/PE probes)
+    std::vector<long long> voff_map;
 
     bool send_frame(const std::string &hdr_json,
                     const std::vector<std::pair<const void *, size_t>>
@@ -314,6 +316,11 @@ DevConn *kdev_connect(const char *db_prefix) {
         kdev_close(c);
         return nullptr;
     }
+    const std::vector<uint8_t> *vm = c->payload("voff_map");
+    if (vm && vm->size() % 8 == 0) {
+        c->voff_map.resize(vm->size() / 8);
+        memcpy(c->voff_map.data(), vm->data(), vm->size());
+    }
     return c;
 }
 
@@ -348,6 +355,55 @@ bool kdev_dense_send(DevConn *c, const uint8_t *codes,
     return c->send_frame(
         std::string(js, jn),
         {{codes, (size_t)n * l}, {lengths, (size_t)n * 4}});
+}
+
+bool kdev_chain_send(DevConn *c, const uint8_t *codes,
+                     const int32_t *lengths, int n, int l) {
+    char js[256];
+    int jn = snprintf(
+        js, sizeof(js),
+        "{\"meta\": {\"op\": \"chain\"}, "
+        "\"arrays\": [[\"codes\", \"|u1\", [%d, %d]], "
+        "[\"lengths\", \"<i4\", [%d]]]}",
+        n, l, n);
+    if (jn <= 0)
+        return false;
+    return c->send_frame(
+        std::string(js, jn),
+        {{codes, (size_t)n * l}, {lengths, (size_t)n * 4}});
+}
+
+bool kdev_chain_recv(DevConn *c, std::vector<long long> &voff_f,
+                     std::vector<long long> &voff_r, long long *w_out) {
+    if (!c->recv_frame() || !c->ok())
+        return false;
+    const std::vector<uint8_t> *pf = c->payload("rows_f");
+    const std::vector<uint8_t> *pr = c->payload("rows_rc");
+    if (!pf || !pr || pf->size() != pr->size() || pf->size() % 4)
+        return false;
+    // rows are [n, W] i32 list ids; W comes from the descriptor
+    const JVal *arrs = c->hdr.get("arrays");
+    long long W = 0;
+    for (const JVal &d : arrs->list)
+        if (d.list.size() == 3 && d.list[0].str == "rows_f"
+            && d.list[2].list.size() == 2)
+            W = (long long)d.list[2].list[1].num;
+    if (W <= 0)
+        return false;
+    *w_out = W;
+    size_t total = pf->size() / 4;
+    voff_f.resize(total);
+    voff_r.resize(total);
+    const int32_t *rf = (const int32_t *)pf->data();
+    const int32_t *rr = (const int32_t *)pr->data();
+    long long nv = (long long)c->voff_map.size();
+    for (size_t i = 0; i < total; ++i) {
+        int32_t a = rf[i];
+        voff_f[i] = (a >= 0 && a < nv) ? c->voff_map[a] : -1;
+        int32_t b = rr[i];
+        voff_r[i] = (b >= 0 && b < nv) ? c->voff_map[b] : -1;
+    }
+    return true;
 }
 
 bool kdev_dense_recv(DevConn *c, std::vector<int32_t> &scores,

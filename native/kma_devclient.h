@@ -29,4 +29,13 @@ bool kdev_dense_recv(DevConn *c, std::vector<int32_t> &scores,
                      std::vector<int32_t> &counts,
                      std::vector<int32_t> &flat);
 
+// Chain op: per-window hash probes for both strands (the ONT/default
+// chain scan and the HMM scan feed on these).  The reply rows are
+// list ids; kdev_chain_recv maps them through the hello-delivered
+// voff_map so the caller gets value offsets (-1 = miss/invalid).
+bool kdev_chain_send(DevConn *c, const uint8_t *codes,
+                     const int32_t *lengths, int n, int l);
+bool kdev_chain_recv(DevConn *c, std::vector<long long> &voff_f,
+                     std::vector<long long> &voff_r, long long *w_out);
+
 #endif

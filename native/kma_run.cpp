@@ -80,6 +80,14 @@ int kchain_scan_read(void *h, const uint8_t *codes, int seqlen,
                      uint8_t *hit_rc, long long *hit_sc, int *hit_b0,
                      int *hit_b1, long long *tpl_off, int *tpl_flat,
                      int cap_hits, long long cap_tpl);
+int kchain_scan_read_v(void *h, const uint8_t *codes, int seqlen,
+                       const long long *voff_f, const long long *voff_r,
+                       int exhaustive, long long minlen, double coverT,
+                       double mrs, double mrc, int lc, long long *Score,
+                       long long *extendScore, uint8_t *include,
+                       uint8_t *hit_rc, long long *hit_sc, int *hit_b0,
+                       int *hit_b1, long long *tpl_off, int *tpl_flat,
+                       int cap_hits, long long cap_tpl);
 void kchain_save_kmers(void *h, const uint8_t *codes, int seqlen,
                        int exhaustive, double proxi_frac, int use_proxi,
                        long long *Score_, long long *Score_r_,
@@ -998,7 +1006,9 @@ static void scan_read_hmm(Run *R, Scratch &S, const uint8_t *q,
 }
 
 static void scan_read_units(Run *R, Scratch &S, const uint8_t *q,
-                            int q_len, int item, uint8_t hsrc) {
+                            int q_len, int item, uint8_t hsrc,
+                            const ll *voff_fw = nullptr,
+                            const ll *voff_rc = nullptr) {
     const int k = R->ix.k;
     if (q_len < k)
         return;
@@ -1052,8 +1062,9 @@ static void scan_read_units(Run *R, Scratch &S, const uint8_t *q,
     }
     int nh;
     for (;;) {
-        nh = kchain_scan_read(
-            S.ctx, q, q_len, R->exhaustive, R->minlen, R->coverT,
+        nh = kchain_scan_read_v(
+            S.ctx, q, q_len, voff_fw, voff_rc,
+            R->exhaustive, R->minlen, R->coverT,
             R->scoreT, R->mrc, R->lc, S.Score.data(), S.extendScore.data(),
             S.include.data(), S.hit_rc.data(), S.hit_sc.data(),
             S.hit_b0.data(), S.hit_b1.data(), S.tpl_off.data(),
@@ -2279,6 +2290,41 @@ long long krun_map_se_batch_dev(void *hv, const uint8_t *codes_flat,
         u.n_tpl = dcounts[rd];
         S.units.push_back(u);
         S.order.emplace_back(0, (int)S.units.size() - 1);
+    }
+    R->t_scan += _now() - _t0;
+    return se_batch_tail(R, 1, hdr_flat, hoff, ords);
+}
+
+// Map one chain-mode SE batch whose per-window hash probes ALREADY RAN
+// on the device (the devserve chain op): voff_f/voff_r are per-read
+// [stride] value-offset rows in the symmetric window layout the native
+// chain splicer consumes (kchain_scan_read_v; chain_device.py role).
+long long krun_map_se_batch_chain_dev(
+    void *hv, const uint8_t *codes_flat, const long long *coff,
+    const uint8_t *hdr_flat, const long long *hoff, const long long *ords,
+    int n, const long long *voff_f, const long long *voff_r,
+    long long stride) {
+    Run *R = (Run *)hv;
+    Scratch &S = R->scratch[0];
+    S.units.clear();
+    S.cod_arena.clear();
+    S.hdr_arena.clear();
+    S.crc_arena.clear();
+    S.tpl_arena.clear();
+    S.pairs.clear();
+    S.order.clear();
+    auto _now = []() {
+        return std::chrono::duration<double>(
+                   std::chrono::steady_clock::now().time_since_epoch())
+            .count();
+    };
+    double _t0 = _now();
+    for (int rd = 0; rd < n; ++rd) {
+        const uint8_t *q = codes_flat + coff[rd];
+        int q_len = (int)(coff[rd + 1] - coff[rd]);
+        scan_read_units(R, S, q, q_len, rd, 0,
+                        voff_f + (ll)rd * stride,
+                        voff_r + (ll)rd * stride);
     }
     R->t_scan += _now() - _t0;
     return se_batch_tail(R, 1, hdr_flat, hoff, ords);

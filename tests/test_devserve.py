@@ -220,6 +220,33 @@ def test_native_cli_uses_daemon(daemon, disk_db, tmp_path):
     assert r.returncode == 113
 
 
+def test_native_cli_chain_dev(daemon, disk_db, tmp_path):
+    """Default (chain) mode -device on: the native CLI ships the
+    per-window probes through the daemon's chain op and the splicer
+    consumes the voffs (krun_map_se_batch_chain_dev) at byte parity."""
+    prefix, reads = disk_db
+    _, sdir = daemon
+    cli = REPO / "native" / "kma_cli"
+    if not cli.exists():
+        pytest.skip("native CLI not built")
+    env = dict(os.environ, KMA_DEVSERVE_DIR=sdir)
+    out_dev = str(tmp_path / "cdev")
+    out_host = str(tmp_path / "chost")
+    r = subprocess.run(
+        [str(cli), "-i", reads, "-t_db", prefix, "-o", out_dev,
+         "-device", "on"], env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert "devserve session" in r.stderr
+    r = subprocess.run(
+        [str(cli), "-i", reads, "-t_db", prefix, "-o", out_host,
+         "-device", "off"], env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    for ext in (".res", ".fsa", ".aln", ".frag.gz"):
+        a = open(out_dev + ext, "rb").read()
+        b = open(out_host + ext, "rb").read()
+        assert a == b, ext
+
+
 def test_stale_socket_and_mismatch(disk_db, tmp_path):
     prefix, _ = disk_db
     os.environ["KMA_DEVSERVE_DIR"] = str(tmp_path)
