@@ -628,9 +628,10 @@ int main(int argc, char **argv) {
         return FALLBACK;   // PE+HMM stays on the Python path
     DevConn *dc = nullptr;
     if (cfg.device_on) {
-        // native device envelope: SE -1t1 (dense scan op) and the SE
-        // chain modes (chain probe op); HMM/PE device stay Python
-        if (cfg.pe || cfg.hmm)
+        // native device envelope: SE -1t1 (dense scan op), the SE
+        // chain modes and PE mate probes (chain probe op); HMM device
+        // stays Python
+        if (cfg.hmm)
             return FALLBACK;
         dc = kdev_connect(cfg.t_db.c_str());
         if (!dc)
@@ -919,7 +920,85 @@ int main(int argc, char **argv) {
                 ords.push_back(n_frags++);
             }
             int nk = (int)bp.size();
-            if (nk) {
+            if (nk && dc) {
+                // device mate probes (the chain op, both mates): one
+                // padded request per mate, voffs remapped to the pair
+                // combiners' per-strand window order
+                int mx = 1;
+                for (int i = 0; i < nk; ++i) {
+                    int la_ = (int)(ao[i + 1] - ao[i]);
+                    int lb_ = (int)(bo[i + 1] - bo[i]);
+                    if (la_ > mx) mx = la_;
+                    if (lb_ > mx) mx = lb_;
+                }
+                int Lb = 128;
+                while (Lb < mx)
+                    Lb = (Lb * 3 / 2 + 63) / 64 * 64;
+                int rows = 64;
+                while (rows < nk)
+                    rows <<= 1;
+                static std::vector<uint8_t> pc;
+                static std::vector<int32_t> pl;
+                static std::vector<ll> raf, rar, rbf, rbr;
+                auto send_mate = [&](const std::vector<uint8_t> &flat,
+                                     const std::vector<ll> &off) {
+                    pc.assign((size_t)rows * Lb, 4);
+                    pl.assign(rows, 0);
+                    for (int i = 0; i < nk; ++i) {
+                        ll l = off[i + 1] - off[i];
+                        memcpy(pc.data() + (size_t)i * Lb,
+                               flat.data() + off[i], (size_t)l);
+                        pl[i] = (int32_t)l;
+                    }
+                    return kdev_chain_send(dc, pc.data(), pl.data(),
+                                           rows, Lb);
+                };
+                ll W = 0, Wb = 0;
+                bool ok = send_mate(af, ao) && send_mate(bf, bo)
+                          && kdev_chain_recv(dc, raf, rar, &W)
+                          && kdev_chain_recv(dc, rbf, rbr, &Wb)
+                          && W == Wb;
+                if (ok) {
+                    int kk = (int)ix.kmersize;
+                    // rc window p maps to fw window len-k-p
+                    static std::vector<ll> var, vbr2;
+                    var.assign((size_t)nk * W, -1);
+                    vbr2.assign((size_t)nk * W, -1);
+                    for (int i = 0; i < nk; ++i) {
+                        ll la_ = ao[i + 1] - ao[i];
+                        ll lb_ = bo[i + 1] - bo[i];
+                        for (ll p = 0; p < W; ++p) {
+                            ll q = la_ - kk - p;
+                            if (q >= 0)
+                                var[(size_t)i * W + p] =
+                                    rar[(size_t)i * W + q];
+                            q = lb_ - kk - p;
+                            if (q >= 0)
+                                vbr2[(size_t)i * W + p] =
+                                    rbr[(size_t)i * W + q];
+                        }
+                    }
+                    if (krun_map_pe_batch(
+                            R, af.data(), ao.data(), haf.data(),
+                            hao.data(), bf.data(), bo.data(), hbf.data(),
+                            hbo.data(), bp.data(), ords.data(), nk,
+                            cfg.pm, cfg.fpm, raf.data(), var.data(),
+                            rbf.data(), vbr2.data(), W) < 0)
+                        die("PE mapping failed");
+                } else {
+                    fprintf(stderr, "# device: devserve lost; host scan "
+                                    "takes over\n");
+                    kdev_close(dc);
+                    dc = nullptr;
+                    if (krun_map_pe_batch(
+                            R, af.data(), ao.data(), haf.data(),
+                            hao.data(), bf.data(), bo.data(), hbf.data(),
+                            hbo.data(), bp.data(), ords.data(), nk,
+                            cfg.pm, cfg.fpm, nullptr, nullptr, nullptr,
+                            nullptr, 0) < 0)
+                        die("PE mapping failed");
+                }
+            } else if (nk) {
                 if (krun_map_pe_batch(
                         R, af.data(), ao.data(), haf.data(), hao.data(),
                         bf.data(), bo.data(), hbf.data(), hbo.data(),

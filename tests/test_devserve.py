@@ -220,6 +220,60 @@ def test_native_cli_uses_daemon(daemon, disk_db, tmp_path):
     assert r.returncode == 113
 
 
+def test_native_cli_pe_dev(daemon, disk_db, tmp_path):
+    """PE -device on: both mates' window probes through the daemon's
+    chain op feed the native pair combiners (krun_map_pe_batch voffs)
+    at byte parity."""
+    prefix, _ = disk_db
+    _, sdir = daemon
+    cli = REPO / "native" / "kma_cli"
+    if not cli.exists():
+        pytest.skip("native CLI not built")
+    # pairs sampled from the DB templates
+    import re
+    seqs = []
+    fasta = Path(prefix).parent / "db.fsa"
+    cur = []
+    for ln in open(fasta):
+        if ln.startswith(">"):
+            if cur:
+                seqs.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ln.strip())
+    if cur:
+        seqs.append("".join(cur))
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    pe1 = tmp_path / "p1.fq"
+    pe2 = tmp_path / "p2.fq"
+    with open(pe1, "w") as f1, open(pe2, "w") as f2:
+        for i in range(40):
+            s = seqs[i % len(seqs)]
+            frag = s[i % 90: i % 90 + 200]
+            r1 = frag[:100]
+            r2 = "".join(comp[c] for c in frag[-100:][::-1])
+            f1.write("@p%d/1\n%s\n+\n%s\n" % (i, r1, "I" * len(r1)))
+            f2.write("@p%d/2\n%s\n+\n%s\n" % (i, r2, "I" * len(r2)))
+    env = dict(os.environ, KMA_DEVSERVE_DIR=sdir)
+    out_dev = str(tmp_path / "pdev")
+    out_host = str(tmp_path / "phost")
+    r = subprocess.run(
+        [str(cli), "-ipe", str(pe1), str(pe2), "-t_db", prefix, "-o",
+         out_dev, "-apm", "p", "-device", "on"],
+        env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert "devserve session" in r.stderr
+    r = subprocess.run(
+        [str(cli), "-ipe", str(pe1), str(pe2), "-t_db", prefix, "-o",
+         out_host, "-apm", "p", "-device", "off"],
+        env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    for ext in (".res", ".fsa", ".aln", ".frag.gz"):
+        a = open(out_dev + ext, "rb").read()
+        b = open(out_host + ext, "rb").read()
+        assert a == b, ext
+
+
 def test_native_cli_chain_dev(daemon, disk_db, tmp_path):
     """Default (chain) mode -device on: the native CLI ships the
     per-window probes through the daemon's chain op and the splicer
