@@ -3580,7 +3580,94 @@ extern "C" void kassem_aln_to_mat_dense(long long *counts,
 // pre-grows to mat_len + sum(q_len)).  Per-frag stats come back for the
 // frag_row writer.  o_acc: 0 = skipped, 1 = accepted (matrix updated),
 // 2 = gated out.
-extern "C" long long kassem_template_frags(
+// SAM row emission shared by the assembly loops (samwrite,
+// sam.c:114-211): qname up to NUL-then-tab, =/X/I/D cigar with soft
+// clips, ET/AS tags.  Returns bytes written or -1 on overflow.
+static ll sam_emit_row(uint8_t* buf, ll cap, ll w,
+                       const uint8_t* hdr, ll hdr_len,
+                       const uint8_t* name, ll name_len,
+                       const uint8_t* seq_codes, ll q_len, int flag,
+                       int mapq, ll pos, ll tlen, const Aligned* aligned,
+                       int et, ll as_score) {
+    static const char B2C[6] = {'A', 'C', 'G', 'T', 'N', '-'};
+    ll qn = 0;
+    while (qn < hdr_len && hdr[qn] != 0 && hdr[qn] != '\t')
+        ++qn;
+    ll need = qn + name_len + q_len * 2 + (aligned ? (ll)aligned->t.size() * 8 : 8)
+              + 128;
+    if (w + need > cap)
+        return -1;
+    memcpy(buf + w, hdr, (size_t)qn);
+    w += qn;
+    w += snprintf((char*)buf + w, 32, "\t%d\t", flag);
+    if (name) {
+        memcpy(buf + w, name, (size_t)name_len);
+        w += name_len;
+    } else {
+        buf[w++] = '*';
+    }
+    w += snprintf((char*)buf + w, 48, "\t%lld\t%d\t", (long long)pos,
+                  mapq);
+    if (aligned) {
+        // makeCigar (sam.c:30-98)
+        ll ln = (ll)aligned->t.size();
+        if (!ln && !aligned->start && !aligned->end) {
+            buf[w++] = '*';
+        } else {
+            if (aligned->start)
+                w += snprintf((char*)buf + w, 24, "%dS", aligned->start);
+            if (ln) {
+                auto op_at = [&](ll i) -> char {
+                    if (aligned->s[i] == '|')
+                        return '=';
+                    if (aligned->t[i] == 5)
+                        return 'I';
+                    if (aligned->q[i] == 5)
+                        return 'D';
+                    return 'X';
+                };
+                char pop = op_at(0);
+                ll rep = 1;
+                for (ll i = 1; i < ln; ++i) {
+                    char op = op_at(i);
+                    if (op == pop) {
+                        ++rep;
+                    } else {
+                        w += snprintf((char*)buf + w, 24, "%lld%c",
+                                      (long long)rep, pop);
+                        pop = op;
+                        rep = 1;
+                    }
+                }
+                w += snprintf((char*)buf + w, 24, "%lld%c",
+                              (long long)rep, pop);
+            }
+            if (aligned->end)
+                w += snprintf((char*)buf + w, 24, "%dS", aligned->end);
+        }
+    } else {
+        buf[w++] = '*';
+    }
+    w += snprintf((char*)buf + w, 40, "\t*\t0\t%lld\t", (long long)tlen);
+    for (ll j = 0; j < q_len; ++j)
+        buf[w++] = (uint8_t)B2C[seq_codes[j]];
+    w += snprintf((char*)buf + w, 64, "\t*\tET:i:%d\tAS:i:%lld\n", et,
+                  (long long)as_score);
+    return w;
+}
+
+extern "C" long long kaln_sam_emit_row(
+    uint8_t* buf, long long cap, long long w, const uint8_t* hdr,
+    long long hdr_len, const uint8_t* name, long long name_len,
+    const uint8_t* seq_codes, long long q_len, int flag, int mapq,
+    long long pos, long long tlen, const void* aligned, int et,
+    long long as_score) {
+    return sam_emit_row(buf, cap, w, hdr, hdr_len, name, name_len,
+                        seq_codes, q_len, flag, mapq, pos, tlen,
+                        (const Aligned*)aligned, et, as_score);
+}
+
+extern "C" long long kassem_template_frags_sam(
     void* h, const uint8_t* codes_flat, const int64_t* codes_off,
     const int32_t* qbounds,   // [n,2] q_start,q_end (header tails)
     const int32_t* fstats,    // [n,3] score, start, end (spool record)
@@ -3591,9 +3678,18 @@ extern "C" long long kassem_template_frags(
     long long* counts, long long* next_, long long mat_len, int t_len_,
     uint8_t* o_acc, uint8_t* o_rc, long long* o_read_score,
     long long* o_mat_score,
-    int32_t* o_start, int32_t* o_end, int32_t* o_len) {
+    int32_t* o_start, int32_t* o_end, int32_t* o_len,
+    // SAM emission (0 = off): rows for every fragment in order
+    // (accepted, rejected-with-score, unmapped unless sam_mask & 2096)
+    int sam_mask, const uint8_t* hdr_flat, const int64_t* hdr_off,
+    const int32_t* bhs, const int32_t* sflags, const uint8_t* name,
+    long long name_len, uint8_t* sam_buf, long long sam_cap,
+    long long* sam_len) {
     TIndex& T = *(TIndex*)h;
     int t_len = T.len;
+    ll sw = 0;
+    if (sam_len)
+        *sam_len = 0;
     (void)t_len_;
     Penal pen;
     pen.M = M; pen.MM = MM; pen.U = U; pen.W1 = W1;
@@ -3675,6 +3771,17 @@ extern "C" long long kassem_template_frags(
         o_len[i] = aln_len;
         if (0 < read_score && scoreT <= score) {
             o_acc[i] = 1;
+            if (sam_mask && sw >= 0) {
+                int mq_ = st.mapQ < 254 ? st.mapQ : 254;
+                ll pos1 = start + 1;
+                ll end_adj = t_len < end ? end - t_len : end;
+                sw = sam_emit_row(sam_buf, sam_cap, sw,
+                                  hdr_flat + hdr_off[i],
+                                  hdr_off[i + 1] - hdr_off[i], name,
+                                  name_len, cur, q_len, sflags[i], mq_,
+                                  pos1, end_adj - pos1, &aligned, bhs[i],
+                                  read_score);
+            }
             if (dense)
                 kassem_aln_to_mat_dense(counts, next_, aligned.t.data(),
                                         aligned.q.data(),
@@ -3688,8 +3795,49 @@ extern "C" long long kassem_template_frags(
                                             st.pos);
         } else {
             o_acc[i] = 2;
+            if (sam_mask && !(sam_mask & 2096) && sw >= 0) {
+                if (read_score) {
+                    int mq_ = st.mapQ < 254 ? st.mapQ : 254;
+                    ll pos1 = start + 1;
+                    ll end_adj = t_len < end ? end - t_len : end;
+                    sw = sam_emit_row(sam_buf, sam_cap, sw,
+                                      hdr_flat + hdr_off[i],
+                                      hdr_off[i + 1] - hdr_off[i], name,
+                                      name_len, cur, q_len, sflags[i],
+                                      mq_, pos1, end_adj - pos1,
+                                      &aligned, bhs[i], read_score);
+                } else {
+                    sw = sam_emit_row(sam_buf, sam_cap, sw,
+                                      hdr_flat + hdr_off[i],
+                                      hdr_off[i + 1] - hdr_off[i], name,
+                                      name_len, cur, q_len,
+                                      sflags[i] | 4, 0, 0, 0, nullptr,
+                                      bhs[i], 0);
+                }
+            }
         }
     }
+    if (sam_len)
+        *sam_len = sw;
     return mat_len;
+}
+
+// back-compat entry: the assembly loop without SAM emission
+extern "C" long long kassem_template_frags(
+    void* h, const uint8_t* codes_flat, const int64_t* codes_off,
+    const int32_t* qbounds, const int32_t* fstats, int n_frags,
+    int M, int MM, int U, int W1, const int32_t* dmat, int Wl_raw,
+    int minlen, int mq, double scoreT, double mrc,
+    int circular, int ts, int skip_tails, int dense,
+    long long* counts, long long* next_, long long mat_len, int t_len_,
+    uint8_t* o_acc, uint8_t* o_rc, long long* o_read_score,
+    long long* o_mat_score,
+    int32_t* o_start, int32_t* o_end, int32_t* o_len) {
+    return kassem_template_frags_sam(
+        h, codes_flat, codes_off, qbounds, fstats, n_frags, M, MM, U, W1,
+        dmat, Wl_raw, minlen, mq, scoreT, mrc, circular, ts, skip_tails,
+        dense, counts, next_, mat_len, t_len_, o_acc, o_rc, o_read_score,
+        o_mat_score, o_start, o_end, o_len, 0, nullptr, nullptr, nullptr,
+        nullptr, nullptr, 0, nullptr, 0, nullptr);
 }
 

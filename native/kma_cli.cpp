@@ -49,6 +49,9 @@ void *krun_create(const void *exist, int exist_es, const void *key_index,
 void krun_free(void *hv);
 void krun_set_pe(void *hv, ll pe);
 void krun_set_mem(void *hv, int mem_mode);
+void krun_set_sam(void *hv, int mask);
+ll krun_sam_len(void *hv);
+void krun_sam_fetch(void *hv, uint8_t *buf);
 ll krun_map_se_batch(void *hv, const uint8_t *codes_flat, const ll *coff,
                      const uint8_t *hdr_flat, const ll *hoff,
                      const ll *ords, int n);
@@ -459,6 +462,7 @@ struct Cfg {
     std::string t_db, out;
     bool one2one = false;
     bool hmm = false;              // -hmm probabilistic splicing scan
+    int sam = 0;                   // -sam [mask]: SAM rows to stdout
     int pm = 0, fpm = 0;           // 0 union, 1 penalty
     bool pe = false;
     bool mem_mode = false;
@@ -595,6 +599,11 @@ int main(int argc, char **argv) {
             cfg.print_matrix = true;
         } else if (a == "-ef") {
             cfg.ef = true;
+        } else if (a == "-sam") {
+            if (i + 1 < argc && isdigit((unsigned char)argv[i + 1][0]))
+                cfg.sam = atoi(argv[++i]);
+            else
+                cfg.sam = 1;
         } else if (a == "-vcf") {
             if (i + 1 < argc && isdigit((unsigned char)argv[i + 1][0]))
                 cfg.vcf = atoi(argv[++i]);
@@ -626,6 +635,8 @@ int main(int argc, char **argv) {
     // paths.  No live daemon -> Python decides (in-process device).
     if (cfg.hmm && cfg.pe)
         return FALLBACK;   // PE+HMM stays on the Python path
+    if (cfg.sam && (cfg.pe || cfg.mem_mode))
+        return FALLBACK;   // PE/mem SAM rows stay on the Python path
     DevConn *dc = nullptr;
     if (cfg.device_on) {
         // native device envelope: SE -1t1 (dense scan op), the SE
@@ -674,6 +685,35 @@ int main(int argc, char **argv) {
     krun_set_pe(R, cfg.PE);
     if (cfg.mem_mode)
         krun_set_mem(R, 1);
+    if (cfg.sam) {
+        krun_set_sam(R, cfg.sam);
+        // saminit (sam.c:100-112); CL echoes this invocation
+        fputs("@HD\tVN:1.6\tGO:reference\n", stdout);
+        fputs("@PG\tID:KMA\tPN:kma\tVN:1.5.1\tCL:kma", stdout);
+        for (int ai = 1; ai < argc; ai++) {
+            fputc(' ', stdout);
+            fputs(argv[ai], stdout);
+        }
+        fputc('\n', stdout);
+        for (uint32_t t = 1; t < ix.db_size; t++) {
+            fputs("@SQ\tSN:", stdout);
+            fwrite(ix.names.data() + ix.names_off[t],
+                   1, (size_t)(ix.names_off[t + 1] - ix.names_off[t]),
+                   stdout);
+            fprintf(stdout, "\tLN:%lld\n", (long long)ix.tlen[t]);
+        }
+    }
+    std::vector<uint8_t> samtmp;
+    auto sam_drain = [&]() {
+        if (!cfg.sam)
+            return;
+        ll n = krun_sam_len(R);
+        if (!n)
+            return;
+        samtmp.resize((size_t)n);
+        krun_sam_fetch(R, samtmp.data());
+        fwrite(samtmp.data(), 1, (size_t)n, stdout);
+    };
 
     int mp = cfg.min_phred;
     if (mp < cfg.hardmask_q) mp = cfg.hardmask_q;
@@ -857,6 +897,7 @@ int main(int argc, char **argv) {
                 dev_finish(inflight.front());
                 inflight.pop_front();
             }
+            sam_drain();
             rd.join();
         }
     } else {
@@ -1082,6 +1123,9 @@ int main(int argc, char **argv) {
         vcfb(lv ? lv : 1), efb(le ? le : 1);
     krun_output_fetch(R, res.data(), fsa.data(), aln.data(), frag.data(),
                       mat.data(), vcfb.data(), efb.data());
+    sam_drain();
+    if (cfg.sam)
+        fflush(stdout);
     // gz compression is the expensive tail: the three gz artifacts are
     // independent files, so deflate them on parallel threads while the
     // main thread writes the plain-text outputs

@@ -110,6 +110,26 @@ void kaln_pe_score_batch(
     int32_t *o_tg2, int32_t *o_qg2, uint8_t *out_flipped);
 void *kidx_create(const uint8_t *codes, int len, int kmersize);
 const uint8_t *kidx_codes(void *h);
+long long kaln_sam_emit_row(uint8_t *buf, long long cap, long long w,
+                            const uint8_t *hdr, long long hdr_len,
+                            const uint8_t *name, long long name_len,
+                            const uint8_t *seq_codes, long long q_len,
+                            int flag, int mapq, long long pos,
+                            long long tlen, const void *aligned, int et,
+                            long long as_score);
+long long kassem_template_frags_sam(
+    void *h, const uint8_t *codes_flat, const int64_t *codes_off,
+    const int32_t *qbounds, const int32_t *fstats, int n_frags, int M,
+    int MM, int U, int W1, const int32_t *dmat, int Wl_raw, int minlen,
+    int mq, double scoreT, double mrc, int circular, int ts,
+    int skip_tails, int dense, long long *counts, long long *next_,
+    long long mat_len, int t_len_, uint8_t *o_acc, uint8_t *o_rc,
+    long long *o_read_score, long long *o_mat_score, int32_t *o_start,
+    int32_t *o_end, int32_t *o_len, int sam_mask,
+    const uint8_t *hdr_flat, const int64_t *hdr_off,
+    const int32_t *bhs, const int32_t *sflags, const uint8_t *name,
+    long long name_len, uint8_t *sam_buf, long long sam_cap,
+    long long *sam_len);
 void kassem_consensus(const long long *counts, const long long *nxt,
                       const unsigned char *template_codes, int t_len,
                       long long asm_len, int bcd, double evalue,
@@ -370,6 +390,10 @@ struct Run {
     // conclave output
     std::vector<std::vector<FragOut>> frags;   // per template
 
+    // SAM stream (samwrite rows in emission order; taken+cleared by
+    // the caller via krun_sam_fetch)
+    std::vector<uint8_t> out_sam;
+    int sam_mask = 0;
     // krun_output_all buffers (fetched then cleared by Python)
     std::vector<uint8_t> out_res, out_fsa, out_aln, out_frag;
     std::vector<uint8_t> out_mat, out_vcf, out_ef;
@@ -449,6 +473,7 @@ int decon_filter(int32_t *t, int n, ll contamination) {
 // A flattened SE scoring unit: emit codes + header + candidates resolved.
 struct SUnit {
     int flag, q_len, b0, b1;
+    int read = 0;        // batch-local read index (SAM row ordering)
     ll sc, ord;
     const uint8_t *cod;
     const uint8_t *hdr;
@@ -483,6 +508,7 @@ static void collect_se_unit(Run *R, Scratch &S, PendUnit &u,
         return;
     SUnit w;
     w.flag = u.flag;
+    w.read = u.read;
     w.q_len = u.q_len;
     w.b0 = u.b0;
     w.b1 = u.b1;
@@ -2020,7 +2046,10 @@ static void apply_pe_pair(Run *R, int fpm, const uint8_t *c_a, int la,
 // Shared SE phases 2-4 (unit collection -> step-3 scoring -> spool):
 // consumes the PendUnits of scratches [0, nt).
 static ll se_batch_tail(Run *R, int nt, const uint8_t *hdr_flat,
-                        const long long *hoff, const long long *ords) {
+                        const long long *hoff, const long long *ords,
+                        const uint8_t *codes_flat = nullptr,
+                        const long long *coff = nullptr,
+                        int n_reads = 0) {
     auto _now = []() {
         return std::chrono::duration<double>(
                    std::chrono::steady_clock::now().time_since_epoch())
@@ -2053,6 +2082,44 @@ static ll se_batch_tail(Run *R, int nt, const uint8_t *hdr_flat,
     _t0 = _now();
     for (int i = 0; i < m; ++i)
         emit_se_spool(R, units[i], tpl_ids, tpl_offv, o, i);
+    if (R->sam_mask == 1 && codes_flat) {
+        // map-phase unmapped rows in strict read order (runkma.c's
+        // sequential samwrite: scan misses flag 20, step-3 misses
+        // flag|4 with the unit's oriented codes); only the default
+        // -sam level reports unmapped reads (pipeline sam_un gate)
+        const int k = R->ix.k;
+        size_t ui = 0;
+        auto &sb = R->out_sam;
+        auto put = [&](const uint8_t *hdr, ll hlen, const uint8_t *cod,
+                       ll ql, int flag) {
+            for (;;) {
+                size_t base = sb.size();
+                sb.resize(base + (size_t)(hlen + 2 * ql + 160));
+                ll w = kaln_sam_emit_row(sb.data(), (ll)sb.size(),
+                                         (ll)base, hdr, hlen, nullptr, 0,
+                                         cod, ql, flag, 0, 0, 0, nullptr,
+                                         0, 0);
+                if (w >= 0) {
+                    sb.resize((size_t)w);
+                    return;
+                }
+                sb.resize(base + (sb.size() - base) * 2);
+            }
+        };
+        for (int rd = 0; rd < n_reads; ++rd) {
+            bool any = false;
+            for (; ui < units.size() && units[ui].read == rd; ++ui) {
+                any = true;
+                if (o.best[ui] > k)
+                    continue;
+                const SUnit &u = units[ui];
+                put(u.hdr, u.hlen, u.cod, u.q_len, u.flag | 4);
+            }
+            if (!any)
+                put(hdr_flat + hoff[rd], hoff[rd + 1] - hoff[rd],
+                    codes_flat + coff[rd], coff[rd + 1] - coff[rd], 20);
+        }
+    }
     R->t_spool += _now() - _t0;
     return (ll)R->spool.size();
 }
@@ -2159,6 +2226,19 @@ void krun_set_mem(void *h, int mem_mode) {
     ((Run *)h)->mem_mode = mem_mode;
 }
 
+// -sam stream: rows accumulate in emission order; the caller drains
+// with krun_sam_fetch after each map batch and after output_all
+void krun_set_sam(void *h, int mask) { ((Run *)h)->sam_mask = mask; }
+long long krun_sam_len(void *h) {
+    return (long long)((Run *)h)->out_sam.size();
+}
+void krun_sam_fetch(void *h, uint8_t *buf) {
+    Run *R = (Run *)h;
+    if (!R->out_sam.empty())
+        memcpy(buf, R->out_sam.data(), R->out_sam.size());
+    R->out_sam.clear();
+}
+
 // Map one batch of SE reads.  codes/headers are flat with [n+1] offsets;
 // ords[i] is read i's global ordinal (multi-host round-robin).  Spool
 // record order matches the reference: reads in input order, hits of one
@@ -2218,7 +2298,8 @@ long long krun_map_se_batch(void *hv, const uint8_t *codes_flat,
         return -1;
     R->t_scan += _now() - _t0;
 
-    return se_batch_tail(R, nt, hdr_flat, hoff, ords);
+    return se_batch_tail(R, nt, hdr_flat, hoff, ords,
+                         codes_flat, coff, n);
 }
 
 // Map one SE batch whose step-2 scan ALREADY RAN on the device (the
@@ -2292,7 +2373,8 @@ long long krun_map_se_batch_dev(void *hv, const uint8_t *codes_flat,
         S.order.emplace_back(0, (int)S.units.size() - 1);
     }
     R->t_scan += _now() - _t0;
-    return se_batch_tail(R, 1, hdr_flat, hoff, ords);
+    return se_batch_tail(R, 1, hdr_flat, hoff, ords,
+                         codes_flat, coff, n);
 }
 
 // Map one chain-mode SE batch whose per-window hash probes ALREADY RAN
@@ -2327,7 +2409,8 @@ long long krun_map_se_batch_chain_dev(
                         voff_r + (ll)rd * stride);
     }
     R->t_scan += _now() - _t0;
-    return se_batch_tail(R, 1, hdr_flat, hoff, ords);
+    return se_batch_tail(R, 1, hdr_flat, hoff, ords,
+                         codes_flat, coff, n);
 }
 
 
@@ -3232,12 +3315,53 @@ long long krun_assemble_template(
     stt.resize(n);
     enn.resize(n);
     lnn.resize(n);
-    ll new_len = kassem_template_frags(
-        h, cod.data(), coff.data(), qb.data(), fs.data(), n,
-        (int)R->ix.M, (int)R->ix.MM, (int)R->ix.U, (int)R->ix.W1, R->dmat,
-        (int)Wl_raw, minlen, mq, scoreT, mrc, circular, ts, skip_tails,
-        dense, counts, next_, mat_len, (int)t_len, acc.data(), rcu.data(),
-        rs.data(), ms.data(), stt.data(), enn.data(), lnn.data());
+    ll new_len;
+    if (R->sam_mask) {
+        // flatten the ragged spool headers for the SAM rows
+        static thread_local std::vector<uint8_t> hflat;
+        static thread_local std::vector<int64_t> hoffv;
+        static thread_local std::vector<int32_t> bh32, fl32;
+        static thread_local std::vector<uint8_t> sbuf;
+        hflat.clear();
+        hoffv.assign(1, 0);
+        bh32.resize(n);
+        fl32.resize(n);
+        for (int i = 0; i < n; ++i) {
+            hflat.insert(hflat.end(), hdrp[i], hdrp[i] + hdrl[i]);
+            hoffv.push_back((ll)hflat.size());
+            bh32[i] = bhs[i];
+            fl32[i] = flags[i];
+        }
+        ll sam_cap = (ll)cod.size() * 10 + (ll)hflat.size()
+                     + (ll)n * (name_len + 192) + 256;
+        ll sam_len = -1;
+        for (;;) {
+            sbuf.resize((size_t)sam_cap);
+            new_len = kassem_template_frags_sam(
+                h, cod.data(), coff.data(), qb.data(), fs.data(), n,
+                (int)R->ix.M, (int)R->ix.MM, (int)R->ix.U,
+                (int)R->ix.W1, R->dmat, (int)Wl_raw, minlen, mq, scoreT,
+                mrc, circular, ts, skip_tails, dense, counts, next_,
+                mat_len, (int)t_len, acc.data(), rcu.data(), rs.data(),
+                ms.data(), stt.data(), enn.data(), lnn.data(),
+                R->sam_mask, hflat.data(), hoffv.data(), bh32.data(),
+                fl32.data(), name, name_len, sbuf.data(), sam_cap,
+                &sam_len);
+            if (sam_len >= 0)
+                break;
+            sam_cap *= 4;
+        }
+        R->out_sam.insert(R->out_sam.end(), sbuf.data(),
+                          sbuf.data() + sam_len);
+    } else {
+        new_len = kassem_template_frags(
+            h, cod.data(), coff.data(), qb.data(), fs.data(), n,
+            (int)R->ix.M, (int)R->ix.MM, (int)R->ix.U, (int)R->ix.W1,
+            R->dmat, (int)Wl_raw, minlen, mq, scoreT, mrc, circular, ts,
+            skip_tails, dense, counts, next_, mat_len, (int)t_len,
+            acc.data(), rcu.data(), rs.data(), ms.data(), stt.data(),
+            enn.data(), lnn.data());
+    }
     // accepted-frag stats + .frag.gz rows (assembly.c:49-83)
     static const char B2C[6] = {'A', 'C', 'G', 'T', 'N', '-'};
     ll w = 0;
@@ -3381,8 +3505,64 @@ long long krun_output_all(
                   >= score_t_gate * (long double)t_len;
         bool passed = cmp_mode == 0 ? (c1 || c2)
                       : cmp_mode == 1 ? (c1 && c2) : true;
-        if (!passed)
+        if (!passed) {
+            if (R->sam_mask && !(R->sam_mask & 2096)) {
+                // skip_assemble path (assembly.c:1209-1315): the
+                // template's fragments print unmapped-flagged
+                const uint8_t *name = names_flat + names_off[t];
+                ll name_len = names_off[t + 1] - names_off[t];
+                Spool &sp = R->spool;
+                static thread_local std::vector<uint8_t> fc;
+                for (FragOut &f : R->frags[t]) {
+                    ll rec = f.rec;
+                    const uint8_t *c;
+                    ll ql;
+                    int flag;
+                    const uint8_t *hdr;
+                    ll hlen;
+                    if (f.mate) {
+                        ll b = sp.mcod_off[rec];
+                        ql = sp.mcod_off[rec + 1] - b;
+                        c = sp.mcod.data() + b;
+                        flag = sp.mflag[rec];
+                        hdr = sp.mhdr.data() + sp.mhdr_off[rec];
+                        hlen = sp.mhdr_off[rec + 1] - sp.mhdr_off[rec];
+                    } else {
+                        ll b = sp.cod_off[rec];
+                        ql = sp.cod_off[rec + 1] - b;
+                        c = sp.cod.data() + b;
+                        flag = sp.flag[rec] | (f.rc ? 16 : 0);
+                        hdr = sp.hdr.data() + sp.hdr_off[rec];
+                        hlen = sp.hdr_off[rec + 1] - sp.hdr_off[rec];
+                    }
+                    if (f.rc && !f.mate) {
+                        fc.resize((size_t)ql);
+                        for (ll j = 0; j < ql; ++j)
+                            fc[j] = RC_CODE[c[ql - 1 - j]];
+                        c = fc.data();
+                    }
+                    int bh = sp.best_hits[rec] < 0 ? -sp.best_hits[rec]
+                                                   : sp.best_hits[rec];
+                    auto &sb = R->out_sam;
+                    for (;;) {
+                        size_t base = sb.size();
+                        sb.resize(base
+                                  + (size_t)(hlen + 2 * ql + name_len
+                                             + 192));
+                        ll w = kaln_sam_emit_row(
+                            sb.data(), (ll)sb.size(), (ll)base, hdr,
+                            hlen, name, name_len, c, ql, flag | 4, 0, 0,
+                            0, nullptr, bh, 0);
+                        if (w >= 0) {
+                            sb.resize((size_t)w);
+                            break;
+                        }
+                        sb.resize(base + (sb.size() - base) * 2);
+                    }
+                }
+            }
             continue;
+        }
 
         const uint8_t *name = names_flat + names_off[t];
         ll name_len = names_off[t + 1] - names_off[t];

@@ -80,7 +80,7 @@ def test_native_cli_matches_python(tmp_path, sim_reads_mod, db50_index,
 
 
 @pytest.mark.parametrize("margs", [
-    ["-sam"], ["-Sparse"],
+    ["-Sparse"],
     ["-mf", "7"], ["-ID", "0"],
 ])
 def test_native_cli_falls_back(tmp_path, sim_reads_mod, db50_index,
@@ -90,3 +90,34 @@ def test_native_cli_falls_back(tmp_path, sim_reads_mod, db50_index,
     rc = _run_native(["-i", str(sim_reads_mod), "-t_db", db50_index]
                      + margs, str(tmp_path / "x"))
     assert rc == 113
+
+
+@pytest.mark.parametrize("margs", [
+    ["-1t1", "-sam"], ["-sam"], ["-1t1", "-sam", "4"],
+    ["-hmm", "-sam"],
+])
+def test_native_cli_sam_parity(tmp_path, sim_reads_mod, db50_index,
+                               margs):  # noqa: F811
+    """Native -sam: stdout rows byte-identical to the Python CLI
+    (samwrite, sam.c:114-211) modulo the @PG command echo."""
+    if not _ensure_cli():
+        pytest.skip("native CLI unavailable")
+    base = ["-i", str(sim_reads_mod), "-t_db", db50_index] + margs
+    rn = subprocess.run([CLI] + base + ["-o", str(tmp_path / "nat"),
+                                        "-t", "1", "-device", "off"],
+                        capture_output=True, env=_env())
+    assert rn.returncode == 0
+    rp = subprocess.run([sys.executable, "-m", "kma_tpu"] + base
+                        + ["-o", str(tmp_path / "py"), "-t", "1",
+                           "-device", "off"],
+                        capture_output=True, env=_env())
+    assert rp.returncode == 0, rp.stderr.decode()[-2000:]
+
+    def rows(buf):
+        return [ln for ln in buf.decode().splitlines()
+                if not ln.startswith("@PG")]
+
+    assert rows(rn.stdout) == rows(rp.stdout)
+    for ext in (".res", ".fsa", ".aln"):
+        assert (tmp_path / ("nat" + ext)).read_bytes() \
+            == (tmp_path / ("py" + ext)).read_bytes(), ext
