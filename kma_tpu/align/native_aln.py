@@ -164,7 +164,8 @@ def get_lib():
         ctypes.c_int, ctypes.c_int,      # mq, threads
         i64p, i32p, i32p, i32p, i32p,    # sc1, pos1, len1, tg1, qg1
         i64p, i32p, i32p, i32p, i32p,    # sc2, pos2, len2, tg2, qg2
-        u8p]                             # flipped
+        u8p,                             # flipped
+        ctypes.c_int, ctypes.c_double]   # arc minlen/mrc gates
     lib.kassem_template_frags.restype = ctypes.c_longlong
     lib.kassem_template_frags.argtypes = [
         ctypes.c_void_p, u8p, i64p,
@@ -434,7 +435,8 @@ def anker_rc_bytes(tindex, qseq, qseq_r, q_len, q_start, q_end, points,
 
 def pe_score_batch(handles: np.ndarray, tpl_ids: np.ndarray,
                    tpl_off: np.ndarray, a_flat, a_off, b_flat, b_off,
-                   arcs: np.ndarray, rew, mq: int, threads: int):
+                   arcs: np.ndarray, rew, mq: int, threads: int,
+                   minlen: int = 16, mrc: float = 0.0):
     """Batched PE mate scoring (alnFrags*PE inner loops): raw per-mate
     AlnStat fields per (pair, template) slot; tpl_ids is sign-mutated in
     place by the arc orientation picks.  Returns (sc1, pos1, len1, tg1,
@@ -472,7 +474,7 @@ def pe_score_batch(handles: np.ndarray, tpl_ids: np.ndarray,
         _i32p(qg1),
         sc2.ctypes.data_as(i64pp), _i32p(pos2), _i32p(len2), _i32p(tg2),
         _i32p(qg2),
-        _u8p(flipped))
+        _u8p(flipped), int(minlen), float(mrc))
     return (sc1, pos1, len1, tg1, qg1, sc2, pos2, len2, tg2, qg2, flipped)
 
 

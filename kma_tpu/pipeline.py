@@ -328,7 +328,8 @@ def _pe_gate(read_score, aln, pos, tg, qg, q_len, t_len, minlen, mrc, Wl):
     return read_score, score, start, end
 
 
-def _pe_native_stats(store, tids, codes_a, codes_b, arc, mq, rew):
+def _pe_native_stats(store, tids, codes_a, codes_b, arc, mq, rew,
+                     minlen=16, mrc=0.0):
     """Raw per-(pair, template) mate AlnStats via the native batch scorer
     (kaln_pe_score_batch); mutates tids for arc picks.  None = take the
     Python scoring loop."""
@@ -347,7 +348,7 @@ def _pe_native_stats(store, tids, codes_a, codes_b, arc, mq, rew):
     b_off = np.array([0, len(b)], np.int64)
     arcs = np.array([1 if arc else 0], np.uint8)
     out = _nat.pe_score_batch(handles, tpl, off, a, a_off, b, b_off,
-                              arcs, rew, mq, 1)
+                              arcs, rew, mq, 1, minlen=minlen, mrc=mrc)
     tids[:] = tpl.tolist()
     return out
 
@@ -1039,7 +1040,7 @@ def aln_frags_force_pe(store: TemplateStore, matched: np.ndarray,
 
     if nat is None:
         nat = _pe_native_stats(store, tids, codes_a, codes_b, arc, mq,
-                               rew)
+                               rew, minlen=minlen, mrc=mrc)
     if nat is not None:
         sc1, po1, ln1, tg1, qg1, sc2, po2, ln2, tg2, qg2, flp = nat
         flipped = bool(flp[0])
@@ -1145,17 +1146,19 @@ def aln_frags_force_pe(store: TemplateStore, matched: np.ndarray,
             sam_cb(cu_a, header_a, flag_a)
             sam_cb(cu_b, header_b, flag_b)
         return []
-    # alnfrags.c:2126-2143: the stored ids are positive, so the reads are
-    # strrc'd back (non-arc) or flipped (arc) with a 48-flag toggle
-    if arc:
-        rc_state = any(x < 0 for x in ids)
-    else:
-        rc_state = not flipped
+    # alnfrags.c:2126-2143: the stored ids are positive, so rc never
+    # sets and the final strrc toggles the WORKING orientation once
+    # more: non-arc spools the original bytes with a 48-flag toggle iff
+    # flipped; arc always toggles flags and spools rc(working) -- the
+    # original bytes when the candidate loop left the buffers flipped
     fa, fb = flag_a, flag_b
     seq_a, seq_b = codes_a, codes_b
-    if not rc_state:
-        if arc:
+    if arc:
+        if not flipped:
             seq_a, seq_b = rc_a, rc_b
+        fa ^= 48
+        fb ^= 48
+    elif flipped:
         fa ^= 48
         fb ^= 48
     return [update_scores_pe(seq_a, len(seq_a), seq_b, len(seq_b),

@@ -3412,7 +3412,10 @@ extern "C" void kaln_pe_score_batch(
     int32_t* o_tg1, int32_t* o_qg1,
     long long* o_sc2, int32_t* o_pos2, int32_t* o_len2,
     int32_t* o_tg2, int32_t* o_qg2,
-    uint8_t* out_flipped) {      // [n_pairs] final flip state
+    uint8_t* out_flipped,        // [n_pairs] final flip state
+    // arc-path state gates (alnFragsForcePE's rc/minlen/mrc machine;
+    // union/penalty pairs never carry arc, savekmers.c pair emits)
+    int minlen, double mrc) {
     Penal pen;
     pen.M = M; pen.MM = MM; pen.U = U; pen.W1 = W1;
     for (int a = 0; a < 5; a++)
@@ -3470,6 +3473,12 @@ extern "C" void kaln_pe_score_batch(
                 npbr[i] = lb - 1 - npb[npb.size() - 1 - i];
             bool arc = arc_flags[r] != 0;
             bool flipped = false;
+            // alnFragsForcePE's rc state doubles as the in-place strrc
+            // gate (alnfrags.c:2001-2018): a negative template with
+            // rc != 0 TOGGLES both mates' working orientation; the
+            // qseq_fr/qseq_rr copies stay original-rc.  rc resets to 1
+            // only after an arc candidate passes the mate-1 gate.
+            int rc_state = 1;
             long long base = tpl_off[r];
             int ncand = (int)(tpl_off[r + 1] - base);
             keyA.clear();
@@ -3478,18 +3487,27 @@ extern "C" void kaln_pe_score_batch(
                 long long slot = base + ci;
                 TIndex& T = *(TIndex*)handles[slot];
                 int tmpl = tpl_ids[slot];
-                if (tmpl < 0 && !flipped && !arc) flipped = true;
+                if (arc) {
+                    if (tmpl < 0 && rc_state)
+                        flipped = !flipped;
+                } else if (tmpl < 0 && !flipped) {
+                    flipped = true;
+                }
                 const uint8_t* cur_a; const int32_t* na; int nna;
                 const uint8_t* cur_b; const int32_t* nb; int nnb;
                 pts.clear_all();
                 pts.len = 0;
                 int use_pts = 0;
                 if (arc) {
+                    const uint8_t* qa_cur = flipped ? rca.data() : qa;
+                    const int32_t* na_cur =
+                        flipped ? npar.data() : npa.data();
                     int npout = 0;
                     int rc = anker_rc_comp_impl(
-                        T, qa, rca.data(), npa.data(), (int)npa.size(),
+                        T, qa_cur, rca.data(), na_cur, (int)npa.size(),
                         npar.data(), (int)npar.size(), la, 0, la, 1,
                         &npout, pts);
+                    rc_state = rc;
                     pts.len = npout;
                     use_pts = pts.len ? 1 : 0;
                     if (rc < 0) {
@@ -3499,8 +3517,11 @@ extern "C" void kaln_pe_score_batch(
                         nnb = (int)npbr.size();
                     } else if (rc > 0) {
                         tpl_ids[slot] = -tpl_ids[slot];
-                        cur_a = qa; na = npa.data(); nna = (int)npa.size();
-                        cur_b = qb; nb = npb.data(); nnb = (int)npb.size();
+                        cur_a = qa_cur; na = na_cur;
+                        nna = (int)npa.size();
+                        cur_b = flipped ? rcb.data() : qb;
+                        nb = flipped ? npbr.data() : npb.data();
+                        nnb = (int)npb.size();
                     } else {
                         cur_a = cur_b = nullptr;
                         na = nb = nullptr; nna = nnb = 0;
@@ -3527,6 +3548,15 @@ extern "C" void kaln_pe_score_batch(
                 o_len1[slot] = st.len;
                 o_tg1[slot] = st.tGaps;
                 o_qg1[slot] = st.qGaps;
+                if (arc && cur_a) {
+                    // rc resets to 1 only when the mate-1 gate passes
+                    // (alnfrags.c:2055-2075)
+                    double t_len_d = (double)T.len;
+                    bool mr = (mrc * la <= st.len - st.qGaps)
+                              || (mrc * t_len_d <= st.len - st.tGaps);
+                    if (0 < st.score && minlen <= st.len && mr)
+                        rc_state = 1;
+                }
                 // mate 2 (fresh seed state; alnfrags points->len = 0)
                 pts.clear_all();
                 pts.len = 0;

@@ -547,16 +547,19 @@ int main(int argc, char **argv) {
             std::string v = argv[++i];
             if (v == "u") { cfg.pm = 0; cfg.fpm = 0; }
             else if (v == "p") { cfg.pm = 1; cfg.fpm = 1; }
-            else return FALLBACK;   // force mode has its own path
+            else if (v == "f") { cfg.pm = 2; cfg.fpm = 2; }
+            else return FALLBACK;
         } else if (a == "-pm") {
             std::string v = argv[++i];
             if (v == "u") cfg.pm = 0;
             else if (v == "p") cfg.pm = 1;
+            else if (v == "f") cfg.pm = 2;
             else return FALLBACK;
         } else if (a == "-fpm") {
             std::string v = argv[++i];
             if (v == "u") cfg.fpm = 0;
             else if (v == "p") cfg.fpm = 1;
+            else if (v == "f") cfg.fpm = 2;
             else return FALLBACK;
         } else if (a == "-t") {
             cfg.threads = atoi(argv[++i]);

@@ -107,7 +107,8 @@ void kaln_pe_score_batch(
     int MM, int U, int W1, const int32_t *dmat, int mq, int n_threads,
     long long *o_sc1, int32_t *o_pos1, int32_t *o_len1, int32_t *o_tg1,
     int32_t *o_qg1, long long *o_sc2, int32_t *o_pos2, int32_t *o_len2,
-    int32_t *o_tg2, int32_t *o_qg2, uint8_t *out_flipped);
+    int32_t *o_tg2, int32_t *o_qg2, uint8_t *out_flipped,
+    int minlen, double mrc);
 void *kidx_create(const uint8_t *codes, int len, int kmersize);
 const uint8_t *kidx_codes(void *h);
 long long kaln_sam_emit_row(uint8_t *buf, long long cap, long long w,
@@ -1215,6 +1216,58 @@ static void emit_mem_spool_pair(Run *R, const SUnit &prim,
 
 // getF_Best (savekmers.c:1648-1680): best over both strands into a
 // signed region list (negative = rc strand); clears scores.
+// getFirstForce (savekmers.c:1254-1273): keep every mate-1 best with
+// its score, zero the arrays
+static ll get_first_force(Scratch &S, int nb, int nbr,
+                          std::vector<int> &region,
+                          std::vector<ll> &rscores) {
+    region.clear();
+    rscores.clear();
+    for (int i = 0; i < nb; ++i) {
+        int t = S.bests[i];
+        region.push_back(t);
+        rscores.push_back(S.Score[t]);
+        S.Score[t] = 0;
+    }
+    for (int i = 0; i < nbr; ++i) {
+        int t = S.bests_r[i];
+        region.push_back(-t);
+        rscores.push_back(S.Score_r[t]);
+        S.Score_r[t] = 0;
+    }
+    return region.empty() ? 0 : 1;
+}
+
+// getSecondBestForce (savekmers.c:1275-1318): mate 2 was scanned with
+// SWAPPED arrays, so Score holds its RC matches pairing with mate 1's
+// forward entries
+static ll get_second_best_force(Scratch &S, int nb, int nbr,
+                                const std::vector<int> &region,
+                                const std::vector<ll> &rscores,
+                                std::vector<int> &best_hits) {
+    ll bestScore = 0;
+    best_hits.clear();
+    for (size_t i = 0; i < region.size(); ++i) {
+        int t = region[i];
+        ll s = 0 < t ? S.Score[t] : S.Score_r[-t];
+        if (s) {
+            s += rscores[i];
+            if (bestScore < s) {
+                bestScore = s;
+                best_hits.clear();
+                best_hits.push_back(t);
+            } else if (bestScore == s) {
+                best_hits.push_back(t);
+            }
+        }
+    }
+    for (int i = 0; i < nb; ++i)
+        S.Score_r[S.bests[i]] = 0;
+    for (int i = 0; i < nbr; ++i)
+        S.Score[S.bests_r[i]] = 0;
+    return bestScore;
+}
+
 static ll getF_best(Scratch &S, int nb, int nbr, std::vector<int> &region) {
     ll bestScore = 0;
     region.clear();
@@ -1429,6 +1482,108 @@ struct PEmit {
 // save_kmers_unionPair / penaltyPair (savekmers.c:3367-3777) minus the
 // sparse/proxi/sam branches; rev (non-sparse) semantics fixed true.
 // Returns emits (0-2 records); *is_pair marks a proper pair.
+static void spool_pe_rec(Run *R, const uint8_t *codes, int q_len,
+                         const uint8_t *mate_codes, int mate_len,
+                         const std::vector<int> &ids,
+                         const std::vector<ll> &scores,
+                         const std::vector<int> &starts,
+                         const std::vector<int> &ends, ll best_score,
+                         const uint8_t *hdr, ll hlen,
+                         const uint8_t *mhdr, ll mhlen, int flag,
+                         int mate_flag, ll ord);
+
+// alnFragsForcePE (alnfrags.c:1974-2148; pipeline.aln_frags_force_pe):
+// a template survives only when BOTH mates align; combined scores spool
+// as one pair record
+static void apply_pe_force(Run *R, const uint8_t *c_a, int la,
+                           const uint8_t *c_b, int lb, const uint8_t *h_a,
+                           ll hla, const uint8_t *h_b, ll hlb, int flag_a,
+                           int flag_b, bool arc, int32_t *tids, int n,
+                           const ll *msc1, const int32_t *mpo1,
+                           const int32_t *mln1, const int32_t *mtg1,
+                           const int32_t *mqg1, const ll *msc2,
+                           const int32_t *mpo2, const int32_t *mln2,
+                           const int32_t *mtg2, const int32_t *mqg2,
+                           bool flipped, ll ord) {
+    const int k = R->ix.k;
+    ll Wl = -R->ix.Wl;
+    static thread_local std::vector<int> ids, sts, ens;
+    static thread_local std::vector<ll> scs;
+    static thread_local std::vector<uint8_t> rca, rcb;
+    ids.clear();
+    sts.clear();
+    ens.clear();
+    scs.clear();
+    ll best = 0;
+    for (int i = 0; i < n; ++i) {
+        int t = tids[i] < 0 ? -tids[i] : tids[i];
+        ll t_len = R->tlen[t];
+        ll s1 = msc1[i];
+        int l1 = mln1[i];
+        if (!(0 < s1 && R->minlen <= l1
+              && (R->mrc * la <= l1 - mqg1[i]
+                  || R->mrc * (double)t_len <= l1 - mtg1[i])))
+            continue;
+        ll s2 = msc2[i];
+        int l2 = mln2[i];
+        if (!(0 < s2 && R->minlen <= l2
+              && (R->mrc * lb <= l2 - mqg2[i]
+                  || R->mrc * (double)t_len <= l2 - mtg2[i])))
+            continue;
+        ll aln_len = (ll)l1 + l2;
+        ll start, end;
+        if (mpo1[i] < mpo2[i]) {
+            start = mpo1[i];
+            end = (ll)mpo2[i] + l2 - mtg2[i];
+        } else {
+            start = mpo2[i];
+            end = (ll)mpo1[i] + l1 - mtg1[i];
+        }
+        ll rs = s1 + s2;
+        if (start == 0)
+            rs += Wl;
+        if (end == t_len)
+            rs += Wl;
+        double score = (double)rs / (double)aln_len;
+        if (rs > k && score >= R->scoreT) {
+            ids.push_back(t);   // abs stored (alnfrags.c:2105)
+            scs.push_back(rs);
+            sts.push_back((int)start);
+            ens.push_back((int)end);
+            if (best < rs)
+                best = rs;
+        }
+    }
+    if (!best)
+        return;
+    // alnfrags.c:2126-2143: ids are positive, so rc never sets and the
+    // final strrc toggles the WORKING orientation once more: non-arc
+    // spools the original bytes with a 48-flag toggle iff flipped; arc
+    // always toggles flags and spools rc(working) = original when the
+    // candidate loop left the buffers flipped, plain rc otherwise
+    int fa = flag_a, fb = flag_b;
+    const uint8_t *sa = c_a, *sb = c_b;
+    if (arc) {
+        if (!flipped) {
+            rca.resize(la);
+            for (int i = 0; i < la; ++i)
+                rca[i] = RC_CODE[c_a[la - 1 - i]];
+            rcb.resize(lb);
+            for (int i = 0; i < lb; ++i)
+                rcb[i] = RC_CODE[c_b[lb - 1 - i]];
+            sa = rca.data();
+            sb = rcb.data();
+        }
+        fa ^= 48;
+        fb ^= 48;
+    } else if (flipped) {
+        fa ^= 48;
+        fb ^= 48;
+    }
+    spool_pe_rec(R, sa, la, sb, lb, ids, scs, sts, ens, best, h_a, hla,
+                 h_b, hlb, fa, fb, ord);
+}
+
 static int pair_scan(Run *R, Scratch &S, const uint8_t *q1, int l1,
                      const uint8_t *q2, int l2, int pm, PEmit *out,
                      bool *is_pair, const long long *v1f = nullptr,
@@ -1446,6 +1601,50 @@ static int pair_scan(Run *R, Scratch &S, const uint8_t *q1, int l1,
     std::vector<int> &region = S.region;
     std::vector<int> &best2 = S.best2;
     std::vector<ll> &rscores = S.rscores;
+    if (pm == 2) {
+        // save_kmers_forcePair (savekmers.c:3779-3864): only proper
+        // pairs survive; mate 2 scans with SWAPPED strand arrays so
+        // opposite orientations pair up
+        if (!hc1)
+            return 0;
+        get_first_force(S, nb, nbr, region, rscores);
+        int nb2 = 0, nbr2 = 0;
+        int hc2 = kchain_pair_mate_v(
+            S.ctx, q2, l2, R->exhaustive, S.Score_r.data(),
+            S.Score.data(), S.extendScore.data(), S.include.data(),
+            S.bests.data(), &nb2, S.bests_r.data(), &nbr2, v2f, v2r);
+        ll fbest = 0;
+        best2.clear();
+        if (hc2)
+            fbest = get_second_best_force(S, nb2, nbr2, region, rscores,
+                                          best2);
+        if (hc2 && fbest) {
+            if (k <= fbest || (ll)(l1 + l2) - fbest < fbest * k) {
+                int flag = 67, flag_r = 131;
+                ll sc = best2.back() < 0 ? -fbest : fbest;
+                if (0 < best2[0]) {
+                    flag |= 32;
+                    flag_r |= 16;
+                    out[0] = {0, sc, flag, 0, nullptr, false};
+                    out[1] = {3, sc, flag_r, 1, &best2, false};
+                } else {
+                    flag |= 16;
+                    flag_r |= 32;
+                    out[0] = {2, sc, flag_r, 1, nullptr, false};
+                    out[1] = {1, sc, flag, 0, &best2, true};
+                }
+                *is_pair = true;
+                return 2;
+            }
+        } else {
+            // clear leftover mate2 scores (savekmers.c:3851-3862)
+            for (int i = 0; i < nb2; ++i)
+                S.Score_r[S.bests[i]] = 0;
+            for (int i = 0; i < nbr2; ++i)
+                S.Score[S.bests_r[i]] = 0;
+        }
+        return 0;
+    }
     ll bestScore = 0;
     if (pm == 0) {
         if (hc1) {
@@ -2690,7 +2889,7 @@ long long krun_map_pe_batch(void *hv, const uint8_t *a_flat,
                             ppo1.data(), pln1.data(), ptg1.data(),
                             pqg1.data(), psc2.data(), ppo2.data(),
                             pln2.data(), ptg2.data(), pqg2.data(),
-                            pflip.data());
+                            pflip.data(), R->minlen, R->mrc);
         if (_peprof) {
             _pe_kaln += _pnow() - _pt;
             fprintf(stderr,
@@ -2734,6 +2933,18 @@ long long krun_map_pe_batch(void *hv, const uint8_t *a_flat,
                 emit_mem_spool_pair(R, prim, mate,
                                     w.sc_b < 0 ? -w.sc_b : w.sc_b,
                                     pe_tpl.data() + b, w.n_tpl);
+                continue;
+            }
+            if (fpm == 2) {
+                apply_pe_force(R, w.c_a, w.la, w.c_b, w.lb, w.h_a,
+                               w.hla, w.h_b, w.hlb, w.flag_a, w.flag_b,
+                               w.arc, pe_tpl.data() + b, w.n_tpl,
+                               psc1.data() + b, ppo1.data() + b,
+                               pln1.data() + b, ptg1.data() + b,
+                               pqg1.data() + b, psc2.data() + b,
+                               ppo2.data() + b, pln2.data() + b,
+                               ptg2.data() + b, pqg2.data() + b,
+                               pflip[i] != 0, w.ord);
                 continue;
             }
             apply_pe_pair(R, fpm, w.c_a, w.la, w.c_b, w.lb, w.h_a, w.hla,

@@ -121,3 +121,69 @@ def test_native_cli_sam_parity(tmp_path, sim_reads_mod, db50_index,
     for ext in (".res", ".fsa", ".aln"):
         assert (tmp_path / ("nat" + ext)).read_bytes() \
             == (tmp_path / ("py" + ext)).read_bytes(), ext
+
+
+def test_native_cli_force_pair(tmp_path, db50_index, ref_bin):
+    """-apm f (save_kmers_forcePair + alnFragsForcePE incl. the arc
+    in-place flip machine) is byte-identical to the reference."""
+    import numpy as np
+    from kma_tpu.io.seq import parse_fasta
+    if not _ensure_cli():
+        pytest.skip("native CLI unavailable")
+    rng = np.random.default_rng(31)
+    recs = [r for r in parse_fasta(
+        str(tmp_path / "nope")) ] if False else None
+    # pairs sampled from the db50 fasta via seq2fasta of the index
+    import subprocess as sp
+    fa = tmp_path / "db.fsa"
+    r = sp.run([sys.executable, "-m", "kma_tpu", "seq2fasta", "-t_db",
+                db50_index], capture_output=True, env=_env())
+    fa.write_bytes(r.stdout)
+    seqs = []
+    cur = []
+    for ln in fa.read_text().splitlines():
+        if ln.startswith(">"):
+            if cur:
+                seqs.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ln)
+    if cur:
+        seqs.append("".join(cur))
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+    pe1 = tmp_path / "p1.fq"
+    pe2 = tmp_path / "p2.fq"
+    with open(pe1, "w") as f1, open(pe2, "w") as f2:
+        n = 0
+        while n < 300:
+            s = seqs[int(rng.integers(len(seqs)))]
+            if len(s) < 220:
+                continue
+            st = int(rng.integers(0, len(s) - 205))
+            frag = s[st:st + 205]
+            r1 = list(frag[:100])
+            r2 = [comp[c] for c in frag[-100:][::-1]]
+            for r_ in (r1, r2):
+                for _ in range(int(rng.integers(0, 4))):
+                    p = int(rng.integers(0, 100))
+                    r_[p] = "ACGT"[int(rng.integers(0, 4))]
+            if rng.random() < 0.5:
+                r1, r2 = r2, r1   # swapped orientation: arc pairs
+            f1.write("@q%d/1\n%s\n+\n%s\n" % (n, "".join(r1), "I" * 100))
+            f2.write("@q%d/2\n%s\n+\n%s\n" % (n, "".join(r2), "I" * 100))
+            n += 1
+    ref_out = str(tmp_path / "ref")
+    nat_out = str(tmp_path / "nat")
+    r = sp.run([str(ref_bin), "-ipe", str(pe1), str(pe2), "-t_db",
+                db50_index, "-o", ref_out, "-apm", "f", "-t", "1"],
+               capture_output=True)
+    assert r.returncode == 0
+    rc = _run_native(["-ipe", str(pe1), str(pe2), "-t_db", db50_index,
+                      "-apm", "f"], nat_out)
+    assert rc == 0
+    for ext in (".res", ".fsa", ".aln"):
+        assert open(nat_out + ext, "rb").read() \
+            == open(ref_out + ext, "rb").read(), ext
+    with gzip.open(nat_out + ".frag.gz") as f1_, \
+            gzip.open(ref_out + ".frag.gz") as f2_:
+        assert f1_.read() == f2_.read(), ".frag.gz"
