@@ -188,16 +188,24 @@ def tsv_row(flag: int, name: str, assem, t_len: int, read_count: int,
     """printsv (tsv.c:49-108)."""
     import math
     flag &= 65535
-    aln_len = assem.aln_len if assem.aln_len else 1
+    aln_len = assem.aln_len
+    if aln_len:
+        q_id = "%f" % (100.0 * assem.cover / aln_len)
+        q_dep = "%f" % (assem.depth / aln_len)
+    else:
+        # printsv divides by the RAW aln_len (tsv.c:77-84); for skip
+        # assemblies C prints 0/0 as "-nan" and depth/0 as "inf"
+        q_id = "-nan" if assem.cover == 0 else "inf"
+        q_dep = "-nan" if assem.depth == 0 else "inf"
     vals = [
         ("%s", name),
         ("%d", t_len),
         ("%f", 100.0 * assem.cover / t_len),
         ("%f", 100.0 * assem.aln_len / t_len),
         ("%f", assem.depth / t_len),
-        ("%f", 100.0 * assem.cover / aln_len),
-        ("%f", 100.0 * assem.cover / aln_len),
-        ("%f", assem.depth / aln_len),
+        ("%s", q_id),
+        ("%s", q_id),
+        ("%s", q_dep),
         ("%d", read_count),
         ("%d", assem.readCountAln),
         ("%d", read_score),

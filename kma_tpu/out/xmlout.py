@@ -141,32 +141,28 @@ class XmlHitWriter:
     def hit(self, template: int, header: bytes, aligned, st, flag: int
             ) -> None:
         d = self.rew.d
-        t, s, q = aligned.t, aligned.s, aligned.q
+        t = np.asarray(aligned.t, np.uint8)
+        s = np.asarray(aligned.s, np.uint8)
+        q = np.asarray(aligned.q, np.uint8)
         ln = len(t)
-        Ms = MMs = W1s = Us = pos = 0
-        gap = 0
-        for i in range(ln):
-            if s[i] == ord("_"):
-                self.bs[i] = ord(" ")
-                if t[i] == 5 or q[i] == 5:
-                    if gap:
-                        Us += 1
-                    else:
-                        W1s += 1
-                        gap = 1
-                else:
-                    MMs += 1
-                    if 0 < d[t[i], q[i]]:
-                        pos += 1
-                    gap = 1
-            else:
-                self.bs[i] = s[i]
-                Ms += 1
-                if 0 < d[t[i], q[i]]:
-                    pos += 1
-                gap = 1
-            self.bt[i] = ord(BASES[t[i]])
-            self.bq[i] = ord(BASES[q[i]])
+        # vectorized stat pass (hitXML's per-column loop): the `gap`
+        # state is 0 only before the FIRST column (every column sets
+        # it), so exactly one gap-open can count -- at column 0
+        mid = s == ord("_")
+        gapcol = mid & ((t == 5) | (q == 5))
+        W1s = 1 if (ln and gapcol[0]) else 0
+        Us = int(gapcol.sum()) - W1s
+        Ms = int(ln - mid.sum())
+        MMs = int((mid & ~gapcol).sum())
+        # d is 5x5; gap columns (code 5) never read it in the scalar
+        # loop, so clip the indexes and mask them out
+        dpos = np.asarray(d)[np.minimum(t, 4), np.minimum(q, 4)] > 0
+        pos = int((dpos & ~gapcol).sum())
+        if ln:
+            base_lut = np.frombuffer(BASES.encode(), np.uint8)
+            self.bt[:ln] = base_lut[t].tobytes()
+            self.bq[:ln] = base_lut[q].tobytes()
+            self.bs[:ln] = np.where(mid, np.uint8(ord(" ")), s).tobytes()
         pos += W1s * (0 < self.rew.W1) + Us * (0 < self.rew.U)
 
         self.num += 1

@@ -52,6 +52,9 @@ void krun_set_mem(void *hv, int mem_mode);
 void krun_set_sam(void *hv, int mask);
 ll krun_sam_len(void *hv);
 void krun_sam_fetch(void *hv, uint8_t *buf);
+void krun_set_tsv(void *hv, ull mask);
+ll krun_tsv_len(void *hv);
+void krun_tsv_fetch(void *hv, uint8_t *buf);
 ll krun_map_se_batch(void *hv, const uint8_t *codes_flat, const ll *coff,
                      const uint8_t *hdr_flat, const ll *hoff,
                      const ll *ords, int n);
@@ -463,6 +466,7 @@ struct Cfg {
     bool one2one = false;
     bool hmm = false;              // -hmm probabilistic splicing scan
     int sam = 0;                   // -sam [mask]: SAM rows to stdout
+    ull tsv = 0;                   // -tsv [mask]: .tsv stat table
     int pm = 0, fpm = 0;           // 0 union, 1 penalty
     bool pe = false;
     bool mem_mode = false;
@@ -584,8 +588,6 @@ int main(int argc, char **argv) {
             cfg.base_caller = 1;
         } else if (a == "-ID") {
             cfg.ID_t = atof(argv[++i]);
-            if (cfg.ID_t == 0.0)
-                return FALLBACK;   // zero-identity rows need Python loop
         } else if (a == "-md") {
             cfg.Depth_t = atof(argv[++i]);
         } else if (a == "-bcd") {
@@ -602,6 +604,11 @@ int main(int argc, char **argv) {
             cfg.print_matrix = true;
         } else if (a == "-ef") {
             cfg.ef = true;
+        } else if (a == "-tsv") {
+            if (i + 1 < argc && isdigit((unsigned char)argv[i + 1][0]))
+                cfg.tsv = strtoull(argv[++i], nullptr, 10);
+            else
+                cfg.tsv = ~0ull;
         } else if (a == "-sam") {
             if (i + 1 < argc && isdigit((unsigned char)argv[i + 1][0]))
                 cfg.sam = atoi(argv[++i]);
@@ -688,6 +695,8 @@ int main(int argc, char **argv) {
     krun_set_pe(R, cfg.PE);
     if (cfg.mem_mode)
         krun_set_mem(R, 1);
+    if (cfg.tsv)
+        krun_set_tsv(R, cfg.tsv);
     if (cfg.sam) {
         krun_set_sam(R, cfg.sam);
         // saminit (sam.c:100-112); CL echoes this invocation
@@ -1129,6 +1138,32 @@ int main(int argc, char **argv) {
     sam_drain();
     if (cfg.sam)
         fflush(stdout);
+    if (cfg.tsv) {
+        // initsv (tsv.c:26-47) + the per-template rows
+        static const char *TSVF[16] = {
+            "Template_Name", "Template_Length", "Template_Identity",
+            "Template_Coverage", "Template_Depth", "Query_Identity",
+            "Query_Coverage", "Query_Depth", "Read_Count_Map",
+            "Read_Count_Aln", "Score", "Expected", "q_value", "p_value",
+            "ConClave_Score", "ConClave_Quality"};
+        FILE *tf = fopen((cfg.out + ".tsv").c_str(), "w");
+        if (!tf)
+            die("cannot open .tsv");
+        ull fl = cfg.tsv & 65535ull;
+        for (int fi = 0; fi < 16; fi++) {
+            if (fl & 1) {
+                fl >>= 1;
+                fprintf(tf, "%s%c", TSVF[fi], fl ? '\t' : '\n');
+            } else {
+                fl >>= 1;
+            }
+        }
+        ll tl2 = krun_tsv_len(R);
+        std::vector<uint8_t> tbuf((size_t)(tl2 ? tl2 : 1));
+        krun_tsv_fetch(R, tbuf.data());
+        fwrite(tbuf.data(), 1, (size_t)tl2, tf);
+        fclose(tf);
+    }
     // gz compression is the expensive tail: the three gz artifacts are
     // independent files, so deflate them on parallel threads while the
     // main thread writes the plain-text outputs

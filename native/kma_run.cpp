@@ -395,6 +395,9 @@ struct Run {
     // the caller via krun_sam_fetch)
     std::vector<uint8_t> out_sam;
     int sam_mask = 0;
+    // -tsv rows (printsv, tsv.c:49-108)
+    std::vector<uint8_t> out_tsv;
+    unsigned long long tsv_mask = 0;
     // krun_output_all buffers (fetched then cleared by Python)
     std::vector<uint8_t> out_res, out_fsa, out_aln, out_frag;
     std::vector<uint8_t> out_mat, out_vcf, out_ef;
@@ -2438,6 +2441,19 @@ void krun_sam_fetch(void *h, uint8_t *buf) {
     R->out_sam.clear();
 }
 
+void krun_set_tsv(void *h, unsigned long long mask) {
+    ((Run *)h)->tsv_mask = mask;
+}
+long long krun_tsv_len(void *h) {
+    return (long long)((Run *)h)->out_tsv.size();
+}
+void krun_tsv_fetch(void *h, uint8_t *buf) {
+    Run *R = (Run *)h;
+    if (!R->out_tsv.empty())
+        memcpy(buf, R->out_tsv.data(), R->out_tsv.size());
+    R->out_tsv.clear();
+}
+
 // Map one batch of SE reads.  codes/headers are flat with [n+1] offsets;
 // ords[i] is read i's global ordinal (multi-host round-robin).  Spool
 // record order matches the reference: reads in input order, hits of one
@@ -3717,13 +3733,17 @@ long long krun_output_all(
         bool passed = cmp_mode == 0 ? (c1 || c2)
                       : cmp_mode == 1 ? (c1 && c2) : true;
         if (!passed) {
-            if (R->sam_mask && !(R->sam_mask & 2096)) {
+            const bool id0 = ID_t == 0.0;
+            if ((R->sam_mask && !(R->sam_mask & 2096)) || id0) {
                 // skip_assemble path (assembly.c:1209-1315): the
                 // template's fragments print unmapped-flagged
                 const uint8_t *name = names_flat + names_off[t];
                 ll name_len = names_off[t + 1] - names_off[t];
                 Spool &sp = R->spool;
                 static thread_local std::vector<uint8_t> fc;
+                ll depth_sum = 0;
+                const bool sam_rows = R->sam_mask
+                                      && !(R->sam_mask & 2096);
                 for (FragOut &f : R->frags[t]) {
                     ll rec = f.rec;
                     const uint8_t *c;
@@ -3752,6 +3772,9 @@ long long krun_output_all(
                             fc[j] = RC_CODE[c[ql - 1 - j]];
                         c = fc.data();
                     }
+                    depth_sum += ql;
+                    if (!sam_rows)
+                        continue;
                     int bh = sp.best_hits[rec] < 0 ? -sp.best_hits[rec]
                                                    : sp.best_hits[rec];
                     auto &sb = R->out_sam;
@@ -3770,6 +3793,85 @@ long long krun_output_all(
                         }
                         sb.resize(base + (sb.size() - base) * 2);
                     }
+                }
+                if (id0) {
+                    // runkma.c:841-856: -ID 0 prints a zero-identity
+                    // row from the skip-assembly (depth = summed read
+                    // lengths, aln_len 0 -> cover 0, q_cover inf)
+                    double depth = (double)depth_sum / (double)t_len;
+                    unsigned exp_u = (unsigned)(long long)expected;
+                    buf_put(R->out_res, name, (size_t)name_len);
+                    buf_printf(R->out_res,
+                               "\t%8lld\t%8u\t%8lld\t%8.2f\t%8.2f\t"
+                               "%8.2f\t%8.2f\t%8.2f\t%8.2f\t%4.1e\n",
+                               (long long)read_score, exp_u,
+                               (long long)t_len, 0.0, 0.0, 0.0,
+                               100.0 * (double)t_len / 0.0, depth,
+                               (double)q_value, p_value);
+                    if (R->tsv_mask) {
+                        unsigned long long fl = R->tsv_mask & 65535ull;
+                        char num[64];
+                        auto fput = [&](const char *txt, ll n_) {
+                            buf_put(R->out_tsv, txt, (size_t)n_);
+                            fl >>= 1;
+                            buf_put(R->out_tsv, fl ? "\t" : "\n", 1);
+                        };
+                        auto fnum = [&](const char *fmt, double v) {
+                            int n_ = snprintf(num, sizeof num, fmt, v);
+                            fput(num, n_);
+                        };
+                        auto fint = [&](ll v) {
+                            int n_ = snprintf(num, sizeof num, "%lld",
+                                              (long long)v);
+                            fput(num, n_);
+                        };
+                        // printsv divides by the RAW aln_len (0 for
+                        // skip assemblies): 0/0 -> -nan, depth/0 -> inf
+                        double al0 = 0.0;
+                        if (fl & 1) fput((const char *)name, name_len);
+                        else fl >>= 1;
+                        if (fl & 1) fint(t_len); else fl >>= 1;
+                        if (fl & 1) fnum("%f", 0.0); else fl >>= 1;
+                        if (fl & 1) fnum("%f", 0.0); else fl >>= 1;
+                        if (fl & 1) fnum("%f", depth); else fl >>= 1;
+                        if (fl & 1) fnum("%f", 100.0 * 0.0 / al0);
+                        else fl >>= 1;
+                        if (fl & 1) fnum("%f", 100.0 * 0.0 / al0);
+                        else fl >>= 1;
+                        if (fl & 1) fnum("%f", (double)depth_sum / al0);
+                        else fl >>= 1;
+                        if (fl & 1) fint(read_counts[t]); else fl >>= 1;
+                        if (fl & 1) fint(0); else fl >>= 1;
+                        if (fl & 1) fint(read_score); else fl >>= 1;
+                        if (fl & 1) fnum("%f", (double)expected);
+                        else fl >>= 1;
+                        if (fl & 1) fnum("%f", (double)q_value);
+                        else fl >>= 1;
+                        if (fl & 1) fnum("%e", p_value); else fl >>= 1;
+                        if (fl & 1) fint(R->alignment_scores[t]);
+                        else fl >>= 1;
+                        if (fl & 1)
+                            fnum("%f",
+                                 (R->alignment_scores[t] && read_score)
+                                     ? 40.0 * (double)read_score
+                                           / R->alignment_scores[t]
+                                           * log((double)read_score)
+                                     : 0.0);
+                        else
+                            fl >>= 1;
+                    }
+                    if (want_ef) {
+                        buf_put(R->out_ef, name, (size_t)name_len);
+                        buf_printf(
+                            R->out_ef,
+                            "\t%lld\t%lld\t%lld\t%lld\t%lld\t%lld\t"
+                            "%f\t%lld\t%lld\t%lld\t%lld\t%lld\t%lld"
+                            "\t%lld\n",
+                            read_counts[t], fragment_counts[t], 0ll, 0ll,
+                            0ll, depth_sum, 0.0, 0ll, 0ll, 0ll, 0ll,
+                            0ll, 0ll, 0ll);
+                    }
+                    flush_seg(t);
                 }
             }
             continue;
@@ -3875,6 +3977,57 @@ long long krun_output_all(
                    "%8.2f\t%8.2f\t%4.1e\n",
                    (long long)read_score, exp_u, (long long)t_len, id_,
                    cover, q_id, q_cover, depth, (double)q_value, p_value);
+        if (R->tsv_mask) {
+            // printsv (tsv.c:49-108): tab between printed fields,
+            // newline with the highest remaining bit
+            unsigned long long fl = R->tsv_mask & 65535ull;
+            ll al_g = aln_len_s ? aln_len_s : 1;   // guarded aln_len
+            ll ccs = R->alignment_scores[t];
+            char num[64];
+            auto fput = [&](const char *txt, ll n_) {
+                buf_put(R->out_tsv, txt, (size_t)n_);
+                fl >>= 1;
+                buf_put(R->out_tsv, fl ? "\t" : "\n", 1);
+            };
+            auto fnum = [&](const char *fmt, double v) {
+                int n_ = snprintf(num, sizeof num, fmt, v);
+                fput(num, n_);
+            };
+            auto fint = [&](ll v) {
+                int n_ = snprintf(num, sizeof num, "%lld",
+                                  (long long)v);
+                fput(num, n_);
+            };
+            // field order mirrors writers.TSV_FIELDS
+            if (fl & 1) fput((const char *)name, name_len); else fl >>= 1;
+            if (fl & 1) fint(t_len); else fl >>= 1;
+            if (fl & 1) fnum("%f", 100.0 * (double)cover_s / t_len);
+            else fl >>= 1;
+            if (fl & 1) fnum("%f", 100.0 * (double)aln_len_s / t_len);
+            else fl >>= 1;
+            if (fl & 1) fnum("%f", (double)depth_s / t_len);
+            else fl >>= 1;
+            if (fl & 1) fnum("%f", 100.0 * (double)cover_s / al_g);
+            else fl >>= 1;
+            if (fl & 1) fnum("%f", 100.0 * (double)cover_s / al_g);
+            else fl >>= 1;
+            if (fl & 1) fnum("%f", (double)depth_s / al_g);
+            else fl >>= 1;
+            if (fl & 1) fint(read_counts[t]); else fl >>= 1;
+            if (fl & 1) fint(a_ra); else fl >>= 1;
+            if (fl & 1) fint(read_score); else fl >>= 1;
+            if (fl & 1) fnum("%f", (double)expected); else fl >>= 1;
+            if (fl & 1) fnum("%f", (double)q_value); else fl >>= 1;
+            if (fl & 1) fnum("%e", p_value); else fl >>= 1;
+            if (fl & 1) fint(ccs); else fl >>= 1;
+            if (fl & 1)
+                fnum("%f", (ccs && read_score)
+                               ? 40.0 * (double)read_score / ccs
+                                     * log((double)read_score)
+                               : 0.0);
+            else
+                fl >>= 1;
+        }
 
         // .aln / .fsa (printconsensus.c:24-61)
         if (want_aln) {

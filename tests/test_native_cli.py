@@ -49,6 +49,9 @@ def _run_python(args, out):
     ["-mem_mode"],
     ["-1t1", "-matrix", "-vcf", "-ef"], ["-vcf", "2"],
     ["-bcNano", "-bc", "0.7", "-matrix", "-vcf", "-ef"],
+    ["-1t1", "-tsv"], ["-tsv", "257"],
+    ["-1t1", "-ID", "0"], ["-ID", "0", "-tsv", "-ef"],
+    ["-apm", "f"],
 ])
 def test_native_cli_matches_python(tmp_path, sim_reads_mod, db50_index,
                                    margs):  # noqa: F811
@@ -63,6 +66,9 @@ def test_native_cli_matches_python(tmp_path, sim_reads_mod, db50_index,
     for ext in (".res", ".fsa", ".aln"):
         assert (tmp_path / ("nat" + ext)).read_bytes() \
             == (tmp_path / ("py" + ext)).read_bytes(), ext
+    if "-tsv" in margs:
+        assert (tmp_path / "nat.tsv").read_bytes() \
+            == (tmp_path / "py.tsv").read_bytes(), ".tsv"
     gz_exts = [".frag.gz"]
     if "-matrix" in margs:
         gz_exts.append(".mat.gz")
@@ -81,7 +87,7 @@ def test_native_cli_matches_python(tmp_path, sim_reads_mod, db50_index,
 
 @pytest.mark.parametrize("margs", [
     ["-Sparse"],
-    ["-mf", "7"], ["-ID", "0"],
+    ["-mf", "7"],
 ])
 def test_native_cli_falls_back(tmp_path, sim_reads_mod, db50_index,
                                margs):  # noqa: F811
