@@ -100,7 +100,19 @@ class XmlHitWriter:
     bytes of earlier (longer) alignments until the first NUL.  The buffer
     lifecycle (code bytes written by every KMA call, in-place ASCII
     conversion by each printed hit, doubling reallocation that resets the
-    content, assembly.c:398-411) is emulated here for byte parity."""
+    content, assembly.c:398-411) is emulated here for byte parity.
+
+    Two reference behaviors are undefined and deliberately NOT copied:
+    (1) Hsp_bit-score prints ``aligned->score`` (xml.c:210), a field no
+    code ever assigns -- the Aln struct is plain smalloc'd (runkma.c:660,
+    mt1.c:293), so the reference emits uninitialized heap bytes (zero on
+    fresh pages, garbage on recycled heap).  We print the fresh KMA
+    realignment's AlnScore.score, the evidently intended value.
+    (2) The smalloc'd Hsp buffers start with recycled-heap garbage before
+    the first overlay; ours start zeroed (the fresh-mmap case), which is
+    the only deterministic choice.  Both make large-run reference XML
+    unreproducible bit-for-bit even against itself across allocator
+    states; small fresh-heap runs (the db50 goldens) match exactly."""
 
     def __init__(self, out: IO, rew, delta: int = 1024):
         self.out = out

@@ -17,6 +17,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdarg>
 #include <cmath>
 #include <cstdio>
 #include <cstdlib>
@@ -3610,6 +3611,169 @@ extern "C" void kassem_aln_to_mat_dense(long long *counts,
 // pre-grows to mat_len + sum(q_len)).  Per-frag stats come back for the
 // frag_row writer.  o_acc: 0 = skipped, 1 = accepted (matrix updated),
 // 2 = gated out.
+// XML hit sink (hitXML, xml.c:147-230).  The reference prints the
+// assembly thread's REUSED Aln buffers with %s, so each Hsp string
+// runs past the current alignment into leftover bytes of earlier
+// (longer) alignments until the first NUL; the buffer lifecycle
+// (overlay of code bytes by every alignment, in-place ASCII conversion
+// by each printed hit, doubling reallocation that resets the content,
+// assembly.c:398-411) is emulated for byte parity -- the sink persists
+// across templates like the reference's thread buffers.
+// Undefined reference behavior deliberately NOT copied (see
+// kma_tpu/out/xmlout.py): Hsp_bit-score prints the never-assigned
+// smalloc'd aligned->score (xml.c:210) and the smalloc'd buffers start
+// with recycled-heap garbage; we print the fresh realignment score and
+// start zeroed, bit-identical to the python writer.
+struct KXmlSink {
+    std::vector<uint8_t> bt, bs, bq;
+    std::vector<uint8_t> out;
+    ll delta = 1024;
+    ll num = 0;
+    int d[5][5];
+    int W1pos = 0, Upos = 0;
+    void alloc() {
+        size_t cap = (size_t)((delta + 1) << 1);
+        bt.assign(cap, 0);
+        bs.assign(cap, 0);
+        bq.assign(cap, 0);
+    }
+};
+
+extern "C" void* kxml_create(const int32_t* dmat, int W1, int U) {
+    KXmlSink* x = new KXmlSink;
+    for (int a = 0; a < 5; a++)
+        for (int b = 0; b < 5; b++)
+            x->d[a][b] = dmat[a * 5 + b];
+    x->W1pos = 0 < W1;
+    x->Upos = 0 < U;
+    x->alloc();
+    return x;
+}
+extern "C" void kxml_free(void* s) { delete (KXmlSink*)s; }
+extern "C" long long kxml_rows_len(void* s) {
+    return (ll)((KXmlSink*)s)->out.size();
+}
+extern "C" void kxml_rows_fetch(void* s, uint8_t* buf) {
+    KXmlSink* x = (KXmlSink*)s;
+    if (!x->out.empty())
+        memcpy(buf, x->out.data(), x->out.size());
+    x->out.clear();
+}
+
+static void kxml_prealloc(KXmlSink* x, ll q_len) {
+    // assembly.c:398-411: fresh (zeroed) buffers for a longer read
+    if (x->delta < q_len) {
+        x->delta = q_len << 1;
+        x->alloc();
+    }
+}
+
+static void kxml_overlay(KXmlSink* x, const Aligned& a) {
+    // every KMA call writes this alignment's CODE bytes; only s gets a
+    // NUL (align.c:502); t/q leak
+    size_t ln = a.t.size();
+    memcpy(x->bt.data(), a.t.data(), ln);
+    memcpy(x->bs.data(), a.s.data(), ln);
+    memcpy(x->bq.data(), a.q.data(), ln);
+    x->bs[ln] = 0;
+}
+
+static void kxml_append(std::vector<uint8_t>& o, const char* fmt, ...) {
+    char tmp[512];
+    va_list ap;
+    va_start(ap, fmt);
+    int n = vsnprintf(tmp, sizeof tmp, fmt, ap);
+    va_end(ap);
+    if (n > 0)
+        o.insert(o.end(), tmp, tmp + n);
+}
+
+static void kxml_hit(KXmlSink* x, ll tpl, const uint8_t* hdr, ll hdr_len,
+                     const Aligned& a, const AlnStat& st, int flag) {
+    static const char B2C[6] = {'A', 'C', 'G', 'T', 'N', '-'};
+    ll ln = (ll)a.t.size();
+    ll Ms = 0, MMs = 0, W1s = 0, Us = 0, pos = 0;
+    int gap = 0;
+    for (ll i = 0; i < ln; ++i) {
+        uint8_t t = a.t[i], s = a.s[i], q = a.q[i];
+        if (s == '_') {
+            x->bs[i] = ' ';
+            if (t == 5 || q == 5) {
+                if (gap)
+                    ++Us;
+                else {
+                    ++W1s;
+                    gap = 1;
+                }
+            } else {
+                ++MMs;
+                if (0 < x->d[t][q])
+                    ++pos;
+                gap = 1;
+            }
+        } else {
+            x->bs[i] = s;
+            ++Ms;
+            if (0 < x->d[t][q])
+                ++pos;
+            gap = 1;
+        }
+        x->bt[i] = (uint8_t)B2C[t];
+        x->bq[i] = (uint8_t)B2C[q];
+    }
+    pos += W1s * x->W1pos + Us * x->Upos;
+
+    ++x->num;
+    ll qn = 0;
+    while (qn < hdr_len && hdr[qn] != 0)
+        ++qn;
+    auto cstr_len = [](const std::vector<uint8_t>& b) {
+        size_t e = 0;
+        while (e < b.size() && b[e] != 0)
+            ++e;
+        return (ll)e;
+    };
+    std::vector<uint8_t>& o = x->out;
+    kxml_append(o, "<Hit>\n\t<Hit_num>%lld</Hit_num>\n"
+                   "\t<Hit_id>gnl|BL_ORD_ID|%lld</Hit_id>\n",
+                (long long)x->num, (long long)(tpl + 1));
+    kxml_append(o, "\t<Hit_def>");
+    o.insert(o.end(), hdr, hdr + qn);
+    kxml_append(o, "</Hit_def>\n\t<Hit_accession>%lld</Hit_accession>\n"
+                   "\t<Hit_len>%lld</Hit_len>\n\t<Hit_hsps>\n"
+                   "\t\t<Hsp>\n\t\t\t<Hsp_num>1</Hsp_num>\n",
+                (long long)tpl, (long long)ln);
+    kxml_append(o, "\t\t\t<Hsp_bit-score>%lld</Hsp_bit-score>\n"
+                   "\t\t\t<Hsp_score>%d</Hsp_score>\n"
+                   "\t\t\t<Hsp_evalue>%f</Hsp_evalue>\n",
+                (long long)st.score, st.mapQ,
+                pow(10.0, st.mapQ / -10.0));
+    ll qf = (flag & 16) ? a.end : a.start;
+    ll qt = (flag & 16) ? a.start : a.end;
+    kxml_append(o, "\t\t\t<Hsp_query-from>%lld</Hsp_query-from>\n"
+                   "\t\t\t<Hsp_query-to>%lld</Hsp_query-to>\n"
+                   "\t\t\t<Hsp_hit-from>%d</Hsp_hit-from>\n"
+                   "\t\t\t<Hsp_hit-to>%d</Hsp_hit-to>\n",
+                (long long)(qf + 1), (long long)(qt + 1), st.pos + 1,
+                st.pos + st.len - st.tGaps + 1);
+    kxml_append(o, "\t\t\t<Hsp_query-frame>%d</Hsp_query-frame>\n"
+                   "\t\t\t<Hsp_hit-frame>%d</Hsp_hit-frame>\n"
+                   "\t\t\t<Hsp_identity>%lld</Hsp_identity>\n"
+                   "\t\t\t<Hsp_positive>%lld</Hsp_positive>\n"
+                   "\t\t\t<Hsp_gaps>%lld</Hsp_gaps>\n"
+                   "\t\t\t<Hsp_align-len>%lld</Hsp_align-len>\n",
+                a.start % 3, st.pos % 3, (long long)Ms, (long long)pos,
+                (long long)(W1s + Us), (long long)ln);
+    kxml_append(o, "\t\t\t<Hsp_qseq>");
+    o.insert(o.end(), x->bq.data(), x->bq.data() + cstr_len(x->bq));
+    kxml_append(o, "</Hsp_qseq>\n\t\t\t<Hsp_hseq>");
+    o.insert(o.end(), x->bt.data(), x->bt.data() + cstr_len(x->bt));
+    kxml_append(o, "</Hsp_hseq>\n\t\t\t<Hsp_midline>");
+    o.insert(o.end(), x->bs.data(), x->bs.data() + cstr_len(x->bs));
+    kxml_append(o, "</Hsp_midline>\n\t\t</Hsp>\n\t</Hit_hsps>\n"
+                   "</Hit>\n");
+}
+
 // SAM row emission shared by the assembly loops (samwrite,
 // sam.c:114-211): qname up to NUL-then-tab, =/X/I/D cigar with soft
 // clips, ET/AS tags.  Returns bytes written or -1 on overflow.
@@ -3714,9 +3878,12 @@ extern "C" long long kassem_template_frags_sam(
     int sam_mask, const uint8_t* hdr_flat, const int64_t* hdr_off,
     const int32_t* bhs, const int32_t* sflags, const uint8_t* name,
     long long name_len, uint8_t* sam_buf, long long sam_cap,
-    long long* sam_len) {
+    long long* sam_len,
+    // XML hit sink (kxml_create); rows for accepted frags
+    void* xml_sink, long long xml_tpl) {
     TIndex& T = *(TIndex*)h;
     int t_len = T.len;
+    KXmlSink* xs = (KXmlSink*)xml_sink;
     ll sw = 0;
     if (sam_len)
         *sam_len = 0;
@@ -3738,6 +3905,8 @@ extern "C" long long kassem_template_frags_sam(
         int q_start = qbounds[2 * i], q_end = qbounds[2 * i + 1];
         int stats2 = fstats[3 * i + 1], stats3 = fstats[3 * i + 2];
         ll read_score = fstats[3 * i];
+        if (xs)
+            kxml_prealloc(xs, q_len);
         o_acc[i] = 0;
         o_rc[i] = 0;
         pts.clear_all();
@@ -3774,6 +3943,8 @@ extern "C" long long kassem_template_frags_sam(
                         stats3 < t_len ? stats3 : t_len, mq, pen,
                         nullptr, 0, 1, use_pts, circular, ts, skip_tails,
                         pts, Ebuf, Dbuf, &aligned, &st);
+        if (xs)
+            kxml_overlay(xs, aligned);
         int aln_len = st.len;
         int start = st.pos;
         int end = start + aln_len - st.tGaps;
@@ -3801,6 +3972,10 @@ extern "C" long long kassem_template_frags_sam(
         o_len[i] = aln_len;
         if (0 < read_score && scoreT <= score) {
             o_acc[i] = 1;
+            if (xs)
+                kxml_hit(xs, xml_tpl, hdr_flat + hdr_off[i],
+                         hdr_off[i + 1] - hdr_off[i], aligned, st,
+                         sflags[i]);
             if (sam_mask && sw >= 0) {
                 int mq_ = st.mapQ < 254 ? st.mapQ : 254;
                 ll pos1 = start + 1;
@@ -3868,6 +4043,6 @@ extern "C" long long kassem_template_frags(
         dmat, Wl_raw, minlen, mq, scoreT, mrc, circular, ts, skip_tails,
         dense, counts, next_, mat_len, t_len_, o_acc, o_rc, o_read_score,
         o_mat_score, o_start, o_end, o_len, 0, nullptr, nullptr, nullptr,
-        nullptr, nullptr, 0, nullptr, 0, nullptr);
+        nullptr, nullptr, 0, nullptr, 0, nullptr, nullptr, 0);
 }
 

@@ -55,6 +55,9 @@ void krun_sam_fetch(void *hv, uint8_t *buf);
 void krun_set_tsv(void *hv, ull mask);
 ll krun_tsv_len(void *hv);
 void krun_tsv_fetch(void *hv, uint8_t *buf);
+void krun_set_xml(void *hv);
+ll krun_xml_len(void *hv);
+void krun_xml_fetch(void *hv, uint8_t *buf);
 ll krun_map_se_batch(void *hv, const uint8_t *codes_flat, const ll *coff,
                      const uint8_t *hdr_flat, const ll *hoff,
                      const ll *ords, int n);
@@ -467,6 +470,7 @@ struct Cfg {
     bool hmm = false;              // -hmm probabilistic splicing scan
     int sam = 0;                   // -sam [mask]: SAM rows to stdout
     ull tsv = 0;                   // -tsv [mask]: .tsv stat table
+    int xml = 0;                   // -xml [n]: BLAST-ish XML (2=stdout)
     int pm = 0, fpm = 0;           // 0 union, 1 penalty
     bool pe = false;
     bool mem_mode = false;
@@ -604,6 +608,11 @@ int main(int argc, char **argv) {
             cfg.print_matrix = true;
         } else if (a == "-ef") {
             cfg.ef = true;
+        } else if (a == "-xml") {
+            if (i + 1 < argc && isdigit((unsigned char)argv[i + 1][0]))
+                cfg.xml = atoi(argv[++i]);
+            else
+                cfg.xml = 1;
         } else if (a == "-tsv") {
             if (i + 1 < argc && isdigit((unsigned char)argv[i + 1][0]))
                 cfg.tsv = strtoull(argv[++i], nullptr, 10);
@@ -697,6 +706,8 @@ int main(int argc, char **argv) {
         krun_set_mem(R, 1);
     if (cfg.tsv)
         krun_set_tsv(R, cfg.tsv);
+    if (cfg.xml)
+        krun_set_xml(R);
     if (cfg.sam) {
         krun_set_sam(R, cfg.sam);
         // saminit (sam.c:100-112); CL echoes this invocation
@@ -1138,6 +1149,55 @@ int main(int argc, char **argv) {
     sam_drain();
     if (cfg.sam)
         fflush(stdout);
+    if (cfg.xml) {
+        FILE *xf = cfg.xml == 2 ? stdout
+                                : fopen((cfg.out + ".xml").c_str(), "w");
+        if (!xf)
+            die("cannot open .xml");
+        // initXML (xml.c:30-51)
+        fprintf(xf, "<?xml version=\"1.0\"?>\n");
+        fprintf(xf,
+                "<!DOCTYPE BlastOutput PUBLIC \"-//NCBI//NCBI "
+                "BlastOutput/EN\" \"http://www.ncbi.nlm.nih.gov/dtd/"
+                "NCBI_BlastOutput.dtd\">\n");
+        fprintf(xf, "<BlastOutput>\n");
+        fprintf(xf, "\t<BlastOutput_program>kma</BlastOutput_program>\n");
+        fprintf(xf,
+                "\t<BlastOutput_version>KMA 1.5.1</BlastOutput_version>\n");
+        fprintf(xf,
+                "\t<BlastOutput_reference>Philip T.L.C. Clausen, Frank "
+                "M. Aarestrup & Ole Lund, \"Rapid and precise alignment "
+                "of raw reads against redundant databases with KMA\", "
+                "BMC Bioinformatics, 2018;19:307.</BlastOutput_"
+                "reference>\n");
+        fprintf(xf, "\t<BlastOutput_db>%s</BlastOutput_db>\n",
+                cfg.t_db.c_str());
+        fprintf(xf,
+                "\t<BlastOutput_query-ID>kma-%s-%lld"
+                "</BlastOutput_query-ID>\n",
+                cfg.t_db.c_str(), (long long)time(0));
+        fprintf(xf,
+                "\t<BlastOutput_query-def>nucl</BlastOutput_query-def>\n");
+        fprintf(xf, "\t<BlastOutput_query-len>%lld"
+                    "</BlastOutput_query-len>\n",
+                (long long)n_frags);
+        fprintf(xf, "\t<BlastOutput_param>\n\t\t<Parameters>\n");
+        fprintf(xf, "\t\t\t<Parameters_cmd>kma");
+        for (int ai = 1; ai < argc; ai++)
+            fprintf(xf, " %s", argv[ai]);
+        fprintf(xf, "</Parameters_cmd>\n");
+        fprintf(xf, "\t\t</Parameters>\n\t</BlastOutput_param>\n");
+        fprintf(xf, "<BlastOutput_iterations>\n");
+        ll xl = krun_xml_len(R);
+        std::vector<uint8_t> xbuf((size_t)(xl ? xl : 1));
+        krun_xml_fetch(R, xbuf.data());
+        fwrite(xbuf.data(), 1, (size_t)xl, xf);
+        fprintf(xf, "</BlastOutput_iterations>\n</BlastOutput>\n");
+        if (cfg.xml != 2)
+            fclose(xf);
+        else
+            fflush(xf);
+    }
     if (cfg.tsv) {
         // initsv (tsv.c:26-47) + the per-template rows
         static const char *TSVF[16] = {

@@ -111,6 +111,10 @@ void kaln_pe_score_batch(
     int minlen, double mrc);
 void *kidx_create(const uint8_t *codes, int len, int kmersize);
 const uint8_t *kidx_codes(void *h);
+void* kxml_create(const int32_t* dmat, int W1, int U);
+void kxml_free(void* s);
+long long kxml_rows_len(void* s);
+void kxml_rows_fetch(void* s, uint8_t* buf);
 long long kaln_sam_emit_row(uint8_t *buf, long long cap, long long w,
                             const uint8_t *hdr, long long hdr_len,
                             const uint8_t *name, long long name_len,
@@ -130,7 +134,7 @@ long long kassem_template_frags_sam(
     const uint8_t *hdr_flat, const int64_t *hdr_off,
     const int32_t *bhs, const int32_t *sflags, const uint8_t *name,
     long long name_len, uint8_t *sam_buf, long long sam_cap,
-    long long *sam_len);
+    long long *sam_len, void *xml_sink, long long xml_tpl);
 void kassem_consensus(const long long *counts, const long long *nxt,
                       const unsigned char *template_codes, int t_len,
                       long long asm_len, int bcd, double evalue,
@@ -398,6 +402,9 @@ struct Run {
     // -tsv rows (printsv, tsv.c:49-108)
     std::vector<uint8_t> out_tsv;
     unsigned long long tsv_mask = 0;
+    // -xml: persistent hit sink (leaked Hsp buffers span templates)
+    void *xml_sink = nullptr;
+    std::vector<uint8_t> out_xml;
     // krun_output_all buffers (fetched then cleared by Python)
     std::vector<uint8_t> out_res, out_fsa, out_aln, out_frag;
     std::vector<uint8_t> out_mat, out_vcf, out_ef;
@@ -2454,6 +2461,21 @@ void krun_tsv_fetch(void *h, uint8_t *buf) {
     R->out_tsv.clear();
 }
 
+void krun_set_xml(void *h) {
+    Run *R = (Run *)h;
+    if (!R->xml_sink)
+        R->xml_sink = kxml_create(R->dmat, (int)R->ix.W1, (int)R->ix.U);
+}
+long long krun_xml_len(void *h) {
+    return (long long)((Run *)h)->out_xml.size();
+}
+void krun_xml_fetch(void *h, uint8_t *buf) {
+    Run *R = (Run *)h;
+    if (!R->out_xml.empty())
+        memcpy(buf, R->out_xml.data(), R->out_xml.size());
+    R->out_xml.clear();
+}
+
 // Map one batch of SE reads.  codes/headers are flat with [n+1] offsets;
 // ords[i] is read i's global ordinal (multi-host round-robin).  Spool
 // record order matches the reference: reads in input order, hits of one
@@ -3543,7 +3565,7 @@ long long krun_assemble_template(
     enn.resize(n);
     lnn.resize(n);
     ll new_len;
-    if (R->sam_mask) {
+    if (R->sam_mask || R->xml_sink) {
         // flatten the ragged spool headers for the SAM rows
         static thread_local std::vector<uint8_t> hflat;
         static thread_local std::vector<int64_t> hoffv;
@@ -3573,7 +3595,7 @@ long long krun_assemble_template(
                 ms.data(), stt.data(), enn.data(), lnn.data(),
                 R->sam_mask, hflat.data(), hoffv.data(), bh32.data(),
                 fl32.data(), name, name_len, sbuf.data(), sam_cap,
-                &sam_len);
+                &sam_len, R->xml_sink, t);
             if (sam_len >= 0)
                 break;
             sam_cap *= 4;
@@ -3880,6 +3902,22 @@ long long krun_output_all(
         const uint8_t *name = names_flat + names_off[t];
         ll name_len = names_off[t + 1] - names_off[t];
 
+        if (R->xml_sink) {
+            // newIterXML (xml.c:82-90)
+            buf_printf(R->out_xml,
+                       "<Iteration>\n\t<Iteration_iter-num>%lld"
+                       "</Iteration_iter-num>\n\t<Iteration_query-ID>"
+                       "Query_%lld</Iteration_query-ID>\n"
+                       "\t<Iteration_query-def>",
+                       (long long)t, (long long)t);
+            buf_put(R->out_xml, name, (size_t)name_len);
+            buf_printf(R->out_xml,
+                       "</Iteration_query-def>\n"
+                       "\t<Iteration_query-len>%lld"
+                       "</Iteration_query-len>\n<Iteration_hits>\n",
+                       (long long)t_len);
+        }
+
         // assembly matrix (AssemblyMatrix.__init__ shape)
         ll n_frags, cb, hb;
         krun_stage_meta(hv, t, &n_frags, &cb, &hb);
@@ -3908,6 +3946,14 @@ long long krun_output_all(
             }
             rows_cap *= 4;
             rows.resize((size_t)rows_cap);
+        }
+        if (R->xml_sink) {
+            ll xn = kxml_rows_len(R->xml_sink);
+            if (xn) {
+                size_t base = R->out_xml.size();
+                R->out_xml.resize(base + (size_t)xn);
+                kxml_rows_fetch(R->xml_sink, R->out_xml.data() + base);
+            }
         }
         if (want_frag && rows_len)
             buf_put(R->out_frag, rows.data(), (size_t)rows_len);
@@ -3959,6 +4005,46 @@ long long krun_output_all(
             depth = (double)depth_s / (double)t_len;
             aln_len = aln_len_s;
             cover = 100.0 * (double)aln_len / (double)t_len;
+        }
+        if (R->xml_sink) {
+            // capIterXML (xml.c:130-145) with getEntropy over the
+            // trimmed consensus query
+            double h_ = 0.0;
+            if (aln_len_s > 0) {
+                ll cnt[256] = {0};
+                for (ll i = 0; i < aln_len_s && i < (ll)q_arr.size(); ++i)
+                    ++cnt[q_arr[i]];
+                for (int b2 = 0; b2 < 256; ++b2)
+                    if (cnt[b2]) {
+                        double pr = (double)cnt[b2] / (double)aln_len_s;
+                        h_ -= pr * log2(pr);
+                    }
+            }
+            ll seqsize = 4ll * (ll)R->seq_bytes;
+            buf_printf(R->out_xml,
+                       "</Iteration_hits>\n\t<Iteration_stat>\n"
+                       "\t\t<Statistics>\n"
+                       "\t\t\t<Statistics_db-num>%lld"
+                       "</Statistics_db-num>\n"
+                       "\t\t\t<Statistics_db-len>%lld"
+                       "</Statistics_db-len>\n"
+                       "\t\t\t<Statistics_hsp-len>%lld"
+                       "</Statistics_hsp-len>\n"
+                       "\t\t\t<Statistics_eff-space>%lld"
+                       "</Statistics_eff-space>\n",
+                       (long long)db_size, (long long)seqsize,
+                       (long long)read_counts[t],
+                       (long long)(seqsize * t_len));
+            buf_printf(R->out_xml,
+                       "\t\t\t<Statistics_kappa>%4.1e"
+                       "</Statistics_kappa>\n"
+                       "\t\t\t<Statistics_lambda>%4.1e"
+                       "</Statistics_lambda>\n"
+                       "\t\t\t<Statistics_entropy>%f"
+                       "</Statistics_entropy>\n"
+                       "\t\t</Statistics>\n\t</Iteration_stat>\n"
+                       "</Iteration>\n",
+                       p_value * (double)read_score, p_value, h_);
         }
         bool printed = R->mem_mode
                            ? (ID_t <= id_ && Depth_t <= depth)

@@ -129,6 +129,46 @@ def test_native_cli_sam_parity(tmp_path, sim_reads_mod, db50_index,
             == (tmp_path / ("py" + ext)).read_bytes(), ext
 
 
+@pytest.mark.parametrize("margs", [
+    ["-1t1", "-xml"], ["-xml"], ["-hmm", "-xml"], ["-xml", "2"],
+])
+def test_native_cli_xml_parity(tmp_path, sim_reads_mod, db50_index,
+                               margs):  # noqa: F811
+    """Native -xml (KXmlSink, hitXML/newIterXML/capIterXML port): byte
+    identical to the Python writer modulo the query-ID timestamp and the
+    Parameters_cmd echo (both embed run metadata).  Certified at
+    bench_resf scale against the reference with only its uninitialised
+    reads normalised (see kma_tpu/out/xmlout.py)."""
+    import re
+    if not _ensure_cli():
+        pytest.skip("native CLI unavailable")
+    base = ["-i", str(sim_reads_mod), "-t_db", db50_index] + margs
+    rn = subprocess.run([CLI] + base + ["-o", str(tmp_path / "nat"),
+                                        "-t", "1", "-device", "off"],
+                        capture_output=True, env=_env())
+    assert rn.returncode == 0
+    rp = subprocess.run([sys.executable, "-m", "kma_tpu"] + base
+                        + ["-o", str(tmp_path / "py"), "-t", "1",
+                           "-device", "off"],
+                        capture_output=True, env=_env())
+    assert rp.returncode == 0, rp.stderr.decode()[-2000:]
+
+    def norm(x):
+        x = re.sub(rb"<BlastOutput_query-ID>kma-.*?</BlastOutput_query"
+                   rb"-ID>", b"<ID>", x)
+        return re.sub(rb"<Parameters_cmd>.*?</Parameters_cmd>",
+                      b"<CMD>", x)
+
+    if margs[-1] == "2":     # -xml 2 streams to stdout
+        assert norm(rn.stdout) == norm(rp.stdout)
+    else:
+        assert norm((tmp_path / "nat.xml").read_bytes()) \
+            == norm((tmp_path / "py.xml").read_bytes())
+    for ext in (".res", ".fsa", ".aln"):
+        assert (tmp_path / ("nat" + ext)).read_bytes() \
+            == (tmp_path / ("py" + ext)).read_bytes(), ext
+
+
 def test_native_cli_force_pair(tmp_path, db50_index, ref_bin):
     """-apm f (save_kmers_forcePair + alnFragsForcePE incl. the arc
     in-place flip machine) is byte-identical to the reference."""
