@@ -492,6 +492,7 @@ struct Cfg {
     bool nf = false;               // no .frag.gz
     // penalties (kma.c:328-337)
     int M = 1, U = -1, W1 = -3, Wl = -6, Mn = 0, PE = 7, Ts = -2, Tv = -2;
+    int conclave = 1;              // -ConClave 1/2
 };
 
 // score_matrix (config.Penalties.score_matrix; kma.c:1307-1328)
@@ -522,7 +523,13 @@ int main(int argc, char **argv) {
         static const char *valflags[] = {"-t_db", "-o", "-apm", "-pm",
                                          "-fpm", "-t", "-device", "-ID",
                                          "-md", "-bcd", "-mrs", "-mrc",
-                                         "-ml", "-mp"};
+                                         "-ml", "-mp", "-e", "-p", "-mq",
+                                         "-eq", "-mi", "-xl", "-5p", "-3p",
+                                         "-reward", "-penalty", "-gapopen",
+                                         "-gapextend", "-localopen",
+                                         "-Npenalty", "-per",
+                                         "-transition", "-transversion",
+                                         "-ConClave"};
         bool needs_val = false;
         for (const char *v : valflags)
             if (a == v)
@@ -604,6 +611,50 @@ int main(int argc, char **argv) {
             cfg.min_len = atoll(argv[++i]);
         } else if (a == "-mp") {
             cfg.min_phred = atoi(argv[++i]);
+        } else if (a == "-e" || a == "-p") {
+            cfg.evalue = atof(argv[++i]);
+        } else if (a == "-mq") {
+            cfg.mq = atoi(argv[++i]);
+        } else if (a == "-eq") {
+            cfg.min_q = atoi(argv[++i]);
+        } else if (a == "-mi") {
+            cfg.hardmask_q = atoi(argv[++i]);
+        } else if (a == "-xl") {
+            cfg.max_len = atoll(argv[++i]);
+        } else if (a == "-5p" || a == "-3p") {
+            // parsed but unused in mapping mode (phredStat takes them
+            // and never reads them, runinput.c:127; sparse-only)
+            ++i;
+        } else if (a == "-reward") {
+            cfg.M = abs(atoi(argv[++i]));
+        } else if (a == "-penalty") {
+            // no-op quirk: rewards->MM set here is overwritten
+            // unconditionally by (Ts+Tv-1)/2 at kma.c:1307
+            ++i;
+        } else if (a == "-gapopen") {
+            int v = atoi(argv[++i]);
+            cfg.W1 = v < -v ? v : -v;
+        } else if (a == "-gapextend") {
+            int v = atoi(argv[++i]);
+            cfg.U = v < -v ? v : -v;
+        } else if (a == "-localopen") {
+            int v = atoi(argv[++i]);
+            cfg.Wl = v < -v ? v : -v;
+        } else if (a == "-Npenalty") {
+            int v = atoi(argv[++i]);
+            cfg.Mn = v < -v ? v : -v;
+        } else if (a == "-per") {
+            cfg.PE = abs(atoi(argv[++i]));
+        } else if (a == "-transition") {
+            int v = atoi(argv[++i]);
+            cfg.Ts = v < -v ? v : -v;
+        } else if (a == "-transversion") {
+            int v = atoi(argv[++i]);
+            cfg.Tv = v < -v ? v : -v;
+        } else if (a == "-ConClave") {
+            cfg.conclave = atoi(argv[++i]);
+            if (cfg.conclave < 1 || 2 < cfg.conclave)
+                return FALLBACK;   // python prints the usage error
         } else if (a == "-matrix") {
             cfg.print_matrix = true;
         } else if (a == "-ef") {
@@ -739,8 +790,7 @@ int main(int argc, char **argv) {
     };
 
     int mp = cfg.min_phred;
-    if (mp < cfg.hardmask_q) mp = cfg.hardmask_q;
-    if (mp < cfg.min_q) mp = cfg.min_q;
+    if (mp < cfg.hardmask_q) mp = cfg.hardmask_q;   // kma.c:1554-1556
 
     ll n_frags = 0;
     std::vector<ll> ords;
@@ -1112,7 +1162,8 @@ int main(int argc, char **argv) {
     for (uint32_t t = 1; t < ix.db_size; t++)
         tot_ulen += ix.tlen[t];
     double tw1 = now();
-    krun_conclave(R, 1, 0, w_scores.data(), fc.data(), rc.data(), tot_ulen,
+    krun_conclave(R, cfg.conclave, 0, w_scores.data(), fc.data(),
+                  rc.data(), tot_ulen,
                   cfg.score_t, cfg.evalue, 0, 1000000);
     if (prof)
         fprintf(stderr, "# cli prof: conclave %.3f s\n", now() - tw1);

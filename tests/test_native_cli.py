@@ -52,6 +52,10 @@ def _run_python(args, out):
     ["-1t1", "-tsv"], ["-tsv", "257"],
     ["-1t1", "-ID", "0"], ["-ID", "0", "-tsv", "-ef"],
     ["-apm", "f"],
+    ["-mq", "30"], ["-eq", "25", "-mi", "10"],
+    ["-reward", "2", "-transition", "3", "-transversion", "4"],
+    ["-gapopen", "5", "-gapextend", "2", "-localopen", "8"],
+    ["-ConClave", "2"], ["-e", "0.001"], ["-xl", "150"],
 ])
 def test_native_cli_matches_python(tmp_path, sim_reads_mod, db50_index,
                                    margs):  # noqa: F811
