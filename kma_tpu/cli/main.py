@@ -507,9 +507,13 @@ def map_main(argv: List[str]) -> int:
         elif a == "-ssa":
             cfg.skip_tail_aln = True
         elif a == "-nc":
-            cfg.nc = 1
-        elif a == "-na":
+            # kma.c:1018-1021: despite the help text, -nc sets bit 2
+            # (which gates the .aln open) and -na sets bit 1; -na alone
+            # changes nothing because the nc&2 branch re-opens .fsa
+            # (runkma.c:244-256)
             cfg.nc |= 2
+        elif a == "-na":
+            cfg.nc |= 1
         elif a == "-nf":
             cfg.nf = True
         elif a == "-ef":

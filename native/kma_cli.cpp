@@ -680,9 +680,9 @@ int main(int argc, char **argv) {
             else
                 cfg.vcf = 1;
         } else if (a == "-nc") {
-            cfg.nc = 1;
+            cfg.nc |= 2;   // kills .aln, not .fsa (kma.c:1018-1021)
         } else if (a == "-na") {
-            cfg.nc |= 2;
+            cfg.nc |= 1;   // no-op alone: nc&2 re-opens .fsa
         } else if (a == "-nf") {
             cfg.nf = true;
         } else {

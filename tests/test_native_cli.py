@@ -89,6 +89,30 @@ def test_native_cli_matches_python(tmp_path, sim_reads_mod, db50_index,
         assert body(a + ".mapstat") == body(b + ".mapstat")
 
 
+@pytest.mark.parametrize("margs,exts", [
+    (["-nc"], {".res", ".fsa"}),          # -nc kills .aln (kma.c:1019)
+    (["-na"], {".res", ".fsa", ".aln"}),  # -na alone is a no-op
+    (["-nc", "-na"], {".res"}),
+])
+def test_native_cli_nc_na_fileset(tmp_path, sim_reads_mod, db50_index,
+                                  margs, exts):  # noqa: F811
+    """The reference's swapped -nc/-na bits (kma.c:1018-1021) and the
+    nc&2 .fsa re-open (runkma.c:244-256): the produced file set must
+    match the reference binary's, native and Python alike."""
+    if not _ensure_cli():
+        pytest.skip("native CLI unavailable")
+    base = ["-i", str(sim_reads_mod), "-t_db", db50_index, "-1t1"] + margs
+    assert _run_native(base, str(tmp_path / "nat")) == 0
+    _run_python(base, str(tmp_path / "py"))
+    for stem in ("nat", "py"):
+        got = {e for e in (".res", ".fsa", ".aln")
+               if (tmp_path / (stem + e)).exists()}
+        assert got == exts, stem
+    for e in sorted(exts):
+        assert (tmp_path / ("nat" + e)).read_bytes() \
+            == (tmp_path / ("py" + e)).read_bytes(), e
+
+
 @pytest.mark.parametrize("margs", [
     ["-Sparse"],
     ["-mf", "7"],
