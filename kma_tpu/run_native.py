@@ -82,9 +82,11 @@ def get_lib():
     _tried = True
     if os.environ.get("KMA_TPU_NO_NATIVE"):
         return None
-    newest = max(os.path.getmtime(s) for s in _SRCS
-                 if os.path.exists(s)) if any(map(os.path.exists, _SRCS)) \
-        else 0
+    watch = _SRCS + [os.path.join(_NATIVE_DIR, f)
+                     for f in ("kma_io.cpp", "kma_devclient.cpp",
+                               "kma_devclient.h", "kma_cli.cpp")]
+    newest = max((os.path.getmtime(s) for s in watch
+                  if os.path.exists(s)), default=0)
     if not os.path.exists(_SO) or os.path.getmtime(_SO) < newest:
         if not _build():
             return None

@@ -8,13 +8,61 @@
 #include <cstring>
 #include <string>
 
+#include <errno.h>
+#include <fcntl.h>
 #include <limits.h>
+#include <poll.h>
 #include <sys/socket.h>
 #include <sys/stat.h>
+#include <sys/time.h>
 #include <sys/un.h>
 #include <unistd.h>
 
 namespace {
+
+// Deadlines: a wedged daemon must cost a bounded slice of wall time,
+// after which the callers' existing "devserve lost; host scan takes
+// over" paths fire (VERDICT r4: a -device on run once hung 25 minutes
+// against a wedged daemon; the host run takes ~0.4s).  The hello
+// handshake gets a short deadline (a healthy daemon answers in
+// milliseconds); scan requests get a longer one that still bounds the
+// worst case (one cold compile of an unwarmed shape via the tunnel).
+double env_secs(const char *name, double dflt) {
+    const char *v = getenv(name);
+    if (!v || !*v)
+        return dflt;
+    char *end = nullptr;
+    double d = strtod(v, &end);
+    return (end && end != v && d > 0) ? d : dflt;
+}
+
+void set_deadline(int fd, double secs) {
+    struct timeval tv;
+    tv.tv_sec = (time_t)secs;
+    tv.tv_usec = (suseconds_t)((secs - (double)tv.tv_sec) * 1e6);
+    setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+    setsockopt(fd, SOL_SOCKET, SO_SNDTIMEO, &tv, sizeof(tv));
+}
+
+// connect() with its own deadline (non-blocking + poll)
+bool connect_deadline(int fd, const struct sockaddr *addr, socklen_t len,
+                      double secs) {
+    int fl = fcntl(fd, F_GETFL, 0);
+    fcntl(fd, F_SETFL, fl | O_NONBLOCK);
+    int rc = connect(fd, addr, len);
+    bool ok = rc == 0;
+    if (!ok && errno == EINPROGRESS) {
+        struct pollfd pfd{fd, POLLOUT, 0};
+        if (poll(&pfd, 1, (int)(secs * 1000)) == 1) {
+            int err = 0;
+            socklen_t elen = sizeof(err);
+            ok = getsockopt(fd, SOL_SOCKET, SO_ERROR, &err, &elen) == 0
+                 && err == 0;
+        }
+    }
+    fcntl(fd, F_SETFL, fl);
+    return ok;
+}
 
 // ---- tiny JSON reader (the fixed subset json.dumps emits) -----------------
 struct JVal {
@@ -142,8 +190,11 @@ bool send_all(int fd, const void *buf, size_t n) {
     const char *p = (const char *)buf;
     while (n) {
         ssize_t w = ::send(fd, p, n, MSG_NOSIGNAL);
-        if (w <= 0)
-            return false;
+        if (w <= 0) {
+            if (w < 0 && errno == EINTR)
+                continue;
+            return false;   // incl. EAGAIN from the SO_SNDTIMEO deadline
+        }
         p += w;
         n -= (size_t)w;
     }
@@ -154,8 +205,11 @@ bool recv_all(int fd, void *buf, size_t n) {
     char *p = (char *)buf;
     while (n) {
         ssize_t r = ::recv(fd, p, n, 0);
-        if (r <= 0)
-            return false;
+        if (r <= 0) {
+            if (r < 0 && errno == EINTR)
+                continue;
+            return false;   // incl. EAGAIN from the SO_RCVTIMEO deadline
+        }
         p += r;
         n -= (size_t)r;
     }
@@ -286,10 +340,13 @@ DevConn *kdev_connect(const char *db_prefix) {
     memset(&addr, 0, sizeof(addr));
     addr.sun_family = AF_UNIX;
     memcpy(addr.sun_path, sock_path.c_str(), sock_path.size());
-    if (connect(fd, (struct sockaddr *)&addr, sizeof(addr)) != 0) {
+    if (!connect_deadline(fd, (struct sockaddr *)&addr, sizeof(addr),
+                          env_secs("KMA_DEVSERVE_CONNECT_TIMEOUT", 5))) {
         close(fd);
         return nullptr;
     }
+    // hello must come back promptly from a healthy daemon
+    set_deadline(fd, env_secs("KMA_DEVSERVE_HELLO_TIMEOUT", 15));
     // hello: db identity = resolved prefix + size/mtime of the frozen
     // hashmap (devserve.db_signature)
     const char *ext = ".comp.b";
@@ -321,6 +378,10 @@ DevConn *kdev_connect(const char *db_prefix) {
         c->voff_map.resize(vm->size() / 8);
         memcpy(c->voff_map.data(), vm->data(), vm->size());
     }
+    // per-request deadline for the scan ops: bounds the damage of a
+    // wedged daemon; on expiry recv_all fails and the caller's host
+    // fallback takes over mid-run
+    set_deadline(fd, env_secs("KMA_DEVSERVE_CALL_TIMEOUT", 300));
     return c;
 }
 

@@ -51,6 +51,8 @@ def daemon(disk_db, tmp_path_factory):
     prefix, _ = disk_db
     sdir = str(tmp_path_factory.mktemp("sock"))
     env = dict(os.environ, KMA_DEVSERVE_DIR=sdir,
+               KMA_DEVSERVE_EXIT_WITH=str(os.getpid()),
+               KMA_DEVSERVE_FRAME_TIMEOUT="5",
                PYTHONPATH=str(REPO) + os.pathsep
                + os.environ.get("PYTHONPATH", ""))
     env.pop("PALLAS_AXON_POOL_IPS", None)
@@ -76,7 +78,11 @@ def daemon(disk_db, tmp_path_factory):
     finally:
         os.environ.pop("KMA_DEVSERVE_DIR", None)
         proc.terminate()
-        proc.wait(timeout=30)
+        try:
+            proc.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait(timeout=15)
 
 
 def test_dense_and_chain_parity(daemon, disk_db):
@@ -299,6 +305,81 @@ def test_native_cli_chain_dev(daemon, disk_db, tmp_path):
         a = open(out_dev + ext, "rb").read()
         b = open(out_host + ext, "rb").read()
         assert a == b, ext
+
+
+def test_daemon_survives_dead_client_midframe(daemon, disk_db):
+    """A client that dies mid-frame (the r4 SIGPIPE wedge) must not
+    brick the daemon: the very next client gets served promptly."""
+    import socket as socketlib
+    import struct
+    prefix, sdir = daemon
+    os.environ["KMA_DEVSERVE_DIR"] = sdir
+    # half-sent frame: header promises 1 MB, peer dies after 100 bytes
+    s = socketlib.socket(socketlib.AF_UNIX)
+    s.connect(socket_path(prefix))
+    s.sendall(struct.pack("<Q", 1 << 20))
+    s.sendall(b"x" * 100)
+    s.close()  # abrupt death, frame incomplete
+    # an honest client connected AFTER the dead one is served at once
+    t0 = time.time()
+    cli = DevClient.connect(prefix)
+    assert cli is not None, "daemon wedged by dead client"
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 4, (8, 128), dtype=np.uint8)
+    lengths = np.full(8, 100, np.int32)
+    from kma_tpu.config import Penalties
+    s2, m2, t2, o2 = cli.dense_scan(codes, lengths, Penalties(), False,
+                                    None)
+    assert len(s2) == 8
+    assert time.time() - t0 < 60
+    cli.close()
+
+
+def test_daemon_survives_stalled_client(daemon, disk_db):
+    """A connected-but-silent mid-frame peer stalls only its own
+    connection thread; concurrent clients keep being served, and the
+    stalled peer is dropped at the frame deadline."""
+    import socket as socketlib
+    import struct
+    prefix, sdir = daemon
+    os.environ["KMA_DEVSERVE_DIR"] = sdir
+    stalled = socketlib.socket(socketlib.AF_UNIX)
+    stalled.connect(socket_path(prefix))
+    stalled.sendall(struct.pack("<Q", 1 << 16))
+    stalled.sendall(b"y" * 10)  # ... and then silence, socket open
+    try:
+        cli = DevClient.connect(prefix)
+        assert cli is not None
+        rng = np.random.default_rng(6)
+        codes = rng.integers(0, 4, (4, 128), dtype=np.uint8)
+        lengths = np.full(4, 100, np.int32)
+        from kma_tpu.config import Penalties
+        s2, _, _, _ = cli.dense_scan(codes, lengths, Penalties(), False,
+                                     None)
+        assert len(s2) == 4
+        cli.close()
+        # the daemon drops the stalled peer at the 5s frame deadline
+        stalled.settimeout(30)
+        assert stalled.recv(1) == b""  # EOF = dropped, not wedged
+    finally:
+        stalled.close()
+
+
+def test_duplicate_daemon_refused_fast(daemon, disk_db):
+    """A second devserve for a served DB is refused BEFORE the scanner
+    build (the r4 duplicate paid 138s of compile first)."""
+    prefix, sdir = daemon
+    env = dict(os.environ, KMA_DEVSERVE_DIR=sdir,
+               PYTHONPATH=str(REPO) + os.pathsep
+               + os.environ.get("PYTHONPATH", ""))
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    t0 = time.time()
+    r = subprocess.run(
+        [sys.executable, "-m", "kma_tpu", "devserve", "-t_db", prefix],
+        env=env, capture_output=True, text=True, timeout=60)
+    assert r.returncode == 1
+    assert "already running" in r.stderr
+    assert time.time() - t0 < 45
 
 
 def test_stale_socket_and_mismatch(disk_db, tmp_path):
