@@ -38,6 +38,41 @@ N_ONT = 2000
 READ_LEN = 100
 BATCH = 4096
 
+# Global wall budget: the bench must ALWAYS finish and print its JSON
+# line inside the driver's window (BENCH_r04 was rc=124: the device
+# section blew the budget and the round lost its whole record).  Device
+# sections run as subprocesses under explicit deadlines and degrade to
+# explicit "skipped" rows when the remaining budget is too small.
+_T0 = time.monotonic()
+BUDGET = float(os.environ.get("KMA_BENCH_BUDGET", 2100))
+
+
+def _remaining() -> float:
+    return BUDGET - (time.monotonic() - _T0)
+
+
+def _section_subprocess(name: str, cap: float, env=None):
+    """Run ``python bench.py --section <name>`` under a deadline; the
+    child prints ONE JSON row on stdout.  Never raises."""
+    cap = min(cap, max(30.0, _remaining() - 120))
+    if cap < 60:
+        return {"skipped": "budget exhausted (%ds left)" % _remaining()}
+    try:
+        r = subprocess.run(
+            [sys.executable, str(REPO / "bench.py"), "--section", name],
+            capture_output=True, text=True, timeout=cap, env=env)
+    except subprocess.TimeoutExpired:
+        return {"skipped": "section deadline (%ds)" % cap}
+    for line in reversed(r.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    return {"error": "no row (rc=%s): %s" % (r.returncode,
+                                             r.stderr[-300:])}
+
 
 def _precompile():
     try:
@@ -161,11 +196,16 @@ def ensure_assets():
     return have_ref, str(db_prefix)
 
 
-def _run_wall(cmd, env=None):
+def _run_wall(cmd, env=None, timeout=600):
     t0 = time.time()
-    r = subprocess.run(cmd, stdout=subprocess.DEVNULL,
-                       stderr=subprocess.DEVNULL, env=env)
-    return time.time() - t0, r.returncode
+    try:
+        r = subprocess.run(cmd, stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL, env=env,
+                           timeout=timeout)
+        rc = r.returncode
+    except subprocess.TimeoutExpired:
+        rc = 124
+    return time.time() - t0, rc
 
 
 def _t4(args):
@@ -197,13 +237,11 @@ def e2e_config(name, n_frags, ref_args, my_args, out_ref, out_my,
              for _ in range(3))
     row["wall_s"] = round(my, 3)
     row["reads_per_sec"] = round(n_frags / my, 1)
-    # auxiliary: the -t 4 walls on both sides (outputs deterministic for
-    # ours; the multithreaded reference is the bar a whole chip clears)
-    my4 = _run_wall([str(REPO / "bin" / "kma")] + _t4(my_args))[0]
-    row["wall_t4_s"] = round(my4, 3)
+    # parity is byte-compared NOW, before the -t 4 auxiliary runs below
+    # clobber the same output prefixes: the reference is nondeterministic
+    # at -t 4 (thread scheduling moves reads), so comparing after those
+    # runs produced a false PARITY FAILURE in BENCH_r04 (ont_hmm)
     if kma.exists():
-        ref4 = _run_wall([str(kma)] + _t4(ref_args))[0]
-        row["ref_wall_t4_s"] = round(ref4, 3)
         row["vs_ref"] = round(row["reads_per_sec"]
                               / row["ref_reads_per_sec"], 3)
         parity = Path(out_ref + ".res").read_bytes() \
@@ -228,6 +266,13 @@ def e2e_config(name, n_frags, ref_args, my_args, out_ref, out_my,
             row["reads_per_sec"] = 0.0
             row["vs_ref"] = 0.0
             print(f"# PARITY FAILURE in {name}", file=sys.stderr)
+    # auxiliary: the -t 4 walls on both sides (outputs deterministic for
+    # ours; the multithreaded reference is the bar a whole chip clears)
+    my4 = _run_wall([str(REPO / "bin" / "kma")] + _t4(my_args))[0]
+    row["wall_t4_s"] = round(my4, 3)
+    if kma.exists():
+        ref4 = _run_wall([str(kma)] + _t4(ref_args))[0]
+        row["ref_wall_t4_s"] = round(ref4, 3)
     print("# %s: %s" % (name, json.dumps(row)), file=sys.stderr)
     return row
 
@@ -448,7 +493,7 @@ def nw_kernel_metric():
     return row
 
 
-def device_e2e_metric(db_prefix, reads):
+def device_e2e_metric(db_prefix, reads, daemon_cap=900.0):
     """On-chip e2e smoke: a full SE -1t1 run whose step-2 scan runs on
     the real chip through a devserve session (the persistent device
     daemon, kma_tpu/devserve.py), byte-compared against the reference.
@@ -456,7 +501,10 @@ def device_e2e_metric(db_prefix, reads):
     Reuses a live daemon when one is serving this DB; otherwise starts
     one (cold wall recorded -- dominated by the remote compile service
     on a tunneled chip, paid once per daemon lifetime) and stops it
-    after.  warm_wall_s is the repeat-run wall the daemon buys."""
+    after.  warm_wall_s is the repeat-run wall the daemon buys.  Every
+    client run carries its own deadline: the robust daemon/client
+    deadlines mean a wedged session degrades to the host path instead
+    of hanging, and the bench records whatever happened."""
     sys.path.insert(0, str(REPO))
     from kma_tpu.devserve import DevClient
 
@@ -465,15 +513,21 @@ def device_e2e_metric(db_prefix, reads):
     cli = DevClient.connect(db_prefix)
     if cli is None:
         t0 = time.time()
-        r = subprocess.run(
-            [str(REPO / "bin" / "kma"), "devserve", "-t_db", db_prefix,
-             "-warm", "128", "-b"],
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-            timeout=2400)
+        try:
+            r = subprocess.run(
+                [str(REPO / "bin" / "kma"), "devserve", "-t_db",
+                 db_prefix, "-warm", "128", "-b"],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                timeout=daemon_cap)
+            rc = r.returncode
+        except subprocess.TimeoutExpired:
+            rc = 124
         row["daemon_start_s"] = round(time.time() - t0, 1)
         started = True
-        if r.returncode != 0:
-            row["skipped"] = "daemon failed to start"
+        if rc != 0:
+            row["skipped"] = ("daemon start timed out (%ds cap)"
+                              % daemon_cap if rc == 124
+                              else "daemon failed to start")
             print("# device_e2e: %s" % json.dumps(row), file=sys.stderr)
             return row
         cli = DevClient.connect(db_prefix)
@@ -485,21 +539,22 @@ def device_e2e_metric(db_prefix, reads):
     try:
         my_args = ["-i", reads, "-t_db", db_prefix, "-o", "/tmp/bdev",
                    "-1t1", "-t", "1", "-device", "on"]
-        walls = [_run_wall([str(REPO / "bin" / "kma")] + my_args)[0]
-                 for _ in range(3)]
+        walls = [_run_wall([str(REPO / "bin" / "kma")] + my_args,
+                           timeout=420)[0] for _ in range(3)]
         row["wall_first_s"] = round(walls[0], 3)
         row["warm_wall_s"] = round(min(walls[1:]), 3)
         row["reads_per_sec_e2e"] = round(N_READS / min(walls[1:]), 1)
         host = min(_run_wall(
             [str(REPO / "bin" / "kma")] + my_args[:-2]
-            + ["-device", "off"])[0] for _ in range(3))
+            + ["-device", "off"], timeout=300)[0] for _ in range(3))
         row["host_wall_s"] = round(host, 3)
         row["vs_host"] = round(host / min(walls[1:]), 3)
         kma = REF_BUILD / "kma"
         if kma.exists():
             ref = min(_run_wall(
                 [str(kma), "-i", reads, "-t_db", db_prefix, "-o",
-                 "/tmp/bdevr", "-1t1", "-t", "1"])[0] for _ in range(3))
+                 "/tmp/bdevr", "-1t1", "-t", "1"], timeout=300)[0]
+                for _ in range(3))
             row["ref_wall_s"] = round(ref, 3)
             row["vs_ref"] = round(ref / min(walls[1:]), 3)
             parity = all(
@@ -515,11 +570,14 @@ def device_e2e_metric(db_prefix, reads):
                 print("# PARITY FAILURE in device_e2e", file=sys.stderr)
     finally:
         if started:
-            subprocess.run(
-                [str(REPO / "bin" / "kma"), "devserve", "-t_db",
-                 db_prefix, "-stop"],
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                timeout=120)
+            try:
+                subprocess.run(
+                    [str(REPO / "bin" / "kma"), "devserve", "-t_db",
+                     db_prefix, "-stop"],
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                    timeout=120)
+            except subprocess.TimeoutExpired:
+                pass
     print("# device_e2e: %s" % json.dumps(row), file=sys.stderr)
     return row
 
@@ -603,26 +661,13 @@ def main():
         }))
         return
 
-    try:
-        configs["nw_kernel"] = nw_kernel_metric()
-    except Exception as e:  # pragma: no cover
-        configs["nw_kernel"] = {"error": str(e)[:200]}
-        print("# nw_kernel failed: %s" % e, file=sys.stderr)
-
-    best, base, residual, parity = device_scan(db_prefix, reads, have_ref)
-    vs = best / base if base else 0.0
-    configs["device_scan"] = {
-        "reads_per_sec_chip": round(best, 1) if parity else 0.0,
-        "vs_ref_s2": round(vs, 4) if parity else 0.0,
-        "device_host_parity": parity,
-        "residual_host_fallback": residual,
-    }
-
-    try:
-        configs["device_e2e"] = device_e2e_metric(db_prefix, reads)
-    except Exception as e:  # pragma: no cover
-        configs["device_e2e"] = {"error": str(e)[:200]}
-        print("# device_e2e failed: %s" % e, file=sys.stderr)
+    # device sections: each is an isolated subprocess under its own
+    # deadline, so a tunnel stall costs its row, never the record
+    configs["nw_kernel"] = _section_subprocess("nw_kernel", 420)
+    configs["device_scan"] = _section_subprocess("device_scan", 600)
+    configs["device_e2e"] = _section_subprocess("device_e2e", 1200)
+    for s in ("nw_kernel", "device_scan", "device_e2e"):
+        print("# %s: %s" % (s, json.dumps(configs[s])), file=sys.stderr)
 
     # headline: end-to-end mapping speed vs the reference binary, the
     # geometric mean over the four single-host BASELINE configs (byte
@@ -643,5 +688,32 @@ def main():
     print(json.dumps(out))
 
 
+def _section_main(name: str) -> None:
+    """Child-process entry for one device section: prints ONE JSON row
+    on stdout (the parent applies the deadline)."""
+    have_ref, db_prefix = ensure_assets()
+    reads = str(TESTDATA / "bench_reads.fq")
+    if name == "nw_kernel":
+        row = nw_kernel_metric()
+    elif name == "device_scan":
+        best, base, residual, parity = device_scan(db_prefix, reads,
+                                                   have_ref)
+        vs = best / base if base else 0.0
+        row = {
+            "reads_per_sec_chip": round(best, 1) if parity else 0.0,
+            "vs_ref_s2": round(vs, 4) if parity else 0.0,
+            "device_host_parity": parity,
+            "residual_host_fallback": residual,
+        }
+    elif name == "device_e2e":
+        row = device_e2e_metric(db_prefix, reads, daemon_cap=700)
+    else:
+        row = {"error": "unknown section %r" % name}
+    print(json.dumps(row))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--section":
+        _section_main(sys.argv[2])
+    else:
+        main()
