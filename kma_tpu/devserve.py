@@ -55,6 +55,7 @@ _HDR = struct.Struct("<Q")
 #    but not forever.
 _FRAME_TIMEOUT = float(os.environ.get("KMA_DEVSERVE_FRAME_TIMEOUT", 60))
 _IDLE_TIMEOUT = float(os.environ.get("KMA_DEVSERVE_IDLE_TIMEOUT", 3600))
+_PROF = bool(os.environ.get("KMA_DEVSERVE_PROF"))
 
 
 def _fnv1a64(s: bytes) -> int:
@@ -246,16 +247,26 @@ class DevServer:
             self.scanners[key] = sc
         return sc
 
-    def _op_dense(self, meta, arrays):
+    def _dense_dispatch(self, meta, arrays):
+        """Dispatch-only half of the dense op (pipelined clients)."""
         sc = self._scanner(meta)
-        scores, modes, tid_lists, over = sc.scan_reads(
-            np.asarray(arrays["codes"]), np.asarray(arrays["lengths"]))
+        h = sc.scan_dispatch(np.asarray(arrays["codes"]),
+                             np.asarray(arrays["lengths"]))
+        return sc, h
+
+    @staticmethod
+    def _dense_pack(sc, h):
+        scores, modes, tid_lists, over = sc.scan_resolve(h)
         has, counts, flat = _pack_tid_lists(tid_lists)
         return {"ok": 1}, [("scores", scores.astype(np.int32)),
                            ("modes", modes.astype(np.uint8)),
                            ("over", over.astype(np.uint8)),
                            ("has", has), ("counts", counts),
                            ("flat", flat)]
+
+    def _op_dense(self, meta, arrays):
+        sc, h = self._dense_dispatch(meta, arrays)
+        return self._dense_pack(sc, h)
 
     def _op_chain(self, meta, arrays):
         from .mapping.chain_device import _chain_lookup
@@ -378,6 +389,53 @@ class DevServer:
         op_lock = threading.Lock()
 
         def handle(conn: socket.socket) -> None:
+            # Reads and writes are decoupled: clients PIPELINE requests
+            # (the native CLI keeps 2-3 slices in flight), so a handler
+            # that blocks sending response k while the client is still
+            # blocked sending request k+2 deadlocks both sides once the
+            # socket buffers fill -- this was the r4 "-device on hung 25
+            # minutes" wedge.  The reader thread only recvs + computes;
+            # a writer thread drains the response queue in order.
+            import queue as _q
+            sendq: _q.Queue = _q.Queue()
+
+            def writer():
+                while True:
+                    item = sendq.get()
+                    if item is None:
+                        return
+                    try:
+                        _send(conn, item[0], item[1])
+                    except (OSError, ValueError):
+                        # client gone or not reading (send deadline):
+                        # drop the connection; the reader's recv fails
+                        try:
+                            conn.close()
+                        except OSError:
+                            pass
+                        return
+
+            wt = threading.Thread(target=writer, daemon=True)
+            wt.start()
+            # Cross-request device pipelining (opt-in via the request's
+            # "pipeline" flag): a pipelined dense request is DISPATCHED
+            # to the device immediately but its response is deferred
+            # until the next request arrives -- so request k+1's upload
+            # and dispatch overlap request k's device compute, matching
+            # the in-process scanner's all-dispatch-then-sync shape.
+            # The client ends the stream with a "flush" op.
+            pending = []  # [(scanner, handle)] in request order
+
+            def resolve_pending():
+                while pending:
+                    sc, h = pending.pop(0)
+                    with op_lock:
+                        try:
+                            rm, ra = self._dense_pack(sc, h)
+                        except Exception as e:
+                            rm, ra = {"ok": 0, "err": repr(e)}, []
+                    sendq.put((rm, ra))
+
             try:
                 while not stop_ev.is_set():
                     try:
@@ -388,8 +446,24 @@ class DevServer:
                               file=sys.stderr, flush=True)
                         return
                     op = meta.get("op")
+                    if op == "dense" and meta.get("pipeline"):
+                        try:
+                            with op_lock:
+                                sc_h = self._dense_dispatch(meta, arrays)
+                        except Exception as e:
+                            resolve_pending()
+                            sendq.put(({"ok": 0, "err": repr(e)}, []))
+                            continue
+                        resolve_pending()
+                        pending.append(sc_h)
+                        continue
+                    if op == "flush":
+                        resolve_pending()
+                        sendq.put(({"ok": 1}, []))
+                        continue
+                    resolve_pending()
                     if op == "stop":
-                        _send(conn, {"ok": 1})
+                        sendq.put(({"ok": 1}, []))
                         stop_ev.set()
                         # unblock accept() without relying on platform
                         # shutdown semantics
@@ -403,19 +477,29 @@ class DevServer:
                         return
                     fn = ops.get(op)
                     if fn is None:
-                        _send(conn, {"ok": 0, "err": "bad op %r" % op})
+                        sendq.put(({"ok": 0, "err": "bad op %r" % op},
+                                   []))
                         continue
                     try:
                         with op_lock:
+                            if _PROF:
+                                import time as _t
+                                t0 = _t.time()
                             rmeta, rarrays = fn(meta, arrays)
+                            if _PROF:
+                                print("# devserve prof: %s %.1f ms"
+                                      % (op, 1e3 * (_t.time() - t0)),
+                                      file=sys.stderr, flush=True)
                     except Exception as e:  # keep the daemon alive
-                        _send(conn, {"ok": 0, "err": repr(e)})
+                        sendq.put(({"ok": 0, "err": repr(e)}, []))
                         continue
-                    _send(conn, rmeta, rarrays)
+                    sendq.put((rmeta, rarrays))
             except (EOFError, ConnectionResetError, BrokenPipeError,
                     OSError):
                 pass
             finally:
+                sendq.put(None)
+                wt.join(timeout=_FRAME_TIMEOUT + 5)
                 try:
                     conn.close()
                 except OSError:

@@ -805,6 +805,14 @@ class DenseScanner:
         """Returns (scores i32 [N], modes u8 [N], tid_lists: list of
         int32 arrays, overflow bool [N]).  mode 0=unmapped 1=fw 2=rc
         3=merged (tids = fw ++ -rc)."""
+        return self.scan_resolve(self.scan_dispatch(codes, lengths))
+
+    def scan_dispatch(self, codes: np.ndarray, lengths: np.ndarray):
+        """Dispatch the device work for a read set WITHOUT syncing;
+        returns an opaque handle for scan_resolve.  Lets a caller (the
+        devserve daemon) overlap one request's device compute with its
+        neighbours' host work instead of serializing dispatch+sync per
+        request."""
         N = codes.shape[0]
         Bt = self.batch
         # tie ids D2H rides the slow tunnel link: 24 ids/read of headroom
@@ -829,6 +837,13 @@ class DenseScanner:
                 cj_dev, lj_dev = unfuse_h2d(
                     jnp.asarray(fuse_h2d_host(cj, lj)), L=codes.shape[1])
             futs.append(self._call(cj_dev, lj_dev, 0, flat_cap))
+        return (codes, lengths, futs, flat_cap)
+
+    def scan_resolve(self, handle):
+        """Sync + post-process a scan_dispatch handle."""
+        codes, lengths, futs, flat_cap = handle
+        N = codes.shape[0]
+        Bt = self.batch
         outs = jax.device_get(futs)
 
         scores = np.zeros(N, np.int32)

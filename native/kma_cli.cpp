@@ -966,9 +966,21 @@ int main(int argc, char **argv) {
                                       ords.data(), b.n) < 0)
                     die("mapping failed");
             }
+            // end of this file's stream: the daemon defers each dense
+            // response until the next request, so release the last one
+            // with a flush, drain the slice responses, then eat the ack
+            bool flushed = false;
+            if (dc && !chain_dev && !inflight.empty())
+                flushed = kdev_flush_send(dc);
             while (!inflight.empty()) {
                 dev_finish(inflight.front());
                 inflight.pop_front();
+            }
+            if (dc && flushed && !kdev_flush_recv(dc)) {
+                fprintf(stderr,
+                        "# device: devserve lost; host scan takes over\n");
+                kdev_close(dc);
+                dc = nullptr;
             }
             sam_drain();
             rd.join();

@@ -407,7 +407,7 @@ bool kdev_dense_send(DevConn *c, const uint8_t *codes,
         js, sizeof(js),
         "{\"meta\": {\"op\": \"dense\", \"M\": %d, \"MM\": %d, "
         "\"U\": %d, \"W1\": %d, \"exhaustive\": %s, "
-        "\"proxi_frac\": %s}, "
+        "\"proxi_frac\": %s, \"pipeline\": true}, "
         "\"arrays\": [[\"codes\", \"|u1\", [%d, %d]], "
         "[\"lengths\", \"<i4\", [%d]]]}",
         M, MM, U, W1, exhaustive ? "true" : "false", prox, n, l, n);
@@ -416,6 +416,15 @@ bool kdev_dense_send(DevConn *c, const uint8_t *codes,
     return c->send_frame(
         std::string(js, jn),
         {{codes, (size_t)n * l}, {lengths, (size_t)n * 4}});
+}
+
+bool kdev_flush_send(DevConn *c) {
+    const char *js = "{\"meta\": {\"op\": \"flush\"}, \"arrays\": []}";
+    return c->send_frame(js, {});
+}
+
+bool kdev_flush_recv(DevConn *c) {
+    return c->recv_frame() && c->ok();
 }
 
 bool kdev_chain_send(DevConn *c, const uint8_t *codes,

@@ -18,11 +18,17 @@ void kdev_close(DevConn *c);
 
 // One in-flight dense request at a time per extra slot: send is
 // fire-and-forget, recv blocks for the matching response (FIFO), so the
-// caller can pipeline batch k+1's send before batch k's recv.
+// caller can pipeline batch k+1's send before batch k's recv.  Dense
+// requests carry the "pipeline" flag: the daemon DEFERS each response
+// until the next request's device work is dispatched (cross-request
+// overlap); the caller must send a flush at end of stream to release
+// the final response, then read the flush ack after draining.
 bool kdev_dense_send(DevConn *c, const uint8_t *codes,
                      const int32_t *lengths, int n, int l, int M, int MM,
                      int U, int W1, bool exhaustive, bool has_proxi,
                      double proxi);
+bool kdev_flush_send(DevConn *c);
+bool kdev_flush_recv(DevConn *c);
 bool kdev_dense_recv(DevConn *c, std::vector<int32_t> &scores,
                      std::vector<uint8_t> &modes,
                      std::vector<uint8_t> &over,
