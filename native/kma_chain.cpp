@@ -813,6 +813,98 @@ int get_chain_templates(const KIdx *x, std::vector<Anker> &ankers,
     return -1;
 }
 
+// getProxiChainTemplates (kmeranker.c:235-370; Python reference
+// chain_scan._chain_templates_proxi): no include gating in the walk --
+// every template on every chained anker is extended and pos==0 events
+// grow the candidate list; selection keeps scores within
+// min_frac * bestScore (double, proxiTestBest[ScoreLen] semantics) and
+// feeds the softProxi accumulator.  Always returns the chain-start
+// anker index.
+int get_chain_templates_proxi(const KIdx *x, std::vector<Anker> &ankers,
+                              int src_i, int q_len,
+                              std::vector<int64_t> &bests, int64_t *Score,
+                              int64_t *extendScore, uint8_t *include,
+                              int lc, double min_frac, int64_t *soft) {
+    bests.clear();
+    Anker &src = ankers[src_i];
+    double bestScore = lc ? src.score_len : (double)src.score;
+    double proxi_score = min_frac * bestScore;
+    int64_t target_len = src.len_len;
+    int prev = src_i;
+    static thread_local std::vector<int64_t> cand;
+    cand.clear();
+    bool nextAnker = true;
+    int ni = src_i;
+    while (nextAnker) {
+        Anker &node = ankers[ni];
+        int64_t nvo = node.voff;
+        int64_t ncnt = val_at(x, nvo);
+        int start = node.start;
+        int end = node.end;
+        for (int64_t i = nvo + ncnt; i > nvo; --i) {
+            int64_t t = val_at(x, i);
+            int64_t score = Score[t];
+            int64_t pos = extendScore[t];
+            int64_t gaps = pos - end;
+            if (pos == 0) {
+                score = node.weight;
+                cand.push_back(t);
+            } else {
+                score = gap_score(x, gaps, node.weight, score);
+                node.score = 0; // mark as used
+            }
+            if (bestScore <= (double)score) {
+                int64_t tmp;
+                if (node.start) {
+                    int64_t w = x->W1 + ((int64_t)node.start - 1) * x->U;
+                    tmp = score + (w > x->Wl ? w : x->Wl);
+                } else {
+                    tmp = score;
+                }
+                int64_t tl = x->template_lengths[t];
+                if ((double)tmp == bestScore &&
+                    (!lc ||
+                     (q_len < tl ? (int64_t)q_len : tl) == target_len)) {
+                    score = (int64_t)bestScore;
+                    nextAnker = false;
+                    prev = ni;
+                }
+            }
+            extendScore[t] = start;
+            Score[t] = score;
+        }
+        --ni;
+        if (ni < 0 && nextAnker) {
+            prev = 0;
+            break;
+        }
+    }
+    for (int64_t t : cand) {
+        int64_t s = Score[t];
+        if (!include[t]) {
+            bool okv;
+            if (lc) {
+                int64_t tl = x->template_lengths[t];
+                int64_t mn = q_len < tl ? (int64_t)q_len : tl;
+                okv = (proxi_score / (double)target_len * (double)mn
+                       <= (double)s) ||
+                      proxi_score <= (double)s;
+            } else {
+                okv = proxi_score <= (double)s;
+            }
+            if (okv) {
+                bests.push_back(t);
+                if (soft)
+                    soft[t] += s;
+            }
+        }
+        Score[t] = 0;
+        extendScore[t] = 0;
+        include[t] = 0;
+    }
+    return prev;
+}
+
 // SegmentList -- the chain-claimed-region accumulator (role of
 // seqmenttree.c).  Re-derived from the BEHAVIORAL CONTRACT pinned by
 // tests/test_segtree.py (fuzzed against the compiled reference): the
@@ -1071,11 +1163,17 @@ int get_best_anker(std::vector<Anker> &V, int start_i, int lc,
     return best;
 }
 
-// chooseChain (kmeranker.c:512-594); proxi fixed at 1.0 (no proxi here)
+// chooseChain (kmeranker.c:512-594); proxi widens the both-strands case
 void choose_chain(const Anker *bf, const Anker *br, int cStart,
                   int cStart_r, double coverT, int *rc_out, int *start_out,
-                  int *ln_out) {
-    int rc = br->score < bf->score ? 1 : bf->score < br->score ? 2 : 3;
+                  int *ln_out, double proxi = 1.0) {
+    int rc;
+    if (proxi == 1.0)
+        rc = br->score < bf->score ? 1 : bf->score < br->score ? 2 : 3;
+    else if (br->score <= bf->score)
+        rc = proxi * (double)bf->score <= (double)br->score ? 3 : 1;
+    else
+        rc = proxi * (double)br->score <= (double)bf->score ? 3 : 2;
     int start, end;
     if (rc == 1) {
         start = cStart;
@@ -1136,7 +1234,24 @@ struct Ctx {
     std::vector<int64_t> bestT, bestT_r, passT, adds;
     std::vector<uint8_t> rc;
     SegmentList segs;
+    // -proxi state (kchain_set_proxi): <1.0 routes template selection
+    // through getProxiChainTemplates semantics; soft = softProxi array
+    double proxi_frac = 1.0;
+    int64_t *soft = nullptr;
 };
+
+// dispatch: plain vs proxi template selection (kma.c:702-717 wiring)
+inline int chain_templates(Ctx *c, std::vector<Anker> &V, int src_i,
+                           int q_len, std::vector<int64_t> &bests,
+                           int64_t *Score, int64_t *extendScore,
+                           uint8_t *include, int lc) {
+    if (c->proxi_frac < 1.0)
+        return get_chain_templates_proxi(&c->x, V, src_i, q_len, bests,
+                                         Score, extendScore, include, lc,
+                                         c->proxi_frac, c->soft);
+    return get_chain_templates(&c->x, V, src_i, q_len, bests, Score,
+                               extendScore, include, lc);
+}
 
 // savekmers.c:5840-5880: one strand's next-chain selection
 Anker *advance(Ctx *c, std::vector<Anker> &V, Anker *best, int *b_i,
@@ -1149,7 +1264,7 @@ Anker *advance(Ctx *c, std::vector<Anker> &V, Anker *best, int *b_i,
     if (!best)
         return nullptr;
     if (best->score) {
-        int cs = get_chain_templates(&c->x, V, *b_i, q_len, bests, Score,
+        int cs = chain_templates(c, V, *b_i, q_len, bests, Score,
                                      extendScore, include, lc);
         if (cs >= 0) {
             int cStart = V[cs].start;
@@ -1176,7 +1291,7 @@ Anker *advance(Ctx *c, std::vector<Anker> &V, Anker *best, int *b_i,
         *b_i = nb;
         if (c->x.k < best->score) {
             bests.clear();
-            int cs = get_chain_templates(&c->x, V, *b_i, q_len, bests,
+            int cs = chain_templates(c, V, *b_i, q_len, bests,
                                          Score, extendScore, include, lc);
             if (cs >= 0) {
                 int cStart = V[cs].start;
@@ -1232,7 +1347,7 @@ void merge_ties(Ctx *c, std::vector<Anker> &V, int b_i, int start,
             extendScore[t] = 0;
         }
         c->adds.clear();
-        get_chain_templates(&c->x, V, found, q_len, c->adds, Score,
+        chain_templates(c, V, found, q_len, c->adds, Score,
                             extendScore, include, lc);
         for (int64_t t : c->adds)
             bests.push_back(t);
@@ -1284,6 +1399,14 @@ void *kchain_create(const void *exist, int exist_es, const void *key_index,
 }
 
 void kchain_free(void *h) { delete (Ctx *)h; }
+
+// -proxi wiring (kma.c:702-717; kmers.c:132-151): frac is |minFrac| as
+// the scanners see it; soft is the softProxi accumulator or null
+void kchain_set_proxi(void *h, double frac, long long *soft) {
+    Ctx *c = (Ctx *)h;
+    c->proxi_frac = frac;
+    c->soft = (int64_t *)soft;
+}
 
 // chain_scan_read (save_kmers_chain, savekmers.c:5127-5944) for one read.
 // Outputs per hit: rc emit kind (1 fw codes, 2 rc codes), sc (rc_flag),
@@ -1403,7 +1526,7 @@ int kchain_scan_read_v(void *h, const uint8_t *codes, int seqlen,
     int64_t ln;
     if (!(best_f && best_f->score) || !(best_r && best_r->score)) {
         if (best_f && best_f->score) {
-            int cs = get_chain_templates(x, VF, bf_i, seqlen, bestT, Score,
+            int cs = chain_templates(c, VF, bf_i, seqlen, bestT, Score,
                                          extendScore, include, lc);
             cStart = cs >= 0 ? VF[cs].start : best_f->start;
             start = cStart;
@@ -1412,7 +1535,7 @@ int kchain_scan_read_v(void *h, const uint8_t *codes, int seqlen,
         } else {
             if (!best_r)
                 return 0; // unreachable (f/r score gate above)
-            int cs = get_chain_templates(x, VR, br_i, seqlen, bestT_r,
+            int cs = chain_templates(c, VR, br_i, seqlen, bestT_r,
                                          Score, extendScore, include, lc);
             cStart_r = cs >= 0 ? VR[cs].start : best_r->start;
             start = cStart_r;
@@ -1420,15 +1543,15 @@ int kchain_scan_read_v(void *h, const uint8_t *codes, int seqlen,
             rc = 2;
         }
     } else {
-        int cs = get_chain_templates(x, VF, bf_i, seqlen, bestT, Score,
+        int cs = chain_templates(c, VF, bf_i, seqlen, bestT, Score,
                                      extendScore, include, lc);
         cStart = cs >= 0 ? VF[cs].start : best_f->start;
-        cs = get_chain_templates(x, VR, br_i, seqlen, bestT_r, Score,
+        cs = chain_templates(c, VR, br_i, seqlen, bestT_r, Score,
                                  extendScore, include, lc);
         cStart_r = cs >= 0 ? VR[cs].start : best_r->start;
         int lni;
         choose_chain(best_f, best_r, cStart, cStart_r, coverT, &rc, &start,
-                     &lni);
+                     &lni, c->proxi_frac);
         ln = lni;
     }
 
@@ -1549,7 +1672,7 @@ int kchain_scan_read_v(void *h, const uint8_t *codes, int seqlen,
         if (best_f && best_r) {
             int lni;
             choose_chain(best_f, best_r, cStart, cStart_r, coverT, &rc,
-                         &start, &lni);
+                         &start, &lni, c->proxi_frac);
             ln = lni;
         } else if (best_f) {
             rc = 1;

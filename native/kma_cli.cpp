@@ -49,6 +49,7 @@ void *krun_create(const void *exist, int exist_es, const void *key_index,
 void krun_free(void *hv);
 void krun_set_pe(void *hv, ll pe);
 void krun_set_mem(void *hv, int mem_mode);
+void krun_set_proxi(void *hv, double scanner_min_frac, int soft_on);
 void krun_set_sam(void *hv, int mask);
 ll krun_sam_len(void *hv);
 void krun_sam_fetch(void *hv, uint8_t *buf);
@@ -493,6 +494,14 @@ struct Cfg {
     // penalties (kma.c:328-337)
     int M = 1, U = -1, W1 = -3, Wl = -6, Mn = 0, PE = 7, Ts = -2, Tv = -2;
     int conclave = 1;              // -ConClave 1/2
+    // preset / long-read machinery (kma.c:568-717, 1024-1248)
+    double min_frac = 1.0;         // -proxi (negative = soft)
+    int lc = 0;                    // -lc length-corrected selection
+    int ts = 0;                    // -ts seed front trim
+    int circular = 0;              // -ca circular templates
+    int dense = 0;                 // -dense insertion-free pileup
+    int ref_fsa = 0;               // -ref_fsa [n]
+    int preset = 0;                // bitmask as kma.c keeps it
 };
 
 // score_matrix (config.Penalties.score_matrix; kma.c:1307-1328)
@@ -529,7 +538,8 @@ int main(int argc, char **argv) {
                                          "-gapextend", "-localopen",
                                          "-Npenalty", "-per",
                                          "-transition", "-transversion",
-                                         "-ConClave"};
+                                         "-ConClave", "-proxi", "-mct",
+                                         "-ts"};
         bool needs_val = false;
         for (const char *v : valflags)
             if (a == v)
@@ -655,6 +665,112 @@ int main(int argc, char **argv) {
             cfg.conclave = atoi(argv[++i]);
             if (cfg.conclave < 1 || 2 < cfg.conclave)
                 return FALLBACK;   // python prints the usage error
+        } else if (a == "-proxi") {
+            cfg.min_frac = atof(argv[++i]);
+            if (cfg.min_frac < -1 || 1 < cfg.min_frac)
+                return FALLBACK;   // python prints the usage error
+        } else if (a == "-lc") {
+            cfg.lc = 1;
+        } else if (a == "-mct") {
+            cfg.cover_t = atof(argv[++i]);
+        } else if (a == "-ts") {
+            cfg.ts = atoi(argv[++i]);
+        } else if (a == "-ca") {
+            cfg.circular = 1;
+        } else if (a == "-dense") {
+            cfg.dense = 1;
+        } else if (a == "-ref_fsa") {
+            // optional numeric value; bare 0 means 2 (kma.c:671-683)
+            cfg.ref_fsa = 1;
+            if (i + 1 < argc && argv[i + 1][0] != '-') {
+                cfg.ref_fsa = atoi(argv[++i]);
+                if (cfg.ref_fsa == 0)
+                    cfg.ref_fsa = 2;
+            }
+        } else if (a == "-cge") {
+            // kma.c:1024-1030 (MM=-3 is overwritten by (Ts+Tv-1)/2)
+            cfg.score_t = 0.5;
+            cfg.M = 1;
+            cfg.W1 = -5;
+            cfg.U = -1;
+            cfg.PE = 17;
+        } else if (a == "-ont") {
+            // kma.c:1115-1157: -bcNano -bc 0.7 -mct 0.1 -bcd 10
+            // -proxi -0.9 -mrs 0.25 -mrc 0.7 -eq 10 -lc -ts 2
+            cfg.preset |= 4;
+            cfg.base_caller = 3;
+            cfg.significant = 2;
+            cfg.support = 0.7;
+            cfg.cover_t = 0.1;
+            cfg.bcd = 10;
+            cfg.min_frac = -0.9;
+            cfg.score_t = 0.25;
+            cfg.mrc = 0.7;
+            cfg.min_q = 10;
+            cfg.lc = 1;
+            cfg.ts = 2;
+        } else if (a == "-ill") {
+            // kma.c:1159-1201: -1t1 -mrc 0.1 -lc -proxi -0.98 -bc 0.9
+            // -bcd 10 (the -cge and -apm p blocks are commented out)
+            cfg.preset |= 8;
+            cfg.one2one = true;
+            cfg.mrc = 0.1;
+            cfg.lc = 1;
+            cfg.min_frac = -0.98;
+            cfg.significant = 2;
+            cfg.support = 0.9;
+            cfg.bcd = 10;
+        } else if (a == "-asm") {
+            // kma.c:1203-1248: -bc 0.5 -p 0.5 -mct 0.1 -bcd 1
+            // -proxi -0.9 -mrs 0.25 -mrc 0.7 -lc -ts 2
+            cfg.preset |= 16;
+            cfg.significant = 2;
+            cfg.support = 0.5;
+            cfg.evalue = 0.5;
+            cfg.cover_t = 0.1;
+            cfg.bcd = 1;
+            cfg.min_frac = -0.9;
+            cfg.score_t = 0.25;
+            cfg.mrc = 0.7;
+            cfg.lc = 1;
+            cfg.ts = 2;
+        } else if (a == "-mint2") {
+            // kma.c:1069-1094: -1t1 -mem_mode -ca -cge -mq 1 -ref_fsa 2
+            // -dense -bcg -bcd 10 -bc 0.9 -vcf -ef
+            cfg.preset |= 1;
+            cfg.one2one = true;
+            cfg.mem_mode = true;
+            cfg.circular = 1;
+            cfg.score_t = 0.75;
+            cfg.M = 1;
+            cfg.W1 = -5;
+            cfg.U = -1;
+            cfg.PE = 17;
+            cfg.mq = 1;
+            cfg.ref_fsa = 2;
+            cfg.dense = 1;
+            cfg.base_caller = 1;
+            cfg.bcd = 10;
+            cfg.significant = 2;
+            cfg.support = 0.9;
+            cfg.vcf = 1;
+            cfg.ef = true;
+        } else if (a == "-mint3") {
+            // kma.c:1095-1114: -1t1 -mem_mode -ca -mq 1 -ref_fsa 2
+            // -dense -bcNano -bcd 10 -bc 0.7 -vcf -ef
+            cfg.preset |= 2;
+            cfg.one2one = true;
+            cfg.mem_mode = true;
+            cfg.circular = 1;
+            cfg.mq = 1;
+            cfg.ref_fsa = 2;
+            cfg.dense = 1;
+            cfg.base_caller = 3;
+            cfg.bcd = 10;
+            cfg.significant = 2;
+            cfg.support = 0.7;
+            cfg.vcf = 1;
+            cfg.ef = true;
         } else if (a == "-matrix") {
             cfg.print_matrix = true;
         } else if (a == "-ef") {
@@ -707,6 +823,20 @@ int main(int argc, char **argv) {
         return FALLBACK;   // PE+HMM stays on the Python path
     if (cfg.sam && (cfg.pe || cfg.mem_mode))
         return FALLBACK;   // PE/mem SAM rows stay on the Python path
+    // -proxi envelope: the native proxi machinery covers the SE chain
+    // scan (getProxiChainTemplates) and the SE -1t1 scan
+    // (getProxiMatch); PE combiners (getF/R_Proxi), HMM, SAM and the
+    // device scan stream keep the Python path.  -proxi +-1.0 keeps the
+    // reference's no-op-pointer quirk on the Python path too.
+    const bool proxi_active = cfg.min_frac != 1.0 && cfg.min_frac != -1.0;
+    if (cfg.min_frac == -1.0)
+        return FALLBACK;
+    if (proxi_active && (cfg.pe || cfg.hmm || cfg.sam || cfg.device_on))
+        return FALLBACK;
+    // -ca affects step-3 chaining (chainSeeds_circular) only outside
+    // mem_mode; the native scorer chains non-circular
+    if (cfg.circular && !cfg.mem_mode)
+        return FALLBACK;
     DevConn *dc = nullptr;
     if (cfg.device_on) {
         // native device envelope: SE -1t1 (dense scan op), the SE
@@ -749,12 +879,27 @@ int main(int argc, char **argv) {
         cfg.U, cfg.W1, cfg.Wl, dmat, (cfg.t_db + ".seq.b").c_str(),
         cfg.hmm ? 2 : (cfg.one2one ? 0 : 1), 0, (int)cfg.min_len,
         cfg.mq, cfg.score_t,
-        cfg.mrc, cfg.cover_t, 0, 1.0, -1, cfg.threads);
+        cfg.mrc, cfg.cover_t, cfg.lc,
+        (cfg.preset & 16) && !cfg.mem_mode ? 1.0 : cfg.min_frac, -1,
+        cfg.threads);
     if (!R)
         return FALLBACK;
     krun_set_pe(R, cfg.PE);
     if (cfg.mem_mode)
         krun_set_mem(R, 1);
+    if (proxi_active) {
+        // the scanners see |minFrac| (kmers.c:133-142); softProxi only
+        // for mem_mode with a soft (negative) -proxi
+        double sf = (!cfg.mem_mode && cfg.min_frac < 0) ? -cfg.min_frac
+                                                        : cfg.min_frac;
+        int soft_on = 0;
+        if (sf < 0) {
+            sf = -sf;
+            soft_on = 1;
+        }
+        if (sf < 1.0)
+            krun_set_proxi(R, sf, soft_on);
+    }
     if (cfg.tsv)
         krun_set_tsv(R, cfg.tsv);
     if (cfg.xml)
@@ -1174,7 +1319,7 @@ int main(int argc, char **argv) {
     for (uint32_t t = 1; t < ix.db_size; t++)
         tot_ulen += ix.tlen[t];
     double tw1 = now();
-    krun_conclave(R, cfg.conclave, 0, w_scores.data(), fc.data(),
+    krun_conclave(R, cfg.conclave, cfg.lc, w_scores.data(), fc.data(),
                   rc.data(), tot_ulen,
                   cfg.score_t, cfg.evalue, 0, 1000000);
     if (prof)
@@ -1198,11 +1343,12 @@ int main(int argc, char **argv) {
                         ix.names_off.data(), (ll)ix.db_size, tot_ulen,
                         Nhits, cfg.evalue, cfg.score_t, 0, cfg.ID_t,
                         cfg.Depth_t, cfg.bcd, cfg.support, cfg.base_caller,
-                        cfg.significant, 0, want_fsa, want_aln,
+                        cfg.significant, cfg.ref_fsa, want_fsa, want_aln,
                         cfg.nf ? 0 : 1, cfg.print_matrix ? 1 : 0, cfg.vcf,
                         cfg.ef ? 1 : 0, fc.data(), rc.data(), 1, 0, cfg.Wl,
-                        (int)cfg.min_len, cfg.mq, cfg.score_t, cfg.mrc, 0,
-                        0, 0, 0, &lr, &lf, &la, &lg, &lm, &lv, &le) < 0)
+                        (int)cfg.min_len, cfg.mq, cfg.score_t, cfg.mrc,
+                        cfg.circular, cfg.ts, 0, cfg.dense,
+                        &lr, &lf, &la, &lg, &lm, &lv, &le) < 0)
         die("output failed");
     std::vector<uint8_t> res(lr ? lr : 1), fsa(lf ? lf : 1),
         aln(la ? la : 1), frag(lg ? lg : 1), mat(lm ? lm : 1),

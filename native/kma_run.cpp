@@ -48,6 +48,7 @@ void *kchain_create(const void *exist, int exist_es, const void *key_index,
                     const long long *template_lengths, long long M,
                     long long MM, long long U, long long W1, long long Wl);
 void kchain_free(void *h);
+void kchain_set_proxi(void *h, double frac, long long *soft);
 // save_kmers_HMM helpers (kma_chain.cpp; Python flow: hmm_scan.py)
 void kchain_lookup_windows(void *h, const uint8_t *fold, int seqlen,
                            long long *out);
@@ -271,6 +272,7 @@ struct PairPend {
 
 struct Scratch {
     void *ctx = nullptr;
+    long long *soft = nullptr;   // per-thread softProxi accumulator
     std::vector<ll> Score, Score_r, extendScore;
     std::vector<uint8_t> include;
     std::vector<int> bests, bests_r;
@@ -371,6 +373,13 @@ struct Run {
     int exhaustive = 0, minlen = 16, mq = 0, lc = 0;
     double scoreT = 0.5, mrc = 0.0, coverT = 0.1;
     double aln_min_frac = 1.0;
+    // -proxi scan-level state (krun_set_proxi; kmers.c:132-151): the
+    // scanners see |minFrac|; soft accumulators are PER THREAD so -t>1
+    // stays deterministic, summed into alignment_scores at ConClave
+    // time (runkma.c:1153-1156 replacement semantics)
+    double scan_min_frac = 1.0;
+    bool scan_soft = false;
+    std::vector<std::vector<ll>> soft_bufs;
     ll contamination = -1;         // deCon pseudo-template id, -1 = none
     int n_threads = 1;
     ll pe_reward = 7;              // PE pair reward (kma.c:337)
@@ -1052,9 +1061,11 @@ static void scan_read_units(Run *R, Scratch &S, const uint8_t *q,
     if (R->mode == 0) {
         int nb = 0, nbr = 0;
         ll bs[2] = {0, 0};
-        kchain_save_kmers(S.ctx, q, q_len, R->exhaustive, 0.0, 0,
+        kchain_save_kmers(S.ctx, q, q_len, R->exhaustive,
+                          R->scan_min_frac,
+                          R->scan_min_frac < 1.0 ? 1 : 0,
                           S.Score.data(), S.Score_r.data(),
-                          S.extendScore.data(), S.include.data(), nullptr,
+                          S.extendScore.data(), S.include.data(), S.soft,
                           S.bests.data(), &nb, S.bests_r.data(), &nbr, bs);
         ll b0 = bs[0], b1 = bs[1];
         if ((b0 <= 0 && b1 <= 0) || (k > b0 && k > b1))
@@ -2437,6 +2448,22 @@ void krun_set_mem(void *h, int mem_mode) {
 
 // -sam stream: rows accumulate in emission order; the caller drains
 // with krun_sam_fetch after each map batch and after output_all
+void krun_set_proxi(void *h, double scanner_min_frac, int soft_on) {
+    Run *r = (Run *)h;
+    r->scan_min_frac = scanner_min_frac;
+    r->scan_soft = soft_on != 0;
+    r->soft_bufs.assign(r->ctxs.size(), {});
+    for (size_t i = 0; i < r->ctxs.size(); ++i) {
+        ll *sp = nullptr;
+        if (soft_on) {
+            r->soft_bufs[i].assign((size_t)r->db_size + 3, 0);
+            sp = r->soft_bufs[i].data();
+        }
+        kchain_set_proxi(r->ctxs[i], scanner_min_frac, sp);
+        r->scratch[i].soft = sp;
+    }
+}
+
 void krun_set_sam(void *h, int mask) { ((Run *)h)->sam_mask = mask; }
 long long krun_sam_len(void *h) {
     return (long long)((Run *)h)->out_sam.size();
@@ -3078,6 +3105,15 @@ void krun_conclave(void *hv, int version, int lc, long long *w_scores,
     size_t nrec = sp.size();
     int db = R->db_size;
     std::vector<ll> &as = R->alignment_scores;
+    if (R->scan_soft) {
+        // soft -proxi: the scanners' softProxi totals REPLACE the
+        // spooled alignment scores before ConClave (runkma.c:1153-1156)
+        std::fill(as.begin(), as.end(), 0);
+        for (auto &buf : R->soft_bufs)
+            for (int t = 0; t < db && t < (int)buf.size(); ++t)
+                as[t] += buf[t];
+        R->scan_soft = false;   // replace once per run
+    }
     std::vector<ll> &us = R->uniq_alignment_scores;
     const ll *tl = R->tlen.data();
     R->frags.assign(db, {});

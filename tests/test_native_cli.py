@@ -56,6 +56,15 @@ def _run_python(args, out):
     ["-reward", "2", "-transition", "3", "-transversion", "4"],
     ["-gapopen", "5", "-gapextend", "2", "-localopen", "8"],
     ["-ConClave", "2"], ["-e", "0.001"], ["-xl", "150"],
+    # presets + the proxi/lc machinery (kma.c:568-717, 1024-1248) --
+    # round-5 native envelope: -proxi chain selection
+    # (getProxiChainTemplates), soft proxi in mem_mode, -lc, -ts
+    ["-ont"], ["-ill"], ["-asm"], ["-cge"], ["-mint2"], ["-mint3"],
+    ["-lc"], ["-ts", "2"], ["-mct", "0.3"],
+    ["-proxi", "0.8"], ["-proxi", "-0.9"],
+    ["-proxi", "-0.9", "-mem_mode"], ["-1t1", "-proxi", "0.8"],
+    ["-1t1", "-proxi", "-0.8", "-mem_mode"],
+    ["-ont", "-mem_mode"], ["-ill", "-1t1"],
 ])
 def test_native_cli_matches_python(tmp_path, sim_reads_mod, db50_index,
                                    margs):  # noqa: F811
@@ -116,6 +125,9 @@ def test_native_cli_nc_na_fileset(tmp_path, sim_reads_mod, db50_index,
 @pytest.mark.parametrize("margs", [
     ["-Sparse"],
     ["-mf", "7"],
+    ["-proxi", "-1.0"],           # reference's no-op-pointer quirk
+    ["-proxi", "0.8", "-sam"],    # proxi SAM rows stay Python
+    ["-ca"],                      # circular step-3 chaining (non-mem)
 ])
 def test_native_cli_falls_back(tmp_path, sim_reads_mod, db50_index,
                                margs):  # noqa: F811
