@@ -60,6 +60,40 @@ def _allgather_arr(a: np.ndarray) -> List[np.ndarray]:
             for p in range(g.shape[0])]
 
 
+def _allgather_multi(arrays: List[np.ndarray]) -> List[List[np.ndarray]]:
+    """All-gather a LIST of ragged 1-D arrays in ONE collective pair
+    (sizes + payload) instead of one pair per array -- the per-collective
+    barrier latency dominates for the spool's 18 small streams.
+
+    Returns out[i][p] = array i from process p."""
+    from jax.experimental import multihost_utils as mh
+
+    dts = [np.asarray(a).dtype for a in arrays]
+    raws = [np.ascontiguousarray(a).view(np.uint8).ravel()
+            for a in arrays]
+    sizes = mh.process_allgather(
+        np.asarray([len(r) for r in raws], np.int64))
+    sizes = np.atleast_2d(sizes)
+    per_proc = sizes.sum(axis=1)
+    cap = max(int(per_proc.max()), 1)
+    padded = np.zeros(cap, np.uint8)
+    off = 0
+    for r in raws:
+        padded[off: off + len(r)] = r
+        off += len(r)
+    g = mh.process_allgather(padded)
+    g = np.atleast_2d(g)
+    out: List[List[np.ndarray]] = [[] for _ in arrays]
+    for p in range(g.shape[0]):
+        off = 0
+        for i, dt in enumerate(dts):
+            n = int(sizes[p, i])
+            out[i].append(np.ascontiguousarray(
+                g[p, off: off + n]).view(dt))
+            off += n
+    return out
+
+
 def _merge_ragged(flats: List[np.ndarray], offs: List[np.ndarray],
                   order: np.ndarray):
     """Merge per-process (flat, offsets) ragged arrays into one flat
@@ -142,7 +176,7 @@ def run_kma_multihost(db_prefix: str, output_prefix: str,
         import time as _time
         sp = part["spool"]
         _tg = _time.time()
-        gathered = [_allgather_arr(x) for x in sp]
+        gathered = _allgather_multi(list(sp))
         _tg = _time.time() - _tg
         n_local = len(sp[0])
         n_total = sum(len(g) for g in gathered[0])
@@ -212,9 +246,11 @@ def run_kma_multihost(db_prefix: str, output_prefix: str,
         tot_ulen = int(np.asarray(template_lengths[1:db_size]).sum())
         # replicated ConClave (deterministic on the identical merged
         # spool + summed score arrays)
+        _tc0 = _time.time()
         w_scores, fragment_counts, read_counts = ndrv.conclave(
             cfg.conclave, cfg.lc, tot_ulen, cfg.score_t, cfg.evalue,
             cfg.cmp_mode, cfg.max_frag)
+        _tc1 = _time.time()
         a, u = ndrv.scores()
         alignment_scores[:] = a
         uniq_alignment_scores[:] = u
@@ -222,39 +258,40 @@ def run_kma_multihost(db_prefix: str, output_prefix: str,
         rew = part["rew"]
         want_fsa = (cfg.nc & 1) == 0 or (cfg.nc & 2) == 0
         want_aln = (cfg.nc & 2) == 0
-        *seven, segs = ndrv.output_all(
+        # contiguous template ranges balanced by fragment counts (the
+        # assembly cost driver), identical on every rank since the
+        # conclave is replicated; stitching then reduces to a per-rank
+        # byte concatenation in rank order
+        wt = np.asarray(fragment_counts[:db_size], np.float64).copy()
+        wt[np.asarray(w_scores[:db_size]) <= 0] = 0.0
+        wt += 0.02 * (wt > 0)          # fixed per-template cost share
+        cum = np.cumsum(wt)
+        total_wt = float(cum[-1]) if len(cum) else 0.0
+        cuts = [1]
+        for r in range(1, num_processes):
+            cuts.append(int(np.searchsorted(
+                cum, total_wt * r / num_processes)) + 1)
+        cuts.append(int(db_size))
+        lo, hi = cuts[process_id], max(cuts[process_id],
+                                       cuts[process_id + 1])
+        seven = ndrv.output_all(
             w_scores, cfg_names, cfg, rew.Wl, tot_ulen, Nhits, cfg.bcd,
             _na.BASE_CALLERS[cfg.base_caller],
             _na.SIGNIFICANTS[cfg.significant], CMP_CODE[cfg.cmp_mode],
             want_fsa, want_aln, not cfg.nf,
             want_matrix=cfg.print_matrix, vcf_filt=cfg.vcf,
             want_ef=cfg.ef, fragment_counts=fragment_counts,
-            read_counts=read_counts,
-            t_stride=(num_processes, process_id), want_segments=True)
-        blob = pickle.dumps((seven, segs),
-                            protocol=pickle.HIGHEST_PROTOCOL)
+            read_counts=read_counts, t_stride=(-hi, lo))
+        _tout = _time.time()
+        blob = pickle.dumps(seven, protocol=pickle.HIGHEST_PROTOCOL)
         blobs = _allgather_blob(blob)
         _t2 = _time.time()
         if process_id != 0:
             return 0
 
-        # stitch the 7 streams back into template-id order
+        # ranges ascend with rank: template order == rank order
         parts = [pickle.loads(b) for b in blobs]
-        stitched = []
-        entries = []   # (template, rank, start7[7], len7[7])
-        for r, (_bufs, (seg_tpl, seg_lens)) in enumerate(parts):
-            offs = np.zeros((len(seg_tpl) + 1, 7), np.int64)
-            np.cumsum(seg_lens, axis=0, out=offs[1:])
-            for i, t in enumerate(np.asarray(seg_tpl).tolist()):
-                entries.append((t, r, offs[i], seg_lens[i]))
-        entries.sort(key=lambda e: e[0])
-        for s in range(7):
-            chunks = []
-            for t, r, off, ln in entries:
-                if ln[s]:
-                    b = parts[r][0][s]
-                    chunks.append(b[int(off[s]): int(off[s] + ln[s])])
-            stitched.append(b"".join(chunks))
+        stitched = [b"".join(p[s] for p in parts) for s in range(7)]
         res_b, fsa_b, aln_b, frag_b, mat_b, vcf_b, ef_b = stitched
 
         with open(output_prefix + ".res", "wb") as f:
@@ -285,8 +322,10 @@ def run_kma_multihost(db_prefix: str, output_prefix: str,
                 f.write(ef_b)
         _t3 = _time.time()
         print("# multihost: rank-0 merge %.2f s, conclave+output(1/%d) "
-              "%.2f s, stitch+write %.2f s"
-              % (_t1 - _t0, num_processes, _t2 - _t1, _t3 - _t2),
+              "%.2f s (conclave %.2f, output %.2f, bcast %.2f), "
+              "stitch+write %.2f s"
+              % (_t1 - _t0, num_processes, _t2 - _t1, _tc1 - _tc0,
+                 _tout - _tc1, _t2 - _tout, _t3 - _t2),
               file=sys.stderr)
         return 0
 

@@ -3766,6 +3766,11 @@ long long krun_output_all(
         ll read_score = w_scores[t];
         if (read_score <= 0)
             continue;
+        // t_mod < 0: contiguous range [t_res, -t_mod) (multihost
+        // frag-count-balanced partition; stitching is then a plain
+        // per-rank concatenation instead of per-template slicing)
+        if (t_mod < 0 && (t < t_res || -t_mod <= t))
+            continue;
         if (t_mod > 1 && (t % t_mod) != t_res)
             continue;   // another rank owns this template's output
         ll t_len = R->tlen[t];
