@@ -568,6 +568,36 @@ def device_e2e_metric(db_prefix, reads, daemon_cap=900.0):
                 row["vs_ref"] = 0.0
                 row["reads_per_sec_e2e"] = 0.0
                 print("# PARITY FAILURE in device_e2e", file=sys.stderr)
+        # device NW pre-pass row (VERDICT r5 #3): the ONT config on the
+        # batched pipeline with the step-3 banded-NW window pre-pass on
+        # the chip (slim qext staging + on-device slab expansion)
+        # vs the host pre-pass, byte parity enforced
+        ont = str(TESTDATA / "bench_reads_ont.fq")
+        env = dict(os.environ)
+        env["KMA_TPU_NO_FUSED"] = "1"
+        nw = {}
+        for mode in ("off", "auto"):
+            env["KMA_TPU_NW"] = mode
+            args = [sys.executable, "-m", "kma_tpu", "-i", ont,
+                    "-t_db", db_prefix, "-o", "/tmp/bnw_" + mode,
+                    "-bcNano", "-bc", "0.7", "-t", "1", "-device", "on"]
+            walls = [_run_wall(args, env=env, timeout=420)[0]
+                     for _ in range(3)]
+            nw["wall_%s_s" % mode] = round(min(walls[1:]), 3)
+        try:
+            nw["parity"] = (
+                Path("/tmp/bnw_off.res").read_bytes()
+                == Path("/tmp/bnw_auto.res").read_bytes()
+                and Path("/tmp/bnw_off.fsa").read_bytes()
+                == Path("/tmp/bnw_auto.fsa").read_bytes())
+        except OSError:
+            nw["parity"] = False
+        if nw.get("wall_auto_s"):
+            nw["vs_host_prepass"] = round(
+                nw["wall_off_s"] / nw["wall_auto_s"], 3)
+        if not nw["parity"]:
+            nw["vs_host_prepass"] = 0.0
+        row["nw_prepass"] = nw
     finally:
         if started:
             try:

@@ -155,6 +155,12 @@ def get_lib():
         i32p, i32p, u8p, i32p, i32p, i32p, i32p, i32p, i32p,
         i64p, ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int8), i32p, i32p, i32p, i32p]
+    lib.kaln_se_stage_codes.restype = None
+    lib.kaln_se_stage_codes.argtypes = [
+        vpp, u8p, i64p, u8p, i64p,
+        i32p, i32p, u8p, i32p, i32p, i32p, i32p, i32p, i32p,
+        i64p, ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+        u8p, u8p, u8p, i32p, i32p, i32p, i32p]
     lib.kaln_pe_score_batch.restype = None
     lib.kaln_pe_score_batch.argtypes = [
         vpp, i32p, i64p,                 # handles, tpl ids, tpl offsets
@@ -388,6 +394,37 @@ def stage_msc(handles, codes_flat, codes_off, crc_flat, crc_off, rew,
         msc.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), _i32p(tl),
         _i32p(ql), _i32p(kf), _i32p(hb))
     return msc, tl, ql, kf, hb
+
+
+def stage_codes(handles, codes_flat, codes_off, crc_flat, crc_off,
+                wins, sel, R: int, L: int):
+    """Slim CODES staging for the device NW kernel
+    (kaln_se_stage_codes): ~2 bytes/row instead of stage_msc's L.
+    Returns (qc0 [n, L] u8, tcol [R, n] u8, inj [R, n] u8, tl, ql, kf,
+    hb)."""
+    lib = get_lib()
+    if crc_flat is None:
+        crc_flat = _EMPTY_U8
+        crc_off = np.zeros(len(codes_off), np.int64)
+    sel = np.ascontiguousarray(sel, np.int64)
+    n = len(sel)
+    qc0 = np.empty((n, L), np.uint8)
+    tcol = np.empty((R, n), np.uint8)
+    inj = np.empty((R, n), np.uint8)
+    tl = np.empty(n, np.int32)
+    ql = np.empty(n, np.int32)
+    kf = np.empty(n, np.int32)
+    hb = np.empty(n, np.int32)
+    lib.kaln_se_stage_codes(
+        handles.ctypes.data_as(ctypes.POINTER(ctypes.c_void_p)),
+        _u8p(codes_flat), _i64p(codes_off), _u8p(crc_flat),
+        _i64p(crc_off), _i32p(wins["read"]),
+        _i32p(wins["cand"]), _u8p(wins["rc"]), _i32p(wins["ts"]),
+        _i32p(wins["te"]), _i32p(wins["qs"]), _i32p(wins["qe"]),
+        _i32p(wins["kf"]), _i32p(wins["band"]), _i64p(sel), n, R, L,
+        _u8p(qc0), _u8p(tcol), _u8p(inj), _i32p(tl),
+        _i32p(ql), _i32p(kf), _i32p(hb))
+    return qc0, tcol, inj, tl, ql, kf, hb
 
 
 def set_dev_scores(lead, has_lead, trail, has_trail):

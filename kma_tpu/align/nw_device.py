@@ -31,7 +31,7 @@ import numpy as np
 from . import native_aln as _nat
 
 GT = 8          # kernel batch tile (rows per pallas program)
-B_CHUNK = 256   # windows per device dispatch (fixed compile shape)
+B_CHUNK = 1024  # windows per device dispatch (fixed compile shape)
 # lead/trail window geometry clamps the span difference to BANDWIDTH,
 # so band = |dt-dq| + 64 <= 128 always; 130 band lanes need 256
 L_LANES = 256
@@ -46,6 +46,15 @@ def _r_bucket(r: int) -> int:
     while b < r:
         b = -(-b * 3 // 2) // 64 * 64
     return b
+
+
+def _gt_for(R: int) -> int:
+    """Kernel row-tile: largest power of two whose [R, GT, L] msc block
+    stays within ~8 MB of VMEM."""
+    gt = 8
+    while gt < 256 and (R * 2 * gt * L_LANES) <= (8 << 20):
+        gt <<= 1
+    return gt
 
 
 class DeviceNWPrepass:
@@ -67,32 +76,36 @@ class DeviceNWPrepass:
 
     # -- scoring backends ---------------------------------------------------
 
-    def _score_local(self, tl, ql, kf, hb, msc, rew):
+    def _score_local(self, tl, ql, kf, hb, qext, tcol, gt, rew):
         if self._local_fn is None:
             import jax
 
-            from ..ops.nw_kernel import nw_band_score_pallas
+            from ..ops.nw_kernel import nw_band_score_qext_pallas
             interpret = (jax.default_backend() == "cpu"
                          or os.environ.get("KMA_TPU_PALLAS")
                          == "interpret")
+            DMAT = tuple(tuple(int(x) for x in row)
+                         for row in np.asarray(rew.d)[:5, :5])
 
-            def fn(tl, ql, kf, hb, msc):
-                return nw_band_score_pallas(
-                    tl, ql, kf, msc, half_band=hb, W1=rew.W1, U=rew.U,
-                    MM=rew.MM, GT=GT, interpret=interpret)
+            def fn(tl, ql, kf, hb, qext, tcol, gt):
+                return nw_band_score_qext_pallas(
+                    tl, ql, kf, hb, qext, tcol, DMAT=DMAT,
+                    W1=rew.W1, U=rew.U, MM=rew.MM, GT=gt,
+                    interpret=interpret)
 
             self._local_fn = fn
-        return np.asarray(self._local_fn(tl, ql, kf, hb, msc),
+        return np.asarray(self._local_fn(tl, ql, kf, hb, qext, tcol, gt),
                           np.int64)
 
-    def _score(self, tl, ql, kf, hb, msc, rew):
+    def _score(self, tl, ql, kf, hb, qext, tcol, gt, rew):
         self.dispatches += 1
         if self.client is not None:
             return np.asarray(
-                self.client.nw_scores(tl, ql, kf, msc, half_band=hb,
-                                      W1=rew.W1, U=rew.U, MM=rew.MM,
-                                      GT=GT), np.int64)
-        return self._score_local(tl, ql, kf, hb, msc, rew)
+                self.client.nw_scores_qext(
+                    tl, ql, kf, hb, qext, tcol,
+                    dmat=np.asarray(rew.d)[:5, :5], W1=rew.W1, U=rew.U,
+                    MM=rew.MM, GT=gt), np.int64)
+        return self._score_local(tl, ql, kf, hb, qext, tcol, gt, rew)
 
     # -- batch entry ----------------------------------------------------------
 
@@ -115,36 +128,61 @@ class DeviceNWPrepass:
         wins, lead_win, trail_win = out
         n_win = len(wins["read"])
         spans = (wins["te"] - wins["ts"]).astype(np.int64)
-        est_bytes = int(np.minimum(spans, 1 << 20).sum()) * L_LANES
+        # CODES staging ships ~2 bytes/template-row + one L-lane query
+        # row per window (vs the r4 msc slab's span*L_LANES) -- ~100x
+        # less, so the auto budget engages even through a thin tunnel
+        est_bytes = int(np.minimum(spans, 1 << 20).sum()) * 2 \
+            + n_win * L_LANES
         if self.mode != "force" and est_bytes > self.max_bytes:
             return None
 
         order = np.argsort(spans, kind="stable")
         scores = np.zeros(n_win, np.int64)
+        # stage every chunk first, then PIPELINE the device calls: all
+        # requests go out before the first response is awaited, so the
+        # daemon round-trip latency is paid once, not per chunk.  Rows
+        # pad to the fixed B_CHUNK so each R bucket is ONE compile.
+        chunks = []
         for off in range(0, n_win, B_CHUNK):
             sel = order[off: off + B_CHUNK]
             R = _r_bucket(int(spans[sel].max()))
             n = len(sel)
-            # power-of-two row padding (>= GT): bounded compile-shape
-            # count, small batches stay small
-            n_pad = GT
-            while n_pad < n:
-                n_pad <<= 1
+            n_pad = GT if n <= GT else B_CHUNK
             sel_p = np.zeros(n_pad, np.int64)
             sel_p[:n] = sel
-            msc, tl, ql, kf, hb = _nat.stage_msc(
-                handles, codes_flat, codes_off, crc_flat, crc_off, rew,
+            qc0, tcol, inj, tl, ql, kf, hb = _nat.stage_codes(
+                handles, codes_flat, codes_off, crc_flat, crc_off,
                 wins, sel_p, R, L_LANES)
             if n < n_pad:
-                # pad rows: degenerate 1x1 windows (row 0 msc is zeroed
-                # only where staged; rewrite to true dummies)
+                # pad rows: degenerate 1x1 windows with pad codes
                 tl[n:] = 1
                 ql[n:] = 1
                 kf[n:] = 0
                 hb[n:] = 32
-                msc[:, n:, :] = 0
-            got = self._score(tl, ql, kf, hb, msc, rew)
-            scores[sel] = got[:n]
+                qc0[n:, :] = 5
+                tcol[:, n:] = 0
+                inj[:, n:] = 5
+            # qext = reversed inj ++ qc0: query codes over
+            # qpos = K-R+1+j (the device expands the slab from these)
+            qext = np.concatenate([inj.T[:, ::-1], qc0], axis=1)
+            qext = np.ascontiguousarray(qext)
+            gt = min(_gt_for(R), n_pad)
+            chunks.append((sel, n, tl, ql, kf, hb, qext, tcol, gt))
+        if self.client is not None:
+            self.dispatches += len(chunks)
+            for _sel, _n, tl, ql, kf, hb, qext, tcol, gt in chunks:
+                self.client.nw_scores_qext_send(
+                    tl, ql, kf, hb, qext, tcol,
+                    dmat=np.asarray(rew.d)[:5, :5], W1=rew.W1, U=rew.U,
+                    MM=rew.MM, GT=gt)
+            for sel, n, *_ in chunks:
+                got = np.asarray(self.client.nw_scores_qext_recv(),
+                                 np.int64)
+                scores[sel] = got[:n]
+        else:
+            for sel, n, tl, ql, kf, hb, qext, tcol, gt in chunks:
+                got = self._score(tl, ql, kf, hb, qext, tcol, gt, rew)
+                scores[sel] = got[:n]
         self.windows_scored += n_win
         LAST_STATS["windows"] += n_win
         LAST_STATS["dispatches"] = self.dispatches

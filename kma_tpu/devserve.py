@@ -295,6 +295,37 @@ class DevServer:
             interpret=bool(meta.get("interpret", False)))
         return {"ok": 1}, [("scores", np.asarray(sc, np.int32))]
 
+    def _op_nw_codes(self, meta, arrays):
+        from .ops.nw_kernel import nw_band_score_codes_pallas
+        DMAT = tuple(tuple(int(x) for x in row) for row in meta["dmat"])
+        sc = nw_band_score_codes_pallas(
+            np.asarray(arrays["t_len"], np.int32),
+            np.asarray(arrays["q_len"], np.int32),
+            np.asarray(arrays["kflag"], np.int32),
+            np.asarray(arrays["hband"], np.int32),
+            np.asarray(arrays["qc0"], np.uint8),
+            np.asarray(arrays["tcol"], np.uint8),
+            np.asarray(arrays["inj"], np.uint8),
+            DMAT=DMAT, W1=int(meta["W1"]), U=int(meta["U"]),
+            MM=int(meta["MM"]), GT=int(meta.get("GT", 8)),
+            interpret=bool(meta.get("interpret", False)))
+        return {"ok": 1}, [("scores", np.asarray(sc, np.int32))]
+
+    def _op_nw_qext(self, meta, arrays):
+        from .ops.nw_kernel import nw_band_score_qext_pallas
+        DMAT = tuple(tuple(int(x) for x in row) for row in meta["dmat"])
+        sc = nw_band_score_qext_pallas(
+            np.asarray(arrays["t_len"], np.int32),
+            np.asarray(arrays["q_len"], np.int32),
+            np.asarray(arrays["kflag"], np.int32),
+            np.asarray(arrays["hband"], np.int32),
+            np.asarray(arrays["qext"], np.uint8),
+            np.asarray(arrays["tcol"], np.uint8),
+            DMAT=DMAT, W1=int(meta["W1"]), U=int(meta["U"]),
+            MM=int(meta["MM"]), GT=int(meta.get("GT", 64)),
+            interpret=bool(meta.get("interpret", False)))
+        return {"ok": 1}, [("scores", np.asarray(sc, np.int32))]
+
     def _op_hello(self, meta, arrays):
         if meta.get("db") != self.db or meta.get("sig") != self.sig:
             return {"ok": 0, "err": "db mismatch: serving %s" % self.db}, []
@@ -377,7 +408,8 @@ class DevServer:
         if ready_cb is not None:
             ready_cb()
         ops = {"dense": self._op_dense, "chain": self._op_chain,
-               "nw": self._op_nw, "hello": self._op_hello}
+               "nw": self._op_nw, "nw_codes": self._op_nw_codes,
+               "nw_qext": self._op_nw_qext, "hello": self._op_hello}
         # Each connection gets its own thread with per-frame deadlines,
         # so a peer that dies mid-frame (or connects and never speaks)
         # stalls only its own thread -- every other client keeps being
@@ -630,6 +662,72 @@ class DevClient:
         else:
             meta["half_band"] = int(half_band)
         _, r = self._call(meta, arrays)
+        return np.asarray(r["scores"])
+
+    def nw_scores_codes(self, t_len, q_len, kflag, hband, qc0, tcol,
+                        inj, *, dmat, W1, U, MM, GT=8, interpret=False):
+        self.nw_scores_codes_send(t_len, q_len, kflag, hband, qc0, tcol,
+                                  inj, dmat=dmat, W1=W1, U=U, MM=MM,
+                                  GT=GT, interpret=interpret)
+        return self.nw_scores_codes_recv()
+
+    def nw_scores_codes_send(self, t_len, q_len, kflag, hband, qc0,
+                             tcol, inj, *, dmat, W1, U, MM, GT=8,
+                             interpret=False):
+        """Fire-and-forget half of nw_scores_codes: responses are FIFO,
+        so a caller may pipeline several sends before the first recv
+        (requests and replies are small; the daemon's writer thread
+        makes backpressure deadlock-free)."""
+        meta = {"op": "nw_codes", "W1": int(W1), "U": int(U),
+                "MM": int(MM), "GT": int(GT), "interpret": interpret,
+                "dmat": [[int(x) for x in row] for row in dmat]}
+        arrays = [("t_len", np.asarray(t_len, np.int32)),
+                  ("q_len", np.asarray(q_len, np.int32)),
+                  ("kflag", np.asarray(kflag, np.int32)),
+                  ("hband", np.asarray(hband, np.int32)),
+                  ("qc0", np.asarray(qc0, np.uint8)),
+                  ("tcol", np.asarray(tcol, np.uint8)),
+                  ("inj", np.asarray(inj, np.uint8))]
+        self._sock.settimeout(self.CALL_TIMEOUT)
+        _send(self._sock, meta, arrays)
+
+    def nw_scores_codes_recv(self):
+        rmeta, r = _recv(self._sock)
+        if not rmeta.get("ok"):
+            raise RuntimeError("devserve error: %s"
+                               % rmeta.get("err", "?"))
+        return np.asarray(r["scores"])
+
+    def nw_scores_qext(self, t_len, q_len, kflag, hband, qext, tcol, *,
+                       dmat, W1, U, MM, GT=64, interpret=False):
+        self.nw_scores_qext_send(t_len, q_len, kflag, hband, qext, tcol,
+                                 dmat=dmat, W1=W1, U=U, MM=MM, GT=GT,
+                                 interpret=interpret)
+        return self.nw_scores_qext_recv()
+
+    def nw_scores_qext_send(self, t_len, q_len, kflag, hband, qext,
+                            tcol, *, dmat, W1, U, MM, GT=64,
+                            interpret=False):
+        """Fire-and-forget half of nw_scores_qext (FIFO responses; the
+        caller may pipeline sends -- the daemon's writer thread makes
+        backpressure deadlock-free)."""
+        meta = {"op": "nw_qext", "W1": int(W1), "U": int(U),
+                "MM": int(MM), "GT": int(GT), "interpret": interpret,
+                "dmat": [[int(x) for x in row] for row in dmat]}
+        arrays = [("t_len", np.asarray(t_len, np.int32)),
+                  ("q_len", np.asarray(q_len, np.int32)),
+                  ("kflag", np.asarray(kflag, np.int32)),
+                  ("hband", np.asarray(hband, np.int32)),
+                  ("qext", np.asarray(qext, np.uint8)),
+                  ("tcol", np.asarray(tcol, np.uint8))]
+        self._sock.settimeout(self.CALL_TIMEOUT)
+        _send(self._sock, meta, arrays)
+
+    def nw_scores_qext_recv(self):
+        rmeta, r = _recv(self._sock)
+        if not rmeta.get("ok"):
+            raise RuntimeError("devserve error: %s"
+                               % rmeta.get("err", "?"))
         return np.asarray(r["scores"])
 
     def stop(self) -> None:

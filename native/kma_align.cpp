@@ -3210,6 +3210,74 @@ extern "C" void kaln_se_stage_msc(
     }
 }
 
+// Slim staging for the CODES-fed device kernel
+// (ops/nw_kernel.py nw_band_score_codes_pallas): the sheared band's
+// query position collapses to qpos(n) = K + n - i with
+// K = max(c0 - half, -1), so the device needs only the row-(-1) query
+// window (qc0, one code per lane), the per-row template code (tcol)
+// and the per-row entering query code (inj) -- ~2 bytes/row instead of
+// the msc slab's L bytes/row.  Code 5 = out-of-range pad (score 0).
+extern "C" void kaln_se_stage_codes(
+    void* const* handles, const uint8_t* codes_flat,
+    const int64_t* codes_off, const uint8_t* crc_flat,
+    const int64_t* crc_off, const int32_t* w_read, const int32_t* w_cand,
+    const uint8_t* w_rc, const int32_t* w_ts, const int32_t* w_te,
+    const int32_t* w_qs, const int32_t* w_qe, const int32_t* w_kf,
+    const int32_t* w_band, const int64_t* sel, ll n_sel, int R, int L,
+    uint8_t* qc0, uint8_t* tcol, uint8_t* inj, int32_t* tl_out,
+    int32_t* ql_out, int32_t* kf_out, int32_t* hb_out) {
+    memset(qc0, 5, (size_t)n_sel * L);
+    memset(tcol, 0, (size_t)R * n_sel);
+    memset(inj, 5, (size_t)R * n_sel);
+    std::vector<uint8_t> rcq;
+    for (ll j = 0; j < n_sel; j++) {
+        ll wi = sel[j];
+        int r = w_read[wi];
+        const uint8_t* q_fw = codes_flat + codes_off[r];
+        int q_len_full = (int)(codes_off[r + 1] - codes_off[r]);
+        const uint8_t* q_used = q_fw;
+        if (w_rc[wi]) {
+            if (crc_flat && crc_off[r + 1] > crc_off[r]) {
+                q_used = crc_flat + crc_off[r];
+            } else {
+                rcq.resize(q_len_full);
+                for (int i = 0; i < q_len_full; i++) {
+                    uint8_t c = q_fw[q_len_full - 1 - i];
+                    rcq[i] = c < 4 ? (uint8_t)(3 - c) : c;
+                }
+                q_used = rcq.data();
+            }
+        }
+        TIndex& T = *(TIndex*)handles[w_cand[wi]];
+        const uint8_t* tw = T.codes.data() + w_ts[wi];
+        const uint8_t* qw = q_used + w_qs[wi];
+        int t_len = w_te[wi] - w_ts[wi];
+        int q_len = w_qe[wi] - w_qs[wi];
+        int band = w_band[wi];
+        band += band & 1;
+        int half = band / 2;
+        tl_out[j] = t_len;
+        ql_out[j] = q_len;
+        kf_out[j] = w_kf[wi];
+        hb_out[j] = half;
+        int K = ((t_len + q_len) >> 1) - half;
+        if (K < -1)
+            K = -1;
+        uint8_t* qrow = qc0 + (size_t)j * L;
+        for (int n = 0; n < L; n++) {
+            int qpos = K + 1 + n;
+            if (qpos >= 0 && qpos < q_len)
+                qrow[n] = qw[qpos];
+        }
+        for (int i = 0; i < t_len && i < R; i++) {
+            tcol[(size_t)i * n_sel + j] = tw[t_len - 1 - i];
+            int qpos = K - i;
+            if (qpos >= 0 && qpos < q_len)
+                inj[(size_t)i * n_sel + j] = qw[qpos];
+        }
+    }
+}
+
 extern "C" void kaln_frags_se_batch_crc(
     void* const* handles, const int32_t* tpl_ids, const int64_t* tpl_off,
     const uint8_t* codes_flat, const int64_t* codes_off,

@@ -82,3 +82,49 @@ def test_nw_band_score_pallas_mixed_bands():
         t_len, q_len, np.asarray(ks, np.int32), msc,
         half_band=bands // 2, W1=W1, U=U, MM=MM, interpret=True))
     assert got.tolist() == exp
+
+
+def test_nw_codes_and_qext_kernels_oracle():
+    """Slim-staged kernel variants (round 5): the CODES kernel (in-VMEM
+    roll+inject slab build) and the QEXT wrapper (on-device XLA slab
+    expansion feeding the msc kernel) must match nw_band exactly --
+    including N query codes, per-alignment bands and bands wider than
+    the alignment (the K<0 saturation)."""
+    import numpy as np
+    from kma_tpu.align.nw import nw_band
+    from kma_tpu.config import Penalties
+    from kma_tpu.ops.nw_kernel import (nw_band_score_codes_pallas,
+                                       nw_band_score_qext_pallas,
+                                       stage_code_inputs)
+    pen = Penalties()
+    d = pen.score_matrix()[:5, :5].astype(np.int8)
+    DMAT = tuple(tuple(int(x) for x in row) for row in d)
+    rng = np.random.default_rng(29)
+    B = 16
+    ts, qs, tls, qls, kf, bands = [], [], [], [], [], []
+    for b in range(B):
+        band = [16, 32, 64, 126][b % 4]
+        tlen = int(rng.integers(4, 160))
+        qlen = max(1, tlen + int(rng.integers(-band // 2, band // 2 + 1)))
+        ts.append(rng.integers(0, 4, tlen).astype(np.uint8))
+        qs.append(rng.integers(0, 5, qlen).astype(np.uint8))
+        tls.append(tlen)
+        qls.append(qlen)
+        kf.append([0, 1, -1, 2, -2][b % 5])
+        bands.append(band)
+    tl_, ql_, hb, qc0, tcol, inj = stage_code_inputs(
+        ts, qs, tls, qls, np.asarray(bands))
+    kfa = np.asarray(kf, np.int32)
+    exp = [nw_band(ts[b], qs[b], kf[b], 0, tls[b], 0, qls[b],
+                   bands[b] + (bands[b] & 1), d, pen.W1, pen.U, pen.MM,
+                   tls[b]).score for b in range(B)]
+    got = np.asarray(nw_band_score_codes_pallas(
+        tl_, ql_, kfa, hb, qc0, tcol, inj, DMAT=DMAT, W1=pen.W1,
+        U=pen.U, MM=pen.MM, GT=8, interpret=True))
+    assert got.tolist() == exp
+    qext = np.ascontiguousarray(
+        np.concatenate([inj.T[:, ::-1], qc0], axis=1))
+    got2 = np.asarray(nw_band_score_qext_pallas(
+        tl_, ql_, kfa, hb, qext, tcol, DMAT=DMAT, W1=pen.W1, U=pen.U,
+        MM=pen.MM, GT=8, interpret=True))
+    assert got2.tolist() == exp
