@@ -161,6 +161,12 @@ def get_lib():
         i32p, i32p, u8p, i32p, i32p, i32p, i32p, i32p, i32p,
         i64p, ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
         u8p, u8p, u8p, i32p, i32p, i32p, i32p]
+    lib.kassem_set_pileup_export.restype = None
+    lib.kassem_set_pileup_export.argtypes = [
+        u8p, u8p, i64p, i32p, ctypes.c_longlong, ctypes.c_longlong]
+    lib.kassem_pileup_export_take.restype = None
+    lib.kassem_pileup_export_take.argtypes = [
+        i64p, i64p, ctypes.POINTER(ctypes.c_int)]
     lib.kaln_pe_score_batch.restype = None
     lib.kaln_pe_score_batch.argtypes = [
         vpp, i32p, i64p,                 # handles, tpl ids, tpl offsets
@@ -394,6 +400,30 @@ def stage_msc(handles, codes_flat, codes_off, crc_flat, crc_off, rew,
         msc.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), _i32p(tl),
         _i32p(ql), _i32p(kf), _i32p(hb))
     return msc, tl, ql, kf, hb
+
+
+def arm_pileup_export(n_rows: int, cap_bytes: int):
+    """Arm the dense-assembly device-pileup export for the NEXT
+    assembly_frags_batch call; returns the buffers to keep alive."""
+    lib = get_lib()
+    p_t = np.empty(cap_bytes, np.uint8)
+    p_q = np.empty(cap_bytes, np.uint8)
+    p_off = np.zeros(n_rows + 1, np.int64)
+    p_start = np.zeros(max(n_rows, 1), np.int32)
+    lib.kassem_set_pileup_export(
+        _u8p(p_t), _u8p(p_q), _i64p(p_off), _i32p(p_start), cap_bytes,
+        n_rows)
+    return p_t, p_q, p_off, p_start
+
+
+def take_pileup_export():
+    """(n_rows, used_bytes, overflowed) of the armed export; disarms."""
+    lib = get_lib()
+    pr = np.zeros(2, np.int64)
+    over = ctypes.c_int(0)
+    lib.kassem_pileup_export_take(_i64p(pr[0:]), _i64p(pr[1:]),
+                                  ctypes.byref(over))
+    return int(pr[0]), int(pr[1]), bool(over.value)
 
 
 def stage_codes(handles, codes_flat, codes_off, crc_flat, crc_off,

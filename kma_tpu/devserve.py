@@ -326,6 +326,16 @@ class DevServer:
             interpret=bool(meta.get("interpret", False)))
         return {"ok": 1}, [("scores", np.asarray(sc, np.int32))]
 
+    def _op_pileup(self, meta, arrays):
+        from .ops.pileup import pileup_delta
+        delta = pileup_delta(
+            np.asarray(arrays["t_flat"], np.uint8),
+            np.asarray(arrays["q_flat"], np.uint8),
+            np.asarray(arrays["offs"], np.int64),
+            np.asarray(arrays["starts"], np.int32),
+            int(meta["t_len"]))
+        return {"ok": 1}, [("delta", np.asarray(delta, np.int64))]
+
     def _op_hello(self, meta, arrays):
         if meta.get("db") != self.db or meta.get("sig") != self.sig:
             return {"ok": 0, "err": "db mismatch: serving %s" % self.db}, []
@@ -409,7 +419,8 @@ class DevServer:
             ready_cb()
         ops = {"dense": self._op_dense, "chain": self._op_chain,
                "nw": self._op_nw, "nw_codes": self._op_nw_codes,
-               "nw_qext": self._op_nw_qext, "hello": self._op_hello}
+               "nw_qext": self._op_nw_qext,
+               "pileup": self._op_pileup, "hello": self._op_hello}
         # Each connection gets its own thread with per-frame deadlines,
         # so a peer that dies mid-frame (or connects and never speaks)
         # stalls only its own thread -- every other client keeps being
@@ -729,6 +740,17 @@ class DevClient:
             raise RuntimeError("devserve error: %s"
                                % rmeta.get("err", "?"))
         return np.asarray(r["scores"])
+
+    def pileup(self, t_flat, q_flat, offs, starts, t_len: int):
+        """Dense assembly count scatter on the chip (ops/pileup.py);
+        returns the [t_len, 6] i64 delta matrix."""
+        _, r = self._call(
+            {"op": "pileup", "t_len": int(t_len)},
+            [("t_flat", np.asarray(t_flat, np.uint8)),
+             ("q_flat", np.asarray(q_flat, np.uint8)),
+             ("offs", np.asarray(offs, np.int64)),
+             ("starts", np.asarray(starts, np.int32))])
+        return np.asarray(r["delta"], np.int64)
 
     def stop(self) -> None:
         _send(self._sock, {"op": "stop"})

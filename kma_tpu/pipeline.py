@@ -2394,6 +2394,27 @@ def _conclave_and_output(records, db_size, template_lengths, name_of, store,
     trailing-count fragmentCount quirk.
     """
     _t_sort = time.process_time()
+    # --- device pileup (assembly.c:1446-1497 on the chip) ----------------
+    # Dense assembly's count scatter rides the devserve session when one
+    # is live: the native frag loop exports the accepted aligned rows
+    # and the daemon's pileup op returns the delta matrix
+    # (ops/pileup.pileup_delta semantics, bit-equal to alnToMatDense).
+    _dev_pileup = None
+    if (cfg.dense and _device_enabled(cfg)
+            and os.environ.get("KMA_TPU_PILEUP", "auto") != "off"):
+        from .devserve import DevClient as _DPC
+        _pcli = _DPC.connect(db_prefix)
+        if _pcli is not None:
+            from .ops import pileup as _plp
+
+            def _dev_pileup(t_flat, q_flat, offs, starts, t_len,
+                            _c=_pcli):
+                _plp.DELTA_STATS["calls"] += 1
+                _plp.DELTA_STATS["rows"] += len(offs) - 1
+                return _c.pileup(t_flat, q_flat, offs, starts, t_len)
+
+            print("# device: pileup via devserve session",
+                  file=sys.stderr)
     # --- ConClave --------------------------------------------------------
     w_scores = np.zeros(db_size, dtype=np.int64)
     need_counts = bool(cfg.tsv or cfg.xml) or cfg.sasm or True
@@ -2616,7 +2637,8 @@ def _conclave_and_output(records, db_size, template_lengths, name_of, store,
             assem = Assem()
             matrix = AssemblyMatrix(t_len)
             a_score, a_fa, a_ra, rows = ndrv.assemble_template(
-                template, cfg, rew.Wl, matrix, t_len, name.encode())
+                template, cfg, rew.Wl, matrix, t_len, name.encode(),
+                dev_pileup=_dev_pileup)
             assem.score = a_score
             assem.fragmentCountAln = a_fa
             assem.readCountAln = a_ra
@@ -2641,7 +2663,8 @@ def _conclave_and_output(records, db_size, template_lengths, name_of, store,
                 points, name, frag_out, sam_out=sam_out,
                 xml_writer=xml_writer, xml_template=template,
                 stage=None if ndrv is None
-                else ndrv.stage_template(template))
+                else ndrv.stage_template(template),
+                dev_pileup=_dev_pileup)
         if cfg.ef and assem.score:
             get_extended_features(assem, matrix, tindex.codes, t_len)
         if assem.cover > 0:
@@ -3333,11 +3356,37 @@ def run_kma_mt1(db_prefix: str, output_prefix: str, input_files: List[str],
     return 0
 
 
+
+
+# device pileup engages per template only when its aligned rows carry
+# enough work to amortize one daemon round trip (the deep-consensus
+# case alnToMatDense exists for); below this the host scatter is faster
+# than the link latency.  KMA_TPU_PILEUP=force drops the floor to 0.
+_PILEUP_MIN_BYTES = (0 if os.environ.get("KMA_TPU_PILEUP") == "force"
+                     else int(os.environ.get("KMA_TPU_PILEUP_MIN_KB",
+                                             "256")) << 10)
+
+
+def _apply_dev_pileup(dev_pileup, bufs, matrix, t_len):
+    """Ship the armed export's rows to the device pileup and merge the
+    delta (saturating at USHRT_MAX like the host scatter)."""
+    from .align import native_aln as _nat
+    n_rows, used, _over = _nat.take_pileup_export()
+    if not n_rows:
+        return
+    p_t, p_q, p_off, p_start = bufs
+    delta = dev_pileup(p_t[:used], p_q[:used], p_off[: n_rows + 1],
+                       p_start[:n_rows], t_len)
+    np.minimum(matrix.counts[:t_len] + delta, 0xFFFF,
+               out=matrix.counts[:t_len])
+
+
 def assemble_template(tindex: TemplateIndex, t_len: int, frags: List[Frag],
                       kmersize: int, cfg: MapConfig, rew: Penalty,
                       points: Points, name: str, frag_out, sam_out=None,
                       xml_writer=None, xml_template: int = 0,
-                      force_skip: bool = False, stage=None):
+                      force_skip: bool = False, stage=None,
+                      dev_pileup=None):
     """assemble_KMA for one template (assembly.c:1689-2127).
 
     ``stage`` carries the fused driver's pre-staged frag arrays
@@ -3376,6 +3425,11 @@ def assemble_template(tindex: TemplateIndex, t_len: int, frags: List[Frag],
          s_hdr, s_hoff) = stage
         n = len(s_qlen)
         matrix.ensure(matrix.len + len(s_codes) + 1)
+        _pb = None
+        if dev_pileup is not None and cfg.dense \
+                and len(s_codes) >= _PILEUP_MIN_BYTES:
+            _pb = _nat.arm_pileup_export(
+                n, 2 * len(s_codes) + t_len + 4096)
         new_len, acc, rcu, rs, ms, stt, enn, lnn = \
             _nat.assembly_frags_batch(
                 tindex, s_codes, s_coff, s_qb, s_fs, n, rew, rew.Wl,
@@ -3383,6 +3437,8 @@ def assemble_template(tindex: TemplateIndex, t_len: int, frags: List[Frag],
                 cfg.ts, cfg.skip_tail_aln, cfg.dense, matrix.counts,
                 matrix.next, matrix.len, t_len)
         matrix.len = int(new_len)
+        if _pb is not None:
+            _apply_dev_pileup(dev_pileup, _pb, matrix, t_len)
         for i in range(n):
             if acc[i] != 1:
                 continue
@@ -3441,6 +3497,11 @@ def assemble_template(tindex: TemplateIndex, t_len: int, frags: List[Frag],
             fs[3 * i + 2] = f.end
             total_q += q_len
         matrix.ensure(matrix.len + total_q + 1)
+        _pb = None
+        if dev_pileup is not None and cfg.dense \
+                and total_q >= _PILEUP_MIN_BYTES:
+            _pb = _nat.arm_pileup_export(
+                n, 2 * total_q + t_len + 4096)
         new_len, acc, rcu, rs, ms, stt, enn, lnn = \
             _nat.assembly_frags_batch(
                 tindex, codes_flat, codes_off, qb, fs, n, rew, rew.Wl,
@@ -3448,6 +3509,8 @@ def assemble_template(tindex: TemplateIndex, t_len: int, frags: List[Frag],
                 cfg.ts, cfg.skip_tail_aln, cfg.dense, matrix.counts,
                 matrix.next, matrix.len, t_len)
         matrix.len = int(new_len)
+        if _pb is not None:
+            _apply_dev_pileup(dev_pileup, _pb, matrix, t_len)
         for i, frag in enumerate(frags):
             if acc[i] != 1:
                 continue

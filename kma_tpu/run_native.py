@@ -154,6 +154,12 @@ def get_lib():
         _i64p, _i64p, ctypes.c_longlong, ctypes.c_longlong,
         _u8p, ctypes.c_longlong,
         _i64p, _i64p, _i64p, _u8p, ctypes.c_longlong, _i64p]
+    lib.kassem_set_pileup_export.restype = None
+    lib.kassem_set_pileup_export.argtypes = [
+        _u8p, _u8p, _i64p, _i32p, ctypes.c_longlong, ctypes.c_longlong]
+    lib.kassem_pileup_export_take.restype = None
+    lib.kassem_pileup_export_take.argtypes = [
+        _i64p, _i64p, ctypes.POINTER(ctypes.c_int)]
     lib.krun_output_all.restype = ctypes.c_longlong
     lib.krun_output_all.argtypes = [
         _vp, _i64p, _u8p, _i64p, ctypes.c_longlong, ctypes.c_longlong,
@@ -303,11 +309,19 @@ class RunDriver:
         return int(meta[0])
 
     def assemble_template(self, t: int, cfg, Wl_raw: int, matrix,
-                          t_len: int, name: bytes):
+                          t_len: int, name: bytes, dev_pileup=None):
         """Fused stage + native assembly frag loop (assemble_KMA,
         assembly.c:1689-2127) + .frag.gz row formatting; grows and
         updates `matrix` in place; returns (score, frag_aln, read_aln,
-        rows_bytes)."""
+        rows_bytes).
+
+        ``dev_pileup(t_flat, q_flat, offs, starts, t_len) -> delta``
+        puts the DENSE matrix scatter on the device: the native frag
+        loop exports accepted rows instead of scattering them
+        (kassem_set_pileup_export), the callable runs the chip-side
+        pileup, and the delta merges into the matrix here.  Overflow
+        rows are host-scattered by the native loop, so the result is
+        complete either way."""
         meta = np.empty(3, np.int64)
         self._lib.krun_stage_meta(self._h, t,
                                   meta[0:].ctypes.data_as(_i64p),
@@ -319,7 +333,22 @@ class RunDriver:
         rows = np.empty(cap, np.uint8)
         out = np.empty(4, np.int64)
         nm = np.frombuffer(name, np.uint8)
+        from .pipeline import _PILEUP_MIN_BYTES
+        if dev_pileup is not None and cfg.dense \
+                and cb >= _PILEUP_MIN_BYTES:
+            pcap = 2 * cb + t_len + 4096
+            p_t = np.empty(pcap, np.uint8)
+            p_q = np.empty(pcap, np.uint8)
+            p_off = np.zeros(n + 1, np.int64)
+            p_start = np.zeros(max(n, 1), np.int32)
+        else:
+            dev_pileup = None
         while True:
+            if dev_pileup is not None:
+                self._lib.kassem_set_pileup_export(
+                    p_t.ctypes.data_as(_u8p), p_q.ctypes.data_as(_u8p),
+                    p_off.ctypes.data_as(_i64p),
+                    p_start.ctypes.data_as(_i32p), pcap, n)
             new_len = self._lib.krun_assemble_template(
                 self._h, t, Wl_raw, cfg.min_len, cfg.mq, cfg.score_t,
                 cfg.mrc, 1 if cfg.circular else 0, cfg.ts,
@@ -337,6 +366,19 @@ class RunDriver:
             cap *= 4
             rows = np.empty(cap, np.uint8)
         matrix.len = int(new_len)
+        if dev_pileup is not None:
+            pr = np.zeros(2, np.int64)
+            pover = ctypes.c_int(0)
+            self._lib.kassem_pileup_export_take(
+                pr[0:].ctypes.data_as(_i64p),
+                pr[1:].ctypes.data_as(_i64p), ctypes.byref(pover))
+            n_rows = int(pr[0])
+            if n_rows:
+                delta = dev_pileup(p_t[: int(pr[1])], p_q[: int(pr[1])],
+                                   p_off[: n_rows + 1],
+                                   p_start[: n_rows], t_len)
+                np.minimum(matrix.counts[:t_len] + delta, 0xFFFF,
+                           out=matrix.counts[:t_len])
         return (int(out[0]), int(out[1]), int(out[2]),
                 rows[: int(out[3])].tobytes())
 

@@ -3929,6 +3929,50 @@ extern "C" long long kaln_sam_emit_row(
                         (const Aligned*)aligned, et, as_score);
 }
 
+// ---- device pileup export (ops/pileup.py consumer) ------------------------
+// Armed per assembly call: when set, the DENSE matrix scatter
+// (alnToMatDense, assembly.c:1446-1497) is SKIPPED for rows that fit
+// the export buffers -- the caller ships them to the device and adds
+// the returned delta matrix instead (adds commute; +1 saturation at
+// USHRT_MAX commutes with sum-then-clip).  Rows that do not fit fall
+// back to the host scatter mid-call, so the result is always complete.
+namespace {
+struct PileupExport {
+    uint8_t *t = nullptr, *q = nullptr;
+    long long *off = nullptr;
+    int32_t *start = nullptr;
+    long long cap_bytes = 0, cap_rows = 0;
+    long long rows = 0, used = 0;
+    int over = 0;
+};
+PileupExport g_pexp;
+}  // namespace
+
+extern "C" void kassem_set_pileup_export(uint8_t *t, uint8_t *q,
+                                         long long *off, int32_t *start,
+                                         long long cap_bytes,
+                                         long long cap_rows) {
+    g_pexp.t = t;
+    g_pexp.q = q;
+    g_pexp.off = off;
+    g_pexp.start = start;
+    g_pexp.cap_bytes = cap_bytes;
+    g_pexp.cap_rows = cap_rows;
+    g_pexp.rows = 0;
+    g_pexp.used = 0;
+    g_pexp.over = 0;
+    if (off)
+        off[0] = 0;
+}
+
+extern "C" void kassem_pileup_export_take(long long *rows,
+                                          long long *used, int *over) {
+    *rows = g_pexp.rows;
+    *used = g_pexp.used;
+    *over = g_pexp.over;
+    g_pexp = PileupExport();
+}
+
 extern "C" long long kassem_template_frags_sam(
     void* h, const uint8_t* codes_flat, const int64_t* codes_off,
     const int32_t* qbounds,   // [n,2] q_start,q_end (header tails)
@@ -4055,12 +4099,27 @@ extern "C" long long kassem_template_frags_sam(
                                   pos1, end_adj - pos1, &aligned, bhs[i],
                                   read_score);
             }
-            if (dense)
-                kassem_aln_to_mat_dense(counts, next_, aligned.t.data(),
-                                        aligned.q.data(),
-                                        (long long)aligned.t.size(),
-                                        st.pos);
-            else
+            if (dense) {
+                ll al = (ll)aligned.t.size();
+                if (g_pexp.t && !g_pexp.over
+                    && g_pexp.rows < g_pexp.cap_rows
+                    && g_pexp.used + al <= g_pexp.cap_bytes) {
+                    memcpy(g_pexp.t + g_pexp.used, aligned.t.data(),
+                           (size_t)al);
+                    memcpy(g_pexp.q + g_pexp.used, aligned.q.data(),
+                           (size_t)al);
+                    g_pexp.used += al;
+                    g_pexp.start[g_pexp.rows] = st.pos;
+                    g_pexp.off[++g_pexp.rows] = g_pexp.used;
+                } else {
+                    if (g_pexp.t)
+                        g_pexp.over = 1;
+                    kassem_aln_to_mat_dense(counts, next_,
+                                            aligned.t.data(),
+                                            aligned.q.data(), al,
+                                            st.pos);
+                }
+            } else
                 mat_len = kassem_aln_to_mat(counts, next_, mat_len, t_len,
                                             aligned.t.data(),
                                             aligned.q.data(),

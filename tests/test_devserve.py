@@ -307,6 +307,37 @@ def test_native_cli_chain_dev(daemon, disk_db, tmp_path):
         assert a == b, ext
 
 
+def test_dense_assembly_pileup_via_daemon(daemon, disk_db, tmp_path,
+                                          monkeypatch):
+    """-dense -device on ships the assembly count scatter to the
+    daemon's pileup op (ops/pileup.pileup_delta; alnToMatDense
+    assembly.c:1446-1497 semantics) at byte parity with the host
+    scatter.  KMA_TPU_PILEUP=force drops the depth floor so the tiny
+    test DB engages."""
+    prefix, reads = disk_db
+    _, sdir = daemon
+    monkeypatch.setenv("KMA_DEVSERVE_DIR", sdir)
+    monkeypatch.setenv("KMA_TPU_PILEUP", "force")
+    import importlib
+
+    import kma_tpu.pipeline as pl
+    importlib.reload(pl)  # re-evaluate _PILEUP_MIN_BYTES under force
+    from kma_tpu.ops.pileup import DELTA_STATS
+    calls0 = DELTA_STATS["calls"]
+    out_dev = str(tmp_path / "pdev")
+    out_host = str(tmp_path / "phost")
+    assert main(["-i", reads, "-t_db", prefix, "-o", out_dev, "-1t1",
+                 "-dense", "-device", "on"]) in (0, None)
+    assert DELTA_STATS["calls"] > calls0, "device pileup never engaged"
+    monkeypatch.setenv("KMA_TPU_PILEUP", "off")
+    assert main(["-i", reads, "-t_db", prefix, "-o", out_host, "-1t1",
+                 "-dense", "-device", "off"]) in (0, None)
+    for ext in (".res", ".fsa", ".aln"):
+        a = open(out_dev + ext, "rb").read()
+        b = open(out_host + ext, "rb").read()
+        assert a == b, ext
+
+
 def test_daemon_survives_dead_client_midframe(daemon, disk_db):
     """A client that dies mid-frame (the r4 SIGPIPE wedge) must not
     brick the daemon: the very next client gets served promptly."""
