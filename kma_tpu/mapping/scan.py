@@ -358,10 +358,13 @@ class SaveKmersScanner:
 
 
 def _count_strand(idx: KmaIndex, codes: np.ndarray, seg_ends, seqend: int,
-                  exhaustive: bool, Score, proxi=None) -> Tuple[int, list]:
+                  exhaustive: bool, Score, proxi=None,
+                  voffs=None) -> Tuple[int, list]:
     """One strand of save_kmers_count (savekmers.c:3096-3214): runs of
     identical value lists accumulate their repetition count; misses do
-    not break a run."""
+    not break a run.  ``voffs`` (device pre-lookups, -1 = miss) replace
+    the per-window hash probes; valid only for N-free reads, where the
+    window set is identical."""
     k = idx.kmersize
     seqlen = len(codes)
     # quick stride-k probe per segment
@@ -372,7 +375,9 @@ def _count_strand(idx: KmaIndex, codes: np.ndarray, seg_ends, seqend: int,
             break
         end = ni - k + 1
         while j < end:
-            if idx.lookup(int(_kmer_at(codes, j, k))) is not None:
+            if (voffs[j] >= 0 if voffs is not None
+                    else idx.lookup(int(_kmer_at(codes, j, k)))
+                    is not None):
                 hit = True
                 break
             j += k
@@ -387,13 +392,33 @@ def _count_strand(idx: KmaIndex, codes: np.ndarray, seg_ends, seqend: int,
     last_list = None
     reps = 0
     j = 0
-    kmers = scan_keys(idx, codes) if seqlen >= k else None
+    kmers = (scan_keys(idx, codes)
+             if voffs is None and seqlen >= k else None)
+    values = idx.values
     for i, ni in enumerate(seg_ends + [seqlen]):
         if j >= seqend:
             break
         end = ni
         s = j
         for j2 in range(s, end - k + 1):
+            if voffs is not None:
+                vo = int(voffs[j2])
+                if vo >= 0:
+                    if vo == last:
+                        reps += 1
+                    else:
+                        if last is not None:
+                            for t in last_list:
+                                Score_local[t] += reps
+                                if Score_local[t] == reps:
+                                    bests.append(int(t))
+                            hit_counter += reps
+                        reps = 1
+                        last = vo
+                        last_list = np.asarray(
+                            values[vo + 1: vo + 1 + int(values[vo])],
+                            np.int64)
+                continue
             v = idx.lookup(int(kmers[j2]))
             if v is not None:
                 key = v.__array_interface__["data"][0]
@@ -435,7 +460,8 @@ def _kmer_at(codes: np.ndarray, pos: int, k: int) -> int:
 def save_kmers_count(idx: KmaIndex, pen: Penalties, codes: np.ndarray,
                      n_positions: np.ndarray, header: bytes,
                      exhaustive: bool, Score, Score_r,
-                     proxi: Optional[Proxi] = None) -> Optional[AnkerHit]:
+                     proxi: Optional[Proxi] = None,
+                     lookups=None) -> Optional[AnkerHit]:
     """-ck scanner (save_kmers_count, savekmers.c:3067-3365): pure k-mer
     counting over both strands; the winning strand (or a merged record on
     a tie) is emitted.  QUIRK kept: the rc pass segments the read with
@@ -450,7 +476,20 @@ def save_kmers_count(idx: KmaIndex, pen: Penalties, codes: np.ndarray,
 
     from .native_chain import engine_for
     eng = engine_for(idx, pen)
-    if eng is not None:
+    if lookups is not None and len(n_positions) == 0 \
+            and len(lookups[0]) >= seqend:
+        # device pre-lookups (devserve chain op): valid for N-free
+        # reads only -- the rc quirk (fw segment boundaries on the rc
+        # strand, savekmers.c:3250) never bites without Ns, so the
+        # window sets match the host scan exactly
+        vf, vr = lookups
+        bestScore, bests = _count_strand(idx, codes, list(segs_f),
+                                         seqend, exhaustive, Score,
+                                         proxi, voffs=vf)
+        bestScore_r, bests_r = _count_strand(idx, codes_r, list(segs_f),
+                                             seqend, exhaustive, Score_r,
+                                             proxi, voffs=vr)
+    elif eng is not None:
         (bestScore, bests), (bestScore_r, bests_r) = eng.save_kmers_count(
             codes, n_positions, exhaustive, Score, Score_r, proxi)
     else:

@@ -1459,11 +1459,11 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
         # -ck only swaps the SE scanner when -1t1 is set (kma.c:1272-1276)
         from .mapping.scan import save_kmers_count
 
-        def scan_one(read):
+        def scan_one(read, lookups=None):
             hit = save_kmers_count(idx, pen, read.codes, read.n_positions,
                                    read.header, cfg.exhaustive,
                                    scanner.Score, scanner.Score_r,
-                                   scan_proxi)
+                                   scan_proxi, lookups=lookups)
             return [hit] if hit is not None else []
     elif cfg.hmm:
         from .mapping.hmm_scan import HmmCompBuf, hmm_scan_read
@@ -1852,10 +1852,14 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                     if len(chunk) >= chunk_cap:
                         _scan_chunk()
                 _scan_chunk()
-            elif cfg.hmm and _dev_client is not None \
-                    and idx.kmersize <= 16 and not (idx.flag & 3):
-                # device HMM probes: the daemon's chain op feeds the
-                # host seed/extend/carve walk (mapping/hmm_scan.py)
+            elif (cfg.hmm or (cfg.ck and cfg.one2one)) \
+                    and _dev_client is not None \
+                    and idx.kmersize <= 16 and not (idx.flag & 3) \
+                    and not sparse_db:
+                # device window probes: the daemon's chain op feeds the
+                # host HMM seed/extend/carve walk (mapping/hmm_scan.py)
+                # or the -ck counting scan (scan.save_kmers_count; reads
+                # with Ns keep the host probes inside scan_one)
                 from .mapping.hmm_scan import DeviceHmmStream
                 _hstream = DeviceHmmStream(idx, _dev_client.chain_lookup,
                                            _dev_client.voff_map)

@@ -50,6 +50,11 @@ void krun_free(void *hv);
 void krun_set_pe(void *hv, ll pe);
 void krun_set_mem(void *hv, int mem_mode);
 void krun_set_proxi(void *hv, double scanner_min_frac, int soft_on);
+ll krun_map_se_batch_hmm_dev(void *hv, const uint8_t *codes_flat,
+                             const ll *coff, const uint8_t *hdr_flat,
+                             const ll *hoff, const ll *ords, int n,
+                             const ll *voff_f, const ll *voff_r,
+                             ll stride);
 void krun_set_sam(void *hv, int mask);
 ll krun_sam_len(void *hv);
 void krun_sam_fetch(void *hv, uint8_t *buf);
@@ -840,10 +845,8 @@ int main(int argc, char **argv) {
     DevConn *dc = nullptr;
     if (cfg.device_on) {
         // native device envelope: SE -1t1 (dense scan op), the SE
-        // chain modes and PE mate probes (chain probe op); HMM device
-        // stays Python
-        if (cfg.hmm)
-            return FALLBACK;
+        // chain modes, the HMM splicing scan (chain probe op over the
+        // folded codes) and PE mate probes
         dc = kdev_connect(cfg.t_db.c_str());
         if (!dc)
             return FALLBACK;
@@ -989,8 +992,11 @@ int main(int argc, char **argv) {
             for (int i = 0; i < s.n; i++) {
                 ll off = b.coff[s.start + i];
                 ll l = b.coff[s.start + i + 1] - off;
-                memcpy(dcodes.data() + (size_t)i * Lb, b.codes.data() + off,
-                       (size_t)l);
+                uint8_t *dst = dcodes.data() + (size_t)i * Lb;
+                memcpy(dst, b.codes.data() + off, (size_t)l);
+                if (cfg.hmm)
+                    for (ll z = 0; z < l; z++)
+                        dst[z] &= 3;   // savekmers.c:3941 N fold
                 dlens[i] = (int32_t)l;
             }
             if (chain_dev)
@@ -1006,11 +1012,18 @@ int main(int argc, char **argv) {
                 ll W = 0;
                 if (kdev_chain_recv(dc, dvf, dvr, &W)
                     && (ll)dvf.size() >= (ll)s.n * W) {
-                    if (krun_map_se_batch_chain_dev(
-                            R, b.codes.data(), b.coff.data() + s.start,
-                            b.hdr.data(), b.hoff.data() + s.start,
-                            s.db->ords.data() + s.start, s.n, dvf.data(),
-                            dvr.data(), W) < 0)
+                    ll rc2 = cfg.hmm
+                        ? krun_map_se_batch_hmm_dev(
+                              R, b.codes.data(), b.coff.data() + s.start,
+                              b.hdr.data(), b.hoff.data() + s.start,
+                              s.db->ords.data() + s.start, s.n,
+                              dvf.data(), dvr.data(), W)
+                        : krun_map_se_batch_chain_dev(
+                              R, b.codes.data(), b.coff.data() + s.start,
+                              b.hdr.data(), b.hoff.data() + s.start,
+                              s.db->ords.data() + s.start, s.n,
+                              dvf.data(), dvr.data(), W);
+                    if (rc2 < 0)
                         die("mapping failed");
                     return;
                 }

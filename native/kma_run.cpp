@@ -914,7 +914,8 @@ static void emit_hmm_anker(Run *R, Scratch &S, const uint8_t *q,
 
 static void scan_read_hmm(Run *R, Scratch &S, const uint8_t *q,
                           int q_len, int item, const uint8_t *hdr,
-                          ll hlen) {
+                          ll hlen, const ll *vf = nullptr,
+                          const ll *vr = nullptr) {
     const int k = R->ix.k;
     const int seqlen = q_len;
     // HmmCompBuf.load: the reused step-2 packed buffer (getComp rules)
@@ -944,9 +945,21 @@ static void scan_read_hmm(Run *R, Scratch &S, const uint8_t *q,
         S.rc_fold[i] = (uint8_t)(3 - S.fold[seqlen - 1 - i]);
     S.VFL.assign(seqend, -1);
     S.VRL.assign(seqend, -1);
-    kchain_lookup_windows(S.ctx, S.fold.data(), seqlen, S.VFL.data());
-    kchain_lookup_windows(S.ctx, S.rc_fold.data(), seqlen,
-                          S.VRL.data());
+    if (vf && vr) {
+        // device-fed rows (devserve chain op over the FOLDED codes):
+        // forward windows map 1:1; the rc rows are rc-KMER lookups in
+        // forward window coordinates, so rc_fold window p is the rc
+        // k-mer of forward window (seqend-1)-p
+        for (int p = 0; p < seqend; ++p)
+            S.VFL[p] = vf[p];
+        for (int p = 0; p < seqend; ++p)
+            S.VRL[p] = vr[seqend - 1 - p];
+    } else {
+        kchain_lookup_windows(S.ctx, S.fold.data(), seqlen,
+                              S.VFL.data());
+        kchain_lookup_windows(S.ctx, S.rc_fold.data(), seqlen,
+                              S.VRL.data());
+    }
 
     // qseq->N with the appended sentinel (savekmers.c:3981)
     S.NNv.clear();
@@ -2671,6 +2684,42 @@ long long krun_map_se_batch_chain_dev(
         scan_read_units(R, S, q, q_len, rd, 0,
                         voff_f + (ll)rd * stride,
                         voff_r + (ll)rd * stride);
+    }
+    R->t_scan += _now() - _t0;
+    return se_batch_tail(R, 1, hdr_flat, hoff, ords,
+                         codes_flat, coff, n);
+}
+
+
+// Map one HMM-mode SE batch whose per-window hash probes ALREADY RAN
+// on the device (the devserve chain op over the FOLDED codes, q & 3 --
+// save_kmers_HMM folds N before its lookups, savekmers.c:3941).
+long long krun_map_se_batch_hmm_dev(
+    void *hv, const uint8_t *codes_flat, const long long *coff,
+    const uint8_t *hdr_flat, const long long *hoff, const long long *ords,
+    int n, const long long *voff_f, const long long *voff_r,
+    long long stride) {
+    Run *R = (Run *)hv;
+    Scratch &S = R->scratch[0];
+    S.units.clear();
+    S.cod_arena.clear();
+    S.hdr_arena.clear();
+    S.crc_arena.clear();
+    S.tpl_arena.clear();
+    S.pairs.clear();
+    S.order.clear();
+    auto _now = []() {
+        return std::chrono::duration<double>(
+                   std::chrono::steady_clock::now().time_since_epoch())
+            .count();
+    };
+    double _t0 = _now();
+    for (int rd = 0; rd < n; ++rd) {
+        const uint8_t *q = codes_flat + coff[rd];
+        int q_len = (int)(coff[rd + 1] - coff[rd]);
+        scan_read_hmm(R, S, q, q_len, rd, hdr_flat + hoff[rd],
+                      hoff[rd + 1] - hoff[rd], voff_f + (ll)rd * stride,
+                      voff_r + (ll)rd * stride);
     }
     R->t_scan += _now() - _t0;
     return se_batch_tail(R, 1, hdr_flat, hoff, ords,

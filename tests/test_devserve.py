@@ -307,6 +307,51 @@ def test_native_cli_chain_dev(daemon, disk_db, tmp_path):
         assert a == b, ext
 
 
+def test_native_cli_hmm_dev(daemon, disk_db, tmp_path):
+    """-hmm -device on in the NATIVE CLI: window probes ride the
+    daemon's chain op over the FOLDED codes (savekmers.c:3941 N fold)
+    and feed scan_read_hmm's seed/extend walk at byte parity."""
+    prefix, reads = disk_db
+    _, sdir = daemon
+    cli = REPO / "native" / "kma_cli"
+    if not cli.exists():
+        pytest.skip("native CLI not built")
+    env = dict(os.environ, KMA_DEVSERVE_DIR=sdir)
+    out_dev = str(tmp_path / "hdev")
+    out_host = str(tmp_path / "hhost")
+    r = subprocess.run(
+        [str(cli), "-i", reads, "-t_db", prefix, "-o", out_dev, "-hmm",
+         "-device", "on"], env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert "devserve session" in r.stderr
+    r = subprocess.run(
+        [str(cli), "-i", reads, "-t_db", prefix, "-o", out_host, "-hmm",
+         "-device", "off"], env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    for ext in (".res", ".fsa", ".aln", ".frag.gz"):
+        a = open(out_dev + ext, "rb").read()
+        b = open(out_host + ext, "rb").read()
+        assert a == b, ext
+
+
+def test_ck_device_run_via_daemon(daemon, disk_db, tmp_path):
+    """-ck -1t1 -device on: counting-scan window probes through the
+    daemon's chain op (scan.save_kmers_count lookups) at byte parity."""
+    prefix, reads = disk_db
+    _, sdir = daemon
+    os.environ["KMA_DEVSERVE_DIR"] = sdir
+    out_dev = str(tmp_path / "ckdev")
+    out_host = str(tmp_path / "ckhost")
+    assert main(["-i", reads, "-t_db", prefix, "-o", out_dev, "-1t1",
+                 "-ck", "-device", "on"]) in (0, None)
+    assert main(["-i", reads, "-t_db", prefix, "-o", out_host, "-1t1",
+                 "-ck", "-device", "off"]) in (0, None)
+    for ext in (".res", ".fsa", ".aln"):
+        a = open(out_dev + ext, "rb").read()
+        b = open(out_host + ext, "rb").read()
+        assert a == b, ext
+
+
 def test_dense_assembly_pileup_via_daemon(daemon, disk_db, tmp_path,
                                           monkeypatch):
     """-dense -device on ships the assembly count scatter to the
