@@ -470,7 +470,7 @@ static void write_file(const std::string &path, const char *head,
 // ---- config (config.py defaults; kma.c:281-348) ---------------------------
 struct Cfg {
     std::vector<std::string> in_se;
-    std::string pe1, pe2;
+    std::vector<std::string> in_pe1, in_pe2;
     std::string t_db, out;
     bool one2one = false;
     bool hmm = false;              // -hmm probabilistic splicing scan
@@ -555,12 +555,18 @@ int main(int argc, char **argv) {
             while (i + 1 < argc && argv[i + 1][0] != '-')
                 cfg.in_se.push_back(argv[++i]);
         } else if (a == "-ipe") {
-            if (i + 2 >= argc || !cfg.pe1.empty())
-                return FALLBACK;   // exactly one pair supported
-            cfg.pe1 = argv[++i];
-            cfg.pe2 = argv[++i];
-            if (i + 1 < argc && argv[i + 1][0] != '-')
-                return FALLBACK;
+            // consume an even run of non-dash args as (R1, R2) pairs
+            // (kma.c:395-420; repeatable and multi-pair)
+            int n_pe = 0;
+            while (i + 1 + n_pe < argc && argv[i + 1 + n_pe][0] != '-')
+                ++n_pe;
+            if (n_pe == 0 || (n_pe & 1))
+                return FALLBACK;   // python prints the usage error
+            for (int z = 0; z < n_pe; z += 2) {
+                cfg.in_pe1.push_back(argv[i + 1 + z]);
+                cfg.in_pe2.push_back(argv[i + 2 + z]);
+            }
+            i += n_pe;
             cfg.pe = true;
         } else if (a == "-t_db") {
             cfg.t_db = argv[++i];
@@ -819,15 +825,17 @@ int main(int argc, char **argv) {
     for (const std::string &p : cfg.in_se)
         if (!is_fastq(p.c_str()))
             return FALLBACK;
-    if (cfg.pe && (!is_fastq(cfg.pe1.c_str()) || !is_fastq(cfg.pe2.c_str())))
-        return FALLBACK;
+    for (size_t z = 0; z < cfg.in_pe1.size(); z++)
+        if (!is_fastq(cfg.in_pe1[z].c_str())
+            || !is_fastq(cfg.in_pe2[z].c_str()))
+            return FALLBACK;
     // -device on: the native envelope is the SE -1t1 dense-scan shape
     // (the daemon's dense op); everything else keeps the Python device
     // paths.  No live daemon -> Python decides (in-process device).
     if (cfg.hmm && cfg.pe)
         return FALLBACK;   // PE+HMM stays on the Python path
-    if (cfg.sam && (cfg.pe || cfg.mem_mode))
-        return FALLBACK;   // PE/mem SAM rows stay on the Python path
+    if (cfg.sam && cfg.mem_mode)
+        return FALLBACK;   // mem SAM rows stay on the Python path
     // -proxi envelope: the native proxi machinery covers the SE chain
     // scan (getProxiChainTemplates) and the SE -1t1 scan
     // (getProxiMatch); PE combiners (getF/R_Proxi), HMM, SAM and the
@@ -1143,17 +1151,18 @@ int main(int argc, char **argv) {
             sam_drain();
             rd.join();
         }
-    } else {
-        fprintf(stderr, "# Reading inputfile: \t%s %s\n", cfg.pe1.c_str(),
-                cfg.pe2.c_str());
-        int scale = sniff_phred(cfg.pe1.c_str());
+    } else for (size_t pi = 0; pi < cfg.in_pe1.size(); ++pi) {
+        const std::string &pe1 = cfg.in_pe1[pi], &pe2 = cfg.in_pe2[pi];
+        fprintf(stderr, "# Reading inputfile: \t%s %s\n", pe1.c_str(),
+                pe2.c_str());
+        int scale = sniff_phred(pe1.c_str());
         if (!scale)
-            scale = sniff_phred(cfg.pe2.c_str());
+            scale = sniff_phred(pe2.c_str());
         fprintf(stderr, "# Phred scale:\t%d\n", scale);
         BatchQueue bq1, bq2;
-        std::thread rd1(reader_thread, cfg.pe1, scale, mp, cfg.min_q,
+        std::thread rd1(reader_thread, pe1, scale, mp, cfg.min_q,
                         cfg.hardmask_q, cfg.min_len, cfg.max_len, 1, &bq1);
-        std::thread rd2(reader_thread, cfg.pe2, scale, mp, cfg.min_q,
+        std::thread rd2(reader_thread, pe2, scale, mp, cfg.min_q,
                         cfg.hardmask_q, cfg.min_len, cfg.max_len, 1, &bq2);
         FqBatch b1, b2;
         int i1 = 0, i2 = 0;   // record cursors into b1/b2

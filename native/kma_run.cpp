@@ -273,6 +273,7 @@ struct PairPend {
 struct Scratch {
     void *ctx = nullptr;
     long long *soft = nullptr;   // per-thread softProxi accumulator
+    std::vector<uint8_t> sam_scan;   // PE scan-phase unmapped rows
     std::vector<ll> Score, Score_r, extendScore;
     std::vector<uint8_t> include;
     std::vector<int> bests, bests_r;
@@ -407,6 +408,7 @@ struct Run {
     // SAM stream (samwrite rows in emission order; taken+cleared by
     // the caller via krun_sam_fetch)
     std::vector<uint8_t> out_sam;
+    std::vector<uint8_t> pe_sam3;   // PE step-3 unmapped rows (batch)
     int sam_mask = 0;
     // -tsv rows (printsv, tsv.c:49-108)
     std::vector<uint8_t> out_tsv;
@@ -1503,6 +1505,24 @@ static ll get_second_best_pen(Scratch &S, int nb, int nbr,
     return bestScore_r;
 }
 
+// shared unmapped-SAM row append (samwrite's unmapped record shape)
+static void sam_put_unmapped(std::vector<uint8_t> &sb, const uint8_t *hdr,
+                             ll hlen, const uint8_t *cod, ll ql,
+                             int flag) {
+    for (;;) {
+        size_t base = sb.size();
+        sb.resize(base + (size_t)(hlen + 2 * ql + 160));
+        ll w = kaln_sam_emit_row(sb.data(), (ll)sb.size(), (ll)base, hdr,
+                                 hlen, nullptr, 0, cod, ql, flag, 0, 0, 0,
+                                 nullptr, 0, 0);
+        if (w >= 0) {
+            sb.resize((size_t)w);
+            return;
+        }
+        sb.resize(base + (sb.size() - base) * 2);
+    }
+}
+
 // One emitted scan record of a pair combiner (pre step-3).
 struct PEmit {
     int which;   // 0 = codes1, 1 = rc1, 2 = codes2, 3 = rc2
@@ -1588,8 +1608,27 @@ static void apply_pe_force(Run *R, const uint8_t *c_a, int la,
                 best = rs;
         }
     }
-    if (!best)
+    if (!best) {
+        if (R->sam_mask == 1) {
+            // both unmapped (alnfrags.c:2147 return 3): working-
+            // orientation bytes, unmutated flags
+            static thread_local std::vector<uint8_t> ra2, rb2;
+            const uint8_t *cu_a = c_a, *cu_b = c_b;
+            if (!arc && flipped) {
+                ra2.resize(la);
+                for (int i = 0; i < la; ++i)
+                    ra2[i] = RC_CODE[c_a[la - 1 - i]];
+                rb2.resize(lb);
+                for (int i = 0; i < lb; ++i)
+                    rb2[i] = RC_CODE[c_b[lb - 1 - i]];
+                cu_a = ra2.data();
+                cu_b = rb2.data();
+            }
+            sam_put_unmapped(R->pe_sam3, h_a, hla, cu_a, la, flag_a);
+            sam_put_unmapped(R->pe_sam3, h_b, hlb, cu_b, lb, flag_b);
+        }
         return;
+    }
     // alnfrags.c:2126-2143: ids are positive, so rc never sets and the
     // final strrc toggles the WORKING orientation once more: non-arc
     // spools the original bytes with a 48-flag toggle iff flipped; arc
@@ -1623,9 +1662,13 @@ static int pair_scan(Run *R, Scratch &S, const uint8_t *q1, int l1,
                      bool *is_pair, const long long *v1f = nullptr,
                      const long long *v1r = nullptr,
                      const long long *v2f = nullptr,
-                     const long long *v2r = nullptr) {
+                     const long long *v2r = nullptr,
+                     int *um_out = nullptr) {
     const int k = R->ix.k;
     *is_pair = false;
+    int um_local = 3;   // savekmers.c:205-247 unmapped bits
+    int *um = um_out ? um_out : &um_local;
+    *um = 3;
     int nb = 0, nbr = 0;
     int hc1 = kchain_pair_mate_v(S.ctx, q1, l1, R->exhaustive,
                                  S.Score.data(), S.Score_r.data(),
@@ -1639,8 +1682,10 @@ static int pair_scan(Run *R, Scratch &S, const uint8_t *q1, int l1,
         // save_kmers_forcePair (savekmers.c:3779-3864): only proper
         // pairs survive; mate 2 scans with SWAPPED strand arrays so
         // opposite orientations pair up
-        if (!hc1)
+        if (!hc1) {
+            *um = 1;
             return 0;
+        }
         get_first_force(S, nb, nbr, region, rscores);
         int nb2 = 0, nbr2 = 0;
         int hc2 = kchain_pair_mate_v(
@@ -1668,6 +1713,7 @@ static int pair_scan(Run *R, Scratch &S, const uint8_t *q1, int l1,
                     out[1] = {1, sc, flag, 0, &best2, true};
                 }
                 *is_pair = true;
+                *um = 0;
                 return 2;
             }
         } else {
@@ -1753,6 +1799,7 @@ static int pair_scan(Run *R, Scratch &S, const uint8_t *q1, int l1,
                 out[1] = {1, bestScore, flag, 0, &region, true};
             }
             *is_pair = true;
+            *um = 0;
             return 2;
         }
         return 0;
@@ -1773,6 +1820,7 @@ static int pair_scan(Run *R, Scratch &S, const uint8_t *q1, int l1,
             out[1] = {1, bestScore, flag, 0, &region, true};
         }
         *is_pair = true;
+        *um = 0;
         return 2;
     }
     if (0 < bestScore && 0 < bestScore_r) {
@@ -1814,9 +1862,11 @@ static int pair_scan(Run *R, Scratch &S, const uint8_t *q1, int l1,
             e2.flag = flag_r;
             out[n_out++] = e2;
         }
+        *um = (emit1 && emit2) ? 0 : (emit1 ? 2 : (emit2 ? 1 : 3));
         return n_out;
     }
     if (0 < bestScore) {
+        *um = 2;
         bool emit1 = true;
         if (pm == 1) {
             ll h1 = hc1 < bestScore ? hc1 : bestScore;
@@ -1835,6 +1885,7 @@ static int pair_scan(Run *R, Scratch &S, const uint8_t *q1, int l1,
         return n_out;
     }
     if (0 < bestScore_r) {
+        *um = 1;
         bool emit2 = true;
         if (pm == 1) {
             ll h2 = hc2 < bestScore_r ? hc2 : bestScore_r;
@@ -2063,8 +2114,17 @@ static void apply_pe_pair(Run *R, int fpm, const uint8_t *c_a, int la,
         if (compScore < rs + scores1[i])
             compScore = rs + scores1[i];
     }
-    if (!best1 && !best2)
+    if (!best1 && !best2) {
+        if (R->sam_mask == 1) {
+            // both mates unmapped at step 3 (alnfrags.c:1593 return 3):
+            // rows with the UNmutated anker flags and emission bytes
+            const uint8_t *cu_a = arc ? c_a : (flipped ? rca.data() : c_a);
+            const uint8_t *cu_b = arc ? c_b : (flipped ? rcb.data() : c_b);
+            sam_put_unmapped(R->pe_sam3, h_a, hla, cu_a, la, flag_a);
+            sam_put_unmapped(R->pe_sam3, h_b, hlb, cu_b, lb, flag_b);
+        }
         return;
+    }
     bool rc_state;
     if (arc) {
         rc_state = false;
@@ -2239,6 +2299,8 @@ static void apply_pe_pair(Run *R, int fpm, const uint8_t *c_a, int la,
         }
         spool_se_rec(R, seq_a, la, ids, scl, stl, enl, best1, h_a, hla, fa,
                      ord);
+        if (R->sam_mask == 1)   // mate b unmapped (alnfrags.c return 2)
+            sam_put_unmapped(R->pe_sam3, h_b, hlb, cur_b, lb, fb);
         return;
     }
     // reverse only (alnfrags.c:1553-1590 / :1933-1969)
@@ -2274,6 +2336,8 @@ static void apply_pe_pair(Run *R, int fpm, const uint8_t *c_a, int la,
     }
     spool_se_rec(R, seq_b, lb, ids, scl, stl, enl, best2, h_b, hlb, fb,
                  ord);
+    if (R->sam_mask == 1)       // mate a unmapped (alnfrags.c return 1)
+        sam_put_unmapped(R->pe_sam3, h_a, hla, cur_a, la, fa);
 }
 
 // Shared SE phases 2-4 (unit collection -> step-3 scoring -> spool):
@@ -2743,6 +2807,7 @@ long long krun_map_pe_batch(void *hv, const uint8_t *a_flat,
                             long long vstride) {
     Run *R = (Run *)hv;
     const int k = R->ix.k;
+    R->pe_sam3.clear();
     int nt = R->n_threads;
     if (nt > n)
         nt = n < 1 ? 1 : n;
@@ -2766,6 +2831,22 @@ long long krun_map_pe_batch(void *hv, const uint8_t *a_flat,
         S.hdr_arena.clear();
         S.crc_arena.clear();
         S.tpl_arena.clear();
+        S.sam_scan.clear();
+        const bool sam1 = R->sam_mask == 1;
+        static thread_local std::vector<uint8_t> rc_tmp;
+        auto se_fallback = [&](const uint8_t *q, int l, int it,
+                               uint8_t hsrc) {
+            size_t before = S.units.size();
+            scan_read_units(R, S, q, l, it, hsrc);
+            if (sam1 && S.units.size() == before) {
+                // scan miss: flag 20 with the raw read (kmers.c:68-71)
+                const uint8_t *hd = hsrc ? hb_flat + hb_off[it]
+                                         : ha_flat + ha_off[it];
+                ll hl = hsrc ? hb_off[it + 1] - hb_off[it]
+                             : ha_off[it + 1] - ha_off[it];
+                sam_put_unmapped(S.sam_scan, hd, hl, q, l, 20);
+            }
+        };
         PEmit em[2];
         for (int it = slice_begin[ti]; it < slice_begin[ti + 1]; ++it) {
             const uint8_t *qa = a_flat + a_off[it];
@@ -2773,16 +2854,16 @@ long long krun_map_pe_batch(void *hv, const uint8_t *a_flat,
             const uint8_t *qb = b_flat + b_off[it];
             int lb = (int)(b_off[it + 1] - b_off[it]);
             if (!b_present[it]) {
-                scan_read_units(R, S, qa, la, it, 0);
+                se_fallback(qa, la, it, 0);
                 continue;
             }
             if (la < k || lb < k) {
                 // short mate: SE of each long-enough mate
                 // (pipeline.py:1904-1911)
                 if (la >= k)
-                    scan_read_units(R, S, qa, la, it, 0);
+                    se_fallback(qa, la, it, 0);
                 if (lb >= k)
-                    scan_read_units(R, S, qb, lb, it, 1);
+                    se_fallback(qb, lb, it, 1);
                 continue;
             }
             bool is_pair = false;
@@ -2790,8 +2871,47 @@ long long krun_map_pe_batch(void *hv, const uint8_t *a_flat,
             const long long *p1r = va_r ? va_r + (ll)it * vstride : nullptr;
             const long long *p2f = vb_f ? vb_f + (ll)it * vstride : nullptr;
             const long long *p2r = vb_r ? vb_r + (ll)it * vstride : nullptr;
+            int um = 3;
             int ne = pair_scan(R, S, qa, la, qb, lb, pm, em, &is_pair,
-                               p1f, p1r, p2f, p2r);
+                               p1f, p1r, p2f, p2r, &um);
+            if (sam1 && um) {
+                // PE unmapped flag composition (savekmers.c:205-247;
+                // pipeline.py's sam_unmapped block, non-pseudo DB)
+                const bool force = pm == 2;
+                if (um & 1) {
+                    int fl = 4 | 65;
+                    if ((um & 2) || force)
+                        fl |= 8;
+                    fl |= 16;
+                    if ((fl & 8) && (um & 2))
+                        fl |= 32;
+                    rc_tmp.resize(la);
+                    for (int i = 0; i < la; ++i)
+                        rc_tmp[i] = RC_CODE[qa[la - 1 - i]];
+                    sam_put_unmapped(S.sam_scan, ha_flat + ha_off[it],
+                                     ha_off[it + 1] - ha_off[it],
+                                     rc_tmp.data(), la, fl);
+                }
+                if ((um & 2) || (force && (um & 1))) {
+                    int fl = 4 | 129;
+                    if (um & 1)
+                        fl |= 8;
+                    if (um & 2)
+                        fl |= 16;
+                    if (fl & 8)
+                        fl |= 32;
+                    const uint8_t *seq2 = qb;
+                    if (um & 2) {
+                        rc_tmp.resize(lb);
+                        for (int i = 0; i < lb; ++i)
+                            rc_tmp[i] = RC_CODE[qb[lb - 1 - i]];
+                        seq2 = rc_tmp.data();
+                    }
+                    sam_put_unmapped(S.sam_scan, hb_flat + hb_off[it],
+                                     hb_off[it + 1] - hb_off[it], seq2,
+                                     lb, fl);
+                }
+            }
             if (!ne)
                 continue;
             auto put_codes = [&](int which) -> ll {
@@ -3021,8 +3141,15 @@ long long krun_map_pe_batch(void *hv, const uint8_t *a_flat,
             if (R->mem_mode)
                 emit_mem_spool(R, se_units[i], se_tpl, se_off, i, nullptr,
                                0);
-            else
+            else {
                 emit_se_spool(R, se_units[i], se_tpl, se_off, so, i);
+                if (R->sam_mask == 1 && so.best[i] <= k) {
+                    // step-3 miss: flag|4 with the oriented unit bytes
+                    const SUnit &u = se_units[i];
+                    sam_put_unmapped(R->pe_sam3, u.hdr, u.hlen, u.cod,
+                                     u.q_len, u.flag | 4);
+                }
+            }
         } else {
             int i = oe.second;
             PUnit &w = pairs[i];
@@ -3070,6 +3197,19 @@ long long krun_map_pe_batch(void *hv, const uint8_t *a_flat,
                           pln2.data() + b, ptg2.data() + b,
                           pqg2.data() + b, pflip[i] != 0, w.ord);
         }
+    }
+    if (R->sam_mask == 1) {
+        // batch rows: scan-phase unmapped (pair order across slices),
+        // then the step-3 unmapped rows
+        for (int ti = 0; ti < nt; ++ti) {
+            Scratch &S = R->scratch[ti];
+            R->out_sam.insert(R->out_sam.end(), S.sam_scan.begin(),
+                              S.sam_scan.end());
+            S.sam_scan.clear();
+        }
+        R->out_sam.insert(R->out_sam.end(), R->pe_sam3.begin(),
+                          R->pe_sam3.end());
+        R->pe_sam3.clear();
     }
     R->t_spool += _now() - _t0;
     return (ll)R->spool.size();

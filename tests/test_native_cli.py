@@ -273,3 +273,116 @@ def test_native_cli_force_pair(tmp_path, db50_index, ref_bin):
     with gzip.open(nat_out + ".frag.gz") as f1_, \
             gzip.open(ref_out + ".frag.gz") as f2_:
         assert f1_.read() == f2_.read(), ".frag.gz"
+
+
+@pytest.mark.parametrize("margs", [
+    ["-apm", "u", "-sam"], ["-apm", "p", "-sam"], ["-apm", "f", "-sam"],
+    ["-apm", "p", "-sam", "4"], ["-apm", "p", "-sam", "2096"],
+])
+def test_native_cli_pe_sam_parity(tmp_path, db50_index, margs):
+    """PE -sam in the native CLI (round 5): scan-phase unmapped flag
+    composition (savekmers.c:205-247), step-3 unmapped rows
+    (alnfrags.c PE return codes) and assembly rows.  The reference's PE
+    SAM row ORDER is thread-nondeterministic, so parity is the row
+    MULTISET (the bar test_pe_unmapped_sam_parity uses vs the
+    reference); .res stays byte-identical."""
+    from tests.test_flags import messy_pairs  # noqa: F401
+    if not _ensure_cli():
+        pytest.skip("native CLI unavailable")
+    # build messy pairs inline (same recipe as test_flags.messy_pairs
+    # but self-contained to avoid fixture scoping)
+    import numpy as np
+    rng = np.random.default_rng(77)
+
+    def junk(n):
+        return "".join("ACGT"[c] for c in rng.integers(0, 4, n))
+
+    from kma_tpu.index.format import load_index
+    idx = load_index(db50_index)
+    f1p, f2p = tmp_path / "m1.fq", tmp_path / "m2.fq"
+    from kma_tpu.pipeline import TemplateStore
+    store = TemplateStore(db50_index + ".seq.b",
+                          np.asarray(idx.template_lengths), idx.kmersize)
+    with open(f1p, "w") as f1, open(f2p, "w") as f2:
+        for i in range(120):
+            t = 1 + i % (idx.db_size - 1)
+            codes = store.get(t).codes
+            if len(codes) < 240:
+                continue
+            s1 = "".join("ACGTN"[c] for c in codes[:100])
+            s2r = codes[140:240][::-1]
+            s2 = "".join("ACGTN"[3 - c if c < 4 else c] for c in s2r)
+            r = i % 6
+            if r == 0:
+                s1 = junk(100)
+            elif r == 1:
+                s2 = junk(100)
+            elif r == 2:
+                s1, s2 = junk(100), junk(100)
+            elif r == 3:
+                s1 = s1[:8]
+            f1.write("@p%d/1\n%s\n+\n%s\n" % (i, s1, "I" * len(s1)))
+            f2.write("@p%d/2\n%s\n+\n%s\n" % (i, s2, "I" * len(s2)))
+    base = ["-ipe", str(f1p), str(f2p), "-t_db", db50_index] + margs
+    a = str(tmp_path / "nat")
+    b = str(tmp_path / "py")
+    rn = subprocess.run([CLI] + base + ["-o", a, "-t", "1", "-device",
+                                        "off"],
+                        capture_output=True, env=_env())
+    assert rn.returncode == 0, rn.stderr.decode()[-500:]
+    rp = subprocess.run([sys.executable, "-m", "kma_tpu"] + base
+                        + ["-o", b, "-t", "1", "-device", "off"],
+                        capture_output=True, env=_env())
+    assert rp.returncode == 0, rp.stderr.decode()[-500:]
+
+    def rows(out):
+        lines = out.split(b"\n")
+        hdr = sorted(x for x in lines
+                     if x.startswith(b"@") and not x.startswith(b"@PG"))
+        rws = sorted(x for x in lines if x and not x.startswith(b"@"))
+        return hdr, rws
+    assert rows(rn.stdout) == rows(rp.stdout)
+    assert (tmp_path / "nat.res").read_bytes() \
+        == (tmp_path / "py.res").read_bytes()
+
+
+def test_native_cli_multiple_ipe(tmp_path, db50_index):
+    """Multiple -ipe pairs (runinput.c:463-607): both the even-run form
+    (-ipe a b c d) and repeated flags, byte parity with the Python CLI
+    and continuous read ordinals across pairs."""
+    if not _ensure_cli():
+        pytest.skip("native CLI unavailable")
+    import numpy as np
+    from kma_tpu.index.format import load_index
+    from kma_tpu.pipeline import TemplateStore
+    idx = load_index(db50_index)
+    store = TemplateStore(db50_index + ".seq.b",
+                          np.asarray(idx.template_lengths), idx.kmersize)
+    pairs = []
+    for g in range(2):
+        f1p, f2p = tmp_path / ("g%d_1.fq" % g), tmp_path / ("g%d_2.fq" % g)
+        with open(f1p, "w") as f1, open(f2p, "w") as f2:
+            for i in range(40):
+                t = 1 + (g * 40 + i) % (idx.db_size - 1)
+                codes = store.get(t).codes
+                if len(codes) < 240:
+                    continue
+                s1 = "".join("ACGTN"[c] for c in codes[:100])
+                s2r = codes[140:240][::-1]
+                s2 = "".join("ACGTN"[3 - c if c < 4 else c] for c in s2r)
+                f1.write("@g%dp%d/1\n%s\n+\n%s\n" % (g, i, s1, "I" * 100))
+                f2.write("@g%dp%d/2\n%s\n+\n%s\n" % (g, i, s2, "I" * 100))
+        pairs += [str(f1p), str(f2p)]
+    for form in (["-ipe"] + pairs,
+                 ["-ipe"] + pairs[:2] + ["-ipe"] + pairs[2:]):
+        base = form + ["-t_db", db50_index, "-apm", "p"]
+        a = str(tmp_path / "nat")
+        b = str(tmp_path / "py")
+        assert _run_native(base, a) == 0
+        _run_python(base, b)
+        for ext in (".res", ".fsa", ".aln"):
+            assert (tmp_path / ("nat" + ext)).read_bytes() \
+                == (tmp_path / ("py" + ext)).read_bytes(), ext
+        with gzip.open(a + ".frag.gz") as f1_, gzip.open(b + ".frag.gz") \
+                as f2_:
+            assert f1_.read() == f2_.read()
