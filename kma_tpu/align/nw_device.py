@@ -50,9 +50,12 @@ def _r_bucket(r: int) -> int:
 
 def _gt_for(R: int) -> int:
     """Kernel row-tile: largest power of two whose [R, GT, L] msc block
-    stays within ~8 MB of VMEM."""
+    (double-buffered, so 2x in flight) stays within ~8 MB of VMEM.
+    The doubled candidate is what must fit -- checking the current gt
+    returned one step past the budget (R=256 -> GT=128 -> 16.9 MB
+    scoped VMEM > the 16 MB limit, a hard compile error)."""
     gt = 8
-    while gt < 256 and (R * 2 * gt * L_LANES) <= (8 << 20):
+    while gt < 256 and (R * 2 * (gt << 1) * L_LANES) <= (8 << 20):
         gt <<= 1
     return gt
 
@@ -168,21 +171,32 @@ class DeviceNWPrepass:
             qext = np.ascontiguousarray(qext)
             gt = min(_gt_for(R), n_pad)
             chunks.append((sel, n, tl, ql, kf, hb, qext, tcol, gt))
-        if self.client is not None:
-            self.dispatches += len(chunks)
-            for _sel, _n, tl, ql, kf, hb, qext, tcol, gt in chunks:
-                self.client.nw_scores_qext_send(
-                    tl, ql, kf, hb, qext, tcol,
-                    dmat=np.asarray(rew.d)[:5, :5], W1=rew.W1, U=rew.U,
-                    MM=rew.MM, GT=gt)
-            for sel, n, *_ in chunks:
-                got = np.asarray(self.client.nw_scores_qext_recv(),
-                                 np.int64)
-                scores[sel] = got[:n]
-        else:
-            for sel, n, tl, ql, kf, hb, qext, tcol, gt in chunks:
-                got = self._score(tl, ql, kf, hb, qext, tcol, gt, rew)
-                scores[sel] = got[:n]
+        try:
+            if self.client is not None:
+                self.dispatches += len(chunks)
+                for _sel, _n, tl, ql, kf, hb, qext, tcol, gt in chunks:
+                    self.client.nw_scores_qext_send(
+                        tl, ql, kf, hb, qext, tcol,
+                        dmat=np.asarray(rew.d)[:5, :5], W1=rew.W1,
+                        U=rew.U, MM=rew.MM, GT=gt)
+                for sel, n, *_ in chunks:
+                    got = np.asarray(self.client.nw_scores_qext_recv(),
+                                     np.int64)
+                    scores[sel] = got[:n]
+            else:
+                for sel, n, tl, ql, kf, hb, qext, tcol, gt in chunks:
+                    got = self._score(tl, ql, kf, hb, qext, tcol, gt,
+                                      rew)
+                    scores[sel] = got[:n]
+        except Exception as e:  # compile OOM, daemon loss, ...: a
+            # device pre-pass failure must NEVER kill the run -- the
+            # host pre-pass computes the same scores
+            print("# device NW pre-pass failed (%s); host pre-pass "
+                  "takes over" % type(e).__name__, file=sys.stderr)
+            self.mode = "off"
+            self.client = None
+            self._local_fn = None
+            return None
         self.windows_scored += n_win
         LAST_STATS["windows"] += n_win
         LAST_STATS["dispatches"] = self.dispatches

@@ -94,6 +94,60 @@ def _allgather_multi(arrays: List[np.ndarray]) -> List[List[np.ndarray]]:
     return out
 
 
+def _exchange_blobs_to_rank0(blob: bytes, prefix: str, pid: int,
+                             nproc: int) -> Optional[List[bytes]]:
+    """Move each rank's output blob to rank 0.
+
+    Prefers the shared filesystem -- the reference's own spltDB
+    transport (mappers write ``out.i`` files the reducer polls,
+    kma.c:1387, spltdb.c:610-620) -- so the payload is never broadcast
+    to every rank; falls back to the all-gather when the ranks do not
+    share a filesystem.  Returns the rank-ordered blob list on rank 0,
+    None elsewhere."""
+    import os
+
+    from jax.experimental import multihost_utils as mh
+
+    path = "%s.mh%d.part" % (prefix, pid)
+    ok = 1
+    if pid != 0:
+        try:
+            with open(path + ".tmp", "wb") as f:
+                f.write(blob)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(path + ".tmp", path)
+        except OSError:
+            ok = 0
+    flags = np.atleast_2d(mh.process_allgather(
+        np.asarray([ok], np.int64)))
+    if int(flags.sum()) == nproc:
+        read_ok = 1
+        blobs: Optional[List[bytes]] = None
+        if pid == 0:
+            blobs = [blob]
+            for p in range(1, nproc):
+                try:
+                    with open("%s.mh%d.part" % (prefix, p), "rb") as f:
+                        blobs.append(f.read())
+                except OSError:
+                    read_ok = 0
+                    blobs = None
+                    break
+        g = np.atleast_2d(mh.process_allgather(
+            np.asarray([read_ok], np.int64)))
+        if pid != 0:
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+        if int(g[0, 0]):
+            return blobs
+    # no shared filesystem: broadcast everything to everyone
+    all_blobs = _allgather_blob(blob)
+    return all_blobs if pid == 0 else None
+
+
 def _merge_ragged(flats: List[np.ndarray], offs: List[np.ndarray],
                   order: np.ndarray):
     """Merge per-process (flat, offsets) ragged arrays into one flat
@@ -166,6 +220,21 @@ def run_kma_multihost(db_prefix: str, output_prefix: str,
     # every rank counts the GLOBAL fragment stream while sharding
     # ownership (pipeline._shard_reads ordinals), so the totals agree
     tot_frags = int(part["tot_frags"])
+    fc = part.get("file_frag_counts")
+    if fc is not None and part.get("ndrv") is not None:
+        # file-sharded parse: each rank read only its own input files
+        # and fed (file_idx << 40 | i) ordinals; one tiny all-gather of
+        # the per-file survivor counts rebases them to the global
+        # input-stream order before the reducer merge
+        g = np.atleast_2d(mh.process_allgather(np.asarray(fc, np.int64)))
+        counts = g.sum(axis=0)
+        bases = np.concatenate(([0], np.cumsum(counts[:-1])))
+        tot_frags = int(counts.sum())
+        sp = list(part["spool"])
+        enc = np.asarray(sp[4], np.int64)
+        sp[4] = bases[enc >> np.int64(40)] \
+            + (enc & ((np.int64(1) << np.int64(40)) - 1))
+        part["spool"] = tuple(sp)
 
     names = part["names"]
     if part.get("ndrv") is not None:
@@ -283,8 +352,19 @@ def run_kma_multihost(db_prefix: str, output_prefix: str,
             want_ef=cfg.ef, fragment_counts=fragment_counts,
             read_counts=read_counts, t_stride=(-hi, lo))
         _tout = _time.time()
-        blob = pickle.dumps(seven, protocol=pickle.HIGHEST_PROTOCOL)
-        blobs = _allgather_blob(blob)
+        # frag/mat/vcf go out gzipped: each rank compresses its OWN
+        # section (a concatenation of gzip members is a valid gzip
+        # stream), so rank 0's stitch is raw I/O instead of one serial
+        # gzip pass over the whole output
+        import gzip as _gzip
+        seven = list(seven)
+        for s in (3, 4, 5):
+            if seven[s]:
+                seven[s] = _gzip.compress(seven[s], 1)
+        blob = pickle.dumps(tuple(seven),
+                            protocol=pickle.HIGHEST_PROTOCOL)
+        blobs = _exchange_blobs_to_rank0(blob, output_prefix,
+                                         process_id, num_processes)
         _t2 = _time.time()
         if process_id != 0:
             return 0
@@ -293,6 +373,7 @@ def run_kma_multihost(db_prefix: str, output_prefix: str,
         parts = [pickle.loads(b) for b in blobs]
         stitched = [b"".join(p[s] for p in parts) for s in range(7)]
         res_b, fsa_b, aln_b, frag_b, mat_b, vcf_b, ef_b = stitched
+        _empty = _gzip.compress(b"", 1)
 
         with open(output_prefix + ".res", "wb") as f:
             f.write(writers.RES_HEADER.encode("latin1"))
@@ -304,15 +385,15 @@ def run_kma_multihost(db_prefix: str, output_prefix: str,
             with open(output_prefix + ".aln", "wb") as f:
                 f.write(aln_b)
         if not cfg.nf:
-            with writers.open_gz(output_prefix + ".frag.gz") as f:
-                f.write(frag_b)
+            with open(output_prefix + ".frag.gz", "wb") as f:
+                f.write(frag_b or _empty)
         if cfg.print_matrix:
-            with writers.open_gz(output_prefix + ".mat.gz") as f:
-                f.write(mat_b)
+            with open(output_prefix + ".mat.gz", "wb") as f:
+                f.write(mat_b or _empty)
         if cfg.vcf:
             from ..out.vcf import vcf_header
-            with writers.open_gz(output_prefix + ".vcf.gz") as f:
-                f.write(vcf_header(db_prefix))
+            with open(output_prefix + ".vcf.gz", "wb") as f:
+                f.write(_gzip.compress(vcf_header(db_prefix), 1))
                 f.write(vcf_b)
         if cfg.ef:
             with open(output_prefix + ".mapstat", "wb") as f:

@@ -1614,7 +1614,22 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             _mp = cfg.hardmask_q
         if _mp < cfg.min_q:
             _mp = cfg.min_q
-        for path in (input_files if input_files != ["--"] else []):
+        # Multi-file multi-host runs shard ownership by FILE instead of
+        # by fragment ordinal: each rank parses ONLY its own files (the
+        # duplicated parse+trim of every rank reading the whole stream
+        # was the main strong-scaling leak).  Ordinals are fed encoded
+        # as (file_idx << 40) | in_file_index; the reducer all-gathers
+        # the per-file survivor counts and rebases them to the global
+        # input-stream order before the merge (parallel/multihost.py),
+        # so ConClave still consumes the reference's stream order.
+        _se_list = list(input_files if input_files != ["--"] else [])
+        _file_shard = (_nproc > 1 and not pe_files and collect
+                       and len(_se_list) > 1)
+        if _file_shard:
+            _file_counts = np.zeros(len(_se_list), np.int64)
+        for fj, path in enumerate(_se_list):
+            if _file_shard and fj % _nproc != _pid0:
+                continue
             print("%s\t%s" % ("# Reading inputfile: ", path),
                   file=sys.stderr)
             scale = _sniff(path)
@@ -1623,6 +1638,14 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                     path, scale, _mp, cfg.min_q, cfg.hardmask_q,
                     cfg.min_len, cfg.max_len):
                 nb = len(c_o) - 1
+                if _file_shard:
+                    ords = ((np.int64(fj) << np.int64(40))
+                            + _file_counts[fj]
+                            + np.arange(nb, dtype=np.int64))
+                    _file_counts[fj] += nb
+                    n_frags += nb
+                    fused.map_batch(c_f, c_o, h_f, h_o, ords)
+                    continue
                 ords = np.arange(n_frags, n_frags + nb, dtype=np.int64)
                 n_frags += nb
                 if _nproc > 1:
@@ -2119,8 +2142,14 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
                "template_lengths": template_lengths, "names": names,
                "store": store, "rew": rew, "points": points,
                "kmersize": kmersize, "ndrv": None, "spool": None,
-               "records": None, "rec_ords": None}
+               "records": None, "rec_ords": None,
+               "file_frag_counts": None}
         if fused is not None:
+            try:
+                if _file_shard:
+                    out["file_frag_counts"] = _file_counts
+            except NameError:
+                pass
             # fast path: hand the native driver + raw spool arrays to the
             # multihost reducer (no Python record conversion)
             a, u = fused.scores()

@@ -820,8 +820,8 @@ int main(int argc, char **argv) {
         return FALLBACK;
     if (cfg.in_se.empty() && !cfg.pe)
         return FALLBACK;
-    if (!cfg.in_se.empty() && cfg.pe)
-        return FALLBACK;   // mixed SE+PE in one run: Python path
+    // mixed SE+PE runs natively: SE files stream first, then the -ipe
+    // pairs, frag ordinals continuous across both (kma.c:1559-1567)
     for (const std::string &p : cfg.in_se)
         if (!is_fastq(p.c_str()))
             return FALLBACK;
@@ -950,7 +950,7 @@ int main(int argc, char **argv) {
 
     ll n_frags = 0;
     std::vector<ll> ords;
-    if (!cfg.pe) {
+    if (!cfg.in_se.empty()) {
         // device-scan plumbing: reader batches are sliced into daemon
         // requests a few thousand reads wide and pipelined 2 deep, so
         // the chip's scan of slice k+1/k+2 overlaps the native
@@ -1151,7 +1151,8 @@ int main(int argc, char **argv) {
             sam_drain();
             rd.join();
         }
-    } else for (size_t pi = 0; pi < cfg.in_pe1.size(); ++pi) {
+    }
+    if (cfg.pe) for (size_t pi = 0; pi < cfg.in_pe1.size(); ++pi) {
         const std::string &pe1 = cfg.in_pe1[pi], &pe2 = cfg.in_pe2[pi];
         fprintf(stderr, "# Reading inputfile: \t%s %s\n", pe1.c_str(),
                 pe2.c_str());

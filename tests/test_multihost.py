@@ -213,3 +213,54 @@ def test_multihost_spltdb_db_sharding(tmp_path, mh_reads, mh_env,
     import gzip
     assert gzip.open(str(single) + ".frag.gz").read() \
         == gzip.open(str(multi) + ".frag.gz").read()
+
+
+@pytest.mark.parametrize("nproc", [2, 3])
+def test_multihost_file_sharded_parse(tmp_path, mh_reads, db50_index3,
+                                      mh_env, nproc):
+    """Multi-file runs shard ownership by FILE (each rank parses only
+    its own inputs; ordinals rebased from the all-gathered per-file
+    survivor counts) -- outputs incl. the gzipped ones (written as
+    per-rank gzip members) and the mapstat fragmentCount must stay
+    bit-identical to the 1-process run."""
+    import gzip
+
+    # three distinct files so ranks own different subsets
+    lines = mh_reads.read_text().splitlines()
+    recs = ["\n".join(lines[i: i + 4]) for i in range(0, len(lines), 4)]
+    files = []
+    for j in range(3):
+        p = tmp_path / ("part%d.fq" % j)
+        p.write_text("\n".join(recs[j::3]) + "\n")
+        files.append(str(p))
+    base = ["-i"] + files + ["-t_db", db50_index3, "-matrix", "-vcf",
+                             "-ef"]
+    single = tmp_path / "single"
+    p = _run_cli(base + ["-o", str(single)], mh_env)
+    _, err = p.communicate(timeout=280)
+    assert p.returncode == 0, err.decode()[-2000:]
+
+    multi = tmp_path / "multi"
+    port = _free_port()
+    procs = [_run_cli(base + ["-o", str(multi), "-mh",
+                              "127.0.0.1:%d,%d,%d" % (port, nproc, pid)],
+                      mh_env) for pid in range(nproc)]
+    errs = [p.communicate(timeout=280)[1] for p in procs]
+    for p, err in zip(procs, errs):
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    for ext in (".res", ".fsa", ".aln"):
+        assert (tmp_path / ("single" + ext)).read_bytes() \
+            == (tmp_path / ("multi" + ext)).read_bytes(), f"{ext} differs"
+    for ext in (".frag.gz", ".mat.gz", ".vcf.gz"):
+        assert gzip.open(str(single) + ext).read() \
+            == gzip.open(str(multi) + ext).read(), f"{ext} differs"
+    # fragmentCount in the mapstat header comes from the all-gathered
+    # per-file survivor counts; command/date echo lines excluded
+    def body(p):
+        return [ln for ln in open(p, "rb").read().splitlines()
+                if not ln.startswith((b"## command", b"## date"))]
+    assert body(str(single) + ".mapstat") == body(str(multi) + ".mapstat")
+    # no leaked .part exchange files
+    import glob
+    assert not glob.glob(str(multi) + ".mh*.part*")

@@ -386,3 +386,53 @@ def test_native_cli_multiple_ipe(tmp_path, db50_index):
         with gzip.open(a + ".frag.gz") as f1_, gzip.open(b + ".frag.gz") \
                 as f2_:
             assert f1_.read() == f2_.read()
+
+
+@pytest.mark.parametrize("margs", [["-1t1"], [], ["-apm", "p"],
+                                   ["-mem_mode"]])
+def test_native_cli_mixed_se_pe(tmp_path, db50_index, sim_reads_mod,
+                                ref_bin, margs):  # noqa: F811
+    """Mixed SE+PE in one run (round 5): the reference streams the -i
+    files first, then the -ipe pairs, with continuous fragment ordinals
+    (kma.c:1559-1567); the native CLI now does the same instead of
+    falling back.  Byte parity vs BOTH the Python CLI and the reference
+    binary at -t 1."""
+    if not _ensure_cli():
+        pytest.skip("native CLI unavailable")
+    import numpy as np
+    from kma_tpu.index.format import load_index
+    from kma_tpu.pipeline import TemplateStore
+    idx = load_index(db50_index)
+    store = TemplateStore(db50_index + ".seq.b",
+                          np.asarray(idx.template_lengths), idx.kmersize)
+    f1p, f2p = tmp_path / "p1.fq", tmp_path / "p2.fq"
+    with open(f1p, "w") as f1, open(f2p, "w") as f2:
+        for i in range(60):
+            t = 1 + i % (idx.db_size - 1)
+            codes = store.get(t).codes
+            if len(codes) < 240:
+                continue
+            s1 = "".join("ACGTN"[c] for c in codes[:100])
+            s2r = codes[140:240][::-1]
+            s2 = "".join("ACGTN"[3 - c if c < 4 else c] for c in s2r)
+            f1.write("@x%d/1\n%s\n+\n%s\n" % (i, s1, "I" * 100))
+            f2.write("@x%d/2\n%s\n+\n%s\n" % (i, s2, "I" * 100))
+    base = ["-i", str(sim_reads_mod), "-ipe", str(f1p), str(f2p),
+            "-t_db", db50_index] + margs
+    a = str(tmp_path / "nat")
+    b = str(tmp_path / "py")
+    c = str(tmp_path / "ref")
+    assert _run_native(base, a) == 0
+    _run_python(base, b)
+    r = subprocess.run([str(ref_bin)] + base + ["-o", c, "-t", "1"],
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    for ext in (".res", ".fsa", ".aln"):
+        na = (tmp_path / ("nat" + ext)).read_bytes()
+        assert na == (tmp_path / ("py" + ext)).read_bytes(), ext
+        assert na == (tmp_path / ("ref" + ext)).read_bytes(), ext
+    with gzip.open(a + ".frag.gz") as fa, gzip.open(b + ".frag.gz") as fb, \
+            gzip.open(c + ".frag.gz") as fc:
+        ba = fa.read()
+        assert ba == fb.read()
+        assert ba == fc.read()
