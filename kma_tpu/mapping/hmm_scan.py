@@ -263,6 +263,24 @@ def hmm_scan_read(idx: KmaIndex, codes: np.ndarray, header: bytes,
     hp_a = np.asarray(hp, np.float64)
     st3 = np.zeros(3, np.int64)
     out4 = np.zeros(4, np.int64)
+    # pure-minimizer DBs: save_kmers_HMM's uninitialized hLenR
+    # (savekmers.c:3874; only hLen is set at :3935) makes every rc SEED
+    # probe's cmer collapse to 0 (getMmerR with *kmersize = stack
+    # garbage + x86 mod-64 shifts) until the read's first hit region
+    # runs an initCmer (initMmer writes *H_len, stdnuc.c:250) -- after
+    # which rc probes are true minimizers for the rest of the read.
+    # hfix starts 0 per read in that mode; native kchain_hmm_region
+    # carries the same emulation (vr0 = lookup(kmer 0)).
+    _emul = (idx.flag & 3) == 2 and not exhaustive
+    hfix_a = np.asarray([0 if _emul else 1], np.int64)
+    if _emul:
+        vr0 = (eng.lookup_kmer(0) if eng is not None
+               else lookup_voff(idx, 0))
+    else:
+        vr0 = -1
+
+    def VR_seed(j: int) -> int:
+        return VR_at(j) if hfix_a[0] else vr0
     while N <= NN[0] and 0 <= i_r:
         if eng is not None:
             st3[0] = i
@@ -270,7 +288,7 @@ def hmm_scan_read(idx: KmaIndex, codes: np.ndarray, header: bytes,
             st3[2] = N
             HIT = eng.hmm_region(VFL_a, VRL_a, VF_scores.a, VR_scores.a,
                                  NN_a, seqlen, k, exhaustive, hp_a, st3,
-                                 out4)
+                                 out4, vr0=vr0, hfix=hfix_a)
             i, i_r, N = int(st3[0]), int(st3[1]), int(st3[2])
             if not HIT:
                 continue
@@ -282,11 +300,13 @@ def hmm_scan_read(idx: KmaIndex, codes: np.ndarray, header: bytes,
             # --- find a seed (savekmers.c:3986-4024) ---
             HIT = 0
             if exhaustive:
+                if i < seqend:
+                    hfix_a[0] = 1   # initCmer ran (savekmers.c:3985-3990)
                 end = NN[N]
                 i += k - 1
                 while i < end and not HIT:
                     w = i - k + 1
-                    if VFL(w) >= 0 or VR_at(w) >= 0:
+                    if VFL(w) >= 0 or VR_seed(w) >= 0:
                         HIT = 1
                     else:
                         i += 1
@@ -296,7 +316,7 @@ def hmm_scan_read(idx: KmaIndex, codes: np.ndarray, header: bytes,
             else:
                 end = NN[N] - k + 1
                 while i < end and not HIT:
-                    if VFL(i) >= 0 or VR_at(i) >= 0:
+                    if VFL(i) >= 0 or VR_seed(i) >= 0:
                         HIT = 1
                     else:
                         i += k
@@ -309,7 +329,7 @@ def hmm_scan_read(idx: KmaIndex, codes: np.ndarray, header: bytes,
             # --- evaluate seed (savekmers.c:4026-4283) ---
             hitCounter = 1
             VF_scores[i] = VFL(i)
-            VR_scores[i] = VR_at(i)
+            VR_scores[i] = VR_seed(i)
 
             # extend backward
             Ms_prev = hp[7] + hp[2]
@@ -319,6 +339,8 @@ def hmm_scan_read(idx: KmaIndex, codes: np.ndarray, header: bytes,
             j = i - 1
             j_r = i_r + 1
             n = N - 1
+            if 0 <= j:
+                hfix_a[0] = 1   # backward init (savekmers.c:4051-4056)
             Ncheck = -1 if n > 0 else NN[n]   # reference quirk (see module doc)
             while j >= 0:
                 if j == Ncheck:
@@ -348,6 +370,8 @@ def hmm_scan_read(idx: KmaIndex, codes: np.ndarray, header: bytes,
                         break
                     j = kk - 1
                     j_r = seqlen - k - kk + 1
+                    if j != Ncheck:
+                        hfix_a[0] = 1   # re-init (savekmers.c:4095-4101)
                 else:
                     vf = VFL(j)
                     vr = VR_at(j)
@@ -394,6 +418,8 @@ def hmm_scan_read(idx: KmaIndex, codes: np.ndarray, header: bytes,
             j = i + 1
             j_r = i_r - 1
             Ncheck = NN[N] - k + 1
+            if j != Ncheck:
+                hfix_a[0] = 1   # forward init (savekmers.c:4166-4173)
             while j < seqend:
                 if j == Ncheck:
                     kk = j
@@ -422,9 +448,13 @@ def hmm_scan_read(idx: KmaIndex, codes: np.ndarray, header: bytes,
                         break
                     j = kk
                     j_r = seqlen - k - kk
+                    if j != Ncheck:
+                        hfix_a[0] = 1   # re-init (savekmers.c:4215-4221)
                 else:
                     vf = VFL(j)
-                    vr = VRL(j_r)
+                    # unfixed: the rolling cmerR is stuck at 0 with a
+                    # huge Pos counter, so fwd rc lookups stay lookup(0)
+                    vr = VRL(j_r) if hfix_a[0] else vr0
                     if vf >= 0:
                         VF_scores[j] = vf
                     if vr >= 0:

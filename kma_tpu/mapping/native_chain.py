@@ -158,7 +158,9 @@ def get_lib():
     lib.kchain_hmm_region.argtypes = [
         _vp, _vp, _vp, _vp, _vp,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        _vp, _vp, _vp]
+        _vp, _vp, _vp, ctypes.c_longlong, _vp]
+    lib.kchain_lookup_kmer.restype = ctypes.c_longlong
+    lib.kchain_lookup_kmer.argtypes = [_vp, ctypes.c_ulonglong]
     lib.kchain_scan_batch_dev.restype = ctypes.c_int
     lib.kchain_scan_batch_dev.argtypes = [
         _vp, _u8p, _i64p, ctypes.c_int,
@@ -545,14 +547,20 @@ class NativeChain:
                 (int(bs[1]), self._pair_br[:nbr.value].tolist()))
 
     def hmm_region(self, VFL_a, VRL_a, VFs, VRs, NN_a, seqlen, k,
-                   exhaustive, hp_a, st3, out4):
+                   exhaustive, hp_a, st3, out4, vr0=-1, hfix=None):
         """One save_kmers_HMM region iteration (savekmers.c:3986-4283):
-        seed search + both-direction HMM extension."""
+        seed search + both-direction HMM extension.  vr0/hfix carry the
+        pure-minimizer hLenR emulation (kchain_hmm_region doc)."""
         return self._lib.kchain_hmm_region(
             VFL_a.ctypes.data, VRL_a.ctypes.data, VFs.ctypes.data,
             VRs.ctypes.data, NN_a.ctypes.data, seqlen, k,
             1 if exhaustive else 0, hp_a.ctypes.data, st3.ctypes.data,
-            out4.ctypes.data)
+            out4.ctypes.data, vr0,
+            hfix.ctypes.data if hfix is not None else None)
+
+    def lookup_kmer(self, kmer: int) -> int:
+        """voff of one k-mer key (lookup(0) feeds the hLenR emulation)."""
+        return int(self._lib.kchain_lookup_kmer(self._h, kmer))
 
     def _ws(self, t):
         """Per-thread Score/extendScore/include workspaces."""

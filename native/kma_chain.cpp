@@ -2322,6 +2322,12 @@ void kchain_save_kmers(void *h, const uint8_t *codes, int seqlen,
 
 // per-window voffs over an ALREADY-FOLDED strand (the HMM scanner packs
 // N as base 0/3 and looks up EVERY window, savekmers.c:3975-3981)
+// single-kmer probe (vr0 for the HMM hLenR emulation above)
+long long kchain_lookup_kmer(void *h, unsigned long long kmer) {
+    Ctx *c = (Ctx *)h;
+    return (long long)lookup_voff(&c->x, kmer);
+}
+
 void kchain_lookup_windows(void *h, const uint8_t *fold, int seqlen,
                            long long *out) {
     Ctx *c = (Ctx *)h;
@@ -2415,19 +2421,35 @@ int kchain_score_reps(void *h, long long voff, long long reps,
 // then the 8-parameter log-space HMM extension in both directions,
 // filling the window->voff maps.  state = {i, i_r, N} (in/out);
 // out = {start, j, stop, hitCounter}.  Returns HIT.
+// vr0/hfix: pure-minimizer DBs (flag==2) hit save_kmers_HMM's
+// uninitialized hLenR (savekmers.c:3874 declares it; only hLen is set
+// at :3935).  getMmerR then scans with *kmersize = stack garbage (a
+// large stable value in the compiled oracle), and x86's mod-64 shifts
+// make every rc SEED probe's cmer collapse to 0 -- until the first hit
+// region runs an initCmer (stdnuc.c:250 initMmer writes *H_len), after
+// which rc probes are true minimizers for the REST OF THE READ.  vr0 =
+// lookup(kmer 0); *hfix starts 0 per read (1 disables the emulation)
+// and flips at each point where the reference would have run an init.
 int kchain_hmm_region(const long long *VFL_a, const long long *VRL_a,
                       long long *VFs, long long *VRs, const long long *NN,
                       int seqlen, int k, int exhaustive, const double *hp,
-                      long long *state, long long *out) {
+                      long long *state, long long *out,
+                      long long vr0, long long *hfix) {
     long long i = state[0], i_r = state[1], N = state[2];
     int seqend = seqlen - k + 1;
+    long long fixed = hfix ? *hfix : 1;
     auto VFL = [&](long long w) { return VFL_a[w]; };
-    auto VR_at = [&](long long j) { return VRL_a[seqlen - k - j]; };
+    auto VR_at = [&](long long j) {
+        return fixed ? VRL_a[seqlen - k - j] : vr0;
+    };
+    auto VR_true = [&](long long j) { return VRL_a[seqlen - k - j]; };
 
     // --- find a seed ---
     int HIT = 0;
     long long end;
     if (exhaustive) {
+        if (i < seqend)
+            fixed = 1;   // initCmer/initCmerR ran (savekmers.c:3985-3990)
         end = NN[N];
         i += k - 1;
         while (i < end && !HIT) {
@@ -2457,6 +2479,8 @@ int kchain_hmm_region(const long long *VFL_a, const long long *VRL_a,
         state[0] = i;
         state[1] = i_r;
         state[2] = N;
+        if (hfix)
+            *hfix = fixed;
         return 0;
     }
 
@@ -2471,6 +2495,8 @@ int kchain_hmm_region(const long long *VFL_a, const long long *VRL_a,
     long long j = i - 1;
     long long j_r = i_r + 1;
     long long n = N - 1;
+    if (0 <= j)
+        fixed = 1;   // backward-extension init (savekmers.c:4051-4056)
     long long Ncheck = n > 0 ? -1 : NN[n]; // reference quirk
     while (j >= 0) {
         if (j == Ncheck) {
@@ -2501,9 +2527,11 @@ int kchain_hmm_region(const long long *VFL_a, const long long *VRL_a,
             }
             j = kk - 1;
             j_r = seqlen - k - kk + 1;
+            if (j != Ncheck)
+                fixed = 1;   // re-init (savekmers.c:4095-4101)
         } else {
             long long vf = VFL(j);
-            long long vr = VR_at(j);
+            long long vr = VR_true(j);
             if (vf >= 0)
                 VFs[j] = vf;
             if (vr >= 0)
@@ -2548,6 +2576,8 @@ int kchain_hmm_region(const long long *VFL_a, const long long *VRL_a,
     j = i + 1;
     j_r = i_r - 1;
     Ncheck = NN[N] - k + 1;
+    if (j != Ncheck)
+        fixed = 1;   // forward-extension init (savekmers.c:4166-4173)
     while (j < seqend) {
         if (j == Ncheck) {
             long long kk = j;
@@ -2577,9 +2607,14 @@ int kchain_hmm_region(const long long *VFL_a, const long long *VRL_a,
             }
             j = kk;
             j_r = seqlen - k - kk;
+            if (j != Ncheck)
+                fixed = 1;   // re-init (savekmers.c:4215-4221)
         } else {
             long long vf = VFL(j);
-            long long vr = VRL_a[j_r];
+            // unfixed (no init ran yet): the reference's rolling cmerR
+            // is stuck at 0 with a ~32k-step Pos counter, so forward
+            // rc lookups stay lookup(0) too
+            long long vr = fixed ? VRL_a[j_r] : vr0;
             if (vf >= 0)
                 VFs[j] = vf;
             if (vr >= 0)
@@ -2625,6 +2660,8 @@ int kchain_hmm_region(const long long *VFL_a, const long long *VRL_a,
     out[1] = j;
     out[2] = stop;
     out[3] = hitCounter;
+    if (hfix)
+        *hfix = fixed;
     return 1;
 }
 

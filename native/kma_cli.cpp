@@ -834,8 +834,6 @@ int main(int argc, char **argv) {
     // paths.  No live daemon -> Python decides (in-process device).
     if (cfg.hmm && cfg.pe)
         return FALLBACK;   // PE+HMM stays on the Python path
-    if (cfg.sam && cfg.mem_mode)
-        return FALLBACK;   // mem SAM rows stay on the Python path
     // -proxi envelope: the native proxi machinery covers the SE chain
     // scan (getProxiChainTemplates) and the SE -1t1 scan
     // (getProxiMatch); PE combiners (getF/R_Proxi), HMM, SAM and the
@@ -873,8 +871,6 @@ int main(int argc, char **argv) {
     Index ix;
     if (!load_index(cfg.t_db, ix))
         return FALLBACK;
-    if ((ix.flag & 3) && ix.kmersize > 16)
-        return FALLBACK;   // cmer DBs follow the Python driver gates
 
     int32_t dmat[25];
     int MM;

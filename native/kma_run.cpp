@@ -56,7 +56,9 @@ int kchain_hmm_region(const long long *VFL_a, const long long *VRL_a,
                       long long *VFs, long long *VRs,
                       const long long *NN, int seqlen, int k,
                       int exhaustive, const double *hp, long long *state,
-                      long long *out);
+                      long long *out,
+                      long long vr0, long long *hfix);
+long long kchain_lookup_kmer(void *h, unsigned long long kmer);
 int kchain_score_window_runs(void *h, const long long *win, long long n,
                              long long *Score_, int *bt, int nb);
 void kchain_cut_limits(void *h, const long long *VFs,
@@ -991,11 +993,20 @@ static void scan_read_hmm(Run *R, Scratch &S, const uint8_t *q,
     }
     ll state3[3] = {0, (ll)(seqlen - k), 1};
     ll out4[4];
+    // pure-minimizer DBs: save_kmers_HMM's uninitialized hLenR makes
+    // every rc seed probe's cmer collapse to 0 until the read's first
+    // hit runs an initCmer (see kchain_hmm_region's vr0/hfix doc)
+    ll hfix = 1, vr0 = -1;
+    if (R->ix.cmode == 2 && !R->exhaustive) {
+        hfix = 0;
+        vr0 = kchain_lookup_kmer(S.ctx, 0);
+    }
     while (state3[2] <= S.NNv[0] && state3[1] >= 0) {
         int HIT = kchain_hmm_region(S.VFL.data(), S.VRL.data(),
                                     S.VFs.data(), S.VRs.data(),
                                     S.NNv.data(), seqlen, k,
-                                    R->exhaustive, hp, state3, out4);
+                                    R->exhaustive, hp, state3, out4,
+                                    vr0, &hfix);
         if (!HIT)
             continue;
         ll start = out4[0], j = out4[1], stop = out4[2],

@@ -141,6 +141,10 @@ def test_native_cli_falls_back(tmp_path, sim_reads_mod, db50_index,
 @pytest.mark.parametrize("margs", [
     ["-1t1", "-sam"], ["-sam"], ["-1t1", "-sam", "4"],
     ["-hmm", "-sam"],
+    # mem-mode SAM (round 5): scan-miss + assembly rows from the
+    # mapping-score path (runkma.c:910 sam wiring)
+    ["-mem_mode", "-sam"], ["-mem_mode", "-sam", "4"],
+    ["-mem_mode", "-sam", "2096"],
 ])
 def test_native_cli_sam_parity(tmp_path, sim_reads_mod, db50_index,
                                margs):  # noqa: F811
