@@ -108,6 +108,8 @@ def get_lib():
     i64p = ctypes.POINTER(ctypes.c_int64)
     f64p = ctypes.POINTER(ctypes.c_double)
     vpp = ctypes.POINTER(ctypes.c_void_p)
+    lib.kaln_set_circular.restype = None
+    lib.kaln_set_circular.argtypes = [ctypes.c_int]
     lib.kaln_frags_se_batch_crc.restype = None
     lib.kaln_frags_se_batch_crc.argtypes = [
         vpp, i32p, i64p,                 # handles, tpl ids, tpl offsets

@@ -645,8 +645,6 @@ def make_native_chain(idx: KmaIndex, pen: Penalties,
                       ) -> Optional[NativeChain]:
     """NativeChain for this DB, or None when the native path does not
     apply (cmer DBs, missing toolchain, KMA_TPU_NO_NATIVE)."""
-    if (idx.flag & 3) and idx.kmersize > 16:
-        return None  # >32-bit cmer folds stay on the Python scanner
     if idx.values is None or idx.values.dtype.itemsize not in (2, 4):
         return None
     if idx.exist is None or idx.exist.dtype.itemsize not in (4, 8):

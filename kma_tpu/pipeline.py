@@ -1557,6 +1557,10 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
     # one ctypes call per (read, template).
     from .align import native_aln as _nat
     use_batch = _nat.get_lib() is not None and not cfg.mem_mode
+    if use_batch:
+        # -ca: the batched scorers' chainSeeds variant (chainSeedsPtr
+        # role, kma.c:693); set per run, both ways (shared process)
+        _nat.get_lib().kaln_set_circular(1 if cfg.circular else 0)
 
     # device step-3 pre-pass: heavy lead/trail banded windows scored by
     # the Pallas wavefront kernel (align/nw_device.py; nw.c:892 role)
@@ -1605,6 +1609,10 @@ def run_kma(db_prefix: str, output_prefix: str, input_files: List[str],
             fused = make_run_driver(
                 idx, pen, template_lengths, store.seq_path, cfg,
                 0 if cfg.one2one else 1, aln_min_frac, contamination)
+            if fused is not None:
+                # -ca: batched step-3 scorers chain circular
+                from .run_native import set_circular as _set_circ
+                _set_circ(fused._lib, cfg.circular)
 
     if fused is not None:
         from .io.native_io import iter_fastq_native_batches

@@ -558,6 +558,15 @@ class RunDriver:
                                   u.ctypes.data_as(_i64p))
 
 
+def set_circular(lib, on: bool) -> None:
+    """-ca: switch the batched scorers' chainSeeds variant
+    (kaln_set_circular; chainSeedsPtr role, kma.c:693)."""
+    try:
+        lib.kaln_set_circular(1 if on else 0)
+    except AttributeError:
+        pass
+
+
 def make_run_driver(idx: KmaIndex, pen: Penalties,
                     template_lengths: np.ndarray, seq_path: str,
                     cfg: MapConfig, mode: int, aln_min_frac: float,
@@ -565,8 +574,6 @@ def make_run_driver(idx: KmaIndex, pen: Penalties,
                     ) -> Optional[RunDriver]:
     """RunDriver when the fused native path applies, else None (same DB
     eligibility gates as mapping.native_chain.make_native_chain)."""
-    if (idx.flag & 3) and idx.kmersize > 16:
-        return None
     if idx.values is None or idx.values.dtype.itemsize not in (2, 4):
         return None
     if idx.exist is None or idx.exist.dtype.itemsize not in (4, 8):

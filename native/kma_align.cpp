@@ -42,6 +42,12 @@ static std::atomic<ll> g_p_collect(0), g_p_chain(0), g_p_tails(0),
 // produced by the Pallas banded-NW kernel over the windows exported by
 // kaln_se_windows.  Set immediately before ONE kaln_frags_se_batch*
 // call and cleared by it; read-only while the batch workers run.
+// -ca circular templates: the batched scorers' chainSeeds variant
+// (chainSeedsPtr role, kma.c:693).  Set once per run before any
+// kaln_*_batch / kaln_se_windows call; read-only while workers run.
+static std::atomic<int> g_chain_circular(0);
+extern "C" void kaln_set_circular(int v) { g_chain_circular.store(v); }
+
 static const long long *g_dev_lead = nullptr, *g_dev_trail = nullptr;
 static const uint8_t *g_dev_has_lead = nullptr,
                      *g_dev_has_trail = nullptr;
@@ -2455,8 +2461,8 @@ static void stage_read_chains(void* const* handles, const int32_t* tpl_ids,
             continue;
         }
         int start, mapQ;
-        chain_seeds(pts, q_len, t_len, T.k, pen, false, start,
-                    mapQ);
+        chain_seeds(pts, q_len, t_len, T.k, pen,
+                    g_chain_circular.load() != 0, start, mapQ);
         if (prof) {
             double t1 = prof_now();
             g_p_chain += (ll)((t1 - pt0) * 1e9);
@@ -2491,9 +2497,19 @@ static void stage_read_chains(void* const* handles, const int32_t* tpl_ids,
             else if ((t_e << 1) < q_e || (t_e + BANDWIDTH) < q_e)
                 q_s = q_e - (t_e + (t_e < BANDWIDTH ? t_e
                                                     : BANDWIDTH));
-            if (q_e)
-                bound = window_bound(q_e - q_s, t_e - t_s, maxd,
-                                     W1, U);
+            if (q_e) {
+                // t_s == 0 -> lead NW runs with k == -2 (free leading
+                // clip): query excess costs nothing, so the sound
+                // upper bound is maxd*min with NO gap charge
+                if (t_s == 0) {
+                    int mn = (q_e - q_s) < (t_e - t_s) ? (q_e - q_s)
+                                                       : (t_e - t_s);
+                    bound = mn > 0 ? (ll)maxd * mn : 0;
+                } else {
+                    bound = window_bound(q_e - q_s, t_e - t_s, maxd,
+                                         W1, U);
+                }
+            }
         }
         bool aborted = false;
         w.seg_total = 0;
@@ -2574,8 +2590,16 @@ static void stage_read_chains(void* const* handles, const int32_t* tpl_ids,
             else if ((tr0 << 1) < qr0 || (tr0 + BANDWIDTH) < qr0)
                 q_e = q_s + (tr0 + (tr0 < BANDWIDTH ? tr0
                                                     : BANDWIDTH));
-            bound += window_bound(q_e - q_s, t_e - t_s, maxd, W1,
-                                  U);
+            // t_e == t_len -> trail NW runs with k == 2 (free trailing
+            // clip): query excess is free, bound is maxd*min
+            if (t_e == t_len) {
+                int mn = (q_e - q_s) < (t_e - t_s) ? (q_e - q_s)
+                                                   : (t_e - t_s);
+                bound += mn > 0 ? (ll)maxd * mn : 0;
+            } else {
+                bound += window_bound(q_e - q_s, t_e - t_s, maxd, W1,
+                                      U);
+            }
         }
         w.bound = bound;
     }
@@ -3358,7 +3382,8 @@ static void kma_score_cached(
         return;
     }
     int start, mapQ;
-    chain_seeds(pts, q_len, t_len, T.k, pen, false, start, mapQ);
+    chain_seeds(pts, q_len, t_len, T.k, pen,
+                g_chain_circular.load() != 0, start, mapQ);
     if (prof) {
         double t1 = prof_now();
         g_p_chain += (ll)((t1 - pt0) * 1e9);

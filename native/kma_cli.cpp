@@ -36,6 +36,7 @@ typedef unsigned long long ull;
 
 // ---- entry points of the sibling translation units -------------------------
 extern "C" {
+void kaln_set_circular(int v);
 void *krun_create(const void *exist, int exist_es, const void *key_index,
                   int key_es, const void *value_index, int vidx_es,
                   const void *values, int val_es, ull null_index, ull smask,
@@ -499,6 +500,7 @@ struct Cfg {
     // penalties (kma.c:328-337)
     int M = 1, U = -1, W1 = -3, Wl = -6, Mn = 0, PE = 7, Ts = -2, Tv = -2;
     int conclave = 1;              // -ConClave 1/2
+    long long max_frag = 1000000;  // -mf (kma.c:311,1045-1052)
     // preset / long-read machinery (kma.c:568-717, 1024-1248)
     double min_frac = 1.0;         // -proxi (negative = soft)
     int lc = 0;                    // -lc length-corrected selection
@@ -672,6 +674,8 @@ int main(int argc, char **argv) {
         } else if (a == "-transversion") {
             int v = atoi(argv[++i]);
             cfg.Tv = v < -v ? v : -v;
+        } else if (a == "-mf") {
+            cfg.max_frag = atoll(argv[++i]);
         } else if (a == "-ConClave") {
             cfg.conclave = atoi(argv[++i]);
             if (cfg.conclave < 1 || 2 < cfg.conclave)
@@ -832,8 +836,8 @@ int main(int argc, char **argv) {
     // -device on: the native envelope is the SE -1t1 dense-scan shape
     // (the daemon's dense op); everything else keeps the Python device
     // paths.  No live daemon -> Python decides (in-process device).
-    if (cfg.hmm && cfg.pe)
-        return FALLBACK;   // PE+HMM stays on the Python path
+    if (cfg.hmm && cfg.pe && (cfg.sam || cfg.device_on))
+        return FALLBACK;   // PE+HMM: sam/device combos stay on Python
     // -proxi envelope: the native proxi machinery covers the SE chain
     // scan (getProxiChainTemplates) and the SE -1t1 scan
     // (getProxiMatch); PE combiners (getF/R_Proxi), HMM, SAM and the
@@ -843,10 +847,6 @@ int main(int argc, char **argv) {
     if (cfg.min_frac == -1.0)
         return FALLBACK;
     if (proxi_active && (cfg.pe || cfg.hmm || cfg.sam || cfg.device_on))
-        return FALLBACK;
-    // -ca affects step-3 chaining (chainSeeds_circular) only outside
-    // mem_mode; the native scorer chains non-circular
-    if (cfg.circular && !cfg.mem_mode)
         return FALLBACK;
     DevConn *dc = nullptr;
     if (cfg.device_on) {
@@ -860,6 +860,8 @@ int main(int argc, char **argv) {
     }
 
     init_tables();
+    // -ca: batched step-3 scorers chain circular (chainSeedsPtr role)
+    kaln_set_circular(cfg.circular);
     fprintf(stderr, "# Running KMA.\n");
     const bool prof = getenv("KMA_RUN_PROF") != nullptr;
     auto now = [] {
@@ -1340,7 +1342,7 @@ int main(int argc, char **argv) {
     double tw1 = now();
     krun_conclave(R, cfg.conclave, cfg.lc, w_scores.data(), fc.data(),
                   rc.data(), tot_ulen,
-                  cfg.score_t, cfg.evalue, 0, 1000000);
+                  cfg.score_t, cfg.evalue, 0, cfg.max_frag);
     if (prof)
         fprintf(stderr, "# cli prof: conclave %.3f s\n", now() - tw1);
     ll Nhits = 0;

@@ -2848,7 +2848,17 @@ long long krun_map_pe_batch(void *hv, const uint8_t *a_flat,
         auto se_fallback = [&](const uint8_t *q, int l, int it,
                                uint8_t hsrc) {
             size_t before = S.units.size();
-            scan_read_units(R, S, q, l, it, hsrc);
+            if (R->mode == 2) {
+                // -hmm: single reads in the PE stream use kmerScan =
+                // save_kmers_HMM (savekmers.c:129-137); pairs keep the
+                // pair combiners
+                const uint8_t *hd = hsrc ? hb_flat + hb_off[it]
+                                         : ha_flat + ha_off[it];
+                ll hl = hsrc ? hb_off[it + 1] - hb_off[it]
+                             : ha_off[it + 1] - ha_off[it];
+                scan_read_hmm(R, S, q, l, it, hd, hl);
+            } else
+                scan_read_units(R, S, q, l, it, hsrc);
             if (sam1 && S.units.size() == before) {
                 // scan miss: flag 20 with the raw read (kmers.c:68-71)
                 const uint8_t *hd = hsrc ? hb_flat + hb_off[it]

@@ -56,6 +56,7 @@ def _run_python(args, out):
     ["-reward", "2", "-transition", "3", "-transversion", "4"],
     ["-gapopen", "5", "-gapextend", "2", "-localopen", "8"],
     ["-ConClave", "2"], ["-e", "0.001"], ["-xl", "150"],
+    ["-mf", "7"], ["-mf", "100", "-ConClave", "2"],
     # presets + the proxi/lc machinery (kma.c:568-717, 1024-1248) --
     # round-5 native envelope: -proxi chain selection
     # (getProxiChainTemplates), soft proxi in mem_mode, -lc, -ts
@@ -124,10 +125,8 @@ def test_native_cli_nc_na_fileset(tmp_path, sim_reads_mod, db50_index,
 
 @pytest.mark.parametrize("margs", [
     ["-Sparse"],
-    ["-mf", "7"],
     ["-proxi", "-1.0"],           # reference's no-op-pointer quirk
     ["-proxi", "0.8", "-sam"],    # proxi SAM rows stay Python
-    ["-ca"],                      # circular step-3 chaining (non-mem)
 ])
 def test_native_cli_falls_back(tmp_path, sim_reads_mod, db50_index,
                                margs):  # noqa: F811
@@ -440,3 +439,124 @@ def test_native_cli_mixed_se_pe(tmp_path, db50_index, sim_reads_mod,
         ba = fa.read()
         assert ba == fb.read()
         assert ba == fc.read()
+
+
+@pytest.mark.parametrize("margs", [["-hmm"], ["-hmm", "-apm", "p"],
+                                   ["-hmm", "-mem_mode"]])
+def test_native_cli_pe_hmm(tmp_path, db50_index, ref_bin, margs):
+    """PE + -hmm natively (round 5): pairs keep the pair combiners while
+    single survivors use kmerScan = save_kmers_HMM (savekmers.c:129-137);
+    byte parity vs the reference incl. frag.gz."""
+    if not _ensure_cli():
+        pytest.skip("native CLI unavailable")
+    import numpy as np
+    from kma_tpu.index.format import load_index
+    from kma_tpu.pipeline import TemplateStore
+    idx = load_index(db50_index)
+    store = TemplateStore(db50_index + ".seq.b",
+                          np.asarray(idx.template_lengths), idx.kmersize)
+    rng = np.random.default_rng(41)
+    f1p, f2p = tmp_path / "h1.fq", tmp_path / "h2.fq"
+    with open(f1p, "w") as f1, open(f2p, "w") as f2:
+        for i in range(100):
+            t = 1 + i % (idx.db_size - 1)
+            codes = store.get(t).codes
+            if len(codes) < 260:
+                continue
+            m1 = codes[:120].copy()
+            m2 = codes[140:260][::-1]
+            m2 = np.array([3 - c if c < 4 else c for c in m2], np.uint8)
+            for m in (m1, m2):
+                ne = rng.binomial(len(m), 0.03)
+                pos = rng.integers(0, len(m), ne)
+                m[pos] = (m[pos] + rng.integers(1, 4, ne)) % 4
+            s1 = "".join("ACGTN"[c] for c in m1)
+            s2 = "".join("ACGTN"[c] for c in m2)
+            if i % 5 == 3:
+                s1 = s1[:8]   # dead mate -> survivor runs the HMM scan
+            if i % 5 == 4:
+                s2 = s2[:8]
+            f1.write("@h%d/1\n%s\n+\n%s\n" % (i, s1, "I" * len(s1)))
+            f2.write("@h%d/2\n%s\n+\n%s\n" % (i, s2, "I" * len(s2)))
+    base = ["-ipe", str(f1p), str(f2p), "-t_db", db50_index] + margs
+    a, b = str(tmp_path / "nat"), str(tmp_path / "ref")
+    assert _run_native(base, a) == 0
+    r = subprocess.run([str(ref_bin)] + base + ["-o", b, "-t", "1"],
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    for ext in (".res", ".fsa", ".aln"):
+        assert (tmp_path / ("nat" + ext)).read_bytes() \
+            == (tmp_path / ("ref" + ext)).read_bytes(), ext
+    with gzip.open(a + ".frag.gz") as fa, gzip.open(b + ".frag.gz") as fb:
+        assert fa.read() == fb.read()
+
+
+@pytest.fixture(scope="module")
+def wrap_reads(tmp_path_factory, db50_index):
+    """Reads spanning the template ORIGIN (circular wrap) + reads with
+    long unmatched prefixes overhanging template starts -- the shapes
+    that exercise chainSeeds_circular (chain.c:262-494), the NW wrap
+    (nw.c:362-368) and the free-end-clip score bounds."""
+    import numpy as np
+    from kma_tpu.index.format import load_index
+    from kma_tpu.pipeline import TemplateStore
+    idx = load_index(db50_index)
+    store = TemplateStore(db50_index + ".seq.b",
+                          np.asarray(idx.template_lengths), idx.kmersize)
+    rng = np.random.default_rng(61)
+    comp = np.array([3, 2, 1, 0, 4, 5], dtype=np.uint8)
+    out = tmp_path_factory.mktemp("wrap") / "reads.fq"
+    with open(out, "w") as f:
+        n = 0
+        for i in range(600):
+            t = 1 + i % (idx.db_size - 1)
+            codes = store.get(t).codes
+            if len(codes) < 220:
+                continue
+            if i % 2:
+                off = int(rng.integers(10, 90))
+                r = np.concatenate([codes[-off:],
+                                    codes[:100 - off]]).copy()
+            else:
+                r = np.concatenate([rng.integers(0, 4, 40).astype(
+                    np.uint8), codes[:60]]).copy()
+            ne = rng.binomial(100, 0.02)
+            pos = rng.integers(0, 100, ne)
+            r[pos] = (r[pos] + rng.integers(1, 4, ne)) % 4
+            if rng.random() < 0.5:
+                r = comp[r[::-1]]
+            f.write("@w%d\n%s\n+\n%s\n"
+                    % (n, "".join("ACGTN"[c] for c in r), "I" * 100))
+            n += 1
+    return out
+
+
+@pytest.mark.parametrize("margs", [["-ca", "-1t1"], ["-ca"],
+                                   ["-ca", "-mem_mode"], ["-1t1"]])
+def test_native_cli_circular(tmp_path, wrap_reads, db50_index, ref_bin,
+                             margs):
+    """-ca joins the native envelope (round 5): circular step-3 chaining
+    (chainSeeds_circular) with wrap-aware stitch and sound free-end-clip
+    score bounds.  The plain -1t1 row regression-tests the bound fix on
+    start-overhang reads (lead windows at t_s == 0 run NW with k == -2,
+    whose free clip the old bound under-counted -- a latent unsound skip
+    in linear mode too).  Byte parity vs the reference."""
+    if not _ensure_cli():
+        pytest.skip("native CLI unavailable")
+    base = ["-i", str(wrap_reads), "-t_db", db50_index] + margs
+    a, b = str(tmp_path / "nat"), str(tmp_path / "ref")
+    assert _run_native(base, a) == 0
+    r = subprocess.run([str(ref_bin)] + base + ["-o", b, "-t", "1"],
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    for ext in (".res", ".fsa", ".aln"):
+        assert (tmp_path / ("nat" + ext)).read_bytes() \
+            == (tmp_path / ("ref" + ext)).read_bytes(), ext
+    with gzip.open(a + ".frag.gz") as fa, gzip.open(b + ".frag.gz") as fb:
+        assert fa.read() == fb.read()
+    # the Python CLI takes the same batched native scorers
+    c = str(tmp_path / "py")
+    _run_python(base, c)
+    for ext in (".res", ".fsa", ".aln"):
+        assert (tmp_path / ("py" + ext)).read_bytes() \
+            == (tmp_path / ("ref" + ext)).read_bytes(), "py" + ext
