@@ -269,12 +269,14 @@ class DevServer:
         return self._dense_pack(sc, h)
 
     def _op_chain(self, meta, arrays):
-        from .mapping.chain_device import _chain_lookup
-        d = self.didx
-        rows_f, rows_rc = _chain_lookup(
-            d.exist, d.kv, np.asarray(arrays["codes"]),
-            np.asarray(arrays["lengths"]), k=int(self.idx.kmersize),
-            mega=d.mega, size=d.size, max_probe=d.max_probe)
+        # wide windows ride the RLE-compacted device->host transfer
+        # (chain_device.chain_lookup_dense): the daemon expands to the
+        # dense rows locally, so the tunnel moves ~W/8 entries per
+        # strand instead of W while the wire protocol stays unchanged
+        from .mapping.chain_device import chain_lookup_dense
+        rows_f, rows_rc = chain_lookup_dense(
+            self.didx, self.idx, np.asarray(arrays["codes"]),
+            np.asarray(arrays["lengths"]))
         return {"ok": 1}, [("rows_f", np.asarray(rows_f, np.int32)),
                            ("rows_rc", np.asarray(rows_rc, np.int32))]
 

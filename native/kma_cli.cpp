@@ -961,8 +961,30 @@ int main(int argc, char **argv) {
             std::shared_ptr<DevBatch> db;
             int start, n;
         };
-        const int DEVSLICE = 4096;
+        // slice width / pipeline depth: 8192x3 halves the per-slice
+        // round-trip share vs the old 4096x2 on tunnel links (measured
+        // 0.63 -> 0.44 s on the 20k-SE config); env-tunable for other
+        // link profiles
+        int DEVSLICE = 8192;
+        if (const char *e = getenv("KMA_DEVSLICE"))
+            DEVSLICE = atoi(e) > 0 ? atoi(e) : DEVSLICE;
+        int DEVDEPTH = 3;
+        if (const char *e = getenv("KMA_DEVDEPTH"))
+            DEVDEPTH = atoi(e) > 0 ? atoi(e) : DEVDEPTH;
         const bool chain_dev = !cfg.one2one;   // chain probe op
+        // tunnel-byte budget for chain slices: per-window probe rows
+        // cost ~3 B/cell over the link even RLE-compacted, so heavy
+        // (long-read) slices score slower on the chip than the host
+        // scan through a thin tunnel -- those slices auto-keep the
+        // host path (the daemon still serves light slices).
+        // KMA_TPU_SCAN_MAX_MB tunes; KMA_DEV_CHAIN=force disables.
+        ll SCAN_BUDGET = 8ll << 20;
+        if (const char *e = getenv("KMA_TPU_SCAN_MAX_MB"))
+            SCAN_BUDGET = (ll)atoll(e) << 20;
+        const bool chain_force = [] {
+            const char *e = getenv("KMA_DEV_CHAIN");
+            return e && std::string(e) == "force";
+        }();
         std::deque<DevSlice> inflight;
         std::vector<uint8_t> dcodes;
         std::vector<int32_t> dlens, dscores, dcounts, dflat;
@@ -1073,6 +1095,31 @@ int main(int argc, char **argv) {
                 for (int i = 0; i < b.n; i++)
                     ords[i] = n_frags + i;
                 n_frags += b.n;
+                if (dc && chain_dev && !chain_force) {
+                    // batch-level budget pre-check: rejecting the WHOLE
+                    // batch keeps the host scan's one-call content
+                    // dedupe (slice-granular host fallbacks cost ~30%
+                    // in re-evaluated duplicate chains)
+                    ll est = 0;
+                    for (int i = 0; i < b.n; ++i) {
+                        int l = (int)(b.coff[i + 1] - b.coff[i]);
+                        ll pl = pad_len(l);
+                        est += pl * (pl < 512 + 16 ? 9 : 3);
+                    }
+                    if (est > SCAN_BUDGET) {
+                        while (!inflight.empty()) {
+                            dev_finish(inflight.front());
+                            inflight.pop_front();
+                        }
+                        if (krun_map_se_batch(R, b.codes.data(),
+                                              b.coff.data(),
+                                              b.hdr.data(),
+                                              b.hoff.data(),
+                                              ords.data(), b.n) < 0)
+                            die("mapping failed");
+                        continue;
+                    }
+                }
                 if (dc) {
                     auto db = std::make_shared<DevBatch>();
                     db->b = std::move(b);
@@ -1096,7 +1143,7 @@ int main(int argc, char **argv) {
                         st = en;
                         if (dev_send(s)) {
                             inflight.push_back(std::move(s));
-                            while (inflight.size() > 2) {
+                            while ((int)inflight.size() > DEVDEPTH) {
                                 dev_finish(inflight.front());
                                 inflight.pop_front();
                             }
@@ -1212,7 +1259,31 @@ int main(int argc, char **argv) {
                 ords.push_back(n_frags++);
             }
             int nk = (int)bp.size();
-            if (nk && dc) {
+            // same tunnel-byte budget as the SE chain slices: the mate
+            // probes' dense per-window responses cost ~8 B/cell, which
+            // loses to the host scan through a thin link
+            bool pe_dev = nk && dc;
+            if (pe_dev) {
+                ll SCAN_BUDGET = 8ll << 20;
+                if (const char *e = getenv("KMA_TPU_SCAN_MAX_MB"))
+                    SCAN_BUDGET = (ll)atoll(e) << 20;
+                const char *f = getenv("KMA_DEV_CHAIN");
+                if (!(f && std::string(f) == "force")) {
+                    int mx0 = 1;
+                    for (int i = 0; i < nk; ++i) {
+                        int la_ = (int)(ao[i + 1] - ao[i]);
+                        int lb_ = (int)(bo[i + 1] - bo[i]);
+                        if (la_ > mx0) mx0 = la_;
+                        if (lb_ > mx0) mx0 = lb_;
+                    }
+                    int Lb0 = 128;
+                    while (Lb0 < mx0)
+                        Lb0 = (Lb0 * 3 / 2 + 63) / 64 * 64;
+                    if (2ll * (ll)nk * Lb0 * 9 > SCAN_BUDGET)
+                        pe_dev = false;
+                }
+            }
+            if (pe_dev) {
                 // device mate probes (the chain op, both mates): one
                 // padded request per mate, voffs remapped to the pair
                 // combiners' per-strand window order

@@ -49,7 +49,7 @@ def test_device_lookup_matches_host(db50i, db50_prefix):
             header = b"x\x00"
         disp = dcs._dispatch([R()])
         assert disp is not None
-        _, rows_f, rows_rc = disp
+        _, rows_f, rows_rc, _rle = disp
         voff_f = dcs._rows_to_voff(np.asarray(rows_f))[0]
         voff_r = dcs._rows_to_voff(np.asarray(rows_rc))[0]
         W = len(c) - k + 1
@@ -120,3 +120,68 @@ def test_device_chain_stream_matches_native(db50i, db50_prefix):
         exp = nch.scan(rd.codes, rd.header, False, S, E, I,
                        16, 0.1, 0.5, 0.0, False)
         assert [key(h) for h in hits] == [key(h) for h in exp], rd.header
+
+
+def test_device_lookup_rle_long_reads(db50i, db50_prefix):
+    """The RLE-compacted transfer (W >= 512) reconstructs the exact
+    dense rows, including rows whose run count overflows the static cap
+    (host re-derivation path)."""
+    idx = db50i
+    pen = Penalties()
+    tl = idx.template_lengths.astype(np.int64)
+    nch = make_native_chain(idx, pen, tl)
+    dcs = DeviceChainStream(idx, pen, tl, nch, batch=8)
+    k = idx.kmersize
+    rng = np.random.default_rng(11)
+    from kma_tpu.mapping.chain_device import (_chain_lookup, _rle_cap,
+                                              _pad_len)
+    from kma_tpu.pipeline import TemplateStore
+    store = TemplateStore(db50_prefix + ".seq.b", tl, k)
+    reads = []
+    # stitched long read (few runs), noisy long read (many runs), and an
+    # adversarial alternator (hit k-mer / junk) to force cap overflow
+    t1 = store.get(3).codes
+    t2 = store.get(17).codes
+    long1 = np.concatenate([t1, t2, t1])[:900].copy()
+    noisy = np.concatenate([t2, t1, t2])[:900].copy()
+    pos = rng.integers(0, len(noisy), 90)
+    noisy[pos] = (noisy[pos] + rng.integers(1, 4, 90)) % 4
+    alt = np.empty(900, np.uint8)
+    for i in range(0, 900, 2 * k):
+        a = alt[i: i + k]
+        a[:] = t1[: len(a)]
+        b = alt[i + k: i + 2 * k]
+        b[:] = rng.integers(0, 4, len(b)).astype(np.uint8)
+    reads += [long1, noisy, alt]
+    L = _pad_len(900)
+    W = L - k + 1
+    assert W >= 512  # the RLE branch engages
+    codes = np.full((len(reads), L), 4, np.uint8)
+    lengths = np.zeros(len(reads), np.int32)
+    for j, c in enumerate(reads):
+        codes[j, : len(c)] = c
+        lengths[j] = len(c)
+    d = dcs.didx
+    ref_f, ref_rc = _chain_lookup(d.exist, d.kv, codes, lengths, k=k,
+                                  mega=d.mega, size=d.size,
+                                  max_probe=d.max_probe)
+    from kma_tpu.mapping.chain_device import chain_lookup_dense
+    got_f, got_rc = chain_lookup_dense(d, idx, codes, lengths)
+    assert np.array_equal(np.asarray(ref_f), got_f)
+    assert np.array_equal(np.asarray(ref_rc), got_rc)
+
+    # overflow machinery under a tiny explicit cap: every row busts the
+    # cap and goes through the exact host re-derivation (_host_rows)
+    from kma_tpu.mapping.chain_device import (_chain_lookup_rle_jit,
+                                              _expand_rle, _host_rows)
+    R = 4
+    sf, vf, nf, sr, vr, nr = (np.asarray(x) for x in _chain_lookup_rle_jit()(
+        d.exist, d.kv, codes, lengths, k=k, mega=d.mega, size=d.size,
+        max_probe=d.max_probe, R=R))
+    assert (nf > R).any() or (nr > R).any()
+    rf = _expand_rle(sf, vf, nf, W)
+    rrc = _expand_rle(sr, vr, nr, W)
+    over = np.flatnonzero((nf > R) | (nr > R))
+    _host_rows(d, idx, codes, lengths, over, rf, rrc)
+    assert np.array_equal(np.asarray(ref_f), rf)
+    assert np.array_equal(np.asarray(ref_rc), rrc)
