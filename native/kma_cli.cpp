@@ -18,6 +18,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <deque>
+#include <functional>
 #include <mutex>
 #include <string>
 #include <thread>
@@ -499,6 +500,7 @@ struct Cfg {
     bool nf = false;               // no .frag.gz
     // penalties (kma.c:328-337)
     int M = 1, U = -1, W1 = -3, Wl = -6, Mn = 0, PE = 7, Ts = -2, Tv = -2;
+    std::vector<std::string> in_int;   // -int interleaved PE files
     int conclave = 1;              // -ConClave 1/2
     long long max_frag = 1000000;  // -mf (kma.c:311,1045-1052)
     // preset / long-read machinery (kma.c:568-717, 1024-1248)
@@ -570,6 +572,12 @@ int main(int argc, char **argv) {
             }
             i += n_pe;
             cfg.pe = true;
+        } else if (a == "-int") {
+            while (i + 1 < argc && argv[i + 1][0] != '-')
+                cfg.in_int.push_back(argv[++i]);
+            if (cfg.in_int.empty())
+                return FALLBACK;   // python prints the usage error
+            cfg.pe = true;         // pairing gates apply (kma.c:419-434)
         } else if (a == "-t_db") {
             cfg.t_db = argv[++i];
         } else if (a == "-o") {
@@ -1197,45 +1205,50 @@ int main(int argc, char **argv) {
             rd.join();
         }
     }
-    if (cfg.pe) for (size_t pi = 0; pi < cfg.in_pe1.size(); ++pi) {
-        const std::string &pe1 = cfg.in_pe1[pi], &pe2 = cfg.in_pe2[pi];
-        fprintf(stderr, "# Reading inputfile: \t%s %s\n", pe1.c_str(),
-                pe2.c_str());
-        int scale = sniff_phred(pe1.c_str());
-        if (!scale)
-            scale = sniff_phred(pe2.c_str());
-        fprintf(stderr, "# Phred scale:\t%d\n", scale);
-        BatchQueue bq1, bq2;
-        std::thread rd1(reader_thread, pe1, scale, mp, cfg.min_q,
-                        cfg.hardmask_q, cfg.min_len, cfg.max_len, 1, &bq1);
-        std::thread rd2(reader_thread, pe2, scale, mp, cfg.min_q,
-                        cfg.hardmask_q, cfg.min_len, cfg.max_len, 1, &bq2);
+    // shared pair-stream consumer: the -ipe loop feeds it two file
+    // readers; the -int loop feeds it the even/odd splitter of one
+    // interleaved stream (run_input_INT role, runinput.c:608-731)
+    auto run_pair_streams = [&](const std::function<bool(FqBatch&)> &pop1,
+                                const std::function<bool(FqBatch&)> &pop2) {
         FqBatch b1, b2;
         int i1 = 0, i2 = 0;   // record cursors into b1/b2
-        bool h1 = bq1.pop(b1);
-        bool h2 = bq2.pop(b2);
+        bool h1 = pop1(b1);
+        bool h2 = pop2(b2);
         std::vector<uint8_t> af, bf, haf, hbf, bp;
         std::vector<ll> ao, bo, hao, hbo;
-        while (h1 && h2) {
-            int n = b1.n - i1 < b2.n - i2 ? b1.n - i1 : b2.n - i2;
+        while (h1 || h2) {
+            // lockstep over both streams; a stream at EOF contributes
+            // failed empties so the other's records run as singles (the
+            // reference's OR loop, runinput.c:517/649)
+            int a1 = h1 ? b1.n - i1 : 0;
+            int a2 = h2 ? b2.n - i2 : 0;
+            int n = (h1 && h2) ? (a1 < a2 ? a1 : a2)
+                               : (a1 > a2 ? a1 : a2);
             // count pairs where either mate survived trimming
             af.clear(); bf.clear(); haf.clear(); hbf.clear(); bp.clear();
             ao.assign(1, 0); bo.assign(1, 0);
             hao.assign(1, 0); hbo.assign(1, 0);
             ords.clear();
             for (int t = 0; t < n; t++) {
-                bool p1 = b1.passed[i1 + t] != 0;
-                bool p2 = b2.passed[i2 + t] != 0;
+                bool p1 = t < a1 && b1.passed[i1 + t] != 0;
+                bool p2 = t < a2 && b2.passed[i2 + t] != 0;
                 if (!p1 && !p2)
                     continue;
-                const uint8_t *c1 = b1.codes.data() + b1.coff[i1 + t];
-                ll l1 = b1.coff[i1 + t + 1] - b1.coff[i1 + t];
-                const uint8_t *hd1 = b1.hdr.data() + b1.hoff[i1 + t];
-                ll hl1 = b1.hoff[i1 + t + 1] - b1.hoff[i1 + t];
-                const uint8_t *c2 = b2.codes.data() + b2.coff[i2 + t];
-                ll l2 = b2.coff[i2 + t + 1] - b2.coff[i2 + t];
-                const uint8_t *hd2 = b2.hdr.data() + b2.hoff[i2 + t];
-                ll hl2 = b2.hoff[i2 + t + 1] - b2.hoff[i2 + t];
+                const uint8_t *c1 = nullptr, *hd1 = nullptr;
+                const uint8_t *c2 = nullptr, *hd2 = nullptr;
+                ll l1 = 0, hl1 = 0, l2 = 0, hl2 = 0;
+                if (t < a1) {
+                    c1 = b1.codes.data() + b1.coff[i1 + t];
+                    l1 = b1.coff[i1 + t + 1] - b1.coff[i1 + t];
+                    hd1 = b1.hdr.data() + b1.hoff[i1 + t];
+                    hl1 = b1.hoff[i1 + t + 1] - b1.hoff[i1 + t];
+                }
+                if (t < a2) {
+                    c2 = b2.codes.data() + b2.coff[i2 + t];
+                    l2 = b2.coff[i2 + t + 1] - b2.coff[i2 + t];
+                    hd2 = b2.hdr.data() + b2.hoff[i2 + t];
+                    hl2 = b2.hoff[i2 + t + 1] - b2.hoff[i2 + t];
+                }
                 if (p1) {
                     af.insert(af.end(), c1, c1 + l1);
                     haf.insert(haf.end(), hd1, hd1 + hl1);
@@ -1369,24 +1382,137 @@ int main(int argc, char **argv) {
                         nullptr, nullptr, nullptr, nullptr, 0) < 0)
                     die("PE mapping failed");
             }
-            i1 += n;
-            i2 += n;
-            if (i1 >= b1.n) {
-                h1 = bq1.pop(b1);
+            i1 += n < a1 ? n : a1;
+            i2 += n < a2 ? n : a2;
+            if (h1 && i1 >= b1.n) {
+                h1 = pop1(b1);
                 i1 = 0;
             }
-            if (i2 >= b2.n) {
-                h2 = bq2.pop(b2);
+            if (h2 && i2 >= b2.n) {
+                h2 = pop2(b2);
                 i2 = 0;
             }
         }
         // drain so the producers can exit their push waits
-        while (h1 || bq1.pop(b1))
+        while (h1 || pop1(b1))
             h1 = false;
-        while (h2 || bq2.pop(b2))
+        while (h2 || pop2(b2))
             h2 = false;
+    };
+    if (cfg.pe) for (size_t pi = 0; pi < cfg.in_pe1.size(); ++pi) {
+        const std::string &pe1 = cfg.in_pe1[pi], &pe2 = cfg.in_pe2[pi];
+        fprintf(stderr, "# Reading inputfile: \t%s %s\n", pe1.c_str(),
+                pe2.c_str());
+        int scale = sniff_phred(pe1.c_str());
+        if (!scale)
+            scale = sniff_phred(pe2.c_str());
+        fprintf(stderr, "# Phred scale:\t%d\n", scale);
+        BatchQueue bq1, bq2;
+        std::thread rd1(reader_thread, pe1, scale, mp, cfg.min_q,
+                        cfg.hardmask_q, cfg.min_len, cfg.max_len, 1, &bq1);
+        std::thread rd2(reader_thread, pe2, scale, mp, cfg.min_q,
+                        cfg.hardmask_q, cfg.min_len, cfg.max_len, 1, &bq2);
+        run_pair_streams([&](FqBatch &o) { return bq1.pop(o); },
+                         [&](FqBatch &o) { return bq2.pop(o); });
         rd1.join();
         rd2.join();
+    }
+    // -int: one interleaved stream, consecutive records pair up
+    // (run_input_INT, runinput.c:608-731).  A splitter de-interleaves
+    // reader batches into even/odd sub-batches feeding the same
+    // pair consumer; an odd record at a batch edge carries over.
+    for (size_t ii = 0; ii < cfg.in_int.size(); ++ii) {
+        const std::string &path = cfg.in_int[ii];
+        fprintf(stderr, "# Reading inputfile: \t%s\n", path.c_str());
+        int scale = sniff_phred(path.c_str());
+        fprintf(stderr, "# Phred scale:\t%d\n", scale);
+        BatchQueue bq;
+        std::thread rd(reader_thread, path, scale, mp, cfg.min_q,
+                       cfg.hardmask_q, cfg.min_len, cfg.max_len, 1, &bq);
+        struct Split {
+            BatchQueue *src;
+            std::deque<FqBatch> evq, odq;
+            FqBatch carry;
+            bool have_carry = false, done = false;
+            static void put(FqBatch &dst, const FqBatch &srcb, int i) {
+                ll c0 = srcb.coff[i], c1 = srcb.coff[i + 1];
+                ll h0 = srcb.hoff[i], h1 = srcb.hoff[i + 1];
+                dst.codes.insert(dst.codes.end(),
+                                 srcb.codes.begin() + c0,
+                                 srcb.codes.begin() + c1);
+                dst.hdr.insert(dst.hdr.end(), srcb.hdr.begin() + h0,
+                               srcb.hdr.begin() + h1);
+                dst.coff.push_back((ll)dst.codes.size());
+                dst.hoff.push_back((ll)dst.hdr.size());
+                dst.passed.push_back(srcb.passed[i]);
+                dst.n++;
+            }
+            static FqBatch empty_batch() {
+                FqBatch b;
+                b.n = 0;
+                b.coff.assign(1, 0);
+                b.hoff.assign(1, 0);
+                return b;
+            }
+            bool fill() {
+                FqBatch b;
+                if (done || !src->pop(b)) {
+                    done = true;
+                    if (have_carry) {
+                        // trailing unpaired record runs as a single
+                        // (the reference's OR loop, runinput.c:649)
+                        have_carry = false;
+                        evq.push_back(std::move(carry));
+                        odq.push_back(empty_batch());
+                        return true;
+                    }
+                    return false;
+                }
+                FqBatch ev = empty_batch(), od = empty_batch();
+                int i = 0;
+                if (have_carry && b.n > 0) {
+                    put(ev, carry, 0);
+                    put(od, b, 0);
+                    have_carry = false;
+                    i = 1;
+                }
+                for (; i + 1 < b.n; i += 2) {
+                    put(ev, b, i);
+                    put(od, b, i + 1);
+                }
+                if (i < b.n) {
+                    carry = empty_batch();
+                    put(carry, b, i);
+                    have_carry = true;
+                }
+                if (ev.n) {
+                    evq.push_back(std::move(ev));
+                    odq.push_back(std::move(od));
+                }
+                return true;
+            }
+            bool pop_ev(FqBatch &out) {
+                while (evq.empty())
+                    if (!fill())
+                        return false;
+                out = std::move(evq.front());
+                evq.pop_front();
+                return true;
+            }
+            bool pop_od(FqBatch &out) {
+                while (odq.empty())
+                    if (!fill())
+                        return false;
+                out = std::move(odq.front());
+                odq.pop_front();
+                return true;
+            }
+        };
+        Split sp;
+        sp.src = &bq;
+        run_pair_streams([&](FqBatch &o) { return sp.pop_ev(o); },
+                         [&](FqBatch &o) { return sp.pop_od(o); });
+        rd.join();
     }
 
     if (prof)

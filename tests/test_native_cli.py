@@ -560,3 +560,57 @@ def test_native_cli_circular(tmp_path, wrap_reads, db50_index, ref_bin,
     for ext in (".res", ".fsa", ".aln"):
         assert (tmp_path / ("py" + ext)).read_bytes() \
             == (tmp_path / ("ref" + ext)).read_bytes(), "py" + ext
+
+
+@pytest.mark.parametrize("margs", [["-apm", "p"], ["-1t1"],
+                                   ["-mem_mode"], []])
+def test_native_cli_interleaved(tmp_path, db50_index, ref_bin, margs):
+    """-int joins the native envelope (round 5): one interleaved stream,
+    consecutive records pair up (run_input_INT, runinput.c:608-731) via
+    an even/odd splitter feeding the shared pair consumer; the OR-loop
+    semantics (runinput.c:649) run a trailing unpaired record and any
+    length mismatch as singles.  Byte parity vs the reference."""
+    if not _ensure_cli():
+        pytest.skip("native CLI unavailable")
+    import numpy as np
+    from kma_tpu.index.format import load_index
+    from kma_tpu.pipeline import TemplateStore
+    idx = load_index(db50_index)
+    store = TemplateStore(db50_index + ".seq.b",
+                          np.asarray(idx.template_lengths), idx.kmersize)
+    rng = np.random.default_rng(53)
+    intf = tmp_path / "il.fq"
+    with open(intf, "w") as f:
+        n = 0
+        for i in range(80):
+            t = 1 + i % (idx.db_size - 1)
+            codes = store.get(t).codes
+            if len(codes) < 260:
+                continue
+            m1 = codes[:110].copy()
+            m2 = codes[150:260][::-1]
+            m2 = np.array([3 - c if c < 4 else c for c in m2], np.uint8)
+            for m in (m1, m2):
+                ne = rng.binomial(len(m), 0.02)
+                pos = rng.integers(0, len(m), ne)
+                m[pos] = (m[pos] + rng.integers(1, 4, ne)) % 4
+            s1 = "".join("ACGTN"[c] for c in m1)
+            s2 = "".join("ACGTN"[c] for c in m2)
+            if i % 7 == 3:
+                s1 = s1[:6]          # failed mate
+            f.write("@il%d/1\n%s\n+\n%s\n" % (i, s1, "I" * len(s1)))
+            f.write("@il%d/2\n%s\n+\n%s\n" % (i, s2, "I" * len(s2)))
+            n += 1
+        # trailing unpaired record (OR-loop single)
+        f.write("@iltail\n%s\n+\n%s\n" % (s1, "I" * len(s1)))
+    base = ["-int", str(intf), "-t_db", db50_index] + margs
+    a, b = str(tmp_path / "nat"), str(tmp_path / "ref")
+    assert _run_native(base, a) == 0
+    r = subprocess.run([str(ref_bin)] + base + ["-o", b, "-t", "1"],
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    for ext in (".res", ".fsa", ".aln"):
+        assert (tmp_path / ("nat" + ext)).read_bytes() \
+            == (tmp_path / ("ref" + ext)).read_bytes(), ext
+    with gzip.open(a + ".frag.gz") as fa, gzip.open(b + ".frag.gz") as fb:
+        assert fa.read() == fb.read()
