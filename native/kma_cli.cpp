@@ -114,6 +114,12 @@ ll kio_parse_fastq(const unsigned char *buf, ll len, int last,
                    ll cap_codes, ll *code_off, unsigned char *hdr_out,
                    ll cap_hdr, ll *hdr_off, int cap_reads, int *n_out,
                    int *status, int emit_all, unsigned char *passed);
+ll kio_parse_fasta(const unsigned char *buf, ll len, int last,
+                   const unsigned char *to2bit, ll min_len, ll max_len,
+                   unsigned char *codes_out, ll cap_codes, ll *code_off,
+                   unsigned char *hdr_out, ll cap_hdr, ll *hdr_off,
+                   int cap_reads, int *n_out, int *status, int emit_all,
+                   unsigned char *passed);
 }
 
 #define FALLBACK 113
@@ -269,6 +275,16 @@ static bool is_fastq(const char *path) {
     return c == '@';
 }
 
+// 1 = fastq, 2 = fasta, 0 = unknown (openAndDetermine bits)
+static int seq_format(const char *path) {
+    gzFile f = gzopen(path, "rb");
+    if (!f)
+        return 0;
+    int c = gzgetc(f);
+    gzclose(f);
+    return c == '@' ? 1 : c == '>' ? 2 : 0;
+}
+
 // ---- phred scale sniff (io/seq.sniff_phred_scale; seqparse.c:551-589) -----
 static int sniff_phred(const char *path) {
     gzFile f = gzopen(path, "rb");
@@ -337,8 +353,8 @@ struct FqBatch {
 };
 
 // pull one parsed batch; returns false at end of stream
-static bool next_batch(FqStream &s, int scale, int min_phred, int min_q,
-                       int hardmask_q, ll min_len, ll max_len,
+static bool next_batch(FqStream &s, int fmt, int scale, int min_phred,
+                       int min_q, int hardmask_q, ll min_len, ll max_len,
                        int emit_all, FqBatch &out) {
     const int CAP_READS = 1 << 15;
     for (;;) {
@@ -371,19 +387,28 @@ static bool next_batch(FqStream &s, int scale, int min_phred, int min_q,
             return false;
         ll cap = (ll)s.carry.size();
         out.codes.resize(cap);
-        out.hdr.resize(cap);
+        // fasta headers keep '>' and gain a NUL: +1 byte per record
+        out.hdr.resize(cap + CAP_READS);
         out.coff.resize(CAP_READS + 1);
         out.hoff.resize(CAP_READS + 1);
         out.passed.resize(CAP_READS);
         int n_out = 0, status = 0;
-        ll consumed = kio_parse_fastq(
-            s.carry.data(), cap, s.eof ? 1 : 0, TO2BIT, PROB, scale,
-            min_phred, min_q, hardmask_q, min_len, max_len,
-            out.codes.data(), cap, out.coff.data(), out.hdr.data(), cap,
-            out.hoff.data(), CAP_READS, &n_out, &status, emit_all,
-            emit_all ? out.passed.data() : nullptr);
+        ll consumed = fmt == 2
+            ? kio_parse_fasta(
+                  s.carry.data(), cap, s.eof ? 1 : 0, TO2BIT, min_len,
+                  max_len, out.codes.data(), cap, out.coff.data(),
+                  out.hdr.data(), cap + CAP_READS, out.hoff.data(),
+                  CAP_READS, &n_out, &status, emit_all,
+                  emit_all ? out.passed.data() : nullptr)
+            : kio_parse_fastq(
+                  s.carry.data(), cap, s.eof ? 1 : 0, TO2BIT, PROB, scale,
+                  min_phred, min_q, hardmask_q, min_len, max_len,
+                  out.codes.data(), cap, out.coff.data(), out.hdr.data(),
+                  cap + CAP_READS, out.hoff.data(), CAP_READS, &n_out,
+                  &status, emit_all,
+                  emit_all ? out.passed.data() : nullptr);
         if (status != 0)
-            die("malformed fastq record");
+            die("malformed sequence record");
         s.carry.erase(s.carry.begin(), s.carry.begin() + consumed);
         out.n = n_out;
         if (n_out > 0)
@@ -426,8 +451,8 @@ struct BatchQueue {
     }
 };
 
-static void reader_thread(const std::string path, int scale, int mp,
-                          int min_q, int hardmask_q, ll min_len,
+static void reader_thread(const std::string path, int fmt, int scale,
+                          int mp, int min_q, int hardmask_q, ll min_len,
                           ll max_len, int emit_all, BatchQueue* out) {
     FqStream s;
     if (!s.open(path.c_str())) {
@@ -435,8 +460,8 @@ static void reader_thread(const std::string path, int scale, int mp,
         return;
     }
     FqBatch b;
-    while (next_batch(s, scale, mp, min_q, hardmask_q, min_len, max_len,
-                      emit_all, b))
+    while (next_batch(s, fmt, scale, mp, min_q, hardmask_q, min_len,
+                      max_len, emit_all, b))
         out->push(std::move(b));
     out->finish();
 }
@@ -835,11 +860,14 @@ int main(int argc, char **argv) {
     // mixed SE+PE runs natively: SE files stream first, then the -ipe
     // pairs, frag ordinals continuous across both (kma.c:1559-1567)
     for (const std::string &p : cfg.in_se)
-        if (!is_fastq(p.c_str()))
+        if (!seq_format(p.c_str()))
             return FALLBACK;
     for (size_t z = 0; z < cfg.in_pe1.size(); z++)
-        if (!is_fastq(cfg.in_pe1[z].c_str())
-            || !is_fastq(cfg.in_pe2[z].c_str()))
+        if (!seq_format(cfg.in_pe1[z].c_str())
+            || !seq_format(cfg.in_pe2[z].c_str()))
+            return FALLBACK;
+    for (const std::string &p : cfg.in_int)
+        if (!seq_format(p.c_str()))
             return FALLBACK;
     // -device on: the native envelope is the SE -1t1 dense-scan shape
     // (the daemon's dense op); everything else keeps the Python device
@@ -1092,12 +1120,14 @@ int main(int argc, char **argv) {
         FqBatch b;
         for (const std::string &path : cfg.in_se) {
             fprintf(stderr, "# Reading inputfile: \t%s\n", path.c_str());
-            int scale = sniff_phred(path.c_str());
-            fprintf(stderr, "# Phred scale:\t%d\n", scale);
+            int fmt = seq_format(path.c_str());
+            int scale = fmt == 2 ? 33 : sniff_phred(path.c_str());
+            if (fmt != 2)
+                fprintf(stderr, "# Phred scale:\t%d\n", scale);
             BatchQueue bq;
-            std::thread rd(reader_thread, path, scale, mp, cfg.min_q,
-                           cfg.hardmask_q, cfg.min_len, cfg.max_len, 0,
-                           &bq);
+            std::thread rd(reader_thread, path, fmt, scale, mp,
+                           cfg.min_q, cfg.hardmask_q, cfg.min_len,
+                           cfg.max_len, 0, &bq);
             while (bq.pop(b)) {
                 ords.resize(b.n);
                 for (int i = 0; i < b.n; i++)
@@ -1403,14 +1433,16 @@ int main(int argc, char **argv) {
         const std::string &pe1 = cfg.in_pe1[pi], &pe2 = cfg.in_pe2[pi];
         fprintf(stderr, "# Reading inputfile: \t%s %s\n", pe1.c_str(),
                 pe2.c_str());
-        int scale = sniff_phred(pe1.c_str());
+        int f1 = seq_format(pe1.c_str()), f2 = seq_format(pe2.c_str());
+        int scale = f1 == 2 ? 33 : sniff_phred(pe1.c_str());
         if (!scale)
             scale = sniff_phred(pe2.c_str());
-        fprintf(stderr, "# Phred scale:\t%d\n", scale);
+        if (f1 != 2 || f2 != 2)
+            fprintf(stderr, "# Phred scale:\t%d\n", scale);
         BatchQueue bq1, bq2;
-        std::thread rd1(reader_thread, pe1, scale, mp, cfg.min_q,
+        std::thread rd1(reader_thread, pe1, f1, scale, mp, cfg.min_q,
                         cfg.hardmask_q, cfg.min_len, cfg.max_len, 1, &bq1);
-        std::thread rd2(reader_thread, pe2, scale, mp, cfg.min_q,
+        std::thread rd2(reader_thread, pe2, f2, scale, mp, cfg.min_q,
                         cfg.hardmask_q, cfg.min_len, cfg.max_len, 1, &bq2);
         run_pair_streams([&](FqBatch &o) { return bq1.pop(o); },
                          [&](FqBatch &o) { return bq2.pop(o); });
@@ -1424,10 +1456,12 @@ int main(int argc, char **argv) {
     for (size_t ii = 0; ii < cfg.in_int.size(); ++ii) {
         const std::string &path = cfg.in_int[ii];
         fprintf(stderr, "# Reading inputfile: \t%s\n", path.c_str());
-        int scale = sniff_phred(path.c_str());
-        fprintf(stderr, "# Phred scale:\t%d\n", scale);
+        int fmt = seq_format(path.c_str());
+        int scale = fmt == 2 ? 33 : sniff_phred(path.c_str());
+        if (fmt != 2)
+            fprintf(stderr, "# Phred scale:\t%d\n", scale);
         BatchQueue bq;
-        std::thread rd(reader_thread, path, scale, mp, cfg.min_q,
+        std::thread rd(reader_thread, path, fmt, scale, mp, cfg.min_q,
                        cfg.hardmask_q, cfg.min_len, cfg.max_len, 1, &bq);
         struct Split {
             BatchQueue *src;

@@ -248,6 +248,106 @@ long long kio_parse_fastq(
     return pos;
 }
 
+// Fasta sibling of kio_parse_fastq: '>'-headed records, sequence lines
+// concatenated until the next '>' at line start.  Headers are emitted
+// WITHOUT the leading '>' (matching the fastq parser's '@' strip; the
+// reference's frag rows show bare names).  Trimming is fsastat (runinput.c:315-368): reject when
+// max_len < raw length, trim edge Ns, keep when
+// min_len <= (trimmed - internal Ns).
+long long kio_parse_fasta(
+    const unsigned char *buf, long long len, int last,
+    const unsigned char *to2bit, long long min_len, long long max_len,
+    unsigned char *codes_out, long long cap_codes, long long *code_off,
+    unsigned char *hdr_out, long long cap_hdr, long long *hdr_off,
+    int cap_reads, int *n_out, int *status, int emit_all,
+    unsigned char *passed) {
+    long long pos = 0;
+    int n = 0;
+    long long clen = 0, hlen = 0;
+    code_off[0] = 0;
+    hdr_off[0] = 0;
+    *status = 0;
+    while (pos < len && n < cap_reads) {
+        if (buf[pos] == '\n') {   // stray blank line between records
+            ++pos;
+            continue;
+        }
+        if (buf[pos] != '>') {
+            *status = 1;
+            break;
+        }
+        long long hstart = pos;
+        long long nl = find_nl(buf, pos, len);
+        if (nl < 0) {
+            if (last)
+                pos = len;   // header with no sequence: drop
+            break;
+        }
+        // record end: next line-start '>' or end of stream
+        long long send = -1;
+        for (long long p = nl + 1; p < len; ++p)
+            if (buf[p] == '>' && buf[p - 1] == '\n') {
+                send = p;
+                break;
+            }
+        if (send < 0) {
+            if (!last)
+                break;       // carry the partial record
+            send = len;
+        }
+        long long h_end = chomp_end(buf, hstart, nl);
+        long long hl = (h_end - (hstart + 1)) + 1;  // sans '>', plus NUL
+        long long seq_raw = send - (nl + 1);
+        if (clen + seq_raw > cap_codes || hlen + hl > cap_hdr)
+            break;
+        unsigned char *cp = codes_out + clen;
+        long long nc = 0;
+        for (long long i = nl + 1; i < send; ++i) {
+            unsigned char v = to2bit[buf[i]];
+            if (v < 8)
+                cp[nc++] = v;
+        }
+        // fsastat
+        long long start = 0, end = nc, ln_ret = 0;
+        if (max_len >= nc) {
+            while (end > start && cp[end - 1] == 4)
+                --end;
+            while (start < end && cp[start] == 4)
+                ++start;
+            long long ns = 0;
+            for (long long i = start; i < end; ++i)
+                if (cp[i] == 4)
+                    ++ns;
+            ln_ret = (end - start) - ns;
+        }
+        if (min_len <= ln_ret) {
+            if (start > 0)
+                memmove(cp, cp + start, (size_t)(end - start));
+            clen += end - start;
+            memcpy(hdr_out + hlen, buf + hstart + 1, (size_t)(hl - 1));
+            hdr_out[hlen + hl - 1] = '\0';
+            hlen += hl;
+            if (passed)
+                passed[n] = 1;
+            ++n;
+            code_off[n] = clen;
+            hdr_off[n] = hlen;
+        } else if (emit_all) {
+            memcpy(hdr_out + hlen, buf + hstart + 1, (size_t)(hl - 1));
+            hdr_out[hlen + hl - 1] = '\0';
+            hlen += hl;
+            if (passed)
+                passed[n] = 0;
+            ++n;
+            code_off[n] = clen;
+            hdr_off[n] = hlen;
+        }
+        pos = send;
+    }
+    *n_out = n;
+    return pos;
+}
+
 // values dedup of the index freeze (compressKMA_DB + valueshash.c):
 // records visited in `order`; identical u32 template lists share one
 // values entry [len, ids...].  out_values must hold n + sum(lens)

@@ -614,3 +614,52 @@ def test_native_cli_interleaved(tmp_path, db50_index, ref_bin, margs):
             == (tmp_path / ("ref" + ext)).read_bytes(), ext
     with gzip.open(a + ".frag.gz") as fa, gzip.open(b + ".frag.gz") as fb:
         assert fa.read() == fb.read()
+
+
+@pytest.mark.parametrize("margs", [["-asm"], ["-1t1"], [],
+                                   ["-mem_mode"], ["-hmm"]])
+def test_native_cli_fasta_input(tmp_path, db50_index, ref_bin, margs):
+    """Fasta query input joins the native envelope (round 5):
+    kio_parse_fasta implements FileBuffgetFsa + fsastat semantics
+    (seqparse.c:66-159, runinput.c:315-368) -- edge-N trimming, the
+    max_len raw-length reject, multi-line records, and the internal-Ns
+    min_len gate.  The -asm preset (the reference's advertised
+    assembly-mapping mode) rides it.  Byte parity vs the reference.
+    All-N records are excluded: the reference's fsastat underflows its
+    buffer and segfaults on them (we handle them gracefully)."""
+    if not _ensure_cli():
+        pytest.skip("native CLI unavailable")
+    import numpy as np
+    from kma_tpu.index.format import load_index
+    from kma_tpu.pipeline import TemplateStore
+    idx = load_index(db50_index)
+    store = TemplateStore(db50_index + ".seq.b",
+                          np.asarray(idx.template_lengths), idx.kmersize)
+    rng = np.random.default_rng(67)
+    fasta = tmp_path / "contigs.fsa"
+    with open(fasta, "w") as f:
+        f.write(">short\nACGT\n")
+        for i in range(60):
+            t = 1 + i % (idx.db_size - 1)
+            codes = store.get(t).codes.copy()
+            ne = rng.binomial(len(codes), 0.005)
+            pos = rng.integers(0, len(codes), ne)
+            codes[pos] = (codes[pos] + rng.integers(1, 4, ne)) % 4
+            seq = "".join("ACGTN"[c] for c in codes)
+            if i % 5 == 0:
+                seq = "N" * 12 + seq + "NN"   # edge-N trim
+            if i % 7 == 0:                     # multi-line record
+                seq = "\n".join(seq[j: j + 61] for j in range(0, len(seq),
+                                                              61))
+            f.write(">c%d\n%s\n" % (i, seq))
+    base = ["-i", str(fasta), "-t_db", db50_index] + margs
+    a, b = str(tmp_path / "nat"), str(tmp_path / "ref")
+    assert _run_native(base, a) == 0
+    r = subprocess.run([str(ref_bin)] + base + ["-o", b, "-t", "1"],
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    for ext in (".res", ".fsa", ".aln"):
+        assert (tmp_path / ("nat" + ext)).read_bytes() \
+            == (tmp_path / ("ref" + ext)).read_bytes(), ext
+    with gzip.open(a + ".frag.gz") as fa, gzip.open(b + ".frag.gz") as fb:
+        assert fa.read() == fb.read()
