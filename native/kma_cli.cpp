@@ -882,7 +882,11 @@ int main(int argc, char **argv) {
     const bool proxi_active = cfg.min_frac != 1.0 && cfg.min_frac != -1.0;
     if (cfg.min_frac == -1.0)
         return FALLBACK;
-    if (proxi_active && (cfg.pe || cfg.hmm || cfg.sam || cfg.device_on))
+    if (proxi_active && (cfg.hmm || cfg.sam || cfg.device_on))
+        return FALLBACK;
+    // PE proxi: union combiners (getF/R_Proxi) are native; the
+    // penalty/force proxi variants (getSecondProxi*) keep Python
+    if (proxi_active && cfg.pe && (cfg.pm != 0 || cfg.fpm != 0))
         return FALLBACK;
     DevConn *dc = nullptr;
     if (cfg.device_on) {

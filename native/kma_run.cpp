@@ -1411,6 +1411,112 @@ static ll getR_best(Scratch &S, int nb, int nbr, std::vector<int> &region,
     return bestScore_r;
 }
 
+// getF_Proxi (savekmers.c:1764-1823): every template within
+// minFrac*best over both strands (int-truncated threshold); soft mode
+// accumulates kept scores into the per-thread softProxi
+static ll getF_proxi(Scratch &S, Run *R, int nb, int nbr,
+                     std::vector<int> &region) {
+    ll bestScore = 0;
+    region.clear();
+    for (int i = 0; i < nb; ++i) {
+        ll sc = S.Score[S.bests[i]];
+        if (bestScore < sc)
+            bestScore = sc;
+    }
+    for (int i = 0; i < nbr; ++i) {
+        ll sc = S.Score_r[S.bests_r[i]];
+        if (bestScore < sc)
+            bestScore = sc;
+    }
+    ll proxiScore = (ll)(R->scan_min_frac * (double)bestScore);
+    for (int i = 0; i < nb; ++i) {
+        int t = S.bests[i];
+        ll sc = S.Score[t];
+        if (proxiScore <= sc) {
+            region.push_back(t);
+            if (S.soft)
+                S.soft[t] += sc;
+        }
+        S.Score[t] = 0;
+    }
+    for (int i = 0; i < nbr; ++i) {
+        int t = S.bests_r[i];
+        ll sc = S.Score_r[t];
+        if (proxiScore <= sc) {
+            region.push_back(-t);
+            if (S.soft)
+                S.soft[t] += sc;
+        }
+        S.Score_r[t] = 0;
+    }
+    return bestScore;
+}
+
+// getR_Proxi (savekmers.c:1825-1923): mate-2 proxi filter, then the
+// union reorder of mate-1's region (paired entries first, truncated on
+// pe); mate-2 survivors keep their scores until after the union check
+static ll getR_proxi(Scratch &S, Run *R, int nb, int nbr,
+                     std::vector<int> &region, std::vector<int> &best2,
+                     bool *pe) {
+    ll bestScore = 0;
+    best2.clear();
+    for (int i = 0; i < nb; ++i) {
+        ll sc = S.Score[S.bests[i]];
+        if (bestScore < sc)
+            bestScore = sc;
+    }
+    for (int i = 0; i < nbr; ++i) {
+        ll sc = S.Score_r[S.bests_r[i]];
+        if (bestScore < sc)
+            bestScore = sc;
+    }
+    ll proxiScore = (ll)(R->scan_min_frac * (double)bestScore);
+    for (int i = 0; i < nb; ++i) {
+        int t = S.bests[i];
+        ll sc = S.Score[t];
+        if (proxiScore <= sc) {
+            best2.push_back(t);
+            if (S.soft)
+                S.soft[t] += sc;
+        } else {
+            S.Score[t] = 0;
+        }
+    }
+    for (int i = 0; i < nbr; ++i) {
+        int t = S.bests_r[i];
+        ll sc = S.Score_r[t];
+        if (proxiScore <= sc) {
+            best2.push_back(-t);
+            if (S.soft)
+                S.soft[t] += sc;
+        } else {
+            S.Score_r[t] = 0;
+        }
+    }
+    size_t pe_hits = 0;
+    for (size_t i = 0; i < region.size(); ++i) {
+        int t = region[i];
+        ll paired = 0 < t ? S.Score_r[t] : S.Score[-t];
+        if (paired) {
+            std::swap(region[pe_hits], region[i]);
+            ++pe_hits;
+        }
+    }
+    for (int x : best2) {
+        if (0 < x)
+            S.Score[x] = 0;
+        else
+            S.Score_r[-x] = 0;
+    }
+    if (pe_hits) {
+        region.resize(pe_hits);
+        *pe = true;
+    } else {
+        *pe = false;
+    }
+    return bestScore;
+}
+
 // getFirstPen (savekmers.c:1383-1413): ALL mate1 matches of both strands
 // with their scores (rc negative); clears scores.
 static ll get_first_pen(Scratch &S, int nb, int nbr,
@@ -1737,9 +1843,12 @@ static int pair_scan(Run *R, Scratch &S, const uint8_t *q1, int l1,
         return 0;
     }
     ll bestScore = 0;
+    const bool proxi_pair = R->scan_min_frac < 1.0;
     if (pm == 0) {
         if (hc1) {
-            bestScore = getF_best(S, nb, nbr, region);
+            bestScore = proxi_pair
+                ? getF_proxi(S, R, nb, nbr, region)
+                : getF_best(S, nb, nbr, region);
             if (k < bestScore && bestScore * k < (l1 - bestScore))
                 bestScore = 0;
         } else {
@@ -1765,9 +1874,13 @@ static int pair_scan(Run *R, Scratch &S, const uint8_t *q1, int l1,
     if (hc2) {
         if (pm == 0) {
             if (bestScore) {
-                bestScore_r = getR_best(S, nb, nbr, region, best2, &pe);
+                bestScore_r = proxi_pair
+                    ? getR_proxi(S, R, nb, nbr, region, best2, &pe)
+                    : getR_best(S, nb, nbr, region, best2, &pe);
             } else {
-                bestScore_r = getF_best(S, nb, nbr, best2);
+                bestScore_r = proxi_pair
+                    ? getF_proxi(S, R, nb, nbr, best2)
+                    : getF_best(S, nb, nbr, best2);
             }
             if (k < bestScore_r && bestScore_r * k < (l2 - bestScore_r)) {
                 bestScore_r = 0;

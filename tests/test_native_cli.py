@@ -128,12 +128,23 @@ def test_native_cli_nc_na_fileset(tmp_path, sim_reads_mod, db50_index,
     ["-proxi", "-1.0"],           # reference's no-op-pointer quirk
     ["-proxi", "0.8", "-sam"],    # proxi SAM rows stay Python
 ])
-def test_native_cli_falls_back(tmp_path, sim_reads_mod, db50_index,
-                               margs):  # noqa: F811
+def test_native_cli_falls_back_se(tmp_path, sim_reads_mod, db50_index,
+                                  margs):  # noqa: F811
     if not _ensure_cli():
         pytest.skip("native CLI unavailable")
     rc = _run_native(["-i", str(sim_reads_mod), "-t_db", db50_index]
                      + margs, str(tmp_path / "x"))
+    assert rc == 113
+
+
+@pytest.mark.parametrize("margs", [
+    ["-proxi", "0.8", "-apm", "p"],   # penalty/force proxi stay Python
+])
+def test_native_cli_falls_back_pe(tmp_path, db50_index, margs):
+    if not _ensure_cli():
+        pytest.skip("native CLI unavailable")
+    rc = _run_native(["-ipe", "/dev/null", "/dev/null", "-t_db",
+                      db50_index] + margs, str(tmp_path / "x"))
     assert rc == 113
 
 
@@ -653,6 +664,58 @@ def test_native_cli_fasta_input(tmp_path, db50_index, ref_bin, margs):
                                                               61))
             f.write(">c%d\n%s\n" % (i, seq))
     base = ["-i", str(fasta), "-t_db", db50_index] + margs
+    a, b = str(tmp_path / "nat"), str(tmp_path / "ref")
+    assert _run_native(base, a) == 0
+    r = subprocess.run([str(ref_bin)] + base + ["-o", b, "-t", "1"],
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    for ext in (".res", ".fsa", ".aln"):
+        assert (tmp_path / ("nat" + ext)).read_bytes() \
+            == (tmp_path / ("ref" + ext)).read_bytes(), ext
+    with gzip.open(a + ".frag.gz") as fa, gzip.open(b + ".frag.gz") as fb:
+        assert fa.read() == fb.read()
+
+
+@pytest.mark.parametrize("margs", [
+    ["-proxi", "0.8"], ["-proxi", "-0.9"],
+    ["-proxi", "0.6", "-mem_mode"], ["-proxi", "-0.9", "-mem_mode"],
+])
+def test_native_cli_pe_proxi(tmp_path, db50_index, ref_bin, margs):
+    """PE + -proxi (union pairing) natively (round 5): getF_Proxi /
+    getR_Proxi (savekmers.c:1764-1923) incl. soft accumulation; byte
+    parity vs the reference."""
+    if not _ensure_cli():
+        pytest.skip("native CLI unavailable")
+    import numpy as np
+    from kma_tpu.index.format import load_index
+    from kma_tpu.pipeline import TemplateStore
+    idx = load_index(db50_index)
+    store = TemplateStore(db50_index + ".seq.b",
+                          np.asarray(idx.template_lengths), idx.kmersize)
+    rng = np.random.default_rng(71)
+    f1p, f2p = tmp_path / "q1.fq", tmp_path / "q2.fq"
+    with open(f1p, "w") as f1, open(f2p, "w") as f2:
+        for i in range(120):
+            t = 1 + i % (idx.db_size - 1)
+            codes = store.get(t).codes
+            if len(codes) < 260:
+                continue
+            m1 = codes[:110].copy()
+            m2 = codes[150:260][::-1]
+            m2 = np.array([3 - c if c < 4 else c for c in m2], np.uint8)
+            for m in (m1, m2):
+                ne = rng.binomial(len(m), 0.04)
+                pos = rng.integers(0, len(m), ne)
+                m[pos] = (m[pos] + rng.integers(1, 4, ne)) % 4
+            s1 = "".join("ACGTN"[c] for c in m1)
+            s2 = "".join("ACGTN"[c] for c in m2)
+            if i % 6 == 3:
+                s1 = s1[:6]
+            if i % 6 == 4:
+                s2 = s2[:6]
+            f1.write("@q%d/1\n%s\n+\n%s\n" % (i, s1, "I" * len(s1)))
+            f2.write("@q%d/2\n%s\n+\n%s\n" % (i, s2, "I" * len(s2)))
+    base = ["-ipe", str(f1p), str(f2p), "-t_db", db50_index] + margs
     a, b = str(tmp_path / "nat"), str(tmp_path / "ref")
     assert _run_native(base, a) == 0
     r = subprocess.run([str(ref_bin)] + base + ["-o", b, "-t", "1"],
