@@ -884,10 +884,6 @@ int main(int argc, char **argv) {
         return FALLBACK;
     if (proxi_active && (cfg.hmm || cfg.sam || cfg.device_on))
         return FALLBACK;
-    // PE proxi: union combiners (getF/R_Proxi) are native; the
-    // penalty/force proxi variants (getSecondProxi*) keep Python
-    if (proxi_active && cfg.pe && (cfg.pm != 0 || cfg.fpm != 0))
-        return FALLBACK;
     DevConn *dc = nullptr;
     if (cfg.device_on) {
         // native device envelope: SE -1t1 (dense scan op), the SE

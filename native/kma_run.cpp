@@ -1622,6 +1622,131 @@ static ll get_second_best_pen(Scratch &S, int nb, int nbr,
     return bestScore_r;
 }
 
+// getSecondProxiForce (savekmers.c:1320-1381): keep region entries
+// whose OPPOSITE-strand mate-2 score is within minFrac of the best
+// such score (scores NOT combined with mate-1, unlike the Best
+// variant); soft adds the mate-2 score
+static ll get_second_proxi_force(Scratch &S, Run *R, int nb2, int nbr2,
+                                 const std::vector<int> &region,
+                                 std::vector<int> &best_hits) {
+    ll bestScore = 0;
+    for (int t : region) {
+        ll sc = 0 < t ? S.Score[t] : S.Score_r[-t];
+        if (bestScore < sc)
+            bestScore = sc;
+    }
+    ll proxiScore = (ll)(R->scan_min_frac * (double)bestScore);
+    // QUIRK (savekmers.c:1350-1371): the reference never writes the
+    // region count back, so kept entries overwrite the FRONT while the
+    // tail keeps STALE original entries up to the old count
+    best_hits = region;
+    size_t bh = 0;
+    for (int t : region) {
+        ll sc = 0 < t ? S.Score[t] : S.Score_r[-t];
+        if (proxiScore <= sc) {
+            best_hits[bh++] = t;
+            if (S.soft)
+                S.soft[0 < t ? t : -t] += sc;
+        }
+    }
+    for (int i = 0; i < nb2; ++i)
+        S.Score_r[S.bests[i]] = 0;
+    for (int i = 0; i < nbr2; ++i)
+        S.Score[S.bests_r[i]] = 0;
+    return bestScore;
+}
+
+// getSecondProxiPen (savekmers.c:1514-1646): union kept when the best
+// COMBINED score reaches bestScore+bestScore_r-PE, then proxi-filtered
+// on combined scores; otherwise both mates split to SE with per-mate
+// proxi filters
+static ll get_second_proxi_pen(Scratch &S, Run *R, int nb, int nbr,
+                               std::vector<int> &region,
+                               const std::vector<ll> &rscores,
+                               ll bestScore, ll PE, bool *pe,
+                               std::vector<int> &best2) {
+    ll bestScore_r = 0;
+    for (int i = 0; i < nb; ++i) {
+        ll sc = S.Score[S.bests[i]];
+        if (bestScore_r < sc)
+            bestScore_r = sc;
+    }
+    static thread_local std::vector<int> merged2;
+    merged2.clear();
+    merged2.insert(merged2.end(), S.bests.data(), S.bests.data() + nb);
+    for (int i = 0; i < nbr; ++i) {
+        ll sc = S.Score_r[S.bests_r[i]];
+        if (bestScore_r < sc)
+            bestScore_r = sc;
+        merged2.push_back(-S.bests_r[i]);
+    }
+    static thread_local std::vector<int> best_hits;
+    best_hits.clear();
+    if (bestScore_r) {
+        ll compScore = 0;
+        for (size_t i = 0; i < region.size(); ++i) {
+            int t = region[i];
+            ll sc = 0 < t ? S.Score_r[t] : S.Score[-t];
+            if (0 < sc) {
+                sc += rscores[i];
+                if (compScore < sc)
+                    compScore = sc;
+            }
+        }
+        if (bestScore + bestScore_r - PE <= compScore) {
+            ll proxiScore = (ll)(R->scan_min_frac
+                                 * (double)compScore);
+            for (size_t i = 0; i < region.size(); ++i) {
+                int t = region[i];
+                ll sc = 0 < t ? S.Score_r[t] : S.Score[-t];
+                if (0 < sc) {
+                    sc += rscores[i];
+                    if (proxiScore <= sc) {
+                        best_hits.push_back(t);
+                        if (S.soft)
+                            S.soft[0 < t ? t : -t] += sc;
+                    }
+                }
+            }
+        }
+    }
+    if (!best_hits.empty()) {
+        for (int t : merged2) {
+            if (0 < t)
+                S.Score[t] = 0;
+            else
+                S.Score_r[-t] = 0;
+        }
+        region = best_hits;
+        *pe = true;
+        best2.clear();
+        return bestScore_r;
+    }
+    // SE split with per-mate proxi filters (savekmers.c:1609-1642)
+    ll proxi1 = (ll)(R->scan_min_frac * (double)bestScore);
+    size_t keep = 0;
+    for (size_t i = 0; i < region.size(); ++i)
+        if (proxi1 <= rscores[i])
+            region[keep++] = region[i];
+    region.resize(keep);
+    ll proxi2 = (ll)(R->scan_min_frac * (double)bestScore_r);
+    best2.clear();
+    for (int t : merged2) {
+        ll sc = 0 < t ? S.Score[t] : S.Score_r[-t];
+        if (proxi2 <= sc) {
+            best2.push_back(t);
+            if (S.soft)
+                S.soft[0 < t ? t : -t] += sc;
+        }
+        if (0 < t)
+            S.Score[t] = 0;
+        else
+            S.Score_r[-t] = 0;
+    }
+    *pe = false;
+    return bestScore_r;
+}
+
 // shared unmapped-SAM row append (samwrite's unmapped record shape)
 static void sam_put_unmapped(std::vector<uint8_t> &sb, const uint8_t *hdr,
                              ll hlen, const uint8_t *cod, ll ql,
@@ -1812,8 +1937,10 @@ static int pair_scan(Run *R, Scratch &S, const uint8_t *q1, int l1,
         ll fbest = 0;
         best2.clear();
         if (hc2)
-            fbest = get_second_best_force(S, nb2, nbr2, region, rscores,
-                                          best2);
+            fbest = R->scan_min_frac < 1.0
+                ? get_second_proxi_force(S, R, nb2, nbr2, region, best2)
+                : get_second_best_force(S, nb2, nbr2, region, rscores,
+                                        best2);
         if (hc2 && fbest) {
             if (k <= fbest || (ll)(l1 + l2) - fbest < fbest * k) {
                 int flag = 67, flag_r = 131;
@@ -1888,11 +2015,17 @@ static int pair_scan(Run *R, Scratch &S, const uint8_t *q1, int l1,
             }
         } else {
             if (0 < bestScore) {
-                bestScore_r = get_second_best_pen(S, nb, nbr, region,
-                                                  rscores, bestScore,
-                                                  R->pe_reward, &pe, best2);
+                bestScore_r = proxi_pair
+                    ? get_second_proxi_pen(S, R, nb, nbr, region,
+                                           rscores, bestScore,
+                                           R->pe_reward, &pe, best2)
+                    : get_second_best_pen(S, nb, nbr, region, rscores,
+                                          bestScore, R->pe_reward, &pe,
+                                          best2);
             } else {
-                bestScore_r = getF_best(S, nb, nbr, region);
+                bestScore_r = proxi_pair
+                    ? getF_proxi(S, R, nb, nbr, region)
+                    : getF_best(S, nb, nbr, region);
                 // penalty path: mate2-only result lands in region; the
                 // emit below reads best2 (mapping/pair.py:503-506)
                 best2 = region;

@@ -138,17 +138,6 @@ def test_native_cli_falls_back_se(tmp_path, sim_reads_mod, db50_index,
 
 
 @pytest.mark.parametrize("margs", [
-    ["-proxi", "0.8", "-apm", "p"],   # penalty/force proxi stay Python
-])
-def test_native_cli_falls_back_pe(tmp_path, db50_index, margs):
-    if not _ensure_cli():
-        pytest.skip("native CLI unavailable")
-    rc = _run_native(["-ipe", "/dev/null", "/dev/null", "-t_db",
-                      db50_index] + margs, str(tmp_path / "x"))
-    assert rc == 113
-
-
-@pytest.mark.parametrize("margs", [
     ["-1t1", "-sam"], ["-sam"], ["-1t1", "-sam", "4"],
     ["-hmm", "-sam"],
     # mem-mode SAM (round 5): scan-miss + assembly rows from the
@@ -679,6 +668,10 @@ def test_native_cli_fasta_input(tmp_path, db50_index, ref_bin, margs):
 @pytest.mark.parametrize("margs", [
     ["-proxi", "0.8"], ["-proxi", "-0.9"],
     ["-proxi", "0.6", "-mem_mode"], ["-proxi", "-0.9", "-mem_mode"],
+    # penalty / force proxi combiners (getSecondProxiPen/Force incl.
+    # the Force variant's stale-tail region quirk, savekmers.c:1350)
+    ["-proxi", "0.8", "-apm", "p"], ["-proxi", "-0.8", "-apm", "p"],
+    ["-proxi", "0.8", "-apm", "f"], ["-proxi", "-0.7", "-apm", "f"],
 ])
 def test_native_cli_pe_proxi(tmp_path, db50_index, ref_bin, margs):
     """PE + -proxi (union pairing) natively (round 5): getF_Proxi /
