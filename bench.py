@@ -316,8 +316,16 @@ def mh_scaling(db_prefix):
                   if "rank-0" in ln]
         return dt, ok, serial[-1] if serial else ""
 
+    # best-of-2 per process count: the box's run-to-run wall noise
+    # (~10%) otherwise dominates the efficiency ratio
     t1, ok1, _ = run_n(1)
     t2, ok2, serial = run_n(2)
+    t1b, ok1b, _ = run_n(1)
+    t2b, ok2b, serial_b = run_n(2)
+    if ok1b and t1b < t1:
+        t1 = t1b
+    if ok2b and t2b < t2:
+        t2, serial = t2b, serial_b
     row = {"n": N_ONT * reps, "wall_1proc_s": round(t1, 2),
            "wall_2proc_s": round(t2, 2),
            "rank0_serial": serial.lstrip("# ")}
